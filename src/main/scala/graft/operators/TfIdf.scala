@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The core TF-IDF operator set (SURVEY.md §2 O2–O7), each a composable
+ * `DataFrame => DataFrame` transform. One lazy plan per query — no
+ * intermediate materialization (the reference writes text to HDFS between
+ * every job, TFIDF.java:45→65).
+ *
+ * Semantics ledger (SURVEY.md §2.4):
+ *  - Q1 tokenizer: `\s*\b\s*` boundary split, case-sensitive, punctuation
+ *    runs kept as tokens (DocWordCount.java:49,58-64). Spark's `split`
+ *    compiles the same java.util.regex pattern → bit-identical tokens.
+ *  - Q2 tf = 1 + log10(count) (TermFrequency.java:81).
+ *  - Q3 idf = log10(1 + floor(numDocs / df)) — the reference divides two
+ *    Java ints (TFIDF.java:146,158,163), i.e. floor division.
+ *  - Q4 numDocs is caller-supplied (TFIDF.java:58) with engine default =
+ *    corpus document count.
+ */
+object TfIdf {
+
+  /** The reference tokenizer regex, verbatim (DocWordCount.java:49). */
+  val TokenPattern = "\\s*\\b\\s*"
+
+  /** Tokenize a query string on the driver with reference semantics
+    * (Search.java:212,225 reuses the same pattern). */
+  def tokenizeQuery(query: String): Seq[String] =
+    query.split(TokenPattern).toSeq.filter(_.nonEmpty)
+
+  /**
+   * O2 — tokenize (doc, line) → (doc, term), dropping empty tokens
+   * (DocWordCount.java:59-61). Generator + filter fuse into one
+   * whole-stage-codegen'd project in the scan stage — no shuffle.
+   */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc"),
+      explode(split(col("line"), TokenPattern)).as("term")
+    ).where(length(col("term")) > 0)
+
+  /**
+   * O3 — count per (term, doc) (DocWordCount.java:68-79). Catalyst plans
+   * partial+final HashAggregate — the map-side combine the reference never
+   * registers (no setCombinerClass anywhere; SURVEY.md §4). One shuffle,
+   * keyed (term, doc).
+   */
+  def docWordCount(terms: DataFrame): DataFrame =
+    terms.groupBy(col("term"), col("doc")).agg(count(lit(1)).as("count"))
+
+  /** O4 — tf = 1 + log10(count) (TermFrequency.java:81). Pure projection. */
+  def termFrequency(counts: DataFrame): DataFrame =
+    counts.withColumn("tf", lit(1.0) + log10(col("count")))
+
+  /**
+   * O6 — document frequency per term as a window count. Input is unique per
+   * (term, doc) by construction, so `count(*) over (partition by term)` ==
+   * countDistinct(doc) with no self-join and no per-group HashMap (the
+   * reference materializes the whole posting list in reducer memory,
+   * TFIDF.java:147-157 — its stop-word OOM anti-pattern; the window
+   * streams with spill under Tungsten).
+   */
+  def withDocumentFrequency(tf: DataFrame): DataFrame =
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+
+  /** idf expression — floor-division quirk preserved (TFIDF.java:163). */
+  def idfExpr(numDocs: Column, df: Column): Column =
+    log10(lit(1) + floor(numDocs.cast("double") / df.cast("double")))
+
+  /**
+   * O2–O7 fused: (doc, line) corpus → (term, doc, count, tf, df, tfidf).
+   *
+   * @param numDocs reference semantics: user-supplied N (TFIDF.java:58),
+   *                may legally disagree with the corpus; None = engine
+   *                default, the corpus document count computed inside the
+   *                same lazy plan (single-row broadcast cross join — no
+   *                driver-side action, scale-safe).
+   */
+  def tfidf(docs: DataFrame, numDocs: Option[Long] = None): DataFrame = {
+    val scored = withDocumentFrequency(termFrequency(docWordCount(tokenize(docs))))
+    numDocs match {
+      case Some(n) =>
+        scored.withColumn("tfidf", col("tf") * idfExpr(lit(n), col("df")))
+      case None =>
+        // Distinct doc count as a 1-row broadcast: stays one lazy plan.
+        val n = docs.select(col("doc")).agg(countDistinct(col("doc")).as("num_docs"))
+        scored
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", col("tf") * idfExpr(col("num_docs"), col("df")))
+          .drop("num_docs")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus sources and sinks (SURVEY.md §2 O1/O12).
+ *
+ * The reference reads a directory of text files and uses the file basename
+ * as the document identity (DocWordCount.java:54,
+ * `((FileSplit) ctx.getInputSplit()).getPath().getName()`); its only sink is
+ * `TextOutputFormat` (`key \t value` lines). We support both that parity
+ * surface and the engine-native columnar path (parquet in/out).
+ *
+ * Scale note: `spark.read.text` over a directory is a distributed scan;
+ * `input_file_name()` is evaluated per-partition with no shuffle. Parquet
+ * reads go through the vectorized reader with column pruning + predicate
+ * pushdown — always prefer parquet at 100 TB.
+ */
+object Corpus {
+
+  /**
+   * O1 — text-directory scan with doc-id attach.
+   * Returns (doc: String, line: String), doc = file basename.
+   */
+  def textDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .text(dir)
+      .select(
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("doc"),
+        col("value").as("line")
+      )
+
+  /**
+   * Parquet documents table (driver testdata layout: doc_id bigint,
+   * text string, lang string, source string, n_chars bigint).
+   * Normalized to (doc, line) so every downstream operator is
+   * source-agnostic.
+   */
+  def documentsParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .parquet(path)
+      .select(col("doc_id").cast("string").as("doc"), col("text").as("line"))
+
+  /** Generic table loader for the driver testdata dirs. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /**
+   * O12 parity text sink: `key \t value` lines like Hadoop's
+   * TextOutputFormat. Caller chooses the two columns. `coalesce(1)` is NOT
+   * applied — at scale you want many output files; tests may coalesce.
+   */
+  def writeTabText(df: DataFrame, keyCol: String, valueCol: String, out: String): Unit =
+    df.select(concat_ws("\t", col(keyCol), col(valueCol).cast("string")).as("value"))
+      .write
+      .mode("overwrite")
+      .text(out)
+
+  /** Engine-native sink. */
+  def writeParquet(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").parquet(out)
+}
