@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Corpus
+
+/** O1 text-directory source: doc identity = file basename
+  * (DocWordCount.java:54), and the O12 tab-text parity sink. */
+class CorpusSpec extends SparkSpec {
+
+  private def minicorpusDir: String =
+    getClass.getResource("/minicorpus").getPath
+
+  test("textDir attaches file basename as doc id") {
+    val df = Corpus.textDir(spark, minicorpusDir)
+    val got = rowsOf(df)
+    got shouldBe Seq(
+      Seq("d1.txt", "Hello world hello"),
+      Seq("d2.txt", "world of spark")
+    ).sortBy(_.mkString(" "))
+  }
+
+  test("documentsParquet normalizes to (doc, line)") {
+    val df = Corpus.documentsParquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    df.columns.toSeq shouldBe Seq("doc", "line")
+    df.count() shouldBe 500L
+  }
+
+  test("writeTabText emits key<TAB>value lines") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/out"
+    Corpus.writeTabText(corpus("d1" -> "x"), "doc", "line", out)
+    val back = spark.read.text(out).collect().map(_.getString(0)).toSeq
+    back shouldBe Seq("d1\tx")
+  }
+}

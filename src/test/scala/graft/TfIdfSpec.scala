@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Rank, Search, TfIdf}
+
+/** Core pipeline semantics against the FIXTURES.md worked example and the
+  * quirk ledger (SURVEY.md §2.4). */
+class TfIdfSpec extends SparkSpec {
+
+  private val eps = 1e-9
+
+  // FIXTURES.md §2 micro-corpus.
+  private def mini = corpus("d1.txt" -> "Hello world hello", "d2.txt" -> "world of spark")
+
+  test("Q1 quirk: tokenizer keeps punctuation runs and case, drops empties") {
+    val toks = TfIdf.tokenize(corpus("d" -> "e.g. test"))
+      .select("term").collect().map(_.getString(0)).toSeq
+    toks shouldBe Seq("e", ".", "g", ".", "test")
+  }
+
+  test("tokenizer is case-sensitive (Hello != hello)") {
+    val toks = TfIdf.tokenize(mini).where(col("doc") === "d1.txt")
+      .select("term").collect().map(_.getString(0)).toSeq.sorted
+    toks shouldBe Seq("Hello", "hello", "world")
+  }
+
+  test("terms containing delimiter chars survive (SURVEY.md §2.3)") {
+    // '@' is a token of its own under \b-splitting; it must round-trip.
+    val toks = TfIdf.tokenize(corpus("d" -> "user@host x"))
+      .select("term").collect().map(_.getString(0)).toSeq
+    toks shouldBe Seq("user", "@", "host", "x")
+  }
+
+  test("docWordCount matches FIXTURES expected counts") {
+    val got = rowsOf(TfIdf.docWordCount(TfIdf.tokenize(mini)))
+    got shouldBe Seq(
+      Seq("Hello", "d1.txt", "1"),
+      Seq("hello", "d1.txt", "1"),
+      Seq("of", "d2.txt", "1"),
+      Seq("spark", "d2.txt", "1"),
+      Seq("world", "d1.txt", "1"),
+      Seq("world", "d2.txt", "1")
+    ).sortBy(_.mkString(" "))
+  }
+
+  test("Q2 quirk: tf = 1 + log10(count)") {
+    val tf = TfIdf.termFrequency(TfIdf.docWordCount(TfIdf.tokenize(
+      corpus("d" -> "a a a b"))))
+      .select("term", "tf").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    tf("a") shouldBe (1.0 + math.log10(3.0)) +- eps
+    tf("b") shouldBe 1.0 +- eps
+  }
+
+  test("tfidf matches FIXTURES worked example (window df + floor idf)") {
+    val got = TfIdf.tfidf(mini)
+      .select("term", "doc", "tfidf")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val log2 = math.log10(2.0) // df=2 → idf = log10(1 + 2/2)
+    val log3 = math.log10(3.0) // df=1 → idf = log10(1 + 2/1)
+    got(("Hello", "d1.txt")) shouldBe log3 +- eps
+    got(("hello", "d1.txt")) shouldBe log3 +- eps
+    got(("world", "d1.txt")) shouldBe log2 +- eps
+    got(("world", "d2.txt")) shouldBe log2 +- eps
+    got(("of", "d2.txt")) shouldBe log3 +- eps
+    got(("spark", "d2.txt")) shouldBe log3 +- eps
+  }
+
+  test("Q3 quirk: idf uses floor division (N=5, df=2 -> log10(3))") {
+    // 5 docs; 'x' appears in exactly 2.
+    val five = corpus(
+      "a" -> "x q", "b" -> "x r", "c" -> "s", "d" -> "t", "e" -> "u")
+    val idf = TfIdf.tfidf(five, numDocs = Some(5))
+      .where(col("term") === "x").select("tfidf").head().getDouble(0)
+    idf shouldBe math.log10(3.0) +- eps // NOT log10(1 + 2.5)
+  }
+
+  test("Q4 quirk: numDocs is caller-suppliable and may disagree with corpus") {
+    val one = corpus("a" -> "x")
+    val idf = TfIdf.tfidf(one, numDocs = Some(10))
+      .select("tfidf").head().getDouble(0)
+    idf shouldBe math.log10(11.0) +- eps
+  }
+
+  test("search matches FIXTURES: query 'world hello'") {
+    val got = Search.search(mini, "world hello")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got("d1.txt") shouldBe (math.log10(3.0) + math.log10(2.0)) +- eps // 0.7781513
+    got("d2.txt") shouldBe math.log10(2.0) +- eps                     // 0.3010300
+  }
+
+  test("Q7 quirk: duplicate query terms double-count in parity mode only") {
+    val dup = Search.search(mini, "hello hello", parityDuplicates = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    dup("d1.txt") shouldBe (2 * math.log10(3.0)) +- eps // 0.9542425
+    val dedup = Search.search(mini, "hello hello")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    dedup("d1.txt") shouldBe math.log10(3.0) +- eps
+  }
+
+  test("rank returns hits sorted desc with deterministic tie-break") {
+    val ranked = Rank.rank(Search.search(mini, "world hello"))
+      .collect().map(_.getString(0)).toSeq
+    ranked shouldBe Seq("d1.txt", "d2.txt")
+  }
+
+  test("rankAll orders every (term, doc) score desc") {
+    val all = Rank.rankAll(TfIdf.tfidf(mini)).collect()
+    val scores = all.map(_.getDouble(2)).toSeq
+    scores shouldBe scores.sorted.reverse
+    all.length shouldBe 6
+  }
+
+  test("rank with k uses limit (top-k)") {
+    Rank.rank(Search.search(mini, "world hello"), k = Some(1))
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("d1.txt")
+  }
+
+  test("search on absent terms returns no rows") {
+    Search.search(mini, "zzz").count() shouldBe 0L
+  }
+}
