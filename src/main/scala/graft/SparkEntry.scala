@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Rank, Search, TfIdf}
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Events, Rank, Search, Similarity, TfIdf}
 
 /**
  * Driver contract (see SURVEY.md §7 + builder prompt): one `queries` entry
@@ -37,6 +39,16 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to micros — the same
+    * ns→µs truncation DuckDB applies, so both engines see identical ts. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Fixed search query for q6/q7 (terms present in the synthetic corpus). */
   val SearchQuery = "spark stream window"
 
@@ -59,6 +71,21 @@ object SparkEntry {
       |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
       |    FROM documents) WHERE term <> ''
       |)""".stripMargin
+
+  /** Word-3-gram shingle CTEs (dedup tier). Distinct shingles per doc +
+    * per-doc shingle counts. */
+  private val ShingleCtes =
+    """tokl AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |    FROM tokl)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
 
   private val TfIdfCtes =
     s"""WITH $TokCte,
@@ -172,7 +199,92 @@ object SparkEntry {
       tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        .limit(20))
+        .limit(20)),
+
+    // ── Dedup tier (SURVEY.md §7.4 / builder-prompt extensions) ─────────
+
+    // Exact dedup: md5 fingerprint groups with deterministic keeper.
+    "q11_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir))
+        .select(col("fp"), col("n_dups"), col("keeper"))
+        .orderBy(col("fp"))),
+
+    // Exact word-3-gram Jaccard near-dup pairs (verification tier).
+    "q12_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))),
+
+    // MinHash(16) + LSH(4×4 bands) candidates, exact-Jaccard verified.
+    "q13_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir))
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))),
+
+    // 16-bit tf-weighted SimHash fingerprints.
+    "q14_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir))
+        .select(col("doc").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // ── Similarity search tier ──────────────────────────────────────────
+
+    // Brute-force cosine top-10 for query vectors vec_id < 5.
+    "q15_cosine_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // Embedding near-dup pairs: cosine ≥ 0.4.
+    "q16_embedding_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy(col("d1"), col("d2"))),
+
+    // ── Text-analysis tier ──────────────────────────────────────────────
+
+    "q17_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q18_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q19_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "q20_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // ── Multimodal plumbing (metadata/schema surface; decode is a stub
+    //    tested in ScalaTest — not SQL-expressible) ───────────────────────
+    "q21_multimodal_meta" -> ((s, dir) =>
+      Multimodal.assetsFromDocuments(docs(s, dir))
+        .select(col("asset_id"), col("meta.kind").as("kind"),
+          col("meta.n_bytes").as("n_bytes"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("asset_id"))),
+
+    // ── Event analytics (batch twins of the streaming ops) ──────────────
+
+    "q22_events_hourly" -> ((s, dir) =>
+      Events.hourlyTypeStats(events(s, dir))
+        .orderBy(col("hour_start"), col("event_type"))),
+
+    "q23_events_json" -> ((s, dir) =>
+      Events.propsKeyStats(events(s, dir))
+        .orderBy(col("event_type"))),
+
+    "q24_events_sessions" -> ((s, dir) =>
+      Events.sessionize(events(s, dir), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,6 +350,180 @@ object SparkEntry {
     "q10_top_k" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q12_ngram_jaccard" ->
+      s"""WITH $ShingleCtes,
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q13_minhash_lsh" ->
+      s"""WITH $ShingleCtes,
+         |sig AS (
+         |  SELECT doc_id, seed, min(md5(shingle || '|' || seed::VARCHAR)) AS minh
+         |  FROM sh CROSS JOIN range(16) r(seed) GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |         string_agg(minh, ',' ORDER BY seed) AS band_val
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q14_simhash" ->
+      s"""WITH $TokCte,
+         |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, p,
+         |         CASE WHEN sum(CASE WHEN substr(md5(term), p::INTEGER, 1) >= '8'
+         |                            THEN c ELSE -c END) > 0
+         |              THEN (1::BIGINT << (p::INTEGER - 1)) ELSE 0 END AS bit
+         |  FROM cnt CROSS JOIN range(1, 17) r(p) GROUP BY doc_id, p)
+         |SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q15_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+        |         round(list_dot_product(q.emb, e.emb) /
+        |               (sqrt(list_dot_product(q.emb, q.emb)) *
+        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                               ORDER BY cos DESC, n_vec_id) AS rnk
+        |  FROM scored)
+        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "q16_embedding_near_dup" ->
+      """SELECT d1, d2, cos FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+
+    "q17_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+         |       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |       WHEN hits_es >= hits_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred,
+         |  hits_en, hits_de, hits_es, hits_fr
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q18_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(list_sum(list_transform(toks, x -> len(x))) * 1.0 /
+        |          greatest(len(toks), 1), 6) AS mean_tok_len,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, mean_tok_len, stopword_ratio,
+        |  round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |        (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |        least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))::BIGINT AS bpe_ish_tokens,
+        |  length(text)::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, md5(canon) AS fp_md5,
+        |  list_sum(list_transform(range(1, 16), i ->
+        |    (strpos('0123456789abcdef', substr(md5(canon), i::INTEGER, 1)) - 1)::BIGINT
+        |      << ((15 - i)::INTEGER * 4)))::BIGINT AS fp64
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q21_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'image' AS kind,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q22_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 6) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q23_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+        |  round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS k_avg
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q24_events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        |  FROM y)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 6) AS value_sum
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
   )
 }

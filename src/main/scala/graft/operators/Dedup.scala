@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data deduplication operators (builder-prompt extension surface;
+ * SURVEY.md §7.4). All operate on a (doc, line) corpus — `doc` any type,
+ * `line` the document text.
+ *
+ * Scale design notes (100 TB):
+ *  - Exact dedup is a single hash-shuffle on a 32-byte fingerprint — the
+ *    cheapest possible key; partial aggregation collapses duplicates
+ *    map-side before the shuffle.
+ *  - MinHash+LSH never builds the O(n²) pair space: candidates come from a
+ *    shuffle on (band, bandValue) buckets, so cost is O(sum of bucket²)
+ *    which is proportional to true near-duplicates. Signatures use
+ *    md5-hex lexicographic minima — deterministic, seedable, and
+ *    engine-portable (no JVM-specific hashing in the contract surface).
+ *  - SimHash is one pass: per-(doc,term) counts → 16 conditional sums →
+ *    a 16-bit fingerprint; Hamming-ball pairing on fingerprints is a
+ *    bucket join on the fingerprint itself (exact-collision tier) or on
+ *    rotated sub-keys (near tier).
+ *  - n-gram Jaccard is the exact (verification) tier: shingle join +
+ *    group-count; only ever run on candidate pairs at scale.
+ */
+object Dedup {
+
+  /** Whitespace token array with empties removed (corpus-safe on both the
+    * engine and oracle side — see SparkEntry tokenizer note). */
+  def tokensCol(line: Column): Column =
+    filter(split(line, "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingle array (distinct), empty when the doc has < n
+    * tokens (guard needed: Spark `sequence(a, b)` is descending for b<a). */
+  def shinglesCol(line: Column, n: Int): Column = {
+    val toks = tokensCol(line)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")
+    )
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** (doc, shingle) — distinct word n-grams per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc"), explode(shinglesCol(col("line"), n)).as("shingle"))
+
+  /**
+   * Exact duplicate groups: md5(text) fingerprint → (fp, n_dups, keeper).
+   * Keeper = min(doc) is the deterministic survivor choice.
+   */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("line")).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc")).as("keeper"))
+
+  /** Corpus with exact duplicates removed (keeper row survives). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("line"))).orderBy(col("doc"))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
+   * MinHash signatures: one row per (doc, seed), value = lexicographic min
+   * of md5(shingle || '|' || seed). k seeds ⇒ k permutation approximations.
+   */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame =
+    sh.select(col("doc"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("shingle"))
+      .groupBy(col("doc"), col("seed"))
+      .agg(min(md5(concat(col("shingle"), lit("|"), col("seed").cast("string"))))
+        .as("minh"))
+
+  /**
+   * LSH banding: group the k signature rows into bands of `rowsPerBand`,
+   * band value = seed-ordered concat. Docs sharing any (band, bandValue)
+   * are candidate pairs.
+   */
+  def lshBands(sig: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    sig
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy(col("doc"), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+          x => x.getField("minh")),
+        ",").as("band_val"))
+
+  /** Candidate pairs from shared LSH buckets (d1 < d2, distinct). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc").as("d1"), col("band"), col("band_val"))
+    val b = bands.select(col("doc").as("d2"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs, from the shingle table. */
+  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val s1 = sh.select(col("doc").as("d1"), col("shingle"))
+    val s2 = sh.select(col("doc").as("d2"), col("shingle"))
+    val inter = pairs
+      .join(s1, "d1").join(s2, Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /**
+   * Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
+   * → exact-Jaccard verify ≥ threshold.
+   */
+  def minhashNearDups(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    jaccardFor(cands, sh).where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — O(n²)
+   * via the shingle join; at scale, run only on LSH candidates).
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val pairs = sh.select(col("doc").as("d1"), col("shingle"))
+      .join(sh.select(col("doc").as("d2"), col("shingle")), "shingle")
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    jaccardFor(pairs, sh).where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * 16-bit SimHash fingerprint, weighted by term frequency: bit p of the
+   * fingerprint = sign of Σ_terms cnt · (±1), where the ±1 for (term, p)
+   * is derived from hex digit p of md5(term) (≥ '8' ⇒ +1). Deterministic
+   * and engine-portable.
+   */
+  def simhash(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc"), explode(tokensCol(col("line"))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .select(col("doc"), explode(sequence(lit(1), lit(16))).as("p"),
+        col("term"), col("cnt"))
+      .withColumn("contrib",
+        // hex digit p of md5(term) ≥ '8' ⇒ +cnt, else −cnt (lowercase hex
+        // compares identically under any ASCII collation — oracle-portable)
+        when(md5(col("term")).substr(col("p"), lit(1)) >= "8", col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy(col("doc"), col("p"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bit",
+        // pow is exact for 2^0..2^15 — portable stand-in for 1 << (p-1)
+        when(col("s") > 0, pow(lit(2.0), col("p") - 1).cast("long")).otherwise(0L))
+      .groupBy(col("doc"))
+      .agg(sum(col("bit")).cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming ball (all-pairs tier; at
+    * scale, bucket on the fingerprint / rotated sub-keys first). */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val a = fingerprints.select(col("doc").as("d1"), col("simhash").as("h1"))
+    val b = fingerprints.select(col("doc").as("d2"), col("simhash").as("h2"))
+    a.crossJoin(b)
+      .where(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics in batch form (the Structured Streaming
+ * equivalents live in graft.streaming — same aggregation semantics, so
+ * these batch plans double as the oracle for the streaming path).
+ *
+ * Input shape: events(event_id, ts timestamp, user_id, event_type,
+ * value double, props json-string).
+ */
+object Events {
+
+  /**
+   * Tumbling-window aggregate: events per (1-hour window, event_type)
+   * with count and value sum. `window()` is epoch-aligned in session TZ
+   * (UTC here) — identical to date_trunc('hour', ts).
+   */
+  def hourlyTypeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** JSON prop extraction + per-type aggregate (scalar JSON path only —
+    * the reference has no JSON; this covers the pipeline-utility need). */
+  def propsKeyStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("k_sum"),
+        round(avg(col("k")), 6).as("k_avg"))
+
+  /**
+   * Sessionization (batch): a session breaks after `gapMinutes` of user
+   * inactivity. Window lag + running sum of break flags — one shuffle on
+   * user_id. (Streaming variant: flatMapGroupsWithState, graft.streaming.)
+   */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        // exact micros, not truncated seconds (matches epoch_us semantics)
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("value_sum"))
+  }
+}

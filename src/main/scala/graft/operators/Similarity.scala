@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (builder-prompt extension
+ * surface; SURVEY.md §7.4). Input shape: (vec_id, embedding array<float>).
+ *
+ * Vector math is pure `functions._` (zip_with + aggregate) — no UDF, no
+ * driver collect. Arithmetic is done in double (cast from float) so
+ * results are portable across engines.
+ *
+ * Scale design:
+ *  - `cosineTopK` is the exact baseline: broadcast the (small) query set,
+ *    stream the corpus once, per-query top-k via window row_number. At
+ *    1000 executors this is a map-only pass over the corpus + one shuffle
+ *    of the scored survivors.
+ *  - `lshCosineTopK` is the scale path: `bits` random-hyperplane sign bits
+ *    (hyperplane directions derived deterministically from md5 — no RNG
+ *    state to ship to executors); candidates restricted to same-bucket,
+ *    then exact re-rank. Recall < 1, cost ~2^bits-fold lower.
+ */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two array<double> columns, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /**
+   * Exact brute-force top-k cosine neighbors for each query vector.
+   * @param corpus  (vec_id, embedding)
+   * @param queries (vec_id, embedding), small — gets broadcast
+   */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_vec_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val scored = c
+      .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("n_vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+  }
+
+  /** All-pairs cosine ≥ threshold (embedding near-dup tier). O(n²) —
+    * exact verification tier; bucket with LSH first at scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("d1"), asDouble(col("embedding")).as("e1"))
+    val b = corpus.select(col("vec_id").as("d2"), asDouble(col("embedding")).as("e2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane sign r_h[j] ∈ {−1, +1}: hex
+   * digit (j mod 16) of md5("h:j"), ≥ '8' ⇒ +1. Lexicographic compare on
+   * lowercase hex is portable (identical in any engine's ASCII collation).
+   */
+  private def hyperplaneSign(h: Column, j: Column): Column =
+    when(
+      md5(concat(h.cast("string"), lit(":"), j.cast("string")))
+        .substr(pmod(j, lit(16)).cast("int") + 1, lit(1)) >= "8",
+      lit(1.0)
+    ).otherwise(lit(-1.0))
+
+  /** `bits`-bit random-hyperplane bucket id for an array<double> column. */
+  def lshBucketCol(emb: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), h => {
+        val signedDot = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, j) => x * hyperplaneSign(h, j)),
+          lit(0.0), (acc, x) => acc + x)
+        when(signedDot > 0, pow(lit(2.0), h).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Corpus annotated with its LSH bucket. */
+  def withLshBucket(corpus: DataFrame, bits: Int = 8): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .withColumn("bucket", lshBucketCol(col("embedding"), bits))
+
+  /**
+   * Approximate top-k: exact cosine re-rank restricted to same-bucket
+   * candidates. The bucket join shuffles on the bucket id — at scale this
+   * replaces the corpus-wide scan per query with a 1/2^bits slice.
+   */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val c = withLshBucket(corpus, bits)
+      .select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"), col("bucket"))
+    val q = withLshBucket(queries, bits)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"), col("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("n_vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+  }
+}

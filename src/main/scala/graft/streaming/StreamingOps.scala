@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.TfIdf
+
+/**
+ * Structured Streaming variants of the engine's aggregations (extension
+ * surface — the reference has no streaming at all, SURVEY.md §2.1).
+ * Batch twins in graft.operators.Events define the expected semantics;
+ * tests replay fixed rows through MemoryStream and compare.
+ *
+ * Scale notes: all stateful ops are keyed (shuffle-partitioned) and
+ * watermarked so state is bounded — no per-key unbounded growth (the
+ * reference's in-reducer HashMap anti-pattern, SURVEY.md §4, must not
+ * reappear as unbounded state stores).
+ */
+object StreamingOps {
+
+  /** Streaming tumbling-window stats per event_type. Watermark bounds
+    * state; late rows beyond it are dropped. Append-mode compatible. */
+  def hourlyTypeStats(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Streaming doc-word-count: same tokenizer + aggregation as the batch
+    * O2/O3 path, over a stream of (doc, line). Update/complete mode. */
+  def termCounts(docs: DataFrame): DataFrame =
+    TfIdf.docWordCount(TfIdf.tokenize(docs))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionSummary(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+
+  private final case class SessionState(
+      start: Long, last: Long, n: Long, sum: Double)
+
+  /**
+   * Streaming sessionization with explicit state: a session closes after
+   * `gapMinutes` of inactivity (processing-time timeout flushes it).
+   * Emits one summary per closed session. State per key is O(1) — four
+   * scalars — regardless of session length.
+   */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
