@@ -178,7 +178,7 @@ object Dedup {
     val b = fingerprints.select(col("doc").as("d2"), col("simhash").as("h2"))
     a.crossJoin(b)
       .where(col("d1") < col("d2"))
-      .withColumn("hamming", bit_count(expr("h1 ^ h2")))
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }

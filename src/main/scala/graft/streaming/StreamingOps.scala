@@ -39,26 +39,33 @@ object StreamingOps {
       user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
 
-  private final case class SessionState(
+  // public: Spark's generated encoder code (Janino) must access members
+  final case class SessionState(
       start: Long, last: Long, n: Long, sum: Double)
 
   /**
    * Streaming sessionization with explicit state: a session closes after
-   * `gapMinutes` of inactivity (processing-time timeout flushes it).
-   * Emits one summary per closed session. State per key is O(1) — four
-   * scalars — regardless of session length.
+   * `gapMinutes` of event-time inactivity. A later event from the same
+   * user closes it inline; otherwise the watermark passing `last + gap`
+   * fires an event-time timeout that flushes it. Event-time (not
+   * processing-time) timeouts keep replays deterministic and avoid the
+   * engine's continuous no-data-batch polling. Emits one summary per
+   * closed session. State per key is O(1) — four scalars — regardless of
+   * session length.
    */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapMinutes: Int = 30): Dataset[SessionSummary] = {
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
 
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -84,7 +91,11 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              // fire once the watermark passes the inactivity gap; guard
+              // against a watermark already beyond it (very late data)
+              val fireAt = s.last + gapMs
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(fireAt, wm + 1))
             }
             closed.reverseIterator
           }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def dupCorpus = corpus(
+    "a" -> "the quick brown fox jumps over the lazy dog",
+    "b" -> "the quick brown fox jumps over the lazy dog", // exact dup of a
+    "c" -> "the quick brown fox jumps over a lazy dog",   // near dup
+    "d" -> "completely different words here entirely now today")
+
+  test("shingles: distinct word 3-grams, empty for short docs") {
+    val sh = Dedup.shingles(corpus("s" -> "a b", "t" -> "x y z w"), 3)
+    val got = rowsOf(sh)
+    got shouldBe Seq(
+      Seq("t", "x y z"),
+      Seq("t", "y z w")
+    ).sortBy(_.mkString(" "))
+  }
+
+  test("shingles are distinct per doc") {
+    val sh = Dedup.shingles(corpus("s" -> "a b a b a b a b"), 3)
+    // grams: "a b a","b a b" repeated — distinct leaves 2
+    sh.count() shouldBe 2L
+  }
+
+  test("exactGroups finds exact duplicates with deterministic keeper") {
+    val g = Dedup.exactGroups(dupCorpus).where(col("n_dups") > 1).collect()
+    g.length shouldBe 1
+    g.head.getAs[Long]("n_dups") shouldBe 2L
+    g.head.getAs[String]("keeper") shouldBe "a"
+  }
+
+  test("exactDedup keeps one row per distinct text") {
+    val kept = Dedup.exactDedup(dupCorpus).select("doc").collect().map(_.getString(0)).sorted
+    kept shouldBe Array("a", "c", "d")
+  }
+
+  test("minhash signature: numHashes rows per doc, stable across runs") {
+    val sig = Dedup.minhashSignatures(Dedup.shingles(dupCorpus, 3), numHashes = 8)
+    sig.groupBy("doc").count().collect().foreach(_.getLong(1) shouldBe 8L)
+    // identical text ⇒ identical signature
+    val byDoc = sig.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getString(2)).toMap).toMap
+    byDoc("a") shouldBe byDoc("b")
+  }
+
+  test("minhashNearDups finds exact+near dup pairs, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(dupCorpus, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    pairs should contain(("a", "b")) // identical: jaccard 1.0
+    all(pairs.toSeq.flatMap(p => Seq(p._1, p._2))) should not be "d"
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus, threshold = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    pairs(("a", "b")) shouldBe 1.0 +- 1e-12
+    // a: 7 shingles, c: 7 shingles, intersection 5 ("the quick brown" "quick
+    // brown fox" "brown fox jumps" "fox jumps over" + "the lazy dog"? check:
+    // a grams: [the quick brown, quick brown fox, brown fox jumps,
+    //           fox jumps over, jumps over the, over the lazy, the lazy dog]
+    // c grams: [the quick brown, quick brown fox, brown fox jumps,
+    //           fox jumps over, jumps over a, over a lazy, a lazy dog]
+    // inter = 4, union = 10 → 0.4
+    pairs(("a", "c")) shouldBe 0.4 +- 1e-12
+  }
+
+  test("simhash: identical docs share fingerprint; fingerprint is 16-bit") {
+    val fp = Dedup.simhash(dupCorpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fp("a") shouldBe fp("b")
+    fp.values.foreach { v => v should be >= 0L; v should be < 65536L }
+  }
+
+  test("simhashPairs: exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(dupCorpus), maxHamming = 0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    pairs.map(p => (p._1, p._2)) should contain(("a", "b"))
+    pairs.filter(p => p._1 == "a" && p._2 == "b").head._3 shouldBe 0L
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, String, Long, String, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, ts, uid, typ, v) =>
+      (id, Timestamp.valueOf(ts), uid, typ, v, s"""{"k": $id}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("hourlyTypeStats buckets into epoch-aligned hours") {
+    val got = Events.hourlyTypeStats(ev(
+      (1L, "2024-01-01 10:15:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 10:59:59", 1L, "click", 2.0),
+      (3L, "2024-01-01 11:00:00", 1L, "click", 4.0)))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+    got.toSet shouldBe Set(
+      ("2024-01-01 10:00:00.0", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", 1L, 4.0))
+  }
+
+  test("propsKeyStats extracts json ints and aggregates") {
+    val row = Events.propsKeyStats(ev(
+      (10L, "2024-01-01 00:00:00", 1L, "click", 0.0),
+      (20L, "2024-01-01 00:00:01", 2L, "click", 0.0))).head()
+    row.getAs[Long]("n_events") shouldBe 2L
+    row.getAs[Long]("k_sum") shouldBe 30L
+    row.getAs[Double]("k_avg") shouldBe 15.0 +- 1e-9
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val got = Events.sessionize(ev(
+      (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),
+      (2L, "2024-01-01 00:10:00", 7L, "a", 2.0),  // same session (10 min)
+      (3L, "2024-01-01 01:00:00", 7L, "a", 4.0),  // 50 min gap → new session
+      (4L, "2024-01-01 00:00:00", 8L, "a", 8.0)), // other user
+      gapMinutes = 30)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("value_sum")))
+    got.toSet shouldBe Set((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (8L, 1L, 1L, 8.0))
+  }
+
+  test("sessionize boundary: exactly gap minutes is same session") {
+    val got = Events.sessionize(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 00:30:00", 1L, "a", 1.0)), gapMinutes = 30)
+    got.count() shouldBe 1L
+  }
+}

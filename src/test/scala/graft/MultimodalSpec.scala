@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private def assets = Multimodal.assetsFromDocuments(
+    corpus("1" -> "ab", "2" -> "hello world"))
+
+  test("asset schema carries binary payload + typed metadata") {
+    // structural match modulo nullability (expression-derived columns
+    // carry conservative nullability marks)
+    assets.schema.simpleString shouldBe Multimodal.AssetSchema.simpleString
+    val r = assets.where(col("asset_id") === 1).head()
+    r.getAs[Array[Byte]]("payload") shouldBe "ab".getBytes("UTF-8")
+    r.getStruct(2).getAs[Long]("n_bytes") shouldBe 2L
+  }
+
+  test("decodeStub: deterministic fake features over partition batches") {
+    val feats = Multimodal.decodeStub(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    val ab = feats(1L)
+    ab.n_bytes shouldBe 2L
+    ab.byte_mean shouldBe ((97 + 98) / 2.0) +- 1e-9 // 'a','b'
+    ab.content_md5 shouldBe "187ef4436122d1cc2f40dc2b92f0eba0" // md5("ab")
+    ab.byte_hist_head.length shouldBe 8
+    // 'a'=97 → bucket 1, 'b'=98 → bucket 2
+    ab.byte_hist_head(1) shouldBe 1L
+    ab.byte_hist_head(2) shouldBe 1L
+  }
+
+  test("decodeStub is stable across repartitioning (partition-local only)") {
+    val a = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id).toSeq
+    val b = Multimodal.decodeStub(
+      Multimodal.repartitionForDecode(assets, targetBytesPerPartition = 4))
+      .collect().sortBy(_.asset_id).toSeq
+    a shouldBe b
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def fixture = vecs(
+    0L -> Seq(1f, 0f, 0f),
+    1L -> Seq(0.9f, 0.1f, 0f), // closest to 0
+    2L -> Seq(0f, 1f, 0f),     // orthogonal to 0
+    3L -> Seq(-1f, 0f, 0f),    // opposite of 0
+    4L -> Seq(0.5f, 0.5f, 0f))
+
+  test("cosine of identical vectors is 1, opposite is -1, orthogonal 0") {
+    val df = vecs(0L -> Seq(1f, 2f, 3f))
+      .select(
+        Similarity.cosine(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("self"))
+    df.head().getDouble(0) shouldBe 1.0 +- 1e-12
+  }
+
+  test("cosineTopK ranks nearest first with deterministic ties") {
+    val got = Similarity.cosineTopK(fixture, fixture.where(col("vec_id") === 0), k = 4)
+      .collect().map(r => (r.getAs[Long]("n_vec_id"), r.getAs[Long]("rank")))
+    got.toSeq.sortBy(_._2).map(_._1) shouldBe Seq(1L, 4L, 2L, 3L)
+  }
+
+  test("cosineTopK excludes the query vector itself") {
+    val got = Similarity.cosineTopK(fixture, fixture, k = 10)
+      .where(col("q_vec_id") === col("n_vec_id")).count()
+    got shouldBe 0L
+  }
+
+  test("nearDupPairs finds only pairs above threshold, d1 < d2") {
+    val pairs = Similarity.nearDupPairs(fixture, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    pairs.toSet shouldBe Set((0L, 1L)) // cos(0,1) ≈ 0.9939
+    pairs.foreach { case (a, b) => a should be < b }
+  }
+
+  test("lsh bucket is deterministic and respects bit width") {
+    val b1 = Similarity.withLshBucket(fixture, bits = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val b2 = Similarity.withLshBucket(fixture, bits = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    b1 shouldBe b2
+    b1.values.foreach { v => v should be >= 0L; v should be < 256L }
+    // opposite vectors land in complementary buckets (all signs flip)
+    (b1(0L) ^ b1(3L)) shouldBe 255L
+  }
+
+  test("lshCosineTopK returns a subset of exact top-k candidates, exact cos") {
+    val exact = Similarity.cosineTopK(fixture, fixture.where(col("vec_id") === 0), k = 4)
+      .collect().map(r => r.getAs[Long]("n_vec_id") -> r.getAs[Double]("cos")).toMap
+    val approx = Similarity.lshCosineTopK(fixture, fixture.where(col("vec_id") === 0),
+      k = 4, bits = 4)
+      .collect().map(r => r.getAs[Long]("n_vec_id") -> r.getAs[Double]("cos"))
+    approx.foreach { case (id, c) => exact(id) shouldBe c +- 1e-12 }
+  }
+
+  test("real embeddings: top-1 neighbor is symmetric-consistent at small k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val top = Similarity.cosineTopK(e, e.where(col("vec_id") < 3), k = 5)
+    top.count() shouldBe 15L
+    // ranks are 1..5 per query
+    top.groupBy("q_vec_id").agg(max("rank"), min("rank")).collect().foreach { r =>
+      r.getLong(1) shouldBe 5L
+      r.getLong(2) shouldBe 1L
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+
+/** Streaming ops replayed through MemoryStream; batch twins define the
+  * expected values (same aggregation semantics). */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourlyTypeStats matches batch semantics after watermark close") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamingOps.hourlyTypeStats(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark past hour 10 so the window closes and appends
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:01"), "click", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      got.toSet shouldBe Set(("2024-01-01 10:00:00.0", "click", 2L, 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming termCounts aggregates with the reference tokenizer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("doc", "line")
+
+    val q = StreamingOps.termCounts(docs)
+      .writeStream.format("memory").queryName("tc").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(("d1", "Hello world hello"))
+      q.processAllAvailable()
+      input.addData(("d1", "world again"))
+      q.processAllAvailable()
+      val got = spark.table("tc").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      got(("world", "d1")) shouldBe 2L
+      got(("Hello", "d1")) shouldBe 1L
+      got(("again", "d1")) shouldBe 1L
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits closed sessions on new-session arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        StreamingOps.SessionEvent(7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        StreamingOps.SessionEvent(7L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // a far-future event closes the first session
+      input.addData(
+        StreamingOps.SessionEvent(7L, Timestamp.valueOf("2024-01-01 05:00:00"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("value_sum")))
+      got.toSet shouldBe Set((7L, 2L, 3.0))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("langId picks the language with most marker hits") {
+    val got = TextAnalysis.langId(corpus(
+      "e" -> "the cat and the dog in a house",
+      "g" -> "der hund und die katze ist ein tier",
+      "u" -> "xyzzy plugh quux"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("lang_pred")).toMap
+    got("e") shouldBe "en"
+    got("g") shouldBe "de"
+    got("u") shouldBe "und"
+  }
+
+  test("langId tie-break is alphabetical (de before en)") {
+    val got = TextAnalysis.langId(corpus("t" -> "the der"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("lang_pred")).toMap
+    got("t") shouldBe "de"
+  }
+
+  test("qualityScore metrics on a known doc") {
+    val row = TextAnalysis.qualityScore(corpus("d" -> "the the cat")).head()
+    row.getAs[Long]("n_tokens") shouldBe 3L
+    row.getAs[Long]("n_distinct") shouldBe 2L
+    row.getAs[Double]("mean_tok_len") shouldBe (9.0 / 3) +- 1e-9
+    row.getAs[Double]("stopword_ratio") shouldBe (2.0 / 3) +- 1e-6
+    val expected = math.min(3 / 50.0, 1.0) * 0.4 + (2.0 / 3) * 0.4 +
+      math.min(0.666667 * 4, 1.0) * 0.2
+    row.getAs[Double]("quality_score") shouldBe expected +- 1e-5
+  }
+
+  test("qualityScore handles empty text without div-by-zero") {
+    val row = TextAnalysis.qualityScore(corpus("d" -> "")).head()
+    row.getAs[Long]("n_tokens") shouldBe 0L
+    row.getAs[Double]("quality_score") shouldBe 0.0 +- 1e-9
+  }
+
+  test("tokenStats: whitespace vs BPE-ish subword counts") {
+    val row = TextAnalysis.tokenStats(corpus("d" -> "hello worlds a1234")).head()
+    row.getAs[Long]("ws_tokens") shouldBe 3L
+    // hello→hell,o worlds→worl,ds a1234→a123,4
+    row.getAs[Long]("bpe_ish_tokens") shouldBe 6L
+    row.getAs[Long]("n_chars") shouldBe 18L
+  }
+
+  test("fingerprint canonicalizes whitespace; fp64 folds md5") {
+    val rows = TextAnalysis.fingerprint(corpus(
+      "a" -> "hello  world", "b" -> " hello world ")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    rows("a") shouldBe rows("b") // same canonical form
+    rows("a")._2 should be >= 0L
+  }
+}
