@@ -110,7 +110,10 @@ object SparkEntry {
         round(col("tfidf"), 6).as("tfidf")
       )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap: declaration order — cheap pipeline queries first, so session
+  // warmup (JIT, codegen cache) isn't charged to an expensive query.
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     // O1+O2 — scan + tokenize (reference regex; quirk Q1).
     "q1_tokenize" -> ((s, dir) =>
       tokens(s, dir).orderBy(col("doc_id"), col("term"))),

@@ -42,9 +42,13 @@ object Dedup {
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
-  /** (doc, shingle) — distinct word n-grams per document. */
+  /** (doc, shingle) — distinct word n-grams per document, emitted by the
+    * single-pass `WordShingles` generator (the HOF route in `shinglesCol`
+    * is kept for column-level composition; same semantics). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc"), explode(shinglesCol(col("line"), n)).as("shingle"))
+    docs.select(col("doc"),
+      org.apache.spark.sql.graft.ShingleFunctions
+        .wordShingles(tokensCol(col("line")), n).as("shingle"))
 
   /**
    * Exact duplicate groups: md5(text) fingerprint → (fp, n_dups, keeper).
@@ -117,6 +121,11 @@ object Dedup {
   /**
    * Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
    * → exact-Jaccard verify ≥ threshold.
+   *
+   * The shingle table feeds four sub-plans (signatures, both sides of the
+   * candidate verify join, sizes); persisting it turns those into one
+   * tokenize+shingle pass instead of four. MEMORY_AND_DISK: shingles are
+   * ~linear in corpus size, spillable, never driver-collected.
    */
   def minhashNearDups(
       docs: DataFrame,
@@ -125,22 +134,36 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, n)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
-    jaccardFor(cands, sh).where(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands persists too: the candidate self-join reads it twice, and
+    // collect_list's nondeterminism blocks exchange reuse between the sides
+    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardFor(lshCandidates(bands), sh).where(col("jaccard") >= threshold)
   }
 
   /**
-   * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — O(n²)
-   * via the shingle join; at scale, run only on LSH candidates).
+   * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — at
+   * scale, run only on LSH candidates). Intersections are aggregated
+   * straight off the shingle self-join — no materialized pair list, no
+   * second pass over the shingle table.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, n)
-    val pairs = sh.select(col("doc").as("d1"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc").as("d1"), col("shingle"))
       .join(sh.select(col("doc").as("d2"), col("shingle")), "shingle")
       .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
-      .distinct()
-    jaccardFor(pairs, sh).where(col("jaccard") >= threshold)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /**

@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
  * Similarity search over an embedding column (builder-prompt extension
  * surface; SURVEY.md §7.4). Input shape: (vec_id, embedding array<float>).
  *
- * Vector math is pure `functions._` (zip_with + aggregate) — no UDF, no
- * driver collect. Arithmetic is done in double (cast from float) so
- * results are portable across engines.
+ * Vector math runs through the codegen-native `DotProduct` expression
+ * (org.apache.spark.sql.graft.VectorExpressions) — no UDF, no interpreted
+ * lambdas,
+ * no driver collect. Arithmetic is done in double (cast from float) with
+ * a sequential-fold sum, so results are portable across engines.
  *
  * Scale design:
+ *  - Norms are computed ONCE per vector before any pair join, so the
+ *    O(n²) pair stage does exactly one dot product per pair (vs three
+ *    when cosine recomputes both norms pairwise).
  *  - `cosineTopK` is the exact baseline: broadcast the (small) query set,
  *    stream the corpus once, per-query top-k via window row_number. At
  *    1000 executors this is a map-only pass over the corpus + one shuffle
@@ -24,9 +29,10 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<double> columns, sequential fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+
+  /** Σ aᵢ·bᵢ over two array<double> columns — codegen-native. */
+  def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,19 +40,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** (prefix_vec_id, prefix_emb, prefix_nrm) — norm materialized once per
+    * vector so pair joins pay a single dot product per pair. */
+  private def withNorm(df: DataFrame, prefix: String): DataFrame =
+    df.select(col("vec_id").as(s"${prefix}_vec_id"),
+        asDouble(col("embedding")).as(s"${prefix}_emb"))
+      .withColumn(s"${prefix}_nrm",
+        sqrt(dot(col(s"${prefix}_emb"), col(s"${prefix}_emb"))))
+
   /**
    * Exact brute-force top-k cosine neighbors for each query vector.
    * @param corpus  (vec_id, embedding)
    * @param queries (vec_id, embedding), small — gets broadcast
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("n_vec_id"),
-      asDouble(col("embedding")).as("n_emb"))
-    val q = queries.select(col("vec_id").as("q_vec_id"),
-      asDouble(col("embedding")).as("q_emb"))
+    val c = withNorm(corpus, "n")
+    val q = withNorm(queries, "q")
     val scored = c
       .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("n_vec_id"))
     scored
@@ -58,12 +71,13 @@ object Similarity {
   /** All-pairs cosine ≥ threshold (embedding near-dup tier). O(n²) —
     * exact verification tier; bucket with LSH first at scale. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("d1"), asDouble(col("embedding")).as("e1"))
-    val b = corpus.select(col("vec_id").as("d2"), asDouble(col("embedding")).as("e2"))
-    a.join(b, col("d1") < col("d2"))
-      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+    val a = withNorm(corpus, "a")
+    val b = withNorm(corpus, "b")
+    a.join(b, col("a_vec_id") < col("b_vec_id"))
+      .withColumn("cos", round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6))
       .where(col("cos") >= threshold)
-      .select(col("d1"), col("d2"), col("cos"))
+      .select(col("a_vec_id").as("d1"), col("b_vec_id").as("d2"), col("cos"))
   }
 
   /**
