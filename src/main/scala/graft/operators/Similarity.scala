@@ -80,29 +80,31 @@ object Similarity {
       .select(col("a_vec_id").as("d1"), col("b_vec_id").as("d2"), col("cos"))
   }
 
+  /** Hyperplane directions support vectors up to this dimension; the dot
+    * product truncates to the embedding's actual length. */
+  val MaxDim = 1024
+
   /**
    * Deterministic pseudo-random hyperplane sign r_h[j] ∈ {−1, +1}: hex
-   * digit (j mod 16) of md5("h:j"), ≥ '8' ⇒ +1. Lexicographic compare on
-   * lowercase hex is portable (identical in any engine's ASCII collation).
+   * digit (j mod 16) of md5("h:j"), ≥ '8' ⇒ +1. The signs depend only on
+   * (h, j), so the whole matrix is computed ONCE driver-side and shipped
+   * as literal arrays — the per-row work is `bits` codegen'd dot products,
+   * not bits×dim md5 calls.
    */
-  private def hyperplaneSign(h: Column, j: Column): Column =
-    when(
-      md5(concat(h.cast("string"), lit(":"), j.cast("string")))
-        .substr(pmod(j, lit(16)).cast("int") + 1, lit(1)) >= "8",
-      lit(1.0)
-    ).otherwise(lit(-1.0))
+  private def signRow(h: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until MaxDim).map { j =>
+      val hex = md.digest(s"$h:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(j % 16) >= '8') 1.0 else -1.0
+    }
+  }
 
   /** `bits`-bit random-hyperplane bucket id for an array<double> column. */
   def lshBucketCol(emb: Column, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), h => {
-        val signedDot = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, j) => x * hyperplaneSign(h, j)),
-          lit(0.0), (acc, x) => acc + x)
-        when(signedDot > 0, pow(lit(2.0), h).cast("long")).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc + x)
+    (0 until bits).map { h =>
+      when(dotProduct(emb, typedLit(signRow(h))) > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Corpus annotated with its LSH bucket. */
   def withLshBucket(corpus: DataFrame, bits: Int = 8): DataFrame =

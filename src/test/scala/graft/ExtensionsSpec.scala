@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftExtensions
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    r shouldBe 32.0 +- 1e-12
+  }
+
+  test("graft_word_shingles generates distinct n-grams in SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT s.shingle
+        |FROM (SELECT array('a','b','c','b','c') AS toks)
+        |LATERAL VIEW graft_word_shingles(toks, 2) s AS shingle""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    got shouldBe Array("a b", "b c", "c b")
+  }
+
+  test("graft_dot truncates to the shorter array (scale guard, not error)") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d, 5.0d)) AS d")
+      .head().getDouble(0)
+    r shouldBe 11.0 +- 1e-12
+  }
+}
