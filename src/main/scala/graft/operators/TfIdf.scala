@@ -70,6 +70,23 @@ object TfIdf {
     log10(lit(1) + floor(numDocs.cast("double") / df.cast("double")))
 
   /**
+   * O6 alternative — document frequency via a broadcast join back: the
+   * per-term counts aggregate partial+final (map-side combine collapses a
+   * stop-word term to one row per input partition, so term skew never
+   * concentrates), the resulting vocab-sized table broadcasts, and the
+   * main table is NOT re-shuffled on the skewed term key. Trade-off vs
+   * the window (`withDocumentFrequency`): the tokenize+count lineage is
+   * evaluated twice (two corpus scans), but no full-table exchange on a
+   * skewed key and no giant window partitions. Prefer this at high scale
+   * when the vocabulary fits in a broadcast; prefer the window when scans
+   * dominate (cheap storage bandwidth, few hot terms).
+   */
+  def withDocumentFrequencyBroadcast(tf: DataFrame): DataFrame =
+    tf.join(
+      broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df"))),
+      Seq("term"))
+
+  /**
    * O2–O7 fused: (doc, line) corpus → (term, doc, count, tf, df, tfidf).
    *
    * @param numDocs reference semantics: user-supplied N (TFIDF.java:58),
@@ -77,9 +94,18 @@ object TfIdf {
    *                default, the corpus document count computed inside the
    *                same lazy plan (single-row broadcast cross join — no
    *                driver-side action, scale-safe).
+   * @param dfViaBroadcast O6 strategy: window over term (false) vs
+   *                broadcast join back (true) — see
+   *                `withDocumentFrequencyBroadcast` for the trade-off.
    */
-  def tfidf(docs: DataFrame, numDocs: Option[Long] = None): DataFrame = {
-    val scored = withDocumentFrequency(termFrequency(docWordCount(tokenize(docs))))
+  def tfidf(
+      docs: DataFrame,
+      numDocs: Option[Long] = None,
+      dfViaBroadcast: Boolean = false): DataFrame = {
+    val tf = termFrequency(docWordCount(tokenize(docs)))
+    val scored =
+      if (dfViaBroadcast) withDocumentFrequencyBroadcast(tf)
+      else withDocumentFrequency(tf)
     numDocs match {
       case Some(n) =>
         scored.withColumn("tfidf", col("tf") * idfExpr(lit(n), col("df")))
