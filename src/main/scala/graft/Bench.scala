@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (driver contract): runs every SparkEntry query against
+ * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+ *
+ * Measurement protocol (BASELINE.md): 1 warm-up + median of 3 timed runs
+ * per query. The action is a noop-format write — unlike `.count()`,
+ * Catalyst cannot eliminate a final ORDER BY under it (EliminateSorts
+ * removes sorts beneath aggregates, so counting would skip exactly the
+ * global sorts q7/q7b/q10 exist to measure).
+ *
+ * Failures are loud: a query that throws is recorded in an "errors" map
+ * (name → message) and excluded from the timing totals — a broken query
+ * must never benchmark as "fast".
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,15 +30,41 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val results = selected.map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.flatMap { case (name, fn) =>
+      try {
+        once(fn) // warm-up (JIT, codegen cache, file listing)
+        val timed = Seq.fill(runs)(once(fn)).sorted
+        Some(name -> timed(timed.size / 2)) // median
+      } catch {
+        case e: Throwable =>
+          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] $name FAILED: $e")
+          None
+      }
+    }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
