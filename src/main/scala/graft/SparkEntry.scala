@@ -87,6 +87,34 @@ object SparkEntry {
       |    FROM tokl)),
       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
 
+  /** DuckDB replica of `Dedup.minhashSignatures`' two-seed family: one md5
+    * per shingle, b1/b2 = the first/second 8 hex digits as 32-bit ints,
+    * m_k = min((b1 + (k+1)·b2) mod P) — generated so the oracle stays in
+    * lockstep with the Scala constants. */
+  private val MinhashSigCte: String = {
+    def hex8(off: Int): String =
+      "list_sum(list_transform(range(1, 9), i -> " +
+        s"(strpos('0123456789abcdef', substr(h, (i + $off)::INTEGER, 1)) - 1)::BIGINT" +
+        " << ((8 - i)::INTEGER * 4)))"
+    val mins = (0 until 16)
+      .map(k => s"min((b1 + ${k + 1} * b2) % ${Dedup.MinhashPrime}) AS m$k")
+      .mkString(",\n         ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM (SELECT doc_id, ${hex8(0)} AS b1, ${hex8(8)} AS b2
+       |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB replica of `Dedup.lshBands` over the wide signature row: 4
+    * bands of 4 minima, band_val = comma-joined decimal minima. */
+  private val MinhashBandsSql: String =
+    (0 until 4).map { b =>
+      val concat = (0 until 4).map(i => s"m${b * 4 + i}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $concat AS band_val FROM sig"
+    }.mkString("\n  UNION ALL ")
+
   private val TfIdfCtes =
     s"""WITH $TokCte,
        |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -372,13 +400,8 @@ object SparkEntry {
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,
-         |sig AS (
-         |  SELECT doc_id, seed, min(md5(shingle || '|' || seed::VARCHAR)) AS minh
-         |  FROM sh CROSS JOIN range(16) r(seed) GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, seed // 4 AS band,
-         |         string_agg(minh, ',' ORDER BY seed) AS band_val
-         |  FROM sig GROUP BY 1, 2),
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bands a JOIN bands b

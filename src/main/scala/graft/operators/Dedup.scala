@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
  *    map-side before the shuffle.
  *  - MinHash+LSH never builds the O(n²) pair space: candidates come from a
  *    shuffle on (band, bandValue) buckets, so cost is O(sum of bucket²)
- *    which is proportional to true near-duplicates. Signatures use
- *    md5-hex lexicographic minima — deterministic, seedable, and
- *    engine-portable (no JVM-specific hashing in the contract surface).
+ *    which is proportional to true near-duplicates. Signatures are k
+ *    minima of a two-seed universal hash family sliced from ONE md5 per
+ *    shingle — deterministic and engine-portable (no JVM-specific hashing
+ *    in the contract surface), computed in a single groupBy(doc) pass.
  *  - SimHash is one pass: per-(doc,term) counts → 16 conditional sums →
  *    a 16-bit fingerprint; Hamming-ball pairing on fingerprints is a
  *    bucket join on the fingerprint itself (exact-collision tier) or on
@@ -66,30 +67,49 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
-  /**
-   * MinHash signatures: one row per (doc, seed), value = lexicographic min
-   * of md5(shingle || '|' || seed). k seeds ⇒ k permutation approximations.
-   */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.select(col("doc"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("shingle"))
-      .groupBy(col("doc"), col("seed"))
-      .agg(min(md5(concat(col("shingle"), lit("|"), col("seed").cast("string"))))
-        .as("minh"))
+  /** Modulus for the k-min hash family — smallest prime > 2^32, so the
+    * mixed values stay well inside a signed 64-bit long. */
+  val MinhashPrime = 4294967311L
 
   /**
-   * LSH banding: group the k signature rows into bands of `rowsPerBand`,
-   * band value = seed-ordered concat. Docs sharing any (band, bandValue)
-   * are candidate pairs.
+   * MinHash signatures, single-pass: ONE wide row per doc with k min
+   * columns m0..m{k-1}. Per shingle, md5 is computed ONCE and sliced into
+   * two 32-bit ints (b1, b2); hash_k = (b1 + (k+1)·b2) mod P is the
+   * classic two-seed universal family, so the k minima come from k cheap
+   * arithmetic expressions inside a single `groupBy(doc)` — no row
+   * inflation, no shuffle of a k×-exploded table (the previous shape
+   * 16×-exploded the shingle table and was 36% of the round-1 bench).
    */
-  def lshBands(sig: DataFrame, rowsPerBand: Int = 4): DataFrame =
-    sig
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-      .groupBy(col("doc"), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-          x => x.getField("minh")),
-        ",").as("band_val"))
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val h = md5(col("shingle"))
+    val prepared = sh.select(
+      col("doc"),
+      conv(substring(h, 1, 8), 16, 10).cast("long").as("b1"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("b2"))
+    val mins = (0 until numHashes).map { k =>
+      min((col("b1") + lit((k + 1).toLong) * col("b2")) % MinhashPrime).as(s"m$k")
+    }
+    prepared.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * LSH banding over wide signatures: explode each doc's row into
+   * numHashes/rowsPerBand (band, band_val) rows, band value = concat of
+   * that band's minima. Docs sharing any (band, bandValue) are candidate
+   * pairs. Pure projection — no shuffle (the previous shape re-grouped a
+   * (doc, seed) table).
+   */
+  def lshBands(sig: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        concat_ws(",",
+          (0 until rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*
+        ).as("band_val"))
+    }
+    sig.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+  }
 
   /** Candidate pairs from shared LSH buckets (d1 < d2, distinct). */
   def lshCandidates(bands: DataFrame): DataFrame = {
@@ -135,9 +155,8 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bands persists too: the candidate self-join reads it twice, and
-    // collect_list's nondeterminism blocks exchange reuse between the sides
-    val bands = lshBands(minhashSignatures(sh, numHashes), rowsPerBand)
+    // bands persists too: the candidate self-join reads it twice
+    val bands = lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardFor(lshCandidates(bands), sh).where(col("jaccard") >= threshold)
   }

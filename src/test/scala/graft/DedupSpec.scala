@@ -39,13 +39,21 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array("a", "c", "d")
   }
 
-  test("minhash signature: numHashes rows per doc, stable across runs") {
+  test("minhash signature: one wide row per doc with numHashes minima") {
     val sig = Dedup.minhashSignatures(Dedup.shingles(dupCorpus, 3), numHashes = 8)
-    sig.groupBy("doc").count().collect().foreach(_.getLong(1) shouldBe 8L)
+    sig.columns shouldBe ("doc" +: (0 until 8).map(k => s"m$k")).toArray
+    sig.groupBy("doc").count().collect().foreach(_.getLong(1) shouldBe 1L)
     // identical text ⇒ identical signature
     val byDoc = sig.collect().groupBy(_.getString(0))
-      .view.mapValues(_.map(r => r.getInt(1) -> r.getString(2)).toMap).toMap
+      .view.mapValues(_.map(r => (1 until 9).map(r.getLong)).toSet).toMap
     byDoc("a") shouldBe byDoc("b")
+    // minima lie inside the hash family's modulus
+    sig.collect().foreach { r =>
+      (1 until 9).foreach { i =>
+        r.getLong(i) should be >= 0L
+        r.getLong(i) should be < Dedup.MinhashPrime
+      }
+    }
   }
 
   test("minhashNearDups finds exact+near dup pairs, not unrelated docs") {
