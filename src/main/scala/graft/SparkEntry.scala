@@ -115,6 +115,18 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, $concat AS band_val FROM sig"
     }.mkString("\n  UNION ALL ")
 
+  /** 16-bit tf-weighted SimHash fingerprint CTE chain (→ `fp`). */
+  private val SimhashCtes =
+    s"""$TokCte,
+       |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id, p,
+       |         CASE WHEN sum(CASE WHEN substr(md5(term), p::INTEGER, 1) >= '8'
+       |                            THEN c ELSE -c END) > 0
+       |              THEN (1::BIGINT << (p::INTEGER - 1)) ELSE 0 END AS bit
+       |  FROM cnt CROSS JOIN range(1, 17) r(p) GROUP BY doc_id, p),
+       |fp AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY 1)""".stripMargin
+
   private val TfIdfCtes =
     s"""WITH $TokCte,
        |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -257,6 +269,11 @@ object SparkEntry {
       Dedup.simhash(docs(s, dir))
         .select(col("doc").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
+
+    // Banded SimHash near-dup pairs (hamming ≤ 3; equi-join, no crossJoin).
+    "q14b_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 3)
+        .orderBy(col("d1"), col("d2"))),
 
     // ── Similarity search tier ──────────────────────────────────────────
 
@@ -418,16 +435,18 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin,
 
     "q14_simhash" ->
-      s"""WITH $TokCte,
-         |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT doc_id, p,
-         |         CASE WHEN sum(CASE WHEN substr(md5(term), p::INTEGER, 1) >= '8'
-         |                            THEN c ELSE -c END) > 0
-         |              THEN (1::BIGINT << (p::INTEGER - 1)) ELSE 0 END AS bit
-         |  FROM cnt CROSS JOIN range(1, 17) r(p) GROUP BY doc_id, p)
-         |SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $SimhashCtes
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+    // All-pairs hamming ≤ 3 is the oracle spec; the Spark side's 4-band
+    // pigeonhole join must lose nothing at this radius.
+    "q14b_simhash_pairs" ->
+      s"""WITH $SimhashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
 
     "q15_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

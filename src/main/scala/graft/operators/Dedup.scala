@@ -196,32 +196,49 @@ object Dedup {
       .select(col("doc"), explode(tokensCol(col("line"))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    counts
-      .select(col("doc"), explode(sequence(lit(1), lit(16))).as("p"),
-        col("term"), col("cnt"))
-      .withColumn("contrib",
-        // hex digit p of md5(term) ≥ '8' ⇒ +cnt, else −cnt (lowercase hex
-        // compares identically under any ASCII collation — oracle-portable)
-        when(md5(col("term")).substr(col("p"), lit(1)) >= "8", col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy(col("doc"), col("p"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bit",
-        // pow is exact for 2^0..2^15 — portable stand-in for 1 << (p-1)
-        when(col("s") > 0, pow(lit(2.0), col("p") - 1).cast("long")).otherwise(0L))
+    // One groupBy(doc) with 16 conditional sums: md5(term) is computed
+    // ONCE per (doc, term) row and each bit position reads its own hex
+    // digit (≥ '8' ⇒ +cnt else −cnt; lowercase hex compares identically
+    // under any ASCII collation — oracle-portable). No 16× row explosion
+    // and one shuffle fewer than a (doc, p) re-grouping.
+    val withHash = counts.select(col("doc"), md5(col("term")).as("h"), col("cnt"))
+    val sums = (1 to 16).map { p =>
+      sum(when(substring(col("h"), p, 1) >= "8", col("cnt")).otherwise(-col("cnt")))
+        .as(s"s$p")
+    }
+    withHash
       .groupBy(col("doc"))
-      .agg(sum(col("bit")).cast("long").as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc"),
+        (1 to 16)
+          .map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a Hamming ball (all-pairs tier; at
-    * scale, bucket on the fingerprint / rotated sub-keys first). */
+  /**
+   * SimHash near-dup pairs within a Hamming ball, via sub-key banding:
+   * a pair at Hamming distance ≤ 3 differs in at most 3 of the 4 4-bit
+   * bands, so (pigeonhole) it shares at least one band exactly —
+   * candidates come from an equi-join on (band, band_bits), never a
+   * crossJoin. Scale cost is O(Σ bucket²) over 16-way-split buckets.
+   */
   def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val a = fingerprints.select(col("doc").as("d1"), col("simhash").as("h1"))
-    val b = fingerprints.select(col("doc").as("d2"), col("simhash").as("h2"))
-    a.crossJoin(b)
+    require(maxHamming <= 3, s"4-band pigeonhole covers hamming <= 3, got $maxHamming")
+    val banded = fingerprints.select(col("doc"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("band"),
+          shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*))
+        .as("bb"))
+      .select(col("doc"), col("simhash"), col("bb.band").as("band"),
+        col("bb.band_bits").as("band_bits"))
+    val a = banded.select(col("doc").as("d1"), col("simhash").as("h1"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col("doc").as("d2"), col("simhash").as("h2"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
       .where(col("d1") < col("d2"))
-      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
+      .select(col("d1"), col("d2"), bit_count(expr("h1 ^ h2")).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
   }
 }
