@@ -187,6 +187,14 @@ object SparkEntry {
     "q5_tfidf" -> ((s, dir) =>
       tfidfScores(s, dir).orderBy(col("term"), col("doc_id"))),
 
+    // O6 alternative strategy: df via window over term (skew-fragile on
+    // hot terms — kept oracle-green; broadcast-join is the default plan).
+    "q5b_tfidf_window" -> ((s, dir) =>
+      TfIdf.tfidf(docs(s, dir), dfViaBroadcast = false)
+        .select(col("term"), col("doc").as("doc_id"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("term"), col("doc_id"))),
+
     // O8+O9 — query-term broadcast semi-join + per-doc sum.
     "q6_search" -> ((s, dir) =>
       Search
@@ -357,6 +365,12 @@ object SparkEntry {
          |GROUP BY term ORDER BY term""".stripMargin,
 
     "q5_tfidf" ->
+      s"""$TfIdfCtes
+         |SELECT term, doc_id, tfidf FROM scores
+         |ORDER BY term, doc_id""".stripMargin,
+
+    // Same spec as q5 — pins the window-strategy plan to the same answer.
+    "q5b_tfidf_window" ->
       s"""$TfIdfCtes
          |SELECT term, doc_id, tfidf FROM scores
          |ORDER BY term, doc_id""".stripMargin,

@@ -94,14 +94,15 @@ object TfIdf {
    *                default, the corpus document count computed inside the
    *                same lazy plan (single-row broadcast cross join — no
    *                driver-side action, scale-safe).
-   * @param dfViaBroadcast O6 strategy: window over term (false) vs
-   *                broadcast join back (true) — see
+   * @param dfViaBroadcast O6 strategy: broadcast join back (true, the
+   *                default — skew-safe: no full-table shuffle on the hot
+   *                `term` key) vs window over term (false) — see
    *                `withDocumentFrequencyBroadcast` for the trade-off.
    */
   def tfidf(
       docs: DataFrame,
       numDocs: Option[Long] = None,
-      dfViaBroadcast: Boolean = false): DataFrame = {
+      dfViaBroadcast: Boolean = true): DataFrame = {
     val tf = termFrequency(docWordCount(tokenize(docs)))
     val scored =
       if (dfViaBroadcast) withDocumentFrequencyBroadcast(tf)
