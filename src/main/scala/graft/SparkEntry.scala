@@ -115,6 +115,17 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, $concat AS band_val FROM sig"
     }.mkString("\n  UNION ALL ")
 
+  /** DuckDB replica of `Similarity.signRow`'s hyperplane family: sign_j of
+    * hyperplane `h` = +1 iff hex digit (j mod 16) of md5("h:j") ≥ '8'.
+    * Returns the dot product of `emb` with hyperplane `hExpr` — both
+    * engines derive the matrix from the same md5 strings, so bucket bits
+    * agree bit-for-bit. */
+  private def duckSignDot(hExpr: String, embExpr: String): String =
+    s"list_sum(list_transform(range(0, len($embExpr)), j -> " +
+      s"$embExpr[(j + 1)::INTEGER] * " +
+      s"(CASE WHEN substr(md5(($hExpr)::VARCHAR || ':' || j::VARCHAR), " +
+      s"((j % 16) + 1)::INTEGER, 1) >= '8' THEN 1.0 ELSE -1.0 END)))"
+
   /** 16-bit tf-weighted SimHash fingerprint CTE chain (→ `fp`). */
   private val SimhashCtes =
     s"""$TokCte,
@@ -293,10 +304,25 @@ object SparkEntry {
         .orderBy(col("q_vec_id"), col("rnk"))
     }),
 
-    // Embedding near-dup pairs: cosine ≥ 0.4.
+    // Embedding near-dup pairs: cosine ≥ 0.4 (exact all-pairs tier —
+    // verification only; q16b is the bucketed production path).
     "q16_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("d1"), col("d2"))),
+
+    // LSH-bucketed near-dup pairs (4 tables × 4 bits; no all-pairs join).
+    "q16b_embedding_lsh_near_dup" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"),
+          threshold = 0.4, bits = 4, tables = 4)
+        .orderBy(col("d1"), col("d2"))),
+
+    // ANN: random-hyperplane LSH top-10 (approximate; bucket-restricted).
+    "q25_ann_lsh_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshCosineTopK(e, e.where(col("vec_id") < 5), k = 10, bits = 8)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
 
     // ── Text-analysis tier ──────────────────────────────────────────────
 
@@ -486,6 +512,46 @@ object SparkEntry {
         |                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+
+    "q16b_embedding_lsh_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |tb AS (
+         |  SELECT vec_id, t,
+         |         list_sum(list_transform(range(0, 4), i ->
+         |           CASE WHEN ${duckSignDot("t * 4 + i", "emb")} > 0
+         |                THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END)) AS bucket
+         |  FROM e CROSS JOIN range(4) r(t)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM tb a JOIN tb b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+         |SELECT d1, d2, cos FROM (
+         |  SELECT d1, d2,
+         |         round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) AS cos
+         |  FROM cand JOIN n x ON d1 = x.vec_id JOIN n y ON d2 = y.vec_id)
+         |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+
+    "q25_ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb,
+         |         list_sum(list_transform(range(0, 8), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
+         |         sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY cos DESC, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
 
     "q17_lang_id" ->
       s"""WITH t AS (

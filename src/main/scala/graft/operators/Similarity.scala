@@ -112,19 +112,65 @@ object Similarity {
       .withColumn("bucket", lshBucketCol(col("embedding"), bits))
 
   /**
+   * LSH-bucketed near-dup pairs — the scale path for `nearDupPairs`:
+   * `tables` independent hyperplane tables of `bits` bits each (table t,
+   * bit i uses hyperplane t·bits + i); candidate pairs share at least one
+   * table's bucket, then an exact cosine ≥ threshold re-rank verifies.
+   * Recall for a pair at cosine s is 1 − (1 − p^bits)^tables with
+   * p = 1 − acos(s)/π — the multi-table OR keeps recall high for true
+   * near-dups while never forming the O(n²) pair space: each table's
+   * self-join shuffles on (t, bucket) and costs O(Σ bucket²).
+   */
+  def lshNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      bits: Int = 4,
+      tables: Int = 4): DataFrame = {
+    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketStructs = (0 until tables).map { t =>
+      struct(
+        lit(t.toLong).as("t"),
+        (0 until bits).map { i =>
+          when(dotProduct(col("emb"), typedLit(signRow(t * bits + i))) > 0,
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as("bucket"))
+    }
+    val tb = e.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val cand = tb.select(col("vec_id").as("d1"), col("t"), col("bucket"))
+      .join(tb.select(col("vec_id").as("d2"), col("t"), col("bucket")), Seq("t", "bucket"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    val v1 = e.select(col("vec_id").as("d1"), col("emb").as("e1"), col("nrm").as("n1"))
+    val v2 = e.select(col("vec_id").as("d2"), col("emb").as("e2"), col("nrm").as("n2"))
+    cand.join(v1, "d1").join(v2, "d2")
+      .withColumn("cos", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
+  /**
    * Approximate top-k: exact cosine re-rank restricted to same-bucket
    * candidates. The bucket join shuffles on the bucket id — at scale this
    * replaces the corpus-wide scan per query with a 1/2^bits slice.
    */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    // norms materialized once per vector — the pair stage pays a single
+    // dot product per candidate, like cosineTopK
     val c = withLshBucket(corpus, bits)
       .select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"), col("bucket"))
+      .withColumn("n_nrm", sqrt(dot(col("n_emb"), col("n_emb"))))
     val q = withLshBucket(queries, bits)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"), col("bucket"))
+      .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .where(col("q_vec_id") =!= col("n_vec_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("n_vec_id"))
     scored

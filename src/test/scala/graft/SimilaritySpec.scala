@@ -67,6 +67,19 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach { case (id, c) => exact(id) shouldBe c +- 1e-12 }
   }
 
+  test("lshNearDupPairs: subset of exact pairs with identical cosines") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(e, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshNearDupPairs(e, threshold = 0.4, bits = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    lsh.size should be > 0
+    lsh.foreach { case (pair, c) => exact(pair) shouldBe c +- 1e-12 }
+    // d1 < d2 and no duplicates
+    lsh.map(_._1).distinct.length shouldBe lsh.length
+    lsh.foreach { case ((a, b), _) => a should be < b }
+  }
+
   test("real embeddings: top-1 neighbor is symmetric-consistent at small k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val top = Similarity.cosineTopK(e, e.where(col("vec_id") < 3), k = 5)
