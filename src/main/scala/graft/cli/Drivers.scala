@@ -50,13 +50,19 @@ object Drivers {
     Corpus.writeTabText(
       df.select(key.as("k"), value.cast("string").as("v")), "k", "v", out)
 
+  /** args(i) is numDocs only when it parses as a number (quirk Q4);
+    * otherwise it is the first query term — `Search <in> <out> world
+    * hello` must not throw NumberFormatException. */
   private def numDocsArg(args: Array[String], i: Int): Option[Long] =
-    if (args.length > i) Some(args(i).toLong) else None
+    if (args.length > i) scala.util.Try(args(i).toLong).toOption else None
 
-  /** Query = remaining args joined, else stdin (Search.java:37-46). */
-  private def queryArg(args: Array[String], from: Int): String =
+  /** Query = remaining args joined (starting after numDocs when one was
+    * given), else stdin (Search.java:37-46). */
+  private def queryArg(args: Array[String]): String = {
+    val from = if (numDocsArg(args, 2).isDefined) 3 else 2
     if (args.length > from) args.drop(from).mkString(" ")
     else scala.io.StdIn.readLine("query> ")
+  }
 
   /** `DocWordCount <in> <out>` → `word#####file \t count`. */
   object DocWordCountMain {
@@ -93,25 +99,30 @@ object Drivers {
 
   /** `Search <in> <out> [numDocs] [query terms...]` → `file \t score`
     * (unsorted — reference Search job3's comparator is broken, quirk Q8;
-    * the intended sorted output is RankMain). */
+    * the intended sorted output is RankMain). CLI default is reference
+    * parity: duplicated query terms double-count (quirk Q7,
+    * Search.java:230 — `break` commented out). */
   object SearchMain {
     def main(args: Array[String]): Unit = {
       val Array(in, out) = args.take(2)
       val spark = session()
       val hits = Search.search(
-        corpus(spark, in), queryArg(args, 3), numDocsArg(args, 2))
+        corpus(spark, in), queryArg(args), numDocsArg(args, 2),
+        parityDuplicates = true)
       writeKV(hits, col("doc"), fmtDouble(col("score")), out)
     }
   }
 
   /** `Rank <in> <out> [numDocs] [query terms...]` → `file \t score`,
-    * descending (deterministic tie-break on doc — quirk Q5). */
+    * descending (deterministic tie-break on doc — quirk Q5). Reference
+    * parity on duplicate query terms, like SearchMain. */
   object RankMain {
     def main(args: Array[String]): Unit = {
       val Array(in, out) = args.take(2)
       val spark = session()
       val ranked = Rank.rank(Search.search(
-        corpus(spark, in), queryArg(args, 3), numDocsArg(args, 2)))
+        corpus(spark, in), queryArg(args), numDocsArg(args, 2),
+        parityDuplicates = true))
       writeKV(ranked, col("doc"), fmtDouble(col("score")), out)
     }
   }

@@ -63,6 +63,60 @@ class CliSpec extends SparkSpec {
       s"d2.txt\t${math.log10(3).toString}")
   }
 
+  test("RankMain parity: duplicate query terms double-count (quirk Q7)") {
+    val out = tmp("rankdup")
+    // Search.java:230's commented-out break: 'hello hello world' adds
+    // d1's hello score twice (FIXTURES.md quirk case 0.9542425)
+    Drivers.RankMain.main(Array(corpusDir, out, "2", "hello", "hello", "world"))
+    val got = readLines(out).map { l =>
+      val Array(k, v) = l.split("\t"); k -> v.toDouble
+    }
+    got.map(_._1) shouldBe Seq("d1.txt", "d2.txt")
+    got.head._2 shouldBe (2 * math.log10(3) + math.log10(2)) +- 1e-12
+    got(1)._2 shouldBe math.log10(2) +- 1e-12
+  }
+
+  test("SearchMain: non-numeric args(2) is a query term, not numDocs") {
+    val out = tmp("searchnonum")
+    Drivers.SearchMain.main(Array(corpusDir, out, "world", "hello"))
+    val got = readLines(out).map { l =>
+      val Array(k, v) = l.split("\t"); k -> v.toDouble
+    }.toMap
+    got("d1.txt") shouldBe (math.log10(3) + math.log10(2)) +- 1e-12
+    got("d2.txt") shouldBe math.log10(2) +- 1e-12
+  }
+
+  test("DocWordCountMain quirk corpus: punctuation tokens, tab/@ in terms") {
+    // quirkcorpus (committed): p1 'e.g. test', p2 'a ,\t. b@c =@ end'.
+    // Reference tokenizer (\s*\b\s*, quirk Q1) keeps punctuation runs as
+    // tokens — ',\t.' carries an embedded tab and '=@' an '@', so the
+    // §2.3 delimiter-survival behavior is exercised end-to-end.
+    val quirkDir = getClass.getResource("/quirkcorpus").getPath
+    val out = tmp("quirk")
+    Drivers.DocWordCountMain.main(Array(quirkDir, out))
+    readLines(out).toSet shouldBe Set(
+      ".#####p1.txt\t2", "e#####p1.txt\t1", "g#####p1.txt\t1",
+      "test#####p1.txt\t1",
+      "a#####p2.txt\t1", ",\t.#####p2.txt\t1", "b#####p2.txt\t1",
+      "@#####p2.txt\t1", "c#####p2.txt\t1", "=@#####p2.txt\t1",
+      "end#####p2.txt\t1")
+  }
+
+  test("TFIDFMain quirk corpus: delimiter-bearing keys survive the sink") {
+    val quirkDir = getClass.getResource("/quirkcorpus").getPath
+    val out = tmp("quirktfidf")
+    Drivers.TFIDFMain.main(Array(quirkDir, out))
+    val keys = readLines(out).map(_.split("\t(?=[^\t]*$)")(0)).toSet
+    keys should contain(",\t.@p2.txt") // tab inside the term, '@' key format
+    keys should contain("=@@p2.txt")   // '@' inside the term + '@' separator
+    // every term is unique to its doc → df=1, idf=log10(1+2/1); '.' has
+    // count 2 in p1 → tf=1+log10(2), all others tf=1
+    val values = readLines(out).map(_.split("\t").last).toSet
+    values shouldBe Set(
+      math.log10(3).toString,
+      ((1 + math.log10(2)) * math.log10(3)).toString)
+  }
+
   test("TFIDFRankMain: all (term,doc) scores descending") {
     val out = tmp("tfidfrank")
     Drivers.TFIDFRankMain.main(Array(corpusDir, out))
