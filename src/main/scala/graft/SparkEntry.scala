@@ -40,11 +40,18 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micros — the same
-    * ns→µs truncation DuckDB applies, so both engines see identical ts. */
+    * reader rejects; an explicit user schema reads the physical int64
+    * nanos as LongType (no session-wide `nanosAsLong` mutation) and
+    * truncates to micros — the same ns→µs truncation DuckDB applies, so
+    * both engines see identical ts. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     spark.read
+      .schema(schema)
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -80,7 +80,11 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                  // out-of-order within the gap: extend, never shrink —
+                  // keeps session_start/session_end consistent with the
+                  // batch twin (Events.sessionize) on late arrivals
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed ::= SessionSummary(user, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.last), s.n, s.sum)
