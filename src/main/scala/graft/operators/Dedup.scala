@@ -235,10 +235,19 @@ object Dedup {
       col("band"), col("band_bits"))
     val b = banded.select(col("doc").as("d2"), col("simhash").as("h2"),
       col("band"), col("band_bits"))
+    // Dedup multi-band matches WITHOUT a distinct exchange: keep a joined
+    // row only when its band is the FIRST band where the pair agrees —
+    // decidable per-row from h1^h2 alone, so it's a codegen'd filter
+    // instead of a shuffle of every duplicated candidate.
+    val diff = expr("h1 ^ h2")
+    val firstMatchingBand = (0 until 4)
+      .map(j => (shiftright(diff, 4 * j).bitwiseAND(lit(15L)) =!= 0L, j))
+      .foldRight(lit(3L): Column) { case ((differs, j), tail) =>
+        when(!differs, lit(j.toLong)).otherwise(tail)
+      }
     a.join(b, Seq("band", "band_bits"))
-      .where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), bit_count(expr("h1 ^ h2")).cast("long").as("hamming"))
+      .where(col("d1") < col("d2") && col("band") === firstMatchingBand)
+      .select(col("d1"), col("d2"), bit_count(diff).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 }
