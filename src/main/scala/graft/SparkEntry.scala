@@ -331,6 +331,15 @@ object SparkEntry {
         .orderBy(col("q_vec_id"), col("rnk"))
     }),
 
+    // ANN: IVF coarse-quantizer top-10 (deterministic centroids, 2 probes).
+    "q26_ann_ivf_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfCosineTopK(e, e.where(col("vec_id") < 5),
+          k = 10, stride = 100, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
     // ── Text-analysis tier ──────────────────────────────────────────────
 
     "q17_lang_id" -> ((s, dir) =>
@@ -559,6 +568,39 @@ object SparkEntry {
          |  FROM scored)
          |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "q26_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+        |      FROM n WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
+        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+        |           row_number() OVER (
+        |             PARTITION BY n.vec_id
+        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+        |               DESC, c.cent_id) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
+        |  FROM (
+        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+        |           row_number() OVER (
+        |             PARTITION BY n.vec_id
+        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+        |               DESC, c.cent_id) AS rn
+        |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                               ORDER BY cos DESC, n_vec_id) AS rnk
+        |  FROM (
+        |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+        |           round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6) AS cos
+        |    FROM probes p JOIN assign a
+        |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))
+        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
 
     "q17_lang_id" ->
       s"""WITH t AS (

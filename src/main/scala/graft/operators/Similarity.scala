@@ -153,6 +153,56 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+   * path. Centroids are a deterministic corpus sample (vec_id ≡ 0 mod
+   * `stride` — no RNG, no trained model, so the cell layout is
+   * reproducible across engines); every vector joins the broadcast
+   * centroid set once and keeps its max-cosine centroid as its cell (a
+   * partial-aggregated argmax — one map-only pass plus a ~1-row-per-vec
+   * shuffle, never a window over the n×k cross). Queries probe their
+   * `nProbe` nearest cells and exact-cosine re-rank only those cells'
+   * members, cutting the scan to ~nProbe/k of the corpus.
+   */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      stride: Int = 100,
+      nProbe: Int = 2): DataFrame = {
+    val n = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+    val cents = n.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    def cellOf(side: DataFrame): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+    // argmax centroid per vector; ties break to the smallest cent_id
+    val assign = cellOf(n)
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
+        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
+    val wProbe = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("q_vec_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assign.join(broadcast(probes), Seq("cell"))
+      .where(col("q_vec_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("vec_id").as("n_vec_id"), col("cos"), col("rank"))
+  }
+
+  /**
    * Approximate top-k: exact cosine re-rank restricted to same-bucket
    * candidates. The bucket join shuffles on the bucket id — at scale this
    * replaces the corpus-wide scan per query with a 1/2^bits slice.

@@ -80,6 +80,25 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case ((a, b), _) => a should be < b }
   }
 
+  test("ivfCosineTopK: cosines exact, ranks contiguous, probes restrict") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(e, e.where(col("vec_id") < 3), k = 1000)
+      .collect().map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.ivfCosineTopK(e, e.where(col("vec_id") < 3),
+      k = 5, stride = 100, nProbe = 2).collect()
+    ivf.length should be > 0
+    // every IVF hit carries the exact cosine for that pair
+    ivf.foreach { r =>
+      exact((r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))) shouldBe
+        r.getAs[Double]("cos") +- 1e-12
+    }
+    // ranks are 1..m contiguous per query
+    ivf.groupBy(_.getAs[Long]("q_vec_id")).values.foreach { rs =>
+      rs.map(_.getAs[Long]("rank")).sorted shouldBe (1L to rs.length)
+    }
+  }
+
   test("real embeddings: top-1 neighbor is symmetric-consistent at small k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val top = Similarity.cosineTopK(e, e.where(col("vec_id") < 3), k = 5)
