@@ -95,6 +95,15 @@ object Multimodal {
    * Resize/frame-sample placeholder with the real partitioning story:
    * heavy per-asset work wants smaller input partitions (payloads are
    * MBs, not rows) — repartition by byte budget before the decode pass.
+   *
+   * NOTE: this runs ONE driver-side scalar action (`.head()` on a 1-row
+   * aggregate) to learn the total payload size before planning the
+   * repartition — a deliberate, documented exception to the engine's
+   * no-mid-pipeline-action rule. AQE can split post-shuffle partitions
+   * by shuffle bytes, but it cannot size by a *computed* per-row weight
+   * (decode cost ∝ payload bytes, not row count), so the scalar
+   * pre-pass is the 100 TB-correct choice; its cost is one column-
+   * pruned scan of `meta.n_bytes`.
    */
   def repartitionForDecode(assets: DataFrame, targetBytesPerPartition: Long): DataFrame = {
     val stats = assets.agg(sum(col("meta.n_bytes"))).head()
