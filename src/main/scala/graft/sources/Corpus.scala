@@ -47,6 +47,26 @@ object Corpus {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /**
+   * JSON-lines documents source (one object per line, doc_id/text fields),
+   * normalized to (doc, line). The schema is EXPLICIT — schema inference
+   * is a full extra pass over the data, unaffordable at 100 TB.
+   */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id STRING, text STRING")
+      .json(path)
+      .select(col("doc_id").as("doc"), col("text").as("line"))
+
+  /** CSV documents source (header row, doc_id/text columns), normalized to
+    * (doc, line). Explicit schema for the same reason as JSONL. */
+  def documentsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema("doc_id STRING, text STRING")
+      .csv(path)
+      .select(col("doc_id").as("doc"), col("text").as("line"))
+
+  /**
    * O12 parity text sink: `key \t value` lines like Hadoop's
    * TextOutputFormat. Caller chooses the two columns. `coalesce(1)` is NOT
    * applied — at scale you want many output files; tests may coalesce.

@@ -34,6 +34,23 @@ object StreamingOps {
   def termCounts(docs: DataFrame): DataFrame =
     TfIdf.docWordCount(TfIdf.tokenize(docs))
 
+  /**
+   * Streaming exact dedup over a (doc, line, ts) stream: first arrival of
+   * each payload fingerprint passes, later duplicates are dropped. State
+   * is the fingerprint set bounded by the watermark
+   * (`dropDuplicatesWithinWatermark`) — a duplicate arriving more than
+   * `watermarkDelay` after the original MAY be re-emitted; the batch twin
+   * (graft.operators.Dedup.exactDedup) is the exact-once spec. Keyed on
+   * the 32-byte md5, so state per retained row is O(1) and the dedup
+   * shuffle partitions by fingerprint exactly like the batch plan.
+   */
+  def dedupExact(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("line")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionSummary(
       user_id: Long, session_start: java.sql.Timestamp,

@@ -26,6 +26,27 @@ class CorpusSpec extends SparkSpec {
     df.count() shouldBe 500L
   }
 
+  test("documentsJsonl reads one object per line with explicit schema") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("docs.jsonl"),
+      """{"doc_id":"j1","text":"hello world"}
+        |{"doc_id":"j2","text":"spark stream"}
+        |""".stripMargin)
+    val df = Corpus.documentsJsonl(spark, dir.toString)
+    df.columns.toSeq shouldBe Seq("doc", "line")
+    rowsOf(df) shouldBe Seq(
+      Seq("j1", "hello world"), Seq("j2", "spark stream"))
+  }
+
+  test("documentsCsv reads header-ed csv with explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("docs.csv"),
+      "doc_id,text\nc1,hello world\nc2,spark stream\n")
+    val df = Corpus.documentsCsv(spark, dir.toString)
+    rowsOf(df) shouldBe Seq(
+      Seq("c1", "hello world"), Seq("c2", "spark stream"))
+  }
+
   test("writeTabText emits key<TAB>value lines") {
     val out = Files.createTempDirectory("graft-sink").toString + "/out"
     Corpus.writeTabText(corpus("d1" -> "x"), "doc", "line", out)

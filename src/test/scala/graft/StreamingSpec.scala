@@ -60,6 +60,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedupExact drops payload duplicates within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc", "line", "ts")
+
+    val q = StreamingOps.dedupExact(docs, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("a", "same payload", Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("b", "same payload", Timestamp.valueOf("2024-01-01 00:01:00")),
+        ("c", "unique payload", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // duplicate in a later micro-batch, still within the watermark
+      input.addData(("d", "same payload", Timestamp.valueOf("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("dedup").collect().map(_.getString(0)).toSet
+      got shouldBe Set("a", "c")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions on new-session arrival") {
     val s = spark
     import s.implicits._
