@@ -1,0 +1,42 @@
+package graft
+
+/**
+ * Physical-plan regression guard over the whole declared query surface:
+ * no CartesianProduct anywhere, and no BroadcastNestedLoopJoin except
+ * the intentional 1-row numDocs broadcast cross inside the TF-IDF
+ * lineage (TfIdf.tfidf with numDocs = None). An accidental all-pairs
+ * join introduced by a future refactor fails here before it ever
+ * reaches a benchmark.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose plan carries an INTENTIONAL broadcast nested-loop:
+    *  - the 1-row numDocs broadcast cross inside the TF-IDF lineage
+    *    (q5/q5b/q6/q7/q7b);
+    *  - q15's brute-force exact baseline, which by definition scores
+    *    every (query, corpus) pair — a broadcast of the tiny query side
+    *    over one corpus scan is the correct plan for that contract;
+    *  - q16's exact all-pairs verification tier (declared O(n²) spec;
+    *    q16b is the bucketed production path);
+    *  - q26's IVF centroid assignment — n·k dot products against a
+    *    broadcast centroid sample is the definition of the operator. */
+  private val nestedLoopAllowed = Set(
+    "q5_tfidf", "q5b_tfidf_window", "q6_search", "q7_rank", "q7b_tfidf_rank",
+    "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk")
+
+  test("no cartesian or nested-loop joins in any declared query plan") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"$name plan:\n$plan\n") {
+        plan should not include "CartesianProduct"
+        if (!nestedLoopAllowed(name))
+          plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
+
+  test("every declared query has a matching oracle entry") {
+    SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
+  }
+}
