@@ -362,6 +362,14 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Composed cleaning pipeline: exact dedup → lang allowlist → quality
+    // threshold (one plan: md5-keyed window + map-only filters).
+    "q27_clean_corpus" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
+        .select(col("doc").as("doc_id"), col("lang_pred"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
     // ── Multimodal plumbing (metadata/schema surface; decode is a stub
     //    tested in ScalaTest — not SQL-expressible) ───────────────────────
     "q21_multimodal_meta" -> ((s, dir) =>
@@ -661,6 +669,50 @@ object SparkEntry {
         |    (strpos('0123456789abcdef', substr(md5(canon), i::INTEGER, 1)) - 1)::BIGINT
         |      << ((15 - i)::INTEGER * 4)))::BIGINT AS fp64
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q27_clean_corpus" ->
+      """WITH keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM keep),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, lang_pred,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM l),
+        |q AS (
+        |  SELECT doc_id, lang_pred,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m)
+        |SELECT doc_id, lang_pred, quality_score FROM q
+        |WHERE lang_pred IN ('en', 'es') AND quality_score >= 0.55
+        |ORDER BY doc_id""".stripMargin,
 
     "q21_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'image' AS kind,

@@ -30,6 +30,16 @@ object TextAnalysis {
   private def hitCount(line: Column, words: Seq[String]): Column =
     size(filter(toks(line), t => t.isin(words.map(lit): _*)))
 
+  /** Column form of the language-ID argmax (hits desc, lang asc
+    * tie-break; zero hits ⇒ "und") — composable into other pipelines
+    * without materializing the per-language hit columns. */
+  def langPredCol(line: Column): Column = {
+    val best = array_sort(array(LangMarkers.map { case (lang, words) =>
+      struct((-hitCount(line, words)).as("neg"), lit(lang).as("lang"))
+    }: _*)).getItem(0)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
   /**
    * Language-ID: argmax of per-language marker-token hits, deterministic
    * tie-break on language code order; no hits at all ⇒ "und".
@@ -39,13 +49,8 @@ object TextAnalysis {
     val withHits = LangMarkers.foldLeft(docs) { case (df, (lang, words)) =>
       df.withColumn(s"hits_$lang", hitCount(col("line"), words).cast("long"))
     }
-    // argmax with (hits desc, lang asc) tie-break, via a sorted struct array
-    val best = array_sort(array(LangMarkers.map { case (lang, _) =>
-      struct((-col(s"hits_$lang")).as("neg"), lit(lang).as("lang"))
-    }: _*)).getItem(0)
     withHits
-      .withColumn("lang_pred",
-        when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang")))
+      .withColumn("lang_pred", langPredCol(col("line")))
       .select(col("doc") +: col("lang_pred") +:
         LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
   }
@@ -56,24 +61,36 @@ object TextAnalysis {
    * The score formula is the engine's own (the reference has nothing
    * comparable) — chosen to be monotone in "looks like real prose".
    */
+  private def stopwordRatioCol(t: Column): Column = {
+    val stop = LangMarkers.flatMap(_._2).distinct
+    round(size(filter(t, x => x.isin(stop.map(lit): _*))).cast("double") /
+      greatest(size(t), lit(1)), 6)
+  }
+
+  /** Column form of the composite quality score (identical formula to
+    * `qualityScore`'s output column, including the pre-rounded stopword
+    * ratio) — composable without the intermediate metric columns. */
+  def qualityScoreCol(line: Column): Column = {
+    val t = toks(line)
+    val nTokens = size(t).cast("long")
+    val nDistinct = size(array_distinct(t)).cast("long")
+    round(
+      least(nTokens / lit(50.0), lit(1.0)) * lit(0.4) +
+        (nDistinct / greatest(nTokens, lit(1))) * lit(0.4) +
+        least(stopwordRatioCol(t) * lit(4.0), lit(1.0)) * lit(0.2),
+      6)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = toks(col("line"))
-    val stop = LangMarkers.flatMap(_._2).distinct
     docs
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
       .withColumn("mean_tok_len",
         round(aggregate(t, lit(0.0), (acc, x) => acc + length(x)) /
           greatest(size(t), lit(1)), 6))
-      .withColumn("stopword_ratio",
-        round(size(filter(t, x => x.isin(stop.map(lit): _*))).cast("double") /
-          greatest(size(t), lit(1)), 6))
-      .withColumn("quality_score",
-        round(
-          least(col("n_tokens") / lit(50.0), lit(1.0)) * lit(0.4) +
-            (col("n_distinct") / greatest(col("n_tokens"), lit(1))) * lit(0.4) +
-            least(col("stopword_ratio") * lit(4.0), lit(1.0)) * lit(0.2),
-          6))
+      .withColumn("stopword_ratio", stopwordRatioCol(t))
+      .withColumn("quality_score", qualityScoreCol(col("line")))
       .select(col("doc"), col("n_tokens"), col("n_distinct"),
         col("mean_tok_len"), col("stopword_ratio"), col("quality_score"))
   }

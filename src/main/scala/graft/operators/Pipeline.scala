@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/**
+ * Composed training-data corpus cleaning (SURVEY.md §7.4): exact dedup →
+ * language allowlist → quality threshold, as ONE lazy plan.
+ *
+ * Scale shape: the only shuffle is exact dedup's hash partition on the
+ * md5 fingerprint; language-ID and quality scoring are codegen'd column
+ * expressions applied map-side to the surviving rows, and the filters
+ * prune before anything downstream runs. At 100 TB this is one pass over
+ * the corpus plus one 32-byte-keyed exchange.
+ */
+object Pipeline {
+
+  /**
+   * @param langs      allowed `lang_pred` values (TextAnalysis.langPredCol)
+   * @param minQuality minimum composite quality score
+   *                   (TextAnalysis.qualityScoreCol, in [0, 1])
+   * @return surviving (doc, line) rows + lang_pred, quality_score columns
+   */
+  def cleanCorpus(
+      docs: DataFrame,
+      langs: Seq[String],
+      minQuality: Double): DataFrame =
+    Dedup.exactDedup(docs)
+      .withColumn("lang_pred", TextAnalysis.langPredCol(col("line")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("line")))
+      .where(col("lang_pred").isin(langs: _*) &&
+        col("quality_score") >= minQuality)
+}

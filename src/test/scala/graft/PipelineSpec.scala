@@ -1,0 +1,27 @@
+package graft
+
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSpec {
+
+  test("cleanCorpus: dedups, filters by language allowlist and quality") {
+    val docs = corpus(
+      // long, varied, stopword-rich English — passes quality
+      "a" -> ("the quick brown fox jumps over the lazy dog and then the " +
+        "dog is running to a river in the forest while a bird is singing"),
+      "b" -> ("the quick brown fox jumps over the lazy dog and then the " +
+        "dog is running to a river in the forest while a bird is singing"), // dup of a
+      "c" -> "der hund und die katze und das haus ist gross und der baum ist alt",
+      "d" -> "x x x x x x x x") // no markers, repetitive — lang 'und', low quality
+    val got = Pipeline.cleanCorpus(docs, langs = Seq("en"), minQuality = 0.3)
+      .collect().map(r => r.getAs[String]("doc") -> r.getAs[String]("lang_pred"))
+    got.map(_._1).toSet shouldBe Set("a") // b deduped, c is de, d is und
+    got.head._2 shouldBe "en"
+  }
+
+  test("cleanCorpus quality threshold excludes low scorers") {
+    val docs = corpus("a" -> "the of and is to in a the of and")
+    Pipeline.cleanCorpus(docs, Seq("en"), minQuality = 0.99).count() shouldBe 0L
+    Pipeline.cleanCorpus(docs, Seq("en"), minQuality = 0.0).count() shouldBe 1L
+  }
+}
