@@ -27,8 +27,15 @@ object TextAnalysis {
   private def toks(line: Column): Column =
     filter(split(line, "\\s+"), t => length(t) > 0)
 
+  /** Occurrences of any `words` member as a whitespace-delimited token.
+    * Implemented as a codegen'd regexp_count with zero-width token
+    * boundaries — semantically identical to filtering the whitespace
+    * token array with isin (verified per-occurrence, incl. adjacent
+    * tokens sharing one space), but it never materializes the array and
+    * stays inside whole-stage codegen (array HOF lambdas are interpreted). */
   private def hitCount(line: Column, words: Seq[String]): Column =
-    size(filter(toks(line), t => t.isin(words.map(lit): _*)))
+    regexp_count(line,
+      lit(words.mkString("(?<=^|\\s)(", "|", ")(?=\\s|$)"))).cast("int")
 
   /** Column form of the language-ID argmax (hits desc, lang asc
     * tie-break; zero hits ⇒ "und") — composable into other pipelines
@@ -49,8 +56,14 @@ object TextAnalysis {
     val withHits = LangMarkers.foldLeft(docs) { case (df, (lang, words)) =>
       df.withColumn(s"hits_$lang", hitCount(col("line"), words).cast("long"))
     }
+    // argmax over the ALREADY-computed hits columns (one regex pass per
+    // language total — langPredCol would recompute them from the line)
+    val best = array_sort(array(LangMarkers.map { case (lang, _) =>
+      struct((-col(s"hits_$lang")).as("neg"), lit(lang).as("lang"))
+    }: _*)).getItem(0)
     withHits
-      .withColumn("lang_pred", langPredCol(col("line")))
+      .withColumn("lang_pred",
+        when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang")))
       .select(col("doc") +: col("lang_pred") +:
         LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
   }
@@ -61,11 +74,10 @@ object TextAnalysis {
    * The score formula is the engine's own (the reference has nothing
    * comparable) — chosen to be monotone in "looks like real prose".
    */
-  private def stopwordRatioCol(t: Column): Column = {
-    val stop = LangMarkers.flatMap(_._2).distinct
-    round(size(filter(t, x => x.isin(stop.map(lit): _*))).cast("double") /
-      greatest(size(t), lit(1)), 6)
-  }
+  private def stopwordRatioCol(line: Column, t: Column): Column =
+    round(
+      hitCount(line, LangMarkers.flatMap(_._2).distinct).cast("double") /
+        greatest(size(t), lit(1)), 6)
 
   /** Column form of the composite quality score (identical formula to
     * `qualityScore`'s output column, including the pre-rounded stopword
@@ -77,7 +89,7 @@ object TextAnalysis {
     round(
       least(nTokens / lit(50.0), lit(1.0)) * lit(0.4) +
         (nDistinct / greatest(nTokens, lit(1))) * lit(0.4) +
-        least(stopwordRatioCol(t) * lit(4.0), lit(1.0)) * lit(0.2),
+        least(stopwordRatioCol(line, t) * lit(4.0), lit(1.0)) * lit(0.2),
       6)
   }
 
@@ -89,7 +101,7 @@ object TextAnalysis {
       .withColumn("mean_tok_len",
         round(aggregate(t, lit(0.0), (acc, x) => acc + length(x)) /
           greatest(size(t), lit(1)), 6))
-      .withColumn("stopword_ratio", stopwordRatioCol(t))
+      .withColumn("stopword_ratio", stopwordRatioCol(col("line"), t))
       .withColumn("quality_score", qualityScoreCol(col("line")))
       .select(col("doc"), col("n_tokens"), col("n_distinct"),
         col("mean_tok_len"), col("stopword_ratio"), col("quality_score"))
