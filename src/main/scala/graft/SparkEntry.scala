@@ -290,6 +290,13 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))),
 
+    // Production near-dup dedup: min-label over LSH buckets, no pair
+    // materialization (survivor list).
+    "q28_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashDedup(docs(s, dir))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // 16-bit tf-weighted SimHash fingerprints.
     "q14_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir))
@@ -497,6 +504,21 @@ object SparkEntry {
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    "q28_minhash_dedup" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bmin AS (
+         |  SELECT band, band_val, min(doc_id) AS bucket_min
+         |  FROM bands GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT b.doc_id FROM bands b
+         |  JOIN bmin USING (band, band_val)
+         |  GROUP BY b.doc_id HAVING min(bucket_min) < b.doc_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "q14_simhash" ->
       s"""WITH $SimhashCtes

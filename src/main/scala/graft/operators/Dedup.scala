@@ -162,6 +162,39 @@ object Dedup {
   }
 
   /**
+   * Production near-dup DEDUP pass: a document survives iff no LSH bucket
+   * it belongs to contains a smaller doc id. This is one step of
+   * min-label propagation over the implicit candidate graph — a
+   * duplicate cluster of m documents costs O(m) bucket rows, never the
+   * O(m²) pairs `minhashNearDups` materializes (that tier is for
+   * verification/analytics; this one is what runs over 100 TB).
+   *
+   * Semantics notes: buckets are UNVERIFIED candidates, so a false-
+   * positive collision can drop a non-duplicate (tune numHashes /
+   * rowsPerBand); transitive chains keep only one hop's worth of
+   * context (full closure would iterate). Documents too short to shingle
+   * produce no buckets and always survive.
+   */
+  def minhashDedup(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bands = lshBands(
+      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand)
+    val bucketMin = bands
+      .groupBy(col("band"), col("band_val"))
+      .agg(min(col("doc")).as("bucket_min"))
+    val dropped = bands
+      .join(bucketMin, Seq("band", "band_val"))
+      .groupBy(col("doc"))
+      .agg(min(col("bucket_min")).as("keeper"))
+      .where(col("keeper") < col("doc"))
+      .select(col("doc"))
+    docs.join(dropped, Seq("doc"), "left_anti")
+  }
+
+  /**
    * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — at
    * scale, run only on LSH candidates). Intersections are aggregated
    * straight off the shingle self-join — no materialized pair list, no

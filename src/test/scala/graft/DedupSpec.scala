@@ -63,6 +63,31 @@ class DedupSpec extends SparkSpec {
     all(pairs.toSeq.flatMap(p => Seq(p._1, p._2))) should not be "d"
   }
 
+  test("minhashDedup keeps the smallest doc per candidate cluster") {
+    val kept = Dedup.minhashDedup(dupCorpus)
+      .select("doc").collect().map(_.getString(0)).toSet
+    kept should contain("a")     // smallest of the a/b identical pair
+    kept should not contain "b"  // identical payload, larger id
+    kept should contain("d")     // unrelated doc always survives
+    // contract vs the candidate graph: a doc is dropped iff some LSH
+    // candidate pair links it to a smaller doc
+    val cands = Dedup.lshCandidates(Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.shingles(dupCorpus, 3))))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expectedDropped = cands.map(_._2).toSet
+    kept shouldBe Set("a", "b", "c", "d") -- expectedDropped
+  }
+
+  test("minhashDedup keeps shingle-less short docs") {
+    val withShort = corpus(
+      "a" -> "the quick brown fox jumps over the lazy dog",
+      "b" -> "the quick brown fox jumps over the lazy dog",
+      "tiny" -> "so short")
+    val kept = Dedup.minhashDedup(withShort)
+      .select("doc").collect().map(_.getString(0)).toSet
+    kept shouldBe Set("a", "tiny")
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(dupCorpus, threshold = 0.1)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
