@@ -397,7 +397,24 @@ object SparkEntry {
 
     "q24_events_sessions" -> ((s, dir) =>
       Events.sessionize(events(s, dir), gapMinutes = 30)
-        .orderBy(col("user_id"), col("session_seq")))
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // ROLLUP grouping sets: cell + per-type subtotal + grand total, 1 pass.
+    "q29_events_rollup" -> ((s, dir) =>
+      Events.typeHourRollup(events(s, dir))
+        .orderBy(col("event_type"), col("hour_start"))),
+
+    // ROWS-frame window: per-user moving average of the last 10 events.
+    "q30_events_moving_avg" -> ((s, dir) =>
+      Events.userMovingAvg(events(s, dir), nRows = 10)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))),
+
+    // Whole-corpus stats (exact multi-distinct; approx variant is the
+    // scale path, tested in TextAnalysisSpec).
+    "q31_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(
+          docs(s, dir).select(col("doc").cast("string").as("doc"), col("line")))
+        .orderBy(col("n_docs")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -772,6 +789,28 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events,
         |  round(sum(value), 6) AS value_sum
-        |FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+        |FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    "q29_events_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(date_trunc('hour', ts), TIMESTAMP '1970-01-01') AS hour_start,
+        |  count(*) AS n_events, round(sum(value), 6) AS value_sum
+        |FROM events
+        |GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    "q30_events_moving_avg" ->
+      """SELECT event_id, user_id, ts,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+        |    AS moving_avg
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q31_corpus_stats" ->
+      s"""WITH $TokCte
+         |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       count(DISTINCT term)::BIGINT AS n_terms,
+         |       count(*) AS total_tokens
+         |FROM tok ORDER BY n_docs""".stripMargin
   )
 }

@@ -120,6 +120,25 @@ object TextAnalysis {
       length(col("line")).cast("long").as("n_chars"))
 
   /**
+   * Whole-corpus statistics in one aggregate: document count, distinct
+   * vocabulary size, total token count. `exact = false` swaps the
+   * distinct counts for HyperLogLog `approx_count_distinct` (2% rsd) —
+   * at 100 TB the exact multi-distinct plans an Expand (rows × 2) while
+   * the sketch is a fixed-size buffer per partition; use exact only when
+   * the oracle/billing needs it.
+   */
+  def corpusStats(docs: DataFrame, exact: Boolean = true): DataFrame = {
+    val terms = docs.select(col("doc"),
+      explode(toks(col("line"))).as("term"))
+    def cd(c: Column) =
+      if (exact) countDistinct(c) else approx_count_distinct(c, 0.02)
+    terms.agg(
+      cd(col("doc")).cast("long").as("n_docs"),
+      cd(col("term")).cast("long").as("n_terms"),
+      count(lit(1)).as("total_tokens"))
+  }
+
+  /**
    * Document fingerprints: md5 of whitespace-canonicalized text (exact
    * content identity), plus a 64-bit rolling-hash-style fingerprint folded
    * from the first 16 hex digits (cheap join key for dedup at scale).

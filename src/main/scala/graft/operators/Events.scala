@@ -35,6 +35,38 @@ object Events {
         round(avg(col("k")), 6).as("k_avg"))
 
   /**
+   * ROLLUP aggregate over (event_type, hour): per-cell, per-type subtotal
+   * and grand-total rows in ONE pass (Catalyst expands the grouping sets
+   * map-side — no second scan, one shuffle). Null grouping labels are
+   * coalesced to sentinels so the output is total-orderable and
+   * null-representation-agnostic across engines.
+   */
+  def typeHourRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .rollup(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hour_start"), lit("1970-01-01 00:00:00").cast("timestamp"))
+          .as("hour_start"),
+        col("n_events"), col("value_sum"))
+
+  /**
+   * Per-user moving average over the last `nRows` events (ROWS frame —
+   * bounded per-row state under Tungsten, one shuffle on user_id).
+   * Deterministic tie-break on event_id for equal timestamps.
+   */
+  def userMovingAvg(events: DataFrame, nRows: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    events.select(col("event_id"), col("user_id"), col("ts"),
+      round(avg(col("value")).over(w), 6).as("moving_avg"))
+  }
+
+  /**
    * Sessionization (batch): a session breaks after `gapMinutes` of user
    * inactivity. Window lag + running sum of break flags — one shuffle on
    * user_id. (Streaming variant: flatMapGroupsWithState, graft.streaming.)

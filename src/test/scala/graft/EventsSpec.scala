@@ -36,6 +36,36 @@ class EventsSpec extends SparkSpec {
     row.getAs[Double]("k_avg") shouldBe 15.0 +- 1e-9
   }
 
+  test("typeHourRollup emits cell, subtotal and grand-total rows") {
+    val got = Events.typeHourRollup(ev(
+      (1L, "2024-01-01 10:15:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 11:15:00", 1L, "click", 2.0),
+      (3L, "2024-01-01 10:30:00", 2L, "view", 4.0)))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    got.toSet shouldBe Set(
+      ("click", "2024-01-01 10:00:00.0", 1L, 1.0),
+      ("click", "2024-01-01 11:00:00.0", 1L, 2.0),
+      ("view", "2024-01-01 10:00:00.0", 1L, 4.0),
+      ("click", "1970-01-01 00:00:00.0", 2L, 3.0), // per-type subtotal
+      ("view", "1970-01-01 00:00:00.0", 1L, 4.0),
+      ("ALL", "1970-01-01 00:00:00.0", 3L, 7.0))   // grand total
+  }
+
+  test("userMovingAvg averages over the last-n rows frame per user") {
+    val got = Events.userMovingAvg(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 2.0),
+      (2L, "2024-01-01 00:01:00", 1L, "a", 4.0),
+      (3L, "2024-01-01 00:02:00", 1L, "a", 6.0),
+      (4L, "2024-01-01 00:00:00", 2L, "a", 8.0)), nRows = 2)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("moving_avg"))
+      .toMap
+    got(1L) shouldBe 2.0 +- 1e-9 // frame = [2]
+    got(2L) shouldBe 3.0 +- 1e-9 // frame = [2, 4]
+    got(3L) shouldBe 5.0 +- 1e-9 // frame = [4, 6] — row 1 slid out
+    got(4L) shouldBe 8.0 +- 1e-9 // other user unaffected
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

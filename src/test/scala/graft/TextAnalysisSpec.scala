@@ -46,6 +46,19 @@ class TextAnalysisSpec extends SparkSpec {
     row.getAs[Long]("n_chars") shouldBe 18L
   }
 
+  test("corpusStats: exact counts; approx within HLL tolerance") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("cast(doc_id as string) as doc", "text as line")
+    val exact = TextAnalysis.corpusStats(docs).head()
+    exact.getAs[Long]("n_docs") shouldBe 500L
+    exact.getAs[Long]("total_tokens") should be > exact.getAs[Long]("n_terms")
+    val approx = TextAnalysis.corpusStats(docs, exact = false).head()
+    approx.getAs[Long]("n_terms").toDouble shouldBe
+      exact.getAs[Long]("n_terms").toDouble +- 0.05 * exact.getAs[Long]("n_terms")
+    approx.getAs[Long]("total_tokens") shouldBe exact.getAs[Long]("total_tokens")
+  }
+
   test("fingerprint canonicalizes whitespace; fp64 folds md5") {
     val rows = TextAnalysis.fingerprint(corpus(
       "a" -> "hello  world", "b" -> " hello world ")).collect()
