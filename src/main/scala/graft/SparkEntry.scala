@@ -409,6 +409,22 @@ object SparkEntry {
       Events.userMovingAvg(events(s, dir), nRows = 10)
         .orderBy(col("user_id"), col("ts"), col("event_id"))),
 
+    // As-of join: each event ← its user's latest COMPLETED-hour snapshot
+    // (snapshot of hour H becomes available at H+1h); -1 = no snapshot yet.
+    "q32_events_asof_snapshot" -> ((s, dir) => {
+      val e = events(s, dir)
+      val snap = e
+        .groupBy(col("user_id"),
+          (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
+        .agg(round(sum(col("value")), 6).as("hour_sum"))
+      graft.operators.AsOfJoin
+        .asOfJoin(e.select("event_id", "user_id", "ts"), snap,
+          keys = Seq("user_id"), tsCol = "ts", valCol = "hour_sum",
+          as = "asof_hour_sum")
+        .withColumn("asof_hour_sum", coalesce(col("asof_hour_sum"), lit(-1.0)))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Whole-corpus stats (exact multi-distinct; approx variant is the
     // scale path, tested in TextAnalysisSpec).
     "q31_corpus_stats" -> ((s, dir) =>
@@ -805,6 +821,17 @@ object SparkEntry {
         |                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
         |    AS moving_avg
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q32_events_asof_snapshot" ->
+      """WITH snap AS (
+        |  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
+        |         round(sum(value), 6) AS hour_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       coalesce(s.hour_sum, -1) AS asof_hour_sum
+        |FROM events e ASOF LEFT JOIN snap s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
 
     "q31_corpus_stats" ->
       s"""WITH $TokCte
