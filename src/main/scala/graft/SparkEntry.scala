@@ -270,6 +270,20 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)),
 
+    // Range join: parts → price bands via bin-bucketed equi-join (no
+    // theta join; PlanAudit enforces).
+    "q33_range_join_bands" -> ((s, dir) => {
+      val bands = s.range(0, 10).select(col("id").as("band_id"),
+        (lit(900.0) + col("id") * 10.0).as("lo"),
+        (lit(900.0) + (col("id") + 1) * 10.0).as("hi"))
+      graft.operators.RangeJoin
+        .pointInInterval(
+          tbl(s, dir, "part").select(col("p_partkey"), col("p_retailprice")),
+          bands, "p_retailprice", "lo", "hi", binWidth = 5.0)
+        .select(col("p_partkey"), col("band_id"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ── Dedup tier (SURVEY.md §7.4 / builder-prompt extensions) ─────────
 
     // Exact dedup: md5 fingerprint groups with deterministic keeper.
@@ -503,6 +517,16 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    "q33_range_join_bands" ->
+      """WITH bands AS (
+        |  SELECT band_id, 900.0 + band_id * 10.0 AS lo,
+        |         900.0 + (band_id + 1) * 10.0 AS hi
+        |  FROM range(10) r(band_id))
+        |SELECT p_partkey, band_id, p_retailprice
+        |FROM part JOIN bands
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |ORDER BY p_partkey""".stripMargin,
 
     "q11_dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
