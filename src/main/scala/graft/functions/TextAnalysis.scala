@@ -27,25 +27,47 @@ object TextAnalysis {
   private def toks(line: Column): Column =
     filter(split(line, "\\s+"), t => length(t) > 0)
 
-  /** Occurrences of any `words` member as a whitespace-delimited token.
-    * Implemented as a codegen'd regexp_count with zero-width token
-    * boundaries — semantically identical to filtering the whitespace
-    * token array with isin (verified per-occurrence, incl. adjacent
-    * tokens sharing one space), but it never materializes the array and
-    * stays inside whole-stage codegen (array HOF lambdas are interpreted). */
-  private def hitCount(line: Column, words: Seq[String]): Column =
-    regexp_count(line,
-      lit(words.mkString("(?<=^|\\s)(", "|", ")(?=\\s|$)"))).cast("int")
+  /** Union pattern over ALL language markers, with zero-width token
+    * boundaries — one regex scan of the text finds every marker
+    * occurrence (the stopword list is exactly this union). */
+  private val MarkerPattern: String =
+    LangMarkers.flatMap(_._2).distinct.mkString("(?<=^|\\s)(", "|", ")(?=\\s|$)")
 
-  /** Column form of the language-ID argmax (hits desc, lang asc
-    * tie-break; zero hits ⇒ "und") — composable into other pipelines
-    * without materializing the per-language hit columns. */
-  def langPredCol(line: Column): Column = {
+  /** All marker-token occurrences in the line (small array — marker
+    * density is a few per document). ONE full-text scan serves every
+    * per-language count and the stopword ratio; materialize it as a
+    * column and feed `langPredFromMatches`/`qualityScoreFromMatches`. */
+  def markerMatches(line: Column): Column =
+    regexp_extract_all(line, lit(MarkerPattern), lit(1))
+
+  /** Occurrences of any `words` member as a whitespace-delimited token:
+    * filter the (tiny) marker-match array instead of rescanning the full
+    * text — semantically identical to filtering the whitespace token
+    * array with isin (verified per-occurrence, incl. adjacent tokens
+    * sharing one space). */
+  private def hitCountIn(matches: Column, words: Seq[String]): Column =
+    size(filter(matches, m => m.isin(words.map(lit): _*)))
+
+  private def hitCount(line: Column, words: Seq[String]): Column =
+    hitCountIn(markerMatches(line), words)
+
+  /** Language-ID argmax (hits desc, lang asc tie-break; zero hits ⇒
+    * "und") over a pre-materialized marker-match array. Compose with a
+    * `markerMatches` column so the text is regex-scanned ONCE — lambda
+    * HOF subtrees are excluded from common-subexpression elimination, so
+    * inlining the scan here would repeat it per language. */
+  def langPredFromMatches(matches: Column): Column = {
     val best = array_sort(array(LangMarkers.map { case (lang, words) =>
-      struct((-hitCount(line, words)).as("neg"), lit(lang).as("lang"))
+      struct((-hitCountIn(matches, words)).as("neg"), lit(lang).as("lang"))
     }: _*)).getItem(0)
     when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
   }
+
+  /** Column form of the language-ID argmax straight from the text — use
+    * only standalone; inside a pipeline prefer `markerMatches` +
+    * `langPredFromMatches` (single scan). */
+  def langPredCol(line: Column): Column =
+    langPredFromMatches(markerMatches(line))
 
   /**
    * Language-ID: argmax of per-language marker-token hits, deterministic
@@ -53,8 +75,11 @@ object TextAnalysis {
    * Output: doc, lang_pred, plus one hit-count column per language.
    */
   def langId(docs: DataFrame): DataFrame = {
-    val withHits = LangMarkers.foldLeft(docs) { case (df, (lang, words)) =>
-      df.withColumn(s"hits_$lang", hitCount(col("line"), words).cast("long"))
+    // materialize the marker matches ONCE (one regex scan), then count
+    // per language over the tiny array
+    val withM = docs.withColumn("_mm", markerMatches(col("line")))
+    val withHits = LangMarkers.foldLeft(withM) { case (df, (lang, words)) =>
+      df.withColumn(s"hits_$lang", hitCountIn(col("_mm"), words).cast("long"))
     }
     // argmax over the ALREADY-computed hits columns (one regex pass per
     // language total — langPredCol would recompute them from the line)
@@ -74,35 +99,41 @@ object TextAnalysis {
    * The score formula is the engine's own (the reference has nothing
    * comparable) — chosen to be monotone in "looks like real prose".
    */
-  private def stopwordRatioCol(line: Column, t: Column): Column =
-    round(
-      hitCount(line, LangMarkers.flatMap(_._2).distinct).cast("double") /
-        greatest(size(t), lit(1)), 6)
 
-  /** Column form of the composite quality score (identical formula to
-    * `qualityScore`'s output column, including the pre-rounded stopword
-    * ratio) — composable without the intermediate metric columns. */
-  def qualityScoreCol(line: Column): Column = {
+  /** Composite quality score from the text plus a pre-materialized
+    * marker-match array (identical formula to `qualityScore`'s output
+    * column, including the pre-rounded stopword ratio). */
+  def qualityScoreFromMatches(line: Column, matches: Column): Column = {
     val t = toks(line)
     val nTokens = size(t).cast("long")
     val nDistinct = size(array_distinct(t)).cast("long")
+    val stopRatio = round(size(matches).cast("double") /
+      greatest(size(t), lit(1)), 6)
     round(
       least(nTokens / lit(50.0), lit(1.0)) * lit(0.4) +
         (nDistinct / greatest(nTokens, lit(1))) * lit(0.4) +
-        least(stopwordRatioCol(line, t) * lit(4.0), lit(1.0)) * lit(0.2),
+        least(stopRatio * lit(4.0), lit(1.0)) * lit(0.2),
       6)
   }
+
+  /** Column form straight from the text — standalone use; in a pipeline
+    * prefer `markerMatches` + `qualityScoreFromMatches` (single scan). */
+  def qualityScoreCol(line: Column): Column =
+    qualityScoreFromMatches(line, markerMatches(line))
 
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = toks(col("line"))
     docs
+      .withColumn("_mm", markerMatches(col("line")))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
       .withColumn("mean_tok_len",
         round(aggregate(t, lit(0.0), (acc, x) => acc + length(x)) /
           greatest(size(t), lit(1)), 6))
-      .withColumn("stopword_ratio", stopwordRatioCol(col("line"), t))
-      .withColumn("quality_score", qualityScoreCol(col("line")))
+      .withColumn("stopword_ratio",
+        round(size(col("_mm")).cast("double") / greatest(size(t), lit(1)), 6))
+      .withColumn("quality_score",
+        qualityScoreFromMatches(col("line"), col("_mm")))
       .select(col("doc"), col("n_tokens"), col("n_distinct"),
         col("mean_tok_len"), col("stopword_ratio"), col("quality_score"))
   }

@@ -28,8 +28,13 @@ object Pipeline {
       langs: Seq[String],
       minQuality: Double): DataFrame =
     Dedup.exactDedup(docs)
-      .withColumn("lang_pred", TextAnalysis.langPredCol(col("line")))
-      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("line")))
+      // marker matches materialized once: one regex scan serves both the
+      // language argmax and the stopword factor of the quality score
+      .withColumn("_mm", TextAnalysis.markerMatches(col("line")))
+      .withColumn("lang_pred", TextAnalysis.langPredFromMatches(col("_mm")))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreFromMatches(col("line"), col("_mm")))
       .where(col("lang_pred").isin(langs: _*) &&
         col("quality_score") >= minQuality)
+      .drop("_mm")
 }
