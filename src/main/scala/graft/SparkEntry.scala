@@ -391,6 +391,13 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("lang_pred"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic hash sampling: reproducible ~10% doc split, map-only.
+    "q34_sample_by_hash" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .sampleByHash(docs(s, dir), keyCol = "doc", rate = 0.1)
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ── Multimodal plumbing (metadata/schema surface; decode is a stub
     //    tested in ScalaTest — not SQL-expressible) ───────────────────────
     "q21_multimodal_meta" -> ((s, dir) =>
@@ -748,6 +755,14 @@ object SparkEntry {
         |    (strpos('0123456789abcdef', substr(md5(canon), i::INTEGER, 1)) - 1)::BIGINT
         |      << ((15 - i)::INTEGER * 4)))::BIGINT AS fp64
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q34_sample_by_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_sum(list_transform(range(1, 9), i ->
+        |        (strpos('0123456789abcdef',
+        |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+        |          << ((8 - i)::INTEGER * 4))) % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
 
     "q27_clean_corpus" ->
       """WITH keep AS (

@@ -37,4 +37,19 @@ object Pipeline {
       .where(col("lang_pred").isin(langs: _*) &&
         col("quality_score") >= minQuality)
       .drop("_mm")
+
+  /**
+   * Deterministic hash sampling — the reproducible train/holdout split
+   * primitive: keep a row iff the first 32 md5 bits of its key, taken
+   * mod 1e6, fall under rate·1e6. Map-only (no shuffle, no RNG state,
+   * no sampleBy seed drift across retries/partitions); the same key
+   * always lands on the same side, on any cluster, in any engine.
+   */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val bucket =
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    df.where(bucket < (rate * 1e6).toLong)
+  }
 }

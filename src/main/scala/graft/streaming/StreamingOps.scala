@@ -51,6 +51,29 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /**
+   * Streaming twin of `graft.operators.Pipeline.cleanCorpus`: exact
+   * dedup (watermark-bounded state) then map-side language + quality
+   * filters — the full training-data ingest loop as a continuous query.
+   * The filters are stateless column expressions, so the only state is
+   * the dedup fingerprint set.
+   */
+  def cleanStream(
+      docs: DataFrame,
+      langs: Seq[String],
+      minQuality: Double,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextAnalysis
+    dedupExact(docs, watermarkDelay)
+      .withColumn("_mm", TextAnalysis.markerMatches(col("line")))
+      .withColumn("lang_pred", TextAnalysis.langPredFromMatches(col("_mm")))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreFromMatches(col("line"), col("_mm")))
+      .where(col("lang_pred").isin(langs: _*) &&
+        col("quality_score") >= minQuality)
+      .drop("_mm")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionSummary(
       user_id: Long, session_start: java.sql.Timestamp,

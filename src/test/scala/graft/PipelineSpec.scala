@@ -19,6 +19,24 @@ class PipelineSpec extends SparkSpec {
     got.head._2 shouldBe "en"
   }
 
+  test("sampleByHash is deterministic and roughly honors the rate") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id as doc", "text as line")
+    val s1 = Pipeline.sampleByHash(docs, "doc", 0.2)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    val s2 = Pipeline.sampleByHash(docs, "doc", 0.2)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    s1 shouldBe s2                       // same keys, every run
+    s1.size.toDouble shouldBe 100.0 +- 40.0 // ~20% of 500, loose tolerance
+    // monotone: a larger rate strictly contains a smaller one
+    val s3 = Pipeline.sampleByHash(docs, "doc", 0.5)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    s1.subsetOf(s3) shouldBe true
+    Pipeline.sampleByHash(docs, "doc", 0.0).count() shouldBe 0L
+    Pipeline.sampleByHash(docs, "doc", 1.0).count() shouldBe 500L
+  }
+
   test("cleanCorpus quality threshold excludes low scorers") {
     val docs = corpus("a" -> "the of and is to in a the of and")
     Pipeline.cleanCorpus(docs, Seq("en"), minQuality = 0.99).count() shouldBe 0L

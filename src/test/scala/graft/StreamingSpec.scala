@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cleanStream dedups then filters by language and quality") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc", "line", "ts")
+    val english = "the quick brown fox jumps over the lazy dog and then " +
+      "the dog is running to a river in the forest while a bird is singing"
+
+    val q = StreamingOps.cleanStream(docs, langs = Seq("en"), minQuality = 0.3)
+      .writeStream.format("memory").queryName("clean").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("a", english, Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("b", english, Timestamp.valueOf("2024-01-01 00:01:00")), // dup of a
+        ("c", "der hund und die katze ist ein tier und das haus ist gross",
+          Timestamp.valueOf("2024-01-01 00:02:00"))) // german
+      q.processAllAvailable()
+      val got = spark.table("clean").collect().map(_.getString(0)).toSet
+      got shouldBe Set("a")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions on new-session arrival") {
     val s = spark
     import s.implicits._
