@@ -311,6 +311,14 @@ object SparkEntry {
         .select(col("doc").as("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Related documents: tf-idf cosine over the df-pruned inverted index
+    // (pairs only from co-occurring rare terms — never an all-pairs join).
+    "q35_related_docs" -> ((s, dir) =>
+      graft.operators.DocSimilarity
+        .relatedDocs(docs(s, dir), maxDfFraction = 0.06, threshold = 0.0)
+        .select(col("d1"), col("d2"), col("cos"))
+        .orderBy(col("d1"), col("d2"))),
+
     // 16-bit tf-weighted SimHash fingerprints.
     "q14_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir))
@@ -567,6 +575,26 @@ object SparkEntry {
          |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q35_related_docs" ->
+      s"""WITH $TokCte,
+         |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+         |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
+         |pr AS (
+         |  SELECT c.term, c.doc_id,
+         |         round((1 + log10(cnt)) * log10(1 + floor(nd / df)), 6) AS w
+         |  FROM cnt c JOIN dft USING (term) CROSS JOIN n
+         |  WHERE df <= 0.06 * nd),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM pr GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+         |  FROM pr a JOIN pr b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
+         |FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+         |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.0
          |ORDER BY d1, d2""".stripMargin,
 
     "q28_minhash_dedup" ->
