@@ -406,6 +406,20 @@ object SparkEntry {
         .select(col("doc").as("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Stratified deterministic sampling: per-language rates (training-mix
+    // rebalance), map-only.
+    "q36_sample_stratified" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .sampleStratified(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+          strataCol = "lang", keyCol = "doc_id",
+          rates = Map("en" -> 0.05, "de" -> 0.5), defaultRate = 0.2)
+        .orderBy(col("doc_id"))),
+
+    // Corpus-wide top-20 word 3-grams by document frequency.
+    "q37_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), n = 3, k = 20)),
+
     // ── Multimodal plumbing (metadata/schema surface; decode is a stub
     //    tested in ScalaTest — not SQL-expressible) ───────────────────────
     "q21_multimodal_meta" -> ((s, dir) =>
@@ -791,6 +805,22 @@ object SparkEntry {
         |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
         |          << ((8 - i)::INTEGER * 4))) % 1000000 < 100000
         |ORDER BY doc_id""".stripMargin,
+
+    "q36_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_sum(list_transform(range(1, 9), i ->
+        |        (strpos('0123456789abcdef',
+        |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+        |          << ((8 - i)::INTEGER * 4))) % 1000000
+        |      < (CASE WHEN lang = 'en' THEN 0.05
+        |              WHEN lang = 'de' THEN 0.5
+        |              ELSE 0.2 END) * 1000000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q37_top_ngrams" ->
+      s"""WITH $ShingleCtes
+         |SELECT shingle AS ngram, count(*) AS doc_freq FROM sh
+         |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
 
     "q27_clean_corpus" ->
       """WITH keep AS (

@@ -170,6 +170,20 @@ object TextAnalysis {
   }
 
   /**
+   * Corpus-wide top-k word n-grams by document frequency (each doc
+   * counts an n-gram once — the `WordShingles` generator emits distinct
+   * grams per doc). One partial-aggregated shuffle on the gram plus a
+   * TakeOrderedAndProject top-k — no global sort materialization.
+   */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame =
+    graft.operators.Dedup.shingles(docs, n)
+      .groupBy(col("shingle").as("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .select(col("ngram"), col("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
+
+  /**
    * Document fingerprints: md5 of whitespace-canonicalized text (exact
    * content identity), plus a 64-bit rolling-hash-style fingerprint folded
    * from the first 16 hex digits (cheap join key for dedup at scale).

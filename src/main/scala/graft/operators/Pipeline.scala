@@ -47,9 +47,34 @@ object Pipeline {
    */
   def sampleByHash(df: DataFrame, keyCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
-    val bucket =
-      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000000L
-    df.where(bucket < (rate * 1e6).toLong)
+    df.where(hashBucket(keyCol) < (rate * 1e6).toLong)
   }
+
+  /**
+   * Stratified deterministic sampling — the training-mix rebalancer:
+   * each stratum (e.g. language) keeps its own hash-threshold rate,
+   * strata absent from `rates` keep `defaultRate`. Same map-only,
+   * seed-free mechanics as `sampleByHash`; the rate lookup folds to a
+   * codegen'd CASE chain, so this is still one scan with zero shuffle.
+   */
+  def sampleStratified(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "every rate must be in [0,1]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rate)).otherwise(acc)
+    }
+    df.where(hashBucket(keyCol).cast("double") < rateCol * 1e6)
+  }
+
+  /** First 32 md5 bits of the stringified key, mod 1e6 — the shared
+    * deterministic bucket for both sampling modes. */
+  private def hashBucket(keyCol: String) =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
 }

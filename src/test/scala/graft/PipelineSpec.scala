@@ -37,6 +37,23 @@ class PipelineSpec extends SparkSpec {
     Pipeline.sampleByHash(docs, "doc", 1.0).count() shouldBe 500L
   }
 
+  test("sampleStratified applies per-stratum rates deterministically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang")
+    val kept = Pipeline.sampleStratified(docs, "lang", "doc_id",
+      rates = Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.map(_._2).toSet shouldBe Set("en") // de and others fully excluded
+    kept.length shouldBe docs.where("lang = 'en'").count().toInt
+    // stratified at uniform rate == plain hash sample at that rate
+    val uni = Pipeline.sampleStratified(docs, "lang", "doc_id",
+      rates = Map.empty, defaultRate = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val plain = Pipeline.sampleByHash(docs, "doc_id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    uni shouldBe plain
+  }
+
   test("cleanCorpus quality threshold excludes low scorers") {
     val docs = corpus("a" -> "the of and is to in a the of and")
     Pipeline.cleanCorpus(docs, Seq("en"), minQuality = 0.99).count() shouldBe 0L
