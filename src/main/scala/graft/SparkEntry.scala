@@ -133,8 +133,9 @@ object SparkEntry {
       s"(CASE WHEN substr(md5(($hExpr)::VARCHAR || ':' || j::VARCHAR), " +
       s"((j % 16) + 1)::INTEGER, 1) >= '8' THEN 1.0 ELSE -1.0 END)))"
 
-  /** 16-bit tf-weighted SimHash fingerprint CTE chain (→ `fp`). */
-  private val SimhashCtes =
+  /** `bits`-wide tf-weighted SimHash fingerprint CTE chain (→ `fp`),
+    * mirroring `Dedup.simhash(docs, bits)`. */
+  private def simhashCtes(bits: Int): String =
     s"""$TokCte,
        |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
        |bits AS (
@@ -142,8 +143,10 @@ object SparkEntry {
        |         CASE WHEN sum(CASE WHEN substr(md5(term), p::INTEGER, 1) >= '8'
        |                            THEN c ELSE -c END) > 0
        |              THEN (1::BIGINT << (p::INTEGER - 1)) ELSE 0 END AS bit
-       |  FROM cnt CROSS JOIN range(1, 17) r(p) GROUP BY doc_id, p),
+       |  FROM cnt CROSS JOIN range(1, ${bits + 1}) r(p) GROUP BY doc_id, p),
        |fp AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY 1)""".stripMargin
+
+  private val SimhashCtes = simhashCtes(16)
 
   private val TfIdfCtes =
     s"""WITH $TokCte,
@@ -328,6 +331,13 @@ object SparkEntry {
     // Banded SimHash near-dup pairs (hamming ≤ 3; equi-join, no crossJoin).
     "q14b_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 3)
+        .orderBy(col("d1"), col("d2"))),
+
+    // 32-bit SimHash pairs — the scale-realistic fingerprint width (a
+    // 16-bit ball saturates once the corpus dwarfs 2^16).
+    "q38_simhash32_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, dir), bits = 32),
+          maxHamming = 3, bits = 32)
         .orderBy(col("d1"), col("d2"))),
 
     // ── Similarity search tier ──────────────────────────────────────────
@@ -634,6 +644,14 @@ object SparkEntry {
     // pigeonhole join must lose nothing at this radius.
     "q14b_simhash_pairs" ->
       s"""WITH $SimhashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q38_simhash32_pairs" ->
+      s"""WITH ${simhashCtes(32)}
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id

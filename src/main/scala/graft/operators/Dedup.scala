@@ -224,18 +224,25 @@ object Dedup {
    * is derived from hex digit p of md5(term) (≥ '8' ⇒ +1). Deterministic
    * and engine-portable.
    */
-  def simhash(docs: DataFrame): DataFrame = {
+  /**
+   * `bits`-bit tf-weighted SimHash (default 16 for the historical
+   * contract; use 32 at scale — 16 bits saturate once the corpus dwarfs
+   * 2^16 and every hamming ball overflows). Bit p reads hex digit p of
+   * md5(term), so bits ≤ 32.
+   */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 4 && bits <= 32, s"bits must be in [4,32], got $bits")
     val counts = docs
       .select(col("doc"), explode(tokensCol(col("line"))).as("term"))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    // One groupBy(doc) with 16 conditional sums: md5(term) is computed
+    // One groupBy(doc) with `bits` conditional sums: md5(term) is computed
     // ONCE per (doc, term) row and each bit position reads its own hex
     // digit (≥ '8' ⇒ +cnt else −cnt; lowercase hex compares identically
-    // under any ASCII collation — oracle-portable). No 16× row explosion
+    // under any ASCII collation — oracle-portable). No bits× row explosion
     // and one shuffle fewer than a (doc, p) re-grouping.
     val withHash = counts.select(col("doc"), md5(col("term")).as("h"), col("cnt"))
-    val sums = (1 to 16).map { p =>
+    val sums = (1 to bits).map { p =>
       sum(when(substring(col("h"), p, 1) >= "8", col("cnt")).otherwise(-col("cnt")))
         .as(s"s$p")
     }
@@ -243,7 +250,7 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc"),
-        (1 to 16)
+        (1 to bits)
           .map(p => when(col(s"s$p") > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
           .reduce(_ + _).cast("long").as("simhash"))
   }
@@ -255,12 +262,19 @@ object Dedup {
    * candidates come from an equi-join on (band, band_bits), never a
    * crossJoin. Scale cost is O(Σ bucket²) over 16-way-split buckets.
    */
-  def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      fingerprints: DataFrame,
+      maxHamming: Int = 3,
+      bits: Int = 16): DataFrame = {
     require(maxHamming <= 3, s"4-band pigeonhole covers hamming <= 3, got $maxHamming")
+    require(bits % 4 == 0, s"bits must split into 4 equal bands, got $bits")
+    val bandWidth = bits / 4
+    val bandMask = (1L << bandWidth) - 1
     val banded = fingerprints.select(col("doc"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b.toLong).as("band"),
-          shiftright(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("band_bits"))): _*))
+          shiftright(col("simhash"), bandWidth * b).bitwiseAND(lit(bandMask))
+            .as("band_bits"))): _*))
         .as("bb"))
       .select(col("doc"), col("simhash"), col("bb.band").as("band"),
         col("bb.band_bits").as("band_bits"))
@@ -274,7 +288,7 @@ object Dedup {
     // instead of a shuffle of every duplicated candidate.
     val diff = expr("h1 ^ h2")
     val firstMatchingBand = (0 until 4)
-      .map(j => (shiftright(diff, 4 * j).bitwiseAND(lit(15L)) =!= 0L, j))
+      .map(j => (shiftright(diff, bandWidth * j).bitwiseAND(lit(bandMask)) =!= 0L, j))
       .foldRight(lit(3L): Column) { case ((differs, j), tail) =>
         when(!differs, lit(j.toLong)).otherwise(tail)
       }

@@ -109,6 +109,18 @@ class DedupSpec extends SparkSpec {
     fp.values.foreach { v => v should be >= 0L; v should be < 65536L }
   }
 
+  test("simhash at 32 bits: identical docs collide, fingerprint < 2^32") {
+    val fp = Dedup.simhash(dupCorpus, bits = 32).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fp("a") shouldBe fp("b")
+    fp.values.foreach { v => v should be >= 0L; v should be < (1L << 32) }
+    // wider fingerprint separates the unrelated doc further than 16 bits
+    val pairs32 = Dedup.simhashPairs(Dedup.simhash(dupCorpus, bits = 32),
+      maxHamming = 0, bits = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    pairs32 should contain(("a", "b"))
+  }
+
   test("simhashPairs: exact dups at hamming 0") {
     val pairs = Dedup.simhashPairs(Dedup.simhash(dupCorpus), maxHamming = 0)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
