@@ -885,7 +885,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q21_multimodal_meta" ->
-      """SELECT doc_id AS asset_id, 'image' AS kind,
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY asset_id""".stripMargin,

@@ -39,15 +39,22 @@ object Multimodal {
    * for an encoded media payload. Real pipelines read payloads straight
    * from parquet binary columns — same schema, same plan shape.
    */
-  def assetsFromDocuments(docs: DataFrame): DataFrame =
+  def assetsFromDocuments(docs: DataFrame): DataFrame = {
+    val id = col("doc").cast("long")
+    // deterministic kind mix so every branch of the typed-metadata
+    // contract (and any per-kind dispatch) is exercised
+    val kind = when(id % 3 === 0, "image")
+      .when(id % 3 === 1, "audio")
+      .otherwise("video")
     docs.select(
-      col("doc").cast("long").as("asset_id"),
+      id.as("asset_id"),
       encode(col("line"), "UTF-8").as("payload"),
       struct(
-        lit("image").as("kind"),
+        kind.as("kind"),
         octet_length(encode(col("line"), "UTF-8")).cast("long").as("n_bytes"),
         lit("fake/utf8").as("codec")
       ).as("meta"))
+  }
 
   /** Output row of the (stubbed) decoder. */
   final case class DecodedFeatures(
@@ -89,6 +96,30 @@ object Multimodal {
           math.rint(mean * 1e6) / 1e6, hist.take(8).toSeq, hex)
       }
     }
+  }
+
+  /**
+   * Frame sampling with REAL binary plumbing (the codec boundary is the
+   * frame size, not the slicing): treat the payload as fixed-size frames
+   * and keep every `everyNth` one — a video pipeline's keyframe
+   * subsampling shape. Pure column expressions over BinaryType (codegen
+   * substring slicing, no UDF); a real container format would only
+   * change `frameBytes`/offsets, not the plan.
+   */
+  def frameSample(assets: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0)
+    val nFrames = ceil(col("meta.n_bytes") / lit(frameBytes.toDouble)).cast("long")
+    assets
+      .select(col("asset_id"), col("payload"), col("meta"), nFrames.as("n_frames"))
+      .select(col("asset_id"), col("payload"), col("meta"), col("n_frames"),
+        explode(sequence(lit(0L), greatest(col("n_frames") - 1, lit(0L)),
+          lit(everyNth.toLong))).as("frame_idx"))
+      .select(
+        col("asset_id"),
+        col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame_bytes"),
+        col("meta.kind").as("kind"))
   }
 
   /**

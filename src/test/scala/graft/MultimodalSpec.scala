@@ -31,6 +31,27 @@ class MultimodalSpec extends SparkSpec {
     ab.byte_hist_head(2) shouldBe 1L
   }
 
+  test("asset kinds follow the deterministic id mix") {
+    val kinds = assets.select(col("asset_id"), col("meta.kind")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    kinds(1L) shouldBe "audio" // 1 % 3
+    kinds(2L) shouldBe "video" // 2 % 3
+  }
+
+  test("frameSample slices fixed-size frames, keeping every nth") {
+    // payload "hello world" (11 bytes), 4-byte frames → 3 frames; nth=2
+    // keeps frames 0 and 2 ("hell", "orld" — last frame short)
+    val frames = Multimodal.frameSample(
+      assets.where(col("asset_id") === 2), frameBytes = 4, everyNth = 2)
+      .collect()
+      .map(r => r.getAs[Long]("frame_idx") ->
+        new String(r.getAs[Array[Byte]]("frame_bytes"), "UTF-8"))
+      .toMap
+    frames.keySet shouldBe Set(0L, 2L)
+    frames(0L) shouldBe "hell"
+    frames(2L) shouldBe "rld" // bytes 9..11 — substring truncates at end
+  }
+
   test("decodeStub is stable across repartitioning (partition-local only)") {
     val a = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id).toSeq
     val b = Multimodal.decodeStub(
