@@ -430,6 +430,11 @@ object SparkEntry {
     "q37_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), n = 3, k = 20)),
 
+    // Windowed co-occurrence + PMI (positional equi-join, bounded range).
+    "q39_cooccurrence_pmi" -> ((s, dir) =>
+      TextAnalysis.cooccurrencePmi(docs(s, dir), window = 2, minCount = 2)
+        .orderBy(col("t1"), col("t2"))),
+
     // ── Multimodal plumbing (metadata/schema surface; decode is a stub
     //    tested in ScalaTest — not SQL-expressible) ───────────────────────
     "q21_multimodal_meta" -> ((s, dir) =>
@@ -839,6 +844,29 @@ object SparkEntry {
       s"""WITH $ShingleCtes
          |SELECT shingle AS ngram, count(*) AS doc_freq FROM sh
          |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
+
+    "q39_cooccurrence_pmi" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, p, toks[p::INTEGER] AS term
+        |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
+        |pairs AS (
+        |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+        |tc AS (SELECT term, count(*) AS c FROM pos GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_tok FROM pos),
+        |np AS (SELECT count(*) AS n_pair FROM pairs),
+        |pc AS (SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
+        |SELECT t1, t2, cnt,
+        |       round(log10((cnt / n_pair) / ((x.c / n_tok) * (y.c / n_tok))), 6) AS pmi
+        |FROM pc JOIN tc x ON t1 = x.term JOIN tc y ON t2 = y.term
+        |CROSS JOIN nt CROSS JOIN np
+        |WHERE cnt >= 2
+        |ORDER BY t1, t2""".stripMargin,
 
     "q27_clean_corpus" ->
       """WITH keep AS (

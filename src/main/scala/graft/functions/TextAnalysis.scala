@@ -151,6 +151,45 @@ object TextAnalysis {
       length(col("line")).cast("long").as("n_chars"))
 
   /**
+   * Windowed token co-occurrence with PMI: pairs of tokens within
+   * `window` positions (canonicalized t1 ≤ t2),
+   * pmi = log10( (cnt/P) / ((c1/N)·(c2/N)) ) over corpus totals.
+   *
+   * Scale shape: the positional self-join is an equi-join on doc with a
+   * bounded range predicate — per-doc cost is length × window, never
+   * doc-count-quadratic; count totals join back as broadcasts (vocab- or
+   * 1-row-sized).
+   */
+  def cooccurrencePmi(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Int = 2): DataFrame = {
+    val positioned = docs
+      .select(col("doc"), posexplode(toks(col("line"))))
+      .toDF("doc", "pos", "term")
+    val x = positioned.select(col("doc"), col("pos").as("p1"), col("term").as("ta"))
+    val y = positioned.select(col("doc"), col("pos").as("p2"), col("term").as("tb"))
+    val pairs = x.join(y, Seq("doc"))
+      .where(col("p2") > col("p1") && col("p2") <= col("p1") + window)
+      .select(least(col("ta"), col("tb")).as("t1"),
+        greatest(col("ta"), col("tb")).as("t2"))
+    val termCounts = positioned.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTok = positioned.agg(count(lit(1)).as("n_tok"))
+    val nPair = pairs.agg(count(lit(1)).as("n_pair"))
+    pairs
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .join(broadcast(termCounts.select(col("term").as("t1"), col("c").as("c1"))), "t1")
+      .join(broadcast(termCounts.select(col("term").as("t2"), col("c").as("c2"))), "t2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPair))
+      .withColumn("pmi", round(
+        log10((col("cnt") / col("n_pair")) /
+          ((col("c1") / col("n_tok")) * (col("c2") / col("n_tok")))), 6))
+      .select(col("t1"), col("t2"), col("cnt"), col("pmi"))
+  }
+
+  /**
    * Whole-corpus statistics in one aggregate: document count, distinct
    * vocabulary size, total token count. `exact = false` swaps the
    * distinct counts for HyperLogLog `approx_count_distinct` (2% rsd) —

@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "q5_tfidf", "q5b_tfidf_window", "q6_search", "q7_rank", "q7b_tfidf_rank",
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
-    "q35_related_docs") // 1-row corpus-count crosses (numDocs + df cutoff)
+    "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
+    "q39_cooccurrence_pmi") // 1-row total-count crosses (N tokens, P pairs)
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"

@@ -46,6 +46,19 @@ class TextAnalysisSpec extends SparkSpec {
     row.getAs[Long]("n_chars") shouldBe 18L
   }
 
+  test("cooccurrencePmi matches a hand-computed fixture") {
+    // "a b a b": window-2 pairs (pos i<j, j-i<=2): ab, aa, ab, bb, ab
+    // → ab×3, aa×1, bb×1; N=4, c(a)=c(b)=2, P=5
+    val got = TextAnalysis.cooccurrencePmi(corpus("d" -> "a b a b"),
+      window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("pmi"))).toMap
+    got(("a", "b"))._1 shouldBe 3L
+    got(("a", "b"))._2 shouldBe math.log10((3.0 / 5) / (0.5 * 0.5)) +- 1e-6
+    got(("a", "a"))._1 shouldBe 1L
+    got(("b", "b"))._1 shouldBe 1L
+  }
+
   test("corpusStats: exact counts; approx within HLL tolerance") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
