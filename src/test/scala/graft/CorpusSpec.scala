@@ -26,6 +26,22 @@ class CorpusSpec extends SparkSpec {
     df.count() shouldBe 500L
   }
 
+  test("multi-line files: one row per line, same doc id, counts aggregate") {
+    // reference semantics: the mapper tokenizes each LINE separately but
+    // keys by file basename (DocWordCount.java:54), so counts for a term
+    // spanning lines of one file aggregate
+    val dir = Files.createTempDirectory("graft-multiline")
+    Files.writeString(dir.resolve("m.txt"), "alpha beta\nbeta gamma\n")
+    val df = Corpus.textDir(spark, dir.toString)
+    df.count() shouldBe 2L // one row per line
+    val counts = graft.operators.TfIdf
+      .docWordCount(graft.operators.TfIdf.tokenize(df))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    counts("beta") shouldBe 2L // aggregated across both lines
+    counts("alpha") shouldBe 1L
+    counts("gamma") shouldBe 1L
+  }
+
   test("documentsJsonl reads one object per line with explicit schema") {
     val dir = Files.createTempDirectory("graft-jsonl")
     Files.writeString(dir.resolve("docs.jsonl"),
