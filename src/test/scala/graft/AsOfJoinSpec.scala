@@ -15,7 +15,7 @@ class AsOfJoinSpec extends SparkSpec {
       (p.productElement(0).asInstanceOf[Long],
         Timestamp.valueOf(p.productElement(1).asInstanceOf[String]),
         p.productElement(2).asInstanceOf[Double])
-    }.toDF(cols.split(","): _*)
+    }.toDF(cols.split(",").toIndexedSeq: _*)
   }
 
   private val left = df("k,ts,x",
