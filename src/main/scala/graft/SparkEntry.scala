@@ -307,6 +307,17 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))),
 
+    // Incremental exact dedup: second corpus half anti-joined against
+    // the first half's fingerprints (the daily-increment path).
+    "q40_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactDedupAgainst(
+          d.where(col("doc") >= 250),
+          d.where(col("doc") < 250).select(md5(col("line")).as("fp")))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Production near-dup dedup: min-label over LSH buckets, no pair
     // materialization (survivor list).
     "q28_minhash_dedup" -> ((s, dir) =>
@@ -625,6 +636,12 @@ object SparkEntry {
          |FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
          |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.0
          |ORDER BY d1, d2""".stripMargin,
+
+    "q40_dedup_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id >= 250
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
 
     "q28_minhash_dedup" ->
       s"""WITH $ShingleCtes,

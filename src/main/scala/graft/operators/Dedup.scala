@@ -18,10 +18,9 @@ import org.apache.spark.sql.functions._
  *    minima of a two-seed universal hash family sliced from ONE md5 per
  *    shingle — deterministic and engine-portable (no JVM-specific hashing
  *    in the contract surface), computed in a single groupBy(doc) pass.
- *  - SimHash is one pass: per-(doc,term) counts → 16 conditional sums →
- *    a 16-bit fingerprint; Hamming-ball pairing on fingerprints is a
- *    bucket join on the fingerprint itself (exact-collision tier) or on
- *    rotated sub-keys (near tier).
+ *  - SimHash is one pass: per-(doc,term) counts → width-parameterized
+ *    conditional sums → a 16/32-bit fingerprint; Hamming-ball pairing is
+ *    a 4-band sub-key equi-join (pigeonhole-exact for hamming ≤ 3).
  *  - n-gram Jaccard is the exact (verification) tier: shingle join +
  *    group-count; only ever run on candidate pairs at scale.
  */
@@ -66,6 +65,19 @@ object Dedup {
     val w = Window.partitionBy(md5(col("line"))).orderBy(col("doc"))
     docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
+
+  /**
+   * Incremental exact dedup — the daily-increment path: drop new docs
+   * whose payload fingerprint already exists in `seenFps` (a single
+   * `fp` column of md5 hex, e.g. persisted from `exactGroups`). A hash
+   * anti-join on the 32-byte key: broadcastable when the seen set is a
+   * day's delta, shuffle-partitioned when it is the full history. Note
+   * this does NOT dedup `newDocs` against itself — compose with
+   * `exactDedup` first when the increment may carry internal dups.
+   */
+  def exactDedupAgainst(newDocs: DataFrame, seenFps: DataFrame): DataFrame =
+    newDocs.join(seenFps.select(col("fp")),
+      md5(col("line")) === col("fp"), "left_anti")
 
   /** Modulus for the k-min hash family — smallest prime > 2^32, so the
     * mixed values stay well inside a signed 64-bit long. */

@@ -63,6 +63,15 @@ class DedupSpec extends SparkSpec {
     all(pairs.toSeq.flatMap(p => Seq(p._1, p._2))) should not be "d"
   }
 
+  test("exactDedupAgainst drops only payloads already in the seen set") {
+    val seen = Dedup.exactGroups(corpus("old" -> "known payload"))
+      .select("fp")
+    val kept = Dedup.exactDedupAgainst(
+      corpus("n1" -> "known payload", "n2" -> "fresh payload"), seen)
+      .select("doc").collect().map(_.getString(0)).toSet
+    kept shouldBe Set("n2")
+  }
+
   test("minhashDedup keeps the smallest doc per candidate cluster") {
     val kept = Dedup.minhashDedup(dupCorpus)
       .select("doc").collect().map(_.getString(0)).toSet
