@@ -80,4 +80,25 @@ object Corpus {
   /** Engine-native sink. */
   def writeParquet(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").parquet(out)
+
+  /**
+   * Bucketed + sorted parquet table via the session catalog: data is
+   * hash-partitioned into `numBuckets` files per partition on
+   * `bucketCols` at WRITE time, so every later equi-join or aggregation
+   * on those keys between same-bucketed tables runs WITHOUT a shuffle
+   * (and without a sort, thanks to sortBy) — the co-located-join
+   * strategy for tables that are joined repeatedly at 100 TB. Read back
+   * with `spark.table(name)`.
+   */
+  def writeBucketedTable(
+      df: DataFrame,
+      name: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
 }

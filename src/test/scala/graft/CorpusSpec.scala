@@ -63,6 +63,26 @@ class CorpusSpec extends SparkSpec {
       Seq("c1", "hello world"), Seq("c2", "spark stream"))
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 100L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "rv")
+    Corpus.writeBucketedTable(left, "graft_bkt_l", Seq("k"), numBuckets = 4)
+    Corpus.writeBucketedTable(right, "graft_bkt_r", Seq("k"), numBuckets = 4)
+    // force the shuffle-join path (tiny test tables would auto-broadcast,
+    // which bypasses bucketed reading entirely) to show bucketing removes
+    // the exchanges a sort-merge join would otherwise need
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_l").join(spark.table("graft_bkt_r"), "k")
+      joined.count() shouldBe 100L
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) { plan should not include "Exchange" }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writeTabText emits key<TAB>value lines") {
     val out = Files.createTempDirectory("graft-sink").toString + "/out"
     Corpus.writeTabText(corpus("d1" -> "x"), "doc", "line", out)
