@@ -494,6 +494,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Funnel / time-to-conversion: each click forward-as-of-joined to the
+    // user's next purchase (−1 = never converts).
+    "q41_events_funnel" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")).distinct()
+        .withColumn("p_ts", col("ts"))
+      graft.operators.AsOfJoin
+        .asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          as = "next_purchase_ts", forward = true)
+        .withColumn("secs_to_purchase",
+          coalesce(
+            expr("(unix_micros(next_purchase_ts) - unix_micros(ts)) div 1000000"),
+            lit(-1L)))
+        .select(col("event_id"), col("user_id"), col("ts"), col("secs_to_purchase"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Whole-corpus stats (exact multi-distinct; approx variant is the
     // scale path, tested in TextAnalysisSpec).
     "q31_corpus_stats" -> ((s, dir) =>
@@ -995,6 +1015,17 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN snap s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
+
+    "q41_events_funnel" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       coalesce((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000, -1)
+        |         AS secs_to_purchase
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
 
     "q31_corpus_stats" ->
       s"""WITH $TokCte

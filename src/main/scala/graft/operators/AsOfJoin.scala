@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /**
-   * @param left   any shape carrying `keys` + `tsCol`
-   * @param right  (keys, tsCol, valCol) — unique per (keys, tsCol)
-   * @param as     output column name for the as-of value (null when no
-   *               right row precedes the left row)
+   * @param left    any shape carrying `keys` + `tsCol`
+   * @param right   (keys, tsCol, valCol) — unique per (keys, tsCol)
+   * @param as      output column name for the as-of value (null when no
+   *                right row matches on the chosen side)
+   * @param forward false (default): LATEST right with ts ≤ left.ts —
+   *                "most recent prior snapshot". true: EARLIEST right
+   *                with ts ≥ left.ts — "next event after", the funnel /
+   *                time-to-conversion primitive. Same single-shuffle
+   *                union+window plan either way (forward just reverses
+   *                the traversal order).
    * @return left's columns + `as`
    */
   def asOfJoin(
@@ -36,7 +42,8 @@ object AsOfJoin {
       keys: Seq[String],
       tsCol: String,
       valCol: String,
-      as: String = "asof_value"): DataFrame = {
+      as: String = "asof_value",
+      forward: Boolean = false): DataFrame = {
     require(!left.columns.contains(as), s"left already has a '$as' column")
     val valType = right.schema(valCol).dataType
     val lTagged = left
@@ -47,9 +54,10 @@ object AsOfJoin {
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++ Seq(lit(1).as("_is_right"), col(valCol).cast(valType).as("_rv")): _*)
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_is_right").desc)
+      .orderBy(tsOrder, col("_is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn(as, last(col("_rv"), ignoreNulls = true).over(w))

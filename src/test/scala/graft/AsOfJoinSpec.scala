@@ -47,6 +47,19 @@ class AsOfJoinSpec extends SparkSpec {
     got.getAs[Double]("asof_value") shouldBe 20.0
   }
 
+  test("forward asOfJoin picks the earliest right row at or after left ts") {
+    val got = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "v", forward = true)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Timestamp]("ts").toString,
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)))
+      .toSet
+    got shouldBe Set(
+      (1L, "2024-01-01 00:05:00.0", Some(20.0)), // next right at 00:10
+      (1L, "2024-01-01 00:20:00.0", None),       // nothing after
+      (1L, "2024-01-01 00:00:00.0", Some(10.0)), // next right at 00:03
+      (2L, "2024-01-01 00:30:00.0", None))
+  }
+
   test("asOfJoin preserves left row count and columns") {
     val out = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "v")
     out.count() shouldBe 4L
