@@ -35,6 +35,26 @@ object StreamingOps {
     TfIdf.docWordCount(TfIdf.tokenize(docs))
 
   /**
+   * Streaming windowed term counts over a (doc, line, ts) stream:
+   * tumbling-window counts with the reference tokenizer, watermark-
+   * bounded state, append-mode safe (each window emits once, when the
+   * watermark closes it) — the term-trend twin of the complete-mode
+   * running `termCounts`.
+   */
+  def windowedTermCounts(
+      docs: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(split(col("line"), TfIdf.TokenPattern)).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(window(col("ts"), windowDuration), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("term"), col("cnt"))
+
+  /**
    * Streaming exact dedup over a (doc, line, ts) stream: first arrival of
    * each payload fingerprint passes, later duplicates are dropped. State
    * is the fingerprint set bounded by the watermark

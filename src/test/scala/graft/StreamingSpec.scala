@@ -60,6 +60,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedTermCounts emits closed windows in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc", "line", "ts")
+
+    val q = StreamingOps.windowedTermCounts(docs,
+      windowDuration = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wtc").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("a", "spark spark flame", Timestamp.valueOf("2024-01-01 10:05:00")),
+        ("b", "spark", Timestamp.valueOf("2024-01-01 10:45:00")))
+      q.processAllAvailable()
+      // advance the watermark past hour 10 to close and append its window
+      input.addData(("c", "later", Timestamp.valueOf("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("wtc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      got(("2024-01-01 10:00:00.0", "spark")) shouldBe 3L
+      got(("2024-01-01 10:00:00.0", "flame")) shouldBe 1L
+    } finally q.stop()
+  }
+
   test("streaming dedupExact drops payload duplicates within the watermark") {
     val s = spark
     import s.implicits._
