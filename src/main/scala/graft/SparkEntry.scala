@@ -390,6 +390,14 @@ object SparkEntry {
         .orderBy(col("q_vec_id"), col("rnk"))
     }),
 
+    // Int8 embedding quantization (exploded per-dim for scalar compare).
+    "q42_embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
+        .select(col("vec_id"), round(col("minv"), 6).as("minv"),
+          round(col("scale"), 6).as("scale"), posexplode(col("q")))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "qv")
+        .orderBy(col("vec_id"), col("dim"))),
+
     // ── Text-analysis tier ──────────────────────────────────────────────
 
     "q17_lang_id" -> ((s, dir) =>
@@ -797,6 +805,21 @@ object SparkEntry {
         |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))
         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "q42_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings WHERE vec_id < 20),
+        |m AS (SELECT vec_id, emb, list_min(emb) AS mn,
+        |             (list_max(emb) - list_min(emb)) / 255.0 AS sc
+        |      FROM e)
+        |SELECT vec_id, round(mn, 6) AS minv, round(sc, 6) AS scale,
+        |       (p - 1)::INTEGER AS dim,
+        |       CASE WHEN sc = 0 THEN 0
+        |            ELSE least(greatest(
+        |                   floor((emb[p::INTEGER] - mn) / sc + 0.5), 0), 255)
+        |       END::INTEGER AS qv
+        |FROM m, unnest(range(1, len(emb) + 1)) r(p)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q17_lang_id" ->
       s"""WITH t AS (

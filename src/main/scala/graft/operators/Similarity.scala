@@ -80,6 +80,32 @@ object Similarity {
       .select(col("a_vec_id").as("d1"), col("b_vec_id").as("d2"), col("cos"))
   }
 
+  /**
+   * Per-vector int8 quantization — the storage/bandwidth lever for
+   * 100 TB embedding tables: scale = (max − min)/255,
+   * q_i = clamp(⌊(x_i − min)/scale + 0.5⌋, 0, 255), reconstruction
+   * x̂_i = min + q_i·scale (error ≤ scale/2 per dimension). Quantized
+   * vectors drive the cheap candidate stages (bucketing, coarse scoring)
+   * at 4× less memory; exact re-ranks stay on the fp column. Constant
+   * vectors (scale 0) quantize to all-zeros. Pure codegen column
+   * expressions — map-only, deterministic, engine-portable (explicit
+   * +0.5-then-floor instead of engine-specific rounding modes).
+   */
+  def quantizeInt8(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("minv", array_min(col("emb")))
+      .withColumn("scale", (array_max(col("emb")) - col("minv")) / lit(255.0))
+      .withColumn("q",
+        when(col("scale") === 0, transform(col("emb"), _ => lit(0)))
+          .otherwise(transform(col("emb"), x =>
+            least(greatest(floor((x - col("minv")) / col("scale") + lit(0.5)),
+              lit(0.0)), lit(255.0)).cast("int"))))
+
+  /** Reconstruction of a quantized vector: x̂_i = min + q_i·scale. */
+  def dequantizeInt8(quantized: DataFrame): DataFrame =
+    quantized.withColumn("emb_approx",
+      transform(col("q"), qi => col("minv") + qi * col("scale")))
+
   /** Hyperplane directions support vectors up to this dimension; the dot
     * product truncates to the embedding's actual length. */
   val MaxDim = 1024

@@ -99,6 +99,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: values in [0,255], reconstruction error <= scale/2") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 50)
+    val rows = Similarity.dequantizeInt8(Similarity.quantizeInt8(e)).collect()
+    rows.foreach { r =>
+      val emb = r.getAs[scala.collection.Seq[Double]]("emb")
+      val q = r.getAs[scala.collection.Seq[Int]]("q")
+      val approx = r.getAs[scala.collection.Seq[Double]]("emb_approx")
+      val scale = r.getAs[Double]("scale")
+      q.foreach { v => v should be >= 0; v should be <= 255 }
+      emb.zip(approx).foreach { case (x, xa) =>
+        math.abs(x - xa) should be <= (scale / 2 + 1e-9)
+      }
+    }
+  }
+
   test("real embeddings: top-1 neighbor is symmetric-consistent at small k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val top = Similarity.cosineTopK(e, e.where(col("vec_id") < 3), k = 5)
