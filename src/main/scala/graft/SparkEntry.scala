@@ -476,6 +476,11 @@ object SparkEntry {
       Events.sessionize(events(s, dir), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // Exact per-type value quantiles (quantile_cont semantics).
+    "q43_events_quantiles" -> ((s, dir) =>
+      Events.valueQuantiles(events(s, dir))
+        .orderBy(col("event_type"))),
+
     // ROLLUP grouping sets: cell + per-type subtotal + grand total, 1 pass.
     "q29_events_rollup" -> ((s, dir) =>
       Events.typeHourRollup(events(s, dir))
@@ -1012,6 +1017,13 @@ object SparkEntry {
         |  max(ts) AS session_end, count(*) AS n_events,
         |  round(sum(value), 6) AS value_sum
         |FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    "q43_events_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q29_events_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -67,6 +67,22 @@ object Events {
   }
 
   /**
+   * Exact per-type value quantiles (linear interpolation at rank
+   * (n−1)·p — the same definition as DuckDB's quantile_cont). Exact
+   * quantiles buffer each group's values; at 100 TB prefer
+   * `percentile_approx` (t-digest sketch, mergeable map-side) unless the
+   * consumer needs exactness — this operator is the oracle-able tier.
+   */
+  def valueQuantiles(
+      events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val aggs = ps.map { p =>
+      round(expr(s"percentile(value, $p)"), 6).as(s"p${math.round(p * 100)}")
+    }
+    events.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Sessionization (batch): a session breaks after `gapMinutes` of user
    * inactivity. Window lag + running sum of break flags — one shuffle on
    * user_id. (Streaming variant: flatMapGroupsWithState, graft.streaming.)

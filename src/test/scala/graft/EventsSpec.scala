@@ -36,6 +36,17 @@ class EventsSpec extends SparkSpec {
     row.getAs[Double]("k_avg") shouldBe 15.0 +- 1e-9
   }
 
+  test("valueQuantiles interpolates at rank (n-1)p") {
+    // values 1,2,3,10: p50 = 2.5, p90 = 3 + 0.7*(10-3) = 7.9
+    val row = Events.valueQuantiles(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 00:01:00", 1L, "a", 2.0),
+      (3L, "2024-01-01 00:02:00", 1L, "a", 3.0),
+      (4L, "2024-01-01 00:03:00", 1L, "a", 10.0)), ps = Seq(0.5, 0.9)).head()
+    row.getAs[Double]("p50") shouldBe 2.5 +- 1e-9
+    row.getAs[Double]("p90") shouldBe 7.9 +- 1e-9
+  }
+
   test("typeHourRollup emits cell, subtotal and grand-total rows") {
     val got = Events.typeHourRollup(ev(
       (1L, "2024-01-01 10:15:00", 1L, "click", 1.0),
