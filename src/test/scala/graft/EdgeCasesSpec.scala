@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators._
+
+/** Degenerate-input sweep: empty corpora, single documents, and absent
+  * query terms must flow through every tier as empty (or singleton)
+  * results — never as exceptions. */
+class EdgeCasesSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame = corpus()
+  private def oneDoc: DataFrame = corpus("only" -> "a single document here")
+
+  test("tfidf pipeline on an empty corpus yields no rows") {
+    TfIdf.tfidf(emptyDocs).count() shouldBe 0L
+    Search.search(emptyDocs, "anything").count() shouldBe 0L
+    Rank.rank(Search.search(emptyDocs, "anything")).count() shouldBe 0L
+  }
+
+  test("dedup tiers on empty and single-doc corpora yield no pairs") {
+    Dedup.exactGroups(emptyDocs).count() shouldBe 0L
+    Dedup.minhashNearDups(emptyDocs).count() shouldBe 0L
+    Dedup.minhashDedup(emptyDocs).count() shouldBe 0L
+    Dedup.simhashPairs(Dedup.simhash(emptyDocs)).count() shouldBe 0L
+    Dedup.minhashNearDups(oneDoc).count() shouldBe 0L
+    Dedup.simhashPairs(Dedup.simhash(oneDoc)).count() shouldBe 0L
+    Dedup.minhashDedup(oneDoc).count() shouldBe 1L // sole doc survives
+  }
+
+  test("search for absent terms yields no hits") {
+    Search.search(oneDoc, "absent missing").count() shouldBe 0L
+  }
+
+  test("text analysis of empty corpus yields no rows; cleanCorpus too") {
+    TextAnalysis.langId(emptyDocs).count() shouldBe 0L
+    TextAnalysis.qualityScore(emptyDocs).count() shouldBe 0L
+    Pipeline.cleanCorpus(emptyDocs, Seq("en"), 0.0).count() shouldBe 0L
+    TextAnalysis.topNgrams(emptyDocs).count() shouldBe 0L
+    TextAnalysis.cooccurrencePmi(emptyDocs, minCount = 1).count() shouldBe 0L
+  }
+
+  test("corpusStats on an empty corpus is a single zero row") {
+    val row = TextAnalysis.corpusStats(emptyDocs).head()
+    row.getAs[Long]("n_docs") shouldBe 0L
+    row.getAs[Long]("total_tokens") shouldBe 0L
+  }
+
+  test("similarity ops with empty query/corpus sides yield no rows") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val one = Seq(1L -> Seq(1f, 0f)).toDF("vec_id", "embedding")
+    Similarity.cosineTopK(one, empty, k = 5).count() shouldBe 0L
+    Similarity.cosineTopK(empty, one, k = 5).count() shouldBe 0L
+    Similarity.nearDupPairs(one, 0.5).count() shouldBe 0L
+    Similarity.lshNearDupPairs(one, 0.5).count() shouldBe 0L
+    Similarity.ivfCosineTopK(one, one, k = 5, stride = 1).count() shouldBe 0L
+  }
+
+  test("as-of and range joins with empty right sides keep/drop correctly") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, new java.sql.Timestamp(1000L))).toDF("k", "ts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "ts", "v")
+    val asOf = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "v")
+    asOf.count() shouldBe 1L // left preserved
+    asOf.where(col("asof_value").isNull).count() shouldBe 1L
+    val pts = Seq((1L, 5.0)).toDF("pid", "v")
+    val ivs = Seq.empty[(Long, Double, Double)].toDF("iid", "lo", "hi")
+    RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi", 1.0).count() shouldBe 0L
+  }
+}
