@@ -34,10 +34,14 @@ object DocSimilarity {
     val scored = TfIdf.tfidf(docs, numDocs)
       .select(col("term"), col("doc"), round(col("tfidf"), 6).as("w"), col("df"))
     val n = docs.agg(countDistinct(col("doc")).as("_nd"))
+    // persisted: the pruned index feeds THREE sub-plans (norms + both
+    // sides of the term join); without it each copy re-expands the whole
+    // tfidf lineage (≈3 corpus scans per copy)
     val pruned = scored
       .crossJoin(broadcast(n))
       .where(col("df") <= col("_nd") * maxDfFraction)
       .select(col("term"), col("doc"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = pruned.groupBy(col("doc"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val a = pruned.select(col("term"), col("doc").as("d1"), col("w").as("w1"))
