@@ -117,6 +117,16 @@ class CliSpec extends SparkSpec {
       ((1 + math.log10(2)) * math.log10(3)).toString)
   }
 
+  test("DocWordCountMain accepts a parquet documents path") {
+    val out = tmp("dwcparquet")
+    Drivers.DocWordCountMain.main(
+      Array("/root/testdata/sf0.001/documents.parquet", out))
+    val lines = readLines(out)
+    lines.size should be > 1000
+    // composite key format holds on the parquet path too
+    all(lines) should include("#####")
+  }
+
   test("TFIDFRankMain: all (term,doc) scores descending") {
     val out = tmp("tfidfrank")
     Drivers.TFIDFRankMain.main(Array(corpusDir, out))
