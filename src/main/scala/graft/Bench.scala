@@ -35,7 +35,12 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // operators that persist internal frames (LSH candidates, pruned
+      // indexes) would otherwise accumulate cached RDDs across the
+      // repeated runs and skew later queries' memory
+      spark.catalog.clearCache()
+      sec
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

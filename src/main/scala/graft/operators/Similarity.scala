@@ -146,6 +146,12 @@ object Similarity {
    * p = 1 − acos(s)/π — the multi-table OR keeps recall high for true
    * near-dups while never forming the O(n²) pair space: each table's
    * self-join shuffles on (t, bucket) and costs O(Σ bucket²).
+   *
+   * SIZE `bits` WITH THE CORPUS: candidate volume ≈ tables · n²/2^bits,
+   * so keep 2^bits ≳ n / (desired bucket size ~1000). Measured on this
+   * container at 20k vectors: bits=4 (16 buckets) degrades to ~100 M
+   * candidates / 110 s; bits=8 runs in 14.5 s with near-dup recall
+   * intact (identical vectors always share every bucket).
    */
   def lshNearDupPairs(
       corpus: DataFrame,
