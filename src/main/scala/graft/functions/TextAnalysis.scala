@@ -16,99 +16,64 @@ object TextAnalysis {
 
   /** Tiny per-language stopword marker lists for the n-gram/stopword
     * language-ID heuristic. Deliberately small and fixed: the heuristic's
-    * contract is determinism, not linguistic accuracy. */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
-    "es" -> Seq("el", "la", "de", "los", "y", "es", "en"),
-    "fr" -> Seq("le", "la", "les", "et", "en", "est", "un")
-  )
+    * contract is determinism, not linguistic accuracy. Single source of
+    * truth lives next to the native kernel that scans for them. */
+  val LangMarkers: Seq[(String, Seq[String])] =
+    org.apache.spark.sql.graft.TextStatsKernel.LangMarkers
 
   private def toks(line: Column): Column =
     filter(split(line, "\\s+"), t => length(t) > 0)
 
-  /** Union pattern over ALL language markers, with zero-width token
-    * boundaries — one regex scan of the text finds every marker
-    * occurrence (the stopword list is exactly this union). */
-  private val MarkerPattern: String =
-    LangMarkers.flatMap(_._2).distinct.mkString("(?<=^|\\s)(", "|", ")(?=\\s|$)")
-
-  /** All marker-token occurrences in the line (small array — marker
-    * density is a few per document). ONE full-text scan serves every
-    * per-language count and the stopword ratio; materialize it as a
-    * column and feed `langPredFromMatches`/`qualityScoreFromMatches`. */
-  def markerMatches(line: Column): Column =
-    regexp_extract_all(line, lit(MarkerPattern), lit(1))
-
-  /** Occurrences of any `words` member as a whitespace-delimited token:
-    * filter the (tiny) marker-match array instead of rescanning the full
-    * text — semantically identical to filtering the whitespace token
-    * array with isin (verified per-occurrence, incl. adjacent tokens
-    * sharing one space). */
-  private def hitCountIn(matches: Column, words: Seq[String]): Column =
-    size(filter(matches, m => m.isin(words.map(lit): _*)))
-
-  private def hitCount(line: Column, words: Seq[String]): Column =
-    hitCountIn(markerMatches(line), words)
+  /**
+   * One-pass stats struct (n_tokens, n_distinct, sum_tok_len, stop_hits,
+   * hits_en/de/es/fr) via the native `TextStats` kernel
+   * (org.apache.spark.sql.graft) — ONE scan of the string serves every
+   * language count plus the quality metrics; the built-in routes
+   * (per-metric HOF filters / regex scans) re-read the text five-to-
+   * eight times. Materialize it as a column and feed
+   * `langPredFromStats`/`qualityScoreFromStats`.
+   */
+  def textStatsCol(line: Column): Column =
+    org.apache.spark.sql.graft.TextStatsFunctions.textStats(line)
 
   /** Language-ID argmax (hits desc, lang asc tie-break; zero hits ⇒
-    * "und") over a pre-materialized marker-match array. Compose with a
-    * `markerMatches` column so the text is regex-scanned ONCE — lambda
-    * HOF subtrees are excluded from common-subexpression elimination, so
-    * inlining the scan here would repeat it per language. */
-  def langPredFromMatches(matches: Column): Column = {
-    val best = array_sort(array(LangMarkers.map { case (lang, words) =>
-      struct((-hitCountIn(matches, words)).as("neg"), lit(lang).as("lang"))
+    * "und") over a pre-materialized stats struct. */
+  def langPredFromStats(st: Column): Column = {
+    val best = array_sort(array(LangMarkers.map { case (lang, _) =>
+      struct((-st.getField(s"hits_$lang")).as("neg"), lit(lang).as("lang"))
     }: _*)).getItem(0)
     when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
-  /** Column form of the language-ID argmax straight from the text — use
-    * only standalone; inside a pipeline prefer `markerMatches` +
-    * `langPredFromMatches` (single scan). */
+  /** Column form of the language-ID argmax straight from the text. */
   def langPredCol(line: Column): Column =
-    langPredFromMatches(markerMatches(line))
+    langPredFromStats(textStatsCol(line))
 
   /**
    * Language-ID: argmax of per-language marker-token hits, deterministic
    * tie-break on language code order; no hits at all ⇒ "und".
    * Output: doc, lang_pred, plus one hit-count column per language.
    */
-  def langId(docs: DataFrame): DataFrame = {
-    // materialize the marker matches ONCE (one regex scan), then count
-    // per language over the tiny array
-    val withM = docs.withColumn("_mm", markerMatches(col("line")))
-    val withHits = LangMarkers.foldLeft(withM) { case (df, (lang, words)) =>
-      df.withColumn(s"hits_$lang", hitCountIn(col("_mm"), words).cast("long"))
-    }
-    // argmax over the ALREADY-computed hits columns (one regex pass per
-    // language total — langPredCol would recompute them from the line)
-    val best = array_sort(array(LangMarkers.map { case (lang, _) =>
-      struct((-col(s"hits_$lang")).as("neg"), lit(lang).as("lang"))
-    }: _*)).getItem(0)
-    withHits
-      .withColumn("lang_pred",
-        when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang")))
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_st", textStatsCol(col("line")))
+      .withColumn("lang_pred", langPredFromStats(col("_st")))
       .select(col("doc") +: col("lang_pred") +:
-        LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
-  }
+        LangMarkers.map { case (l, _) => col(s"_st.hits_$l").as(s"hits_$l") }: _*)
 
   /**
-   * Quality metrics: token count, distinct-token ratio, mean token length,
-   * stopword ratio, and a composite score in [0, 1] (each factor clamped).
-   * The score formula is the engine's own (the reference has nothing
-   * comparable) — chosen to be monotone in "looks like real prose".
+   * Composite quality score from a pre-materialized stats struct: token
+   * count, distinct-token ratio, and stopword ratio, each clamped into
+   * [0, 1] (stopword ratio pre-rounded to 6, matching the metric column
+   * `qualityScore` emits). The formula is the engine's own (the
+   * reference has nothing comparable) — monotone in "looks like real
+   * prose".
    */
-
-  /** Composite quality score from the text plus a pre-materialized
-    * marker-match array (identical formula to `qualityScore`'s output
-    * column, including the pre-rounded stopword ratio). */
-  def qualityScoreFromMatches(line: Column, matches: Column): Column = {
-    val t = toks(line)
-    val nTokens = size(t).cast("long")
-    val nDistinct = size(array_distinct(t)).cast("long")
-    val stopRatio = round(size(matches).cast("double") /
-      greatest(size(t), lit(1)), 6)
+  def qualityScoreFromStats(st: Column): Column = {
+    val nTokens = st.getField("n_tokens")
+    val nDistinct = st.getField("n_distinct")
+    val stopRatio = round(
+      st.getField("stop_hits").cast("double") / greatest(nTokens, lit(1)), 6)
     round(
       least(nTokens / lit(50.0), lit(1.0)) * lit(0.4) +
         (nDistinct / greatest(nTokens, lit(1))) * lit(0.4) +
@@ -116,27 +81,23 @@ object TextAnalysis {
       6)
   }
 
-  /** Column form straight from the text — standalone use; in a pipeline
-    * prefer `markerMatches` + `qualityScoreFromMatches` (single scan). */
+  /** Column form straight from the text. */
   def qualityScoreCol(line: Column): Column =
-    qualityScoreFromMatches(line, markerMatches(line))
+    qualityScoreFromStats(textStatsCol(line))
 
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val t = toks(col("line"))
+  def qualityScore(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_mm", markerMatches(col("line")))
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+      .withColumn("_st", textStatsCol(col("line")))
+      .withColumn("n_tokens", col("_st.n_tokens"))
+      .withColumn("n_distinct", col("_st.n_distinct"))
       .withColumn("mean_tok_len",
-        round(aggregate(t, lit(0.0), (acc, x) => acc + length(x)) /
-          greatest(size(t), lit(1)), 6))
+        round(col("_st.sum_tok_len") / greatest(col("_st.n_tokens"), lit(1)), 6))
       .withColumn("stopword_ratio",
-        round(size(col("_mm")).cast("double") / greatest(size(t), lit(1)), 6))
-      .withColumn("quality_score",
-        qualityScoreFromMatches(col("line"), col("_mm")))
+        round(col("_st.stop_hits").cast("double") /
+          greatest(col("_st.n_tokens"), lit(1)), 6))
+      .withColumn("quality_score", qualityScoreFromStats(col("_st")))
       .select(col("doc"), col("n_tokens"), col("n_distinct"),
         col("mean_tok_len"), col("stopword_ratio"), col("quality_score"))
-  }
 
   /**
    * Token counting: whitespace tokens, a BPE-ish subword count (greedy

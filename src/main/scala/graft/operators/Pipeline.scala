@@ -28,15 +28,14 @@ object Pipeline {
       langs: Seq[String],
       minQuality: Double): DataFrame =
     Dedup.exactDedup(docs)
-      // marker matches materialized once: one regex scan serves both the
-      // language argmax and the stopword factor of the quality score
-      .withColumn("_mm", TextAnalysis.markerMatches(col("line")))
-      .withColumn("lang_pred", TextAnalysis.langPredFromMatches(col("_mm")))
-      .withColumn("quality_score",
-        TextAnalysis.qualityScoreFromMatches(col("line"), col("_mm")))
+      // the stats struct is materialized once: ONE kernel scan serves
+      // both the language argmax and every quality factor
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .withColumn("lang_pred", TextAnalysis.langPredFromStats(col("_st")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreFromStats(col("_st")))
       .where(col("lang_pred").isin(langs: _*) &&
         col("quality_score") >= minQuality)
-      .drop("_mm")
+      .drop("_st")
 
   /**
    * Deterministic hash sampling — the reproducible train/holdout split

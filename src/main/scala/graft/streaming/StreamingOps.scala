@@ -85,13 +85,12 @@ object StreamingOps {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.functions.TextAnalysis
     dedupExact(docs, watermarkDelay)
-      .withColumn("_mm", TextAnalysis.markerMatches(col("line")))
-      .withColumn("lang_pred", TextAnalysis.langPredFromMatches(col("_mm")))
-      .withColumn("quality_score",
-        TextAnalysis.qualityScoreFromMatches(col("line"), col("_mm")))
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .withColumn("lang_pred", TextAnalysis.langPredFromStats(col("_st")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreFromStats(col("_st")))
       .where(col("lang_pred").isin(langs: _*) &&
         col("quality_score") >= minQuality)
-      .drop("_mm")
+      .drop("_st")
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
