@@ -50,6 +50,15 @@ object GraftExtensions {
           s"graft_word_shingles takes 2 arguments, got ${args.length}")
         WordShingles(args.head, intArg(args(1), "graft_word_shingles"))
       }
+    ),
+    (
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      { args =>
+        require(args.length == 1,
+          s"graft_text_stats takes 1 argument, got ${args.length}")
+        TextStats(args.head)
+      }
     )
   )
 
