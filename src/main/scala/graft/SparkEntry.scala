@@ -79,13 +79,13 @@ object SparkEntry {
       |    FROM documents) WHERE term <> ''
       |)""".stripMargin
 
-  /** Word-3-gram shingle CTEs (dedup tier). Distinct shingles per doc +
-    * per-doc shingle counts. */
-  private val ShingleCtes =
-    """tokl AS (
+  /** Word-3-gram shingle CTEs (dedup tier) over a given source relation.
+    * Distinct shingles per doc + per-doc shingle counts. */
+  private def shingleCtesFrom(src: String): String =
+    s"""tokl AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-      |  FROM documents),
+      |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+      |  FROM $src),
       |sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
@@ -93,6 +93,48 @@ object SparkEntry {
       |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
       |    FROM tokl)),
       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  private val ShingleCtes = shingleCtesFrom("documents")
+
+  /**
+   * Seeded 3-doc near-dup chain for the q28b transitive-closure
+   * contract, found by searching the MinHash band family directly: doc
+   * 1000003 (the BRIDGE, deliberately the largest id) shares an LSH band
+   * with each of 1000001 and 1000002, which share none with each other.
+   * One-hop `minhashDedup` therefore keeps {1000001, 1000002} (two
+   * survivors of one transitive cluster); the iterated closure keeps
+   * only 1000001. Vocabulary is disjoint from the synthetic corpus so
+   * the chain can't collide with real buckets.
+   */
+  val ChainDocs: Seq[(Long, String)] = Seq(
+    1000001L -> ("zqft zqho zqfs zqeq zqds zqdl zqcn zqit zqjo zqbk zqhn zqjp " +
+      "zqgr zqgn zqen zqfr zqdq zqhr zqat zqbp zqgp zqfn zqcl zqip zqbt zqgm " +
+      "zqhs zqap zqil zqek zqhq zqeo zqiq zqjr zqas zqbl zqdo zqdk zqgs zqem"),
+    1000002L -> ("zqgp zqfn zqcl zqip zqbt zqgm zqhs zqap zqil zqek zqhq zqeo " +
+      "zqiq zqjr zqas zqbl zqdo zqdk zqgs zqem zqao zqan zqjq zqgl zqhp zqel " +
+      "zqin zqgt zqcs zqbs zqep zqco zqgk zqcm zqal zqct zqio zqjk zqdt zqar"),
+    1000003L -> ("zqhn zqjp zqgr zqgn zqen zqfr zqdq zqhr zqat zqbp zqgp zqfn " +
+      "zqcl zqip zqbt zqgm zqhs zqap zqil zqek zqhq zqeo zqiq zqjr zqas zqbl " +
+      "zqdo zqdk zqgs zqem zqao zqan zqjq zqgl zqhp zqel zqin zqgt zqcs zqbs"))
+
+  private def chainValuesSql: String =
+    ChainDocs.map { case (id, text) => s"($id, '$text')" }.mkString(",\n         ")
+
+  /** Unrolled min-label propagation iterations for the q28b oracle —
+    * generated from the same iteration count as the Scala loop, so the
+    * two sides stay in lockstep by construction. */
+  private def minLabelIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""bm$i AS (
+         |  SELECT band, band_val, min(lbl) AS bm
+         |  FROM bands JOIN l${i - 1} USING (doc_id) GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT b.doc_id, least(min(p.lbl), min(bm)) AS lbl
+         |  FROM bands b
+         |  JOIN bm$i USING (band, band_val)
+         |  JOIN l${i - 1} p ON b.doc_id = p.doc_id
+         |  GROUP BY b.doc_id)""".stripMargin
+    }.mkString(",\n")
 
   /** DuckDB replica of `Dedup.minhashSignatures`' two-seed family: one md5
     * per shingle, b1/b2 = the first/second 8 hex digits as 32-bit ints,
@@ -325,6 +367,17 @@ object SparkEntry {
         .select(col("doc").as("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Transitive-closure twin: ITERATED min-label (bounded connected
+    // components) over the corpus seeded with the 3-doc chain — the
+    // chain collapses to one survivor where one-hop q28 keeps two.
+    "q28b_minhash_dedup_cc" -> ((s, dir) => {
+      import s.implicits._
+      val seeded = ChainDocs.toDF("doc", "line")
+      Dedup.minhashDedupIterative(docs(s, dir).unionByName(seeded), maxIter = 3)
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Related documents: tf-idf cosine over the df-pruned inverted index
     // (pairs only from co-occurring rare terms — never an all-pairs join).
     "q35_related_docs" -> ((s, dir) =>
@@ -367,10 +420,14 @@ object SparkEntry {
       Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("d1"), col("d2"))),
 
-    // LSH-bucketed near-dup pairs (4 tables × 4 bits; no all-pairs join).
+    // LSH-bucketed near-dup pairs (4 tables; AUTO-SIZED bits — the
+    // corpus-count rule resolves to 4 bits at every verify SF (n ≤ 1600),
+    // which is exactly what the oracle's fixed 4-bit mirror computes; at
+    // 20k vectors the same call self-sizes to 8 bits, past the measured
+    // cliff. No all-pairs join at any size.
     "q16b_embedding_lsh_near_dup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"),
-          threshold = 0.4, bits = 4, tables = 4)
+          threshold = 0.4, tables = 4)
         .orderBy(col("d1"), col("d2"))),
 
     // ANN: random-hyperplane LSH top-10 (approximate; bucket-restricted).
@@ -379,6 +436,28 @@ object SparkEntry {
       Similarity.lshCosineTopK(e, e.where(col("vec_id") < 5), k = 10, bits = 8)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // ANN recall CONTRACT: recall@10 of the hyperplane-LSH top-k against
+    // the exact top-k, per query. q25 pins determinism (the oracle
+    // mirrors the same family); this pins QUALITY — a silently broken
+    // hash family that still matches its own mirror shows up as a recall
+    // collapse here (and SimilaritySpec asserts the pinned floor).
+    // bits=4 so buckets are populated at the verify SF.
+    "q25b_ann_lsh_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.lshCosineTopK(e, q, k = 10, bits = 4)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
     }),
 
     // ANN: IVF coarse-quantizer top-10 (deterministic centroids, 2 probes).
@@ -481,10 +560,11 @@ object SparkEntry {
       Events.valueQuantiles(events(s, dir))
         .orderBy(col("event_type"))),
 
-    // ROLLUP grouping sets: cell + per-type subtotal + grand total, 1 pass.
+    // ROLLUP grouping sets: cell + per-type subtotal + grand total, 1 pass;
+    // grouping() masks make subtotal rows collision-proof vs real values.
     "q29_events_rollup" -> ((s, dir) =>
       Events.typeHourRollup(events(s, dir))
-        .orderBy(col("event_type"), col("hour_start"))),
+        .orderBy(col("g_type"), col("event_type"), col("g_hour"), col("hour_start"))),
 
     // ROWS-frame window: per-user moving average of the last 10 events.
     "q30_events_moving_avg" -> ((s, dir) =>
@@ -635,10 +715,14 @@ object SparkEntry {
       s"""WITH $ShingleCtes,
          |$MinhashSigCte,
          |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
          |inter AS (
          |  SELECT c.d1, c.d2, count(*) AS i
          |  FROM cand c
@@ -689,6 +773,20 @@ object SparkEntry {
          |  GROUP BY b.doc_id HAVING min(bucket_min) < b.doc_id)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q28b_minhash_dedup_cc" ->
+      s"""WITH seeded AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $chainValuesSql) v(doc_id, text)),
+         |${shingleCtesFrom("seeded")},
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+         |${minLabelIterSql(3)}
+         |SELECT doc_id FROM seeded
+         |WHERE doc_id NOT IN (SELECT doc_id FROM l3 WHERE lbl < doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "q14_simhash" ->
@@ -746,10 +844,14 @@ object SparkEntry {
          |           CASE WHEN ${duckSignDot("t * 4 + i", "emb")} > 0
          |                THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END)) AS bucket
          |  FROM e CROSS JOIN range(4) r(t)),
+         |bok AS (
+         |  SELECT t, bucket FROM tb GROUP BY 1, 2
+         |  HAVING count(*) <= ${Similarity.MaxPairBucket}),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
          |  FROM tb a JOIN tb b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN bok ON a.t = bok.t AND a.bucket = bok.bucket),
          |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
          |SELECT d1, d2, cos FROM (
          |  SELECT d1, d2,
@@ -777,6 +879,44 @@ object SparkEntry {
          |  FROM scored)
          |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "q25b_ann_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb,
+         |         list_sum(list_transform(range(0, 4), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
+         |         sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < 5),
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
+         |               DESC, c.vec_id) AS rnk
+         |    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 10),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
+         |               DESC, c.vec_id) AS rnk
+         |    FROM q JOIN b c ON q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
 
     "q26_ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1028,10 +1168,12 @@ object SparkEntry {
     "q29_events_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(date_trunc('hour', ts), TIMESTAMP '1970-01-01') AS hour_start,
+        |  grouping(event_type)::BIGINT AS g_type,
+        |  grouping(date_trunc('hour', ts))::BIGINT AS g_hour,
         |  count(*) AS n_events, round(sum(value), 6) AS value_sum
         |FROM events
         |GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
-        |ORDER BY event_type, hour_start""".stripMargin,
+        |ORDER BY g_type, event_type, g_hour, hour_start""".stripMargin,
 
     "q30_events_moving_avg" ->
       """SELECT event_id, user_id, ts,

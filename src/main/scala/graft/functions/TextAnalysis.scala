@@ -116,26 +116,31 @@ object TextAnalysis {
    * `window` positions (canonicalized t1 ≤ t2),
    * pmi = log10( (cnt/P) / ((c1/N)·(c2/N)) ) over corpus totals.
    *
-   * Scale shape: the positional self-join is an equi-join on doc with a
-   * bounded range predicate — per-doc cost is length × window, never
-   * doc-count-quadratic; count totals join back as broadcasts (vocab- or
+   * Scale shape: pair generation is MAP-ONLY — each token pairs with its
+   * ≤ `window` forward neighbors via a nested array transform over the
+   * token array (`slice` bounds the match itself), so per-doc cost is
+   * genuinely length × window with no self-join and no positional
+   * shuffle; a 100k-token document emits 100k·window rows, never L²
+   * intermediate pairs. Count totals join back as broadcasts (vocab- or
    * 1-row-sized).
    */
   def cooccurrencePmi(
       docs: DataFrame,
       window: Int = 2,
       minCount: Int = 2): DataFrame = {
-    val positioned = docs
-      .select(col("doc"), posexplode(toks(col("line"))))
-      .toDF("doc", "pos", "term")
-    val x = positioned.select(col("doc"), col("pos").as("p1"), col("term").as("ta"))
-    val y = positioned.select(col("doc"), col("pos").as("p2"), col("term").as("tb"))
-    val pairs = x.join(y, Seq("doc"))
-      .where(col("p2") > col("p1") && col("p2") <= col("p1") + window)
-      .select(least(col("ta"), col("tb")).as("t1"),
-        greatest(col("ta"), col("tb")).as("t2"))
-    val termCounts = positioned.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val nTok = positioned.agg(count(lit(1)).as("n_tok"))
+    val tokd = docs.select(toks(col("line")).as("toks"))
+    // token i (0-based) × its forward neighbors at 1-based positions
+    // i+2 .. i+1+window — slice truncates at the array end, so the last
+    // tokens emit fewer pairs, matching the positional-range semantics.
+    val pairStructs = flatten(transform(col("toks"), (ta, i) =>
+      transform(slice(col("toks"), i + lit(2), lit(window)), tb =>
+        struct(least(ta, tb).as("t1"), greatest(ta, tb).as("t2")))))
+    val pairs = tokd
+      .select(explode(pairStructs).as("pr"))
+      .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+    val terms = tokd.select(explode(col("toks")).as("term"))
+    val termCounts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTok = terms.agg(count(lit(1)).as("n_tok"))
     val nPair = pairs.agg(count(lit(1)).as("n_pair"))
     pairs
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))

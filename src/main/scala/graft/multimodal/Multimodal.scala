@@ -111,6 +111,9 @@ object Multimodal {
     val nFrames = ceil(col("meta.n_bytes") / lit(frameBytes.toDouble)).cast("long")
     assets
       .select(col("asset_id"), col("payload"), col("meta"), nFrames.as("n_frames"))
+      // zero-byte payloads have no frames at all — without this filter the
+      // greatest(…, 0) clamp below would fabricate a phantom frame_idx=0
+      .where(col("n_frames") > 0)
       .select(col("asset_id"), col("payload"), col("meta"), col("n_frames"),
         explode(sequence(lit(0L), greatest(col("n_frames") - 1, lit(0L)),
           lit(everyNth.toLong))).as("frame_idx"))

@@ -45,6 +45,10 @@ object AsOfJoin {
       as: String = "asof_value",
       forward: Boolean = false): DataFrame = {
     require(!left.columns.contains(as), s"left already has a '$as' column")
+    Seq("_is_right", "_rv").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"'$c' is reserved by asOfJoin internals — rename that input column")
+    }
     val valType = right.schema(valCol).dataType
     val lTagged = left
       .withColumn("_is_right", lit(0))

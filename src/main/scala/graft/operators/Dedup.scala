@@ -112,6 +112,9 @@ object Dedup {
    * (doc, seed) table).
    */
   def lshBands(sig: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand) — " +
+        "a trailing partial band would silently drop the last minima from banding")
     val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
       struct(
         lit(b.toLong).as("band"),
@@ -123,10 +126,51 @@ object Dedup {
       .select(col("doc"), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
   }
 
-  /** Candidate pairs from shared LSH buckets (d1 < d2, distinct). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc").as("d1"), col("band"), col("band_val"))
-    val b = bands.select(col("doc").as("d2"), col("band"), col("band_val"))
+  /**
+   * Hot-bucket guard bound for pair-generating joins: a bucket of m docs
+   * costs O(m²) pairs in the self-join, so one degenerate bucket (all-
+   * identical boilerplate) above this size would become the straggler
+   * task of the whole stage at 100 TB. Buckets larger than this are
+   * EXCLUDED from candidate pairing (their members are exact/near-exact
+   * dup families — `exactDedup`/`minhashDedup` handle them in O(m)); the
+   * skip is observable via `lshSkippedBuckets` and the
+   * `graft_lsh_bucket_guard` observe metric, and the oracle SQL mirrors
+   * the same bound, so both engines agree by construction.
+   */
+  val MaxPairBucket = 1000
+
+  /** Bucket sizes over the banded table — shared by the guard filter and
+    * its audit twin. */
+  private def bucketSizes(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("band_val")).agg(count(lit(1)).as("bucket_n"))
+
+  /** Audit twin of the hot-bucket guard: the (band, band_val, bucket_n)
+    * buckets `lshCandidates` skipped at this bound. */
+  def lshSkippedBuckets(bands: DataFrame, maxBucketSize: Int = MaxPairBucket): DataFrame =
+    bucketSizes(bands).where(col("bucket_n") > maxBucketSize)
+
+  /** Candidate pairs from shared LSH buckets (d1 < d2, distinct), with
+    * buckets above `maxBucketSize` excluded (see `MaxPairBucket`). The
+    * size join shuffles on the same (band, band_val) key as the pair
+    * join, so the exchange is reused, and the skip count is emitted as a
+    * `graft_lsh_bucket_guard` plan metric — not stdout. */
+  /** Plan-unique suffix for observe() metric names (Spark requires
+    * distinct CollectMetrics names within one query plan, and an
+    * operator may legitimately appear twice in a composed plan). */
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  def lshCandidates(bands: DataFrame, maxBucketSize: Int = MaxPairBucket): DataFrame = {
+    val ok = bucketSizes(bands)
+      .observe(s"graft_lsh_bucket_guard_${obsId.incrementAndGet()}",
+        sum(when(col("bucket_n") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+          .as("skipped_buckets"),
+        sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(lit(0L)))
+          .as("skipped_band_rows"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("band_val"))
+    val bounded = bands.join(ok, Seq("band", "band_val"))
+    val a = bounded.select(col("doc").as("d1"), col("band"), col("band_val"))
+    val b = bounded.select(col("doc").as("d2"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
@@ -207,6 +251,53 @@ object Dedup {
   }
 
   /**
+   * Transitive-closure near-dup dedup: bounded-iteration min-label
+   * propagation (connected components) over the doc ↔ LSH-bucket
+   * bipartite graph. `minhashDedup` is ONE hop of this — a chain
+   * A ~ B ~ C where A and C share no bucket (and the bridge B carries
+   * the largest id) keeps 2 survivors there; iterating collapses every
+   * chain to its component's minimum id.
+   *
+   * Each iteration costs two grouped shuffles (bucket-min of labels,
+   * then doc-min of propagated labels) over the SAME persisted bands
+   * table — the standard large-scale label-propagation recipe. Labels
+   * only ever decrease, so a fixpoint needs at most the graph diameter;
+   * real dup chains are short (maxIter = 3 covers diameter-6 doc chains
+   * since each iteration crosses doc→bucket→doc). Labels persist per
+   * iteration so the lineage stays linear, not 2^iter.
+   */
+  def minhashDedupIterative(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bands = lshBands(
+      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand)
+      .persist(MEMORY_AND_DISK)
+    // Docs that produced no shingles have no buckets, never join below,
+    // and always survive — same contract as minhashDedup.
+    var labels = bands.select(col("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .persist(MEMORY_AND_DISK)
+    for (_ <- 1 to maxIter) {
+      val bucketMin = bands.join(labels, Seq("doc"))
+        .groupBy(col("band"), col("band_val"))
+        .agg(min(col("lbl")).as("bmin"))
+      val next = bands.join(bucketMin, Seq("band", "band_val"))
+        .groupBy(col("doc"))
+        .agg(min(col("bmin")).as("prop"))
+        .join(labels, Seq("doc"))
+        .select(col("doc"), least(col("lbl"), col("prop")).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      labels = next
+    }
+    val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
+    docs.join(dropped, Seq("doc"), "left_anti")
+  }
+
+  /**
    * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — at
    * scale, run only on LSH candidates). Intersections are aggregated
    * straight off the shingle self-join — no materialized pair list, no
@@ -282,7 +373,15 @@ object Dedup {
     require(bits % 4 == 0, s"bits must split into 4 equal bands, got $bits")
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
-    val banded = fingerprints.select(col("doc"), col("simhash"),
+    // Width contract: a 32-bit fingerprint banded with bits=16 would
+    // silently band on the low half only and LOSE pairs — fail loudly
+    // instead. Per-row codegen'd assert; coalesce keeps the predicate in
+    // the plan (assert_true returns NULL when it passes).
+    val widthOk = coalesce(assert_true(
+      col("simhash") >= 0 && col("simhash") < lit(1L << bits),
+      lit(s"simhash fingerprint exceeds $bits bits — pass bits= matching " +
+        "the width the fingerprints were generated with")), lit(true))
+    val banded = fingerprints.where(widthOk).select(col("doc"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b.toLong).as("band"),
           shiftright(col("simhash"), bandWidth * b).bitwiseAND(lit(bandMask))

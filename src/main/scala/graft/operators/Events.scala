@@ -37,20 +37,26 @@ object Events {
   /**
    * ROLLUP aggregate over (event_type, hour): per-cell, per-type subtotal
    * and grand-total rows in ONE pass (Catalyst expands the grouping sets
-   * map-side — no second scan, one shuffle). Null grouping labels are
-   * coalesced to sentinels so the output is total-orderable and
-   * null-representation-agnostic across engines.
+   * map-side — no second scan, one shuffle). Subtotal rows are marked by
+   * explicit `grouping()` mask columns (g_type/g_hour, 1 = rolled up), so
+   * a real `event_type = 'ALL'` or an epoch-hour-0 event can never
+   * masquerade as a subtotal; the coalesced display labels remain only
+   * for readability and cross-engine null-free ordering.
    */
   def typeHourRollup(events: DataFrame): DataFrame =
     events
       .withColumn("hour_start", date_trunc("hour", col("ts")))
       .rollup(col("event_type"), col("hour_start"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .agg(
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("hour_start")).cast("long").as("g_hour"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("value_sum"))
       .select(
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         coalesce(col("hour_start"), lit("1970-01-01 00:00:00").cast("timestamp"))
           .as("hour_start"),
-        col("n_events"), col("value_sum"))
+        col("g_type"), col("g_hour"), col("n_events"), col("value_sum"))
 
   /**
    * Per-user moving average over the last `nRows` events (ROWS frame —

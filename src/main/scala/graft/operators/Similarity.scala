@@ -31,6 +31,34 @@ object Similarity {
 
   import org.apache.spark.sql.graft.VectorFunctions.dotProduct
 
+  /** Sentinel `bits` value: derive the hyperplane count from the corpus
+    * size (`deriveLshBits`) instead of trusting a fixed default. */
+  val AutoBits: Int = -1
+
+  /** Hot-bucket guard bound for the near-dup pair join — buckets with
+    * more vectors than this are excluded from pairing (O(m²) straggler
+    * risk); embedding buckets are coarser than MinHash band buckets, so
+    * the bound is looser than `Dedup.MaxPairBucket`. */
+  val MaxPairBucket = 5000
+
+  /** Plan-unique suffix for observe() metric names (Spark requires
+    * distinct CollectMetrics names within one query plan). */
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /**
+   * LSH bucket-bit sizing rule, in code (the round-2 verdict's ask):
+   * candidate volume ≈ tables · n²/2^bits, so target mean bucket size
+   * `targetBucket` via 2^bits ≈ n/targetBucket, clamped to [4, 20].
+   * At the measured 20k-vector stress point this yields 8 bits (the
+   * no-cliff setting); at n ≤ 1600 it yields the floor of 4.
+   */
+  def deriveLshBits(n: Long, targetBucket: Long = 100L): Int = {
+    require(targetBucket > 0)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(20, math.max(4, needed))
+  }
+
   /** Σ aᵢ·bᵢ over two array<double> columns — codegen-native. */
   def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
@@ -106,9 +134,20 @@ object Similarity {
     quantized.withColumn("emb_approx",
       transform(col("q"), qi => col("minv") + qi * col("scale")))
 
-  /** Hyperplane directions support vectors up to this dimension; the dot
-    * product truncates to the embedding's actual length. */
+  /** Hyperplane directions support vectors up to this dimension. Inputs
+    * beyond it fail loudly (see `dimGuard`) — silent truncation to the
+    * first 1024 dims would quietly degrade bucket quality. */
   val MaxDim = 1024
+
+  /** Per-row dimensionality assert for LSH paths: codegen'd, map-only;
+    * `coalesce` keeps the predicate in the plan (assert_true returns NULL
+    * when it passes, so the filter keeps every valid row). */
+  private def dimGuard(emb: Column): Column =
+    coalesce(assert_true(size(emb) <= MaxDim,
+      concat(lit(s"embedding dimension "), size(emb),
+        lit(s" exceeds MaxDim=$MaxDim — hyperplane sign rows are only " +
+          "defined up to that; raise Similarity.MaxDim for wider vectors"))),
+      lit(true))
 
   /**
    * Deterministic pseudo-random hyperplane sign r_h[j] ∈ {−1, +1}: hex
@@ -135,6 +174,7 @@ object Similarity {
   /** Corpus annotated with its LSH bucket. */
   def withLshBucket(corpus: DataFrame, bits: Int = 8): DataFrame =
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .where(dimGuard(col("embedding")))
       .withColumn("bucket", lshBucketCol(col("embedding"), bits))
 
   /**
@@ -147,32 +187,50 @@ object Similarity {
    * near-dups while never forming the O(n²) pair space: each table's
    * self-join shuffles on (t, bucket) and costs O(Σ bucket²).
    *
-   * SIZE `bits` WITH THE CORPUS: candidate volume ≈ tables · n²/2^bits,
-   * so keep 2^bits ≳ n / (desired bucket size ~1000). Measured on this
-   * container at 20k vectors: bits=4 (16 buckets) degrades to ~100 M
-   * candidates / 110 s; bits=8 runs in 14.5 s with near-dup recall
-   * intact (identical vectors always share every bucket).
+   * `bits` SIZES ITSELF WITH THE CORPUS by default (`AutoBits`): the
+   * measured cliff (BASELINE.md: bits=4 at 20k vectors ⇒ ~100 M
+   * candidates / 110 s, bits=8 ⇒ 14.5 s with recall intact) is a sizing
+   * rule, so it lives in code, not scaladoc — `deriveLshBits` picks
+   * 2^bits ≈ n/100 from a cheap count of the already-persisted corpus
+   * frame (the count doubles as the cache warm-up, so it costs nothing
+   * extra). Pass an explicit `bits` only to pin a contract.
    */
   def lshNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
-      bits: Int = 4,
-      tables: Int = 4): DataFrame = {
+      bits: Int = AutoBits,
+      tables: Int = 4,
+      maxBucketSize: Int = MaxPairBucket): DataFrame = {
     val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .where(dimGuard(col("emb")))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resolvedBits = if (bits == AutoBits) deriveLshBits(e.count()) else bits
     val bucketStructs = (0 until tables).map { t =>
       struct(
         lit(t.toLong).as("t"),
-        (0 until bits).map { i =>
-          when(dotProduct(col("emb"), typedLit(signRow(t * bits + i))) > 0,
+        (0 until resolvedBits).map { i =>
+          when(dotProduct(col("emb"), typedLit(signRow(t * resolvedBits + i))) > 0,
             lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _).as("bucket"))
     }
     val tb = e.select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val cand = tb.select(col("vec_id").as("d1"), col("t"), col("bucket"))
-      .join(tb.select(col("vec_id").as("d2"), col("t"), col("bucket")), Seq("t", "bucket"))
+    // Hot-bucket guard (same rationale as Dedup.MaxPairBucket): a bucket
+    // of m vectors costs O(m²) in the pair join, so degenerate buckets
+    // are excluded rather than allowed to become the stage's straggler;
+    // the skip is a plan metric, and the oracle mirrors the bound.
+    val ok = tb.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("bucket_n"))
+      .observe(s"graft_emb_bucket_guard_${obsId.incrementAndGet()}",
+        sum(when(col("bucket_n") > maxBucketSize, lit(1L)).otherwise(lit(0L)))
+          .as("skipped_buckets"),
+        sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(lit(0L)))
+          .as("skipped_rows"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("t"), col("bucket"))
+    val bounded = tb.join(ok, Seq("t", "bucket"))
+    val cand = bounded.select(col("vec_id").as("d1"), col("t"), col("bucket"))
+      .join(bounded.select(col("vec_id").as("d2"), col("t"), col("bucket")), Seq("t", "bucket"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()

@@ -55,6 +55,31 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("term"), col("cnt"))
 
   /**
+   * Streaming windowed TERM FREQUENCY — the streaming tier of the
+   * reference's TF stage (TermFrequency.java semantics: tf = 1 +
+   * log10(count), quirk Q2) over tumbling event-time windows with the
+   * O2 tokenizer. Per (window, doc, term): count + tf; append-mode safe
+   * (a window's rows emit once, when the watermark closes it). A full
+   * streaming TF-IDF would chain a second (window, term) aggregation for
+   * df and join window-to-window; the windowed tf is the streaming unit
+   * whose batch twin (TfIdf.termFrequency per window slice) defines the
+   * semantics.
+   */
+  def windowedTermFrequency(
+      docs: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc"),
+        explode(split(col("line"), TfIdf.TokenPattern)).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(window(col("ts"), windowDuration), col("doc"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("doc"), col("term"),
+        col("cnt"), round(lit(1.0) + log10(col("cnt")), 6).as("tf"))
+
+  /**
    * Streaming exact dedup over a (doc, line, ts) stream: first arrival of
    * each payload fingerprint passes, later duplicates are dropped. State
    * is the fingerprint set bounded by the watermark

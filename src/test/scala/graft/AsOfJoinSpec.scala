@@ -65,4 +65,15 @@ class AsOfJoinSpec extends SparkSpec {
     out.count() shouldBe 4L
     out.columns.toSeq shouldBe Seq("k", "ts", "x", "asof_value")
   }
+
+  test("asOfJoin rejects inputs that carry its reserved internal columns") {
+    // a left '_rv' column would be silently overwritten then dropped —
+    // must fail loudly instead
+    val badLeft = left.withColumnRenamed("x", "_rv")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asOfJoin(badLeft, right, Seq("k"), "ts", "v")
+    val badRight = right.withColumnRenamed("v", "_is_right")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asOfJoin(left, badRight, Seq("k"), "ts", "_is_right")
+  }
 }

@@ -97,6 +97,58 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set("a", "tiny")
   }
 
+  test("lshBands rejects numHashes not divisible by rowsPerBand") {
+    val sig = Dedup.minhashSignatures(Dedup.shingles(dupCorpus, 3), numHashes = 18)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.lshBands(sig, numHashes = 18, rowsPerBand = 4)
+  }
+
+  test("minhashDedupIterative collapses a transitive chain to one survivor") {
+    val s = spark
+    import s.implicits._
+    // the seeded q28b chain: 1000003 bridges 1000001 ~ 1000002, which
+    // share no bucket with each other; the bridge has the largest id
+    val chain = SparkEntry.ChainDocs.toDF("doc", "line")
+    val oneHop = Dedup.minhashDedup(chain)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    oneHop shouldBe Set(1000001L, 1000002L) // one-hop leaves both endpoints
+    val closed = Dedup.minhashDedupIterative(chain, maxIter = 3)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    closed shouldBe Set(1000001L) // closure keeps only the component min
+  }
+
+  test("minhashDedupIterative equals one-hop dedup when no chains exist") {
+    val kept = Dedup.minhashDedupIterative(dupCorpus)
+      .select("doc").collect().map(_.getString(0)).toSet
+    val oneHop = Dedup.minhashDedup(dupCorpus)
+      .select("doc").collect().map(_.getString(0)).toSet
+    kept shouldBe oneHop
+  }
+
+  test("hot-bucket guard: degenerate identical-doc bucket is skipped and observable") {
+    val docs = corpus((1 to 50).map(i =>
+      f"dup$i%02d" -> "alpha beta gamma delta epsilon zeta eta theta"): _*)
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(docs, 3)))
+    // under the default bound the 50-doc bucket pairs normally
+    Dedup.lshCandidates(bands).count() shouldBe 50L * 49 / 2
+    // a tight bound excludes it: no candidate pairs, no O(m²) straggler
+    Dedup.lshCandidates(bands, maxBucketSize = 10).count() shouldBe 0L
+    // and the drop is observable through the audit twin
+    val skipped = Dedup.lshSkippedBuckets(bands, maxBucketSize = 10).collect()
+    skipped.length shouldBe 4 // the same 50-doc bucket in each of 4 bands
+    skipped.foreach(_.getAs[Long]("bucket_n") shouldBe 50L)
+  }
+
+  test("simhashPairs fails loudly when fingerprints exceed the declared width") {
+    val s = spark
+    import s.implicits._
+    val fp = Seq(("a", 70000L), ("b", 70000L)).toDF("doc", "simhash")
+    val ex = intercept[Exception] {
+      Dedup.simhashPairs(fp, maxHamming = 3, bits = 16).collect()
+    }
+    ex.getMessage should include("bits")
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(dupCorpus, threshold = 0.1)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

@@ -47,20 +47,40 @@ class EventsSpec extends SparkSpec {
     row.getAs[Double]("p90") shouldBe 7.9 +- 1e-9
   }
 
-  test("typeHourRollup emits cell, subtotal and grand-total rows") {
+  test("typeHourRollup emits cell, subtotal and grand-total rows with grouping masks") {
     val got = Events.typeHourRollup(ev(
       (1L, "2024-01-01 10:15:00", 1L, "click", 1.0),
       (2L, "2024-01-01 11:15:00", 1L, "click", 2.0),
       (3L, "2024-01-01 10:30:00", 2L, "view", 4.0)))
-      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
-        r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[Long]("g_type"), r.getAs[Long]("g_hour"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("value_sum")))
     got.toSet shouldBe Set(
-      ("click", "2024-01-01 10:00:00.0", 1L, 1.0),
-      ("click", "2024-01-01 11:00:00.0", 1L, 2.0),
-      ("view", "2024-01-01 10:00:00.0", 1L, 4.0),
-      ("click", "1970-01-01 00:00:00.0", 2L, 3.0), // per-type subtotal
-      ("view", "1970-01-01 00:00:00.0", 1L, 4.0),
-      ("ALL", "1970-01-01 00:00:00.0", 3L, 7.0))   // grand total
+      ("click", "2024-01-01 10:00:00.0", 0L, 0L, 1L, 1.0),
+      ("click", "2024-01-01 11:00:00.0", 0L, 0L, 1L, 2.0),
+      ("view", "2024-01-01 10:00:00.0", 0L, 0L, 1L, 4.0),
+      ("click", "1970-01-01 00:00:00.0", 0L, 1L, 2L, 3.0), // per-type subtotal
+      ("view", "1970-01-01 00:00:00.0", 0L, 1L, 1L, 4.0),
+      ("ALL", "1970-01-01 00:00:00.0", 1L, 1L, 3L, 7.0))   // grand total
+  }
+
+  test("typeHourRollup masks disambiguate a real 'ALL' event type and epoch-hour rows") {
+    // a literal 'ALL' event type must NOT merge with the grand total,
+    // and an event in epoch hour 0 must not collide with subtotal rows
+    val got = Events.typeHourRollup(ev(
+      (1L, "2024-01-01 10:15:00", 1L, "click", 1.0),
+      (2L, "1970-01-01 00:10:00", 2L, "ALL", 2.0)))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[Long]("g_type"), r.getAs[Long]("g_hour"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("value_sum")))
+    got.toSet shouldBe Set(
+      ("click", "2024-01-01 10:00:00.0", 0L, 0L, 1L, 1.0),
+      ("click", "1970-01-01 00:00:00.0", 0L, 1L, 1L, 1.0),
+      ("ALL", "1970-01-01 00:00:00.0", 0L, 0L, 1L, 2.0),  // the REAL cell
+      ("ALL", "1970-01-01 00:00:00.0", 0L, 1L, 1L, 2.0),  // 'ALL' subtotal
+      ("ALL", "1970-01-01 00:00:00.0", 1L, 1L, 2L, 3.0))  // grand total
   }
 
   test("userMovingAvg averages over the last-n rows frame per user") {

@@ -52,6 +52,17 @@ class MultimodalSpec extends SparkSpec {
     frames(2L) shouldBe "rld" // bytes 9..11 — substring truncates at end
   }
 
+  test("frameSample emits no phantom frame for zero-byte payloads") {
+    val withEmpty = Multimodal.assetsFromDocuments(
+      corpus("1" -> "", "2" -> "hello world"))
+    val frames = Multimodal.frameSample(withEmpty, frameBytes = 4, everyNth = 1)
+      .collect()
+    // the empty payload contributes NOTHING (n_frames = 0), not a
+    // frame_idx = 0 row with empty bytes
+    frames.map(_.getAs[Long]("asset_id")).toSet shouldBe Set(2L)
+    frames.length shouldBe 3 // ceil(11 / 4)
+  }
+
   test("decodeStub is stable across repartitioning (partition-local only)") {
     val a = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id).toSeq
     val b = Multimodal.decodeStub(

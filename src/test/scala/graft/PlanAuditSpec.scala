@@ -23,6 +23,8 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "q5_tfidf", "q5b_tfidf_window", "q6_search", "q7_rank", "q7b_tfidf_rank",
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
+    "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
+
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
     "q39_cooccurrence_pmi") // 1-row total-count crosses (N tokens, P pairs)
 

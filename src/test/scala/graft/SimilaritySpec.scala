@@ -99,6 +99,80 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("deriveLshBits encodes the measured sizing rule in code") {
+    // floor of 4 bits through the verify SFs (oracle mirrors fixed 4)
+    Similarity.deriveLshBits(1) shouldBe 4
+    Similarity.deriveLshBits(128) shouldBe 4
+    Similarity.deriveLshBits(1280) shouldBe 4
+    Similarity.deriveLshBits(1600) shouldBe 4
+    // the measured cliff point (BASELINE.md: 20k vectors, bits=4 ⇒ 110 s,
+    // bits=8 ⇒ 14.5 s) now self-sizes past the cliff
+    Similarity.deriveLshBits(20000) shouldBe 8
+    // clamped upper bound
+    Similarity.deriveLshBits(1000000000L) shouldBe 20
+  }
+
+  test("lshNearDupPairs auto-sizing: 10x-replicated corpus engages wider buckets, no cliff") {
+    val s = spark
+    import s.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val n0 = base.length
+    val replicas = 10
+    val big = (0 until replicas).flatMap(rep =>
+      base.map { case (id, emb) => (id + rep.toLong * n0, emb) })
+      .toDF("vec_id", "embedding")
+    // the sizing rule must engage beyond the 4-bit floor at this scale
+    Similarity.deriveLshBits(n0.toLong * replicas) should be > 4
+    // and the auto-sized run completes without the measured candidate
+    // cliff: every replica pair is identical (cos = 1), so recall of the
+    // replica family is a correctness check too
+    val pairs = Similarity.lshNearDupPairs(big, threshold = 0.999999)
+    pairs.count() should be >= n0.toLong * (replicas.toLong * (replicas - 1) / 2)
+  }
+
+  test("LSH paths fail loudly on embeddings wider than MaxDim") {
+    val s = spark
+    import s.implicits._
+    val wide = Seq((1L, Array.fill(Similarity.MaxDim + 1)(0.5f).toSeq))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.withLshBucket(wide, bits = 4).collect()
+    }
+    ex.getMessage should include("MaxDim")
+    val ex2 = intercept[Exception] {
+      Similarity.lshNearDupPairs(wide, threshold = 0.5, bits = 4).count()
+    }
+    ex2.getMessage should include("MaxDim")
+  }
+
+  test("lshCosineTopK recall@10 vs exact stays above the pinned floor") {
+    // The q25b contract, asserted: the floor is deliberately modest (the
+    // synthetic embeddings are near-random, so single-table LSH recall is
+    // inherently low) — what it catches is the catastrophic bug class
+    // where query-side and corpus-side bucketing silently disagree and
+    // recall collapses to 0.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(e, q, k = 10).select("q_vec_id", "n_vec_id")
+    val approx = Similarity.lshCosineTopK(e, q, k = 10, bits = 4)
+      .select("q_vec_id", "n_vec_id")
+    val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi").count()
+    (hits.toDouble / 50.0) should be >= 0.08 // measured 0.10 at sf0.01
+  }
+
+  test("embedding hot-bucket guard skips degenerate buckets observably") {
+    val s = spark
+    import s.implicits._
+    // 40 identical vectors: every table's bucket holds all 40
+    val clones = (0L until 40L).map(i => (i, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    Similarity.lshNearDupPairs(clones, threshold = 0.9, bits = 4)
+      .count() shouldBe 40L * 39 / 2
+    Similarity.lshNearDupPairs(clones, threshold = 0.9, bits = 4, maxBucketSize = 10)
+      .count() shouldBe 0L
+  }
+
   test("quantizeInt8: values in [0,255], reconstruction error <= scale/2") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("vec_id") < 50)

@@ -88,6 +88,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedTermFrequency matches the batch tf quirk (1+log10)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc", "line", "ts")
+
+    val q = StreamingOps.windowedTermFrequency(docs,
+      windowDuration = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wtf").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("a", "spark spark spark flame", Timestamp.valueOf("2024-01-01 10:05:00")),
+        ("b", "spark", Timestamp.valueOf("2024-01-01 10:45:00")))
+      q.processAllAvailable()
+      // advance the watermark past hour 10 to close and append its window
+      input.addData(("c", "later", Timestamp.valueOf("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("wtf").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getString(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      // batch twin: tf = round(1 + log10(cnt), 6) — the reference quirk Q2
+      got(("2024-01-01 10:00:00.0", "a", "spark")) shouldBe
+        (3L, math.rint((1.0 + math.log10(3.0)) * 1e6) / 1e6)
+      got(("2024-01-01 10:00:00.0", "a", "flame")) shouldBe (1L, 1.0)
+      got(("2024-01-01 10:00:00.0", "b", "spark")) shouldBe (1L, 1.0)
+    } finally q.stop()
+  }
+
   test("streaming dedupExact drops payload duplicates within the watermark") {
     val s = spark
     import s.implicits._

@@ -59,6 +59,24 @@ class TextAnalysisSpec extends SparkSpec {
     got(("b", "b"))._1 shouldBe 1L
   }
 
+  test("cooccurrencePmi pair generation is map-only (no positional self-join)") {
+    // the round-2 plan equi-joined positions on doc alone — O(L²) per
+    // document; the linearized plan generates pairs inside an array
+    // transform, so the only joins left are the broadcast count lookups
+    val plan = TextAnalysis.cooccurrencePmi(corpus("d" -> "a b c d e"),
+      window = 2, minCount = 1).queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+  }
+
+  test("cooccurrencePmi window-1 pairs are exactly adjacent tokens") {
+    val got = TextAnalysis.cooccurrencePmi(corpus("d" -> "x y z"),
+      window = 1, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cnt"))
+      .toMap
+    got.keySet shouldBe Set(("x", "y"), ("y", "z"))
+  }
+
   test("corpusStats: exact counts; approx within HLL tolerance") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
