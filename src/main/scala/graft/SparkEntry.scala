@@ -528,6 +528,23 @@ object SparkEntry {
     "q37_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), n = 3, k = 20)),
 
+    // Train-test contamination screen: corpus (doc >= 5) vs a benchmark
+    // slice (doc < 5); benchmark shingles broadcast, one agg shuffle.
+    "q44_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .contaminationCheck(d.where(col("doc") >= 5), d.where(col("doc") < 5))
+        .select(col("doc").as("doc_id"), col("bench_doc").as("bench_id"),
+          col("shared_ngrams"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Repetition quality signal: repeated word-3-gram ratio, map-only.
+    "q45_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Windowed co-occurrence + PMI (positional equi-join, bounded range).
     "q39_cooccurrence_pmi" -> ((s, dir) =>
       TextAnalysis.cooccurrencePmi(docs(s, dir), window = 2, minCount = 2)
@@ -1049,6 +1066,35 @@ object SparkEntry {
       s"""WITH $ShingleCtes
          |SELECT shingle AS ngram, count(*) AS doc_freq FROM sh
          |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
+
+    "q44_contamination" ->
+      s"""WITH $ShingleCtes,
+         |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 5),
+         |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 5)
+         |SELECT c.doc_id, bench_id, count(*) AS shared_ngrams
+         |FROM c JOIN b USING (shingle)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 1
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q45_repetition" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_transform(range(1, len(toks) - 1),
+        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |              ELSE []::VARCHAR[] END AS grams
+        |  FROM tokl)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |       len(list_distinct(grams))::BIGINT AS n_distinct_grams,
+        |       round(CASE WHEN len(grams) = 0 THEN 0
+        |                  ELSE 1 - len(list_distinct(grams)) * 1.0 / len(grams)
+        |             END, 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q39_cooccurrence_pmi" ->
       """WITH tokl AS (

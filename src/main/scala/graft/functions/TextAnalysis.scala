@@ -189,6 +189,29 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Repetition scoring — the boilerplate/spam quality signal: fraction
+   * of REPEATED word n-grams per document (0 = all grams unique, → 1 as
+   * the text degenerates into loops). Pure map-only column expressions
+   * over the token array (no explode, no shuffle): at 100 TB this runs
+   * at scan speed next to the other quality filters.
+   */
+  def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toksC = toks(col("line"))
+    val grams = when(size(toksC) >= n,
+      transform(sequence(lit(0), size(toksC) - n),
+        i => array_join(slice(toksC, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc"), grams.as("_grams"))
+      .select(col("doc"),
+        size(col("_grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("_grams"))).cast("long").as("n_distinct_grams"))
+      .withColumn("rep_ratio", round(
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct_grams") / col("n_grams")), 6))
+  }
+
+  /**
    * Document fingerprints: md5 of whitespace-canonicalized text (exact
    * content identity), plus a 64-bit rolling-hash-style fingerprint folded
    * from the first 16 hex digits (cheap join key for dedup at scale).

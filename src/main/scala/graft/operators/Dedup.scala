@@ -84,6 +84,32 @@ object Dedup {
   val MinhashPrime = 4294967311L
 
   /**
+   * Band-shape sizing rule, in code: with b bands of r rows the LSH
+   * S-curve's inflection sits at (1/b)^(1/r), so pick the divisor r of
+   * `numHashes` whose threshold lands nearest the target Jaccard.
+   * Returns (bands, rowsPerBand). The historical 16-hash/4×4 contract
+   * (threshold ≈ 0.71) stays available by passing rowsPerBand
+   * explicitly; this helper is for callers sizing a new corpus.
+   */
+  def deriveBandShape(numHashes: Int = 16, threshold: Double = 0.5): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      s"need numHashes > 0 and threshold in (0,1), got $numHashes, $threshold")
+    val r = (1 to numHashes).filter(numHashes % _ == 0).minBy { r =>
+      math.abs(math.pow(1.0 / (numHashes / r), 1.0 / r) - threshold)
+    }
+    (numHashes / r, r)
+  }
+
+  /**
+   * SimHash width sizing rule, in code: a `bits`-bit fingerprint space
+   * saturates once the corpus is large enough that unrelated documents
+   * collide inside the hamming ball by volume alone (~n²·V(ball)/2^bits
+   * random collisions; V(ball, r=3) ≈ 700 at 16 bits). Use 16 bits only
+   * for small corpora; 32 bits past ~4k docs.
+   */
+  def deriveSimhashBits(nDocs: Long): Int = if (nDocs <= 4096L) 16 else 32
+
+  /**
    * MinHash signatures, single-pass: ONE wide row per doc with k min
    * columns m0..m{k-1}. Per shingle, md5 is computed ONCE and sliced into
    * two 32-bit ints (b1, b2); hash_k = (b1 + (k+1)·b2) mod P is the
@@ -151,9 +177,11 @@ object Dedup {
 
   /** Candidate pairs from shared LSH buckets (d1 < d2, distinct), with
     * buckets above `maxBucketSize` excluded (see `MaxPairBucket`). The
-    * size join shuffles on the same (band, band_val) key as the pair
-    * join, so the exchange is reused, and the skip count is emitted as a
-    * `graft_lsh_bucket_guard` plan metric — not stdout. */
+    * ok-bucket list broadcasts while it fits (the verified plan at test
+    * scale); past the broadcast threshold it shuffles on the same
+    * (band, band_val) key as the pair join, so the exchange is shared.
+    * The skip count is emitted as a `graft_lsh_bucket_guard` plan
+    * metric — not stdout. */
   /** Plan-unique suffix for observe() metric names (Spark requires
     * distinct CollectMetrics names within one query plan, and an
     * operator may legitimately appear twice in a composed plan). */

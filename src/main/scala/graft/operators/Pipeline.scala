@@ -76,4 +76,34 @@ object Pipeline {
   private def hashBucket(keyCol: String) =
     conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000000L
+
+  /**
+   * Train-test CONTAMINATION screen: flag corpus documents sharing at
+   * least `minShared` distinct word n-grams with any benchmark document
+   * — the "did an eval set leak into the training corpus" check every
+   * LLM data pipeline runs before training.
+   *
+   * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+   * the benchmark shingle set is BROADCAST and the corpus side stays a
+   * single map pass (shingle generate → broadcast hash join); only grams
+   * that actually hit a benchmark gram reach the one aggregation
+   * shuffle, keyed (doc, bench_doc). Shingles are distinct per doc by
+   * construction, so `count(*)` IS the distinct shared-gram count.
+   *
+   * @return (doc, bench_doc, shared_ngrams) for pairs ≥ minShared
+   */
+  def contaminationCheck(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val cs = Dedup.shingles(docs, n)
+    val bs = Dedup.shingles(benchmark, n)
+      .select(col("doc").as("bench_doc"), col("shingle"))
+    cs.join(broadcast(bs), Seq("shingle"))
+      .groupBy(col("doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
 }

@@ -97,6 +97,24 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set("a", "tiny")
   }
 
+  test("deriveBandShape picks the divisor whose S-curve threshold is nearest") {
+    // 16 hashes: r=2 → (1/8)^(1/2) ≈ 0.354 is nearest 0.3
+    Dedup.deriveBandShape(16, threshold = 0.3) shouldBe ((8, 2))
+    // r=4 → (1/4)^(1/4) ≈ 0.707 is nearest 0.7 — the historical 4×4 shape
+    Dedup.deriveBandShape(16, threshold = 0.7) shouldBe ((4, 4))
+    // high thresholds want long bands
+    Dedup.deriveBandShape(16, threshold = 0.95)._2 should be >= 8
+    // result always partitions the hash budget exactly
+    val (b, r) = Dedup.deriveBandShape(18, threshold = 0.5)
+    b * r shouldBe 18
+  }
+
+  test("deriveSimhashBits widens past the 16-bit saturation point") {
+    Dedup.deriveSimhashBits(500) shouldBe 16
+    Dedup.deriveSimhashBits(4096) shouldBe 16
+    Dedup.deriveSimhashBits(100000) shouldBe 32
+  }
+
   test("lshBands rejects numHashes not divisible by rowsPerBand") {
     val sig = Dedup.minhashSignatures(Dedup.shingles(dupCorpus, 3), numHashes = 18)
     an[IllegalArgumentException] should be thrownBy

@@ -59,4 +59,28 @@ class PipelineSpec extends SparkSpec {
     Pipeline.cleanCorpus(docs, Seq("en"), minQuality = 0.99).count() shouldBe 0L
     Pipeline.cleanCorpus(docs, Seq("en"), minQuality = 0.0).count() shouldBe 1L
   }
+
+  test("contaminationCheck counts distinct shared n-grams per (doc, bench) pair") {
+    val train = corpus(
+      "t1" -> "alpha beta gamma delta epsilon", // shares 3-grams with b1
+      "t2" -> "one two three four five",        // shares with b2
+      "t3" -> "totally unrelated words entirely here")
+    val bench = corpus(
+      "b1" -> "alpha beta gamma delta zeta",    // 2 shared grams with t1
+      "b2" -> "zero one two three four")        // 2 shared grams with t2
+    val got = Pipeline.contaminationCheck(train, bench)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // t1 grams: {a b g, b g d, g d e}; b1 grams: {a b g, b g d, g d z}
+    got(("t1", "b1")) shouldBe 2L
+    got(("t2", "b2")) shouldBe 2L
+    got.keySet.map(_._1) should not contain "t3"
+  }
+
+  test("contaminationCheck minShared filters weak overlaps") {
+    val train = corpus("t1" -> "alpha beta gamma delta epsilon")
+    val bench = corpus("b1" -> "alpha beta gamma other words here")
+    Pipeline.contaminationCheck(train, bench, minShared = 1).count() shouldBe 1L
+    Pipeline.contaminationCheck(train, bench, minShared = 2).count() shouldBe 0L
+  }
 }

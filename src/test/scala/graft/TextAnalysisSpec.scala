@@ -90,6 +90,19 @@ class TextAnalysisSpec extends SparkSpec {
     approx.getAs[Long]("total_tokens") shouldBe exact.getAs[Long]("total_tokens")
   }
 
+  test("repetitionScore: unique grams → 0, repeated grams → ratio, short docs → 0") {
+    val got = TextAnalysis.repetitionScore(corpus(
+      "uniq" -> "a b c d e",       // 3 grams, all distinct
+      "loop" -> "x y z x y z x y", // 6 grams, 3 distinct → ratio 0.5
+      "tiny" -> "a b"))            // < n tokens → no grams, ratio 0
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_distinct_grams"), r.getAs[Double]("rep_ratio"))).toMap
+    got("uniq") shouldBe ((3L, 3L, 0.0))
+    got("loop") shouldBe ((6L, 3L, 0.5))
+    got("tiny") shouldBe ((0L, 0L, 0.0))
+  }
+
   test("fingerprint canonicalizes whitespace; fp64 folds md5") {
     val rows = TextAnalysis.fingerprint(corpus(
       "a" -> "hello  world", "b" -> " hello world ")).collect()
