@@ -1,0 +1,57 @@
+package graft
+
+/**
+ * Mechanical scan audit over declared queries: column pruning and filter
+ * pushdown must reach the parquet scans. A refactor that breaks pruning
+ * (e.g. materializing a full-row struct before projecting) fails here
+ * before it ever reaches a benchmark — at 100 TB an unpruned documents
+ * scan reads the whole text column for queries that only need ids.
+ */
+class PruningAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** All ReadSchema column lists from the formatted plan, one entry per
+    * parquet scan. */
+  private def readSchemas(name: String): Seq[Set[String]] = {
+    val plan = SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != ':')).toSet)
+      .toSeq
+  }
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q10 top-k scan reads exactly its three projected lineitem columns") {
+    readSchemas("q10_top_k") shouldBe
+      Seq(Set("l_orderkey", "l_linenumber", "l_extendedprice"))
+  }
+
+  test("q19 token stats scan reads only doc_id and text") {
+    readSchemas("q19_token_stats") shouldBe Seq(Set("doc_id", "text"))
+  }
+
+  test("q36 stratified sampling scan reads only doc_id and lang — never text") {
+    readSchemas("q36_sample_stratified") shouldBe Seq(Set("doc_id", "lang"))
+  }
+
+  test("q22 hourly stats scan prunes events to the three used columns") {
+    readSchemas("q22_events_hourly") shouldBe
+      Seq(Set("ts", "event_type", "value"))
+  }
+
+  test("q40 incremental dedup pushes both doc_id range predicates to the scans") {
+    val plan = formatted("q40_dedup_incremental")
+    plan should include regex "PushedFilters:.*GreaterThanOrEqual\\(doc_id,250\\)"
+    plan should include regex "PushedFilters:.*LessThan\\(doc_id,250\\)"
+  }
+
+  test("q15 query-side scan pushes the vec_id predicate down") {
+    formatted("q15_cosine_topk") should
+      include regex "PushedFilters:.*LessThan\\(vec_id,5\\)"
+  }
+}
