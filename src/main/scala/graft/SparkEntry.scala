@@ -545,6 +545,13 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Bigram LM fluency score: add-one-smoothed mean log-prob per doc
+    // against the corpus's own bigram model (one (w1,w2)-keyed shuffle).
+    "q46_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Windowed co-occurrence + PMI (positional equi-join, bounded range).
     "q39_cooccurrence_pmi" -> ((s, dir) =>
       TextAnalysis.cooccurrencePmi(docs(s, dir), window = 2, minCount = 2)
@@ -1095,6 +1102,23 @@ object SparkEntry {
         |                  ELSE 1 - len(list_distinct(grams)) * 1.0 / len(grams)
         |             END, 6) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q46_bigram_lm" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[p::INTEGER] AS w1, toks[(p + 1)::INTEGER] AS w2
+        |  FROM tokl, unnest(range(1, len(toks))) r(p)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT unnest(toks) AS w1 FROM tokl),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM uni)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q39_cooccurrence_pmi" ->
       """WITH tokl AS (

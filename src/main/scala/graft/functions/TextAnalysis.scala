@@ -212,6 +212,43 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram language-model scoring — the fluency/perplexity-style quality
+   * signal: score(doc) = mean log10 P(w_i | w_{i-1}) over the doc's
+   * bigrams with add-one smoothing, P(b|a) = (c(a,b) + 1)/(c(a) + V),
+   * against the corpus's own counts (V = vocabulary size). Low scores
+   * flag token soup and shuffled text that repetition/stopword metrics
+   * miss. Docs with < 2 tokens emit no row.
+   *
+   * Scale shape: bigram generation is a map-only array zip; the model is
+   * two count aggregations joined vocab-side FIRST (c2 ⋈ c1 on w1, both
+   * vocab-scale), so the big doc-bigram stream shuffles exactly once on
+   * the (w1, w2) key its own count aggregation already uses; V joins as
+   * a 1-row broadcast. No driver-side model state.
+   */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toksC = toks(col("line"))
+    val pairLen = greatest(size(toksC) - 1, lit(0))
+    val bigrams = docs.select(col("doc"),
+      explode(zip_with(
+        slice(toksC, lit(1), pairLen), slice(toksC, lit(2), pairLen),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(toksC).as("w1"))
+    val c1 = uni.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct(col("w1")).as("v"))
+    val model = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+    bigrams
+      .join(model, Seq("w1", "w2"))
+      .withColumn("logp",
+        log10((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+  }
+
+  /**
    * Document fingerprints: md5 of whitespace-canonicalized text (exact
    * content identity), plus a 64-bit rolling-hash-style fingerprint folded
    * from the first 16 hex digits (cheap join key for dedup at scale).

@@ -319,6 +319,14 @@ object Dedup {
         .join(labels, Seq("doc"))
         .select(col("doc"), least(col("lbl"), col("prop")).as("lbl"))
         .persist(MEMORY_AND_DISK)
+      // Materialize eagerly so the PREVIOUS iteration's cache can be
+      // released now — iterative operators are the one place a
+      // mid-pipeline action is the memory-correct choice (the standard
+      // iterative-algorithm recipe); without it, maxIter label frames
+      // stay pinned (or, unpersisted lazily, lineage recompute doubles
+      // per iteration).
+      next.count()
+      labels.unpersist(blocking = false)
       labels = next
     }
     val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))

@@ -80,6 +80,34 @@ object StreamingOps {
         col("cnt"), round(lit(1.0) + log10(col("cnt")), 6).as("tf"))
 
   /**
+   * Streaming TF-IDF against a STATIC df model — the production shape of
+   * "streaming TF-IDF": windowed term frequencies from the stream join a
+   * precomputed document-frequency snapshot (e.g. yesterday's corpus
+   * model, refreshed by the batch `TfIdf` job). A fully-streaming df
+   * would require joining two streaming aggregates (unsupported by the
+   * engine, and semantically dubious — the idf would drift mid-window);
+   * a stream-static join after the windowed aggregation is append-safe
+   * and broadcastable. Score formula matches the batch quirk chain:
+   * (1 + log10(cnt)) · log10(1 + floor(N / df)).
+   *
+   * @param dfModel static (term, df) snapshot
+   * @param numDocs corpus size N behind the snapshot (idf numerator)
+   */
+  def windowedTfIdf(
+      docs: DataFrame,
+      dfModel: DataFrame,
+      numDocs: Long,
+      windowDuration: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    windowedTermFrequency(docs, windowDuration, watermark)
+      .join(broadcast(dfModel), Seq("term"))
+      .withColumn("tfidf", round(
+        (lit(1.0) + log10(col("cnt"))) *
+          log10(lit(1.0) + floor(lit(numDocs) / col("df"))), 6))
+      .select(col("window_start"), col("doc"), col("term"), col("cnt"),
+        col("tf"), col("tfidf"))
+
+  /**
    * Streaming exact dedup over a (doc, line, ts) stream: first arrival of
    * each payload fingerprint passes, later duplicates are dropped. State
    * is the fingerprint set bounded by the watermark

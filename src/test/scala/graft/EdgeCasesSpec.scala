@@ -40,6 +40,16 @@ class EdgeCasesSpec extends SparkSpec {
     Pipeline.cleanCorpus(emptyDocs, Seq("en"), 0.0).count() shouldBe 0L
     TextAnalysis.topNgrams(emptyDocs).count() shouldBe 0L
     TextAnalysis.cooccurrencePmi(emptyDocs, minCount = 1).count() shouldBe 0L
+    TextAnalysis.repetitionScore(emptyDocs).count() shouldBe 0L
+    TextAnalysis.bigramLmScore(emptyDocs).count() shouldBe 0L
+    TextAnalysis.bigramLmScore(oneDoc).count() shouldBe 1L // 3 bigrams
+  }
+
+  test("contamination screen with empty sides yields no rows; closure dedup empty-safe") {
+    Pipeline.contaminationCheck(oneDoc, emptyDocs).count() shouldBe 0L
+    Pipeline.contaminationCheck(emptyDocs, oneDoc).count() shouldBe 0L
+    Dedup.minhashDedupIterative(emptyDocs).count() shouldBe 0L
+    Dedup.minhashDedupIterative(oneDoc).count() shouldBe 1L
   }
 
   test("corpusStats on an empty corpus is a single zero row") {

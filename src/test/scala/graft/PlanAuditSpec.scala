@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
 
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
-    "q39_cooccurrence_pmi") // 1-row total-count crosses (N tokens, P pairs)
+    "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
+    "q46_bigram_lm") // 1-row vocabulary-size (V) broadcast cross
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"

@@ -119,6 +119,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedTfIdf scores against a static df snapshot") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc", "line", "ts")
+    // static model: N = 100 docs, df(spark) = 9 → idf = log10(1 + 11)
+    val dfModel = Seq(("spark", 9L), ("flame", 50L)).toDF("term", "df")
+
+    val q = StreamingOps.windowedTfIdf(docs, dfModel, numDocs = 100L,
+      windowDuration = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wti").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("a", "spark spark spark flame", Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData(("c", "later", Timestamp.valueOf("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("wti").collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getAs[Double]("tfidf")).toMap
+      val sparkExpect = (1.0 + math.log10(3.0)) * math.log10(1 + 100 / 9) // floor(11.1)=11
+      got(("a", "spark")) shouldBe
+        (math.rint(sparkExpect * 1e6) / 1e6) +- 1e-9
+      got(("a", "flame")) shouldBe
+        (math.rint(math.log10(1 + 2) * 1e6) / 1e6) +- 1e-9 // tf=1, floor(100/50)=2
+      // "later" is absent from the model — no row leaks through the join
+      got.keySet.map(_._1) should not contain "c"
+    } finally q.stop()
+  }
+
   test("streaming dedupExact drops payload duplicates within the watermark") {
     val s = spark
     import s.implicits._

@@ -103,6 +103,21 @@ class TextAnalysisSpec extends SparkSpec {
     got("tiny") shouldBe ((0L, 0L, 0.0))
   }
 
+  test("bigramLmScore: add-one smoothed mean log10 prob; short docs emit no row") {
+    // corpus: d1 = "a a b", d2 = "b a", t = "z"
+    // unigrams a:3 b:2 z:1, V = 3
+    // P(a|a) = P(b|a) = (1+1)/(3+3) = 1/3; P(a|b) = (1+1)/(2+3) = 0.4
+    val got = TextAnalysis.bigramLmScore(corpus(
+      "d1" -> "a a b", "d2" -> "b a", "t" -> "z"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+    got.keySet shouldBe Set("d1", "d2") // "z" has no bigram
+    got("d1")._1 shouldBe 2L
+    got("d1")._2 shouldBe math.log10(1.0 / 3) +- 1e-6
+    got("d2")._1 shouldBe 1L
+    got("d2")._2 shouldBe math.log10(0.4) +- 1e-6
+  }
+
   test("fingerprint canonicalizes whitespace; fp64 folds md5") {
     val rows = TextAnalysis.fingerprint(corpus(
       "a" -> "hello  world", "b" -> " hello world ")).collect()
