@@ -196,16 +196,18 @@ object TextAnalysis {
    * at scan speed next to the other quality filters.
    */
   def repetitionScore(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toksC = toks(col("line"))
-    val grams = when(size(toksC) >= n,
-      transform(sequence(lit(0), size(toksC) - n),
-        i => array_join(slice(toksC, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // The TOTAL gram count is pure arithmetic on the token count — only
+    // the DISTINCT count needs the materialized gram array, and the
+    // token array projects once so the (interpreted) HOF chain runs a
+    // single time per row, not once per referencing metric.
+    val grams = (t: Column) => transform(sequence(lit(0), size(t) - n),
+      i => array_join(slice(t, i + 1, lit(n)), " "))
     docs
-      .select(col("doc"), grams.as("_grams"))
+      .select(col("doc"), toks(col("line")).as("_toks"))
       .select(col("doc"),
-        size(col("_grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("_grams"))).cast("long").as("n_distinct_grams"))
+        greatest(size(col("_toks")) - (n - 1), lit(0)).cast("long").as("n_grams"),
+        when(size(col("_toks")) >= n, size(array_distinct(grams(col("_toks")))))
+          .otherwise(lit(0)).cast("long").as("n_distinct_grams"))
       .withColumn("rep_ratio", round(
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(lit(1.0) - col("n_distinct_grams") / col("n_grams")), 6))
