@@ -469,6 +469,27 @@ object SparkEntry {
         .orderBy(col("q_vec_id"), col("rnk"))
     }),
 
+    // ANN recall CONTRACT for the IVF tier — the q25b twin: recall@10 of
+    // ivfCosineTopK against the exact top-k per query. q26 pins the
+    // quantizer's determinism (oracle mirrors the same assign/probe
+    // math); this pins QUALITY — a broken cell assignment that still
+    // matches its own mirror shows up as a recall collapse here.
+    "q26b_ann_ivf_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -556,6 +577,45 @@ object SparkEntry {
     "q39_cooccurrence_pmi" -> ((s, dir) =>
       TextAnalysis.cooccurrencePmi(docs(s, dir), window = 2, minCount = 2)
         .orderBy(col("t1"), col("t2"))),
+
+    // Context-window chunking: split each doc into <=64-token chunks
+    // (map-only array slicing — no shuffle).
+    "q47_chunk_docs" -> ((s, dir) =>
+      graft.operators.Chunking.chunkDocs(docs(s, dir), maxTokens = 64)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Sequence packing: fixed-capacity training bins by exclusive
+    // prefix-sum of token counts within deterministic doc-id buckets
+    // (one bucket-partitioned window shuffle).
+    "q48_pack_sequences" -> ((s, dir) =>
+      graft.operators.Chunking.packSequences(docs(s, dir),
+          targetTokens = 256, buckets = 16)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Vocabulary build + positional token-id encoding: frequency-ranked
+    // term ids (minCount=2 prunes hapaxes to OOV = -1), broadcast-joined
+    // back onto the positional token stream.
+    "q49_encode_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = graft.operators.Vocab.buildVocab(d, minCount = 2)
+      graft.operators.Vocab.encodeTokens(d, vocab)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // PII redaction over customer names+segments: ordered rule fold
+    // (email, IP, digit-run) with sequential per-rule match counts —
+    // map-only regex expressions, no shuffle.
+    "q50_redact" -> ((s, dir) =>
+      TextAnalysis.redact(
+          tbl(s, dir, "customer").select(col("c_custkey"),
+            concat(col("c_name"), lit(" "), col("c_mktsegment")).as("raw")),
+          col("raw"))
+        .select(col("c_custkey"), col("redacted"),
+          col("n_email"), col("n_ip"), col("n_num"))
+        .orderBy(col("c_custkey"))),
 
     // ── Multimodal plumbing (metadata/schema surface; decode is a stub
     //    tested in ScalaTest — not SQL-expressible) ───────────────────────
@@ -975,6 +1035,58 @@ object SparkEntry {
         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
 
+    "q26b_ann_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+        |      FROM n WHERE vec_id % 100 = 0),
+        |assign AS (
+        |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
+        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+        |           row_number() OVER (
+        |             PARTITION BY n.vec_id
+        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+        |               DESC, c.cent_id) AS rn
+        |    FROM n CROSS JOIN c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
+        |  FROM (
+        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+        |           row_number() OVER (
+        |             PARTITION BY n.vec_id
+        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+        |               DESC, c.cent_id) AS rn
+        |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
+        |approx AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+        |           row_number() OVER (PARTITION BY p.q_vec_id ORDER BY
+        |             round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6)
+        |               DESC, a.vec_id) AS rnk
+        |    FROM probes p JOIN assign a
+        |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id)
+        |  WHERE rnk <= 10),
+        |exact AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT q.vec_id AS q_vec_id, t.vec_id AS n_vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm), 6)
+        |               DESC, t.vec_id) AS rnk
+        |    FROM (SELECT * FROM n WHERE vec_id < 5) q
+        |    JOIN n t ON q.vec_id <> t.vec_id)
+        |  WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT a.q_vec_id, count(*) AS n_hits
+        |  FROM approx a JOIN exact x
+        |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+        |  GROUP BY 1)
+        |SELECT v.vec_id AS q_vec_id,
+        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+        |ORDER BY q_vec_id""".stripMargin,
+
     "q42_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings WHERE vec_id < 20),
@@ -1119,6 +1231,79 @@ object SparkEntry {
         |       round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q47_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |       array_to_string(toks[(chunk_id * 64 + 1):(chunk_id * 64 + 64)], ' ')
+        |         AS chunk_text,
+        |       least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q48_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> ''))::BIGINT AS n_tokens,
+        |         (doc_id % 16)::BIGINT AS bucket
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, bucket,
+        |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |               ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             / 256.0)::BIGINT AS pack_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q49_encode_tokens" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, (p - 1)::BIGINT AS pos, toks[p::INTEGER] AS term
+        |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
+        |counts AS (SELECT term, count(*) AS cnt FROM pos GROUP BY 1),
+        |vocab AS (
+        |  SELECT term,
+        |         (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT AS token_id
+        |  FROM counts WHERE cnt >= 2)
+        |SELECT p.doc_id, p.pos, p.term,
+        |       coalesce(v.token_id, -1)::BIGINT AS token_id
+        |FROM pos p LEFT JOIN vocab v ON p.term = v.term
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q50_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey, concat(c_name, ' ', c_mktsegment) AS raw
+        |  FROM customer),
+        |s1 AS (
+        |  SELECT c_custkey,
+        |         len(regexp_extract_all(raw,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |         regexp_replace(raw,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g') AS t1
+        |  FROM c),
+        |s2 AS (
+        |  SELECT c_custkey, n_email,
+        |         len(regexp_extract_all(t1,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ip,
+        |         regexp_replace(t1,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |           '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT c_custkey,
+        |       regexp_replace(t2, '[0-9]{2,}', '<NUM>', 'g') AS redacted,
+        |       n_email, n_ip,
+        |       len(regexp_extract_all(t2, '[0-9]{2,}'))::BIGINT AS n_num
+        |FROM s2 ORDER BY c_custkey""".stripMargin,
 
     "q39_cooccurrence_pmi" ->
       """WITH tokl AS (

@@ -262,4 +262,49 @@ object TextAnalysis {
       md5(canon).as("fp_md5"),
       conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("fp64"))
   }
+
+  /**
+   * Default PII-redaction rules, applied IN ORDER (order matters: the
+   * IP rule must fire before the bare digit-run rule eats its octets).
+   * Every pattern is written in the Java-regex ∩ RE2 common subset (no
+   * backreferences, no lookaround, no `\b`) so the same rules run
+   * unchanged on Spark and RE2-based engines.
+   */
+  val RedactRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>",
+    "[0-9]{2,}" -> "<NUM>")
+
+  /** Redacted text column: rules fold left over the string, each
+    * replacing ALL matches in the output of the previous rule. */
+  def redactCol(text: Column, rules: Seq[(String, String)] = RedactRules): Column =
+    rules.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /**
+   * PII / pattern redaction — the privacy-scrub stage of a training
+   * pipeline: masks each rule's matches and reports per-rule match
+   * counts. Counts are SEQUENTIAL (rule i counts matches in the text
+   * already redacted by rules 0..i-1), so overlapping patterns (an IP's
+   * octets vs the digit-run rule) are never double-counted.
+   *
+   * Output: all input columns plus `redacted` and one `n_<name>` count
+   * per rule. Pure map-only column expressions — no shuffle, no UDF; at
+   * 100 TB this runs at parquet-scan speed inside whole-stage codegen.
+   */
+  def redact(
+      df: DataFrame,
+      text: Column,
+      rules: Seq[(String, (String, String))] =
+        Seq("email", "ip", "num").zip(RedactRules)): DataFrame = {
+    val (finalText, countCols) =
+      rules.foldLeft((text, Seq.empty[Column])) {
+        case ((acc, counts), (name, (pat, repl))) =>
+          (regexp_replace(acc, pat, repl),
+            counts :+ size(regexp_extract_all(acc, lit(pat), lit(0)))
+              .cast("long").as(s"n_$name"))
+      }
+    df.select((df.columns.map(col) :+ finalText.as("redacted")) ++ countCols: _*)
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence-length preparation for LLM training pipelines: split
+ * over-long documents into fixed-token-budget chunks, and pack short
+ * documents into fixed-capacity training bins.
+ *
+ * Both operators take the engine's (doc, line) corpus shape and the O2
+ * whitespace tokenizer semantics (reference tokenizer is `\s*\b\s*`,
+ * DocWordCount.java:49; on whitespace-separated corpora the two are
+ * identical and `\s+` is the cross-engine-stable spelling).
+ */
+object Chunking {
+
+  private def toks(line: Column): Column =
+    filter(split(line, "\\s+"), t => length(t) > 0)
+
+  /**
+   * Split each document's token sequence into consecutive chunks of at
+   * most `maxTokens` tokens (the context-window splitter). Output:
+   * (doc, chunk_id, chunk_text, n_tokens); empty documents emit no
+   * chunks; the final chunk of a doc may be short.
+   *
+   * Scale shape: MAP-ONLY — the token array is materialized once per
+   * row and sliced per chunk index; no shuffle, no self-join. At 100 TB
+   * this runs at parquet-scan speed and parallelism is the input
+   * partitioning. Chunk count per doc is ceil(len/maxTokens), so output
+   * row count is bounded by total_tokens/maxTokens + n_docs.
+   */
+  def chunkDocs(docs: DataFrame, maxTokens: Int = 512): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    docs
+      .select(col("doc"), toks(col("line")).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col("doc"), col("_toks"),
+        size(col("_toks")).cast("long").as("_n"),
+        // last chunk index = (n-1) div maxTokens; the double-division
+        // cast truncates toward zero, which is floor for n >= 1
+        explode(sequence(lit(0L),
+          ((size(col("_toks")) - 1) / lit(maxTokens)).cast("long")))
+          .as("chunk_id"))
+      .select(col("doc"), col("chunk_id"),
+        array_join(
+          slice(col("_toks"),
+            (col("chunk_id") * maxTokens + 1).cast("int"), lit(maxTokens)),
+          " ").as("chunk_text"),
+        least(col("_n") - col("chunk_id") * maxTokens, lit(maxTokens.toLong))
+          .cast("long").as("n_tokens"))
+  }
+
+  /**
+   * Pack documents into fixed-capacity training bins by exclusive
+   * prefix-sum of token counts: within each bucket, documents (ordered
+   * by doc id) are assigned `pack_id = floor(prefix_tokens /
+   * targetTokens)` — the streaming offset-packing rule. A document
+   * longer than `targetTokens` overflows its pack rather than being
+   * split (compose with [[chunkDocs]] first when hard caps are needed).
+   *
+   * Scale shape: ONE window shuffle partitioned on `bucket` — the
+   * running sum never sees more than one bucket per task, so
+   * parallelism is `buckets` (size it ≳ cluster cores at 100 TB; the
+   * default bucketing expression `doc % buckets` keeps the assignment
+   * deterministic and oracle-mirrorable — any deterministic expression
+   * works).
+   */
+  def packSequences(
+      docs: DataFrame,
+      targetTokens: Int = 2048,
+      buckets: Int = 64,
+      bucketOf: Option[Column] = None): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bucket = bucketOf.getOrElse(pmod(col("doc"), lit(buckets.toLong)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc"),
+        size(toks(col("line"))).cast("long").as("n_tokens"),
+        bucket.cast("long").as("bucket"))
+      .withColumn("pack_id",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(targetTokens))
+          .cast("long"))
+  }
+}

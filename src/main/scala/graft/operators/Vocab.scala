@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Vocabulary construction and token-id encoding — the tokenize-for-
+ * training tier of an LLM data pipeline: build a frequency-ranked
+ * term → id dictionary over the corpus, then encode each document as
+ * its id sequence.
+ */
+object Vocab {
+
+  private def toks(line: Column): Column =
+    filter(split(line, "\\s+"), t => length(t) > 0)
+
+  /** Sentinel id for out-of-vocabulary terms in [[encodeTokens]]. */
+  val OovId = -1L
+
+  /**
+   * Frequency-ranked vocabulary: (term, cnt, token_id) with token_id =
+   * dense 0-based rank by (cnt desc, term asc) — deterministic across
+   * runs and engines.
+   *
+   * Scale shape: one partially-aggregated shuffle on `term` builds the
+   * counts; the ranking window is GLOBAL but runs on the *aggregated
+   * vocabulary* (≤ a few million rows for natural-language corpora,
+   * independent of corpus size), so the single-partition sort is
+   * post-reduction small — the standard shape for dictionary builds.
+   */
+  def buildVocab(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    docs
+      .select(explode(toks(col("line"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("term"))) - 1)
+          .cast("long"))
+  }
+
+  /**
+   * Positional token-id encoding: one row per (doc, pos) with the
+   * vocabulary id, `OovId` for terms pruned by minCount. The vocabulary
+   * joins as a BROADCAST (dictionaries are small relative to corpora);
+   * everything else is map-only off the tokenizer explode.
+   */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc"), posexplode(toks(col("line"))).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"), "left_outer")
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("term"),
+        coalesce(col("token_id"), lit(OovId)).as("token_id"))
+
+  /**
+   * Document-level id-sequence encoding: (doc, ids) where `ids` is the
+   * token-id array in document order. Built from [[encodeTokens]] with
+   * a sort_array-of-struct regroup — collect_list alone has no ordering
+   * guarantee, so the position rides inside the struct and is stripped
+   * after the sort. One shuffle on `doc`.
+   */
+  def encodeDocs(docs: DataFrame, vocab: DataFrame): DataFrame =
+    encodeTokens(docs, vocab)
+      .groupBy(col("doc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id")).as("ids"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions.{col => C}
+import graft.operators.Chunking
+
+class ChunkingSpec extends SparkSpec {
+
+  test("chunkDocs splits into maxTokens-sized chunks with a short tail") {
+    val got = Chunking.chunkDocs(corpus("d" -> "a b c d e"), maxTokens = 2)
+      .orderBy(C("chunk_id")).collect()
+    got.map(_.getAs[Long]("chunk_id")).toSeq shouldBe Seq(0L, 1L, 2L)
+    got.map(_.getAs[String]("chunk_text")).toSeq shouldBe Seq("a b", "c d", "e")
+    got.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(2L, 2L, 1L)
+  }
+
+  test("chunkDocs emits nothing for empty docs and one chunk for short docs") {
+    val got = Chunking.chunkDocs(corpus("e" -> "", "s" -> "x y"), maxTokens = 64)
+      .collect()
+    got.length shouldBe 1
+    got.head.getAs[String]("doc") shouldBe "s"
+    got.head.getAs[Long]("n_tokens") shouldBe 2L
+  }
+
+  test("chunkDocs round-trips: chunks re-joined equal the tokenized doc") {
+    val line = (1 to 157).map(i => s"t$i").mkString(" ")
+    val got = Chunking.chunkDocs(corpus("d" -> line), maxTokens = 16)
+      .orderBy(C("chunk_id")).collect()
+    got.map(_.getAs[String]("chunk_text")).mkString(" ") shouldBe line
+    got.map(_.getAs[Long]("n_tokens")).sum shouldBe 157L
+  }
+
+  private def numDocs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc", "line")
+  }
+
+  test("packSequences assigns pack_id by exclusive prefix sum over the bucket") {
+    // single bucket: 6 docs x 3 tokens, target 4 → prefix 0,3,6,9,12,15
+    val got = Chunking.packSequences(
+        numDocs((0L to 5L).map(i => i -> "x y z"): _*),
+        targetTokens = 4, buckets = 1)
+      .orderBy(C("doc")).collect()
+    got.map(_.getAs[Long]("pack_id")).toSeq shouldBe Seq(0L, 0L, 1L, 2L, 3L, 3L)
+    got.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq.fill(6)(3L)
+  }
+
+  test("packSequences: over-long docs overflow their pack; buckets are independent") {
+    val long = (1 to 10).map(_ => "w").mkString(" ")
+    val got = Chunking.packSequences(
+        numDocs(0L -> long, 1L -> "a b", 2L -> long, 3L -> "c d"),
+        targetTokens = 4, buckets = 2)
+      .orderBy(C("doc")).collect()
+      .map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("pack_id"))).toMap
+    // bucket 0: docs 0 (10 toks, prefix 0 → pack 0) and 2 (prefix 10 → pack 2)
+    got(0L) shouldBe (0L, 0L)
+    got(2L) shouldBe (0L, 2L)
+    // bucket 1: docs 1 (prefix 0 → pack 0) and 3 (prefix 2 → pack 0)
+    got(1L) shouldBe (1L, 0L)
+    got(3L) shouldBe (1L, 0L)
+  }
+
+  test("packSequences rejects non-positive parameters") {
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.packSequences(numDocs(0L -> "a"), targetTokens = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.chunkDocs(corpus("d" -> "a"), maxTokens = 0)
+  }
+}

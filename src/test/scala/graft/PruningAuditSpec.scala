@@ -54,4 +54,13 @@ class PruningAuditSpec extends SparkSpec {
     formatted("q15_cosine_topk") should
       include regex "PushedFilters:.*LessThan\\(vec_id,5\\)"
   }
+
+  test("q50 redact scan reads only the three used customer columns") {
+    readSchemas("q50_redact") shouldBe
+      Seq(Set("c_custkey", "c_name", "c_mktsegment"))
+  }
+
+  test("q47 chunking scan reads only doc_id and text") {
+    readSchemas("q47_chunk_docs") shouldBe Seq(Set("doc_id", "text"))
+  }
 }

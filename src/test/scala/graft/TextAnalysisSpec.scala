@@ -125,4 +125,25 @@ class TextAnalysisSpec extends SparkSpec {
     rows("a") shouldBe rows("b") // same canonical form
     rows("a")._2 should be >= 0L
   }
+
+  test("redact masks email, IP, and digit runs with sequential counts") {
+    val row = TextAnalysis.redact(
+      corpus("d" -> "mail bob@example.com ip 10.0.0.1 port 8080 x 7"),
+      org.apache.spark.sql.functions.col("line")).head()
+    row.getAs[String]("redacted") shouldBe
+      "mail <EMAIL> ip <IP> port <NUM> x 7"
+    row.getAs[Long]("n_email") shouldBe 1L
+    row.getAs[Long]("n_ip") shouldBe 1L
+    // 8080 only — the IP's octets were masked before the digit-run rule
+    row.getAs[Long]("n_num") shouldBe 1L
+  }
+
+  test("redact rule order protects IPs from the digit-run rule") {
+    val row = TextAnalysis.redact(
+      corpus("d" -> "192.168.001.255"),
+      org.apache.spark.sql.functions.col("line")).head()
+    row.getAs[String]("redacted") shouldBe "<IP>"
+    row.getAs[Long]("n_ip") shouldBe 1L
+    row.getAs[Long]("n_num") shouldBe 0L
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions.{col => C}
+import graft.operators.Vocab
+
+class VocabSpec extends SparkSpec {
+
+  private val docs = corpus(
+    "d1" -> "b a a c",
+    "d2" -> "a b zz")
+
+  test("buildVocab ranks ids by count desc then term asc") {
+    val got = Vocab.buildVocab(docs).orderBy(C("token_id")).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("token_id")))
+    // a×3, b×2, c×1, zz×1 → ids 0,1,2,3 (c before zz on the tie)
+    got.toSeq shouldBe Seq(
+      "a" -> (3L, 0L), "b" -> (2L, 1L), "c" -> (1L, 2L), "zz" -> (1L, 3L))
+  }
+
+  test("buildVocab minCount prunes and encodeTokens maps pruned terms to OOV") {
+    val vocab = Vocab.buildVocab(docs, minCount = 2)
+    vocab.count() shouldBe 2L
+    val got = Vocab.encodeTokens(docs, vocab)
+      .where(C("doc") === "d2").orderBy(C("pos")).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("token_id")))
+    got.toSeq shouldBe Seq("a" -> 0L, "b" -> 1L, "zz" -> Vocab.OovId)
+  }
+
+  test("encodeDocs preserves document token order in the id array") {
+    val vocab = Vocab.buildVocab(docs)
+    val got = Vocab.encodeDocs(docs, vocab).collect()
+      .map(r => r.getAs[String]("doc") -> r.getAs[Seq[Long]]("ids")).toMap
+    got("d1") shouldBe Seq(1L, 0L, 0L, 2L) // b a a c
+    got("d2") shouldBe Seq(0L, 1L, 3L)     // a b zz
+  }
+
+  test("empty corpus yields an empty vocabulary and no encoded rows") {
+    val empty = corpus()
+    Vocab.buildVocab(empty).count() shouldBe 0L
+    Vocab.encodeTokens(empty, Vocab.buildVocab(empty)).count() shouldBe 0L
+  }
+}
