@@ -605,6 +605,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // END-TO-END training-data prep: clean (dedup → lang → quality) →
+    // chunk to <=64-token windows → pack chunks into 256-token bins.
+    // One md5 dedup shuffle + one bucket-window shuffle; everything
+    // between is map-only. Chunk key cid = doc*100 + chunk_id
+    // (deterministic, mirrorable; chunk counts are « 100 per doc here).
+    "q51_training_prep" -> ((s, dir) => {
+      val cleaned = graft.operators.Pipeline
+        .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
+        .select(col("doc"), col("line"))
+      val chunks = graft.operators.Chunking.chunkDocs(cleaned, maxTokens = 64)
+        .select((col("doc") * 100 + col("chunk_id")).as("doc"),
+          col("chunk_text").as("line"))
+      graft.operators.Chunking
+        .packSequences(chunks, targetTokens = 256, buckets = 16)
+        .withColumnRenamed("doc", "cid")
+        .orderBy(col("cid"))
+    }),
+
     // PII redaction over customer names+segments: ordered rule fold
     // (email, IP, digit-run) with sequential per-rule match counts —
     // map-only regex expressions, no shuffle.
@@ -1278,6 +1296,69 @@ object SparkEntry {
         |       coalesce(v.token_id, -1)::BIGINT AS token_id
         |FROM pos p LEFT JOIN vocab v ON p.term = v.term
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q51_training_prep" ->
+      """WITH keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM keep),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, lang_pred,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM l),
+        |q AS (
+        |  SELECT doc_id, lang_pred,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |clean AS (
+        |  SELECT k.doc_id, k.text
+        |  FROM keep k JOIN q ON k.doc_id = q.doc_id
+        |  WHERE q.lang_pred IN ('en', 'es') AND q.quality_score >= 0.55),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM clean),
+        |ch AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
+        |  FROM ct WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT (doc_id * 100 + chunk_id)::BIGINT AS cid,
+        |         least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
+        |  FROM ch)
+        |SELECT cid, n_tokens, (cid % 16)::BIGINT AS bucket,
+        |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY cid % 16
+        |               ORDER BY cid
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             / 256.0)::BIGINT AS pack_id
+        |FROM chunks ORDER BY cid""".stripMargin,
 
     "q50_redact" ->
       """WITH c AS (

@@ -162,6 +162,20 @@ class SimilaritySpec extends SparkSpec {
     (hits.toDouble / 50.0) should be >= 0.08 // measured 0.10 at sf0.01
   }
 
+  test("ivfCosineTopK recall@10 vs exact stays above the pinned floor") {
+    // The q26b contract, asserted: IVF with 2 probes over stride-100
+    // centroids recovers most of the exact top-10 — a broken cell
+    // assignment (query and corpus assigned by different math) collapses
+    // this to ~k/n and fails loudly.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(e, q, k = 10).select("q_vec_id", "n_vec_id")
+    val approx = Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2)
+      .select("q_vec_id", "n_vec_id")
+    val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi").count()
+    (hits.toDouble / 50.0) should be >= 0.4 // measured 0.68 at sf0.01
+  }
+
   test("embedding hot-bucket guard skips degenerate buckets observably") {
     val s = spark
     import s.implicits._
