@@ -146,6 +146,28 @@ object StreamingOps {
       .drop("_st")
   }
 
+  /**
+   * Streaming twin of the q51 ingest front-half: clean (dedup + lang +
+   * quality) then redact then chunk to `maxTokens`-token windows. Every
+   * stage past the dedup is a stateless map/explode, so the chunked
+   * stream stays append-mode with only the fingerprint state. Sequence
+   * PACKING is deliberately absent: it is a prefix-sum over a bucket
+   * ordering, which streams can't finalize without a window barrier —
+   * pack the chunked sink in micro-batch/batch instead
+   * (`Chunking.packSequences`).
+   */
+  def prepStream(
+      docs: DataFrame,
+      langs: Seq[String],
+      minQuality: Double,
+      maxTokens: Int = 512,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val cleaned = cleanStream(docs, langs, minQuality, watermarkDelay)
+      .select(col("doc"), TextAnalysis.redactCol(col("line")).as("line"))
+    graft.operators.Chunking.chunkDocs(cleaned, maxTokens)
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionSummary(
       user_id: Long, session_start: java.sql.Timestamp,

@@ -201,6 +201,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming prepStream cleans, redacts, and chunks in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc", "line", "ts")
+    // english enough to pass lang+quality; 1234 exercises the redactor;
+    // 10 tokens with maxTokens=6 → chunks of 6 and 4
+    val english = "the dog is running to a river in zone 1234"
+
+    val q = StreamingOps.prepStream(docs, langs = Seq("en"),
+        minQuality = 0.3, maxTokens = 6)
+      .writeStream.format("memory").queryName("prep")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("a", english, Timestamp.valueOf("2024-01-01 00:00:00")),
+        ("b", english, Timestamp.valueOf("2024-01-01 00:01:00"))) // dup of a
+      q.processAllAvailable()
+      val got = StreamingSpec.this.spark.table("prep").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("chunk_id"),
+          r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).sortBy(_._2)
+      got.map(_._1).toSet shouldBe Set("a") // dup dropped before chunking
+      got.map(_._3).toSeq shouldBe
+        Seq("the dog is running to a", "river in zone <NUM>")
+      got.map(_._4).toSeq shouldBe Seq(6L, 4L)
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions on new-session arrival") {
     val s = spark
     import s.implicits._
