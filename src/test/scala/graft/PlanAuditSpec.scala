@@ -45,4 +45,28 @@ class PlanAuditSpec extends SparkSpec {
   test("every declared query has a matching oracle entry") {
     SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
   }
+
+  /** Shuffle budgets for the training-prep tier: the number of
+    * hash-partitioned exchanges each plan is ALLOWED to contain. The
+    * final oracle ORDER BY contributes a range exchange, not counted
+    * here; a refactor that sneaks an extra data shuffle into a
+    * map-only operator fails this before it reaches a benchmark. */
+  private val hashExchangeBudget = Map(
+    "q47_chunk_docs" -> 0, // map-only array slicing
+    "q50_redact" -> 0, // map-only regex fold
+    "q48_pack_sequences" -> 1, // the bucket-window shuffle
+    "q49_encode_tokens" -> 1, // vocab count agg (dict joins broadcast)
+    "q51_training_prep" -> 2) // dedup fingerprint + pack bucket-window
+
+  test("training-prep tier stays within its declared shuffle budget") {
+    val dir = "/root/testdata/sf0.001"
+    hashExchangeBudget.foreach { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val hashes = "Exchange hashpartitioning".r.findAllIn(plan).size
+      withClue(s"$name plan:\n$plan\n") {
+        hashes should be <= budget
+      }
+    }
+  }
 }
