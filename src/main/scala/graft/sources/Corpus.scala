@@ -81,6 +81,38 @@ object Corpus {
   def writeParquet(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").parquet(out)
 
+  /** ORC documents source (doc_id/text columns), normalized to
+    * (doc, line). Same vectorized-reader + pushdown class as parquet —
+    * supported for corpora that arrive ORC-shaped. */
+  def documentsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .orc(path)
+      .select(col("doc_id").cast("string").as("doc"), col("text").as("line"))
+
+  /** ORC sink (columnar alternative when the downstream stack is
+    * ORC-native). */
+  def writeOrc(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").orc(out)
+
+  /**
+   * Hive-style PARTITIONED parquet sink: one directory per value of
+   * `partitionCols` (e.g. lang=en/, source=web/). At 100 TB this is the
+   * single biggest scan lever — a later read filtering on a partition
+   * column prunes whole directories at PLANNING time (the plan shows
+   * `PartitionFilters`, and unselected partitions are never listed,
+   * opened, or read). Partition by LOW-cardinality columns only
+   * (lang/source/date); high-cardinality partitioning produces the
+   * million-small-files failure mode.
+   */
+  def writePartitionedParquet(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      out: String): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(out)
+
   /**
    * Bucketed + sorted parquet table via the session catalog: data is
    * hash-partitioned into `numBuckets` files per partition on

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.{functions => F}
+
 import graft.sources.Corpus
 
 /** O1 text-directory source: doc identity = file basename
@@ -88,5 +90,36 @@ class CorpusSpec extends SparkSpec {
     Corpus.writeTabText(corpus("d1" -> "x"), "doc", "line", out)
     val back = spark.read.text(out).collect().map(_.getString(0)).toSeq
     back shouldBe Seq("d1\tx")
+  }
+
+  test("ORC sink/source round-trips documents") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-orc").toString + "/docs"
+    Corpus.writeOrc(
+      Seq((1L, "hello world"), (2L, "spark stream")).toDF("doc_id", "text"), out)
+    rowsOf(Corpus.documentsOrc(spark, out)) shouldBe
+      Seq(Seq("1", "hello world"), Seq("2", "spark stream"))
+  }
+
+  test("partitioned parquet prunes unselected partitions at planning time") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-part").toString + "/docs"
+    val df = Seq(
+      (1L, "the cat", "en"), (2L, "der hund", "de"), (3L, "a dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    Corpus.writePartitionedParquet(df, Seq("lang"), out)
+    // one directory per lang value on disk
+    new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("lang="))
+      .toSet shouldBe Set("lang=en", "lang=de")
+    val read = spark.read.parquet(out).where(F.col("lang") === "en")
+    read.count() shouldBe 2L
+    val plan = read.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include regex "PartitionFilters.*lang.*en"
+      // the pruned scan reads one of the two partitions
+      plan should not include "lang=de"
+    }
   }
 }
