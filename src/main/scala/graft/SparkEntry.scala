@@ -81,18 +81,22 @@ object SparkEntry {
 
   /** Word-3-gram shingle CTEs (dedup tier) over a given source relation.
     * Distinct shingles per doc + per-doc shingle counts. */
-  private def shingleCtesFrom(src: String): String =
-    s"""tokl AS (
+  /** Shingle CTE family (tokl/sh/sz), CTE names suffixed so two corpora
+    * (e.g. delta vs history in q52) can coexist in one oracle query. */
+  private def shingleCtesSfx(src: String, sfx: String): String =
+    s"""tokl$sfx AS (
       |  SELECT doc_id,
       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
       |  FROM $src),
-      |sh AS (
+      |sh$sfx AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id,
       |           unnest(list_transform(range(1, len(toks) - 1),
       |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-      |    FROM tokl)),
-      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+      |    FROM tokl$sfx)),
+      |sz$sfx AS (SELECT doc_id, count(*) AS sz FROM sh$sfx GROUP BY 1)""".stripMargin
+
+  private def shingleCtesFrom(src: String): String = shingleCtesSfx(src, "")
 
   private val ShingleCtes = shingleCtesFrom("documents")
 
@@ -140,7 +144,7 @@ object SparkEntry {
     * per shingle, b1/b2 = the first/second 8 hex digits as 32-bit ints,
     * m_k = min((b1 + (k+1)·b2) mod P) — generated so the oracle stays in
     * lockstep with the Scala constants. */
-  private val MinhashSigCte: String = {
+  private def minhashSigCteSfx(sfx: String): String = {
     def hex8(off: Int): String =
       "list_sum(list_transform(range(1, 9), i -> " +
         s"(strpos('0123456789abcdef', substr(h, (i + $off)::INTEGER, 1)) - 1)::BIGINT" +
@@ -148,21 +152,25 @@ object SparkEntry {
     val mins = (0 until 16)
       .map(k => s"min((b1 + ${k + 1} * b2) % ${Dedup.MinhashPrime}) AS m$k")
       .mkString(",\n         ")
-    s"""sig AS (
+    s"""sig$sfx AS (
        |  SELECT doc_id,
        |         $mins
        |  FROM (SELECT doc_id, ${hex8(0)} AS b1, ${hex8(8)} AS b2
-       |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh))
+       |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh$sfx))
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  private val MinhashSigCte: String = minhashSigCteSfx("")
+
   /** DuckDB replica of `Dedup.lshBands` over the wide signature row: 4
     * bands of 4 minima, band_val = comma-joined decimal minima. */
-  private val MinhashBandsSql: String =
+  private def minhashBandsSqlSfx(sfx: String): String =
     (0 until 4).map { b =>
       val concat = (0 until 4).map(i => s"m${b * 4 + i}::VARCHAR").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, $concat AS band_val FROM sig"
+      s"SELECT doc_id, $b AS band, $concat AS band_val FROM sig$sfx"
     }.mkString("\n  UNION ALL ")
+
+  private val MinhashBandsSql: String = minhashBandsSqlSfx("")
 
   /** DuckDB replica of `Similarity.signRow`'s hyperplane family: sign_j of
     * hyperplane `h` = +1 iff hex digit (j mod 16) of md5("h:j") ≥ '8'.
@@ -358,6 +366,19 @@ object SparkEntry {
           d.where(col("doc") < 250).select(md5(col("line")).as("fp")))
         .select(col("doc").as("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental NEAR-dup screen: new arrivals (doc >= 250) whose LSH
+    // bands collide with the history corpus (doc < 250), verified by
+    // exact Jaccard >= 0.5 across the two shingle sets — the daily-
+    // ingest near-dup path (delta ⋈ history bands, never a self-join).
+    "q52_near_dup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashNearDupsAgainst(
+          d.where(col("doc") >= 250), d.where(col("doc") < 250))
+        .select(col("doc").as("doc_id"), col("hist_doc").as("hist_id"),
+          col("jaccard"))
+        .orderBy(col("doc_id"), col("hist_id"))
     }),
 
     // Production near-dup dedup: min-label over LSH buckets, no pair
@@ -861,6 +882,35 @@ object SparkEntry {
         |WHERE doc_id >= 250
         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin,
+
+    "q52_near_dup_incremental" ->
+      s"""WITH ${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
+         |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "_h")},
+         |${minhashSigCteSfx("_n")},
+         |${minhashSigCteSfx("_h")},
+         |bands_n AS (${minhashBandsSqlSfx("_n")}),
+         |bands_h AS (${minhashBandsSqlSfx("_h")}),
+         |bok AS (
+         |  SELECT band, band_val FROM bands_h GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS hist_id
+         |  FROM bands_n a JOIN bands_h b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |inter AS (
+         |  SELECT c.doc_id, c.hist_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh_n a ON a.doc_id = c.doc_id
+         |  JOIN sh_h b ON b.doc_id = c.hist_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT it.doc_id, it.hist_id,
+         |       round(it.i * 1.0 / (x.sz + y.sz - it.i), 6) AS jaccard
+         |FROM inter it
+         |JOIN sz_n x ON it.doc_id = x.doc_id
+         |JOIN sz_h y ON it.hist_id = y.doc_id
+         |WHERE it.i * 1.0 / (x.sz + y.sz - it.i) >= 0.5
+         |ORDER BY it.doc_id, it.hist_id""".stripMargin,
 
     "q28_minhash_dedup" ->
       s"""WITH $ShingleCtes,

@@ -246,6 +246,67 @@ object Dedup {
   }
 
   /**
+   * Incremental NEAR-dup screen — the daily-ingest twin of
+   * [[exactDedupAgainst]]: find new documents whose MinHash bands
+   * collide with the HISTORY corpus, verified by exact Jaccard ≥
+   * `threshold` across the two shingle sets. Returns (doc, hist_doc,
+   * jaccard) matches; left_anti-join `doc` to admit only novel
+   * arrivals. Does NOT screen `newDocs` against itself — compose with
+   * [[minhashDedup]] for intra-batch near-dups.
+   *
+   * Scale shape: the candidate join is delta-bands ⋈ history-bands on
+   * (band, band_val) — never a self-join; in production the history
+   * side is persisted signature/band state that is appended, not
+   * recomputed. The hot-bucket guard bounds the HISTORY buckets (a
+   * degenerate boilerplate bucket there is the straggler risk, and at
+   * 100 TB history dwarfs any delta); skipped buckets are observable
+   * via [[lshSkippedBuckets]] on the history bands.
+   */
+  def minhashNearDupsAgainst(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = MaxPairBucket): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    val shNew = shingles(newDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shHist = shingles(historyDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bNew = lshBands(minhashSignatures(shNew, numHashes), numHashes, rowsPerBand)
+    val bHist = lshBands(minhashSignatures(shHist, numHashes), numHashes, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = bHist
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("band_val"))
+    val cand = bNew
+      .join(bHist.select(col("doc").as("hist_doc"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .join(okBuckets, Seq("band", "band_val"), "left_semi")
+      .select(col("doc"), col("hist_doc"))
+      .distinct()
+    val szNew = shNew.groupBy(col("doc")).agg(count(lit(1)).as("sz_new"))
+    val szHist = shHist.groupBy(col("doc")).agg(count(lit(1)).as("sz_hist"))
+    cand
+      .join(shNew, Seq("doc"))
+      .join(shHist.select(col("doc").as("hist_doc"), col("shingle")),
+        Seq("hist_doc", "shingle"))
+      .groupBy(col("doc"), col("hist_doc")).agg(count(lit(1)).as("i"))
+      .join(szNew, Seq("doc"))
+      .join(szHist.select(col("doc").as("hist_doc"), col("sz_hist")),
+        Seq("hist_doc"))
+      .where(col("i") / (col("sz_new") + col("sz_hist") - col("i")) >= threshold)
+      .select(col("doc"), col("hist_doc"),
+        round(col("i") / (col("sz_new") + col("sz_hist") - col("i")), 6)
+          .as("jaccard"))
+  }
+
+  /**
    * Production near-dup DEDUP pass: a document survives iff no LSH bucket
    * it belongs to contains a smaller doc id. This is one step of
    * min-label propagation over the implicit candidate graph — a

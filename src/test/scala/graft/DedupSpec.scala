@@ -63,6 +63,35 @@ class DedupSpec extends SparkSpec {
     all(pairs.toSeq.flatMap(p => Seq(p._1, p._2))) should not be "d"
   }
 
+  test("minhashNearDupsAgainst matches new docs only against history") {
+    // SparkEntry.ChainDocs 1000001↔1000003 were SEEDED to share an LSH
+    // band (q28b chain) with Jaccard 28/48 ≈ 0.58 — a deterministic
+    // band-collision fixture, unlike ad-hoc near-dup sentences whose
+    // collision odds depend on the hash family.
+    val chain = SparkEntry.ChainDocs.toMap
+    val history = corpus(
+      "h1" -> chain(1000001L),
+      "h2" -> "completely different words here entirely now today")
+    val fresh = corpus(
+      "n1" -> chain(1000003L), // seeded band-mate of h1
+      "n2" -> "novel content with no overlap anywhere in sight",
+      "n3" -> "novel content with no overlap anywhere in sight") // intra-batch dup
+    val got = Dedup.minhashNearDupsAgainst(fresh, history, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set("n1" -> "h1") // n3~n2 is intra-batch: NOT screened here
+  }
+
+  test("minhashNearDupsAgainst hot-bucket guard drops oversized history buckets") {
+    val history = corpus(
+      "h1" -> "the quick brown fox jumps over the lazy dog",
+      "h2" -> "the quick brown fox jumps over the lazy dog")
+    val fresh = corpus("n1" -> "the quick brown fox jumps over the lazy dog")
+    Dedup.minhashNearDupsAgainst(fresh, history, threshold = 0.5)
+      .count() shouldBe 2L
+    Dedup.minhashNearDupsAgainst(fresh, history, threshold = 0.5,
+      maxBucketSize = 1).count() shouldBe 0L
+  }
+
   test("exactDedupAgainst drops only payloads already in the seen set") {
     val seen = Dedup.exactGroups(corpus("old" -> "known payload"))
       .select("fp")
