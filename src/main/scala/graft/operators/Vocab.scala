@@ -42,17 +42,25 @@ object Vocab {
 
   /**
    * Positional token-id encoding: one row per (doc, pos) with the
-   * vocabulary id, `OovId` for terms pruned by minCount. The vocabulary
-   * joins as a BROADCAST (dictionaries are small relative to corpora);
-   * everything else is map-only off the tokenizer explode.
+   * vocabulary id, `OovId` for terms pruned by minCount. By default the
+   * vocabulary joins as a BROADCAST — natural-language dictionaries are
+   * tens of MB, dwarfed by the corpus. Pass `broadcastDict = false` for
+   * degenerate vocabularies too big to ship to every executor (e.g.
+   * ids over raw n-grams); the join then shuffles on `term`, which is
+   * still one exchange of the token stream.
    */
-  def encodeTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+  def encodeTokens(
+      docs: DataFrame,
+      vocab: DataFrame,
+      broadcastDict: Boolean = true): DataFrame = {
+    val dict = vocab.select(col("term"), col("token_id"))
     docs
       .select(col("doc"), posexplode(toks(col("line"))).as(Seq("pos", "term")))
-      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+      .join(if (broadcastDict) broadcast(dict) else dict,
         Seq("term"), "left_outer")
       .select(col("doc"), col("pos").cast("long").as("pos"), col("term"),
         coalesce(col("token_id"), lit(OovId)).as("token_id"))
+  }
 
   /**
    * Document-level id-sequence encoding: (doc, ids) where `ids` is the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -166,6 +166,110 @@ object StreamingOps {
     val cleaned = cleanStream(docs, langs, minQuality, watermarkDelay)
       .select(col("doc"), TextAnalysis.redactCol(col("line")).as("line"))
     graft.operators.Chunking.chunkDocs(cleaned, maxTokens)
+  }
+
+  /**
+   * Streaming incremental NEAR-dup screen — the stream-static twin of
+   * `Dedup.minhashNearDupsAgainst`: each arriving document is checked
+   * against a STATIC history corpus and emits (doc, hist_doc, jaccard)
+   * for every history near-match (Jaccard ≥ threshold).
+   *
+   * Entirely STATELESS append mode — no aggregation, no watermark, no
+   * state store. The trick: a streaming document is ONE row, so its
+   * MinHash signature is computed row-locally with array expressions
+   * (one md5 per shingle, k arithmetic minima — the batch path's
+   * groupBy(doc) is unnecessary when the doc never spans rows), bands
+   * join stream-static against the precomputed history bands, and the
+   * per-pair band dedup is the first-matching-band filter evaluated
+   * row-locally over the carried band-value columns (both sides' band
+   * values ride the join row — no distinct, no state). Jaccard verifies
+   * via array_intersect on the carried shingle arrays.
+   *
+   * At scale the static side is planned once and reused every
+   * micro-batch; history band rows carry their doc's shingle array, so
+   * size the history corpus (or pre-filter it) to what the join can
+   * shuffle. Unlike the batch twin there is no hot-bucket guard — apply
+   * one upstream by pruning degenerate history buckets before passing
+   * them here.
+   */
+  def nearDupScreen(
+      docs: DataFrame,
+      historyDocs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    val nBands = numHashes / rowsPerBand
+
+    def bandVal(prefix: String, b: Int): Column =
+      concat_ws(",",
+        (0 until rowsPerBand).map(i => col(s"$prefix${b * rowsPerBand + i}")): _*)
+
+    // ── static history side: signatures via the batch path ──────────────
+    val histSig = Dedup.minhashSignatures(Dedup.shingles(historyDocs, n), numHashes)
+    val histWide = histSig.select(
+      col("doc").as("hist_doc") +:
+        (0 until nBands).map(b => bandVal("m", b).as(s"hbv$b")): _*)
+      .join(historyDocs.select(col("doc").as("hist_doc"),
+        Dedup.shinglesCol(col("line"), n).as("_hsh")), Seq("hist_doc"))
+    val histBands = histWide.select(
+      Seq(col("hist_doc"), col("_hsh")) ++
+        (0 until nBands).map(b => col(s"hbv$b")) :+
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"), col(s"hbv$b").as("band_val"))): _*))
+          .as("e"): _*)
+      .select(Seq(col("hist_doc"), col("_hsh"),
+        col("e.band").as("band"), col("e.band_val").as("band_val")) ++
+        (0 until nBands).map(b => col(s"hbv$b")): _*)
+
+    // ── stream side: ROW-LOCAL signature (one md5 per shingle) ──────────
+    val minCols = (0 until numHashes).map { k =>
+      array_min(transform(col("_bb"), p =>
+        (p.getField("b1") + lit((k + 1).toLong) * p.getField("b2"))
+          % Dedup.MinhashPrime)).as(s"m$k")
+    }
+    val sig = docs
+      .select(col("doc"), Dedup.shinglesCol(col("line"), n).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .withColumn("_bb", transform(col("_sh"), s => {
+        val h = md5(s)
+        struct(
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("b1"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("b2"))
+      }))
+      .select(Seq(col("doc"), col("_sh")) ++ minCols: _*)
+    val streamBands = sig.select(
+      Seq(col("doc"), col("_sh")) ++
+        (0 until nBands).map(b => bandVal("m", b).as(s"bv$b")): _*)
+      .select(
+        Seq(col("doc"), col("_sh")) ++
+          (0 until nBands).map(b => col(s"bv$b")) :+
+          explode(array((0 until nBands).map(b =>
+            struct(lit(b.toLong).as("band"), col(s"bv$b").as("band_val"))): _*))
+            .as("e"): _*)
+      .select(Seq(col("doc"), col("_sh"),
+        col("e.band").as("band"), col("e.band_val").as("band_val")) ++
+        (0 until nBands).map(b => col(s"bv$b")): _*)
+
+    // first matching band per (doc, hist_doc), evaluated row-locally
+    val firstBand = (0 until nBands)
+      .map(b => when(col(s"bv$b") === col(s"hbv$b"), lit(b.toLong)))
+      .reduceLeft[Column]((acc, c) => coalesce(acc, c))
+
+    val joined = streamBands.join(histBands, Seq("band", "band_val"))
+      .where(col("band") === firstBand)
+    val inter = size(array_intersect(col("_sh"), col("_hsh"))).cast("long")
+    joined
+      .withColumn("_i", inter)
+      .withColumn("_j",
+        col("_i") / (size(col("_sh")) + size(col("_hsh")) - col("_i")))
+      .where(col("_j") >= threshold)
+      .select(col("doc"), col("hist_doc"), round(col("_j"), 6).as("jaccard"))
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

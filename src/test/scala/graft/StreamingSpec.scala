@@ -232,6 +232,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearDupScreen matches the batch twin against static history") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val chain = SparkEntry.ChainDocs.toMap
+    val history = Seq(
+      ("h1", chain(1000001L)),
+      ("h2", "completely different words here entirely now today"))
+      .toDF("doc", "line")
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("doc", "line")
+
+    val q = StreamingOps.nearDupScreen(stream, history, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("n1", chain(1000003L)), // seeded band-mate of h1
+        ("n2", "novel content with no overlap anywhere in sight"))
+      q.processAllAvailable()
+      val got = StreamingSpec.this.spark.table("neardup").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      got.map(p => (p._1, p._2)).toSet shouldBe Set("n1" -> "h1")
+      // jaccard agrees with the batch twin to the same rounding
+      val batch = graft.operators.Dedup.minhashNearDupsAgainst(
+        Seq(("n1", chain(1000003L))).toDF("doc", "line"), history,
+        threshold = 0.5).collect()
+      batch.length shouldBe 1
+      got.head._3 shouldBe batch.head.getAs[Double]("jaccard")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions on new-session arrival") {
     val s = spark
     import s.implicits._
