@@ -110,4 +110,27 @@ object Bpe {
       .select(col("doc"), col("pos").cast("long").as("pos"), col("word"),
         sym.as("bpe_symbols"))
   }
+
+  /**
+   * The 100 TB variant of [[applyMerges]]: derive symbols once per
+   * DISTINCT word and broadcast the word → symbols dictionary back onto
+   * the token stream, so a long merge table's fold chain runs |vocab|
+   * times instead of |corpus tokens| times. Same output contract.
+   */
+  def applyMergesViaDict(
+      docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sym = merges.foldLeft(
+      filter(split(col("word"), ""), s => length(s) > 0)) {
+      case (acc, (a, b)) => mergeOnce(acc, a, b)
+    }
+    val positions = docs
+      .select(col("doc"), posexplode(toks(col("line"))).as(Seq("pos", "word")))
+    val dict = positions.select(col("word")).distinct()
+      .select(col("word"), sym.as("bpe_symbols"))
+    positions
+      .join(broadcast(dict), Seq("word"))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("word"),
+        col("bpe_symbols"))
+  }
 }

@@ -44,4 +44,12 @@ class BpeSpec extends SparkSpec {
   test("empty corpus learns nothing") {
     Bpe.learnMerges(corpus(), numMerges = 3) shouldBe Seq.empty
   }
+
+  test("applyMergesViaDict matches the direct encoder row for row") {
+    val merges = Bpe.learnMerges(fixture, numMerges = 3)
+    rowsOf(Bpe.applyMergesViaDict(fixture, merges)
+        .selectExpr("doc", "pos", "word", "array_join(bpe_symbols, '|') AS s")) shouldBe
+      rowsOf(Bpe.applyMerges(fixture, merges)
+        .selectExpr("doc", "pos", "word", "array_join(bpe_symbols, '|') AS s"))
+  }
 }
