@@ -644,6 +644,18 @@ object SparkEntry {
         .orderBy(col("cid"))
     }),
 
+    // Vocabulary coverage / domain-shift: vocab trained on the history
+    // half (doc < 250, minCount=2), per-doc OOV rate measured on new
+    // arrivals (doc >= 250) — broadcast-dict encode + one doc agg.
+    "q53_vocab_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = graft.operators.Vocab
+        .buildVocab(d.where(col("doc") < 250), minCount = 2)
+      graft.operators.Vocab.oovRate(d.where(col("doc") >= 250), vocab)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction over customer names+segments: ordered rule fold
     // (email, IP, digit-run) with sequential per-rule match counts —
     // map-only regex expressions, no shuffle.
@@ -1409,6 +1421,26 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |             / 256.0)::BIGINT AS pack_id
         |FROM chunks ORDER BY cid""".stripMargin,
+
+    "q53_vocab_coverage" ->
+      """WITH tokh AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id < 250),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, count(*) AS cnt FROM tokh GROUP BY 1)
+        |  WHERE cnt >= 2),
+        |tokn AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT t.doc_id,
+        |       count(*) AS n_tokens,
+        |       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS oov_rate
+        |FROM tokn t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q50_redact" ->
       """WITH c AS (

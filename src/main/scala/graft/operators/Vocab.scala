@@ -63,6 +63,22 @@ object Vocab {
   }
 
   /**
+   * Vocabulary coverage — the domain-shift signal: per-doc token count,
+   * OOV count, and OOV fraction against a trained vocabulary. A corpus
+   * whose oov_rate distribution drifts up is out-of-domain for the
+   * tokenizer/vocab that produced `vocab`. One `doc`-keyed aggregation
+   * over the broadcast-dictionary encode — same scale shape as
+   * [[encodeTokens]].
+   */
+  def oovRate(docs: DataFrame, vocab: DataFrame): DataFrame =
+    encodeTokens(docs, vocab)
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id") === OovId, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+
+  /**
    * Document-level id-sequence encoding: (doc, ids) where `ids` is the
    * token-id array in document order. Built from [[encodeTokens]] with
    * a sort_array-of-struct regroup — collect_list alone has no ordering

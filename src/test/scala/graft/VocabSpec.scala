@@ -35,6 +35,14 @@ class VocabSpec extends SparkSpec {
     got("d2") shouldBe Seq(0L, 1L, 3L)     // a b zz
   }
 
+  test("oovRate counts pruned terms per doc") {
+    val vocab = Vocab.buildVocab(docs, minCount = 2) // keeps a, b
+    val got = Vocab.oovRate(corpus("x" -> "a b zz zz"), vocab).head()
+    got.getAs[Long]("n_tokens") shouldBe 4L
+    got.getAs[Long]("n_oov") shouldBe 2L
+    got.getAs[Double]("oov_rate") shouldBe 0.5
+  }
+
   test("empty corpus yields an empty vocabulary and no encoded rows") {
     val empty = corpus()
     Vocab.buildVocab(empty).count() shouldBe 0L
