@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Events, Rank, Search, Similarity, TfIdf}
+import graft.operators.{Clustering, Dedup, Events, Rank, Search, Similarity, TfIdf}
 
 /**
  * Driver contract (see SURVEY.md §7 + builder prompt): one `queries` entry
@@ -139,6 +139,43 @@ object SparkEntry {
          |  JOIN l${i - 1} p ON b.doc_id = p.doc_id
          |  GROUP BY b.doc_id)""".stripMargin
     }.mkString(",\n")
+
+  /** Unrolled Lloyd k-means iterations for the q54/q55 oracles —
+    * generated from the same stride/iteration count as
+    * `Clustering.kmeans`, so the two sides stay in lockstep by
+    * construction: stride-sampled seeds, per-vector argmax-cosine
+    * assignment (ties to the smallest centroid id), element-wise means
+    * rounded to 6 decimals. Ends with `af` = the final assignment
+    * (vec_id, cell) over `n` = the normalized corpus. */
+  private def kmeansCtesSql(stride: Int, iters: Int): String = {
+    def assign(name: String, centCte: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cent AS cell FROM (
+         |    SELECT n.vec_id, c.cent,
+         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |             list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm)
+         |               DESC, c.cent) AS rn
+         |    FROM n CROSS JOIN $centCte c) WHERE rn = 1)""".stripMargin
+    val base =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+         |n AS (SELECT vec_id, emb, label,
+         |             sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |c0 AS (SELECT vec_id AS cent, emb AS cemb, nrm AS cnrm
+         |       FROM n WHERE vec_id % $stride = 0)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+         |c$i AS (
+         |  SELECT cell AS cent, cemb,
+         |         sqrt(list_dot_product(cemb, cemb)) AS cnrm FROM (
+         |    SELECT cell, list(m ORDER BY p) AS cemb FROM (
+         |      SELECT a.cell, p, round(avg(n.emb[p::INTEGER]), 6) AS m
+         |      FROM a$i a JOIN n USING (vec_id),
+         |           unnest(range(1, len(n.emb) + 1)) r(p)
+         |      GROUP BY a.cell, p)
+         |    GROUP BY cell))""".stripMargin
+    }
+    (Seq(base) ++ steps :+ assign("af", s"c$iters")).mkString(",\n")
+  }
 
   /** DuckDB replica of `Dedup.minhashSignatures`' two-seed family: one md5
     * per shingle, b1/b2 = the first/second 8 hex digits as 32-bit ints,
@@ -518,6 +555,26 @@ object SparkEntry {
           round(col("scale"), 6).as("scale"), posexplode(col("q")))
         .withColumnRenamed("pos", "dim").withColumnRenamed("col", "qv")
         .orderBy(col("vec_id"), col("dim"))),
+
+    // Lloyd k-means (2 iterations, stride-50 seeds) summarized per
+    // cluster against the label column. Labels are random relative to
+    // the embeddings, so purity ≈ 0.1 here — the contract pins the
+    // clustering's determinism (oracle unrolls the same iterations).
+    "q54_kmeans" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Clustering.clusterSummary(
+          Clustering.kmeans(e, stride = 50, iters = 2),
+          e.select(col("vec_id"), col("label")))
+        .orderBy(col("cell"))
+    }),
+
+    // SemDeDup: cluster (k-means above), then drop within-cell near-dups
+    // at cosine ≥ 0.3 (one-hop min-id keeper). The pair join never
+    // leaves a cell — clustering IS the bucketing.
+    "q55_semantic_dedup" -> ((s, dir) =>
+      Clustering.semanticDedup(tbl(s, dir, "embeddings"),
+          threshold = 0.3, stride = 50, iters = 2)
+        .orderBy(col("vec_id"))),
 
     // ── Text-analysis tier ──────────────────────────────────────────────
 
@@ -1181,6 +1238,48 @@ object SparkEntry {
         |       END::INTEGER AS qv
         |FROM m, unnest(range(1, len(emb) + 1)) r(p)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    // Unrolls the same 2 Lloyd iterations as Clustering.kmeans (stride-50
+    // seeds, argmax-cosine assignment with ties to the smallest centroid
+    // id, per-dim means rounded to 6 decimals) — change ONLY in lockstep
+    // with kmeansCtesSql / Clustering.kmeans.
+    "q54_kmeans" ->
+      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
+         |cl AS (
+         |  SELECT a.cell, n.label, count(*) AS cnt
+         |  FROM af a JOIN n USING (vec_id) GROUP BY 1, 2),
+         |mj AS (
+         |  SELECT cell, label AS maj_label, cnt AS maj_n,
+         |         row_number() OVER (PARTITION BY cell
+         |                            ORDER BY cnt DESC, label) AS rn
+         |  FROM cl),
+         |sz AS (SELECT cell, sum(cnt)::BIGINT AS size FROM cl GROUP BY 1)
+         |SELECT s.cell, s.size, m.maj_label,
+         |       round(m.maj_n / s.size, 6) AS purity
+         |FROM sz s JOIN mj m ON s.cell = m.cell AND m.rn = 1
+         |ORDER BY s.cell""".stripMargin,
+
+    // SemDeDup mirror: same clustering CTEs, then the within-cell pair
+    // join with the MaxPairCell guard (cells above 5000 members are
+    // excluded from pairing; their rows all survive) — lockstep with
+    // Clustering.semanticDedup.
+    "q55_semantic_dedup" ->
+      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
+         |cn AS (SELECT cell, count(*) AS cell_n FROM af GROUP BY 1),
+         |ok AS (SELECT cell FROM cn WHERE cell_n <= 5000),
+         |m AS (
+         |  SELECT a.vec_id, a.cell, n.emb, n.nrm
+         |  FROM af a JOIN n USING (vec_id) JOIN ok USING (cell)),
+         |drops AS (
+         |  SELECT DISTINCT m2.vec_id
+         |  FROM m m1 JOIN m m2
+         |    ON m1.cell = m2.cell AND m1.vec_id < m2.vec_id
+         |  WHERE round(list_dot_product(m1.emb, m2.emb)
+         |              / (m1.nrm * m2.nrm), 6) >= 0.3)
+         |SELECT a.vec_id, a.cell
+         |FROM af a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY a.vec_id""".stripMargin,
 
     "q17_lang_id" ->
       s"""WITH t AS (

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed Lloyd k-means over an embedding column, and the
+ * SemDeDup-style semantic dedup built on top of it (cluster first, then
+ * drop near-duplicates WITHIN each cluster — arXiv:2303.09540's recipe
+ * for embedding-level dedup of web-scale corpora). Extension surface
+ * beyond the reference (builder prompt: training-data pipeline ops);
+ * input shape matches the similarity tier: (vec_id, embedding
+ * array<float>, …).
+ *
+ * Everything is deterministic — centroid seeds are a stride sample of
+ * the corpus (no RNG), ties break to the smallest centroid id, and each
+ * Lloyd update rounds centroid coordinates to 6 decimals — so results
+ * are reproducible across engines and retries, and the DuckDB oracle
+ * can unroll the same iterations as generated SQL (the q28b pattern).
+ *
+ * Scale shape (the point of k-means at 100 TB):
+ *  - The centroid frame is k rows of d doubles — BROADCAST to every
+ *    executor; assignment is a map-side cross of corpus × centroids
+ *    followed by a partial-aggregated per-vector argmax (the IVF
+ *    assign shape, `Similarity.ivfCosineTopK`).
+ *  - The centroid UPDATE is a per-(cell, dim) partial-aggregated mean:
+ *    posexplode fans each vector into d (cell, dim, value) rows that
+ *    combine map-side, so the shuffle carries ~k·d partial sums per
+ *    partition, not the corpus.
+ *  - Each iteration's centroid frame is persisted (k·d doubles — tiny),
+ *    truncating recomputation of the iterative lineage; the corpus
+ *    frame is persisted once and re-scanned per iteration, which is the
+ *    canonical distributed-k-means cost: O(iters) corpus passes.
+ *  - `semanticDedup`'s pair join runs per-cell, so clustering IS the
+ *    bucketing: candidate volume drops from O(n²) to O(Σ cell²) ≈
+ *    O(n²/k), with the same hot-bucket guard as the LSH tiers
+ *    (degenerate cells are skipped, observably, not allowed to
+ *    straggle).
+ */
+object Clustering {
+
+  import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+
+  /** Hot-cell guard bound for the semantic-dedup pair join — same
+    * rationale and bound as `Similarity.MaxPairBucket`. */
+  val MaxPairCell = 5000
+
+  /** Plan-unique suffix for observe() metric names. */
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def dot(a: Column, b: Column): Column = dotProduct(a, b)
+
+  /** (vec_id, emb array<double>, nrm) with the norm materialized once. */
+  private def normalized(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+
+  /** Per-vector argmax-cosine centroid: map-side broadcast cross +
+    * partial-aggregated max_by; ties break to the smallest centroid id. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
+        max_by(col("cent"), struct(col("ccos"), -col("cent"))).as("cell"))
+
+  /**
+   * Lloyd k-means by cosine: deterministic stride-sampled seeds
+   * (vec_id ≡ 0 mod `stride`, the IVF convention — k scales with the
+   * corpus), `iters` assign/update rounds, then a final assignment.
+   *
+   * @return (vec_id, emb, nrm, cell) — cell is the seed id of the
+   *         winning centroid (cluster labels are stable across engines)
+   */
+  def kmeans(corpus: DataFrame, stride: Int = 50, iters: Int = 2): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = normalized(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    var cents = e.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    (1 to iters).foreach { _ =>
+      // Lloyd update: element-wise mean per cell, ROUNDED to 6 decimals
+      // so the iteration stays in lockstep across engines (the mean's
+      // accumulation order differs between engines; the rounded value
+      // doesn't, away from measure-zero boundaries)
+      cents = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => round(x("m"), 6)).as("cemb"))
+        .select(col("cell").as("cent"), col("cemb"),
+          sqrt(dot(col("cemb"), col("cemb"))).as("cnrm"))
+        // k·d doubles — persisting truncates the iterative recompute
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    assignCells(e, cents)
+  }
+
+  /**
+   * Per-cluster contingency summary against a label column: size,
+   * majority label (ties to the smallest label), purity. With random
+   * labels purity ≈ 1/|labels| — this is a determinism contract for the
+   * clustering, and a quality probe when labels are real.
+   *
+   * @param assign (vec_id, …, cell) — `kmeans` output
+   * @param labels (vec_id, label)
+   */
+  def clusterSummary(assign: DataFrame, labels: DataFrame): DataFrame =
+    assign.join(labels, Seq("vec_id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("size"),
+        max_by(col("label"), struct(col("n"), -col("label"))).as("maj_label"),
+        max(col("n")).as("maj_n"))
+      .select(col("cell"), col("size"), col("maj_label"),
+        round(col("maj_n") / col("size"), 6).as("purity"))
+
+  /**
+   * SemDeDup: k-means cluster, then within each cell drop every vector
+   * that has a smaller-id cell-mate at cosine ≥ `threshold` (one-hop
+   * min-id keeper, the `Dedup.minhashDedup` convention). The pair join
+   * never leaves a cell, so candidate volume is O(Σ cell²); cells above
+   * `maxCellSize` are excluded from pairing (members all survive) and
+   * counted in a plan metric rather than becoming the stage straggler.
+   *
+   * @return surviving (vec_id, cell) rows
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      threshold: Double,
+      stride: Int = 50,
+      iters: Int = 2,
+      maxCellSize: Int = MaxPairCell): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    val a = kmeans(corpus, stride, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ok = a.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+      .observe(s"graft_semdedup_cell_guard_${obsId.incrementAndGet()}",
+        sum(when(col("cell_n") > maxCellSize, lit(1L)).otherwise(lit(0L)))
+          .as("skipped_cells"),
+        sum(when(col("cell_n") > maxCellSize, col("cell_n")).otherwise(lit(0L)))
+          .as("skipped_rows"))
+      .where(col("cell_n") <= maxCellSize)
+      .select(col("cell"))
+    val m = a.join(broadcast(ok), Seq("cell"))
+    val drops = m.select(col("cell"), col("vec_id").as("d1"),
+        col("emb").as("e1"), col("nrm").as("n1"))
+      .join(m.select(col("cell"), col("vec_id").as("d2"),
+        col("emb").as("e2"), col("nrm").as("n2")), Seq("cell"))
+      .where(col("d1") < col("d2"))
+      .where(round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6)
+        >= threshold)
+      .select(col("d2").as("vec_id")).distinct()
+    a.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Two tight groups along orthogonal axes; vec_id 0 and 3 are the
+    * stride-3 seeds, one inside each group. */
+  private def twoClusters = vecs(
+    0L -> Seq(1f, 0f),
+    1L -> Seq(0.95f, 0.05f),
+    2L -> Seq(0.9f, 0.1f),
+    3L -> Seq(0f, 1f),
+    4L -> Seq(0.05f, 0.95f),
+    5L -> Seq(0.1f, 0.9f))
+
+  test("kmeans assigns each group to its seed's cell and is deterministic") {
+    val a = Clustering.kmeans(twoClusters, stride = 3, iters = 2)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.keySet shouldBe (0L to 5L).toSet
+    Seq(0L, 1L, 2L).map(a) shouldBe Seq(0L, 0L, 0L)
+    Seq(3L, 4L, 5L).map(a) shouldBe Seq(3L, 3L, 3L)
+    val b = Clustering.kmeans(twoClusters, stride = 3, iters = 2)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b shouldBe a
+  }
+
+  test("kmeans iters=0 assigns straight to the seed sample") {
+    val a = Clustering.kmeans(twoClusters, stride = 3, iters = 0)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nearest of {v0, v3} by cosine
+    a(1L) shouldBe 0L
+    a(4L) shouldBe 3L
+  }
+
+  test("clusterSummary computes size, majority label, purity") {
+    val s = spark
+    import s.implicits._
+    val labels = Seq(0L -> 7, 1L -> 7, 2L -> 8, 3L -> 9, 4L -> 9, 5L -> 9)
+      .toDF("vec_id", "label")
+    val got = Clustering.clusterSummary(
+        Clustering.kmeans(twoClusters, stride = 3, iters = 1), labels)
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    got shouldBe Array(
+      (0L, 3L, 7, 0.666667), // labels 7,7,8 -> majority 7, purity 2/3
+      (3L, 3L, 9, 1.0))
+  }
+
+  test("clusterSummary majority ties break to the smallest label") {
+    val s = spark
+    import s.implicits._
+    val one = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f))
+    val labels = Seq(0L -> 5, 1L -> 3).toDF("vec_id", "label")
+    val got = Clustering.clusterSummary(
+        Clustering.kmeans(one, stride = 1000, iters = 0), labels)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    got shouldBe Array((2L, 3)) // 1-vs-1 tie -> label 3
+  }
+
+  test("semanticDedup keeps the smallest id per near-dup set, within cells only") {
+    // cell of seed 0: {0,1,2} all mutually cos >= 0.99; cell of seed 3:
+    // {3,4,5} likewise. Cross-cell cosines (~0.1..0.2) are below 0.9
+    // anyway, but the join must not even consider them.
+    val survivors = Clustering.semanticDedup(twoClusters,
+        threshold = 0.9, stride = 3, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(0L, 3L)
+  }
+
+  test("semanticDedup hot-cell guard: oversized cells skip pairing, all rows survive") {
+    val survivors = Clustering.semanticDedup(twoClusters,
+        threshold = 0.9, stride = 3, iters = 2, maxCellSize = 2)
+      .collect().map(_.getLong(0)).toSet
+    // both cells have 3 members > maxCellSize -> no pairing anywhere
+    survivors shouldBe Set(0L, 1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("kmeans rejects non-positive stride and negative iters") {
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.kmeans(twoClusters, stride = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.kmeans(twoClusters, iters = -1)
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.semanticDedup(twoClusters, threshold = 1.5)
+  }
+}
