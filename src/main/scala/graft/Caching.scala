@@ -1,0 +1,69 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Cache lifecycle for operator-internal persists.
+ *
+ * Several composed operators (MinHash dedup, LSH near-dup, k-means,
+ * vocabulary build) persist intermediate frames because one frame feeds
+ * several sub-plans or an iterative lineage. Those frames are
+ * implementation details the caller never sees, so the caller cannot
+ * unpersist them — without a lifecycle they accumulate MEMORY_AND_DISK
+ * blocks for the life of the session and evict useful cache at scale.
+ *
+ * The contract:
+ *  - operators persist internals through [[Caching.persist]];
+ *  - a caller that wants deterministic release wraps the ACTION (not
+ *    just the plan construction) in [[Caching.scoped]] — every internal
+ *    frame persisted while the scope is open is unpersisted when it
+ *    closes;
+ *  - with no scope open the behavior is exactly `df.persist(level)`
+ *    (caller owns the session cache — the pre-existing contract, which
+ *    `Bench` satisfies with `catalog.clearCache()` per run).
+ *
+ * Scopes nest (inner scopes release only their own frames) and are
+ * per-thread: plan construction and the action happen on the calling
+ * thread, so a thread-local stack is the right registry — concurrent
+ * queries on other threads never release each other's frames.
+ */
+object Caching {
+
+  private val scopes = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[ArrayBuffer[DataFrame]] = Nil
+  }
+
+  /** Persist `df` at `level`, registering it with the innermost open
+    * scope (if any) for release when the scope closes. */
+  def persist(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    scopes.get() match {
+      case head :: _ => head += df
+      case Nil       =>
+    }
+    df
+  }
+
+  /** Release a frame persisted via [[persist]] BEFORE its scope closes —
+    * for iterative operators whose superseded iterations should free
+    * memory immediately (the new iteration's frame stays registered). */
+  def release(df: DataFrame): Unit = df.unpersist(blocking = false)
+
+  /** Run `body` (typically plan construction PLUS the action consuming
+    * it) and unpersist every operator-internal frame persisted during
+    * it. Returns `body`'s result. */
+  def scoped[T](body: => T): T = {
+    scopes.set(ArrayBuffer.empty[DataFrame] :: scopes.get())
+    try body
+    finally {
+      val head :: rest = scopes.get(): @unchecked
+      scopes.set(rest)
+      head.foreach(_.unpersist(blocking = false))
+    }
+  }
+}

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.Caching
 
 /**
  * Vocabulary construction and token-id encoding — the tokenize-for-
@@ -18,26 +19,64 @@ object Vocab {
   /** Sentinel id for out-of-vocabulary terms in [[encodeTokens]]. */
   val OovId = -1L
 
+  /** Intra-partition bits of `monotonically_increasing_id` (its layout
+    * is partitionId << 33 | recordNumber — a documented Spark contract). */
+  private val MidPartitionShift = 33
+  private val MidRecordMask = (1L << MidPartitionShift) - 1
+
   /**
    * Frequency-ranked vocabulary: (term, cnt, token_id) with token_id =
    * dense 0-based rank by (cnt desc, term asc) — deterministic across
-   * runs and engines.
+   * runs and engines (the sort key is a total order: terms are distinct
+   * after aggregation, so rank is independent of partitioning).
    *
-   * Scale shape: one partially-aggregated shuffle on `term` builds the
-   * counts; the ranking window is GLOBAL but runs on the *aggregated
-   * vocabulary* (≤ a few million rows for natural-language corpora,
-   * independent of corpus size), so the single-partition sort is
-   * post-reduction small — the standard shape for dictionary builds.
+   * Scale shape — a TWO-STAGE global rank, never a single-partition
+   * sort: one partially-aggregated shuffle on `term` builds the counts;
+   * the vocabulary is then RANGE-partitioned on (cnt desc, term) and
+   * sorted within partitions, so every partition holds a contiguous
+   * slice of the global order and token_id = partition offset +
+   * intra-partition index. The offsets come from a per-partition row
+   * histogram — ≤ `spark.sql.shuffle.partitions` rows collected to the
+   * driver, a sizing decision of AQE's magnitude, not a data collect.
+   * A 10⁹-term web vocabulary ranks at full cluster parallelism; the
+   * old `row_number over Window.orderBy(...)` shape would have planned
+   * an `Exchange SinglePartition` + one-task sort of the whole
+   * vocabulary (PlanAuditSpec now forbids that plan for the encode
+   * queries).
+   *
+   * The ranked frame persists through [[graft.Caching]] (the histogram
+   * action and the caller's consumption must see the SAME materialized
+   * partitioning); wrap composed runs in `Caching.scoped` to release it.
    */
   def buildVocab(docs: DataFrame, minCount: Long = 1L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    docs
+    val counts = docs
       .select(explode(toks(col("line"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
+    // monotonically_increasing_id is nondeterministic-flagged, so
+    // Catalyst will not push this projection below the sort: ids are
+    // assigned in sorted order within each range partition.
+    val sorted = Caching.persist(
+      counts
+        .repartitionByRange(col("cnt").desc, col("term"))
+        .sortWithinPartitions(col("cnt").desc, col("term"))
+        .withColumn("_mid", monotonically_increasing_id()))
+    val partSizes = sorted
+      .groupBy(shiftright(col("_mid"), MidPartitionShift).as("_pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      partSizes.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
+    }
+    sorted
       .withColumn("token_id",
-        (row_number().over(Window.orderBy(col("cnt").desc, col("term"))) - 1)
-          .cast("long"))
+        element_at(typedLit(offsets), shiftright(col("_mid"), MidPartitionShift))
+          + col("_mid").bitwiseAND(lit(MidRecordMask)))
+      .select(col("term"), col("cnt"), col("token_id"))
   }
 
   /**

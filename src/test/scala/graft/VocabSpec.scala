@@ -43,6 +43,31 @@ class VocabSpec extends SparkSpec {
     got.getAs[Double]("oov_rate") shouldBe 0.5
   }
 
+  test("two-stage rank equals the global (cnt desc, term) rank across partitions") {
+    // 120 terms t000..t119 where t_i occurs (i % 7) + 1 times — enough
+    // distinct (cnt, term) combinations to span all 4 test shuffle
+    // partitions of the range exchange, so partition offsets are
+    // actually exercised (a single-partition plan would pass trivially).
+    val lines = (0 until 120).flatMap { i =>
+      Seq.fill(i % 7 + 1)(f"t$i%03d")
+    }.mkString(" ")
+    val vocab = Vocab.buildVocab(corpus("d" -> lines))
+    val got = vocab.orderBy(C("token_id")).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("token_id")))
+    val expect = (0 until 120).map(i => (f"t$i%03d", (i % 7 + 1).toLong))
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, c), r) => (t, c, r.toLong) }
+    got.toSeq shouldBe expect
+    // ids are a dense 0-based permutation — no gaps, no collisions
+    got.map(_._3).toSeq shouldBe (0L until 120L)
+  }
+
+  test("buildVocab plan has no single-partition exchange") {
+    val plan = Vocab.buildVocab(docs).queryExecution.executedPlan.toString
+    plan should not include "Exchange SinglePartition"
+  }
+
   test("empty corpus yields an empty vocabulary and no encoded rows") {
     val empty = corpus()
     Vocab.buildVocab(empty).count() shouldBe 0L
