@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -13,16 +15,31 @@ import org.apache.spark.sql.functions._
  * weighted by word frequency, (2) merge the globally most frequent pair
  * into one symbol. Ties break lexicographically (pair1, then pair2) so
  * the learned merge table is deterministic across engines and runs.
+ * Training stops once no pair repeats (top count < `minPairCount`,
+ * default 2) — count-1 pairs are one-off noise, not structure.
  *
- * Scale shape: the corpus is scanned ONCE to build the distinct
- * word-frequency table (one shuffle on the word); every iteration after
- * that runs over the VOCABULARY (≤ a few million rows regardless of
- * corpus size — the shape HF/sentencepiece trainers use), costing one
- * pair-count aggregation plus a map-only greedy rewrite of the symbol
- * arrays. The only driver-side data movement is the single top-1 pair
- * row per iteration (an AQE-sized decision, not a collect of data).
- * Symbol tables persist per iteration and release the previous one, so
- * lineage stays linear in `numMerges`.
+ * Scale shape — the key fact is that after ONE corpus scan the problem
+ * is vocabulary-sized, not corpus-sized: the distinct word-frequency
+ * table is a sufficient statistic for every merge decision. Three
+ * learners share identical semantics (specs assert table equality):
+ *
+ *  - [[learnMergesLocal]] — THE PRODUCTION PATH. One distributed
+ *    shuffle builds (word, freq); the inherently-sequential merge loop
+ *    then runs in-memory on the driver with incremental pair-count
+ *    updates (an occurrence index makes each merge O(words containing
+ *    the pair), the sentencepiece/HF-tokenizers shape). 32k merges are
+ *    sub-minute; a `maxVocab` guard fails loudly (raise `minWordFreq`,
+ *    the standard trainer knob) instead of silently collecting an
+ *    unbounded frame. Learning merges is a driver decision loop by
+ *    nature — one merge per step, each depending on the last — so
+ *    driver-side is the *right* side once the state fits; the
+ *    distributed learners exist for vocabularies that genuinely don't.
+ *  - [[learnMerges]] with `batchSize > 1` — the distributed loop,
+ *    learning up to `batchSize` PROVABLY-INDEPENDENT merges per
+ *    pair-count job (see `selectSafeBatch`), cutting the job count
+ *    while staying bit-identical to the sequential table.
+ *  - [[learnMerges]] with `batchSize = 1` — the reference sequential
+ *    loop that defines the semantics.
  */
 object Bpe {
 
@@ -34,11 +51,22 @@ object Bpe {
     * it just produced, which is exactly BPE's non-overlapping rule
     * ("aaa" under (a,a) → ["aa", "a"]). */
   private def mergeOnce(sym: Column, a: String, b: String): Column =
-    aggregate(sym, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+    mergeBatchOnce(sym, Seq((a, b)))
+
+  /** One greedy left-to-right scan applying a batch of SYMBOL-DISJOINT
+    * merges simultaneously. For disjoint pairs this equals applying
+    * each merge in its own scan (no pair can consume another's symbols
+    * or chain into its product), so the batch rewrite is exactly the
+    * sequential rewrite — the property `selectSafeBatch` guarantees. */
+  private def mergeBatchOnce(sym: Column, pairs: Seq[(String, String)]): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) => {
+      val append = concat(acc, array(x))
+      pairs.foldLeft(append) { case (els, (a, b)) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(els)
+      }
+    })
 
   /** Distinct words with corpus frequencies and initial char symbols. */
   private def wordTable(docs: DataFrame): DataFrame =
@@ -60,35 +88,279 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
 
   /**
-   * Learn up to `numMerges` merges; stops early when no pair repeats.
-   * Returns the ordered merge table — apply with [[applyMerges]].
+   * Largest SAFE batch from the sorted top pairs — "safe" meaning the
+   * sequential learner would provably pick exactly these pairs, in this
+   * order, next. Selection walks candidates in (cnt desc, p1, p2)
+   * order, keeping pairs whose symbols are disjoint from every earlier
+   * selection, and STOPS at the first interacting candidate: merging
+   * (a,b) only changes counts of pairs sharing a or b (they shrink)
+   * and creates pairs carrying the new symbol a+b, each bounded by the
+   * pre-count of some pair that shares a symbol with the merge — so
+   * every count the batch disturbs sits at or below the first
+   * interacting candidate's count (`stopCnt`). Truncating the
+   * selection to counts STRICTLY above max(stopCnt, horizon) — the
+   * horizon covers pairs below the collected window — leaves pairs the
+   * disturbed region can never reach, even on ties. Two collision
+   * guards keep symbol identity unambiguous: a candidate whose merged
+   * string a+b equals an existing learned symbol (e.g. ("a","bc") when
+   * ("ab","c") was already learned — both spell "abc") or a
+   * batch-local product interacts through string identity, not just
+   * shared symbols. If the very first candidate is unsafe the batch
+   * degrades to exactly the sequential step (top-1 alone).
    */
-  def learnMerges(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+  private def selectSafeBatch(
+      top: Seq[(String, String, Long)],
+      collectedAll: Boolean,
+      learnedSymbols: Set[String],
+      batchSize: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    val eligible = top.takeWhile(_._3 >= minPairCount)
+    if (eligible.isEmpty) return Seq.empty
+    val horizon = if (collectedAll) 0L else top.last._3
+    var touched = Set.empty[String]
+    val sel = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stopCnt = -1L
+    val it = eligible.iterator
+    while (it.hasNext && stopCnt < 0 && sel.size < batchSize) {
+      val (a, b, c) = it.next()
+      val merged = a + b
+      if (touched(a) || touched(b) || touched(merged) || learnedSymbols(merged))
+        stopCnt = c
+      else {
+        sel += ((a, b, c))
+        touched = touched + a + b + merged
+      }
+    }
+    val floor = math.max(stopCnt, horizon)
+    val safe = sel.takeWhile(_._3 > floor).map(t => (t._1, t._2)).toSeq
+    if (safe.nonEmpty) safe
+    else Seq((eligible.head._1, eligible.head._2)) // exact sequential step
+  }
+
+  /**
+   * Learn up to `numMerges` merges distributed; stops once the most
+   * frequent pair's count drops below `minPairCount` (default 2 — a
+   * pair that never repeats is noise, not a merge). Returns the ordered
+   * merge table — apply with [[applyMerges]].
+   *
+   * `batchSize > 1` learns several merges per pair-count job when it is
+   * provably safe (see `selectSafeBatch`) — same table, fewer jobs. On
+   * natural text safe batches are small (top pairs share common
+   * characters), which is why [[learnMergesLocal]] is the production
+   * path; this loop is the fallback for vocabularies too large to
+   * collect even as (word, freq) pairs.
+   */
+  def learnMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      batchSize: Int = 8,
+      minPairCount: Long = 2): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var words = wordTable(docs).persist(MEMORY_AND_DISK)
-    words.count()
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // Iterations rewrite `sym` in place, so the logical plan would grow
+    // one fold-projection per round — after a few hundred merges the
+    // accumulated plan alone exhausts driver memory (persist caches
+    // blocks but does NOT truncate lineage). localCheckpoint is the
+    // lineage-truncation tool for iterative algorithms: each round's
+    // table materializes eagerly and the next plan starts from its
+    // blocks. (On a real cluster with executor churn, swap for
+    // reliable `checkpoint` against the checkpoint dir — same shape.)
+    var words = wordTable(docs).localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
+    var learnedSymbols = Set.empty[String]
+    var learned = 0
     var done = false
-    for (_ <- 1 to numMerges if !done) {
-      val top = pairCounts(words)
+    while (learned < numMerges && !done) {
+      val want = math.min(batchSize, numMerges - learned)
+      // Collect a window past the batch size so truncation has slack;
+      // +1 detects whether the window covered every pair.
+      val windowSize = math.max(want * 4, 16) + 1
+      val window = pairCounts(words)
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
-        .limit(1)
-        .collect() // exactly one row — the learned decision, not data
-      top.headOption match {
-        case Some(r) =>
-          val (a, b) = (r.getString(0), r.getString(1))
-          merges += ((a, b))
-          val next = words
-            .withColumn("sym", mergeOnce(col("sym"), a, b))
-            .persist(MEMORY_AND_DISK)
-          next.count() // materialize so the previous table can release
-          words.unpersist(blocking = false)
-          words = next
-        case None => done = true
+        .limit(windowSize)
+        .collect() // ≤ windowSize tiny rows — learner decisions, not data
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      val batch = selectSafeBatch(
+        window.take(windowSize - 1), window.length < windowSize,
+        learnedSymbols, want, minPairCount)
+      if (batch.isEmpty) done = true
+      else {
+        merges ++= batch
+        learned += batch.length
+        learnedSymbols ++= batch.map { case (a, b) => a + b }
+        val next = words
+          .withColumn("sym", mergeBatchOnce(col("sym"), batch))
+          .localCheckpoint(true) // eager: truncates lineage, frees prior
+        words.unpersist(blocking = false)
+        words = next
       }
     }
     words.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Code-point-wise string comparison matching Spark's UTF8String
+    * binary order (UTF-8 byte order = code-point order; Java's
+    * String.compareTo differs for supplementary characters). */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.codePoints().toArray
+    val b = y.codePoints().toArray
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy left-to-right single-merge rewrite — the local twin of the
+    * `mergeOnce` column fold, kept in lockstep (BpeSpec asserts the
+    * learners agree, which exercises this equivalence every merge). */
+  private def mergeOnceLocal(s: Array[String], a: String, b: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    for (x <- s) {
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toArray
+  }
+
+  /**
+   * The PRODUCTION learner: distributed word counting, in-memory merge
+   * loop. One shuffle builds the distinct (word, freq) table — the
+   * sufficient statistic for BPE, bounded by vocabulary size however
+   * large the corpus — which is collected (guarded by `maxVocab`) and
+   * trained with incremental pair-count maintenance: an occurrence
+   * index makes each merge cost O(words containing the pair), so 32k
+   * merges over a multi-million-word vocabulary run in seconds instead
+   * of 32k Spark jobs. `minWordFreq` prunes hapax words before
+   * collecting (the standard trainer knob — raise it when `maxVocab`
+   * trips). Identical table to [[learnMerges]] by construction: same
+   * counts, same (cnt desc, p1, p2) tie-break in UTF-8 order, same
+   * greedy rewrite, same `minPairCount` stop.
+   */
+  def learnMergesLocal(
+      docs: DataFrame,
+      numMerges: Int,
+      minPairCount: Long = 2,
+      minWordFreq: Long = 1,
+      maxVocab: Int = 4 << 20): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val rows = wordTable(docs)
+      .where(col("freq") >= minWordFreq)
+      .select(col("word"), col("freq"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab distinct words — raise " +
+        "minWordFreq (hapax pruning) or fall back to the distributed " +
+        "learnMerges loop")
+    val freq = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] =
+      rows.map(_.getString(0).split("").filter(_.nonEmpty))
+
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    // Occurrence index: pair → word indices that (may) contain it.
+    // Append-only compact buffers, NOT dense bitsets — late-stage pairs
+    // are nearly word-unique, and a sparse set that allocates by
+    // highest index would cost GBs across millions of pair keys.
+    // Entries go stale as words rewrite (tolerated: processing
+    // re-checks adjacency); membership is appended only for pairs the
+    // rewrite NEWLY introduced, so total appends over the whole run are
+    // O(Σ word length), not O(rewrites × word length).
+    val occ = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def distinctPairs(s: Array[String]): mutable.LinkedHashSet[(String, String)] = {
+      val out = mutable.LinkedHashSet.empty[(String, String)]
+      var j = 0
+      while (j < s.length - 1) { out += ((s(j), s(j + 1))); j += 1 }
+      out
+    }
+    val dirty = mutable.LinkedHashSet.empty[(String, String)]
+    def bumpCounts(s: Array[String], delta: Long): Unit = {
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = pairCnt.getOrElse(p, 0L) + delta
+        if (c == 0L) pairCnt.remove(p) else pairCnt(p) = c
+        dirty += p
+        j += 1
+      }
+    }
+    syms.indices.foreach { i =>
+      bumpCounts(syms(i), freq(i))
+      distinctPairs(syms(i)).foreach(p =>
+        occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += i)
+    }
+
+    val pairLt: ((String, String), (String, String)) => Boolean = {
+      case ((x1, x2), (y1, y2)) =>
+        if (x1 != y1) utf8Lt(x1, y1) else utf8Lt(x2, y2)
+    }
+    // Best-pair selection is a lazy-invalidation priority queue (the
+    // classic trainer structure): a linear scan of the pair map per
+    // merge would be O(live pairs) ≈ millions at vocabulary scale.
+    // Entries snapshot (pair, count-at-push); a popped entry whose
+    // snapshot no longer matches the live count is stale and dropped —
+    // every count change re-pushes a fresh entry (one per touched pair
+    // per merge, via the `dirty` set), so the true maximum is always
+    // present. Ties order by (p1, p2) ascending in UTF-8 order.
+    implicit val entryOrd: Ordering[((String, String), Long)] =
+      (x: ((String, String), Long), y: ((String, String), Long)) => {
+        if (x._2 != y._2) java.lang.Long.compare(x._2, y._2)
+        else if (x._1 == y._1) 0
+        else if (pairLt(x._1, y._1)) 1 // smaller pair = higher priority
+        else -1
+      }
+    val pq = mutable.PriorityQueue.empty[((String, String), Long)]
+    pairCnt.foreach { case (p, c) => pq.enqueue((p, c)) }
+    dirty.clear()
+
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var done = false
+    while (learned < numMerges && !done) {
+      var best: (String, String) = null
+      while (best == null && !done) {
+        if (pq.isEmpty) done = true
+        else {
+          val (p, snap) = pq.dequeue()
+          if (pairCnt.getOrElse(p, 0L) == snap) { // fresh entry
+            if (snap < minPairCount) done = true // true max below floor
+            else best = p
+          } // else stale — a fresher entry for p is queued (or p died)
+        }
+      }
+      if (!done) {
+        val (a, b) = best
+        merges += best
+        learned += 1
+        // occurrence lists go stale as words rewrite — re-check each
+        for (i <- occ.remove(best).getOrElse(mutable.ArrayBuffer.empty[Int])) {
+          val s = syms(i)
+          var hit = false
+          var j = 0
+          while (!hit && j < s.length - 1) {
+            hit = s(j) == a && s(j + 1) == b; j += 1
+          }
+          if (hit) {
+            val ns = mergeOnceLocal(s, a, b)
+            bumpCounts(s, -freq(i))
+            bumpCounts(ns, freq(i))
+            val before = distinctPairs(s)
+            distinctPairs(ns).foreach(p =>
+              if (!before.contains(p))
+                occ.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += i)
+            syms(i) = ns
+          }
+        }
+        dirty.foreach(p => pairCnt.get(p).foreach(c => pq.enqueue((p, c))))
+        dirty.clear()
+      }
+    }
     merges.result()
   }
 
@@ -113,13 +385,19 @@ object Bpe {
 
   /**
    * The 100 TB variant of [[applyMerges]]: derive symbols once per
-   * DISTINCT word and broadcast the word → symbols dictionary back onto
-   * the token stream, so a long merge table's fold chain runs |vocab|
-   * times instead of |corpus tokens| times. Same output contract.
+   * DISTINCT word and join the word → symbols dictionary back onto the
+   * token stream, so a long merge table's fold chain runs |vocab| times
+   * instead of |corpus tokens| times. Same output contract. The
+   * dictionary joins as a BROADCAST by default (natural-language
+   * vocabularies are tens of MB); pass `broadcastDict = false` for
+   * degenerate vocabularies past the broadcast/driver-memory threshold
+   * — the join then shuffles on `word`, one exchange of the token
+   * stream (the [[Vocab.encodeTokens]] contract).
    */
   def applyMergesViaDict(
       docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      broadcastDict: Boolean = true): DataFrame = {
     val sym = merges.foldLeft(
       filter(split(col("word"), ""), s => length(s) > 0)) {
       case (acc, (a, b)) => mergeOnce(acc, a, b)
@@ -129,7 +407,7 @@ object Bpe {
     val dict = positions.select(col("word")).distinct()
       .select(col("word"), sym.as("bpe_symbols"))
     positions
-      .join(broadcast(dict), Seq("word"))
+      .join(if (broadcastDict) broadcast(dict) else dict, Seq("word"))
       .select(col("doc"), col("pos").cast("long").as("pos"), col("word"),
         col("bpe_symbols"))
   }
