@@ -478,14 +478,16 @@ object SparkEntry {
       Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("d1"), col("d2"))),
 
-    // LSH-bucketed near-dup pairs (4 tables; AUTO-SIZED bits — the
-    // corpus-count rule resolves to 4 bits at every verify SF (n ≤ 1600),
-    // which is exactly what the oracle's fixed 4-bit mirror computes; at
-    // 20k vectors the same call self-sizes to 8 bits, past the measured
-    // cliff. No all-pairs join at any size.
+    // LSH-bucketed near-dup pairs (4 tables). bits is PINNED to 4 here
+    // because the DuckDB oracle mirrors a fixed 4-bit hash family — the
+    // static oracle SQL cannot evaluate deriveLshBits at a verify SF it
+    // has never seen, so an AutoBits call would silently diverge from
+    // its mirror the moment a verify corpus passes 1600 rows. Real
+    // callers omit `bits` and get the corpus-sized AutoBits default
+    // (SimilaritySpec covers the auto path and its 10x stress).
     "q16b_embedding_lsh_near_dup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"),
-          threshold = 0.4, tables = 4)
+          threshold = 0.4, bits = 4, tables = 4)
         .orderBy(col("d1"), col("d2"))),
 
     // ANN: random-hyperplane LSH top-10 (approximate; bucket-restricted).
@@ -686,14 +688,17 @@ object SparkEntry {
     // END-TO-END training-data prep: clean (dedup → lang → quality) →
     // chunk to <=64-token windows → pack chunks into 256-token bins.
     // One md5 dedup shuffle + one bucket-window shuffle; everything
-    // between is map-only. Chunk key cid = doc*100 + chunk_id
-    // (deterministic, mirrorable; chunk counts are « 100 per doc here).
+    // between is map-only. Chunk key = Chunking.chunkKey (doc·2^20 +
+    // chunk_id, assert-guarded) — collision-proof for any document the
+    // bound admits, unlike a doc*100 convention that would silently
+    // alias past 100 chunks.
     "q51_training_prep" -> ((s, dir) => {
       val cleaned = graft.operators.Pipeline
         .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
         .select(col("doc"), col("line"))
       val chunks = graft.operators.Chunking.chunkDocs(cleaned, maxTokens = 64)
-        .select((col("doc") * 100 + col("chunk_id")).as("doc"),
+        .select(graft.operators.Chunking.chunkKey(col("doc"), col("chunk_id"))
+            .as("doc"),
           col("chunk_text").as("line"))
       graft.operators.Chunking
         .packSequences(chunks, targetTokens = 256, buckets = 16)
@@ -1511,7 +1516,7 @@ object SparkEntry {
         |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
         |  FROM ct WHERE len(toks) > 0),
         |chunks AS (
-        |  SELECT (doc_id * 100 + chunk_id)::BIGINT AS cid,
+        |  SELECT (doc_id * 1048576 + chunk_id)::BIGINT AS cid,
         |         least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
         |  FROM ch)
         |SELECT cid, n_tokens, (cid % 16)::BIGINT AS bucket,

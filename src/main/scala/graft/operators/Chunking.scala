@@ -52,6 +52,31 @@ object Chunking {
           .cast("long").as("n_tokens"))
   }
 
+  /** Chunk-count bound for [[chunkKey]]: 2^20 chunks per document
+    * (a 67M-token document at maxTokens=64) before the composed key
+    * would alias — the per-row assert fails loudly at the bound
+    * instead of silently corrupting downstream packing. */
+  val MaxChunksPerDoc: Long = 1L << 20
+
+  /**
+   * Collision-proof single-column key for a (doc, chunk_id) pair from
+   * [[chunkDocs]]: `doc * 2^20 + chunk_id`, injective for any integral
+   * doc id while chunk_id < [[MaxChunksPerDoc]] (guarded by a
+   * codegen'd per-row assert — a longer document fails the job rather
+   * than aliasing another document's chunks). Headroom: doc ids up to
+   * 2^43 (≈ 8.8e12 documents) before the product leaves the long
+   * range. Mirrorable in plain SQL as `doc * 1048576 + chunk_id`.
+   */
+  def chunkKey(doc: Column, chunkId: Column): Column = {
+    val guard = coalesce(assert_true(
+      chunkId >= 0 && chunkId < MaxChunksPerDoc,
+      concat(lit("chunk_id "), chunkId,
+        lit(s" outside [0, $MaxChunksPerDoc) — the composed chunk key " +
+          "would alias another document; re-key with a wider bound"))),
+      lit(true))
+    when(guard, doc.cast("long") * lit(MaxChunksPerDoc) + chunkId.cast("long"))
+  }
+
   /**
    * Pack documents into fixed-capacity training bins by exclusive
    * prefix-sum of token counts: within each bucket, documents (ordered

@@ -60,6 +60,25 @@ class ChunkingSpec extends SparkSpec {
     got(3L) shouldBe (1L, 0L)
   }
 
+  test("chunkKey stays injective past 100 chunks per doc (no aliasing)") {
+    // Two docs, each chunked into 150 one-token chunks at maxTokens=1 —
+    // the shape that silently corrupted a doc*100 composed key.
+    val line = (1 to 150).map(i => s"t$i").mkString(" ")
+    val keyed = Chunking.chunkDocs(numDocs(1L -> line, 2L -> line), maxTokens = 1)
+      .select(Chunking.chunkKey(C("doc"), C("chunk_id")).as("cid"))
+    keyed.count() shouldBe 300L
+    keyed.distinct().count() shouldBe 300L
+  }
+
+  test("chunkKey fails loudly when chunk_id reaches the aliasing bound") {
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, Chunking.MaxChunksPerDoc)).toDF("doc", "chunk_id")
+    val e = intercept[Exception] {
+      bad.select(Chunking.chunkKey(C("doc"), C("chunk_id")).as("cid")).collect()
+    }
+    e.getMessage should include("alias")
+  }
+
   test("packSequences rejects non-positive parameters") {
     an[IllegalArgumentException] should be thrownBy
       Chunking.packSequences(numDocs(0L -> "a"), targetTokens = 0)
