@@ -188,9 +188,21 @@ object StreamingOps {
    * At scale the static side is planned once and reused every
    * micro-batch; history band rows carry their doc's shingle array, so
    * size the history corpus (or pre-filter it) to what the join can
-   * shuffle. Unlike the batch twin there is no hot-bucket guard — apply
-   * one upstream by pruning degenerate history buckets before passing
-   * them here.
+   * shuffle.
+   *
+   * HOT-BUCKET GUARD (the batch twin's contract): history buckets with
+   * more than `maxBucketSize` members are excluded from the join —
+   * without it one degenerate boilerplate bucket inflates EVERY
+   * micro-batch. Because the history is static, the hot-bucket set is
+   * resolved ONCE at operator-construction time (a driver-side
+   * aggregation of bucket sizes — a plan-sizing decision of AQE's
+   * magnitude, there are at most |history|/maxBucketSize hot buckets)
+   * and embedded as literal prune lists: degenerate rows never reach
+   * the join, and the row-local first-matching-band dedup counts only
+   * SURVIVING buckets, so a pair whose first shared band was pruned
+   * still emits through its first surviving band (exactly the batch
+   * twin's semantics). The skipped buckets are observable via
+   * [[nearDupScreenSkippedBuckets]].
    */
   def nearDupScreen(
       docs: DataFrame,
@@ -198,12 +210,15 @@ object StreamingOps {
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
     import graft.operators.Dedup
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
     val nBands = numHashes / rowsPerBand
 
     def bandVal(prefix: String, b: Int): Column =
@@ -217,7 +232,7 @@ object StreamingOps {
         (0 until nBands).map(b => bandVal("m", b).as(s"hbv$b")): _*)
       .join(historyDocs.select(col("doc").as("hist_doc"),
         Dedup.shinglesCol(col("line"), n).as("_hsh")), Seq("hist_doc"))
-    val histBands = histWide.select(
+    val histBandsAll = histWide.select(
       Seq(col("hist_doc"), col("_hsh")) ++
         (0 until nBands).map(b => col(s"hbv$b")) :+
         explode(array((0 until nBands).map(b =>
@@ -226,6 +241,21 @@ object StreamingOps {
       .select(Seq(col("hist_doc"), col("_hsh"),
         col("e.band").as("band"), col("e.band_val").as("band_val")) ++
         (0 until nBands).map(b => col(s"hbv$b")): _*)
+
+    // ── hot-bucket guard: resolved once, static history ─────────────────
+    val hotByBand: Map[Long, Seq[String]] = histBandsAll
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_val"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def isHot(band: Column, bandVal: Column): Column =
+      hotByBand.foldLeft(lit(false)) { case (acc, (b, vals)) =>
+        acc || (band === b && bandVal.isin(vals: _*))
+      }
+    val histBands = histBandsAll.where(!isHot(col("band"), col("band_val")))
 
     // ── stream side: ROW-LOCAL signature (one md5 per shingle) ──────────
     val minCols = (0 until numHashes).map { k =>
@@ -256,9 +286,18 @@ object StreamingOps {
         col("e.band").as("band"), col("e.band_val").as("band_val")) ++
         (0 until nBands).map(b => col(s"bv$b")): _*)
 
-    // first matching band per (doc, hist_doc), evaluated row-locally
+    // First SURVIVING matching band per (doc, hist_doc), evaluated
+    // row-locally: a band whose history bucket was pruned produced no
+    // join row, so it must not claim the pair — the next surviving
+    // band's row carries it instead (batch-twin parity under the guard).
     val firstBand = (0 until nBands)
-      .map(b => when(col(s"bv$b") === col(s"hbv$b"), lit(b.toLong)))
+      .map { b =>
+        val hot = hotByBand.getOrElse(b.toLong, Seq.empty)
+        val survives =
+          if (hot.isEmpty) col(s"bv$b") === col(s"hbv$b")
+          else col(s"bv$b") === col(s"hbv$b") && !col(s"hbv$b").isin(hot: _*)
+        when(survives, lit(b.toLong))
+      }
       .reduceLeft[Column]((acc, c) => coalesce(acc, c))
 
     val joined = streamBands.join(histBands, Seq("band", "band_val"))
@@ -270,6 +309,27 @@ object StreamingOps {
         col("_i") / (size(col("_sh")) + size(col("_hsh")) - col("_i")))
       .where(col("_j") >= threshold)
       .select(col("doc"), col("hist_doc"), round(col("_j"), 6).as("jaccard"))
+  }
+
+  /**
+   * Audit twin of [[nearDupScreen]]'s hot-bucket guard: the
+   * (band, band_val, bucket_n) history buckets the screen excludes at
+   * this bound — same band family as the screen's static side
+   * (batch signatures + banding), same observability contract as
+   * [[graft.operators.Dedup.lshSkippedBuckets]].
+   */
+  def nearDupScreenSkippedBuckets(
+      historyDocs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.lshSkippedBuckets(
+      Dedup.lshBands(
+        Dedup.minhashSignatures(Dedup.shingles(historyDocs, n), numHashes),
+        numHashes, rowsPerBand),
+      maxBucketSize)
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -266,6 +266,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearDupScreen guards degenerate history buckets and reports the skip") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val boiler = "identical boilerplate text repeated across the history corpus"
+    val unique = "one genuinely distinct history document with its own words"
+    // three identical docs → every band bucket of `boiler` has 3 members,
+    // over the maxBucketSize=2 bound; `unique`'s buckets survive at 1
+    val history = Seq(
+      ("h1", boiler), ("h2", boiler), ("h3", boiler), ("h4", unique))
+      .toDF("doc", "line")
+
+    StreamingOps.nearDupScreenSkippedBuckets(history, maxBucketSize = 2)
+      .collect().map(_.getAs[Long]("bucket_n")).toSeq shouldBe Seq.fill(4)(3L)
+
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.nearDupScreen(
+        input.toDF().toDF("doc", "line"), history,
+        threshold = 0.5, maxBucketSize = 2)
+      .writeStream.format("memory").queryName("neardup_guard")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // n1 would match all three boilerplate docs — the guard skips the
+      // degenerate buckets, so the batch completes with no n1 rows
+      input.addData(("n1", boiler), ("n2", unique))
+      q.processAllAvailable()
+      val got = StreamingSpec.this.spark.table("neardup_guard").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      got.toSet shouldBe Set("n2" -> "h4")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions on new-session arrival") {
     val s = spark
     import s.implicits._
