@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed Lloyd k-means over an embedding column, and the
@@ -57,34 +56,40 @@ object Clustering {
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
   /** Per-vector argmax-cosine centroid: map-side broadcast cross +
-    * partial-aggregated max_by; ties break to the smallest centroid id. */
+    * partial-aggregated max_by; ties break to the smallest centroid id.
+    * The winning cosine rides along as `ccos` (rounded to 6 — the
+    * engine-portable convention) — it is the centroid-distance signal
+    * SemDeDup's farthest-from-centroid keeper ranks by. */
   private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
       .groupBy(col("vec_id"))
       .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
-        max_by(col("cent"), struct(col("ccos"), -col("cent"))).as("cell"))
+        max_by(col("cent"), struct(col("ccos"), -col("cent"))).as("cell"),
+        round(max(col("ccos")), 6).as("ccos"))
 
   /**
    * Lloyd k-means by cosine: deterministic stride-sampled seeds
    * (vec_id ≡ 0 mod `stride`, the IVF convention — k scales with the
    * corpus), `iters` assign/update rounds, then a final assignment.
    *
-   * @return (vec_id, emb, nrm, cell) — cell is the seed id of the
-   *         winning centroid (cluster labels are stable across engines)
+   * @return (vec_id, emb, nrm, cell, ccos) — cell is the seed id of the
+   *         winning centroid (cluster labels are stable across engines);
+   *         ccos its cosine, the centroid-proximity signal
    */
   def kmeans(corpus: DataFrame, stride: Int = 50, iters: Int = 2): DataFrame = {
     require(stride > 0, s"stride must be positive, got $stride")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = normalized(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caching.persist(normalized(corpus))
     var cents = e.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cent"), col("emb").as("cemb"), col("nrm").as("cnrm"))
+    var prevCents: DataFrame = null
     (1 to iters).foreach { _ =>
       // Lloyd update: element-wise mean per cell, ROUNDED to 6 decimals
       // so the iteration stays in lockstep across engines (the mean's
       // accumulation order differs between engines; the rounded value
       // doesn't, away from measure-zero boundaries)
-      cents = assignCells(e, cents)
+      cents = graft.Caching.persist(assignCells(e, cents)
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("v")).as("m"))
@@ -92,9 +97,12 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => round(x("m"), 6)).as("cemb"))
         .select(col("cell").as("cent"), col("cemb"),
-          sqrt(dot(col("cemb"), col("cemb"))).as("cnrm"))
-        // k·d doubles — persisting truncates the iterative recompute
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          sqrt(dot(col("cemb"), col("cemb"))).as("cnrm")))
+      // k·d doubles — persisting truncates the iterative recompute; the
+      // superseded round's frame releases immediately (only the LATEST
+      // centroid frame is live — each round reads its predecessor once)
+      if (prevCents != null) graft.Caching.release(prevCents)
+      prevCents = cents
     }
     assignCells(e, cents)
   }
@@ -118,13 +126,29 @@ object Clustering {
       .select(col("cell"), col("size"), col("maj_label"),
         round(col("maj_n") / col("size"), 6).as("purity"))
 
+  /** Survivor-choice strategy for [[semanticDedup]]. */
+  sealed trait Keeper
+  object Keeper {
+    /** Keep the smallest-id member of a duplicate pair (the
+      * `Dedup.minhashDedup` convention — deterministic, quality-blind). */
+    case object MinId extends Keeper
+    /** The SemDeDup paper's keeper (arXiv:2303.09540): keep the member
+      * FARTHEST from its centroid (lowest assigned-centroid cosine) —
+      * duplicates cluster near their centroid, so the far member
+      * preserves the most diversity. Ties break to the smaller id. */
+    case object FarthestFromCentroid extends Keeper
+  }
+
   /**
    * SemDeDup: k-means cluster, then within each cell drop every vector
-   * that has a smaller-id cell-mate at cosine ≥ `threshold` (one-hop
-   * min-id keeper, the `Dedup.minhashDedup` convention). The pair join
-   * never leaves a cell, so candidate volume is O(Σ cell²); cells above
-   * `maxCellSize` are excluded from pairing (members all survive) and
-   * counted in a plan metric rather than becoming the stage straggler.
+   * DOMINATED by a cell-mate at cosine ≥ `threshold` — dominance is the
+   * keeper strategy's total order (one-hop, like `Dedup.minhashDedup`):
+   * [[Keeper.MinId]] orders by id; [[Keeper.FarthestFromCentroid]]
+   * orders by (centroid cosine asc, id), the paper's diversity-keeping
+   * choice. The pair join never leaves a cell, so candidate volume is
+   * O(Σ cell²); cells above `maxCellSize` are excluded from pairing
+   * (members all survive) and counted in a plan metric rather than
+   * becoming the stage straggler.
    *
    * @return surviving (vec_id, cell) rows
    */
@@ -133,11 +157,11 @@ object Clustering {
       threshold: Double,
       stride: Int = 50,
       iters: Int = 2,
-      maxCellSize: Int = MaxPairCell): DataFrame = {
+      maxCellSize: Int = MaxPairCell,
+      keeper: Keeper = Keeper.MinId): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
-    val a = kmeans(corpus, stride, iters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = graft.Caching.persist(kmeans(corpus, stride, iters))
     val ok = a.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
       .observe(s"graft_semdedup_cell_guard_${obsId.incrementAndGet()}",
         sum(when(col("cell_n") > maxCellSize, lit(1L)).otherwise(lit(0L)))
@@ -147,11 +171,19 @@ object Clustering {
       .where(col("cell_n") <= maxCellSize)
       .select(col("cell"))
     val m = a.join(broadcast(ok), Seq("cell"))
+    // d1 dominates d2 ⇒ d2 is droppable; the order is strict and total
+    // (id is unique), so every duplicate pair is visited exactly once
+    val dominates = keeper match {
+      case Keeper.MinId => col("d1") < col("d2")
+      case Keeper.FarthestFromCentroid =>
+        struct(col("c1"), col("d1")) < struct(col("c2"), col("d2"))
+    }
     val drops = m.select(col("cell"), col("vec_id").as("d1"),
-        col("emb").as("e1"), col("nrm").as("n1"))
+        col("emb").as("e1"), col("nrm").as("n1"), col("ccos").as("c1"))
       .join(m.select(col("cell"), col("vec_id").as("d2"),
-        col("emb").as("e2"), col("nrm").as("n2")), Seq("cell"))
-      .where(col("d1") < col("d2"))
+        col("emb").as("e2"), col("nrm").as("n2"), col("ccos").as("c2")),
+        Seq("cell"))
+      .where(dominates)
       .where(round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6)
         >= threshold)
       .select(col("d2").as("vec_id")).distinct()

@@ -237,11 +237,10 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Caching.persist(shingles(docs, n))
     // bands persists too: the candidate self-join reads it twice
-    val bands = lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.Caching.persist(
+      lshBands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
     jaccardFor(lshCandidates(bands), sh).where(col("jaccard") >= threshold)
   }
 
@@ -272,22 +271,25 @@ object Dedup {
       maxBucketSize: Int = MaxPairBucket): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
-    val shNew = shingles(newDocs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shHist = shingles(historyDocs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = graft.Caching.persist(shingles(newDocs, n))
+    val shHist = graft.Caching.persist(shingles(historyDocs, n))
     val bNew = lshBands(minhashSignatures(shNew, numHashes), numHashes, rowsPerBand)
-    val bHist = lshBands(minhashSignatures(shHist, numHashes), numHashes, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bHist = graft.Caching.persist(
+      lshBands(minhashSignatures(shHist, numHashes), numHashes, rowsPerBand))
     val okBuckets = bHist
       .groupBy(col("band"), col("band_val"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBucketSize)
       .select(col("band"), col("band_val"))
-    val cand = bNew
-      .join(bHist.select(col("doc").as("hist_doc"), col("band"), col("band_val")),
-        Seq("band", "band_val"))
+    // The guard restricts the HISTORY side BEFORE the candidate join
+    // (the lshCandidates bounded-bands shape) — applied after, the
+    // degenerate-bucket expansion would only be avoided if Catalyst
+    // happened to push the semi join below the inner join.
+    val boundedHist = bHist
       .join(okBuckets, Seq("band", "band_val"), "left_semi")
+      .select(col("doc").as("hist_doc"), col("band"), col("band_val"))
+    val cand = bNew
+      .join(boundedHist, Seq("band", "band_val"))
       .select(col("doc"), col("hist_doc"))
       .distinct()
     val szNew = shNew.groupBy(col("doc")).agg(count(lit(1)).as("sz_new"))
@@ -361,15 +363,12 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       maxIter: Int = 3): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bands = lshBands(
-      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand)
-      .persist(MEMORY_AND_DISK)
+    val bands = graft.Caching.persist(lshBands(
+      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand))
     // Docs that produced no shingles have no buckets, never join below,
     // and always survive — same contract as minhashDedup.
-    var labels = bands.select(col("doc")).distinct()
-      .withColumn("lbl", col("doc"))
-      .persist(MEMORY_AND_DISK)
+    var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
+      .withColumn("lbl", col("doc")))
     for (_ <- 1 to maxIter) {
       val bucketMin = bands.join(labels, Seq("doc"))
         .groupBy(col("band"), col("band_val"))
@@ -379,16 +378,16 @@ object Dedup {
         .agg(min(col("bmin")).as("prop"))
         .join(labels, Seq("doc"))
         .select(col("doc"), least(col("lbl"), col("prop")).as("lbl"))
-        .persist(MEMORY_AND_DISK)
+      val nextP = graft.Caching.persist(next)
       // Materialize eagerly so the PREVIOUS iteration's cache can be
       // released now — iterative operators are the one place a
       // mid-pipeline action is the memory-correct choice (the standard
       // iterative-algorithm recipe); without it, maxIter label frames
       // stay pinned (or, unpersisted lazily, lineage recompute doubles
       // per iteration).
-      next.count()
-      labels.unpersist(blocking = false)
-      labels = next
+      nextP.count()
+      graft.Caching.release(labels)
+      labels = nextP
     }
     val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
     docs.join(dropped, Seq("doc"), "left_anti")
@@ -401,8 +400,7 @@ object Dedup {
    * second pass over the shingle table.
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Caching.persist(shingles(docs, n))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("doc").as("d1"), col("shingle"))
       .join(sh.select(col("doc").as("d2"), col("shingle")), "shingle")

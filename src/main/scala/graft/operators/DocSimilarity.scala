@@ -37,11 +37,10 @@ object DocSimilarity {
     // persisted: the pruned index feeds THREE sub-plans (norms + both
     // sides of the term join); without it each copy re-expands the whole
     // tfidf lineage (≈3 corpus scans per copy)
-    val pruned = scored
+    val pruned = graft.Caching.persist(scored
       .crossJoin(broadcast(n))
       .where(col("df") <= col("_nd") * maxDfFraction)
-      .select(col("term"), col("doc"), col("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("term"), col("doc"), col("w")))
     val norms = pruned.groupBy(col("doc"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val a = pruned.select(col("term"), col("doc").as("d1"), col("w").as("w1"))

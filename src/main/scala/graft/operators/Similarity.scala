@@ -201,10 +201,10 @@ object Similarity {
       bits: Int = AutoBits,
       tables: Int = 4,
       maxBucketSize: Int = MaxPairBucket): DataFrame = {
-    val e = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .where(dimGuard(col("emb")))
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.Caching.persist(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .where(dimGuard(col("emb")))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb")))))
     val resolvedBits = if (bits == AutoBits) deriveLshBits(e.count()) else bits
     val bucketStructs = (0 until tables).map { t =>
       struct(

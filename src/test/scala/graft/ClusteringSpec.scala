@@ -88,6 +88,24 @@ class ClusteringSpec extends SparkSpec {
     survivors shouldBe Set(0L, 1L, 2L, 3L, 4L, 5L)
   }
 
+  test("semanticDedup FarthestFromCentroid keeper keeps the far member of a dup set") {
+    // One cell (only seed 0 at stride 50, iters=0 → centroid = v0):
+    // {0,1,2} mutually cos ≥ 0.9 (one dup set); v3 orthogonal — not a
+    // duplicate of anyone, survives under every keeper.
+    // Centroid cosines: v0 = 1.0 > v1 ≈ 0.994 > v2 ≈ 0.919, so the
+    // paper's keeper retains v2 (farthest); min-id retains v0.
+    val one = vecs(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.9f, 0.1f),
+      2L -> Seq(0.7f, 0.3f),
+      3L -> Seq(0f, 1f))
+    Clustering.semanticDedup(one, threshold = 0.9, stride = 50, iters = 0,
+        keeper = Clustering.Keeper.FarthestFromCentroid)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L, 3L)
+    Clustering.semanticDedup(one, threshold = 0.9, stride = 50, iters = 0)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(0L, 3L)
+  }
+
   test("kmeans rejects non-positive stride and negative iters") {
     an[IllegalArgumentException] should be thrownBy
       Clustering.kmeans(twoClusters, stride = 0)
