@@ -235,6 +235,15 @@ object SparkEntry {
 
   private val SimhashCtes = simhashCtes(16)
 
+  /** DuckDB mirror of Pipeline's deterministic hash bucket (first 32
+    * md5 bits of the stringified key, mod 1e6) — hex digits folded via
+    * strpos, the q34 convention. */
+  private def duckMd5Bucket(keyExpr: String): String =
+    s"""list_sum(list_transform(range(1, 9), i ->
+       |        (strpos('0123456789abcdef',
+       |                substr(md5(($keyExpr)::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+       |          << ((8 - i)::INTEGER * 4))) % 1000000""".stripMargin
+
   private val TfIdfCtes =
     s"""WITH $TokCte,
        |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -577,6 +586,35 @@ object SparkEntry {
       Clustering.semanticDedup(tbl(s, dir, "embeddings"),
           threshold = 0.3, stride = 50, iters = 2)
         .orderBy(col("vec_id"))),
+
+    // Exact duplicated-substring removal (ExactSubstr, Lee et al. 2022):
+    // all-but-first occurrences of duplicated 8-token spans removed
+    // corpus-wide, text rebuilt from the surviving tokens.
+    "q56_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(docs(s, dir), spanTokens = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Domain-mixture sampling to a 15k-token budget (src0/src1/src2 at
+    // 40/30/20% — other sources dropped); per-source report pins the
+    // whole sampled set. Rates derive in-plan from source token totals.
+    "q57_mixture_sample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      graft.operators.Pipeline.mixtureSample(d,
+          shares = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2),
+          budgetTokens = 15000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-doc keyword extraction: top-5 terms by TF-IDF (reference
+    // operator chain O2–O7 + one per-doc window rank).
+    "q58_keywords" -> ((s, dir) =>
+      TfIdf.keywords(docs(s, dir), k = 5)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
 
     // ── Text-analysis tier ──────────────────────────────────────────────
 
@@ -1285,6 +1323,74 @@ object SparkEntry {
          |FROM af a LEFT JOIN drops d ON a.vec_id = d.vec_id
          |WHERE d.vec_id IS NULL
          |ORDER BY a.vec_id""".stripMargin,
+
+    // ExactSubstr mirror: span occurrences keyed by md5 of the 8-token
+    // span, keep-first per span (row_number), covered positions removed,
+    // text rebuilt — lockstep with Dedup.substringDedup(spanTokens = 8).
+    "q56_substring_dedup" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, (i - 1)::BIGINT AS pos,
+        |         md5(list_aggr(toks[i:i+7], 'string_agg', ' ')) AS span
+        |  FROM tokl, unnest(range(1, len(toks) - 6)) AS t(i)
+        |  WHERE len(toks) >= 8),
+        |rem AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |    FROM occ) WHERE rn > 1),
+        |rp AS (
+        |  SELECT DISTINCT doc_id, pos + o.off AS tp
+        |  FROM rem, unnest(range(0, 8)) AS o(off)),
+        |tpos AS (
+        |  SELECT doc_id, (i - 1)::BIGINT AS tp, toks[i] AS term
+        |  FROM tokl, unnest(range(1, len(toks) + 1)) AS t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.tp, t.term
+        |  FROM tpos t LEFT JOIN rp ON t.doc_id = rp.doc_id AND t.tp = rp.tp
+        |  WHERE rp.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(term, ' ' ORDER BY tp) AS clean_text,
+        |         count(*)::BIGINT AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |       (len(l.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+        |FROM tokl l LEFT JOIN agg a USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // Mixture-sampling mirror: identical rate arithmetic order
+    // ((share * budget) / src_tokens, capped at 1) and the q34 md5
+    // bucket, so the keep set matches bit for bit.
+    "q57_mixture_sample" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |             t -> t <> ''))::BIGINT AS n_tokens
+         |  FROM documents),
+         |sa AS (SELECT source, sum(n_tokens) AS src_tokens FROM tk GROUP BY 1),
+         |keep AS (
+         |  SELECT tk.source, tk.n_tokens
+         |  FROM tk JOIN sa USING (source)
+         |  WHERE (${duckMd5Bucket("tk.doc_id")})::DOUBLE <
+         |        least(1.0, (CASE tk.source WHEN 'src0' THEN 0.4
+         |                    WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2
+         |                    ELSE 0.0 END) * 15000.0 / sa.src_tokens) * 1e6)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens)::BIGINT AS tokens_kept
+         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+
+    "q58_keywords" ->
+      s"""$TfIdfCtes
+         |SELECT doc_id, term, tfidf, rnk FROM (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, term)::BIGINT AS rnk
+         |  FROM scores) WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q17_lang_id" ->
       s"""WITH t AS (

@@ -417,6 +417,64 @@ object Dedup {
   }
 
   /**
+   * Exact duplicated-SUBSTRING removal — the ExactSubstr recipe of
+   * "Deduplicating Training Data Makes Language Models Better" (Lee et
+   * al. 2022, arXiv:2107.06499), at token granularity: every occurrence
+   * of a `spanTokens`-token span that appears at least twice corpus-wide
+   * (across documents OR repeated within one) is removed except the
+   * globally FIRST occurrence (smallest (doc, pos) — deterministic),
+   * and each document's surviving tokens re-join into its cleaned text.
+   * Catches the boilerplate document-level dedup misses: shared
+   * headers/footers, quoted passages, license blocks embedded in
+   * otherwise-distinct documents.
+   *
+   * Scale shape: span occurrences are a map-only array expansion keyed
+   * by the span's md5 (32 bytes shuffled per occurrence, independent of
+   * `spanTokens`); the keep/remove decision is ONE shuffle on that hash
+   * (row_number per span); removed spans explode into their covered
+   * token positions (`spanTokens` × duplicated occurrences only — the
+   * overlap-merge falls out of the positional `distinct`), and the
+   * rebuild is one doc-keyed regroup. No self-joins, no suffix array:
+   * O(total tokens) rows end to end.
+   *
+   * @return (doc, clean_text, n_kept, n_removed) for every input doc
+   */
+  def substringDedup(docs: DataFrame, spanTokens: Int = 50): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs.select(col("doc"), tokensCol(col("line")).as("_toks"))
+    val occ = toked
+      .where(size(col("_toks")) >= spanTokens)
+      .select(col("doc"), explode(transform(
+        sequence(lit(0L), (size(col("_toks")) - spanTokens).cast("long")),
+        i => struct(i.as("pos"),
+          md5(array_join(slice(col("_toks"), (i + 1).cast("int"), lit(spanTokens)), " "))
+            .as("span")))).as("o"))
+      .select(col("doc"), col("o.pos").as("pos"), col("o.span").as("span"))
+    val removedPos = occ
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("span")).orderBy(col("doc"), col("pos"))))
+      .where(col("_rn") > 1) // rn > 1 exists iff the span is duplicated
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("tp"))
+      .distinct()
+    val kept = toked
+      .select(col("doc"), posexplode(col("_toks")).as(Seq("tp", "term")))
+      .select(col("doc"), col("tp").cast("long").as("tp"), col("term"))
+      .join(removedPos, Seq("doc", "tp"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(transform(array_sort(collect_list(struct(col("tp"), col("term")))),
+        s => s.getField("term")).as("_kt"))
+    toked
+      .select(col("doc"), size(col("_toks")).cast("long").as("_n"))
+      .join(kept, Seq("doc"), "left_outer") // a doc can lose every token
+      .select(col("doc"),
+        coalesce(array_join(col("_kt"), " "), lit("")).as("clean_text"),
+        coalesce(size(col("_kt")), lit(0)).cast("long").as("n_kept"),
+        (col("_n") - coalesce(size(col("_kt")), lit(0))).cast("long").as("n_removed"))
+  }
+
+  /**
    * 16-bit SimHash fingerprint, weighted by term frequency: bit p of the
    * fingerprint = sign of Σ_terms cnt · (±1), where the ±1 for (term, p)
    * is derived from hex digit p of md5(term) (≥ '8' ⇒ +1). Deterministic

@@ -78,6 +78,52 @@ object Pipeline {
       .cast("long") % 1000000L
 
   /**
+   * Domain-mixture sampling to a TOKEN BUDGET — the data-mixing step of
+   * a training pipeline: given target budget shares per source (e.g.
+   * web 0.5, code 0.3, books 0.2), keep each source's documents at
+   * rate = min(1, share·budget / source_tokens), so the sampled corpus
+   * approximates the target mixture. Where [[sampleStratified]] takes
+   * caller-precomputed rates, this derives them IN-PLAN: one per-source
+   * token aggregate (map-side partial, sources ≪ corpus) broadcasts
+   * back onto the scan, and the keep decision is the same seed-free
+   * md5 bucket as [[sampleByHash]] — reproducible on any cluster, any
+   * engine, any retry. Sources absent from `shares` drop entirely.
+   * Rate arithmetic is ordered (share·budget)/tokens so the oracle's
+   * IEEE evaluation matches bit for bit.
+   *
+   * Scale: two passes over the corpus (stats + filter) and zero
+   * shuffles of corpus rows; wrap in `Caching.scoped` + persist the
+   * input upstream if the double scan matters.
+   *
+   * @param docs (doc, line, source)
+   * @return sampled rows + n_tokens (whitespace token count)
+   */
+  def mixtureSample(
+      docs: DataFrame,
+      shares: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(shares.nonEmpty && shares.values.forall(s => s >= 0 && s <= 1),
+      "every share must be in [0,1]")
+    require(shares.values.sum <= 1.0 + 1e-9,
+      s"shares sum to ${shares.values.sum} > 1 — not a mixture")
+    val shareCol = shares.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, sh)) =>
+        when(col("source") === src, lit(sh)).otherwise(acc)
+    }
+    val withTok = docs.withColumn("n_tokens",
+      size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val perSource = withTok.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    withTok
+      .join(broadcast(perSource), Seq("source"))
+      .withColumn("rate", least(lit(1.0),
+        shareCol * lit(budgetTokens.toDouble) / col("src_tokens")))
+      .where(hashBucket("doc").cast("double") < col("rate") * 1e6)
+      .select(col("doc"), col("line"), col("source"), col("n_tokens"))
+  }
+
+  /**
    * Train-test CONTAMINATION screen: flag corpus documents sharing at
    * least `minShared` distinct word n-grams with any benchmark document
    * — the "did an eval set leak into the training corpus" check every

@@ -119,4 +119,31 @@ object TfIdf {
           .drop("num_docs")
     }
   }
+
+  /**
+   * Per-document keyword extraction: the top-k terms of each document by
+   * TF-IDF — the classic downstream use of the reference's own operator
+   * chain (O2–O7 feed a per-doc rank instead of a global one). Rank
+   * order is (rounded tfidf desc, term asc) — a total order, so the
+   * result is deterministic across engines and partitionings.
+   *
+   * Scale shape: everything [[tfidf]] costs plus ONE window shuffle
+   * keyed on `doc` (row_number over a per-doc partition — bounded
+   * partitions, no global sort; Catalyst plans the rank filter as
+   * WindowGroupLimit pushdown, so only k rows per doc survive the
+   * exchange).
+   */
+  def keywords(
+      docs: DataFrame,
+      k: Int = 5,
+      numDocs: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfidf(docs, numDocs)
+      .withColumn("tfidf", round(col("tfidf"), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc"), col("term"), col("tfidf"), col("rnk"))
+  }
 }

@@ -229,6 +229,35 @@ class DedupSpec extends SparkSpec {
     pairs32 should contain(("a", "b"))
   }
 
+  test("substringDedup removes all-but-first occurrences of duplicated spans") {
+    // "a b c d e" occurs at (d1, 0) and (d2, 3): keep-first retains d1's,
+    // removes d2's covered positions 3..7
+    val got = Dedup.substringDedup(corpus(
+        "d1" -> "a b c d e x y z",
+        "d2" -> "q r s a b c d e"), spanTokens = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got("d1") shouldBe (("a b c d e x y z", 8L, 0L))
+    got("d2") shouldBe (("q r s", 3L, 5L))
+  }
+
+  test("substringDedup catches repeats WITHIN one document") {
+    val got = Dedup.substringDedup(corpus("d" -> "m n o p m n o p"), spanTokens = 4)
+      .collect().head
+    got.getString(1) shouldBe "m n o p"
+    got.getLong(3) shouldBe 4L
+  }
+
+  test("substringDedup leaves short docs and unique text untouched") {
+    val got = Dedup.substringDedup(corpus(
+        "s" -> "too short",
+        "u" -> "entirely unique words appearing nowhere else at all"), spanTokens = 5)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    got shouldBe Map("s" -> 0L, "u" -> 0L)
+  }
+
   test("simhashPairs: exact dups at hamming 0") {
     val pairs = Dedup.simhashPairs(Dedup.simhash(dupCorpus), maxHamming = 0)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -77,6 +77,40 @@ class PipelineSpec extends SparkSpec {
     got.keySet.map(_._1) should not contain "t3"
   }
 
+  test("mixtureSample derives per-source rates from the token budget") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (
+      (1 to 5).map(i => (s"a$i", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "a")) ++
+      (1 to 5).map(i => (s"b$i", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "b")) ++
+      (1 to 2).map(i => (s"c$i", "w1 w2", "c"))
+    ).toDF("doc", "line", "source")
+    // budget 100: share a=0.5 -> rate 50/50 = 1 (all of a);
+    // share b=0.1 -> rate 10/50 = 0.2 (hash-sampled subset);
+    // c absent from shares -> dropped entirely
+    val got = Pipeline.mixtureSample(docs,
+      shares = Map("a" -> 0.5, "b" -> 0.1), budgetTokens = 100L)
+    val bySource = got.collect().groupBy(_.getString(2))
+    bySource.getOrElse("c", Array.empty) shouldBe empty
+    bySource("a").map(_.getString(0)).toSet shouldBe (1 to 5).map(i => s"a$i").toSet
+    bySource("a").foreach(_.getLong(3) shouldBe 10L)
+    // the fractional source is a deterministic subset: same rows every run
+    val again = Pipeline.mixtureSample(docs,
+      shares = Map("a" -> 0.5, "b" -> 0.1), budgetTokens = 100L)
+    again.collect().map(_.getString(0)).sorted shouldBe
+      got.collect().map(_.getString(0)).sorted
+  }
+
+  test("mixtureSample rejects non-mixtures and non-positive budgets") {
+    val s2 = spark
+    import s2.implicits._
+    val one = Seq(("d", "x", "a")).toDF("doc", "line", "source")
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.mixtureSample(one, Map("a" -> 0.9, "b" -> 0.3), 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.mixtureSample(one, Map("a" -> 0.5), 0L)
+  }
+
   test("contaminationCheck minShared filters weak overlaps") {
     val train = corpus("t1" -> "alpha beta gamma delta epsilon")
     val bench = corpus("b1" -> "alpha beta gamma other words here")

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products
     "q55_semantic_dedup", // embeds q54's k-means as its bucketing stage
 
+    "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
     "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
     "q46_bigram_lm") // 1-row vocabulary-size (V) broadcast cross
@@ -59,7 +60,14 @@ class PlanAuditSpec extends SparkSpec {
     "q48_pack_sequences" -> 1, // the bucket-window shuffle
     "q49_encode_tokens" -> 1, // vocab count agg at cache fill counts 0
                               // (live plan: broadcast dict join only)
-    "q51_training_prep" -> 2) // dedup fingerprint + pack bucket-window
+    "q51_training_prep" -> 2, // dedup fingerprint + pack bucket-window
+    "q56_substring_dedup" -> 3, // span-hash window + removed-pos distinct
+                                // + doc regroup (candidate joins broadcast
+                                // at this SF; they shuffle past threshold)
+    "q57_mixture_sample" -> 2, // per-source token agg + report agg; the
+                               // rate join is a broadcast
+    "q58_keywords" -> 5) // tfidf lineage (count, df, numDocs partials)
+                         // + the per-doc rank window
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's

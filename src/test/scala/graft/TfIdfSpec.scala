@@ -119,4 +119,28 @@ class TfIdfSpec extends SparkSpec {
   test("search on absent terms returns no rows") {
     Search.search(mini, "zzz").count() shouldBe 0L
   }
+
+  test("keywords returns each doc's top-k tfidf terms, parity with tfidf()") {
+    import org.apache.spark.sql.functions.{col => C, round => rnd}
+    val c = corpus(
+      "d1" -> "apple apple banana cherry cherry cherry date",
+      "d2" -> "banana banana elder fig grape apple",
+      "d3" -> "grape grape grape kiwi lime")
+    val got = TfIdf.keywords(c, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> r.getString(1)).toMap
+    // expected: per-doc top-2 of the tfidf frame under (round(tfidf,6) desc, term)
+    val expected = TfIdf.tfidf(c)
+      .select(C("doc"), C("term"), rnd(C("tfidf"), 6).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (doc, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex
+          .map { case (r, i) => (doc, i + 1L) -> r._2 }
+      }
+      .toMap
+    got shouldBe expected
+    got.keys.map(_._2).foreach(r => r should be <= 2L)
+  }
 }
