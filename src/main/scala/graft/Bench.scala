@@ -34,11 +34,12 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // scoped: operator-internal persists release at the end of the run
+      Caching.scoped {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      // operators that persist internal frames (LSH candidates, pruned
-      // indexes) would otherwise accumulate cached RDDs across the
-      // repeated runs and skew later queries' memory
+      // belt-and-braces for anything persisted outside the scope contract
       spark.catalog.clearCache()
       sec
     }
