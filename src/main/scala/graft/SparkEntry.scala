@@ -616,6 +616,15 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
 
+    // Corpus-relative quality cut: drop the worst quartile by the
+    // corpus's own quality-score distribution (threshold = in-plan
+    // exact percentile, 1-row broadcast).
+    "q59_quality_filter" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .filterByQualityQuantile(docs(s, dir), quantile = 0.25)
+        .select(col("doc").as("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
     // ── Text-analysis tier ──────────────────────────────────────────────
 
     "q17_lang_id" -> ((s, dir) =>
@@ -1391,6 +1400,34 @@ object SparkEntry {
          |                            ORDER BY tfidf DESC, term)::BIGINT AS rnk
          |  FROM scores) WHERE rnk <= 5
          |ORDER BY doc_id, rnk""".stripMargin,
+
+    // Quality-quantile mirror: same q18 score chain (stopword ratio
+    // rounded BEFORE the composite, both rounded to 6), quantile_cont =
+    // Spark's exact interpolated percentile.
+    "q59_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |thr AS (SELECT quantile_cont(quality_score, 0.25) AS t FROM q)
+        |SELECT doc_id, quality_score FROM q CROSS JOIN thr
+        |WHERE quality_score >= thr.t
+        |ORDER BY doc_id""".stripMargin,
 
     "q17_lang_id" ->
       s"""WITH t AS (

@@ -124,6 +124,34 @@ object Pipeline {
   }
 
   /**
+   * Corpus-RELATIVE quality filtering: keep documents whose quality
+   * score sits at or above the corpus's own `quantile` quantile — the
+   * "drop the worst p%" cut curation pipelines apply when an absolute
+   * threshold is unknowable across domains. The threshold is computed
+   * IN-PLAN (exact interpolated percentile, the q43 convention — one
+   * scalar aggregate over one double per doc) and joins back as a
+   * 1-row broadcast cross; no driver action. Cross-engine-robust at
+   * the boundary: scores are 6-decimal-rounded, so a doc can only tie
+   * the interpolated threshold when the two order statistics around it
+   * are equal — where interpolation is exact in every engine. At
+   * 100 TB swap the exact percentile for `percentile_approx` (same
+   * plan shape; the exact tier is the oracle contract).
+   *
+   * @return surviving (doc, line, quality_score) rows
+   */
+  def filterByQualityQuantile(docs: DataFrame, quantile: Double): DataFrame = {
+    require(quantile > 0 && quantile < 1,
+      s"quantile must be in (0,1), got $quantile")
+    val scored = docs
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("line")))
+    val thr = scored.agg(
+      expr(s"percentile(quality_score, $quantile)").as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality_score") >= col("_thr"))
+      .drop("_thr")
+  }
+
+  /**
    * Train-test CONTAMINATION screen: flag corpus documents sharing at
    * least `minShared` distinct word n-grams with any benchmark document
    * — the "did an eval set leak into the training corpus" check every

@@ -111,6 +111,25 @@ class PipelineSpec extends SparkSpec {
       Pipeline.mixtureSample(one, Map("a" -> 0.5), 0L)
   }
 
+  test("filterByQualityQuantile keeps docs at or above the corpus quantile") {
+    import org.apache.spark.sql.functions.{col => C}
+    // quality ranks: long varied prose > short repetitive > single word
+    val docs = corpus(
+      "good" -> "the quick brown fox jumps over a lazy dog in the warm sun today",
+      "mid" -> "alpha beta gamma alpha beta gamma",
+      "bad" -> "x x x x")
+    val kept = Pipeline.filterByQualityQuantile(docs, quantile = 0.5)
+      .collect().map(_.getString(0)).toSet
+    val allScores = graft.functions.TextAnalysis.qualityScore(docs)
+      .select(C("doc"), C("quality_score")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val thr = allScores.values.toSeq.sorted.apply(1) // median of 3
+    kept shouldBe allScores.filter(_._2 >= thr).keySet
+    kept should contain("good")
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.filterByQualityQuantile(docs, quantile = 0.0)
+  }
+
   test("contaminationCheck minShared filters weak overlaps") {
     val train = corpus("t1" -> "alpha beta gamma delta epsilon")
     val bench = corpus("b1" -> "alpha beta gamma other words here")
