@@ -791,6 +791,12 @@ object SparkEntry {
       Events.hourlyTypeStats(events(s, dir))
         .orderBy(col("hour_start"), col("event_type"))),
 
+    // Sliding 1h windows advancing 15 min: each event lands in 4
+    // overlapping windows (map-side expansion, same one-shuffle agg).
+    "q60_events_sliding" -> ((s, dir) =>
+      Events.slidingTypeStats(events(s, dir))
+        .orderBy(col("window_start"), col("event_type"))),
+
     "q23_events_json" -> ((s, dir) =>
       Events.propsKeyStats(events(s, dir))
         .orderBy(col("event_type"))),
@@ -1795,6 +1801,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n_events, round(sum(value), 6) AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // Sliding-window mirror: the 4 covering 1h/15min window starts per
+    // event generated by integer µs arithmetic (floor to the slide,
+    // back i slides — same epoch alignment as Spark's window()).
+    "q60_events_sliding" ->
+      """WITH w AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+        |                        - i * 900000000) AS window_start,
+        |         event_type, value
+        |  FROM events, unnest(range(0, 4)) AS t(i))
+        |SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+        |       round(sum(value), 6) AS value_sum
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q23_events_json" ->
       """SELECT event_type, count(*) AS n_events,

@@ -25,6 +25,26 @@ object Events {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /**
+   * SLIDING-window aggregate: overlapping windows of `windowDuration`
+   * advancing by `slideDuration` (must divide it), per event_type — the
+   * trailing-rate shape tumbling windows can't express (an event
+   * contributes to windowDuration/slideDuration windows). Spark's
+   * `window()` expands the covering windows MAP-SIDE (a projection, not
+   * a join against a window table), so the plan is the same
+   * one-shuffle aggregate as the tumbling twin, on k× the rows — at
+   * 100 TB size the slide ratio, not the operator.
+   */
+  def slidingTypeStats(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      slideDuration: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration, slideDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
   /** JSON prop extraction + per-type aggregate (scalar JSON path only —
     * the reference has no JSON; this covers the pipeline-utility need). */
   def propsKeyStats(events: DataFrame): DataFrame =

@@ -29,6 +29,22 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming twin of `Events.slidingTypeStats`: overlapping windows
+    * advancing by `slideDuration`, watermark-bounded state, append-mode
+    * safe (each window emits once when the watermark closes it). State
+    * is windowDuration/slideDuration concurrent windows per type. */
+  def slidingTypeStats(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      slideDuration: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration, slideDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
   /** Streaming doc-word-count: same tokenizer + aggregation as the batch
     * O2/O3 path, over a stream of (doc, line). Update/complete mode. */
   def termCounts(docs: DataFrame): DataFrame =

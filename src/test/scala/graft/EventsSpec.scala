@@ -27,6 +27,26 @@ class EventsSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", 1L, 4.0))
   }
 
+  test("slidingTypeStats: each event covers window/slide overlapping windows") {
+    // one event at 10:31 → 1h windows sliding 15min: starts 09:45,
+    // 10:00, 10:15, 10:30 (4 = 60/15 covering windows)
+    val got = Events.slidingTypeStats(ev(
+      (1L, "2024-01-01 10:31:00", 1L, "click", 2.5)))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+    got.toSet shouldBe Set(
+      ("2024-01-01 09:45:00.0", 1L, 2.5),
+      ("2024-01-01 10:00:00.0", 1L, 2.5),
+      ("2024-01-01 10:15:00.0", 1L, 2.5),
+      ("2024-01-01 10:30:00.0", 1L, 2.5))
+    // two events an hour apart share exactly one window boundary region
+    val two = Events.slidingTypeStats(ev(
+      (1L, "2024-01-01 10:31:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 11:16:00", 1L, "click", 2.0)))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    two.count(_._2 == 2L) shouldBe 1 // only the 10:30 window holds both
+    two.map(_._2).sum shouldBe 8L // 4 covering windows per event
+  }
+
   test("propsKeyStats extracts json ints and aggregates") {
     val row = Events.propsKeyStats(ev(
       (10L, "2024-01-01 00:00:00", 1L, "click", 0.0),

@@ -36,6 +36,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming slidingTypeStats matches the batch twin's covering windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamingOps.slidingTypeStats(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sliding").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:31:00"), "click", 2.5))
+      q.processAllAvailable()
+      // advance the watermark past every covering window's end
+      input.addData((Timestamp.valueOf("2024-01-01 13:00:01"), "click", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("sliding").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSet
+      // identical to Events.slidingTypeStats on the same row (EventsSpec)
+      got shouldBe Set(
+        ("2024-01-01 09:45:00.0", 1L, 2.5),
+        ("2024-01-01 10:00:00.0", 1L, 2.5),
+        ("2024-01-01 10:15:00.0", 1L, 2.5),
+        ("2024-01-01 10:30:00.0", 1L, 2.5))
+    } finally q.stop()
+  }
+
   test("streaming termCounts aggregates with the reference tokenizer") {
     val s = spark
     import s.implicits._
