@@ -765,6 +765,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL vocabulary (the q40/q52 family): unpruned counts
+    // state from the history half merged with the arrivals half, then
+    // ranked. Hash-matches the FULL-corpus vocabulary oracle — the
+    // contract that incremental == batch (which only holds because the
+    // state is unpruned; minCount applies at rank time).
+    "q61_vocab_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val state = graft.operators.Vocab.termCounts(d.where(col("doc") < 250))
+      graft.operators.Vocab
+        .rankVocab(
+          graft.operators.Vocab.mergeTermCounts(state, d.where(col("doc") >= 250)),
+          minCount = 2)
+        .orderBy(col("token_id"))
+    }),
+
     // PII redaction over customer names+segments: ordered rule fold
     // (email, IP, digit-run) with sequential per-rule match counts —
     // map-only regex expressions, no shuffle.
@@ -1611,6 +1626,18 @@ object SparkEntry {
         |       coalesce(v.token_id, -1)::BIGINT AS token_id
         |FROM pos p LEFT JOIN vocab v ON p.term = v.term
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // Full-corpus vocabulary — the incremental path must equal this.
+    "q61_vocab_incremental" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1)
+        |SELECT term, cnt,
+        |       (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT AS token_id
+        |FROM counts WHERE cnt >= 2
+        |ORDER BY token_id""".stripMargin,
 
     "q51_training_prep" ->
       """WITH keep AS (

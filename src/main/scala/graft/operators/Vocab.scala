@@ -48,12 +48,39 @@ object Vocab {
    * action and the caller's consumption must see the SAME materialized
    * partitioning); wrap composed runs in `Caching.scoped` to release it.
    */
-  def buildVocab(docs: DataFrame, minCount: Long = 1L): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val counts = docs
+  def buildVocab(docs: DataFrame, minCount: Long = 1L): DataFrame =
+    rankVocab(termCounts(docs), minCount)
+
+  /**
+   * Raw (term, cnt) corpus counts — the UNPRUNED mergeable state behind
+   * [[buildVocab]]. Persist THIS for incremental pipelines (not the
+   * ranked vocab): minCount pruning must apply at rank time, or a term
+   * sitting below threshold in the history would lose its old count and
+   * never cross the threshold however often new data repeats it.
+   */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs
       .select(explode(toks(col("line"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount)
+
+  /**
+   * Incremental vocabulary state update — the daily-ingest twin of
+   * [[termCounts]] (the q40/q52 family): merge a persisted counts table
+   * with a new document batch's counts. One partially-aggregated union
+   * shuffle on `term`; `rankVocab` of the merged state is IDENTICAL to
+   * `buildVocab` over the concatenated corpora (q61 pins this contract
+   * against the full-corpus oracle).
+   */
+  def mergeTermCounts(oldCounts: DataFrame, newDocs: DataFrame): DataFrame =
+    oldCounts.select(col("term"), col("cnt"))
+      .unionByName(termCounts(newDocs))
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank a (term, cnt) table into the (term, cnt, token_id) vocabulary
+    * (two-stage parallel rank — see [[buildVocab]]'s scale notes). */
+  def rankVocab(counts0: DataFrame, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val counts = counts0.where(col("cnt") >= minCount)
     // monotonically_increasing_id is nondeterministic-flagged, so
     // Catalyst will not push this projection below the sort: ids are
     // assigned in sorted order within each range partition.

@@ -108,7 +108,8 @@ class PlanAuditSpec extends SparkSpec {
     * rangepartitioning` — parallel, and not matched by this ban.) */
   test("vocabulary-ranked queries plan no single-partition exchange") {
     val dir = "/root/testdata/sf0.001"
-    Seq("q49_encode_tokens", "q53_vocab_coverage").foreach { name =>
+    Seq("q49_encode_tokens", "q53_vocab_coverage",
+        "q61_vocab_incremental").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       withClue(s"$name plan:\n$plan\n") {

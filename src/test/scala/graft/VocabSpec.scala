@@ -73,4 +73,17 @@ class VocabSpec extends SparkSpec {
     Vocab.buildVocab(empty).count() shouldBe 0L
     Vocab.encodeTokens(empty, Vocab.buildVocab(empty)).count() shouldBe 0L
   }
+
+  test("incremental counts state + rank equals the batch vocabulary") {
+    import org.apache.spark.sql.functions.{col => C}
+    val first = corpus("a" -> "x x y z", "b" -> "x q")
+    val delta = corpus("c" -> "y q r r")
+    val both = corpus("a" -> "x x y z", "b" -> "x q", "c" -> "y q r r")
+    val inc = Vocab.rankVocab(
+      Vocab.mergeTermCounts(Vocab.termCounts(first), delta), minCount = 2)
+    rowsOf(inc) shouldBe rowsOf(Vocab.buildVocab(both, minCount = 2))
+    // q sits below minCount in the history alone (cnt 1) and crosses the
+    // threshold only because the merged state is UNPRUNED
+    inc.where(C("term") === "q").count() shouldBe 1L
+  }
 }
