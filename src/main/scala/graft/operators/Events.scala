@@ -93,17 +93,24 @@ object Events {
   }
 
   /**
-   * Exact per-type value quantiles (linear interpolation at rank
-   * (n−1)·p — the same definition as DuckDB's quantile_cont). Exact
-   * quantiles buffer each group's values; at 100 TB prefer
-   * `percentile_approx` (t-digest sketch, mergeable map-side) unless the
-   * consumer needs exactness — this operator is the oracle-able tier.
+   * Per-type value quantiles. Exact tier (default): linear
+   * interpolation at rank (n−1)·p — the same definition as DuckDB's
+   * quantile_cont; buffers each group's values, and is the oracle-able
+   * contract. Approx tier (`exact = false`): `percentile_approx`
+   * (mergeable sketch, map-side partial aggregation, bounded memory) —
+   * the 100 TB production path; EventsSpec pins its error against the
+   * exact tier. Same output schema either way.
    */
   def valueQuantiles(
       events: DataFrame,
-      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
     val aggs = ps.map { p =>
-      round(expr(s"percentile(value, $p)"), 6).as(s"p${math.round(p * 100)}")
+      val q =
+        if (exact) expr(s"percentile(value, $p)")
+        else expr(s"percentile_approx(value, $p, $approxAccuracy)")
+      round(q, 6).as(s"p${math.round(p * 100)}")
     }
     events.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
   }

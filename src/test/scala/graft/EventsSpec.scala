@@ -47,6 +47,16 @@ class EventsSpec extends SparkSpec {
     two.map(_._2).sum shouldBe 8L // 4 covering windows per event
   }
 
+  test("valueQuantiles approx tier tracks the exact tier") {
+    val rows = (1 to 500).map(i =>
+      (i.toLong, f"2024-01-01 ${i % 24}%02d:00:00", 1L, "click", i.toDouble))
+    val exact = Events.valueQuantiles(ev(rows: _*)).head()
+    val approx = Events.valueQuantiles(ev(rows: _*), exact = false).head()
+    Seq("p50", "p90", "p99").foreach { c =>
+      approx.getAs[Double](c) shouldBe exact.getAs[Double](c) +- 5.0
+    }
+  }
+
   test("propsKeyStats extracts json ints and aggregates") {
     val row = Events.propsKeyStats(ev(
       (10L, "2024-01-01 00:00:00", 1L, "click", 0.0),
