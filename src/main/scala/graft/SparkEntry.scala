@@ -852,6 +852,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // As-of with a STALENESS bound: matches older than 30 min null out
+    // (-1 sentinel) — the feature-store "don't join an ancient
+    // snapshot" guard; same one-shuffle union+window plan.
+    "q62_events_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      val snap = e
+        .groupBy(col("user_id"),
+          (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
+        .agg(round(sum(col("value")), 6).as("hour_sum"))
+      graft.operators.AsOfJoin
+        .asOfJoin(e.select("event_id", "user_id", "ts"), snap,
+          keys = Seq("user_id"), tsCol = "ts", valCol = "hour_sum",
+          as = "asof_hour_sum", toleranceMs = Some(30L * 60 * 1000))
+        .withColumn("asof_hour_sum", coalesce(col("asof_hour_sum"), lit(-1.0)))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Funnel / time-to-conversion: each click forward-as-of-joined to the
     // user's next purchase (−1 = never converts).
     "q41_events_funnel" -> ((s, dir) => {
@@ -1892,6 +1909,20 @@ object SparkEntry {
         |                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
         |    AS moving_avg
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // Tolerance mirror: DuckDB's native ASOF picks the same closest
+    // match; staleness beyond 30 min nulls to the -1 sentinel.
+    "q62_events_asof_tolerance" ->
+      """WITH snap AS (
+        |  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
+        |         round(sum(value), 6) AS hour_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       coalesce(CASE WHEN e.ts - s.ts <= INTERVAL 30 MINUTE
+        |                     THEN s.hour_sum END, -1) AS asof_hour_sum
+        |FROM events e ASOF LEFT JOIN snap s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
 
     "q32_events_asof_snapshot" ->
       """WITH snap AS (

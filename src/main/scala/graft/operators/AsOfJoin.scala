@@ -34,6 +34,13 @@ object AsOfJoin {
    *                time-to-conversion primitive. Same single-shuffle
    *                union+window plan either way (forward just reverses
    *                the traversal order).
+   * @param toleranceMs staleness bound: a match farther than this many
+   *                milliseconds from left.ts yields null instead — the
+   *                "don't join to an ancient snapshot" guard of a
+   *                feature-store lookup. The as-of match is the CLOSEST
+   *                one on the chosen side, so nulling it is exhaustive
+   *                (no other within-tolerance row can exist). None =
+   *                unbounded (the original contract).
    * @return left's columns + `as`
    */
   def asOfJoin(
@@ -43,29 +50,50 @@ object AsOfJoin {
       tsCol: String,
       valCol: String,
       as: String = "asof_value",
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      toleranceMs: Option[Long] = None): DataFrame = {
     require(!left.columns.contains(as), s"left already has a '$as' column")
-    Seq("_is_right", "_rv").foreach { c =>
+    require(toleranceMs.forall(_ >= 0),
+      s"toleranceMs must be >= 0, got $toleranceMs")
+    Seq("_is_right", "_r", "_m").foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"'$c' is reserved by asOfJoin internals — rename that input column")
     }
     val valType = right.schema(valCol).dataType
+    // The carried match is a (right ts, value) STRUCT so the window's
+    // last() keeps the pair consistent even when valCol itself is null
+    // on some right rows (two independent last(ignoreNulls) calls could
+    // pick different rows).
     val lTagged = left
       .withColumn("_is_right", lit(0))
-      .withColumn("_rv", lit(null).cast(valType))
+      // null of the right-struct type (the false branch never evaluates)
+      .withColumn("_r", when(lit(false),
+        struct(col(tsCol).as("_rts"), lit(null).cast(valType).as("_rv"))))
     val rTagged = right.select(
       left.columns.toSeq.map { c =>
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ Seq(lit(1).as("_is_right"), col(valCol).cast(valType).as("_rv")): _*)
+      } ++ Seq(lit(1).as("_is_right"),
+        struct(col(tsCol).as("_rts"), col(valCol).cast(valType).as("_rv"))
+          .as("_r")): _*)
     val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("_is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
-      .withColumn(as, last(col("_rv"), ignoreNulls = true).over(w))
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .where(col("_is_right") === 0)
-      .drop("_is_right", "_rv")
+    val value = toleranceMs match {
+      case None => col("_m._rv")
+      case Some(ms) =>
+        val delta =
+          if (forward) unix_micros(col("_m._rts")) - unix_micros(col(tsCol))
+          else unix_micros(col(tsCol)) - unix_micros(col("_m._rts"))
+        when(delta <= ms * 1000L, col("_m._rv"))
+    }
+    matched
+      .withColumn(as, value)
+      .drop("_is_right", "_r", "_m")
   }
 }

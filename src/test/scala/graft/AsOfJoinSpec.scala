@@ -67,13 +67,36 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("asOfJoin rejects inputs that carry its reserved internal columns") {
-    // a left '_rv' column would be silently overwritten then dropped —
+    // a left '_r' column would be silently overwritten then dropped —
     // must fail loudly instead
-    val badLeft = left.withColumnRenamed("x", "_rv")
+    val badLeft = left.withColumnRenamed("x", "_r")
     an[IllegalArgumentException] should be thrownBy
       AsOfJoin.asOfJoin(badLeft, right, Seq("k"), "ts", "v")
     val badRight = right.withColumnRenamed("v", "_is_right")
     an[IllegalArgumentException] should be thrownBy
       AsOfJoin.asOfJoin(left, badRight, Seq("k"), "ts", "_is_right")
+  }
+
+  test("asOfJoin tolerance nulls matches staler than the bound") {
+    // left 00:20 matches right 00:10 (10 min stale); left 00:05 matches
+    // right 00:03 (2 min stale) — a 5-minute bound keeps only the latter
+    val got = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "v",
+        toleranceMs = Some(5L * 60 * 1000))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Timestamp]("ts").toString,
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)))
+      .toSet
+    got shouldBe Set(
+      (1L, "2024-01-01 00:05:00.0", Some(10.0)),
+      (1L, "2024-01-01 00:20:00.0", None), // match exists but 10 min stale
+      (1L, "2024-01-01 00:00:00.0", None),
+      (2L, "2024-01-01 00:30:00.0", None))
+    // boundary: exactly the tolerance is IN (<= semantics)
+    val exact = AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "v",
+        toleranceMs = Some(10L * 60 * 1000))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("ts").toString,
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble))).toMap
+    exact("2024-01-01 00:20:00.0") shouldBe Some(20.0)
   }
 }
