@@ -371,6 +371,28 @@ object SparkEntry {
 
     // Range join: parts → price bands via bin-bucketed equi-join (no
     // theta join; PlanAudit enforces).
+    // Interval OVERLAP join: user sessions × 10 fixed 6-hour audit
+    // windows (every 3rd day, 09:00–15:00 UTC) — "which sessions were
+    // live during an audit window". Bin-bucketed equi-join, pair
+    // counted once in the first shared bin; closed intervals so
+    // one-event sessions participate.
+    "q63_interval_overlap" -> ((s, dir) => {
+      val sess = Events.sessionize(events(s, dir))
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).cast("double").as("s_lo"),
+          unix_micros(col("session_end")).cast("double").as("s_hi"))
+      val dayUs = 86400000000.0
+      val windows = s.range(0, 10).select(col("id").as("window_id"),
+        (lit(1704067200000000.0) + col("id") * (3 * dayUs) + lit(9 * 3600000000.0))
+          .as("w_lo"))
+        .withColumn("w_hi", col("w_lo") + lit(6 * 3600000000.0))
+      graft.operators.RangeJoin
+        .intervalOverlap(sess, windows, "s_lo", "s_hi", "w_lo", "w_hi",
+          binWidth = 6 * 3600000000.0)
+        .select(col("user_id"), col("session_seq"), col("window_id"))
+        .orderBy(col("user_id"), col("session_seq"), col("window_id"))
+    }),
+
     "q33_range_join_bands" -> ((s, dir) => {
       val bands = s.range(0, 10).select(col("id").as("band_id"),
         (lit(900.0) + col("id") * 10.0).as("lo"),
@@ -967,6 +989,37 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    // Overlap mirror: the q24 sessionize CTEs feed a plain closed-
+    // interval overlap predicate against the same literal windows.
+    "q63_interval_overlap" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        |  FROM y),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |         epoch_us(min(ts)) AS s_lo, epoch_us(max(ts)) AS s_hi
+        |  FROM z GROUP BY 1, 2),
+        |w AS (
+        |  SELECT wid::BIGINT AS window_id,
+        |         1704067200000000 + wid * 259200000000 + 32400000000 AS w_lo,
+        |         1704067200000000 + wid * 259200000000 + 54000000000 AS w_hi
+        |  FROM range(10) r(wid))
+        |SELECT s.user_id, s.session_seq, w.window_id
+        |FROM sess s JOIN w ON s.s_lo <= w.w_hi AND w.w_lo <= s.s_hi
+        |ORDER BY s.user_id, s.session_seq, w.window_id""".stripMargin,
 
     "q33_range_join_bands" ->
       """WITH bands AS (
