@@ -647,6 +647,14 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
+    // Curriculum binning: quality quartile 1..4 per doc from the
+    // corpus's own distribution (threshold counting, not ntile — no
+    // single-partition sort, deterministic ties).
+    "q64_quality_bins" -> ((s, dir) =>
+      graft.operators.Pipeline.qualityBins(docs(s, dir), bins = 4)
+        .select(col("doc").as("doc_id"), col("quality_score"), col("bin"))
+        .orderBy(col("doc_id"))),
+
     // ── Text-analysis tier ──────────────────────────────────────────────
 
     "q17_lang_id" -> ((s, dir) =>
@@ -1518,6 +1526,35 @@ object SparkEntry {
         |thr AS (SELECT quantile_cont(quality_score, 0.25) AS t FROM q)
         |SELECT doc_id, quality_score FROM q CROSS JOIN thr
         |WHERE quality_score >= thr.t
+        |ORDER BY doc_id""".stripMargin,
+
+    // Curriculum-binning mirror: same score chain, quantile_cont array
+    // thresholds, strict-> threshold counting.
+    "q64_quality_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |thr AS (
+        |  SELECT quantile_cont(quality_score, [0.25, 0.5, 0.75]) AS ts FROM q)
+        |SELECT doc_id, quality_score,
+        |       (1 + len(list_filter(thr.ts, t -> quality_score > t)))::BIGINT AS bin
+        |FROM q CROSS JOIN thr
         |ORDER BY doc_id""".stripMargin,
 
     "q17_lang_id" ->

@@ -152,6 +152,36 @@ object Pipeline {
   }
 
   /**
+   * Curriculum BINNING: assign each document a quality bin 1..`bins`
+   * from the corpus's own score distribution — the bucketing step of
+   * curriculum training schedules (feed higher bins first or more
+   * often). Thresholds are the i/bins quantiles computed in-plan (one
+   * exact interpolated percentile-array aggregate, the q43 convention)
+   * and broadcast; bin = 1 + count of thresholds STRICTLY below the
+   * score. Deliberately NOT `ntile()`: a global ntile window plans a
+   * single-partition sort (the scale-killer this engine bans) and
+   * splits ties arbitrarily across bins — threshold counting is
+   * map-side after the one scalar agg, and ties land deterministically
+   * in the lower bin on every engine.
+   *
+   * @return (doc, line, quality_score, bin)
+   */
+  def qualityBins(docs: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scored = docs
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("line")))
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val thr = scored.agg(
+      expr(s"percentile(quality_score, array(${ps.mkString(", ")}))").as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bin",
+        (lit(1) + aggregate(col("_thr"), lit(0),
+          (acc, t) => acc + when(col("quality_score") > t, 1).otherwise(0)))
+          .cast("long"))
+      .drop("_thr")
+  }
+
+  /**
    * Train-test CONTAMINATION screen: flag corpus documents sharing at
    * least `minShared` distinct word n-grams with any benchmark document
    * — the "did an eval set leak into the training corpus" check every

@@ -130,6 +130,29 @@ class PipelineSpec extends SparkSpec {
       Pipeline.filterByQualityQuantile(docs, quantile = 0.0)
   }
 
+  test("qualityBins assigns corpus-relative quantile bins, ties to the lower bin") {
+    import org.apache.spark.sql.functions.{col => C}
+    val docs = corpus(
+      "a" -> "the quick brown fox jumps over a lazy dog in the warm sun today",
+      "b" -> "alpha beta gamma delta epsilon zeta eta theta",
+      "c" -> "alpha beta gamma alpha beta gamma",
+      "d" -> "x x x x")
+    val got = Pipeline.qualityBins(docs, bins = 2)
+      .select(C("doc"), C("quality_score"), C("bin")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // bin 2 = strictly above the median threshold; bin 1 = at or below
+    val median = {
+      val v = got.values.map(_._1).toSeq.sorted
+      (v(1) + v(2)) / 2.0
+    }
+    got.foreach { case (_, (score, bin)) =>
+      bin shouldBe (if (score > median) 2L else 1L)
+    }
+    got.values.map(_._2).toSet shouldBe Set(1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.qualityBins(docs, bins = 1)
+  }
+
   test("contaminationCheck minShared filters weak overlaps") {
     val train = corpus("t1" -> "alpha beta gamma delta epsilon")
     val bench = corpus("b1" -> "alpha beta gamma other words here")
