@@ -822,6 +822,26 @@ object SparkEntry {
           col("n_email"), col("n_ip"), col("n_num"))
         .orderBy(col("c_custkey"))),
 
+    // Canonical text normalization (dedup pre-pass): lowercase →
+    // punctuation→space → whitespace collapse → trim, over mixed-case
+    // punctuated customer text; map-only codegen'd regex.
+    "q65_normalize_text" -> ((s, dir) =>
+      TextAnalysis.normalizeText(
+          tbl(s, dir, "customer").select(col("c_custkey"),
+            concat(col("c_name"), lit(" | "), col("c_mktsegment")).as("raw")),
+          col("raw"))
+        .select(col("c_custkey"), col("norm_text"))
+        .orderBy(col("c_custkey"))),
+
+    // Winsorized per-type value sums: values clipped to the corpus
+    // [p01, p99] band (1-row percentile broadcast), then aggregated.
+    "q66_events_winsorize" -> ((s, dir) =>
+      Events.winsorizeValues(events(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value_w")), 6).as("value_w_sum"))
+        .orderBy(col("event_type"))),
+
     // ── Multimodal plumbing (metadata/schema surface; decode is a stub
     //    tested in ScalaTest — not SQL-expressible) ───────────────────────
     "q21_multimodal_meta" -> ((s, dir) =>
@@ -1854,6 +1874,26 @@ object SparkEntry {
         |       n_email, n_ip,
         |       len(regexp_extract_all(t2, '[0-9]{2,}'))::BIGINT AS n_num
         |FROM s2 ORDER BY c_custkey""".stripMargin,
+
+    "q65_normalize_text" ->
+      """SELECT c_custkey,
+        |       trim(regexp_replace(
+        |         regexp_replace(lower(concat(c_name, ' | ', c_mktsegment)),
+        |           '[^a-z0-9\s]+', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS norm_text
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Winsorize mirror: same rounded quantile_cont band, same clip.
+    "q66_events_winsorize" ->
+      """WITH thr AS (
+        |  SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+        |         round(quantile_cont(value, 0.99), 6) AS hi
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |       round(sum(least(greatest(value, thr.lo), thr.hi)), 6) AS value_w_sum
+        |FROM events CROSS JOIN thr
+        |GROUP BY event_type, thr.lo, thr.hi
+        |ORDER BY event_type""".stripMargin,
 
     "q39_cooccurrence_pmi" ->
       """WITH tokl AS (

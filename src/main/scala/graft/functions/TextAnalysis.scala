@@ -307,4 +307,23 @@ object TextAnalysis {
       }
     df.select((df.columns.map(col) :+ finalText.as("redacted")) ++ countCols: _*)
   }
+
+  /**
+   * Canonical text NORMALIZATION — the pre-pass that makes exact dedup
+   * and shingle-based near-dup actually fire across case/punctuation
+   * variants ("Hello, World!" vs "hello world" are the same document to
+   * a curation pipeline): lowercase → punctuation runs to spaces →
+   * whitespace runs collapsed → trimmed. Fixed order, map-only,
+   * codegen'd regex in the Java∩RE2 subset (the redaction convention) —
+   * so the oracle mirrors it verbatim. Normalize BEFORE fingerprinting;
+   * keep the raw column for display.
+   */
+  def normalizeTextCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]+", " "),
+      "\\s+", " "))
+
+  /** Frame form of [[normalizeTextCol]]: adds `norm_text`. */
+  def normalizeText(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("norm_text", normalizeTextCol(text))
 }

@@ -55,6 +55,31 @@ object Events {
         round(avg(col("k")), 6).as("k_avg"))
 
   /**
+   * WINSORIZATION: clip `value` into its corpus [pLo, pHi] percentile
+   * band — the outlier-taming preprocessing step for value-derived
+   * training signals. Thresholds are one exact interpolated percentile
+   * aggregate (rounded to 6, the engine's determinism convention)
+   * broadcast as a 1-row cross; the clip itself is map-only. At 100 TB
+   * swap the exact percentile for `percentile_approx` — same plan.
+   *
+   * @return input columns + `value_w` (the clipped value)
+   */
+  def winsorizeValues(
+      events: DataFrame,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
+    val thr = events.agg(
+      round(expr(s"percentile(value, $pLo)"), 6).as("_lo"),
+      round(expr(s"percentile(value, $pHi)"), 6).as("_hi"))
+    events.crossJoin(broadcast(thr))
+      .withColumn("value_w",
+        least(greatest(col("value"), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /**
    * ROLLUP aggregate over (event_type, hour): per-cell, per-type subtotal
    * and grand-total rows in ONE pass (Catalyst expands the grouping sets
    * map-side — no second scan, one shuffle). Subtotal rows are marked by

@@ -57,6 +57,20 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("winsorizeValues clips into the corpus percentile band") {
+    // values 1..100: p10 = 10.9, p90 = 90.1 (interpolated, rounded 6)
+    val rows = (1 to 100).map(i =>
+      (i.toLong, f"2024-01-01 ${i % 24}%02d:00:00", 1L, "a", i.toDouble))
+    val got = Events.winsorizeValues(ev(rows: _*), pLo = 0.1, pHi = 0.9)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value_w"))
+      .toMap
+    got(1L) shouldBe 10.9 +- 1e-9   // clipped up
+    got(100L) shouldBe 90.1 +- 1e-9 // clipped down
+    got(50L) shouldBe 50.0 +- 1e-9  // inside the band: untouched
+    an[IllegalArgumentException] should be thrownBy
+      Events.winsorizeValues(ev(rows.head), pLo = 0.9, pHi = 0.1)
+  }
+
   test("propsKeyStats extracts json ints and aggregates") {
     val row = Events.propsKeyStats(ev(
       (10L, "2024-01-01 00:00:00", 1L, "click", 0.0),

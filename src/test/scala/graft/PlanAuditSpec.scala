@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
+    "q66_events_winsorize", // 1-row clip-band broadcast cross
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
     "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
     "q46_bigram_lm") // 1-row vocabulary-size (V) broadcast cross

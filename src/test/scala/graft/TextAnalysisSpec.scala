@@ -146,4 +146,19 @@ class TextAnalysisSpec extends SparkSpec {
     row.getAs[Long]("n_ip") shouldBe 1L
     row.getAs[Long]("n_num") shouldBe 0L
   }
+
+  test("normalizeTextCol lowercases, strips punctuation, collapses whitespace") {
+    import org.apache.spark.sql.functions.{col => C, lit}
+    val got = corpus("d" -> "ignored")
+      .select(TextAnalysis.normalizeTextCol(
+        lit("  Hello,   WORLD!!  It's 42%  ")).as("n"))
+      .head().getString(0)
+    got shouldBe "hello world it s 42"
+    // normalization makes case/punct variants exact-dup equal
+    val a = corpus("d" -> "x").select(
+      TextAnalysis.normalizeTextCol(lit("Hello, World!")).as("n")).head().getString(0)
+    val b = corpus("d" -> "x").select(
+      TextAnalysis.normalizeTextCol(lit("hello world")).as("n")).head().getString(0)
+    a shouldBe b
+  }
 }
