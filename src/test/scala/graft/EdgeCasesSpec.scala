@@ -14,6 +14,24 @@ class EdgeCasesSpec extends SparkSpec {
   private def emptyDocs: DataFrame = corpus()
   private def oneDoc: DataFrame = corpus("only" -> "a single document here")
 
+  test("round-4 tiers flow empty/single-doc corpora through without exceptions") {
+    Dedup.substringDedup(emptyDocs).count() shouldBe 0L
+    Dedup.substringDedup(oneDoc).count() shouldBe 1L // nothing duplicated
+    // quantile thresholds over an empty corpus are null — rows are empty
+    // anyway, so the plans must evaluate, not throw
+    Pipeline.filterByQualityQuantile(emptyDocs, quantile = 0.5).count() shouldBe 0L
+    Pipeline.qualityBins(emptyDocs, bins = 4).count() shouldBe 0L
+    Pipeline.qualityBins(oneDoc, bins = 4).collect()
+      .map(_.getAs[Long]("bin")).toSeq shouldBe Seq(1L) // sole doc: lowest bin
+    val s2 = spark
+    import s2.implicits._
+    val noDocs = Seq.empty[(String, String, String)].toDF("doc", "line", "source")
+    Pipeline.mixtureSample(noDocs, Map("a" -> 0.5), 100L).count() shouldBe 0L
+    TfIdf.keywords(emptyDocs).count() shouldBe 0L
+    Vocab.rankVocab(Vocab.mergeTermCounts(
+      Vocab.termCounts(emptyDocs), emptyDocs)).count() shouldBe 0L
+  }
+
   test("tfidf pipeline on an empty corpus yields no rows") {
     TfIdf.tfidf(emptyDocs).count() shouldBe 0L
     Search.search(emptyDocs, "anything").count() shouldBe 0L
