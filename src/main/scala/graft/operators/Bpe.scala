@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
  *    shuffle builds (word, freq); the inherently-sequential merge loop
  *    then runs in-memory on the driver with incremental pair-count
  *    updates (an occurrence index makes each merge O(words containing
- *    the pair), the sentencepiece/HF-tokenizers shape). 32k merges are
- *    sub-minute; a `maxVocab` guard fails loudly (raise `minWordFreq`,
+ *    the pair), the sentencepiece/HF-tokenizers shape) — minutes for a
+ *    32k-merge vocabulary (BASELINE.md: 189 s over 200k distinct
+ *    words), not tens of thousands of sequential Spark jobs. A
+ *    `maxVocab` guard fails loudly (raise `minWordFreq`,
  *    the standard trainer knob) instead of silently collecting an
  *    unbounded frame. Learning merges is a driver decision loop by
  *    nature — one merge per step, each depending on the last — so
@@ -37,7 +39,9 @@ import org.apache.spark.sql.functions._
  *  - [[learnMerges]] with `batchSize > 1` — the distributed loop,
  *    learning up to `batchSize` PROVABLY-INDEPENDENT merges per
  *    pair-count job (see `selectSafeBatch`), cutting the job count
- *    while staying bit-identical to the sequential table.
+ *    while staying bit-identical to the sequential table. Superseded
+ *    rounds' checkpoint blocks release via CheckpointSupport
+ *    (Dataset.unpersist no-ops on checkpoint-backed frames).
  *  - [[learnMerges]] with `batchSize = 1` — the reference sequential
  *    loop that defines the semantics.
  */
@@ -120,15 +124,24 @@ object Bpe {
     var touched = Set.empty[String]
     val sel = mutable.ArrayBuffer.empty[(String, String, Long)]
     var stopCnt = -1L
+    var full = false
     val it = eligible.iterator
-    while (it.hasNext && stopCnt < 0 && sel.size < batchSize) {
+    // Keep scanning after the batch fills: the truncation floor needs
+    // the FIRST candidate interacting with a selected merge wherever it
+    // sits in the window — exiting at batchSize would miss an
+    // interacting pair tied with the last selection, whose derived
+    // pairs could win the sequential tie-break (candidates that only
+    // interact with other non-selected candidates are irrelevant, so
+    // `touched` still grows on selection only).
+    while (it.hasNext && stopCnt < 0) {
       val (a, b, c) = it.next()
       val merged = a + b
       if (touched(a) || touched(b) || touched(merged) || learnedSymbols(merged))
         stopCnt = c
-      else {
+      else if (!full) {
         sel += ((a, b, c))
         touched = touched + a + b + merged
+        full = sel.size == batchSize
       }
     }
     val floor = math.max(stopCnt, horizon)
@@ -192,12 +205,14 @@ object Bpe {
         learnedSymbols ++= batch.map { case (a, b) => a + b }
         val next = words
           .withColumn("sym", mergeBatchOnce(col("sym"), batch))
-          .localCheckpoint(true) // eager: truncates lineage, frees prior
-        words.unpersist(blocking = false)
+          .localCheckpoint(true) // eager: lineage truncates per round
+        // Dataset.unpersist is a silent no-op on checkpoint-backed
+        // frames — release the superseded round's RDD blocks explicitly
+        org.apache.spark.sql.graft.CheckpointSupport.releaseLocalCheckpoint(words)
         words = next
       }
     }
-    words.unpersist(blocking = false)
+    org.apache.spark.sql.graft.CheckpointSupport.releaseLocalCheckpoint(words)
     merges.result()
   }
 

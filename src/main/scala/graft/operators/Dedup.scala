@@ -442,7 +442,11 @@ object Dedup {
   def substringDedup(docs: DataFrame, spanTokens: Int = 50): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     import org.apache.spark.sql.expressions.Window
-    val toked = docs.select(col("doc"), tokensCol(col("line")).as("_toks"))
+    // persisted: the token table feeds THREE sub-plans (span expansion,
+    // positional rebuild, final size join) — without it each copy
+    // re-runs the tokenization scan of the whole corpus
+    val toked = graft.Caching.persist(
+      docs.select(col("doc"), tokensCol(col("line")).as("_toks")))
     val occ = toked
       .where(size(col("_toks")) >= spanTokens)
       .select(col("doc"), explode(transform(

@@ -70,12 +70,18 @@ object Events {
       pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
+    Seq("_lo", "_hi", "value_w").foreach(c =>
+      require(!events.columns.contains(c),
+        s"'$c' is reserved by winsorizeValues — rename that input column"))
     val thr = events.agg(
       round(expr(s"percentile(value, $pLo)"), 6).as("_lo"),
       round(expr(s"percentile(value, $pHi)"), 6).as("_hi"))
     events.crossJoin(broadcast(thr))
+      // null stays null: least/greatest SKIP nulls, so without the
+      // guard a missing value would silently become the low threshold
       .withColumn("value_w",
-        least(greatest(col("value"), col("_lo")), col("_hi")))
+        when(col("value").isNotNull,
+          least(greatest(col("value"), col("_lo")), col("_hi"))))
       .drop("_lo", "_hi")
   }
 

@@ -107,6 +107,9 @@ object Pipeline {
       "every share must be in [0,1]")
     require(shares.values.sum <= 1.0 + 1e-9,
       s"shares sum to ${shares.values.sum} > 1 — not a mixture")
+    Seq("n_tokens", "src_tokens", "rate").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by mixtureSample — rename that input column"))
     val shareCol = shares.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (src, sh)) =>
         when(col("source") === src, lit(sh)).otherwise(acc)

@@ -99,10 +99,29 @@ object Vocab {
       var acc = 0L
       partSizes.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
     }
+    val sizes: Map[Long, Long] = partSizes.toMap
+    // RECOMPUTATION GUARD: the offsets are only valid against the
+    // materialization the histogram saw. If the persisted range
+    // exchange is ever re-executed (cache + shuffle loss on a real
+    // cluster), the RangePartitioner re-samples and can redistribute
+    // rows — total row count is preserved, so any redistribution makes
+    // SOME partition exceed its recorded size (or introduces an
+    // unknown pid, where element_at misses). Both trip the per-row
+    // assert below: loud failure, never silently corrupted ids. For
+    // full fault tolerance checkpoint the counts frame first.
+    val pid = shiftright(col("_mid"), MidPartitionShift)
+    val idx = col("_mid").bitwiseAND(lit(MidRecordMask))
+    // unknown pid → size coalesces to -1 so the comparison is FALSE,
+    // not null (assert_true only raises on false)
+    val guard = coalesce(assert_true(
+      idx < coalesce(element_at(typedLit(sizes), pid), lit(-1L)),
+      lit("vocabulary rank invalidated: the ranked partitioning was " +
+        "recomputed after the offset histogram (partition grew or " +
+        "appeared) — re-run buildVocab, or checkpoint its input")),
+      lit(true))
     sorted
-      .withColumn("token_id",
-        element_at(typedLit(offsets), shiftright(col("_mid"), MidPartitionShift))
-          + col("_mid").bitwiseAND(lit(MidRecordMask)))
+      .where(guard)
+      .withColumn("token_id", element_at(typedLit(offsets), pid) + idx)
       .select(col("term"), col("cnt"), col("token_id"))
   }
 

@@ -58,6 +58,13 @@ class BpeSpec extends SparkSpec {
     e.getMessage should include("maxVocab")
   }
 
+  test("learnMerges releases every checkpoint block it materializes") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Bpe.learnMerges(richer, numMerges = 6, batchSize = 2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    leaked shouldBe empty
+  }
+
   test("applyMerges greedily rewrites words left-to-right, non-overlapping") {
     val merges = Bpe.learnMerges(fixture, numMerges = 3)
     val got = Bpe.applyMerges(fixture, merges)
