@@ -322,6 +322,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // O10 — global sort desc of search hits (deterministic tie-break).
+    // Conjunctive (AND) search: only docs containing EVERY query term
+    // score — the search mode the reference's OR-sum cannot express.
+    "q67_search_all" -> ((s, dir) =>
+      Search
+        .searchAllTokens(
+          tfidfScores(s, dir).withColumnRenamed("doc_id", "doc"),
+          TfIdf.tokenizeQuery(SearchQuery))
+        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))),
+
+    // Phrase search: docs containing the query terms consecutively, in
+    // order, with occurrence counts (n-gram machinery, map-only).
+    "q68_search_phrase" -> ((s, dir) =>
+      Search.searchPhrase(docs(s, dir), "table hash")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
     "q7_rank" -> ((s, dir) =>
       Search
         .searchTokens(
@@ -984,6 +1001,27 @@ object SparkEntry {
          |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
          |WHERE term IN ('spark', 'stream', 'window')
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q67_search_all" ->
+      s"""$TfIdfCtes
+         |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
+         |WHERE term IN ('spark', 'stream', 'window')
+         |GROUP BY doc_id HAVING count(*) = 3
+         |ORDER BY doc_id""".stripMargin,
+
+    "q68_search_phrase" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM tokl WHERE len(toks) >= 2)
+        |SELECT doc_id, count(*)::BIGINT AS n_occurrences
+        |FROM g WHERE gram = 'table hash'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q7_rank" ->
       s"""$TfIdfCtes

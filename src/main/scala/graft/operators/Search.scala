@@ -40,4 +40,56 @@ object Search {
     val tokens = if (parityDuplicates) raw else raw.distinct
     searchTokens(TfIdf.tfidf(docs, numDocs), tokens)
   }
+
+  /**
+   * Conjunctive (AND) search — the search mode the reference's OR-sum
+   * cannot express: only documents containing EVERY query term score,
+   * still by summed tf-idf. Same broadcast semi-join plan as [[search]]
+   * plus a HAVING on the matched distinct-term count (terms are unique
+   * per (term, doc) after aggregation, so `count(*)` IS the distinct
+   * match count) — no second pass, no intersection join chain.
+   */
+  def searchAllTokens(scores: DataFrame, tokens: Seq[String]): DataFrame = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    scores
+      .join(broadcast(tokens.distinct.toDF("term")), Seq("term"), "inner")
+      .groupBy(col("doc"))
+      .agg(sum(col("tfidf")).as("score"), count(lit(1)).as("_matched"))
+      .where(col("_matched") === tokens.distinct.length)
+      .drop("_matched")
+  }
+
+  def searchAll(
+      docs: DataFrame,
+      query: String,
+      numDocs: Option[Long] = None): DataFrame =
+    searchAllTokens(TfIdf.tfidf(docs, numDocs), TfIdf.tokenizeQuery(query))
+
+  /**
+   * PHRASE search: documents containing the query terms CONSECUTIVELY,
+   * in order — via the engine's n-gram machinery: the phrase is one
+   * n-gram, the corpus side generates n-grams of exactly the phrase
+   * length, and a broadcast semi-join keeps matching docs (with the
+   * phrase's occurrence count). Scale: map-only gram generation, one
+   * (doc)-keyed aggregation; the single-gram "phrase" degenerates to a
+   * term-presence filter.
+   */
+  def searchPhrase(docs: DataFrame, phrase: String): DataFrame = {
+    val tokens = TfIdf.tokenizeQuery(phrase)
+    require(tokens.nonEmpty, "phrase must contain at least one token")
+    val n = tokens.length
+    val gram = tokens.mkString(" ")
+    val toks = Dedup.tokensCol(col("line"))
+    docs
+      .select(col("doc"),
+        when(size(toks) >= n, transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, (i + 1).cast("int"), lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("_grams"))
+      .select(col("doc"),
+        size(filter(col("_grams"), g => g === lit(gram))).cast("long")
+          .as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
 }

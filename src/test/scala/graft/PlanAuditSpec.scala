@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q55_semantic_dedup", // embeds q54's k-means as its bucketing stage
 
     "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
+    "q67_search_all", // the same 1-row numDocs cross (tfidf lineage)
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross

@@ -120,6 +120,29 @@ class TfIdfSpec extends SparkSpec {
     Search.search(mini, "zzz").count() shouldBe 0L
   }
 
+  test("searchAll keeps only docs containing every query term") {
+    // mini: d1 has hello+world, d2 has hello only (see fixture)
+    val all = Search.searchAll(mini, "hello world")
+      .collect().map(_.getString(0)).toSet
+    val any = Search.search(mini, "hello world")
+      .collect().map(_.getString(0)).toSet
+    all.subsetOf(any) shouldBe true
+    all.foreach { d => any should contain(d) }
+    Search.searchAll(mini, "hello zzz").count() shouldBe 0L
+  }
+
+  test("searchPhrase matches consecutive in-order terms with counts") {
+    val c = corpus(
+      "p1" -> "big table hash join and table hash again",
+      "p2" -> "hash table is reversed here",
+      "p3" -> "table only")
+    val got = Search.searchPhrase(c, "table hash")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("p1" -> 2L) // reversed/partial matches excluded
+    Search.searchPhrase(c, "table").collect()
+      .map(_.getString(0)).toSet shouldBe Set("p1", "p2", "p3")
+  }
+
   test("keywords returns each doc's top-k tfidf terms, parity with tfidf()") {
     import org.apache.spark.sql.functions.{col => C, round => rnd}
     val c = corpus(
