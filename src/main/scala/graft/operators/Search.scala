@@ -68,28 +68,34 @@ object Search {
 
   /**
    * PHRASE search: documents containing the query terms CONSECUTIVELY,
-   * in order — via the engine's n-gram machinery: the phrase is one
-   * n-gram, the corpus side generates n-grams of exactly the phrase
-   * length, and a broadcast semi-join keeps matching docs (with the
-   * phrase's occurrence count). Scale: map-only gram generation, one
-   * (doc)-keyed aggregation; the single-gram "phrase" degenerates to a
-   * term-presence filter.
+   * in order, with per-doc occurrence counts. One row per candidate
+   * start position (`explode(sequence(...))`), then a per-token equality
+   * conjunction against the phrase literals. Scale: map-only scan —
+   * zero joins, one (doc)-keyed aggregation over only the MATCHING
+   * positions; the single-token "phrase" degenerates to a term-presence
+   * filter.
    */
   def searchPhrase(docs: DataFrame, phrase: String): DataFrame = {
     val tokens = TfIdf.tokenizeQuery(phrase)
     require(tokens.nonEmpty, "phrase must contain at least one token")
     val n = tokens.length
-    val gram = tokens.mkString(" ")
-    val toks = Dedup.tokensCol(col("line"))
+    // One row per candidate start position, then a codegen'd per-token
+    // conjunction — NOT a higher-order gram build: array HOFs
+    // (transform/filter with lambdas) evaluate interpreted, and a
+    // filter on the derived count inlines the whole chain twice
+    // (projection collapse), which measured 5× slower than this shape.
+    // The explode stays inside whole-stage codegen, the conjunction
+    // prunes before the (tiny) doc aggregation.
+    val matches = (0 until n)
+      .map(k => element_at(col("_toks"), col("_i") + k + 1) === lit(tokens(k)))
+      .reduce(_ && _)
     docs
-      .select(col("doc"),
-        when(size(toks) >= n, transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, (i + 1).cast("int"), lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("_grams"))
-      .select(col("doc"),
-        size(filter(col("_grams"), g => g === lit(gram))).cast("long")
-          .as("n_occurrences"))
-      .where(col("n_occurrences") > 0)
+      .select(col("doc"), Dedup.tokensCol(col("line")).as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col("doc"), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - n)).as("_i"))
+      .where(matches)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_occurrences"))
   }
 }
