@@ -339,6 +339,41 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // BM25-ranked search (per-term scores pre-rounded like q6's tfidf,
+    // so the cross-engine sum is of identical addends).
+    "q69_search_bm25" -> ((s, dir) =>
+      Search
+        .searchBm25Tokens(
+          Search.bm25Scores(docs(s, dir))
+            .withColumn("score", round(col("score"), 6)),
+          TfIdf.tokenizeQuery(SearchQuery))
+        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))),
+
+    // Proximity search: all query terms within one 8-token window.
+    "q70_search_near" -> ((s, dir) =>
+      Search.searchNear(docs(s, dir), SearchQuery, window = 8)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Materialized-index round trip: build the term-sorted score index,
+    // probe it with a pruned scan — must equal q6 (same oracle SQL).
+    // The build write + probe read both execute here, so the measured
+    // cost is honest build+query; per-term rounding after read-back
+    // mirrors q6's sum-of-rounded-addends (raw doubles round-trip
+    // parquet bit-exactly).
+    "q71_search_indexed" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Search.buildIndex(docs(s, dir), idx)
+      Search
+        .searchIndexTokens(
+          Search.readIndex(s, idx).withColumn("tfidf", round(col("tfidf"), 6)),
+          TfIdf.tokenizeQuery(SearchQuery))
+        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q7_rank" -> ((s, dir) =>
       Search
         .searchTokens(
@@ -1021,6 +1056,48 @@ object SparkEntry {
         |  FROM tokl WHERE len(toks) >= 2)
         |SELECT doc_id, count(*)::BIGINT AS n_occurrences
         |FROM g WHERE gram = 'table hash'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Okapi BM25, k1=1.2 b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)).
+    "q69_search_bm25" ->
+      s"""WITH $TokCte,
+         |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnt GROUP BY 1),
+         |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+         |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
+         |sc AS (
+         |  SELECT c.term, c.doc_id,
+         |         round(ln(1 + (nd - df + 0.5) / (df + 0.5))
+         |               * (cnt * 2.2)
+         |               / (cnt + 1.2 * (0.25 + 0.75 * d.dl / avgdl)), 6) AS s
+         |  FROM cnt c JOIN dl d USING (doc_id) JOIN dft USING (term)
+         |  CROSS JOIN st)
+         |SELECT doc_id, round(sum(s), 6) AS score FROM sc
+         |WHERE term IN ('spark', 'stream', 'window')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Index round trip must preserve q6's answer exactly: same SQL.
+    "q71_search_indexed" ->
+      s"""$TfIdfCtes
+         |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
+         |WHERE term IN ('spark', 'stream', 'window')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // All three query terms inside one 8-token sliding window.
+    "q70_search_near" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(toks) - 8, 0) + 2),
+        |                i -> list_slice(toks, i, i + 7))) AS win
+        |  FROM tokl WHERE len(toks) >= 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_windows
+        |FROM w
+        |WHERE list_contains(win, 'spark') AND list_contains(win, 'stream')
+        |  AND list_contains(win, 'window')
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q7_rank" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -98,4 +99,145 @@ object Search {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /**
+   * PROXIMITY search: documents where every query term occurs within
+   * SOME `window`-token span — the unordered "slop" complement of
+   * [[searchPhrase]]'s exact-consecutive match — with the number of
+   * matching window start positions as an evidence count. Same
+   * exploded-start-position map-only scan shape as [[searchPhrase]]:
+   * zero joins, one doc-keyed aggregation; per-position cost is the
+   * `window`-length slice plus one `array_contains` per distinct query
+   * term (O(L · window · |terms|) per doc — keep `window` span-sized,
+   * tens not thousands).
+   */
+  def searchNear(docs: DataFrame, query: String, window: Int = 8): DataFrame = {
+    val terms = TfIdf.tokenizeQuery(query).distinct
+    require(terms.nonEmpty, "query must contain at least one token")
+    require(window >= terms.length,
+      s"window ($window) must fit the ${terms.length} distinct query terms")
+    val win = slice(col("_toks"), col("_i") + 1, lit(window))
+    val containsAll = terms
+      .map(t => array_contains(col("_win"), lit(t)))
+      .reduce(_ && _)
+    docs
+      .select(col("doc"), Dedup.tokensCol(col("line")).as("_toks"))
+      .where(size(col("_toks")) >= terms.length)
+      .select(col("doc"), col("_toks"),
+        explode(sequence(lit(0), greatest(size(col("_toks")) - window, lit(0))))
+          .as("_i"))
+      .select(col("doc"), win.as("_win"))
+      .where(containsAll)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
+  /**
+   * Okapi BM25 per-(term, doc) relevance scores (Robertson et al.,
+   * TREC-3), with the always-positive idf variant:
+   *
+   *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+   *   score(t, D) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+   *
+   * The ranking function the reference's raw tf-idf sum predates:
+   * saturating tf (a 100-occurrence term is not 100× more relevant) and
+   * document-length normalization (long docs don't win by volume).
+   *
+   * Scale shape: the (term, doc) count shuffle, ONE doc-keyed window
+   * exchange for |D| (which [[searchBm25]]'s per-doc aggregation then
+   * reuses — no further exchange), a vocab-sized broadcast join for df,
+   * and a 1-row broadcast for (N, avgdl) — computed from the same
+   * window frame; its (doc, |D|) distinct needs no extra exchange
+   * because the frame is already doc-partitioned. No corpus-sized
+   * driver state anywhere.
+   */
+  def bm25Scores(
+      docs: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    val counts = TfIdf.docWordCount(TfIdf.tokenize(docs))
+    val withLen = counts.withColumn(
+      "dl", sum(col("count")).over(Window.partitionBy(col("doc"))))
+    val stats = withLen
+      .select(col("doc"), col("dl")).distinct()
+      .agg(count(lit(1)).as("num_docs"), avg(col("dl")).as("avgdl"))
+    val dfPerTerm = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1) +
+      (col("num_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    withLen
+      .join(broadcast(dfPerTerm), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        idf * (col("count") * lit(k1 + 1)) /
+          (col("count") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("term"), col("doc"), col("score"))
+  }
+
+  /** BM25 semi-join + per-doc sum over a precomputed [[bm25Scores]]
+    * frame (callers that pre-round for cross-engine comparison use
+    * this directly). */
+  def searchBm25Tokens(scores: DataFrame, tokens: Seq[String]): DataFrame = {
+    val spark = scores.sparkSession
+    import spark.implicits._
+    scores
+      .join(broadcast(tokens.distinct.toDF("term")), Seq("term"), "inner")
+      .groupBy(col("doc"))
+      .agg(sum(col("score")).as("score"))
+  }
+
+  /** BM25-ranked search: per-doc sum of the query terms' BM25 scores —
+    * the same broadcast semi-join + doc aggregation shape as
+    * [[search]], on the modern scoring function. */
+  def searchBm25(
+      docs: DataFrame,
+      query: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    searchBm25Tokens(bm25Scores(docs, k1, b), TfIdf.tokenizeQuery(query).distinct)
+
+  /**
+   * MATERIALIZED index build — at 100 TB a search service does not
+   * re-run the O2–O7 corpus chain per query: persist the (term, doc,
+   * tfidf) score table once, range-partitioned and sorted by `term`, so
+   * every probe's term predicate prunes parquet row groups via min/max
+   * stats and dictionary pages instead of scanning the index. Rebuild
+   * on corpus change (or compose with the incremental dedup/vocab tier
+   * for delta maintenance).
+   *
+   * @param fileCount output files; size so each holds a contiguous term
+   *                  range of a few hundred MB at the target corpus.
+   */
+  def buildIndex(
+      docs: DataFrame,
+      out: String,
+      numDocs: Option[Long] = None,
+      fileCount: Int = 32): Unit =
+    TfIdf.tfidf(docs, numDocs)
+      .select(col("term"), col("doc"), col("tfidf"))
+      .repartitionByRange(fileCount, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(out)
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe a read-back [[buildIndex]] frame: the term predicate is an
+    * `isin` FILTER (not a join) precisely so it reaches the parquet
+    * scan as `PushedFilters: In(term, ...)` — asserted in CorpusSpec. */
+  def searchIndexTokens(index: DataFrame, tokens: Seq[String]): DataFrame =
+    index
+      .where(col("term").isin(tokens.distinct: _*))
+      .groupBy(col("doc"))
+      .agg(sum(col("tfidf")).as("score"))
+
+  /** One indexed query end-to-end: pruned scan + per-doc sum. Results
+    * equal [[search]] with default (deduped) token semantics — pinned
+    * by the q71 oracle, which reuses q6's SQL. */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      query: String): DataFrame =
+    searchIndexTokens(readIndex(spark, indexPath), TfIdf.tokenizeQuery(query))
 }

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
 
     "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
     "q67_search_all", // the same 1-row numDocs cross (tfidf lineage)
+    "q69_search_bm25", // 1-row (N, avgdl) corpus-stats broadcast cross
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross
@@ -70,8 +71,14 @@ class PlanAuditSpec extends SparkSpec {
                                 // at this SF; they shuffle past threshold)
     "q57_mixture_sample" -> 2, // per-source token agg + report agg; the
                                // rate join is a broadcast
-    "q58_keywords" -> 5) // tfidf lineage (count, df, numDocs partials)
+    "q58_keywords" -> 5, // tfidf lineage (count, df, numDocs partials)
                          // + the per-doc rank window
+    "q68_search_phrase" -> 1, // map-only position scan + doc agg
+    "q70_search_near" -> 1, // map-only window scan + doc agg
+    "q69_search_bm25" -> 6, // counts + dl window + df agg + stats twin
+                            // (runtime-reused); doc agg reuses the
+                            // window's partitioning — no 7th
+    "q71_search_indexed" -> 1) // pruned index scan + doc agg
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's

@@ -63,4 +63,12 @@ class PruningAuditSpec extends SparkSpec {
   test("q47 chunking scan reads only doc_id and text") {
     readSchemas("q47_chunk_docs") shouldBe Seq(Set("doc_id", "text"))
   }
+
+  test("q71 indexed-search probe pushes the query terms into the index scan") {
+    // The probe must be a FILTERED scan of the materialized index (In
+    // pushdown -> row-group pruning), never a join against it.
+    val plan = formatted("q71_search_indexed")
+    plan should include regex "PushedFilters:.*In\\(term, \\[spark,stream,window\\]\\)"
+    (plan should not).include("Join")
+  }
 }

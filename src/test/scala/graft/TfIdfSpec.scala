@@ -143,6 +143,61 @@ class TfIdfSpec extends SparkSpec {
       .map(_.getString(0)).toSet shouldBe Set("p1", "p2", "p3")
   }
 
+  test("searchNear matches only within the window, counting positions") {
+    val c = corpus(
+      "near" -> "a x b",
+      "far" -> ("a " + "x " * 8 + "b").trim, // 8 fillers: span 10 > window
+      "multi" -> "a b a b")
+    Search.searchNear(c, "a b", window = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("near" -> 1L, "multi" -> 1L) // multi: one 8-window fits all 4 tokens
+    Search.searchNear(c, "a b", window = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("multi" -> 3L) // [a,b] [b,a] [a,b] all contain both, unordered
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchNear(c, "a b c", window = 2)
+  }
+
+  test("bm25Scores matches the hand formula (tf saturation + length norm)") {
+    // d1: dl=4, d2: dl=3 -> N=2, avgdl=3.5; df(a)=2, all others 1.
+    val c = corpus("d1" -> "a b c a", "d2" -> "a x y")
+    def bm25(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1 + (2.0 - df + 0.5) / (df + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))
+    }
+    val got = Search.bm25Scores(c).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    got.size shouldBe 6
+    got(("a", "d1")) shouldBe bm25(2, 2, 4) +- eps
+    got(("a", "d2")) shouldBe bm25(1, 2, 3) +- eps
+    got(("b", "d1")) shouldBe bm25(1, 1, 4) +- eps
+    got(("x", "d2")) shouldBe bm25(1, 1, 3) +- eps
+    // Saturation: doubling tf less than doubles the score.
+    got(("a", "d1")) should be < 2 * got(("a", "d2"))
+  }
+
+  test("searchBm25 sums matched-term scores per doc") {
+    val c = corpus("d1" -> "a b c a", "d2" -> "a x y")
+    val perTerm = Search.bm25Scores(c).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val got = Search.searchBm25(c, "a b").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got("d1") shouldBe (perTerm(("a", "d1")) + perTerm(("b", "d1"))) +- eps
+    got("d2") shouldBe perTerm(("a", "d2")) +- eps
+  }
+
+  test("index round trip: searchIndexed equals search on the same query") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-index")
+      .resolve("idx").toString
+    Search.buildIndex(mini, idx, fileCount = 2)
+    val direct = Search.search(mini, "world hello").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val indexed = Search.searchIndexed(spark, idx, "world hello").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    indexed.keySet shouldBe direct.keySet
+    indexed.foreach { case (d, s) => s shouldBe direct(d) +- eps }
+  }
+
   test("keywords returns each doc's top-k tfidf terms, parity with tfidf()") {
     import org.apache.spark.sql.functions.{col => C, round => rnd}
     val c = corpus(
