@@ -729,6 +729,14 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Winnowing (MOSS) fingerprints: per-doc window-min gram hashes —
+    // edit-robust local signatures (q20's whole-doc hash breaks on any
+    // edit); map-only gen + one (doc, fp) distinct.
+    "q72_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), k = 3, w = 4)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("fp"))),
+
     // Composed cleaning pipeline: exact dedup → lang allowlist → quality
     // threshold (one plan: md5-keyed window + map-only filters).
     "q27_clean_corpus" -> ((s, dir) =>
@@ -741,6 +749,18 @@ object SparkEntry {
     "q34_sample_by_hash" -> ((s, dir) =>
       graft.operators.Pipeline
         .sampleByHash(docs(s, dir), keyCol = "doc", rate = 0.1)
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Importance-weighted sampling: P(keep) ∝ doc length, expected
+    // fraction 0.2 — in-plan avg(w) broadcast + the same md5 bucket.
+    // (Integer weights sum exactly in doubles, so avg(w) — and the
+    // per-row threshold — is bit-identical across engines.)
+    "q73_sample_by_weight" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .sampleByWeight(
+          docs(s, dir).withColumn("w", length(col("line")).cast("double")),
+          weightCol = "w", keyCol = "doc", fraction = 0.2)
         .select(col("doc").as("doc_id"))
         .orderBy(col("doc_id"))),
 
@@ -1758,6 +1778,32 @@ object SparkEntry {
         |        (strpos('0123456789abcdef',
         |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
         |          << ((8 - i)::INTEGER * 4))) % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q72_winnow_fingerprints" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |         i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) AS hs
+        |  FROM tokl WHERE len(toks) >= 3),
+        |wmin AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
+        |         j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fp
+        |  FROM h)
+        |SELECT DISTINCT doc_id, fp FROM wmin ORDER BY doc_id, fp""".stripMargin,
+
+    "q73_sample_by_weight" ->
+      """WITH w AS (SELECT doc_id, length(text)::DOUBLE AS w FROM documents),
+        |a AS (SELECT avg(w) AS aw FROM w)
+        |SELECT doc_id FROM w CROSS JOIN a
+        |WHERE list_sum(list_transform(range(1, 9), i ->
+        |        (strpos('0123456789abcdef',
+        |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+        |          << ((8 - i)::INTEGER * 4))) % 1000000
+        |      < 200000 * w / aw
         |ORDER BY doc_id""".stripMargin,
 
     "q36_sample_stratified" ->

@@ -264,6 +264,42 @@ object TextAnalysis {
   }
 
   /**
+   * WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+   * the MOSS algorithm): hash every k-token gram, slide a w-hash
+   * window, keep each window's minimum hash; the distinct minima are
+   * the document's fingerprint set. Guarantees: any shared run of
+   * k + w − 1 tokens between two documents yields at least one shared
+   * fingerprint (detection), and at most ~2/(w+1) of gram hashes are
+   * selected (density) — local, position-robust dedup/plagiarism
+   * signatures where [[fingerprint]]'s whole-doc hash breaks on any
+   * edit.
+   *
+   * Scale shape: gram hashes build once per doc (one map-only array
+   * pass), window minima via the exploded-start-position scan (stays
+   * in codegen — `array_min` over a w-slice), then ONE (doc, fp)
+   * distinct exchange. The min is over md5 hex STRINGS (lexicographic)
+   * so engines agree without integer-conversion drift.
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val toks = graft.operators.Dedup.tokensCol(col("line"))
+    val hashes = transform(
+      sequence(lit(0), size(col("_toks")) - k),
+      i => md5(array_join(slice(col("_toks"), i + 1, lit(k)), " ")))
+    docs
+      .select(col("doc"), toks.as("_toks"))
+      .where(size(col("_toks")) >= k)
+      .select(col("doc"), hashes.as("_h"))
+      .select(col("doc"), col("_h"),
+        explode(sequence(lit(0), greatest(size(col("_h")) - w, lit(0))))
+          .as("_j"))
+      .select(col("doc"),
+        array_min(slice(col("_h"), col("_j") + 1, lit(w))).as("fp"))
+      .distinct()
+  }
+
+  /**
    * Default PII-redaction rules, applied IN ORDER (order matters: the
    * IP rule must fire before the bare digit-run rule eats its octets).
    * Every pattern is written in the Java-regex ∩ RE2 common subset (no

@@ -127,6 +127,37 @@ object Pipeline {
   }
 
   /**
+   * Importance-WEIGHTED deterministic sampling: inclusion probability
+   * proportional to a per-row weight (quality score, domain priority,
+   * token count), scaled so the EXPECTED kept fraction is `fraction` —
+   * each row keeps iff its md5 bucket falls under
+   * `fraction · w / avg(w)` (the probability clips at 1 for rows whose
+   * weight exceeds `avg(w)/fraction`, so the realized fraction lands
+   * slightly under target on heavy-tailed weights — the standard
+   * single-pass prob-proportional trade-off; no global sort, no RNG
+   * state). avg(w) is derived IN-PLAN as a 1-row broadcast; the keep
+   * decision is the same seed-free md5 bucket as [[sampleByHash]], so
+   * the same key always lands the same way on any engine. Null or
+   * negative weights never sample (probability 0).
+   */
+  def sampleByWeight(
+      df: DataFrame,
+      weightCol: String,
+      keyCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1,
+      s"fraction must be in [0,1], got $fraction")
+    require(!df.columns.contains("_avg_w"),
+      "'_avg_w' is reserved by sampleByWeight — rename that input column")
+    val stats = df.agg(
+      avg(when(col(weightCol) >= 0, col(weightCol))).as("_avg_w"))
+    df.crossJoin(broadcast(stats))
+      .where(hashBucket(keyCol).cast("double") <
+        lit(fraction * 1e6) * coalesce(col(weightCol), lit(0.0)) / col("_avg_w"))
+      .drop("_avg_w")
+  }
+
+  /**
    * Corpus-RELATIVE quality filtering: keep documents whose quality
    * score sits at or above the corpus's own `quantile` quantile — the
    * "drop the worst p%" cut curation pipelines apply when an absolute

@@ -124,6 +124,39 @@ object StreamingOps {
         col("tf"), col("tfidf"))
 
   /**
+   * Streaming SEARCH against a static materialized index — the
+   * query-serving shape: a stream of (query_id, query_text, ts) rows
+   * scored against a precomputed (term, doc, tfidf) score frame
+   * ([[graft.operators.Search.buildIndex]] read back, or any static
+   * equivalent). Row-local reference tokenization, a stream-static
+   * equi-join on term, then a watermark-bounded windowed aggregation
+   * per (query_id, doc) — append-safe; state is bounded by in-flight
+   * windows. Duplicated query tokens double-count (the reference's Q7
+   * multiset parity — Search.java:230); dedupe upstream for distinct
+   * semantics (a streaming `dropDuplicates` here would add a state
+   * store per token). At scale point the static side at the BUCKETED
+   * index table (`Corpus.writeBucketedTable` on term) so per-batch
+   * joins never re-shuffle the index.
+   *
+   * @return (window_start, query_id, doc, score)
+   */
+  def searchStream(
+      queries: DataFrame,
+      index: DataFrame,
+      windowDuration: String = "1 minute",
+      watermark: String = "1 minute"): DataFrame =
+    queries
+      .withWatermark("ts", watermark)
+      .select(col("query_id"), col("ts"),
+        explode(split(col("query_text"), TfIdf.TokenPattern)).as("term"))
+      .where(length(col("term")) > 0)
+      .join(index, Seq("term"))
+      .groupBy(window(col("ts"), windowDuration), col("query_id"), col("doc"))
+      .agg(round(sum(col("tfidf")), 6).as("score"))
+      .select(col("window.start").as("window_start"),
+        col("query_id"), col("doc"), col("score"))
+
+  /**
    * Streaming exact dedup over a (doc, line, ts) stream: first arrival of
    * each payload fingerprint passes, later duplicates are dropped. State
    * is the fingerprint set bounded by the watermark

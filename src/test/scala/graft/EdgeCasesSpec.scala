@@ -38,6 +38,26 @@ class EdgeCasesSpec extends SparkSpec {
     Rank.rank(Search.search(emptyDocs, "anything")).count() shouldBe 0L
   }
 
+  test("new search modes and sampling flow empty/degenerate corpora through") {
+    Search.searchAll(emptyDocs, "a b").count() shouldBe 0L
+    Search.searchPhrase(emptyDocs, "a b").count() shouldBe 0L
+    Search.searchNear(emptyDocs, "a b", window = 4).count() shouldBe 0L
+    Search.bm25Scores(emptyDocs).count() shouldBe 0L
+    Search.searchBm25(emptyDocs, "a b").count() shouldBe 0L
+    Search.searchBm25(oneDoc, "absent terms").count() shouldBe 0L
+    // single doc: df == N == 1 → idf = ln(1 + 0.5/1.5) > 0, one row per term
+    Search.searchBm25(oneDoc, "single").count() shouldBe 1L
+    TextAnalysis.winnowFingerprints(emptyDocs).count() shouldBe 0L
+    Pipeline.sampleByWeight(
+      emptyDocs.withColumn("w", expr("length(line)").cast("double")),
+      "w", "doc", 0.5).count() shouldBe 0L
+    // sole doc: w == avg(w) → threshold = fraction·1e6; keep decision
+    // degrades to sampleByHash semantics, never a division blow-up
+    Pipeline.sampleByWeight(
+      oneDoc.withColumn("w", expr("length(line)").cast("double")),
+      "w", "doc", 1.0).count() shouldBe 1L
+  }
+
   test("dedup tiers on empty and single-doc corpora yield no pairs") {
     Dedup.exactGroups(emptyDocs).count() shouldBe 0L
     Dedup.minhashNearDups(emptyDocs).count() shouldBe 0L

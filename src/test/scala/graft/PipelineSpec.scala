@@ -77,6 +77,25 @@ class PipelineSpec extends SparkSpec {
     got.keySet.map(_._1) should not contain "t3"
   }
 
+  test("sampleByWeight: equal weights reduce to sampleByHash, degenerate weights never keep") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).toDF("doc").withColumn("w", lit(5.0))
+    val kept = Pipeline.sampleByWeight(df, "w", "doc", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val ref = Pipeline.sampleByHash(df, "doc", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe ref // fraction·w/avg(w) == fraction when weights are equal
+
+    val mixed = spark.range(100).toDF("doc").withColumn("w",
+      when(col("doc") < 50, lit(0.0))           // zero weight: never kept
+        .when(col("doc") < 75, lit(null))       // null weight: never kept
+        .when(col("doc") < 99, lit(1e-6))       // ~zero probability
+        .otherwise(lit(1e9)))   // w/avg(w) ≈ 75 > 1/fraction: clips to P=1
+    val got = Pipeline.sampleByWeight(mixed, "w", "doc", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe Set(99L)
+  }
+
   test("mixtureSample derives per-source rates from the token budget") {
     val s2 = spark
     import s2.implicits._

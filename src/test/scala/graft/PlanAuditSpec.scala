@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross
+    "q73_sample_by_weight", // 1-row avg-weight broadcast cross
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
     "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
     "q46_bigram_lm") // 1-row vocabulary-size (V) broadcast cross
@@ -78,7 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "q69_search_bm25" -> 6, // counts + dl window + df agg + stats twin
                             // (runtime-reused); doc agg reuses the
                             // window's partitioning — no 7th
-    "q71_search_indexed" -> 1) // pruned index scan + doc agg
+    "q71_search_indexed" -> 1, // pruned index scan + doc agg
+    "q72_winnow_fingerprints" -> 1, // map-only gen + (doc, fp) distinct
+    "q73_sample_by_weight" -> 0) // map-only keep decision; avg(w) is a
+                                 // 1-row single-partition agg
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's

@@ -179,6 +179,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming searchStream scores query stream against a static index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val index = Seq( // static score frame (a read-back buildIndex)
+      ("spark", "d1", 0.5), ("spark", "d2", 0.25), ("flame", "d1", 0.1))
+      .toDF("term", "doc", "tfidf")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val queries = input.toDF().toDF("query_id", "query_text", "ts")
+
+    val q = StreamingOps.searchStream(queries, index,
+        windowDuration = "1 minute", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("qsearch")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (1L, "spark flame", Timestamp.valueOf("2024-01-01 10:00:10")),
+        (2L, "spark spark", Timestamp.valueOf("2024-01-01 10:00:20")),
+        (3L, "absent", Timestamp.valueOf("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      input.addData((4L, "later", Timestamp.valueOf("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("qsearch").collect()
+        .map(r => (r.getLong(1), r.getString(2)) -> r.getDouble(3)).toMap
+      got((1L, "d1")) shouldBe 0.6 +- 1e-9
+      got((1L, "d2")) shouldBe 0.25 +- 1e-9
+      got((2L, "d1")) shouldBe 1.0 +- 1e-9 // duplicate token double-counts (Q7)
+      got((2L, "d2")) shouldBe 0.5 +- 1e-9
+      got.keySet.map(_._1) should not contain 3L // unindexed terms: no row
+    } finally q.stop()
+  }
+
   test("streaming dedupExact drops payload duplicates within the watermark") {
     val s = spark
     import s.implicits._

@@ -126,6 +126,32 @@ class TextAnalysisSpec extends SparkSpec {
     rows("a")._2 should be >= 0L
   }
 
+  test("winnowFingerprints: a shared k+w-1 token run guarantees a shared fp") {
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
+    val fps = TextAnalysis.winnowFingerprints(corpus(
+        "a" -> s"one two $run xxx yyy",
+        "b" -> s"$run completely different tail"), k = 3, w = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val shared = fps.filter(_._1 == "a").map(_._2).toSet
+      .intersect(fps.filter(_._1 == "b").map(_._2).toSet)
+    shared should not be empty // the winnowing detection guarantee
+  }
+
+  test("winnowFingerprints selects far fewer minima than grams (density)") {
+    val toks = (1 to 200).map(i => s"t$i").mkString(" ") // 198 grams
+    val n = TextAnalysis
+      .winnowFingerprints(corpus("d" -> toks), k = 3, w = 4).count()
+    n should be < 120L // expected density ~2/(w+1) = 0.4 of grams
+    n should be > 20L
+  }
+
+  test("winnowFingerprints: docs under k tokens emit nothing; k tokens emit one") {
+    val got = TextAnalysis
+      .winnowFingerprints(corpus("s" -> "a b", "e" -> "a b c"), k = 3, w = 4)
+      .collect().map(_.getString(0)).toSeq
+    got shouldBe Seq("e")
+  }
+
   test("redact masks email, IP, and digit runs with sequential counts") {
     val row = TextAnalysis.redact(
       corpus("d" -> "mail bob@example.com ip 10.0.0.1 port 8080 x 7"),
