@@ -255,6 +255,24 @@ object SparkEntry {
        |  FROM cnt c JOIN dft USING (term) CROSS JOIN n
        |)""".stripMargin
 
+  /** Winnowing fingerprint CTEs (k=3 gram, w=4 window — q72/q74): gram
+    * hashes per doc, window minima, distinct (doc, fp) set. Mirrors
+    * `TextAnalysis.winnowFingerprints(k = 3, w = 4)`. */
+  private val WinnowCtes =
+    """WITH tokl AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |         i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) AS hs
+      |  FROM tokl WHERE len(toks) >= 3),
+      |wmin AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
+      |         j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fp
+      |  FROM h),
+      |wfp AS (SELECT DISTINCT doc_id, fp FROM wmin)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Spark-side TF-IDF with oracle column names / rounding.
   // ---------------------------------------------------------------------
@@ -737,6 +755,14 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"), col("fp"))),
 
+    // Shared-fingerprint near-dup pairs with the hot-fp guard applied
+    // BEFORE the self-join (boilerplate fps excluded, reported by
+    // winnowHotFingerprints).
+    "q74_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(docs(s, dir), k = 3, w = 4,
+          minShared = 2, maxDocsPerFp = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // Composed cleaning pipeline: exact dedup → lang allowlist → quality
     // threshold (one plan: md5-keyed window + map-only filters).
     "q27_clean_corpus" -> ((s, dir) =>
@@ -1016,7 +1042,15 @@ object SparkEntry {
     "q31_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(
           docs(s, dir).select(col("doc").cast("string").as("doc"), col("line")))
-        .orderBy(col("n_docs")))
+        .orderBy(col("n_docs"))),
+
+    // Corpus report rollup: (lang, source) cells + per-lang subtotals +
+    // grand total in one grouping-sets pass over one kernel scan.
+    "q75_corpus_rollup" -> ((s, dir) =>
+      graft.operators.Pipeline.corpusRollup(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang"), col("source")))
+        .orderBy(col("g_lang"), col("lang"), col("g_source"), col("source")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1781,19 +1815,42 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q72_winnow_fingerprints" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      s"""$WinnowCtes
+         |SELECT doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+
+    // Rollup masks + per-doc quality (q18's formula) averaged per cell.
+    "q75_corpus_rollup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
         |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
-        |         i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) AS hs
-        |  FROM tokl WHERE len(toks) >= 3),
-        |wmin AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
-        |         j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fp
-        |  FROM h)
-        |SELECT DISTINCT doc_id, fp FROM wmin ORDER BY doc_id, fp""".stripMargin,
+        |m AS (
+        |  SELECT doc_id, lang, source,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    round(least(len(toks) / 50.0, 1.0) * 0.4 +
+        |          (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) * 0.4 +
+        |          least(round(len(list_filter(toks, x -> x IN (
+        |            'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |            'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |          ))) * 1.0 / greatest(len(toks), 1), 6) * 4.0, 1.0) * 0.2, 6) AS q
+        |  FROM t)
+        |SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  grouping(lang)::BIGINT AS g_lang, grouping(source)::BIGINT AS g_source,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |  round(avg(q), 6) AS avg_quality
+        |FROM m GROUP BY ROLLUP(lang, source)
+        |ORDER BY g_lang, lang, g_source, source""".stripMargin,
+
+    // Shared-fingerprint pairs, hot fps (> 50 docs) excluded pre-join.
+    "q74_winnow_pairs" ->
+      s"""$WinnowCtes,
+         |ok AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 50),
+         |flt AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN ok USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*)::BIGINT AS shared_fps
+         |FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q73_sample_by_weight" ->
       """WITH w AS (SELECT doc_id, length(text)::DOUBLE AS w FROM documents),

@@ -300,6 +300,52 @@ object TextAnalysis {
   }
 
   /**
+   * Near-dup candidate pairs by SHARED WINNOW FINGERPRINTS — the pair
+   * tier over [[winnowFingerprints]]: documents sharing at least
+   * `minShared` window-min signatures are plagiarism/boilerplate-reuse
+   * candidates (each shared fp witnesses a shared ≥ k+w−1-token run).
+   * Fingerprints held by more than `maxDocsPerFp` documents are
+   * EXCLUDED before the self-join — a fp in m docs costs O(m²) pairs,
+   * and such fps are corpus-wide boilerplate, reported separately by
+   * [[winnowHotFingerprints]]. The guard restricts the fp table BEFORE
+   * pairing (both sides see the bounded frame — never relying on the
+   * optimizer to push a post-join filter down), mirroring the LSH
+   * hot-bucket guard; the oracle SQL mirrors the same bound.
+   */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFp: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocsPerFp >= 2, s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
+    val fps = winnowFingerprints(docs, k, w)
+    val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("fp_n"))
+      .where(col("fp_n") <= maxDocsPerFp)
+      .select(col("fp"))
+    val bounded = fps.join(ok, Seq("fp"))
+    val a = bounded.select(col("fp"), col("doc").as("doc_a"))
+    val b = bounded.select(col("fp"), col("doc").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
+  /** Audit twin of [[winnowPairs]]'s guard: the corpus-wide boilerplate
+    * fingerprints it excluded, with their document counts. */
+  def winnowHotFingerprints(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      maxDocsPerFp: Int = 50): DataFrame =
+    winnowFingerprints(docs, k, w)
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxDocsPerFp)
+
+  /**
    * Default PII-redaction rules, applied IN ORDER (order matters: the
    * IP rule must fire before the bare digit-run rule eats its octets).
    * Every pattern is written in the Java-regex ∩ RE2 common subset (no

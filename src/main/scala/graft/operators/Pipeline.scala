@@ -127,6 +127,32 @@ object Pipeline {
   }
 
   /**
+   * Corpus REPORT rollup — the per-(lang, source) health dashboard in
+   * one pass: doc counts, token totals, and mean quality per cell,
+   * plus per-lang subtotals and the grand total via ROLLUP grouping
+   * sets (one shuffle, partial aggregation per grouping set). Quality
+   * and token counts come from the same one-pass TextStats kernel scan
+   * the text tier shares; `grouping()` masks keep subtotal rows
+   * collision-proof against real 'ALL' values (the q29 convention).
+   */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .rollup(col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_st.n_tokens")).as("total_tokens"),
+        round(avg(TextAnalysis.qualityScoreFromStats(col("_st"))), 6)
+          .as("avg_quality"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"),
+        col("total_tokens"), col("avg_quality"))
+
+  /**
    * Importance-WEIGHTED deterministic sampling: inclusion probability
    * proportional to a per-row weight (quality score, domain priority,
    * token count), scaled so the EXPECTED kept fraction is `fraction` —

@@ -145,6 +145,26 @@ class TextAnalysisSpec extends SparkSpec {
     n should be > 20L
   }
 
+  test("winnowPairs pairs shared runs; hot boilerplate fps are guarded out") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "common footer text here always the same"
+    val c = corpus(
+      "a" -> s"$run unique tail words",
+      "b" -> s"prefix words $run",
+      "c" -> "totally unrelated content entirely",
+      "x1" -> boiler, "x2" -> boiler, "x3" -> boiler,
+      "x4" -> boiler, "x5" -> boiler) // 5 docs > maxDocsPerFp=4: hot
+    val pairs = TextAnalysis
+      .winnowPairs(c, k = 3, w = 4, minShared = 1, maxDocsPerFp = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    pairs.keySet shouldBe Set(("a", "b")) // boilerplate pairs suppressed
+    val hot = TextAnalysis
+      .winnowHotFingerprints(c, k = 3, w = 4, maxDocsPerFp = 4)
+      .collect().map(_.getLong(1))
+    hot should not be empty
+    all(hot) shouldBe 5L // each hot fp lives in exactly the 5 x-docs
+  }
+
   test("winnowFingerprints: docs under k tokens emit nothing; k tokens emit one") {
     val got = TextAnalysis
       .winnowFingerprints(corpus("s" -> "a b", "e" -> "a b c"), k = 3, w = 4)
