@@ -81,8 +81,12 @@ class PlanAuditSpec extends SparkSpec {
                             // window's partitioning — no 7th
     "q71_search_indexed" -> 1, // pruned index scan + doc agg
     "q72_winnow_fingerprints" -> 1, // map-only gen + (doc, fp) distinct
-    "q73_sample_by_weight" -> 0) // map-only keep decision; avg(w) is a
+    "q73_sample_by_weight" -> 0, // map-only keep decision; avg(w) is a
                                  // 1-row single-partition agg
+    "q74_winnow_pairs" -> 7, // fp distinct ×2 branches (runtime-reused)
+                             // + hot-fp agg + pair join sides + pair agg
+    "q75_corpus_rollup" -> 1) // one grouping-sets exchange over the
+                              // kernel scan
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
