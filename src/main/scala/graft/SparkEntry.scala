@@ -368,6 +368,17 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))),
 
+    // Same spec via the window-df strategy — pins the skew-trade-off
+    // twin to the same answer (the q5/q5b convention).
+    "q69b_bm25_window" -> ((s, dir) =>
+      Search
+        .searchBm25Tokens(
+          Search.bm25Scores(docs(s, dir), dfViaBroadcast = false)
+            .withColumn("score", round(col("score"), 6)),
+          TfIdf.tokenizeQuery(SearchQuery))
+        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))),
+
     // Proximity search: all query terms within one 8-token window.
     "q70_search_near" -> ((s, dir) =>
       Search.searchNear(docs(s, dir), SearchQuery, window = 8)
@@ -1113,6 +1124,23 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Okapi BM25, k1=1.2 b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)).
+    "q69b_bm25_window" -> // window-df twin: same spec, same SQL
+      s"""WITH $TokCte,
+         |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnt GROUP BY 1),
+         |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+         |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
+         |sc AS (
+         |  SELECT c.term, c.doc_id,
+         |         round(ln(1 + (nd - df + 0.5) / (df + 0.5))
+         |               * (cnt * 2.2)
+         |               / (cnt + 1.2 * (0.25 + 0.75 * d.dl / avgdl)), 6) AS s
+         |  FROM cnt c JOIN dl d USING (doc_id) JOIN dft USING (term)
+         |  CROSS JOIN st)
+         |SELECT doc_id, round(sum(s), 6) AS score FROM sc
+         |WHERE term IN ('spark', 'stream', 'window')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q69_search_bm25" ->
       s"""WITH $TokCte,
          |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),

@@ -150,11 +150,19 @@ object Search {
    * window frame; its (doc, |D|) distinct needs no extra exchange
    * because the frame is already doc-partitioned. No corpus-sized
    * driver state anywhere.
+   *
+   * @param dfViaBroadcast df strategy, the same trade-off as
+   *        `TfIdf.tfidf`: broadcast join back (default — skew-safe, no
+   *        full-table shuffle on the hot `term` key, costs a second
+   *        scan of the count lineage) vs a window over term (one scan,
+   *        but a full exchange on a skewed key). Flip only when the
+   *        vocabulary outgrows the broadcast threshold.
    */
   def bm25Scores(
       docs: DataFrame,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      dfViaBroadcast: Boolean = true): DataFrame = {
     require(k1 >= 0, s"k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
     val counts = TfIdf.docWordCount(TfIdf.tokenize(docs))
@@ -163,11 +171,17 @@ object Search {
     val stats = withLen
       .select(col("doc"), col("dl")).distinct()
       .agg(count(lit(1)).as("num_docs"), avg(col("dl")).as("avgdl"))
-    val dfPerTerm = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1) +
       (col("num_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    withLen
-      .join(broadcast(dfPerTerm), Seq("term"))
+    val withDf =
+      if (dfViaBroadcast) {
+        val dfPerTerm = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        withLen.join(broadcast(dfPerTerm), Seq("term"))
+      } else {
+        withLen.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("term"))))
+      }
+    withDf
       .crossJoin(broadcast(stats))
       .withColumn("score",
         idf * (col("count") * lit(k1 + 1)) /

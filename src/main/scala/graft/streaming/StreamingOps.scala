@@ -138,13 +138,17 @@ object StreamingOps {
    * index table (`Corpus.writeBucketedTable` on term) so per-batch
    * joins never re-shuffle the index.
    *
+   * @param scoreCol the static frame's score column — "tfidf" for a
+   *        read-back `Search.buildIndex`, "score" for a persisted
+   *        `Search.bm25Scores` frame
    * @return (window_start, query_id, doc, score)
    */
   def searchStream(
       queries: DataFrame,
       index: DataFrame,
       windowDuration: String = "1 minute",
-      watermark: String = "1 minute"): DataFrame =
+      watermark: String = "1 minute",
+      scoreCol: String = "tfidf"): DataFrame =
     queries
       .withWatermark("ts", watermark)
       .select(col("query_id"), col("ts"),
@@ -152,7 +156,7 @@ object StreamingOps {
       .where(length(col("term")) > 0)
       .join(index, Seq("term"))
       .groupBy(window(col("ts"), windowDuration), col("query_id"), col("doc"))
-      .agg(round(sum(col("tfidf")), 6).as("score"))
+      .agg(round(sum(col(scoreCol)), 6).as("score"))
       .select(col("window.start").as("window_start"),
         col("query_id"), col("doc"), col("score"))
 

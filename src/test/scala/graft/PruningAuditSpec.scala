@@ -64,6 +64,14 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q47_chunk_docs") shouldBe Seq(Set("doc_id", "text"))
   }
 
+  test("q72 winnow scan reads only doc_id and text") {
+    readSchemas("q72_winnow_fingerprints") shouldBe Seq(Set("doc_id", "text"))
+  }
+
+  test("q75 rollup scan prunes doc_id — only text, lang, source are read") {
+    readSchemas("q75_corpus_rollup") shouldBe Seq(Set("text", "lang", "source"))
+  }
+
   test("q71 indexed-search probe pushes the query terms into the index scan") {
     // The probe must be a FILTERED scan of the materialized index (In
     // pushdown -> row-group pruning), never a join against it.
