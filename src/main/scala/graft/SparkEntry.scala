@@ -330,6 +330,15 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
         .orderBy(col("term"), col("doc_id"))),
 
+    // O6 third strategy: df via the SALTED shuffle join — the
+    // giant-vocabulary + hot-term corner neither broadcast nor window
+    // covers; same answer, pinned by q5's oracle.
+    "q5c_tfidf_salted" -> ((s, dir) =>
+      TfIdf.tfidf(docs(s, dir), dfSalt = Some(8))
+        .select(col("term"), col("doc").as("doc_id"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("term"), col("doc_id"))),
+
     // O8+O9 — query-term broadcast semi-join + per-doc sum.
     "q6_search" -> ((s, dir) =>
       Search
@@ -513,6 +522,19 @@ object SparkEntry {
       Dedup.exactDedupAgainst(
           d.where(col("doc") >= 250),
           d.where(col("doc") < 250).select(md5(col("line")).as("fp")))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Same spec through the Bloom pre-screen: rows the history filter
+    // rules out never join; false positives are removed by the exact
+    // confirm anti-join, so the answer is q40's for ANY fpp — which is
+    // exactly what lets one oracle pin both paths.
+    "q40b_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactDedupAgainstBloom(
+          d.where(col("doc") >= 250),
+          d.where(col("doc") < 250))
         .select(col("doc").as("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -1055,6 +1077,30 @@ object SparkEntry {
           docs(s, dir).select(col("doc").cast("string").as("doc"), col("line")))
         .orderBy(col("n_docs"))),
 
+    // HLL sketch contract: the approx tier (corpusStats exact=false,
+    // the named 100 TB path — one pass, bounded memory, no distinct
+    // shuffle) must land within 3·rsd of the exact counts, and the
+    // plain COUNT must be exact. Same recipe as the ANN recall
+    // contracts: quality pinned as a deterministic boolean the oracle
+    // asserts, not just determinism.
+    "q31b_corpus_stats_approx" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc").cast("string").as("doc"), col("line"))
+      val ex = TextAnalysis.corpusStats(d)
+        .select(col("n_docs"), col("n_terms"), col("total_tokens"))
+      val ap = TextAnalysis.corpusStats(d, exact = false)
+        .select(col("n_docs").as("a_docs"), col("n_terms").as("a_terms"),
+          col("total_tokens").as("a_tokens"))
+      def within(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+          tol: Double): org.apache.spark.sql.Column =
+        abs(a - e) <= e * tol
+      ex.crossJoin(broadcast(ap)) // 1-row × 1-row
+        .select(col("n_docs"), col("n_terms"), col("total_tokens"),
+          within(col("a_docs"), col("n_docs"), 0.06).as("docs_ok"),
+          within(col("a_terms"), col("n_terms"), 0.06).as("terms_ok"),
+          (col("a_tokens") === col("total_tokens")).as("tokens_exact"))
+        .orderBy(col("n_docs"))
+    }),
+
     // Corpus report rollup: (lang, source) cells + per-lang subtotals +
     // grand total in one grouping-sets pass over one kernel scan.
     "q75_corpus_rollup" -> ((s, dir) =>
@@ -1092,6 +1138,12 @@ object SparkEntry {
 
     // Same spec as q5 — pins the window-strategy plan to the same answer.
     "q5b_tfidf_window" ->
+      s"""$TfIdfCtes
+         |SELECT term, doc_id, tfidf FROM scores
+         |ORDER BY term, doc_id""".stripMargin,
+
+    // Same spec as q5 — pins the salted-join strategy to the same answer.
+    "q5c_tfidf_salted" ->
       s"""$TfIdfCtes
          |SELECT term, doc_id, tfidf FROM scores
          |ORDER BY term, doc_id""".stripMargin,
@@ -1315,6 +1367,13 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin,
 
     "q40_dedup_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id >= 250
+        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom screen changes the plan, never the answer — q40's SQL.
+    "q40b_dedup_bloom" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id >= 250
         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
@@ -2327,6 +2386,17 @@ object SparkEntry {
          |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
          |       count(DISTINCT term)::BIGINT AS n_terms,
          |       count(*) AS total_tokens
+         |FROM tok ORDER BY n_docs""".stripMargin,
+
+    // The oracle pins the exact side and asserts the contract flags
+    // hold — the HLL estimate itself is deliberately not in the output
+    // (sketch values are engine-specific; the CONTRACT is portable).
+    "q31b_corpus_stats_approx" ->
+      s"""WITH $TokCte
+         |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       count(DISTINCT term)::BIGINT AS n_terms,
+         |       count(*) AS total_tokens,
+         |       true AS docs_ok, true AS terms_ok, true AS tokens_exact
          |FROM tok ORDER BY n_docs""".stripMargin
   )
 }

@@ -79,6 +79,51 @@ object Dedup {
     newDocs.join(seenFps.select(col("fp")),
       md5(col("line")) === col("fp"), "left_anti")
 
+  /**
+   * Bloom-screened incremental exact dedup — same answer as
+   * [[exactDedupAgainst]], engineered for a corpus-scale history. A
+   * Bloom filter over the history's xxhash64 fingerprints rides to the
+   * executors inside a codegen'd probe
+   * ([[org.apache.spark.sql.graft.BloomMightContainLong]]); delta rows
+   * the filter rules out are DEFINITELY unseen (no false negatives) and
+   * skip the history join entirely, so only the maybe-seen fraction —
+   * true dups plus an fpp-sized sliver of false positives — shuffles
+   * against the 100 TB fingerprint store. The exact md5 anti-join then
+   * removes both real dups and the false positives, which is why the
+   * result is bit-identical to the plain path for ANY fpp.
+   *
+   * Sizing (in code, not doc): optimal bits ≈ -n·ln(fpp)/ln²2 — 1e9
+   * history fps at 3 % is ~0.9 GB, the practical broadcast ceiling.
+   * Past that, keep `expectedItems` honest and raise `fpp` (the screen
+   * degrades gracefully: more rows take the confirm join), or fall back
+   * to [[exactDedupAgainst]]. `expectedItems <= 0` sizes from a history
+   * count() — fine when the history is a stats-backed table, one extra
+   * scan otherwise; production callers pass their known cardinality.
+   */
+  def exactDedupAgainstBloom(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      expectedItems: Long = -1L,
+      fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val hashes = historyDocs.select(xxhash64(col("line")).as("h"))
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, hashes.count())
+    val bloom = hashes.stat.bloomFilter("h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probed = newDocs.withColumn("_maybe_seen",
+      org.apache.spark.sql.graft.BloomFunctions
+        .mightContainLong(xxhash64(col("line")), bytes))
+    val definitelyNew = probed.where(!col("_maybe_seen")).drop("_maybe_seen")
+    val confirmed = exactDedupAgainst(
+      probed.where(col("_maybe_seen")).drop("_maybe_seen"),
+      historyDocs.select(md5(col("line")).as("fp")))
+    definitelyNew.unionByName(confirmed)
+  }
+
   /** Modulus for the k-min hash family — smallest prime > 2^32, so the
     * mixed values stay well inside a signed 64-bit long. */
   val MinhashPrime = 4294967311L

@@ -87,6 +87,30 @@ object TfIdf {
       Seq("term"))
 
   /**
+   * O6 third strategy — df via a SALTED shuffle join, for the corner
+   * the other two can't reach: vocabulary too large to broadcast
+   * (rules out [[withDocumentFrequencyBroadcast]]) AND hot terms too
+   * skewed for a term-partitioned exchange (rules out the window).
+   * The vocab-sized df table is replicated `salt` times on a synthetic
+   * sub-key; the corpus side derives its sub-key deterministically
+   * from the doc, so a stop-word's rows spread across `salt` reducers
+   * instead of piling onto one. Cost: the small side grows ×salt (it
+   * is vocab-sized, not corpus-sized — cheap) and the join shuffles on
+   * (term, salt) instead of term. AQE's skew-join split covers the
+   * same failure mode adaptively; this is the explicit, planner-
+   * independent form.
+   */
+  def withDocumentFrequencySalted(tf: DataFrame, salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val rep = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        explode(sequence(lit(0), lit(salt - 1))).as("_s"))
+    tf.withColumn("_s", pmod(hash(col("doc")), lit(salt)))
+      .join(rep, Seq("term", "_s"))
+      .drop("_s")
+  }
+
+  /**
    * O2–O7 fused: (doc, line) corpus → (term, doc, count, tf, df, tfidf).
    *
    * @param numDocs reference semantics: user-supplied N (TFIDF.java:58),
@@ -98,15 +122,22 @@ object TfIdf {
    *                default — skew-safe: no full-table shuffle on the hot
    *                `term` key) vs window over term (false) — see
    *                `withDocumentFrequencyBroadcast` for the trade-off.
+   * @param dfSalt when set, overrides `dfViaBroadcast` with the salted
+   *                shuffle join (`withDocumentFrequencySalted`) — the
+   *                giant-vocabulary + hot-term corner.
    */
   def tfidf(
       docs: DataFrame,
       numDocs: Option[Long] = None,
-      dfViaBroadcast: Boolean = true): DataFrame = {
+      dfViaBroadcast: Boolean = true,
+      dfSalt: Option[Int] = None): DataFrame = {
     val tf = termFrequency(docWordCount(tokenize(docs)))
-    val scored =
-      if (dfViaBroadcast) withDocumentFrequencyBroadcast(tf)
-      else withDocumentFrequency(tf)
+    val scored = dfSalt match {
+      case Some(r) => withDocumentFrequencySalted(tf, r)
+      case None =>
+        if (dfViaBroadcast) withDocumentFrequencyBroadcast(tf)
+        else withDocumentFrequency(tf)
+    }
     numDocs match {
       case Some(n) =>
         scored.withColumn("tfidf", col("tf") * idfExpr(lit(n), col("df")))

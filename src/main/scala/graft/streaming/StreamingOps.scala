@@ -161,6 +161,44 @@ object StreamingOps {
         col("query_id"), col("doc"), col("score"))
 
   /**
+   * Stream-stream INTERVAL join — the q41 attribution funnel live: each
+   * purchase joins the same user's clicks from the preceding `horizon`.
+   * The one streaming join class the rest of the tier doesn't exercise
+   * (everything else is stream ⋈ static): BOTH inputs are unbounded, so
+   * correctness and bounded state come from the same two declarations —
+   * a watermark on each side plus the two-sided time-range condition.
+   * Spark buffers each side's rows only until its watermark passes
+   * `ts + horizon`, then evicts: state is O(rows in flight inside one
+   * horizon), never O(stream), and the join itself shuffle-partitions
+   * both sides by `user_id` like the batch plan.
+   *
+   * INNER join: a purchase with no click inside the horizon emits
+   * nothing (the batch funnel's `-1` rows are the complement; an outer
+   * variant changes null semantics, not the state bound).
+   *
+   * @param clicks    streaming (event_id, user_id, ts)
+   * @param purchases streaming (p_id, user_id, p_ts)
+   * @return (p_id, user_id, event_id, secs_before_purchase)
+   */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+    val p = purchases
+      .select(col("p_id"), col("user_id").as("p_user_id"), col("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("ts") <= col("p_ts") &&
+          col("ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_id"), col("user_id"), col("event_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("ts"))) / lit(1000000L))
+          .cast("long").as("secs_before_purchase"))
+  }
+
+  /**
    * Streaming exact dedup over a (doc, line, ts) stream: first arrival of
    * each payload fingerprint passes, later duplicates are dropped. State
    * is the fingerprint set bounded by the watermark

@@ -101,6 +101,45 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Set("n2")
   }
 
+  test("exactDedupAgainstBloom equals the plain anti-join path") {
+    val history = corpus("old1" -> "known payload", "old2" -> "other seen text")
+    val delta = corpus(
+      "n1" -> "known payload", "n2" -> "fresh payload", "n3" -> "other seen text",
+      "n4" -> "genuinely new words")
+    val plain = Dedup.exactDedupAgainst(
+      delta, history.select(md5(col("line")).as("fp")))
+      .select("doc").collect().map(_.getString(0)).toSet
+    val bloomed = Dedup.exactDedupAgainstBloom(delta, history)
+      .select("doc").collect().map(_.getString(0)).toSet
+    bloomed shouldBe plain
+    bloomed shouldBe Set("n2", "n4")
+  }
+
+  test("exactDedupAgainstBloom is exact even at a degenerate 0.5 fpp") {
+    // At fpp=0.5 roughly half the genuinely-new rows take the confirm
+    // join as false positives — the answer must not move.
+    val history = corpus((1 to 40).map(i => s"h$i" -> s"seen payload $i"): _*)
+    val delta = corpus(
+      (1 to 40).map(i => s"d$i" -> s"seen payload $i") ++ // all dups
+      (1 to 40).map(i => s"f$i" -> s"fresh payload $i"): _*) // all new
+    val kept = Dedup.exactDedupAgainstBloom(delta, history, fpp = 0.5)
+      .select("doc").collect().map(_.getString(0)).toSet
+    kept shouldBe (1 to 40).map(i => s"f$i").toSet
+  }
+
+  test("bloom probe has no false negatives on inserted hashes") {
+    import org.apache.spark.sql.graft.BloomFunctions
+    val s = spark
+    import s.implicits._
+    val vals = (1L to 1000L).toDF("h")
+    val bloom = vals.stat.bloomFilter("h", 1000L, 0.03)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    val misses = vals
+      .where(!BloomFunctions.mightContainLong(col("h"), bytes))
+      .count()
+    misses shouldBe 0L
+  }
+
   test("minhashDedup keeps the smallest doc per candidate cluster") {
     val kept = Dedup.minhashDedup(dupCorpus)
       .select("doc").collect().map(_.getString(0)).toSet

@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     *  - q26's IVF centroid assignment — n·k dot products against a
     *    broadcast centroid sample is the definition of the operator. */
   private val nestedLoopAllowed = Set(
-    "q5_tfidf", "q5b_tfidf_window", "q6_search", "q7_rank", "q7b_tfidf_rank",
+    "q5_tfidf", "q5b_tfidf_window", "q5c_tfidf_salted", "q6_search",
+    "q7_rank", "q7b_tfidf_rank",
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
     "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
     "q26b_ann_ivf_recall", // q26's IVF twin: exact side + centroid broadcast
@@ -37,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "q66_events_winsorize", // 1-row clip-band broadcast cross
     "q73_sample_by_weight", // 1-row avg-weight broadcast cross
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
+    "q31b_corpus_stats_approx", // 1-row exact × 1-row HLL contract cross
     "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
     "q46_bigram_lm") // 1-row vocabulary-size (V) broadcast cross
 

@@ -386,4 +386,45 @@ class StreamingSpec extends SparkSpec {
       got.toSet shouldBe Set((7L, 2L, 3.0))
     } finally q.stop()
   }
+
+  test("stream-stream attributionJoin keeps only in-horizon clicks; batch twin agrees") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val out = StreamingOps.attributionJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("p_id", "user_id", "p_ts"),
+      horizon = "30 minutes")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+
+    val clickRows = Seq(
+      (101L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (102L, 1L, Timestamp.valueOf("2024-01-01 10:20:00")),
+      (201L, 2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+    val purchaseRows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:25:00")), // 25 min & 5 min after u1's clicks
+      (2L, 2L, Timestamp.valueOf("2024-01-01 11:00:00"))) // u2's click is 60 min out — drops
+    try {
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got shouldBe Set((1L, 1L, 101L, 1500L), (1L, 1L, 102L, 300L))
+
+      // batch twin: the IDENTICAL function over static frames (the
+      // analyzer elides the watermark on batch inputs) — same rows
+      val batch = StreamingOps.attributionJoin(
+          clickRows.toDF("event_id", "user_id", "ts"),
+          purchaseRows.toDF("p_id", "user_id", "p_ts"),
+          horizon = "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      batch shouldBe got
+    } finally q.stop()
+  }
 }

@@ -66,6 +66,18 @@ class TfIdfSpec extends SparkSpec {
     got(("spark", "d2.txt")) shouldBe log3 +- eps
   }
 
+  test("salted df strategy equals the broadcast and window strategies") {
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "doc", "df", "tfidf")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+    val ref = scores(TfIdf.tfidf(mini))
+    scores(TfIdf.tfidf(mini, dfSalt = Some(4))) shouldBe ref
+    scores(TfIdf.tfidf(mini, dfViaBroadcast = false)) shouldBe ref
+  }
+
   test("Q3 quirk: idf uses floor division (N=5, df=2 -> log10(3))") {
     // 5 docs; 'x' appears in exactly 2.
     val five = corpus(
