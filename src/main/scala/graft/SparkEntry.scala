@@ -1006,6 +1006,24 @@ object SparkEntry {
       Events.valueQuantiles(events(s, dir))
         .orderBy(col("event_type"))),
 
+    // Sketch contract for the approx tier (the 100 TB path: mergeable
+    // percentile_approx, map-side partials, bounded memory) — approx
+    // must land within 2 % + 0.1 of exact per percentile; the q31b
+    // recipe applied to quantiles.
+    "q43b_events_quantiles_approx" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ex = Events.valueQuantiles(e)
+      val ap = Events.valueQuantiles(e, exact = false)
+        .select(col("event_type"), col("p50").as("a50"),
+          col("p90").as("a90"), col("p99").as("a99"))
+      def ok(a: String, x: String) =
+        (abs(col(a) - col(x)) <= abs(col(x)) * 0.02 + 0.1).as(s"${x}_ok")
+      ex.join(broadcast(ap), Seq("event_type"))
+        .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+          ok("a50", "p50"), ok("a90", "p90"), ok("a99", "p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // ROLLUP grouping sets: cell + per-type subtotal + grand total, 1 pass;
     // grouping() masks make subtotal rows collision-proof vs real values.
     "q29_events_rollup" -> ((s, dir) =>
@@ -1069,6 +1087,11 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("secs_to_purchase"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+
+    // Cohort retention triangle over purchase activity.
+    "q76_events_retention" -> ((s, dir) =>
+      Events.cohortRetention(events(s, dir), eventType = "purchase")
+        .orderBy(col("cohort"), col("day_offset"))),
 
     // Whole-corpus stats (exact multi-distinct; approx variant is the
     // scale path, tested in TextAnalysisSpec).
@@ -2328,6 +2351,16 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // Oracle pins the exact side and asserts the contract flags hold;
+    // the t-digest estimates themselves are engine-specific.
+    "q43b_events_quantiles_approx" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q29_events_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(date_trunc('hour', ts), TIMESTAMP '1970-01-01') AS hour_start,
@@ -2380,6 +2413,18 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    // Retention triangle: (user, day) is unique after the GROUP BY, so
+    // count(*) == count(DISTINCT user) — mirrored in the Spark plan.
+    "q76_events_retention" ->
+      """WITH a AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS d FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort, (a.d - c.cohort) AS day_offset,
+        |       count(*)::BIGINT AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
 
     "q31_corpus_stats" ->
       s"""WITH $TokCte

@@ -106,9 +106,16 @@ object Dedup {
       expectedItems: Long = -1L,
       fpp: Double = 0.03): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
     val hashes = historyDocs.select(xxhash64(col("line")).as("h"))
     val n = if (expectedItems > 0) expectedItems else math.max(1L, hashes.count())
-    val bloom = hashes.stat.bloomFilter("h", n, fpp)
+    // treeAggregate of partial sketches (what stat.bloomFilter runs
+    // underneath, minus its NPE on a zero-row frame): per-partition
+    // filters merged pairwise, an empty history yields the empty filter
+    // — every delta row then screens as definitely-new, correctly.
+    val bloom = hashes.rdd.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, row) => { f.putLong(row.getLong(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

@@ -151,6 +151,33 @@ object Events {
    * inactivity. Window lag + running sum of break flags — one shuffle on
    * user_id. (Streaming variant: flatMapGroupsWithState, graft.streaming.)
    */
+  /**
+   * Cohort retention: users grouped by first-activity day; for each
+   * (cohort, day_offset) the number of cohort users active again that
+   * many days later — the classic retention triangle.
+   *
+   * Scale shape — TWO hash shuffles, no self-join and no distinct
+   * count: one `groupBy(user_id)` collects each user's distinct active
+   * days (`collect_set` state is bounded by the corpus's day span, not
+   * by event volume — partial aggregation dedups map-side), the cohort
+   * is element 0 of the sorted set (no second pass, no window), and
+   * because each (user, day) survives exactly once, the triangle's
+   * `n_users` is a plain `count`, not a `countDistinct` — which would
+   * otherwise cost a third, (cohort, offset, user)-keyed exchange.
+   */
+  def cohortRetention(
+      events: DataFrame,
+      eventType: String = "purchase"): DataFrame =
+    events
+      .where(col("event_type") === eventType)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(to_date(col("ts")))).as("days"))
+      .select(col("user_id"), col("days").getItem(0).as("cohort"),
+        explode(col("days")).as("d"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort")).cast("long"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

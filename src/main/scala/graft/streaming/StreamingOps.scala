@@ -172,19 +172,27 @@ object StreamingOps {
    * horizon), never O(stream), and the join itself shuffle-partitions
    * both sides by `user_id` like the batch plan.
    *
-   * INNER join: a purchase with no click inside the horizon emits
-   * nothing (the batch funnel's `-1` rows are the complement; an outer
-   * variant changes null semantics, not the state bound).
+   * Join types: `inner` (default — a purchase with no click inside the
+   * horizon emits nothing; the batch funnel's `-1` rows are the
+   * complement) or `left_outer` on the CLICK side — every click
+   * eventually emits, null-padded if it never converted; Spark holds
+   * the null verdict until the watermark proves no matching purchase
+   * can still arrive (state expiry, not an extra buffer), so the state
+   * bound is the same as inner's.
    *
    * @param clicks    streaming (event_id, user_id, ts)
    * @param purchases streaming (p_id, user_id, p_ts)
-   * @return (p_id, user_id, event_id, secs_before_purchase)
+   * @return (p_id, user_id, event_id, secs_before_purchase) — p_id and
+   *         secs null for unconverted clicks under `left_outer`
    */
   def attributionJoin(
       clicks: DataFrame,
       purchases: DataFrame,
       horizon: String = "30 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer, got $joinType")
     val c = clicks.withWatermark("ts", watermark)
     val p = purchases
       .select(col("p_id"), col("user_id").as("p_user_id"), col("p_ts"))
@@ -192,7 +200,8 @@ object StreamingOps {
     c.join(p,
         col("user_id") === col("p_user_id") &&
           col("ts") <= col("p_ts") &&
-          col("ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+          col("ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("p_id"), col("user_id"), col("event_id"),
         ((unix_micros(col("p_ts")) - unix_micros(col("ts"))) / lit(1000000L))
           .cast("long").as("secs_before_purchase"))

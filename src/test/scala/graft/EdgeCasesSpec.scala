@@ -32,6 +32,26 @@ class EdgeCasesSpec extends SparkSpec {
       Vocab.termCounts(emptyDocs), emptyDocs)).count() shouldBe 0L
   }
 
+  test("bloom dedup, salted df, and retention flow degenerate inputs through") {
+    // empty HISTORY: the bloom is built over zero fps (expectedItems
+    // floors to 1) — every delta row is definitely-new and survives
+    Dedup.exactDedupAgainstBloom(oneDoc, emptyDocs).count() shouldBe 1L
+    // empty DELTA: nothing to screen
+    Dedup.exactDedupAgainstBloom(emptyDocs, oneDoc).count() shouldBe 0L
+    // salted df strategy on empty/one-doc corpora
+    TfIdf.tfidf(emptyDocs, dfSalt = Some(4)).count() shouldBe 0L
+    TfIdf.tfidf(oneDoc, dfSalt = Some(4)).count() shouldBe 4L
+    // retention with no matching event type / no events at all
+    val s3 = spark
+    import s3.implicits._
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Events.cohortRetention(noEvents).count() shouldBe 0L
+    val clickOnly = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "click", 1.0, "{}")).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Events.cohortRetention(clickOnly, eventType = "purchase").count() shouldBe 0L
+  }
+
   test("tfidf pipeline on an empty corpus yields no rows") {
     TfIdf.tfidf(emptyDocs).count() shouldBe 0L
     Search.search(emptyDocs, "anything").count() shouldBe 0L

@@ -141,6 +141,27 @@ class EventsSpec extends SparkSpec {
     got(4L) shouldBe 8.0 +- 1e-9 // other user unaffected
   }
 
+  test("cohortRetention builds the triangle; repeat same-day activity counts once") {
+    val got = Events.cohortRetention(ev(
+      // u1: cohort day 1, returns day 2 and day 4 (two events day 2 — counts once)
+      (1L, "2024-01-01 09:00:00", 1L, "purchase", 1.0),
+      (2L, "2024-01-02 09:00:00", 1L, "purchase", 1.0),
+      (3L, "2024-01-02 21:00:00", 1L, "purchase", 1.0),
+      (4L, "2024-01-04 09:00:00", 1L, "purchase", 1.0),
+      // u2: cohort day 1, returns day 2
+      (5L, "2024-01-01 10:00:00", 2L, "purchase", 1.0),
+      (6L, "2024-01-02 10:00:00", 2L, "purchase", 1.0),
+      // u3: cohort day 2 only; click noise never counts
+      (7L, "2024-01-02 11:00:00", 3L, "purchase", 1.0),
+      (8L, "2024-01-01 11:00:00", 3L, "click", 1.0)))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      ("2024-01-01", 0L, 2L), // u1, u2 start
+      ("2024-01-01", 1L, 2L), // both return next day
+      ("2024-01-01", 3L, 1L), // u1 returns day 4
+      ("2024-01-02", 0L, 1L)) // u3's cohort
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

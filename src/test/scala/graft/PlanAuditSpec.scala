@@ -88,8 +88,18 @@ class PlanAuditSpec extends SparkSpec {
                                  // 1-row single-partition agg
     "q74_winnow_pairs" -> 7, // fp distinct ×2 branches (runtime-reused)
                              // + hot-fp agg + pair join sides + pair agg
-    "q75_corpus_rollup" -> 1) // one grouping-sets exchange over the
+    "q75_corpus_rollup" -> 1, // one grouping-sets exchange over the
                               // kernel scan
+    "q40b_dedup_bloom" -> 0, // bloom probe rides the SCAN (a data
+                             // filter); confirm anti-join broadcasts at
+                             // this SF, shuffles past threshold
+    "q5c_tfidf_salted" -> 4, // (term,doc) counts ×2 lineage scans +
+                             // term df agg + numDocs distinct; the
+                             // salted join itself broadcasts at this SF
+                             // (shape pinned under no-broadcast below)
+    "q31b_corpus_stats_approx" -> 1, // exact multi-distinct expand agg;
+                                     // HLL side is partial->1-row final
+    "q76_events_retention" -> 2) // user-day collect_set + triangle agg
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
@@ -137,5 +147,36 @@ class PlanAuditSpec extends SparkSpec {
         plan should not include "Exchange SinglePartition"
       }
     }
+  }
+
+  test("q40b's bloom probe is pushed into the parquet scan, not a post-join filter") {
+    val plan = SparkEntry.queries("q40b_dedup_bloom")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // The screen only pays off if rejected rows die AT THE SCAN — the
+    // probe must appear among the scan's data filters, so the
+    // definitely-new branch never materializes rows for the join.
+    withClue(s"plan:\n$plan\n") {
+      val scanWithProbe = plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("graft_bloom_might_contain"))
+      assert(scanWithProbe, "bloom probe not in any FileScan's DataFilters")
+    }
+  }
+
+  test("salted df strategy shuffles on (term, salt) once the df table cannot broadcast") {
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(threshold)
+    spark.conf.set(threshold, "-1")
+    try {
+      val plan = graft.operators.TfIdf
+        .tfidf(corpus("a" -> "x y", "b" -> "x z"), dfSalt = Some(8))
+        .queryExecution.executedPlan.toString
+      withClue(s"plan:\n$plan\n") {
+        // the join's exchange must carry the synthetic sub-key — that
+        // IS the skew spread; a term-only exchange would re-create the
+        // hot partition the strategy exists to break up
+        assert("hashpartitioning\\(term#\\d+, _s#\\d+".r.findFirstIn(plan).isDefined,
+          "no (term, _s) exchange found")
+      }
+    } finally spark.conf.set(threshold, old)
   }
 }

@@ -64,6 +64,16 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q47_chunk_docs") shouldBe Seq(Set("doc_id", "text"))
   }
 
+  test("q76 retention scans read only user_id, event_type, ts") {
+    readSchemas("q76_events_retention") shouldBe
+      Seq(Set("ts", "user_id", "event_type"))
+  }
+
+  test("q43b quantile-contract scans read only event_type and value") {
+    readSchemas("q43b_events_quantiles_approx") shouldBe
+      Seq(Set("event_type", "value"), Set("event_type", "value"))
+  }
+
   test("q72 winnow scan reads only doc_id and text") {
     readSchemas("q72_winnow_fingerprints") shouldBe Seq(Set("doc_id", "text"))
   }

@@ -427,4 +427,40 @@ class StreamingSpec extends SparkSpec {
       batch shouldBe got
     } finally q.stop()
   }
+
+  test("left-outer attributionJoin null-pads unconverted clicks after state expiry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingOps.attributionJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        purchases.toDF().toDF("p_id", "user_id", "p_ts"),
+        horizon = "30 minutes", watermark = "0 seconds", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (101L, 1L, Timestamp.valueOf("2024-01-01 10:00:00")), // converts
+        (301L, 3L, Timestamp.valueOf("2024-01-01 10:00:00"))) // never converts
+      purchases.addData((1L, 1L, Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 10:30 so u3's click state can
+      // expire and the null verdict becomes provable, then run an extra
+      // batch (eviction happens on the batch after the watermark moves)
+      clicks.addData((999L, 9L, Timestamp.valueOf("2024-01-01 23:00:00")))
+      purchases.addData((99L, 9L, Timestamp.valueOf("2024-01-02 23:00:00")))
+      q.processAllAvailable()
+      clicks.addData((998L, 9L, Timestamp.valueOf("2024-01-03 23:50:00")))
+      purchases.addData((98L, 9L, Timestamp.valueOf("2024-01-03 23:50:00")))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+          r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      got should contain ((1L, 1L, 101L, 300L))   // converted pair
+      got should contain ((-1L, 3L, 301L, -1L))   // null-padded verdict
+    } finally q.stop()
+  }
 }
