@@ -45,6 +45,31 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming windowed per-type value quantiles — necessarily the
+    * t-digest (`percentile_approx`) tier: it is the only quantile that
+    * CAN stream (exact percentile buffers each whole group; the sketch
+    * is mergeable map-side, across partitions, and across triggers).
+    * The batch twin is `Events.valueQuantiles(exact = false)` — the
+    * q43b oracle contract bounds this sketch's error against exact.
+    * Watermark-bounded per-(window, type) state, append-safe. */
+  def windowedValueQuantiles(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours",
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { p =>
+      round(expr(s"percentile_approx(value, $p, $accuracy)"), 6)
+        .as(s"p${math.round(p * 100)}")
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("event_type") +:
+        ps.map(p => col(s"p${math.round(p * 100)}")): _*)
+  }
+
   /** Streaming doc-word-count: same tokenizer + aggregation as the batch
     * O2/O3 path, over a stream of (doc, line). Update/complete mode. */
   def termCounts(docs: DataFrame): DataFrame =

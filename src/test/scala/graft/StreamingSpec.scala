@@ -64,6 +64,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowedValueQuantiles matches the batch sketch after window close") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedValueQuantiles(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wq").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = (1 to 100).map(i =>
+        (Timestamp.valueOf("2024-01-01 10:00:30"), "click", i.toDouble))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:01"), "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("wq").where($"window_start" === "2024-01-01 10:00:00")
+        .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      // batch twin: the same mergeable sketch over the same 100 rows
+      val batch = graft.operators.Events.valueQuantiles(
+          rows.zipWithIndex.map { case ((ts, t, v), i) => (i.toLong, ts, 1L, t, v, "{}") }
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          exact = false)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      got.toSeq shouldBe batch.toSeq
+    } finally q.stop()
+  }
+
   test("streaming termCounts aggregates with the reference tokenizer") {
     val s = spark
     import s.implicits._
