@@ -244,6 +244,72 @@ object SparkEntry {
        |                substr(md5(($keyExpr)::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
        |          << ((8 - i)::INTEGER * 4))) % 1000000""".stripMargin
 
+  /** clean (dedup→lang→quality) → chunk → pack oracle chain over a
+    * parameterized source relation — ONE builder keeps q51 (full corpus)
+    * and q77 (Bloom-screened increment) in lockstep by construction. */
+  private def prepChainSql(sourceRel: String): String =
+    s"""WITH keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM $sourceRel) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM keep),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, lang_pred,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM l),
+        |q AS (
+        |  SELECT doc_id, lang_pred,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |clean AS (
+        |  SELECT k.doc_id, k.text
+        |  FROM keep k JOIN q ON k.doc_id = q.doc_id
+        |  WHERE q.lang_pred IN ('en', 'es') AND q.quality_score >= 0.55),
+        |ct AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        |  FROM clean),
+        |ch AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
+        |  FROM ct WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT (doc_id * 1048576 + chunk_id)::BIGINT AS cid,
+        |         least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
+        |  FROM ch)
+        |SELECT cid, n_tokens, (cid % 16)::BIGINT AS bucket,
+        |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY cid % 16
+        |               ORDER BY cid
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             / 256.0)::BIGINT AS pack_id
+        |FROM chunks ORDER BY cid""".stripMargin
+
   private val TfIdfCtes =
     s"""WITH $TokCte,
        |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -903,6 +969,25 @@ object SparkEntry {
     "q51_training_prep" -> ((s, dir) => {
       val cleaned = graft.operators.Pipeline
         .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
+        .select(col("doc"), col("line"))
+      val chunks = graft.operators.Chunking.chunkDocs(cleaned, maxTokens = 64)
+        .select(graft.operators.Chunking.chunkKey(col("doc"), col("chunk_id"))
+            .as("doc"),
+          col("chunk_text").as("line"))
+      graft.operators.Chunking
+        .packSequences(chunks, targetTokens = 256, buckets = 16)
+        .withColumnRenamed("doc", "cid")
+        .orderBy(col("cid"))
+    }),
+
+    // The DAILY-INGEST prep bookend: q40b's Bloom screen feeding q51's
+    // clean→chunk→pack chain, one lazy plan after the sketch pre-pass.
+    "q77_incremental_prep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val screened = Dedup.exactDedupAgainstBloom(
+        d.where(col("doc") >= 250), d.where(col("doc") < 250))
+      val cleaned = graft.operators.Pipeline
+        .cleanCorpus(screened, langs = Seq("en", "es"), minQuality = 0.55)
         .select(col("doc"), col("line"))
       val chunks = graft.operators.Chunking.chunkDocs(cleaned, maxTokens = 64)
         .select(graft.operators.Chunking.chunkKey(col("doc"), col("chunk_id"))
@@ -2094,68 +2179,16 @@ object SparkEntry {
         |FROM counts WHERE cnt >= 2
         |ORDER BY token_id""".stripMargin,
 
-    "q51_training_prep" ->
-      """WITH keep AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM keep),
-        |h AS (
-        |  SELECT doc_id, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |         WHEN hits_es >= hits_fr THEN 'es'
-        |         ELSE 'fr' END AS lang_pred
-        |  FROM h),
-        |m AS (
-        |  SELECT doc_id, lang_pred,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM l),
-        |q AS (
-        |  SELECT doc_id, lang_pred,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |clean AS (
-        |  SELECT k.doc_id, k.text
-        |  FROM keep k JOIN q ON k.doc_id = q.doc_id
-        |  WHERE q.lang_pred IN ('en', 'es') AND q.quality_score >= 0.55),
-        |ct AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM clean),
-        |ch AS (
-        |  SELECT doc_id, toks,
-        |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
-        |  FROM ct WHERE len(toks) > 0),
-        |chunks AS (
-        |  SELECT (doc_id * 1048576 + chunk_id)::BIGINT AS cid,
-        |         least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
-        |  FROM ch)
-        |SELECT cid, n_tokens, (cid % 16)::BIGINT AS bucket,
-        |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY cid % 16
-        |               ORDER BY cid
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |             / 256.0)::BIGINT AS pack_id
-        |FROM chunks ORDER BY cid""".stripMargin,
+    "q51_training_prep" -> prepChainSql("documents"),
+
+    // Same chain over the Bloom-screened daily increment (q40b's screen
+    // feeding q51's prep): one shared SQL builder keeps the two oracles
+    // in lockstep by construction.
+    "q77_incremental_prep" -> prepChainSql(
+      """(SELECT doc_id, text FROM documents
+        |     WHERE doc_id >= 250
+        |       AND md5(text) NOT IN
+        |           (SELECT md5(text) FROM documents WHERE doc_id < 250))""".stripMargin),
 
     "q53_vocab_coverage" ->
       """WITH tokh AS (

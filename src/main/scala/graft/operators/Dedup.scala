@@ -105,6 +105,36 @@ object Dedup {
       historyDocs: DataFrame,
       expectedItems: Long = -1L,
       fpp: Double = 0.03): DataFrame = {
+    val probed = bloomProbe(newDocs, historyDocs, expectedItems, fpp)
+    val definitelyNew = probed.where(!col("_maybe_seen")).drop("_maybe_seen")
+    val confirmed = exactDedupAgainst(
+      probed.where(col("_maybe_seen")).drop("_maybe_seen"),
+      historyDocs.select(md5(col("line")).as("fp")))
+    definitelyNew.unionByName(confirmed)
+  }
+
+  /** Audit twin for the Bloom screen (the [[lshSkippedBuckets]]
+    * contract applied here): 1-row (n_definitely_new, n_maybe_seen) —
+    * how much of the delta the sketch ruled out vs sent to the confirm
+    * join. An operator that silently degrades (fpp too high, sketch
+    * undersized) shows up as n_maybe_seen ≈ the whole delta. */
+  def bloomScreenStats(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      expectedItems: Long = -1L,
+      fpp: Double = 0.03): DataFrame =
+    bloomProbe(newDocs, historyDocs, expectedItems, fpp)
+      .agg(
+        count(when(!col("_maybe_seen"), 1)).as("n_definitely_new"),
+        count(when(col("_maybe_seen"), 1)).as("n_maybe_seen"))
+
+  /** Delta rows tagged `_maybe_seen` by a Bloom sketch of the history's
+    * xxhash64 fingerprints (shared by the dedup path and its audit twin). */
+  private def bloomProbe(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      expectedItems: Long,
+      fpp: Double): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     import org.apache.spark.util.sketch.BloomFilter
     val hashes = historyDocs.select(xxhash64(col("line")).as("h"))
@@ -121,14 +151,9 @@ object Dedup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val probed = newDocs.withColumn("_maybe_seen",
+    newDocs.withColumn("_maybe_seen",
       org.apache.spark.sql.graft.BloomFunctions
         .mightContainLong(xxhash64(col("line")), bytes))
-    val definitelyNew = probed.where(!col("_maybe_seen")).drop("_maybe_seen")
-    val confirmed = exactDedupAgainst(
-      probed.where(col("_maybe_seen")).drop("_maybe_seen"),
-      historyDocs.select(md5(col("line")).as("fp")))
-    definitelyNew.unionByName(confirmed)
   }
 
   /** Modulus for the k-min hash family — smallest prime > 2^32, so the

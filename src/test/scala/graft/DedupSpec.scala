@@ -127,6 +127,19 @@ class DedupSpec extends SparkSpec {
     kept shouldBe (1 to 40).map(i => s"f$i").toSet
   }
 
+  test("bloomScreenStats reports the screened/confirm split") {
+    val history = corpus((1 to 30).map(i => s"h$i" -> s"seen payload $i"): _*)
+    val delta = corpus(
+      (1 to 30).map(i => s"d$i" -> s"seen payload $i") ++
+      (1 to 30).map(i => s"f$i" -> s"fresh payload $i"): _*)
+    val row = Dedup.bloomScreenStats(delta, history, fpp = 0.001).head()
+    val newN = row.getAs[Long]("n_definitely_new")
+    val maybeN = row.getAs[Long]("n_maybe_seen")
+    newN + maybeN shouldBe 60L
+    maybeN should be >= 30L // every true dup MUST screen as maybe-seen
+    newN should be >= 25L   // at fpp 0.001 nearly all fresh rows screen out
+  }
+
   test("bloom probe has no false negatives on inserted hashes") {
     import org.apache.spark.sql.graft.BloomFunctions
     val s = spark

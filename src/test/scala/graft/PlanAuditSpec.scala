@@ -99,7 +99,10 @@ class PlanAuditSpec extends SparkSpec {
                              // (shape pinned under no-broadcast below)
     "q31b_corpus_stats_approx" -> 1, // exact multi-distinct expand agg;
                                      // HLL side is partial->1-row final
-    "q76_events_retention" -> 2) // user-day collect_set + triangle agg
+    "q76_events_retention" -> 2, // user-day collect_set + triangle agg
+    "q77_incremental_prep" -> 2) // q51's two (dedup window + pack
+                                 // window); the bloom screen rides the
+                                 // scans, confirm anti-join broadcasts
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
