@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{Clustering, Dedup, Events, Rank, Search, Similarity, TfIdf}
+import graft.operators.{Clustering, Dedup, Events, HotKeys, Rank, Search, Similarity, TfIdf}
 
 /**
  * Driver contract (see SURVEY.md §7 + builder prompt): one `queries` entry
@@ -997,6 +997,74 @@ object SparkEntry {
         .packSequences(chunks, targetTokens = 256, buckets = 16)
         .withColumnRenamed("doc", "cid")
         .orderBy(col("cid"))
+    }),
+
+    // Hot-key (θ-heavy-hitter) detection on the event stream's user_id
+    // — the skew radar that feeds salting (q5c) / AQE skew hints /
+    // hot-bucket bounds. Exact tier: one key shuffle + broadcast total.
+    "q78_hot_keys" -> ((s, dir) =>
+      HotKeys.hotKeys(events(s, dir), "user_id", theta = 0.008)),
+
+    // Count-min-screened twin — SAME oracle SQL as q78: the sketch only
+    // over-counts, so the codegen'd estimate filter (which rides the
+    // scan) keeps every true hot key, and the exact confirm agg drops
+    // the false positives — identical answer for any sketch size. What
+    // the screen changes at 100 TB is the confirm shuffle: it sees only
+    // candidate-key rows, while the sketch stays depth×width counters
+    // regardless of key cardinality. Screen effectiveness is pinned by
+    // hotKeyScreenStats in HotKeysSpec.
+    "q78b_hot_keys_sketched" -> ((s, dir) =>
+      HotKeys.hotKeysSketched(events(s, dir), "user_id", theta = 0.008)),
+
+    // Term-distribution drift between the history half and the new
+    // arrivals (the q40/q53 doc split): top Jensen–Shannon divergence
+    // contributors over the smoothed union-vocabulary unigram models.
+    "q79_term_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.termDrift(
+        d.where(col("doc") < 250), d.where(col("doc") >= 250), k = 30)
+    }),
+
+    // Sign-matrix random projection (64 → 16 dims), exploded per-dim
+    // for scalar compare — pins the deterministic md5 sign matrix the
+    // engine shares with the oracle (the LSH signRow family).
+    "q80_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(tbl(s, dir, "embeddings"), outDim = 16)
+        .select(col("vec_id"), posexplode(col("projected")))
+        .select(col("vec_id"), col("pos").cast("long").as("dim"),
+          round(col("col"), 6).as("val"))
+        .orderBy(col("vec_id"), col("dim"))),
+
+    // Projection QUALITY contract (the q25b/q26b recipe, but pinning
+    // the JL guarantee itself): per query, mean and max |cos_orig −
+    // cos_proj| over every corpus pair at outDim=32, with the tolerance
+    // flags the oracle asserts. A recall@k contract would be noise here
+    // — the synthetic embeddings are near-random, so top-k margins are
+    // thinner than any projection's distortion; bounded cosine error is
+    // what JL actually promises.
+    "q80b_projection_distortion" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val proj = Similarity.randomProject(e.select(col("vec_id"),
+          col("emb").as("embedding")), outDim = 32)
+      def cosOf(frame: DataFrame, embc: String, out: String) = {
+        val q = frame.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col(embc).as("q_e"))
+        frame.select(col("vec_id").as("n_vec_id"), col(embc).as("n_e"))
+          .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+          .select(col("q_vec_id"), col("n_vec_id"),
+            Similarity.cosine(col("q_e"), col("n_e")).as(out))
+      }
+      cosOf(e, "emb", "cos_orig")
+        .join(cosOf(proj, "projected", "cos_proj"), Seq("q_vec_id", "n_vec_id"))
+        .groupBy(col("q_vec_id"))
+        .agg(
+          round(avg(abs(col("cos_orig") - col("cos_proj"))), 6).as("mean_err"),
+          round(max(abs(col("cos_orig") - col("cos_proj"))), 6).as("max_err"))
+        .select(col("q_vec_id"), col("mean_err"), col("max_err"),
+          (col("mean_err") <= 0.25).as("mean_ok"),
+          (col("max_err") <= 0.8).as("max_ok"))
+        .orderBy(col("q_vec_id"))
     }),
 
     // Vocabulary coverage / domain-shift: vocab trained on the history
@@ -2475,6 +2543,70 @@ object SparkEntry {
          |       count(DISTINCT term)::BIGINT AS n_terms,
          |       count(*) AS total_tokens,
          |       true AS docs_ok, true AS terms_ok, true AS tokens_exact
-         |FROM tok ORDER BY n_docs""".stripMargin
+         |FROM tok ORDER BY n_docs""".stripMargin,
+
+    "q78_hot_keys" -> hotKeysSql,
+
+    // Same oracle as q78 — the count-min screen is answer-invariant
+    // (over-count-only sketch + exact confirm), which is the contract.
+    "q78b_hot_keys_sketched" -> hotKeysSql,
+
+    "q79_term_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |a AS (SELECT term, count(*) AS cnt_a FROM tok WHERE doc_id < 250 GROUP BY 1),
+        |b AS (SELECT term, count(*) AS cnt_b FROM tok WHERE doc_id >= 250 GROUP BY 1),
+        |u AS (SELECT coalesce(a.term, b.term) AS term,
+        |             coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+        |             coalesce(cnt_b, 0)::BIGINT AS cnt_b
+        |      FROM a FULL OUTER JOIN b ON a.term = b.term),
+        |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b, count(*) AS v FROM u),
+        |pq AS (SELECT term, cnt_a, cnt_b,
+        |              (cnt_a + 1.0) / (n_a + v) AS p,
+        |              (cnt_b + 1.0) / (n_b + v) AS q
+        |       FROM u CROSS JOIN tot)
+        |SELECT term, cnt_a, cnt_b,
+        |       round(0.5 * p * log2(p / ((p + q) / 2)) +
+        |             0.5 * q * log2(q / ((p + q) / 2)), 9) AS js_contrib
+        |FROM pq
+        |ORDER BY js_contrib DESC, term LIMIT 30""".stripMargin,
+
+    "q80_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT vec_id, p::BIGINT AS dim,
+         |       round(${duckSignDot("p", "emb")} / sqrt(16.0), 6) AS val
+         |FROM e CROSS JOIN range(16) r(p)
+         |ORDER BY vec_id, dim""".stripMargin,
+
+    "q80b_projection_distortion" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |pe AS (SELECT vec_id, list_transform(range(0, 32), p ->
+         |         ${duckSignDot("p", "emb")} / sqrt(32.0)) AS emb FROM e),
+         |n  AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |pn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe),
+         |err AS (
+         |  SELECT q.vec_id AS q_vec_id,
+         |         abs(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm)
+         |           - list_dot_product(pq.emb, pc.emb) / (pq.nrm * pc.nrm)) AS e
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) q
+         |  JOIN n c ON q.vec_id <> c.vec_id
+         |  JOIN pn pq ON pq.vec_id = q.vec_id
+         |  JOIN pn pc ON pc.vec_id = c.vec_id)
+         |SELECT q_vec_id, round(avg(e), 6) AS mean_err, round(max(e), 6) AS max_err,
+         |       round(avg(e), 6) <= 0.25 AS mean_ok,
+         |       round(max(e), 6) <= 0.8 AS max_ok
+         |FROM err GROUP BY 1 ORDER BY q_vec_id""".stripMargin
   )
+
+  /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
+  private def hotKeysSql: String =
+    """WITH tot AS (SELECT count(*) AS n_rows FROM events)
+      |SELECT user_id, count(*)::BIGINT AS cnt,
+      |       round(count(*) * 1.0 / n_rows, 6) AS freq
+      |FROM events CROSS JOIN tot
+      |GROUP BY user_id, n_rows
+      |HAVING count(*) >= ceil(0.008 * n_rows)
+      |ORDER BY user_id""".stripMargin
 }

@@ -408,4 +408,49 @@ object TextAnalysis {
   /** Frame form of [[normalizeTextCol]]: adds `norm_text`. */
   def normalizeText(df: DataFrame, text: Column): DataFrame =
     df.withColumn("norm_text", normalizeTextCol(text))
+
+  /**
+   * Term-distribution DRIFT between two corpus snapshots — the dataset
+   * monitor for a rolling ingest: per-term contribution to the
+   * Jensen–Shannon divergence between the add-one-smoothed unigram
+   * distributions of `corpusA` (e.g. yesterday's accepted batch) and
+   * `corpusB` (today's), top-k contributors first. JS rather than KL
+   * because it is symmetric and finite even for terms one side has
+   * never seen; smoothing over the UNION vocabulary keeps both
+   * distributions on the same support.
+   *
+   * Plan: one partial-aggregated term count per side, a full-outer
+   * merge ON the count partitioning (both sides leave their aggregates
+   * hash-partitioned by term, so the join adds no shuffle), then the
+   * merged VOCABULARY-sized count table is persisted (via
+   * `graft.Caching`, so `Caching.scoped` callers release it) because
+   * two consumers read it — the 1-row (n_a, n_b, |V|) totals broadcast
+   * and the per-term scoring; without the cache each consumer would
+   * re-run the corpus scans. Finish: TakeOrderedAndProject top-k. At
+   * 100 TB the shuffled data is (term, count) pairs, never documents.
+   */
+  def termDrift(corpusA: DataFrame, corpusB: DataFrame, k: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def termCounts(d: DataFrame, cname: String) =
+      d.select(explode(toks(col("line"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(cname))
+    val merged = graft.Caching.persist(termCounts(corpusA, "cnt_a")
+      .join(termCounts(corpusB, "cnt_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b")))
+    val tot = merged.agg(
+      sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_b")).as("n_b"),
+      count(lit(1)).as("v"))
+    val p = (col("cnt_a") + lit(1.0)) / (col("n_a") + col("v"))
+    val q = (col("cnt_b") + lit(1.0)) / (col("n_b") + col("v"))
+    val m = (p + q) / 2
+    merged.crossJoin(broadcast(tot))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        round(lit(0.5) * p * log2(p / m) + lit(0.5) * q * log2(q / m), 9)
+          .as("js_contrib"))
+      .orderBy(col("js_contrib").desc, col("term"))
+      .limit(k)
+  }
 }

@@ -134,6 +134,34 @@ object Similarity {
     quantized.withColumn("emb_approx",
       transform(col("q"), qi => col("minv") + qi * col("scale")))
 
+  /**
+   * Sign-matrix random projection (Achlioptas ±1 JL transform) to
+   * `outDim` dimensions: projected_p = ⟨emb, r_p⟩ / √outDim with the
+   * SAME deterministic hyperplane rows the LSH family uses
+   * (`signRow` — md5-derived, so engine and oracle share the matrix).
+   * The other memory lever next to [[quantizeInt8]]: fewer dims instead
+   * of narrower cells, and the standard pre-pass that brings
+   * wider-than-[[MaxDim]] vectors under the LSH ceiling, or shrinks the
+   * exact-rerank dot products of the ANN tiers.
+   *
+   * Map-only and codegen'd — `outDim` dot products per row against
+   * literal sign arrays, no shuffle; the JL guarantee (pairwise inner
+   * products preserved within ±ε for outDim ≈ ln n/ε²) is pinned by the
+   * recall contract query rather than trusted (q80b: exact top-k on the
+   * projection vs on the original).
+   */
+  def randomProject(corpus: DataFrame, outDim: Int): DataFrame = {
+    require(outDim >= 1 && outDim <= MaxDim,
+      s"outDim must be in [1, $MaxDim], got $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .where(dimGuard(col("embedding")))
+      .select(col("vec_id"),
+        array((0 until outDim).map(p =>
+          dotProduct(col("embedding"), typedLit(signRow(p))) * lit(scale)): _*)
+          .as("projected"))
+  }
+
   /** Hyperplane directions support vectors up to this dimension. Inputs
     * beyond it fail loudly (see `dimGuard`) — silent truncation to the
     * first 1024 dims would quietly degrade bucket quality. */

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HotKeys
+
+class HotKeysSpec extends SparkSpec {
+
+  /** (user_id, n occurrences) pairs flattened into an event-like frame. */
+  private def keyed(counts: (Long, Int)*) = {
+    val s = spark
+    import s.implicits._
+    counts.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("user_id")
+  }
+
+  test("hotKeys finds exactly the keys at or above ceil(theta*N)") {
+    // N = 100; theta = 0.2 -> threshold 20
+    val df = keyed(1L -> 40, 2L -> 20, 3L -> 19, 4L -> 21)
+    val got = HotKeys.hotKeys(df, "user_id", theta = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got shouldBe Array((1L, 40L, 0.4), (2L, 20L, 0.2), (4L, 21L, 0.21))
+  }
+
+  test("sketched twin equals the exact answer even with a coarse eps") {
+    val df = keyed((1L to 50L).map(k => k -> (if (k <= 5) 30 else 3)): _*)
+    val exact = rowsOf(HotKeys.hotKeys(df, "user_id", theta = 0.05))
+    // eps = theta (10x coarser than the derived default): heavy
+    // over-count, the confirm agg must still drop every false positive
+    val coarse = rowsOf(
+      HotKeys.hotKeysSketched(df, "user_id", theta = 0.05, eps = 0.05))
+    val derived = rowsOf(HotKeys.hotKeysSketched(df, "user_id", theta = 0.05))
+    coarse shouldBe exact
+    derived shouldBe exact
+    exact.size shouldBe 5
+  }
+
+  test("screen stats report a selective candidate set at the default eps") {
+    // 5 hot keys x 100 rows + 500 singleton keys: the sketch should
+    // send (about) only the hot rows to the confirm
+    val df = keyed(((1L to 5L).map(_ -> 100) ++ (10L to 509L).map(_ -> 1)): _*)
+    val row = HotKeys.hotKeyScreenStats(df, "user_id", theta = 0.05).head()
+    val cand = row.getAs[Long]("n_candidate_rows")
+    val out = row.getAs[Long]("n_screened_out")
+    cand + out shouldBe 1000L
+    cand should be >= 500L // every true-hot row MUST pass the screen
+    cand should be <= 600L // and the cold tail stays out of the shuffle
+  }
+
+  test("cms estimate is never below the true count (over-count-only)") {
+    val df = keyed(7L -> 13, 8L -> 2, 9L -> 1)
+    // theta small enough that every key passes the screen: estimates
+    // surface as confirm counts, which are exact; the screen never
+    // suppressed a key => no under-count anywhere
+    val got = HotKeys.hotKeysSketched(df, "user_id", theta = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(7L -> 13L, 8L -> 2L, 9L -> 1L)
+  }
+
+  test("empty input yields no hot keys on both tiers") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[Long].toDF("user_id")
+    HotKeys.hotKeys(empty, "user_id", theta = 0.1).count() shouldBe 0L
+    HotKeys.hotKeysSketched(empty, "user_id", theta = 0.1).count() shouldBe 0L
+  }
+
+  test("string keys probe through the same xxhash64 family") {
+    val df = corpus("a" -> "x", "b" -> "x", "c" -> "y")
+      .select(col("line").as("k"))
+    val exact = rowsOf(HotKeys.hotKeys(df, "k", theta = 0.5))
+    rowsOf(HotKeys.hotKeysSketched(df, "k", theta = 0.5)) shouldBe exact
+    exact.map(_.head) shouldBe Seq("x")
+  }
+
+  test("invalid theta fails loudly") {
+    val df = keyed(1L -> 1)
+    an[IllegalArgumentException] should be thrownBy
+      HotKeys.hotKeys(df, "user_id", theta = 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      HotKeys.hotKeysSketched(df, "user_id", theta = 1.0)
+  }
+}

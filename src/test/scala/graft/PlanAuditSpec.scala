@@ -40,7 +40,11 @@ class PlanAuditSpec extends SparkSpec {
     "q35_related_docs", // 1-row corpus-count crosses (numDocs + df cutoff)
     "q31b_corpus_stats_approx", // 1-row exact × 1-row HLL contract cross
     "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
-    "q46_bigram_lm") // 1-row vocabulary-size (V) broadcast cross
+    "q46_bigram_lm", // 1-row vocabulary-size (V) broadcast cross
+    "q78_hot_keys", // 1-row total-count broadcast cross
+    "q79_term_drift", // 1-row (n_a, n_b, V) broadcast cross
+    "q80b_projection_distortion") // 5-query broadcast over one corpus
+                                  // scan x2 (exact + projected cosines)
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
@@ -100,9 +104,16 @@ class PlanAuditSpec extends SparkSpec {
     "q31b_corpus_stats_approx" -> 1, // exact multi-distinct expand agg;
                                      // HLL side is partial->1-row final
     "q76_events_retention" -> 2, // user-day collect_set + triangle agg
-    "q77_incremental_prep" -> 2) // q51's two (dedup window + pack
+    "q77_incremental_prep" -> 2, // q51's two (dedup window + pack
                                  // window); the bloom screen rides the
                                  // scans, confirm anti-join broadcasts
+    "q78_hot_keys" -> 1, // the key agg; total is a 1-row broadcast
+    "q78b_hot_keys_sketched" -> 1, // confirm agg over screened rows —
+                                   // the cms probe rides the SCAN
+                                   // (pinned below like q40b's bloom)
+    "q79_term_drift" -> 0, // live plan reads the cached merged counts;
+                           // the cache fill pays the two term aggs once
+    "q80_random_projection" -> 0) // map-only sign-matrix dot products
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
@@ -162,6 +173,18 @@ class PlanAuditSpec extends SparkSpec {
       val scanWithProbe = plan.linesIterator.exists(l =>
         l.contains("FileScan parquet") && l.contains("graft_bloom_might_contain"))
       assert(scanWithProbe, "bloom probe not in any FileScan's DataFilters")
+    }
+  }
+
+  test("q78b's cms screen is pushed into the parquet scan, not a post-shuffle filter") {
+    val plan = SparkEntry.queries("q78b_hot_keys_sketched")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Same contract as the q40b bloom pin: the screen only pays off if
+    // cold-key rows die AT THE SCAN, before the confirm agg's exchange.
+    withClue(s"plan:\n$plan\n") {
+      val scanWithProbe = plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("graft_cms_estimate"))
+      assert(scanWithProbe, "cms probe not in any FileScan's DataFilters")
     }
   }
 

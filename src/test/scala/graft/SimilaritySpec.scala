@@ -213,4 +213,60 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(2) shouldBe 1L
     }
   }
+
+  test("randomProject emits outDim values, deterministically") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 20)
+    val a = Similarity.randomProject(e, outDim = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("projected"))
+    a.length shouldBe 20
+    a.foreach { case (_, p) => p.length shouldBe 8 }
+    val b = Similarity.randomProject(e, outDim = 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("projected"))
+    a.toMap shouldBe b.toMap
+  }
+
+  test("randomProject maps identical vectors to identical projections") {
+    // exact duplicates MUST stay exact duplicates (cosine 1) after the
+    // reduction — the property embedding-dedup composition relies on
+    val e = vecs(0L -> Seq(3f, -1f, 2f), 1L -> Seq(3f, -1f, 2f),
+      2L -> Seq(-3f, 1f, -2f))
+    val p = Similarity.randomProject(e, outDim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("projected"))
+      .toMap
+    p(0L) shouldBe p(1L)
+    // a negated input projects to the negated output (linearity)
+    p(2L) shouldBe p(0L).map(v => -v)
+  }
+
+  test("randomProject mean cosine distortion stays under the q80b bound") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Similarity.randomProject(e, outDim = 32)
+      .select(col("vec_id"), col("projected").as("embedding"))
+    def cosPairs(f: org.apache.spark.sql.DataFrame) = {
+      val q = f.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_e"))
+      f.select(col("vec_id").as("n_vec_id"),
+          col("embedding").cast("array<double>").as("n_e"))
+        .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+        .select(col("q_vec_id"), col("n_vec_id"),
+          Similarity.cosine(col("q_e").cast("array<double>"), col("n_e")).as("c"))
+    }
+    val errs = cosPairs(e.select(col("vec_id"), col("embedding")))
+      .withColumnRenamed("c", "c0")
+      .join(cosPairs(proj), Seq("q_vec_id", "n_vec_id"))
+      .groupBy(col("q_vec_id"))
+      .agg(avg(abs(col("c0") - col("c"))).as("mean_err"))
+      .collect()
+    errs.length shouldBe 5
+    errs.foreach(r => r.getAs[Double]("mean_err") should be <= 0.25)
+  }
+
+  test("randomProject rejects an out-of-range target dimension") {
+    val e = vecs(0L -> Seq(1f, 2f))
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.randomProject(e, outDim = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.randomProject(e, outDim = Similarity.MaxDim + 1)
+  }
 }

@@ -207,4 +207,38 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.normalizeTextCol(lit("hello world")).as("n")).head().getString(0)
     a shouldBe b
   }
+
+  test("termDrift matches a local reference of the smoothed JS formula") {
+    val a = corpus("a1" -> "x x y", "a2" -> "x z")
+    val b = corpus("b1" -> "y y y w")
+    val got = TextAnalysis.termDrift(a, b, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+
+    // local reference: counts a = {x:3, y:1, z:1}, b = {y:3, w:1};
+    // union vocab V = 4, n_a = 5, n_b = 4
+    val ca = Map("x" -> 3L, "y" -> 1L, "z" -> 1L, "w" -> 0L)
+    val cb = Map("x" -> 0L, "y" -> 3L, "z" -> 0L, "w" -> 1L)
+    def js(t: String): Double = {
+      val p = (ca(t) + 1.0) / (5 + 4)
+      val q = (cb(t) + 1.0) / (4 + 4)
+      val m = (p + q) / 2
+      val raw = 0.5 * p * (math.log(p / m) / math.log(2)) +
+        0.5 * q * (math.log(q / m) / math.log(2))
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Seq("w", "x", "y", "z")
+      .map(t => (t, ca(t), cb(t), js(t)))
+      .sortBy { case (t, _, _, v) => (-v, t) }
+    got shouldBe expected
+    // every contribution is non-negative (JS property)
+    got.foreach { case (_, _, _, v) => v should be >= 0.0 }
+  }
+
+  test("termDrift of a corpus against itself is (near) zero everywhere") {
+    val c = corpus("a" -> "x y z z", "b" -> "w x")
+    TextAnalysis.termDrift(c, c, k = 10).collect().foreach { r =>
+      r.getDouble(3) shouldBe 0.0 +- 1e-9
+    }
+  }
 }
