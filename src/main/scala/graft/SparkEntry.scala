@@ -1067,6 +1067,22 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // Skew-aware join: events ⋈ per-user first-seen profile, hot users
+    // (the q78 radar, ≤ 1/θ by construction) taking the salted path,
+    // cold users the plain one — the oracle is the PLAIN join, which is
+    // the whole contract: salting must be pure plan surgery, invisible
+    // in the answer. Salted-exchange shape pinned under no-broadcast in
+    // HotKeysSpec (the q5c recipe).
+    "q81_skew_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val prof = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_seen"))
+      HotKeys.skewJoin(e, prof, "user_id", theta = 0.008)
+        .select(col("event_id"), col("user_id"),
+          expr("(unix_micros(ts) - unix_micros(first_seen)) div 1000000")
+            .as("secs_since_first"))
+        .orderBy(col("event_id"))
+    }),
+
     // Vocabulary coverage / domain-shift: vocab trained on the history
     // half (doc < 250, minCount=2), per-doc OOV rate measured on new
     // arrivals (doc >= 250) — broadcast-dict encode + one doc agg.
@@ -2597,7 +2613,17 @@ object SparkEntry {
          |SELECT q_vec_id, round(avg(e), 6) AS mean_err, round(max(e), 6) AS max_err,
          |       round(avg(e), 6) <= 0.25 AS mean_ok,
          |       round(max(e), 6) <= 0.8 AS max_ok
-         |FROM err GROUP BY 1 ORDER BY q_vec_id""".stripMargin
+         |FROM err GROUP BY 1 ORDER BY q_vec_id""".stripMargin,
+
+    // The PLAIN join — q81's engine runs the salted/cold split; equality
+    // to this is the skew-surgery-is-invisible contract.
+    "q81_skew_join" ->
+      """WITH prof AS (SELECT user_id, min(ts) AS first_seen FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |       ((epoch_us(e.ts) - epoch_us(p.first_seen)) // 1000000)::BIGINT
+        |         AS secs_since_first
+        |FROM events e JOIN prof p ON e.user_id = p.user_id
+        |ORDER BY e.event_id""".stripMargin
   )
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */

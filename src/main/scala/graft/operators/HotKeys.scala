@@ -99,6 +99,47 @@ object HotKeys {
       count(when(!pass, 1)).as("n_screened_out"))
   }
 
+  /**
+   * Skew-aware inner equi-join on `key` — the radar FEEDING a plan
+   * decision. Hot keys (count ≥ ⌈θ·N⌉ of the left input, detected via
+   * the sketch screen) take a salted path: left hot rows get a
+   * deterministic salt (xxhash64 of the whole row, mod `salts`) and
+   * right hot rows are replicated once per salt, so one hot key's pairs
+   * spread over `salts` reducers instead of one straggler partition.
+   * Cold keys join untouched. The union is EXACTLY the plain join —
+   * salting is row replication on the build side only, never a filter —
+   * which is the oracle contract (q81 compares against the plain SQL
+   * join).
+   *
+   * Driver safety is by construction: at threshold θ there can be at
+   * most ⌊1/θ⌋ hot keys, so the collected hot set is bounded no matter
+   * how large the input (θ = 0.001 ⇒ ≤ 1000 keys in an `isin` set the
+   * codegen'd scans check). AQE's skew-join handles sort-merge spills
+   * adaptively at runtime; this operator is the DECLARATIVE version for
+   * when the hot keys should be known, logged, and stable across runs
+   * (and it works under broadcast-disabled shuffle joins, where AQE's
+   * OptimizeSkewedJoin cannot split a hash-partitioned build side).
+   */
+  def skewJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      theta: Double = 0.001,
+      salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val hot = hotKeysSketched(left, key, theta)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    if (hot.isEmpty) return left.join(right, Seq(key))
+    val isHot = col(key).isin(hot: _*)
+    val cold = left.where(!isHot).join(right.where(!isHot), Seq(key))
+    val saltedLeft = left.where(isHot).withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts.toLong)))
+    val repRight = right.where(isHot).withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    val hotJoined = saltedLeft.join(repRight, Seq(key, "_salt")).drop("_salt")
+    cold.unionByName(hotJoined)
+  }
+
   /** One-scan sketch build over xxhash64(key) (the treeAggregate shape
     * the Bloom screen uses — partial sketches merged pairwise; an empty
     * input yields the empty sketch and a 0 total). Returns (serialized

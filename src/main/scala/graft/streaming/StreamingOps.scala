@@ -528,4 +528,35 @@ object StreamingOps {
           }
       }
   }
+
+  /**
+   * Streaming hot-key monitor — the live sibling of `HotKeys.hotKeys`:
+   * per tumbling window, keys whose event count reaches `minCount`,
+   * emitted once when the watermark closes the window (append-safe;
+   * state is one counter per in-flight (window, key)).
+   *
+   * The threshold is an ABSOLUTE per-window budget, not the batch
+   * radar's relative θ: a relative threshold needs the window's total
+   * alongside each key's count, which is a second streaming aggregation
+   * over the same input — and joining two streaming aggregates is not
+   * append-expressible. Operationally that is the right shape anyway: a
+   * skew/abuse alert is "key X exceeded its per-hour budget", with the
+   * budget derived OFFLINE from θ × expected window volume (the batch
+   * radar's job). Batch-twin parity: on a static frame this equals
+   * grouping the same tumbling windows and filtering count ≥ minCount.
+   */
+  def hotKeyAlerts(
+      events: DataFrame,
+      keyCol: String,
+      minCount: Long,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
+  }
 }

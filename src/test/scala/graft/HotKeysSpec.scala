@@ -79,4 +79,54 @@ class HotKeysSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       HotKeys.hotKeysSketched(df, "user_id", theta = 1.0)
   }
+
+  /** Skewed fact frame: one whale key with most rows, a cold tail, and
+    * DUPLICATE fact rows on both hot and cold keys (multiset semantics
+    * must survive the salted split). */
+  private def skewedFixture = {
+    val s = spark
+    import s.implicits._
+    val facts = (Seq.fill(60)((1L, "w")) ++ // hot, incl. identical rows
+      Seq((1L, "x"), (1L, "y")) ++
+      (2L to 20L).flatMap(k => Seq((k, s"a$k"), (k, s"a$k"), (k, s"b$k"))))
+      .toDF("k", "payload")
+    val dim = (1L to 20L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    (facts, dim)
+  }
+
+  test("skewJoin equals the plain join on a skewed multiset") {
+    val (facts, dim) = skewedFixture
+    val plain = rowsOf(facts.join(dim, Seq("k")))
+    rowsOf(HotKeys.skewJoin(facts, dim, "k", theta = 0.2)) shouldBe plain
+    // theta high enough that NO key is hot: the fallback path
+    rowsOf(HotKeys.skewJoin(facts, dim, "k", theta = 0.9)) shouldBe plain
+    // theta low enough that EVERY key is hot: the all-salted path
+    rowsOf(HotKeys.skewJoin(facts, dim, "k", theta = 0.001)) shouldBe plain
+  }
+
+  test("skewJoin drops unmatched keys exactly like an inner join") {
+    val s = spark
+    import s.implicits._
+    val facts = (Seq.fill(30)((1L, "h")) ++ Seq((2L, "c"), (99L, "orphan")))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "d1"), (2L, "d2"), (50L, "unref")).toDF("k", "attr")
+    rowsOf(HotKeys.skewJoin(facts, dim, "k", theta = 0.1)) shouldBe
+      rowsOf(facts.join(dim, Seq("k")))
+  }
+
+  test("skewJoin's hot branch shuffles on (key, salt) once nothing broadcasts") {
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(threshold)
+    spark.conf.set(threshold, "-1")
+    try {
+      val (facts, dim) = skewedFixture
+      val plan = HotKeys.skewJoin(facts, dim, "k", theta = 0.2)
+        .queryExecution.executedPlan.toString
+      withClue(s"plan:\n$plan\n") {
+        // the salted exchange IS the skew spread (the q5c contract)
+        assert("hashpartitioning\\(k#\\d+L?, _salt#\\d+L?".r.findFirstIn(plan).isDefined,
+          "no (k, _salt) exchange found")
+      }
+    } finally spark.conf.set(threshold, old)
+  }
 }

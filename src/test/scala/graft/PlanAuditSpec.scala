@@ -113,7 +113,12 @@ class PlanAuditSpec extends SparkSpec {
                                    // (pinned below like q40b's bloom)
     "q79_term_drift" -> 0, // live plan reads the cached merged counts;
                            // the cache fill pays the two term aggs once
-    "q80_random_projection" -> 0) // map-only sign-matrix dot products
+    "q80_random_projection" -> 0, // map-only sign-matrix dot products
+    "q81_skew_join" -> 2) // one profile agg per branch (hot/cold INSET
+                          // filters pushed to the scans); the joins
+                          // broadcast at this SF — salted exchange
+                          // shape pinned under no-broadcast in
+                          // HotKeysSpec
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's

@@ -492,4 +492,31 @@ class StreamingSpec extends SparkSpec {
       got should contain ((-1L, 3L, 301L, -1L))   // null-padded verdict
     } finally q.stop()
   }
+
+  test("streaming hotKeyAlerts emits only over-budget keys per closed window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+
+    val q = StreamingOps.hotKeyAlerts(events, "user_id", minCount = 3,
+        windowDuration = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hot_alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val at = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      // user 7 fires 3 times in hour 10 (hot), user 8 only twice (cold)
+      input.addData((at(5), 7L), (at(10), 7L), (at(20), 7L),
+        (at(6), 8L), (at(30), 8L))
+      q.processAllAvailable()
+      // close hour 10; the closing event (hour 12) stays in-flight
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:01"), 9L))
+      q.processAllAvailable()
+      val got = spark.table("hot_alerts").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      got.toSet shouldBe Set(("2024-01-01 10:00:00.0", 7L, 3L))
+    } finally q.stop()
+  }
 }

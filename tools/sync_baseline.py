@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's measured-highlights table from the committed
+bench artifact (BENCH_local_r4.json), so the table and the artifact are
+the same run BY CONSTRUCTION — the round-3 verdict's hygiene rule made
+mechanical. Row labels/notes live here; numbers come only from the JSON.
+
+Usage: python3 tools/sync_baseline.py [artifact.json]
+"""
+import json
+import re
+import sys
+
+ARTIFACT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local_r4.json"
+BASELINE = "BASELINE.md"
+
+# (label, [bench keys interpolated into label/note as {0}, {1}, ...], note)
+ROWS = [
+    ("q16_embedding_near_dup | {0}",
+     ["q16_embedding_near_dup", "q16b_embedding_lsh_near_dup"],
+     "exact all-pairs verification tier by declared design; q16b ({1} s) is the production path"),
+    ("q14b_simhash_pairs | {0}",
+     ["q14b_simhash_pairs", "q38_simhash32_pairs"],
+     "output-bound (16-bit fingerprints saturate on a same-vocab corpus); q38's 32-bit twin: {1} s"),
+    ("q56_substring_dedup (NEW) | {0}", ["q56_substring_dedup"],
+     "ExactSubstr over ~250 k span occurrences: one span-hash shuffle + doc regroup"),
+    ("q13_minhash_lsh | {0}", ["q13_minhash_lsh"],
+     "guard + single-pass signatures (round-3 in-run: 8.87 s under contention; isolated r3: 2.35 s)"),
+    ("q74_winnow_pairs (NEW) | {0}",
+     ["q74_winnow_pairs", "q72_winnow_fingerprints"],
+     "shared-winnow-fp pairs, hot-fp guard pre-join; q72's fingerprint set alone: {1} s"),
+    ("q71_search_indexed (NEW) | {0}", ["q71_search_indexed"],
+     "honest build+probe: tf-idf chain + term-sorted index WRITE + pruned-scan query; 10x stress shows the probe alone at 0.6 s vs 4.8 s full-chain BM25"),
+    ("q69_search_bm25 (NEW) | {0}", ["q69_search_bm25", "q69b_bm25_window"],
+     "Okapi BM25: dl window + df broadcast + 1-row (N, avgdl); doc agg reuses the window partitioning; window-df twin q69b: {1} s"),
+    ("q58_keywords (NEW) | {0}", ["q58_keywords"],
+     "tfidf lineage + WindowGroupLimit per-doc rank"),
+    ("q51_training_prep | {0}", ["q51_training_prep"],
+     "collision-proof chunk key costs nothing (r3: 0.67 s)"),
+    ("q62_events_asof_tolerance (NEW) | {0}", ["q62_events_asof_tolerance"],
+     "union + window + staleness null-out"),
+    ("q63_interval_overlap (NEW) | {0}", ["q63_interval_overlap"],
+     "bin-bucketed closed-overlap join, first-shared-bin dedup"),
+    ("q59/q64 quality cut / bins (NEW) | {0} / {1}",
+     ["q59_quality_filter", "q64_quality_bins"],
+     "one kernel scan + 1-row percentile broadcast"),
+    ("q61_vocab_incremental (NEW) | {0}", ["q61_vocab_incremental"],
+     "merged counts state + two-stage rank"),
+    ("q57/q73 mixture / weighted sample (NEW) | {0} / {1}",
+     ["q57_mixture_sample", "q73_sample_by_weight"],
+     "in-plan rate/avg(w) broadcasts + md5 keep decisions"),
+    ("q60_events_sliding (NEW) | {0}", ["q60_events_sliding"],
+     "map-side covering-window expansion, one shuffle"),
+    ("q65/q66 normalize / winsorize (NEW) | {0} / {1}",
+     ["q65_normalize_text", "q66_events_winsorize"],
+     "map-only regex canon / 1-row clip-band broadcast"),
+    ("q67/q68 AND / phrase search (NEW) | {0} / {1}",
+     ["q67_search_all", "q68_search_phrase"],
+     "tfidf semi-join + HAVING / exploded-index codegen'd phrase conjunction"),
+    ("q70_search_near (NEW) | {0}", ["q70_search_near"],
+     "proximity (slop) search: same exploded-position map-only scan as q68"),
+    ("q75_corpus_rollup (NEW) | {0}", ["q75_corpus_rollup"],
+     "(lang, source) grouping sets over one kernel scan"),
+    ("q49/q53 vocab tier | {0} / {1}",
+     ["q49_encode_tokens", "q53_vocab_coverage"],
+     "two-stage parallel rank (no single-partition exchange; plan pinned in PlanAuditSpec)"),
+    ("q5c_tfidf_salted (NEW) | {0}", ["q5c_tfidf_salted"],
+     "third df strategy: salted shuffle join (q5's oracle; (term, salt) exchange shape pinned under no-broadcast)"),
+    ("q40b_dedup_bloom (NEW) | {0}", ["q40b_dedup_bloom"],
+     "Bloom-screened incremental dedup; probe rides the parquet scan (plan-pinned); q40's exact answer at any fpp"),
+    ("q31b_corpus_stats_approx (NEW) | {0}", ["q31b_corpus_stats_approx"],
+     "HLL sketch contract: approx within 3·rsd of exact, asserted by the oracle"),
+    ("q43b_events_quantiles_approx (NEW) | {0}", ["q43b_events_quantiles_approx"],
+     "t-digest sketch contract: within 2 % + 0.1 of exact per percentile"),
+    ("q76_events_retention (NEW) | {0}", ["q76_events_retention"],
+     "cohort triangle: two shuffles, collect_set bounded by day span, distinct-free count"),
+    ("q77_incremental_prep (NEW) | {0}", ["q77_incremental_prep"],
+     "daily-ingest bookend: Bloom screen (q40b) feeding the q51 clean→chunk→pack chain, same 2-exchange budget"),
+    ("q78/q78b hot keys exact / cms-screened (NEW) | {0} / {1}",
+     ["q78_hot_keys", "q78b_hot_keys_sketched"],
+     "θ-heavy-hitter skew radar; the cms estimate probe rides the scan (plan-pinned), confirm agg shuffles candidate rows only — one oracle for both"),
+    ("q81_skew_join (NEW) | {0}", ["q81_skew_join"],
+     "detected-hot-key salted/cold split join ≡ plain join (the oracle); INSET predicates pushed to both scans"),
+    ("q79_term_drift (NEW) | {0}", ["q79_term_drift"],
+     "per-term JS-divergence contributions, smoothed union-vocab models; merged counts cached once, shuffles carry (term, count) pairs"),
+    ("q80_random_projection (NEW) | {0}", ["q80_random_projection"],
+     "map-only sign-matrix JL projection 64→16, shared md5 matrix with the oracle"),
+    ("q80b_projection_distortion (NEW) | {0}", ["q80b_projection_distortion"],
+     "JL quality contract: per-query mean/max cosine distortion at outDim=32 with asserted tolerance flags"),
+]
+
+
+def main():
+    bench = json.load(open(ARTIFACT))
+    q = bench["queries"]
+    lines = ["| Query | sec | Note |", "|---|---|---|"]
+    for label, keys, note in ROWS:
+        vals = [f"{q[k]:.2f}" for k in keys]
+        lines.append("| " + label.format(*vals) + " | " + note.format(*vals) + " |")
+    table = "\n".join(lines)
+
+    t = open(BASELINE).read()
+    # operate only on the round-4 measured section — earlier rounds'
+    # tables are history and must stay as recorded
+    anchor = t.index("## Measured (round 4")
+    head, tail = t[:anchor], t[anchor:]
+    tail = re.sub(r"Total \*\*[\d.]+ s over \d+ queries, zero errors\*\*",
+                  f"Total **{bench['value']:.1f} s over {len(q)} queries, zero errors**",
+                  tail, count=1)
+    tail = re.sub(r"\| Query \| sec \| Note \|\n\|---\|---\|---\|\n(?:\|[^\n]*\n)+",
+                  table + "\n", tail, count=1)
+    open(BASELINE, "w").write(head + tail)
+    print(f"synced {BASELINE} from {ARTIFACT}: "
+          f"{bench['value']:.1f}s / {len(q)} queries")
+
+
+if __name__ == "__main__":
+    main()
