@@ -750,6 +750,22 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // Materialized ANN (IVF) index: honest build+probe per invocation —
+    // cell-partitioned write, then a query batch whose cell join prunes
+    // the scan via DYNAMIC partition pruning (asserted in
+    // SimilaritySpec). Oracle is q26's SQL verbatim: the roundtrip must
+    // reproduce the direct path bit-for-bit.
+    "q82_ann_indexed" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -1758,38 +1774,12 @@ object SparkEntry {
          |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
          |ORDER BY q_vec_id""".stripMargin,
 
-    "q26_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-        |      FROM n WHERE vec_id % 100 = 0),
-        |assign AS (
-        |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
-        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
-        |           row_number() OVER (
-        |             PARTITION BY n.vec_id
-        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-        |               DESC, c.cent_id) AS rn
-        |    FROM n CROSS JOIN c) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
-        |  FROM (
-        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
-        |           row_number() OVER (
-        |             PARTITION BY n.vec_id
-        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-        |               DESC, c.cent_id) AS rn
-        |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                               ORDER BY cos DESC, n_vec_id) AS rnk
-        |  FROM (
-        |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
-        |           round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6) AS cos
-        |    FROM probes p JOIN assign a
-        |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))
-        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+    "q26_ann_ivf_topk" -> ivfTopKSql,
+
+    // Materialized-index probe — identical assignment/probe/re-rank
+    // definitions as the direct path, so the index roundtrip must
+    // reproduce q26 exactly (the q71 search-index contract for ANN).
+    "q82_ann_indexed" -> ivfTopKSql,
 
     "q26b_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -2625,6 +2615,42 @@ object SparkEntry {
         |FROM events e JOIN prof p ON e.user_id = p.user_id
         |ORDER BY e.event_id""".stripMargin
   )
+
+  /** Shared q26/q82 oracle: deterministic IVF top-10, stride 100,
+    * nProbe 2, queries vec_id < 5 — one SQL text for the direct path
+    * and the materialized-index roundtrip. */
+  private def ivfTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+      |      FROM n WHERE vec_id % 100 = 0),
+      |assign AS (
+      |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
+      |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+      |               DESC, c.cent_id) AS rn
+      |    FROM n CROSS JOIN c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
+      |  FROM (
+      |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+      |               DESC, c.cent_id) AS rn
+      |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+      |                               ORDER BY cos DESC, n_vec_id) AS rnk
+      |  FROM (
+      |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+      |           round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6) AS cos
+      |    FROM probes p JOIN assign a
+      |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))
+      |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+      |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
   private def hotKeysSql: String =

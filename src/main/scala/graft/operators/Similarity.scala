@@ -281,34 +281,47 @@ object Similarity {
    * `nProbe` nearest cells and exact-cosine re-rank only those cells'
    * members, cutting the scan to ~nProbe/k of the corpus.
    */
-  def ivfCosineTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      stride: Int = 100,
-      nProbe: Int = 2): DataFrame = {
-    val n = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+  /** (vec_id, emb, nrm) with double-cast embedding and materialized norm. */
+  private def normed(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val cents = n.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    def cellOf(side: DataFrame): DataFrame =
-      side.crossJoin(broadcast(cents))
-        .withColumn("ccos", dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-    // argmax centroid per vector; ties break to the smallest cent_id
-    val assign = cellOf(n)
+
+  /** Deterministic IVF coarse quantizer: every stride-th vector is a
+    * centroid (cent_id, c_emb, c_nrm). */
+  private def ivfCentroids(n: DataFrame, stride: Int): DataFrame =
+    n.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+
+  /** Argmax-centroid cell per vector (ties to the smallest cent_id) —
+    * the ONE assignment definition shared by the direct path and the
+    * materialized index, so index probes reproduce `ivfCosineTopK`
+    * bit-for-bit. */
+  private def ivfAssign(n: DataFrame, cents: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .groupBy(col("vec_id"))
       .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
         max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+
+  /** Top-nProbe cells per query + the query vector/norm carried along. */
+  private def ivfProbes(
+      queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_vec_id"),
         asDouble(col("embedding")).as("q_emb"))
       .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
     val wProbe = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rn", row_number().over(wProbe))
       .where(col("rn") <= nProbe)
       .select(col("q_vec_id"), col("q_emb"), col("q_nrm"), col("cent_id").as("cell"))
+  }
+
+  /** Exact cosine re-rank of cell-matched candidates to top-k. */
+  private def ivfRerank(
+      assign: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assign.join(broadcast(probes), Seq("cell"))
@@ -318,6 +331,56 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_vec_id"), col("vec_id").as("n_vec_id"), col("cos"), col("rank"))
+  }
+
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      stride: Int = 100,
+      nProbe: Int = 2): DataFrame = {
+    val n = normed(corpus)
+    val cents = ivfCentroids(n, stride)
+    ivfRerank(ivfAssign(n, cents), ivfProbes(queries, cents, nProbe), k)
+  }
+
+  /**
+   * MATERIALIZED IVF index — the `Search.buildIndex` recipe for the ANN
+   * tier: cell assignments written Hive-partitioned BY CELL (one
+   * directory per inverted list) plus the centroid table, so a probe
+   * touches only nProbe of the ~n/stride cell directories instead of
+   * re-deriving assignments over the whole corpus per query batch. At
+   * 100 TB the index is built once per ingest and each query batch
+   * reads a few lists — the file layout IS the index.
+   */
+  def buildAnnIndex(corpus: DataFrame, path: String, stride: Int = 100): Unit = {
+    val n = normed(corpus)
+    val cents = ivfCentroids(n, stride)
+    ivfAssign(n, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /**
+   * Probe a [[buildAnnIndex]] layout: queries pick their nProbe cells
+   * against the (broadcast) persisted centroids, and the cell join
+   * against the partitioned scan prunes to those directories via
+   * DYNAMIC partition pruning (the probe side is a runtime value, so
+   * planning-time pruning cannot apply — the DPP subquery filter on the
+   * scan is asserted in SimilaritySpec). Results are bit-identical to
+   * [[ivfCosineTopK]] (same assignment/probe/re-rank definitions —
+   * q82's oracle is q26's SQL verbatim, the index-roundtrip contract).
+   */
+  def searchAnnIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val assign = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
+    val cents = spark.read.parquet(s"$path/centroids")
+    ivfRerank(assign, ivfProbes(queries, cents, nProbe), k)
   }
 
   /**

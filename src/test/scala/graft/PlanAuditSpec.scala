@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
     "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
     "q26b_ann_ivf_recall", // q26's IVF twin: exact side + centroid broadcast
+    "q82_ann_indexed", // q26's probe-side centroid broadcast (the
+                       // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products
     "q55_semantic_dedup", // embeds q54's k-means as its bucketing stage
 

@@ -269,4 +269,35 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.randomProject(e, outDim = Similarity.MaxDim + 1)
   }
+
+  test("materialized ANN index roundtrip reproduces ivfCosineTopK exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-index").toString
+    Similarity.buildAnnIndex(e, path, stride = 50)
+    val direct = Similarity.ivfCosineTopK(e, q, k = 5, stride = 50, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val indexed = Similarity.searchAnnIndexed(spark, path, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    indexed.sorted shouldBe direct.sorted
+    direct.length should be > 0
+  }
+
+  test("ANN index probe prunes cell partitions dynamically") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-index-dpp").toString
+    Similarity.buildAnnIndex(e, path, stride = 50)
+    val plan = Similarity
+      .searchAnnIndexed(spark, path, e.where(col("vec_id") < 3), k = 5)
+      .queryExecution.executedPlan.toString
+    // the probe cells are runtime values, so pruning must be the DPP
+    // subquery filter on the partitioned scan — static PartitionFilters
+    // cannot express it
+    withClue(s"plan:\n$plan\n") {
+      assert(plan.contains("dynamicpruning"),
+        "no dynamic partition pruning on the cell-partitioned scan")
+    }
+  }
 }

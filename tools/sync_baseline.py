@@ -86,6 +86,8 @@ ROWS = [
      "map-only sign-matrix JL projection 64→16, shared md5 matrix with the oracle"),
     ("q80b_projection_distortion (NEW) | {0}", ["q80b_projection_distortion"],
      "JL quality contract: per-query mean/max cosine distortion at outDim=32 with asserted tolerance flags"),
+    ("q82_ann_indexed (NEW) | {0}", ["q82_ann_indexed"],
+     "honest IVF index build (cell-partitioned write) + DPP-pruned probe; oracle is q26's SQL verbatim — the roundtrip must reproduce the direct path bit-for-bit"),
 ]
 
 
