@@ -1,12 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
-import graft.operators.{Clustering, Dedup, Events, HotKeys, Rank, Search, Similarity, TfIdf}
+import graft.operators.{Clustering, Dedup, Events, HotKeys, Layout, Rank, Search, Similarity, TfIdf}
 
 /**
  * Driver contract (see SURVEY.md §7 + builder prompt): one `queries` entry
@@ -764,6 +764,50 @@ object SparkEntry {
           k = 10, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // ── Z-order data layout (Layout.scala): Morton-interleaved
+    //    (user, time) clustering for min/max file skipping ──────────────
+    "q83_zorder_layout" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        col("user_id").as("x"),
+        expr("unix_micros(ts) div 1000000").as("y"))
+      Layout.withZCells(e, "x", "y")
+        .select(col("event_id"), col("zval"), col("cell"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Skipping contract: per-cell footer boxes for the z-layout vs the
+    // insert-ordered strawman, scan-estimated against one SF-agnostic
+    // box (x in the 25–45 % band, y the middle tercile — bounds derived
+    // from min/max so the same SQL holds at every SF). LayoutSpec
+    // asserts the zorder row scans strictly fewer cells AND rows.
+    "q83b_zorder_skipping" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"),
+        col("user_id").as("x"),
+        expr("unix_micros(ts) div 1000000").as("y"))
+      def fracPoint(mn: Column, mx: Column, num: Int, den: Int): Column =
+        (mn + floor((mx - mn).cast("double") * num / den).cast("long"))
+      val box = e.agg(
+          min(col("x")).as("x_mn"), max(col("x")).as("x_mx"),
+          min(col("y")).as("y_mn"), max(col("y")).as("y_mx"))
+        .select(
+          fracPoint(col("x_mn"), col("x_mx"), 1, 4).as("qx_lo"),
+          fracPoint(col("x_mn"), col("x_mx"), 9, 20).as("qx_hi"),
+          fracPoint(col("y_mn"), col("y_mx"), 1, 3).as("qy_lo"),
+          fracPoint(col("y_mn"), col("y_mx"), 2, 3).as("qy_hi"))
+      def est(stats: DataFrame, tag: String): DataFrame =
+        Layout.scanEstimate(stats.crossJoin(broadcast(box)),
+            col("qx_lo"), col("qx_hi"), col("qy_lo"), col("qy_hi"))
+          .withColumn("layout", lit(tag))
+      est(Layout.cellStats(Layout.withZCells(e, "x", "y"), "x", "y"),
+          "zorder")
+        .unionByName(est(
+          Layout.cellStats(Layout.linearCells(e, "event_id"), "x", "y"),
+          "linear"))
+        .select(col("layout"), col("n_cells"), col("cells_scanned"),
+          col("rows_scanned"))
+        .orderBy(col("layout"))
     }),
 
     // Int8 embedding quantization (exploded per-dim for scalar compare).
@@ -1781,6 +1825,12 @@ object SparkEntry {
     // reproduce q26 exactly (the q71 search-index contract for ANN).
     "q82_ann_indexed" -> ivfTopKSql,
 
+    // Z-order layout: the SQL is generated from Layout's constants
+    // (bits, cell shift, the unrolled Morton interleave) — one source
+    // of truth for engine and oracle.
+    "q83_zorder_layout" -> zorderLayoutSql,
+    "q83b_zorder_skipping" -> zorderSkippingSql,
+
     "q26b_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
@@ -2651,6 +2701,76 @@ object SparkEntry {
       |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))
       |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
       |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
+
+  /** q83/q83b oracle scaffolding, generated from Layout's constants
+    * (grid bits, cell shift, the interleave unroll) so engine and
+    * oracle cannot drift. */
+  private def zBucketSql(v: String, mn: String, mx: String, nb: Long): String =
+    s"floor(($v - $mn)::DOUBLE * $nb / ($mx - $mn + 1)::DOUBLE)::BIGINT"
+
+  private def zorderLayoutSql: String = {
+    val nb = 1L << Layout.DefaultBits
+    val shift = 2 * Layout.DefaultBits - Layout.DefaultCellBits
+    s"""WITH e AS (SELECT event_id, user_id AS x,
+       |            epoch_us(ts) // 1000000 AS y FROM events),
+       |s AS (SELECT min(x) AS x_mn, max(x) AS x_mx,
+       |             min(y) AS y_mn, max(y) AS y_mx FROM e),
+       |b AS (SELECT event_id,
+       |        ${zBucketSql("x", "x_mn", "x_mx", nb)} AS xb,
+       |        ${zBucketSql("y", "y_mn", "y_mx", nb)} AS yb
+       |      FROM e CROSS JOIN s),
+       |z AS (SELECT event_id,
+       |        ${Layout.zInterleaveSql("xb", "yb", Layout.DefaultBits)} AS zval
+       |      FROM b)
+       |SELECT event_id, zval, zval >> $shift AS cell FROM z
+       |ORDER BY event_id""".stripMargin
+  }
+
+  private def zorderSkippingSql: String = {
+    val nb = 1L << Layout.DefaultBits
+    val nCells = 1L << Layout.DefaultCellBits
+    val shift = 2 * Layout.DefaultBits - Layout.DefaultCellBits
+    val overlap = "x_lo <= qx_hi AND x_hi >= qx_lo" +
+      " AND y_lo <= qy_hi AND y_hi >= qy_lo"
+    s"""WITH e AS (SELECT event_id, user_id AS x,
+       |            epoch_us(ts) // 1000000 AS y FROM events),
+       |s AS (SELECT min(x) AS x_mn, max(x) AS x_mx,
+       |             min(y) AS y_mn, max(y) AS y_mx FROM e),
+       |box AS (SELECT
+       |  x_mn + floor((x_mx - x_mn)::DOUBLE * 1 / 4)::BIGINT AS qx_lo,
+       |  x_mn + floor((x_mx - x_mn)::DOUBLE * 9 / 20)::BIGINT AS qx_hi,
+       |  y_mn + floor((y_mx - y_mn)::DOUBLE * 1 / 3)::BIGINT AS qy_lo,
+       |  y_mn + floor((y_mx - y_mn)::DOUBLE * 2 / 3)::BIGINT AS qy_hi
+       |  FROM s),
+       |b AS (SELECT event_id, x, y,
+       |        ${zBucketSql("x", "x_mn", "x_mx", nb)} AS xb,
+       |        ${zBucketSql("y", "y_mn", "y_mx", nb)} AS yb
+       |      FROM e CROSS JOIN s),
+       |zc AS (SELECT x, y,
+       |        (${Layout.zInterleaveSql("xb", "yb", Layout.DefaultBits)})
+       |          >> $shift AS cell
+       |       FROM b),
+       |lc AS (SELECT x, y,
+       |        ${zBucketSql("event_id", "i_mn", "i_mx", nCells)} AS cell
+       |       FROM e CROSS JOIN (SELECT min(event_id) AS i_mn,
+       |                                 max(event_id) AS i_mx FROM e)),
+       |zs AS (SELECT cell, count(*) AS n_rows,
+       |         min(x) AS x_lo, max(x) AS x_hi,
+       |         min(y) AS y_lo, max(y) AS y_hi FROM zc GROUP BY cell),
+       |ls AS (SELECT cell, count(*) AS n_rows,
+       |         min(x) AS x_lo, max(x) AS x_hi,
+       |         min(y) AS y_lo, max(y) AS y_hi FROM lc GROUP BY cell)
+       |SELECT 'zorder' AS layout, count(*) AS n_cells,
+       |  sum(CASE WHEN $overlap THEN 1 ELSE 0 END)::BIGINT AS cells_scanned,
+       |  sum(CASE WHEN $overlap THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned
+       |FROM zs CROSS JOIN box
+       |UNION ALL
+       |SELECT 'linear' AS layout, count(*) AS n_cells,
+       |  sum(CASE WHEN $overlap THEN 1 ELSE 0 END)::BIGINT AS cells_scanned,
+       |  sum(CASE WHEN $overlap THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned
+       |FROM ls CROSS JOIN box
+       |ORDER BY layout""".stripMargin
+  }
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
   private def hotKeysSql: String =

@@ -45,8 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     "q46_bigram_lm", // 1-row vocabulary-size (V) broadcast cross
     "q78_hot_keys", // 1-row total-count broadcast cross
     "q79_term_drift", // 1-row (n_a, n_b, V) broadcast cross
-    "q80b_projection_distortion") // 5-query broadcast over one corpus
+    "q80b_projection_distortion", // 5-query broadcast over one corpus
                                   // scan x2 (exact + projected cosines)
+    "q83_zorder_layout", // 1-row min/max stats broadcast cross
+    "q83b_zorder_skipping") // 1-row stats + 1-row box-bounds crosses
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
@@ -116,11 +118,15 @@ class PlanAuditSpec extends SparkSpec {
     "q79_term_drift" -> 0, // live plan reads the cached merged counts;
                            // the cache fill pays the two term aggs once
     "q80_random_projection" -> 0, // map-only sign-matrix dot products
-    "q81_skew_join" -> 2) // one profile agg per branch (hot/cold INSET
+    "q81_skew_join" -> 2, // one profile agg per branch (hot/cold INSET
                           // filters pushed to the scans); the joins
                           // broadcast at this SF — salted exchange
                           // shape pinned under no-broadcast in
                           // HotKeysSpec
+    "q83_zorder_layout" -> 0, // interleave is map-only arithmetic; the
+                              // min/max stats are a 1-row broadcast
+    "q83b_zorder_skipping" -> 2) // one per-cell footer agg per layout;
+                                 // box bounds are 1-row broadcasts
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
