@@ -810,6 +810,45 @@ object SparkEntry {
         .orderBy(col("layout"))
     }),
 
+    // ── Deterministic epoch shuffle (Chunking.epochShuffle): seeded md5
+    //    permutation → shard → per-shard order → training batches; one
+    //    hash exchange, no global sort ────────────────────────────────
+    "q84_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Chunking.epochShuffle(
+          tbl(s, dir, "documents").select(col("doc_id")),
+          keyCol = "doc_id", seed = EpochSeed,
+          numShards = EpochShards, batchSize = EpochBatch)
+        .select(col("doc_id"), col("shard"), col("seq"), col("batch"))
+        .orderBy(col("shard"), col("seq"))),
+
+    // Shuffle-balance contract: the md5 sharding must spread rows
+    // evenly (no hot shard = no straggling data-loader worker). One
+    // summary row; ChunkingSpec asserts the skew bound and that a new
+    // seed permutes order without touching membership.
+    "q84b_epoch_shuffle_balance" -> ((s, dir) =>
+      graft.operators.Chunking.epochShuffle(
+          tbl(s, dir, "documents").select(col("doc_id")),
+          keyCol = "doc_id", seed = EpochSeed,
+          numShards = EpochShards, batchSize = EpochBatch)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_shards"),
+          min(col("n")).as("min_n"), max(col("n")).as("max_n"),
+          round(max(col("n")).cast("double") * EpochShards /
+            sum(col("n")).cast("double"), 6).as("skew"))),
+
+    // Temperature-scaled domain mixture (T = 0.5 via IEEE-exact sqrt):
+    // shares derive in-plan from observed source token mass; per-source
+    // report + the derived keep rate pin the whole sampled set.
+    "q85_temperature_mixture" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      graft.operators.Pipeline.temperatureMixture(d, budgetTokens = 15000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_kept"),
+          round(max(col("rate")), 6).as("keep_rate"))
+        .orderBy(col("source"))
+    }),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -1831,6 +1870,47 @@ object SparkEntry {
     "q83_zorder_layout" -> zorderLayoutSql,
     "q83b_zorder_skipping" -> zorderSkippingSql,
 
+    // Epoch shuffle: the SQL is generated from the same seed/shard/
+    // batch constants as the engine call — one source of truth.
+    "q84_epoch_shuffle" ->
+      s"""WITH $epochShuffleCtes
+         |SELECT doc_id, shard, seq, (seq - 1) // $EpochBatch AS batch
+         |FROM r ORDER BY shard, seq""".stripMargin,
+
+    "q84b_epoch_shuffle_balance" ->
+      s"""WITH $epochShuffleCtes,
+         |c AS (SELECT shard, count(*)::BIGINT AS n FROM r GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_shards, min(n)::BIGINT AS min_n,
+         |       max(n)::BIGINT AS max_n,
+         |       round(max(n)::DOUBLE * $EpochShards / sum(n)::DOUBLE, 6) AS skew
+         |FROM c""".stripMargin,
+
+    // Temperature mixture: √-shares from observed token mass; the
+    // integer-scaled weights make the normalizer exact long arithmetic
+    // in both engines (see Pipeline.temperatureMixture).
+    "q85_temperature_mixture" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |             t -> t <> ''))::BIGINT AS n_tokens
+         |  FROM documents),
+         |sa AS (SELECT source, sum(n_tokens) AS src_tokens,
+         |              floor(sqrt(sum(n_tokens)::DOUBLE) * 1000)::BIGINT AS w_src
+         |       FROM tk GROUP BY 1),
+         |z AS (SELECT sum(w_src) AS z_norm FROM sa),
+         |r AS (SELECT source,
+         |        least(1.0, w_src::DOUBLE / z_norm::DOUBLE * 15000.0
+         |                   / src_tokens::DOUBLE) AS rate
+         |      FROM sa CROSS JOIN z),
+         |keep AS (
+         |  SELECT tk.source, tk.n_tokens, r.rate
+         |  FROM tk JOIN r USING (source)
+         |  WHERE (${duckMd5Bucket("tk.doc_id")})::DOUBLE < r.rate * 1e6)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens)::BIGINT AS tokens_kept,
+         |       round(max(rate), 6) AS keep_rate
+         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
+
     "q26b_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
@@ -2771,6 +2851,32 @@ object SparkEntry {
        |FROM ls CROSS JOIN box
        |ORDER BY layout""".stripMargin
   }
+
+  /** q84/q84b epoch-shuffle constants — interpolated into BOTH the
+    * engine calls and the oracle SQL so the two cannot drift. */
+  private val EpochSeed = 1
+  private val EpochShards = 8
+  private val EpochBatch = 32
+
+  /** The full 32-bit md5 key (duckMd5Bucket WITHOUT the 1e6 modulus) —
+    * the ordering key epochShuffle permutes by. */
+  private def duckMd5Hash32(keyExpr: String): String =
+    // list_sum returns DOUBLE in DuckDB — cast back; 2^32 fits exactly
+    s"""(list_sum(list_transform(range(1, 9), i ->
+       |        (strpos('0123456789abcdef',
+       |                substr(md5(($keyExpr)::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+       |          << ((8 - i)::INTEGER * 4))))::BIGINT""".stripMargin
+
+  /** Shared q84/q84b CTEs: seeded hash → shard → within-shard rank. */
+  private def epochShuffleCtes: String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |         ${duckMd5Hash32(s"'$EpochSeed:' || doc_id::VARCHAR")} AS h
+       |  FROM documents),
+       |r AS (SELECT doc_id, h % $EpochShards AS shard,
+       |        row_number() OVER (PARTITION BY h % $EpochShards
+       |                           ORDER BY h, doc_id)::BIGINT AS seq
+       |      FROM h)""".stripMargin
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
   private def hotKeysSql: String =

@@ -110,4 +110,49 @@ object Chunking {
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(targetTokens))
           .cast("long"))
   }
+
+  /**
+   * Deterministic EPOCH SHUFFLE — the global reordering every training
+   * epoch needs, without a global sort. Each row gets a seeded
+   * pseudo-random key h = md5(seed:key) (first 8 hex chars as a 32-bit
+   * int), a shard = h mod `numShards`, a within-shard position
+   * `seq` = row_number ordered by (h, key), and a training-batch id
+   * `batch` = (seq-1) div `batchSize`. A different `seed` is a fresh,
+   * statistically independent permutation of the same membership —
+   * zero state carried between epochs.
+   *
+   * Scale shape: `ORDER BY rand()` at 100 TB is a full range exchange
+   * (sampled, nondeterministic) plus a corpus-wide sort. This is ONE
+   * hash exchange on `shard` and a per-shard local sort of ~N/S rows;
+   * size `numShards` to the data-loader worker count (each worker
+   * streams its shard in `seq` order), so per-task sorts stay
+   * memory-resident. The md5 key makes the shuffle reproducible across
+   * retries, speculative tasks, clusters, and engines — the DuckDB
+   * oracle replays the identical permutation. Ties in the 32-bit key
+   * (expected once corpora pass ~2^16 rows) break on the raw key, so
+   * the order stays total.
+   */
+  def epochShuffle(
+      df: DataFrame,
+      keyCol: String,
+      seed: Int,
+      numShards: Int = 1024,
+      batchSize: Int = 256): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    Seq("_h", "shard", "seq", "batch").foreach(c =>
+      require(!df.columns.contains(c),
+        s"'$c' is reserved by epochShuffle — rename that input column"))
+    val h = conv(substring(
+        md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      // double-division cast truncates toward zero = floor for seq >= 1
+      .withColumn("batch",
+        ((col("seq") - 1) / lit(batchSize.toLong)).cast("long"))
+      .drop("_h")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -124,6 +125,62 @@ object Pipeline {
         shareCol * lit(budgetTokens.toDouble) / col("src_tokens")))
       .where(hashBucket("doc").cast("double") < col("rate") * 1e6)
       .select(col("doc"), col("line"), col("source"), col("n_tokens"))
+  }
+
+  /**
+   * TEMPERATURE-scaled domain mixture — [[mixtureSample]] with the
+   * target shares derived IN-PLAN from the observed distribution
+   * instead of caller-given: share_d ∝ p_d^T at T = 0.5, the
+   * multilingual-training recipe that upsamples tail domains without
+   * letting the head dominate (the √-scaling used by multilingual BERT
+   * and XLM-R's T-sampling). Keep rate per source is then
+   * min(1, share_d · budget / tokens_d), decided by the same seed-free
+   * md5 bucket as [[sampleByHash]].
+   *
+   * T is FIXED at 0.5 because √ is the one power IEEE 754 requires
+   * correctly rounded — `sqrt` is bit-identical across Spark and the
+   * DuckDB oracle, where a libm `pow(p, T)` is not. The √-weights are
+   * floor-scaled to integers (×1000) before the normalizing sum so the
+   * sum is exact long arithmetic — immune to float summation order
+   * across partitions/engines; the 1/1000 relative quantization is
+   * noise against sampling variance.
+   *
+   * Scale: one per-source token aggregate (map-side partial), then the
+   * normalizer as an unbounded window SUM over that tiny per-source
+   * frame (cardinality = #domains, dozens — the one place a
+   * single-partition exchange is harmless), and a broadcast join back
+   * onto the scan. Deriving z via a window instead of a separate
+   * aggregate keeps the corpus scanned ONCE by construction — a
+   * second `perSource` consumer would otherwise replan the whole
+   * scan+aggregate unless exchange reuse happens to fire.
+   *
+   * @param docs (doc, line, source)
+   * @return sampled rows + n_tokens + the per-source keep rate
+   */
+  def temperatureMixture(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    Seq("n_tokens", "src_tokens", "w_src", "z_norm", "rate").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by temperatureMixture — rename that input column"))
+    val withTok = docs.withColumn("n_tokens",
+      size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val perSource = withTok.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("w_src",
+        floor(sqrt(col("src_tokens").cast("double")) * 1000).cast("long"))
+    val rates = perSource
+      .withColumn("z_norm", sum(col("w_src")).over(Window.partitionBy()))
+      // ordered (w/z)·budget/tokens — the oracle evaluates the same
+      // IEEE operation sequence, so the threshold matches bit for bit
+      .withColumn("rate", least(lit(1.0),
+        col("w_src").cast("double") / col("z_norm").cast("double") *
+          lit(budgetTokens.toDouble) / col("src_tokens").cast("double")))
+      .select(col("source"), col("rate"))
+    withTok
+      .join(broadcast(rates), Seq("source"))
+      .where(hashBucket("doc").cast("double") < col("rate") * 1e6)
+      .select(col("doc"), col("line"), col("source"), col("n_tokens"),
+        col("rate"))
   }
 
   /**

@@ -130,6 +130,48 @@ class PipelineSpec extends SparkSpec {
       Pipeline.mixtureSample(one, Map("a" -> 0.5), 0L)
   }
 
+  test("temperatureMixture upsamples tail domains and matches the √ rate formula") {
+    val s2 = spark
+    import s2.implicits._
+    // head domain: 40 docs x 10 tokens = 400; tail domain: 4 docs x 10 = 40
+    val docs = (
+      (1 to 40).map(i => (s"a$i", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "big")) ++
+      (1 to 4).map(i => (s"b$i", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "small"))
+    ).toDF("doc", "line", "source")
+    val got = Pipeline.temperatureMixture(docs, budgetTokens = 100L).collect()
+    val rates = got.groupBy(_.getString(2))
+      .map { case (src, rows) => src -> rows.map(_.getDouble(4)).distinct }
+    // one derived rate per source
+    rates.values.foreach(_.length shouldBe 1)
+    // the √ formula, replayed: w_d = floor(sqrt(tokens_d)*1000), z = Σw,
+    // rate_d = min(1, w_d/z * budget / tokens_d)
+    val wBig = math.floor(math.sqrt(400.0) * 1000) // 20000
+    val wSmall = math.floor(math.sqrt(40.0) * 1000) // 6324
+    val z = wBig + wSmall
+    rates("big").head shouldBe
+      math.min(1.0, wBig / z * 100.0 / 400.0) +- 1e-12
+    rates("small").head shouldBe
+      math.min(1.0, wSmall / z * 100.0 / 40.0) +- 1e-12
+    // temperature flattening: the tail domain keeps a HIGHER fraction
+    // than the head (√ upsampling), yet neither exceeds 1
+    rates("small").head should be > rates("big").head
+    // deterministic: same rows every run
+    Pipeline.temperatureMixture(docs, budgetTokens = 100L)
+      .collect().map(_.getString(0)).sorted shouldBe
+      got.map(_.getString(0)).sorted
+  }
+
+  test("temperatureMixture rejects non-positive budgets and reserved columns") {
+    val s2 = spark
+    import s2.implicits._
+    val one = Seq(("d", "x", "a")).toDF("doc", "line", "source")
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.temperatureMixture(one, 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.temperatureMixture(one.withColumn("rate",
+        org.apache.spark.sql.functions.lit(1.0)), 10L)
+  }
+
   test("filterByQualityQuantile keeps docs at or above the corpus quantile") {
     import org.apache.spark.sql.functions.{col => C}
     // quality ranks: long varied prose > short repetitive > single word

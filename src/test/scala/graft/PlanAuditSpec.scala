@@ -125,8 +125,18 @@ class PlanAuditSpec extends SparkSpec {
                           // HotKeysSpec
     "q83_zorder_layout" -> 0, // interleave is map-only arithmetic; the
                               // min/max stats are a 1-row broadcast
-    "q83b_zorder_skipping" -> 2) // one per-cell footer agg per layout;
+    "q83b_zorder_skipping" -> 2, // one per-cell footer agg per layout;
                                  // box bounds are 1-row broadcasts
+    "q84_epoch_shuffle" -> 1, // THE contract: one shard exchange for
+                              // the per-shard rank — never a global
+                              // sort (final ORDER BY is a range
+                              // exchange, not counted)
+    "q84b_epoch_shuffle_balance" -> 1, // shard counts reuse the window's
+                                       // partitioning; summary is 1-row
+    "q85_temperature_mixture" -> 2) // per-source token agg + report agg;
+                                    // the √-weight normalizer is a
+                                    // window over the tiny sources
+                                    // frame, the rate join a broadcast
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
