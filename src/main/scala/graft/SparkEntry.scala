@@ -849,6 +849,73 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // DSIR importance resampling (arXiv:2302.03169): top-100 docs by
+    // hashed-unigram log-likelihood ratio against the src0 target set.
+    // Scores are exact long micro-nats, so top-k ties are impossible to
+    // get wrong across engines; ranked (score desc, doc_id).
+    "q86_importance_resample" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      graft.operators.Pipeline
+        .importanceResample(d, col("source") === "src0", k = 100,
+          numBuckets = DsirBuckets)
+        .select(col("doc").as("doc_id"), col("source"),
+          col("score_micro"), col("n_tokens"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+    }),
+
+    // DSIR signal CONTRACT: the target set must out-score the rest of
+    // the corpus on its own likelihood-ratio model (the target docs ARE
+    // the target distribution, so the mean inequality is structural,
+    // not data-luck). Compared as exact long cross-products — no float
+    // mean drift can flip the boolean.
+    "q86b_importance_contract" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      graft.operators.Pipeline
+        .importanceResample(d, col("source") === "src0", k = 1000000,
+          numBuckets = DsirBuckets)
+        .withColumn("is_tgt", col("source") === "src0")
+        .agg(
+          sum(when(col("is_tgt"), col("score_micro")).otherwise(0L)).as("sum_t"),
+          sum(when(col("is_tgt"), 1L).otherwise(0L)).as("docs_t"),
+          sum(when(!col("is_tgt"), col("score_micro")).otherwise(0L)).as("sum_r"),
+          sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("docs_r"))
+        .select(col("docs_t"), col("docs_r"),
+          (col("sum_t") * col("docs_r") > col("sum_r") * col("docs_t"))
+            .as("target_scores_higher"))
+    }),
+
+    // Leakage-safe train/val split: the split decision hashes the
+    // near-dup CLUSTER label, so near-duplicates never straddle.
+    "q87_leakage_safe_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(docs(s, dir), valPerMille = 100)
+        .select(col("doc").as("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Split-leakage CONTRACT: zero LSH candidate pairs cross the
+    // train/val boundary (the eval-contamination failure mode measured
+    // by arXiv:2107.06499 §5). Non-convergence of the bounded label
+    // propagation would surface here as crossing > 0.
+    "q87b_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sp = Dedup.leakageSafeSplit(d, valPerMille = 100)
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(d))))
+      val crossing = cands
+        .join(sp.select(col("doc").as("d1"), col("split").as("split1")), "d1")
+        .join(sp.select(col("doc").as("d2"), col("split").as("split2")), "d2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split1") =!= col("split2"), 1L).otherwise(0L))
+            .as("crossing"))
+      sp.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+        .crossJoin(crossing)
+        .select(col("n_train"), col("n_val"), col("n_pairs"),
+          col("crossing"), (col("crossing") === 0L).as("leak_free"))
+    }),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -1911,6 +1978,69 @@ object SparkEntry {
          |       round(max(rate), 6) AS keep_rate
          |FROM keep GROUP BY source ORDER BY source""".stripMargin,
 
+    // DSIR: every score is a sum of integer micro-nats over the shared
+    // hashed-bucket model — engine and oracle quantize ONCE from the
+    // same exact long ratios, so rank order cannot drift.
+    "q86_importance_resample" ->
+      s"""WITH $dsirScoreCtes
+         |SELECT doc_id, source, score_micro, n_tokens FROM s
+         |ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q86b_importance_contract" ->
+      s"""WITH $dsirScoreCtes
+         |SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT
+         |         AS docs_t,
+         |       sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT
+         |         AS docs_r,
+         |       (sum(CASE WHEN source = 'src0' THEN score_micro ELSE 0 END)
+         |          * sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+         |        > sum(CASE WHEN source <> 'src0' THEN score_micro ELSE 0 END)
+         |          * sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END))
+         |         AS target_scores_higher
+         |FROM s""".stripMargin,
+
+    // Leakage-safe split: the oracle replays the same bounded min-label
+    // closure the engine runs (shared CTEs with q28b), then hashes the
+    // cluster label through the same md5 permille bucket.
+    "q87_leakage_safe_split" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+         |${minLabelIterSql(3)},
+         |$splitAssignCtes
+         |SELECT doc_id, cluster, split FROM sp ORDER BY doc_id""".stripMargin,
+
+    "q87b_split_leakage" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+         |${minLabelIterSql(3)},
+         |$splitAssignCtes,
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |x AS (
+         |  SELECT count(*)::BIGINT AS n_pairs,
+         |         coalesce(sum(CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END),
+         |                  0)::BIGINT AS crossing
+         |  FROM cand JOIN sp s1 ON cand.d1 = s1.doc_id
+         |            JOIN sp s2 ON cand.d2 = s2.doc_id),
+         |c AS (
+         |  SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+         |           AS n_train,
+         |         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT
+         |           AS n_val
+         |  FROM sp)
+         |SELECT n_train, n_val, n_pairs, crossing, (crossing = 0) AS leak_free
+         |FROM c CROSS JOIN x""".stripMargin,
+
     "q26b_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
@@ -2877,6 +3007,50 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY h % $EpochShards
        |                           ORDER BY h, doc_id)::BIGINT AS seq
        |      FROM h)""".stripMargin
+
+  /** q86/q86b hashed-bucket count — interpolated into BOTH sides. */
+  private val DsirBuckets = 1024
+
+  /** Shared q86/q86b CTEs: tokenize → md5 bucket → smoothed
+    * log-likelihood-ratio model in integer micro-nats → per-doc exact
+    * long scores. Mirrors `Pipeline.importanceResample` constant for
+    * constant. */
+  private def dsirScoreCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, source,
+       |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                t -> t <> '')) AS token
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, source,
+       |         (${duckMd5Hash32("token")}) % $DsirBuckets AS bucket
+       |  FROM tok),
+       |m AS (
+       |  SELECT bucket,
+       |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS cnt_t,
+       |         count(*)::BIGINT AS cnt_r
+       |  FROM tb GROUP BY 1),
+       |tot AS (SELECT sum(cnt_t)::BIGINT AS n_t, sum(cnt_r)::BIGINT AS n_r FROM m),
+       |q AS (
+       |  SELECT bucket,
+       |         floor(ln(((cnt_t + 1) * (n_r + $DsirBuckets))::DOUBLE /
+       |                  ((cnt_r + 1) * (n_t + $DsirBuckets))::DOUBLE)
+       |               * 1e6)::BIGINT AS qlr
+       |  FROM m CROSS JOIN tot),
+       |s AS (
+       |  SELECT tb.doc_id, tb.source,
+       |         sum(q.qlr)::BIGINT AS score_micro, count(*)::BIGINT AS n_tokens
+       |  FROM tb JOIN q USING (bucket) GROUP BY 1, 2)""".stripMargin
+
+  /** Shared q87/q87b CTE: cluster label (singletons = own id) → split
+    * via the md5 permille bucket of "split:label" at 100‰ validation. */
+  private def splitAssignCtes: String =
+    s"""sp AS (
+       |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
+       |         CASE WHEN (${duckMd5Bucket("'split:' || coalesce(l.lbl, d.doc_id)")})
+       |                   < 100000
+       |              THEN 'val' ELSE 'train' END AS split
+       |  FROM documents d LEFT JOIN l3 l USING (doc_id))""".stripMargin
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
   private def hotKeysSql: String =

@@ -440,10 +440,29 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       maxIter: Int = 3): DataFrame = {
+    val labels = minhashClusterLabels(docs, n, numHashes, rowsPerBand, maxIter)
+    val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
+    docs.join(dropped, Seq("doc"), "left_anti")
+  }
+
+  /**
+   * The label frame behind [[minhashDedupIterative]]: (doc, lbl) for
+   * every doc that produced at least one LSH bucket, where `lbl` is the
+   * component-minimum doc id after `maxIter` min-label iterations.
+   * Docs with no shingles have no buckets and are ABSENT — they are
+   * singletons by construction (callers coalesce `lbl` to `doc`).
+   * Exposed because the cluster identity itself is an operator input:
+   * leakage-safe splitting keys the train/val decision on `lbl` so a
+   * near-dup cluster never straddles the split.
+   */
+  def minhashClusterLabels(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 3): DataFrame = {
     val bands = graft.Caching.persist(lshBands(
       minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand))
-    // Docs that produced no shingles have no buckets, never join below,
-    // and always survive — same contract as minhashDedup.
     var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
       .withColumn("lbl", col("doc")))
     for (_ <- 1 to maxIter) {
@@ -466,8 +485,52 @@ object Dedup {
       graft.Caching.release(labels)
       labels = nextP
     }
-    val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
-    docs.join(dropped, Seq("doc"), "left_anti")
+    labels
+  }
+
+  /**
+   * LEAKAGE-SAFE train/validation split — the held-out-set rule every
+   * training pipeline needs once it deduplicates approximately: a doc's
+   * split is decided by hashing its near-dup CLUSTER label (from
+   * [[minhashClusterLabels]]), not its own id, so two near-duplicate
+   * documents can never land on opposite sides of the split — the
+   * classic eval-contamination leak ("Deduplicating Training Data Makes
+   * Language Models Better", arXiv:2107.06499 §5, measures exactly this
+   * train→test leakage). Docs with no shingles are singleton clusters
+   * (label = own id). The hash is the same seed-free md5 permille
+   * bucket as the sampling tier, prefixed `"split:"` so it is
+   * statistically independent of every other doc-id hash in the
+   * library.
+   *
+   * Scale shape: the label propagation's bounded band shuffles plus ONE
+   * left join of the corpus against the label frame; the split decision
+   * itself is a map-side expression. Convergence caveat: with bounded
+   * `maxIter` a component of diameter > 2·maxIter may carry two labels;
+   * the q87b contract counts candidate pairs that straddle the split
+   * (must be 0) so non-convergence is observable, not silent.
+   *
+   * @param valPerMille validation share in 1/1000ths (100 = 10%)
+   * @return (doc, cluster, split) for every input doc
+   */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      valPerMille: Int = 100,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 3): DataFrame = {
+    require(valPerMille >= 0 && valPerMille <= 1000,
+      s"valPerMille must be in [0, 1000], got $valPerMille")
+    val labels = minhashClusterLabels(docs, n, numHashes, rowsPerBand, maxIter)
+    val bucket = conv(substring(
+        md5(concat(lit("split:"), col("cluster").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    docs.select(col("doc"))
+      .join(labels, Seq("doc"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc")))
+      .withColumn("split",
+        when(bucket < valPerMille * 1000L, lit("val")).otherwise(lit("train")))
+      .select(col("doc"), col("cluster"), col("split"))
   }
 
   /**

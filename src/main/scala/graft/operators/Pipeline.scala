@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,78 @@ object Pipeline {
       .where(hashBucket("doc").cast("double") < col("rate") * 1e6)
       .select(col("doc"), col("line"), col("source"), col("n_tokens"),
         col("rate"))
+  }
+
+  /**
+   * DSIR-style IMPORTANCE RESAMPLING — select the `k` corpus documents
+   * most like a TARGET domain by hashed-unigram log-likelihood ratio
+   * ("Data Selection for Language Models via Importance Resampling",
+   * arXiv:2302.03169): tokens hash into `numBuckets` buckets, the
+   * target rows' bucket distribution is the target model, the whole
+   * corpus the raw model (add-one smoothed over the bucket space), and
+   * each doc scores Σ_tokens log(p_target(b)/p_raw(b)). We take the
+   * deterministic top-k by score (the paper adds Gumbel noise for a
+   * soft sample; the ranking statistic is identical).
+   *
+   * Determinism across engines: the per-bucket log-ratio is quantized
+   * ONCE to integer micro-nats — floor(ln((cnt_t+1)(N_r+B) /
+   * ((cnt_r+1)(N_t+B)))·1e6), every ln argument an exact long ratio —
+   * and a doc's score is then a SUM OF LONGS: exact, order-free, no
+   * float accumulation to drift between Spark and the oracle.
+   *
+   * Scale shape: two passes over the corpus by construction (model
+   * fit, then score) — the fit aggregates to `numBuckets` rows with
+   * map-side partials (the exchange carries ≤ B rows per task), the
+   * totals are a window over that B-row frame, and scoring is a
+   * broadcast join of the B-row model onto the token stream followed
+   * by one doc-keyed partial-agg exchange. Top-k is orderBy+limit —
+   * Spark plans TakeOrderedAndProject (per-partition heaps + driver
+   * merge of k·P rows), never a global sort. Longer docs accumulate
+   * more evidence and score accordingly — the paper's statistic; no
+   * length normalization.
+   *
+   * @param docs (doc, line) plus any carry columns (kept in output)
+   * @param isTarget predicate over `docs` rows marking the target set
+   * @return top-k rows: carry columns + score_micro + n_tokens,
+   *         ranked by (score_micro desc, doc)
+   */
+  def importanceResample(
+      docs: DataFrame,
+      isTarget: Column,
+      k: Int,
+      numBuckets: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    Seq("bucket", "n_tokens", "score_micro", "qlr").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by importanceResample — rename that input column"))
+    val carry = docs.columns.filter(_ != "line").map(col).toSeq
+    val tok = docs
+      .withColumn("is_tgt", isTarget)
+      .select(carry :+ col("is_tgt") :+
+        explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+          .as("token"): _*)
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") %
+          numBuckets.toLong)
+    val b = lit(numBuckets.toLong)
+    val model = tok.groupBy(col("bucket"))
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      // corpus-wide totals: a window over the B-row model frame — the
+      // one place a single-partition exchange is harmless (≤ B rows)
+      .withColumn("n_t", sum(col("cnt_t")).over(Window.partitionBy()))
+      .withColumn("n_r", sum(col("cnt_r")).over(Window.partitionBy()))
+      .withColumn("qlr",
+        floor(log(((col("cnt_t") + 1L) * (col("n_r") + b)).cast("double") /
+                  ((col("cnt_r") + 1L) * (col("n_t") + b)).cast("double")) *
+          lit(1e6)).cast("long"))
+      .select(col("bucket"), col("qlr"))
+    tok.join(broadcast(model), Seq("bucket"))
+      .groupBy(carry: _*)
+      .agg(sum(col("qlr")).as("score_micro"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("score_micro").desc, col("doc"))
+      .limit(k)
   }
 
   /**

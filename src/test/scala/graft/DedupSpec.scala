@@ -316,4 +316,39 @@ class DedupSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should contain(("a", "b"))
     pairs.filter(p => p._1 == "a" && p._2 == "b").head._3 shouldBe 0L
   }
+
+  test("leakageSafeSplit keeps a near-dup cluster on one side of the split") {
+    val sp = Dedup.leakageSafeSplit(dupCorpus, valPerMille = 500)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    sp.keySet shouldBe Set("a", "b", "c", "d")
+    // a~b are one near-dup component (exact dups always share every
+    // band): same cluster label (the min), therefore the same split,
+    // regardless of what the hash picks
+    sp("a")._1 shouldBe "a"
+    sp("b")._1 shouldBe "a"
+    sp("b")._2 shouldBe sp("a")._2
+    // c's single-word edit happens to survive banding here; d is
+    // unrelated — both are their own components
+    sp("c")._1 shouldBe "c"
+    sp("d")._1 shouldBe "d"
+  }
+
+  test("leakageSafeSplit: shingle-less docs are singleton clusters") {
+    val sp = Dedup.leakageSafeSplit(
+        corpus("s" -> "a b", "t" -> "x y"), valPerMille = 500)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    sp shouldBe Map("s" -> "s", "t" -> "t")
+  }
+
+  test("leakageSafeSplit honours valPerMille extremes and rejects bad shares") {
+    val all = Dedup.leakageSafeSplit(dupCorpus, valPerMille = 1000)
+      .select(col("split")).distinct().collect().map(_.getString(0))
+    all shouldBe Array("val")
+    val none = Dedup.leakageSafeSplit(dupCorpus, valPerMille = 0)
+      .select(col("split")).distinct().collect().map(_.getString(0))
+    none shouldBe Array("train")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.leakageSafeSplit(dupCorpus, valPerMille = 1001)
+  }
 }

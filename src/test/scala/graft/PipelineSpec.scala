@@ -220,4 +220,62 @@ class PipelineSpec extends SparkSpec {
     Pipeline.contaminationCheck(train, bench, minShared = 1).count() shouldBe 1L
     Pipeline.contaminationCheck(train, bench, minShared = 2).count() shouldBe 0L
   }
+
+  test("importanceResample ranks by the replayed log-ratio formula, exact ties to doc") {
+    val s2 = spark
+    import s2.implicits._
+    val B = 64
+    val data = Seq(
+      ("t1", "aa bb aa bb", "tgt"), ("t2", "aa aa bb bb", "tgt"),
+      ("r1", "cc dd cc dd", "raw"), ("r2", "cc cc dd dd", "raw"),
+      ("m1", "aa bb cc dd", "raw"))
+    val docs = data.toDF("doc", "line", "source")
+    val got = Pipeline.importanceResample(
+        docs, org.apache.spark.sql.functions.col("source") === "tgt",
+        k = 3, numBuckets = B)
+      .collect()
+      .map(r => (r.getAs[String]("doc"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("n_tokens")))
+
+    // local replica of the exact integer-quantized scoring recipe
+    def bucket(t: String): Long = (BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString,
+      16) % B).toLong
+    val toks = data.map { case (d, l, s) => (d, s, l.split("\\s+").toSeq) }
+    val cntT = toks.filter(_._2 == "tgt").flatMap(_._3).groupBy(bucket)
+      .map { case (b, ts) => b -> ts.size.toLong }
+    val cntR = toks.flatMap(_._3).groupBy(bucket)
+      .map { case (b, ts) => b -> ts.size.toLong }
+    val (nT, nR) = (cntT.values.sum, cntR.values.sum)
+    def qlr(b: Long): Long = math.floor(math.log(
+      ((cntT.getOrElse(b, 0L) + 1) * (nR + B)).toDouble /
+        ((cntR(b) + 1) * (nT + B)).toDouble) * 1e6).toLong
+    val expect = toks
+      .map { case (d, _, ts) => (d, ts.map(t => qlr(bucket(t))).sum, ts.size.toLong) }
+      .sortBy { case (d, sc, _) => (-sc, d) }
+      .take(3)
+    got.toSeq shouldBe expect
+    // t1/t2 carry identical bucket multisets: the long scores tie
+    // EXACTLY and the doc tie-break decides — no float fuzz possible
+    got(0)._1 shouldBe "t1"
+    got(1)._1 shouldBe "t2"
+    got(0)._2 shouldBe got(1)._2
+    got(2)._1 shouldBe "m1" // mixed doc beats pure-raw docs
+  }
+
+  test("importanceResample rejects bad parameters and reserved columns") {
+    val s2 = spark
+    import s2.implicits._
+    val one = Seq(("d", "x", "a")).toDF("doc", "line", "source")
+    val tgt = org.apache.spark.sql.functions.col("source") === "a"
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.importanceResample(one, tgt, k = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.importanceResample(one, tgt, k = 1, numBuckets = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.importanceResample(
+        one.withColumn("bucket", org.apache.spark.sql.functions.lit(1L)),
+        tgt, k = 1)
+  }
 }

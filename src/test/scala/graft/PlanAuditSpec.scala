@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "q80b_projection_distortion", // 5-query broadcast over one corpus
                                   // scan x2 (exact + projected cosines)
     "q83_zorder_layout", // 1-row min/max stats broadcast cross
-    "q83b_zorder_skipping") // 1-row stats + 1-row box-bounds crosses
+    "q83b_zorder_skipping", // 1-row stats + 1-row box-bounds crosses
+    "q87b_split_leakage") // 1-row split-counts × 1-row pair-counts cross
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
@@ -133,10 +134,16 @@ class PlanAuditSpec extends SparkSpec {
                               // exchange, not counted)
     "q84b_epoch_shuffle_balance" -> 1, // shard counts reuse the window's
                                        // partitioning; summary is 1-row
-    "q85_temperature_mixture" -> 2) // per-source token agg + report agg;
+    "q85_temperature_mixture" -> 2, // per-source token agg + report agg;
                                     // the √-weight normalizer is a
                                     // window over the tiny sources
                                     // frame, the rate join a broadcast
+    "q86_importance_resample" -> 2, // bucket-model agg + doc-score agg;
+                                    // model joins back as a broadcast,
+                                    // top-k is TakeOrdered (never a
+                                    // global sort)
+    "q86b_importance_contract" -> 2) // same two; the contract reduce
+                                     // is a 1-row global agg
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
