@@ -916,6 +916,46 @@ object SparkEntry {
           col("crossing"), (col("crossing") === 0L).as("leak_free"))
     }),
 
+    // Distributed Naive Bayes: fit lang-classifier + score every doc in
+    // ONE plan; integer micro-nat scores make the argmax engine-exact.
+    "q88_naive_bayes" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
+      graft.operators.Classify.naiveBayes(d, "lang", numBuckets = DsirBuckets)
+        .select(col("doc").as("doc_id"), col("lang"), col("predicted"),
+          col("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // NB confusion matrix — the model-quality dashboard as exact counts
+    // (no threshold to get lucky on; the spec asserts accuracy on a
+    // planted corpus where NB must be perfect).
+    "q88b_nb_confusion" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
+      graft.operators.Classify.naiveBayes(d, "lang", numBuckets = DsirBuckets)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Cluster-coverage sample: the member closest to each k-means
+    // centroid — diversity-preserving downsampling (prototype
+    // selection), the converse of SemDeDup's within-cell dropping.
+    "q89_coverage_sample" -> ((s, dir) =>
+      Clustering.coverageSample(tbl(s, dir, "embeddings"),
+          stride = 50, iters = 2, perCell = 1)
+        .select(col("cell"), col("vec_id"), col("ccos"))
+        .orderBy(col("cell"))),
+
+    // Per-source exact-duplication health dashboard.
+    "q90_source_dup_stats" -> ((s, dir) =>
+      graft.operators.Pipeline.sourceDupStats(
+          tbl(s, dir, "documents")
+            .select(col("doc_id").as("doc"), col("text").as("line"),
+              col("source")))
+        .orderBy(col("source"))),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -2041,6 +2081,47 @@ object SparkEntry {
          |SELECT n_train, n_val, n_pairs, crossing, (crossing = 0) AS leak_free
          |FROM c CROSS JOIN x""".stripMargin,
 
+    // Naive Bayes: every log-prob quantized once to integer micro-nats
+    // from exact long ratios; argmax ties to the smallest label.
+    "q88_naive_bayes" ->
+      s"""WITH $nbScoreCtes
+         |SELECT doc_id, lang, cand AS predicted, score_micro
+         |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q88b_nb_confusion" ->
+      s"""WITH $nbScoreCtes
+         |SELECT lang, cand AS predicted, count(*)::BIGINT AS n
+         |FROM pred WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    // Coverage sample: af carries only (vec_id, cell); the winning
+    // cosine re-derives from the FINAL centroid table c2 — the same
+    // rounded value the engine rides out of its assignment, and the
+    // window orders by the ROUNDED cosine on both sides.
+    "q89_coverage_sample" ->
+      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
+         |sc AS (
+         |  SELECT a.vec_id, a.cell,
+         |         round(list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm), 6)
+         |           AS ccos
+         |  FROM af a JOIN n USING (vec_id) JOIN c2 c ON c.cent = a.cell),
+         |r AS (
+         |  SELECT cell, vec_id, ccos,
+         |         row_number() OVER (PARTITION BY cell
+         |                            ORDER BY ccos DESC, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT cell, vec_id, ccos FROM r WHERE rnk <= 1
+         |ORDER BY cell""".stripMargin,
+
+    "q90_source_dup_stats" ->
+      """WITH g AS (
+        |  SELECT source, md5(text) AS fp, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_unique,
+        |       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT AS n_dup_rows,
+        |       round(1.0 - count(*)::DOUBLE / sum(n)::DOUBLE, 6) AS dup_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
     "q26b_ann_ivf_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
@@ -3041,6 +3122,51 @@ object SparkEntry {
        |  SELECT tb.doc_id, tb.source,
        |         sum(q.qlr)::BIGINT AS score_micro, count(*)::BIGINT AS n_tokens
        |  FROM tb JOIN q USING (bucket) GROUP BY 1, 2)""".stripMargin
+
+  /** Shared q88/q88b CTEs — mirrors `Classify.naiveBayes` constant for
+    * constant: hashed buckets, doc-count priors, Laplace conditionals
+    * over the DENSE (bucket × class) table, argmax with ties to the
+    * smallest label. Every quantized value derives from exact long
+    * ratios, so scores are identical long sums in both engines. */
+  private def nbScoreCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |                t -> t <> '')) AS token
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, lang,
+       |         (${duckMd5Hash32("token")}) % $DsirBuckets AS bucket
+       |  FROM tok),
+       |cls AS (SELECT lang, count(*)::BIGINT AS docs_c FROM documents GROUP BY 1),
+       |pri AS (
+       |  SELECT lang AS cand,
+       |         floor(ln(docs_c::DOUBLE /
+       |                  (SELECT sum(docs_c) FROM cls)::DOUBLE) * 1e6)::BIGINT
+       |           AS qprior
+       |  FROM cls),
+       |pc AS (SELECT bucket, lang, count(*)::BIGINT AS cnt FROM tb GROUP BY 1, 2),
+       |ct AS (SELECT lang, sum(cnt)::BIGINT AS n_c FROM pc GROUP BY 1),
+       |model AS (
+       |  SELECT b.bucket, ct.lang AS cand,
+       |         floor(ln((coalesce(pc.cnt, 0) + 1)::DOUBLE /
+       |                  (ct.n_c + $DsirBuckets)::DOUBLE) * 1e6)::BIGINT AS qcond
+       |  FROM (SELECT DISTINCT bucket FROM pc) b
+       |  CROSS JOIN ct
+       |  LEFT JOIN pc ON pc.bucket = b.bucket AND pc.lang = ct.lang),
+       |db AS (SELECT doc_id, lang, bucket, count(*)::BIGINT AS cnt
+       |       FROM tb GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT db.doc_id, db.lang, m.cand,
+       |         sum(db.cnt * m.qcond)::BIGINT AS lik
+       |  FROM db JOIN model m USING (bucket) GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT sc.doc_id, sc.lang, sc.cand,
+       |         (sc.lik + p.qprior)::BIGINT AS score_micro,
+       |         row_number() OVER (PARTITION BY sc.doc_id
+       |                            ORDER BY sc.lik + p.qprior DESC, sc.cand)
+       |           AS rn
+       |  FROM sc JOIN pri p ON p.cand = sc.cand)""".stripMargin
 
   /** Shared q87/q87b CTE: cluster label (singletons = own id) → split
     * via the md5 permille bucket of "split:label" at 100‰ validation. */

@@ -126,6 +126,34 @@ object Clustering {
       .select(col("cell"), col("size"), col("maj_label"),
         round(col("maj_n") / col("size"), 6).as("purity"))
 
+  /**
+   * Cluster-COVERAGE sampling — diversity-preserving downsampling:
+   * keep the `perCell` members closest to each k-means centroid (by
+   * the rounded assignment cosine, ties to the smallest vec_id). Where
+   * random sampling thins dense regions and sparse regions alike, this
+   * keeps one representative per discovered mode — the cheap
+   * prototype-selection recipe behind coreset-style training-set
+   * pruning (cluster then keep exemplars; cf. SemDeDup's converse,
+   * which DROPS within-cluster redundancy).
+   *
+   * Scale shape: the clustering's own cost dominates; selection adds
+   * ONE window partitioned by cell — parallel across cells, heap-bound
+   * per task. Never a global sort.
+   */
+  def coverageSample(
+      corpus: DataFrame,
+      stride: Int = 50,
+      iters: Int = 2,
+      perCell: Int = 1): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("ccos").desc, col("vec_id"))
+    kmeans(corpus, stride, iters)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= perCell)
+      .select(col("cell"), col("vec_id"), col("ccos"), col("rnk"))
+  }
+
   /** Survivor-choice strategy for [[semanticDedup]]. */
   sealed trait Keeper
   object Keeper {

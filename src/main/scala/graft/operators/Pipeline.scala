@@ -256,6 +256,33 @@ object Pipeline {
   }
 
   /**
+   * Per-SOURCE duplication health — the governance metric that tells
+   * you which ingest feed is flooding the corpus with copies: exact
+   * duplicate rate per source over the md5 text fingerprint. A doc
+   * duplicated across two sources counts against each source that
+   * carries a redundant copy of ITS OWN text (fingerprints are grouped
+   * within source — cross-source contamination is q44's job).
+   *
+   * Scale shape: one (source, fp) partial-agg exchange (32-byte keys)
+   * then a C-row rollup — the exact-dedup shuffle shape, producing a
+   * dashboard instead of a survivor set.
+   *
+   * @param docs (doc, line, source)
+   * @return per source: n_docs, n_unique, n_dup_rows (docs that are
+   *         redundant copies), dup_rate — ordered by caller
+   */
+  def sourceDupStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), md5(col("line")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n") > 1L, col("n") - 1L).otherwise(0L)).as("n_dup_rows"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique").cast("double") /
+          col("n_docs").cast("double"), 6))
+
+  /**
    * Corpus REPORT rollup — the per-(lang, source) health dashboard in
    * one pass: doc counts, token totals, and mean quality per cell,
    * plus per-lang subtotals and the grand total via ROLLUP grouping

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Classify
+
+class ClassifySpec extends SparkSpec {
+
+  private def labeled(rows: (String, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc", "line", "source")
+  }
+
+  test("naiveBayes is perfect on a planted disjoint-vocabulary corpus") {
+    val docs = labeled(
+      ("a1", "alpha beta alpha gamma", "news"),
+      ("a2", "beta gamma alpha alpha", "news"),
+      ("a3", "gamma alpha beta beta", "news"),
+      ("b1", "delta epsilon zeta zeta", "code"),
+      ("b2", "zeta delta epsilon delta", "code"),
+      ("b3", "epsilon zeta delta gamma", "code")) // one shared token
+    val got = Classify.naiveBayes(docs, "source", numBuckets = 256)
+      .collect()
+      .map(r => r.getAs[String]("doc") ->
+        (r.getAs[String]("source"), r.getAs[String]("predicted"))).toMap
+    got.keySet shouldBe Set("a1", "a2", "a3", "b1", "b2", "b3")
+    // resubstitution on disjoint vocab: every doc must classify to its
+    // own class — 5 of 6 tokens decide even for the gamma-sharing b3
+    got.foreach { case (d, (truth, pred)) =>
+      withClue(s"doc $d:") { pred shouldBe truth }
+    }
+  }
+
+  test("naiveBayes scores are exact longs and rank the true class strictly higher") {
+    val docs = labeled(
+      ("a1", "alpha alpha alpha", "news"),
+      ("b1", "delta delta delta", "code"))
+    val got = Classify.naiveBayes(docs, "source", numBuckets = 64).collect()
+    got.foreach { r =>
+      r.getAs[String]("predicted") shouldBe r.getAs[String]("source")
+      // with balanced priors the argmax-winning posterior must beat the
+      // smoothed all-unseen floor: 3·qcond(unseen) + qprior
+      val floorScore =
+        3L * math.floor(math.log(1.0 / (3 + 64)) * 1e6).toLong +
+          math.floor(math.log(0.5) * 1e6).toLong
+      r.getAs[Long]("score_micro") should be > floorScore
+    }
+  }
+
+  test("naiveBayes breaks exact posterior ties to the smallest label") {
+    // both classes see the same token multiset {xx, yy}, priors equal —
+    // every class posterior ties exactly, so argmax must pick "aaa"
+    val docs = labeled(
+      ("d1", "xx yy", "aaa"),
+      ("d2", "yy xx", "bbb"))
+    val got = Classify.naiveBayes(docs, "source", numBuckets = 64)
+      .collect()
+      .map(r => r.getAs[String]("doc") -> r.getAs[String]("predicted")).toMap
+    got shouldBe Map("d1" -> "aaa", "d2" -> "aaa")
+  }
+
+  test("naiveBayes drops token-less docs from scoring but keeps them in priors") {
+    val docs = labeled(
+      ("a1", "alpha beta", "news"),
+      ("a2", "   ", "news"), // whitespace-only: no tokens
+      ("b1", "delta zeta", "code"))
+    val got = Classify.naiveBayes(docs, "source", numBuckets = 64).collect()
+    got.map(_.getAs[String]("doc")).sorted shouldBe Array("a1", "b1")
+  }
+
+  test("naiveBayes rejects bad parameters and reserved columns") {
+    val one = labeled(("d", "x", "a"))
+    an[IllegalArgumentException] should be thrownBy
+      Classify.naiveBayes(one, "source", numBuckets = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Classify.naiveBayes(one.withColumn("bucket", lit(1L)), "source")
+  }
+}

@@ -106,6 +106,26 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe Set(0L, 3L)
   }
 
+  test("coverageSample keeps the centroid-closest member per cell") {
+    val got = Clustering.coverageSample(twoClusters, stride = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cell 0's final centroid ≈ the group mean (0.95, 0.05) → vec 1 is
+    // the exemplar; cell 3's ≈ (0.05, 0.95) → vec 4
+    got shouldBe Map(0L -> 1L, 3L -> 4L)
+  }
+
+  test("coverageSample perCell widens the sample with contiguous ranks") {
+    val rows = Clustering.coverageSample(twoClusters, stride = 3, iters = 2,
+        perCell = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    rows.length shouldBe 4
+    rows.groupBy(_._1).values.foreach { cell =>
+      cell.map(_._3).sorted shouldBe Array(1L, 2L)
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.coverageSample(twoClusters, perCell = 0)
+  }
+
   test("kmeans rejects non-positive stride and negative iters") {
     an[IllegalArgumentException] should be thrownBy
       Clustering.kmeans(twoClusters, stride = 0)

@@ -221,6 +221,21 @@ class PipelineSpec extends SparkSpec {
     Pipeline.contaminationCheck(train, bench, minShared = 2).count() shouldBe 0L
   }
 
+  test("sourceDupStats counts redundant copies within each source only") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      ("1", "same text", "a"), ("2", "same text", "a"), ("3", "same text", "a"),
+      ("4", "other text", "a"),
+      ("5", "same text", "b"), // cross-source copy: NOT a dup within b
+      ("6", "unique here", "b")).toDF("doc", "line", "source")
+    val got = Pipeline.sourceDupStats(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    got("a") shouldBe ((4L, 2L, 2L, 0.5)) // 3 copies of one text + 1 unique
+    got("b") shouldBe ((2L, 2L, 0L, 0.0))
+  }
+
   test("importanceResample ranks by the replayed log-ratio formula, exact ties to doc") {
     val s2 = spark
     import s2.implicits._

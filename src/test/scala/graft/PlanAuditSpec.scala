@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
                                   // scan x2 (exact + projected cosines)
     "q83_zorder_layout", // 1-row min/max stats broadcast cross
     "q83b_zorder_skipping", // 1-row stats + 1-row box-bounds crosses
-    "q87b_split_leakage") // 1-row split-counts × 1-row pair-counts cross
+    "q87b_split_leakage", // 1-row split-counts × 1-row pair-counts cross
+    "q88_naive_bayes", // distinct-buckets × C-row class frame — the
+                       // dense smoothed conditional table (≤ B·C rows)
+    "q88b_nb_confusion", // same model cross
+    "q89_coverage_sample") // q54's Lloyd centroid broadcast cross
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
@@ -142,8 +146,16 @@ class PlanAuditSpec extends SparkSpec {
                                     // model joins back as a broadcast,
                                     // top-k is TakeOrdered (never a
                                     // global sort)
-    "q86b_importance_contract" -> 2) // same two; the contract reduce
+    "q86b_importance_contract" -> 2, // same two; the contract reduce
                                      // is a 1-row global agg
+    "q88_naive_bayes" -> 6, // fit: ONE (bucket,label) token agg (cached,
+                            // 3 consumers) + distinct-buckets + class
+                            // totals + doc priors, all ≤ B·C rows;
+                            // score: (doc,bucket) counts → ×C lik agg →
+                            // argmax agg
+    "q88b_nb_confusion" -> 7, // + the (lang, predicted) rollup
+    "q90_source_dup_stats" -> 2) // (source, fp) fingerprint agg +
+                                 // C-row source rollup
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
