@@ -939,6 +939,21 @@ object SparkEntry {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // Strategy twin of q88 pinned to the SAME oracle: fit collects the
+    // B·C-row model, scoring is ONE stateless codegen'd projection (the
+    // stream-inference shape — StreamingOps.classifyStream). Zero hash
+    // exchanges on the scoring plan; scores/argmax identical by
+    // construction (same Spark-quantized model values).
+    "q88c_nb_rowlocal" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
+      val m = graft.operators.Classify.fit(d, "lang", numBuckets = DsirBuckets)
+      graft.operators.Classify.scoreRowLocal(d, m)
+        .select(col("doc").as("doc_id"), col("lang"), col("predicted"),
+          col("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-coverage sample: the member closest to each k-means
     // centroid — diversity-preserving downsampling (prototype
     // selection), the converse of SemDeDup's within-cell dropping.
@@ -2083,10 +2098,12 @@ object SparkEntry {
 
     // Naive Bayes: every log-prob quantized once to integer micro-nats
     // from exact long ratios; argmax ties to the smallest label.
-    "q88_naive_bayes" ->
-      s"""WITH $nbScoreCtes
-         |SELECT doc_id, lang, cand AS predicted, score_micro
-         |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q88_naive_bayes" -> nbPredictionsSql,
+
+    // The row-local strategy twin answers to the IDENTICAL oracle text —
+    // one spec, two physical strategies (distributed join+agg vs
+    // collected-model stateless projection).
+    "q88c_nb_rowlocal" -> nbPredictionsSql,
 
     "q88b_nb_confusion" ->
       s"""WITH $nbScoreCtes
@@ -3167,6 +3184,14 @@ object SparkEntry {
        |                            ORDER BY sc.lik + p.qprior DESC, sc.cand)
        |           AS rn
        |  FROM sc JOIN pri p ON p.cand = sc.cand)""".stripMargin
+
+  /** q88 AND q88c answer to this one oracle — the strategy-twin
+    * contract: distributed fit+score and collected-model row-local
+    * scoring must produce identical predictions and exact long scores. */
+  private def nbPredictionsSql: String =
+    s"""WITH $nbScoreCtes
+       |SELECT doc_id, lang, cand AS predicted, score_micro
+       |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Shared q87/q87b CTE: cluster label (singletons = own id) → split
     * via the md5 permille bucket of "split:label" at 100‰ validation. */

@@ -113,4 +113,121 @@ object Classify {
         col("best.cand").as("predicted"),
         col("best.score_micro").as("score_micro"))
   }
+
+  /**
+   * A COLLECTED Naive Bayes model — the broadcast-model hand-off every
+   * stream-inference pipeline performs. ≤ B·C rows by contract (size
+   * `numBuckets` accordingly). All per-class sequences share the order
+   * of `labels`, which is sorted ascending so that "first index of the
+   * max" IS the smallest-label tie-break.
+   *
+   * Every quantized value in here was computed by SPARK expressions
+   * identical to [[naiveBayes]]'s and only then collected — never
+   * re-derived with driver-side math — so [[scoreRowLocal]] and the
+   * distributed path agree bit for bit by construction.
+   */
+  final case class NbModel(
+      labels: Seq[String],
+      priorsMicro: Seq[Long],
+      condMicro: Map[Long, Seq[Long]],
+      unseenMicro: Seq[Long],
+      numBuckets: Int)
+
+  /**
+   * Fit the [[NbModel]] distributedly and collect it. The collect is
+   * the deliberate model hand-off (B·C rows), not a data egress.
+   */
+  def fit(
+      docs: DataFrame,
+      labelCol: String,
+      numBuckets: Int = 1024): NbModel = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val b = lit(numBuckets.toLong)
+    val tok = docs.select(col(labelCol).as("label"),
+        explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+          .as("token"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") %
+          numBuckets.toLong)
+    val classes = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs_c"))
+      .withColumn("docs_total", sum(col("docs_c")).over(Window.partitionBy()))
+      .withColumn("qprior",
+        floor(log(col("docs_c").cast("double") /
+          col("docs_total").cast("double")) * lit(1e6)).cast("long"))
+    val pairCounts = graft.Caching.persist(
+      tok.groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("cnt")))
+    val classTokens = pairCounts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("n_c"))
+      // the smoothed zero-count conditional, by the SAME expression
+      // shape as the dense table below (cnt = 0)
+      .withColumn("unseen",
+        floor(log(lit(1L).cast("double") / (col("n_c") + b).cast("double")) *
+          lit(1e6)).cast("long"))
+    val cond = pairCounts.select(col("bucket")).distinct()
+      .crossJoin(broadcast(classTokens.select(col("label"), col("n_c"))))
+      .join(pairCounts, Seq("bucket", "label"), "left")
+      .withColumn("qcond",
+        floor(log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (col("n_c") + b).cast("double")) * lit(1e6)).cast("long"))
+      .select(col("bucket"), col("label"), col("qcond"))
+
+    val classRows = classes.join(classTokens, Seq("label")).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("qprior"),
+        r.getAs[Long]("unseen")))
+      .sortBy(_._1)
+    val labels = classRows.map(_._1).toSeq
+    val idx = labels.zipWithIndex.toMap
+    val condMap = cond.collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[String]("label"),
+        r.getAs[Long]("qcond")))
+      .groupBy(_._1)
+      .map { case (bucket, rows) =>
+        val arr = new Array[Long](labels.size)
+        rows.foreach { case (_, l, q) => arr(idx(l)) = q }
+        bucket -> arr.toSeq
+      }
+    graft.Caching.release(pairCounts)
+    NbModel(labels, classRows.map(_._2).toSeq, condMap,
+      classRows.map(_._3).toSeq, numBuckets)
+  }
+
+  /**
+   * ROW-LOCAL scoring against a collected [[NbModel]] — a pure,
+   * STATELESS column expression (the model rides along as literals),
+   * which is exactly what stream inference needs: no state store, no
+   * shuffle, no per-batch joins; works identically on batch frames and
+   * readStream frames. Buckets unseen at fit time pay the smoothed
+   * zero-count penalty. Unlike [[naiveBayes]] (which drops token-less
+   * docs with the explode), every input row emits a prediction —
+   * a token-less doc scores prior-only.
+   *
+   * @return input columns minus nothing, plus (predicted, score_micro)
+   */
+  def scoreRowLocal(docs: DataFrame, model: NbModel): DataFrame = {
+    Seq("predicted", "score_micro").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by scoreRowLocal — rename that input column"))
+    val c = model.labels.size
+    require(c > 0, "model has no classes")
+    val condLit = typedLit(model.condMicro)
+    val unseenLit = typedLit(model.unseenMicro)
+    val priorsLit = typedLit(model.priorsMicro)
+    val labelsLit = typedLit(model.labels)
+    val zeros = typedLit(Seq.fill(c)(0L))
+    val toks = filter(split(col("line"), "\\s+"), t => length(t) > 0)
+    val perTok = (t: Column) => coalesce(
+      element_at(condLit,
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long") %
+          model.numBuckets.toLong),
+      unseenLit)
+    val scores = zip_with(
+      aggregate(toks, zeros, (acc, t) => zip_with(acc, perTok(t), _ + _)),
+      priorsLit, _ + _)
+    docs
+      .withColumn("score_micro", array_max(scores))
+      .withColumn("predicted",
+        element_at(labelsLit,
+          array_position(scores, col("score_micro")).cast("int")))
+  }
 }

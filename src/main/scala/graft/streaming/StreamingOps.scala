@@ -559,4 +559,24 @@ object StreamingOps {
       .where(col("cnt") >= minCount)
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
   }
+
+  /**
+   * Streaming MODEL INFERENCE: score every arriving doc against a
+   * pre-fit Naive Bayes model ([[graft.operators.Classify.fit]]) — the
+   * classify-at-ingest step of a streaming curation pipeline (route by
+   * predicted language/domain/quality the moment a doc lands).
+   *
+   * Deliberately STATELESS: the model rides along as literals inside
+   * one codegen'd projection (`Classify.scoreRowLocal`), so there is no
+   * state store, no watermark, no shuffle, and any output mode works.
+   * Model refresh = restart the query with a refit model — the
+   * standard blue/green model-rollout shape, not mid-stream mutation.
+   * Batch-twin parity: on the fit corpus the predictions equal the
+   * distributed `Classify.naiveBayes` (asserted in ClassifySpec; the
+   * streaming replay in StreamingSpec).
+   */
+  def classifyStream(
+      docs: DataFrame,
+      model: graft.operators.Classify.NbModel): DataFrame =
+    graft.operators.Classify.scoreRowLocal(docs, model)
 }

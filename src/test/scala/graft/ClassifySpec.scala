@@ -69,6 +69,51 @@ class ClassifySpec extends SparkSpec {
     got.map(_.getAs[String]("doc")).sorted shouldBe Array("a1", "b1")
   }
 
+  test("fit + scoreRowLocal equals the distributed naiveBayes bit for bit") {
+    val docs = labeled(
+      ("a1", "alpha beta alpha gamma", "news"),
+      ("a2", "beta gamma alpha alpha", "news"),
+      ("b1", "delta epsilon zeta zeta", "code"),
+      ("b2", "zeta delta epsilon delta", "code"),
+      ("m1", "alpha delta gamma zeta", "code"), // genuinely mixed
+      ("t1", "xx yy", "news"), ("t2", "yy xx", "code")) // exact tie pair
+    val dist = Classify.naiveBayes(docs, "source", numBuckets = 128)
+      .collect()
+      .map(r => r.getAs[String]("doc") ->
+        (r.getAs[String]("predicted"), r.getAs[Long]("score_micro"))).toMap
+    val model = Classify.fit(docs, "source", numBuckets = 128)
+    model.labels shouldBe Seq("code", "news") // sorted ascending
+    val local = Classify.scoreRowLocal(docs, model)
+      .collect()
+      .map(r => r.getAs[String]("doc") ->
+        (r.getAs[String]("predicted"), r.getAs[Long]("score_micro"))).toMap
+    local shouldBe dist
+  }
+
+  test("scoreRowLocal pays the smoothed penalty for buckets unseen at fit") {
+    val fitDocs = labeled(("a1", "alpha beta", "news"), ("b1", "delta zeta", "code"))
+    val model = Classify.fit(fitDocs, "source", numBuckets = 64)
+    val got = Classify.scoreRowLocal(
+        labeled(("x1", "neverseen tokens here", "?")), model)
+      .collect().head
+    // 3 unseen tokens: score = prior + 3·unseen, per class; classes are
+    // symmetric (1 doc, 2 tokens each) so the posterior ties exactly and
+    // the first (smallest) label wins
+    got.getAs[String]("predicted") shouldBe "code"
+    val i = model.labels.indexOf("code")
+    got.getAs[Long]("score_micro") shouldBe
+      model.priorsMicro(i) + 3L * model.unseenMicro(i)
+  }
+
+  test("scoreRowLocal keeps token-less rows with a prior-only score") {
+    val model = Classify.fit(
+      labeled(("a1", "alpha", "aa"), ("b1", "beta", "bb")), "source", 64)
+    val got = Classify.scoreRowLocal(labeled(("e1", "   ", "?")), model)
+      .collect().head
+    got.getAs[String]("predicted") shouldBe "aa" // equal priors, tie to first
+    got.getAs[Long]("score_micro") shouldBe model.priorsMicro.max
+  }
+
   test("naiveBayes rejects bad parameters and reserved columns") {
     val one = labeled(("d", "x", "a"))
     an[IllegalArgumentException] should be thrownBy

@@ -154,6 +154,10 @@ class PlanAuditSpec extends SparkSpec {
                             // score: (doc,bucket) counts → ×C lik agg →
                             // argmax agg
     "q88b_nb_confusion" -> 7, // + the (lang, predicted) rollup
+    "q88c_nb_rowlocal" -> 0, // THE twin's contract: the collected-model
+                             // scoring plan is one stateless projection
+                             // — no exchange at all (final ORDER BY is
+                             // a range exchange, not counted)
     "q90_source_dup_stats" -> 2) // (source, fp) fingerprint agg +
                                  // C-row source rollup
 

@@ -519,4 +519,42 @@ class StreamingSpec extends SparkSpec {
       got.toSet shouldBe Set(("2024-01-01 10:00:00.0", 7L, 3L))
     } finally q.stop()
   }
+
+  test("classifyStream scores arriving docs statelessly, matching the batch model") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fitDocs = Seq(
+      ("a1", "alpha beta alpha gamma", "news"),
+      ("a2", "beta gamma alpha alpha", "news"),
+      ("b1", "delta epsilon zeta zeta", "code"),
+      ("b2", "zeta delta epsilon delta", "code")).toDF("doc", "line", "source")
+    val model = graft.operators.Classify.fit(fitDocs, "source", numBuckets = 64)
+
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.classifyStream(input.toDF().toDF("doc", "line"), model)
+      .writeStream.format("memory").queryName("classified")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("s1", "alpha gamma beta"), ("s2", "zeta delta delta"))
+      q.processAllAvailable()
+      input.addData(("s3", "alpha zeta")) // one token each way
+      q.processAllAvailable()
+      val got = spark.table("classified").collect()
+        .map(r => r.getAs[String]("doc") -> r.getAs[String]("predicted")).toMap
+      got("s1") shouldBe "news"
+      got("s2") shouldBe "code"
+      // alpha carries 4 news sightings vs zeta's 3 for code: ln 5 > ln 4
+      got("s3") shouldBe "news"
+      // batch twin: the same rows through scoreRowLocal agree
+      val batch = graft.operators.Classify.scoreRowLocal(
+          Seq(("s1", "alpha gamma beta"), ("s2", "zeta delta delta"),
+            ("s3", "alpha zeta")).toDF("doc", "line"), model)
+        .collect()
+        .map(r => r.getAs[String]("doc") -> r.getAs[String]("predicted")).toMap
+      got shouldBe batch
+    } finally q.stop()
+  }
 }
