@@ -971,6 +971,71 @@ object SparkEntry {
               col("source")))
         .orderBy(col("source"))),
 
+    // Incremental leakage-safe split: the daily-ingest bookend — new
+    // docs inherit their anchor's (smallest matched history doc's)
+    // split; unmatched docs hash their own id via the same rule.
+    "q91_split_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.where(col("doc") < 250)
+      val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 100)
+      Dedup.leakageSafeSplitAgainst(d.where(col("doc") >= 250), hist,
+          hsp.select(col("doc"), col("split")), valPerMille = 100)
+        .select(col("doc").as("doc_id"), col("anchor"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental-split leak audit: candidate pairs (delta ⋈ history)
+    // whose sides disagree. Nonzero would mean either a bridge doc
+    // (documented semantics) or a broken inherit rule — observable
+    // either way.
+    "q91b_split_incremental_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.where(col("doc") < 250)
+      val delta = d.where(col("doc") >= 250)
+      val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 100)
+      val sp = Dedup.leakageSafeSplitAgainst(delta, hist,
+        hsp.select(col("doc"), col("split")), valPerMille = 100)
+      val bNew = Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(delta)))
+      val bHist = Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(hist)))
+      val ok = bHist.groupBy(col("band"), col("band_val"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .where(col("bucket_n") <= Dedup.MaxPairBucket)
+        .select(col("band"), col("band_val"))
+      val cand = bNew
+        .join(bHist.join(ok, Seq("band", "band_val"), "left_semi")
+          .select(col("doc").as("hist_doc"), col("band"), col("band_val")),
+          Seq("band", "band_val"))
+        .select(col("doc"), col("hist_doc")).distinct()
+      val crossing = cand
+        .join(sp.select(col("doc"), col("split").as("new_split")), Seq("doc"))
+        .join(hsp.select(col("doc").as("hist_doc"),
+          col("split").as("hist_split")), Seq("hist_doc"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("new_split") =!= col("hist_split"), 1L).otherwise(0L))
+            .as("crossing"))
+      sp.agg(count(lit(1)).as("n_new"),
+          sum(when(col("anchor").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+        .crossJoin(crossing)
+        .select(col("n_new"), col("n_matched"), col("n_pairs"),
+          col("crossing"), (col("crossing") === 0L).as("leak_free"))
+    }),
+
+    // Deterministic k-per-group sample: a balanced 5-docs-per-source
+    // eval slice by md5 rank — count-exact, seed-free, replayable.
+    "q92_sample_per_group" -> ((s, dir) =>
+      graft.operators.Pipeline.sampleKPerGroup(
+          tbl(s, dir, "documents")
+            .select(col("doc_id").as("doc"), col("source")),
+          groupCol = "source", k = 5)
+        .select(col("doc").as("doc_id"), col("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))),
+
+    // Token-length histogram in power-of-two bins — integer bit-length
+    // binning, never float log2.
+    "q93_length_histogram" -> ((s, dir) =>
+      graft.operators.Pipeline.lengthHistogram(docs(s, dir))
+        .orderBy(col("bin"))),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -2063,7 +2128,7 @@ object SparkEntry {
          |bands AS ($MinhashBandsSql),
          |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
          |${minLabelIterSql(3)},
-         |$splitAssignCtes
+         |${splitAssignCtes()}
          |SELECT doc_id, cluster, split FROM sp ORDER BY doc_id""".stripMargin,
 
     "q87b_split_leakage" ->
@@ -2072,7 +2137,7 @@ object SparkEntry {
          |bands AS ($MinhashBandsSql),
          |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
          |${minLabelIterSql(3)},
-         |$splitAssignCtes,
+         |${splitAssignCtes()},
          |bok AS (
          |  SELECT band, band_val FROM bands GROUP BY 1, 2
          |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
@@ -2095,6 +2160,65 @@ object SparkEntry {
          |  FROM sp)
          |SELECT n_train, n_val, n_pairs, crossing, (crossing = 0) AS leak_free
          |FROM c CROSS JOIN x""".stripMargin,
+
+    // Incremental split: history's bounded min-label closure + split,
+    // then delta docs inherit the smallest matched anchor's side.
+    "q91_split_incremental" ->
+      s"""WITH $incrementalSplitCtes
+         |SELECT doc_id, anchor, split FROM nsp ORDER BY doc_id""".stripMargin,
+
+    "q91b_split_incremental_leakage" ->
+      s"""WITH $incrementalSplitCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id, b.doc_id AS hist_doc
+         |  FROM bands_n a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |x AS (
+         |  SELECT count(*)::BIGINT AS n_pairs,
+         |         coalesce(sum(CASE WHEN n.split <> h.split THEN 1 ELSE 0 END),
+         |                  0)::BIGINT AS crossing
+         |  FROM cand c JOIN nsp n ON n.doc_id = c.doc_id
+         |              JOIN sp h ON h.doc_id = c.hist_doc),
+         |c2 AS (
+         |  SELECT count(*)::BIGINT AS n_new,
+         |         sum(CASE WHEN anchor IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |           AS n_matched
+         |  FROM nsp)
+         |SELECT n_new, n_matched, n_pairs, crossing, (crossing = 0) AS leak_free
+         |FROM c2 CROSS JOIN x""".stripMargin,
+
+    // k-per-group sample: the same md5 rank replayed.
+    "q92_sample_per_group" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         ${duckMd5Hash32("'kpg:' || doc_id")} AS hk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY hk, doc_id)::BIGINT AS rk
+         |  FROM h)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 5
+         |ORDER BY source, rk""".stripMargin,
+
+    // Length histogram: bin identity via integer bit-length (bin(n)
+    // string length), exactly mirroring Spark's conv(n, 10, 2).
+    "q93_length_histogram" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             t -> t <> ''))::BIGINT AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT (CASE WHEN n = 0 THEN -1
+        |               ELSE length(bin(n)) - 1 END)::BIGINT AS bin, n
+        |  FROM tk)
+        |SELECT bin,
+        |       (CASE WHEN bin < 0 THEN 0
+        |             ELSE 1::BIGINT << bin::INTEGER END)::BIGINT AS lo,
+        |       count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS tokens_total
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Naive Bayes: every log-prob quantized once to integer micro-nats
     // from exact long ratios; argmax ties to the smallest label.
@@ -3185,6 +3309,38 @@ object SparkEntry {
        |           AS rn
        |  FROM sc JOIN pri p ON p.cand = sc.cand)""".stripMargin
 
+  /** Shared q91/q91b CTEs: history (doc_id < 250) shingle/sig/bands
+    * UNSUFFIXED (the label iteration binds to `bands`), delta `_n`;
+    * history split `sp`, guarded anchors, and the delta assignment
+    * `nsp` — mirrors `Dedup.leakageSafeSplitAgainst` exactly. */
+  private def incrementalSplitCtes: String =
+    s"""${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "")},
+       |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
+       |$MinhashSigCte,
+       |${minhashSigCteSfx("_n")},
+       |bands AS ($MinhashBandsSql),
+       |bands_n AS (${minhashBandsSqlSfx("_n")}),
+       |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+       |${minLabelIterSql(3)},
+       |${splitAssignCtes("(SELECT doc_id FROM documents WHERE doc_id < 250)")},
+       |bok AS (
+       |  SELECT band, band_val FROM bands GROUP BY 1, 2
+       |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+       |anc AS (
+       |  SELECT a.doc_id, min(b.doc_id) AS anchor
+       |  FROM bands_n a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val
+       |  GROUP BY 1),
+       |nsp AS (
+       |  SELECT d.doc_id, anc.anchor,
+       |         coalesce(h.split,
+       |           CASE WHEN (${duckMd5Bucket("'split:' || d.doc_id")}) < 100000
+       |                THEN 'val' ELSE 'train' END) AS split
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+       |  LEFT JOIN anc ON anc.doc_id = d.doc_id
+       |  LEFT JOIN sp h ON h.doc_id = anc.anchor)""".stripMargin
+
   /** q88 AND q88c answer to this one oracle — the strategy-twin
     * contract: distributed fit+score and collected-model row-local
     * scoring must produce identical predictions and exact long scores. */
@@ -3193,15 +3349,16 @@ object SparkEntry {
        |SELECT doc_id, lang, cand AS predicted, score_micro
        |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** Shared q87/q87b CTE: cluster label (singletons = own id) → split
-    * via the md5 permille bucket of "split:label" at 100‰ validation. */
-  private def splitAssignCtes: String =
+  /** Shared q87/q87b/q91 CTE: cluster label (singletons = own id) →
+    * split via the md5 permille bucket of "split:label" at 100‰
+    * validation, over a parameterized docs relation. */
+  private def splitAssignCtes(docsRel: String = "documents"): String =
     s"""sp AS (
        |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
        |         CASE WHEN (${duckMd5Bucket("'split:' || coalesce(l.lbl, d.doc_id)")})
        |                   < 100000
        |              THEN 'val' ELSE 'train' END AS split
-       |  FROM documents d LEFT JOIN l3 l USING (doc_id))""".stripMargin
+       |  FROM $docsRel d LEFT JOIN l3 l USING (doc_id))""".stripMargin
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
   private def hotKeysSql: String =

@@ -534,6 +534,73 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL leakage-safe split — assign arriving docs to train/val
+   * CONSISTENTLY with an already-split history: a new doc that shares
+   * any LSH band bucket with history inherits the split of its smallest
+   * matched history doc (its `anchor`); unmatched docs are fresh
+   * singleton clusters and hash their own id through the identical
+   * `"split:"` permille bucket as [[leakageSafeSplit]]. The daily-ingest
+   * bookend of the split tier, same shape as the dedup/vocab/prep
+   * incremental twins: delta ⋈ static history, never a self-join.
+   *
+   * Bridge caveat (inherent, not a bug): a new doc matching TWO history
+   * docs that sit in different history clusters inherits the smallest
+   * anchor's side deterministically — the link it bridges was already
+   * split apart when history was assigned. The q91b contract counts
+   * candidate pairs whose sides disagree, so bridges are observable.
+   *
+   * Scale shape: history bands build once (persisted static frame), the
+   * hot-bucket guard restricts the HISTORY side before the candidate
+   * join (the lshCandidates bounded-bands shape), and the per-new-doc
+   * anchor is one min-aggregate — no transitive iteration needed
+   * because history's labels are already transitively consistent.
+   *
+   * @param historySplits (doc, split) — a prior [[leakageSafeSplit]]
+   *        output over `historyDocs` (anchors missing from it fall back
+   *        to the hash rule)
+   * @return (doc, anchor, split) for every NEW doc; anchor null when
+   *         nothing in history matched
+   */
+  def leakageSafeSplitAgainst(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      historySplits: DataFrame,
+      valPerMille: Int = 100,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = MaxPairBucket): DataFrame = {
+    require(valPerMille >= 0 && valPerMille <= 1000,
+      s"valPerMille must be in [0, 1000], got $valPerMille")
+    val bNew = lshBands(
+      minhashSignatures(shingles(newDocs, n), numHashes), numHashes, rowsPerBand)
+    val bHist = graft.Caching.persist(lshBands(
+      minhashSignatures(shingles(historyDocs, n), numHashes),
+      numHashes, rowsPerBand))
+    val okBuckets = bHist
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("band_val"))
+    val boundedHist = bHist
+      .join(okBuckets, Seq("band", "band_val"), "left_semi")
+      .select(col("doc").as("anchor"), col("band"), col("band_val"))
+    val anchors = bNew.join(boundedHist, Seq("band", "band_val"))
+      .groupBy(col("doc"))
+      .agg(min(col("anchor")).as("anchor"))
+    val ownBucket = conv(substring(
+        md5(concat(lit("split:"), col("doc").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    newDocs.select(col("doc"))
+      .join(anchors, Seq("doc"), "left")
+      .join(historySplits.select(col("doc").as("anchor"),
+        col("split").as("hist_split")), Seq("anchor"), "left")
+      .withColumn("split", coalesce(col("hist_split"),
+        when(ownBucket < valPerMille * 1000L, lit("val")).otherwise(lit("train"))))
+      .select(col("doc"), col("anchor"), col("split"))
+  }
+
+  /**
    * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — at
    * scale, run only on LSH candidates). Intersections are aggregated
    * straight off the shingle self-join — no materialized pair list, no

@@ -283,6 +283,64 @@ object Pipeline {
           col("n_docs").cast("double"), 6))
 
   /**
+   * Deterministic K-PER-GROUP sample — a balanced evaluation slice:
+   * exactly `k` docs from every group (fewer if the group is smaller),
+   * chosen by md5 rank so the pick is uniform-ish, seed-free, and
+   * replayable anywhere (same rows on every engine, cluster, and
+   * retry). The per-stratum analogue of `sampleByHash`'s rate-based
+   * keep: rates give you a FRACTION per stratum, this gives you a
+   * COUNT — what an eval set wants.
+   *
+   * Scale shape: one window partitioned by the group column — parallel
+   * across groups; Spark's WindowGroupLimit pushes the rank filter
+   * into the sort so each task keeps a k-row heap, not the group.
+   * The hash key is prefixed `"kpg:"` so it is independent of every
+   * other md5 decision in the library.
+   *
+   * @return input columns + `rk` (1..k within the group)
+   */
+  def sampleKPerGroup(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!docs.columns.contains("rk"),
+      "'rk' is reserved by sampleKPerGroup — rename that input column")
+    val key = conv(substring(
+        md5(concat(lit("kpg:"), col("doc").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(key, col("doc"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /**
+   * Token-LENGTH histogram in power-of-two bins — the
+   * sequence-length distribution every packing/chunking config is
+   * sized from (pick maxTokens where the token-mass curve, not the
+   * doc-count curve, concentrates). Bin identity is INTEGER arithmetic
+   * — bin = bit_length(n_tokens) - 1 = floor(log2 n) computed via the
+   * binary string length, never float log2 (whose rounding at exact
+   * powers of two could differ across engines); token-less docs land
+   * in bin -1.
+   *
+   * Scale shape: one map-side token count + one ≤64-row aggregate.
+   *
+   * @param docs (doc, line)
+   * @return per bin: bin, lo (2^bin), n_docs, tokens_total
+   */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .withColumn("bin",
+        when(col("n_tokens") === 0L, lit(-1L))
+          .otherwise(length(conv(col("n_tokens"), 10, 2)).cast("long") - 1L))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+      .withColumn("lo",
+        when(col("bin") < 0L, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bin AS int))")))
+      .select(col("bin"), col("lo"), col("n_docs"), col("tokens_total"))
+
+  /**
    * Corpus REPORT rollup — the per-(lang, source) health dashboard in
    * one pass: doc counts, token totals, and mean quality per cell,
    * plus per-lang subtotals and the grand total via ROLLUP grouping

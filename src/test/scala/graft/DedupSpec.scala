@@ -341,6 +341,35 @@ class DedupSpec extends SparkSpec {
     sp shouldBe Map("s" -> "s", "t" -> "t")
   }
 
+  test("leakageSafeSplitAgainst inherits the anchor's split, hashes the rest") {
+    val hist = corpus(
+      "a" -> "the quick brown fox jumps over the lazy dog",
+      "z" -> "completely different words here entirely now today")
+    // force history to all-val so inheritance is distinguishable from
+    // the ~10% hash fallback
+    val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 1000)
+      .select(col("doc"), col("split"))
+    val delta = corpus(
+      "n1" -> "the quick brown fox jumps over the lazy dog", // dup of a
+      "n2" -> "unrelated fresh material nothing shared with history docs")
+    val got = Dedup.leakageSafeSplitAgainst(delta, hist, hsp, valPerMille = 0)
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), r.getString(2)))
+      .toMap
+    got("n1") shouldBe ((Some("a"), "val")) // inherited, NOT the 0‰ hash
+    got("n2") shouldBe ((None, "train")) // unmatched → own-hash rule (0‰)
+  }
+
+  test("leakageSafeSplitAgainst falls back to the hash when the anchor has no split row") {
+    val hist = corpus("a" -> "the quick brown fox jumps over the lazy dog")
+    val empty = hist.where(col("doc") === "nope").select(col("doc"),
+      col("line").as("split"))
+    val delta = corpus("n1" -> "the quick brown fox jumps over the lazy dog")
+    val got = Dedup.leakageSafeSplitAgainst(delta, hist, empty, valPerMille = 1000)
+      .collect().map(r => (Option(r.getString(1)), r.getString(2)))
+    got.head shouldBe ((Some("a"), "val")) // matched but split-less → hash
+  }
+
   test("leakageSafeSplit honours valPerMille extremes and rejects bad shares") {
     val all = Dedup.leakageSafeSplit(dupCorpus, valPerMille = 1000)
       .select(col("split")).distinct().collect().map(_.getString(0))

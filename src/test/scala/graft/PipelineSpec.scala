@@ -236,6 +236,40 @@ class PipelineSpec extends SparkSpec {
     got("b") shouldBe ((2L, 2L, 0L, 0.0))
   }
 
+  test("sampleKPerGroup returns exactly k per group, fewer for small groups") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = ((1 to 10).map(i => (s"a$i", "ga")) ++ Seq(("b1", "gb")))
+      .toDF("doc", "grp")
+    val got = Pipeline.sampleKPerGroup(docs, "grp", k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.count(_._2 == "ga") shouldBe 3
+    got.count(_._2 == "gb") shouldBe 1
+    got.filter(_._2 == "ga").map(_._3).sorted shouldBe Array(1L, 2L, 3L)
+    // deterministic: the same three every time
+    val again = Pipeline.sampleKPerGroup(docs, "grp", k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    again.toSet shouldBe got.toSet
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.sampleKPerGroup(docs, "grp", k = 0)
+  }
+
+  test("lengthHistogram bins by integer bit-length with token mass") {
+    // lengths: 1→bin 0, 2,3→bin 1, 4→bin 2, 8→bin 3, 0→bin -1
+    val docs = corpus(
+      "d1" -> "a", "d2" -> "a b", "d3" -> "a b c", "d4" -> "a b c d",
+      "d8" -> "a b c d e f g h", "d0" -> "   ")
+    val got = Pipeline.lengthHistogram(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got shouldBe Map(
+      -1L -> ((0L, 1L, 0L)),
+      0L -> ((1L, 1L, 1L)),
+      1L -> ((2L, 2L, 5L)),
+      2L -> ((4L, 1L, 4L)),
+      3L -> ((8L, 1L, 8L)))
+  }
+
   test("importanceResample ranks by the replayed log-ratio formula, exact ties to doc") {
     val s2 = spark
     import s2.implicits._

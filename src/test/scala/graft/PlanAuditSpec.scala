@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     "q88_naive_bayes", // distinct-buckets × C-row class frame — the
                        // dense smoothed conditional table (≤ B·C rows)
     "q88b_nb_confusion", // same model cross
-    "q89_coverage_sample") // q54's Lloyd centroid broadcast cross
+    "q89_coverage_sample", // q54's Lloyd centroid broadcast cross
+    "q91b_split_incremental_leakage") // 1-row new-counts × 1-row
+                                      // pair-counts cross
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
@@ -158,8 +160,12 @@ class PlanAuditSpec extends SparkSpec {
                              // scoring plan is one stateless projection
                              // — no exchange at all (final ORDER BY is
                              // a range exchange, not counted)
-    "q90_source_dup_stats" -> 2) // (source, fp) fingerprint agg +
+    "q90_source_dup_stats" -> 2, // (source, fp) fingerprint agg +
                                  // C-row source rollup
+    "q92_sample_per_group" -> 1, // ONE group-partitioned window (the
+                                 // rank filter is WindowGroupLimit-
+                                 // pushed); never a global sort
+    "q93_length_histogram" -> 1) // one ≤64-row bin aggregate
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's
