@@ -88,6 +88,35 @@ ROWS = [
      "JL quality contract: per-query mean/max cosine distortion at outDim=32 with asserted tolerance flags"),
     ("q82_ann_indexed (NEW) | {0}", ["q82_ann_indexed"],
      "honest IVF index build (cell-partitioned write) + DPP-pruned probe; oracle is q26's SQL verbatim — the roundtrip must reproduce the direct path bit-for-bit"),
+    ("q83/q83b zorder layout / skipping (NEW) | {0} / {1}",
+     ["q83_zorder_layout", "q83b_zorder_skipping"],
+     "map-only Morton interleave; the skipping contract measures min/max footer pruning linear vs Z"),
+    ("q84_epoch_shuffle (NEW) | {0}",
+     ["q84_epoch_shuffle", "q84b_epoch_shuffle_balance"],
+     "seeded md5 permutation → shard → per-shard rank → batch ids: ONE hash exchange, never a global sort; balance contract q84b: {1} s"),
+    ("q85_temperature_mixture (NEW) | {0}", ["q85_temperature_mixture"],
+     "T=0.5 √-share mixture: shares derived in-plan, normalizer a window over the tiny per-source frame — corpus scanned once by construction"),
+    ("q86_importance_resample (NEW) | {0}",
+     ["q86_importance_resample", "q86b_importance_contract"],
+     "DSIR: B-row hashed log-ratio model broadcast over one token stream, TakeOrdered top-k; self-likelihood contract q86b: {1} s"),
+    ("q87_leakage_safe_split (NEW) | {0}",
+     ["q87_leakage_safe_split", "q87b_split_leakage"],
+     "3 label-propagation iterations + one corpus⋈labels join; split is a map-side md5 of the CLUSTER label; end-to-end leak audit q87b: {1} s (crossing count 0 — the contract)"),
+    ("q88_naive_bayes (NEW) | {0}",
+     ["q88_naive_bayes", "q88b_nb_confusion"],
+     "distributed NB fit+infer in one plan: cached (bucket,label) token agg, dense B·C broadcast model, exact-long argmax; confusion rollup q88b: {1} s"),
+    ("q88c_nb_rowlocal (NEW) | {0}", ["q88c_nb_rowlocal"],
+     "honest fit-collect + score: the scoring plan itself is ONE projection, zero exchanges (plan-pinned); the distributed twin shares the oracle text"),
+    ("q89_coverage_sample (NEW) | {0}", ["q89_coverage_sample"],
+     "k-means + per-cell centroid-closest exemplar via one cell-partitioned window"),
+    ("q90_source_dup_stats (NEW) | {0}", ["q90_source_dup_stats"],
+     "per-source exact-dup dashboard: one 32-byte-key exchange + C-row rollup"),
+    ("q91_split_incremental (NEW) | {0}",
+     ["q91_split_incremental", "q91b_split_incremental_leakage"],
+     "delta⋈history band join (never a self-join) + smallest-anchor split inheritance; bridge audit q91b: {1} s (disagreeing candidate pairs observable)"),
+    ("q92/q93 k-per-group / length histogram (NEW) | {0} / {1}",
+     ["q92_sample_per_group", "q93_length_histogram"],
+     "WindowGroupLimit k-row heaps per stratum / integer bit-length power-of-2 bins, ≤64-row agg"),
 ]
 
 
