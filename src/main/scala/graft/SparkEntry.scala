@@ -321,6 +321,28 @@ object SparkEntry {
        |  FROM cnt c JOIN dft USING (term) CROSS JOIN n
        |)""".stripMargin
 
+  /** Okapi BM25 per-doc score CTE chain (k1=1.2, b=0.75, always-positive
+    * idf), ending in `bm(doc_id, score)` for the SearchQuery terms —
+    * shared verbatim by q69, q69b, and q94's lexical arm so the three
+    * stay lockstep by construction. */
+  private val Bm25Ctes =
+    s"""$TokCte,
+       |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnt GROUP BY 1),
+       |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+       |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
+       |sc AS (
+       |  SELECT c.term, c.doc_id,
+       |         round(ln(1 + (nd - df + 0.5) / (df + 0.5))
+       |               * (cnt * 2.2)
+       |               / (cnt + 1.2 * (0.25 + 0.75 * d.dl / avgdl)), 6) AS s
+       |  FROM cnt c JOIN dl d USING (doc_id) JOIN dft USING (term)
+       |  CROSS JOIN st),
+       |bm AS (
+       |  SELECT doc_id, round(sum(s), 6) AS score FROM sc
+       |  WHERE term IN ('spark', 'stream', 'window')
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Winnowing fingerprint CTEs (k=3 gram, w=4 window — q72/q74): gram
     * hashes per doc, window minima, distinct (doc, fp) set. Mirrors
     * `TextAnalysis.winnowFingerprints(k = 3, w = 4)`. */
@@ -1036,6 +1058,16 @@ object SparkEntry {
       graft.operators.Pipeline.lengthHistogram(docs(s, dir))
         .orderBy(col("bin"))),
 
+    // Hybrid lexical+dense retrieval fused by reciprocal ranks: the
+    // q69 BM25 arm + the q15 cosine arm (query = vec_id 0), both
+    // top-100, contributions integer-quantized (1e9 div (60+rank)) so
+    // the fused score is an exact long sum in both engines.
+    "q94_hybrid_search" -> ((s, dir) =>
+      Search.searchHybrid(
+          docs(s, dir), tbl(s, dir, "embeddings"), SearchQuery, queryVecId = 0L)
+        .select(col("doc").as("doc_id"), col("rrf_micro"), col("n_arms"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))),
+
     // Int8 embedding quantization (exploded per-dim for scalar compare).
     "q42_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
@@ -1655,38 +1687,46 @@ object SparkEntry {
 
     // Okapi BM25, k1=1.2 b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)).
     "q69b_bm25_window" -> // window-df twin: same spec, same SQL
-      s"""WITH $TokCte,
-         |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnt GROUP BY 1),
-         |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
-         |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
-         |sc AS (
-         |  SELECT c.term, c.doc_id,
-         |         round(ln(1 + (nd - df + 0.5) / (df + 0.5))
-         |               * (cnt * 2.2)
-         |               / (cnt + 1.2 * (0.25 + 0.75 * d.dl / avgdl)), 6) AS s
-         |  FROM cnt c JOIN dl d USING (doc_id) JOIN dft USING (term)
-         |  CROSS JOIN st)
-         |SELECT doc_id, round(sum(s), 6) AS score FROM sc
-         |WHERE term IN ('spark', 'stream', 'window')
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $Bm25Ctes
+         |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
 
     "q69_search_bm25" ->
-      s"""WITH $TokCte,
-         |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnt GROUP BY 1),
-         |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
-         |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
-         |sc AS (
-         |  SELECT c.term, c.doc_id,
-         |         round(ln(1 + (nd - df + 0.5) / (df + 0.5))
-         |               * (cnt * 2.2)
-         |               / (cnt + 1.2 * (0.25 + 0.75 * d.dl / avgdl)), 6) AS s
-         |  FROM cnt c JOIN dl d USING (doc_id) JOIN dft USING (term)
-         |  CROSS JOIN st)
-         |SELECT doc_id, round(sum(s), 6) AS score FROM sc
-         |WHERE term IN ('spark', 'stream', 'window')
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $Bm25Ctes
+         |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
+
+    // Hybrid lexical+dense RRF fusion: the q69 BM25 arm (shared CTEs)
+    // and the q15-style cosine arm vs vec_id 0, each top-100 ranked
+    // (score desc, doc asc), fused by integer-quantized reciprocal
+    // ranks — contrib = 1e9 div (60 + rank), so the fused score is a
+    // sum of longs in both engines.
+    "q94_hybrid_search" ->
+      s"""WITH $Bm25Ctes,
+         |bmr AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM bm),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |qv AS (SELECT * FROM e WHERE vec_id = 0),
+         |cosa AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         round(list_dot_product(qv.emb, e.emb) /
+         |               (sqrt(list_dot_product(qv.emb, qv.emb)) *
+         |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS score
+         |  FROM qv JOIN e ON qv.vec_id <> e.vec_id),
+         |cosr AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM cosa),
+         |fused AS (
+         |  SELECT doc_id, 1000000000 // (60 + rnk) AS contrib
+         |  FROM bmr WHERE rnk <= 100
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000 // (60 + rnk) AS contrib
+         |  FROM cosr WHERE rnk <= 100)
+         |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
+         |       count(*)::BIGINT AS n_arms
+         |FROM fused GROUP BY doc_id
+         |ORDER BY rrf_micro DESC, doc_id""".stripMargin,
 
     // Index round trip must preserve q6's answer exactly: same SQL.
     "q71_search_indexed" ->

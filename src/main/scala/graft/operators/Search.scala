@@ -254,4 +254,78 @@ object Search {
       indexPath: String,
       query: String): DataFrame =
     searchIndexTokens(readIndex(spark, indexPath), TfIdf.tokenizeQuery(query))
+
+  /**
+   * RECIPROCAL-RANK FUSION (Cormack, Clarke & Büttcher, SIGIR 2009) —
+   * hybrid retrieval's merge step: combine several ranked arms (a
+   * lexical BM25 run, an embedding-cosine run, ...) into one list by
+   * summed reciprocal ranks, rrf(d) = Σ_arms 1/(K + rank_arm(d)).
+   * Fusing by RANK rather than raw score needs no per-arm calibration
+   * — the arms' scores live on incomparable scales (BM25 sums vs
+   * cosines) — which is why RRF is the standard hybrid-search baseline
+   * the dense+sparse retrievers behind RAG corpora all start from.
+   *
+   * Determinism across engines: the reciprocal is integer-quantized —
+   * contribution = 10⁹ div (K + rank), a LONG division — so a doc's
+   * fused score is a sum of longs: exact, order-free, no float
+   * accumulation to drift between Spark and the oracle (the DSIR
+   * micro-nat recipe). Within an arm, rank order is the total order
+   * (score desc, doc asc); callers feeding float scores should
+   * pre-round them so both engines rank identical values.
+   *
+   * Scale shape: each arm is truncated to its `topN` FIRST via
+   * orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+   * heaps, driver merge), never a global sort — and the within-arm
+   * rank is then a window over ≤ topN rows, the one place a
+   * single-partition exchange is harmless (the frame is bounded by
+   * construction, like the B-row model frames). The fuse itself is a
+   * union + one doc-keyed partial agg. Nothing here scales with the
+   * corpus; the arms' own retrieval plans dominate.
+   *
+   * @param arms (doc, score) frames, one per retrieval run
+   * @return (doc, rrf_micro, n_arms): fused score — the sum of each
+   *         retrieving arm's ⌊10⁹/(K+rank)⌋ — and the arm count
+   */
+  def rrfFuse(arms: Seq[DataFrame], topN: Int = 100, kRrf: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one arm")
+    require(topN > 0, s"topN must be positive, got $topN")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    val contribs = arms.map { arm =>
+      arm.select(col("doc"), col("score"))
+        .orderBy(col("score").desc, col("doc"))
+        .limit(topN)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc"))).cast("long"))
+        .select(col("doc"),
+          expr(s"CAST(1000000000 AS BIGINT) div (${kRrf}L + rnk)").as("contrib"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col("doc"))
+      .agg(sum(col("contrib")).as("rrf_micro"), count(lit(1)).as("n_arms"))
+  }
+
+  /**
+   * Hybrid lexical+dense search over aligned `documents`/`embeddings`
+   * tables: BM25 for the query string, cosine against the query
+   * vector, fused by [[rrfFuse]]. The BM25 arm pre-rounds scores to 6
+   * decimals (the q69 cross-engine recipe) so rank ties resolve
+   * identically everywhere; the cosine arm is already rounded by
+   * [[Similarity.cosineTopK]].
+   */
+  def searchHybrid(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      query: String,
+      queryVecId: Long,
+      topN: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    val lexical = searchBm25Tokens(
+      bm25Scores(docs).withColumn("score", round(col("score"), 6)),
+      TfIdf.tokenizeQuery(query).distinct)
+      .withColumn("score", round(col("score"), 6))
+    val dense = Similarity
+      .cosineTopK(embeddings, embeddings.where(col("vec_id") === queryVecId), topN)
+      .select(col("n_vec_id").as("doc"), col("cos").as("score"))
+    rrfFuse(Seq(lexical, dense), topN, kRrf)
+  }
 }

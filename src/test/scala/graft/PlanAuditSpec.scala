@@ -54,8 +54,10 @@ class PlanAuditSpec extends SparkSpec {
                        // dense smoothed conditional table (≤ B·C rows)
     "q88b_nb_confusion", // same model cross
     "q89_coverage_sample", // q54's Lloyd centroid broadcast cross
-    "q91b_split_incremental_leakage") // 1-row new-counts × 1-row
+    "q91b_split_incremental_leakage", // 1-row new-counts × 1-row
                                       // pair-counts cross
+    "q94_hybrid_search") // q69's 1-row (N, avgdl) stats cross + q15's
+                         // 1-query-vector broadcast over the corpus scan
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"

@@ -198,6 +198,40 @@ class TfIdfSpec extends SparkSpec {
     got("d2") shouldBe perTerm(("a", "d2")) +- eps
   }
 
+  test("rrfFuse sums integer-quantized reciprocal ranks across arms") {
+    val s = spark
+    import s.implicits._
+    // arm 1 ranks: d1=1, d2=2, d3=3; arm 2 ranks: d2=1, d4=2
+    val arm1 = Seq(("d1", 9.0), ("d2", 5.0), ("d3", 1.0)).toDF("doc", "score")
+    val arm2 = Seq(("d2", 0.9), ("d4", 0.8)).toDF("doc", "score")
+    val got = Search.rrfFuse(Seq(arm1, arm2), topN = 100, kRrf = 60)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def c(rank: Int): Long = 1000000000L / (60L + rank)
+    got("d1") shouldBe ((c(1), 1L))
+    got("d2") shouldBe ((c(2) + c(1), 2L)) // both arms retrieve d2
+    got("d3") shouldBe ((c(3), 1L))
+    got("d4") shouldBe ((c(2), 1L))
+  }
+
+  test("rrfFuse topN truncates each arm before ranking") {
+    val s = spark
+    import s.implicits._
+    val arm = Seq(("d1", 3.0), ("d2", 2.0), ("d3", 1.0)).toDF("doc", "score")
+    val got = Search.rrfFuse(Seq(arm), topN = 2, kRrf = 60)
+      .collect().map(r => r.getString(0)).toSet
+    got shouldBe Set("d1", "d2") // d3 falls outside the arm's top-2
+  }
+
+  test("rrfFuse rank ties break on doc id identically to the oracle rule") {
+    val s = spark
+    import s.implicits._
+    val arm = Seq(("dB", 1.0), ("dA", 1.0)).toDF("doc", "score")
+    val got = Search.rrfFuse(Seq(arm), topN = 100, kRrf = 60)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got("dA") shouldBe 1000000000L / 61L // rank 1: tie broken by doc asc
+    got("dB") shouldBe 1000000000L / 62L
+  }
+
   test("index round trip: searchIndexed equals search on the same query") {
     val idx = java.nio.file.Files.createTempDirectory("graft-index")
       .resolve("idx").toString
