@@ -1617,7 +1617,76 @@ object SparkEntry {
       graft.operators.Pipeline.corpusRollup(
           tbl(s, dir, "documents").select(col("doc_id").as("doc"),
             col("text").as("line"), col("lang"), col("source")))
-        .orderBy(col("g_lang"), col("lang"), col("g_source"), col("source")))
+        .orderBy(col("g_lang"), col("lang"), col("g_source"), col("source"))),
+
+    // ANN: MULTI-PROBE hyperplane LSH top-10 — each query probes its own
+    // bucket plus every hamming-1 flip (9 buckets at bits=8), recovering
+    // neighbors that landed just across one hyperplane without adding
+    // tables. Oracle mirrors the same probe expansion.
+    "q95_ann_multiprobe" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshCosineTopKMultiProbe(e, e.where(col("vec_id") < 5),
+          k = 10, bits = 8)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // Multi-probe recall CONTRACT (the q25b twin at the SAME bits=8 the
+    // production call uses): recall@10 vs the exact top-k. q25 at bits=8
+    // probes 1/256 of the corpus per query; multi-probe makes that
+    // bucket width usable — SimilaritySpec asserts its recall dominates
+    // the single-probe run on the same family.
+    "q95b_ann_multiprobe_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.lshCosineTopKMultiProbe(e, q, k = 10, bits = 8)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
+    // CONVERGED transitive-closure dedup over corpus + the seeded chain:
+    // min-label propagation to a detected FIXPOINT (not a guessed
+    // iteration bound). The oracle computes TRUE connected components
+    // via a recursive CTE — a stronger contract than q28b's unrolled
+    // iterations: the engine's convergence must equal graph closure.
+    "q96_minhash_dedup_converged" -> ((s, dir) => {
+      import s.implicits._
+      val seeded = ChainDocs.toDF("doc", "line")
+      Dedup.minhashDedupConverged(docs(s, dir).unionByName(seeded))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality-aware keeper: per CONVERGED near-dup cluster keep the
+    // highest-quality member (ties to smallest id) instead of min-id —
+    // the keeper rule that stops dedup from preferring truncated copies.
+    "q97_dedup_best_keeper" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = Dedup.minhashClusterLabelsConverged(d)
+      Dedup.dedupKeepBest(d, labels,
+          graft.functions.TextAnalysis.qualityScoreCol(col("line")))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style perplexity triage: per-LANGUAGE head/middle/tail
+    // thirds by bigram-LM fluency (corpus-own model, per-lang exact
+    // percentile cuts broadcast back).
+    "q98_perplexity_buckets" -> ((s, dir) =>
+      graft.operators.Pipeline.perplexityBuckets(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang")))
+        .select(col("doc").as("doc_id"), col("lang"), col("n_bigrams"),
+          col("avg_logp"), col("bucket"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -489,6 +489,108 @@ object Dedup {
   }
 
   /**
+   * CONVERGED transitive-closure labels — [[minhashClusterLabels]] run to
+   * a FIXPOINT instead of a fixed iteration count: min-label propagation
+   * repeats until an iteration changes ZERO labels (true connected
+   * components of the doc ↔ LSH-bucket graph, whatever the component
+   * diameter), with `maxIter` as a runaway bound only. The bounded tier
+   * stays the default for known-short dup chains; this tier is for
+   * corpora where chain length is unknown and an under-merged cluster is
+   * a correctness bug (e.g. the leakage-safe split, where a split
+   * component means train/val contamination).
+   *
+   * Cost of convergence DETECTION is zero extra jobs: the per-iteration
+   * change flag rides the same materializing action the bounded loop
+   * already needs to release the previous iteration's cache — `changed`
+   * is a count over the just-persisted frame. Labels only decrease, so
+   * the loop runs diameter+1 iterations (the +1 proves the fixpoint);
+   * real dup graphs converge in a handful. Each iteration is the same
+   * two grouped shuffles over the one persisted bands table as the
+   * bounded tier.
+   */
+  def minhashClusterLabelsConverged(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 20): DataFrame = {
+    val bands = graft.Caching.persist(lshBands(
+      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand))
+    var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
+      .withColumn("lbl", col("doc")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val bucketMin = bands.join(labels.select(col("doc"), col("lbl")), Seq("doc"))
+        .groupBy(col("band"), col("band_val"))
+        .agg(min(col("lbl")).as("bmin"))
+      val next = bands.join(bucketMin, Seq("band", "band_val"))
+        .groupBy(col("doc"))
+        .agg(min(col("bmin")).as("prop"))
+        .join(labels.select(col("doc"), col("lbl")), Seq("doc"))
+        .select(col("doc"), least(col("lbl"), col("prop")).as("lbl"),
+          (col("prop") < col("lbl")).as("_chg"))
+      val nextP = graft.Caching.persist(next)
+      // One action serves both purposes: materialize the new labels so
+      // the previous iteration's cache can be released (linear lineage,
+      // the iterative-operator recipe), and count the changed labels so
+      // the loop can detect its fixpoint without an extra job.
+      changed = nextP.where(col("_chg")).count()
+      graft.Caching.release(labels)
+      labels = nextP
+      iter += 1
+    }
+    labels.select(col("doc"), col("lbl"))
+  }
+
+  /**
+   * Transitive-closure dedup at FULL convergence — the
+   * [[minhashDedupIterative]] twin whose survivor set is exactly one doc
+   * per connected component regardless of chain diameter (the bounded
+   * tier can keep two survivors of a diameter-> 2·maxIter chain). Same
+   * cost model per iteration; iteration count is the component diameter
+   * + 1, detected, not guessed.
+   */
+  def minhashDedupConverged(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 20): DataFrame = {
+    val labels = minhashClusterLabelsConverged(docs, n, numHashes, rowsPerBand, maxIter)
+    val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
+    docs.join(dropped, Seq("doc"), "left_anti")
+  }
+
+  /**
+   * Quality-aware cluster dedup: keep the BEST-scoring member of each
+   * near-dup cluster instead of the smallest id — the keeper rule real
+   * curation pipelines want (near-duplicates differ by boilerplate,
+   * truncation, OCR noise; the min-id keeper is deterministic but
+   * quality-blind — it happily keeps the truncated copy). `labels` is a
+   * (doc, lbl) cluster frame from [[minhashClusterLabels]] /
+   * [[minhashClusterLabelsConverged]]; docs absent from it are
+   * singletons (cluster = own id). `score` is any expression over the
+   * doc's columns (e.g. `TextAnalysis.qualityScoreCol(col("line"))`);
+   * ties break to the smallest doc id so the keeper is total-ordered
+   * and engine-portable.
+   *
+   * Scale shape: one left join against the vocabulary-of-clusters-sized
+   * label frame, then ONE window partitioned by cluster —
+   * WindowGroupLimit pushes the rank-1 filter into the sort, so each
+   * task keeps a 1-row heap per cluster, never the cluster's members.
+   */
+  def dedupKeepBest(docs: DataFrame, labels: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clustered = docs.join(labels, Seq("doc"), "left")
+      .withColumn("_cluster", coalesce(col("lbl"), col("doc")))
+    val w = Window.partitionBy(col("_cluster")).orderBy(score.desc, col("doc"))
+    clustered.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(docs.columns.map(col): _*)
+  }
+
+  /**
    * LEAKAGE-SAFE train/validation split — the held-out-set rule every
    * training pipeline needs once it deduplicates approximately: a doc's
    * split is decided by hashing its near-dup CLUSTER label (from

@@ -455,6 +455,50 @@ object Pipeline {
       .drop("_thr")
   }
 
+  /** Per-language cut points for [[perplexityBuckets]] (head/middle/tail
+    * thirds). Public so the oracle SQL is generated from the SAME
+    * doubles — the literal printed by Scala re-parses to the identical
+    * IEEE value in DuckDB. */
+  val PerplexityCuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)
+
+  /**
+   * CCNet-style PERPLEXITY bucketing (Wenzek et al., LREC 2020 §4.3):
+   * split each language's documents into head / middle / tail thirds by
+   * language-model fluency — the standard web-corpus triage where an
+   * absolute quality threshold cannot transfer across languages (a
+   * "good" perplexity in German is not one in English; CCNet cuts each
+   * language against its own distribution). Scoring is
+   * [[TextAnalysis.bigramLmScore]]'s corpus-own bigram LM (higher mean
+   * log-prob = more fluent = CCNet's LOWER perplexity), so `head` is
+   * the most fluent third. Docs with < 2 tokens have no bigrams, emit
+   * no score, and are absent — mirroring the scorer's contract.
+   *
+   * Scale shape: the LM chain is q46's (one (w1,w2)-keyed shuffle, the
+   * model joined vocab-side first); the cuts are one exact interpolated
+   * percentile-array aggregate PER LANGUAGE (a languages-row frame) and
+   * join back as a broadcast; the bucket decision is map-side threshold
+   * comparison, ties landing in the better bucket deterministically. At
+   * 100 TB swap the exact percentile for `percentile_approx` — same
+   * plan shape, and the exact tier stays the oracle contract.
+   *
+   * @param docs (doc, line, lang) corpus
+   * @return (doc, lang, n_bigrams, avg_logp, bucket)
+   */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.bigramLmScore(docs.select(col("doc"), col("line")))
+      .join(docs.select(col("doc"), col("lang")), Seq("doc"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr(s"percentile(avg_logp, array(${PerplexityCuts.mkString(", ")}))")
+        .as("_cuts"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("_cuts")(1), lit("head"))
+          .when(col("avg_logp") >= col("_cuts")(0), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc"), col("lang"), col("n_bigrams"), col("avg_logp"),
+        col("bucket"))
+  }
+
   /**
    * Train-test CONTAMINATION screen: flag corpus documents sharing at
    * least `minShared` distinct word n-grams with any benchmark document

@@ -409,4 +409,51 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
   }
+
+  /**
+   * MULTI-PROBE LSH top-k — the recall lever that costs probes, not
+   * memory: each query inspects its own hyperplane bucket PLUS every
+   * bucket at Hamming distance 1 (one sign bit flipped), so a true
+   * neighbor that landed just across one hyperplane is recovered
+   * without doubling the table count (Lv et al., VLDB 2007: perturbing
+   * the query's bucket approximates what extra independent tables buy,
+   * at zero extra index footprint). With `bits` hyperplanes a query
+   * probes bits+1 buckets — recall rises toward the exact scan's while
+   * the corpus-side layout (ONE bucket per vector) is unchanged.
+   *
+   * Scale shape: identical to [[lshCosineTopK]] — the probe expansion
+   * is a query-side explode (queries are the tiny side and stay
+   * broadcast), the join still keys on the bucket id, and each (query,
+   * candidate) pair appears at most once because a corpus vector lives
+   * in exactly one bucket and the probe set is distinct by
+   * construction — no dedup exchange. Candidate volume is (bits+1)/2^bits
+   * of the corpus per query in expectation.
+   */
+  def lshCosineTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 8): DataFrame = {
+    val c = withLshBucket(corpus, bits)
+      .select(col("vec_id").as("n_vec_id"), col("embedding").as("n_emb"), col("bucket"))
+      .withColumn("n_nrm", sqrt(dot(col("n_emb"), col("n_emb"))))
+    val probeSet = array(
+      col("bucket") +: (0 until bits).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val q = withLshBucket(queries, bits)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_emb"),
+        explode(probeSet).as("bucket"))
+      .withColumn("q_nrm", sqrt(dot(col("q_emb"), col("q_emb"))))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("n_vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+  }
 }
