@@ -25,6 +25,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // pin the NTZ→TZ normalization in SparkEntry.events to UTC, like
+      // Verify — timings must run the same plans the oracle verifies
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args = subset of query names (iteration aid); default all

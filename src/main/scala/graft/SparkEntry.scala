@@ -39,22 +39,51 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; an explicit user schema reads the physical int64
-    * nanos as LongType (no session-wide `nanosAsLong` mutation) and
-    * truncates to micros — the same ns→µs truncation DuckDB applies, so
-    * both engines see identical ts. */
+  /** events.parquet loader, robust to the fixture's TIMESTAMP unit.
+    *
+    * The fixture has shipped with both TIMESTAMP(MICROS) (which Spark
+    * reads natively) and TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects at schema inference). Branch on what the footer
+    * actually says instead of assuming a unit: if schema inference
+    * succeeds and `ts` is a native TimestampType, read naturally; only
+    * when inference throws (the NANOS case) fall back to an explicit
+    * LongType schema over the physical int64 and truncate ns → µs —
+    * the same truncation DuckDB applies, so both engines see identical
+    * ts either way. FixtureSpec additionally pins the decoded range
+    * (min ts year ≥ 2000) so a silent fixture regeneration with a new
+    * unit fails the suite loudly rather than corrupting 12 oracles. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read
-      .schema(schema)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    val naturalTs =
+      try {
+        spark.read.parquet(path).schema("ts").dataType match {
+          case TimestampType | TimestampNTZType => true // MICROS/MILLIS
+          case _ => false // plain int64: historic nanos encoding
+        }
+      } catch { case _: Exception => false } // NANOS: inference itself throws
+    if (naturalTs)
+      // normalize NTZ → TimestampType (value-preserving under the UTC
+      // session) so every downstream timestamp function sees the same
+      // type whichever annotation the fixture carries
+      spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+    else {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read
+        .schema(schema)
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
+
+  /** Test hook: the events loader, exposed so FixtureSpec can pin the
+    * decoded-timestamp sanity range against whatever unit the fixture
+    * carries (the round-4 silent-regeneration regression). */
+  private[graft] def eventsForTest(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
 
   /** Fixed search query for q6/q7 (terms present in the synthetic corpus). */
   val SearchQuery = "spark stream window"
@@ -921,9 +950,14 @@ object SparkEntry {
     // propagation would surface here as crossing > 0.
     "q87b_split_leakage" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sp = Dedup.leakageSafeSplit(d, valPerMille = 100)
-      val cands = Dedup.lshCandidates(
+      // ONE persisted band derivation feeds both the split's label
+      // propagation and the candidate-pair audit (this was the most
+      // expensive bench row in r4 — the shingle chain ran twice)
+      val bands = graft.Caching.persist(
         Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(d))))
+      val sp = Dedup.leakageSafeSplit(d, valPerMille = 100,
+        precomputedBands = Some(bands))
+      val cands = Dedup.lshCandidates(bands)
       val crossing = cands
         .join(sp.select(col("doc").as("d1"), col("split").as("split1")), "d1")
         .join(sp.select(col("doc").as("d2"), col("split").as("split2")), "d2")
@@ -1014,11 +1048,18 @@ object SparkEntry {
       val d = docs(s, dir)
       val hist = d.where(col("doc") < 250)
       val delta = d.where(col("doc") >= 250)
-      val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 100)
+      // ONE persisted band derivation per side serves the history split,
+      // the incremental assignment, AND the crossing audit (r4 paid the
+      // shingle chain twice per side)
+      val bHist = graft.Caching.persist(
+        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(hist))))
+      val bNew = graft.Caching.persist(
+        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(delta))))
+      val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 100,
+        precomputedBands = Some(bHist))
       val sp = Dedup.leakageSafeSplitAgainst(delta, hist,
-        hsp.select(col("doc"), col("split")), valPerMille = 100)
-      val bNew = Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(delta)))
-      val bHist = Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(hist)))
+        hsp.select(col("doc"), col("split")), valPerMille = 100,
+        precomputedNewBands = Some(bNew), precomputedHistBands = Some(bHist))
       val ok = bHist.groupBy(col("band"), col("band_val"))
         .agg(count(lit(1)).as("bucket_n"))
         .where(col("bucket_n") <= Dedup.MaxPairBucket)
@@ -3204,7 +3245,192 @@ object SparkEntry {
         |       ((epoch_us(e.ts) - epoch_us(p.first_seen)) // 1000000)::BIGINT
         |         AS secs_since_first
         |FROM events e JOIN prof p ON e.user_id = p.user_id
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Multi-probe LSH (q25's family at bits=8): the probe expansion is
+    // mirrored exactly — each query's bucket list is its own bucket plus
+    // every one-bit XOR flip, then the same bucket equi-join + rounded
+    // cosine re-rank as q25.
+    "q95_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb,
+         |         list_sum(list_transform(range(0, 8), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
+         |         sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id, emb, nrm, unnest(probes) AS bucket FROM (
+         |    SELECT vec_id, emb, nrm,
+         |           list_prepend(bucket, list_transform(range(0, 8),
+         |             i -> xor(bucket, 1::BIGINT << i::INTEGER))) AS probes
+         |    FROM b WHERE vec_id < 5)),
+         |scored AS (
+         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY cos DESC, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // Multi-probe recall contract at the SAME bits=8 the production call
+    // uses: approx = the probe-expanded run above, exact = the
+    // brute-force top-10, recall = |approx ∩ exact| / 10 per query.
+    "q95b_ann_multiprobe_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb,
+         |         list_sum(list_transform(range(0, 8), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
+         |         sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |qb AS (SELECT * FROM b WHERE vec_id < 5),
+         |q AS (
+         |  SELECT vec_id, emb, nrm, unnest(probes) AS bucket FROM (
+         |    SELECT vec_id, emb, nrm,
+         |           list_prepend(bucket, list_transform(range(0, 8),
+         |             i -> xor(bucket, 1::BIGINT << i::INTEGER))) AS probes
+         |    FROM qb)),
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
+         |               DESC, c.vec_id) AS rnk
+         |    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 10),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
+         |               DESC, c.vec_id) AS rnk
+         |    FROM qb q JOIN b c ON q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
+
+    // TRUE connected components via a recursive CTE over the band graph
+    // — the stronger contract the converged engine loop must equal:
+    // reach(doc, lbl) closes doc↔bucket adjacency to a fixpoint, each
+    // doc's label is the minimum over its whole component, survivors
+    // are the component minima. (q28b's oracle unrolls 3 bounded
+    // iterations; this one has no iteration bound at all.)
+    "q96_minhash_dedup_converged" ->
+      s"""WITH RECURSIVE seeded AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $chainValuesSql) v(doc_id, text)),
+         |${shingleCtesFrom("seeded")},
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val),
+         |reach(doc_id, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
+         |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
+         |SELECT doc_id FROM seeded
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE lbl < doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Quality-aware keeper over the SAME recursive-CTE components as
+    // q96 (corpus only, no seeded chain): per cluster keep the max
+    // q18-quality member, ties to the smallest doc id; docs with no
+    // shingles are singleton clusters of themselves.
+    "q97_dedup_best_keeper" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val),
+         |reach(doc_id, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
+         |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    round(len(list_filter(toks, x -> x IN (
+         |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+         |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+         |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+         |  FROM t),
+         |qs AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+         |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+         |  FROM m),
+         |k AS (
+         |  SELECT d.doc_id,
+         |         row_number() OVER (PARTITION BY coalesce(cc.lbl, d.doc_id)
+         |                            ORDER BY qs.quality_score DESC, d.doc_id) AS rn
+         |  FROM documents d
+         |  LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |  JOIN qs ON qs.doc_id = d.doc_id)
+         |SELECT doc_id FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q46's bigram-LM chain + per-language interpolated tertile cuts
+    // (quantile_cont mirrors Spark's exact `percentile`, the q64
+    // precedent); head = most fluent third. Cut literals are printed
+    // from the SAME doubles as the engine (Pipeline.PerplexityCuts).
+    "q98_perplexity_buckets" ->
+      s"""WITH tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[p::INTEGER] AS w1, toks[(p + 1)::INTEGER] AS w2
+         |  FROM tokl, unnest(range(1, len(toks))) r(p)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT unnest(toks) AS w1 FROM tokl),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM uni),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY doc_id),
+         |scl AS (
+         |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp
+         |  FROM sc s JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |         quantile_cont(avg_logp,
+         |           [${graft.operators.Pipeline.PerplexityCuts.mkString(", ")}]) AS cs
+         |  FROM scl GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp,
+         |       CASE WHEN s.avg_logp >= cs[2] THEN 'head'
+         |            WHEN s.avg_logp >= cs[1] THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM scl s JOIN cuts USING (lang)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q26/q82 oracle: deterministic IVF top-10, stride 100,

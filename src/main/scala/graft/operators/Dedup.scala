@@ -460,9 +460,14 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      maxIter: Int = 3): DataFrame = {
-    val bands = graft.Caching.persist(lshBands(
-      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand))
+      maxIter: Int = 3,
+      precomputedBands: Option[DataFrame] = None): DataFrame = {
+    // `precomputedBands` lets a composition that ALSO consumes the band
+    // frame (e.g. the q87b leakage audit: split + candidate pairs) share
+    // one persisted derivation instead of paying shingles→signatures→
+    // bands twice; the caller owns that frame's lifecycle.
+    val bands = precomputedBands.getOrElse(graft.Caching.persist(lshBands(
+      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand)))
     var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
       .withColumn("lbl", col("doc")))
     for (_ <- 1 to maxIter) {
@@ -540,6 +545,15 @@ object Dedup {
       labels = nextP
       iter += 1
     }
+    // The CONTRACT of this tier is convergence — a silent fall-back to
+    // the bounded tier's semantics would defeat its one use case (e.g.
+    // a leakage-safe split where an under-merged component means
+    // train/val contamination). Failing loudly is the only safe exit.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"minhashClusterLabelsConverged: $changed labels still changing " +
+          s"after maxIter=$maxIter iterations — component diameter exceeds " +
+          "the runaway bound; raise maxIter (convergence is the contract)")
     labels.select(col("doc"), col("lbl"))
   }
 
@@ -620,10 +634,12 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      maxIter: Int = 3): DataFrame = {
+      maxIter: Int = 3,
+      precomputedBands: Option[DataFrame] = None): DataFrame = {
     require(valPerMille >= 0 && valPerMille <= 1000,
       s"valPerMille must be in [0, 1000], got $valPerMille")
-    val labels = minhashClusterLabels(docs, n, numHashes, rowsPerBand, maxIter)
+    val labels =
+      minhashClusterLabels(docs, n, numHashes, rowsPerBand, maxIter, precomputedBands)
     val bucket = conv(substring(
         md5(concat(lit("split:"), col("cluster").cast("string"))), 1, 8),
       16, 10).cast("long") % 1000000L
@@ -671,14 +687,16 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      maxBucketSize: Int = MaxPairBucket): DataFrame = {
+      maxBucketSize: Int = MaxPairBucket,
+      precomputedNewBands: Option[DataFrame] = None,
+      precomputedHistBands: Option[DataFrame] = None): DataFrame = {
     require(valPerMille >= 0 && valPerMille <= 1000,
       s"valPerMille must be in [0, 1000], got $valPerMille")
-    val bNew = lshBands(
-      minhashSignatures(shingles(newDocs, n), numHashes), numHashes, rowsPerBand)
-    val bHist = graft.Caching.persist(lshBands(
+    val bNew = precomputedNewBands.getOrElse(lshBands(
+      minhashSignatures(shingles(newDocs, n), numHashes), numHashes, rowsPerBand))
+    val bHist = precomputedHistBands.getOrElse(graft.Caching.persist(lshBands(
       minhashSignatures(shingles(historyDocs, n), numHashes),
-      numHashes, rowsPerBand))
+      numHashes, rowsPerBand)))
     val okBuckets = bHist
       .groupBy(col("band"), col("band_val"))
       .agg(count(lit(1)).as("bucket_n"))

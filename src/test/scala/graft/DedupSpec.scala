@@ -216,6 +216,54 @@ class DedupSpec extends SparkSpec {
     closed shouldBe Set(1000001L) // closure keeps only the component min
   }
 
+  test("minhashDedupConverged reaches the fixpoint on the seeded chain") {
+    val s = spark
+    import s.implicits._
+    // same chain as the bounded-tier test, but convergence is DETECTED:
+    // the loop must stop on its own (well under the runaway bound) and
+    // land on exactly the component minimum
+    val chain = SparkEntry.ChainDocs.toDF("doc", "line")
+    Dedup.minhashDedupConverged(chain)
+      .select("doc").collect().map(_.getLong(0)).toSet shouldBe Set(1000001L)
+    // converged labels: every member of the component carries the min
+    val labels = Dedup.minhashClusterLabelsConverged(chain)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("lbl")).toMap
+    labels shouldBe Map(1000001L -> 1000001L, 1000002L -> 1000001L,
+      1000003L -> 1000001L)
+  }
+
+  test("minhashClusterLabelsConverged fails loudly when the runaway bound truncates") {
+    val s = spark
+    import s.implicits._
+    // maxIter=1 stops the loop mid-propagation (the chain needs two
+    // label hops + one confirming pass): the contract is convergence,
+    // so silently returning under-merged labels would be a correctness
+    // bug — the operator must throw instead
+    val chain = SparkEntry.ChainDocs.toDF("doc", "line")
+    val ex = intercept[IllegalStateException] {
+      Dedup.minhashClusterLabelsConverged(chain, maxIter = 1).collect()
+    }
+    ex.getMessage should include("maxIter")
+  }
+
+  test("dedupKeepBest keeps the max-score member, ties to smallest doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "short"),
+      (2L, "a much longer and higher quality document body here"),
+      (3L, "a much longer and higher quality document body here"), // ties 2
+      (9L, "unclustered singleton")).toDF("doc", "line")
+    // labels cluster 1,2,3 together; 9 is absent (singleton by contract)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc", "lbl")
+    val kept = Dedup.dedupKeepBest(docs, labels,
+        graft.functions.TextAnalysis.qualityScoreCol(col("line")))
+      .select("doc").collect().map(_.getLong(0)).toSet
+    // 2 and 3 share the top quality score — the tie breaks to 2; the
+    // min-id keeper would have kept the low-quality doc 1 instead
+    kept shouldBe Set(2L, 9L)
+  }
+
   test("minhashDedupIterative equals one-hop dedup when no chains exist") {
     val kept = Dedup.minhashDedupIterative(dupCorpus)
       .select("doc").collect().map(_.getString(0)).toSet

@@ -270,6 +270,35 @@ class PipelineSpec extends SparkSpec {
       3L -> ((8L, 1L, 8L)))
   }
 
+  test("perplexityBuckets cuts each language against its own distribution") {
+    val s = spark
+    import s.implicits._
+    // two languages with deliberately different fluency spreads: the
+    // bucket decision must be PER-LANG (CCNet's whole point) — a global
+    // cut would land all of one language in one bucket
+    val docs = (
+      (1 to 9).map(i => (i.toLong,
+        ("the cat sat on the mat " * i).trim, "en")) ++
+      (11 to 19).map(i => (i.toLong,
+        ("der hund lief schnell weg heute " * (i - 10)).trim, "de")) :+
+      ((99L, "solo", "en")) // single token: no bigrams, must be absent
+    ).toDF("doc", "line", "lang")
+    val got = Pipeline.perplexityBuckets(docs).collect()
+    got.map(_.getAs[Long]("doc")) should not contain 99L
+    got.foreach(r => Set("head", "middle", "tail") should contain(
+      r.getAs[String]("bucket")))
+    // each language is cut into nonempty thirds against ITS OWN scores,
+    // and the bucket order agrees with avg_logp order within the lang
+    Seq("en", "de").foreach { lang =>
+      val rows = got.filter(_.getAs[String]("lang") == lang)
+      val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("avg_logp"))).toMap
+      byBucket.keySet shouldBe Set("head", "middle", "tail")
+      byBucket("head").min should be >= byBucket("middle").max
+      byBucket("middle").min should be >= byBucket("tail").max
+    }
+  }
+
   test("importanceResample ranks by the replayed log-ratio formula, exact ties to doc") {
     val s2 = spark
     import s2.implicits._

@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
     "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
     "q26b_ann_ivf_recall", // q26's IVF twin: exact side + centroid broadcast
+    "q95b_ann_multiprobe_recall", // embeds q15's exact side as the recall
+                                  // denominator, same as q25b/q26b
     "q82_ann_indexed", // q26's probe-side centroid broadcast (the
                        // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products
@@ -43,6 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q31b_corpus_stats_approx", // 1-row exact × 1-row HLL contract cross
     "q39_cooccurrence_pmi", // 1-row total-count crosses (N tokens, P pairs)
     "q46_bigram_lm", // 1-row vocabulary-size (V) broadcast cross
+    "q98_perplexity_buckets", // the same 1-row vocabulary-size (V) cross
+                              // (rides q46's bigramLmScore lineage)
     "q78_hot_keys", // 1-row total-count broadcast cross
     "q79_term_drift", // 1-row (n_a, n_b, V) broadcast cross
     "q80b_projection_distortion", // 5-query broadcast over one corpus

@@ -162,6 +162,41 @@ class SimilaritySpec extends SparkSpec {
     (hits.toDouble / 50.0) should be >= 0.08 // measured 0.10 at sf0.01
   }
 
+  test("multi-probe recall@10 dominates single-probe at the same bits") {
+    // The q95b contract, asserted: probing the query's own bucket PLUS
+    // every hamming-1 flip can only ADD candidates relative to the
+    // single-probe run on the same hash family, so recall must dominate
+    // — and at bits=8 (1/256 buckets) the single-probe run is starved
+    // enough that domination is the whole point of the operator.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(e, q, k = 10).select("q_vec_id", "n_vec_id")
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      approx.select("q_vec_id", "n_vec_id")
+        .join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi").count().toDouble / 50.0
+    val single = recall(Similarity.lshCosineTopK(e, q, k = 10, bits = 8))
+    val multi = recall(Similarity.lshCosineTopKMultiProbe(e, q, k = 10, bits = 8))
+    multi should be >= single
+    multi should be > 0.0 // catastrophic-bug floor: probe set misses even the own bucket
+  }
+
+  test("multi-probe candidates are exactly the hamming<=1 bucket union") {
+    // Every returned neighbor must live in a bucket at hamming distance
+    // <= 1 from its query's bucket (the probe definition), and cosines
+    // are exact (same re-rank as the single-probe tier).
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val buckets = Similarity.withLshBucket(e, bits = 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val got = Similarity.lshCosineTopKMultiProbe(e, q, k = 10, bits = 8).collect()
+    got.length should be > 0
+    got.foreach { r =>
+      val d = java.lang.Long.bitCount(
+        buckets(r.getAs[Long]("q_vec_id")) ^ buckets(r.getAs[Long]("n_vec_id")))
+      d should be <= 1
+    }
+  }
+
   test("ivfCosineTopK recall@10 vs exact stays above the pinned floor") {
     // The q26b contract, asserted: IVF with 2 probes over stride-100
     // centroids recovers most of the exact top-10 — a broken cell
