@@ -238,6 +238,57 @@ object SparkEntry {
 
   private val MinhashBandsSql: String = minhashBandsSqlSfx("")
 
+  /** DuckDB replica of the PQ chain (`Similarity.pqEncode`): stride-
+    * sampled codebooks, per-subspace rounded-L2 argmin codes — generated
+    * from the SAME constants as the engine, so the two sides cannot
+    * drift. Ends with `codes` = (vec_id, s, j). */
+  private def pqCtes: String = {
+    val m = Similarity.PqM; val sd = Similarity.PqSubDim
+    val k = Similarity.PqK; val st = Similarity.PqStride
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cb AS (
+       |  SELECT s, (vec_id // $st) AS j,
+       |         list_slice(emb, (s * $sd + 1)::INTEGER, (s * $sd + $sd)::INTEGER) AS c
+       |  FROM e CROSS JOIN range($m) r(s)
+       |  WHERE vec_id % $st = 0 AND vec_id < ${k.toLong * st}),
+       |sub AS (
+       |  SELECT vec_id, s,
+       |         list_slice(emb, (s * $sd + 1)::INTEGER, (s * $sd + $sd)::INTEGER) AS v
+       |  FROM e CROSS JOIN range($m) r(s)),
+       |dist AS (
+       |  SELECT vec_id, sub.s, cb.j,
+       |         round(list_dot_product(v, v) + list_dot_product(c, c)
+       |               - 2 * list_dot_product(v, c), 6) AS l2
+       |  FROM sub JOIN cb ON sub.s = cb.s),
+       |codes AS (
+       |  SELECT vec_id, s, j FROM (
+       |    SELECT vec_id, s, j,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY l2, j) AS rn
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Per-query ADC lookup table over the codebook (queries vec_id < 5),
+    * on top of [[pqCtes]]. */
+  private def pqLutCte: String = {
+    val sd = Similarity.PqSubDim
+    s"""lut AS (
+       |  SELECT q.vec_id AS q_vec_id, cb.s, cb.j,
+       |         list_dot_product(
+       |           list_slice(q.emb, (cb.s * $sd + 1)::INTEGER,
+       |                      (cb.s * $sd + $sd)::INTEGER), cb.c) AS v
+       |  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cb)""".stripMargin
+  }
+
+  /** ADC scoring CTEs on top of [[pqCtes]]: per-query LUT over the
+    * codebook + the summed table-pick score per (query, vector). */
+  private def pqAdcCtes: String =
+    s"""$pqLutCte,
+       |adc AS (
+       |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
+       |  FROM codes cd
+       |  JOIN lut l ON l.s = cd.s AND l.j = cd.j AND l.q_vec_id <> cd.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB replica of `Similarity.signRow`'s hyperplane family: sign_j of
     * hyperplane `h` = +1 iff hex digit (j mod 16) of md5("h:j") ≥ '8'.
     * Returns the dot product of `emb` with hyperplane `hExpr` — both
@@ -1727,7 +1778,76 @@ object SparkEntry {
             col("text").as("line"), col("lang")))
         .select(col("doc").as("doc_id"), col("lang"), col("n_bigrams"),
           col("avg_logp"), col("bucket"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ── PQ / incremental-index tier (round 5) ───────────────────────────
+
+    // Product-quantization codes: 8 subspaces × 4-bit codes per vector
+    // (the 32× embedding-compression lever), exploded per (vec, sub) for
+    // scalar compare. MAP-ONLY — zero hash exchanges, plan-pinned.
+    "q99_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("sub"),
+          col("col").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("sub"))),
+
+    // ADC top-10: asymmetric-distance scan over the code table — each
+    // query's m×k lookup table computed once, every corpus vector scored
+    // by m table picks. The compressed-domain q15.
+    "q99b_pq_adc_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.pqAdcTopK(e, e.where(col("vec_id") < 5), kTop = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // PQ quality CONTRACT (the q25b recipe): recall@10 of the ADC scan
+    // against the exact top-k — a broken codebook that still matches its
+    // own mirror shows up as a recall collapse here.
+    "q99c_pq_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.pqAdcTopK(e, q, kTop = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
+    // IVF-PQ: the two ANN tiers composed (probe nProbe cells, ADC-score
+    // their members from codes) — the billion-scale recipe where the
+    // float vector is touched by neither stage. SimilaritySpec asserts
+    // tier consistency against the flat ADC scan.
+    "q101_ivfpq_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), kTop = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // INCREMENTAL index ingest: build on history (vec_id < 400), append
+    // the delta with the index's FROZEN centroids (no re-cluster, no
+    // history rewrite), then probe the grown index. The oracle is the
+    // direct IVF search over the UNION corpus with the same frozen
+    // centroid set — append must be invisible to queries.
+    "q100_ann_index_append" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_append_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
+      Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
+      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3430,17 +3550,110 @@ object SparkEntry {
          |            WHEN s.avg_logp >= cs[1] THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM scl s JOIN cuts USING (lang)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q99_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, s::BIGINT AS sub, j::BIGINT AS code FROM codes
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // ADC: per-query m×k inner-product LUT over the codebook, score =
+    // Σ_s lut[s][code_s], rounded after the sum like every score column.
+    "q99b_pq_adc_topk" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes
+         |SELECT q_vec_id, n_vec_id, adc, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY adc DESC, n_vec_id) AS rnk
+         |  FROM adc)
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    "q99c_pq_recall" ->
+      s"""WITH $pqCtes,
+         |$pqAdcCtes,
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                                 ORDER BY adc DESC, n_vec_id) AS rnk
+         |    FROM adc) WHERE rnk <= 10),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, c2.emb) /
+         |                   (sqrt(list_dot_product(q.emb, q.emb)) *
+         |                    sqrt(list_dot_product(c2.emb, c2.emb))), 6)
+         |               DESC, c2.vec_id) AS rnk
+         |    FROM (SELECT * FROM e WHERE vec_id < 5) q
+         |    JOIN e c2 ON q.vec_id <> c2.vec_id)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
+
+    // Incremental append contract: the grown index must answer exactly
+    // like the direct IVF search over the union corpus with the FROZEN
+    // pre-append centroid set (seeds bounded to the history slice).
+    "q100_ann_index_append" -> ivfTopKSqlWith("vec_id < 400"),
+
+    // IVF-PQ composition: the q26 cell/probe math over the q99 code/LUT
+    // math, scored only inside probed cells.
+    "q101_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+         |      FROM n WHERE vec_id % 100 = 0),
+         |assign AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT n.vec_id, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+         |               DESC, c.cent_id) AS rn
+         |    FROM n CROSS JOIN c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
+         |    SELECT n.vec_id, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+         |               DESC, c.cent_id) AS rn
+         |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
+         |$pqLutCte,
+         |adcp AS (
+         |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
+         |  FROM codes cd
+         |  JOIN assign a ON a.vec_id = cd.vec_id
+         |  JOIN probes p ON p.cell = a.cell
+         |  JOIN lut l ON l.q_vec_id = p.q_vec_id AND l.s = cd.s AND l.j = cd.j
+         |  WHERE p.q_vec_id <> cd.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q_vec_id, n_vec_id, adc, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY adc DESC, n_vec_id) AS rnk
+         |  FROM adcp)
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
   )
 
-  /** Shared q26/q82 oracle: deterministic IVF top-10, stride 100,
-    * nProbe 2, queries vec_id < 5 — one SQL text for the direct path
-    * and the materialized-index roundtrip. */
-  private def ivfTopKSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  /** Shared q26/q82/q100 oracle: deterministic IVF top-10, stride 100,
+    * nProbe 2, queries vec_id < 5 — one SQL text for the direct path,
+    * the materialized-index roundtrip, and (with `centPred` bounding the
+    * centroid seeds to the pre-append history) the incremental append. */
+  private def ivfTopKSql: String = ivfTopKSqlWith("TRUE")
+
+  private def ivfTopKSqlWith(centPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-      |      FROM n WHERE vec_id % 100 = 0),
+      |      FROM n WHERE vec_id % 100 = 0 AND ($centPred)),
       |assign AS (
       |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
       |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,

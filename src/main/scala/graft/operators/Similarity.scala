@@ -362,6 +362,28 @@ object Similarity {
   }
 
   /**
+   * INCREMENTAL index append — the ANN tier's daily-ingest bookend
+   * (the dedup/vocab/split/prep tiers all have delta twins; this is
+   * the index's): new vectors are assigned with the index's PERSISTED
+   * centroids — the quantizer is frozen at build time, never re-derived
+   * from delta — and appended into the existing cell directories. No
+   * history row is read or rewritten (the append touches only the
+   * ~|delta| new files), cell ids stay stable, and a subsequent
+   * [[searchAnnIndexed]] over the grown index equals [[ivfCosineTopK]]
+   * over the union corpus with the same frozen centroid set — the
+   * q100 oracle contract. At 100 TB this is the difference between an
+   * O(|delta|) ingest and an O(|corpus|) rebuild per batch.
+   */
+  def appendAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    ivfAssign(normed(delta), cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /**
    * Probe a [[buildAnnIndex]] layout: queries pick their nProbe cells
    * against the (broadcast) persisted centroids, and the cell join
    * against the partitioned scan prunes to those directories via
@@ -455,5 +477,182 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+  }
+
+  // ── Product quantization (PQ / ADC) ─────────────────────────────────
+  //
+  // The COMPRESSED-DOMAIN tier (Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+  // vector into `m` subspaces, quantize every subspace against its own
+  // k-entry codebook, store only the m code bytes. A 64-dim float
+  // embedding (256 B) becomes 8 B — the memory lever that makes a
+  // 100 TB embedding table scannable from RAM — and search runs
+  // Asymmetric Distance Computation: the QUERY stays exact, each
+  // (query, subspace) pair precomputes a k-entry lookup table once,
+  // and scoring a corpus vector is m table picks + a sum, no float
+  // vector ever touched.
+  //
+  // Codebooks here are deterministic stride-sampled seeds (the IVF
+  // centroid recipe — no RNG, no trained model) so engine and oracle
+  // derive byte-identical codes; the codebook is m·k·subDim doubles
+  // (≤ a few KB), collected ONCE driver-side (bounded, like the NB
+  // model or the HotKeys hot set) and shipped as codegen literals —
+  // encoding is a MAP-ONLY pass with zero shuffles (plan-pinned), the
+  // scale shape a 10⁹-vector encode needs.
+
+  /** PQ defaults sized to the 64-dim fixture: 8 subspaces × 8 dims,
+    * 16-entry codebooks (4-bit codes), seeds every 25th vector. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqStride = 25
+
+  /** Deterministic collected codebook: cb(s)(j) = sub-slice `s` of the
+    * vector with vec_id = j·stride. Driver-bounded: m·k·subDim doubles. */
+  def pqCodebook(
+      corpus: DataFrame,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      stride: Int = PqStride): Array[Array[Array[Double]]] = {
+    val seeds = corpus
+      .where(pmod(col("vec_id"), lit(stride)) === 0 &&
+        col("vec_id") < k.toLong * stride)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .collect()
+      .map(r => (r.getLong(0) / stride).toInt -> r.getSeq[Double](1).toArray)
+      .toMap
+    require(seeds.size == k,
+      s"PQ codebook needs $k seeds at vec_id ≡ 0 (mod $stride), found ${seeds.size}")
+    seeds.values.foreach(v => require(v.length == m * subDim,
+      s"PQ expects dimension ${m * subDim}, seed has ${v.length}"))
+    Array.tabulate(m, k)((s, j) => seeds(j).slice(s * subDim, (s + 1) * subDim))
+  }
+
+  /** Map-only PQ code array for one embedding column: per subspace the
+    * argmin-L2 codebook entry (L2 via ‖v‖² + ‖c‖² − 2·v·c with the
+    * codegen dot; rounded to 6 so the argmin boundary is engine-portable;
+    * ties to the smallest code). */
+  private def pqCodesCol(emb: Column, cb: Array[Array[Array[Double]]], subDim: Int): Column =
+    array(cb.indices.map { s =>
+      val sub = slice(emb, s * subDim + 1, subDim)
+      val subNorm = dotProduct(sub, sub)
+      val entries = cb(s).zipWithIndex.map { case (c, j) =>
+        val cNorm = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          round(subNorm + lit(cNorm) - lit(2.0) * dotProduct(sub, typedLit(c.toSeq)), 6)
+            .as("l2"),
+          lit(j).as("j"))
+      }
+      array_min(array(entries.toIndexedSeq: _*)).getField("j")
+    }.toIndexedSeq: _*)
+
+  /** PQ-encode the corpus: (vec_id, codes array<int>) — one map-only
+    * codegen pass, no exchange (plan-pinned in PlanAuditSpec via the
+    * q99 zero-shuffle budget). */
+  def pqEncode(
+      corpus: DataFrame,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      stride: Int = PqStride): DataFrame = {
+    val cb = pqCodebook(corpus, m, subDim, k, stride)
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), pqCodesCol(col("emb"), cb, subDim).as("codes"))
+  }
+
+  /**
+   * ADC top-k over PQ codes: each query precomputes its m×k inner-product
+   * lookup table ONCE (an array-of-arrays column on the tiny broadcast
+   * query side), and every corpus vector is scored by m `element_at`
+   * picks + a fixed-order sum — the compressed-domain brute-force scan.
+   * Declared scale shape: like [[cosineTopK]] this reads the whole code
+   * table per query batch, but at m bytes/vector instead of the float
+   * row — 32× less I/O — and composes with the IVF layout for
+   * sublinearity (probe cells first, ADC-score inside them). The
+   * approximation quality is pinned by the q99c recall contract, not
+   * trusted.
+   */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kTop: Int = 10,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      stride: Int = PqStride): DataFrame = {
+    val cb = pqCodebook(corpus, m, subDim, k, stride)
+    val coded = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), pqCodesCol(col("emb"), cb, subDim).as("codes"))
+    val lut = array((0 until m).map { s =>
+      val qSub = slice(col("q_emb"), s * subDim + 1, subDim)
+      array(cb(s).indices.map(j => dotProduct(qSub, typedLit(cb(s)(j).toSeq))): _*)
+    }: _*)
+    val q = queries
+      .select(col("vec_id").as("q_vec_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("lut", lut)
+      .select(col("q_vec_id"), col("lut"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + lit(1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("adc").desc, col("n_vec_id"))
+    coded.withColumnRenamed("vec_id", "n_vec_id")
+      .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("q_vec_id"), col("n_vec_id"), col("adc"), col("rank"))
+  }
+
+  /**
+   * IVF-PQ top-k — the two tiers composed the way billion-scale indexes
+   * actually run (IVF-ADC, Jégou et al. TPAMI 2011 §IV): the IVF coarse
+   * quantizer prunes the scan to nProbe inverted lists (sublinearity),
+   * and inside a list candidates are scored from their PQ codes by LUT
+   * picks (memory). The float vector is touched by NEITHER stage — a
+   * probe reads m code bytes per candidate, so a 1000-executor scan of
+   * a 10⁹-vector index is nProbe/k_cells of the corpus at 8 B a row.
+   * Both ingredients keep their own oracle contracts (q26 cell math,
+   * q99 code math); q101 pins the composition, and SimilaritySpec
+   * asserts tier consistency (same ADC score as the flat scan for every
+   * returned pair, candidates confined to probed cells).
+   */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kTop: Int = 10,
+      stride: Int = 100,
+      nProbe: Int = 2,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      pqStride: Int = PqStride): DataFrame = {
+    val cb = pqCodebook(corpus, m, subDim, k, pqStride)
+    val n = normed(corpus)
+    val cents = ivfCentroids(n, stride)
+    val coded = ivfAssign(n, cents)
+      .select(col("vec_id").as("n_vec_id"), col("cell"),
+        pqCodesCol(col("emb"), cb, subDim).as("codes"))
+    val lut = array((0 until m).map { s =>
+      val qSub = slice(col("q_emb"), s * subDim + 1, subDim)
+      array(cb(s).indices.map(j => dotProduct(qSub, typedLit(cb(s)(j).toSeq))): _*)
+    }: _*)
+    val probes = ivfProbes(queries, cents, nProbe)
+      .withColumn("lut", lut)
+      .select(col("q_vec_id"), col("cell"), col("lut"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + lit(1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("adc").desc, col("n_vec_id"))
+    coded.join(broadcast(probes), Seq("cell"))
+      .where(col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("q_vec_id"), col("n_vec_id"), col("adc"), col("rank"))
   }
 }

@@ -28,6 +28,13 @@ class PlanAuditSpec extends SparkSpec {
     "q26b_ann_ivf_recall", // q26's IVF twin: exact side + centroid broadcast
     "q95b_ann_multiprobe_recall", // embeds q15's exact side as the recall
                                   // denominator, same as q25b/q26b
+    "q99b_pq_adc_topk", // compressed-domain brute-force scan by declared
+                        // design: broadcast query LUTs × code table (the
+                        // q15 recipe at m bytes/vector)
+    "q99c_pq_recall", // the ADC scan + q15's exact recall denominator
+    "q100_ann_index_append", // q26's centroid broadcast cross (assign +
+                             // probe), same as q82
+    "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)
     "q82_ann_indexed", // q26's probe-side centroid broadcast (the
                        // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products
@@ -171,7 +178,11 @@ class PlanAuditSpec extends SparkSpec {
     "q92_sample_per_group" -> 1, // ONE group-partitioned window (the
                                  // rank filter is WindowGroupLimit-
                                  // pushed); never a global sort
-    "q93_length_histogram" -> 1) // one ≤64-row bin aggregate
+    "q93_length_histogram" -> 1, // one ≤64-row bin aggregate
+    "q99_pq_codes" -> 0) // THE tier's contract: encoding 10⁹ vectors is
+                         // one codegen projection against the collected
+                         // codebook literals — no exchange at all (final
+                         // ORDER BY is a range exchange, not counted)
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's

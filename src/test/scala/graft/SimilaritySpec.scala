@@ -211,6 +211,78 @@ class SimilaritySpec extends SparkSpec {
     (hits.toDouble / 50.0) should be >= 0.4 // measured 0.68 at sf0.01
   }
 
+  test("pqEncode: m codes per vector in [0, k), deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def codes() = Similarity.pqEncode(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    val c1 = codes()
+    c1 shouldBe codes() // collected-codebook chain is fully deterministic
+    c1.size shouldBe e.count()
+    c1.values.foreach { cs =>
+      cs.length shouldBe Similarity.PqM
+      cs.foreach { c => c should be >= 0; c should be < Similarity.PqK }
+    }
+    // the codebook seeds quantize to themselves: seed j's subspace-s
+    // code is j (its own entry is at L2 distance 0)
+    (0 until Similarity.PqK).foreach { j =>
+      c1(j.toLong * Similarity.PqStride) shouldBe Seq.fill(Similarity.PqM)(j)
+    }
+  }
+
+  test("pq ADC recall@10 stays above the catastrophic-bug floor") {
+    // The q99c contract, asserted: seed (untrained) codebooks on
+    // near-random embeddings give modest recall (measured 0.12 at
+    // sf0.01) — the floor catches the bug class where encode and LUT
+    // disagree and the scan degrades to rank-by-vec_id (~k/n = 0.02).
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(e, q, k = 10).select("q_vec_id", "n_vec_id")
+    val approx = Similarity.pqAdcTopK(e, q, kTop = 10).select("q_vec_id", "n_vec_id")
+    val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi").count()
+    (hits.toDouble / 50.0) should be >= 0.06
+  }
+
+  test("ivfPqTopK: tier-consistent with the flat ADC scan, candidates cell-confined") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    // flat ADC scores for EVERY pair (kTop = corpus size)
+    val flat = Similarity.pqAdcTopK(e, q, kTop = e.count().toInt)
+      .collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")) ->
+        r.getAs[Double]("adc")).toMap
+    val ivfpq = Similarity.ivfPqTopK(e, q, kTop = 10).collect()
+    ivfpq.length should be > 0
+    // composing IVF pruning with PQ scoring must not change any score —
+    // the cell stage only restricts WHICH pairs are scored
+    ivfpq.foreach { r =>
+      flat((r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))) shouldBe
+        r.getAs[Double]("adc")
+    }
+  }
+
+  test("appendAnnIndex: batched appends equal one append and cover the union") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hist = e.where(col("vec_id") < 400)
+    val d1 = e.where(col("vec_id") >= 400 && col("vec_id") < 450)
+    val d2 = e.where(col("vec_id") >= 450)
+    val q = e.where(col("vec_id") < 5)
+    def grow(name: String, deltas: Seq[org.apache.spark.sql.DataFrame]) = {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_append_spec_$name"
+      Similarity.buildAnnIndex(hist, idx, stride = 100)
+      deltas.foreach(d => Similarity.appendAnnIndex(spark, d, idx))
+      idx
+    }
+    val oneShot = grow("one", Seq(d1.unionByName(d2)))
+    val batched = grow("two", Seq(d1, d2))
+    // ingest batching is invisible to queries
+    rowsOf(Similarity.searchAnnIndexed(spark, batched, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.searchAnnIndexed(spark, oneShot, q, k = 10, nProbe = 2))
+    // the grown index holds every vector exactly once, history untouched
+    val cells = spark.read.parquet(s"$oneShot/cells")
+    cells.count() shouldBe e.count()
+    cells.select("vec_id").distinct().count() shouldBe e.count()
+  }
+
   test("embedding hot-bucket guard skips degenerate buckets observably") {
     val s = spark
     import s.implicits._
