@@ -238,6 +238,12 @@ object SparkEntry {
 
   private val MinhashBandsSql: String = minhashBandsSqlSfx("")
 
+  /** Matching-minima count between signature rows `s1`/`s2` (the
+    * Broder Jaccard estimator's numerator), over the 16-hash family. */
+  private def sigMatchSql: String =
+    (0 until 16).map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   /** DuckDB replica of the PQ chain (`Similarity.pqEncode`): stride-
     * sampled codebooks, per-subspace rounded-L2 argmin codes — generated
     * from the SAME constants as the engine, so the two sides cannot
@@ -682,6 +688,31 @@ object SparkEntry {
       Dedup.minhashNearDups(docs(s, dir))
         .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))),
+
+    // Signature-only Jaccard ESTIMATE for the LSH candidates — the
+    // verify stage that reads 16 minima per side instead of re-joining
+    // shingle tables (Broder's matching-minima estimator).
+    "q102_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashJaccardEstimates(docs(s, dir))
+        .orderBy(col("d1"), col("d2"))),
+
+    // Estimator-quality CONTRACT: est vs exact Jaccard on the SAME
+    // candidate pairs — mean/max absolute error with asserted bounds
+    // (σ = √(J(1−J)/16) ≈ 0.125 per pair; a broken hash family or a
+    // minima/shingle mismatch blows past them immediately).
+    "q102b_estimate_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = graft.Caching.persist(Dedup.shingles(d, 3))
+      val est = Dedup.minhashJaccardEstimates(d, precomputedShingles = Some(sh))
+      val exact = Dedup.jaccardFor(est.select(col("d1"), col("d2")), sh)
+      est.join(exact, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
+          round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
+        .select(col("n_pairs"), col("mean_abs_err"), col("max_abs_err"),
+          (col("mean_abs_err") <= 0.12).as("mean_ok"),
+          (col("max_abs_err") <= 0.5).as("max_ok"))
+    }),
 
     // Incremental exact dedup: second corpus half anti-joined against
     // the first half's fingerprints (the daily-increment path).
@@ -2093,6 +2124,61 @@ object SparkEntry {
          |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    "q102_minhash_estimate" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val)
+         |SELECT c.d1, c.d2, round(($sigMatchSql) / 16.0, 6) AS est
+         |FROM cand c
+         |JOIN sig s1 ON s1.doc_id = c.d1
+         |JOIN sig s2 ON s2.doc_id = c.d2
+         |ORDER BY d1, d2""".stripMargin,
+
+    // Estimate vs exact on the same pairs; `jac` stays UNROUNDED like
+    // the engine's jaccardFor, the error stats round after aggregation.
+    "q102b_estimate_quality" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |est AS (
+         |  SELECT c.d1, c.d2, round(($sigMatchSql) / 16.0, 6) AS est
+         |  FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.d1
+         |  JOIN sig s2 ON s2.doc_id = c.d2),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT e.est, i * 1.0 / (x.sz + y.sz - i) AS jac
+         |  FROM est e
+         |  JOIN inter USING (d1, d2)
+         |  JOIN sz x ON e.d1 = x.doc_id JOIN sz y ON e.d2 = y.doc_id)
+         |SELECT count(*)::BIGINT AS n_pairs,
+         |       round(avg(abs(est - jac)), 6) AS mean_abs_err,
+         |       round(max(abs(est - jac)), 6) AS max_abs_err,
+         |       round(avg(abs(est - jac)), 6) <= 0.12 AS mean_ok,
+         |       round(max(abs(est - jac)), 6) <= 0.5 AS max_ok
+         |FROM joined""".stripMargin,
 
     "q35_related_docs" ->
       s"""WITH $TokCte,

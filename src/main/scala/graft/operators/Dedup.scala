@@ -322,6 +322,50 @@ object Dedup {
   }
 
   /**
+   * Signature-only Jaccard ESTIMATE for LSH candidate pairs — the
+   * verify stage that never re-touches shingles: the fraction of
+   * matching signature minima is an unbiased Jaccard estimator
+   * (E[est] = J, σ = √(J(1−J)/numHashes) — Broder's classic MinHash
+   * property), so thresholding candidates needs only the two wide
+   * signature rows (numHashes longs each, ~256 B/pair) instead of the
+   * shingle re-intersection [[minhashNearDups]] pays. At 100 TB the
+   * difference is a 16-long broadcast-or-shuffle join against the
+   * persisted signature state vs re-reading the token-scale shingle
+   * table twice per verify; the estimator's error is PINNED by the
+   * q102b contract against exact Jaccard on the same pairs, not
+   * trusted.
+   *
+   * @param threshold keep pairs with est ≥ threshold (0 keeps all
+   *        candidates)
+   * @return (d1, d2, est) for guarded LSH candidate pairs
+   */
+  def minhashJaccardEstimates(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.0,
+      maxBucketSize: Int = MaxPairBucket,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    // signatures persist: bands, and both sides of the estimate join,
+    // all read the same wide rows
+    val sig = graft.Caching.persist(minhashSignatures(
+      precomputedShingles.getOrElse(shingles(docs, n)), numHashes))
+    val cand = lshCandidates(lshBands(sig, numHashes, rowsPerBand), maxBucketSize)
+    val s1 = sig.select(
+      col("doc").as("d1") +: (0 until numHashes).map(k => col(s"m$k").as(s"a$k")): _*)
+    val s2 = sig.select(
+      col("doc").as("d2") +: (0 until numHashes).map(k => col(s"m$k").as(s"b$k")): _*)
+    val matches = (0 until numHashes)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("est", round(matches / lit(numHashes.toDouble), 6))
+      .where(col("est") >= threshold)
+      .select(col("d1"), col("d2"), col("est"))
+  }
+
+  /**
    * Incremental NEAR-dup screen — the daily-ingest twin of
    * [[exactDedupAgainst]]: find new documents whose MinHash bands
    * collide with the HISTORY corpus, verified by exact Jaccard ≥

@@ -216,6 +216,18 @@ class DedupSpec extends SparkSpec {
     closed shouldBe Set(1000001L) // closure keeps only the component min
   }
 
+  test("minhashJaccardEstimates: identical docs estimate 1.0, values in [0,1]") {
+    val est = Dedup.minhashJaccardEstimates(dupCorpus)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // identical text ⇒ identical signature ⇒ all 16 minima match
+    est(("a", "b")) shouldBe 1.0
+    est.values.foreach { e => e should be >= 0.0; e should be <= 1.0 }
+    // thresholding drops sub-threshold candidates
+    val kept = Dedup.minhashJaccardEstimates(dupCorpus, threshold = 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    kept shouldBe Set(("a", "b"))
+  }
+
   test("minhashDedupConverged reaches the fixpoint on the seeded chain") {
     val s = spark
     import s.implicits._
