@@ -1852,6 +1852,36 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // Referential/data-quality AUDIT across the paired corpus tables:
+    // duplicate keys, docs↔embeddings orphans, null/empty text — one
+    // row of exact counts, the pre-training preflight.
+    "q104_integrity_audit" -> ((s, dir) =>
+      graft.operators.Pipeline.integrityAudit(
+        docs(s, dir), tbl(s, dir, "embeddings"))),
+
+    // HARD-NEGATIVE mining (contrastive-training data op): per anchor
+    // the top-10 most-similar vectors BELOW the cos<0.5 near-dup
+    // ceiling — "close but not a positive", the band that sharpens a
+    // retrieval model without the false-negative trap. Exact tier.
+    "q103_hard_negatives" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 5),
+          k = 10, ceiling = 0.5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // Production twin: the same ceiling + re-rank over multi-probe LSH
+    // candidates (~(bits+1)/2^bits of the corpus per anchor, never the
+    // full scan).
+    "q103b_hard_negatives_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hardNegativesMultiProbe(e, e.where(col("vec_id") < 5),
+          k = 10, ceiling = 0.5, bits = 8)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
     // IVF-PQ: the two ANN tiers composed (probe nProbe cells, ADC-score
     // their members from codes) — the billion-scale recipe where the
     // float vector is touched by neither stage. SimilaritySpec asserts
@@ -3689,6 +3719,70 @@ object SparkEntry {
     // like the direct IVF search over the union corpus with the FROZEN
     // pre-append centroid set (seeds bounded to the history slice).
     "q100_ann_index_append" -> ivfTopKSqlWith("vec_id < 400"),
+
+    "q104_integrity_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+        |  (SELECT count(*) - count(DISTINCT doc_id) FROM documents)::BIGINT
+        |    AS dup_doc_ids,
+        |  (SELECT count(*) FROM documents WHERE text IS NULL)::BIGINT
+        |    AS null_text,
+        |  (SELECT count(*) FROM documents
+        |   WHERE text IS NOT NULL AND length(trim(text)) = 0)::BIGINT
+        |    AS empty_text,
+        |  (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+        |  (SELECT count(*) - count(DISTINCT vec_id) FROM embeddings)::BIGINT
+        |    AS dup_vec_ids,
+        |  (SELECT count(*) FROM documents d
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+        |    ::BIGINT AS docs_without_vec,
+        |  (SELECT count(*) FROM embeddings e
+        |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        |    ::BIGINT AS vecs_without_doc""".stripMargin,
+
+    // q15's exact scan + the hard-negative ceiling before ranking.
+    "q103_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+        |         round(list_dot_product(q.emb, e.emb) /
+        |               (sqrt(list_dot_product(q.emb, q.emb)) *
+        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                               ORDER BY cos DESC, n_vec_id) AS rnk
+        |  FROM scored WHERE cos < 0.5)
+        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // q95's multi-probe candidate set + the same ceiling and re-rank.
+    "q103b_hard_negatives_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb,
+         |         list_sum(list_transform(range(0, 8), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
+         |         sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id, emb, nrm, unnest(probes) AS bucket FROM (
+         |    SELECT vec_id, emb, nrm,
+         |           list_prepend(bucket, list_transform(range(0, 8),
+         |             i -> xor(bucket, 1::BIGINT << i::INTEGER))) AS probes
+         |    FROM b WHERE vec_id < 5)),
+         |scored AS (
+         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY cos DESC, n_vec_id) AS rnk
+         |  FROM scored WHERE cos < 0.5)
+         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
 
     // IVF-PQ composition: the q26 cell/probe math over the q99 code/LUT
     // math, scored only inside probed cells.

@@ -500,6 +500,47 @@ object Pipeline {
   }
 
   /**
+   * Referential/data-quality AUDIT across the paired corpus tables —
+   * the preflight every multi-table training pipeline runs before
+   * burning GPU hours on a corpus whose text and embedding sides have
+   * silently drifted: duplicate keys on either side, docs with no
+   * embedding row, orphan embeddings with no doc, null/empty text.
+   * One row of exact counts (no thresholds to get lucky on).
+   *
+   * Scale shape: two single-pass aggregates + two anti-join counts;
+   * every frame collapsing into the report is 1 row, so the combining
+   * crosses are broadcast trivia. Nothing is driver-collected.
+   *
+   * @param docs (doc, line)
+   * @param vecs (vec_id, …)
+   */
+  def integrityAudit(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc"), col("line"))
+    val v = vecs.select(col("vec_id"))
+    val dStats = d.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("doc"))).as("dup_doc_ids"),
+      sum(when(col("line").isNull, 1L).otherwise(0L)).as("null_text"),
+      sum(when(col("line").isNotNull && length(trim(col("line"))) === 0, 1L)
+        .otherwise(0L)).as("empty_text"))
+    val vStats = v.agg(
+      count(lit(1)).as("n_vecs"),
+      (count(lit(1)) - countDistinct(col("vec_id"))).as("dup_vec_ids"))
+    val docsNoVec = d.select(col("doc"))
+      .join(v, col("doc") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_vec"))
+    val vecsNoDoc = v
+      .join(d.select(col("doc")), col("vec_id") === col("doc"), "left_anti")
+      .agg(count(lit(1)).as("vecs_without_doc"))
+    dStats.crossJoin(broadcast(vStats))
+      .crossJoin(broadcast(docsNoVec))
+      .crossJoin(broadcast(vecsNoDoc))
+      .select(col("n_docs"), col("dup_doc_ids"), col("null_text"),
+        col("empty_text"), col("n_vecs"), col("dup_vec_ids"),
+        col("docs_without_vec"), col("vecs_without_doc"))
+  }
+
+  /**
    * Train-test CONTAMINATION screen: flag corpus documents sharing at
    * least `minShared` distinct word n-grams with any benchmark document
    * — the "did an eval set leak into the training corpus" check every

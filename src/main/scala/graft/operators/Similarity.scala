@@ -479,6 +479,55 @@ object Similarity {
       .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * HARD-NEGATIVE mining for contrastive/retrieval training — per
+   * anchor, the most-similar corpus vectors BELOW a near-duplicate
+   * ceiling: candidates at cos ≥ `ceiling` are presumed positives or
+   * duplicates of the anchor (training on them as negatives poisons
+   * the loss — the classic false-negative trap), so the miner returns
+   * the "close but not too close" band that actually sharpens a
+   * retrieval model. Exact tier = the [[cosineTopK]] scan with the
+   * ceiling; the q103b production twin rides multi-probe LSH buckets
+   * so only ~(bits+1)/2^bits of the corpus is scored per anchor.
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ceiling: Double = 0.8): DataFrame = {
+    val c = withNorm(corpus, "n")
+    val q = withNorm(queries, "q")
+    val scored = c
+      .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+      .where(col("cos") < ceiling)
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos").desc, col("n_vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Scale twin of [[hardNegatives]]: the multi-probe LSH candidate set
+    * with the same ceiling filter and re-rank — same shape as
+    * [[lshCosineTopKMultiProbe]], so cost is the probed buckets, not
+    * the corpus. */
+  def hardNegativesMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      ceiling: Double = 0.8,
+      bits: Int = 8): DataFrame =
+    lshCosineTopKMultiProbe(corpus, queries, k = Int.MaxValue, bits = bits)
+      .where(col("cos") < ceiling)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("q_vec_id"))
+          .orderBy(col("cos").desc, col("n_vec_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+
   // ── Product quantization (PQ / ADC) ─────────────────────────────────
   //
   // The COMPRESSED-DOMAIN tier (Jégou, Douze, Schmid, "Product

@@ -457,6 +457,124 @@ object StreamingOps {
       maxBucketSize)
   }
 
+  /**
+   * ESTIMATE-verified streaming near-dup screen — [[nearDupScreen]]
+   * with the q102 verify economics: instead of carrying each history
+   * doc's whole SHINGLE ARRAY onto every join row (document-sized
+   * state, shuffled per micro-batch), the static side carries only its
+   * 16 signature minima (128 B/doc) and the pair verifies by Broder's
+   * matching-minima Jaccard estimator, computed row-locally. Same
+   * stateless stream-static band join, same once-resolved hot-bucket
+   * guard and first-surviving-band dedup; the verify column is `est`
+   * (E[est] = J, error pinned by the q102b contract on the batch
+   * side). This is the screen a 100 TB history can actually broadcast:
+   * signature state instead of re-carried text derivatives.
+   */
+  def nearDupScreenEstimated(
+      docs: DataFrame,
+      historyDocs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val nBands = numHashes / rowsPerBand
+
+    def bandVal(prefix: String, b: Int): Column =
+      concat_ws(",",
+        (0 until rowsPerBand).map(i => col(s"$prefix${b * rowsPerBand + i}")): _*)
+
+    // static history side: batch signatures; carry the minima, not text
+    val histWide = Dedup
+      .minhashSignatures(Dedup.shingles(historyDocs, n), numHashes)
+      .select(col("doc").as("hist_doc") +:
+        ((0 until nBands).map(b => bandVal("m", b).as(s"hbv$b")) ++
+          (0 until numHashes).map(k => col(s"m$k").as(s"hm$k"))): _*)
+    val histCarry =
+      (0 until nBands).map(b => col(s"hbv$b")) ++
+        (0 until numHashes).map(k => col(s"hm$k"))
+    val histBandsAll = histWide.select(
+      (col("hist_doc") +: histCarry :+
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"), col(s"hbv$b").as("band_val"))): _*))
+          .as("e")): _*)
+      .select((Seq(col("hist_doc"),
+        col("e.band").as("band"), col("e.band_val").as("band_val")) ++
+        histCarry): _*)
+
+    // hot-bucket guard: resolved once over the static history
+    val hotByBand: Map[Long, Seq[String]] = histBandsAll
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_val"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def isHot(band: Column, bandVal: Column): Column =
+      hotByBand.foldLeft(lit(false)) { case (acc, (b, vals)) =>
+        acc || (band === b && bandVal.isin(vals: _*))
+      }
+    val histBands = histBandsAll.where(!isHot(col("band"), col("band_val")))
+
+    // stream side: row-local signature, minima carried for the verify
+    val minCols = (0 until numHashes).map { k =>
+      array_min(transform(col("_bb"), p =>
+        (p.getField("b1") + lit((k + 1).toLong) * p.getField("b2"))
+          % Dedup.MinhashPrime)).as(s"m$k")
+    }
+    val sig = docs
+      .select(col("doc"), Dedup.shinglesCol(col("line"), n).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .withColumn("_bb", transform(col("_sh"), s => {
+        val h = md5(s)
+        struct(
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("b1"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("b2"))
+      }))
+      .select(col("doc") +: minCols: _*)
+    val streamCarry =
+      (0 until nBands).map(b => col(s"bv$b")) ++
+        (0 until numHashes).map(k => col(s"m$k"))
+    val streamBands = sig
+      .select((Seq(col("doc")) ++
+        (0 until numHashes).map(k => col(s"m$k")) ++
+        (0 until nBands).map(b => bandVal("m", b).as(s"bv$b"))): _*)
+      .select((col("doc") +: streamCarry :+
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"), col(s"bv$b").as("band_val"))): _*))
+          .as("e")): _*)
+      .select((Seq(col("doc"),
+        col("e.band").as("band"), col("e.band_val").as("band_val")) ++
+        streamCarry): _*)
+
+    val firstBand = (0 until nBands)
+      .map { b =>
+        val hot = hotByBand.getOrElse(b.toLong, Seq.empty)
+        val survives =
+          if (hot.isEmpty) col(s"bv$b") === col(s"hbv$b")
+          else col(s"bv$b") === col(s"hbv$b") && !col(s"hbv$b").isin(hot: _*)
+        when(survives, lit(b.toLong))
+      }
+      .reduceLeft[Column]((acc, c) => coalesce(acc, c))
+
+    val est = (0 until numHashes)
+      .map(k => when(col(s"m$k") === col(s"hm$k"), 1).otherwise(0))
+      .reduce(_ + _) / lit(numHashes.toDouble)
+    streamBands.join(histBands, Seq("band", "band_val"))
+      .where(col("band") === firstBand)
+      .withColumn("_e", est)
+      .where(col("_e") >= threshold)
+      .select(col("doc"), col("hist_doc"), round(col("_e"), 6).as("est"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionSummary(
       user_id: Long, session_start: java.sql.Timestamp,

@@ -270,6 +270,25 @@ class PipelineSpec extends SparkSpec {
       3L -> ((8L, 1L, 8L)))
   }
 
+  test("integrityAudit counts dups, orphans, and null/empty text exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "fine text"), (2L, "also fine"), (2L, "duplicate id"),
+      (3L, null.asInstanceOf[String]), (4L, "   "), (9L, "no embedding"))
+      .toDF("doc", "line")
+    val vecs = Seq(1L, 2L, 3L, 4L, 4L, 77L).toDF("vec_id")
+    val r = Pipeline.integrityAudit(docs, vecs).collect().head
+    r.getAs[Long]("n_docs") shouldBe 6L
+    r.getAs[Long]("dup_doc_ids") shouldBe 1L
+    r.getAs[Long]("null_text") shouldBe 1L
+    r.getAs[Long]("empty_text") shouldBe 1L
+    r.getAs[Long]("n_vecs") shouldBe 6L
+    r.getAs[Long]("dup_vec_ids") shouldBe 1L
+    r.getAs[Long]("docs_without_vec") shouldBe 1L // doc 9
+    r.getAs[Long]("vecs_without_doc") shouldBe 1L // vec 77
+  }
+
   test("perplexityBuckets cuts each language against its own distribution") {
     val s = spark
     import s.implicits._

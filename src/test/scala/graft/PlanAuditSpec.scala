@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     "q100_ann_index_append", // q26's centroid broadcast cross (assign +
                              // probe), same as q82
     "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)
+    "q103_hard_negatives", // exact tier = q15's declared full scan with
+                           // the near-dup ceiling; q103b is the LSH twin
+    "q104_integrity_audit", // 1-row report-combining crosses only
     "q82_ann_indexed", // q26's probe-side centroid broadcast (the
                        // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products

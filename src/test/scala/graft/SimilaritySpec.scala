@@ -242,6 +242,33 @@ class SimilaritySpec extends SparkSpec {
     (hits.toDouble / 50.0) should be >= 0.06
   }
 
+  test("hardNegatives: excludes candidates at or above the ceiling, keeps the band") {
+    // query 0's exact duplicate (vec 9, cos 1.0) and near-dup (vec 1,
+    // cos ≈ 0.994) must be EXCLUDED at ceiling 0.9; the mid-similarity
+    // vector 4 (cos ≈ 0.707) is the hard negative the miner is for
+    val docs = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(-1f, 0f, 0f),
+      4L -> Seq(0.5f, 0.5f, 0f),
+      9L -> Seq(1f, 0f, 0f)) // exact clone of 0
+    val got = Similarity.hardNegatives(docs, docs.where(col("vec_id") === 0),
+        k = 2, ceiling = 0.9)
+      .collect().map(r => (r.getAs[Long]("n_vec_id"), r.getAs[Long]("rank")))
+      .sortBy(_._2).map(_._1)
+    got shouldBe Seq(4L, 2L) // clone 9 and near-dup 1 excluded; 4 then 2
+    // multi-probe twin returns a subset of the exact band with exact cos
+    val exact = Similarity.hardNegatives(docs, docs.where(col("vec_id") === 0),
+        k = 10, ceiling = 0.9)
+      .collect().map(r => r.getAs[Long]("n_vec_id") -> r.getAs[Double]("cos")).toMap
+    Similarity.hardNegativesMultiProbe(docs, docs.where(col("vec_id") === 0),
+        k = 10, ceiling = 0.9, bits = 4)
+      .collect().foreach { r =>
+        exact(r.getAs[Long]("n_vec_id")) shouldBe r.getAs[Double]("cos") +- 1e-12
+      }
+  }
+
   test("ivfPqTopK: tier-consistent with the flat ADC scan, candidates cell-confined") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)

@@ -357,6 +357,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearDupScreenEstimated: est matches the batch signature estimator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val chain = SparkEntry.ChainDocs.toMap
+    val history = Seq(
+      ("h1", chain(1000001L)),
+      ("h2", "completely different words here entirely now today"))
+      .toDF("doc", "line")
+    // batch-side expectation: matching-minima fraction between the two
+    // signature rows, computed from the SAME batch signature path
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(graft.operators.Dedup.shingles(
+        Seq(("n1", chain(1000003L)), ("h1", chain(1000001L))).toDF("doc", "line"), 3))
+      .collect().map(r => r.getString(0) -> (1 to 16).map(r.getLong)).toMap
+    val expected = sigs("n1").zip(sigs("h1")).count { case (a, b) => a == b } / 16.0
+    expected should be > 0.0 // the seeded chain shares a full band ⇒ ≥ 4 matches
+
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.nearDupScreenEstimated(
+        input.toDF().toDF("doc", "line"), history, threshold = 0.1)
+      .writeStream.format("memory").queryName("neardup_est")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("n1", chain(1000003L)), // seeded band-mate of h1
+        ("n2", "novel content with no overlap anywhere in sight"))
+      q.processAllAvailable()
+      val got = StreamingSpec.this.spark.table("neardup_est").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      got.map(p => (p._1, p._2)).toSet shouldBe Set("n1" -> "h1")
+      got.head._3 shouldBe (math.rint(expected * 1e6) / 1e6)
+    } finally q.stop()
+  }
+
   test("streaming nearDupScreen guards degenerate history buckets and reports the skip") {
     val s = spark
     import s.implicits._
