@@ -1788,6 +1788,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The SAME closure by the large/small-star algorithm (Kiveris et
+    // al., SoCC 2014): round count O(log² n) in component SIZE instead
+    // of min-label's O(diameter) — the 100 TB tier for adversarial
+    // chain-shaped dup graphs. Oracle is q96's recursive-CTE SQL
+    // verbatim: both tiers must equal true graph closure.
+    "q105_minhash_dedup_star" -> ((s, dir) => {
+      import s.implicits._
+      val seeded = ChainDocs.toDF("doc", "line")
+      Dedup.minhashDedupStar(docs(s, dir).unionByName(seeded))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EMBEDDING-space DECONTAMINATION: max cosine of every corpus
+    // vector against the broadcast benchmark set (vec_id < 20) + the
+    // tau=0.8 verdict — the semantic twin of q44's n-gram screen,
+    // catching paraphrased eval leakage n-gram overlap misses.
+    "q108_embedding_decontaminate" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.embeddingContamination(
+          e.where(col("vec_id") >= 20), e.where(col("vec_id") < 20),
+          tau = 0.8)
+        .orderBy(col("vec_id"))
+    }),
+
+    // DATA-CONSTRAINED EPOCH REPETITION (Muennighoff et al. 2023): the
+    // oversampling side of mixture — a 300k-token budget exceeds the
+    // three selected sources' tokens at every SF (≈1.4k/14k/140k per
+    // source), so every rate lands above 1 and each doc is emitted
+    // floor(rate) times + a "rep:"-hashed fractional copy; output rows
+    // track the BUDGET (~2.7k at any SF), not the corpus.
+    "q107_epoch_repetition" -> ((s, dir) =>
+      graft.operators.Pipeline.epochRepetition(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("source")),
+          shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budgetTokens = 300000L)
+        .select(col("doc").as("doc_id"), col("copy"), col("source"),
+          col("n_tokens"), col("n_copies"))
+        .orderBy(col("doc_id"), col("copy"))),
+
+    // GOPHER rule battery (Rae et al. 2021): the named heuristic
+    // quality filters as a per-doc metric+verdict table — word bounds,
+    // mean word length, alpha fraction, stopword presence, top-2-gram
+    // character share. Map-only except the two bounded 2-gram shuffles.
+    "q106_gopher_rules" -> ((s, dir) =>
+      graft.functions.TextAnalysis.gopherQualityRules(docs(s, dir))
+        .select(col("doc").as("doc_id"), col("n_words"),
+          col("mean_word_len"), col("frac_alpha_words"),
+          col("n_stop_hits"), col("top2_frac"), col("keep"))
+        .orderBy(col("doc_id"))),
+
     // Quality-aware keeper: per CONVERGED near-dup cluster keep the
     // highest-quality member (ties to smallest id) instead of min-id —
     // the keeper rule that stops dedup from preferring truncated copies.
@@ -3566,26 +3618,99 @@ object SparkEntry {
     // doc's label is the minimum over its whole component, survivors
     // are the component minima. (q28b's oracle unrolls 3 bounded
     // iterations; this one has no iteration bound at all.)
-    "q96_minhash_dedup_converged" ->
-      s"""WITH RECURSIVE seeded AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT * FROM (VALUES $chainValuesSql) v(doc_id, text)),
-         |${shingleCtesFrom("seeded")},
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val),
-         |reach(doc_id, lbl) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
-         |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
-         |SELECT doc_id FROM seeded
-         |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE lbl < doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q96_minhash_dedup_converged" -> convergedDedupSql,
+
+    // SAME oracle verbatim for the large/small-star closure: true
+    // connected components don't care which converged algorithm the
+    // engine ran — q105 green proves star ≡ min-label ≡ graph closure.
+    "q105_minhash_dedup_star" -> convergedDedupSql,
+
+    // Embedding decontamination: per-corpus-vector max rounded cosine
+    // against the bench set, same rounding point as the engine.
+    "q108_embedding_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |c AS (SELECT * FROM n WHERE vec_id >= 20),
+        |q AS (SELECT * FROM n WHERE vec_id < 20),
+        |sc AS (
+        |  SELECT c.vec_id,
+        |         max(round(list_dot_product(c.emb, q.emb) / (c.nrm * q.nrm), 6))
+        |           AS max_cos
+        |  FROM c CROSS JOIN q GROUP BY 1)
+        |SELECT vec_id, max_cos, max_cos >= 0.8 AS contaminated
+        |FROM sc ORDER BY vec_id""".stripMargin,
+
+    // Epoch repetition: same per-source rate arithmetic as the engine
+    // ((share·budget)/src_tokens, IEEE-ordered), copies replayed via
+    // range(1, n_copies + 1), fractional copy decided by the same
+    // "rep:"-prefixed md5 bucket.
+    "q107_epoch_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |             t -> t <> ''))::BIGINT AS n_tokens
+         |  FROM documents),
+         |ps AS (SELECT source, sum(n_tokens) AS src_tokens FROM tk GROUP BY 1),
+         |r AS (
+         |  SELECT tk.doc_id, tk.source, tk.n_tokens,
+         |         (CASE tk.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |                         WHEN 'src2' THEN 0.2 ELSE 0.0 END
+         |          * 300000.0) / ps.src_tokens AS rate
+         |  FROM tk JOIN ps USING (source)),
+         |nc AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         (floor(rate)::BIGINT +
+         |          CASE WHEN (${duckMd5Bucket("'rep:' || doc_id")})::DOUBLE
+         |                    < (rate - floor(rate)) * 1e6
+         |               THEN 1 ELSE 0 END) AS n_copies
+         |  FROM r)
+         |SELECT doc_id, c.copy, source, n_tokens, n_copies
+         |FROM nc, unnest(range(1, n_copies + 1)) c(copy)
+         |WHERE n_copies > 0
+         |ORDER BY doc_id, c.copy""".stripMargin,
+
+    // Gopher rule battery: per-token metrics over the token list, the
+    // top 2-gram via the same count-then-rank the engine's max(struct)
+    // computes (row_number ties to the larger gram = max struct order),
+    // thresholds inlined at the engine's defaults.
+    "q106_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    round(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) * 1.0
+        |          / greatest(len(toks), 1), 6) AS mean_word_len,
+        |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |          / greatest(len(toks), 1), 6) AS frac_alpha_words,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(toks, s)))::BIGINT AS n_stop_hits,
+        |    greatest(length(text), 1) AS n_chars
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id, toks[p::INTEGER] || ' ' || toks[(p + 1)::INTEGER] AS gram
+        |  FROM t, unnest(range(1, len(toks))) r(p)),
+        |bc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, cnt, gram FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY cnt DESC, gram DESC) AS rn
+        |    FROM bc) WHERE rn = 1),
+        |j AS (
+        |  SELECT m.*,
+        |         round(coalesce(top.cnt * length(top.gram), 0) * 1.0
+        |               / m.n_chars, 6) AS top2_frac
+        |  FROM m LEFT JOIN top USING (doc_id))
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+        |       top2_frac,
+        |       (n_words BETWEEN 50 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND frac_alpha_words >= 0.8
+        |        AND n_stop_hits >= 2
+        |        AND top2_frac <= 0.2) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // Quality-aware keeper over the SAME recursive-CTE components as
     // q96 (corpus only, no seeded chain): per cluster keep the max
@@ -3822,6 +3947,34 @@ object SparkEntry {
          |  FROM adcp)
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
   )
+
+  /** Shared q96/q105 oracle: TRUE connected components via a recursive
+    * CTE over the band graph (no iteration bound at all) — the contract
+    * BOTH converged closure tiers must equal: min-label propagation run
+    * to fixpoint (q96) and large/small-star rounds (q105). reach(doc,
+    * lbl) closes doc↔bucket adjacency to a fixpoint, each doc's label is
+    * the minimum over its whole component, survivors the component
+    * minima. Corpus + the seeded diameter chain. */
+  private def convergedDedupSql: String =
+    s"""WITH RECURSIVE seeded AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $chainValuesSql) v(doc_id, text)),
+       |${shingleCtesFrom("seeded")},
+       |$MinhashSigCte,
+       |bands AS ($MinhashBandsSql),
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val),
+       |reach(doc_id, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
+       |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
+       |SELECT doc_id FROM seeded
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE lbl < doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared q26/q82/q100 oracle: deterministic IVF top-10, stride 100,
     * nProbe 2, queries vec_id < 5 — one SQL text for the direct path,

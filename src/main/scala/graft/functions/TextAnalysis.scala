@@ -213,6 +213,81 @@ object TextAnalysis {
           .otherwise(lit(1.0) - col("n_distinct_grams") / col("n_grams")), 6))
   }
 
+  /** The Gopher rule-set's English stopword presence list (Rae et al.
+    * 2021, arXiv:2112.11446, Table A1: "contains at least 2 of ..."). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * GOPHER QUALITY RULES (Rae et al. 2021, arXiv:2112.11446, Table A1) —
+   * the named heuristic filter battery most large-corpus curation
+   * pipelines start from, as a per-doc flag table: word-count bounds,
+   * mean-word-length bounds, alphabetic-word fraction, stopword
+   * presence, and the top-2-gram character-fraction repetition rule,
+   * plus the combined `keep` verdict. Emitting the metrics (not just
+   * the verdict) is deliberate: threshold tuning reads this table.
+   *
+   * Scale shape: every per-token metric rides ONE map-side pass (token
+   * array projected once; counts/lengths/stop-hits are array HOFs —
+   * no UDF, no explode). Only the top-2-gram rule needs distribution:
+   * bigram explode → one (doc, gram) count shuffle → one doc-keyed
+   * max(struct) agg — two bounded exchanges, join back on the doc key.
+   * Line-shape rules from the paper (bullet/ellipsis line fractions)
+   * are omitted: this corpus has no line structure to measure.
+   */
+  def gopherQualityRules(
+      docs: DataFrame,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minFracAlpha: Double = 0.8,
+      minStopHits: Long = 2L,
+      maxTop2Frac: Double = 0.2): DataFrame = {
+    val base = docs
+      .select(col("doc"), col("line"), toks(col("line")).as("_toks"))
+      .select(col("doc"), col("line"), col("_toks"),
+        size(col("_toks")).cast("long").as("n_words"))
+      .withColumn("mean_word_len", round(
+        aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / greatest(col("n_words"), lit(1L)), 6))
+      .withColumn("frac_alpha_words", round(
+        size(filter(col("_toks"), t => regexp_count(t, lit("[A-Za-z]")) > 0))
+          .cast("double") / greatest(col("n_words"), lit(1L)), 6))
+      .withColumn("n_stop_hits",
+        size(filter(array(GopherStopwords.map(lit): _*),
+          s => array_contains(col("_toks"), s))).cast("long"))
+      .withColumn("n_chars", greatest(char_length(col("line")), lit(1)))
+    // Top 2-gram by occurrence count (ties to the lexicographically
+    // larger gram — max(struct) and the oracle's window agree on it),
+    // weighted by its character share of the doc.
+    val grams = docs
+      .select(col("doc"), toks(col("line")).as("_toks"))
+      .select(col("doc"), explode(zip_with(
+        slice(col("_toks"), lit(1), greatest(size(col("_toks")) - 1, lit(0))),
+        slice(col("_toks"), lit(2), greatest(size(col("_toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val top = grams
+      .groupBy(col("doc"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc"))
+      .agg(max(struct(col("cnt"), col("gram"))).as("_top"))
+      .select(col("doc"), col("_top.cnt").as("_tcnt"), col("_top.gram").as("_tgram"))
+    base.join(top, Seq("doc"), "left")
+      .withColumn("top2_frac", round(
+        coalesce(col("_tcnt") * char_length(col("_tgram")), lit(0L))
+          .cast("double") / col("n_chars"), 6))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("frac_alpha_words") >= minFracAlpha &&
+          col("n_stop_hits") >= minStopHits &&
+          col("top2_frac") <= maxTop2Frac)
+      .select(col("doc"), col("n_words"), col("mean_word_len"),
+        col("frac_alpha_words"), col("n_stop_hits"), col("top2_frac"),
+        col("keep"))
+  }
+
   /**
    * Bigram language-model scoring — the fluency/perplexity-style quality
    * signal: score(doc) = mean log10 P(w_i | w_{i-1}) over the doc's

@@ -936,4 +936,154 @@ object Dedup {
       .select(col("d1"), col("d2"), bit_count(diff).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Generic CONNECTED COMPONENTS over an undirected edge list via
+   * alternating LARGE-STAR / SMALL-STAR rounds (Kiveris, Lattanzi,
+   * Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+   * and Beyond", SoCC 2014) — the closure whose round count is
+   * O(log² n) in component SIZE, independent of component DIAMETER.
+   * Min-label propagation ([[minhashClusterLabelsConverged]]) needs
+   * diameter+1 rounds: a pathological 10⁶-doc boilerplate chain costs
+   * 10⁶ shuffle rounds there but ~40 here, because each star round
+   * re-points whole neighborhoods at the component minimum instead of
+   * moving labels one hop. That makes this the 100 TB closure tier when
+   * component shape is adversarial/unknown; min-label stays the cheaper
+   * choice for the short chains real near-dup graphs usually have.
+   *
+   *   large-star(u): every neighbor v > u re-points to
+   *                  m = min(N(u) ∪ {u})          — emits (v, m)
+   *   small-star(u): over larger→smaller edges, every smaller neighbor
+   *                  (and u itself) re-points to m = min N⁻(u)
+   *
+   * Both preserve connectivity (each output edge joins two nodes of the
+   * same input component; every input adjacency stays connected through
+   * m) and monotonically contract components toward their minimum; the
+   * joint fixpoint is one star per component rooted at the component
+   * min. Each round is two grouped min-shuffles + an equi-join per star
+   * op — per-node state only, no neighbor lists collected, so a hot
+   * node costs bandwidth, never memory. Convergence is DETECTED (edge
+   * set unchanged — the symmetric-difference count rides the same
+   * materializing action that releases the previous round's cache);
+   * `maxIter` is a runaway bound that FAILS LOUDLY, the converged-tier
+   * contract.
+   *
+   * `edges` needs (u, v) columns of any orderable type (doc-id-type
+   * agnostic like the propagation tiers), self-loops/duplicates/
+   * orientation all tolerated; `nodes` is the (doc) universe labels are
+   * emitted for (isolated nodes label themselves). Returns (doc, lbl)
+   * with lbl the component-minimum node id — the
+   * [[minhashClusterLabelsConverged]] output contract.
+   */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // Canonical larger→smaller orientation, self-loops dropped: the
+    // small-star input shape, and the stable representation compared
+    // across rounds for convergence detection.
+    def canon(e: DataFrame): DataFrame = e
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    // Lineage discipline: a star round reads `cur` SIX times (symmetrize,
+    // two min-aggregates, two joins, a union), so persist alone would
+    // still nest the logical plan 6^iter deep — plan-size blowup, not
+    // data blowup. `localCheckpoint` (eager) truncates the plan to the
+    // materialized partitions each round — the Bpe.learnMerges recipe.
+    // (Cluster caveat, as there: localCheckpoint trades fault-tolerance
+    // for speed; a lost executor fails the job. For a 100 TB run swap in
+    // reliable `checkpoint` — same truncation, durable storage.)
+    var cur = canon(edges.select(col("u"), col("v"))).localCheckpoint()
+    var curCount = cur.count()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      // LARGE-STAR over the symmetrized view: per node u the min over
+      // N(u) ∪ {u}, then every strictly-larger neighbor re-points to it.
+      val both = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = both.join(lsMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // SMALL-STAR over larger→smaller edges: per node u the min smaller
+      // neighbor; every other smaller neighbor AND u itself re-point to
+      // it. (v < u on every canonical edge, so m < u always.)
+      val lc = canon(large)
+      val ssMin = lc.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = lc.join(ssMin, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+      // Eager checkpoint materializes the round; the convergence check is
+      // then a bounded except() over two flat-plan, star-contracted
+      // frames. Count inequality short-circuits it.
+      val next = canon(small).localCheckpoint()
+      val nextCount = next.count()
+      changed = nextCount != curCount || next.except(cur).count() > 0
+      cur = next
+      curCount = nextCount
+      iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents: edge set still changing after maxIter=" +
+          s"$maxIter large/small-star rounds — raise maxIter " +
+          "(convergence is the contract)")
+    // Fixpoint is a star per component: u→root covers every non-root
+    // node; roots and isolated nodes label themselves via the left join.
+    val labels = cur.select(col("u").as("doc"), col("v").as("lbl"))
+    nodes.select(col("doc"))
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("lbl"), col("doc")).as("lbl"))
+  }
+
+  /**
+   * [[minhashClusterLabelsConverged]]'s answer computed by the
+   * large/small-star algorithm instead of min-label propagation — same
+   * (doc, lbl) contract, same true-connected-components oracle, a round
+   * count that scales with log(component size) instead of diameter.
+   * The doc↔bucket bipartite graph enters as PER-BUCKET STARS (every
+   * bucket member → bucket-min doc): linear edges per bucket — a hot
+   * bucket of B docs contributes B edges, never B² — with identical
+   * components to the bucket clique.
+   */
+  def minhashClusterLabelsStar(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 30): DataFrame = {
+    val bands = graft.Caching.persist(lshBands(
+      minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand))
+    val bucketMin = bands
+      .groupBy(col("band"), col("band_val"))
+      .agg(min(col("doc")).as("bmin"))
+    val edges = bands.join(bucketMin, Seq("band", "band_val"))
+      .where(col("doc") =!= col("bmin"))
+      .select(col("doc").as("u"), col("bmin").as("v"))
+    val nodes = bands.select(col("doc")).distinct()
+    val out = connectedComponents(edges, nodes, maxIter)
+    graft.Caching.release(bands)
+    out
+  }
+
+  /**
+   * Transitive-closure dedup via [[minhashClusterLabelsStar]] — the
+   * [[minhashDedupConverged]] twin on the diameter-independent closure:
+   * identical survivor set (both compute true component minima), chosen
+   * when the dup graph may carry long chains.
+   */
+  def minhashDedupStar(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 30): DataFrame = {
+    val labels = minhashClusterLabelsStar(docs, n, numHashes, rowsPerBand, maxIter)
+    val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
+    docs.join(dropped, Seq("doc"), "left_anti")
+  }
 }

@@ -184,6 +184,74 @@ object Pipeline {
   }
 
   /**
+   * DATA-CONSTRAINED EPOCH REPETITION — the OVERSAMPLING side of domain
+   * mixing ("Scaling Data-Constrained Language Models", Muennighoff et
+   * al. 2023, arXiv:2305.16264: repeating data up to ~4 epochs is
+   * near-free; [[mixtureSample]]/[[temperatureMixture]] cap rates at 1
+   * and can only THIN): when share·budget EXCEEDS a source's tokens,
+   * every doc of that source is emitted floor(rate) times and one more
+   * copy is kept iff a deterministic hash falls under the fractional
+   * part — so expected emitted tokens ≈ share·budget per source, exact
+   * in the integer part, and the copy multiset is reproducible across
+   * retries/partitions/engines (no RNG). The `copy` index (1-based) is
+   * carried so a downstream [[graft.operators.Chunking.epochShuffle]]
+   * keyed on (doc, copy) spreads repeats across training batches
+   * instead of packing them adjacent.
+   *
+   * The fractional-keep hash is `"rep:"`-prefixed — statistically
+   * independent of every other md5 decision in the library (the
+   * `"split:"` rule), so repetition never correlates with sampling or
+   * split membership.
+   *
+   * Scale shape: one per-source token aggregate broadcast back onto the
+   * scan (the [[mixtureSample]] recipe), then a map-side
+   * explode(sequence(1, n_copies)) — output rows scale with the BUDGET,
+   * not with any shuffle: corpus rows are never exchanged. Rate
+   * arithmetic is ordered (share·budget)/tokens so the oracle's IEEE
+   * evaluation matches bit for bit; floor/frac on that shared double
+   * are then exact in both engines.
+   *
+   * @param docs (doc, line, source)
+   * @return (doc, copy, line, source, n_tokens, n_copies) — one row per
+   *         emitted copy; docs from sources absent in `shares` drop
+   */
+  def epochRepetition(
+      docs: DataFrame,
+      shares: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(shares.nonEmpty && shares.values.forall(s => s >= 0 && s <= 1),
+      "every share must be in [0,1]")
+    require(shares.values.sum <= 1.0 + 1e-9,
+      s"shares sum to ${shares.values.sum} > 1 — not a mixture")
+    Seq("n_tokens", "src_tokens", "rate", "copy", "n_copies").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by epochRepetition — rename that input column"))
+    val shareCol = shares.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, sh)) =>
+        when(col("source") === src, lit(sh)).otherwise(acc)
+    }
+    val repBucket =
+      conv(substring(md5(concat(lit("rep:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+    val withTok = docs.withColumn("n_tokens",
+      size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val perSource = withTok.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    withTok
+      .join(broadcast(perSource), Seq("source"))
+      .withColumn("rate",
+        shareCol * lit(budgetTokens.toDouble) / col("src_tokens"))
+      .withColumn("n_copies",
+        (floor(col("rate")).cast("long") +
+          when(repBucket.cast("double") <
+            (col("rate") - floor(col("rate"))) * 1e6, 1L).otherwise(0L)))
+      .where(col("n_copies") > 0)
+      .select(col("doc"), explode(sequence(lit(1L), col("n_copies"))).as("copy"),
+        col("line"), col("source"), col("n_tokens"), col("n_copies"))
+  }
+
+  /**
    * DSIR-style IMPORTANCE RESAMPLING — select the `k` corpus documents
    * most like a TARGET domain by hashed-unigram log-likelihood ratio
    * ("Data Selection for Language Models via Importance Resampling",

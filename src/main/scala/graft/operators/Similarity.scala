@@ -528,6 +528,42 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
 
+  /**
+   * EMBEDDING-space DECONTAMINATION — the semantic complement of the
+   * n-gram contamination screen ([[graft.operators.Pipeline
+   * .contaminationCheck]]): a corpus vector is contaminated when its
+   * cosine against ANY benchmark/eval vector reaches `tau`. N-gram
+   * overlap misses paraphrased eval leakage; embedding cosine is the
+   * screen that catches it (the LLM-era decontamination recipe — e.g.
+   * the semantic dedup/decontamination line of SemDeDup,
+   * arXiv:2303.09540). Returns EVERY corpus vector with its max
+   * benchmark cosine and the verdict — the metric table threshold
+   * tuning reads, like the Gopher rule battery.
+   *
+   * Scale shape: benchmark sets are eval-sized (thousands), so the
+   * bench side BROADCASTS and the corpus side streams map-only through
+   * one nested-loop score + a vec_id-keyed max aggregation — corpus
+   * rows shuffle once, carrying only (vec_id, cos) pairs, never
+   * embeddings. The all-pairs score is the exact verification tier (the
+   * q15/q16 precedent); at larger bench sets compose the same ceiling
+   * with the multi-probe LSH candidate path ([[hardNegativesMultiProbe]]
+   * 's shape) so only probed buckets are scored.
+   */
+  def embeddingContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      tau: Double = 0.85): DataFrame = {
+    val c = withNorm(corpus, "n")
+    val q = withNorm(bench, "q")
+    c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 6))
+      .groupBy(col("n_vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("n_vec_id").as("vec_id"), col("max_cos"),
+        (col("max_cos") >= tau).as("contaminated"))
+  }
+
   // ── Product quantization (PQ / ADC) ─────────────────────────────────
   //
   // The COMPRESSED-DOMAIN tier (Jégou, Douze, Schmid, "Product

@@ -244,6 +244,49 @@ class DedupSpec extends SparkSpec {
       1000003L -> 1000001L)
   }
 
+  test("connectedComponents: large/small-star closes a long path in few rounds") {
+    val s = spark
+    import s.implicits._
+    // a diameter-11 path 1-2-…-12: min-label propagation would need ~11
+    // rounds; large/small-star must close it well inside maxIter=6 —
+    // the diameter-independence the tier exists for
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
+    val nodes = (1L to 13L).toDF("doc") // 13 is isolated
+    val labels = Dedup.connectedComponents(edges, nodes, maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(d => labels(d) shouldBe 1L)
+    labels(13L) shouldBe 13L // isolated node labels itself
+  }
+
+  test("connectedComponents tolerates duplicates, self-loops, mixed orientation") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (2L, 3L),
+      (5L, 4L)).toDF("u", "v")
+    val nodes = (1L to 5L).toDF("doc")
+    val labels = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+  }
+
+  test("minhashClusterLabelsStar equals the converged min-label closure") {
+    val s = spark
+    import s.implicits._
+    // the two converged tiers must agree exactly — both contracts are
+    // TRUE connected components of the same band graph (corpus + the
+    // seeded chain exercises a multi-hop component)
+    val chain = SparkEntry.ChainDocs.toDF("doc", "line")
+    val in = dupCorpus.select(col("doc"), col("line"))
+    val star = Dedup.minhashClusterLabelsStar(in)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val prop = Dedup.minhashClusterLabelsConverged(in)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    star shouldBe prop
+    val starChain = Dedup.minhashDedupStar(chain)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    starChain shouldBe Set(1000001L) // closure keeps only the component min
+  }
+
   test("minhashClusterLabelsConverged fails loudly when the runaway bound truncates") {
     val s = spark
     import s.implicits._

@@ -318,6 +318,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("epochRepetition oversamples to the budget with deterministic copies") {
+    val s = spark
+    import s.implicits._
+    // two sources, 10 tokens each; budget 60 with shares 0.5/0.25 ⇒
+    // rateA = 30/10 = 3.0 exactly (every A doc 3 copies, no fractional
+    // part), rateB = 15/10 = 1.5 (each B doc 1 copy + hash-decided 2nd)
+    val docs = Seq(
+      ("a1", "t1 t2 t3 t4 t5", "A"), ("a2", "u1 u2 u3 u4 u5", "A"),
+      ("b1", "v1 v2 v3 v4 v5", "B"), ("b2", "w1 w2 w3 w4 w5", "B"))
+      .toDF("doc", "line", "source")
+    val rep = Pipeline.epochRepetition(docs,
+      shares = Map("A" -> 0.5, "B" -> 0.25), budgetTokens = 60L)
+    val byDoc = rep.collect()
+      .groupBy(_.getAs[String]("doc"))
+      .view.mapValues(_.map(_.getAs[Long]("copy")).sorted.toSeq).toMap
+    byDoc("a1") shouldBe Seq(1L, 2L, 3L)
+    byDoc("a2") shouldBe Seq(1L, 2L, 3L)
+    // B docs: integer part guarantees 1 copy; the fractional 2nd copy
+    // is hash-decided but deterministic across runs
+    byDoc("b1").head shouldBe 1L
+    byDoc("b2").head shouldBe 1L
+    val again = Pipeline.epochRepetition(docs,
+      shares = Map("A" -> 0.5, "B" -> 0.25), budgetTokens = 60L)
+      .collect().groupBy(_.getAs[String]("doc"))
+      .view.mapValues(_.map(_.getAs[Long]("copy")).sorted.toSeq).toMap
+    again shouldBe byDoc
+    // sources not in shares drop; zero-copy docs emit nothing
+    val none = Pipeline.epochRepetition(docs,
+      shares = Map("C" -> 0.5), budgetTokens = 60L)
+    none.count() shouldBe 0L
+  }
+
+  test("epochRepetition rejects bad parameters and reserved columns") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("a", "x y", "A")).toDF("doc", "line", "source")
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.epochRepetition(docs, Map("A" -> 0.5), budgetTokens = 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.epochRepetition(docs, Map("A" -> 1.5), budgetTokens = 10L)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.epochRepetition(
+        docs.withColumn("copy", org.apache.spark.sql.functions.lit(1)),
+        Map("A" -> 0.5), budgetTokens = 10L)
+  }
+
   test("importanceResample ranks by the replayed log-ratio formula, exact ties to doc") {
     val s2 = spark
     import s2.implicits._

@@ -38,6 +38,9 @@ class PlanAuditSpec extends SparkSpec {
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin
     "q104_integrity_audit", // 1-row report-combining crosses only
+    "q108_embedding_decontaminate", // exact decontamination screen: the
+                                    // q15-shaped broadcast of the small
+                                    // bench set over one corpus scan
     "q82_ann_indexed", // q26's probe-side centroid broadcast (the
                        // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products

@@ -348,6 +348,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingContamination flags exactly the vectors near a bench vector") {
+    val s = spark
+    import s.implicits._
+    // bench = v0; v10 is a near-copy of v0 (cos ≈ 1), v11 orthogonal,
+    // v12 anti-parallel — only v10 crosses tau
+    val mk = (xs: Seq[Float]) => xs
+    val emb = Seq(
+      (0L, mk(Seq(1f, 0f, 0f, 0f))),
+      (10L, mk(Seq(0.99f, 0.01f, 0f, 0f))),
+      (11L, mk(Seq(0f, 1f, 0f, 0f))),
+      (12L, mk(Seq(-1f, 0f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingContamination(
+        emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+        tau = 0.85)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    got.keySet shouldBe Set(10L, 11L, 12L)
+    got(10L)._2 shouldBe true
+    got(10L)._1 should be > 0.99
+    got(11L) shouldBe ((0.0, false))
+    got(12L) shouldBe ((-1.0, false))
+  }
+
   test("randomProject emits outDim values, deterministically") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("vec_id") < 20)

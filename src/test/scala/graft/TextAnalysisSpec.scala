@@ -208,6 +208,39 @@ class TextAnalysisSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("gopherQualityRules: metrics and the combined verdict on known docs") {
+    // "good": 50 in-bounds words incl. >=2 Gopher stopwords, no repetition
+    val good = (1 to 46).map(i => s"word$i").mkString(" ") + " the and of with"
+    // top 2-gram dominates; stopwords appended so ONLY that rule fails
+    val loops = Seq.fill(30)("spam ham").mkString(" ") + " the of and with"
+    val short = "the of tiny"
+    val rules = TextAnalysis.gopherQualityRules(corpus(
+      "g" -> good, "l" -> loops, "s" -> short))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = rules("g")
+    g.getAs[Long]("n_words") shouldBe 50L
+    g.getAs[Double]("frac_alpha_words") shouldBe 1.0
+    g.getAs[Long]("n_stop_hits") shouldBe 4L // the, and, of, with
+    g.getAs[Boolean]("keep") shouldBe true
+    // the loop doc fails ONLY the top-2-gram character-share rule
+    val l = rules("l")
+    l.getAs[Long]("n_words") shouldBe 64L
+    l.getAs[Double]("top2_frac") should be > 0.2
+    l.getAs[Boolean]("keep") shouldBe false
+    // the short doc fails the word-count floor
+    val s = rules("s")
+    s.getAs[Long]("n_words") shouldBe 3L
+    s.getAs[Boolean]("keep") shouldBe false
+  }
+
+  test("gopherQualityRules top-2-gram tie breaks to the larger gram") {
+    // "a b" and "b a" both occur twice; max(struct) keeps "b a"
+    val row = TextAnalysis.gopherQualityRules(corpus("t" -> "a b a b a"))
+      .head()
+    // top gram char share: 2 occurrences * 3 chars / 9 chars
+    row.getAs[Double]("top2_frac") shouldBe (6.0 / 9) +- 1e-6
+  }
+
   test("termDrift matches a local reference of the smoothed JS formula") {
     val a = corpus("a1" -> "x x y", "a2" -> "x z")
     val b = corpus("b1" -> "y y y w")

@@ -10,7 +10,7 @@ import json
 import re
 import sys
 
-ARTIFACT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local_r4.json"
+ARTIFACT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_local_r5.json"
 BASELINE = "BASELINE.md"
 
 # (label, [bench keys interpolated into label/note as {0}, {1}, ...], note)
