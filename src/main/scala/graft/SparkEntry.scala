@@ -1801,6 +1801,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WINNOW-fingerprint contamination screen: q44's split compared in
+    // fingerprint space — benchmark state shrinks by the winnow density
+    // (≈2/(w+1)), the k+w−1 shared-run guarantee still catches any
+    // leaked passage of ≥6 tokens.
+    "q111_contamination_winnow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .contaminationCheckWinnow(d.where(col("doc") >= 5),
+          d.where(col("doc") < 5))
+        .select(col("doc").as("doc_id"), col("bench_doc").as("bench_id"),
+          col("shared_fps"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Per-source DISTINCT-TERM SKETCHES: the bounded-state vocabulary
+    // dashboard — one HLL sketch per ingest feed, estimate pinned
+    // within 6 % of exact per source (the q31b contract recipe; the
+    // estimate itself is not oracle-replayable).
+    "q110_source_vocab_sketch" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+        col("text").as("line"), col("source"))
+      val ex = d.select(col("source"),
+          explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+            .as("term"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("term")).cast("long").as("n_terms"))
+      val ap = graft.operators.Vocab.sketchEstimates(
+        graft.operators.Vocab.termSketches(d))
+      ex.join(ap, Seq("source"))
+        .select(col("source"), col("n_terms"),
+          (abs(col("n_terms_est") - col("n_terms")) <=
+            col("n_terms") * 0.06).as("sketch_ok"))
+        .orderBy(col("source"))
+    }),
+
+    // Sketch-merge INVARIANCE (the q61 incremental≡batch contract in
+    // sketch space): union(sketch(even docs), sketch(odd docs)) must
+    // estimate EXACTLY what one sketch of the whole corpus estimates —
+    // HLL registers are per-slot maxima, order- and split-free.
+    "q110b_vocab_sketch_merge" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+        col("text").as("line"), col("source"))
+      val V = graft.operators.Vocab
+      val merged = V.sketchEstimates(V.mergeTermSketches(
+          V.termSketches(d.where(col("doc") % 2 === 0)),
+          V.termSketches(d.where(col("doc") % 2 === 1))))
+        .withColumnRenamed("n_terms_est", "est_merged")
+      val full = V.sketchEstimates(V.termSketches(d))
+        .withColumnRenamed("n_terms_est", "est_full")
+      merged.join(full, Seq("source"))
+        .agg(count(lit(1)).as("n_sources"),
+          (min(when(col("est_merged") === col("est_full"), 1L).otherwise(0L))
+            === 1L).as("all_equal"))
+    }),
+
+    // TOKEN-BUDGET QUALITY FILL: the best ~2000 tokens of the corpus —
+    // coarse keep/cutoff/drop by 1000 fixed quality bins (a tiny-frame
+    // window, never a corpus sort), fine fill inside the one cutoff bin
+    // in "fill:"-hash order via a bucketed prefix sum whose bucket key
+    // is the hash's own prefix (≡ the oracle's flat ordered window).
+    "q109_budget_fill" -> ((s, dir) =>
+      graft.operators.Pipeline.budgetFill(docs(s, dir), budgetTokens = 2000L)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
     // EMBEDDING-space DECONTAMINATION: max cosine of every corpus
     // vector against the broadcast benchmark set (vec_id < 20) + the
     // tau=0.8 verdict — the semantic twin of q44's n-gram screen,
@@ -3624,6 +3689,85 @@ object SparkEntry {
     // connected components don't care which converged algorithm the
     // engine ran — q105 green proves star ≡ min-label ≡ graph closure.
     "q105_minhash_dedup_star" -> convergedDedupSql,
+
+    // Winnow contamination: the q72 fingerprint CTEs (winnowing is
+    // doc-local, so filtering the full-corpus wfp set ≡ fingerprinting
+    // the subsets), then exactly q44's join-count shape.
+    "q111_contamination_winnow" ->
+      s"""$WinnowCtes,
+         |c AS (SELECT doc_id, fp FROM wfp WHERE doc_id >= 5),
+         |b AS (SELECT doc_id AS bench_id, fp FROM wfp WHERE doc_id < 5)
+         |SELECT c.doc_id, bench_id, count(*) AS shared_fps
+         |FROM c JOIN b USING (fp)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 1
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Sketch contracts: exact per-source distinct terms (the checkable
+    // half) + the TRUE flags the engine must reproduce.
+    "q110_source_vocab_sketch" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT source, count(DISTINCT term)::BIGINT AS n_terms,
+        |       TRUE AS sketch_ok
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q110b_vocab_sketch_merge" ->
+      """SELECT count(DISTINCT source)::BIGINT AS n_sources,
+        |       TRUE AS all_equal
+        |FROM documents""".stripMargin,
+
+    // Budget fill: q59's quality chain, the same bin classification
+    // over a descending-bin window, and the cutoff bin's greedy prefix
+    // as ONE flat hash-ordered window (the engine's bucketed prefix sum
+    // equals it because the bucket key is the hash's own prefix).
+    "q109_budget_fill" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |b AS (SELECT *, least(floor(quality_score * 1000)::BIGINT, 999) AS bin FROM q),
+        |bs AS (SELECT bin, sum(n_tokens) AS bin_tokens FROM b GROUP BY 1),
+        |ci AS (
+        |  SELECT bin, bin_tokens,
+        |         coalesce(sum(bin_tokens) OVER (ORDER BY bin DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM bs),
+        |bi AS (
+        |  SELECT bin,
+        |         CASE WHEN cum_before + bin_tokens <= 2000 THEN 'full'
+        |              WHEN cum_before < 2000 THEN 'cutoff'
+        |              ELSE 'drop' END AS kind,
+        |         2000 - cum_before AS remaining
+        |  FROM ci),
+        |cl AS (SELECT b.*, bi.kind, bi.remaining FROM b JOIN bi USING (bin)),
+        |cr AS (
+        |  SELECT *, sum(n_tokens) OVER (ORDER BY hb, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_incl
+        |  FROM (SELECT *, md5('fill:' || doc_id) AS hb FROM cl
+        |        WHERE kind = 'cutoff'))
+        |SELECT doc_id, n_tokens, quality_score FROM cl WHERE kind = 'full'
+        |UNION ALL
+        |SELECT doc_id, n_tokens, quality_score FROM cr WHERE run_incl <= remaining
+        |ORDER BY doc_id""".stripMargin,
 
     // Embedding decontamination: per-corpus-vector max rounded cosine
     // against the bench set, same rounding point as the engine.

@@ -289,6 +289,56 @@ object TextAnalysis {
   }
 
   /**
+   * ROW-LOCAL Gopher verdict — [[gopherQualityRules]]' `keep` boolean as
+   * a single column expression with ZERO exchanges: the per-token rules
+   * are the same array HOFs, and the top-2-gram rule runs doc-locally
+   * (count each distinct gram via a filter scan — O(grams·distinct) per
+   * row, fine at per-document scale; the distributed twin exists for
+   * corpora of pathological single-doc lengths). Being exchange-free
+   * makes this the STREAMING shape: `StreamingOps.gopherScreen` filters
+   * an unbounded doc stream by exactly this column (stateless, append-
+   * safe), and TextAnalysisSpec pins row-local ≡ distributed on the
+   * same corpus.
+   */
+  def gopherKeepCol(
+      line: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minFracAlpha: Double = 0.8,
+      minStopHits: Long = 2L,
+      maxTop2Frac: Double = 0.2): Column = {
+    val t = toks(line)
+    val nWords = size(t).cast("long")
+    val meanLen = round(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        greatest(nWords, lit(1L)), 6)
+    val fracAlpha = round(
+      size(filter(t, x => regexp_count(x, lit("[A-Za-z]")) > 0)).cast("double") /
+        greatest(nWords, lit(1L)), 6)
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      s => array_contains(t, s))).cast("long")
+    val pairLen = greatest(size(t) - 1, lit(0))
+    val grams = zip_with(
+      slice(t, lit(1), pairLen), slice(t, lit(2), pairLen),
+      (a, b) => concat(a, lit(" "), b))
+    // max (occurrence count, gram) over distinct grams — array_max's
+    // struct ordering = the distributed tier's max(struct) tie-break
+    val top = array_max(transform(array_distinct(grams),
+      g => struct(size(filter(grams, x => x === g)).cast("long").as("cnt"),
+        g.as("gram"))))
+    val top2Frac = round(
+      coalesce(top.getField("cnt") * char_length(top.getField("gram")), lit(0L))
+        .cast("double") / greatest(char_length(line), lit(1)), 6)
+    nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      fracAlpha >= minFracAlpha &&
+      stopHits >= minStopHits &&
+      top2Frac <= maxTop2Frac
+  }
+
+  /**
    * Bigram language-model scoring — the fluency/perplexity-style quality
    * signal: score(doc) = mean log10 P(w_i | w_{i-1}) over the doc's
    * bigrams with add-one smoothing, P(b|a) = (c(a,b) + 1)/(c(a) + V),

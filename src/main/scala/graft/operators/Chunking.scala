@@ -155,4 +155,44 @@ object Chunking {
         ((col("seq") - 1) / lit(batchSize.toLong)).cast("long"))
       .drop("_h")
   }
+
+  /**
+   * TRAINING-SHARD EXPORT — the pipeline's terminal sink: the
+   * [[epochShuffle]] permutation written as one Hive partition per
+   * shard (`shard=K/`, rows sorted by `seq` within each file so a
+   * data-loader worker streams its shard in batch order with zero
+   * seeks), plus a MANIFEST the run can be audited and reproduced
+   * against: per shard the row count and an ORDER-FREE key checksum
+   * (sum of each row's 32-bit `"shard:"`-prefixed md5 — commutative,
+   * so any execution order / retry / speculative duplicate-free run of
+   * the same membership produces the same value; a lost or duplicated
+   * row moves it). The manifest is written next to the data
+   * (`_manifest/`) and returned.
+   *
+   * Scale shape: exactly the [[epochShuffle]] exchange (one hash
+   * shuffle on the seeded key) — `repartition(shard)` aligns write
+   * tasks with shard partitions so each task writes ONE shard file,
+   * and the manifest aggregate collapses map-side to `numShards` rows.
+   */
+  def writeTrainingShards(
+      df: DataFrame,
+      keyCol: String,
+      seed: Int,
+      numShards: Int,
+      path: String,
+      batchSize: Int = 256): DataFrame = {
+    val sh = epochShuffle(df, keyCol, seed, numShards, batchSize)
+    sh.repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = sh.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(conv(substring(
+            md5(concat(lit("shard:"), col(keyCol).cast("string"))), 1, 8),
+          16, 10).cast("long")).as("key_checksum"))
+      .select(col("shard"), col("n_rows"), col("key_checksum"))
+    manifest.write.mode("overwrite").parquet(s"$path/_manifest")
+    manifest
+  }
 }

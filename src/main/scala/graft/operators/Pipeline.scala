@@ -184,6 +184,92 @@ object Pipeline {
   }
 
   /**
+   * TOKEN-BUDGET QUALITY FILL — "train on the best N tokens": keep the
+   * highest-quality documents whose cumulative token count fits
+   * `budgetTokens`, WITHOUT the global quality sort the naive greedy
+   * needs (a corpus-wide ORDER BY is the single-partition exchange this
+   * library bans). Selection is two-level:
+   *
+   *  1. COARSE: quality scores bin into `numBins` fixed-width bins
+   *     (the [[qualityBins]]/[[filterByQualityQuantile]] recipe); the
+   *     per-bin token totals are a `numBins`-row aggregate, and a
+   *     window over that tiny frame (descending bin) classifies every
+   *     bin FULL-KEEP / CUTOFF / DROP plus the cutoff bin's remaining
+   *     budget. Quality resolution is the bin width — documents
+   *     within one bin are treated as quality-equivalent.
+   *  2. FINE: inside the single cutoff bin, docs fill the remainder in
+   *     `"fill:"`-md5 order (fair, deterministic, quality-blind by
+   *     design) via a DISTRIBUTED prefix sum: the hash's own first two
+   *     hex digits partition the bin into 256 buckets, a per-bucket
+   *     window computes local running sums (each bucket ≈ 1/256 of ONE
+   *     bin), and a 256-row cumulative offset frame stitches them.
+   *     Because the bucket key is a PREFIX of the ordering key, the
+   *     stitched sum is exactly the global hash-ordered prefix sum —
+   *     the oracle replays it as one flat window.
+   *
+   * Scale shape: one stats scan, a numBins-row aggregate + window, one
+   * broadcast join back, and for the cutoff bin only: one bounded
+   * window + a 256-row offset frame. No corpus-wide sort anywhere;
+   * every exchange is either per-bin-bounded or vocabulary-tiny.
+   *
+   * @param docs (doc, line)
+   * @return kept rows: doc, n_tokens, quality_score — Σ n_tokens is
+   *         the maximal greedy fill ≤ budget in (bin desc, hash) order
+   */
+  def budgetFill(
+      docs: DataFrame,
+      budgetTokens: Long,
+      numBins: Int = 1000): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(numBins > 0, s"numBins must be positive, got $numBins")
+    val stats = docs.select(col("doc"),
+      size(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_tokens"),
+      graft.functions.TextAnalysis.qualityScoreCol(col("line"))
+        .as("quality_score"))
+      .withColumn("bin", least(
+        floor(col("quality_score") * numBins).cast("long"),
+        lit(numBins - 1L)))
+    val binSums = stats.groupBy(col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    // numBins-row frame: the one place an unpartitioned window is by
+    // construction harmless (the temperatureMixture precedent)
+    val wDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binInfo = binSums
+      .withColumn("cum_before", coalesce(sum(col("bin_tokens")).over(wDesc), lit(0L)))
+      .withColumn("kind",
+        when(col("cum_before") + col("bin_tokens") <= budgetTokens, lit("full"))
+          .when(col("cum_before") < budgetTokens, lit("cutoff"))
+          .otherwise(lit("drop")))
+      .withColumn("remaining", lit(budgetTokens) - col("cum_before"))
+      .select(col("bin"), col("kind"), col("remaining"))
+    val classed = stats.join(broadcast(binInfo), Seq("bin"))
+    val fullKeep = classed.where(col("kind") === "full")
+    // Fine fill: global "fill:"-hash order, computed as bucket-local
+    // windows + stitched offsets (bucket = hash prefix ⇒ identical to
+    // the flat ordered window the oracle runs).
+    val cut = classed.where(col("kind") === "cutoff")
+      .withColumn("hb", md5(concat(lit("fill:"), col("doc").cast("string"))))
+      .withColumn("bucket", substring(col("hb"), 1, 2))
+    val wRun = Window.partitionBy(col("bucket"))
+      .orderBy(col("hb"), col("doc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bucketOff = cut.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("off_before", coalesce(
+        sum(col("bucket_tokens")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off_before"))
+    val cutKeep = cut
+      .withColumn("run_incl", sum(col("n_tokens")).over(wRun))
+      .join(broadcast(bucketOff), Seq("bucket"))
+      .where(col("off_before") + col("run_incl") <= col("remaining"))
+    fullKeep.select(col("doc"), col("n_tokens"), col("quality_score"))
+      .unionByName(cutKeep.select(col("doc"), col("n_tokens"), col("quality_score")))
+  }
+
+  /**
    * DATA-CONSTRAINED EPOCH REPETITION — the OVERSAMPLING side of domain
    * mixing ("Scaling Data-Constrained Language Models", Muennighoff et
    * al. 2023, arXiv:2305.16264: repeating data up to ~4 epochs is
@@ -636,5 +722,41 @@ object Pipeline {
       .groupBy(col("doc"), col("bench_doc"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
+  }
+
+  /**
+   * WINNOW-fingerprint contamination screen — [[contaminationCheck]] in
+   * fingerprint space: corpus and benchmark compare on their Schleimer-
+   * winnowed local minima instead of every n-gram. Two wins at scale:
+   * the broadcast benchmark state shrinks by the winnow density
+   * (≈ 2/(w+1) of the gram count — 2.5× at w=4, md5 hashes instead of
+   * gram strings), and the k+w−1 guarantee still holds — any shared
+   * token run of at least k+w−1 tokens shares at least one fingerprint,
+   * so a leaked benchmark passage cannot slip between selected grams.
+   * Shorter overlaps MAY go unfingerprinted — this is the screen's
+   * documented recall trade against q44's exact-shingle tier.
+   *
+   * Scale shape identical to [[contaminationCheck]]: benchmark
+   * fingerprints broadcast, one (doc, bench_doc) agg shuffle;
+   * fingerprints are distinct per doc, so `count(*)` is the distinct
+   * shared-fingerprint count.
+   *
+   * @return (doc, bench_doc, shared_fps) for pairs ≥ minShared
+   */
+  def contaminationCheckWinnow(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    import graft.functions.TextAnalysis
+    val cf = TextAnalysis.winnowFingerprints(docs, k, w)
+    val bf = TextAnalysis.winnowFingerprints(benchmark, k, w)
+      .select(col("doc").as("bench_doc"), col("fp"))
+    cf.join(broadcast(bf), Seq("fp"))
+      .groupBy(col("doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
   }
 }

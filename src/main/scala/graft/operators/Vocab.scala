@@ -176,4 +176,42 @@ object Vocab {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("token_id")))),
         s => s.getField("token_id")).as("ids"))
+
+  /**
+   * Per-source DISTINCT-TERM SKETCHES — the bounded-state twin of
+   * [[termCounts]] for the vocabulary-growth dashboard: one DataSketches
+   * HLL sketch per ingest source (binary, ~KB at lgK=12) instead of the
+   * full (term, cnt) table. The state a 100 TB pipeline can actually
+   * keep per-feed-per-day: sketches MERGE (HLL registers are per-slot
+   * maxima — order-free, associative), so day N+1's estimate is
+   * union(persisted, delta) with O(sources) state, never a re-scan of
+   * history. Exact distinct-term counts need a term-keyed shuffle of
+   * the whole corpus; the sketch collapses map-side to one row per
+   * (partition, source).
+   *
+   * Estimates are NOT oracle-replayable (DataSketches internals), so
+   * the declared queries pin them by CONTRACT (the q31b recipe): q110
+   * asserts per-source estimate within tolerance of exact, q110b
+   * asserts the merge INVARIANCE — estimate(union(hist, delta)) ==
+   * estimate(full corpus) per source, exactly (same registers either
+   * way), the q61 incremental≡batch contract in sketch space.
+   */
+  def termSketches(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(toks(col("line"))).as("term"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("term")).as("sketch"))
+
+  /** Merge two per-source sketch states (union of HLL registers); a
+    * source present on one side only passes through unchanged. */
+  def mergeTermSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("source"), col("sketch"))
+      .unionByName(b.select(col("source"), col("sketch")))
+      .groupBy(col("source"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** (source, n_terms_est) from a sketch state. */
+  def sketchEstimates(sk: DataFrame): DataFrame =
+    sk.select(col("source"),
+      hll_sketch_estimate(col("sketch")).as("n_terms_est"))
 }

@@ -272,6 +272,22 @@ object StreamingOps {
   }
 
   /**
+   * GOPHER rule screen on an unbounded doc stream — the heuristic
+   * filter battery (Rae et al. 2021) applied at ingest time, BEFORE
+   * documents ever reach the batch store. The verdict is
+   * [[graft.functions.TextAnalysis.gopherKeepCol]]: a single row-local
+   * column expression (the top-2-gram rule included — counted
+   * doc-locally over the gram array), so the screen is STATELESS —
+   * no watermark, no state store, any output mode, and the stream twin
+   * is the batch column by construction (parity pinned in
+   * TextAnalysisSpec/StreamingSpec).
+   */
+  def gopherScreen(docs: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis
+    docs.where(TextAnalysis.gopherKeepCol(col("line")))
+  }
+
+  /**
    * Streaming twin of the q51 ingest front-half: clean (dedup + lang +
    * quality) then redact then chunk to `maxTokens`-token windows. Every
    * stage past the dedup is a stateless map/explode, so the chunked

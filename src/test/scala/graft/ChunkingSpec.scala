@@ -116,6 +116,43 @@ class ChunkingSpec extends SparkSpec {
     posMap(1) shouldBe e1
   }
 
+  test("writeTrainingShards round-trips, orders within shards, manifests the run") {
+    import org.apache.spark.sql.functions.col
+    val docs = numDocs((0L until 200L).map(i => i -> s"tok$i"): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = Chunking.writeTrainingShards(docs, "doc", seed = 7,
+      numShards = 4, path = dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("key_checksum"))).toMap
+    manifest.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    manifest.values.map(_._1).sum shouldBe 200L
+    // round trip: every row back, shard column restored from the path
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 200L
+    back.select("doc").collect().map(_.getLong(0)).toSet shouldBe
+      (0L until 200L).toSet
+    // within a shard file, rows are physically in seq order
+    val shard0 = spark.read.parquet(s"$dir/shard=0").select("seq")
+      .collect().map(_.getLong(0)).toSeq
+    shard0 shouldBe shard0.sorted
+    // manifest counts match the data; manifest parquet matches the return
+    // partition-path columns come back as INT — cast for the compare
+    back.groupBy(col("shard").cast("long")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      manifest.view.mapValues(_._1).toMap
+    val persisted = spark.read.parquet(s"$dir/_manifest").collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("key_checksum"))).toMap
+    persisted shouldBe manifest
+    // same membership + seed ⇒ identical manifest, regardless of retry order
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    val again = Chunking.writeTrainingShards(
+        docs.repartition(7), "doc", seed = 7, numShards = 4, path = dir2)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("key_checksum"))).toMap
+    again shouldBe manifest
+  }
+
   test("epochShuffle rejects bad parameters and reserved columns") {
     val docs = numDocs(1L -> "x")
     an[IllegalArgumentException] should be thrownBy

@@ -318,6 +318,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contaminationCheckWinnow catches a >= k+w-1-token leaked run, skips clean docs") {
+    // bench passage of 7 tokens (> k+w-1 = 6) copied into doc "leak"
+    // mid-document — the winnow guarantee says at least one shared fp
+    val passage = "alpha beta gamma delta epsilon zeta eta"
+    val bench = corpus("b" -> s"$passage theta iota")
+    val docs = corpus(
+      "leak" -> s"one two three $passage four five six",
+      "clean" -> "totally different words everywhere all along the way here")
+    val got = Pipeline.contaminationCheckWinnow(docs, bench)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(("leak", "b"))
+  }
+
+  test("budgetFill keeps the best bins, fills the cutoff greedily, respects the budget") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id as doc", "text as line")
+    val budget = 2000L
+    val kept = Pipeline.budgetFill(docs, budgetTokens = budget).collect()
+    val total = kept.map(_.getAs[Long]("n_tokens")).sum
+    total should be <= budget
+    // greedy prefix: the shortfall is smaller than the largest single doc
+    val maxDoc = kept.map(_.getAs[Long]("n_tokens")).max
+    (budget - total) should be < maxDoc
+    // bin dominance: every dropped doc's quality bin <= every kept bin's
+    // minimum (the cutoff bin can appear on both sides, so <=)
+    val keptIds = kept.map(_.getAs[Long]("doc")).toSet
+    val bins = docs.select(col("doc"),
+        graft.functions.TextAnalysis.qualityScoreCol(col("line")).as("q"))
+      .collect()
+      .map(r => r.getAs[Long]("doc") ->
+        math.min((r.getAs[Double]("q") * 1000).toLong, 999L)).toMap
+    val minKept = keptIds.map(bins).min
+    val dropped = bins.keySet -- keptIds
+    dropped.foreach(d => bins(d) should be <= minKept)
+    // deterministic
+    val again = Pipeline.budgetFill(docs, budgetTokens = budget)
+      .collect().map(_.getAs[Long]("doc")).toSet
+    again shouldBe keptIds
+    // a budget covering the whole corpus keeps every doc
+    Pipeline.budgetFill(docs, budgetTokens = 10000000L).count() shouldBe
+      docs.count()
+  }
+
   test("epochRepetition oversamples to the budget with deterministic copies") {
     val s = spark
     import s.implicits._

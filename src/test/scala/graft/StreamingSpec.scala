@@ -117,6 +117,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gopherScreen keeps exactly the batch-verdict docs, stateless") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val good = (1 to 46).map(i => s"word$i").mkString(" ") + " the and of with"
+    val loops = Seq.fill(30)("spam ham").mkString(" ") + " the of and with"
+    val short = "the of tiny"
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("doc", "line")
+    // stateless ⇒ append mode with NO watermark must be accepted
+    val q = StreamingOps.gopherScreen(docs)
+      .select("doc")
+      .writeStream.format("memory").queryName("gs").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("g", good), ("l", loops))
+      q.processAllAvailable()
+      input.addData(("s", short))
+      q.processAllAvailable()
+      val kept = spark.table("gs").collect().map(_.getString(0)).toSet
+      kept shouldBe Set("g")
+    } finally q.stop()
+  }
+
   test("streaming windowedTermCounts emits closed windows in append mode") {
     val s = spark
     import s.implicits._

@@ -241,6 +241,22 @@ class TextAnalysisSpec extends SparkSpec {
     row.getAs[Double]("top2_frac") shouldBe (6.0 / 9) +- 1e-6
   }
 
+  test("gopherKeepCol (row-local) equals gopherQualityRules.keep on the fixture") {
+    import org.apache.spark.sql.functions.col
+    // the distributed tier and the streaming-shaped row-local column
+    // must agree doc for doc — including the top-2-gram tie-break
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id as doc", "text as line")
+    val dist = TextAnalysis.gopherQualityRules(docs)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Boolean]("keep")).toMap
+    val local = docs
+      .select(col("doc"), TextAnalysis.gopherKeepCol(col("line")).as("keep"))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Boolean]("keep")).toMap
+    local shouldBe dist
+    dist.values.toSet.size should be >= 1 // sanity: verdicts exist
+  }
+
   test("termDrift matches a local reference of the smoothed JS formula") {
     val a = corpus("a1" -> "x x y", "a2" -> "x z")
     val b = corpus("b1" -> "y y y w")

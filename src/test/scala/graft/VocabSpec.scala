@@ -74,6 +74,29 @@ class VocabSpec extends SparkSpec {
     Vocab.encodeTokens(empty, Vocab.buildVocab(empty)).count() shouldBe 0L
   }
 
+  test("termSketches estimate tracks exact distinct terms; merge is invariant") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id as doc", "text as line", "source")
+    val est = Vocab.sketchEstimates(Vocab.termSketches(docs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .selectExpr("source", "explode(filter(split(line, '\\\\s+'), t -> length(t) > 0)) as term")
+      .groupBy(C("source"))
+      .agg(org.apache.spark.sql.functions.countDistinct(C("term")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.keySet shouldBe exact.keySet
+    exact.foreach { case (src, n) =>
+      math.abs(est(src) - n).toDouble should be <= n * 0.06
+    }
+    // split-invariance: union of half-sketches == one-pass sketch, exactly
+    val merged = Vocab.sketchEstimates(Vocab.mergeTermSketches(
+        Vocab.termSketches(docs.where(C("doc") % 2 === 0)),
+        Vocab.termSketches(docs.where(C("doc") % 2 === 1))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged shouldBe est
+  }
+
   test("incremental counts state + rank equals the batch vocabulary") {
     import org.apache.spark.sql.functions.{col => C}
     val first = corpus("a" -> "x x y z", "b" -> "x q")
