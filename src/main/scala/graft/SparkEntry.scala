@@ -1801,6 +1801,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MODEL-BASED QUALITY FILTER (the CCNet/fastText curation recipe,
+    // Wenzek et al. 2020): train the q88 Naive Bayes on a target-vs-raw
+    // label (target = sources src0–src9), keep docs the model scores as
+    // target-like. The integer micro-nat scores make the decision
+    // boundary engine-exact — no float argmax to get lucky on.
+    "q112_model_quality_filter" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"),
+          when(col("source").isin((0 until 10).map(i => s"src$i"): _*),
+            "target").otherwise("raw").as("lang"))
+      graft.operators.Classify.naiveBayes(d, "lang", numBuckets = DsirBuckets)
+        .where(col("predicted") === "target")
+        .select(col("doc").as("doc_id"), col("lang").as("label"),
+          col("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // OHLC DOWNSAMPLE: per (event_type, hour) open/high/low/close of
+    // value + count/sum — raw events collapsed to one row per series
+    // per bucket; open/close picked at the total (ts, event_id) order.
+    "q113_events_ohlc" -> ((s, dir) =>
+      graft.operators.Events.downsampleOhlc(events(s, dir))
+        .orderBy(col("event_type"), col("hour_start"))),
+
     // WINNOW-fingerprint contamination screen: q44's split compared in
     // fingerprint space — benchmark state shrinks by the winnow density
     // (≈2/(w+1)), the k+w−1 shared-run guarantee still catches any
@@ -2733,7 +2757,7 @@ object SparkEntry {
     "q88c_nb_rowlocal" -> nbPredictionsSql,
 
     "q88b_nb_confusion" ->
-      s"""WITH $nbScoreCtes
+      s"""WITH ${nbScoreCtes()}
          |SELECT lang, cand AS predicted, count(*)::BIGINT AS n
          |FROM pred WHERE rn = 1
          |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
@@ -3690,6 +3714,40 @@ object SparkEntry {
     // engine ran — q105 green proves star ≡ min-label ≡ graph closure.
     "q105_minhash_dedup_star" -> convergedDedupSql,
 
+    // Model quality filter: the q88 NB score chain over the re-labeled
+    // relation (target = src0–src9), keep rows whose argmax is 'target'.
+    "q112_model_quality_filter" ->
+      s"""WITH ${nbScoreCtes(
+             "(SELECT doc_id, text, CASE WHEN source IN (" +
+               (0 until 10).map(i => s"'src$i'").mkString(",") +
+               ") THEN 'target' ELSE 'raw' END AS lang FROM documents)")}
+         |SELECT doc_id, lang AS label, score_micro
+         |FROM pred WHERE rn = 1 AND cand = 'target'
+         |ORDER BY doc_id""".stripMargin,
+
+    // OHLC: same first/last-by-(ts, event_id) picks via row_number,
+    // min/max/count and the round-6 double sum.
+    "q113_events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         ts, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, hour_start
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type, hour_start) AS cnt
+        |  FROM e)
+        |SELECT event_type, hour_start,
+        |       max(CASE WHEN rn = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       max(CASE WHEN rn = cnt THEN value END) AS close,
+        |       count(*) AS n_events,
+        |       round(sum(value), 6) AS value_sum
+        |FROM w GROUP BY 1, 2
+        |ORDER BY event_type, hour_start""".stripMargin,
+
     // Winnow contamination: the q72 fingerprint CTEs (winnowing is
     // doc-local, so filtering the full-corpus wfp set ≡ fingerprinting
     // the subsets), then exactly q44's join-count shape.
@@ -4294,17 +4352,17 @@ object SparkEntry {
     * over the DENSE (bucket × class) table, argmax with ties to the
     * smallest label. Every quantized value derives from exact long
     * ratios, so scores are identical long sums in both engines. */
-  private def nbScoreCtes: String =
+  private def nbScoreCtes(docsRel: String = "documents"): String =
     s"""tok AS (
        |  SELECT doc_id, lang,
        |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
        |                t -> t <> '')) AS token
-       |  FROM documents),
+       |  FROM $docsRel),
        |tb AS (
        |  SELECT doc_id, lang,
        |         (${duckMd5Hash32("token")}) % $DsirBuckets AS bucket
        |  FROM tok),
-       |cls AS (SELECT lang, count(*)::BIGINT AS docs_c FROM documents GROUP BY 1),
+       |cls AS (SELECT lang, count(*)::BIGINT AS docs_c FROM $docsRel GROUP BY 1),
        |pri AS (
        |  SELECT lang AS cand,
        |         floor(ln(docs_c::DOUBLE /
@@ -4370,7 +4428,7 @@ object SparkEntry {
     * contract: distributed fit+score and collected-model row-local
     * scoring must produce identical predictions and exact long scores. */
   private def nbPredictionsSql: String =
-    s"""WITH $nbScoreCtes
+    s"""WITH ${nbScoreCtes()}
        |SELECT doc_id, lang, cand AS predicted, score_micro
        |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin
 

@@ -178,6 +178,41 @@ object Events {
       .groupBy(col("cohort"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
 
+  /**
+   * OHLC DOWNSAMPLE — the time-series compaction every metrics/market
+   * pipeline runs: per (event_type, hour) the Open/High/Low/Close of
+   * `value` plus count and sum, collapsing raw events to one row per
+   * series per bucket. Open/close are the values at the window's first/
+   * last event in (ts, event_id) order — the unique tie-break keeps the
+   * pick total-ordered and engine-portable (two events in the same
+   * microsecond can't flip it).
+   *
+   * Scale shape: ONE exchange — the row_number/count window partitions
+   * by (event_type, hour) and the final aggregate groups by the same
+   * key, so Catalyst reuses the window's hash partitioning (no second
+   * shuffle); open/close fold into the aggregate as conditional maxes
+   * over the rank columns.
+   */
+  def downsampleOhlc(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = date_trunc("hour", col("ts"))
+    val w = Window.partitionBy(col("event_type"), col("hour_start"))
+    val ranked = events
+      .withColumn("hour_start", hour)
+      .withColumn("_rn",
+        row_number().over(w.orderBy(col("ts"), col("event_id"))))
+      .withColumn("_cnt", count(lit(1)).over(w))
+    ranked
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(
+        max(when(col("_rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("_rn") === col("_cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("value_sum"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

@@ -222,14 +222,17 @@ object Pipeline {
       numBins: Int = 1000): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(numBins > 0, s"numBins must be positive, got $numBins")
-    val stats = docs.select(col("doc"),
+    // The stats projection feeds the bin aggregate AND both keep
+    // branches — persist it (graft.Caching route, caller releases via
+    // Caching.scoped) so the corpus is scanned once, not three times.
+    val stats = graft.Caching.persist(docs.select(col("doc"),
       size(filter(split(col("line"), "\\s+"), t => length(t) > 0))
         .cast("long").as("n_tokens"),
       graft.functions.TextAnalysis.qualityScoreCol(col("line"))
         .as("quality_score"))
       .withColumn("bin", least(
         floor(col("quality_score") * numBins).cast("long"),
-        lit(numBins - 1L)))
+        lit(numBins - 1L))))
     val binSums = stats.groupBy(col("bin"))
       .agg(sum(col("n_tokens")).as("bin_tokens"))
     // numBins-row frame: the one place an unpartitioned window is by

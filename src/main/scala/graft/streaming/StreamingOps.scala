@@ -29,6 +29,28 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Streaming twin of `Events.downsampleOhlc` — live OHLC compaction
+    * per (event_type, hour). The batch tier picks open/close through a
+    * rank window; windows can't stream, but `min_by`/`max_by` over the
+    * (ts, event_id) struct key CAN — they're commutative mergeable
+    * aggregates, so the picks are micro-batch-order-free and equal the
+    * batch tier's total-order selection by construction. Watermark
+    * bounds state; append-mode emits each candle once, closed. */
+  def downsampleOhlc(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("value_sum"))
+
   /** Streaming twin of `Events.slidingTypeStats`: overlapping windows
     * advancing by `slideDuration`, watermark-bounded state, append-mode
     * safe (each window emits once when the watermark closes it). State

@@ -162,6 +162,33 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)) // u3's cohort
   }
 
+  test("downsampleOhlc picks open/close at the (ts, event_id) order, one row per bucket") {
+    val got = Events.downsampleOhlc(ev(
+      (2L, "2024-01-01 10:00:00", 1L, "click", 5.0), // same ts as id 1 —
+      (1L, "2024-01-01 10:00:00", 1L, "click", 3.0), // id order decides open
+      (3L, "2024-01-01 10:30:00", 1L, "click", 9.0),
+      (4L, "2024-01-01 10:45:00", 1L, "click", 1.0), // low AND close
+      (5L, "2024-01-01 11:05:00", 1L, "click", 7.0), // next hour
+      (6L, "2024-01-01 10:10:00", 1L, "view", 2.0))) // other series
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    got(("click", "2024-01-01 10:00:00.0")) shouldBe
+      ((3.0, 9.0, 1.0, 1.0, 4L, 18.0)) // open=id1, high=9, low=close=1
+    got(("click", "2024-01-01 11:00:00.0")) shouldBe
+      ((7.0, 7.0, 7.0, 7.0, 1L, 7.0))
+    got(("view", "2024-01-01 10:00:00.0")) shouldBe
+      ((2.0, 2.0, 2.0, 2.0, 1L, 2.0))
+  }
+
+  test("downsampleOhlc plans one exchange (window partitioning reused by the agg)") {
+    val plan = Events.downsampleOhlc(
+      ev((1L, "2024-01-01 10:00:00", 1L, "click", 1.0)))
+      .queryExecution.executedPlan.toString
+    // the groupBy must NOT re-shuffle after the window's hash exchange
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

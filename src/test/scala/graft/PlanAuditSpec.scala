@@ -70,6 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "q88_naive_bayes", // distinct-buckets × C-row class frame — the
                        // dense smoothed conditional table (≤ B·C rows)
     "q88b_nb_confusion", // same model cross
+    "q112_model_quality_filter", // q88's NB model cross on the
+                                 // target-vs-raw relabeled corpus
     "q89_coverage_sample", // q54's Lloyd centroid broadcast cross
     "q91b_split_incremental_leakage", // 1-row new-counts × 1-row
                                       // pair-counts cross

@@ -36,6 +36,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming downsampleOhlc candles equal the batch picks after window close") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    val q = StreamingOps.downsampleOhlc(events, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ohlc").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two micro-batches DELIVERED OUT OF TIME ORDER inside hour 10 —
+      // min_by/max_by must still pick by (ts, event_id), not arrival
+      input.addData(
+        (3L, Timestamp.valueOf("2024-01-01 10:30:00"), "click", 9.0),
+        (4L, Timestamp.valueOf("2024-01-01 10:45:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 5.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      input.addData((9L, Timestamp.valueOf("2024-01-01 12:00:01"), "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ohlc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))
+      // open = id1 (ts tie broken by event_id), close = id4
+      got.toSet shouldBe Set(
+        ("2024-01-01 10:00:00.0", "click", 3.0, 9.0, 1.0, 1.0, 4L, 18.0))
+    } finally q.stop()
+  }
+
   test("streaming slidingTypeStats matches the batch twin's covering windows") {
     val s = spark
     import s.implicits._

@@ -132,7 +132,7 @@ def main():
     t = open(BASELINE).read()
     # operate only on the round-4 measured section — earlier rounds'
     # tables are history and must stay as recorded
-    anchor = t.index("## Measured (round 4")
+    anchor = t.index("## Measured (round ")
     head, tail = t[:anchor], t[anchor:]
     tail = re.sub(r"Total \*\*[\d.]+ s over \d+ queries, zero errors\*\*",
                   f"Total **{bench['value']:.1f} s over {len(q)} queries, zero errors**",
