@@ -1825,6 +1825,35 @@ object SparkEntry {
       graft.operators.Events.downsampleOhlc(events(s, dir))
         .orderBy(col("event_type"), col("hour_start"))),
 
+    // TWAP downsample: time-weighted hourly mean via exact integer
+    // arithmetic (micro-quantized value, microsecond hold durations,
+    // decimal product sums, floor division) — engine-exact with no
+    // float-sum order sensitivity. The engine's boundary-stitched
+    // plan (per-(type,hour) lead + tiny hour-frame successor) equals
+    // the oracle's flat per-type lead by construction.
+    "q114_events_twap" -> ((s, dir) =>
+      graft.operators.Events.downsampleTwap(events(s, dir))
+        .orderBy(col("event_type"), col("hour_start"))),
+
+    // Per-doc character entropy (gibberish/boilerplate screen):
+    // map-only length−replace counts over the shared fixed alphabet,
+    // explicit fixed-order float sum mirrored by the generated oracle.
+    "q116_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis),
+    // exact k=100 by n_chars weight — the seed-free u (52 md5 bits,
+    // exact double centering) and micro-quantized ln(u)/w key make the
+    // selected set engine-exact; TakeOrderedAndProject, no global sort.
+    "q115_sample_weighted_k" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .sampleWeightedK(
+          tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          weightCol = "n_chars", keyCol = "doc_id", k = 100)
+        .orderBy(col("key_micro").desc, col("doc_id"))),
+
     // WINNOW-fingerprint contamination screen: q44's split compared in
     // fingerprint space — benchmark state shrinks by the winnow density
     // (≈2/(w+1)), the k+w−1 shared-run guarantee still catches any
@@ -3748,6 +3777,50 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2
         |ORDER BY event_type, hour_start""".stripMargin,
 
+    // TWAP: flat per-type lead successor (≡ the engine's stitched
+    // per-hour windows), exact integer micro arithmetic, floor div.
+    // DuckDB's BIGINT sum promotes to HUGEINT, so both sides of the
+    // division are exact; `//` is floor division like the engine's
+    // (num − mod)/den.
+    "q114_events_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         epoch_us(ts) AS tus,
+        |         CAST(round(value * 1e6) AS BIGINT) AS vmicro,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |                                  ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, hour_start, vmicro, next_us - tus AS dur
+        |  FROM e WHERE next_us IS NOT NULL)
+        |SELECT event_type, hour_start,
+        |       count(*)::BIGINT AS n_obs,
+        |       sum(dur)::BIGINT AS dur_us,
+        |       (sum(vmicro::HUGEINT * dur) // sum(dur))::BIGINT AS twap_micro
+        |FROM d GROUP BY 1, 2
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    // Char entropy: generated from the shared alphabet (same chars,
+    // same fixed summation order as the engine's expression chain).
+    "q116_char_entropy" -> charEntropySql,
+
+    // A-Res sample: the same 52-bit md5 u and floor-quantized
+    // ln(u)/w key; top-100 with doc_id tie-break = the engine's set.
+    "q115_sample_weighted_k" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         (list_sum(list_transform(range(1, 14), i ->
+        |            (strpos('0123456789abcdef',
+        |               substr(md5('ares:' || doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+        |              << ((13 - i)::INTEGER * 4)))::DOUBLE + 0.5)
+        |           / 4503599627370496.0 AS uu
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |       CAST(floor(1e6 * ln(uu) / n_chars) AS BIGINT) AS key_micro
+        |FROM u
+        |ORDER BY key_micro DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
     // Winnow contamination: the q72 fingerprint CTEs (winnowing is
     // doc-local, so filtering the full-corpus wfp set ≡ fingerprinting
     // the subsets), then exactly q44's join-count shape.
@@ -4149,6 +4222,31 @@ object SparkEntry {
          |  FROM adcp)
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
   )
+
+  /** q116 oracle, GENERATED from [[TextAnalysis.EntropyAlphabet]] so
+    * both engines count the same characters and — critically — sum the
+    * n·ln(n) terms in the same fixed left-associated order (float-sum
+    * order is part of the round-6 contract). Mirrors the engine's
+    * length−replace counting exactly. */
+  private def charEntropySql: String = {
+    val cnts = TextAnalysis.EntropyAlphabet.map { c =>
+      s"(length(text) - length(replace(text, '$c', '')))"
+    }
+    val n = cnts.mkString("(", " + ", ")")
+    val s = cnts
+      .map(c => s"(CASE WHEN $c > 0 THEN $c * ln($c) ELSE 0.0 END)")
+      .mkString("(", " + ", ")")
+    val nd = cnts
+      .map(c => s"(CASE WHEN $c > 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""SELECT doc_id,
+       |       $n::BIGINT AS n_counted,
+       |       $nd::BIGINT AS n_distinct_chars,
+       |       round(ln($n) - $s / $n, 6) AS entropy_nats
+       |FROM documents
+       |WHERE $n > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared q96/q105 oracle: TRUE connected components via a recursive
     * CTE over the band graph (no iteration bound at all) — the contract

@@ -578,4 +578,59 @@ object TextAnalysis {
       .orderBy(col("js_contrib").desc, col("term"))
       .limit(k)
   }
+
+  /** The alphabet [[charEntropy]] scores over by default — this
+    * corpus's full character set (lowercase words + spaces). Shared
+    * with the oracle-SQL builder so both engines iterate the SAME
+    * characters in the SAME order (float-sum order is part of the
+    * contract). */
+  val EntropyAlphabet: Seq[Char] = ('a' to 'z') :+ ' '
+
+  /**
+   * Per-document CHARACTER ENTROPY — the cheap gibberish/boilerplate
+   * detector quality pipelines pair with token heuristics: Shannon
+   * entropy (nats) of the document's character distribution over a
+   * fixed alphabet. Near-zero entropy flags single-character floods
+   * ("aaaa…"), abnormally low values flag repeated boilerplate;
+   * natural text sits in a narrow band, so both tails are screenable
+   * cut points.
+   *
+   * Purely MAP-ONLY and codegen-friendly: each character's count is
+   * `len(text) − len(replace(text, c, ''))` — |alphabet| string
+   * replaces folded into one projection, no explode, no shuffle, no
+   * UDF. The entropy uses the algebraic form
+   * `ln(n) − (Σ cᵢ·ln cᵢ)/n`, with the Σ accumulated in fixed
+   * alphabet order by an explicit left-associated `+` chain — the
+   * oracle mirrors the same order, so cross-engine drift is bounded
+   * by ln's 1-ulp difference over ≤|alphabet| terms, far below the
+   * round-6 contract.
+   *
+   * @return (doc, n_counted, n_distinct_chars, entropy_nats) — rows
+   *         whose text has no alphabet characters are dropped
+   */
+  def charEntropy(
+      docs: DataFrame,
+      alphabet: Seq[Char] = EntropyAlphabet): DataFrame = {
+    require(alphabet.nonEmpty && alphabet.distinct == alphabet,
+      "alphabet must be non-empty with distinct characters")
+    val cnts: Seq[Column] = alphabet.map { c =>
+      (length(col("line")) -
+        length(replace(col("line"), lit(c.toString), lit("")))).cast("long")
+    }
+    val n = cnts.reduceLeft(_ + _)
+    val nlnTerms = cnts.map { c =>
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    }
+    val s = nlnTerms.reduceLeft(_ + _)
+    val nDistinct = cnts.map(c => when(c > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
+    docs
+      .withColumn("n_counted", n)
+      .where(col("n_counted") > 0)
+      .select(
+        col("doc"),
+        col("n_counted"),
+        nDistinct.as("n_distinct_chars"),
+        round(log(col("n_counted").cast("double")) -
+          s / col("n_counted").cast("double"), 6).as("entropy_nats"))
+  }
 }

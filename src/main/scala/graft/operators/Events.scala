@@ -213,6 +213,70 @@ object Events {
         round(sum(col("value")), 6).as("value_sum"))
   }
 
+  /**
+   * TWAP DOWNSAMPLE — time-weighted average of `value` per
+   * (event_type, hour), the companion compaction to [[downsampleOhlc]]
+   * for irregularly-sampled series: each observation "holds" until the
+   * next observation of the same series (last-observation-carried-
+   * forward), so a value that persisted 50 minutes weighs 50× one that
+   * was replaced after a minute. The weight is the exact microsecond
+   * gap to the series' next event in (ts, event_id) order; the gap is
+   * attributed to the hour of the CURRENT event, and each series' final
+   * event (no successor) is excluded. All arithmetic is integer —
+   * value micro-quantized via round(value·1e6), products summed as
+   * DECIMAL(38,0), and the average taken by exact floor division — so
+   * the result is engine-exact (no float-sum order sensitivity).
+   *
+   * Scale shape: the successor lookup is NOT one total-order window per
+   * event_type (event types are few — that window would funnel the
+   * whole series through one task). Instead: a lead window partitioned
+   * by (event_type, hour) handles every within-hour successor, and the
+   * cross-hour boundary (each hour's last event) is stitched from a
+   * TINY hour-level frame — groupBy (type, hour) min-start, then a
+   * per-type lead over hours (series × hours rows, KBs at any corpus
+   * size) broadcast back. Equal to the flat per-type lead by
+   * construction: the successor of an hour's last event is exactly the
+   * next present hour's first event. The stitched plan's big exchanges
+   * are all (event_type, hour)-keyed — parallel in the number of
+   * series-hours, not series.
+   */
+  def downsampleTwap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val typeHour = Window.partitionBy(col("event_type"), col("hour_start"))
+    val e = events
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("vmicro", round(col("value") * 1e6).cast("long"))
+      .withColumn("next_in_hour",
+        lead(col("tus"), 1).over(typeHour.orderBy(col("ts"), col("event_id"))))
+    // Hour-level frame: first event time per (type, hour); the next
+    // PRESENT hour's first event closes each hour's last observation.
+    val hourFirsts = e
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(min(col("tus")).as("hour_first"))
+      .withColumn("next_hour_first",
+        lead(col("hour_first"), 1)
+          .over(Window.partitionBy(col("event_type")).orderBy(col("hour_start"))))
+      .select(col("event_type"), col("hour_start"), col("next_hour_first"))
+    e.join(broadcast(hourFirsts), Seq("event_type", "hour_start"))
+      .withColumn("dur_us",
+        coalesce(col("next_in_hour"), col("next_hour_first")) - col("tus"))
+      .where(col("dur_us").isNotNull)
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("dur_us")).as("dur_us"),
+        // multiply IN decimal — a long×long product can overflow when a
+        // series goes quiet for days (vmicro ~5e8 × dur ~1e11)
+        sum(col("vmicro").cast("decimal(38,0)") * col("dur_us")).as("_num"))
+      // exact floor division on exact integers: (num - num mod den) / den
+      .withColumn("twap_micro",
+        ((col("_num") - pmod(col("_num"), col("dur_us").cast("decimal(38,0)"))) /
+          col("dur_us").cast("decimal(38,0)")).cast("long"))
+      .select(col("event_type"), col("hour_start"), col("n_obs"),
+        col("dur_us"), col("twap_micro"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

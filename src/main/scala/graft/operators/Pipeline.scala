@@ -762,4 +762,46 @@ object Pipeline {
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement, exact k (Efraimidis &
+   * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+   * row draws u ∈ (0,1) and ranks by u^(1/w); the k largest keys are a
+   * weighted sample without replacement. Where [[sampleByWeight]] is
+   * Bernoulli (expected fraction, realized size varies, heavy rows clip
+   * at p=1), this returns EXACTLY k rows and never clips — the
+   * balanced-eval-slice / seed-set primitive.
+   *
+   * Determinism: u is seed-free — the first 52 md5 bits of
+   * `"ares:" + key`, centered (+0.5) and divided by 2^52, all exact
+   * double arithmetic, so every engine draws the identical u. Ranking
+   * uses the monotone log form ln(u)/w, floor-quantized to micro units
+   * (the DSIR convention) with the key column as tie-break, so the
+   * selected SET is engine-exact.
+   *
+   * Scale shape: map-only scoring + `orderBy(...).limit(k)`, which
+   * Spark plans as TakeOrderedAndProject — a size-k heap per partition
+   * and a k·P-row driver merge. No global sort, no shuffle of corpus
+   * rows, no RNG state; retries/speculation can't change the draw.
+   * Null or non-positive weights never sample.
+   *
+   * @return the k sampled rows: keyCol, weightCol, key_micro
+   */
+  def sampleWeightedK(
+      df: DataFrame,
+      weightCol: String,
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u52 =
+      (conv(substring(md5(concat(lit("ares:"), col(keyCol).cast("string"))),
+        1, 13), 16, 10).cast("long").cast("double") + 0.5) /
+        4503599627370496.0 // 2^52; (v+0.5)/2^52 is exact in doubles
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_micro",
+        floor(lit(1e6) * log(u52) / col(weightCol)).cast("long"))
+      .select(col(keyCol), col(weightCol), col("key_micro"))
+      .orderBy(col("key_micro").desc, col(keyCol))
+      .limit(k)
+  }
 }

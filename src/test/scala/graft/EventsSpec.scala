@@ -189,6 +189,62 @@ class EventsSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
   }
 
+  test("downsampleTwap: hold-until-next weighting incl. the cross-hour stitch") {
+    val got = Events.downsampleTwap(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 2.0), // holds 30 min
+      (2L, "2024-01-01 10:30:00", 1L, "click", 4.0), // holds 40 min, INTO hour 11
+      (3L, "2024-01-01 11:10:00", 1L, "click", 6.0), // holds 50 min
+      (4L, "2024-01-01 12:00:00", 1L, "click", 8.0))) // no successor → dropped
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // hour 10: (2e6·1.8e9 + 4e6·2.4e9) / 4.2e9 = 3_142_857.14… → floor
+    got(("click", "2024-01-01 10:00:00.0")) shouldBe ((2L, 4200000000L, 3142857L))
+    got(("click", "2024-01-01 11:00:00.0")) shouldBe ((1L, 3000000000L, 6000000L))
+    got.size shouldBe 2 // hour 12's only event has no successor
+  }
+
+  test("downsampleTwap: stitched plan ≡ flat per-type lead (incl. skipped hours)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 3 series × 60 events with growing gaps so several hours are
+    // skipped entirely — the boundary stitch must cross them
+    val rows = for (t <- 0 until 3; i <- 0 until 60) yield
+      (t * 100L + i,
+        f"2024-01-0${1 + i / 40}%d ${10 + (i % 40) / 10}%02d:${(i * 7) % 60}%02d:00",
+        1L, s"type$t", (i % 13) + 0.5)
+    val e = ev(rows: _*)
+    val flat = e
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("vmicro", round(col("value") * 1e6).cast("long"))
+      .withColumn("next_us", lead(col("tus"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))))
+      .where(col("next_us").isNotNull)
+      .withColumn("dur_us", col("next_us") - col("tus"))
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("dur_us")).as("dur_us"),
+        sum(col("vmicro").cast("decimal(38,0)") * col("dur_us")).as("_num"))
+      .withColumn("twap_micro",
+        ((col("_num") - pmod(col("_num"), col("dur_us").cast("decimal(38,0)"))) /
+          col("dur_us").cast("decimal(38,0)")).cast("long"))
+      .select("event_type", "hour_start", "n_obs", "dur_us", "twap_micro")
+    rowsOf(Events.downsampleTwap(e)) shouldBe rowsOf(flat)
+  }
+
+  test("downsampleTwap: hour-frame successor joins broadcast; big side shuffles once") {
+    val plan = Events.downsampleTwap(
+      ev((1L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+        (2L, "2024-01-01 11:00:00", 1L, "click", 2.0)))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // exchanges: full event rows move ONCE (the (type, hour) window);
+    // the hour-frame branch adds two more that only carry (type, hour,
+    // min-ts) partial aggregates — map-side combined, hour-level row
+    // counts — plus its per-type lead over the tiny frame. The final
+    // aggregate reuses the big window's partitioning (no 4th exchange).
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 3
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

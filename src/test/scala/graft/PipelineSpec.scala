@@ -466,4 +466,62 @@ class PipelineSpec extends SparkSpec {
         one.withColumn("bucket", org.apache.spark.sql.functions.lit(1L)),
         tgt, k = 1)
   }
+
+  /** JVM-side replay of sampleWeightedK's draw: u from the first 13 md5
+    * hex chars of "ares:key", centered over 2^52; key = ⌊1e6·ln(u)/w⌋. */
+  private def aresKeyMicro(key: String, w: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ares:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+    math.floor(1e6 * math.log(u) / w).toLong
+  }
+
+  test("sampleWeightedK selects exactly the locally-replayed top-k set") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = (0 until 200).map(i => (i.toLong, (i % 17 + 1).toLong))
+    val df = rows.toDF("doc_id", "w")
+    val got = Pipeline.sampleWeightedK(df, weightCol = "w", keyCol = "doc_id", k = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = rows
+      .map { case (id, w) => (id, aresKeyMicro(id.toString, w)) }
+      .sortBy { case (id, km) => (-km, id) }
+      .take(25)
+    got.toSeq shouldBe expected
+  }
+
+  test("sampleWeightedK: heavier rows are sampled proportionally more") {
+    val s2 = spark
+    import s2.implicits._
+    // 500 light (w=1) vs 500 heavy (w=20) rows: a 200-row sample should
+    // be dominated by heavy rows (E[heavy] ≈ 190)
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) 1L else 20L))
+      .toDF("doc_id", "w")
+    val heavy = Pipeline.sampleWeightedK(df, "w", "doc_id", k = 200)
+      .where(org.apache.spark.sql.functions.col("w") === 20L).count()
+    heavy should be > 160L
+  }
+
+  test("sampleWeightedK drops null and non-positive weights, rejects bad k") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, None), (4L, Some(-2L)))
+      .toDF("doc_id", "w")
+    val got = Pipeline.sampleWeightedK(df, "w", "doc_id", k = 10)
+      .collect().map(_.getLong(0))
+    got.toSeq shouldBe Seq(1L)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.sampleWeightedK(df, "w", "doc_id", k = 0)
+  }
+
+  test("sampleWeightedK plans a TakeOrderedAndProject, not a global sort") {
+    val s2 = spark
+    import s2.implicits._
+    val plan = Pipeline.sampleWeightedK(
+      (0 until 50).map(i => (i.toLong, 1L)).toDF("doc_id", "w"),
+      "w", "doc_id", k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
 }

@@ -290,4 +290,41 @@ class TextAnalysisSpec extends SparkSpec {
       r.getDouble(3) shouldBe 0.0 +- 1e-9
     }
   }
+
+  test("charEntropy: single-char flood scores 0, uniform text scores ln(distinct)") {
+    val got = TextAnalysis.charEntropy(corpus(
+      "flood" -> "aaaaaaaa",
+      "uni4" -> "abc ", // 4 distinct chars, once each → ln 4
+      "pair" -> "ab"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got("flood") shouldBe ((8L, 1L, 0.0))
+    got("uni4") shouldBe ((4L, 4L, math.rint(math.log(4.0) * 1e6) / 1e6))
+    got("pair") shouldBe ((2L, 2L, math.rint(math.log(2.0) * 1e6) / 1e6))
+  }
+
+  test("charEntropy counts only alphabet chars and drops all-foreign rows") {
+    val got = TextAnalysis.charEntropy(corpus(
+      "mixed" -> "a1b2", // digits invisible → "ab"
+      "foreign" -> "12345"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    got("mixed") shouldBe ((2L, math.rint(math.log(2.0) * 1e6) / 1e6))
+    got.contains("foreign") shouldBe false
+  }
+
+  test("charEntropy: skewed text matches the hand formula, plan is shuffle-free") {
+    // "aab" → ln 3 − (2·ln2)/3
+    val df = TextAnalysis.charEntropy(corpus("d" -> "aab"))
+    df.head().getDouble(3) shouldBe
+      (math.rint((math.log(3.0) - 2 * math.log(2.0) / 3) * 1e6) / 1e6)
+    df.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("charEntropy rejects an empty or duplicated alphabet") {
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.charEntropy(corpus("d" -> "x"), alphabet = Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.charEntropy(corpus("d" -> "x"), alphabet = Seq('a', 'a'))
+  }
 }
