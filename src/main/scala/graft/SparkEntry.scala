@@ -1835,6 +1835,24 @@ object SparkEntry {
       graft.operators.Events.downsampleTwap(events(s, dir))
         .orderBy(col("event_type"), col("hour_start"))),
 
+    // Cluster labeling: top-5 distinctive terms per q54 k-means cell
+    // by integer-exact lift vs the corpus distribution (decimal
+    // products, floor division) — joins the embedding clustering to
+    // the documents' text on vec_id = doc_id.
+    "q118_cluster_labels" -> ((s, dir) =>
+      Clustering.clusterLabels(
+          Clustering.kmeans(tbl(s, dir, "embeddings"), stride = 50, iters = 2),
+          docs(s, dir), k = 5, minCount = 2)
+        .orderBy(col("cell"), col("rnk"))),
+
+    // PageRank over the q39 term co-occurrence graph — integer-exact
+    // damped recurrence (micro-unit ranks, floor division only), 10
+    // fixed rounds; oracle unrolls the identical recurrence as CTEs.
+    "q117_term_pagerank" -> ((s, dir) =>
+      graft.operators.Graph
+        .termPageRank(docs(s, dir), window = 2, minCount = 2, iters = 10)
+        .orderBy(col("rank_micro").desc, col("term"))),
+
     // Per-doc character entropy (gibberish/boilerplate screen):
     // map-only length−replace counts over the shared fixed alphabet,
     // explicit fixed-order float sum mirrored by the generated oracle.
@@ -3804,6 +3822,42 @@ object SparkEntry {
     // same fixed summation order as the engine's expression chain).
     "q116_char_entropy" -> charEntropySql,
 
+    // Term PageRank: the unrolled integer recurrence (same params as
+    // the engine call: window 2, minCount 2, 10 rounds).
+    "q117_term_pagerank" -> termPageRankSql(window = 2, minCount = 2, iters = 10),
+
+    // Cluster labels: the q54 k-means CTE chain for assignments, then
+    // the identical integer lift (HUGEINT products, `//` floor div).
+    "q118_cluster_labels" ->
+      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
+         |tokd AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |ct AS (
+         |  SELECT a.cell, t.term, count(*)::BIGINT AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tokd) t
+         |  JOIN af a ON a.vec_id = t.doc_id
+         |  GROUP BY 1, 2),
+         |celltot AS (SELECT cell, sum(cnt)::BIGINT AS toks_c FROM ct GROUP BY 1),
+         |termtot AS (SELECT term, sum(cnt)::BIGINT AS cnt_t FROM ct GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS tot_toks FROM ct),
+         |scored AS (
+         |  SELECT ct.cell, ct.term, ct.cnt,
+         |         ((ct.cnt::HUGEINT * tot.tot_toks * 1000000)
+         |            // (celltot.toks_c::HUGEINT * termtot.cnt_t))::BIGINT AS score_micro
+         |  FROM ct
+         |  JOIN celltot USING (cell)
+         |  JOIN termtot USING (term)
+         |  CROSS JOIN tot
+         |  WHERE ct.cnt >= 2)
+         |SELECT cell, term, cnt, score_micro, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |                               ORDER BY score_micro DESC, term) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5
+         |ORDER BY cell, rnk""".stripMargin,
+
     // A-Res sample: the same 52-bit md5 u and floor-quantized
     // ln(u)/w key; top-100 with doc_id tie-break = the engine's set.
     "q115_sample_weighted_k" ->
@@ -4222,6 +4276,49 @@ object SparkEntry {
          |  FROM adcp)
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
   )
+
+  /** q117 oracle: the SAME integer recurrence as Graph.termPageRank,
+    * unrolled to `iters` chained CTEs (DuckDB recursive CTEs can't
+    * aggregate over the recursive reference, so a generated unroll is
+    * the portable form — the minLabelIterSql precedent). DuckDB's
+    * BIGINT sum promotes to HUGEINT and `//` is floor division, so
+    * every intermediate matches the engine's `div` arithmetic exactly;
+    * the final cast pins the column back to BIGINT. */
+  private def termPageRankSql(window: Int, minCount: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS term,
+         |         (150000 + (85 * sum(r.r // d.deg)) // 100)::BIGINT AS r
+         |  FROM r${i - 1} r
+         |  JOIN edges e ON r.term = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tokl AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, p, toks[p::INTEGER] AS term
+       |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
+       |pairs AS (
+       |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
+       |  FROM pos a JOIN pos b
+       |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + $window),
+       |pc AS (
+       |  SELECT t1, t2 FROM (
+       |    SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
+       |  WHERE cnt >= $minCount AND t1 <> t2),
+       |edges AS (
+       |  SELECT t1 AS src, t2 AS dst FROM pc
+       |  UNION ALL
+       |  SELECT t2 AS src, t1 AS dst FROM pc),
+       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS term, 1000000::BIGINT AS r FROM deg),
+       |$iterCtes
+       |SELECT term, r AS rank_micro FROM r$iters
+       |ORDER BY rank_micro DESC, term""".stripMargin
+  }
 
   /** q116 oracle, GENERATED from [[TextAnalysis.EntropyAlphabet]] so
     * both engines count the same characters and — critically — sum the

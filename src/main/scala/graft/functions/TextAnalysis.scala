@@ -21,7 +21,7 @@ object TextAnalysis {
   val LangMarkers: Seq[(String, Seq[String])] =
     org.apache.spark.sql.graft.TextStatsKernel.LangMarkers
 
-  private def toks(line: Column): Column =
+  private[graft] def toks(line: Column): Column =
     filter(split(line, "\\s+"), t => length(t) > 0)
 
   /**
@@ -124,21 +124,30 @@ object TextAnalysis {
    * intermediate pairs. Count totals join back as broadcasts (vocab- or
    * 1-row-sized).
    */
+  /** Windowed co-occurrence PAIRS (t1 ≤ t2 per pair), one row per
+    * positional pair — the map-only, row-local generator shared by
+    * [[cooccurrencePmi]] and the term-graph operators
+    * (graft.operators.Graph): token i (0-based) × its forward
+    * neighbors at 1-based positions i+2 .. i+1+window; slice truncates
+    * at the array end, so the last tokens emit fewer pairs, matching
+    * the positional-range semantics. No positional self-join — the
+    * blow-up is per-row and bounded by window·len. */
+  def cooccurrencePairs(docs: DataFrame, window: Int): DataFrame = {
+    val tokd = docs.select(toks(col("line")).as("toks"))
+    val pairStructs = flatten(transform(col("toks"), (ta, i) =>
+      transform(slice(col("toks"), i + lit(2), lit(window)), tb =>
+        struct(least(ta, tb).as("t1"), greatest(ta, tb).as("t2")))))
+    tokd
+      .select(explode(pairStructs).as("pr"))
+      .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+  }
+
   def cooccurrencePmi(
       docs: DataFrame,
       window: Int = 2,
       minCount: Int = 2): DataFrame = {
-    val tokd = docs.select(toks(col("line")).as("toks"))
-    // token i (0-based) × its forward neighbors at 1-based positions
-    // i+2 .. i+1+window — slice truncates at the array end, so the last
-    // tokens emit fewer pairs, matching the positional-range semantics.
-    val pairStructs = flatten(transform(col("toks"), (ta, i) =>
-      transform(slice(col("toks"), i + lit(2), lit(window)), tb =>
-        struct(least(ta, tb).as("t1"), greatest(ta, tb).as("t2")))))
-    val pairs = tokd
-      .select(explode(pairStructs).as("pr"))
-      .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
-    val terms = tokd.select(explode(col("toks")).as("term"))
+    val pairs = cooccurrencePairs(docs, window)
+    val terms = docs.select(explode(toks(col("line"))).as("term"))
     val termCounts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nTok = terms.agg(count(lit(1)).as("n_tok"))
     val nPair = pairs.agg(count(lit(1)).as("n_pair"))

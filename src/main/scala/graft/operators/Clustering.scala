@@ -127,6 +127,61 @@ object Clustering {
         round(col("maj_n") / col("size"), 6).as("purity"))
 
   /**
+   * CLUSTER LABELING — the "what IS this cluster" readout: per k-means
+   * cell, the top-k most DISTINCTIVE terms of its members' text, scored
+   * by integer-exact lift — how over-represented the term is in the
+   * cell relative to the whole corpus:
+   *   score_micro = ⌊ cnt_ct · tot_toks · 1e6 / (toks_c · cnt_t) ⌋
+   * (cnt_ct = term count inside the cell, toks_c = cell token total,
+   * cnt_t = corpus term count, tot_toks = corpus token total). 1e6 =
+   * "as expected"; a cell whose members mention a term 5× more often
+   * than the corpus scores 5e6. Pure BIGINT products in DECIMAL with
+   * floor division — engine-exact, no float ratios. Terms under
+   * `minCount` occurrences in the cell are suppressed (noise floor);
+   * the TOTALS still count them, so the denominator is honest.
+   *
+   * Scale shape: corpus rows are touched once (the token explode,
+   * pre-filtered to docs that HAVE an embedding by the assignment
+   * join); everything after operates on the persisted (cell, term)
+   * count table — one groupBy exchange to build it, vocabulary-scale
+   * joins for the totals (cell totals broadcast — cells ≪ vocab), and
+   * ONE k-bounded window per cell (WindowGroupLimit heaps). The 1-row
+   * corpus total joins as a broadcast cross.
+   *
+   * @param assign (vec_id, …, cell) — `kmeans` output
+   * @param docs   (doc, line) with doc ~ vec_id
+   * @return (cell, term, cnt, score_micro, rnk), rnk ≤ k per cell
+   */
+  def clusterLabels(
+      assign: DataFrame,
+      docs: DataFrame,
+      k: Int = 5,
+      minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import graft.functions.TextAnalysis
+    val terms = docs.join(assign, docs("doc") === assign("vec_id"))
+      .select(col("cell"), explode(TextAnalysis.toks(col("line"))).as("term"))
+    val ct = graft.Caching.persist(
+      terms.groupBy(col("cell"), col("term")).agg(count(lit(1)).as("cnt")))
+    val cellTot = ct.groupBy(col("cell")).agg(sum(col("cnt")).as("toks_c"))
+    val termTot = ct.groupBy(col("term")).agg(sum(col("cnt")).as("cnt_t"))
+    val tot = ct.agg(sum(col("cnt")).as("tot_toks"))
+    val num = col("cnt").cast("decimal(38,0)") * col("tot_toks") * lit(1000000L)
+    val den = col("toks_c").cast("decimal(38,0)") * col("cnt_t")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("score_micro").desc, col("term"))
+    ct.where(col("cnt") >= minCount)
+      .join(broadcast(cellTot), Seq("cell"))
+      .join(termTot, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("term"), col("cnt"),
+        ((num - pmod(num, den)) / den).cast("long").as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /**
    * Cluster-COVERAGE sampling — diversity-preserving downsampling:
    * keep the `perCell` members closest to each k-means centroid (by
    * the rounded assignment cosine, ties to the smallest vec_id). Where

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/**
+ * Graph analytics over corpus-derived graphs. The first resident is
+ * PageRank over the term co-occurrence graph — the "which terms are
+ * central to this corpus" signal that complements raw counts (q37) and
+ * PMI (q39): a term ranks high when it co-occurs with other
+ * well-connected terms, not merely when it is frequent.
+ *
+ * Everything here follows the repo's iterative-operator recipe
+ * (Dedup.minhashClusterLabelsConverged): per-iteration persist of the
+ * new state, one materializing action that doubles as the loop's
+ * progress check, release of the previous iteration's cache — linear
+ * lineage, no exponential plan nesting.
+ */
+object Graph {
+
+  /**
+   * PAGERANK over the windowed term co-occurrence graph, INTEGER-EXACT.
+   *
+   * Graph: nodes are terms; an undirected edge joins t1—t2 when the
+   * pair co-occurs within `window` positions at least `minCount` times
+   * ([[TextAnalysis.cooccurrencePairs]] multiset semantics, exactly
+   * q39's pair relation). Self-loops (a term repeating inside its own
+   * window) are dropped; terms with no surviving edge are not in the
+   * graph. Symmetrizing makes every node's out-degree ≥ 1, so there are
+   * NO dangling nodes and the damping redistribution term vanishes —
+   * the recurrence is purely local.
+   *
+   * Arithmetic: ranks live in integer MICRO units (start 1_000_000 per
+   * node) and the standard damping-0.85 update is evaluated with
+   * integer floor division only —
+   *   r' = 150000 + (85 · Σ_in (r div deg)) div 100
+   * — so a fixed iteration count yields bit-identical ranks on ANY
+   * engine (the oracle unrolls the same recurrence as chained CTEs).
+   * The floor-div mass leakage is ≤ deg ulps per node per iteration —
+   * micro units make that ≤ ~1e-5 relative, invisible next to the
+   * round-6 contracts elsewhere and irrelevant to ordering.
+   *
+   * Scale shape: the edge list (src, dst, deg) is built once,
+   * pre-partitioned by src, and persisted — each of the `iters` rounds
+   * shuffles only the (term, rank) pair frame (16 B values) into that
+   * partitioning, then one (dst)-keyed partial-agg exchange. State is
+   * O(V + E) on executors, per-round cost two exchanges of
+   * vocabulary-scale rows — corpus rows are touched exactly once, in
+   * the pair scan. Iteration count is FIXED (PageRank needs a fixed
+   * point only approximately; 10 damped rounds is the conventional
+   * truncation), so no convergence detection job is needed.
+   *
+   * @return (term, rank_micro) for every node of the graph
+   */
+  def termPageRank(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Int = 2,
+      iters: Int = 10): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(iters >= 1 && iters <= 100,
+      s"iters must be in [1,100], got $iters")
+    val pc = TextAnalysis.cooccurrencePairs(docs, window)
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount && col("t1") =!= col("t2"))
+      .select(col("t1"), col("t2"))
+    // symmetrize, attach out-degrees, co-locate by src for the loop
+    val edges = pc.select(col("t1").as("src"), col("t2").as("dst"))
+      .union(pc.select(col("t2").as("src"), col("t1").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = graft.Caching.persist(
+      edges.join(deg, Seq("src")).repartition(col("src")))
+    var ranks = graft.Caching.persist(
+      deg.select(col("src").as("term"), lit(1000000L).as("r")))
+    for (_ <- 1 to iters) {
+      val next = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("term"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("term"),
+          expr("150000L + (85 * s) div 100").as("r"))
+      val nextP = graft.Caching.persist(next)
+      nextP.count() // materialize → the previous cache can release
+      graft.Caching.release(ranks)
+      ranks = nextP
+    }
+    ranks.select(col("term"), col("r").as("rank_micro"))
+  }
+}

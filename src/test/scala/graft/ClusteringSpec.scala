@@ -134,4 +134,43 @@ class ClusteringSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Clustering.semanticDedup(twoClusters, threshold = 1.5)
   }
+
+  test("clusterLabels: integer lift vs corpus, minCount floor, k cap") {
+    val s2 = spark
+    import s2.implicits._
+    val assign = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("vec_id", "cell")
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y z")).toDF("doc", "line")
+    val got = Clustering.clusterLabels(assign, docs, k = 2, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // totals: A holds 5 tokens, B 3; corpus: x=3 y=3 z=2, 8 total.
+    // A/x: ⌊3·8e6 / (5·3)⌋ = 1_600_000; B/y: ⌊2·8e6 / (3·3)⌋ = 1_777_777.
+    // Every other (cell, term) count is 1 → under minCount.
+    got shouldBe Set(
+      ("A", "x", 3L, 1600000L, 1L),
+      ("B", "y", 2L, 1777777L, 1L))
+  }
+
+  test("clusterLabels keeps at most k terms per cell, ranked by lift then term") {
+    val s2 = spark
+    import s2.implicits._
+    val assign = Seq((1L, "A")).toDF("vec_id", "cell")
+    val docs = Seq((1L, "a a b b c c")).toDF("doc", "line")
+    // single cell → every term has lift exactly 1e6; rank ties break
+    // alphabetically and k=2 cuts c off
+    val got = Clustering.clusterLabels(assign, docs, k = 2, minCount = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    got.toSeq.sortBy(_._3) shouldBe Seq(("a", 1000000L, 1L), ("b", 1000000L, 2L))
+  }
+
+  test("clusterLabels rejects bad parameters") {
+    val s2 = spark
+    import s2.implicits._
+    val assign = Seq((1L, "A")).toDF("vec_id", "cell")
+    val docs = Seq((1L, "a")).toDF("doc", "line")
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.clusterLabels(assign, docs, k = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Clustering.clusterLabels(assign, docs, minCount = 0)
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  // star c—d, c—e plus isolated pair a—b; every edge appears twice so
+  // minCount=2 keeps it
+  private def starCorpus = corpus(
+    "1" -> "a b", "2" -> "a b",
+    "3" -> "c d", "4" -> "c d",
+    "5" -> "c e", "6" -> "c e")
+
+  test("termPageRank: two rounds of the integer recurrence, hand-computed") {
+    val got = Graph.termPageRank(starCorpus, window = 2, minCount = 2, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a—b (deg 1 each) is at the recurrence's fixed point immediately:
+    // 150000 + 85% of 1e6 = 1_000_000
+    got("a") shouldBe 1000000L
+    got("b") shouldBe 1000000L
+    // star: r1(c) = 150000 + (85·2e6) div 100 = 1_850_000,
+    //        r1(d) = 150000 + (85·(1e6 div 2)) div 100 = 575_000
+    // r2(c) = 150000 + (85·2·575000) div 100   = 1_127_500
+    // r2(d) = 150000 + (85·(1850000 div 2)) div 100 = 936_250
+    got("c") shouldBe 1127500L
+    got("d") shouldBe 936250L
+    got("e") shouldBe 936250L
+  }
+
+  test("termPageRank: hub outranks leaves at depth; sub-minCount and self-loops drop") {
+    val c = corpus(
+      "1" -> "h x", "2" -> "h x", "3" -> "h y", "4" -> "h y",
+      "5" -> "h z", "6" -> "h z",
+      "7" -> "p q",          // seen once → below minCount, not in graph
+      "8" -> "s t s", "9" -> "s t s") // (s,s) self-loop dropped; s—t kept
+    val got = Graph.termPageRank(c, window = 2, minCount = 2, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe Set("h", "x", "y", "z", "s", "t")
+    got("h") should be > got("x")
+    got("x") shouldBe got("y")
+    // s—t is a symmetric pair → fixed point 1e6, like a—b above
+    got("s") shouldBe 1000000L
+  }
+
+  test("termPageRank conserves rank mass up to floor-division leakage") {
+    val got = Graph.termPageRank(starCorpus, window = 2, minCount = 2, iters = 10)
+      .collect().map(_.getLong(1))
+    val total = got.sum
+    // 5 nodes × 1e6 start mass; each round loses < deg ulps per node
+    total should be <= 5000000L
+    total should be > (5000000L - 100L)
+  }
+
+  test("termPageRank rejects bad parameters") {
+    an[IllegalArgumentException] should be thrownBy
+      Graph.termPageRank(starCorpus, window = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.termPageRank(starCorpus, minCount = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.termPageRank(starCorpus, iters = 0)
+  }
+
+  test("termPageRank leaves no cached state behind under Caching.scoped") {
+    // snapshot-diff: earlier unscoped tests legitimately left session
+    // cache behind (the legacy caller-owns-cache contract)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Caching.scoped {
+      Graph.termPageRank(starCorpus, iters = 3).collect()
+    }
+    (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before) shouldBe empty
+  }
+}

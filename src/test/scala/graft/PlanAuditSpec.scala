@@ -45,6 +45,8 @@ class PlanAuditSpec extends SparkSpec {
                        // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products
     "q55_semantic_dedup", // embeds q54's k-means as its bucketing stage
+    "q118_cluster_labels", // q54's k-means assignment + a 1-row
+                           // corpus-token-total broadcast cross
 
     "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
     "q67_search_all", // the same 1-row numDocs cross (tfidf lineage)
