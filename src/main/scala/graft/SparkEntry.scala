@@ -321,6 +321,87 @@ object SparkEntry {
 
   private val SimhashCtes = simhashCtes(16)
 
+  /** q12 (and, verbatim, q121) oracle: brute-force word-3-gram Jaccard
+    * ≥ 0.5 pairs — the exact answer both the all-pairs tier and the
+    * prefix-filtered tier must reproduce. */
+  private lazy val NgramJaccardSql =
+    s"""WITH $ShingleCtes,
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+       |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** DuckDB mirror of sourceOverlapKmv's 60-bit hash: the first 15 md5
+    * hex digits folded to a BIGINT (the duckMd5Bucket fold, 15 digits,
+    * no modulus). */
+  private def duckMd5Hash60(keyExpr: String): String =
+    s"""list_sum(list_transform(range(1, 16), i ->
+       |        (strpos('0123456789abcdef',
+       |                substr(md5($keyExpr), i::INTEGER, 1)) - 1)::BIGINT
+       |          << ((15 - i)::INTEGER * 4)))""".stripMargin
+
+  /** Distinct per-source term relation (tf) shared by the q122/q124
+    * source-overlap family. */
+  private val SourceTermsCte =
+    """tf AS (
+      |  SELECT DISTINCT source, fp FROM (
+      |    SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS fp
+      |    FROM documents) WHERE fp <> '')""".stripMargin
+
+  /** Exact overlap matrix CTEs over `tf` → relation `exactj`
+    * (s1, s2, n1, n2, inter, jaccard). */
+  private val ExactOverlapCtes =
+    """counts AS (SELECT source, count(*)::BIGINT AS n FROM tf GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS inter
+      |  FROM tf a JOIN tf b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |exactj AS (
+      |  SELECT c1.source AS s1, c2.source AS s2, c1.n AS n1, c2.n AS n2,
+      |         coalesce(i.inter, 0)::BIGINT AS inter,
+      |         round(coalesce(i.inter, 0) * 1.0 /
+      |               (c1.n + c2.n - coalesce(i.inter, 0)), 6) AS jaccard
+      |  FROM counts c1 JOIN counts c2 ON c1.source < c2.source
+      |  LEFT JOIN inter i ON i.s1 = c1.source AND i.s2 = c2.source)""".stripMargin
+
+  /** KMV sketch chain over `tf` → relation `kmv` (s1, s2, m_size,
+    * n_both, jaccard_est) — the identical construction
+    * Pipeline.sourceOverlapKmv runs (60-bit hashes, per-source k-min,
+    * merged k-min of the union per pair). */
+  private def kmvOverlapCtes(k: Int): String =
+    s"""hsh AS (
+       |  SELECT DISTINCT source, ${duckMd5Hash60("fp")} AS h FROM tf),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |           row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |    FROM hsh) WHERE rk <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |kpairs AS (
+       |  SELECT a.source AS s1, b.source AS s2
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |sides AS (
+       |  SELECT p.s1, p.s2, q.h, 1 AS ia, 0 AS ib
+       |  FROM kpairs p JOIN sk q ON q.source = p.s1
+       |  UNION ALL
+       |  SELECT p.s1, p.s2, q.h, 0 AS ia, 1 AS ib
+       |  FROM kpairs p JOIN sk q ON q.source = p.s2),
+       |kmerged AS (
+       |  SELECT s1, s2, h, max(ia) AS ia, max(ib) AS ib
+       |  FROM sides GROUP BY 1, 2, 3),
+       |kmv AS (
+       |  SELECT s1, s2, count(*)::BIGINT AS m_size,
+       |         sum(ia * ib)::BIGINT AS n_both,
+       |         round(sum(ia * ib) * 1.0 / count(*), 6) AS jaccard_est
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk
+       |    FROM kmerged)
+       |  WHERE rk <= $k GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB mirror of Pipeline's deterministic hash bucket (first 32
     * md5 bits of the stringified key, mod 1e6) — hex digits folded via
     * strpos, the q34 convention. */
@@ -2096,6 +2177,134 @@ object SparkEntry {
           k = 10, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // Latest-wins keyed UPSERT (MERGE INTO semantics): the per-(user,
+    // type) state table built from pre-cutoff events, then a delta of
+    // the last days merged in — out-of-order delta rows are no-ops,
+    // absent keys insert. The delta-bounded semi/anti split is provably
+    // invisible: the oracle is ONE flat latest-per-key window over all
+    // events (the q81 plain-SQL pattern).
+    "q119_upsert_latest" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val cut = lit("2024-01-25 00:00:00").cast("timestamp")
+      val keys = Seq("user_id", "event_type")
+      val ord = Seq("ts", "event_id")
+      val hist = graft.operators.Merge.upsertLatest(
+        e.where(lit(false)), e.where(col("ts") < cut), keys, ord)
+      graft.operators.Merge.upsertLatest(
+          hist, e.where(col("ts") >= cut), keys, ord)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // SNAPSHOT DIFF change feed: two corpus snapshots derived from
+    // documents by independent md5 rules (A drops 10 %, B drops a
+    // different 10 % and mutates 5 % by reversal), diffed to row-level
+    // added/removed/changed verdicts — fingerprints join, payloads
+    // never shuffle.
+    "q120_snapshot_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      def bkt(prefix: String) = conv(substring(
+          md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      val a = d.where(bkt("snapA:") < 900000L)
+        .select(col("doc_id"), col("text"))
+      val b = d.where(bkt("snapB:") < 900000L)
+        .select(col("doc_id"),
+          when(bkt("mut:") < 50000L, reverse(col("text")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Merge.snapshotDiff(a, b, "doc_id", "text")
+        .where(col("change") =!= "unchanged")
+        .select(col("key").as("doc_id"), col("change"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
+    // the q12 answer — every pair at Jaccard ≥ 0.5, deterministic
+    // recall — from rare-shingle prefix probes instead of the full
+    // shingle self-join. Oracle is q12's brute-force SQL verbatim:
+    // any false negative fails the hash compare.
+    "q121_jaccard_prefix" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))),
+
+    // Pairwise SOURCE-OVERLAP matrix over distinct per-feed vocabulary
+    // — the full S×S governance dashboard including zero-overlap pairs
+    // (the matrix frame is sources², assembled from a tiny inequality
+    // cross; corpus-scale exchanges are all fp- or pair-keyed).
+    "q122_source_overlap" -> ((s, dir) => {
+      val terms = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .as("fp"))
+      graft.operators.Pipeline.sourceOverlap(terms)
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // Per-type HOURLY ANOMALY z-scores from integer window sums only —
+    // (n·h − S) / (h·√((h·Q − S²)/(h·(h−1)))) applied to exact longs in
+    // a fixed expression tree, so engine and oracle agree bit-for-bit
+    // (no stddev-algorithm drift).
+    "q123_events_anomaly" -> ((s, dir) =>
+      graft.operators.Events.hourlyAnomalies(events(s, dir), zThreshold = 2.0)
+        .orderBy(col("event_type"), col("hour_start"))),
+
+    // KMV-sketch source overlap: q122's matrix from O(S·k) sketch
+    // state instead of the full distinct-fp exchange — deterministic
+    // 60-bit md5 hashes, so sketch contents and estimates replay
+    // bit-identically in the oracle.
+    "q124_source_overlap_kmv" -> ((s, dir) => {
+      val terms = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .as("fp"))
+      graft.operators.Pipeline.sourceOverlapKmv(terms, k = 16)
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    // KMV estimator-quality CONTRACT (the q102b recipe): |Ĵ − J| over
+    // all 190 source pairs vs the exact q122 matrix, mean/max bounds
+    // asserted in-row (σ ≈ √(J(1−J)/16); k=16 sits below the per-feed vocab so the
+    // sketch genuinely truncates).
+    "q124b_kmv_quality" -> ((s, dir) => {
+      val terms = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .as("fp"))
+      val t = graft.Caching.persist(terms)
+      val est = graft.operators.Pipeline.sourceOverlapKmv(t, k = 16)
+        .select(col("s1"), col("s2"), col("jaccard_est"))
+      val exact = graft.operators.Pipeline.sourceOverlap(t)
+        .select(col("s1"), col("s2"), col("jaccard"))
+      est.join(exact, Seq("s1", "s2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("jaccard_est") - col("jaccard"))), 6).as("mean_abs_err"),
+          round(max(abs(col("jaccard_est") - col("jaccard"))), 6).as("max_abs_err"))
+        .select(col("n_pairs"), col("mean_abs_err"), col("max_abs_err"),
+          (col("mean_abs_err") <= 0.05).as("mean_ok"),
+          (col("max_abs_err") <= 0.2).as("max_ok"))
+    }),
+
+    // First-order Markov TRANSITION matrix over user event streams:
+    // one user-keyed successor window + a (from, to) aggregate; the
+    // probability normalizer is a window over the tiny types² frame.
+    "q125_event_transitions" -> ((s, dir) =>
+      graft.operators.Events.typeTransitions(events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // Incremental n-gram NOVELTY score: per new doc (doc >= 250), the
+    // fraction of its distinct 3-grams never seen in history
+    // (doc < 250) — the ingest-time freshness signal; shingle-less
+    // docs emit null novelty.
+    "q126_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .noveltyScore(d.where(col("doc") >= 250), d.where(col("doc") < 250))
+        .select(col("doc").as("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2309,16 +2518,12 @@ object SparkEntry {
       """SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "q12_ngram_jaccard" ->
-      s"""WITH $ShingleCtes,
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
-         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
-         |ORDER BY d1, d2""".stripMargin,
+    "q12_ngram_jaccard" -> NgramJaccardSql,
+
+    // Prefix filtering is EXACT (no false negatives given the size
+    // filter), so the oracle is q12's brute-force SQL verbatim — the
+    // q5c/q40b/q81 "optimization must be invisible" pattern.
+    "q121_jaccard_prefix" -> NgramJaccardSql,
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,
@@ -4173,6 +4378,133 @@ object SparkEntry {
     // like the direct IVF search over the union corpus with the FROZEN
     // pre-append centroid set (seeds bounded to the history slice).
     "q100_ann_index_append" -> ivfTopKSqlWith("vec_id < 400"),
+
+    // Latest-wins upsert: the engine's delta-bounded semi/anti split
+    // must equal ONE flat latest-per-key window over all events.
+    "q119_upsert_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // Snapshot diff: both engines derive snapshots A and B from
+    // documents via the same md5 permille rules, then full-outer join
+    // on doc_id comparing payloads.
+    "q120_snapshot_diff" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${duckMd5Bucket("'snapA:' || doc_id")}) < 900000),
+         |b AS (
+         |  SELECT doc_id,
+         |         CASE WHEN (${duckMd5Bucket("'mut:' || doc_id")}) < 50000
+         |              THEN reverse(text) ELSE text END AS text
+         |  FROM documents
+         |  WHERE (${duckMd5Bucket("'snapB:' || doc_id")}) < 900000)
+         |SELECT doc_id, change FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         CASE WHEN a.doc_id IS NULL THEN 'added'
+         |              WHEN b.doc_id IS NULL THEN 'removed'
+         |              WHEN a.text <> b.text THEN 'changed'
+         |              ELSE 'unchanged' END AS change
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |WHERE change <> 'unchanged'
+         |ORDER BY doc_id""".stripMargin,
+
+    // Source-overlap matrix over distinct per-feed vocabulary: the
+    // full S×S frame from per-source totals, intersections from the
+    // term self-join, zero-overlap pairs kept at jaccard 0.
+    "q122_source_overlap" ->
+      s"""WITH $SourceTermsCte,
+         |$ExactOverlapCtes
+         |SELECT s1, s2, n1, n2, inter, jaccard FROM exactj
+         |ORDER BY s1, s2""".stripMargin,
+
+    // KMV sketch overlap: the identical sketch construction in SQL —
+    // deterministic hashes make the whole estimate replayable.
+    "q124_source_overlap_kmv" ->
+      s"""WITH $SourceTermsCte,
+         |${kmvOverlapCtes(16)}
+         |SELECT s1, s2, m_size, n_both, jaccard_est FROM kmv
+         |ORDER BY s1, s2""".stripMargin,
+
+    // KMV estimator-quality contract: both chains composed, error
+    // aggregated over all pairs, bounds asserted in-row.
+    "q124b_kmv_quality" ->
+      s"""WITH $SourceTermsCte,
+         |$ExactOverlapCtes,
+         |${kmvOverlapCtes(16)}
+         |SELECT n_pairs, mean_abs_err, max_abs_err,
+         |       mean_abs_err <= 0.05 AS mean_ok,
+         |       max_abs_err <= 0.2 AS max_ok
+         |FROM (
+         |  SELECT count(*)::BIGINT AS n_pairs,
+         |         round(avg(abs(k.jaccard_est - e.jaccard)), 6) AS mean_abs_err,
+         |         round(max(abs(k.jaccard_est - e.jaccard)), 6) AS max_abs_err
+         |  FROM kmv k JOIN exactj e ON k.s1 = e.s1 AND k.s2 = e.s2)""".stripMargin,
+
+    // Markov transition matrix: one successor window per user, pair
+    // counts, row-normalized probability over the tiny matrix frame.
+    "q125_event_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |       round(n_transitions * 1.0 /
+        |             sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
+    // Incremental novelty: new-side shingles left-joined against the
+    // history's distinct shingle set; shingle-less docs null out.
+    "q126_novelty" ->
+      s"""WITH ${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
+         |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "_h")},
+         |hset AS (SELECT DISTINCT shingle FROM sh_h),
+         |cnt AS (
+         |  SELECT n.doc_id, count(*)::BIGINT AS n_shingles,
+         |         (count(*) - count(h.shingle))::BIGINT AS n_novel
+         |  FROM sh_n n LEFT JOIN hset h ON n.shingle = h.shingle
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(c.n_shingles, 0)::BIGINT AS n_shingles,
+         |       coalesce(c.n_novel, 0)::BIGINT AS n_novel,
+         |       CASE WHEN coalesce(c.n_shingles, 0) > 0
+         |            THEN round(c.n_novel * 1.0 / c.n_shingles, 6) END AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Hourly anomaly z-scores: the identical integer-sum expression
+    // tree — (n·h − S) / (h·√((h·Q − S²)/(h·(h−1)))) — on both sides,
+    // so every float op sees the same exact operands.
+    "q123_events_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour_start, n_events,
+        |         count(*) OVER (PARTITION BY event_type) AS h,
+        |         sum(n_events) OVER (PARTITION BY event_type) AS s,
+        |         sum(n_events * n_events) OVER (PARTITION BY event_type) AS q
+        |  FROM c),
+        |z AS (
+        |  SELECT event_type, hour_start, n_events,
+        |         CASE WHEN h >= 3 AND (h * q - s * s) > 0 THEN
+        |           round((n_events * h - s)::DOUBLE /
+        |                 (h::DOUBLE * sqrt((h * q - s * s)::DOUBLE /
+        |                                   (h * (h - 1))::DOUBLE)), 6)
+        |         END AS z
+        |  FROM w)
+        |SELECT event_type, hour_start, n_events, z,
+        |       coalesce(abs(z) > 2.0, false) AS is_anomaly
+        |FROM z
+        |ORDER BY event_type, hour_start""".stripMargin,
 
     "q104_integrity_audit" ->
       """SELECT

@@ -788,6 +788,68 @@ object Dedup {
   }
 
   /**
+   * PREFIX-FILTERED exact set-similarity join (the All-Pairs/PPJoin
+   * family — Chaudhuri et al., ICDE 2006; Bayardo et al., WWW 2007):
+   * the same answer as [[ngramJaccardPairs]] — EVERY pair with shingle
+   * Jaccard ≥ `threshold`, no probabilistic recall — without the full
+   * shingle self-join. Where MinHash+LSH (q13) trades recall for speed,
+   * this trades a candidate bound derived from the threshold itself:
+   *
+   *  - order each doc's shingles by a GLOBAL frequency order (document
+   *    frequency ascending, shingle value as tie-break — rarest first);
+   *  - a doc of size s only probes its PREFIX, the first
+   *    s − ⌈τ·s⌉ + 1 shingles: two sets with J ≥ τ share ≥ ⌈τ·s⌉
+   *    elements (given the size filter below), and ⌈τ·s⌉ common
+   *    elements cannot all hide in the suffix of either side — so
+   *    candidate generation over prefixes alone has NO false negatives;
+   *  - the size filter τ·|x| ≤ |y| (symmetric) prunes pairs that could
+   *    never reach τ before any verification.
+   *
+   * Scale shape: the candidate join keys on PREFIX shingles only —
+   * which the ascending-df order makes the RAREST shingles in the
+   * corpus, so bucket sizes are self-limiting exactly where a plain
+   * shingle self-join explodes (stop-phrase shingles land in suffixes
+   * and never generate candidates). Exchanges: one shingle-df shuffle,
+   * one doc-keyed window sort for prefix ranks, the prefix self-join,
+   * and the exact-Jaccard verify on surviving candidates
+   * ([[jaccardFor]] over the persisted shingle table). At τ = 0.8 a
+   * doc probes ~20 % of its shingles; τ → 0 degrades gracefully toward
+   * the exact tier's full self-join, which is the honest cost of an
+   * exact answer at low thresholds — LSH (q13) remains the production
+   * path when approximate recall is acceptable.
+   */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.Caching.persist(shingles(docs, n))
+    val sdf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    val byDoc = Window.partitionBy(col("doc"))
+    val ranked = sh.join(sdf, "shingle")
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("sdf"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc"), col("shingle"), col("sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc") < col("b.doc") &&
+          // symmetric size filter: τ·max ≤ min, or J can never reach τ
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          col("a.sz") >= lit(threshold) * col("b.sz"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    jaccardFor(cand, sh)
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
    * Exact duplicated-SUBSTRING removal — the ExactSubstr recipe of
    * "Deduplicating Training Data Makes Language Models Better" (Lee et
    * al. 2022, arXiv:2107.06499), at token granularity: every occurrence

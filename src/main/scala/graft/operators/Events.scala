@@ -277,6 +277,84 @@ object Events {
         col("dur_us"), col("twap_micro"))
   }
 
+  /**
+   * HOURLY ANOMALY detection — per event_type, z-scores of hourly event
+   * counts against that type's own mean/spread (each series judged on
+   * its own scale; an absolute threshold can't compare a login stream
+   * to a checkout stream). The monitoring primitive that pages on a
+   * traffic collapse or a bot spike.
+   *
+   * Engine-exactness: the z-score is derived from INTEGER window sums
+   * only — with h hours, S = Σn, Q = Σn² (exact longs, order-free),
+   *   z = (n·h − S) / (h · sqrt(((h·Q − S²) / (h·(h−1)))))
+   * i.e. (n − mean)/sd(sample) with every float op (one divide, one
+   * sqrt, one multiply, one divide) applied to exact integers in a
+   * fixed expression tree — bit-identical across engines, no Welford
+   * vs two-pass stddev drift, no float-sum order sensitivity. Exact
+   * while h·Q < 2^63: counts to ~10⁹/hour over a year of hours.
+   *
+   * Scale shape: one (type, hour) count aggregate (map-side partial),
+   * then windows over the TINY per-type hour frame (series × hours
+   * rows). Types with < 3 hours or zero spread get a null z (flagged
+   * false) — a constant series has no anomalies, not infinite ones.
+   *
+   * @return per (event_type, hour_start): n_events, z (round 6),
+   *         is_anomaly (|z| > zThreshold, on the rounded z)
+   */
+  def hourlyAnomalies(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("_h", count(lit(1)).over(byType))
+      .withColumn("_s", sum(col("n_events")).over(byType))
+      .withColumn("_q", sum(col("n_events") * col("n_events")).over(byType))
+      .withColumn("_vnum", col("_h") * col("_q") - col("_s") * col("_s"))
+      .withColumn("z",
+        when(col("_h") >= 3 && col("_vnum") > 0,
+          round((col("n_events") * col("_h") - col("_s")).cast("double") /
+            (col("_h").cast("double") *
+              sqrt(col("_vnum").cast("double") /
+                (col("_h") * (col("_h") - 1)).cast("double"))), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("z"), col("is_anomaly"))
+  }
+
+  /**
+   * Event-type TRANSITION matrix — the first-order Markov view of user
+   * behavior (what follows what): per ordered pair (from_type, to_type),
+   * how many times a user's next event was `to_type` given `from_type`,
+   * plus the row-normalized transition probability. Feeds funnel
+   * design, anomaly baselines ("checkout after view dropped 40 %"),
+   * and session-model features.
+   *
+   * Scale shape: ONE user-keyed window for the successor lookup
+   * (parallel in users; per-user sequences are the natural skew bound)
+   * + one aggregate on the (from, to) pair — whose output is
+   * |types|² rows, so the probability normalizer is a window over
+   * that TINY matrix frame, not another corpus exchange. The
+   * probability is one exact-integer division (n/row-total), rounded
+   * — engine-portable like every derived double here.
+   */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p",
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions"))
+            .over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

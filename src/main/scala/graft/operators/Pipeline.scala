@@ -440,6 +440,126 @@ object Pipeline {
           col("n_docs").cast("double"), 6))
 
   /**
+   * Pairwise SOURCE-OVERLAP matrix — the governance companion to
+   * [[sourceDupStats]]: for every pair of ingest feeds, the Jaccard
+   * overlap of their distinct item fingerprints. The metric that
+   * answers "is feed B just a re-crawl of feed A?" before both are
+   * paid for twice — cross-feed duplication that per-feed dup rates
+   * can't see.
+   *
+   * Scale shape: each side collapses to distinct (source, fp) at the
+   * scan (one fp-keyed exchange, map-side dedup). Intersections
+   * come from ONE `groupBy(fp)` whose `collect_set(source)` state is
+   * bounded by the number of feeds (dozens) — pairs explode from that
+   * tiny sorted set map-side, so there is NO fp self-join and no
+   * quadratic candidate stage. The S×S matrix frame (sources², a
+   * driver-safe handful of rows) assembles from per-source totals via
+   * a tiny inequality cross — every corpus-scale exchange is keyed by
+   * fingerprint or (s1, s2), never by pair-of-docs.
+   *
+   * Zero-intersection pairs ARE emitted (jaccard 0) — the matrix is
+   * complete, absence of overlap being exactly what the dashboard
+   * needs to show.
+   *
+   * The item granularity is the caller's: document md5 fingerprints
+   * measure exact re-crawls, distinct terms measure vocabulary
+   * affinity, winnow fingerprints ([[graft.functions.TextAnalysis
+   * .winnowFingerprints]]) measure shared passages — same matrix,
+   * same plan.
+   *
+   * @param items (source, fp) — need not be pre-deduplicated
+   * @return per unordered source pair (s1 < s2): n1, n2 (distinct fps
+   *         per side), inter, jaccard
+   */
+  def sourceOverlap(items: DataFrame): DataFrame = {
+    val fps = items.select(col("source"), col("fp")).distinct()
+    val counts = fps.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = fps
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) > 1)
+      // all (i < j) pairs from the sorted per-fp source set, map-side
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+    counts.select(col("source").as("s1"), col("n").as("n1"))
+      .join(counts.select(col("source").as("s2"), col("n").as("n2")),
+        col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6))
+  }
+
+  /**
+   * KMV-SKETCH source overlap — [[sourceOverlap]]'s 100 TB estimate
+   * tier: per-feed K-MINIMUM-VALUES sketches (Beyer et al., SIGMOD
+   * 2007) instead of the full distinct-fp exchange. Each source keeps
+   * only its k smallest 60-bit fp hashes (O(S·k) state — KBs per feed,
+   * the persisted daily-pipeline summary); a pair's Jaccard estimate
+   * reads the two sketches alone:
+   *   M = the k smallest distinct hashes of the sketch UNION,
+   *   Ĵ = |{v ∈ M present in both}| / |M|
+   * — unbiased with σ ≈ √(J(1−J)/k). Feeds smaller than k carry their
+   * whole hash set, making their estimates EXACT.
+   *
+   * Determinism: the hash is the first 60 md5 bits of the fp (the
+   * minhash convention, [[Dedup.minhashSignatures]]) — seed-free
+   * integer arithmetic, so sketch contents, merge ranks, and every
+   * estimate replay bit-identically on any engine; the oracle runs the
+   * identical construction in SQL, and q124b pins the estimator's
+   * error against the exact q122 matrix.
+   *
+   * Scale shape: one distinct-(source, hash) pass, then ONE
+   * source-partitioned window whose rank ≤ k filter WindowGroupLimit
+   * pushes into a k-row heap per task. Everything after operates on
+   * S·k sketch rows — the pair assembly (two equi-joins against the
+   * tiny S² pair frame + per-pair merge windows) never touches corpus
+   * data. The fp-keyed exchange of the exact tier is gone; that is
+   * the point.
+   *
+   * @param items (source, fp) — need not be pre-deduplicated
+   * @return per pair (s1 < s2): m_size (merged sketch size),
+   *         n_both, jaccard_est (round 6)
+   */
+  def sourceOverlapKmv(items: DataFrame, k: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hashed = items
+      .select(col("source"),
+        conv(substring(md5(col("fp")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sk = hashed
+      .withColumn("_rk", row_number().over(bySrc))
+      .where(col("_rk") <= k)
+      .select(col("source"), col("h"))
+    val srcs = sk.select(col("source")).distinct()
+    val pairFrame = srcs.select(col("source").as("s1"))
+      .join(srcs.select(col("source").as("s2")), col("s1") < col("s2"))
+    val sides = pairFrame
+      .join(sk.withColumnRenamed("source", "s1"), Seq("s1"))
+      .select(col("s1"), col("s2"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(pairFrame
+        .join(sk.withColumnRenamed("source", "s2"), Seq("s2"))
+        .select(col("s1"), col("s2"), col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+    val merged = sides
+      .groupBy(col("s1"), col("s2"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val byPair = Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))
+    merged
+      .withColumn("_rk", row_number().over(byPair))
+      .where(col("_rk") <= k)
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("m_size"),
+        sum(col("ia") * col("ib")).as("n_both"))
+      .withColumn("jaccard_est",
+        round(col("n_both").cast("double") / col("m_size"), 6))
+  }
+
+  /**
    * Deterministic K-PER-GROUP sample — a balanced evaluation slice:
    * exactly `k` docs from every group (fewer if the group is smaller),
    * chosen by md5 rank so the pick is uniform-ish, seed-free, and
@@ -761,6 +881,53 @@ object Pipeline {
       .groupBy(col("doc"), col("bench_doc"))
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
+  }
+
+  /**
+   * Incremental N-GRAM NOVELTY score — the ingest-time freshness
+   * signal: per new document, the fraction of its distinct word
+   * n-grams NEVER seen in the history corpus. Near-zero novelty means
+   * the delta re-states what the corpus already holds (syndication,
+   * boilerplate, re-crawls — content-level redundancy the q40/q52
+   * document-identity screens can't see); high novelty marks genuinely
+   * new material worth keeping. The per-doc granular complement to
+   * [[Pipeline.contaminationCheck]]'s pairwise screen.
+   *
+   * Scale shape: the history collapses to its DISTINCT shingle set
+   * once (partial-agg dedup map-side), then one shingle-keyed
+   * left-join shuffle between the delta's shingles and that set and
+   * one (doc) aggregate — both keyed by delta-side rows, so the work
+   * after the history dedup scales with the DELTA. At 100 TB the
+   * distinct history shingle table is the persisted state a daily
+   * pipeline maintains incrementally (union new shingles in — the q61
+   * vocabulary-state recipe); a Bloom filter over it composes as a
+   * pre-screen exactly like [[Dedup.exactDedupAgainstBloom]].
+   * Shingle-less docs (< n tokens) emit n_shingles = 0 with a null
+   * novelty — unmeasured, not maximally novel.
+   *
+   * @return per new doc: doc, n_shingles, n_novel, novelty (round 6)
+   */
+  def noveltyScore(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      n: Int = 3): DataFrame = {
+    val newSh = Dedup.shingles(newDocs, n)
+    val histSh = Dedup.shingles(historyDocs, n)
+      .select(col("shingle")).distinct()
+      .withColumn("_seen", lit(1L))
+    val counts = newSh
+      .join(histSh, Seq("shingle"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        (count(lit(1)) - count(col("_seen"))).as("n_novel"))
+    newDocs.select(col("doc"))
+      .join(counts, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)))
   }
 
   /**

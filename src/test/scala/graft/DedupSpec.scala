@@ -365,6 +365,33 @@ class DedupSpec extends SparkSpec {
     pairs(("a", "c")) shouldBe 0.4 +- 1e-12
   }
 
+  test("prefixFilterJaccardPairs ≡ brute-force ngramJaccardPairs at several thresholds") {
+    // a wider corpus than dupCorpus: exact dups, near dups at varying
+    // overlap, shared-prefix decoys, and an unrelated doc
+    val c = corpus(
+      "a" -> "the quick brown fox jumps over the lazy dog",
+      "b" -> "the quick brown fox jumps over the lazy dog",
+      "c" -> "the quick brown fox jumps over a lazy dog",
+      "d" -> "the quick brown fox leaps over the lazy dog today",
+      "e" -> "completely different words here entirely now today",
+      "f" -> "completely different words here entirely now tomorrow",
+      "g" -> "one two three four five six seven eight nine ten")
+    Seq(0.3, 0.5, 0.8).foreach { t =>
+      withClue(s"threshold $t:") {
+        rowsOf(Dedup.prefixFilterJaccardPairs(c, threshold = t)) shouldBe
+          rowsOf(Dedup.ngramJaccardPairs(c, threshold = t)
+            .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard")))
+      }
+    }
+  }
+
+  test("prefixFilterJaccardPairs rejects a threshold outside (0, 1]") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.prefixFilterJaccardPairs(dupCorpus, threshold = 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.prefixFilterJaccardPairs(dupCorpus, threshold = 1.5)
+  }
+
   test("simhash: identical docs share fingerprint; fingerprint is 16-bit") {
     val fp = Dedup.simhash(dupCorpus).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.operators.Events
 
@@ -243,6 +244,68 @@ class EventsSpec extends SparkSpec {
     // counts — plus its per-type lead over the tiny frame. The final
     // aggregate reuses the big window's partitioning (no 4th exchange).
     "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 3
+  }
+
+  test("hourlyAnomalies: hand-computed z, spike flagged, normal hours not") {
+    // type "a": hourly counts 2, 2, 2, 2, 12 → h=5, S=20, Q=160
+    //   mean 4, sample var (5·160 − 400)/(5·4) = 20, sd √20
+    //   z(2)  = (2·5 − 20)/(5·√(400/20)/...) — use the closed form:
+    //   z(n) = (n·h − S)/(h·√((h·Q − S²)/(h·(h−1))))
+    //        = (n·5 − 20)/(5·√(400/20)) = (5n − 20)/(5·√20)
+    //   z(12) = 40/(5·4.472135…) = 1.788854 → NOT an anomaly at 2.0
+    // so use counts 1,1,1,1,11: h=5, S=15, Q=125, h·Q−S²=400, same sd
+    //   z(11) = (55−15)/(5·√(400/20)) = 40/22.36067977 = 1.788854 hmm
+    // counts 1,1,1,1,16: S=20, Q=260, hQ−S²=900, √(900/20)=6.708203932
+    //   z(16) = (80−20)/(5·6.708203932) = 60/33.54101966 = 1.788854!
+    // (constant-plus-one-spike series always gives z = 2(h−1)/√(h(h−1)·…);
+    //  with h=5 a single spike caps at √(h−1)·…≈1.789 — so flag at a
+    //  LOWER threshold instead of chasing a bigger spike)
+    val rows = (0 until 4).flatMap { h =>
+      Seq((h * 10L, f"2024-01-01 0$h%d:10:00", 1L, "a", 1.0))
+    } ++ (0 until 16).map { i =>
+      (100L + i, "2024-01-01 04:10:00", 1L, "a", 1.0)
+    }
+    val got = Events.hourlyAnomalies(ev(rows: _*), zThreshold = 1.5)
+      .collect().map(r => r.getTimestamp(1).toString ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4))).toMap
+    got("2024-01-01 04:00:00.0") shouldBe ((16L, Some(1.788854), true))
+    got("2024-01-01 00:00:00.0")._3 shouldBe false
+    // z of a baseline hour: (1·5 − 20)/(5·√45) = −15/33.54101966
+    got("2024-01-01 00:00:00.0")._2 shouldBe Some(-0.447214)
+  }
+
+  test("hourlyAnomalies: constant series and short series get null z, never flagged") {
+    val const = (0 until 4).map(h => (h.toLong, f"2024-01-01 0$h%d:10:00", 1L, "c", 1.0))
+    val short = Seq((100L, "2024-01-01 00:10:00", 1L, "s", 1.0),
+      (101L, "2024-01-01 01:10:00", 1L, "s", 1.0))
+    val got = Events.hourlyAnomalies(ev(const ++ short: _*))
+    got.where(col("z").isNotNull).count() shouldBe 0L
+    got.where(col("is_anomaly")).count() shouldBe 0L
+  }
+
+  test("typeTransitions counts per-user successors with row-normalized p") {
+    val got = Events.typeTransitions(ev(
+      // user 1: view → view → buy ; user 2: view → buy
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "buy", 0.0),
+      (4L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 11:01:00", 2L, "buy", 0.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    got shouldBe Map(
+      ("view", "view") -> ((1L, 0.333333)),
+      ("view", "buy") -> ((2L, 0.666667)))
+    // users never chain across each other: buy→view (u1 to u2) absent
+  }
+
+  test("typeTransitions: same-ts events order by event_id; last event has no successor") {
+    val got = Events.typeTransitions(ev(
+      (2L, "2024-01-01 10:00:00", 1L, "b", 0.0),
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.toSeq shouldBe Seq(("a", "b", 1L))
   }
 
   test("sessionize splits on gaps > threshold") {

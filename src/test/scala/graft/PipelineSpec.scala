@@ -236,6 +236,73 @@ class PipelineSpec extends SparkSpec {
     got("b") shouldBe ((2L, 2L, 0L, 0.0))
   }
 
+  test("sourceOverlap: full S×S matrix, exact jaccard, zero-overlap pairs kept") {
+    val s2 = spark
+    import s2.implicits._
+    val items = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "y"), ("b", "z"), ("b", "w"),
+      ("c", "q"), ("c", "q"), // duplicate fp must not double-count
+      ("c", "r")).toDF("source", "fp")
+    val got = Pipeline.sourceOverlap(items).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    got.keySet shouldBe Set(("a", "b"), ("a", "c"), ("b", "c"))
+    got(("a", "b")) shouldBe ((3L, 3L, 2L, 0.5)) // {y,z} of {x,y,z,w}
+    got(("a", "c")) shouldBe ((3L, 2L, 0L, 0.0)) // disjoint, still emitted
+    got(("b", "c")) shouldBe ((3L, 2L, 0L, 0.0))
+  }
+
+  test("sourceOverlapKmv: small feeds carry full sets — estimate is exact") {
+    val s2 = spark
+    import s2.implicits._
+    // every feed far below k ⇒ sketches are the whole hash sets and
+    // the merged-k estimate IS the exact jaccard
+    val items = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "y"), ("b", "z"), ("b", "w"),
+      ("c", "q"), ("c", "r")).toDF("source", "fp")
+    val est = Pipeline.sourceOverlapKmv(items, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val exact = Pipeline.sourceOverlap(items).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    est shouldBe exact
+  }
+
+  test("sourceOverlapKmv truncates to k and stays in [0,1]; rejects bad k") {
+    val s2 = spark
+    import s2.implicits._
+    val items = (1 to 200).flatMap { i =>
+      Seq(("a", s"t$i")) ++ (if (i <= 100) Seq(("b", s"t$i")) else Nil)
+    }.toDF("source", "fp")
+    val r = Pipeline.sourceOverlapKmv(items, k = 16).collect()
+    r.length shouldBe 1
+    r.head.getLong(2) shouldBe 16L // m_size capped at k
+    val estJ = r.head.getDouble(4)
+    estJ should be >= 0.0
+    estJ should be <= 1.0
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.sourceOverlapKmv(items, k = 0)
+  }
+
+  test("noveltyScore: novel fraction vs history, shingle-less docs null out") {
+    val hist = corpus("h1" -> "a b c d e f")
+    // n1: grams [x y z, y z w] all novel; n2: [a b c, b c d] all seen;
+    // n3 half-novel: [c d e, d e q]; n4 too short for any 3-gram
+    val nw = corpus(
+      "n1" -> "x y z w",
+      "n2" -> "a b c d",
+      "n3" -> "c d e q",
+      "n4" -> "a b")
+    val got = Pipeline.noveltyScore(nw, hist).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    got("n1") shouldBe ((2L, 2L, Some(1.0)))
+    got("n2") shouldBe ((2L, 0L, Some(0.0)))
+    got("n3") shouldBe ((2L, 1L, Some(0.5)))
+    got("n4") shouldBe ((0L, 0L, None))
+  }
+
   test("sampleKPerGroup returns exactly k per group, fewer for small groups") {
     val s2 = spark
     import s2.implicits._

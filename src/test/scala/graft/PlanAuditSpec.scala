@@ -77,8 +77,15 @@ class PlanAuditSpec extends SparkSpec {
     "q89_coverage_sample", // q54's Lloyd centroid broadcast cross
     "q91b_split_incremental_leakage", // 1-row new-counts × 1-row
                                       // pair-counts cross
-    "q94_hybrid_search") // q69's 1-row (N, avgdl) stats cross + q15's
+    "q94_hybrid_search", // q69's 1-row (N, avgdl) stats cross + q15's
                          // 1-query-vector broadcast over the corpus scan
+    "q122_source_overlap", // the S×S matrix frame: per-source totals
+                           // (sources² rows, a driver-safe handful)
+                           // crossed on s1 < s2 — corpus-scale exchanges
+                           // are all fp- or pair-keyed
+    "q124_source_overlap_kmv", // the same tiny S×S pair frame, built
+                               // from O(S·k) sketch rows
+    "q124b_kmv_quality") // embeds both overlap tiers' S×S pair frames
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
