@@ -2305,7 +2305,19 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("n_shingles"), col("n_novel"),
           col("novelty"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // TRIANGLE participation per term over the q117 co-occurrence
+    // graph, via degree-ordered orientation (Suri–Vassilvitskii) —
+    // wedge fan-out capped at O(√E) per node, so the stopword hub
+    // can't become the last reducer; integer counts, no rounding
+    // contract at all. The oracle counts the same triangles from the
+    // lexicographic canonical form — orientation provably can't
+    // change which triangles exist.
+    "q127_term_triangles" -> ((s, dir) =>
+      graft.operators.Graph
+        .triangleCounts(docs(s, dir), window = 2, minCount = 2)
+        .orderBy(col("term")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4460,6 +4472,19 @@ object SparkEntry {
         |             sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
         |FROM t ORDER BY from_type, to_type""".stripMargin,
 
+    // Triangle counts: the same pc edge relation as q117; triangles
+    // enumerated once in lexicographic canonical form (a<b<c chained
+    // joins), members unnested to per-term counts.
+    "q127_term_triangles" ->
+      s"""WITH ${coocGraphCtes(2, 2)},
+         |tri AS (
+         |  SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
+         |  FROM pc e1 JOIN pc e2 ON e2.t1 = e1.t2
+         |  JOIN pc e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2),
+         |m AS (SELECT unnest([a, b, c]) AS term FROM tri)
+         |SELECT term, count(*)::BIGINT AS n_triangles FROM m
+         |GROUP BY 1 ORDER BY term""".stripMargin,
+
     // Incremental novelty: new-side shingles left-joined against the
     // history's distinct shingle set; shingle-less docs null out.
     "q126_novelty" ->
@@ -4616,17 +4641,12 @@ object SparkEntry {
     * BIGINT sum promotes to HUGEINT and `//` is floor division, so
     * every intermediate matches the engine's `div` arithmetic exactly;
     * the final cast pins the column back to BIGINT. */
-  private def termPageRankSql(window: Int, minCount: Int, iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (
-         |  SELECT e.dst AS term,
-         |         (150000 + (85 * sum(r.r // d.deg)) // 100)::BIGINT AS r
-         |  FROM r${i - 1} r
-         |  JOIN edges e ON r.term = e.src
-         |  JOIN deg d ON d.src = e.src
-         |  GROUP BY e.dst)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH tokl AS (
+  /** Windowed co-occurrence GRAPH prefix (tokl → pos → pairs → pc):
+    * the canonical t1 < t2 edge relation with cnt ≥ minCount, exactly
+    * Graph.termPageRank's / Graph.triangleCounts' pair scan — shared
+    * so q117 and q127 read the same graph by construction. */
+  private def coocGraphCtes(window: Int, minCount: Int): String =
+    s"""tokl AS (
        |  SELECT doc_id,
        |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
@@ -4640,7 +4660,19 @@ object SparkEntry {
        |pc AS (
        |  SELECT t1, t2 FROM (
        |    SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
-       |  WHERE cnt >= $minCount AND t1 <> t2),
+       |  WHERE cnt >= $minCount AND t1 <> t2)""".stripMargin
+
+  private def termPageRankSql(window: Int, minCount: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS term,
+         |         (150000 + (85 * sum(r.r // d.deg)) // 100)::BIGINT AS r
+         |  FROM r${i - 1} r
+         |  JOIN edges e ON r.term = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${coocGraphCtes(window, minCount)},
        |edges AS (
        |  SELECT t1 AS src, t2 AS dst FROM pc
        |  UNION ALL

@@ -130,27 +130,34 @@ object Dedup {
 
   /** Delta rows tagged `_maybe_seen` by a Bloom sketch of the history's
     * xxhash64 fingerprints (shared by the dedup path and its audit twin). */
+  /** Serialized Bloom filter over a single long `h` column —
+    * treeAggregate of partial sketches (what stat.bloomFilter runs
+    * underneath, minus its NPE on a zero-row frame): per-partition
+    * filters merged pairwise, an empty input yields the empty filter —
+    * every probe then screens as definitely-new, correctly. Shared by
+    * the dedup screen and the streaming novelty screen. */
+  private[graft] def bloomBytesOf(
+      hashes: DataFrame,
+      expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, hashes.count())
+    val bloom = hashes.rdd.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, row) => { f.putLong(row.getLong(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
   private def bloomProbe(
       newDocs: DataFrame,
       historyDocs: DataFrame,
       expectedItems: Long,
       fpp: Double): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    import org.apache.spark.util.sketch.BloomFilter
-    val hashes = historyDocs.select(xxhash64(col("line")).as("h"))
-    val n = if (expectedItems > 0) expectedItems else math.max(1L, hashes.count())
-    // treeAggregate of partial sketches (what stat.bloomFilter runs
-    // underneath, minus its NPE on a zero-row frame): per-partition
-    // filters merged pairwise, an empty history yields the empty filter
-    // — every delta row then screens as definitely-new, correctly.
-    val bloom = hashes.rdd.treeAggregate(BloomFilter.create(n, fpp))(
-      (f, row) => { f.putLong(row.getLong(0)); f },
-      (a, b) => { a.mergeInPlace(b); a })
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = bloomBytesOf(
+      historyDocs.select(xxhash64(col("line")).as("h")), expectedItems, fpp)
     newDocs.withColumn("_maybe_seen",
       org.apache.spark.sql.graft.BloomFunctions
         .mightContainLong(xxhash64(col("line")), bytes))

@@ -90,4 +90,71 @@ object Graph {
     }
     ranks.select(col("term"), col("r").as("rank_micro"))
   }
+
+  /**
+   * TRIANGLE participation counts over the same windowed co-occurrence
+   * graph — the local clustering signal: a term in many triangles
+   * lives in a tight topical clique (its neighbors also co-occur with
+   * each other); a high-degree term with few triangles is a hub
+   * bridging unrelated contexts (stopword-like). The classic
+   * complement to PageRank's global centrality.
+   *
+   * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+   * "Counting triangles and the curse of the last reducer", WWW 2011).
+   * Orient every undirected edge from its lower to its higher endpoint
+   * under the total order ≺ = (degree, term); each triangle x≺y≺z then
+   * materializes EXACTLY once, as the wedge (x→y, x→z) closed by the
+   * oriented edge y→z. Wedge generation per node is bounded by its
+   * OUT-degree, which the orientation caps at O(√E) — the skewed
+   * stopword hub that would generate deg² wedges in a naive join emits
+   * almost none, because nearly all its edges point INTO it. That is
+   * the whole fix for the last-reducer curse; no hot-key guard needed.
+   *
+   * Scale shape: edge list built once (the q117 pair scan), degrees
+   * one vocabulary-scale agg; the wedge self-join keys on the pivot
+   * and the closing check is a semi-join on the (y, z) edge key —
+   * every exchange carries edge/wedge rows, never corpus rows. Counts
+   * are integers: engine-exact with no rounding contract at all.
+   *
+   * @return (term, n_triangles) for every term in ≥ 1 triangle
+   */
+  def triangleCounts(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // canonical undirected edges (t1 < t2, one row per edge)
+    val und = TextAnalysis.cooccurrencePairs(docs, window)
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount && col("t1") =!= col("t2"))
+      .select(col("t1"), col("t2"))
+    val deg = und.select(col("t1").as("term"))
+      .union(und.select(col("t2").as("term")))
+      .groupBy(col("term")).agg(count(lit(1)).as("deg"))
+    // orient low ≺ high under (deg, term); carry dst's degree so the
+    // wedge join can re-apply ≺ without another degree lookup
+    val lowFirst = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("t1") < col("t2"))
+    val oriented = graft.Caching.persist(und
+      .join(deg.select(col("term").as("t1"), col("deg").as("d1")), "t1")
+      .join(deg.select(col("term").as("t2"), col("deg").as("d2")), "t2")
+      .select(
+        when(lowFirst, col("t1")).otherwise(col("t2")).as("src"),
+        when(lowFirst, col("t2")).otherwise(col("t1")).as("dst"),
+        when(lowFirst, col("d2")).otherwise(col("d1")).as("ddeg")))
+    val wedges = oriented
+      .select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
+      .join(oriented.select(col("src"), col("dst").as("z"), col("ddeg").as("dz")),
+        Seq("src"))
+      .where(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")),
+        Seq("y", "z"), "left_semi")
+    triangles
+      .select(explode(array(col("src"), col("y"), col("z"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -735,4 +735,72 @@ object StreamingOps {
       docs: DataFrame,
       model: graft.operators.Classify.NbModel): DataFrame =
     graft.operators.Classify.scoreRowLocal(docs, model)
+
+  /**
+   * Streaming twin of [[graft.operators.Merge.upsertLatest]]: the LIVE
+   * keyed state table — per (user_id, event_type), the latest event
+   * under the (ts, event_id) total order. `max_by` over the struct key
+   * is commutative and mergeable (the downsampleOhlc pick recipe), so
+   * the per-key winner is micro-batch-order-free: out-of-order and
+   * replayed deliveries are no-ops exactly as in the batch upsert, and
+   * the state after any prefix of the stream equals the batch operator
+   * run over the same rows.
+   *
+   * Update output mode (a key re-emits whenever a newer event lands).
+   * State is ONE struct per key — bounded by key cardinality, which is
+   * the state-table contract itself, so no watermark is involved;
+   * this aggregation is keyed, not time-windowed.
+   */
+  def latestState(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("event_type"),
+        col("w.event_id").as("event_id"), col("w.ts").as("ts"),
+        col("w.value").as("value"))
+
+  /**
+   * Stateless streaming NOVELTY screen —
+   * [[graft.operators.Pipeline.noveltyScore]] at ingest time: the
+   * history's distinct shingle set collapses to a BLOOM sketch resolved
+   * once at plan time (the nearDupScreen static-history recipe), and
+   * each arriving doc scores ROW-LOCALLY — its distinct n-grams probe
+   * the sketch inside one codegen'd array filter. No state store, no
+   * watermark, no shuffle; any output mode works.
+   *
+   * Estimate semantics: Bloom false positives make a novel shingle
+   * look seen, so `novelty_est` ≤ the batch tier's exact novelty,
+   * short by at most ~fpp of the novel shingles; there are NO false
+   * negatives, so seen content can never inflate the score — the safe
+   * direction for a keep-if-novel gate. fpp → 0 recovers the batch
+   * score exactly (StreamingSpec asserts parity at fpp 1e-4).
+   * Shingle-less docs emit a null novelty, as in the batch tier.
+   *
+   * @return input columns + n_shingles, n_novel_est, novelty_est
+   */
+  def noveltyScreen(
+      docs: DataFrame,
+      historyDocs: DataFrame,
+      n: Int = 3,
+      expectedShingles: Long = -1L,
+      fpp: Double = 0.03): DataFrame = {
+    import graft.operators.Dedup
+    val bytes = Dedup.bloomBytesOf(
+      Dedup.shingles(historyDocs, n)
+        .select(xxhash64(col("shingle")).as("h")),
+      expectedShingles, fpp)
+    docs
+      .withColumn("_sh", Dedup.shinglesCol(col("line"), n))
+      .withColumn("n_shingles", size(col("_sh")).cast("long"))
+      .withColumn("n_novel_est",
+        size(filter(col("_sh"), s =>
+          !org.apache.spark.sql.graft.BloomFunctions
+            .mightContainLong(xxhash64(s), bytes))).cast("long"))
+      .withColumn("novelty_est",
+        when(col("n_shingles") > 0,
+          round(col("n_novel_est").cast("double") / col("n_shingles"), 6)))
+      .drop("_sh")
+  }
 }

@@ -60,6 +60,40 @@ class GraphSpec extends SparkSpec {
       Graph.termPageRank(starCorpus, iters = 0)
   }
 
+  test("triangleCounts: K4 has 4 triangles with every node in 3") {
+    // one doc per edge → each pair co-occurs exactly once
+    val k4 = corpus("1" -> "w x", "2" -> "w y", "3" -> "w z",
+      "4" -> "x y", "5" -> "x z", "6" -> "y z")
+    val got = Graph.triangleCounts(k4, window = 2, minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 3L)
+  }
+
+  test("triangleCounts: squares and pendants yield nothing; a triangle counts once") {
+    val g = corpus(
+      "t" -> "a b c", // window 2 → edges (a,b), (a,c), (b,c): one triangle
+      "p" -> "a d", // pendant edge — d in no triangle
+      // 4-cycle p-q-r-s without chords: no triangles
+      "c1" -> "p q", "c2" -> "q r", "c3" -> "r s", "c4" -> "s p")
+    val got = Graph.triangleCounts(g, window = 2, minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 1L, "b" -> 1L, "c" -> 1L)
+  }
+
+  test("triangleCounts respects minCount and rejects bad parameters") {
+    // edge (b,c) appears once, (a,b)/(a,c) twice → at minCount 2 the
+    // triangle breaks
+    val g = corpus("1" -> "a b c a")
+    Graph.triangleCounts(g, window = 2, minCount = 2).count() shouldBe 0L
+    Graph.triangleCounts(g, window = 2, minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.triangleCounts(g, window = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.triangleCounts(g, minCount = 0)
+  }
+
   test("termPageRank leaves no cached state behind under Caching.scoped") {
     // snapshot-diff: earlier unscoped tests legitimately left session
     // cache behind (the legacy caller-owns-cache contract)

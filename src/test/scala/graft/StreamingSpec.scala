@@ -653,4 +653,81 @@ class StreamingSpec extends SparkSpec {
       got shouldBe batch
     } finally q.stop()
   }
+
+  test("latestState: per-key winner is arrival-order-free and equals the batch upsert") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = StreamingOps.latestState(events)
+      .writeStream.format("memory").queryName("state")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "click", 2.0),
+        (5L, Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      // OLDER event for key (1, click) arrives late — must be a no-op;
+      // a newer one for (2, view) replaces
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (6L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "view", 6.0))
+      q.processAllAvailable()
+      // update mode re-emits keys across batches: last row per key wins
+      val got = spark.table("state").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .foldLeft(Map.empty[(Long, String), Long])(_ + _)
+      got shouldBe Map((1L, "click") -> 2L, (2L, "view") -> 6L)
+
+      val all = Seq(
+        (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "click", 2.0),
+        (5L, Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "view", 5.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (6L, Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "view", 6.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Merge.upsertLatest(
+          all.where(org.apache.spark.sql.functions.lit(false)), all,
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .collect().map(r => ((r.getLong(2), r.getString(3)), r.getLong(0))).toMap
+      got shouldBe batch
+    } finally q.stop()
+  }
+
+  test("noveltyScreen scores arriving docs row-locally, matching the batch tier at tiny fpp") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hist = Seq(("h1", "a b c d e f")).toDF("doc", "line")
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.noveltyScreen(
+        input.toDF().toDF("doc", "line"), hist, fpp = 1e-4)
+      .writeStream.format("memory").queryName("novelty")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("n1", "x y z w"), ("n2", "a b c d"))
+      q.processAllAvailable()
+      input.addData(("n3", "c d e q"), ("n4", "a b"))
+      q.processAllAvailable()
+      val got = spark.table("novelty").collect()
+        .map(r => r.getAs[String]("doc") ->
+          (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel_est"),
+            Option(r.getAs[Any]("novelty_est")))).toMap
+      val batch = graft.operators.Pipeline.noveltyScore(
+          Seq(("n1", "x y z w"), ("n2", "a b c d"), ("n3", "c d e q"),
+            ("n4", "a b")).toDF("doc", "line"), hist)
+        .collect()
+        .map(r => r.getAs[String]("doc") ->
+          (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+            Option(r.getAs[Any]("novelty")))).toMap
+      got shouldBe batch
+      got("n1") shouldBe ((2L, 2L, Some(1.0)))
+    } finally q.stop()
+  }
 }
