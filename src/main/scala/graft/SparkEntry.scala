@@ -321,10 +321,11 @@ object SparkEntry {
 
   private val SimhashCtes = simhashCtes(16)
 
-  /** q12 (and, verbatim, q121) oracle: brute-force word-3-gram Jaccard
-    * ≥ 0.5 pairs — the exact answer both the all-pairs tier and the
-    * prefix-filtered tier must reproduce. */
-  private lazy val NgramJaccardSql =
+  /** q12/q121 oracle: brute-force word-3-gram Jaccard ≥ threshold
+    * pairs — the exact answer both the all-pairs tier (q12, τ=0.5) and
+    * the prefix-filtered tier (q121, τ=0.8 — its intended high-τ
+    * near-dup operating point) must reproduce. */
+  private def ngramJaccardSql(threshold: Double) =
     s"""WITH $ShingleCtes,
        |inter AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
@@ -332,7 +333,7 @@ object SparkEntry {
        |  GROUP BY 1, 2)
        |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
        |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-       |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+       |WHERE i * 1.0 / (x.sz + y.sz - i) >= $threshold
        |ORDER BY d1, d2""".stripMargin
 
   /** DuckDB mirror of sourceOverlapKmv's 60-bit hash: the first 15 md5
@@ -2222,12 +2223,14 @@ object SparkEntry {
     }),
 
     // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
-    // the q12 answer — every pair at Jaccard ≥ 0.5, deterministic
-    // recall — from rare-shingle prefix probes instead of the full
-    // shingle self-join. Oracle is q12's brute-force SQL verbatim:
-    // any false negative fails the hash compare.
+    // every pair at Jaccard ≥ 0.8 with deterministic recall, from
+    // rare-shingle prefix probes (~20 % of each doc's shingles at
+    // τ=0.8 — the high-τ near-dup operating point the filter is FOR)
+    // instead of the full shingle self-join. Oracle is the q12
+    // brute-force SQL at the same τ: any false negative fails the
+    // hash compare.
     "q121_jaccard_prefix" -> ((s, dir) =>
-      Dedup.prefixFilterJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+      Dedup.prefixFilterJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
         .orderBy(col("d1"), col("d2"))),
 
     // Pairwise SOURCE-OVERLAP matrix over distinct per-feed vocabulary
@@ -2530,12 +2533,12 @@ object SparkEntry {
       """SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "q12_ngram_jaccard" -> NgramJaccardSql,
+    "q12_ngram_jaccard" -> ngramJaccardSql(0.5),
 
     // Prefix filtering is EXACT (no false negatives given the size
-    // filter), so the oracle is q12's brute-force SQL verbatim — the
-    // q5c/q40b/q81 "optimization must be invisible" pattern.
-    "q121_jaccard_prefix" -> NgramJaccardSql,
+    // filter), so the oracle is q12's brute-force SQL at q121's own
+    // τ — the q5c/q40b/q81 "optimization must be invisible" pattern.
+    "q121_jaccard_prefix" -> ngramJaccardSql(0.8),
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,
