@@ -2320,7 +2320,54 @@ object SparkEntry {
     "q127_term_triangles" -> ((s, dir) =>
       graft.operators.Graph
         .triangleCounts(docs(s, dir), window = 2, minCount = 2)
-        .orderBy(col("term")))
+        .orderBy(col("term"))),
+
+    // RENDEZVOUS sharding at n=16: the map-only argmax assignment,
+    // replayed hash-for-hash by the oracle.
+    "q128_rendezvous_shard" -> ((s, dir) =>
+      graft.operators.Chunking
+        .rendezvousShard(tbl(s, dir, "documents").select(col("doc_id")),
+          "doc_id", numShards = 16)
+        .orderBy(col("doc_id"))),
+
+    // PERCENTILE normalization of quality within language: each doc's
+    // score becomes its within-lang percent rank, so one global cut
+    // means the same thing in every language (the q98 per-group-cuts
+    // insight as a continuous rescale). Ties share min-rank — order-
+    // free; singleton groups normalize to 0.
+    "q129_quality_percentile" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+        .select(col("doc").as("doc_id"),
+          TextAnalysis.langPredFromStats(col("_st")).as("lang_pred"),
+          // rank on the ROUNDED score (the repo's cross-engine rank
+          // convention) so fp noise can't flip tie structure
+          round(TextAnalysis.qualityScoreFromStats(col("_st")), 6)
+            .as("quality_score"))
+      graft.operators.Pipeline
+        .percentileNormalize(scored, "lang_pred", "quality_score")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Resize-STABILITY contract: growing 16 → 17 shards must move
+    // exactly the keys the new shard wins (an HRW identity — checked
+    // as a boolean) and an expected 1/17 ≈ 5.9 % of the corpus
+    // (bounded at 12 %); mod-n resharding would move ~94 %.
+    "q128b_rendezvous_stability" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+      val a = graft.operators.Chunking.rendezvousShard(d, "doc_id", 16)
+        .withColumnRenamed("shard", "s16")
+      val b = graft.operators.Chunking.rendezvousShard(d, "doc_id", 17)
+        .withColumnRenamed("shard", "s17")
+      a.join(b, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)).as("n_moved"),
+          sum(when(col("s17") === 16L, 1L).otherwise(0L)).as("n_new_shard"))
+        .select(col("n_docs"), col("n_moved"), col("n_new_shard"),
+          (col("n_moved") === col("n_new_shard")).as("identity_ok"),
+          round(col("n_moved").cast("double") / col("n_docs"), 6).as("moved_frac"),
+          (col("n_moved").cast("double") / col("n_docs") <= 0.12).as("churn_ok"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4487,6 +4534,92 @@ object SparkEntry {
          |m AS (SELECT unnest([a, b, c]) AS term FROM tri)
          |SELECT term, count(*)::BIGINT AS n_triangles FROM m
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    // Quality percentile within language: the q17 lang chain + q18
+    // quality chain composed, percent_rank over the ROUNDED score.
+    "q129_quality_percentile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, lang_pred,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM l),
+        |q AS (
+        |  SELECT doc_id, lang_pred,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m)
+        |SELECT doc_id, lang_pred, quality_score,
+        |       round(percent_rank() OVER (PARTITION BY lang_pred
+        |                                  ORDER BY quality_score), 6) AS pct
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Rendezvous shard assignment: per (doc, shard) draws, argmax via
+    // the h DESC, s DESC rank — the exact array_max struct order.
+    "q128_rendezvous_shard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, s,
+         |         ${duckMd5Hash60("'hrw:' || doc_id || ':' || s")} AS h
+         |  FROM documents, range(16) r(s))
+         |SELECT doc_id, s::BIGINT AS shard FROM (
+         |  SELECT doc_id, s, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM g)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Stability contract: both assignments replayed, churn equals the
+    // new shard's wins (HRW identity) and stays near 1/17.
+    "q128b_rendezvous_stability" ->
+      s"""WITH g16 AS (
+         |  SELECT doc_id, s,
+         |         ${duckMd5Hash60("'hrw:' || doc_id || ':' || s")} AS h
+         |  FROM documents, range(16) r(s)),
+         |a16 AS (
+         |  SELECT doc_id, s::BIGINT AS s16 FROM (
+         |    SELECT doc_id, s, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM g16)
+         |  WHERE rn = 1),
+         |g17 AS (
+         |  SELECT doc_id, s,
+         |         ${duckMd5Hash60("'hrw:' || doc_id || ':' || s")} AS h
+         |  FROM documents, range(17) r(s)),
+         |a17 AS (
+         |  SELECT doc_id, s::BIGINT AS s17 FROM (
+         |    SELECT doc_id, s, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM g17)
+         |  WHERE rn = 1),
+         |j AS (
+         |  SELECT count(*)::BIGINT AS n_docs,
+         |         sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+         |         sum(CASE WHEN s17 = 16 THEN 1 ELSE 0 END)::BIGINT AS n_new_shard
+         |  FROM a16 JOIN a17 USING (doc_id))
+         |SELECT n_docs, n_moved, n_new_shard,
+         |       n_moved = n_new_shard AS identity_ok,
+         |       round(n_moved * 1.0 / n_docs, 6) AS moved_frac,
+         |       n_moved * 1.0 / n_docs <= 0.12 AS churn_ok
+         |FROM j""".stripMargin,
 
     // Incremental novelty: new-side shingles left-joined against the
     // history's distinct shingle set; shingle-less docs null out.

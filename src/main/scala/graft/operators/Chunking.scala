@@ -195,4 +195,47 @@ object Chunking {
     manifest.write.mode("overwrite").parquet(s"$path/_manifest")
     manifest
   }
+
+  /**
+   * RENDEZVOUS (highest-random-weight) sharding — the RESIZE-STABLE
+   * alternative to [[epochShuffle]]'s `hash mod n`: each key's shard is
+   * argmax over shards s of hash(key, s). Growing n → n+1 relocates
+   * ONLY the keys whose new-shard draw wins — an expected 1/(n+1) of
+   * the corpus — where mod-n resharding moves (n−1)/n of EVERYTHING.
+   * That stability is what makes shard-keyed incremental state
+   * (per-shard caches, dedup fingerprint stores, ANN cells, the
+   * [[writeTrainingShards]] layout) survive a capacity change without
+   * a full rebuild; it is also the provenance of every "consistent
+   * hashing" assignment since Thaler & Ravishankar 1998.
+   *
+   * MAP-ONLY: the per-row argmax folds the n candidate hashes inside
+   * one codegen'd array expression (`array_max` over (h, shard)
+   * structs — largest h wins, shard index breaks the impossible tie
+   * deterministically); no shuffle, no state, no RNG. Hashes are
+   * 60-bit md5 slices under the `"hrw:"` prefix, independent of every
+   * other md5 decision in the library and replayable in the oracle.
+   * Cost is n md5s per row — fine to the ~1k-shard range; past that,
+   * jump consistent hashing (Lamping & Veach 2014) is the O(log n)
+   * successor, at the cost of only supporting n-at-the-END resizes.
+   *
+   * @return input columns + `shard` (0-based)
+   */
+  def rendezvousShard(
+      df: DataFrame,
+      keyCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0 && numShards <= 4096,
+      s"numShards must be in [1, 4096], got $numShards")
+    require(!df.columns.contains("shard"),
+      "'shard' is reserved by rendezvousShard — rename that input column")
+    val draws = transform(
+      sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        conv(substring(md5(concat(
+            lit("hrw:"), col(keyCol).cast("string"),
+            lit(":"), s.cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        s.cast("long").as("shard")))
+    df.withColumn("shard", array_max(draws).getField("shard"))
+  }
 }

@@ -560,6 +560,38 @@ object Pipeline {
   }
 
   /**
+   * Rank-based PERCENTILE NORMALIZATION within groups: each row's
+   * score becomes its within-group percent rank ((rank − 1)/(n − 1) ∈
+   * [0, 1]) — the cross-group equalizer that makes "top 20 % quality"
+   * mean the same thing in every language/domain before a global cut,
+   * where raw scores don't transfer (the [[perplexityBuckets]]
+   * per-group-cuts insight, generalized from fixed thirds to a full
+   * continuous rescale). Rank-based ⇒ immune to per-group scale and
+   * outliers, and DETERMINISTIC: ties share the min rank whatever
+   * their arrival order, the division is one exact-integer fp op, and
+   * both engines define percent_rank identically. Singleton groups
+   * normalize to 0.
+   *
+   * Scale shape: ONE group-partitioned window (parallel across
+   * groups) — rank needs no second pass because percent_rank carries
+   * its own group-count denominator. Group cardinality bounds the
+   * skew: for few huge groups, pre-aggregate to (group, score) counts
+   * and rank those instead.
+   *
+   * @return input columns + `pct` (round 6)
+   */
+  def percentileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String): DataFrame = {
+    require(!df.columns.contains("pct"),
+      "'pct' is reserved by percentileNormalize — rename that input column")
+    df.withColumn("pct",
+      round(percent_rank().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))), 6))
+  }
+
+  /**
    * Deterministic K-PER-GROUP sample — a balanced evaluation slice:
    * exactly `k` docs from every group (fewer if the group is smaller),
    * chosen by md5 rank so the pick is uniform-ish, seed-free, and

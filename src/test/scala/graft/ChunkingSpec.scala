@@ -163,6 +163,34 @@ class ChunkingSpec extends SparkSpec {
       Chunking.epochShuffle(docs.withColumn("shard", C("doc")), "doc", seed = 1)
   }
 
+  test("rendezvousShard: deterministic in-range assignment; n→n+1 moves only new-shard wins") {
+    val docs = numDocs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val a = Chunking.rendezvousShard(docs, "doc", 8).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("shard")).toMap
+    a.values.foreach { s => s should be >= 0L; s should be < 8L }
+    // replay is identical
+    Chunking.rendezvousShard(docs, "doc", 8).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("shard")).toMap shouldBe a
+    // HRW identity: a key moves on 8 → 9 IFF shard 8 wins it
+    val b = Chunking.rendezvousShard(docs, "doc", 9).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("shard")).toMap
+    val moved = a.keySet.filter(k => a(k) != b(k))
+    moved shouldBe b.filter(_._2 == 8L).keySet
+    // non-degenerate: some keys moved, most did not
+    moved.size should be > 0
+    moved.size should be < 60 // expected 200/9 ≈ 22
+  }
+
+  test("rendezvousShard rejects bad shard counts and reserved columns") {
+    val docs = numDocs(1L -> "x")
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.rendezvousShard(docs, "doc", 0)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.rendezvousShard(docs, "doc", 5000)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.rendezvousShard(docs.withColumn("shard", C("doc")), "doc", 8)
+  }
+
   test("packSequences rejects non-positive parameters") {
     an[IllegalArgumentException] should be thrownBy
       Chunking.packSequences(numDocs(0L -> "a"), targetTokens = 0)

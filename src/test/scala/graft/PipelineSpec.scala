@@ -303,6 +303,25 @@ class PipelineSpec extends SparkSpec {
     got("n4") shouldBe ((0L, 0L, None))
   }
 
+  test("percentileNormalize: per-group percent ranks, shared tie ranks, singleton = 0") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      ("a", "g1", 1.0), ("b", "g1", 2.0), ("c", "g1", 2.0),
+      ("d", "g1", 3.0), ("e", "g1", 4.0),
+      ("f", "g2", 99.0)).toDF("doc", "grp", "score")
+    val got = Pipeline.percentileNormalize(df, "grp", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    got("a") shouldBe 0.0
+    got("b") shouldBe 0.25 // ties b/c share min rank 2 → (2−1)/(5−1)
+    got("c") shouldBe 0.25
+    got("d") shouldBe 0.75
+    got("e") shouldBe 1.0
+    got("f") shouldBe 0.0 // singleton group
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.percentileNormalize(df.withColumnRenamed("score", "pct"), "grp", "pct")
+  }
+
   test("sampleKPerGroup returns exactly k per group, fewer for small groups") {
     val s2 = spark
     import s2.implicits._
