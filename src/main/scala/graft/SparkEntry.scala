@@ -2330,6 +2330,51 @@ object SparkEntry {
           "doc_id", numShards = 16)
         .orderBy(col("doc_id"))),
 
+    // Exact MAXIMUM-INNER-PRODUCT top-k: the two-tower retrieval
+    // scoring order (dot, not cosine — document norms carry learned
+    // relevance mass). The q15 broadcast-scan shape ranking on the
+    // rounded dot.
+    "q130_mips_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.mipsTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // MIPS→cosine REDUCTION contract (Bachrach 2014): corpus augmented
+    // with √(M²−‖x‖²), queries with 0 — augmented cosine is a monotone
+    // transform of the dot, so the cosine ANN stack answers MIPS; the
+    // contract asserts per-query rank-set agreement with q130.
+    "q130b_mips_reduction" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") < 5)
+      val aug = Similarity.augmentForMips(e)
+      val qa = qv.select(col("vec_id"),
+        concat(col("embedding").cast("array<double>"), array(lit(0.0)))
+          .as("embedding"))
+      val direct = Similarity.mipsTopK(e, qv, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val reduced = Similarity.cosineTopK(aug, qa, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = reduced.join(direct, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      qv.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .withColumn("order_preserved", col("n_hits") === 10L)
+        .orderBy(col("q_vec_id"))
+    }),
+
+    // k-NN classification over the embedding table: majority label of
+    // the 10 exact cosine neighbors, ties to the smallest label — the
+    // zero-training label propagator; swap any ANN tier in at scale.
+    "q131_knn_classify" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.knnClassify(e, e.where(col("vec_id") < 5), k = 10)
+        .orderBy(col("q_vec_id"))
+    }),
+
     // PERCENTILE normalization of quality within language: each doc's
     // score becomes its within-lang percent rank, so one global cut
     // means the same thing in every language (the q98 per-group-cuts
@@ -4534,6 +4579,92 @@ object SparkEntry {
          |m AS (SELECT unnest([a, b, c]) AS term FROM tri)
          |SELECT term, count(*)::BIGINT AS n_triangles FROM m
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    // Exact MIPS top-k: the q15 scan ranking on the rounded dot.
+    "q130_mips_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+        |         round(list_dot_product(q.emb, e.emb), 6) AS dot
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                               ORDER BY dot DESC, n_vec_id) AS rnk
+        |  FROM scored)
+        |SELECT q_vec_id, n_vec_id, dot, rnk FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // MIPS→cosine reduction contract: both rankings replayed, set
+    // agreement per query.
+    "q130b_mips_reduction" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |dscored AS (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+        |         round(list_dot_product(q.emb, e.emb), 6) AS dot
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |d10 AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                                 ORDER BY dot DESC, n_vec_id) AS rnk
+        |    FROM dscored) WHERE rnk <= 10),
+        |mx AS (SELECT max(sqrt(list_dot_product(emb, emb))) AS m FROM e),
+        |ea AS (
+        |  SELECT vec_id,
+        |         list_append(emb, sqrt(greatest(
+        |           m * m - list_dot_product(emb, emb), 0.0))) AS emb
+        |  FROM e, mx),
+        |qa AS (SELECT vec_id, list_append(emb, 0.0) AS emb FROM q),
+        |ascored AS (
+        |  SELECT qa.vec_id AS q_vec_id, ea.vec_id AS n_vec_id,
+        |         round(list_dot_product(qa.emb, ea.emb) /
+        |               (sqrt(list_dot_product(qa.emb, qa.emb)) *
+        |                sqrt(list_dot_product(ea.emb, ea.emb))), 6) AS cos
+        |  FROM qa JOIN ea ON qa.vec_id <> ea.vec_id),
+        |a10 AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                                 ORDER BY cos DESC, n_vec_id) AS rnk
+        |    FROM ascored) WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT a.q_vec_id, count(*)::BIGINT AS n_hits
+        |  FROM a10 a JOIN d10 d
+        |    ON a.q_vec_id = d.q_vec_id AND a.n_vec_id = d.n_vec_id
+        |  GROUP BY 1)
+        |SELECT v.vec_id AS q_vec_id,
+        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall,
+        |       coalesce(n_hits, 0) = 10 AS order_preserved
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+        |ORDER BY q_vec_id""".stripMargin,
+
+    // kNN classification: the q15 ranking joined to labels, majority
+    // vote with ties to the smallest label.
+    "q131_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+        |         round(list_dot_product(q.emb, e.emb) /
+        |               (sqrt(list_dot_product(q.emb, q.emb)) *
+        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |top AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                                 ORDER BY cos DESC, n_vec_id) AS rnk
+        |    FROM scored) WHERE rnk <= 10),
+        |votes AS (
+        |  SELECT t.q_vec_id, x.label::BIGINT AS label, count(*)::BIGINT AS n
+        |  FROM top t JOIN embeddings x ON x.vec_id = t.n_vec_id
+        |  GROUP BY 1, 2)
+        |SELECT q_vec_id, label AS predicted, n AS n_votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                               ORDER BY n DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1
+        |ORDER BY q_vec_id""".stripMargin,
 
     // Quality percentile within language: the q17 lang chain + q18
     // quality chain composed, percent_rank over the ROUNDED score.

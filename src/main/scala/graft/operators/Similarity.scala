@@ -740,4 +740,81 @@ object Similarity {
       .where(col("rank") <= kTop)
       .select(col("q_vec_id"), col("n_vec_id"), col("adc"), col("rank"))
   }
+
+  /**
+   * Exact MAXIMUM-INNER-PRODUCT top-k — the retrieval-model scoring
+   * order (a two-tower model ranks by q·x, NOT by cosine: a document
+   * embedding's norm carries learned relevance mass that cosine's
+   * normalization would erase). Same broadcast-query brute-force shape
+   * as [[cosineTopK]], ranking on the rounded dot product.
+   */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_vec_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_vec_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("dot").desc, col("n_vec_id"))
+    c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("dot", round(dot(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("dot"), col("rank"))
+  }
+
+  /**
+   * MIPS → cosine REDUCTION (Bachrach et al., RecSys 2014): augment
+   * each corpus vector with one extra dimension √(M² − ‖x‖²), where
+   * M = max corpus norm, and each query with 0. Every augmented corpus
+   * vector then has norm exactly M, so for a fixed query the augmented
+   * cosine is dot(q, x)/(‖q‖·M) — a positive MONOTONE transform of the
+   * inner product: cosine order ≡ MIPS order. That single column
+   * expression is what unlocks the ENTIRE cosine ANN stack (LSH,
+   * multi-probe, IVF, PQ — q25/q95/q26/q99) for inner-product
+   * retrieval at 100 TB; the q130b contract asserts the reduction's
+   * rank agreement against [[mipsTopK]] on the raw corpus.
+   *
+   * Map-only: M comes from one 1-row max aggregate broadcast back as a
+   * cross (the winsorize recipe); the augmentation is a codegen concat.
+   * `clamp` guards the √ against the augmented-dim float residue when
+   * x IS the max-norm vector.
+   *
+   * @return (vec_id, embedding) with the augmented array<double>
+   */
+  def augmentForMips(corpus: DataFrame): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val m = c.agg(max(sqrt(dot(col("emb"), col("emb")))).as("_m"))
+    c.crossJoin(broadcast(m))
+      .select(col("vec_id"),
+        concat(col("emb"), array(sqrt(greatest(
+          col("_m") * col("_m") - dot(col("emb"), col("emb")),
+          lit(0.0))))).as("embedding"))
+  }
+
+  /**
+   * k-NEAREST-NEIGHBOR classification over the embedding table — the
+   * zero-training label propagator (eval-set auto-labeling, weak
+   * supervision, label-noise auditing): each query takes the MAJORITY
+   * label of its k exact cosine neighbors, ties to the smallest label
+   * (deterministic). The exact tier; at scale swap [[cosineTopK]] for
+   * any ANN tier — the vote is the same one aggregate.
+   *
+   * Scale shape: the q15 broadcast-query scan + one (query, label)
+   * partial-agg exchange bounded by queries × labels; the argmax is
+   * `max_by` over (votes, −label), the Clustering majority idiom.
+   *
+   * @param corpus  (vec_id, embedding, label)
+   * @param queries (vec_id, embedding), small — gets broadcast
+   * @return (q_vec_id, predicted, n_votes)
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    cosineTopK(corpus.select(col("vec_id"), col("embedding")), queries, k)
+      .join(corpus.select(col("vec_id").as("n_vec_id"),
+        col("label").cast("long").as("label")), Seq("n_vec_id"))
+      .groupBy(col("q_vec_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("q_vec_id"))
+      .agg(
+        max_by(col("label"), struct(col("n"), -col("label"))).as("predicted"),
+        max(col("n")).as("n_votes"))
 }

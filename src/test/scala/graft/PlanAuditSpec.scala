@@ -85,7 +85,12 @@ class PlanAuditSpec extends SparkSpec {
                            // are all fp- or pair-keyed
     "q124_source_overlap_kmv", // the same tiny S×S pair frame, built
                                // from O(S·k) sketch rows
-    "q124b_kmv_quality") // embeds both overlap tiers' S×S pair frames
+    "q124b_kmv_quality", // embeds both overlap tiers' S×S pair frames
+    "q130_mips_topk", // the q15 broadcast-query scan, ranking on dot
+    "q130b_mips_reduction", // both brute-force rankings (dot + the
+                            // augmented cosine) + the 1-row max-norm
+                            // broadcast cross
+    "q131_knn_classify") // the q15 scan feeding the majority vote
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"

@@ -427,6 +427,56 @@ class SimilaritySpec extends SparkSpec {
       Similarity.randomProject(e, outDim = Similarity.MaxDim + 1)
   }
 
+  test("mipsTopK ranks by inner product, not cosine") {
+    // v2 points the same way as the query but with twice the norm —
+    // cosine ties it with v1, MIPS must prefer it
+    val corpus = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(2f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f))
+    val got = Similarity.mipsTopK(corpus, vecs(9L -> Seq(1f, 0f, 0f)), k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    got.toSeq shouldBe Seq((2L, 2.0), (1L, 1.0), (3L, 0.0))
+  }
+
+  test("augmentForMips: every augmented vector has norm M; cosine order = MIPS order") {
+    val aug = Similarity.augmentForMips(fixture)
+    val norms = aug.select(
+        Similarity.norm(col("embedding")).as("n")).collect().map(_.getDouble(0))
+    // M = 1 in the fixture (unit-ish vectors, max norm 1)
+    norms.foreach(_ shouldBe norms.max +- 1e-9)
+    val qa = vecs(9L -> Seq(1f, 0f, 0f))
+      .select(col("vec_id"),
+        concat(col("embedding").cast("array<double>"), array(lit(0.0)))
+          .as("embedding"))
+    val viaCos = Similarity.cosineTopK(aug, qa, k = 5)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val direct = Similarity.mipsTopK(fixture, vecs(9L -> Seq(1f, 0f, 0f)), k = 5)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    viaCos shouldBe direct
+  }
+
+  test("knnClassify takes the majority label, ties to the smallest label") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.8f, 0.2f), 3), (4L, Seq(0f, 1f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(corpus, vecs(9L -> Seq(1f, 0f)), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((9L, 7L, 2L)) // 7 votes 2, 3 votes 1
+    // 2-2 tie between labels 3 and 7 → smallest label wins
+    val tied = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.8f, 0.2f), 3), (4L, Seq(0.7f, 0.3f), 3))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.knnClassify(tied, vecs(9L -> Seq(1f, 0f)), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((3L, 2L))
+  }
+
   test("materialized ANN index roundtrip reproduces ivfCosineTopK exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)
