@@ -2330,6 +2330,33 @@ object SparkEntry {
           "doc_id", numShards = 16)
         .orderBy(col("doc_id"))),
 
+    // Weighted exact-k PER GROUP: every language contributes its own
+    // 20-row Efraimidis–Spirakis draw by n_chars weight — balanced
+    // AND weighted; the window's rank filter is WindowGroupLimit-
+    // pushed (k-row heaps, never the group).
+    "q132_sample_weighted_k_group" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .sampleWeightedKPerGroup(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          groupCol = "lang", weightCol = "n_chars", keyCol = "doc_id", k = 20)
+        .orderBy(col("lang"), col("rk"))),
+
+    // Top event PATHS (3-step sequence mining): one user window
+    // produces both leads, counts partial-aggregate, top-20 plans
+    // TakeOrderedAndProject.
+    "q133_event_paths" -> ((s, dir) =>
+      graft.operators.Events.topPaths(events(s, dir), pathLen = 3, k = 20)
+        .orderBy(col("n_paths").desc, col("path"))),
+
+    // Per-source order-free CORPUS CHECKSUM: the migration audit that
+    // compares checksums instead of corpora — commutative 60-bit row
+    // hashes summed exactly as DECIMAL(38,0).
+    "q134_corpus_checksum" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .corpusChecksum(tbl(s, dir, "documents"), "source", "doc_id", "text")
+        .orderBy(col("source"))),
+
     // Exact MAXIMUM-INNER-PRODUCT top-k: the two-tower retrieval
     // scoring order (dot, not cosine — document norms carry learned
     // relevance mass). The q15 broadcast-scan shape ranking on the
@@ -4579,6 +4606,48 @@ object SparkEntry {
          |m AS (SELECT unnest([a, b, c]) AS term FROM tri)
          |SELECT term, count(*)::BIGINT AS n_triangles FROM m
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    // Weighted-k per group: the q115 key formula ranked within lang.
+    "q132_sample_weighted_k_group" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         (list_sum(list_transform(range(1, 14), i ->
+        |            (strpos('0123456789abcdef',
+        |               substr(md5('ares:' || doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
+        |              << ((13 - i)::INTEGER * 4)))::DOUBLE + 0.5)
+        |           / 4503599627370496.0 AS uu
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(floor(1e6 * ln(uu) / n_chars) AS BIGINT) AS key_micro
+        |  FROM u)
+        |SELECT lang, doc_id, n_chars, key_micro, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |             ORDER BY key_micro DESC, doc_id) AS rk
+        |  FROM keyed) WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
+
+    // Top event paths: both leads from one window spec, top-20 by
+    // count then path.
+    "q133_event_paths" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+        |       count(*)::BIGINT AS n_paths
+        |FROM x WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
+
+    // Corpus checksum: the same commutative row hash summed as
+    // HUGEINT, cast to DECIMAL for digit-exact compare.
+    "q134_corpus_checksum" ->
+      s"""SELECT source, count(*)::BIGINT AS n_rows,
+         |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
+         |         ::DECIMAL(38,0) AS checksum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Exact MIPS top-k: the q15 scan ranking on the rounded dot.
     "q130_mips_topk" ->

@@ -355,6 +355,43 @@ object Events {
             .over(Window.partitionBy(col("from_type"))), 6))
   }
 
+  /**
+   * TOP event PATHS — lightweight sequence mining: the k most common
+   * length-`pathLen` consecutive event-type sequences across user
+   * streams ("view>view>buy beats view>buy — where does the extra
+   * view come from?"). The product-analytics staple between single
+   * transitions ([[typeTransitions]]) and full funnel analysis (q41).
+   *
+   * Scale shape: ONE user-keyed window produces all pathLen−1 leads
+   * in a single pass (same window spec ⇒ one exchange, one sort), the
+   * path string folds map-side, counts partial-aggregate, and the
+   * top-k plans TakeOrderedAndProject — a k-row heap per partition,
+   * never a global sort.
+   */
+  def topPaths(
+      events: DataFrame,
+      pathLen: Int = 3,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pathLen >= 2 && pathLen <= 8,
+      s"pathLen must be in [2,8], got $pathLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = col("event_type") +:
+      (1 until pathLen).map(i => lead(col("event_type"), i).over(byUser))
+    events
+      .withColumn("_last", steps.last)
+      .withColumn("path", concat_ws(">", steps: _*))
+      // a non-null FINAL step implies every intermediate lead is
+      // non-null (leads null out only past the sequence end)
+      .where(col("_last").isNotNull)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

@@ -992,15 +992,89 @@ object Pipeline {
       keyCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_micro", esKeyMicro(keyCol, weightCol))
+      .select(col(keyCol), col(weightCol), col("key_micro"))
+      .orderBy(col("key_micro").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /**
+   * Per-group CORPUS CHECKSUM — the replication/migration audit
+   * primitive (the [[graft.operators.Chunking.writeTrainingShards]]
+   * manifest generalized to any table): per group, the row count and
+   * an ORDER-FREE content checksum — the sum of each row's 60-bit
+   * `"ck:"`-prefixed hash of (key, payload-md5). Commutative, so any
+   * partitioning / retry / engine of the same content produces the
+   * same value; one changed byte, one lost row, or one duplicate
+   * moves it. Compare two checksums instead of two corpora: the
+   * 100 TB equality test that ships KBs, not rows (snapshotDiff then
+   * localizes a mismatch).
+   *
+   * Exactness: summed as DECIMAL(38,0) — exact to ~10^19 rows per
+   * group, far past any corpus; the oracle's HUGEINT sum matches
+   * digit for digit.
+   *
+   * @param df (groupCol, keyCol, payloadCol)
+   * @return per group: n_rows, checksum (decimal 38,0)
+   */
+  def corpusChecksum(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      payloadCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat(
+            lit("ck:"), col(keyCol).cast("string"),
+            lit(":"), md5(col(payloadCol)))), 1, 15), 16, 10)
+          .cast("long").cast("decimal(38,0)")).as("checksum"))
+
+  /** The Efraimidis–Spirakis rank key shared by both weighted-sample
+    * tiers: u = ("ares:"-prefixed 52 md5 bits + 0.5)/2^52 (exact
+    * double), key = ⌊1e6·ln(u)/w⌋ — micro-quantization absorbs libm
+    * last-ulp drift, so the ranked SET is engine-exact. */
+  private def esKeyMicro(keyCol: String, weightCol: String): Column = {
     val u52 =
       (conv(substring(md5(concat(lit("ares:"), col(keyCol).cast("string"))),
         1, 13), 16, 10).cast("long").cast("double") + 0.5) /
         4503599627370496.0 // 2^52; (v+0.5)/2^52 is exact in doubles
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("key_micro",
-        floor(lit(1e6) * log(u52) / col(weightCol)).cast("long"))
-      .select(col(keyCol), col(weightCol), col("key_micro"))
+    floor(lit(1e6) * log(u52) / col(weightCol)).cast("long")
+  }
+
+  /**
+   * Weighted sampling without replacement, exact k PER GROUP — the
+   * balanced-AND-weighted eval slice ([[sampleWeightedK]] × the
+   * [[sampleKPerGroup]] stratification): every group contributes its
+   * own k-row Efraimidis–Spirakis draw (fewer if the group is
+   * smaller), so small strata survive while heavy rows still dominate
+   * within each. Same seed-free micro-quantized key — the selected
+   * set per group is engine-exact and replayable.
+   *
+   * Scale shape: map-only key scoring + ONE window partitioned by the
+   * group column; WindowGroupLimit pushes the rank filter into the
+   * sort, so each task keeps a k-row heap per group — never the
+   * group, never a global sort.
+   *
+   * @return sampled rows: groupCol, keyCol, weightCol, key_micro,
+   *         rk (1..k within the group)
+   */
+  def sampleWeightedKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("rk"),
+      "'rk' is reserved by sampleWeightedKPerGroup — rename that input column")
+    val w = Window.partitionBy(col(groupCol))
       .orderBy(col("key_micro").desc, col(keyCol))
-      .limit(k)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_micro", esKeyMicro(keyCol, weightCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(groupCol), col(keyCol), col(weightCol),
+        col("key_micro"), col("rk"))
   }
 }

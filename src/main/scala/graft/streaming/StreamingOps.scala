@@ -716,6 +716,62 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
   }
 
+  final case class TransitionEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+  final case class Transition(
+      user_id: Long, from_type: String, to_type: String,
+      ts: java.sql.Timestamp)
+
+  // public: Spark's generated encoder code (Janino) must access members
+  final case class LastEventState(ts: Long, event_id: Long, event_type: String)
+
+  /**
+   * Streaming event-type TRANSITIONS — the live feed behind
+   * [[graft.operators.Events.typeTransitions]]' matrix: each arriving
+   * event emits its (previous type → this type) edge the moment it
+   * lands, via explicit per-user state holding ONLY the last event
+   * (three scalars — O(1) per user regardless of history; the state
+   * table persists, so no timeout).
+   *
+   * Ordering semantics: within a micro-batch rows process in
+   * (ts, event_id) order, matching the batch window exactly. ACROSS
+   * batches an event older than the stored last would need
+   * retroactive edge insertion — it is DROPPED rather than emitting a
+   * wrong edge (the conservative choice for a monitoring feed), and
+   * the watermark bounds how late that can happen. On in-order
+   * replays the emitted edges aggregate to the batch matrix
+   * (StreamingSpec asserts it).
+   */
+  def transitionStream(
+      events: Dataset[TransitionEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEventState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[LastEventState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = List.newBuilder[Transition]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            last match {
+              case Some(l) if t > l.ts || (t == l.ts && e.event_id > l.event_id) =>
+                out += Transition(user, l.event_type, e.event_type, e.ts)
+                last = Some(LastEventState(t, e.event_id, e.event_type))
+              case Some(_) => // cross-batch late arrival: drop, never lie
+              case None =>
+                last = Some(LastEventState(t, e.event_id, e.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /**
    * Streaming MODEL INFERENCE: score every arriving doc against a
    * pre-fit Naive Bayes model ([[graft.operators.Classify.fit]]) — the

@@ -308,6 +308,34 @@ class EventsSpec extends SparkSpec {
     got.toSeq shouldBe Seq(("a", "b", 1L))
   }
 
+  test("topPaths counts consecutive type sequences per user, top-k with path tie-break") {
+    val got = Events.topPaths(ev(
+      // u1: view view buy ; u2: view view buy ; u3: view buy view
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "buy", 0.0),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:01:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 10:02:00", 2L, "buy", 0.0),
+      (7L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (8L, "2024-01-01 10:01:00", 3L, "buy", 0.0),
+      (9L, "2024-01-01 10:02:00", 3L, "view", 0.0)), pathLen = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.toSeq shouldBe Seq(("view>view>buy", 2L), ("view>buy>view", 1L))
+  }
+
+  test("topPaths: users never chain into each other; short users emit nothing") {
+    val got = Events.topPaths(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:02:00", 2L, "c", 0.0)), pathLen = 3, k = 10)
+    got.count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Events.topPaths(ev(), pathLen = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Events.topPaths(ev(), k = 0)
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col => C}
+
 import graft.operators.Pipeline
 
 class PipelineSpec extends SparkSpec {
@@ -320,6 +322,48 @@ class PipelineSpec extends SparkSpec {
     got("f") shouldBe 0.0 // singleton group
     an[IllegalArgumentException] should be thrownBy
       Pipeline.percentileNormalize(df.withColumnRenamed("score", "pct"), "grp", "pct")
+  }
+
+  test("sampleWeightedKPerGroup: k per group by the replayed ES key; global tier agrees") {
+    val s2 = spark
+    import s2.implicits._
+    val df = ((1 to 30).map(i => (s"a$i", "ga", i.toLong)) ++
+      (1 to 2).map(i => (s"b$i", "gb", 5L)))
+      .toDF("doc", "grp", "w")
+    val got = Pipeline.sampleWeightedKPerGroup(df, "grp", "w", "doc", k = 4)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(4)))
+    got.count(_._2 == "ga") shouldBe 4
+    got.count(_._2 == "gb") shouldBe 2 // smaller than k — whole group
+    // within one group the pick equals the global weighted-k on it
+    val gaOnly = df.where(C("grp") === "ga")
+    val globalPick = Pipeline.sampleWeightedK(gaOnly, "w", "doc", k = 4)
+      .collect().map(_.getString(0)).toSet
+    got.filter(_._2 == "ga").map(_._1).toSet shouldBe globalPick
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.sampleWeightedKPerGroup(df, "grp", "w", "doc", k = 0)
+  }
+
+  test("corpusChecksum: order-free, partitioning-free; any changed byte moves it") {
+    val s2 = spark
+    import s2.implicits._
+    val a = Seq(("s1", 1L, "x"), ("s1", 2L, "y"), ("s2", 3L, "z"))
+      .toDF("source", "doc_id", "text")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.corpusChecksum(df, "source", "doc_id", "text").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val base = sums(a)
+    base("s1")._1 shouldBe 2L
+    // same rows, reversed order + different partitioning → same sums
+    sums(a.orderBy(C("doc_id").desc).repartition(7)) shouldBe base
+    // one changed payload byte moves exactly that source's checksum
+    val mutated = sums(Seq(("s1", 1L, "X"), ("s1", 2L, "y"), ("s2", 3L, "z"))
+      .toDF("source", "doc_id", "text"))
+    mutated("s1") should not be base("s1")
+    mutated("s2") shouldBe base("s2")
+    // a dropped row moves it too (count AND checksum)
+    val dropped = sums(a.where(C("doc_id") =!= 2L))
+    dropped("s1")._1 shouldBe 1L
+    dropped("s1")._2 should not be base("s1")._2
   }
 
   test("sampleKPerGroup returns exactly k per group, fewer for small groups") {

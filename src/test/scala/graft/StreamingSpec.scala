@@ -698,6 +698,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionStream emits per-user edges; aggregated ≡ the batch matrix; late rows drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .as[graft.streaming.StreamingOps.TransitionEvent]
+    val q = graft.streaming.StreamingOps.transitionStream(stream)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: u1 view→view, u2 view
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+        (1L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "view"),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "view"))
+      q.processAllAvailable()
+      // batch 2: u1 buy (edge view→buy), u2 buy (edge view→buy), and a
+      // LATE u1 row older than its state — must drop silently
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 4L, "buy"),
+        (2L, Timestamp.valueOf("2024-01-01 10:06:00"), 5L, "buy"),
+        (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 9L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("transitions").collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      got.groupBy(identity).view.mapValues(_.length.toLong).toMap shouldBe Map(
+        ("view", "view") -> 1L, ("view", "buy") -> 2L)
+      // the IN-ORDER rows aggregate to the batch matrix
+      val inOrder = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "view", 0.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "view", 0.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 4L, "buy", 0.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:06:00"), 5L, "buy", 0.0))
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val batch = graft.operators.Events.typeTransitions(inOrder).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      got.groupBy(identity).view.mapValues(_.length.toLong).toMap shouldBe batch
+    } finally q.stop()
+  }
+
   test("noveltyScreen scores arriving docs row-locally, matching the batch tier at tiny fpp") {
     val s = spark
     import s.implicits._
