@@ -2402,6 +2402,36 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // BINARY-signature Hamming top-k: 48 sign bits in one long, one
+    // XOR+popcount per candidate — the binary sibling of q99b's ADC
+    // scan, integer-exact end to end.
+    "q135_hamming_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.hammingTopK(e, e.where(col("vec_id") < 5), k = 10, bits = 48)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // Binary-then-exact pipeline recall CONTRACT: Hamming top-100
+    // candidates re-ranked by true cosine, recall@10 vs the exact q15
+    // ranking — the coarse tier touches floats only for 100 rows per
+    // query.
+    "q135b_hamming_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") < 5)
+      val cand = Similarity.hammingTopK(e, qv, k = 100, bits = 48)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val exact = Similarity.cosineTopK(e, qv, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = exact.join(cand, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      qv.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
     // PERCENTILE normalization of quality within language: each doc's
     // score becomes its within-lang percent rank, so one global cut
     // means the same thing in every language (the q98 per-group-cuts
@@ -4648,6 +4678,64 @@ object SparkEntry {
          |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
          |         ::DECIMAL(38,0) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Hamming top-k over 48 packed sign bits: the q25 bucket formula
+    // widened, XOR + bit_count, ascending rank.
+    "q135_hamming_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |         list_sum(list_transform(range(0, 48), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS sig
+         |  FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |         bit_count(xor(q.sig, c.sig))::BIGINT AS hamming
+         |  FROM q JOIN b c ON q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY hamming, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, hamming, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // Binary-then-exact recall: Hamming top-100 ∩ exact cosine top-10.
+    "q135b_hamming_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, emb,
+         |         list_sum(list_transform(range(0, 48), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS sig,
+         |         sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS rnk
+         |    FROM q JOIN b c ON q.vec_id <> c.vec_id) WHERE rnk <= 100),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY round(list_dot_product(q.emb, c.emb) /
+         |                            (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN b c ON q.vec_id <> c.vec_id) WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT x.q_vec_id, count(*)::BIGINT AS n_hits
+         |  FROM exact x JOIN cand c
+         |    ON x.q_vec_id = c.q_vec_id AND x.n_vec_id = c.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
 
     // Exact MIPS top-k: the q15 scan ranking on the rounded dot.
     "q130_mips_topk" ->

@@ -807,6 +807,50 @@ object Similarity {
    * @param queries (vec_id, embedding), small — gets broadcast
    * @return (q_vec_id, predicted, n_votes)
    */
+  /**
+   * BINARY sign-bit signatures — the most compressed embedding form:
+   * `bits` random-hyperplane signs (the SAME deterministic md5 matrix
+   * the LSH family uses) packed into one long. 48 bits = 6 bytes per
+   * vector, a 42× cut from 64 float32 dims; by Goemans–Williamson,
+   * P[bit differs] = θ/π, so Hamming distance is an unbiased angle
+   * estimate with σ shrinking as bits grow.
+   */
+  def binarySignatures(corpus: DataFrame, bits: Int = 48): DataFrame = {
+    require(bits >= 8 && bits <= 62,
+      s"bits must be in [8, 62] (packed into one signed long), got $bits")
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), lshBucketCol(col("emb"), bits).as("sig"))
+  }
+
+  /**
+   * HAMMING brute-force top-k over binary signatures — the binary
+   * sibling of PQ's ADC scan (q99b): one XOR + popcount per candidate
+   * (integer-exact, no rounding contract on the distance), ranked
+   * ascending with the id tie-break. The coarse tier of a
+   * binary-then-exact pipeline: take k' ≫ k here, re-rank the
+   * survivors with true cosine — corpus floats are touched only for
+   * k' rows per query. q135b pins that pipeline's recall against the
+   * exact q15 ranking.
+   */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      bits: Int = 48): DataFrame = {
+    val c = binarySignatures(corpus, bits)
+      .select(col("vec_id").as("n_vec_id"), col("sig").as("n_sig"))
+    val q = binarySignatures(queries, bits)
+      .select(col("vec_id").as("q_vec_id"), col("sig").as("q_sig"))
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("hamming"), col("n_vec_id"))
+    c.join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("hamming",
+        bit_count(col("q_sig").bitwiseXOR(col("n_sig"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("hamming"), col("rank"))
+  }
+
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     cosineTopK(corpus.select(col("vec_id"), col("embedding")), queries, k)
       .join(corpus.select(col("vec_id").as("n_vec_id"),

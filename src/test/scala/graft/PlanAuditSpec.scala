@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     "q130b_mips_reduction", // both brute-force rankings (dot + the
                             // augmented cosine) + the 1-row max-norm
                             // broadcast cross
-    "q131_knn_classify") // the q15 scan feeding the majority vote
+    "q131_knn_classify", // the q15 scan feeding the majority vote
+    "q135_hamming_topk", // compressed-domain brute force by declared
+                         // design (the q99b recipe at 6 B/vector)
+    "q135b_hamming_recall") // the Hamming scan + q15's exact side
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"

@@ -477,6 +477,36 @@ class SimilaritySpec extends SparkSpec {
       Seq((3L, 2L))
   }
 
+  test("hammingTopK: identical vectors at distance 0, near-dups beat unrelated") {
+    val sig = Similarity.binarySignatures(fixture, bits = 48).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sig.values.foreach { s => s should be >= 0L; s should be < (1L << 48) }
+    val got = Similarity.hammingTopK(
+        fixture, vecs(9L -> Seq(1f, 0f, 0f)), k = 5, bits = 48)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // v0 IS the query direction → hamming 0; v1 nearly → small;
+    // v3 is the exact opposite → all 48 bits differ
+    got.head._1 shouldBe 0L
+    got.head._2 shouldBe 0L
+    got.find(_._1 == 3L).get._2 shouldBe 48L
+    got.find(_._1 == 1L).get._2 should be < 10L
+  }
+
+  test("hammingTopK recall: binary-then-exact finds true neighbors in a clustered corpus") {
+    // two tight clusters far apart: the binary tier must put the
+    // query's own cluster ahead of the other
+    val clustered = vecs(
+      (0L to 4L).map(i => i -> Seq(1f, 0.01f * i, 0f)) ++
+      (5L to 9L).map(i => i -> Seq(0f, 0.01f * (i - 5), 1f)): _*)
+    val got = Similarity.hammingTopK(
+        clustered, vecs(99L -> Seq(1f, 0.02f, 0f)), k = 5, bits = 48)
+      .collect().map(_.getLong(1)).toSet
+    got shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.binarySignatures(fixture, bits = 63)
+  }
+
   test("materialized ANN index roundtrip reproduces ivfCosineTopK exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)
