@@ -2402,6 +2402,29 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // EMBEDDING-CENTROID drift per label between corpus halves: the
+    // embedding-space q79 — cosine between each label's two integer-
+    // exact centroids (scale invariance cancels the count division).
+    "q136_centroid_drift" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.centroidDrift(
+          e.where(col("vec_id") < 250), e.where(col("vec_id") >= 250))
+        .orderBy(col("label"))
+    }),
+
+    // SEASONAL baseline ratios: each (type, hour) vs its own
+    // hour-of-day slot mean — n·h_slot/S_slot on exact integers.
+    "q138_seasonal_baseline" -> ((s, dir) =>
+      graft.operators.Events.seasonalBaseline(events(s, dir))
+        .orderBy(col("event_type"), col("hour_start"))),
+
+    // EDIT-DISTANCE verified near-dups: the guarded LSH candidates
+    // re-verified by normalized Levenshtein — the character-level
+    // duplication band word-shingle Jaccard under-scores.
+    "q137_edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), n = 3, maxRatio = 0.3)
+        .orderBy(col("d1"), col("d2"))),
+
     // BINARY-signature Hamming top-k: 48 sign bits in one long, one
     // XOR+popcount per candidate — the binary sibling of q99b's ADC
     // scan, integer-exact end to end.
@@ -4678,6 +4701,82 @@ object SparkEntry {
          |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
          |         ::DECIMAL(38,0) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Centroid drift: identical micro-quantized integer sums per
+    // (label, dim), exact HUGEINT products, the same fp tree.
+    "q136_centroid_drift" ->
+      """WITH ea AS (
+        |  SELECT label::BIGINT AS label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings WHERE vec_id < 250),
+        |eb AS (
+        |  SELECT label::BIGINT AS label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings WHERE vec_id >= 250),
+        |da AS (
+        |  SELECT label, i - 1 AS dim,
+        |         sum(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT)) AS s_a
+        |  FROM ea, unnest(range(1, len(emb) + 1)) r(i) GROUP BY 1, 2),
+        |db AS (
+        |  SELECT label, i - 1 AS dim,
+        |         sum(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT)) AS s_b
+        |  FROM eb, unnest(range(1, len(emb) + 1)) r(i) GROUP BY 1, 2),
+        |red AS (
+        |  SELECT label,
+        |         sum(s_a * s_b) AS dot,
+        |         sum(s_a * s_a) AS na2,
+        |         sum(s_b * s_b) AS nb2
+        |  FROM da JOIN db USING (label, dim) GROUP BY 1),
+        |ca AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_a
+        |       FROM embeddings WHERE vec_id < 250 GROUP BY 1),
+        |cb AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_b
+        |       FROM embeddings WHERE vec_id >= 250 GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |       round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+        |         AS cos
+        |FROM red JOIN ca USING (label) JOIN cb USING (label)
+        |ORDER BY label""".stripMargin,
+
+    // Seasonal baseline: per-type hour counts, hour-of-day slots,
+    // integer ratio n·h/S.
+    "q138_seasonal_baseline" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT *, hour(hour_start)::BIGINT AS hod FROM c)
+        |SELECT event_type, hour_start, hod, n_events,
+        |       count(*) OVER w ::BIGINT AS slot_hours,
+        |       sum(n_events) OVER w ::BIGINT AS slot_total,
+        |       round((n_events * (count(*) OVER w))::DOUBLE /
+        |             (sum(n_events) OVER w)::DOUBLE, 6) AS ratio
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type, hod)
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    // Edit-distance pairs: q13's guarded candidate chain re-verified
+    // by the same unit-cost levenshtein.
+    "q137_edit_distance_pairs" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |lev AS (
+         |  SELECT c.d1, c.d2,
+         |         levenshtein(x.text, y.text)::BIGINT AS dist,
+         |         round(levenshtein(x.text, y.text) * 1.0 /
+         |               greatest(length(x.text), length(y.text), 1), 6) AS edit_ratio
+         |  FROM cand c
+         |  JOIN documents x ON x.doc_id = c.d1
+         |  JOIN documents y ON y.doc_id = c.d2)
+         |SELECT d1, d2, dist, edit_ratio FROM lev
+         |WHERE edit_ratio <= 0.3
+         |ORDER BY d1, d2""".stripMargin,
 
     // Hamming top-k over 48 packed sign bits: the q25 bucket formula
     // widened, XOR + bit_count, ascending rank.

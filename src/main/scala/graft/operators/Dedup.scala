@@ -857,6 +857,47 @@ object Dedup {
   }
 
   /**
+   * EDIT-DISTANCE verified near-dup pairs — the character-level verify
+   * metric for the template/OCR/typo duplication band: Jaccard over
+   * word shingles under-scores pairs that differ by in-word edits
+   * (scanner noise, stemming variants, digit runs) because every touched
+   * word kills n whole shingles; normalized Levenshtein
+   * (dist / max(len)) scores exactly that band. Candidates still come
+   * from the guarded LSH bands — Levenshtein is O(len²) per pair and
+   * must NEVER meet an unbucketed pair space; word-level banding
+   * recalls char-level near-dups fine because a small char edit ratio
+   * leaves most shingles intact.
+   *
+   * Both engines run the same unit-cost Levenshtein (Spark
+   * `levenshtein` ≡ DuckDB `levenshtein`); the ratio is one exact-int
+   * division, round 6.
+   *
+   * @return (d1, d2, dist, edit_ratio) for candidate pairs with
+   *         edit_ratio ≤ maxRatio
+   */
+  def editDistancePairs(
+      docs: DataFrame,
+      n: Int = 3,
+      maxRatio: Double = 0.2): DataFrame = {
+    require(maxRatio > 0 && maxRatio <= 1,
+      s"maxRatio must be in (0,1], got $maxRatio")
+    val sh = graft.Caching.persist(shingles(docs, n))
+    val bands = graft.Caching.persist(
+      lshBands(minhashSignatures(sh)))
+    val cand = lshCandidates(bands)
+    val texts = docs.select(col("doc"), col("line"))
+    cand
+      .join(texts.select(col("doc").as("d1"), col("line").as("_t1")), Seq("d1"))
+      .join(texts.select(col("doc").as("d2"), col("line").as("_t2")), Seq("d2"))
+      .withColumn("dist", levenshtein(col("_t1"), col("_t2")).cast("long"))
+      .withColumn("edit_ratio", round(
+        col("dist").cast("double") /
+          greatest(length(col("_t1")), length(col("_t2")), lit(1)), 6))
+      .where(col("edit_ratio") <= maxRatio)
+      .select(col("d1"), col("d2"), col("dist"), col("edit_ratio"))
+  }
+
+  /**
    * Exact duplicated-SUBSTRING removal — the ExactSubstr recipe of
    * "Deduplicating Training Data Makes Language Models Better" (Lee et
    * al. 2022, arXiv:2107.06499), at token granularity: every occurrence

@@ -392,6 +392,38 @@ object Events {
       .limit(k)
   }
 
+  /**
+   * SEASONAL BASELINE ratios — [[hourlyAnomalies]]' seasonality-aware
+   * sibling: traffic has a daily shape, so "3× the per-type mean" at
+   * 9am is normal while the same count at 3am is an incident. Each
+   * (type, hour) compares against ITS OWN hour-of-day slot: ratio =
+   * observed / slot-mean, computed as n·h_slot / S_slot — one exact
+   * integer product over one exact integer sum (no float mean), one
+   * division, round 6. Slots cover only hours that HAVE events (an
+   * absent hour contributes no zero — document gaps upstream if the
+   * series can go fully silent).
+   *
+   * Scale shape: one (type, hour) count aggregate, then windows over
+   * the tiny per-type hour frame (the q123 shape); hod slots add a
+   * second window on the same frame.
+   */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("hod", hour(col("hour_start")).cast("long"))
+    val slot = Window.partitionBy(col("event_type"), col("hod"))
+    counts
+      .withColumn("slot_hours", count(lit(1)).over(slot))
+      .withColumn("slot_total", sum(col("n_events")).over(slot))
+      .withColumn("ratio", round(
+        (col("n_events") * col("slot_hours")).cast("double") /
+          col("slot_total").cast("double"), 6))
+      .select(col("event_type"), col("hour_start"), col("hod"),
+        col("n_events"), col("slot_hours"), col("slot_total"), col("ratio"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

@@ -851,6 +851,57 @@ object Similarity {
       .select(col("q_vec_id"), col("n_vec_id"), col("hamming"), col("rank"))
   }
 
+  /**
+   * EMBEDDING-CENTROID drift between two corpus slices, per label —
+   * the embedding-space sibling of q79's term drift: a label whose
+   * mean vector rotates between snapshots has changed meaning/content
+   * (encoder update, topic shift, poisoning), which per-document
+   * screens can't see. Reported as the cosine between each label's
+   * two centroids.
+   *
+   * Engine-exactness: cosine is SCALE-INVARIANT, so the count
+   * divisions cancel — the centroid cosine computes directly from
+   * per-dimension INTEGER sums of micro-quantized components (the
+   * TWAP quantization recipe): exact long sums per (label, dim),
+   * exact DECIMAL(38,0) cross/self products, then one fixed fp tree
+   * (three exact-int→double casts, two √, one ÷), identical in the
+   * oracle.
+   *
+   * Scale shape: each side is one posexplode (dim× rows, map-side
+   * partial aggregation collapses to labels × dims before the
+   * exchange) + one (label, dim)-keyed shuffle; the final per-label
+   * reduce is a labels-sized frame. Corpus vectors are read once per
+   * side.
+   *
+   * @param a,b (label, embedding) slices
+   * @return per label: n_a, n_b, cos (round 6); labels present in
+   *         only one side are omitted (no centroid to compare)
+   */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def dimSums(df: DataFrame, side: String): DataFrame =
+      df.select(col("label").cast("long").as("label"),
+          posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+        .withColumn("vmicro", round(col("v") * 1e6).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("vmicro")).as(s"s_$side"))
+    def counts(df: DataFrame, side: String): DataFrame =
+      df.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as(s"n_$side"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    dimSums(a, "a").join(dimSums(b, "b"), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        sum(dec(col("s_a")) * dec(col("s_b"))).as("_dot"),
+        sum(dec(col("s_a")) * dec(col("s_a"))).as("_na2"),
+        sum(dec(col("s_b")) * dec(col("s_b"))).as("_nb2"))
+      .join(counts(a, "a"), Seq("label"))
+      .join(counts(b, "b"), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("_dot").cast("double") /
+          (sqrt(col("_na2").cast("double")) * sqrt(col("_nb2").cast("double"))),
+          6).as("cos"))
+  }
+
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     cosineTopK(corpus.select(col("vec_id"), col("embedding")), queries, k)
       .join(corpus.select(col("vec_id").as("n_vec_id"),

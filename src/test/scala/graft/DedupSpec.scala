@@ -392,6 +392,23 @@ class DedupSpec extends SparkSpec {
       Dedup.prefixFilterJaccardPairs(dupCorpus, threshold = 1.5)
   }
 
+  test("editDistancePairs: candidate pairs verified by normalized levenshtein") {
+    val c = corpus(
+      "a" -> "the quick brown fox jumps over the lazy dog",
+      "b" -> "the quick brown fox jumps over the lazy dog", // exact dup
+      "c" -> "the quick brown fox jumps over the lazy cat", // dog→cat
+      "d" -> "completely different words here entirely now today")
+    val got = Dedup.editDistancePairs(c, maxRatio = 0.3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    got(("a", "b")) shouldBe ((0L, 0.0)) // exact dup: distance 0
+    got(("a", "c"))._1 shouldBe 3L // dog→cat = 3 substitutions
+    got(("a", "c"))._2 shouldBe (3.0 / 43).doubleValue +- 1e-6
+    got.keySet should not contain (("a", "d")) // unrelated: no candidate
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.editDistancePairs(c, maxRatio = 0.0)
+  }
+
   test("simhash: identical docs share fingerprint; fingerprint is 16-bit") {
     val fp = Dedup.simhash(dupCorpus).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

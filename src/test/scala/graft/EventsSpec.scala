@@ -336,6 +336,23 @@ class EventsSpec extends SparkSpec {
       Events.topPaths(ev(), k = 0)
   }
 
+  test("seasonalBaseline: each hour compares to its own hour-of-day slot") {
+    // type a, hod 10 over three days: counts 2, 2, 8 → slot mean 4
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:30:00"),
+      (3L, "2024-01-02 10:00:00"), (4L, "2024-01-02 10:30:00")) ++
+      (10L to 17L).map(i => (i, "2024-01-03 10:15:00")) ++
+      Seq((30L, "2024-01-01 23:00:00")) // hod 23: its own slot, ratio 1
+    val got = Events.seasonalBaseline(
+        ev(rows.map { case (id, ts) => (id, ts, 1L, "a", 1.0) }: _*))
+      .collect().map(r => r.getTimestamp(1).toString ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    got("2024-01-01 10:00:00.0") shouldBe ((10L, 2L, 3L, 12L, 0.5))
+    got("2024-01-03 10:00:00.0") shouldBe ((10L, 8L, 3L, 12L, 2.0))
+    got("2024-01-01 23:00:00.0") shouldBe ((23L, 1L, 1L, 1L, 1.0))
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

@@ -507,6 +507,26 @@ class SimilaritySpec extends SparkSpec {
       Similarity.binarySignatures(fixture, bits = 63)
   }
 
+  test("centroidDrift: identical slices cos 1, flipped slices cos -1, one-sided labels drop") {
+    val s2 = spark
+    import s2.implicits._
+    val a = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.8f, 0.2f), 0),
+      (3L, Seq(0f, 1f), 1),
+      (9L, Seq(1f, 1f), 7)) // label 7 absent from b
+      .toDF("vec_id", "embedding", "label")
+    val same = graft.operators.Similarity
+      .centroidDrift(a, a.where(col("label") =!= 7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    same shouldBe Map(0L -> 1.0, 1L -> 1.0)
+    val flipped = Seq(
+      (1L, Seq(-1f, 0f), 0), (2L, Seq(-0.8f, -0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.operators.Similarity
+      .centroidDrift(a.where(col("label") === 0), flipped)
+      .collect().head.getDouble(3) shouldBe -1.0
+  }
+
   test("materialized ANN index roundtrip reproduces ivfCosineTopK exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)
