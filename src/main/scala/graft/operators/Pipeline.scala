@@ -1030,6 +1030,54 @@ object Pipeline {
             lit(":"), md5(col(payloadCol)))), 1, 15), 16, 10)
           .cast("long").cast("decimal(38,0)")).as("checksum"))
 
+  /**
+   * One-row corpus DATA CARD — the governance summary a dataset ships
+   * with (Gebru et al.'s datasheets, operationalized): row/unique
+   * counts and exact-dup rate, token mass and vocabulary size,
+   * dominant predicted language with its share, and mean quality —
+   * one frame a release gate can diff against the previous snapshot.
+   *
+   * Scale shape: one tokenized scan feeds a single multi-aggregate
+   * (count, distinct md5, distinct term via the same Expand, token
+   * sum); the language argmax reduces a ≤5-row frame; everything
+   * combines through 1-row broadcast crosses. Mean quality averages
+   * ROUND-6 per-doc scores (float-sum noise ~1e-13 dies in the final
+   * round — the q102b convention).
+   */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .withColumn("_lang", TextAnalysis.langPredFromStats(col("_st")))
+      .withColumn("_q", round(TextAnalysis.qualityScoreFromStats(col("_st")), 6))
+      .withColumn("_ntok",
+        size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val base = scored.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("line"))).as("n_unique_texts"),
+      sum(col("_ntok")).as("n_tokens"),
+      round(avg(col("_q")), 6).as("mean_quality"))
+    val vocab = docs
+      .select(explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+        .as("term"))
+      .agg(countDistinct(col("term")).as("vocab_size"))
+    val langW = Window.orderBy(col("n").desc, col("_lang"))
+    val topLang = scored.groupBy(col("_lang")).agg(count(lit(1)).as("n"))
+      // ≤5-row frame: the unpartitioned window is harmless by
+      // construction (the budgetFill precedent)
+      .withColumn("_rn", row_number().over(langW))
+      .where(col("_rn") === 1)
+      .select(col("_lang").as("top_lang"), col("n").as("top_lang_n"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_unique_texts"),
+        round(lit(1.0) - col("n_unique_texts").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("n_tokens"), col("vocab_size"),
+        col("top_lang"), col("top_lang_n"),
+        round(col("top_lang_n").cast("double") /
+          col("n_docs").cast("double"), 6).as("top_lang_share"),
+        col("mean_quality"))
+  }
+
   /** The Efraimidis–Spirakis rank key shared by both weighted-sample
     * tiers: u = ("ares:"-prefixed 52 md5 bits + 0.5)/2^52 (exact
     * double), key = ⌊1e6·ln(u)/w⌋ — micro-quantization absorbs libm

@@ -366,6 +366,25 @@ class PipelineSpec extends SparkSpec {
     dropped("s1")._2 should not be base("s1")._2
   }
 
+  test("dataCard: one row of counts, dup rate, vocab, dominant language, mean quality") {
+    val docs = corpus(
+      "a" -> "the quick brown fox jumps over the lazy dog",
+      "b" -> "the quick brown fox jumps over the lazy dog", // exact dup
+      "c" -> "der hund und die katze und das haus")
+    val r = Pipeline.dataCard(docs).collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getAs[Long]("n_docs") shouldBe 3L
+    row.getAs[Long]("n_unique_texts") shouldBe 2L
+    row.getAs[Double]("dup_rate") shouldBe 0.333333 +- 1e-9
+    row.getAs[Long]("n_tokens") shouldBe 26L // 9 + 9 + 8
+    // vocab: 8 distinct en words + 7 distinct de words
+    row.getAs[Long]("vocab_size") shouldBe 15L
+    row.getAs[String]("top_lang") shouldBe "en"
+    row.getAs[Long]("top_lang_n") shouldBe 2L
+    row.getAs[Double]("top_lang_share") shouldBe 0.666667 +- 1e-9
+  }
+
   test("sampleKPerGroup returns exactly k per group, fewer for small groups") {
     val s2 = spark
     import s2.implicits._
