@@ -2402,6 +2402,17 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // VOCABULARY DIFF change feed: history (doc < 250) vs delta
+    // (doc >= 250) term counts with integer-threshold statuses — the
+    // term-level explanation behind a q79 drift alarm.
+    "q140_vocab_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Vocab
+        .vocabDiff(d.where(col("doc") < 250), d.where(col("doc") >= 250),
+          minCount = 3)
+        .orderBy(col("term"))
+    }),
+
     // One-row corpus DATA CARD: counts, dup rate, token mass, vocab,
     // dominant language + share, mean quality — the release-gate
     // summary, diffable against the previous snapshot.
@@ -4707,6 +4718,32 @@ object SparkEntry {
          |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
          |         ::DECIMAL(38,0) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Vocab diff: per-side HAVING-pruned term counts, full-outer join,
+    // the same integer status thresholds.
+    "q140_vocab_diff" ->
+      """WITH ta AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+        |    FROM documents WHERE doc_id < 250) WHERE term <> ''
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |tb AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+        |    FROM documents WHERE doc_id >= 250) WHERE term <> ''
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |j AS (
+        |  SELECT coalesce(a.term, b.term) AS term,
+        |         coalesce(a.cnt, 0)::BIGINT AS cnt_a,
+        |         coalesce(b.cnt, 0)::BIGINT AS cnt_b
+        |  FROM ta a FULL OUTER JOIN tb b ON a.term = b.term)
+        |SELECT term, cnt_a, cnt_b,
+        |       CASE WHEN cnt_a = 0 THEN 'added'
+        |            WHEN cnt_b = 0 THEN 'removed'
+        |            WHEN cnt_b >= 2 * cnt_a THEN 'grown'
+        |            WHEN 2 * cnt_b <= cnt_a THEN 'shrunk'
+        |            ELSE 'stable' END AS status
+        |FROM j ORDER BY term""".stripMargin,
 
     // Data card: the q129 lang+quality chain reduced to one row, plus
     // token/vocab/dup aggregates, combined by 1-row crosses.

@@ -214,4 +214,43 @@ object Vocab {
   def sketchEstimates(sk: DataFrame): DataFrame =
     sk.select(col("source"),
       hll_sketch_estimate(col("sketch")).as("n_terms_est"))
+
+  /**
+   * VOCABULARY DIFF between two corpus slices — the term-level change
+   * feed that explains a drift alarm (q79 says THE distribution moved;
+   * this says WHICH terms did): per term above `minCount` on either
+   * side, counts on both plus a status — `added` / `removed` (absent
+   * from one side), `grown` / `shrunk` (count at least doubled /
+   * halved), `stable`. Thresholds are integer comparisons
+   * (cnt_b ≥ 2·cnt_a), so the verdict is engine-exact with no float
+   * anywhere.
+   *
+   * Scale shape: two vocabulary aggregates (map-side partial) + one
+   * term-keyed full-outer join of vocabulary-scale frames — corpus
+   * rows are never exchanged. The minCount prune applies BEFORE the
+   * join (a sub-threshold term on both sides never shuffles), with
+   * the boundary caveat that a term crossing the threshold reports
+   * the side it is visible on — the operationally right view for a
+   * change FEED (it IS an appearance).
+   */
+  def vocabDiff(
+      a: DataFrame,
+      b: DataFrame,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val ca = termCounts(a).where(col("cnt") >= minCount)
+      .select(col("term"), col("cnt").as("cnt_a"))
+    val cb = termCounts(b).where(col("cnt") >= minCount)
+      .select(col("term"), col("cnt").as("cnt_b"))
+    ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .withColumn("status",
+        when(col("cnt_a") === 0L, "added")
+          .when(col("cnt_b") === 0L, "removed")
+          .when(col("cnt_b") >= lit(2L) * col("cnt_a"), "grown")
+          .when(lit(2L) * col("cnt_b") <= col("cnt_a"), "shrunk")
+          .otherwise("stable"))
+  }
 }

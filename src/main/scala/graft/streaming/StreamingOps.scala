@@ -716,6 +716,54 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol), col("cnt"))
   }
 
+  /**
+   * Live SEASONAL-ratio alerts — the streaming consumer of
+   * [[graft.operators.Events.seasonalBaseline]]: per closed tumbling
+   * (window, type), the observed count against the batch-derived
+   * per-(type, hour-of-day) slot baseline, alerting when the ratio
+   * leaves [loRatio, hiRatio] or the (type, hod) has no baseline at
+   * all (a brand-new event type IS an alert). The baseline is static
+   * state resolved at plan time (the nearDupScreen recipe); refresh =
+   * restart with a re-derived baseline, the blue/green shape.
+   *
+   * The ratio is the same exact-integer n·h_slot/S_slot as the batch
+   * op; the stream side is one watermark-bounded windowed count, the
+   * baseline join is a broadcast after the aggregation (append-safe —
+   * the windowedTfIdf precedent).
+   *
+   * @param baseline output of `Events.seasonalBaseline` over history
+   * @return per closed (window_start, event_type): n_events, hod,
+   *         ratio (null when no baseline), is_alert
+   */
+  def seasonalAlerts(
+      events: DataFrame,
+      baseline: DataFrame,
+      loRatio: Double = 0.5,
+      hiRatio: Double = 2.0,
+      watermark: String = "2 hours"): DataFrame = {
+    require(loRatio > 0 && loRatio < hiRatio,
+      s"need 0 < loRatio < hiRatio, got $loRatio, $hiRatio")
+    val slots = baseline
+      .select(col("event_type"), col("hod"),
+        col("slot_hours"), col("slot_total"))
+      .distinct()
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+      .withColumn("hod", hour(col("window_start")).cast("long"))
+      .join(broadcast(slots), Seq("event_type", "hod"), "left")
+      .withColumn("ratio", round(
+        (col("n_events") * col("slot_hours")).cast("double") /
+          col("slot_total").cast("double"), 6))
+      .withColumn("is_alert",
+        col("ratio").isNull || col("ratio") < loRatio || col("ratio") > hiRatio)
+      .select(col("window_start"), col("event_type"), col("hod"),
+        col("n_events"), col("ratio"), col("is_alert"))
+  }
+
   final case class TransitionEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
   final case class Transition(

@@ -742,6 +742,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonalAlerts: live windows score against the batch baseline; unknown slots alert") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // history: type a @ hod 10 over two days with counts 2 and 2 →
+    // slot mean 2 (slot_hours 2, slot_total 4)
+    val hist = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "a", 1.0),
+      (3L, Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "a", 1.0),
+      (4L, Timestamp.valueOf("2024-01-02 10:30:00"), 1L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val baseline = graft.operators.Events.seasonalBaseline(hist)
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.StreamingOps
+      .seasonalAlerts(events, baseline, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("seasonal")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        // hod 10, count 5 → ratio 2.5 > 2.0 → alert
+        (Timestamp.valueOf("2024-01-03 10:01:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-03 10:02:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-03 10:03:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-03 10:04:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-03 10:05:00"), "a", 1.0),
+        // unknown type → no baseline → alert with null ratio
+        (Timestamp.valueOf("2024-01-03 10:10:00"), "zz", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        // hod 11: unknown SLOT for a known type → alert; also closes hour 10
+        (Timestamp.valueOf("2024-01-03 11:30:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-03 11:31:00"), "a", 1.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-03 13:00:01"), "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("seasonal").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+          (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+            r.getBoolean(5))).toMap
+      got(("2024-01-03 10:00:00.0", "a")) shouldBe ((5L, Some(2.5), true))
+      got(("2024-01-03 10:00:00.0", "zz")) shouldBe ((1L, None, true))
+      got(("2024-01-03 11:00:00.0", "a")) shouldBe ((2L, None, true))
+    } finally q.stop()
+  }
+
   test("noveltyScreen scores arriving docs row-locally, matching the batch tier at tiny fpp") {
     val s = spark
     import s.implicits._

@@ -109,4 +109,21 @@ class VocabSpec extends SparkSpec {
     // threshold only because the merged state is UNPRUNED
     inc.where(C("term") === "q").count() shouldBe 1L
   }
+
+  test("vocabDiff: added/removed/grown/shrunk/stable by integer thresholds") {
+    import org.apache.spark.sql.functions.{col => C}
+    val a = corpus("1" -> "x x x y y z z z z w w q")
+    val b = corpus("2" -> "x x x y y y y z z n n p")
+    // minCount 2: q (1 in a) and p (1 in b) never appear at all
+    val got = Vocab.vocabDiff(a, b, minCount = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    got shouldBe Map(
+      "x" -> ((3L, 3L, "stable")),
+      "y" -> ((2L, 4L, "grown")), // exactly doubled counts as grown
+      "z" -> ((4L, 2L, "shrunk")),
+      "w" -> ((2L, 0L, "removed")),
+      "n" -> ((0L, 2L, "added")))
+    an[IllegalArgumentException] should be thrownBy Vocab.vocabDiff(a, b, 0)
+  }
 }
