@@ -205,10 +205,33 @@ class PlanAuditSpec extends SparkSpec {
                                  // rank filter is WindowGroupLimit-
                                  // pushed); never a global sort
     "q93_length_histogram" -> 1, // one ≤64-row bin aggregate
-    "q99_pq_codes" -> 0) // THE tier's contract: encoding 10⁹ vectors is
+    "q99_pq_codes" -> 0, // THE tier's contract: encoding 10⁹ vectors is
                          // one codegen projection against the collected
                          // codebook literals — no exchange at all (final
                          // ORDER BY is a range exchange, not counted)
+    "q128_rendezvous_shard" -> 0, // THE tier's contract: HRW assignment
+                                  // is one codegen argmax projection —
+                                  // map-only, zero exchanges
+    "q134_corpus_checksum" -> 1, // one (source)-keyed aggregate; the
+                                 // row hash folds map-side
+    "q125_event_transitions" -> 3, // user successor window + (from,to)
+                                   // agg + the tiny matrix-frame
+                                   // normalizer window
+    "q133_event_paths" -> 2, // ONE user window serves every lead +
+                             // the path agg; top-k is TakeOrdered,
+                             // never a global sort
+    "q123_events_anomaly" -> 2, // (type,hour) count agg + the tiny
+                                // per-type stats window
+    "q138_seasonal_baseline" -> 2, // same shape: count agg + hod-slot
+                                   // window over the tiny frame
+    "q129_quality_percentile" -> 1, // kernel scan + ONE lang-partitioned
+                                    // percent_rank window
+    "q132_sample_weighted_k_group" -> 1, // map-only ES keys + ONE
+                                         // group window (rank filter
+                                         // WindowGroupLimit-pushed)
+    "q135_hamming_topk" -> 1) // signatures are map-only projections;
+                              // the one exchange is the per-query rank
+                              // window after the broadcast join
 
   /** Drop `InMemoryRelation` subtrees from a plan string: the cached
     * plan executes ONCE when the cache fills (inside buildVocab's

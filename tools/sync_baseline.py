@@ -117,6 +117,42 @@ ROWS = [
     ("q92/q93 k-per-group / length histogram (NEW) | {0} / {1}",
      ["q92_sample_per_group", "q93_length_histogram"],
      "WindowGroupLimit k-row heaps per stratum / integer bit-length power-of-2 bins, ≤64-row agg"),
+    ("q117_term_pagerank (NEW) | {0}", ["q117_term_pagerank"],
+     "10 integer-exact damped rounds over the co-occurrence graph; nothing materializes inside the loop — one job pipelines all rounds (was 23.6 s with per-round count() actions)"),
+    ("q96/q105 converged closure: min-label / star (NEW) | {0} / {1}",
+     ["q96_minhash_dedup_converged", "q105_minhash_dedup_star"],
+     "true connected components, detected fixpoint; both tiers share the recursive-CTE oracle verbatim"),
+    ("q99/q99b PQ encode / ADC scan (NEW) | {0} / {1}",
+     ["q99_pq_codes", "q99b_pq_adc_topk"],
+     "4-bit product-quantization codes (zero-exchange encode, plan-pinned) + compressed-domain LUT scan"),
+    ("q113/q114 OHLC / TWAP downsample (NEW) | {0} / {1}",
+     ["q113_events_ohlc", "q114_events_twap"],
+     "rank-window picks in one reused-partitioning exchange / integer-exact hold-until-next weighting with the stitched hour frame"),
+    ("q119_upsert_latest (NEW) | {0}", ["q119_upsert_latest"],
+     "latest-wins MERGE upsert: delta-bounded semi/anti split, oracle is the plain flat window"),
+    ("q121_jaccard_prefix (NEW) | {0}", ["q121_jaccard_prefix"],
+     "exact PPJoin-style τ=0.8 similarity join: rare-shingle prefix probes; oracle is q12's brute force at the same τ"),
+    ("q124/q124b KMV overlap / error contract (NEW) | {0} / {1}",
+     ["q124_source_overlap_kmv", "q124b_kmv_quality"],
+     "O(S·k) sketch-space source-overlap matrix; |Ĵ−J| pinned vs the exact q122 matrix (measured mean 0.008 / max 0.030)"),
+    ("q127_term_triangles (NEW) | {0}", ["q127_term_triangles"],
+     "degree-ordered triangle counting — wedge fan-out capped at O(√E), no hot-key guard needed"),
+    ("q128/q128b rendezvous shard / stability (NEW) | {0} / {1}",
+     ["q128_rendezvous_shard", "q128b_rendezvous_stability"],
+     "map-only HRW argmax; 16→17 churn contract: moved ≡ new-shard wins, 5.6 % measured vs 5.9 % expected"),
+    ("q130/q130b MIPS / reduction contract (NEW) | {0} / {1}",
+     ["q130_mips_topk", "q130b_mips_reduction"],
+     "inner-product top-k + the norm-augmentation reduction; rank-set agreement 10/10 per query"),
+    ("q135/q135b Hamming scan / recall (NEW) | {0} / {1}",
+     ["q135_hamming_topk", "q135b_hamming_recall"],
+     "48 packed sign bits, XOR+popcount; local time is codegen-compile-bound (48 wide hyperplane literals), per-row cost is the 6 B scan the tier exists for"),
+    ("q136_centroid_drift (NEW) | {0}", ["q136_centroid_drift"],
+     "per-label integer-exact centroid cosines between snapshot halves"),
+    ("q137_edit_distance_pairs (NEW) | {0}", ["q137_edit_distance_pairs"],
+     "guarded LSH candidates re-verified by normalized Levenshtein"),
+    ("q139/q140 data card / vocab diff (NEW) | {0} / {1}",
+     ["q139_data_card", "q140_vocab_diff"],
+     "one-row release-gate summary / term-level change feed by integer thresholds"),
 ]
 
 
@@ -130,9 +166,9 @@ def main():
     table = "\n".join(lines)
 
     t = open(BASELINE).read()
-    # operate only on the round-4 measured section — earlier rounds'
+    # operate only on the LATEST measured section — earlier rounds'
     # tables are history and must stay as recorded
-    anchor = t.index("## Measured (round ")
+    anchor = t.rindex("## Measured (round ")
     head, tail = t[:anchor], t[anchor:]
     tail = re.sub(r"Total \*\*[\d.]+ s over \d+ queries, zero errors\*\*",
                   f"Total **{bench['value']:.1f} s over {len(q)} queries, zero errors**",
