@@ -2402,6 +2402,19 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // TRANSITION gap times: the q125 matrix with the clock attached —
+    // exact floor-div mean + interpolated median per (from, to) pair.
+    "q141_transition_times" -> ((s, dir) =>
+      graft.operators.Events.transitionTimes(events(s, dir))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // LABEL-OUTLIER screen: each vector's cosine to its own label's
+    // integer-exact centroid, bottom-5% tail flagged per label — the
+    // mislabeled-point detector.
+    "q142_label_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(tbl(s, dir, "embeddings"), pLo = 0.05)
+        .orderBy(col("vec_id"))),
+
     // VOCABULARY DIFF change feed: history (doc < 250) vs delta
     // (doc >= 250) term counts with integer-threshold statuses — the
     // term-level explanation behind a q79 drift alarm.
@@ -4718,6 +4731,50 @@ object SparkEntry {
          |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
          |         ::DECIMAL(38,0) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Transition times: same successor window, integer floor-div mean
+    // (DuckDB // on BIGINT), quantile_cont median.
+    "q141_transition_times" ->
+      """WITH nx AS (
+        |  SELECT event_type AS from_type,
+        |         epoch_us(ts) AS tus,
+        |         lead(event_type) OVER w AS to_type,
+        |         lead(epoch_us(ts)) OVER w AS next_tus
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT from_type, to_type,
+        |       count(*)::BIGINT AS n_transitions,
+        |       (sum(next_tus - tus) // count(*))::BIGINT AS mean_gap_us,
+        |       round(quantile_cont(next_tus - tus, 0.5), 6) AS p50_gap_us
+        |FROM nx WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // Label outliers: q136's integer centroid sums assembled into
+    // per-label arrays, one cosine per vector, per-label exact
+    // percentile cut.
+    "q142_label_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, i - 1 AS dim,
+        |         sum(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT)) AS s
+        |  FROM e, unnest(range(1, len(emb) + 1)) r(i) GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label, list(s::DOUBLE ORDER BY dim) AS cvec
+        |  FROM d GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |         round(list_dot_product(e.emb, c.cvec) /
+        |               (sqrt(list_dot_product(e.emb, e.emb)) *
+        |                sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
+        |  FROM e JOIN c USING (label)),
+        |cuts AS (
+        |  SELECT label, round(quantile_cont(cos, 0.05), 6) AS thr
+        |  FROM scored GROUP BY 1)
+        |SELECT s.vec_id, s.label, s.cos, s.cos <= c.thr AS is_outlier
+        |FROM scored s JOIN cuts c USING (label)
+        |ORDER BY s.vec_id""".stripMargin,
 
     // Vocab diff: per-side HAVING-pruned term counts, full-outer join,
     // the same integer status thresholds.

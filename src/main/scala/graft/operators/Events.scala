@@ -424,6 +424,36 @@ object Events {
         col("n_events"), col("slot_hours"), col("slot_total"), col("ratio"))
   }
 
+  /**
+   * TRANSITION gap TIMES — [[typeTransitions]] with the clock attached:
+   * per (from_type, to_type), how LONG the step takes (mean and median
+   * gap) — the funnel-latency table ("users reach checkout, but 40
+   * minutes after the view — why?"). Mean is exact-integer floor
+   * division over microsecond sums; the median interpolates on exact
+   * longs (the q43 percentile convention).
+   *
+   * Same scale shape as the matrix: one user-keyed successor window
+   * (lead serves type AND timestamp from the same spec — still one
+   * exchange), one (from, to) aggregate whose exact-percentile buffer
+   * is per-pair; swap `percentile_approx` in at 100 TB, same plan.
+   */
+  def transitionTimes(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_tus", lead(col("tus"), 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .withColumn("gap_us", col("next_tus") - col("tus"))
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        // exact floor mean on exact integer sums
+        expr("sum(gap_us) div count(1)").as("mean_gap_us"),
+        round(expr("percentile(gap_us, 0.5)"), 6).as("p50_gap_us"))
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))

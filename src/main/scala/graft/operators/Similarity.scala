@@ -902,6 +902,58 @@ object Similarity {
           6).as("cos"))
   }
 
+  /**
+   * LABEL-OUTLIER screen — the mislabeled-point detector (confident
+   *-learning lite): each vector's cosine to its OWN label's centroid,
+   * flagged when it falls in the label's bottom `pLo` tail. A point
+   * far from everything it is supposedly an example of is a labeling
+   * error, an encoder glitch, or a genuinely hard case — all worth a
+   * human look before training on them.
+   *
+   * Determinism: centroids assemble from the q136 recipe (per-
+   * (label, dim) exact integer sums of micro-quantized components,
+   * ordered into an array by dim — scale invariance again cancels the
+   * count division), the per-vector cosine is one codegen dot against
+   * the broadcast ≤labels-row centroid table, and the per-label cut
+   * is an exact interpolated percentile over round-6 cosines — every
+   * stage replayable in the oracle.
+   *
+   * Scale shape: one posexplode + (label, dim) exchange for the
+   * centroids (labels × dims rows), then map-only scoring against the
+   * broadcast centroid table and one labels-sized percentile
+   * aggregate joined back as a broadcast. Corpus vectors are scanned
+   * twice (centroid fit + scoring) — persist upstream if that
+   * matters; `percentile_approx` is the same-plan 100 TB swap.
+   *
+   * @return (vec_id, label, cos, is_outlier)
+   */
+  def labelOutliers(corpus: DataFrame, pLo: Double = 0.05): DataFrame = {
+    require(pLo > 0 && pLo < 1, s"pLo must be in (0,1), got $pLo")
+    val cents = corpus
+      .select(col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .withColumn("vmicro", round(col("v") * 1e6).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("vmicro")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("s")))),
+        x => x.getField("s").cast("double")).as("cvec"))
+    val scored = corpus
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("emb"))
+      .join(broadcast(cents), Seq("label"))
+      .withColumn("cos", round(
+        dot(col("emb"), col("cvec")) /
+          (sqrt(dot(col("emb"), col("emb"))) *
+            sqrt(dot(col("cvec"), col("cvec")))), 6))
+    val cuts = scored.groupBy(col("label"))
+      .agg(round(expr(s"percentile(cos, $pLo)"), 6).as("_thr"))
+    scored.join(broadcast(cuts), Seq("label"))
+      .select(col("vec_id"), col("label"), col("cos"),
+        (col("cos") <= col("_thr")).as("is_outlier"))
+  }
+
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     cosineTopK(corpus.select(col("vec_id"), col("embedding")), queries, k)
       .join(corpus.select(col("vec_id").as("n_vec_id"),

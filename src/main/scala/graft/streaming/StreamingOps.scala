@@ -717,6 +717,24 @@ object StreamingOps {
   }
 
   /**
+   * Streaming CORPUS CHECKSUM — live maintenance of
+   * [[graft.operators.Pipeline.corpusChecksum]]'s per-source manifest:
+   * count and the commutative row-hash sum are both mergeable
+   * aggregates, so the running state after ANY prefix of the stream
+   * equals the batch operator over the same rows, whatever the
+   * micro-batch slicing (order-free by construction — the exact
+   * property the checksum was designed around). Update output mode;
+   * state is one (count, sum) pair per source.
+   */
+  def checksumStream(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(concat(
+            lit("ck:"), col("doc").cast("string"),
+            lit(":"), md5(col("line")))), 1, 15), 16, 10)
+          .cast("long").cast("decimal(38,0)")).as("checksum"))
+
+  /**
    * Live SEASONAL-ratio alerts — the streaming consumer of
    * [[graft.operators.Events.seasonalBaseline]]: per closed tumbling
    * (window, type), the observed count against the batch-derived

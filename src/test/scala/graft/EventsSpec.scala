@@ -353,6 +353,21 @@ class EventsSpec extends SparkSpec {
     got("2024-01-01 23:00:00.0") shouldBe ((23L, 1L, 1L, 1L, 1.0))
   }
 
+  test("transitionTimes: floor mean and median gaps per (from, to) pair") {
+    val got = Events.transitionTimes(ev(
+      // u1: a →(60s)→ b, a →(180s)→ b via u2, plus b →(30s)→ a on u1
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:01:30", 1L, "a", 0.0),
+      (4L, "2024-01-01 11:00:00", 2L, "a", 0.0),
+      (5L, "2024-01-01 11:03:00", 2L, "b", 0.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // a→b gaps: 60s, 180s → mean 120s, median 120s (interpolated)
+    got(("a", "b")) shouldBe ((2L, 120000000L, 1.2e8))
+    got(("b", "a")) shouldBe ((1L, 30000000L, 3.0e7))
+  }
+
   test("sessionize splits on gaps > threshold") {
     val got = Events.sessionize(ev(
       (1L, "2024-01-01 00:00:00", 7L, "a", 1.0),

@@ -527,6 +527,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getDouble(3) shouldBe -1.0
   }
 
+  test("labelOutliers flags the member farthest from its own label centroid") {
+    val s2 = spark
+    import s2.implicits._
+    // label 0: a tight cluster around (1, 0) plus one flipped point;
+    // label 1: a tight pair — nothing to flag at p=0.3 but its tail
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.95f, 0.05f), 0),
+      (3L, Seq(0.9f, 0.1f), 0), (4L, Seq(-1f, 0.2f), 0), // the mislabel
+      (5L, Seq(0f, 1f), 1), (6L, Seq(0.05f, 0.95f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(corpus, pLo = 0.3).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    got(4L)._2 shouldBe true
+    got(4L)._1 should be < 0.0 // opposite the centroid
+    Seq(1L, 2L, 3L).count(got(_)._2) shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.labelOutliers(corpus, pLo = 0.0)
+  }
+
   test("materialized ANN index roundtrip reproduces ivfCosineTopK exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)

@@ -792,6 +792,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checksumStream: running state equals the batch checksum for any batch slicing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, Long, String)]
+    val q = graft.streaming.StreamingOps
+      .checksumStream(input.toDF().toDF("source", "doc", "line"))
+      .writeStream.format("memory").queryName("cksum")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(("s1", 1L, "x"), ("s1", 2L, "y"))
+      q.processAllAvailable()
+      input.addData(("s2", 3L, "z"), ("s1", 4L, "w"))
+      q.processAllAvailable()
+      // update mode re-emits; keep the LAST row per source
+      val got = spark.table("cksum").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2))))
+        .foldLeft(Map.empty[String, (Long, java.math.BigDecimal)])(_ + _)
+      val batch = graft.operators.Pipeline.corpusChecksum(
+          Seq(("s1", 1L, "x"), ("s1", 2L, "y"), ("s2", 3L, "z"), ("s1", 4L, "w"))
+            .toDF("source", "doc", "line"), "source", "doc", "line")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("noveltyScreen scores arriving docs row-locally, matching the batch tier at tiny fpp") {
     val s = spark
     import s.implicits._
