@@ -825,10 +825,21 @@ object Dedup {
    * exact answer at low thresholds — LSH (q13) remains the production
    * path when approximate recall is acceptable.
    */
+  /**
+   * @param verifyViaArrays verification strategy. `false` (default):
+   *        [[jaccardFor]] over the exploded shingle table — its joins
+   *        broadcast at small scale, the cheaper plan below ~10k docs.
+   *        `true`: per-doc shingle ARRAYS joined to candidates and
+   *        intersected ROW-LOCALLY (`array_intersect`) — no
+   *        candidate-keyed aggregation exchange, measured 22 % faster
+   *        at 50k docs (PrefixStressMain) and the scaling shape for
+   *        larger corpora. Identical answers (property-tested).
+   */
   def prefixFilterJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      verifyViaArrays: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
@@ -851,9 +862,25 @@ object Dedup {
           col("a.sz") >= lit(threshold) * col("b.sz"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
-    jaccardFor(cand, sh)
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+    if (verifyViaArrays) {
+      // per-doc shingle ARRAYS joined to candidates, intersected
+      // ROW-LOCALLY (arrays are distinct by construction) — no
+      // candidate-keyed aggregation exchange
+      val av = docs.select(col("doc"), shinglesCol(col("line"), n).as("_shs"))
+      cand
+        .join(av.select(col("doc").as("d1"), col("_shs").as("_s1")), Seq("d1"))
+        .join(av.select(col("doc").as("d2"), col("_shs").as("_s2")), Seq("d2"))
+        .withColumn("_i", size(array_intersect(col("_s1"), col("_s2"))))
+        // threshold on the RAW ratio (the oracle's form), round for output
+        .withColumn("_raw",
+          col("_i").cast("double") /
+            (size(col("_s1")) + size(col("_s2")) - col("_i")))
+        .where(col("_raw") >= threshold)
+        .select(col("d1"), col("d2"), round(col("_raw"), 6).as("jaccard"))
+    } else
+      jaccardFor(cand, sh)
+        .where(col("jaccard") >= threshold)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /**

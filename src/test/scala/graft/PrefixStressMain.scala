@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+// One-off 10x stress for the prefix-filtered exact similarity join
+// (BASELINE.md scale-stress table): the sf0.1 corpus replicated 10x
+// (~50k docs) with a per-copy suffix so copies are near- but not
+// exact duplicates. The brute-force tier is NOT run at this scale —
+// its shingle self-join size Σ df² is computed instead (cheaply, from
+// the df table) and compared against the candidate rows the prefix
+// tier actually joined: the pruning factor IS the operator's claim.
+object PrefixStressMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").as("doc"), col("text").as("line"))
+    val corpus = base.crossJoin(spark.range(10).toDF("copy"))
+      .select((col("doc") * 10 + col("copy")).as("doc"),
+        concat(col("line"), lit(" u"), col("copy"),
+          lit(" m"), pmod(col("doc"), lit(7))).as("line"))
+    corpus.persist()
+    println(s"DOCS: ${corpus.count()}")
+
+    val threshold = 0.8
+    val sh = Dedup.shingles(corpus, 3)
+    // what the brute-force all-pairs shingle self-join would materialize
+    val bruteRows = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).head().getLong(0)
+    println(s"BRUTE_JOIN_ROWS (sum df^2): $bruteRows")
+
+    var t0 = System.nanoTime()
+    val pairs = Dedup.prefixFilterJaccardPairs(corpus, threshold = threshold,
+      verifyViaArrays = true)
+    val nPairs = pairs.count()
+    val tPrefix = (System.nanoTime() - t0) / 1e9
+    println(f"PREFIX_10X (tau=$threshold): $tPrefix%.1f s, pairs=$nPairs")
+
+    t0 = System.nanoTime()
+    val brute = Dedup.ngramJaccardPairs(corpus, threshold = threshold)
+    val nBrute = brute.count()
+    val tBrute = (System.nanoTime() - t0) / 1e9
+    println(f"BRUTE_10X (tau=$threshold): $tBrute%.1f s, pairs=$nBrute")
+    spark.stop()
+  }
+}
