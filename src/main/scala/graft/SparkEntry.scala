@@ -2402,6 +2402,20 @@ object SparkEntry {
         .orderBy(col("q_vec_id"))
     }),
 
+    // RANKING EVALUATION harness: the q26 IVF arm graded with
+    // recall@10 / MRR / binary nDCG@10 against the exact cosine
+    // top-10 as truth — the ad-hoc recall contracts generalized into
+    // one reusable metrics operator.
+    "q143_search_eval" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.where(col("vec_id") < 5)
+      val results = Similarity.ivfCosineTopK(e, qv, k = 10)
+      val truth = Similarity.cosineTopK(e, qv, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      Search.evalRanking(results, truth, k = 10)
+        .orderBy(col("q_vec_id"))
+    }),
+
     // TRANSITION gap times: the q125 matrix with the clock attached —
     // exact floor-div mean + interpolated median per (from, to) pair.
     "q141_transition_times" -> ((s, dir) =>
@@ -4732,6 +4746,38 @@ object SparkEntry {
          |         ::DECIMAL(38,0) AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // Search eval: q26's IVF chain as results, the exact ranking over
+    // the same normed frame as truth, the metric arithmetic with a
+    // list-fold idcg.
+    "q143_search_eval" ->
+      s"""WITH ${ivfRankedCtes("TRUE")},
+         |res AS (SELECT q_vec_id, n_vec_id, rnk FROM ranked WHERE rnk <= 10),
+         |truth AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT qq.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |             round(list_dot_product(qq.emb, c.emb) / (qq.nrm * c.nrm), 6)
+         |               DESC, c.vec_id) AS rnk
+         |    FROM n qq JOIN n c ON qq.vec_id < 5 AND qq.vec_id <> c.vec_id)
+         |  WHERE rnk <= 10),
+         |h AS (
+         |  SELECT r.q_vec_id, count(*)::BIGINT AS n_hits,
+         |         min(r.rnk) AS first_rank,
+         |         sum(1.0 / log2(r.rnk + 1)) AS dcg
+         |  FROM res r JOIN truth t
+         |    ON r.q_vec_id = t.q_vec_id AND r.n_vec_id = t.n_vec_id
+         |  GROUP BY 1),
+         |nr AS (SELECT q_vec_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1)
+         |SELECT nr.q_vec_id, nr.n_rel,
+         |       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(h.n_hits, 0) * 1.0 / least(nr.n_rel, 10), 6) AS recall,
+         |       round(coalesce(1.0 / h.first_rank, 0.0), 6) AS mrr,
+         |       round(coalesce(h.dcg, 0.0) /
+         |             list_sum(list_transform(range(1, least(nr.n_rel, 10)::INTEGER + 1),
+         |                                     i -> 1.0 / log2(i + 1))), 6) AS ndcg
+         |FROM nr LEFT JOIN h ON nr.q_vec_id = h.q_vec_id
+         |ORDER BY nr.q_vec_id""".stripMargin,
+
     // Transition times: same successor window, integer floor-div mean
     // (DuckDB // on BIGINT), quantile_cont median.
     "q141_transition_times" ->
@@ -5425,7 +5471,14 @@ object SparkEntry {
   private def ivfTopKSql: String = ivfTopKSqlWith("TRUE")
 
   private def ivfTopKSqlWith(centPred: String): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH ${ivfRankedCtes(centPred)}
+      |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+      |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
+
+  /** The IVF chain up to the per-query `ranked` relation — shared by
+    * the q26/q82/q100 top-k oracles and q143's evaluation harness. */
+  private def ivfRankedCtes(centPred: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
       |      FROM n WHERE vec_id % 100 = 0 AND ($centPred)),
@@ -5453,9 +5506,7 @@ object SparkEntry {
       |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
       |           round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6) AS cos
       |    FROM probes p JOIN assign a
-      |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))
-      |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-      |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
+      |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))""".stripMargin
 
   /** q83/q83b oracle scaffolding, generated from Layout's constants
     * (grid bits, cell shift, the interleave unroll) so engine and

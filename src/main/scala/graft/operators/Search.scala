@@ -328,4 +328,53 @@ object Search {
       .select(col("n_vec_id").as("doc"), col("cos").as("score"))
     rrfFuse(Seq(lexical, dense), topN, kRrf)
   }
+
+  /**
+   * RANKING EVALUATION — recall@k, MRR, and binary-relevance nDCG@k
+   * per query: the metrics harness every retrieval tier here (BM25,
+   * hybrid RRF, and the four ANN families) should be graded with,
+   * generalizing the ad-hoc recall contracts (q25b/q26b/…) into one
+   * reusable operator. `truth` is the relevant set per query (e.g.
+   * the exact cosine top-k for an ANN arm, or labeled judgments).
+   *
+   * Metric notes: recall@k divides by min(|truth|, k) (a system
+   * cannot retrieve more than k); MRR is 1/rank of the first
+   * relevant hit (0 when none); nDCG uses binary gains —
+   * DCG = Σ_hits 1/log2(rank+1), ideal = the same sum over ranks
+   * 1..min(|truth|, k) (one generated fold, no second pass). The
+   * log2 sums round to 6 — summation noise is ~k ulps, far below the
+   * rounding grain, so both engines agree (the q139 avg convention).
+   *
+   * Scale shape: one semi-join of results against the truth set +
+   * two query-keyed aggregates — everything keyed by query; queries
+   * with NO relevant hits still emit (zeros), via the truth-side
+   * outer join.
+   *
+   * @param results (q_vec_id, n_vec_id, rank) — rank 1-based
+   * @param truth   (q_vec_id, n_vec_id) relevant pairs
+   * @return per q_vec_id: n_rel, n_hits, recall, mrr, ndcg (round 6)
+   */
+  def evalRanking(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = results.where(col("rank") <= k)
+      .select(col("q_vec_id"), col("n_vec_id"), col("rank"))
+    val hits = r.join(truth.select(col("q_vec_id"), col("n_vec_id")),
+        Seq("q_vec_id", "n_vec_id"), "left_semi")
+      .groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rank")).as("_first"),
+        sum(lit(1.0) / log2(col("rank") + 1)).as("_dcg"))
+    val nRel = truth.groupBy(col("q_vec_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val denom = least(col("n_rel"), lit(k.toLong))
+    nRel.join(hits, Seq("q_vec_id"), "left_outer")
+      .select(col("q_vec_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          denom.cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("_dcg"), lit(0.0)) /
+          aggregate(sequence(lit(1L), denom), lit(0.0),
+            (acc, i) => acc + lit(1.0) / log2(i + 1)), 6).as("ndcg"))
+  }
 }

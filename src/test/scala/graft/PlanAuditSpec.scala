@@ -94,7 +94,9 @@ class PlanAuditSpec extends SparkSpec {
     "q135_hamming_topk", // compressed-domain brute force by declared
                          // design (the q99b recipe at 6 B/vector)
     "q135b_hamming_recall", // the Hamming scan + q15's exact side
-    "q139_data_card") // 1-row vocab × 1-row top-lang summary crosses
+    "q139_data_card", // 1-row vocab × 1-row top-lang summary crosses
+    "q143_search_eval") // q26's centroid broadcast cross + q15's exact
+                        // side as the truth set
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"

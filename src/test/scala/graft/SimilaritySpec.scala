@@ -546,6 +546,36 @@ class SimilaritySpec extends SparkSpec {
       Similarity.labelOutliers(corpus, pLo = 0.0)
   }
 
+  test("evalRanking: hand-computed recall/MRR/nDCG, zero-hit and absent queries") {
+    val s2 = spark
+    import s2.implicits._
+    // q1: truth {a,b,c}; retrieved [a@1, x@2, c@3] → hits a,c
+    // q2: truth {a};     retrieved [x@1, y@2]     → no hits
+    // q3: truth {a, b};  retrieved nothing at all → zeros via outer join
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 30L, 3L),
+      (2L, 99L, 1L), (2L, 98L, 2L))
+      .toDF("q_vec_id", "n_vec_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L),
+      (3L, 10L), (3L, 20L))
+      .toDF("q_vec_id", "n_vec_id")
+    val got = graft.operators.Search.evalRanking(results, truth, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (nRel1, nHits1, recall1, mrr1, ndcg1) = got(1L)
+    nRel1 shouldBe 3L
+    nHits1 shouldBe 2L
+    recall1 shouldBe 0.666667 +- 1e-9
+    mrr1 shouldBe 1.0
+    // dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3) + 0.5
+    ndcg1 shouldBe (1.5 / (1.5 + 1.0 / (math.log(3) / math.log(2)))) +- 1e-6
+    got(2L) shouldBe ((1L, 0L, 0.0, 0.0, 0.0))
+    got(3L) shouldBe ((2L, 0L, 0.0, 0.0, 0.0))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Search.evalRanking(results, truth, k = 0)
+  }
+
   test("materialized ANN index roundtrip reproduces ivfCosineTopK exactly") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 3)
