@@ -153,6 +153,11 @@ ROWS = [
     ("q139/q140 data card / vocab diff (NEW) | {0} / {1}",
      ["q139_data_card", "q140_vocab_diff"],
      "one-row release-gate summary / term-level change feed by integer thresholds"),
+    ("q141/q142 transition times / label outliers (NEW) | {0} / {1}",
+     ["q141_transition_times", "q142_label_outliers"],
+     "funnel-latency gaps (floor mean + interpolated median) / bottom-tail cosine vs own-label centroid"),
+    ("q143_search_eval (NEW) | {0}", ["q143_search_eval"],
+     "recall@10/MRR/nDCG@10 harness grading the IVF arm against the exact ranking"),
 ]
 
 
