@@ -44,6 +44,22 @@ class CachingSpec extends SparkSpec {
     } shouldBe empty
   }
 
+  test("scoped round-5 persisting operators release every internal frame") {
+    val docs = corpus((1 to 30).map(i =>
+      s"d$i" -> s"shared phrase base plus token$i and token${i % 5} again"): _*)
+    leakedBlocks {
+      Caching.scoped {
+        Dedup.prefixFilterJaccardPairs(docs, threshold = 0.8).collect()
+        Dedup.prefixFilterJaccardPairs(docs, threshold = 0.8,
+          verifyViaArrays = true).collect()
+        Dedup.editDistancePairs(docs, maxRatio = 0.3).collect()
+        graft.operators.Graph.triangleCounts(docs, minCount = 1).collect()
+        graft.operators.Graph.termPageRank(docs, minCount = 1, iters = 3)
+          .collect()
+      }
+    } shouldBe empty
+  }
+
   test("without a scope the caller owns the session cache (legacy contract)") {
     val docs = corpus("a" -> "w x y z q r", "b" -> "w x y z q s")
     val leaked = leakedBlocks {

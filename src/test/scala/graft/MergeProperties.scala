@@ -76,4 +76,28 @@ object MergeProperties extends Properties("Merge") {
       val moved = a.keySet.filter(k => a(k) != b(k))
       moved == b.filter(_._2 == n.toLong).keySet
     }
+
+  // few items over a tiny universe => real overlap structure
+  private val itemsGen: Gen[List[(String, String)]] = for {
+    n <- Gen.chooseNum(0, 50)
+    xs <- Gen.listOfN(n, for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      fp <- Gen.chooseNum(1, 12).map(i => s"f$i")
+    } yield (src, fp))
+  } yield xs
+
+  property("KMV overlap is EXACT whenever k covers every feed") =
+    forAll(itemsGen) { items =>
+      val s = spark
+      import s.implicits._
+      import graft.operators.Pipeline
+      val df = items.toDF("source", "fp")
+      val est = Pipeline.sourceOverlapKmv(df, k = 16).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+      val exact = Pipeline.sourceOverlap(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+      // k=16 ≥ the 12-fp universe ⇒ sketches are the full sets and the
+      // merged-k estimate IS the exact jaccard, for any input multiset
+      est == exact
+    }
 }
