@@ -780,7 +780,13 @@ class StreamingSpec extends SparkSpec {
         (Timestamp.valueOf("2024-01-03 11:30:00"), "a", 1.0),
         (Timestamp.valueOf("2024-01-03 11:31:00"), "a", 1.0))
       q.processAllAvailable()
-      input.addData((Timestamp.valueOf("2024-01-03 13:00:01"), "a", 1.0))
+      // next day, hod 10 again with an IN-BAND count (2 vs slot mean
+      // 2 → ratio 1.0): the window must emit flagged FALSE
+      input.addData(
+        (Timestamp.valueOf("2024-01-04 10:01:00"), "a", 1.0),
+        (Timestamp.valueOf("2024-01-04 10:02:00"), "a", 1.0))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-04 13:00:01"), "a", 1.0))
       q.processAllAvailable()
       val got = spark.table("seasonal").collect()
         .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
@@ -789,6 +795,7 @@ class StreamingSpec extends SparkSpec {
       got(("2024-01-03 10:00:00.0", "a")) shouldBe ((5L, Some(2.5), true))
       got(("2024-01-03 10:00:00.0", "zz")) shouldBe ((1L, None, true))
       got(("2024-01-03 11:00:00.0", "a")) shouldBe ((2L, None, true))
+      got(("2024-01-04 10:00:00.0", "a")) shouldBe ((2L, Some(1.0), false))
     } finally q.stop()
   }
 
