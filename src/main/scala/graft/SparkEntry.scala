@@ -595,6 +595,16 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
         .orderBy(col("term"), col("doc_id"))),
 
+    // O6 strategy AUTO-SELECTED by the skew radar (q78's hot-key
+    // detector on the term key): window when nothing is hot, broadcast
+    // when hot terms ride a broadcastable vocabulary, salted beyond
+    // that. Answer pinned to q5's oracle — the choice is invisible.
+    "q5d_tfidf_auto" -> ((s, dir) =>
+      TfIdf.tfidfAuto(docs(s, dir))
+        .select(col("term"), col("doc").as("doc_id"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy(col("term"), col("doc_id"))),
+
     // O8+O9 — query-term broadcast semi-join + per-doc sum.
     "q6_search" -> ((s, dir) =>
       Search
@@ -2573,6 +2583,12 @@ object SparkEntry {
 
     // Same spec as q5 — pins the salted-join strategy to the same answer.
     "q5c_tfidf_salted" ->
+      s"""$TfIdfCtes
+         |SELECT term, doc_id, tfidf FROM scores
+         |ORDER BY term, doc_id""".stripMargin,
+
+    // Same spec as q5 — pins the radar-chosen strategy to the same answer.
+    "q5d_tfidf_auto" ->
       s"""$TfIdfCtes
          |SELECT term, doc_id, tfidf FROM scores
          |ORDER BY term, doc_id""".stripMargin,
@@ -4637,7 +4653,7 @@ object SparkEntry {
          |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |         CASE WHEN a.doc_id IS NULL THEN 'added'
          |              WHEN b.doc_id IS NULL THEN 'removed'
-         |              WHEN a.text <> b.text THEN 'changed'
+         |              WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
          |              ELSE 'unchanged' END AS change
          |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
          |WHERE change <> 'unchanged'
@@ -4739,11 +4755,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
 
     // Corpus checksum: the same commutative row hash summed as
-    // HUGEINT, cast to DECIMAL for digit-exact compare.
+    // HUGEINT, emitted as VARCHAR digits — the one type every result
+    // surface round-trips losslessly (the value exceeds int64).
     "q134_corpus_checksum" ->
       s"""SELECT source, count(*)::BIGINT AS n_rows,
          |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
-         |         ::DECIMAL(38,0) AS checksum
+         |         ::DECIMAL(38,0)::VARCHAR AS checksum
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Search eval: q26's IVF chain as results, the exact ranking over

@@ -52,6 +52,17 @@ object Graph {
    * point only approximately; 10 damped rounds is the conventional
    * truncation), so no convergence detection job is needed.
    *
+   * CACHE LIFECYCLE CONTRACT: run the CONSUMING ACTION inside
+   * [[graft.Caching.scoped]]. The loop registers one lazy cache point
+   * per round (that is what keeps planning linear and the whole chain
+   * a single job), and — because nothing materializes until the
+   * caller's action — no round can be released from inside this
+   * method; the scope is the release point. Outside a scope the
+   * `iters` vocabulary-scale rank frames stay persisted for the
+   * session (the plain `df.persist` contract), which is a leak at
+   * scale. `queries()` and Bench both satisfy this; a new call site
+   * must too.
+   *
    * @return (term, rank_micro) for every node of the graph
    */
   def termPageRank(

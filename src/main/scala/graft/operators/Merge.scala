@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,14 +81,22 @@ object Merge {
    * CONTRACT: at most one row per key per snapshot (it is a snapshot);
    * duplicate keys would cross-multiply in the join. Compose with
    * [[Dedup.exactDedup]] upstream if that can't be guaranteed.
+   *
+   * Null payloads are legal: the fingerprint is null-guarded with a
+   * sentinel (a NUL byte no md5 hex string can collide with), so a
+   * key whose payload is NULL in one snapshot and non-NULL in the
+   * other reports `changed` — presence stays keyed on the join, never
+   * on the fingerprint.
    */
   def snapshotDiff(
       a: DataFrame,
       b: DataFrame,
       keyCol: String,
       payloadCol: String): DataFrame = {
-    val af = a.select(col(keyCol).as("key"), md5(col(payloadCol)).as("_fp_a"))
-    val bf = b.select(col(keyCol).as("key"), md5(col(payloadCol)).as("_fp_b"))
+    val fp = (payload: Column) =>
+      coalesce(md5(payload), lit("\u0000null"))
+    val af = a.select(col(keyCol).as("key"), fp(col(payloadCol)).as("_fp_a"))
+    val bf = b.select(col(keyCol).as("key"), fp(col(payloadCol)).as("_fp_b"))
     af.join(bf, Seq("key"), "full_outer")
       .select(col("key"),
         when(col("_fp_a").isNull, "added")

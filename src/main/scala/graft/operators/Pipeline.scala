@@ -1011,12 +1011,16 @@ object Pipeline {
    * 100 TB equality test that ships KBs, not rows (snapshotDiff then
    * localizes a mismatch).
    *
-   * Exactness: summed as DECIMAL(38,0) — exact to ~10^19 rows per
-   * group, far past any corpus; the oracle's HUGEINT sum matches
-   * digit for digit.
+   * Exactness: summed internally as DECIMAL(38,0) — exact to ~10^19
+   * rows per group, far past any corpus; the oracle's HUGEINT sum
+   * matches digit for digit. Emitted as a STRING: the value exceeds
+   * int64, and decimal/hugeint columns render differently across
+   * engines' result surfaces (pandas float-mangles DECIMAL(38,0)),
+   * so a checksum that exists to be *compared byte-for-byte* ships
+   * in the one type every surface round-trips losslessly.
    *
    * @param df (groupCol, keyCol, payloadCol)
-   * @return per group: n_rows, checksum (decimal 38,0)
+   * @return per group: n_rows, checksum (string decimal digits)
    */
   def corpusChecksum(
       df: DataFrame,
@@ -1028,7 +1032,8 @@ object Pipeline {
         sum(conv(substring(md5(concat(
             lit("ck:"), col(keyCol).cast("string"),
             lit(":"), md5(col(payloadCol)))), 1, 15), 16, 10)
-          .cast("long").cast("decimal(38,0)")).as("checksum"))
+          .cast("long").cast("decimal(38,0)"))
+          .cast("string").as("checksum"))
 
   /**
    * One-row corpus DATA CARD — the governance summary a dataset ships

@@ -792,22 +792,6 @@ object Similarity {
   }
 
   /**
-   * k-NEAREST-NEIGHBOR classification over the embedding table — the
-   * zero-training label propagator (eval-set auto-labeling, weak
-   * supervision, label-noise auditing): each query takes the MAJORITY
-   * label of its k exact cosine neighbors, ties to the smallest label
-   * (deterministic). The exact tier; at scale swap [[cosineTopK]] for
-   * any ANN tier — the vote is the same one aggregate.
-   *
-   * Scale shape: the q15 broadcast-query scan + one (query, label)
-   * partial-agg exchange bounded by queries × labels; the argmax is
-   * `max_by` over (votes, −label), the Clustering majority idiom.
-   *
-   * @param corpus  (vec_id, embedding, label)
-   * @param queries (vec_id, embedding), small — gets broadcast
-   * @return (q_vec_id, predicted, n_votes)
-   */
-  /**
    * BINARY sign-bit signatures — the most compressed embedding form:
    * `bits` random-hyperplane signs (the SAME deterministic md5 matrix
    * the LSH family uses) packed into one long. 48 bits = 6 bytes per
@@ -954,6 +938,22 @@ object Similarity {
         (col("cos") <= col("_thr")).as("is_outlier"))
   }
 
+  /**
+   * k-NEAREST-NEIGHBOR classification over the embedding table — the
+   * zero-training label propagator (eval-set auto-labeling, weak
+   * supervision, label-noise auditing): each query takes the MAJORITY
+   * label of its k exact cosine neighbors, ties to the smallest label
+   * (deterministic). The exact tier; at scale swap [[cosineTopK]] for
+   * any ANN tier — the vote is the same one aggregate.
+   *
+   * Scale shape: the q15 broadcast-query scan + one (query, label)
+   * partial-agg exchange bounded by queries × labels; the argmax is
+   * `max_by` over (votes, −label), the Clustering majority idiom.
+   *
+   * @param corpus  (vec_id, embedding, label)
+   * @param queries (vec_id, embedding), small — gets broadcast
+   * @return (q_vec_id, predicted, n_votes)
+   */
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     cosineTopK(corpus.select(col("vec_id"), col("embedding")), queries, k)
       .join(corpus.select(col("vec_id").as("n_vec_id"),

@@ -152,6 +152,64 @@ object TfIdf {
   }
 
   /**
+   * Skew RADAR → O6 strategy choice, the planner the three df
+   * strategies were built for ([[withDocumentFrequency]] /
+   * [[withDocumentFrequencyBroadcast]] /
+   * [[withDocumentFrequencySalted]] each own a corner; until now the
+   * caller had to know which corner they were in):
+   *
+   *  - no θ-hot term → "window": one corpus scan, and with no hot key
+   *    the term-partitioned exchange is safe — the cheapest plan wins;
+   *  - hot terms, vocabulary fits a broadcast → "broadcast": the df
+   *    table broadcasts and the corpus is never re-shuffled on the
+   *    skewed key;
+   *  - hot terms AND vocabulary too large to broadcast → "salted": the
+   *    (term, salt) shuffle spreads each stop-word across reducers.
+   *
+   * EAGER by design (the q81/skewJoin precedent): the radar is
+   * [[HotKeys.hotKeysSketched]] on the token stream — a fixed-size
+   * count-min sketch plus a candidates-only confirm, driver-bounded by
+   * ⌊1/θ⌋ keys — and, only when something is hot, one
+   * `approx_count_distinct` aggregate for the vocabulary size. Two to
+   * three radar jobs that read tokens, never shuffle the corpus; at
+   * 100 TB that is noise next to picking the wrong join shape.
+   */
+  def chooseDfStrategy(
+      docs: DataFrame,
+      theta: Double = 0.01,
+      maxBroadcastVocab: Long = 10000000L): String = {
+    require(maxBroadcastVocab >= 1,
+      s"maxBroadcastVocab must be >= 1, got $maxBroadcastVocab")
+    val toks = tokenize(docs)
+    val anyHot = !HotKeys.hotKeysSketched(toks, "term", theta).isEmpty
+    if (!anyHot) "window"
+    else {
+      val vocab = toks.agg(approx_count_distinct(col("term")).as("v"))
+        .head().getLong(0)
+      if (vocab <= maxBroadcastVocab) "broadcast" else "salted"
+    }
+  }
+
+  /**
+   * [[tfidf]] with the O6 strategy picked by [[chooseDfStrategy]]'s
+   * skew radar instead of the caller. The choice is answer-invisible —
+   * all three strategies are pinned to the same oracle (q5 ≡ q5b ≡
+   * q5c ≡ q5d) — so this is a pure plan-shape optimization, the q81
+   * invisible-optimization pattern.
+   */
+  def tfidfAuto(
+      docs: DataFrame,
+      numDocs: Option[Long] = None,
+      theta: Double = 0.01,
+      maxBroadcastVocab: Long = 10000000L,
+      salt: Int = 16): DataFrame =
+    chooseDfStrategy(docs, theta, maxBroadcastVocab) match {
+      case "window"    => tfidf(docs, numDocs, dfViaBroadcast = false)
+      case "broadcast" => tfidf(docs, numDocs, dfViaBroadcast = true)
+      case _           => tfidf(docs, numDocs, dfSalt = Some(salt))
+    }
+
+  /**
    * Per-document keyword extraction: the top-k terms of each document by
    * TF-IDF — the classic downstream use of the reference's own operator
    * chain (O2–O7 feed a per-doc rank instead of a global one). Rank

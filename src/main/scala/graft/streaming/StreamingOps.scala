@@ -732,7 +732,8 @@ object StreamingOps {
         sum(conv(substring(md5(concat(
             lit("ck:"), col("doc").cast("string"),
             lit(":"), md5(col("line")))), 1, 15), 16, 10)
-          .cast("long").cast("decimal(38,0)")).as("checksum"))
+          .cast("long").cast("decimal(38,0)"))
+          .cast("string").as("checksum"))
 
   /**
    * Live SEASONAL-ratio alerts — the streaming consumer of

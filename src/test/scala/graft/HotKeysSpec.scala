@@ -56,6 +56,36 @@ class HotKeysSpec extends SparkSpec {
     got shouldBe Map(7L -> 13L, 8L -> 2L, 9L -> 1L)
   }
 
+  test("chooseDfStrategy flips window -> broadcast -> salted with skew and vocab") {
+    import graft.operators.TfIdf
+    // uniform fixture: 40 docs x 5 distinct terms each, no term repeated
+    // anywhere -> every term carries 1/200 of the tokens, nothing is hot
+    // at theta=0.05 -> the cheap window plan wins
+    val uniform = corpus((0 until 40).map { i =>
+      s"d$i" -> (0 until 5).map(j => s"tok${i}_$j").mkString(" ")
+    }: _*)
+    TfIdf.chooseDfStrategy(uniform, theta = 0.05) shouldBe "window"
+
+    // stopword-heavy fixture: the same docs but every line led by "the"
+    // -> one term carries 1/6 of all tokens, far above theta -> the
+    // window's term partition would take the whole stopword; broadcast
+    val stopHeavy = corpus((0 until 40).map { i =>
+      s"d$i" -> ("the " + (0 until 5).map(j => s"tok${i}_$j").mkString(" "))
+    }: _*)
+    TfIdf.chooseDfStrategy(stopHeavy, theta = 0.05) shouldBe "broadcast"
+
+    // same skew but a vocabulary over the broadcast budget -> salted
+    TfIdf.chooseDfStrategy(stopHeavy, theta = 0.05,
+      maxBroadcastVocab = 10L) shouldBe "salted"
+
+    // tfidfAuto rides the choice and still computes q5's exact answer
+    val auto = rowsOf(TfIdf.tfidfAuto(stopHeavy, theta = 0.05)
+      .select(col("term"), col("doc"), round(col("tfidf"), 6).as("tfidf")))
+    val window = rowsOf(TfIdf.tfidf(stopHeavy, dfViaBroadcast = false)
+      .select(col("term"), col("doc"), round(col("tfidf"), 6).as("tfidf")))
+    auto shouldBe window
+  }
+
   test("empty input yields no hot keys on both tiers") {
     val s = spark
     import s.implicits._

@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     *  - q26's IVF centroid assignment — n·k dot products against a
     *    broadcast centroid sample is the definition of the operator. */
   private val nestedLoopAllowed = Set(
-    "q5_tfidf", "q5b_tfidf_window", "q5c_tfidf_salted", "q6_search",
+    "q5_tfidf", "q5b_tfidf_window", "q5c_tfidf_salted",
+    "q5d_tfidf_auto", // the same 1-row numDocs cross (tfidf lineage)
+    "q6_search",
     "q7_rank", "q7b_tfidf_rank",
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
     "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
@@ -100,13 +102,26 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no cartesian or nested-loop joins in any declared query plan") {
     val dir = "/root/testdata/sf0.001"
+    // Allowlist hygiene: an entry whose plan no longer contains a BNLJ is
+    // STALE — it would silently re-admit a future accidental nested loop.
+    // Collecting the stale set here means the allowlist can only shrink.
+    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       withClue(s"$name plan:\n$plan\n") {
         plan should not include "CartesianProduct"
         if (!nestedLoopAllowed(name))
           plan should not include "BroadcastNestedLoopJoin"
+        else if (!plan.contains("BroadcastNestedLoopJoin")) stale += name
       }
+    }
+    val unknown = nestedLoopAllowed -- SparkEntry.queries.keySet
+    withClue("nestedLoopAllowed entries naming no declared query:") {
+      unknown shouldBe empty
+    }
+    withClue("nestedLoopAllowed entries whose plan has no BNLJ any more " +
+      "(stale — delete them):") {
+      stale.toSeq shouldBe empty
     }
   }
 
