@@ -1683,6 +1683,20 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"), md5(col("payload")).as("payload_md5"))
         .orderBy(col("asset_id"))),
 
+    // REAL multimodal decode: genuine PPM/WAV/Y4M containers built
+    // deterministically from the corpus, then parsed back by
+    // magic-sniffing header parsers. The oracle recomputes every
+    // header field and sample sum straight from the text (the
+    // encodings are pure functions of it), so a header-math bug on
+    // either side is a red row.
+    "q144_media_decode" -> ((s, dir) =>
+      Multimodal.decodeMedia(Multimodal.encodeAssets(docs(s, dir)))
+        .toDF()
+        .withColumn("mean_value",
+          when(col("n_samples") > 0,
+            round(col("value_sum").cast("double") / col("n_samples"), 6)))
+        .orderBy(col("asset_id"))),
+
     // ── Event analytics (batch twins of the streaming ops) ──────────────
 
     "q22_events_hourly" -> ((s, dir) =>
@@ -3913,6 +3927,47 @@ object SparkEntry {
         |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Media decode: the PPM/WAV/Y4M encodings are deterministic
+    // functions of the text, so the oracle derives every decoded
+    // header field and sample sum directly — image pixels are the
+    // char codes ×3 channels, audio samples are (c−110)·200, video
+    // frames take the leading ⌊len/12⌋·12 char codes.
+    "q144_media_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, length(text) AS len,
+        |         coalesce(list_sum(list_transform(
+        |             range(1, length(text) + 1),
+        |             i -> ord(substr(text, i::INTEGER, 1)))), 0) AS sum_ord,
+        |         coalesce(list_sum(list_transform(
+        |             range(1, (length(text) // 12) * 12 + 1),
+        |             i -> ord(substr(text, i::INTEGER, 1)))), 0) AS sum_ord12
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image'
+        |                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE doc_id % 3 WHEN 0 THEN len WHEN 2 THEN 4 END AS width,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 2 THEN 2 END AS height,
+        |    CASE doc_id % 3 WHEN 1 THEN 8000 END AS sample_rate,
+        |    CASE doc_id % 3 WHEN 1 THEN 1 END AS channels,
+        |    CASE doc_id % 3 WHEN 0 THEN 1
+        |                    WHEN 2 THEN len // 12 END AS n_frames,
+        |    CASE doc_id % 3 WHEN 0 THEN len * 3
+        |                    WHEN 1 THEN len
+        |                    ELSE (len // 12) * 12 END AS n_samples,
+        |    CASE doc_id % 3 WHEN 0 THEN 3 * sum_ord
+        |                    WHEN 1 THEN 200 * (sum_ord - 110 * len)
+        |                    ELSE sum_ord12 END AS value_sum
+        |  FROM b)
+        |SELECT doc_id AS asset_id, kind,
+        |  width::BIGINT AS width, height::BIGINT AS height,
+        |  sample_rate::BIGINT AS sample_rate, channels::BIGINT AS channels,
+        |  n_frames::BIGINT AS n_frames, n_samples::BIGINT AS n_samples,
+        |  value_sum::BIGINT AS value_sum,
+        |  CASE WHEN n_samples > 0
+        |       THEN round(value_sum * 1.0 / n_samples, 6) END AS mean_value
+        |FROM d ORDER BY asset_id""".stripMargin,
 
     "q22_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

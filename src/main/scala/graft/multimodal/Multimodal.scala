@@ -10,14 +10,17 @@ import org.apache.spark.sql.types._
  * metadata, and run decode / feature-extract as partition-local batch
  * functions.
  *
- * ── STUB BOUNDARY ────────────────────────────────────────────────────
- * This container has no image/audio codecs, so `decodeStub` is a
- * clearly-marked DETERMINISTIC FAKE (byte statistics standing in for
- * pixel decoding). Everything around it — the schema contract, the
- * binary column handling, the mapPartitions batching shape, and the
- * partition sizing — is the real 100 TB plumbing: swap `decodeStub`
- * for a real codec call and nothing else changes.
- * ─────────────────────────────────────────────────────────────────────
+ * The DECODE path is REAL for the three codec-free container formats —
+ * PPM P6 (image), RIFF/WAVE PCM16 (audio), YUV4MPEG2 (video):
+ * [[decodeMedia]] sniffs the magic bytes and parses each payload's
+ * actual headers and raster/sample/frame data ([[encodeAssets]] builds
+ * genuine such payloads deterministically from the documents corpus, so
+ * the tier is exercisable end-to-end and oracle-checkable — q144).
+ * [[decodeStub]] remains only to demonstrate the batch shape for
+ * formats that DO need an external codec (JPEG/MP3/H.264 — absent in
+ * this container): swap its byte statistics for a codec call and the
+ * schema contract, binary handling, mapPartitions batching, and
+ * partition sizing around it do not change.
  */
 object Multimodal {
 
@@ -96,6 +99,270 @@ object Multimodal {
           math.rint(mean * 1e6) / 1e6, hist.take(8).toSeq, hex)
       }
     }
+  }
+
+  // ── Real codec-free containers: PPM P6 / RIFF-WAVE PCM16 / YUV4MPEG2 ──
+
+  /** WAV constants for the deterministic audio encoding: PCM16 mono. */
+  private val WavSampleRate = 8000
+  /** Y4M geometry: W4 H2 C420 → 4·2 luma + 2+2 chroma = 12 bytes/frame. */
+  private val Y4mWidth = 4
+  private val Y4mHeight = 2
+  private val Y4mFrameBytes = Y4mWidth * Y4mHeight * 3 / 2
+
+  /**
+   * Deterministic REAL media payloads from the documents corpus — the
+   * fixture generator that makes the decode tier exercisable without
+   * external codecs. Per `doc_id % 3` the text becomes a genuine:
+   *
+   *  - `image` — PPM P6, `len(text)`×1, maxval 255, each char c the
+   *    grayscale pixel (c, c, c);
+   *  - `audio` — RIFF/WAVE PCM16 mono 8 kHz, one int16 sample
+   *    `(c − 110)·200` per char (all of [a-z ] stays well inside
+   *    int16);
+   *  - `video` — YUV4MPEG2 W4 H2 F25:1 C420, ⌊len/12⌋ frames filled
+   *    with the text's leading bytes (12 payload bytes per frame;
+   *    shorter docs yield a legal zero-frame stream).
+   *
+   * The headers are the real formats' real headers — [[decodeMedia]]
+   * parses them as any other tool would (`ffplay` accepts all three).
+   * Construction is partition-local (mapPartitions), no shuffle.
+   */
+  def encodeAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enc = docs.select(col("doc").cast("long").as("asset_id"), col("line"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          (id % 3) match {
+            case 0 => (id, encodePpm(text), "image", "ppm")
+            case 1 => (id, encodeWav(text), "audio", "wav")
+            case _ => (id, encodeY4m(text), "video", "y4m")
+          }
+        }
+      }
+      .toDF("asset_id", "payload", "kind", "codec")
+    enc.select(
+      col("asset_id"),
+      col("payload"),
+      struct(
+        col("kind"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("codec")).as("meta"))
+  }
+
+  private[multimodal] def encodePpm(text: String): Array[Byte] = {
+    val w = text.length
+    val header = s"P6\n$w 1\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w) {
+      val b = text.charAt(i).toByte
+      val o = header.length + 3 * i
+      out(o) = b; out(o + 1) = b; out(o + 2) = b
+      i += 1
+    }
+    out
+  }
+
+  private[multimodal] def encodeWav(text: String): Array[Byte] = {
+    val n = text.length
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1)                       // PCM
+    bb.putShort(1)                       // mono
+    bb.putInt(WavSampleRate)
+    bb.putInt(WavSampleRate * 2)         // byte rate
+    bb.putShort(2)                       // block align
+    bb.putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort(((text.charAt(i) - 110) * 200).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private[multimodal] def encodeY4m(text: String): Array[Byte] = {
+    val nFrames = text.length / Y4mFrameBytes
+    val header =
+      s"YUV4MPEG2 W$Y4mWidth H$Y4mHeight F25:1 Ip A1:1 C420\n"
+        .getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (frameHdr.length + Y4mFrameBytes))
+    out.write(header)
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameHdr)
+      var i = 0
+      while (i < Y4mFrameBytes) {
+        out.write(text.charAt(f * Y4mFrameBytes + i).toInt)
+        i += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decoded header + content summary of one media payload. Integer
+    * `value_sum` (sum of decoded scalar samples) instead of a float
+    * mean keeps the row engine-exact; the query layer derives
+    * `mean_value = value_sum / n_samples` with one rounded division. */
+  final case class MediaInfo(
+      asset_id: Long,
+      kind: String,
+      width: Option[Long],
+      height: Option[Long],
+      sample_rate: Option[Long],
+      channels: Option[Long],
+      n_frames: Option[Long],
+      n_samples: Long,
+      value_sum: Long)
+
+  /**
+   * REAL decode over the binary payload column: sniff the magic bytes,
+   * parse the container's actual header, and fold the decoded samples
+   * (pixel bytes / int16 PCM samples / frame payload bytes) into
+   * (count, sum) — the schema a feature-extraction stage consumes.
+   * Unknown magic fails loudly (a corrupt payload must never decode as
+   * silence).
+   *
+   * Scale shape: partition-local mapPartitions over (asset_id,
+   * payload) — the [[decodeStub]] batch shape with the stub replaced
+   * by three genuine parsers; one task per input partition, no
+   * shuffle; compose with [[repartitionForDecode]] when payloads are
+   * MBs. This is deliberately NOT a Column expression: header parsing
+   * is imperative byte-walking, the legitimate mapPartitions corner.
+   */
+  def decodeMedia(assets: DataFrame): Dataset[MediaInfo] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r: Row =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeOne(id, bytes)
+      }
+    }
+  }
+
+  private[graft] def decodeOne(id: Long, b: Array[Byte]): MediaInfo = {
+    def startsWith(magic: String): Boolean = {
+      val m = magic.getBytes("US-ASCII")
+      b.length >= m.length && m.indices.forall(i => b(i) == m(i))
+    }
+    if (startsWith("P6")) parsePpm(id, b)
+    else if (startsWith("RIFF")) parseWav(id, b)
+    else if (startsWith("YUV4MPEG2")) parseY4m(id, b)
+    else throw new IllegalArgumentException(
+      s"asset $id: unrecognized magic bytes " +
+        b.take(8).map(x => f"${x & 0xff}%02x").mkString(" "))
+  }
+
+  /** PPM P6: "P6" ws width ws height ws maxval ONE-ws raster(w·h·3). */
+  private def parsePpm(id: Long, b: Array[Byte]): MediaInfo = {
+    var pos = 2
+    def isWs(c: Int) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def nextInt(): Long = {
+      while (pos < b.length &&
+        (isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      var v = 0L
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval == 255, s"asset $id: unsupported PPM maxval $maxval")
+    pos += 1 // the single whitespace after maxval
+    val n = w * h * 3
+    require(b.length - pos >= n, s"asset $id: truncated PPM raster")
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (b(pos + i) & 0xff); i += 1 }
+    MediaInfo(id, "image", Some(w), Some(h), None, None, Some(1L), n, sum)
+  }
+
+  /** RIFF/WAVE: walk chunks; `fmt ` gives rate/channels/bits, `data`
+    * gives the int16 little-endian samples. */
+  private def parseWav(id: Long, b: Array[Byte]): MediaInfo = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(tag(8) == "WAVE", s"asset $id: RIFF but not WAVE")
+    var pos = 12
+    var rate = -1L; var channels = -1L; var bits = -1
+    var nSamples = 0L; var sum = 0L; var sawData = false
+    while (pos + 8 <= b.length) {
+      val id4 = tag(pos); val size = le32(pos + 4); pos += 8
+      id4 match {
+        case "fmt " =>
+          require(le16(pos) == 1, s"asset $id: non-PCM WAV")
+          channels = le16(pos + 2)
+          rate = le32(pos + 4) & 0xffffffffL
+          bits = le16(pos + 14)
+          require(bits == 16, s"asset $id: only PCM16 supported, got $bits")
+        case "data" =>
+          sawData = true
+          nSamples = size / 2
+          var i = 0
+          while (i < size - 1) {
+            sum += le16(pos + i).toShort.toLong // sign-extend int16
+            i += 2
+          }
+        case _ => // skip unknown chunk
+      }
+      pos += size + (size & 1) // RIFF chunks pad to even length
+    }
+    require(sawData && rate > 0, s"asset $id: missing fmt/data chunk")
+    MediaInfo(id, "audio", None, None, Some(rate), Some(channels),
+      None, nSamples, sum)
+  }
+
+  /** YUV4MPEG2: params line (W/H/F...), then per frame "FRAME[...]\n"
+    * + w·h·3/2 bytes (C420). */
+  private def parseY4m(id: Long, b: Array[Byte]): MediaInfo = {
+    var pos = 0
+    while (pos < b.length && b(pos) != '\n') pos += 1
+    val params = new String(b, 0, pos, "US-ASCII").split(' ')
+    pos += 1
+    val w = params.collectFirst { case p if p.startsWith("W") => p.tail.toLong }
+      .getOrElse(throw new IllegalArgumentException(s"asset $id: y4m missing W"))
+    val h = params.collectFirst { case p if p.startsWith("H") => p.tail.toLong }
+      .getOrElse(throw new IllegalArgumentException(s"asset $id: y4m missing H"))
+    require(!params.exists(p => p.startsWith("C") && p != "C420"),
+      s"asset $id: only C420 supported")
+    val frameLen = (w * h * 3 / 2).toInt
+    var frames = 0L; var sum = 0L; var nSamples = 0L
+    while (pos < b.length) {
+      require(pos + 5 <= b.length &&
+        new String(b, pos, 5, "US-ASCII") == "FRAME",
+        s"asset $id: corrupt y4m frame header at $pos")
+      pos += 5
+      while (pos < b.length && b(pos) != '\n') pos += 1 // frame params
+      pos += 1
+      require(b.length - pos >= frameLen, s"asset $id: truncated y4m frame")
+      var i = 0
+      while (i < frameLen) { sum += (b(pos + i) & 0xff); i += 1 }
+      pos += frameLen
+      frames += 1
+      nSamples += frameLen
+    }
+    MediaInfo(id, "video", Some(w), Some(h), None, None, Some(frames),
+      nSamples, sum)
   }
 
   /**

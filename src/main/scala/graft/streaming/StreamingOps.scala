@@ -736,6 +736,44 @@ object StreamingOps {
           .cast("string").as("checksum"))
 
   /**
+   * EXACTLY-ONCE parquet sink — the operational consumer of
+   * [[checksumStream]]/[[graft.operators.Pipeline.corpusChecksum]]:
+   * Structured Streaming's `foreachBatch` is AT-LEAST-once (failure
+   * recovery re-invokes the last batch with the SAME batchId and the
+   * same rows), so end-to-end exactly-once is the sink's job, and the
+   * standard recipe is batch-id idempotence. Each invocation writes
+   * its rows under a `batch_id=<id>` partition with DYNAMIC partition
+   * overwrite — a replayed batch overwrites exactly its own partition
+   * instead of appending a duplicate, and batches it didn't touch are
+   * untouched (static overwrite mode would truncate the whole table;
+   * dynamic is the load-bearing option here).
+   *
+   * Verification contract (StreamingSpec): after any replay pattern,
+   * `corpusChecksum` over the sink (minus batch_id) equals the
+   * checksum over the logical input — the q134 operator doing the
+   * operational audit it was built for.
+   */
+  def idempotentBatchWrite(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** [[idempotentBatchWrite]] wired as a `foreachBatch` streaming sink.
+    * The checkpoint ties batchIds to input offsets across restarts —
+    * exactly-once = (checkpointed offsets) × (idempotent writes). */
+  def exactlyOnceParquetSink(
+      docs: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        idempotentBatchWrite(batch.toDF(), id, path))
+      .start()
+
+  /**
    * Live SEASONAL-ratio alerts — the streaming consumer of
    * [[graft.operators.Events.seasonalBaseline]]: per closed tumbling
    * (window, type), the observed count against the batch-derived

@@ -63,6 +63,77 @@ class MultimodalSpec extends SparkSpec {
     frames.length shouldBe 3 // ceil(11 / 4)
   }
 
+  test("encodeAssets -> decodeMedia round-trips headers and sample sums") {
+    // ids pick the kind: 0 image (PPM), 1 audio (WAV), 2 video (Y4M)
+    val docs = corpus("0" -> "abc", "1" -> "ab", "2" -> "abcdefghijklmnop")
+    val got = Multimodal.decodeMedia(Multimodal.encodeAssets(docs))
+      .collect().sortBy(_.asset_id)
+
+    // image "abc": 3x1 grayscale pixels (97,97,97)(98,98,98)(99,99,99)
+    got(0) shouldBe Multimodal.MediaInfo(0L, "image", Some(3L), Some(1L),
+      None, None, Some(1L), 9L, 3L * (97 + 98 + 99))
+    // audio "ab": PCM16 samples (97-110)*200 = -2600, (98-110)*200 = -2400
+    got(1) shouldBe Multimodal.MediaInfo(1L, "audio", None, None,
+      Some(8000L), Some(1L), None, 2L, -5000L)
+    // video, 16 chars -> one 12-byte C420 frame of 'a'..'l'
+    got(2) shouldBe Multimodal.MediaInfo(2L, "video", Some(4L), Some(2L),
+      None, None, Some(1L), 12L, (97 to 108).sum.toLong)
+  }
+
+  test("video shorter than one frame decodes as a legal zero-frame stream") {
+    val got = Multimodal.decodeMedia(
+        Multimodal.encodeAssets(corpus("2" -> "short")))
+      .collect()
+    got should have length 1
+    got.head shouldBe Multimodal.MediaInfo(2L, "video", Some(4L), Some(2L),
+      None, None, Some(0L), 0L, 0L)
+  }
+
+  test("the WAV parser walks chunks per the RIFF spec, not the encoder") {
+    // hand-built bytes: an unknown odd-size chunk (padded) BEFORE fmt,
+    // to pin the chunk walk against the spec rather than encodeWav's
+    // fixed layout
+    val bb = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(52)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3 bytes + 1 pad to even
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(176400)
+      .putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+      .putShort(300).putShort(-100)
+    val got = Multimodal.decodeOne(7L, bb.array())
+    got shouldBe Multimodal.MediaInfo(7L, "audio", None, None,
+      Some(44100L), Some(2L), None, 2L, 200L)
+  }
+
+  test("the PPM parser honors comments and multi-digit dimensions") {
+    val px = Array.tabulate(12 * 2 * 3)(i => (i % 7).toByte)
+    val bytes = "P6\n# a comment\n12 2\n255\n".getBytes("US-ASCII") ++ px
+    val got = Multimodal.decodeOne(9L, bytes)
+    got shouldBe Multimodal.MediaInfo(9L, "image", Some(12L), Some(2L),
+      None, None, Some(1L), 72L, px.map(_.toLong).sum)
+  }
+
+  test("decodeMedia fails loudly on unknown magic and truncated payloads") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(1L, Array[Byte](0x42, 0x4d, 0, 0)) // BMP magic
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(2L, "P6\n4 1\n255\n__".getBytes("US-ASCII"))
+  }
+
+  test("decodeMedia is stable across the byte-budget repartition") {
+    val docs = corpus("0" -> "abc", "1" -> "ab", "2" -> "abcdefghijklmnop")
+    val enc = Multimodal.encodeAssets(docs)
+    val a = Multimodal.decodeMedia(enc).collect().sortBy(_.asset_id).toSeq
+    val b = Multimodal.decodeMedia(
+        Multimodal.repartitionForDecode(enc, targetBytesPerPartition = 8))
+      .collect().sortBy(_.asset_id).toSeq
+    a shouldBe b
+  }
+
   test("decodeStub is stable across repartitioning (partition-local only)") {
     val a = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id).toSeq
     val b = Multimodal.decodeStub(
