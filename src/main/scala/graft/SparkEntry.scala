@@ -2246,6 +2246,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // N-GRAM benchmark DECONTAMINATION (the GPT-3 13-gram screen):
+    // the "benchmark" is a deterministic 10% md5 slice of the corpus,
+    // so contaminated docs = the slice itself plus every doc sharing a
+    // verbatim 13-gram with it (exact/near dups of slice docs). Bench
+    // n-grams broadcast; the corpus is scanned once.
+    "q145_ngram_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = conv(substring(
+          md5(concat(lit("bench:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      graft.operators.Dedup
+        .ngramDecontaminate(d, d.where(bkt < 100000L), n = 13)
+        .select(col("doc").as("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
     // every pair at Jaccard ≥ 0.8 with deterministic recall, from
     // rare-shingle prefix probes (~20 % of each doc's shingles at
@@ -2785,6 +2801,30 @@ object SparkEntry {
     // filter), so the oracle is q12's brute-force SQL at q121's own
     // τ — the q5c/q40b/q81 "optimization must be invisible" pattern.
     "q121_jaccard_prefix" -> ngramJaccardSql(0.8),
+
+    // 13-gram decontamination: benchmark = the md5 10% slice; a doc is
+    // contaminated when it shares any verbatim 13-gram with the slice.
+    "q145_ngram_decontaminate" ->
+      s"""WITH tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     t -> t <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+         |           i -> array_to_string(toks[i:i+12], ' '))) AS shingle
+         |    FROM tokl)),
+         |bg AS (
+         |  SELECT DISTINCT shingle FROM g
+         |  WHERE (${duckMd5Bucket("'bench:' || doc_id")}) < 100000),
+         |h AS (
+         |  SELECT g.doc_id, count(*) AS n_hits
+         |  FROM g JOIN bg USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |       coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,

@@ -627,22 +627,21 @@ object TextAnalysis {
       "alphabet must be non-empty with distinct characters")
     val ccCol = org.apache.spark.sql.graft.CharCountsFunctions
       .charCounts(col("line"), alphabet.mkString)
-    val cnts: Seq[Column] = alphabet.indices.map(i => col("_cc").getItem(i))
-    val n = cnts.reduceLeft(_ + _)
+    val cnts: Seq[Column] =
+      alphabet.indices.map(i => col("_cc").getField("counts").getItem(i))
     val nlnTerms = cnts.map { c =>
       when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
     }
     val s = nlnTerms.reduceLeft(_ + _)
-    val nDistinct = cnts.map(c => when(c > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val n = col("_cc").getField("n_counted")
     docs
       .withColumn("_cc", ccCol)
-      .withColumn("n_counted", n)
-      .where(col("n_counted") > 0)
+      .where(n > 0)
       .select(
         col("doc"),
-        col("n_counted"),
-        nDistinct.as("n_distinct_chars"),
-        round(log(col("n_counted").cast("double")) -
-          s / col("n_counted").cast("double"), 6).as("entropy_nats"))
+        n.as("n_counted"),
+        col("_cc").getField("n_distinct").as("n_distinct_chars"),
+        round(log(n.cast("double")) -
+          s / n.cast("double"), 6).as("entropy_nats"))
   }
 }

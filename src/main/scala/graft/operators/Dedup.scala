@@ -772,6 +772,43 @@ object Dedup {
   }
 
   /**
+   * N-GRAM benchmark DECONTAMINATION — the GPT-3-style overlap screen
+   * (Brown et al. 2020 §C use 13-gram overlap; PaLM/Llama variants
+   * differ only in n): a training document is CONTAMINATED when it
+   * shares at least one word n-gram with any document of the
+   * evaluation/benchmark set — one verbatim 13-gram means benchmark
+   * text leaked into training and downstream eval scores inflate.
+   * Output is the AUDIT per corpus doc — n_hits (distinct contaminated
+   * n-grams) and the flag; filter `!contaminated` for the clean corpus
+   * (flag, never silently drop — the audit trail is the deliverable).
+   *
+   * Scale shape: asymmetric by construction — benchmarks are MBs, the
+   * corpus is the 100 TB side. The benchmark reduces to a DISTINCT
+   * n-gram frame (bounded by benchmark token count) that BROADCASTS;
+   * corpus n-grams stream map-side through the broadcast hash join and
+   * only matched (doc, count) pairs reach the one partial-agg
+   * exchange. Corpus rows are scanned once, nothing corpus-sized
+   * shuffles. If a benchmark union ever outgrew a broadcast, screen
+   * with the Bloom route (`bloomScreenedIncrement`'s contract:
+   * over-approximate filter + exact confirm) before the join.
+   */
+  def ngramDecontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = shingles(bench, n).select(col("shingle")).distinct()
+    val hits = shingles(corpus, n)
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /**
    * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — at
    * scale, run only on LSH candidates). Intersections are aggregated
    * straight off the shingle self-join — no materialized pair list, no
@@ -824,6 +861,16 @@ object Dedup {
    * the exact tier's full self-join, which is the honest cost of an
    * exact answer at low thresholds — LSH (q13) remains the production
    * path when approximate recall is acceptable.
+   *
+   * CROSSOVER RULE (measured, PrefixStressMain / BASELINE.md): prefix
+   * filtering wins when Σ df² is HEAD-dominated — a few stop-phrase /
+   * boilerplate / template shingles with df ≈ N carry most of the
+   * self-join mass (the Zipf fixture: 5.8× faster than brute at
+   * Σ df² = 1.15 G); it loses when df is FLAT — every "rare" prefix
+   * shingle still has large df, so candidates prune little while the
+   * df-join + rank-window stages still get paid (the no-tail fixture:
+   * 3–5× slower than brute). Real web/code corpora are the
+   * head-dominated case; tiny synthetic vocabularies are not.
    */
   /**
    * @param verifyViaArrays verification strategy. `false` (default):

@@ -1,25 +1,37 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Single-pass per-character occurrence counts over a fixed alphabet —
- * the kernel behind `TextAnalysis.charEntropy` (q116).
+ * Single-pass per-character statistics over a fixed alphabet — the
+ * kernel behind `TextAnalysis.charEntropy` (q116).
  *
  * The built-in route computes each character's count as
  * `length(text) − length(replace(text, c, ''))`: |alphabet| full
  * string scans AND |alphabet| string materializations per row —
  * O(|alphabet|·len) work where one read of the text suffices. This
  * expression walks the chars ONCE, bumping a counter per alphabet
- * position through a precomputed char→index table, and returns the
- * counts as `array<bigint>` in alphabet order, so the caller's
- * fixed-order float-sum contract (the q116 entropy chain) is built
- * from `getItem(i)` projections over one array instead of 27 scans.
+ * position through a precomputed char→index table, and returns a
+ * struct of (counts array in alphabet order, their sum, the distinct
+ * count), so the caller's fixed-order float-sum contract (the q116
+ * entropy chain) is built from `getField`/`getItem` projections over
+ * one value.
+ *
+ * Why a STRUCT and not a bare array: the row filter (`n_counted > 0`)
+ * gets predicate-pushed below the projection with the expression
+ * substituted in, and `FilterExec` — unlike `ProjectExec` — performs
+ * no subexpression elimination, so a filter over a SUM of 27
+ * `getItem`s would invoke the kernel 27 times per scanned row. With
+ * the sum precomputed as a struct field, the pushed filter costs ONE
+ * kernel call and the projection (CSE-deduplicated) one more —
+ * TextAnalysisSpec pins this call-site count in the generated code.
  *
  * Codegen: the lookup table ships as a codegen reference object and
  * the generated code calls the static kernel — same shipping contract
@@ -38,7 +50,7 @@ case class CharCounts(child: Expression, alphabet: String)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = CharCounts.Schema
 
   override def nullIntolerant: Boolean = true
 
@@ -60,6 +72,15 @@ case class CharCounts(child: Expression, alphabet: String)
     copy(child = newChild)
 }
 
+object CharCounts {
+  /** Field order is part of the contract — see CharCountsKernel.compute. */
+  val Schema: StructType = StructType(Seq(
+    StructField("counts", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("n_counted", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+}
+
 object CharCountsKernel {
 
   /** char → alphabet index table (65536 ints, −1 = not in alphabet). */
@@ -73,7 +94,7 @@ object CharCountsKernel {
     t
   }
 
-  def compute(line: UTF8String, lookup: Array[Int], n: Int): GenericArrayData = {
+  def compute(line: UTF8String, lookup: Array[Int], n: Int): InternalRow = {
     val counts = new Array[Long](n)
     val s = line.toString
     var i = 0
@@ -82,13 +103,23 @@ object CharCountsKernel {
       if (idx >= 0) counts(idx) += 1L
       i += 1
     }
-    new GenericArrayData(counts)
+    var total = 0L
+    var distinct = 0L
+    var j = 0
+    while (j < n) {
+      total += counts(j)
+      if (counts(j) > 0) distinct += 1L
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(counts), total, distinct))
   }
 }
 
 object CharCountsFunctions {
-  /** Occurrence count of each `alphabet` character (alphabet order) in
-    * one pass over a string column — whole-stage-codegen compatible. */
+  /** One-pass per-`alphabet`-character stats over a string column —
+    * struct(counts array in alphabet order, n_counted, n_distinct);
+    * whole-stage-codegen compatible. */
   def charCounts(line: Column, alphabet: String): Column =
     ColumnBridge.column(CharCounts(ColumnBridge.expression(line), alphabet))
 }

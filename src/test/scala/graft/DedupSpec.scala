@@ -351,6 +351,23 @@ class DedupSpec extends SparkSpec {
     ex.getMessage should include("bits")
   }
 
+  test("ngramDecontaminate flags docs sharing any n-gram with the benchmark") {
+    val bench = corpus("e1" -> "one two three four five")
+    val cor = corpus(
+      "t1" -> "zzz one two three yyy",      // shares "one two three"
+      "t2" -> "four five one aaa bbb",      // no verbatim 3-gram from e1
+      "t3" -> "one two three four qqq www", // shares 2 benchmark 3-grams
+      "t4" -> "xx")                         // shorter than one 3-gram
+    val got = Dedup.ngramDecontaminate(cor, bench, n = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    got("t1") shouldBe ((1L, true))
+    got("t2") shouldBe ((0L, false))
+    got("t3") shouldBe ((2L, true)) // "one two three", "two three four"
+    got("t4") shouldBe ((0L, false)) // still a row: audit covers every doc
+    got.size shouldBe 4
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(dupCorpus, threshold = 0.1)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

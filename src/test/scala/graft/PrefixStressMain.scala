@@ -46,6 +46,48 @@ object PrefixStressMain {
     val nBrute = brute.count()
     val tBrute = (System.nanoTime() - t0) / 1e9
     println(f"BRUTE_10X (tau=$threshold): $tBrute%.1f s, pairs=$nBrute")
+
+    // ── ZIPF-shaped fixture ───────────────────────────────────────────
+    // The corpus shape prefixFilterJaccardPairs EXISTS for (the 10x
+    // fixture above is adversarial to it and the brute tier wins there —
+    // both results stay recorded): a stop-phrase HEAD shared by every
+    // document (8 internal 3-shingles with df = N, which make the brute
+    // self-join's Σ df² ≈ 8·N² — quadratic in the corpus) over per-pair
+    // RARE bodies (df ≤ 2 shingles, which are exactly what the
+    // ascending-df prefix order probes — candidates stay near-linear).
+    // Docs 2g/2g+1 differ by one appended token: J = 23/24 ≈ 0.958.
+    corpus.unpersist()
+    val nPairsZ = 6000L
+    val head = "the of and to in is was for on with"
+    val zipf = spark.range(nPairsZ).toDF("g")
+      .crossJoin(spark.range(2).toDF("c"))
+      .select((col("g") * 2 + col("c")).as("doc"),
+        concat(
+          lit(head + " "),
+          concat_ws(" ", transform(sequence(lit(0), lit(14)),
+            i => concat(lit("w"), col("g"), lit("_"), i))),
+          when(col("c") === 1, concat(lit(" x"), col("g")))
+            .otherwise(lit(""))).as("line"))
+    zipf.persist()
+    println(s"ZIPF_DOCS: ${zipf.count()}")
+    val shZ = Dedup.shingles(zipf, 3)
+    val bruteRowsZ = shZ.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).head().getLong(0)
+    println(s"ZIPF_BRUTE_JOIN_ROWS (sum df^2): $bruteRowsZ")
+
+    t0 = System.nanoTime()
+    val pz = Dedup.prefixFilterJaccardPairs(zipf, threshold = threshold,
+      verifyViaArrays = true)
+    val nPz = pz.count()
+    val tPz = (System.nanoTime() - t0) / 1e9
+    println(f"ZIPF_PREFIX (tau=$threshold): $tPz%.1f s, pairs=$nPz")
+
+    t0 = System.nanoTime()
+    val bz = Dedup.ngramJaccardPairs(zipf, threshold = threshold)
+    val nBz = bz.count()
+    val tBz = (System.nanoTime() - t0) / 1e9
+    println(f"ZIPF_BRUTE (tau=$threshold): $tBz%.1f s, pairs=$nBz")
+    require(nPz == nBz, s"answer mismatch: prefix=$nPz brute=$nBz")
     spark.stop()
   }
 }

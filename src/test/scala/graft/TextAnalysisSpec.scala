@@ -321,6 +321,32 @@ class TextAnalysisSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("charEntropy runs the CharCounts kernel once per row, not per char") {
+    // The 27 per-char columns are getItem projections over ONE CharCounts
+    // call; whole-stage codegen's subexpression elimination must collapse
+    // the repeated subtree to a single kernel invocation per operator
+    // (filter + project), or the one-pass kernel silently becomes a
+    // 27-pass one. Deterministic-expression status is what makes CSE
+    // applicable — this pins it.
+    // NOT corpus(): a LocalRelation input lets ConvertToLocalRelation
+    // evaluate the whole projection at optimization time and no codegen
+    // exists to inspect — range() keeps a real scan in the plan
+    // both columns must depend on the range id: a constant `line` would
+    // let ConstantFolding evaluate the kernel at planning time instead
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.range(2).select(
+      concat(lit("d"), col("id")).as("doc"),
+      concat(lit("abc ab"), col("id")).as("line"))
+    val df = TextAnalysis.charEntropy(docs)
+    val gen = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    val calls = "CharCountsKernel\\.compute".r.findAllIn(gen).length
+    withClue(s"kernel call sites in generated code: $calls\n") {
+      calls should be >= 1
+      calls should be <= 4 // one per codegen'd operator, never per char
+    }
+  }
+
   test("charEntropy rejects an empty or duplicated alphabet") {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.charEntropy(corpus("d" -> "x"), alphabet = Seq.empty)
