@@ -923,6 +923,44 @@ object StreamingOps {
         col("w.value").as("value"))
 
   /**
+   * Streaming CONTAMINATION SCREEN — the live twin of
+   * [[graft.operators.Dedup.ngramDecontaminate]] (the 13-gram
+   * benchmark-overlap filter), for flagging contaminated documents AT
+   * INGEST instead of in a batch sweep: each arriving doc's n-grams
+   * are probed row-locally against a Bloom filter of the STATIC
+   * benchmark n-gram set, resolved once at plan time (the
+   * noveltyScreen recipe). Stateless — no watermark, no state store,
+   * append-safe at any rate.
+   *
+   * Contract: Bloom probes only OVER-count (collisions add hits), so
+   * `n_hits_est ≥` the batch tier's exact n_hits and no contaminated
+   * doc is ever missed — a screen must never under-flag. At the tiny
+   * fpp the benchmark's bounded size affords, the estimate equals the
+   * exact count w.h.p.; StreamingSpec pins batch parity at fpp 1e-4.
+   * Benchmark refresh = restart with a re-derived filter (the
+   * blue/green shape, same as seasonalAlerts' baseline).
+   */
+  def contaminationScreen(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      fpp: Double = 1e-4): DataFrame = {
+    import graft.operators.Dedup
+    val bytes = Dedup.bloomBytesOf(
+      Dedup.shingles(bench, n)
+        .select(xxhash64(col("shingle")).as("h")),
+      -1L, fpp)
+    docs
+      .withColumn("_sh", Dedup.shinglesCol(col("line"), n))
+      .withColumn("n_hits_est",
+        size(filter(col("_sh"), s =>
+          org.apache.spark.sql.graft.BloomFunctions
+            .mightContainLong(xxhash64(s), bytes))).cast("long"))
+      .withColumn("contaminated_est", col("n_hits_est") > 0)
+      .drop("_sh")
+  }
+
+  /**
    * Stateless streaming NOVELTY screen —
    * [[graft.operators.Pipeline.noveltyScore]] at ingest time: the
    * history's distinct shingle set collapses to a BLOOM sketch resolved

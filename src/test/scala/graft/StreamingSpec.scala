@@ -907,4 +907,39 @@ class StreamingSpec extends SparkSpec {
       got("n1") shouldBe ((2L, 2L, Some(1.0)))
     } finally q.stop()
   }
+
+  test("contaminationScreen flags arriving docs row-locally, matching ngramDecontaminate at tiny fpp") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // n=3 keeps the fixture readable; the operator defaults to the
+    // GPT-3-style n=13 in production.
+    val bench = Seq(("b1", "a b c d e f")).toDF("doc", "line")
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.contaminationScreen(
+        input.toDF().toDF("doc", "line"), bench, n = 3, fpp = 1e-4)
+      .writeStream.format("memory").queryName("contamination")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("d1", "x a b c d y"), ("d2", "p q r s t"))
+      q.processAllAvailable()
+      input.addData(("d3", "a b"), ("d4", "c d e f g"))
+      q.processAllAvailable()
+      val got = spark.table("contamination").collect()
+        .map(r => r.getAs[String]("doc") ->
+          (r.getAs[Long]("n_hits_est"), r.getAs[Boolean]("contaminated_est"))).toMap
+      val batch = graft.operators.Dedup.ngramDecontaminate(
+          Seq(("d1", "x a b c d y"), ("d2", "p q r s t"), ("d3", "a b"),
+            ("d4", "c d e f g")).toDF("doc", "line"), bench, n = 3)
+        .collect()
+        .map(r => r.getAs[String]("doc") ->
+          (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+      got shouldBe batch
+      // d1 shares "a b c" and "b c d"; d3 is sub-n and must screen clean
+      got("d1") shouldBe ((2L, true))
+      got("d3") shouldBe ((0L, false))
+    } finally q.stop()
+  }
 }
