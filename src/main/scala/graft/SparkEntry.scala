@@ -129,6 +129,33 @@ object SparkEntry {
 
   private val ShingleCtes = shingleCtesFrom("documents")
 
+  /** Weighted-Jaccard tier CTEs: unigram tf vectors (tfw), per-doc
+    * weight totals (wtot), and the `term#i` weighted-element expansion
+    * named `shw` so the minhash CTE family composes via sfx "w" —
+    * DuckDB replica of `Dedup.termWeights`/`weightedElems`. */
+  private val WeightedCtes =
+    s"""$TokCte,
+       |tfw AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |wtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1),
+       |shw AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(tf),
+       |                i -> term || '#' || i::VARCHAR)) AS shingle
+       |  FROM tfw)""".stripMargin
+
+  /** Guarded LSH candidate-pair CTEs (bok/cand) over a `bands` CTE —
+    * the DuckDB replica of `Dedup.lshCandidates`, shared by the
+    * weighted-near-dup oracles. */
+  private val LshCandCtes =
+    s"""bok AS (
+       |  SELECT band, band_val FROM bands GROUP BY 1, 2
+       |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val)""".stripMargin
+
   /**
    * Seeded 3-doc near-dup chain for the q28b transitive-closure
    * contract, found by searching the MinHash band family directly: doc
@@ -210,12 +237,12 @@ object SparkEntry {
     * per shingle, b1/b2 = the first/second 8 hex digits as 32-bit ints,
     * m_k = min((b1 + (k+1)·b2) mod P) — generated so the oracle stays in
     * lockstep with the Scala constants. */
-  private def minhashSigCteSfx(sfx: String): String = {
+  private def minhashSigCteSfx(sfx: String, numHashes: Int = 16): String = {
     def hex8(off: Int): String =
       "list_sum(list_transform(range(1, 9), i -> " +
         s"(strpos('0123456789abcdef', substr(h, (i + $off)::INTEGER, 1)) - 1)::BIGINT" +
         " << ((8 - i)::INTEGER * 4)))"
-    val mins = (0 until 16)
+    val mins = (0 until numHashes)
       .map(k => s"min((b1 + ${k + 1} * b2) % ${Dedup.MinhashPrime}) AS m$k")
       .mkString(",\n         ")
     s"""sig$sfx AS (
@@ -240,8 +267,12 @@ object SparkEntry {
 
   /** Matching-minima count between signature rows `s1`/`s2` (the
     * Broder Jaccard estimator's numerator), over the 16-hash family. */
-  private def sigMatchSql: String =
-    (0 until 16).map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END")
+  private def sigMatchSql: String = sigMatchSqlRange(0, 16)
+
+  /** Matching-minima count over a half-open hash index range — the
+    * hold-out estimator (q147b) matches only the non-banding minima. */
+  private def sigMatchSqlRange(from: Int, until: Int): String =
+    (from until until).map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END")
       .mkString(" + ")
 
   /** DuckDB replica of the PQ chain (`Similarity.pqEncode`): stride-
@@ -2262,6 +2293,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // All-pairs exact WEIGHTED (tf-weighted unigram) Jaccard ≥ 0.8 —
+    // the verification tier. On this corpus's ~31-term shared
+    // vocabulary PLAIN unigram Jaccard is degenerate (~every pair ≈ 1);
+    // Σmin/Σmax over tf vectors discriminates on frequencies.
+    "q146_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccardPairs(docs(s, dir), threshold = 0.8)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))),
+
+    // Production weighted near-dup: MinHash+LSH over the term#i
+    // weighted-element expansion (integer-weight reduction of weighted
+    // to plain Jaccard) → guarded candidates → exact Σmin/Σmax verify.
+    // The oracle replicates banding, so recall is pinned, not trusted.
+    "q147_weighted_near_dup" -> ((s, dir) =>
+      Dedup.weightedNearDups(docs(s, dir), threshold = 0.8)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))),
+
+    // Estimator-quality CONTRACT for the weighted tier — the HOLD-OUT
+    // estimator (bands from m0..m15, estimate from the disjoint
+    // m16..m31): on this tier's mid-J candidate mix the q102b recipe
+    // (estimate from the banding minima) fails its own bounds by
+    // selection bias ≈ 0.25·(1−J) (measured 0.153 mean abs err);
+    // hold-out hashes restore E[est] = J and the Broder σ bounds —
+    // a replication-trick bug (wrong element strings, dropped copies)
+    // still blows past them immediately.
+    "q147b_weighted_estimate_quality" -> ((s, dir) => {
+      val tf = graft.Caching.persist(Dedup.termWeights(docs(s, dir)))
+      val est = Dedup.weightedJaccardEstimates(docs(s, dir))
+      val exact = Dedup.weightedJaccardFor(est.select(col("d1"), col("d2")), tf)
+      est.join(exact, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
+          round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
+        .select(col("n_pairs"), col("mean_abs_err"), col("max_abs_err"),
+          (col("mean_abs_err") <= 0.12).as("mean_ok"),
+          (col("max_abs_err") <= 0.6).as("max_ok"))
+    }),
+
     // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
     // every pair at Jaccard ≥ 0.8 with deterministic recall, from
     // rare-shingle prefix probes (~20 % of each doc's shingles at
@@ -2825,6 +2895,69 @@ object SparkEntry {
          |       coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // All-pairs exact weighted Jaccard: Σ min(tf) over shared terms;
+    // Σ max = tot1 + tot2 − Σ min (min+max identity).
+    "q146_weighted_jaccard" ->
+      s"""WITH $WeightedCtes,
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(least(a.tf, b.tf)) AS smin
+         |  FROM tfw a JOIN tfw b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(smin * 1.0 / (x.tot + y.tot - smin), 6) AS jaccard
+         |FROM inter JOIN wtot x ON d1 = x.doc_id JOIN wtot y ON d2 = y.doc_id
+         |WHERE smin * 1.0 / (x.tot + y.tot - smin) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+
+    // Weighted near-dup: the oracle replicates the banding over the
+    // term#i expansion, so LSH recall is pinned, not trusted.
+    "q147_weighted_near_dup" ->
+      s"""WITH $WeightedCtes,
+         |${minhashSigCteSfx("w")},
+         |bands AS (${minhashBandsSqlSfx("w")}),
+         |$LshCandCtes,
+         |inter AS (
+         |  SELECT c.d1, c.d2, sum(least(a.tf, b.tf)) AS smin
+         |  FROM cand c
+         |  JOIN tfw a ON a.doc_id = c.d1
+         |  JOIN tfw b ON b.doc_id = c.d2 AND b.term = a.term
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(smin * 1.0 / (x.tot + y.tot - smin), 6) AS jaccard
+         |FROM inter JOIN wtot x ON d1 = x.doc_id JOIN wtot y ON d2 = y.doc_id
+         |WHERE smin * 1.0 / (x.tot + y.tot - smin) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+
+    // Weighted-estimator contract: HOLD-OUT est (minima 16..31; the
+    // sigw CTE computes 32, bands read only m0..m15) vs exact weighted
+    // Jaccard on the SAME candidates; `jac` stays unrounded like
+    // weightedJaccardFor.
+    "q147b_weighted_estimate_quality" ->
+      s"""WITH $WeightedCtes,
+         |${minhashSigCteSfx("w", numHashes = 32)},
+         |bands AS (${minhashBandsSqlSfx("w")}),
+         |$LshCandCtes,
+         |est AS (
+         |  SELECT c.d1, c.d2, round((${sigMatchSqlRange(16, 32)}) / 16.0, 6) AS est
+         |  FROM cand c
+         |  JOIN sigw s1 ON s1.doc_id = c.d1
+         |  JOIN sigw s2 ON s2.doc_id = c.d2),
+         |inter AS (
+         |  SELECT c.d1, c.d2, sum(least(a.tf, b.tf)) AS smin
+         |  FROM cand c
+         |  JOIN tfw a ON a.doc_id = c.d1
+         |  JOIN tfw b ON b.doc_id = c.d2 AND b.term = a.term
+         |  GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT e.est, smin * 1.0 / (x.tot + y.tot - smin) AS jac
+         |  FROM est e
+         |  JOIN inter USING (d1, d2)
+         |  JOIN wtot x ON e.d1 = x.doc_id JOIN wtot y ON e.d2 = y.doc_id)
+         |SELECT count(*)::BIGINT AS n_pairs,
+         |       round(avg(abs(est - jac)), 6) AS mean_abs_err,
+         |       round(max(abs(est - jac)), 6) AS max_abs_err,
+         |       round(avg(abs(est - jac)), 6) <= 0.12 AS mean_ok,
+         |       round(max(abs(est - jac)), 6) <= 0.6 AS max_ok
+         |FROM joined""".stripMargin,
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,

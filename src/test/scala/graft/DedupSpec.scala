@@ -544,4 +544,41 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.leakageSafeSplit(dupCorpus, valPerMille = 1001)
   }
+
+  test("weightedJaccardPairs computes exact tf-weighted jaccard") {
+    // a: {x:3, y:1} tot 4; b: {x:2, y:2} tot 4
+    // Σmin = min(3,2)+min(1,2) = 3; Σmax = 4+4−3 = 5 ⇒ J_w = 0.6
+    val cor = corpus("a" -> "x x x y", "b" -> "x x y y", "c" -> "z z z z")
+    val got = Dedup.weightedJaccardPairs(cor, threshold = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got shouldBe Array(("a", "b", 0.6))
+  }
+
+  test("weightedElems replication makes plain jaccard equal weighted jaccard") {
+    val cor = corpus("a" -> "x x x y", "b" -> "x x y y")
+    val elems = Dedup.weightedElems(Dedup.termWeights(cor))
+    // a expands to {x#0,x#1,x#2,y#0}; b to {x#0,x#1,y#0,y#1}:
+    // |∩| = 3, |∪| = 5 ⇒ plain J = 0.6 = J_w — the integer-weight
+    // reduction the whole tier rests on
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("a", "b")).toDF("d1", "d2")
+    val plain = Dedup.jaccardFor(pairs, elems).collect().head.getDouble(2)
+    plain shouldBe 0.6
+    rowsOf(elems.where(col("doc") === "a").select(col("shingle")))
+      .map(_.head) shouldBe Seq("x#0", "x#1", "x#2", "y#0")
+  }
+
+  test("weightedNearDups finds permuted token multisets, skips unrelated docs") {
+    // a/b are the SAME multiset in different order: the bag-of-words
+    // tier is order-insensitive (unlike shingles), so J_w = 1 and the
+    // minhash signatures are identical ⇒ the pair cannot be missed
+    val cor = corpus(
+      "a" -> "p q p r",
+      "b" -> "r p q p",
+      "c" -> "s t u v")
+    val got = Dedup.weightedNearDups(cor, threshold = 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got shouldBe Array(("a", "b", 1.0))
+  }
 }
