@@ -862,24 +862,85 @@ object Dedup {
       explode(transform(sequence(lit(0L), col("tf") - 1),
         i => concat(col("term"), lit("#"), i))).as("shingle"))
 
-  /** Exact weighted Jaccard for given pairs, from the tf table. Only
-    * SHARED terms join: Σ max = tot1 + tot2 − Σ min (min+max identity),
-    * so the union side never materializes. */
-  def weightedJaccardFor(pairs: DataFrame, tf: DataFrame): DataFrame = {
-    val tot = tf.groupBy(col("doc")).agg(sum(col("tf")).as("tot"))
-    val inter = pairs
-      .join(tf.select(col("doc").as("d1"), col("term"), col("tf").as("w1")), "d1")
-      .join(tf.select(col("doc").as("d2"), col("term"), col("tf").as("w2")),
-        Seq("d2", "term"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(sum(least(col("w1"), col("w2"))).as("smin"))
-    inter
-      .join(tot.withColumnRenamed("doc", "d1").withColumnRenamed("tot", "tot1"), "d1")
-      .join(tot.withColumnRenamed("doc", "d2").withColumnRenamed("tot", "tot2"), "d2")
+  /** Default vocabulary bound for the DENSE weighted-Jaccard route: a
+    * V-long vector per doc and one map/collect of V terms — the
+    * NB-model/PQ-codebook kind of driver-bounded state, not data-sized.
+    * Pass maxVocab = 0 to any weighted entry point to force the sparse
+    * term-join path. */
+  val MaxDenseVocab = 2048
+
+  /** Dense per-doc tf vectors over the sorted vocabulary — (doc, vec
+    * array<long>, tot) — or None when the distinct vocabulary exceeds
+    * `maxVocab` (caller falls back to the sparse term join). */
+  private def denseTfVectors(tf: DataFrame, maxVocab: Int): Option[DataFrame] = {
+    if (maxVocab <= 0) return None
+    val vocab = tf.select(col("term")).distinct()
+      .orderBy(col("term")).limit(maxVocab + 1).collect().map(_.getString(0))
+    if (vocab.length > maxVocab) return None
+    val s = tf.sparkSession
+    import s.implicits._
+    val idx = vocab.zipWithIndex.toSeq.toDF("term", "tid")
+    Some(tf.join(broadcast(idx), "term")
+      .groupBy(col("doc"))
+      .agg(map_from_entries(collect_list(struct(col("tid"), col("tf")))).as("m"),
+        sum(col("tf")).as("tot"))
+      .select(col("doc"),
+        transform(sequence(lit(0), lit(vocab.length - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("vec"),
+        col("tot")))
+  }
+
+  /** Σ min / jaccard from two dense vectors — shared by the dense
+    * routes; `smin > 0` keeps the sparse path's only-pairs-sharing-a-
+    * term semantics, so the two routes are EXACTLY interchangeable. */
+  private def denseJaccard(joined: DataFrame): DataFrame =
+    joined
+      .withColumn("smin",
+        org.apache.spark.sql.graft.VectorFunctions.minSum(col("v1"), col("v2")))
+      .where(col("smin") > 0)
       .withColumn("jaccard",
         col("smin").cast("double") / (col("tot1") + col("tot2") - col("smin")))
       .select(col("d1"), col("d2"), col("jaccard"))
-  }
+
+  /**
+   * Exact weighted Jaccard for given pairs, from the tf table. Two
+   * interchangeable physical routes, same answer by construction:
+   *
+   *  - DENSE (vocabulary ≤ maxVocab): pairs join V-long tf vectors and
+   *    Σ min is one codegen'd zip_with/aggregate pass — pair-count ×
+   *    V arithmetic, no row inflation. On flat tiny vocabularies the
+   *    sparse join's Σ shared-terms per pair ≈ V anyway, so dense does
+   *    the same work without materializing it as join rows.
+   *  - SPARSE (default past the bound): only SHARED terms join;
+   *    Σ max = tot1 + tot2 − Σ min (min+max identity), so the union
+   *    side never materializes.
+   */
+  def weightedJaccardFor(
+      pairs: DataFrame,
+      tf: DataFrame,
+      maxVocab: Int = MaxDenseVocab): DataFrame =
+    denseTfVectors(tf, maxVocab) match {
+      case Some(vecs) =>
+        denseJaccard(pairs
+          .join(vecs.select(col("doc").as("d1"), col("vec").as("v1"),
+            col("tot").as("tot1")), "d1")
+          .join(vecs.select(col("doc").as("d2"), col("vec").as("v2"),
+            col("tot").as("tot2")), "d2"))
+      case None =>
+        val tot = tf.groupBy(col("doc")).agg(sum(col("tf")).as("tot"))
+        val inter = pairs
+          .join(tf.select(col("doc").as("d1"), col("term"), col("tf").as("w1")), "d1")
+          .join(tf.select(col("doc").as("d2"), col("term"), col("tf").as("w2")),
+            Seq("d2", "term"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(sum(least(col("w1"), col("w2"))).as("smin"))
+        inter
+          .join(tot.withColumnRenamed("doc", "d1").withColumnRenamed("tot", "tot1"), "d1")
+          .join(tot.withColumnRenamed("doc", "d2").withColumnRenamed("tot", "tot2"), "d2")
+          .withColumn("jaccard",
+            col("smin").cast("double") / (col("tot1") + col("tot2") - col("smin")))
+          .select(col("d1"), col("d2"), col("jaccard"))
+    }
 
   /**
    * All-pairs exact WEIGHTED Jaccard ≥ threshold over unigram tf
@@ -894,21 +955,42 @@ object Dedup {
    * (same phrases repeated in the same proportions) score high; docs
    * that merely share words do not.
    */
-  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def weightedJaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      maxVocab: Int = MaxDenseVocab): DataFrame = {
     val tf = graft.Caching.persist(termWeights(docs))
-    val inter = tf.select(col("doc").as("d1"), col("term"), col("tf").as("w1"))
-      .join(tf.select(col("doc").as("d2"), col("term"), col("tf").as("w2")), "term")
-      .where(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(sum(least(col("w1"), col("w2"))).as("smin"))
-    val tot = tf.groupBy(col("doc")).agg(sum(col("tf")).as("tot"))
-    inter
-      .join(tot.withColumnRenamed("doc", "d1").withColumnRenamed("tot", "tot1"), "d1")
-      .join(tot.withColumnRenamed("doc", "d2").withColumnRenamed("tot", "tot2"), "d2")
-      .withColumn("jaccard",
-        col("smin").cast("double") / (col("tot1") + col("tot2") - col("smin")))
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    val pairs = denseTfVectors(tf, maxVocab) match {
+      // Dense all-pairs: the flat-vocabulary shape that justifies this
+      // route is exactly the one where the sparse self-join blows up —
+      // Σ df² ≈ V·N² rows (sf0.1's 31-term corpus: ~775 M) — while the
+      // vector cross does N²/2 · V codegen ops with no shuffle of
+      // intermediate rows. The broadcast inequality cross IS a
+      // nested-loop join by declared design (the q16 pattern: an
+      // all-pairs verification tier's output domain is N², so its
+      // input is bounded by construction — N·(V+2) longs broadcast,
+      // ~1.2 MB at sf0.1's 5 000 docs).
+      case Some(vecs) =>
+        val a = vecs.select(col("doc").as("d1"), col("vec").as("v1"),
+          col("tot").as("tot1"))
+        val b = vecs.select(col("doc").as("d2"), col("vec").as("v2"),
+          col("tot").as("tot2"))
+        denseJaccard(a.join(broadcast(b), col("d1") < col("d2")))
+      case None =>
+        val inter = tf.select(col("doc").as("d1"), col("term"), col("tf").as("w1"))
+          .join(tf.select(col("doc").as("d2"), col("term"), col("tf").as("w2")), "term")
+          .where(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(sum(least(col("w1"), col("w2"))).as("smin"))
+        val tot = tf.groupBy(col("doc")).agg(sum(col("tf")).as("tot"))
+        inter
+          .join(tot.withColumnRenamed("doc", "d1").withColumnRenamed("tot", "tot1"), "d1")
+          .join(tot.withColumnRenamed("doc", "d2").withColumnRenamed("tot", "tot2"), "d2")
+          .withColumn("jaccard",
+            col("smin").cast("double") / (col("tot1") + col("tot2") - col("smin")))
+          .select(col("d1"), col("d2"), col("jaccard"))
+    }
+    pairs.where(col("jaccard") >= threshold)
   }
 
   /**
@@ -924,11 +1006,12 @@ object Dedup {
       docs: DataFrame,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxVocab: Int = MaxDenseVocab): DataFrame = {
     val tf = graft.Caching.persist(termWeights(docs))
     val bands = graft.Caching.persist(
       lshBands(minhashSignatures(weightedElems(tf), numHashes), numHashes, rowsPerBand))
-    weightedJaccardFor(lshCandidates(bands), tf)
+    weightedJaccardFor(lshCandidates(bands), tf, maxVocab)
       .where(col("jaccard") >= threshold)
   }
 

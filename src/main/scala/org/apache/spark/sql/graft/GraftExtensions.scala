@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * engine's kernels are first-class in `spark.sql(...)` too:
  *
  *   - `graft_dot(array<double>, array<double>) -> double`
+ *   - `graft_min_sum(array<bigint>, array<bigint>) -> bigint`
  *   - `graft_word_shingles(array<string>, n)` (table-generating)
  *
  * Use either as a session extension —
@@ -58,6 +59,15 @@ object GraftExtensions {
         require(args.length == 1,
           s"graft_text_stats takes 1 argument, got ${args.length}")
         TextStats(args.head)
+      }
+    ),
+    (
+      FunctionIdentifier("graft_min_sum"),
+      new ExpressionInfo(classOf[MinSum].getName, "graft_min_sum"),
+      { args =>
+        require(args.length == 2,
+          s"graft_min_sum takes 2 arguments, got ${args.length}")
+        MinSum(args.head, args(1))
       }
     )
   )

@@ -569,6 +569,25 @@ class DedupSpec extends SparkSpec {
       .map(_.head) shouldBe Seq("x#0", "x#1", "x#2", "y#0")
   }
 
+  test("weighted jaccard dense and sparse routes agree exactly") {
+    val cor = corpus(
+      "a" -> "x x x y",
+      "b" -> "x x y y",
+      "c" -> "y z z q",    // low overlap with a/b
+      "d" -> "p p r r")    // zero overlap: both routes must drop it
+    val dense = Dedup.weightedJaccardPairs(cor, threshold = 0.01)
+    val sparse = Dedup.weightedJaccardPairs(cor, threshold = 0.01, maxVocab = 0)
+    rowsOf(dense) shouldBe rowsOf(sparse)
+    rowsOf(dense).map(_.take(2)) should not contain Seq("a", "d")
+    // same equivalence for the pairs-verify entry point
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("a", "b"), ("a", "d")).toDF("d1", "d2")
+    val tf = Dedup.termWeights(cor)
+    rowsOf(Dedup.weightedJaccardFor(pairs, tf)) shouldBe
+      rowsOf(Dedup.weightedJaccardFor(pairs, tf, maxVocab = 0))
+  }
+
   test("weightedNearDups finds permuted token multisets, skips unrelated docs") {
     // a/b are the SAME multiset in different order: the bag-of-words
     // tier is order-insensitive (unlike shingles), so J_w = 1 and the

@@ -29,4 +29,12 @@ class ExtensionsSpec extends SparkSpec {
       .head().getDouble(0)
     r shouldBe 11.0 +- 1e-12
   }
+
+  test("graft_min_sum computes the weighted intersection, truncating like graft_dot") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_min_sum(array(3L, 1L, 5L), array(2L, 2L, 0L, 9L)) AS s")
+      .head().getLong(0)
+    r shouldBe 3L // min(3,2) + min(1,2) + min(5,0)
+  }
 }

@@ -26,6 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     "q6_search",
     "q7_rank", "q7b_tfidf_rank",
     "q15_cosine_topk", "q16_embedding_near_dup", "q26_ann_ivf_topk",
+    "q146_weighted_jaccard", // all-pairs verification tier by declared
+                             // design (the q16 pattern): the dense
+                             // small-vocab route's d1<d2 vector cross
+                             // replaces the Σ df² ≈ V·N² sparse shuffle
+                             // with codegen arithmetic
     "q25b_ann_lsh_recall", // embeds q15's exact side as the recall denominator
     "q26b_ann_ivf_recall", // q26's IVF twin: exact side + centroid broadcast
     "q95b_ann_multiprobe_recall", // embeds q15's exact side as the recall
