@@ -2332,6 +2332,23 @@ object SparkEntry {
           (col("max_abs_err") <= 0.6).as("max_ok"))
     }),
 
+    // Per-doc KL divergence from the corpus unigram distribution, in
+    // integer micro-nats (engine-exact: each term contribution
+    // quantized floor(1e6·p·ln(p/q)) before the per-doc sum — the q88
+    // recipe, no float-aggregation-order hazard).
+    "q148_kl_novelty" -> ((s, dir) =>
+      graft.operators.Pipeline.klNovelty(docs(s, dir))
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("kl_unats"))
+        .orderBy(col("doc_id"))),
+
+    // Per-user EWMA over the last 10 events (α = 0.2): the
+    // recency-weighted twin of q30's flat moving average. Weight
+    // literals are generated once and shared with the oracle SQL, so
+    // no libm pow parity dependence.
+    "q149_events_ewma" -> ((s, dir) =>
+      Events.userEwma(events(s, dir), nRows = 10, alpha = 0.2)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))),
+
     // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
     // every pair at Jaccard ≥ 0.8 with deterministic recall, from
     // rare-shingle prefix probes (~20 % of each doc's shingles at
@@ -2958,6 +2975,49 @@ object SparkEntry {
          |       round(avg(abs(est - jac)), 6) <= 0.12 AS mean_ok,
          |       round(max(abs(est - jac)), 6) <= 0.6 AS max_ok
          |FROM joined""".stripMargin,
+
+    // KL from the corpus unigram distribution in micro-nats; the
+    // contribution expression mirrors the engine's operation order
+    // exactly ((p · ln(p/q)) · 1e6, then floor) so the integer sums
+    // agree by construction.
+    "q148_kl_novelty" ->
+      s"""WITH $TokCte,
+         |tfw AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM tfw GROUP BY 1),
+         |ctot AS (SELECT sum(tf) AS ctot FROM tfw)
+         |SELECT t.doc_id,
+         |       sum(t.tf)::BIGINT AS n_tokens,
+         |       sum(floor((t.tf * 1.0 / d.tot)
+         |                 * ln((t.tf * 1.0 / d.tot) / (c.ctf * 1.0 / ct.ctot))
+         |                 * 1e6)::BIGINT)::BIGINT AS kl_unats
+         |FROM tfw t
+         |JOIN dtot d USING (doc_id)
+         |JOIN ctf c USING (term)
+         |CROSS JOIN ctot ct
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    // EWMA from the SAME weight/normalizer literals the engine embeds
+    // (Events.ewmaWeights) — shortest-roundtrip decimals parse to
+    // identical doubles, and both engines fold the frame list in
+    // order, so round-6 values agree without libm pow.
+    "q149_events_ewma" -> {
+      val (wts, cum) = Events.ewmaWeights(10, 0.2)
+      val wArr = wts.mkString("[", ", ", "]")
+      val dArr = cum.mkString("[", ", ", "]")
+      s"""SELECT event_id, user_id, ts,
+         |  round(
+         |    list_sum(list_transform(range(len(l)),
+         |             i -> l[(i + 1)::INTEGER] * ($wArr)[(len(l) - i)::INTEGER]))
+         |    / ($dArr)[len(l)::INTEGER], 6) AS ewma
+         |FROM (
+         |  SELECT event_id, user_id, ts,
+         |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+         |  FROM events)
+         |ORDER BY user_id, ts, event_id""".stripMargin
+    },
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,

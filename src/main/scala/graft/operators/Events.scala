@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -472,5 +472,56 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 6).as("value_sum"))
+  }
+
+  /**
+   * Per-user EXPONENTIALLY weighted moving average over the last
+   * `nRows` events — the recency-weighted twin of [[userMovingAvg]]:
+   * weight (1−α)^k for the value k rows back, normalized over the
+   * frame, so recent events dominate (α = 0.2, 10 rows ⇒ the newest
+   * event carries ~22% where the flat average gives 10%).
+   *
+   * The textbook EWMA recurrence (s_t = α·x_t + (1−α)·s_{t−1}) is a
+   * sequential scan — the wrong shape for a distributed engine. The
+   * DECLARED variant is the frame-bounded weighted mean: exact to the
+   * (1−α)^nRows truncation (0.8¹⁰ ≈ 0.11 of the weight mass at the
+   * defaults), computable per row from a ROWS window — bounded state
+   * under Tungsten, one shuffle on user_id, like the flat twin.
+   *
+   * Float-parity design: the weight table and its prefix sums are
+   * computed ONCE here ([[ewmaWeights]]) and embedded as literals in
+   * both the plan and the oracle SQL (shortest-roundtrip decimals
+   * parse back to identical doubles), so neither engine ever calls
+   * libm `pow` — the only float ops left are a multiply and an
+   * in-list-order fold, identical on both sides.
+   */
+  def userEwma(events: DataFrame, nRows: Int = 10, alpha: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (wts, cum) = ewmaWeights(nRows, alpha)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(nRows - 1), Window.currentRow)
+    val warr = array(wts.map(lit): _*)
+    val darr = array(cum.map(lit): _*)
+    // element i of the frame list (oldest first, size m) sits m−1−i
+    // rows back ⇒ weight warr[m−1−i] (element_at is 1-based: m−i)
+    def num(l: Column): Column =
+      aggregate(
+        transform(l, (x, i) => x * element_at(warr, size(l) - i)),
+        lit(0.0), (acc, x) => acc + x)
+    events
+      .withColumn("l", collect_list(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(num(col("l")) / element_at(darr, size(col("l"))), 6).as("ewma"))
+  }
+
+  /** EWMA weight table: ((1−α)^k for k rows back, prefix sums =
+    * normalizers per frame size) — shared by the plan and the oracle
+    * SQL generator so both engines read the same decimal literals. */
+  def ewmaWeights(nRows: Int, alpha: Double): (Seq[Double], Seq[Double]) = {
+    require(nRows >= 1 && alpha > 0 && alpha < 1,
+      s"need nRows >= 1 and alpha in (0,1), got $nRows, $alpha")
+    val wts = (0 until nRows).map(k => math.pow(1.0 - alpha, k))
+    (wts, wts.scanLeft(0.0)(_ + _).tail)
   }
 }

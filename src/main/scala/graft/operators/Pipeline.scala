@@ -1130,4 +1130,42 @@ object Pipeline {
       .select(col(groupCol), col(keyCol), col(weightCol),
         col("key_micro"), col("rk"))
   }
+
+  /**
+   * Per-document KL DIVERGENCE from the corpus unigram distribution —
+   * the "distributional novelty" quality signal: low KL = the doc's
+   * term frequencies mirror the corpus (boilerplate, templates);
+   * high KL = an unusual distribution (jargon, lists, noise — or
+   * genuinely novel content worth a human look). A standard
+   * complement to per-doc repetition/perplexity cuts when curating
+   * pretraining mixes.
+   *
+   * kl = Σ_t p_t · ln(p_t / q_t), p = tf/doc_total, q = ctf/corpus
+   * total; every doc term has q > 0 by construction (the corpus
+   * includes the doc). Emitted in integer MICRO-NATS — each term's
+   * contribution quantized floor(1e6 · p·ln(p/q)) BEFORE the per-doc
+   * sum (the Naive-Bayes q88 recipe): integer sums have no
+   * float-aggregation-order hazard, so the value is engine-exact by
+   * construction, not by rounding luck.
+   *
+   * Scale shape: one (doc, term) tf shuffle; the corpus distribution
+   * is a V-bounded frame that BROADCASTS (with its 1-row total); the
+   * per-doc aggregation is the only other exchange. Nothing
+   * corpus-sized is ever collected.
+   */
+  def klNovelty(docs: DataFrame): DataFrame = {
+    val tf = Dedup.termWeights(docs)
+    val docTot = tf.groupBy(col("doc")).agg(sum(col("tf")).as("tot"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val ctot = tf.agg(sum(col("tf")).as("ctot"))
+    val p = col("tf").cast("double") / col("tot").cast("double")
+    val q = col("ctf").cast("double") / col("ctot").cast("double")
+    tf.join(broadcast(ctf), "term")
+      .crossJoin(broadcast(ctot))
+      .join(docTot, "doc")
+      .withColumn("c", floor(p * log(p / q) * lit(1e6)).cast("long"))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("kl_unats"))
+      .select(col("doc"), col("n_tokens"), col("kl_unats"))
+  }
 }

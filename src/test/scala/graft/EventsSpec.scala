@@ -386,4 +386,31 @@ class EventsSpec extends SparkSpec {
       (2L, "2024-01-01 00:30:00", 1L, "a", 1.0)), gapMinutes = 30)
     got.count() shouldBe 1L
   }
+
+  test("userEwma weights recent events by the literal decay table") {
+    val got = Events.userEwma(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 00:01:00", 1L, "a", 2.0),
+      (3L, "2024-01-01 00:02:00", 1L, "a", 3.0),
+      (4L, "2024-01-01 00:00:00", 2L, "a", 7.0)), nRows = 10, alpha = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // frame [1]: 1.0; [1,2]: (0.8+2)/1.8; [1,2,3]: (0.64+1.6+3)/2.44
+    got(1L) shouldBe 1.0
+    got(2L) shouldBe (2.8 / 1.8 +- 1e-6)
+    got(3L) shouldBe (5.24 / 2.44 +- 1e-6)
+    got(4L) shouldBe 7.0 // other user: frames never cross partitions
+  }
+
+  test("userEwma truncation: only the last nRows events contribute") {
+    val rows = (1 to 12).map(i =>
+      (i.toLong, f"2024-01-01 00:$i%02d:00", 1L, "a", if (i <= 2) 1e9 else 1.0))
+    val got = Events.userEwma(ev(rows: _*), nRows = 10, alpha = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // by event 12 the two 1e9 spikes have left the 10-row frame
+    got(12L) shouldBe 1.0
+    an[IllegalArgumentException] should be thrownBy
+      Events.ewmaWeights(0, 0.2)
+    an[IllegalArgumentException] should be thrownBy
+      Events.ewmaWeights(10, 1.0)
+  }
 }

@@ -673,4 +673,26 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
   }
+
+  test("klNovelty matches an independent local computation in micro-nats") {
+    val cor = corpus("a" -> "x x y", "b" -> "x y y", "u" -> "x y")
+    // corpus: ctf x=4, y=4, ctot=8 ⇒ q = 0.5 each
+    def unats(tfs: Map[String, Long], ctf: Map[String, Long], ctot: Long): Long = {
+      val tot = tfs.values.sum.toDouble
+      tfs.map { case (t, f) =>
+        val p = f / tot
+        val q = ctf(t).toDouble / ctot
+        math.floor(p * math.log(p / q) * 1e6).toLong
+      }.sum
+    }
+    val ctf = Map("x" -> 4L, "y" -> 4L)
+    val got = graft.operators.Pipeline.klNovelty(cor)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got("a") shouldBe ((3L, unats(Map("x" -> 2L, "y" -> 1L), ctf, 8L)))
+    got("b") shouldBe ((3L, unats(Map("x" -> 1L, "y" -> 2L), ctf, 8L)))
+    // the uniform doc mirrors the corpus distribution exactly: KL = 0
+    got("u") shouldBe ((2L, 0L))
+    // Gibbs: true KL ≥ 0; quantization floors at most 1 unat per term
+    got.values.foreach { case (_, kl) => kl should be >= -2L }
+  }
 }
