@@ -2349,6 +2349,40 @@ object SparkEntry {
       Events.userEwma(events(s, dir), nRows = 10, alpha = 0.2)
         .orderBy(col("user_id"), col("ts"), col("event_id"))),
 
+    // KL novelty against a FROZEN reference distribution (the
+    // incremental-pipeline form): the md5 half-slice is the reference
+    // release, the other half the arriving delta. Unseen-term mass is
+    // reported, not folded into the sum (on this corpus's full-vocab
+    // slices it is structurally 0 — the unit specs exercise the
+    // unseen path on vocab-disjoint fixtures).
+    "q150_kl_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = conv(substring(
+          md5(concat(lit("klh:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      graft.operators.Pipeline
+        .klNoveltyAgainst(d.where(bkt >= 500000L), d.where(bkt < 500000L))
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_unseen"),
+          col("kl_unats"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source × language governance matrix via the PIVOT relational
+    // surface (explicit value list — no extra distinct-values job, and
+    // deterministic column names the oracle mirrors with CASE sums).
+    "q151_lang_source_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "und")
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      val l = TextAnalysis.langId(d.select(col("doc"), col("line")))
+        .select(col("doc"), col("lang_pred"))
+      d.select(col("doc"), col("source")).join(l, "doc")
+        .groupBy(col("source")).pivot("lang_pred", langs).count()
+        .select(col("source") +:
+          langs.map(lg => coalesce(col(lg), lit(0L)).as(s"n_$lg")): _*)
+        .orderBy(col("source"))
+    }),
+
     // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
     // every pair at Jaccard ≥ 0.8 with deterministic recall, from
     // rare-shingle prefix probes (~20 % of each doc's shingles at
@@ -3018,6 +3052,65 @@ object SparkEntry {
          |  FROM events)
          |ORDER BY user_id, ts, event_id""".stripMargin
     },
+
+    // Frozen-reference KL: md5 half-slice = the reference release;
+    // unseen terms excluded from the sum, counted in n_unseen.
+    "q150_kl_incremental" ->
+      s"""WITH $TokCte,
+         |hd AS (SELECT doc_id FROM documents
+         |       WHERE (${duckMd5Bucket("'klh:' || doc_id")}) < 500000),
+         |nd AS (SELECT doc_id FROM documents
+         |       WHERE (${duckMd5Bucket("'klh:' || doc_id")}) >= 500000),
+         |ctf AS (SELECT term, count(*) AS ctf
+         |        FROM tok JOIN hd USING (doc_id) GROUP BY 1),
+         |ctot AS (SELECT sum(ctf) AS ctot FROM ctf),
+         |tfw AS (SELECT doc_id, term, count(*) AS tf
+         |        FROM tok JOIN nd USING (doc_id) GROUP BY 1, 2),
+         |dtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1)
+         |SELECT t.doc_id,
+         |       sum(t.tf)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN c.ctf IS NULL THEN t.tf ELSE 0 END)::BIGINT
+         |         AS n_unseen,
+         |       sum(CASE WHEN c.ctf IS NULL THEN 0
+         |           ELSE floor((t.tf * 1.0 / d.tot)
+         |                * ln((t.tf * 1.0 / d.tot) / (c.ctf * 1.0 / ct.ctot))
+         |                * 1e6)::BIGINT END)::BIGINT AS kl_unats
+         |FROM tfw t
+         |JOIN dtot d USING (doc_id)
+         |LEFT JOIN ctf c USING (term)
+         |CROSS JOIN ctot ct
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    // Pivot mirror: the q17 langId CASE, then conditional sums per
+    // language column (the PIVOT expansion written out).
+    "q151_lang_source_pivot" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+         |  FROM t),
+         |lp AS (
+         |  SELECT source,
+         |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+         |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |         WHEN hits_es >= hits_fr THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM h)
+         |SELECT source,
+         |  sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+         |  sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |  sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+         |  sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+         |  sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_und
+         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,

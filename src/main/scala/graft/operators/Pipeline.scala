@@ -1168,4 +1168,40 @@ object Pipeline {
       .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("kl_unats"))
       .select(col("doc"), col("n_tokens"), col("kl_unats"))
   }
+
+  /**
+   * [[klNovelty]] against a FROZEN reference distribution — score
+   * arriving/new docs against the LAST RELEASE's unigram distribution
+   * instead of their own batch's (the incremental-pipeline form: the
+   * reference doesn't shift under the delta being measured). Terms the
+   * reference never saw have q = 0 (infinite KL), so they are EXCLUDED
+   * from the sum and reported as `n_unseen` instead — the two-column
+   * contract (seen-mass KL + unseen token count) is the honest
+   * decomposition; a spike in either is the alert.
+   *
+   * Same micro-nat quantization and scale shape as [[klNovelty]]: the
+   * reference distribution is V-bounded and broadcasts; docs with zero
+   * tokens have no tf rows and are absent from the output (the
+   * streaming twin `klScreen` emits every arrival instead — its audit
+   * covers token-less rows).
+   */
+  def klNoveltyAgainst(docs: DataFrame, historyDocs: DataFrame): DataFrame = {
+    val tf = Dedup.termWeights(docs)
+    val ctf = Dedup.termWeights(historyDocs)
+      .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val ctot = ctf.agg(sum(col("ctf")).as("ctot"))
+    val docTot = tf.groupBy(col("doc")).agg(sum(col("tf")).as("tot"))
+    val p = col("tf").cast("double") / col("tot").cast("double")
+    val q = col("ctf").cast("double") / col("ctot").cast("double")
+    tf.join(broadcast(ctf), Seq("term"), "left")
+      .crossJoin(broadcast(ctot))
+      .join(docTot, "doc")
+      .withColumn("c", when(col("ctf").isNotNull,
+        floor(p * log(p / q) * lit(1e6)).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("ctf").isNull, col("tf")).otherwise(lit(0L))).as("n_unseen"),
+        sum(col("c")).as("kl_unats"))
+      .select(col("doc"), col("n_tokens"), col("n_unseen"), col("kl_unats"))
+  }
 }

@@ -877,6 +877,75 @@ object StreamingOps {
       }
   }
 
+  final case class EwmaEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class EwmaOut(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, ewma: Double)
+  // public: Spark's generated encoder code (Janino) must access members
+  final case class EwmaState(ts: Seq[Long], ids: Seq[Long], vals: Seq[Double])
+
+  /**
+   * Streaming per-user EWMA — the live twin of
+   * [[graft.operators.Events.userEwma]]: each arriving event emits its
+   * recency-weighted average the moment it lands, from explicit
+   * per-user state holding ONLY the last `nRows` (ts, id, value)
+   * triples — a bounded deque, O(nRows) per user regardless of
+   * history (the third state shape in this file, between
+   * transitionStream's single-event scalar and the session
+   * accumulator).
+   *
+   * Parity: the weight table comes from the same [[graft.operators
+   * .Events.ewmaWeights]] the batch plan embeds, the fold runs in the
+   * same oldest-first order, and rounding happens OUTSIDE the state
+   * function in a Catalyst `round` — so on in-order replays the
+   * emitted rows EQUAL the batch tier's (StreamingSpec asserts
+   * equality, no tolerance). Ordering semantics are transitionStream's:
+   * within a micro-batch rows process in (ts, event_id) order; a
+   * cross-batch event older than the newest stored row would need
+   * retroactive frame rewrites — it is DROPPED rather than emitting a
+   * wrong average, and the watermark bounds how late that can happen.
+   */
+  def ewmaStream(
+      events: Dataset[EwmaEvent],
+      nRows: Int = 10,
+      alpha: Double = 0.2,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (wts, cum) = graft.operators.Events.ewmaWeights(nRows, alpha)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[EwmaState]) =>
+          var ts = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty)
+          var vals = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
+          val out = List.newBuilder[EwmaOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val inOrder = ts.isEmpty ||
+              t > ts.last || (t == ts.last && e.event_id > ids.last)
+            if (inOrder) {
+              ts = (ts :+ t).takeRight(nRows)
+              ids = (ids :+ e.event_id).takeRight(nRows)
+              vals = (vals :+ e.value).takeRight(nRows)
+              val m = vals.size
+              var num = 0.0
+              var i = 0
+              while (i < m) { num += vals(i) * wts(m - 1 - i); i += 1 }
+              out += EwmaOut(user, e.ts, e.event_id, num / cum(m - 1))
+            } // else: cross-batch late arrival — drop, never lie
+          }
+          state.update(EwmaState(ts, ids, vals))
+          out.result().iterator
+      }
+      .toDF()
+      // Catalyst does the rounding, exactly as the batch plan does
+      .withColumn("ewma", round(col("ewma"), 6))
+  }
+
   /**
    * Streaming MODEL INFERENCE: score every arriving doc against a
    * pre-fit Naive Bayes model ([[graft.operators.Classify.fit]]) — the
@@ -958,6 +1027,54 @@ object StreamingOps {
             .mightContainLong(xxhash64(s), bytes))).cast("long"))
       .withColumn("contaminated_est", col("n_hits_est") > 0)
       .drop("_sh")
+  }
+
+  /**
+   * Streaming KL-NOVELTY screen — the row-local twin of
+   * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
+   * is scored against the FROZEN reference unigram distribution,
+   * resolved ONCE at plan time into a map literal (the scoreRowLocal
+   * recipe — the collect is bounded by the reference VOCABULARY, the
+   * NB-model kind of state, not data-sized). Stateless: no state
+   * store, no shuffle, no per-batch joins; per-row cost is
+   * O(distinct·len) over the token array. Values are EXACT — same
+   * micro-nat quantization, same operation order — so StreamingSpec
+   * pins equality with the batch tier, not a tolerance. Reference
+   * refresh = restart with a re-derived map (the blue/green shape).
+   * Unlike the batch tier, EVERY arrival emits a row (a token-less
+   * doc scores 0/0/0) — an ingest audit covers everything it saw.
+   */
+  def klScreen(docs: DataFrame, historyDocs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val hist = Dedup.termWeights(historyDocs)
+      .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val ctot = hist.map(_._2).sum.toDouble
+    val ctfLit = typedLit(hist.toMap)
+    val toks = Dedup.tokensCol(col("line"))
+    val tot = size(toks).cast("long")
+    def tfOf(t: Column): Column =
+      size(filter(toks, x => x === t)).cast("long")
+    def contrib(t: Column): Column = {
+      val tf = tfOf(t)
+      val p = tf.cast("double") / tot.cast("double")
+      val q = element_at(ctfLit, t).cast("double") / lit(ctot)
+      floor(p * log(p / q) * lit(1e6)).cast("long")
+    }
+    val folded = aggregate(
+      array_distinct(toks),
+      struct(lit(0L).as("kl"), lit(0L).as("unseen")),
+      (acc, t) => struct(
+        (acc("kl") + when(element_at(ctfLit, t).isNotNull, contrib(t))
+          .otherwise(lit(0L))).as("kl"),
+        (acc("unseen") + when(element_at(ctfLit, t).isNull, tfOf(t))
+          .otherwise(lit(0L))).as("unseen")))
+    docs
+      .withColumn("_f", folded)
+      .withColumn("n_tokens", tot)
+      .withColumn("n_unseen", col("_f.unseen"))
+      .withColumn("kl_unats", col("_f.kl"))
+      .drop("_f")
   }
 
   /**

@@ -695,4 +695,20 @@ class PipelineSpec extends SparkSpec {
     // Gibbs: true KL ≥ 0; quantization floors at most 1 unat per term
     got.values.foreach { case (_, kl) => kl should be >= -2L }
   }
+
+  test("klNoveltyAgainst scores seen mass against the frozen reference, counts unseen") {
+    val hist = corpus("h" -> "x x y y") // q = 0.5 for x and y
+    val delta = corpus(
+      "a" -> "x x y",  // fully seen
+      "b" -> "x z z")  // z never in the reference
+    def c(p: Double, q: Double): Long =
+      math.floor(p * math.log(p / q) * 1e6).toLong
+    val got = graft.operators.Pipeline.klNoveltyAgainst(delta, hist)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got("a") shouldBe ((3L, 0L, c(2.0 / 3, 0.5) + c(1.0 / 3, 0.5)))
+    // only x contributes; the two z tokens are unseen mass
+    got("b") shouldBe ((3L, 2L, c(1.0 / 3, 0.5)))
+  }
 }

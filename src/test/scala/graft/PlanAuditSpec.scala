@@ -71,6 +71,7 @@ class PlanAuditSpec extends SparkSpec {
                               // (rides q46's bigramLmScore lineage)
     "q78_hot_keys", // 1-row total-count broadcast cross
     "q148_kl_novelty", // 1-row corpus-token-total broadcast cross
+    "q150_kl_incremental", // the same 1-row reference-total cross
     "q79_term_drift", // 1-row (n_a, n_b, V) broadcast cross
     "q80b_projection_distortion", // 5-query broadcast over one corpus
                                   // scan x2 (exact + projected cosines)

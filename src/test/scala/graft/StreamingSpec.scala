@@ -942,4 +942,87 @@ class StreamingSpec extends SparkSpec {
       got("d3") shouldBe ((0L, false))
     } finally q.stop()
   }
+
+  test("klScreen scores arrivals row-locally, EXACTLY equal to the batch tier") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hist = Seq(("h", "x x y y")).toDF("doc", "line")
+    val arrivals = Seq(
+      ("a", "x x y"),   // fully seen
+      ("b", "x z z"),   // unseen term
+      ("c", "q q q q")) // ALL unseen
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.klScreen(input.toDF().toDF("doc", "line"), hist)
+      .writeStream.format("memory").queryName("klscreen")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2) :+ (("e", " ")): _*)
+      q.processAllAvailable()
+      val got = spark.table("klscreen").collect()
+        .map(r => r.getAs[String]("doc") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unseen"),
+            r.getAs[Long]("kl_unats")))).toMap
+      val batch = graft.operators.Pipeline.klNoveltyAgainst(
+          arrivals.toDF("doc", "line"), hist)
+        .collect()
+        .map(r => r.getAs[String]("doc") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unseen"),
+            r.getAs[Long]("kl_unats")))).toMap
+      // exact equality on every tokenful arrival — same quantization,
+      // same operation order, no tolerance
+      batch.foreach { case (d, v) => got(d) shouldBe v }
+      // the stream audits EVERY arrival: token-less rows score 0/0/0
+      // (the batch tier has no tf rows for them)
+      got("e") shouldBe ((0L, 0L, 0L))
+    } finally q.stop()
+  }
+
+  test("ewmaStream equals the batch EWMA on in-order replays; late rows drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "value")
+      .as[graft.streaming.StreamingOps.EwmaEvent]
+    val q = graft.streaming.StreamingOps.ewmaStream(stream, nRows = 3, alpha = 0.2)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, 2.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 7.0))
+      q.processAllAvailable()
+      // batch 2 continues each user's frame across the state store,
+      // a 4th u1 row evicts the oldest from the nRows=3 deque, and a
+      // LATE u1 row older than its stored newest must drop silently
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 4L, 3.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:03:00"), 5L, 4.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 6L, 8.0),
+        (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 9L, 100.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+      got.keySet should not contain 9L // late: dropped, never averaged
+      val inOrder = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, 2.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 7.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 4L, 3.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:03:00"), 5L, 4.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 6L, 8.0))
+        .toDF("user_id", "ts", "event_id", "value")
+      val batch = graft.operators.Events.userEwma(inOrder, nRows = 3, alpha = 0.2)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+      got shouldBe batch // EXACT equality — same weights, fold, rounding
+    } finally q.stop()
+  }
 }
