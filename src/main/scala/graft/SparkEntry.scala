@@ -2367,6 +2367,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental weighted near-dup: delta (docs ≥ 250) banded against
+    // HISTORY (docs < 250) on the weighted-element signatures — the
+    // q52 split, weighted semantics; banding replicated in the oracle.
+    "q152_weighted_near_dup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.weightedNearDupsAgainst(
+          d.where(col("doc") >= 250), d.where(col("doc") < 250))
+        .select(col("doc").as("doc_id"), col("hist_doc").as("hist_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_id"), col("hist_id"))
+    }),
+
     // Source × language governance matrix via the PIVOT relational
     // surface (explicit value list — no extra distinct-values job, and
     // deterministic column names the oracle mirrors with CASE sums).
@@ -3081,6 +3093,52 @@ object SparkEntry {
          |CROSS JOIN ctot ct
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    // Incremental weighted near-dup: the weighted CTE family per
+    // sub-corpus; the guard bounds HISTORY buckets like the engine.
+    "q152_weighted_near_dup_incremental" ->
+      s"""WITH $TokCte,
+         |tfwd AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |         WHERE doc_id >= 250 GROUP BY 1, 2),
+         |tfwh AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |         WHERE doc_id < 250 GROUP BY 1, 2),
+         |shwd AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(tf),
+         |                i -> term || '#' || i::VARCHAR)) AS shingle
+         |  FROM tfwd),
+         |shwh AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(tf),
+         |                i -> term || '#' || i::VARCHAR)) AS shingle
+         |  FROM tfwh),
+         |${minhashSigCteSfx("wd")},
+         |${minhashSigCteSfx("wh")},
+         |bandsd AS (${minhashBandsSqlSfx("wd")}),
+         |bandsh AS (${minhashBandsSqlSfx("wh")}),
+         |bok AS (
+         |  SELECT band, band_val FROM bandsh GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS doc_id, h.doc_id AS hist_id
+         |  FROM bandsd d
+         |  JOIN bandsh h ON d.band = h.band AND d.band_val = h.band_val
+         |  JOIN bok ON h.band = bok.band AND h.band_val = bok.band_val),
+         |wtd AS (SELECT doc_id, sum(tf) AS tot FROM tfwd GROUP BY 1),
+         |wth AS (SELECT doc_id, sum(tf) AS tot FROM tfwh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_id, c.hist_id, sum(least(a.tf, b.tf)) AS smin
+         |  FROM cand c
+         |  JOIN tfwd a ON a.doc_id = c.doc_id
+         |  JOIN tfwh b ON b.doc_id = c.hist_id AND b.term = a.term
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, hist_id,
+         |       round(smin * 1.0 / (x.tot + y.tot - smin), 6) AS jaccard
+         |FROM inter
+         |JOIN wtd x USING (doc_id)
+         |JOIN wth y ON hist_id = y.doc_id
+         |WHERE smin * 1.0 / (x.tot + y.tot - smin) >= 0.8
+         |ORDER BY doc_id, hist_id""".stripMargin,
 
     // Pivot mirror: the q17 langId CASE, then conditional sums per
     // language column (the PIVOT expansion written out).

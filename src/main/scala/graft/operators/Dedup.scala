@@ -1016,6 +1016,63 @@ object Dedup {
   }
 
   /**
+   * Incremental WEIGHTED near-dup screen — the daily-ingest twin of
+   * [[weightedNearDups]], mirroring [[minhashNearDupsAgainst]]'s scale
+   * shape: delta weighted-element bands ⋈ HISTORY bands on
+   * (band, band_val) — never a self-join — with the hot-bucket guard
+   * bounding the history side BEFORE the candidate join. The exact
+   * Σmin/Σmax verify stays SPARSE here (term join on candidate pairs):
+   * candidates are delta-bounded, so the verify carries
+   * |candidates| × shared-terms rows — the dense-vector route's
+   * union-vocabulary index buys nothing at that size.
+   *
+   * @return (doc, hist_doc, jaccard) for delta docs matching history
+   *         at weighted Jaccard ≥ threshold
+   */
+  def weightedNearDupsAgainst(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = MaxPairBucket): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    val tfNew = graft.Caching.persist(termWeights(newDocs))
+    val tfHist = graft.Caching.persist(termWeights(historyDocs))
+    val bNew = lshBands(
+      minhashSignatures(weightedElems(tfNew), numHashes), numHashes, rowsPerBand)
+    val bHist = graft.Caching.persist(lshBands(
+      minhashSignatures(weightedElems(tfHist), numHashes), numHashes, rowsPerBand))
+    val okBuckets = bHist
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("band_val"))
+    val boundedHist = bHist
+      .join(okBuckets, Seq("band", "band_val"), "left_semi")
+      .select(col("doc").as("hist_doc"), col("band"), col("band_val"))
+    val cand = bNew
+      .join(boundedHist, Seq("band", "band_val"))
+      .select(col("doc"), col("hist_doc"))
+      .distinct()
+    val totNew = tfNew.groupBy(col("doc")).agg(sum(col("tf")).as("tot_n"))
+    val totHist = tfHist.groupBy(col("doc")).agg(sum(col("tf")).as("tot_h"))
+    cand
+      .join(tfNew.select(col("doc"), col("term"), col("tf").as("w1")), "doc")
+      .join(tfHist.select(col("doc").as("hist_doc"), col("term"),
+        col("tf").as("w2")), Seq("hist_doc", "term"))
+      .groupBy(col("doc"), col("hist_doc"))
+      .agg(sum(least(col("w1"), col("w2"))).as("smin"))
+      .join(totNew, "doc")
+      .join(totHist.withColumnRenamed("doc", "hist_doc"), "hist_doc")
+      .withColumn("jaccard",
+        col("smin").cast("double") / (col("tot_n") + col("tot_h") - col("smin")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc"), col("hist_doc"), col("jaccard"))
+  }
+
+  /**
    * HOLD-OUT matching-minima estimator for the weighted tier:
    * candidates come from LSH bands over minima m0..m15, the Jaccard
    * ESTIMATE from the DISJOINT minima m16..m31 of the same one-pass

@@ -588,6 +588,17 @@ class DedupSpec extends SparkSpec {
       rowsOf(Dedup.weightedJaccardFor(pairs, tf, maxVocab = 0))
   }
 
+  test("weightedNearDupsAgainst matches delta against history only") {
+    val hist = corpus("h1" -> "p q p r", "h2" -> "s t u v")
+    val delta = corpus(
+      "d1" -> "r p q p",  // h1's multiset, permuted ⇒ J_w = 1
+      "d2" -> "m n o w",  // novel vocabulary
+      "d3" -> "m n o w")  // intra-delta dup: must NOT pair (no self-join)
+    val got = Dedup.weightedNearDupsAgainst(delta, hist, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got shouldBe Array(("d1", "h1", 1.0))
+  }
+
   test("weightedNearDups finds permuted token multisets, skips unrelated docs") {
     // a/b are the SAME multiset in different order: the bag-of-words
     // tier is order-insensitive (unlike shingles), so J_w = 1 and the
