@@ -711,4 +711,16 @@ class PipelineSpec extends SparkSpec {
     // only x contributes; the two z tokens are unseen mass
     got("b") shouldBe ((3L, 2L, c(1.0 / 3, 0.5)))
   }
+
+  test("klNoveltyAgainst(docs, docs) is klNovelty with zero unseen (identity)") {
+    val cor = corpus("a" -> "x x y", "b" -> "x y y", "c" -> "x z")
+    val self = graft.operators.Pipeline.klNoveltyAgainst(cor, cor)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val own = graft.operators.Pipeline.klNovelty(cor)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    self.keySet shouldBe own.keySet
+    own.foreach { case (d, (n, kl)) => self(d) shouldBe ((n, 0L, kl)) }
+  }
 }
