@@ -2395,6 +2395,67 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // FEATURE-HASHED bag-of-words vectors (hashing trick, 64 dims):
+    // integer signed-sum weights from the md5 bucket+sign, replicated
+    // digit-exact in the oracle — no vocabulary pass at any scale.
+    "q153_hashed_features" -> ((s, dir) =>
+      Dedup.hashedFeatures(docs(s, dir), dims = 64)
+        .select(col("doc").as("doc_id"), col("bucket"), col("weight"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // Sparse cosine near-dups via the inverted-index bucket join over
+    // the hashed vectors, on a ~20 % doc sample (the q16 sampling
+    // convention). The hot-bucket guard is wide open at this SF, so
+    // the oracle is the plain all-pairs bucket join — a pair sharing
+    // no bucket has dot 0 < threshold and drops on both engines.
+    "q153b_hashed_cosine" -> ((s, dir) => {
+      val bkt = conv(substring(
+          md5(concat(lit("fhs:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      Dedup.hashedCosinePairs(docs(s, dir).where(bkt < 200000L),
+          dims = 64, threshold = 0.85, maxBucketDocs = 1000000L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // BAG-OF-WORDS dup groups: md5 of the SORTED token multiset — the
+    // order-insensitive dedup key (shuffled copies of the same words
+    // collapse; exact dedup q11 would miss them).
+    "q154_bow_dedup" -> ((s, dir) =>
+      Dedup.bowGroups(docs(s, dir))
+        .orderBy(col("bow_fp"))),
+
+    // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
+    // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
+    "q155_tokenizer_fertility" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
+      val vocab = graft.operators.Vocab
+        .buildVocab(d.select(col("doc"), col("line")), minCount = 2)
+      graft.operators.Vocab.tokenizerFertility(d, vocab, "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // Per-source unigram ENTROPY in micro-nats (the KL family's
+    // diversity baseline): floor-quantized per-term contributions,
+    // integer totals — engine-exact by construction.
+    "q157_source_entropy" -> ((s, dir) =>
+      graft.operators.Pipeline.groupTermEntropy(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source")
+        .orderBy(col("source"))),
+
+    // PREFERENCE PAIRS per source: (chosen, rejected) = quality
+    // argmax/argmin in micro-units, margin-gated at 0.05 — the DPO
+    // pair constructor over the corpus's own quality signal.
+    "q156_preference_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      graft.operators.Pipeline.preferencePairs(d, "source", minMargin = 0.05)
+        .select(col("source"), col("n_docs"), col("chosen"), col("rejected"),
+          col("q_chosen_micro"), col("q_rejected_micro"), col("margin_micro"))
+        .orderBy(col("source"))
+    }),
+
     // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
     // every pair at Jaccard ≥ 0.8 with deterministic recall, from
     // rare-shingle prefix probes (~20 % of each doc's shingles at
@@ -3169,6 +3230,154 @@ object SparkEntry {
          |  sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
          |  sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_und
          |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Hashing-trick mirror: the duckMd5Bucket fold mod 64 for the
+    // bucket, hex digit 9 parity for the ±1 sign.
+    "q153_hashed_features" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+         |hf AS (
+         |  SELECT doc_id, tf,
+         |    (list_sum(list_transform(range(1, 9), i ->
+         |        (strpos('0123456789abcdef',
+         |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
+         |          << ((8 - i)::INTEGER * 4))) % 64)::BIGINT AS bucket,
+         |    (1 - 2 * ((strpos('0123456789abcdef',
+         |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
+         |  FROM tf)
+         |SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
+         |FROM hf GROUP BY 1, 2
+         |HAVING sum(sign * tf) <> 0
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // Sparse-cosine mirror: same hashed vectors on the fhs-sampled
+    // docs, all-pairs join on shared buckets, integer dot over integer
+    // norms, one round-6 at the end.
+    "q153b_hashed_cosine" ->
+      s"""WITH samp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (${duckMd5Bucket("'fhs:' || doc_id")}) < 200000),
+         |tk AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+         |  FROM samp),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+         |hf AS (
+         |  SELECT doc_id, tf,
+         |    (list_sum(list_transform(range(1, 9), i ->
+         |        (strpos('0123456789abcdef',
+         |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
+         |          << ((8 - i)::INTEGER * 4))) % 64) AS bucket,
+         |    (1 - 2 * ((strpos('0123456789abcdef',
+         |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
+         |  FROM tf),
+         |hw AS (
+         |  SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
+         |  FROM hf GROUP BY 1, 2 HAVING sum(sign * tf) <> 0),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         sum(a.weight * b.weight)::BIGINT AS dot
+         |  FROM hw a JOIN hw b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM hw GROUP BY 1)
+         |SELECT doc_a, doc_b,
+         |       round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
+         |FROM dots
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.85
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Sorted-token-multiset fingerprint groups: list_sort mirrors
+    // array_sort (binary string order on ASCII tokens).
+    "q154_bow_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(
+        |           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), ' ')) AS bow_fp
+        |  FROM documents)
+        |SELECT bow_fp, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper
+        |FROM fp GROUP BY 1 ORDER BY bow_fp""".stripMargin,
+
+    // Fertility mirror: vocab = terms with corpus count >= 2 (the
+    // buildVocab minCount), OOV = not in that set.
+    "q155_tokenizer_fertility" ->
+      """WITH tk AS (
+        |  SELECT lang, doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |vc AS (
+        |  SELECT term FROM (SELECT term, count(*) AS c FROM tk GROUP BY term)
+        |  WHERE c >= 2)
+        |SELECT lang,
+        |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       count(*)::BIGINT AS n_tokens,
+        |       sum(len(term))::BIGINT AS n_chars,
+        |       sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+        |       round(sum(len(term)) * 1.0 / count(*), 6) AS chars_per_token,
+        |       round(sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) * 1.0
+        |             / count(*), 6) AS oov_rate
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Entropy mirror: same per-term floor quantization, ln on the
+    // direct tot/tf quotient (never 1/(tf/tot)).
+    "q157_source_entropy" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(tf)::BIGINT AS tot, count(*)::BIGINT AS n_terms
+        |        FROM tf GROUP BY 1)
+        |SELECT t.source, o.tot AS n_tokens, o.n_terms,
+        |       sum(floor((t.tf * 1.0 / o.tot) * ln(o.tot * 1.0 / t.tf)
+        |                 * 1e6)::BIGINT)::BIGINT AS entropy_unats
+        |FROM tf t JOIN tot o USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // Preference-pair mirror: the q18 quality chain lifted to micro
+    // longs, argmax/argmin via the two deterministic row_number
+    // orders, margin gate at 50000 micro (0.05).
+    "q156_preference_pairs" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT source, doc_id,
+        |    CAST(round(round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS qm
+        |  FROM m),
+        |r AS (
+        |  SELECT source, doc_id, qm,
+        |    row_number() OVER (PARTITION BY source ORDER BY qm DESC, doc_id ASC) AS rb,
+        |    row_number() OVER (PARTITION BY source ORDER BY qm ASC, doc_id ASC) AS rw,
+        |    count(*) OVER (PARTITION BY source) AS n_g,
+        |    max(qm) OVER (PARTITION BY source) AS q_hi,
+        |    min(qm) OVER (PARTITION BY source) AS q_lo
+        |  FROM q)
+        |SELECT b.source, b.n_g::BIGINT AS n_docs, b.doc_id AS chosen,
+        |       w.doc_id AS rejected, b.q_hi AS q_chosen_micro,
+        |       w.q_lo AS q_rejected_micro,
+        |       (b.q_hi - w.q_lo)::BIGINT AS margin_micro
+        |FROM (SELECT * FROM r WHERE rb = 1) b
+        |JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
+        |WHERE b.n_g >= 2 AND b.doc_id <> w.doc_id
+        |  AND (b.q_hi - w.q_lo) >= 50000
+        |ORDER BY b.source""".stripMargin,
 
     "q13_minhash_lsh" ->
       s"""WITH $ShingleCtes,

@@ -1551,4 +1551,121 @@ object Dedup {
     val dropped = labels.where(col("lbl") < col("doc")).select(col("doc"))
     docs.join(dropped, Seq("doc"), "left_anti")
   }
+
+  /**
+   * FEATURE-HASHED bag-of-words vectors (the hashing trick; Weinberger
+   * et al., ICML 2009) — the model-free text→vector bridge: each term
+   * lands in bucket `md5("fh:"+term) mod dims` with a ±1 sign drawn
+   * from the next md5 hex digit, and a doc's entry per bucket is the
+   * signed sum of its term counts. No vocabulary pass, no dictionary
+   * broadcast, no OOV bucket: the projection is per-row arithmetic any
+   * engine replays byte-identically. The sign split keeps hash
+   * collisions unbiased (colliding terms cancel in expectation), so
+   * hashed cosine estimates true bag-of-words cosine.
+   *
+   * Scale shape: one (doc, term) count shuffle (the [[termWeights]]
+   * frame) + a map-side bucket fold — at most `dims` rows per doc out,
+   * integer weights, exact on every engine. Unlike [[denseTfVectors]]
+   * this never collects a vocabulary: `dims` is fixed up front, so the
+   * 100 TB corpus with an unbounded vocab still ships bounded rows.
+   *
+   * @return (doc, bucket, weight) with weight != 0
+   */
+  def hashedFeatures(docs: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val h = md5(concat(lit("fh:"), col("term")))
+    termWeights(docs)
+      .withColumn("bucket",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % dims)
+      .withColumn("sign",
+        lit(1L) - lit(2L) *
+          (conv(substring(h, 9, 1), 16, 10).cast("long") % 2L))
+      .groupBy(col("doc"), col("bucket"))
+      .agg(sum(col("sign") * col("tf")).as("weight"))
+      .where(col("weight") =!= 0)
+  }
+
+  /**
+   * SPARSE COSINE near-dup pairs over [[hashedFeatures]] vectors via an
+   * INVERTED-INDEX self-join — the third text-similarity scale shape
+   * next to shingle-Jaccard (q12/q13) and weighted-Jaccard (q146):
+   * candidate pairs are generated only where two docs share a non-hot
+   * feature bucket, then each candidate's dot product is computed
+   * EXACTLY over all its shared buckets (the guard shapes candidate
+   * generation only — it cannot perturb a reported cosine, the q81
+   * invisible-optimization contract). Cosine is integer dot over
+   * integer norms, rounded once at the end (round-6, the q102b float
+   * convention).
+   *
+   * Scale shape: the index join fans out per BUCKET, so the worst case
+   * is bounded by the hottest admitted bucket (≤ maxBucketDocs² pairs),
+   * never by corpus²; norms are one per-doc aggregate reused across all
+   * pairs. Recall caveat, documented: a pair sharing ONLY hot buckets
+   * is never generated — at real corpus shapes hot buckets are the
+   * stopword mass whose cosine contribution least distinguishes docs.
+   *
+   * @return (doc_a, doc_b, cos) with doc_a < doc_b and cos >= threshold
+   */
+  def hashedCosinePairs(
+      docs: DataFrame,
+      dims: Int = 64,
+      threshold: Double = 0.9,
+      maxBucketDocs: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
+    val feats = graft.Caching.persist(hashedFeatures(docs, dims))
+    val cold = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") <= maxBucketDocs)
+      .select(col("bucket"))
+    val indexed = feats.join(broadcast(cold), Seq("bucket"))
+    val cands = indexed.select(col("bucket"), col("doc").as("doc_a"))
+      .join(indexed.select(col("bucket"), col("doc").as("doc_b")), Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val fa = feats.select(col("doc").as("doc_a"), col("bucket"),
+      col("weight").as("_wa"))
+    val fb = feats.select(col("doc").as("doc_b"), col("bucket"),
+      col("weight").as("_wb"))
+    val dots = cands
+      .join(fa, Seq("doc_a"))
+      .join(fb, Seq("doc_b", "bucket"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+    val norms = feats.groupBy(col("doc"))
+      .agg(sum(col("weight") * col("weight")).as("_n2"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("_n2").as("_na2")), Seq("doc_a"))
+      .join(norms.select(col("doc").as("doc_b"), col("_n2").as("_nb2")), Seq("doc_b"))
+      .withColumn("cos", round(col("_dot").cast("double") /
+        (sqrt(col("_na2").cast("double")) * sqrt(col("_nb2").cast("double"))), 6))
+      .where(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
+  /**
+   * BAG-OF-WORDS fingerprint — md5 of the SORTED token multiset: the
+   * dedup key order-insensitive duplicates hide behind. Exact dedup
+   * (q11) misses a shuffled copy entirely and MinHash (q13) only
+   * scores it high-but-uncertain; the sorted-multiset key makes
+   * "same words, same counts, any order" an exact 32-byte equality —
+   * template spam, column-reordered CSV rows, scrambled scrape dups.
+   *
+   * Scale shape: map-only per row (tokenize, sort within the row,
+   * hash); the sort is per-document, never a shuffle. Composes with
+   * the whole exact-dedup machinery ([[exactGroups]]' count/keeper
+   * aggregate, [[exactDedupAgainst]]'s anti-join) by substituting
+   * this fingerprint for md5(line).
+   */
+  def bowFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc"),
+      md5(array_join(array_sort(tokensCol(col("line"))), " ")).as("bow_fp"))
+
+  /** Per-fingerprint dup groups over [[bowFingerprints]] — the
+    * [[exactGroups]] aggregate on the order-insensitive key. */
+  def bowGroups(docs: DataFrame): DataFrame =
+    bowFingerprints(docs)
+      .groupBy(col("bow_fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc")).as("keeper"))
 }

@@ -764,6 +764,54 @@ object Pipeline {
       .drop("_thr")
   }
 
+  /**
+   * PREFERENCE-PAIR mining — the (chosen, rejected) pair constructor
+   * preference-tuning datasets (DPO/RLHF reward modeling) are built
+   * from, using the corpus's own quality score as the preference
+   * signal: per group (a topic cluster, a source, a prompt family),
+   * pair the highest-quality document against the lowest-quality one,
+   * keeping only groups whose quality MARGIN clears `minMargin` — a
+   * pair whose two sides are nearly equal teaches a preference model
+   * nothing.
+   *
+   * Determinism: quality is the round-6 [[TextAnalysis]] score lifted
+   * to micro-units (integer-exact, the q88 micro-nat convention);
+   * argmax/argmin tie-break to the SMALLER doc id on both ends via
+   * struct-ordered min_by on (∓score, doc), so every engine picks the
+   * same pair for any orderable doc type.
+   *
+   * Scale shape: ONE partially-aggregated shuffle on the group key —
+   * max_by/min_by combine map-side, so group size never materializes
+   * anywhere (contrast a window row_number, which sorts each group).
+   * Output is one row per surviving group.
+   *
+   * @param docs (doc, line, groupCol)
+   * @return (groupCol, n_docs, chosen, rejected, q_chosen_micro,
+   *         q_rejected_micro, margin_micro) — micro = score·1e6 longs
+   */
+  def preferencePairs(
+      docs: DataFrame,
+      groupCol: String,
+      minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0 && minMargin < 1,
+      s"minMargin must be in [0,1), got $minMargin")
+    docs
+      .withColumn("_qm",
+        round(TextAnalysis.qualityScoreCol(col("line")) * 1e6).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // negate the (long) score, not the doc — doc stays type-agnostic
+        min_by(col("doc"), struct(-col("_qm"), col("doc"))).as("chosen"),
+        min_by(col("doc"), struct(col("_qm"), col("doc"))).as("rejected"),
+        max(col("_qm")).as("q_chosen_micro"),
+        min(col("_qm")).as("q_rejected_micro"))
+      .withColumn("margin_micro",
+        col("q_chosen_micro") - col("q_rejected_micro"))
+      .where(col("n_docs") >= 2 && col("chosen") =!= col("rejected") &&
+        col("margin_micro") >= math.round(minMargin * 1e6))
+  }
+
   /** Per-language cut points for [[perplexityBuckets]] (head/middle/tail
     * thirds). Public so the oracle SQL is generated from the SAME
     * doubles — the literal printed by Scala re-parses to the identical
@@ -1203,5 +1251,43 @@ object Pipeline {
         sum(when(col("ctf").isNull, col("tf")).otherwise(lit(0L))).as("n_unseen"),
         sum(col("c")).as("kl_unats"))
       .select(col("doc"), col("n_tokens"), col("n_unseen"), col("kl_unats"))
+  }
+
+  /**
+   * Per-group UNIGRAM ENTROPY in integer micro-nats — the diversity
+   * side of the [[klNovelty]] family (entropy is the self-referenced
+   * baseline KL measures divergence FROM): H = Σ_t p_t·ln(1/p_t) over
+   * each group's term distribution. A feed whose entropy collapses is
+   * template/boilerplate-dominated; one whose entropy spikes changed
+   * topic mix — both release-gate diffs next to the q140 vocab feed.
+   *
+   * Same quantization recipe as [[klNovelty]] (floor(1e6·term
+   * contribution) BEFORE the sum → integer totals, engine-exact by
+   * construction), with ln(tot/tf) computed as the direct quotient on
+   * both engines — never 1/(tf/tot), whose extra rounding step can
+   * differ in the last ulp.
+   *
+   * Scale shape: one (group, term) tf shuffle with map-side combine,
+   * one groups-bounded totals broadcast back onto it, one final
+   * groups-bounded aggregate. Nothing collects.
+   *
+   * @param docs (groupCol, line)
+   * @return (groupCol, n_tokens, n_terms, entropy_unats)
+   */
+  def groupTermEntropy(docs: DataFrame, groupCol: String): DataFrame = {
+    val tf = docs
+      .select(col(groupCol), explode(TextAnalysis.toks(col("line"))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy(col(groupCol))
+      .agg(sum(col("tf")).as("_tot"), count(lit(1)).as("_nterms"))
+    tf.join(broadcast(tot), Seq(groupCol))
+      .withColumn("_c", floor(
+        (col("tf").cast("double") / col("_tot").cast("double"))
+          * log(col("_tot").cast("double") / col("tf").cast("double"))
+          * lit(1e6)).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(max(col("_tot")).as("n_tokens"),
+        max(col("_nterms")).as("n_terms"),
+        sum(col("_c")).as("entropy_unats"))
   }
 }

@@ -164,6 +164,42 @@ object Vocab {
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
 
   /**
+   * TOKENIZER FERTILITY per group (usually language) — the standard
+   * tokenizer-evaluation table (chars-per-token is the "fertility"
+   * metric tokenizer papers report per language): for each group,
+   * document/token/char mass, the chars-per-token ratio, and the OOV
+   * rate against a trained vocabulary. A language whose fertility or
+   * OOV rate is an outlier is under-served by the vocab — the signal
+   * that drives vocab rebalancing before a training run.
+   *
+   * Scale shape: one tokenize explode + broadcast vocab membership
+   * join + one GROUP-cardinality aggregate (count-distinct docs rides
+   * the same Expand). `n_chars` counts token characters (whitespace
+   * excluded), so the ratio is a pure tokenizer property, independent
+   * of the corpus's spacing conventions.
+   *
+   * @param docs (doc, line, groupCol)
+   * @return (groupCol, n_docs, n_tokens, n_chars, n_oov,
+   *         chars_per_token round-6, oov_rate round-6)
+   */
+  def tokenizerFertility(
+      docs: DataFrame,
+      vocab: DataFrame,
+      groupCol: String = "lang"): DataFrame =
+    docs
+      .select(col(groupCol), col("doc"), explode(toks(col("line"))).as("term"))
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("_known"))),
+        Seq("term"), "left_outer")
+      .groupBy(col(groupCol))
+      .agg(
+        countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("term")).cast("long")).as("n_chars"),
+        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("chars_per_token", round(col("n_chars") / col("n_tokens"), 6))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+
+  /**
    * Document-level id-sequence encoding: (doc, ids) where `ids` is the
    * token-id array in document order. Built from [[encodeTokens]] with
    * a sort_array-of-struct regroup — collect_list alone has no ordering

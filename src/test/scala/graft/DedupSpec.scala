@@ -611,4 +611,82 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     got shouldBe Array(("a", "b", 1.0))
   }
+
+  /** Local replica of the hashing-trick bucket/sign (md5 hex fold). */
+  private def fhLocal(term: String, dims: Int): (Long, Long) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"fh:$term".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val bucket = java.lang.Long.parseLong(hex.substring(0, 8), 16) % dims
+    val sign = 1L - 2L * (Integer.parseInt(hex.substring(8, 9), 16) % 2)
+    (bucket, sign)
+  }
+
+  test("hashedFeatures matches a local md5 bucket/sign replication") {
+    val cor = corpus("a" -> "x x y z", "b" -> "y z z", "c" -> "w")
+    val got = Dedup.hashedFeatures(cor, dims = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = Seq(
+      "a" -> Seq("x" -> 2L, "y" -> 1L, "z" -> 1L),
+      "b" -> Seq("y" -> 1L, "z" -> 2L),
+      "c" -> Seq("w" -> 1L))
+      .flatMap { case (doc, tfs) =>
+        tfs.map { case (t, tf) =>
+          val (b, s) = fhLocal(t, 8); (doc, b, s * tf)
+        }
+      }
+      .groupBy { case (doc, b, _) => (doc, b) }
+      .view.mapValues(_.map(_._3).sum).toMap
+      .filter(_._2 != 0L)
+    got shouldBe expected
+  }
+
+  test("hashedCosinePairs: permuted multiset copies score cos 1.0") {
+    val cor = corpus(
+      "a" -> "p q p r s t",
+      "b" -> "t s r p q p", // same multiset, different order
+      "c" -> "u v w x y z")
+    val got = Dedup.hashedCosinePairs(cor, dims = 16, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got shouldBe Array(("a", "b", 1.0))
+  }
+
+  test("hashedCosinePairs: hot-bucket guard shapes candidates, never a reported cosine") {
+    // a/b share a cold (rare) bucket AND the hot bucket every doc hits;
+    // with the guard at 2 the hot bucket is suppressed, but a/b's pair
+    // (found via their cold shared feature) must still score its FULL
+    // dot — identical to the wide-open-guard cosine.
+    val hot = "common"
+    val cor = corpus(
+      "a" -> s"$hot rare rare extra",
+      "b" -> s"$hot rare rare other",
+      "c" -> s"$hot solo1",
+      "d" -> s"$hot solo2")
+    val open = Dedup.hashedCosinePairs(cor, dims = 32, threshold = 0.1,
+        maxBucketDocs = 1000L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val guarded = Dedup.hashedCosinePairs(cor, dims = 32, threshold = 0.1,
+        maxBucketDocs = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    guarded.keySet should contain(("a", "b"))
+    // every guarded pair's cosine equals the wide-open computation
+    guarded.foreach { case (k, v) => open(k) shouldBe v }
+    // the guard DID suppress hot-bucket-only candidates
+    assert(guarded.size < open.size)
+  }
+
+  test("bowGroups collapses shuffled copies; distinct multisets stay apart") {
+    val cor = corpus(
+      "a" -> "the quick brown fox",
+      "b" -> "fox brown quick the", // shuffled copy of a
+      "c" -> "the the quick brown fox", // extra 'the': different multiset
+      "d" -> "something else")
+    val groups = Dedup.bowGroups(cor).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    groups.toSet shouldBe Set((2L, "a"), (1L, "c"), (1L, "d"))
+    // and the fingerprint agrees with exact dedup on UN-shuffled dups:
+    // a shuffled copy is invisible to md5(line) but not to bow_fp
+    val exact = Dedup.exactGroups(cor).where(col("n_dups") >= 2).count()
+    exact shouldBe 0L
+  }
 }

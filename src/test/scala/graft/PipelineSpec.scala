@@ -712,6 +712,55 @@ class PipelineSpec extends SparkSpec {
     got("b") shouldBe ((3L, 2L, c(1.0 / 3, 0.5)))
   }
 
+  test("groupTermEntropy matches an independent local computation in micro-nats") {
+    import org.apache.spark.sql.functions.{when => W}
+    val d = corpus("1" -> "x x y", "2" -> "x x y", "3" -> "z")
+      .withColumn("src", W(C("doc") === "3", "s2").otherwise("s1"))
+    val got = Pipeline.groupTermEntropy(d, "src").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // s1: {x:4, y:2} tot 6 → floor((4/6)ln(6/4)1e6) + floor((2/6)ln(3)1e6)
+    val s1 = math.floor((4.0 / 6) * math.log(6.0 / 4) * 1e6).toLong +
+      math.floor((2.0 / 6) * math.log(6.0 / 2) * 1e6).toLong
+    got("s1") shouldBe ((6L, 2L, s1))
+    // s2: single term → p = 1 → entropy exactly 0
+    got("s2") shouldBe ((1L, 1L, 0L))
+  }
+
+  test("preferencePairs: quality argmax/argmin per group, ties to smaller doc, degenerate groups drop") {
+    import org.apache.spark.sql.functions.{round => R, substring => SUB}
+    val d = corpus(
+      "a1" -> "the quick brown fox jumps over a lazy dog and runs far away today",
+      "a2" -> "x x x x x x x x",
+      "a3" -> "x x x x x x x x", // same score as a2 → rejected ties to a2
+      "b1" -> "single doc group",
+      "c1" -> "same words here", "c2" -> "same words here") // margin 0, same pick
+      .withColumn("grp", SUB(C("doc"), 1, 1))
+    // independent local replication of the micro scores
+    val qm = d.withColumn("qm",
+        R(graft.functions.TextAnalysis.qualityScoreCol(C("line")) * 1e6).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val aDocs = Seq("a1", "a2", "a3")
+    val chosenA = aDocs.minBy(doc => (-qm(doc), doc))
+    val rejectedA = aDocs.minBy(doc => (qm(doc), doc))
+    val got = Pipeline.preferencePairs(d, "grp").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // b (one doc) and c (all-equal scores ⇒ chosen = rejected) drop
+    got.keySet shouldBe Set("a")
+    got("a") shouldBe ((3L, chosenA, rejectedA,
+      aDocs.map(qm).max, aDocs.map(qm).min,
+      aDocs.map(qm).max - aDocs.map(qm).min))
+    chosenA should not be rejectedA
+    rejectedA shouldBe "a2" // tie with a3 broken to the smaller doc
+    // the margin gate: a cutoff above the group's spread drops it too
+    Pipeline.preferencePairs(d, "grp",
+      minMargin = 0.999).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.preferencePairs(d, "grp", minMargin = 1.0)
+  }
+
   test("klNoveltyAgainst(docs, docs) is klNovelty with zero unseen (identity)") {
     val cor = corpus("a" -> "x x y", "b" -> "x y y", "c" -> "x z")
     val self = graft.operators.Pipeline.klNoveltyAgainst(cor, cor)

@@ -126,4 +126,22 @@ class VocabSpec extends SparkSpec {
       "n" -> ((0L, 2L, "added")))
     an[IllegalArgumentException] should be thrownBy Vocab.vocabDiff(a, b, 0)
   }
+
+  test("tokenizerFertility: per-group chars/token and OOV vs the trained vocab") {
+    val d = corpus(
+      "1" -> "aa bb aa",    // en
+      "2" -> "aa cccc",     // en: cccc is corpus-count 1 → OOV at minCount=2
+      "3" -> "bb dd dd")    // fr
+      .withColumn("lang",
+        org.apache.spark.sql.functions.when(C("doc") === "3", "fr").otherwise("en"))
+    val vocab = Vocab.buildVocab(d, minCount = 2) // {aa:3, bb:2, dd:2}
+    val got = Vocab.tokenizerFertility(d, vocab, "lang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // en: docs 1,2 → 5 tokens, chars 2+2+2+2+4=12, oov=1 (cccc)
+    got("en") shouldBe ((2L, 5L, 12L, 1L, 2.4, 0.2))
+    // fr: doc 3 → 3 tokens, chars 2+2+2=6, oov=0
+    got("fr") shouldBe ((1L, 3L, 6L, 0L, 2.0, 0.0))
+  }
 }
