@@ -1275,9 +1275,11 @@ object Pipeline {
    * @return (groupCol, n_tokens, n_terms, entropy_unats)
    */
   def groupTermEntropy(docs: DataFrame, groupCol: String): DataFrame = {
-    val tf = docs
+    // persisted: the (group, term, tf) frame is vocab-bounded and feeds
+    // both the totals and the contribution join — one corpus scan, not two
+    val tf = graft.Caching.persist(docs
       .select(col(groupCol), explode(TextAnalysis.toks(col("line"))).as("term"))
-      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf")))
     val tot = tf.groupBy(col(groupCol))
       .agg(sum(col("tf")).as("_tot"), count(lit(1)).as("_nterms"))
     tf.join(broadcast(tot), Seq(groupCol))

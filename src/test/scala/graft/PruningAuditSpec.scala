@@ -89,4 +89,28 @@ class PruningAuditSpec extends SparkSpec {
     plan should include regex "PushedFilters:.*In\\(term, \\[spark,stream,window\\]\\)"
     (plan should not).include("Join")
   }
+
+  test("q157 entropy reads source and text ONCE (tf frame persisted)") {
+    readSchemas("q157_source_entropy") shouldBe Seq(Set("source", "text"))
+  }
+
+  test("q153 hashed-features scan reads only doc_id and text") {
+    readSchemas("q153_hashed_features") shouldBe Seq(Set("doc_id", "text"))
+  }
+
+  test("q153b hashed-cosine: every join is a hash join, cold-bucket set broadcast") {
+    // The inverted-index tier's whole point is equi-joins on bucket —
+    // a nested-loop anywhere here means the shape regressed to
+    // all-pairs. The ≤dims-row cold-bucket admission list must come in
+    // as a broadcast, not a shuffle.
+    val plan = formatted("q153b_hashed_cosine")
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("q156 preference-pair scan reads only doc_id, source, text") {
+    readSchemas("q156_preference_pairs") shouldBe
+      Seq(Set("doc_id", "source", "text"))
+  }
 }
