@@ -2417,6 +2417,19 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental hashed-cosine: delta (docs ≥ 250) probes the
+    // HISTORY's (docs < 250) inverted index — never a delta self-join;
+    // the q52 split, sparse-cosine semantics.
+    "q153c_hashed_cosine_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.hashedCosineAgainst(
+          d.where(col("doc") >= 250), d.where(col("doc") < 250),
+          dims = 64, threshold = 0.9, maxBucketDocs = 1000000L)
+        .select(col("doc").as("doc_id"), col("hist_doc").as("hist_id"),
+          col("cos"))
+        .orderBy(col("doc_id"), col("hist_id"))
+    }),
+
     // BAG-OF-WORDS dup groups: md5 of the SORTED token multiset — the
     // order-insensitive dedup key (shuffled copies of the same words
     // collapse; exact dedup q11 would miss them).
@@ -3290,6 +3303,42 @@ object SparkEntry {
          |JOIN norms nb ON nb.doc_id = doc_b
          |WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.85
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Incremental sparse-cosine mirror: hashed vectors over the full
+    // corpus, delta×history join on shared buckets (the guard is wide
+    // open at this SF; a cross-side pair sharing no bucket has dot 0).
+    "q153c_hashed_cosine_incremental" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+         |hf AS (
+         |  SELECT doc_id, tf,
+         |    (list_sum(list_transform(range(1, 9), i ->
+         |        (strpos('0123456789abcdef',
+         |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
+         |          << ((8 - i)::INTEGER * 4))) % 64)::BIGINT AS bucket,
+         |    (1 - 2 * ((strpos('0123456789abcdef',
+         |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
+         |  FROM tf),
+         |hw AS (
+         |  SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
+         |  FROM hf GROUP BY 1, 2 HAVING sum(sign * tf) <> 0),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_id, b.doc_id AS hist_id,
+         |         sum(a.weight * b.weight)::BIGINT AS dot
+         |  FROM hw a JOIN hw b ON a.bucket = b.bucket
+         |  WHERE a.doc_id >= 250 AND b.doc_id < 250
+         |  GROUP BY 1, 2),
+         |norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM hw GROUP BY 1)
+         |SELECT d.doc_id, d.hist_id,
+         |       round(d.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
+         |FROM dots d
+         |JOIN norms na ON na.doc_id = d.doc_id
+         |JOIN norms nb ON nb.doc_id = d.hist_id
+         |WHERE round(d.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.9
+         |ORDER BY d.doc_id, d.hist_id""".stripMargin,
 
     // Sorted-token-multiset fingerprint groups: list_sort mirrors
     // array_sort (binary string order on ASCII tokens).

@@ -1668,4 +1668,61 @@ object Dedup {
     bowFingerprints(docs)
       .groupBy(col("bow_fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc")).as("keeper"))
+
+  /**
+   * Incremental [[hashedCosinePairs]] — the daily-ingest twin (the
+   * q40/q52/q152 family): arriving docs' hashed vectors probe the
+   * HISTORY's inverted index on cold buckets; intra-delta pairs are
+   * never formed (no self-join — an increment dedups against itself
+   * with the batch operator first, the standing contract). The guard
+   * bounds the HISTORY side of the index, so a hot bucket in the
+   * history can't fan a delta row out past maxBucketDocs candidates;
+   * as in the batch tier it shapes candidate generation only — every
+   * reported cosine is the full exact dot over all shared buckets.
+   *
+   * Scale shape: history features/norms are computed once per batch of
+   * deltas (persist upstream across micro-batches at 100 TB — the
+   * frame is ≤ dims rows per history doc); per delta the work is one
+   * bucket-keyed probe + a candidate-bounded dot join.
+   *
+   * @return (doc, hist_doc, cos) with cos >= threshold
+   */
+  def hashedCosineAgainst(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      dims: Int = 64,
+      threshold: Double = 0.9,
+      maxBucketDocs: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
+    val fNew = graft.Caching.persist(hashedFeatures(newDocs, dims))
+    val fHist = graft.Caching.persist(hashedFeatures(historyDocs, dims))
+    val cold = fHist.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") <= maxBucketDocs)
+      .select(col("bucket"))
+    val cands = fNew.select(col("bucket"), col("doc"))
+      .join(fHist.join(broadcast(cold), Seq("bucket"))
+        .select(col("bucket"), col("doc").as("hist_doc")), Seq("bucket"))
+      .select(col("doc"), col("hist_doc")).distinct()
+    val dots = cands
+      .join(fNew.select(col("doc"), col("bucket"), col("weight").as("_wn")),
+        Seq("doc"))
+      .join(fHist.select(col("doc").as("hist_doc"), col("bucket"),
+        col("weight").as("_wh")), Seq("hist_doc", "bucket"))
+      .groupBy(col("doc"), col("hist_doc"))
+      .agg(sum(col("_wn") * col("_wh")).as("_dot"))
+    val nNew = fNew.groupBy(col("doc"))
+      .agg(sum(col("weight") * col("weight")).as("_nn2"))
+    val nHist = fHist.groupBy(col("doc"))
+      .agg(sum(col("weight") * col("weight")).as("_nh2"))
+    dots
+      .join(nNew, Seq("doc"))
+      .join(nHist.withColumnRenamed("doc", "hist_doc"), Seq("hist_doc"))
+      .withColumn("cos", round(col("_dot").cast("double") /
+        (sqrt(col("_nn2").cast("double")) * sqrt(col("_nh2").cast("double"))), 6))
+      .where(col("cos") >= threshold)
+      .select(col("doc"), col("hist_doc"), col("cos"))
+  }
 }

@@ -675,6 +675,17 @@ class DedupSpec extends SparkSpec {
     assert(guarded.size < open.size)
   }
 
+  test("hashedCosineAgainst pairs delta only with history — intra-delta dups never meet") {
+    val hist = corpus("h1" -> "p q p r s", "h2" -> "u v w")
+    val delta = corpus(
+      "d1" -> "s p q r p", // permuted copy of h1 → cos 1.0
+      "d2" -> "m n o",     // novel vocabulary
+      "d3" -> "m n o")     // intra-delta dup: must NOT pair
+    val got = Dedup.hashedCosineAgainst(delta, hist, dims = 32, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got shouldBe Array(("d1", "h1", 1.0))
+  }
+
   test("bowGroups collapses shuffled copies; distinct multisets stay apart") {
     val cor = corpus(
       "a" -> "the quick brown fox",
