@@ -1119,4 +1119,106 @@ object StreamingOps {
           round(col("n_novel_est").cast("double") / col("n_shingles"), 6)))
       .drop("_sh")
   }
+
+  /**
+   * Streaming twin of [[graft.operators.Dedup.hashedCosineAgainst]] —
+   * the sparse-cosine near-dup screen for arriving docs against a
+   * static history. STATELESS append mode: a streaming doc is one row,
+   * so its hashed feature vector (the q153 hashing trick) assembles
+   * ROW-LOCALLY — one md5 per token, then a dims-long signed-count
+   * fold — and candidates come from a stream-static equi-join of the
+   * doc's non-zero buckets against the history's inverted index. The
+   * per-pair multi-bucket dedup is the first-SHARED-COLD-bucket filter
+   * evaluated row-locally over the two carried dense vectors (the
+   * nearDupScreen first-matching-band recipe — no distinct, no state),
+   * and the cosine is the full exact dot over ALL shared buckets
+   * (zip_with over the carried vectors), so the hot-bucket guard
+   * shapes candidate generation only — batch-twin parity by
+   * construction, asserted in StreamingSpec.
+   *
+   * Static-side resolution (the nearDupScreen contract): history
+   * vectors, norms, and the ≤dims-entry hot-bucket list are planned
+   * once at operator construction (the hot list is a driver-side
+   * aggregate of AT MOST `dims` rows) and reused every micro-batch.
+   *
+   * @return (doc, hist_doc, cos) with cos >= threshold
+   */
+  def hashedCosineScreen(
+      docs: DataFrame,
+      historyDocs: DataFrame,
+      dims: Int = 64,
+      threshold: Double = 0.9,
+      maxBucketDocs: Long = 100000L): DataFrame = {
+    import graft.operators.Dedup
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
+
+    // ── static history: sparse features → dense vectors + norms ────────
+    val fHist = Dedup.hashedFeatures(historyDocs, dims)
+    val histVec = fHist
+      .groupBy(col("doc"))
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("weight")))).as("_hm"))
+      .select(col("doc").as("hist_doc"),
+        transform(sequence(lit(0L), lit((dims - 1).toLong)),
+          b => coalesce(element_at(col("_hm"), b), lit(0L))).as("_hv"))
+      .withColumn("_hn2",
+        aggregate(col("_hv"), lit(0L), (acc, v) => acc + v * v))
+    // hot buckets: ≤ dims rows, resolved once (a plan-sizing decision)
+    val hot: Seq[Long] = fHist.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_docs"))
+      .where(col("_docs") > maxBucketDocs)
+      .collect().map(_.getLong(0)).toSeq
+    val histIdx = fHist
+      .where(if (hot.isEmpty) lit(true) else !col("bucket").isin(hot: _*))
+      .select(col("doc").as("hist_doc"), col("bucket"))
+      .join(histVec, Seq("hist_doc"))
+
+    // ── stream side: row-local hashed vector ───────────────────────────
+    def h(t: Column): Column = md5(concat(lit("fh:"), t))
+    val bs = transform(Dedup.tokensCol(col("line")), t =>
+      struct(
+        (conv(substring(h(t), 1, 8), 16, 10).cast("long") % dims).as("b"),
+        (lit(1L) - lit(2L) *
+          (conv(substring(h(t), 9, 1), 16, 10).cast("long") % 2L)).as("s")))
+    val withVec = docs
+      .withColumn("_bs", bs)
+      .withColumn("_sv",
+        transform(sequence(lit(0L), lit((dims - 1).toLong)),
+          b => aggregate(col("_bs"), lit(0L),
+            (acc, p) => acc +
+              when(p.getField("b") === b, p.getField("s")).otherwise(lit(0L)))))
+      .withColumn("_sn2",
+        aggregate(col("_sv"), lit(0L), (acc, v) => acc + v * v))
+      .withColumn("_cand",
+        filter(
+          transform(sequence(lit(0L), lit((dims - 1).toLong)),
+            b => struct(b.as("bucket"),
+              element_at(col("_sv"), (b + 1).cast("int")).as("w"))),
+          p => p.getField("w") =!= 0L &&
+            (if (hot.isEmpty) lit(true)
+             else !p.getField("bucket").isin(hot: _*))))
+      .select(col("doc"), col("_sv"), col("_sn2"),
+        explode(col("_cand")).as("_e"))
+      .withColumn("bucket", col("_e.bucket"))
+
+    // first shared COLD bucket claims the pair — row-local, no distinct
+    val firstShared = array_min(filter(
+      sequence(lit(0L), lit((dims - 1).toLong)),
+      b => element_at(col("_sv"), (b + 1).cast("int")) =!= 0L &&
+        element_at(col("_hv"), (b + 1).cast("int")) =!= 0L &&
+        (if (hot.isEmpty) lit(true) else !b.isin(hot: _*))))
+
+    withVec.join(histIdx, Seq("bucket"))
+      .where(col("bucket") === firstShared)
+      .withColumn("_dot",
+        aggregate(zip_with(col("_sv"), col("_hv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("cos", round(col("_dot").cast("double") /
+        (sqrt(col("_sn2").cast("double")) * sqrt(col("_hn2").cast("double"))),
+        6))
+      .where(col("cos") >= threshold)
+      .select(col("doc"), col("hist_doc"), col("cos"))
+  }
 }

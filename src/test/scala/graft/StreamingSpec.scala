@@ -1025,4 +1025,80 @@ class StreamingSpec extends SparkSpec {
       got shouldBe batch // EXACT equality — same weights, fold, rounding
     } finally q.stop()
   }
+
+  test("streaming hashedCosineScreen matches the batch incremental twin exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val history = Seq(
+      ("h1", "p q p r s t"),
+      ("h2", "completely different words here entirely now"))
+      .toDF("doc", "line")
+    val arrivals = Seq(
+      ("n1", "t s r p q p extra"), // near-permutation of h1 → high cos
+      ("n2", "novel content with no overlap anywhere"),
+      ("n3", ""))                  // token-less: no vector, must not emit
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("doc", "line")
+
+    val q = StreamingOps.hashedCosineScreen(stream, history,
+        dims = 32, threshold = 0.5)
+      .writeStream.format("memory").queryName("hashedcos")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("hashedcos").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Dedup.hashedCosineAgainst(
+          arrivals.toDF("doc", "line"), history,
+          dims = 32, threshold = 0.5)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      got shouldBe batch // EXACT parity: same vectors, dot, rounding
+      got.keySet.map(_._1) should contain("n1")
+      got.keySet.map(_._1) should not contain "n3"
+    } finally q.stop()
+  }
+
+  test("streaming hashedCosineScreen hot-bucket guard: candidates shaped, cosines exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 'common' hits every history doc → its bucket goes hot at
+    // maxBucketDocs = 2; a/b still pair with h1 via their cold terms,
+    // and the emitted cosine must equal the wide-open guard's value
+    val history = Seq(
+      ("h1", "common rare rare"),
+      ("h2", "common solo1"),
+      ("h3", "common solo2"))
+      .toDF("doc", "line")
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("doc", "line")
+    val q = StreamingOps.hashedCosineScreen(stream, history,
+        dims = 32, threshold = 0.1, maxBucketDocs = 2L)
+      .writeStream.format("memory").queryName("hashedcosguard")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("a", "common rare rare other"), ("b", "common onlyhot"))
+      q.processAllAvailable()
+      val got = spark.table("hashedcosguard").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // a reaches h1 through the cold 'rare' bucket
+      got.keySet should contain(("a", "h1"))
+      // b shares ONLY the hot bucket → never a candidate
+      got.keySet.map(_._1) should not contain "b"
+      // the guard is answer-invisible on survivors: wide-open batch agrees
+      val open = graft.operators.Dedup.hashedCosineAgainst(
+          Seq(("a", "common rare rare other")).toDF("doc", "line"), history,
+          dims = 32, threshold = 0.1)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      got.foreach { case (k, v) => open(k) shouldBe v }
+    } finally q.stop()
+  }
 }
