@@ -2437,6 +2437,15 @@ object SparkEntry {
       Dedup.bowGroups(docs(s, dir))
         .orderBy(col("bow_fp"))),
 
+    // Shingle CONTAINMENT pairs: the asymmetric near-dup relation
+    // (|A∩B|/|A| — quote/wrapper detection); directed, both
+    // directions emitted when both clear τ.
+    "q158_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.5)
+        .select(col("inner_doc").as("inner_id"),
+          col("outer_doc").as("outer_id"), col("containment"))
+        .orderBy(col("inner_id"), col("outer_id"))),
+
     // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
     // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
     "q155_tokenizer_fertility" -> ((s, dir) => {
@@ -3350,6 +3359,19 @@ object SparkEntry {
         |  FROM documents)
         |SELECT bow_fp, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper
         |FROM fp GROUP BY 1 ORDER BY bow_fp""".stripMargin,
+
+    // Containment mirror: the q12 shingle join without the d1 < d2
+    // symmetry cut, normalized by the INNER side's shingle count.
+    "q158_containment" ->
+      s"""WITH $ShingleCtes,
+         |inter AS (
+         |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT inner_id, outer_id, round(i * 1.0 / x.sz, 6) AS containment
+         |FROM inter JOIN sz x ON inner_id = x.doc_id
+         |WHERE round(i * 1.0 / x.sz, 6) >= 0.5
+         |ORDER BY inner_id, outer_id""".stripMargin,
 
     // Fertility mirror: vocab = terms with corpus count >= 2 (the
     // buildVocab minCount), OOV = not in that set.

@@ -831,6 +831,45 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /**
+   * Shingle CONTAINMENT pairs — the ASYMMETRIC near-dup relation
+   * resemblance misses (Broder's original distinction: resemblance
+   * for "roughly the same", containment for "roughly contained in"):
+   * c(inner→outer) = |A∩B| / |A|. A short doc quoted whole inside a
+   * long one scores c ≈ 1 while its Jaccard ≈ |A|/|B| can sit far
+   * below any resemblance threshold — wrapper pages, quote posts,
+   * aggregator reprints. Directed output: (inner_doc, outer_doc, both
+   * directions emitted when both clear τ).
+   *
+   * Scale shape: the q12 shingle self-join (Σ df² candidate rows,
+   * partial-agg'd per pair) — the exact verification tier by declared
+   * design. At 100 TB screen first: banding under-selects asymmetric
+   * pairs (the small side's minima are swamped by the big side's), so
+   * the right production screen is the [[hashedFeatures]] inverted
+   * index or [[prefixFilterJaccardPairs]]' df-cut generalized to the
+   * SMALL side's shingles — candidates from the inner doc's rarest
+   * shingles, which this operator then scores exactly.
+   */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = graft.Caching.persist(shingles(docs, n))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    sh.select(col("doc").as("inner_doc"), col("shingle"))
+      .join(sh.select(col("doc").as("outer_doc"), col("shingle")), "shingle")
+      .where(col("inner_doc") =!= col("outer_doc"))
+      .groupBy(col("inner_doc"), col("outer_doc"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("inner_doc"), col("sz")), Seq("inner_doc"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("inner_doc"), col("outer_doc"), col("containment"))
+  }
+
   /** Per-doc unigram term-frequency vectors (doc, term, tf) — the
     * WEIGHTED sets of the weighted-Jaccard tier. One shuffle with
     * map-side combine; rows bounded by Σ per-doc distinct terms. */
@@ -1571,6 +1610,24 @@ object Dedup {
    *
    * @return (doc, bucket, weight) with weight != 0
    */
+  /**
+   * Hashing-trick dimension sizing rule, in code (the deriveLshBits
+   * convention; HashedStressMain measured the failure mode): the
+   * inverted-index tier discriminates only while feature buckets stay
+   * cold, which needs dims ≳ vocabulary — with vocab ≫ dims EVERY
+   * bucket goes hot and candidate generation degenerates to all-pairs
+   * (or, guarded, to nothing). Rule: next power of two ≥ 2·vocab
+   * (load factor ≤ 0.5 keeps the birthday-collision weight noise
+   * negligible), clamped to [64, 2^22]. Callers measure vocab with a
+   * cheap distinct-term count — the deriveLshBits(n) calling shape.
+   */
+  def deriveHashedDims(vocabSize: Long): Int = {
+    require(vocabSize >= 0, s"vocabSize must be >= 0, got $vocabSize")
+    val needed = java.lang.Long.highestOneBit(
+      math.max(1L, 2L * vocabSize - 1L)) * 2L
+    math.min(1 << 22, math.max(64L, needed)).toInt
+  }
+
   def hashedFeatures(docs: DataFrame, dims: Int = 64): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     val h = md5(concat(lit("fh:"), col("term")))

@@ -686,6 +686,32 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array(("d1", "h1", 1.0))
   }
 
+  test("containmentPairs: asymmetric — quoted-whole doc scores 1.0 inward, low outward") {
+    val cor = corpus(
+      "small" -> "a b c d",                          // 2 distinct 3-shingles
+      "big" -> "x y z a b c d q r s t u v w",       // quotes small whole
+      "other" -> "completely different words here today")
+    val got = Dedup.containmentPairs(cor, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // small's 2 shingles both appear in big → containment 1.0
+    got(("small", "big")) shouldBe 1.0
+    // the reverse direction: 2 of big's 12 shingles → 1/6 < τ, absent
+    got.keySet should not contain (("big", "small"))
+    // and resemblance would miss it: jaccard = 2/12 < 0.5
+    Dedup.ngramJaccardPairs(cor, n = 3, threshold = 0.5).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.containmentPairs(cor, threshold = 0.0)
+  }
+
+  test("deriveHashedDims: next pow2 >= 2*vocab, clamped to [64, 2^22]") {
+    Dedup.deriveHashedDims(0L) shouldBe 64
+    Dedup.deriveHashedDims(32L) shouldBe 64
+    Dedup.deriveHashedDims(33L) shouldBe 128
+    Dedup.deriveHashedDims(40010L) shouldBe 131072
+    Dedup.deriveHashedDims(10000000L) shouldBe (1 << 22)
+  }
+
   test("bowGroups collapses shuffled copies; distinct multisets stay apart") {
     val cor = corpus(
       "a" -> "the quick brown fox",
