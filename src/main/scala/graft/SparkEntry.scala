@@ -356,6 +356,17 @@ object SparkEntry {
     * pairs — the exact answer both the all-pairs tier (q12, τ=0.5) and
     * the prefix-filtered tier (q121, τ=0.8 — its intended high-τ
     * near-dup operating point) must reproduce. */
+  private def containmentSql: String =
+    s"""WITH $ShingleCtes,
+       |inter AS (
+       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT inner_id, outer_id, round(i * 1.0 / x.sz, 6) AS containment
+       |FROM inter JOIN sz x ON inner_id = x.doc_id
+       |WHERE round(i * 1.0 / x.sz, 6) >= 0.5
+       |ORDER BY inner_id, outer_id""".stripMargin
+
   private def ngramJaccardSql(threshold: Double) =
     s"""WITH $ShingleCtes,
        |inter AS (
@@ -2446,6 +2457,16 @@ object SparkEntry {
           col("outer_doc").as("outer_id"), col("containment"))
         .orderBy(col("inner_id"), col("outer_id"))),
 
+    // DF-screened exact containment: rare-shingle probes + the
+    // hot-mass fallback bound — deterministic recall, oracle = q158's
+    // brute SQL verbatim (ContainmentProperties re-proves equality).
+    "q158b_containment_screened" -> ((s, dir) =>
+      Dedup.containmentPairsScreened(docs(s, dir), n = 3, threshold = 0.5,
+          maxDf = 10L)
+        .select(col("inner_doc").as("inner_id"),
+          col("outer_doc").as("outer_id"), col("containment"))
+        .orderBy(col("inner_id"), col("outer_id"))),
+
     // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
     // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
     "q155_tokenizer_fertility" -> ((s, dir) => {
@@ -3362,16 +3383,11 @@ object SparkEntry {
 
     // Containment mirror: the q12 shingle join without the d1 < d2
     // symmetry cut, normalized by the INNER side's shingle count.
-    "q158_containment" ->
-      s"""WITH $ShingleCtes,
-         |inter AS (
-         |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT inner_id, outer_id, round(i * 1.0 / x.sz, 6) AS containment
-         |FROM inter JOIN sz x ON inner_id = x.doc_id
-         |WHERE round(i * 1.0 / x.sz, 6) >= 0.5
-         |ORDER BY inner_id, outer_id""".stripMargin,
+    // q158b (the df-screened operator) gets the SAME SQL verbatim —
+    // the q121/q81 invisible-optimization pattern: any screened-out
+    // true pair fails the hash compare.
+    "q158_containment" -> containmentSql,
+    "q158b_containment_screened" -> containmentSql,
 
     // Fertility mirror: vocab = terms with corpus count >= 2 (the
     // buildVocab minCount), OOV = not in that set.

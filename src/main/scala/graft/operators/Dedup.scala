@@ -870,6 +870,63 @@ object Dedup {
       .select(col("inner_doc"), col("outer_doc"), col("containment"))
   }
 
+  /**
+   * DF-SCREENED exact containment join — [[containmentPairs]] with the
+   * prefix-filter argument adapted to the asymmetric relation: a pair
+   * with round-6 containment ≥ τ shares more than |A|·τ − 1 of A's
+   * shingles, so when A's HOT-shingle count (df > maxDf) is strictly
+   * below |A|·τ − 1, at least one shared shingle is rare — probing
+   * only A's rare shingles cannot miss the pair. Docs violating that
+   * bound (stop-mass-dominated A's) fall back to probing ALL their
+   * shingles, so the screen is EXACT for every doc by construction —
+   * the q121/q81 invisible-optimization pattern, oracle = q158's SQL
+   * verbatim, ContainmentProperties re-proves equality on random
+   * corpora.
+   *
+   * Scale shape: candidate rows ≈ Σ_rare df² bounded by maxDf per
+   * probe shingle (vs the brute tier's full Σ df², which one
+   * boilerplate shingle makes quadratic); the exact verify then joins
+   * full shingle sets of CANDIDATE pairs only. Fallback docs pay their
+   * full fan-out — on head-dominated corpora (the shape that needs
+   * the screen) a doc made mostly of stop shingles is boilerplate the
+   * quality tiers drop before dedup anyway.
+   */
+  def containmentPairsScreened(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Long = 1000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sh = graft.Caching.persist(shingles(docs, n))
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val shDf = graft.Caching.persist(sh.join(dfs, Seq("shingle")))
+    val sizes = shDf.groupBy(col("doc")).agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("_df") > maxDf, 1L).otherwise(0L)).as("_hot"))
+    val probes = shDf.join(sizes, Seq("doc"))
+      .where(col("_df") <= maxDf ||
+        !(col("_hot").cast("double") < col("sz") * threshold - 1.0))
+      .select(col("doc").as("inner_doc"), col("shingle"))
+    val cands = probes
+      .join(sh.select(col("doc").as("outer_doc"), col("shingle")), "shingle")
+      .where(col("inner_doc") =!= col("outer_doc"))
+      .select(col("inner_doc"), col("outer_doc")).distinct()
+    val inter = cands
+      .join(sh.select(col("doc").as("inner_doc"), col("shingle")), Seq("inner_doc"))
+      .join(sh.select(col("doc").as("outer_doc"), col("shingle")),
+        Seq("outer_doc", "shingle"))
+      .groupBy(col("inner_doc"), col("outer_doc"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("inner_doc"), col("sz")), Seq("inner_doc"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("inner_doc"), col("outer_doc"), col("containment"))
+  }
+
   /** Per-doc unigram term-frequency vectors (doc, term, tf) — the
     * WEIGHTED sets of the weighted-Jaccard tier. One shuffle with
     * map-side combine; rows bounded by Σ per-doc distinct terms. */
