@@ -88,6 +88,26 @@ object PrefixStressMain {
     val tBz = (System.nanoTime() - t0) / 1e9
     println(f"ZIPF_BRUTE (tau=$threshold): $tBz%.1f s, pairs=$nBz")
     require(nPz == nBz, s"answer mismatch: prefix=$nPz brute=$nBz")
+
+    // ── containment tier, same Zipf fixture (q158b's economics) ──────
+    // True directed pairs: 2g ⊂ 2g+1 at 1.0 and the reverse at 23/24 —
+    // 2 per group. Every doc is SAFE at maxDf = 4 (hot = the 8 head
+    // shingles < sz·τ − 1 ≈ 17.4), so the screen probes rare shingles
+    // only; the brute tier pays the same Σ df² as jaccard, doubled by
+    // the missing d1 < d2 symmetry cut.
+    var t1 = System.nanoTime()
+    val cs = Dedup.containmentPairsScreened(zipf, threshold = threshold,
+      maxDf = 4L)
+    val nCs = cs.count()
+    val tCs = (System.nanoTime() - t1) / 1e9
+    println(f"ZIPF_CONTAIN_SCREENED (tau=$threshold, maxDf=4): $tCs%.1f s, pairs=$nCs")
+
+    t1 = System.nanoTime()
+    val cb = Dedup.containmentPairs(zipf, threshold = threshold)
+    val nCb = cb.count()
+    val tCb = (System.nanoTime() - t1) / 1e9
+    println(f"ZIPF_CONTAIN_BRUTE: $tCb%.1f s, pairs=$nCb")
+    require(nCs == nCb, s"answer mismatch: screened=$nCs brute=$nCb")
     spark.stop()
   }
 }
