@@ -2531,6 +2531,13 @@ object SparkEntry {
       graft.operators.Events.hourlyAnomalies(events(s, dir), zThreshold = 2.0)
         .orderBy(col("event_type"), col("hour_start"))),
 
+    // Pairwise metric correlation: Pearson r over hourly micro-sums on
+    // the common hour grid, moments exact in DECIMAL(38,0), one final
+    // round-6 double — the q123 recipe lifted to two series.
+    "q159_type_correlation" -> ((s, dir) =>
+      graft.operators.Events.typeCorrelation(events(s, dir))
+        .orderBy(col("type_a"), col("type_b"))),
+
     // KMV-sketch source overlap: q122's matrix from O(S·k) sketch
     // state instead of the full distinct-fp exchange — deterministic
     // 60-bit md5 hashes, so sketch contents and estimates replay
@@ -6009,6 +6016,39 @@ object SparkEntry {
         |       coalesce(abs(z) > 2.0, false) AS is_anomaly
         |FROM z
         |ORDER BY event_type, hour_start""".stripMargin,
+
+    // Correlation mirror: HUGEINT moments (DuckDB's exact 128-bit
+    // integer — the decimal(38,0) twin), identical double formula.
+    "q159_type_correlation" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, h.hour_start, coalesce(c.v, 0)::BIGINT AS v
+        |  FROM (SELECT DISTINCT hour_start FROM cells) h
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+        |  LEFT JOIN cells c
+        |    ON c.event_type = t.event_type AND c.hour_start = h.hour_start),
+        |m AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*)::BIGINT AS n_hours,
+        |         sum(a.v::HUGEINT) AS sa, sum(b.v::HUGEINT) AS sb,
+        |         sum(a.v::HUGEINT * a.v::HUGEINT) AS qa,
+        |         sum(b.v::HUGEINT * b.v::HUGEINT) AS qb,
+        |         sum(a.v::HUGEINT * b.v::HUGEINT) AS sab
+        |  FROM grid a JOIN grid b
+        |    ON a.hour_start = b.hour_start AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_hours,
+        |       CASE WHEN (n_hours::HUGEINT * qa - sa * sa) > 0
+        |             AND (n_hours::HUGEINT * qb - sb * sb) > 0 THEN
+        |         round((n_hours::HUGEINT * sab - sa * sb)::DOUBLE /
+        |               (sqrt((n_hours::HUGEINT * qa - sa * sa)::DOUBLE) *
+        |                sqrt((n_hours::HUGEINT * qb - sb * sb)::DOUBLE)), 6)
+        |       END AS r
+        |FROM m
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q104_integrity_audit" ->
       """SELECT

@@ -524,4 +524,66 @@ object Events {
     val wts = (0 until nRows).map(k => math.pow(1.0 - alpha, k))
     (wts, wts.scanLeft(0.0)(_ + _).tail)
   }
+
+  /**
+   * Pairwise event-type CORRELATION over hourly value series — the
+   * metric-dashboard "which signals move together" matrix (capacity
+   * coupling, cascading-failure detection, redundant-metric pruning):
+   * Pearson r between every pair of event types' hourly value sums,
+   * on the COMMON hour grid — hours where any event fired, with an
+   * absent (type, hour) cell counting 0 (a type silent while another
+   * spikes is anti-correlated, which dropping the row would hide).
+   *
+   * Determinism, the q123 z-score recipe generalized: values lift to
+   * micro longs, every moment (Σx, Σx², Σxy) accumulates as exact
+   * DECIMAL(38,0) — the q113 covering type for micro² × hours
+   * products — and r evaluates ONCE in double from those exact
+   * integers, round-6. Degenerate series (zero variance) emit null r.
+   *
+   * Scale shape: the only event-scale exchange is the (type, hour)
+   * cell aggregate (map-side combined); the grid completion is a
+   * hours×types frame (dashboard-sized), the pair join fans each hour
+   * row to T² pairs with T bounded, and the final aggregate is
+   * pair-keyed. Decimals never surface in the output (the q134
+   * rendering lesson) — r is double, counts are long.
+   *
+   * @return (type_a, type_b, n_hours, r) with type_a < type_b
+   */
+  def typeCorrelation(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = graft.Caching.persist(events
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .withColumn("vmicro", round(col("value") * 1e6).cast("long"))
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(sum(col("vmicro")).as("v")))
+    val grid = cells.select(col("hour_start")).distinct()
+      .crossJoin(broadcast(cells.select(col("event_type")).distinct()))
+      .join(cells, Seq("event_type", "hour_start"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0L)))
+    val a = grid.select(col("hour_start"),
+      col("event_type").as("type_a"), col("v").as("_va"))
+    val b = grid.select(col("hour_start"),
+      col("event_type").as("type_b"), col("v").as("_vb"))
+    a.join(b, Seq("hour_start")).where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(dec(col("_va"))).as("_sa"),
+        sum(dec(col("_vb"))).as("_sb"),
+        sum(dec(col("_va")) * dec(col("_va"))).as("_qa"),
+        sum(dec(col("_vb")) * dec(col("_vb"))).as("_qb"),
+        sum(dec(col("_va")) * dec(col("_vb"))).as("_sab"))
+      .withColumn("_num",
+        dec(col("n_hours")) * col("_sab") - col("_sa") * col("_sb"))
+      .withColumn("_da",
+        dec(col("n_hours")) * col("_qa") - col("_sa") * col("_sa"))
+      .withColumn("_db",
+        dec(col("n_hours")) * col("_qb") - col("_sb") * col("_sb"))
+      .withColumn("r",
+        when(col("_da") > 0 && col("_db") > 0,
+          round(col("_num").cast("double") /
+            (sqrt(col("_da").cast("double")) * sqrt(col("_db").cast("double"))),
+            6)))
+      .select(col("type_a"), col("type_b"), col("n_hours"), col("r"))
+  }
 }

@@ -413,4 +413,37 @@ class EventsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Events.ewmaWeights(10, 1.0)
   }
+
+  test("typeCorrelation: perfect +/- correlation, zero-fill on the common grid, degenerate null") {
+    // hours 0..2: a = 1, 2, 3; b = 2, 4, 6 (r = 1); c = 3, 2, 1 (r = -1
+    // vs a); d fires ONLY in hour 0 (zero-filled elsewhere); e constant
+    // (zero variance → null r against everyone)
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 01:10:00", 1L, "a", 2.0),
+      (3L, "2024-01-01 02:10:00", 1L, "a", 3.0),
+      (4L, "2024-01-01 00:10:00", 1L, "b", 2.0),
+      (5L, "2024-01-01 01:10:00", 1L, "b", 4.0),
+      (6L, "2024-01-01 02:10:00", 1L, "b", 6.0),
+      (7L, "2024-01-01 00:10:00", 1L, "c", 3.0),
+      (8L, "2024-01-01 01:10:00", 1L, "c", 2.0),
+      (9L, "2024-01-01 02:10:00", 1L, "c", 1.0),
+      (10L, "2024-01-01 00:10:00", 1L, "d", 5.0),
+      (11L, "2024-01-01 00:10:00", 1L, "e", 7.0),
+      (12L, "2024-01-01 01:10:00", 1L, "e", 7.0),
+      (13L, "2024-01-01 02:10:00", 1L, "e", 7.0))
+    val got = Events.typeCorrelation(ev(rows: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    got.size shouldBe 10 // all 5·4/2 pairs present
+    got(("a", "b")) shouldBe ((3L, Some(1.0)))
+    got(("a", "c")) shouldBe ((3L, Some(-1.0)))
+    // d zero-fills hours 1, 2 → series 5, 0, 0 vs a's 1, 2, 3:
+    // r = (3·5e12 − 5e6·6e6)/(sqrt(3·25e12 − 25e12)·sqrt(3·14e12 − 36e12))
+    //   = −15/(sqrt(50)·sqrt(6)) = −0.866025
+    got(("a", "d"))._2 shouldBe Some(-0.866025)
+    // e has zero variance → null r in every pair it joins
+    got(("a", "e"))._2 shouldBe None
+    got(("d", "e"))._2 shouldBe None
+  }
 }
