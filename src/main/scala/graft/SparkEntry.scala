@@ -352,12 +352,48 @@ object SparkEntry {
 
   private val SimhashCtes = simhashCtes(16)
 
-  /** q12/q121 oracle: brute-force word-3-gram Jaccard ≥ threshold
-    * pairs — the exact answer both the all-pairs tier (q12, τ=0.5) and
-    * the prefix-filtered tier (q121, τ=0.8 — its intended high-τ
-    * near-dup operating point) must reproduce. */
-  private def containmentSql: String =
-    s"""WITH $ShingleCtes,
+  /** q153b/q153d oracle: hashed sparse cosine over the fhs-sampled
+    * docs (q153d's auto dims resolve to the same 64 on this corpus). */
+  private def hashedCosineSampleSql: String =
+    s"""WITH samp AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE (${duckMd5Bucket("'fhs:' || doc_id")}) < 200000),
+           |tk AS (
+           |  SELECT doc_id,
+           |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
+           |  FROM samp),
+           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+           |hf AS (
+           |  SELECT doc_id, tf,
+           |    (list_sum(list_transform(range(1, 9), i ->
+           |        (strpos('0123456789abcdef',
+           |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
+           |          << ((8 - i)::INTEGER * 4))) % 64) AS bucket,
+           |    (1 - 2 * ((strpos('0123456789abcdef',
+           |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
+           |  FROM tf),
+           |hw AS (
+           |  SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
+           |  FROM hf GROUP BY 1, 2 HAVING sum(sign * tf) <> 0),
+           |dots AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         sum(a.weight * b.weight)::BIGINT AS dot
+           |  FROM hw a JOIN hw b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM hw GROUP BY 1)
+           |SELECT doc_a, doc_b,
+           |       round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
+           |FROM dots
+           |JOIN norms na ON na.doc_id = doc_a
+           |JOIN norms nb ON nb.doc_id = doc_b
+           |WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.85
+           |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q158/q158b oracle: brute-force directed containment over `src` —
+    * the screened tier must reproduce it verbatim (q158b runs on the
+    * cns-sampled relation; the SQL shape is identical). */
+  private def containmentSqlFrom(src: String): String =
+    s"""WITH ${shingleCtesFrom(src)},
        |inter AS (
        |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
@@ -367,6 +403,12 @@ object SparkEntry {
        |WHERE round(i * 1.0 / x.sz, 6) >= 0.5
        |ORDER BY inner_id, outer_id""".stripMargin
 
+  private def containmentSql: String = containmentSqlFrom("documents")
+
+  /** q12/q121 oracle: brute-force word-3-gram Jaccard ≥ threshold
+    * pairs — the exact answer both the all-pairs tier (q12, τ=0.5) and
+    * the prefix-filtered tier (q121, τ=0.8 — its intended high-τ
+    * near-dup operating point) must reproduce. */
   private def ngramJaccardSql(threshold: Double) =
     s"""WITH $ShingleCtes,
        |inter AS (
@@ -2428,6 +2470,26 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // AUTO-SIZED hashed cosine (the q5d pattern): dims from the
+    // corpus's own distinct-term count via deriveHashedDims — resolves
+    // to 64 on this sample, so the oracle is q153b's SQL verbatim.
+    "q153d_hashed_cosine_auto" -> ((s, dir) => {
+      val bkt = conv(substring(
+          md5(concat(lit("fhs:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      Dedup.hashedCosinePairsAuto(docs(s, dir).where(bkt < 200000L),
+          threshold = 0.85, maxBucketDocs = 1000000L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-source ZIPF SLOPE: ln(count) over ln(rank) least squares in
+    // exact integer moments — the lexical-diversity data-card row.
+    "q160_zipf_slope" -> ((s, dir) =>
+      graft.operators.Vocab.zipfSlope(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source")
+        .orderBy(col("source"))),
+
     // Incremental hashed-cosine: delta (docs ≥ 250) probes the
     // HISTORY's (docs < 250) inverted index — never a delta self-join;
     // the q52 split, sparse-cosine semantics.
@@ -2460,12 +2522,22 @@ object SparkEntry {
     // DF-screened exact containment: rare-shingle probes + the
     // hot-mass fallback bound — deterministic recall, oracle = q158's
     // brute SQL verbatim (ContainmentProperties re-proves equality).
-    "q158b_containment_screened" -> ((s, dir) =>
-      Dedup.containmentPairsScreened(docs(s, dir), n = 3, threshold = 0.5,
-          maxDf = 10L)
+    // Screened containment on a ~30 % doc sample (the q153b sampling
+    // convention): this row demonstrates EXACTNESS vs the brute SQL on
+    // the same relation; the screen's economics are measured where its
+    // corpus shape exists (PrefixStressMain's Zipf fixture, 10.6×) —
+    // on THIS flat-vocab fixture nearly every doc takes the full
+    // fallback, the same recorded loss as the prefix filter's.
+    "q158b_containment_screened" -> ((s, dir) => {
+      val bkt = conv(substring(
+          md5(concat(lit("cns:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      Dedup.containmentPairsScreened(docs(s, dir).where(bkt < 300000L),
+          n = 3, threshold = 0.5, maxDf = 10L)
         .select(col("inner_doc").as("inner_id"),
           col("outer_doc").as("outer_id"), col("containment"))
-        .orderBy(col("inner_id"), col("outer_id"))),
+        .orderBy(col("inner_id"), col("outer_id"))
+    }),
 
     // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
     // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
@@ -3305,41 +3377,12 @@ object SparkEntry {
 
     // Sparse-cosine mirror: same hashed vectors on the fhs-sampled
     // docs, all-pairs join on shared buckets, integer dot over integer
-    // norms, one round-6 at the end.
-    "q153b_hashed_cosine" ->
-      s"""WITH samp AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE (${duckMd5Bucket("'fhs:' || doc_id")}) < 200000),
-         |tk AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
-         |  FROM samp),
-         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-         |hf AS (
-         |  SELECT doc_id, tf,
-         |    (list_sum(list_transform(range(1, 9), i ->
-         |        (strpos('0123456789abcdef',
-         |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
-         |          << ((8 - i)::INTEGER * 4))) % 64) AS bucket,
-         |    (1 - 2 * ((strpos('0123456789abcdef',
-         |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
-         |  FROM tf),
-         |hw AS (
-         |  SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
-         |  FROM hf GROUP BY 1, 2 HAVING sum(sign * tf) <> 0),
-         |dots AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         sum(a.weight * b.weight)::BIGINT AS dot
-         |  FROM hw a JOIN hw b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM hw GROUP BY 1)
-         |SELECT doc_a, doc_b,
-         |       round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
-         |FROM dots
-         |JOIN norms na ON na.doc_id = doc_a
-         |JOIN norms nb ON nb.doc_id = doc_b
-         |WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.85
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    // norms, one round-6 at the end. q153d (auto-dims) gets the SAME
+    // SQL verbatim: deriveHashedDims lands on 64 for any vocabulary
+    // <= 32, and the sample's is 31 — the q5d resolving-to-identical
+    // pattern.
+    "q153b_hashed_cosine" -> hashedCosineSampleSql,
+    "q153d_hashed_cosine_auto" -> hashedCosineSampleSql,
 
     // Incremental sparse-cosine mirror: hashed vectors over the full
     // corpus, delta×history join on shared buckets (the guard is wide
@@ -3394,7 +3437,9 @@ object SparkEntry {
     // the q121/q81 invisible-optimization pattern: any screened-out
     // true pair fails the hash compare.
     "q158_containment" -> containmentSql,
-    "q158b_containment_screened" -> containmentSql,
+    "q158b_containment_screened" -> containmentSqlFrom(
+      s"""(SELECT doc_id, text FROM documents
+         | WHERE (${duckMd5Bucket("'cns:' || doc_id")}) < 300000)""".stripMargin),
 
     // Fertility mirror: vocab = terms with corpus count >= 2 (the
     // buildVocab minCount), OOV = not in that set.
@@ -3415,6 +3460,38 @@ object SparkEntry {
         |       round(sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) * 1.0
         |             / count(*), 6) AS oov_rate
         |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Zipf-slope mirror: deterministic (cnt DESC, term) ranks, ln
+    // values micro-quantized before any sum, HUGEINT moments, one
+    // round-6 double.
+    "q160_zipf_slope" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, term) AS rnk
+        |  FROM tf),
+        |m AS (
+        |  SELECT source,
+        |         CAST(round(ln(rnk::DOUBLE) * 1e6) AS BIGINT) AS x,
+        |         CAST(round(ln(cnt::DOUBLE) * 1e6) AS BIGINT) AS y
+        |  FROM rk),
+        |agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_terms,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
+        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT source, n_terms,
+        |       CASE WHEN (n_terms::HUGEINT * qx - sx * sx) > 0 THEN
+        |         round((n_terms::HUGEINT * sxy - sx * sy)::DOUBLE /
+        |               (n_terms::HUGEINT * qx - sx * sx)::DOUBLE, 6)
+        |       END AS slope
+        |FROM agg ORDER BY source""".stripMargin,
 
     // Entropy mirror: same per-term floor quantization, ln on the
     // direct tot/tf quotient (never 1/(tf/tot)).

@@ -1759,6 +1759,25 @@ object Dedup {
   }
 
   /**
+   * [[hashedCosinePairs]] with dims AUTO-SIZED from the corpus's own
+   * distinct-term count via [[deriveHashedDims]] — the q5d pattern: the
+   * sizing rule HashedStressMain measured, applied in code instead of
+   * left to the caller. The vocabulary count is one driver action over
+   * a V-bounded aggregate (the nearDupScreen hot-set kind of
+   * plan-sizing decision), after which the plan is [[hashedCosinePairs]]
+   * verbatim — on any corpus where the rule lands on the same dims a
+   * caller would pass, the answer is identical by construction (the
+   * q153d oracle is q153b's SQL verbatim for exactly that reason).
+   */
+  def hashedCosinePairsAuto(
+      docs: DataFrame,
+      threshold: Double = 0.9,
+      maxBucketDocs: Long = 100000L): DataFrame = {
+    val vocab = termWeights(docs).select(col("term")).distinct().count()
+    hashedCosinePairs(docs, deriveHashedDims(vocab), threshold, maxBucketDocs)
+  }
+
+  /**
    * BAG-OF-WORDS fingerprint — md5 of the SORTED token multiset: the
    * dedup key order-insensitive duplicates hide behind. Exact dedup
    * (q11) misses a shuffled copy entirely and MinHash (q13) only

@@ -164,6 +164,57 @@ object Vocab {
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
 
   /**
+   * Per-group ZIPF SLOPE — the lexical-diversity diagnostic for data
+   * cards: least-squares slope of ln(count) over ln(rank) across the
+   * group's frequency-ranked vocabulary. Natural text sits near −1
+   * (Zipf's law); a feed drifting toward 0 is template/boilerplate
+   * mass (flat frequencies), one plunging far below −1 is a
+   * degenerate head — both worth a look before the feed enters a mix,
+   * and the measured shape behind this repo's head-dominated stress
+   * fixtures.
+   *
+   * Determinism, the q159 moment recipe: ranks are integers from a
+   * deterministic (cnt DESC, term) order, ln values lift to micro
+   * longs BEFORE any aggregation, moments accumulate as exact
+   * DECIMAL(38,0), and the slope evaluates once in double, round-6.
+   * Groups with one distinct term have zero rank variance → null.
+   *
+   * Scale shape: one (group, term) count shuffle, one vocab-scale
+   * rank window per group (vocabulary rows, not corpus rows), one
+   * group-keyed moment aggregate. Nothing collects.
+   *
+   * @param docs (groupCol, line)
+   * @return (groupCol, n_terms, slope)
+   */
+  def zipfSlope(docs: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("term"))
+    docs
+      .select(col(groupCol), explode(toks(col("line"))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("x", round(log(col("rnk").cast("double")) * 1e6).cast("long"))
+      .withColumn("y", round(log(col("cnt").cast("double")) * 1e6).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(dec(col("x"))).as("_sx"),
+        sum(dec(col("y"))).as("_sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("_qx"),
+        sum(dec(col("x")) * dec(col("y"))).as("_sxy"))
+      .withColumn("_num",
+        dec(col("n_terms")) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den",
+        dec(col("n_terms")) * col("_qx") - col("_sx") * col("_sx"))
+      .withColumn("slope",
+        when(col("_den") > 0,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6)))
+      .select(col(groupCol), col("n_terms"), col("slope"))
+  }
+
+  /**
    * TOKENIZER FERTILITY per group (usually language) — the standard
    * tokenizer-evaluation table (chars-per-token is the "fertility"
    * metric tokenizer papers report per language): for each group,

@@ -712,6 +712,22 @@ class DedupSpec extends SparkSpec {
     Dedup.deriveHashedDims(10000000L) shouldBe (1 << 22)
   }
 
+  test("hashedCosinePairsAuto applies the sizing rule across the 64/128 boundary") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sorted.toSeq
+    // 6 distinct terms → dims 64
+    val small = corpus("a" -> "p q p r", "b" -> "r p q p", "c" -> "s t u")
+    pairsOf(Dedup.hashedCosinePairsAuto(small, threshold = 0.5)) shouldBe
+      pairsOf(Dedup.hashedCosinePairs(small, dims = 64, threshold = 0.5))
+    // 40 distinct terms (> 32) → the rule must flip to dims 128
+    val bigLines = (0 until 4).map(i =>
+      s"d$i" -> ((0 until 10).map(j => s"t${i}_$j").mkString(" ") + " shared"))
+    val big = corpus(bigLines :+ ("dup" -> bigLines.head._2): _*)
+    pairsOf(Dedup.hashedCosinePairsAuto(big, threshold = 0.5)) shouldBe
+      pairsOf(Dedup.hashedCosinePairs(big, dims = 128, threshold = 0.5))
+  }
+
   test("bowGroups collapses shuffled copies; distinct multisets stay apart") {
     val cor = corpus(
       "a" -> "the quick brown fox",

@@ -127,6 +127,31 @@ class VocabSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Vocab.vocabDiff(a, b, 0)
   }
 
+  test("zipfSlope matches a local micro-moment replication; single-term group null") {
+    val d = corpus("1" -> "x x x x y y z", "2" -> "w w w")
+      .withColumn("src",
+        org.apache.spark.sql.functions.when(C("doc") === "2", "s2").otherwise("s1"))
+    val got = Vocab.zipfSlope(d, "src").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // s1: counts x:4, y:2, z:1 → ranks 1, 2, 3; replicate the exact
+    // micro-long least squares locally
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (rnk, cnt) =>
+      (math.round(math.log(rnk.toDouble) * 1e6),
+        math.round(math.log(cnt.toDouble) * 1e6))
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val qx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = BigDecimal((n * sxy - sx * sy).toDouble / (n * qx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got("s1") shouldBe ((3L, Some(slope)))
+    slope should be < -0.5 // a Zipf-ish head: decidedly negative
+    // s2: one distinct term → zero rank variance → null
+    got("s2") shouldBe ((1L, None))
+  }
+
   test("tokenizerFertility: per-group chars/token and OOV vs the trained vocab") {
     val d = corpus(
       "1" -> "aa bb aa",    // en
