@@ -45,6 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin
     "q104_integrity_audit", // 1-row report-combining crosses only
+    "q159_type_correlation", // the hour-grid completion: distinct hours
+                             // × the ≤T-row broadcast type list — a
+                             // dashboard-sized deliberate cross, never
+                             // event-scale
     "q108_embedding_decontaminate", // exact decontamination screen: the
                                     // q15-shaped broadcast of the small
                                     // bench set over one corpus scan

@@ -113,4 +113,13 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q156_preference_pairs") shouldBe
       Seq(Set("doc_id", "source", "text"))
   }
+
+  test("q159 correlation scan reads only ts, event_type, value") {
+    readSchemas("q159_type_correlation") shouldBe
+      Seq(Set("ts", "event_type", "value"))
+  }
+
+  test("q160 zipf-slope scan reads only source and text") {
+    readSchemas("q160_zipf_slope") shouldBe Seq(Set("source", "text"))
+  }
 }
