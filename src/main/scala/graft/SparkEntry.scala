@@ -2539,6 +2539,17 @@ object SparkEntry {
         .orderBy(col("inner_id"), col("outer_id"))
     }),
 
+    // Incremental BOW dedup: the q40 anti-join on the order-
+    // insensitive fingerprint — delta (docs ≥ 250) vs history.
+    "q154b_bow_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bowDedupAgainst(
+          d.where(col("doc") >= 250),
+          Dedup.bowFingerprints(d.where(col("doc") < 250)))
+        .select(col("doc").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
     // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
     "q155_tokenizer_fertility" -> ((s, dir) => {
@@ -3440,6 +3451,18 @@ object SparkEntry {
     "q158b_containment_screened" -> containmentSqlFrom(
       s"""(SELECT doc_id, text FROM documents
          | WHERE (${duckMd5Bucket("'cns:' || doc_id")}) < 300000)""".stripMargin),
+
+    // Incremental BOW mirror: NOT IN over the history fingerprint set.
+    "q154b_bow_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_sort(
+        |           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), ' ')) AS f
+        |  FROM documents)
+        |SELECT doc_id FROM fp
+        |WHERE doc_id >= 250
+        |  AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
 
     // Fertility mirror: vocab = terms with corpus count >= 2 (the
     // buildVocab minCount), OOV = not in that set.

@@ -1803,6 +1803,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc")).as("keeper"))
 
   /**
+   * Incremental BOW dedup — [[exactDedupAgainst]] on the
+   * order-insensitive key: drop arriving docs whose SORTED token
+   * multiset already exists in `seenBowFps` (a single `bow_fp` column,
+   * e.g. persisted from [[bowGroups]]). Same anti-join scale shape,
+   * same does-not-self-dedup contract (compose with [[bowGroups]]'
+   * keeper filter when the increment may carry internal shuffled dups).
+   */
+  def bowDedupAgainst(newDocs: DataFrame, seenBowFps: DataFrame): DataFrame =
+    newDocs.join(seenBowFps.select(col("bow_fp")),
+      md5(array_join(array_sort(tokensCol(col("line"))), " ")) === col("bow_fp"),
+      "left_anti")
+
+  /**
    * Incremental [[hashedCosinePairs]] — the daily-ingest twin (the
    * q40/q52/q152 family): arriving docs' hashed vectors probe the
    * HISTORY's inverted index on cold buckets; intra-delta pairs are

@@ -1121,6 +1121,25 @@ object StreamingOps {
   }
 
   /**
+   * Stream-static BOW dedup screen — [[graft.operators.Dedup
+   * .bowDedupAgainst]]'s streaming twin: drop arriving docs whose
+   * SORTED-token-multiset fingerprint already exists in the static
+   * history (shuffled copies of history docs, which the md5(line)
+   * screen passes). STATELESS: the fingerprint is one row-local
+   * sort+hash and the anti-join is stream-static — no watermark, no
+   * state store; the history fingerprint set is planned once and
+   * reused every micro-batch (broadcast it upstream when it fits).
+   */
+  def bowScreen(docs: DataFrame, historyDocs: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val seen = Dedup.bowFingerprints(historyDocs).select(col("bow_fp"))
+    docs.join(seen,
+      md5(array_join(array_sort(Dedup.tokensCol(col("line"))), " ")) ===
+        col("bow_fp"),
+      "left_anti")
+  }
+
+  /**
    * Streaming twin of [[graft.operators.Dedup.hashedCosineAgainst]] —
    * the sparse-cosine near-dup screen for arriving docs against a
    * static history. STATELESS append mode: a streaming doc is one row,

@@ -728,6 +728,20 @@ class DedupSpec extends SparkSpec {
       pairsOf(Dedup.hashedCosinePairs(big, dims = 128, threshold = 0.5))
   }
 
+  test("bowDedupAgainst drops shuffled history copies that md5(line) misses") {
+    val hist = corpus("h1" -> "the quick brown fox")
+    val delta = corpus(
+      "d1" -> "fox brown quick the", // shuffled copy of h1 → must drop
+      "d2" -> "genuinely new words")
+    val bow = Dedup.bowDedupAgainst(delta, Dedup.bowFingerprints(hist))
+      .collect().map(_.getString(0))
+    bow shouldBe Array("d2")
+    // the exact (order-sensitive) screen would keep BOTH
+    Dedup.exactDedupAgainst(delta,
+      hist.select(org.apache.spark.sql.functions.md5(col("line")).as("fp")))
+      .count() shouldBe 2L
+  }
+
   test("bowGroups collapses shuffled copies; distinct multisets stay apart") {
     val cor = corpus(
       "a" -> "the quick brown fox",

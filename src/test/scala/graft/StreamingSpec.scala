@@ -1026,6 +1026,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bowScreen drops shuffled history copies, passes novel docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val history = Seq(("h1", "the quick brown fox")).toDF("doc", "line")
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.bowScreen(input.toDF().toDF("doc", "line"), history)
+      .writeStream.format("memory").queryName("bowscreen")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ("n1", "fox brown quick the"), // shuffled copy → dropped
+        ("n2", "novel words here"))
+      q.processAllAvailable()
+      val got = spark.table("bowscreen").collect().map(_.getString(0)).toSeq
+      got shouldBe Seq("n2")
+      // batch-twin parity
+      val batch = graft.operators.Dedup.bowDedupAgainst(
+          Seq(("n1", "fox brown quick the"), ("n2", "novel words here"))
+            .toDF("doc", "line"),
+          graft.operators.Dedup.bowFingerprints(history))
+        .collect().map(_.getString(0)).toSeq
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming hashedCosineScreen matches the batch incremental twin exactly") {
     val s = spark
     import s.implicits._
