@@ -2614,6 +2614,13 @@ object SparkEntry {
       graft.operators.Events.hourlyAnomalies(events(s, dir), zThreshold = 2.0)
         .orderBy(col("event_type"), col("hour_start"))),
 
+    // Robust anomalies: the q123 monitor's median/MAD twin (modified
+    // z-score, 0.6745, threshold 3.5) — 50 %-breakdown estimators that
+    // one spike cannot drag (masking).
+    "q161_events_anomaly_robust" -> ((s, dir) =>
+      graft.operators.Events.hourlyAnomaliesRobust(events(s, dir))
+        .orderBy(col("event_type"), col("hour_start"))),
+
     // Pairwise metric correlation: Pearson r over hourly micro-sums on
     // the common hour grid, moments exact in DECIMAL(38,0), one final
     // round-6 double — the q123 recipe lifted to two series.
@@ -6114,6 +6121,34 @@ object SparkEntry {
         |  FROM w)
         |SELECT event_type, hour_start, n_events, z,
         |       coalesce(abs(z) > 2.0, false) AS is_anomaly
+        |FROM z
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    // Robust-anomaly mirror: quantile_cont windows (the interpolated-
+    // percentile twin), identical modified-z expression.
+    "q161_events_anomaly_robust" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour_start, n_events,
+        |         quantile_cont(n_events, 0.5)
+        |           OVER (PARTITION BY event_type) AS med
+        |  FROM c),
+        |m AS (
+        |  SELECT event_type, hour_start, n_events, med,
+        |         quantile_cont(abs(n_events - med), 0.5)
+        |           OVER (PARTITION BY event_type) AS mad
+        |  FROM w),
+        |z AS (
+        |  SELECT event_type, hour_start, n_events,
+        |         CASE WHEN mad > 0 THEN
+        |           round(0.6745 * (n_events - med) / mad, 6)
+        |         END AS z_robust
+        |  FROM m)
+        |SELECT event_type, hour_start, n_events, z_robust,
+        |       coalesce(abs(z_robust) > 3.5, false) AS is_anomaly
         |FROM z
         |ORDER BY event_type, hour_start""".stripMargin,
 

@@ -526,6 +526,47 @@ object Events {
   }
 
   /**
+   * ROBUST hourly anomalies — [[hourlyAnomalies]]' median/MAD twin
+   * (the Iglewicz–Hoberg modified z-score, constant 0.6745): a mean/
+   * stddev z is itself dragged by the outliers it hunts — one huge
+   * spike inflates σ enough to hide a second spike (masking). The
+   * median and MAD are 50 %-breakdown estimators, so the flag
+   * threshold holds even when a third of the hours are bad — the
+   * monitoring-literature default of 3.5 replaces the z-score's 2.
+   *
+   * Determinism: hourly counts are integers; median and MAD are exact
+   * interpolated percentiles over integers (the q43 convention — at
+   * worst k.5 values, exactly representable), and the score is ONE
+   * double expression round-6, identical token-for-token in the
+   * oracle. MAD = 0 (over half the hours identical) → null score,
+   * never a division blow-up.
+   *
+   * Scale shape: identical to [[hourlyAnomalies]] — one (type, hour)
+   * count aggregate, then type-partitioned windows over the
+   * hours-per-type frame (dashboard-sized).
+   */
+  def hourlyAnomaliesRobust(
+      events: DataFrame,
+      zThreshold: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("_med",
+        expr("percentile(n_events, 0.5)").over(byType))
+      .withColumn("_mad",
+        expr("percentile(abs(n_events - _med), 0.5)").over(byType))
+      .withColumn("z_robust",
+        when(col("_mad") > 0,
+          round(lit(0.6745) * (col("n_events") - col("_med")) / col("_mad"), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_robust")) > zThreshold, lit(false)))
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("z_robust"), col("is_anomaly"))
+  }
+
+  /**
    * Pairwise event-type CORRELATION over hourly value series — the
    * metric-dashboard "which signals move together" matrix (capacity
    * coupling, cascading-failure detection, redundant-metric pruning):

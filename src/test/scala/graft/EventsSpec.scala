@@ -414,6 +414,31 @@ class EventsSpec extends SparkSpec {
       Events.ewmaWeights(10, 1.0)
   }
 
+  test("hourlyAnomaliesRobust: MAD flags the spike the mean/std z masks; degenerate MAD null") {
+    // type "a": counts 1,1,1,2,2,40 over 6 hours. Classic z: mean 7.83,
+    // sd ≈ 15.8 → z(40) ≈ 2.03, barely over 2 (and a SECOND spike
+    // would mask it entirely). Robust: med 1.5, |x−med| = .5,.5,.5,.5,.5,38.5
+    // → mad .5 → z_r(40) = 0.6745·38.5/.5 = 51.9365 ≫ 3.5.
+    val rows = Seq(
+      (1L, "2024-01-01 00:10:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 01:10:00", 1L, "a", 1.0),
+      (3L, "2024-01-01 02:10:00", 1L, "a", 1.0)) ++
+      (0 until 2).map(i => (4L + i, "2024-01-01 03:10:00", 1L, "a", 1.0)) ++
+      (0 until 2).map(i => (6L + i, "2024-01-01 04:10:00", 1L, "a", 1.0)) ++
+      (0 until 40).map(i => (10L + i, "2024-01-01 05:10:00", 1L, "a", 1.0)) ++
+      // type "b": over half the hours identical → mad 0 → null score
+      Seq((100L, "2024-01-01 00:20:00", 1L, "b", 1.0),
+        (101L, "2024-01-01 01:20:00", 1L, "b", 1.0),
+        (102L, "2024-01-01 02:20:00", 1L, "b", 1.0))
+    val got = Events.hourlyAnomaliesRobust(ev(rows: _*)).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13)) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    got(("a", "05")) shouldBe ((Some(51.9365), true))
+    // med 1.5, mad 0.5: a count-1 hour scores 0.6745·(−0.5)/0.5 = −0.6745
+    got(("a", "00")) shouldBe ((Some(-0.6745), false))
+    got(("b", "00")) shouldBe ((None, false))
+  }
+
   test("typeCorrelation: perfect +/- correlation, zero-fill on the common grid, degenerate null") {
     // hours 0..2: a = 1, 2, 3; b = 2, 4, 6 (r = 1); c = 3, 2, 1 (r = -1
     // vs a); d fires ONLY in hour 0 (zero-filled elsewhere); e constant
