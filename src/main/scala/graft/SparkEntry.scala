@@ -727,6 +727,15 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))),
 
+    // PMI-expanded BM25: each query term recruits its top-2 PMI
+    // neighbors at weight 0.5 — vocabulary-mismatch recall from the
+    // corpus's own association table, zero extra corpus exchanges.
+    "q162_search_expanded" -> ((s, dir) =>
+      Search.searchBm25Expanded(docs(s, dir), SearchQuery, m = 2,
+          expWeight = 0.5)
+        .select(col("doc").as("doc_id"), col("score_u"))
+        .orderBy(col("doc_id"))),
+
     // Same spec via the window-df strategy — pins the skew-trade-off
     // twin to the same answer (the q5/q5b convention).
     "q69b_bm25_window" -> ((s, dir) =>
@@ -2992,6 +3001,57 @@ object SparkEntry {
     "q69_search_bm25" ->
       s"""WITH $Bm25Ctes
          |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
+
+    // Expanded-search mirror: the q39 PMI chain filtered to the query
+    // terms, (pmi DESC, term) top-2 per term, weights unioned onto the
+    // q69 score lineage (the unused `bm` CTE rides along).
+    "q162_search_expanded" ->
+      s"""WITH $Bm25Ctes,
+         |tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, p, toks[p::INTEGER] AS term
+         |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
+         |pairs AS (
+         |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+         |tc AS (SELECT term, count(*) AS c FROM pos GROUP BY 1),
+         |nt AS (SELECT count(*) AS n_tok FROM pos),
+         |np AS (SELECT count(*) AS n_pair FROM pairs),
+         |pc AS (SELECT t1, t2, count(*) AS pcnt FROM pairs GROUP BY 1, 2),
+         |pmi AS (
+         |  SELECT t1, t2,
+         |         round(log10((pcnt / n_pair) / ((x.c / n_tok) * (y.c / n_tok))), 6) AS pmi
+         |  FROM pc JOIN tc x ON t1 = x.term JOIN tc y ON t2 = y.term
+         |  CROSS JOIN nt CROSS JOIN np
+         |  WHERE pcnt >= 2),
+         |nb AS (
+         |  SELECT qterm, term, pmi FROM (
+         |    SELECT t1 AS qterm, t2 AS term, pmi FROM pmi
+         |    WHERE t1 IN ('spark', 'stream', 'window')
+         |    UNION ALL
+         |    SELECT t2 AS qterm, t1 AS term, pmi FROM pmi
+         |    WHERE t2 IN ('spark', 'stream', 'window'))
+         |  WHERE term NOT IN ('spark', 'stream', 'window')),
+         |topm AS (
+         |  SELECT DISTINCT term FROM (
+         |    SELECT term,
+         |           row_number() OVER (PARTITION BY qterm
+         |                              ORDER BY pmi DESC, term) AS rk
+         |    FROM nb) WHERE rk <= 2),
+         |wts AS (
+         |  SELECT unnest(['spark', 'stream', 'window']) AS term,
+         |         1000000::BIGINT AS wmicro
+         |  UNION ALL
+         |  SELECT term, 500000::BIGINT AS wmicro FROM topm)
+         |SELECT doc_id,
+         |       sum(CAST(round(s * 1e6) AS BIGINT) * wmicro)::BIGINT AS score_u
+         |FROM sc JOIN wts USING (term)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // Hybrid lexical+dense RRF fusion: the q69 BM25 arm (shared CTEs)
     // and the q15-style cosine arm vs vec_id 0, each top-100 ranked

@@ -212,6 +212,73 @@ object Search {
     searchBm25Tokens(bm25Scores(docs, k1, b), TfIdf.tokenizeQuery(query).distinct)
 
   /**
+   * PMI-EXPANDED BM25 search — classic corpus-statistical query
+   * expansion (the thesaurus-free half of Rocchio/local-analysis
+   * expansion): each query term recruits its top-`m` PMI co-occurrence
+   * neighbors from the corpus's OWN association table (q39's
+   * [[graft.functions.TextAnalysis.cooccurrencePmi]]), and documents
+   * score Σ w_t · bm25(t, D) with originals at weight 1 and expansion
+   * terms at `expWeight` — vocabulary-mismatch recall (docs that say
+   * "shuffle" when the query says "exchange") without a model.
+   *
+   * Determinism: PMI is round-6 and the neighbor pick is the
+   * (pmi DESC, term) row_number — engine-replayable; per-term BM25
+   * scores round-6, then the WEIGHTED SUM runs — and is EMITTED — in
+   * exact integers (micro score × micro weight, `score_u` in 1e-12
+   * units). With ~5× the terms of q69 both float hazards fire in
+   * practice: the sum's accumulation order flips round-6 boundaries,
+   * and a final decimal re-round TIES exactly (odd micro score ×
+   * 500000 ends in …500000) where engines' double-tie behavior
+   * differs — so no float ever leaves the operator (the q88
+   * micro-int convention taken to its conclusion). Expansion terms
+   * recruited by several query terms count once (distinct before
+   * weighting), and a term that is itself a query term is never
+   * down-weighted (originals excluded from expansion).
+   *
+   * Scale shape: the PMI table is vocab²-bounded but the query filter
+   * cuts it to |q| rows before the window; weights are a ≤|q|·(m+1)
+   * broadcast onto the q69 score lineage — the expansion adds ZERO
+   * corpus-scale exchanges over plain BM25.
+   */
+  def searchBm25Expanded(
+      docs: DataFrame,
+      query: String,
+      m: Int = 2,
+      expWeight: Double = 0.5,
+      window: Int = 2,
+      minCount: Int = 2,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(expWeight > 0 && expWeight <= 1,
+      s"expWeight must be in (0,1], got $expWeight")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = TfIdf.tokenizeQuery(query).distinct
+    val pmi = graft.functions.TextAnalysis
+      .cooccurrencePmi(docs, window, minCount)
+    val nb = pmi.where(col("t1").isin(qTerms: _*))
+      .select(col("t1").as("qterm"), col("t2").as("term"), col("pmi"))
+      .unionByName(pmi.where(col("t2").isin(qTerms: _*))
+        .select(col("t2").as("qterm"), col("t1").as("term"), col("pmi")))
+      .where(!col("term").isin(qTerms: _*))
+    val wNb = Window.partitionBy(col("qterm"))
+      .orderBy(col("pmi").desc, col("term"))
+    val weights = qTerms.toDF("term")
+      .withColumn("wmicro", lit(1000000L))
+      .unionByName(nb
+        .withColumn("rk", row_number().over(wNb))
+        .where(col("rk") <= m)
+        .select(col("term")).distinct()
+        .withColumn("wmicro", lit(math.round(expWeight * 1e6))))
+    bm25Scores(docs, k1, b)
+      .withColumn("smicro", round(round(col("score"), 6) * 1e6).cast("long"))
+      .join(broadcast(weights), Seq("term"))
+      .groupBy(col("doc"))
+      .agg(sum(col("smicro") * col("wmicro")).as("score_u"))
+  }
+
+  /**
    * MATERIALIZED index build — at 100 TB a search service does not
    * re-run the O2–O7 corpus chain per query: persist the (term, doc,
    * tfidf) score table once, range-partitioned and sorted by `term`, so

@@ -267,4 +267,25 @@ class TfIdfSpec extends SparkSpec {
     got shouldBe expected
     got.keys.map(_._2).foreach(r => r should be <= 2L)
   }
+
+  test("searchBm25Expanded recruits vocabulary-mismatch docs via PMI at exact half weight") {
+    val cor = corpus(
+      "1" -> "alpha beta alpha beta alpha beta", // builds the alpha↔beta association
+      "2" -> "alpha beta alpha beta",
+      "3" -> "beta delta epsilon beta zeta", // says beta, never alpha
+      "4" -> "unrelated words only here")
+    // plain BM25 can't see doc 3
+    Search.searchBm25(cor, "alpha").collect()
+      .map(_.getString(0)).toSet should not contain "3"
+    val exp = Search.searchBm25Expanded(cor, "alpha", m = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exp.keySet shouldBe Set("1", "2", "3") // doc 4 still untouched
+    // doc 3's entire score is beta's bm25 at weight 0.5, integer-exactly
+    val s3 = Search.bm25Scores(cor)
+      .where(col("term") === "beta" && col("doc") === "3")
+      .select(round(col("score"), 6)).head.getDouble(0)
+    exp("3") shouldBe math.round(s3 * 1e6) * 500000L
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchBm25Expanded(cor, "alpha", m = 0)
+  }
 }
