@@ -2570,6 +2570,15 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Cross-source duplication matrix: q13's near-dup pairs rolled up
+    // by unordered source pair — the feed-mirroring governance view.
+    "q163_cross_source_dups" -> ((s, dir) =>
+      graft.operators.Pipeline.crossSourceDupMatrix(
+          tbl(s, dir, "documents")
+            .select(col("doc_id").as("doc"), col("text").as("line"),
+              col("source")))
+        .orderBy(col("s1"), col("s2"))),
+
     // Per-source unigram ENTROPY in micro-nats (the KL family's
     // diversity baseline): floor-quantized per-term contributions,
     // integer totals — engine-exact by construction.
@@ -3550,6 +3559,39 @@ object SparkEntry {
         |       round(sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) * 1.0
         |             / count(*), 6) AS oov_rate
         |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Cross-source-matrix mirror: the q13 chain verbatim, rolled up by
+    // the unordered (least, greatest) source pair.
+    "q163_cross_source_dups" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |np AS (
+         |  SELECT d1, d2
+         |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5)
+         |SELECT least(da.source, db.source) AS s1,
+         |       greatest(da.source, db.source) AS s2,
+         |       count(*)::BIGINT AS n_pairs
+         |FROM np
+         |JOIN documents da ON da.doc_id = np.d1
+         |JOIN documents db ON db.doc_id = np.d2
+         |GROUP BY 1, 2
+         |ORDER BY s1, s2""".stripMargin,
 
     // Zipf-slope mirror: deterministic (cnt DESC, term) ranks, ln
     // values micro-quantized before any sum, HUGEINT moments, one

@@ -1254,6 +1254,41 @@ object Pipeline {
   }
 
   /**
+   * CROSS-SOURCE near-duplication matrix — the feed-level governance
+   * view [[sourceDupStats]] (within-source, q90) and `sourceOverlap`
+   * (vocabulary-level, q122) both miss: per UNORDERED source pair, how
+   * many near-duplicate DOCUMENT pairs (the q13 MinHash tier) cross
+   * the boundary. A hot (s1, s2) cell means one feed is re-scraping or
+   * mirroring the other — the licensing/attribution question
+   * vocabulary overlap can only hint at.
+   *
+   * Scale shape: the q13 chain end-to-end (banded candidates, never
+   * all-pairs) plus two doc-keyed source joins on the PAIRS frame
+   * (pairs ≪ corpus) and a sources²-bounded final aggregate.
+   *
+   * @param docs (doc, line, srcCol)
+   * @return (s1, s2, n_pairs) with s1 <= s2, only non-empty cells
+   */
+  def crossSourceDupMatrix(
+      docs: DataFrame,
+      srcCol: String = "source",
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(
+      docs.select(col("doc"), col("line")), n, numHashes, rowsPerBand, threshold)
+    val src = docs.select(col("doc"), col(srcCol))
+    pairs
+      .join(src.select(col("doc").as("d1"), col(srcCol).as("_s1")), Seq("d1"))
+      .join(src.select(col("doc").as("d2"), col(srcCol).as("_s2")), Seq("d2"))
+      .select(least(col("_s1"), col("_s2")).as("s1"),
+        greatest(col("_s1"), col("_s2")).as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Per-group UNIGRAM ENTROPY in integer micro-nats — the diversity
    * side of the [[klNovelty]] family (entropy is the self-referenced
    * baseline KL measures divergence FROM): H = Σ_t p_t·ln(1/p_t) over

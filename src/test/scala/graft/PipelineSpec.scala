@@ -712,6 +712,20 @@ class PipelineSpec extends SparkSpec {
     got("b") shouldBe ((3L, 2L, c(1.0 / 3, 0.5)))
   }
 
+  test("crossSourceDupMatrix rolls near-dup pairs up by unordered source pair") {
+    import org.apache.spark.sql.functions.{when => W}
+    val d = corpus(
+      "a1" -> "the quick brown fox jumps over the lazy dog",
+      "b1" -> "the quick brown fox jumps over the lazy dog", // dup of a1, other feed
+      "a2" -> "the quick brown fox jumps over the lazy dog today", // near-dup, same feed as a1
+      "b2" -> "completely different words entirely here now")
+      .withColumn("source", W(C("doc").startsWith("a"), "A").otherwise("B"))
+    val got = Pipeline.crossSourceDupMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a1↔b1 and a2↔b1 cross the boundary; a1↔a2 stays inside A
+    got shouldBe Map(("A", "B") -> 2L, ("A", "A") -> 1L)
+  }
+
   test("groupTermEntropy matches an independent local computation in micro-nats") {
     import org.apache.spark.sql.functions.{when => W}
     val d = corpus("1" -> "x x y", "2" -> "x x y", "3" -> "z")
