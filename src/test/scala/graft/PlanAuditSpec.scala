@@ -63,6 +63,9 @@ class PlanAuditSpec extends SparkSpec {
     "q67_search_all", // the same 1-row numDocs cross (tfidf lineage)
     "q69_search_bm25", // 1-row (N, avgdl) corpus-stats broadcast cross
     "q69b_bm25_window", // same 1-row stats cross, window-df strategy
+    "q162_search_expanded", // q69's 1-row stats cross + q39's 1-row
+                            // total-count crosses (it composes both
+                            // lineages)
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross
