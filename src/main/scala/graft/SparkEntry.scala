@@ -2499,6 +2499,20 @@ object SparkEntry {
           "source")
         .orderBy(col("source"))),
 
+    // Per-source N-GRAM DIVERSITY: unigram + trigram type–token
+    // ratios in one tagged-gram pass — the phrase-reuse/boilerplate
+    // data-card row complementing q160's frequency-curve slope.
+    "q164_ngram_diversity" -> ((s, dir) =>
+      graft.operators.Vocab.ngramDiversity(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source", n = 3)
+        .orderBy(col("source"))),
+
+    // TERM BURSTINESS: Church–Gale cf/df top-k — within-doc repetition
+    // concentration; template/spam markers unigram counts miss.
+    "q165_term_burstiness" -> ((s, dir) =>
+      graft.operators.Vocab.termBurstiness(docs(s, dir), minDf = 2L, k = 50)),
+
     // Incremental hashed-cosine: delta (docs ≥ 250) probes the
     // HISTORY's (docs < 250) inverted index — never a delta self-join;
     // the q52 split, sparse-cosine semantics.
@@ -3624,6 +3638,55 @@ object SparkEntry {
         |               (n_terms::HUGEINT * qx - sx * sx)::DOUBLE, 6)
         |       END AS slope
         |FROM agg ORDER BY source""".stripMargin,
+
+    // Diversity mirror: the same tagged two-stage shape — (source, n,
+    // gram) counts first, group-level conditional sums second, each
+    // ratio one round-6 division of exact BIGINTs.
+    "q164_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS gn, unnest(toks) AS gram FROM t
+        |  UNION ALL
+        |  SELECT source, 3 AS gn,
+        |         unnest(CASE WHEN len(toks) >= 3 THEN
+        |           list_transform(generate_series(1, len(toks) - 2),
+        |             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |           ELSE []::VARCHAR[] END) AS gram
+        |  FROM t),
+        |c AS (SELECT source, gn, gram, count(*)::BIGINT AS cnt
+        |      FROM g GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT source,
+        |    coalesce(sum(CASE WHEN gn = 1 THEN cnt END), 0)::BIGINT AS n_tokens,
+        |    coalesce(sum(CASE WHEN gn = 1 THEN 1 END), 0)::BIGINT AS distinct_tokens,
+        |    coalesce(sum(CASE WHEN gn = 3 THEN cnt END), 0)::BIGINT AS n_ngrams,
+        |    coalesce(sum(CASE WHEN gn = 3 THEN 1 END), 0)::BIGINT AS distinct_ngrams
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, distinct_tokens,
+        |       CASE WHEN n_tokens > 0 THEN
+        |         round(distinct_tokens * 1.0 / n_tokens, 6) END AS ttr,
+        |       n_ngrams, distinct_ngrams,
+        |       CASE WHEN n_ngrams > 0 THEN
+        |         round(distinct_ngrams * 1.0 / n_ngrams, 6) END AS ngram_ttr
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Burstiness mirror: the q2 (doc, term) agg lifted to term level,
+    // one round-6 division, (burstiness DESC, term) total order.
+    "q165_term_burstiness" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM tk GROUP BY 1, 2),
+        |t AS (SELECT term, sum(tf)::BIGINT AS cf, count(*)::BIGINT AS df
+        |      FROM dt GROUP BY 1)
+        |SELECT term, cf, df, round(cf * 1.0 / df, 6) AS burstiness
+        |FROM t WHERE df >= 2
+        |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin,
 
     // Entropy mirror: same per-term floor quantization, ln on the
     // direct tot/tf quotient (never 1/(tf/tot)).

@@ -215,6 +215,99 @@ object Vocab {
   }
 
   /**
+   * Per-group N-GRAM DIVERSITY — the self-repetition / boilerplate
+   * data-card row: unigram and word-n-gram type–token ratios per
+   * source. Natural prose keeps trigram TTR high (most trigrams occur
+   * once); templated or machine-spun feeds collapse it long before the
+   * unigram vocabulary looks suspicious, which is why corpus reports
+   * (Gopher §A.2-style repetition tables, self-BLEU diagnostics) track
+   * repeated-n-gram mass. The complement of [[zipfSlope]]: slope reads
+   * the unigram frequency CURVE, this reads phrase-level reuse.
+   *
+   * Determinism: counts are exact integers; each ratio is ONE round-6
+   * double division of two exact longs — engine-exact under the repo's
+   * round-6 convention. Groups with no n-gram mass (every doc shorter
+   * than n) get a null `ngram_ttr`.
+   *
+   * Scale shape — vocabulary-mass shuffles, never corpus-mass: the
+   * single tokenize pass emits both gram streams (a tagged struct
+   * array concat, one explode), partial aggregation collapses
+   * (group, n, gram) map-side, and the second aggregate is
+   * group-cardinality. No count-distinct Expand, nothing collects,
+   * no window. The same two-stage shape as [[zipfSlope]].
+   *
+   * @param docs (groupCol, line)
+   * @param n    n-gram width for the phrase-level ratio (default 3)
+   * @return (groupCol, n_tokens, distinct_tokens, ttr,
+   *         n_ngrams, distinct_ngrams, ngram_ttr) — ratios round-6
+   */
+  def ngramDiversity(docs: DataFrame, groupCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"n-gram width must be >= 2, got $n")
+    val tk = toks(col("line"))
+    val uni = transform(tk, t => struct(lit(1).as("n"), t.as("gram")))
+    // Guard: sequence(0, size-n) is DESCENDING when size < n (Spark
+    // sequence contract) — emit the empty array instead.
+    val ngrams = when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => struct(lit(n).as("n"),
+          array_join(slice(tk, i + 1, lit(n)), " ").as("gram"))))
+      .otherwise(array())
+    docs
+      .select(col(groupCol), explode(concat(uni, ngrams)).as("g"))
+      .select(col(groupCol), col("g.n").as("gn"), col("g.gram").as("gram"))
+      .groupBy(col(groupCol), col("gn"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(
+        coalesce(sum(when(col("gn") === 1, col("cnt"))), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("gn") === 1, 1L)), lit(0L)).as("distinct_tokens"),
+        coalesce(sum(when(col("gn") === n, col("cnt"))), lit(0L)).as("n_ngrams"),
+        coalesce(sum(when(col("gn") === n, 1L)), lit(0L)).as("distinct_ngrams"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          round(col("distinct_tokens") / col("n_tokens"), 6)))
+      .withColumn("ngram_ttr",
+        when(col("n_ngrams") > 0,
+          round(col("distinct_ngrams") / col("n_ngrams"), 6)))
+      .select(col(groupCol), col("n_tokens"), col("distinct_tokens"),
+        col("ttr"), col("n_ngrams"), col("distinct_ngrams"), col("ngram_ttr"))
+  }
+
+  /**
+   * TERM BURSTINESS — Church–Gale within-document repetition: for each
+   * term, cf/df (total corpus occurrences over containing-document
+   * count), i.e. the mean repeat count inside documents that use the
+   * term at all. Content words are bursty (a doc "about" a term repeats
+   * it), function words are not — and in a training corpus a term whose
+   * burstiness explodes is a template/spam marker that unigram counts
+   * miss entirely. Returns the top-k burstiest terms above a df floor.
+   *
+   * Determinism: cf and df are exact longs; burstiness is one round-6
+   * division, and the top-k order (burstiness DESC, term) is total
+   * because terms are distinct after aggregation.
+   *
+   * Scale shape: the q2 (doc, term) partial-agg shuffle, then a
+   * vocabulary-mass term aggregate; the top-k plans as TakeOrdered
+   * (no global sort). Nothing collects.
+   *
+   * @param docs (doc, line)
+   * @param minDf drop terms seen in fewer documents (rare-term noise)
+   * @param k     rows returned
+   * @return (term, cf, df, burstiness round-6) — top k
+   */
+  def termBurstiness(docs: DataFrame, minDf: Long = 2L, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc"), explode(toks(col("line"))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .withColumn("burstiness", round(col("cf") / col("df"), 6))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(k)
+
+  /**
    * TOKENIZER FERTILITY per group (usually language) — the standard
    * tokenizer-evaluation table (chars-per-token is the "fertility"
    * metric tokenizer papers report per language): for each group,

@@ -169,4 +169,30 @@ class VocabSpec extends SparkSpec {
     // fr: doc 3 → 3 tokens, chars 2+2+2=6, oov=0
     got("fr") shouldBe ((1L, 3L, 6L, 0L, 2.0, 0.0))
   }
+
+  test("ngramDiversity: unigram + trigram TTR per group; short group null") {
+    val d = corpus("1" -> "a b c a b c", "2" -> "x y")
+      .withColumn("src",
+        org.apache.spark.sql.functions.when(C("doc") === "2", "s2").otherwise("s1"))
+    val got = Vocab.ngramDiversity(d, "src", n = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getLong(4), r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // s1: 6 tokens / 3 distinct → 0.5; trigrams "a b c","b c a","c a b",
+    // "a b c" → 4 total / 3 distinct → 0.75
+    got("s1") shouldBe ((6L, 3L, Some(0.5), 4L, 3L, Some(0.75)))
+    // s2: 2 tokens, both unique; too short for any trigram → null ratio
+    got("s2") shouldBe ((2L, 2L, Some(1.0), 0L, 0L, None))
+  }
+
+  test("termBurstiness: cf/df above the df floor, top-k by (burstiness, term)") {
+    val d = corpus("d1" -> "a a a b", "d2" -> "a b c c")
+    val got = Vocab.termBurstiness(d, minDf = 2L, k = 50).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // c: df=1 < 2 → dropped; a: cf 4 / df 2 = 2.0; b: 2/2 = 1.0
+    got.toSeq shouldBe Seq(("a", 4L, 2L, 2.0), ("b", 2L, 2L, 1.0))
+    Vocab.termBurstiness(d, minDf = 2L, k = 1).collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("a")
+  }
 }
