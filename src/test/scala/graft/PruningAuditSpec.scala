@@ -122,4 +122,13 @@ class PruningAuditSpec extends SparkSpec {
   test("q160 zipf-slope scan reads only source and text") {
     readSchemas("q160_zipf_slope") shouldBe Seq(Set("source", "text"))
   }
+
+  test("q164 n-gram diversity scan reads only source and text") {
+    readSchemas("q164_ngram_diversity") shouldBe Seq(Set("source", "text"))
+  }
+
+  test("q165 burstiness scan reads only doc_id and text; top-k is TakeOrdered") {
+    readSchemas("q165_term_burstiness") shouldBe Seq(Set("doc_id", "text"))
+    formatted("q165_term_burstiness") should include("TakeOrderedAndProject")
+  }
 }
