@@ -2852,6 +2852,19 @@ object SparkEntry {
     "q139_data_card" -> ((s, dir) =>
       graft.operators.Pipeline.dataCard(docs(s, dir))),
 
+    // INCREMENTAL data card: the q139 card rendered from MERGED
+    // per-slice mergeable states (history docs < 250 ∪ delta ≥ 250) —
+    // state(h∪d) ≡ merge(state(h), state(d)) by construction; quality
+    // lifts to micro-longs so the merged mean is engine-exact where
+    // avg-of-doubles would not merge.
+    "q166_data_card_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline.renderDataCard(
+        graft.operators.Pipeline.mergeDataCardStates(
+          graft.operators.Pipeline.dataCardState(d.where(col("doc") < 250)),
+          graft.operators.Pipeline.dataCardState(d.where(col("doc") >= 250))))
+    }),
+
     // EMBEDDING-CENTROID drift per label between corpus halves: the
     // embedding-space q79 — cosine between each label's two integer-
     // exact centroids (scale invariance cancels the count division).
@@ -5935,6 +5948,65 @@ object SparkEntry {
         |       n_tokens, vocab_size, top_lang, top_lang_n,
         |       round(top_lang_n::DOUBLE / n_docs::DOUBLE, 6) AS top_lang_share,
         |       mean_quality
+        |FROM base, voc, top""".stripMargin,
+
+    // Incremental-card mirror: the q139 chain with the mean computed
+    // from round-6 micro-long sums — the slice/merge plumbing is
+    // answer-invisible, so the oracle is the flat corpus card.
+    "q166_data_card_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, text, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, text, toks, lang_pred,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM l),
+        |qq AS (
+        |  SELECT doc_id, text, toks, lang_pred, n_tokens,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |base AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |         count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+        |         sum(n_tokens)::BIGINT AS n_tokens,
+        |         sum(CAST(round(quality_score * 1e6) AS BIGINT))::BIGINT AS q_micro
+        |  FROM qq),
+        |voc AS (
+        |  SELECT count(DISTINCT x)::BIGINT AS vocab_size
+        |  FROM (SELECT unnest(toks) AS x FROM t)),
+        |top AS (
+        |  SELECT lang_pred AS top_lang, n AS top_lang_n FROM (
+        |    SELECT lang_pred, count(*)::BIGINT AS n,
+        |           row_number() OVER (ORDER BY count(*) DESC, lang_pred) AS rn
+        |    FROM qq GROUP BY 1) WHERE rn = 1)
+        |SELECT n_docs, n_unique_texts,
+        |       round(1.0 - n_unique_texts::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
+        |       n_tokens, vocab_size, top_lang, top_lang_n,
+        |       round(top_lang_n::DOUBLE / n_docs::DOUBLE, 6) AS top_lang_share,
+        |       round(q_micro::DOUBLE / 1e6 / n_docs::DOUBLE, 6) AS mean_quality
         |FROM base, voc, top""".stripMargin,
 
     // Centroid drift: identical micro-quantized integer sums per

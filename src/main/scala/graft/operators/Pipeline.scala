@@ -1131,6 +1131,111 @@ object Pipeline {
         col("mean_quality"))
   }
 
+  /**
+   * MERGEABLE data-card STATE — [[dataCard]]'s daily-update form: every
+   * card component reduced to a commutative, associative (kind, k, v)
+   * long-count table, so `state(history ∪ delta) ≡
+   * merge(state(history), state(delta))` holds BY CONSTRUCTION and a
+   * released corpus's card refreshes from per-slice states without
+   * re-scanning history. Rows: (`fp`, md5(text), n) exact-dup
+   * fingerprint counts; (`term`, term, n) vocabulary counts — the q61
+   * unpruned-counts recipe; (`lang`, predicted, n) language histogram;
+   * (`scalar`, n_docs|n_tokens|q_micro, v) corpus scalars, with quality
+   * lifted to round-6 MICRO-LONGS before summation (the q88 recipe —
+   * the mean is then engine-exact however slices regroup, where the
+   * batch card's `avg` of doubles would not merge exactly).
+   *
+   * Scale shape: state is fingerprint-mass + vocabulary-mass (the
+   * exact-dedup and incremental-vocab shuffles this repo already pays),
+   * built by partially-aggregated (kind, k) shuffles; scalars collapse
+   * map-side to 3 rows. Nothing collects.
+   *
+   * Contract: state rows are unique per (kind, k) — guaranteed by this
+   * builder and preserved by [[mergeDataCardStates]]; [[renderDataCard]]
+   * counts rows under that contract.
+   */
+  def dataCardState(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .withColumn("_lang", TextAnalysis.langPredFromStats(col("_st")))
+      .withColumn("_q", round(TextAnalysis.qualityScoreFromStats(col("_st")), 6))
+      .withColumn("_ntok",
+        size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val fps = docs
+      .groupBy(md5(col("line")).as("k")).agg(count(lit(1)).as("v"))
+      .select(lit("fp").as("kind"), col("k"), col("v"))
+    val terms = docs
+      .select(explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+        .as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("v"))
+      .select(lit("term").as("kind"), col("k"), col("v"))
+    val langs = scored
+      .groupBy(col("_lang").as("k")).agg(count(lit(1)).as("v"))
+      .select(lit("lang").as("kind"), col("k"), col("v"))
+    val scalars = scored
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("_ntok")), lit(0L)).as("n_tokens"),
+        coalesce(sum(round(col("_q") * 1e6).cast("long")), lit(0L))
+          .as("q_micro"))
+      .select(explode(array(
+        struct(lit("n_docs").as("k"), col("n_docs").as("v")),
+        struct(lit("n_tokens").as("k"), col("n_tokens").as("v")),
+        struct(lit("q_micro").as("k"), col("q_micro").as("v")))).as("s"))
+      .select(lit("scalar").as("kind"), col("s.k").as("k"), col("s.v").as("v"))
+    fps.unionByName(terms).unionByName(langs).unionByName(scalars)
+  }
+
+  /** Merge two [[dataCardState]] frames: one partially-aggregated
+    * (kind, k) shuffle of exact long counts — commutative and
+    * associative, so any merge tree over any slicing yields the same
+    * state. */
+  def mergeDataCardStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("kind"), col("k"))
+      .agg(sum(col("v")).as("v"))
+
+  /**
+   * Render the one-row card from a [[dataCardState]]: distinct texts /
+   * vocabulary are ROW counts of the fp/term sections (unique per
+   * (kind, k) by the state contract), the language argmax windows over
+   * the ≤5-row lang section, and mean quality divides the exact micro
+   * sum — `(q_micro / 1e6) / n_docs`, one round-6. Same schema as
+   * [[dataCard]]. The state is persisted ([[graft.Caching]] route —
+   * release via `Caching.scoped`) so its two consumers materialize it
+   * once.
+   */
+  def renderDataCard(state: DataFrame): DataFrame = {
+    val st = graft.Caching.persist(state)
+    val flat = st.groupBy().agg(
+      coalesce(sum(when(col("kind") === "scalar" && col("k") === "n_docs",
+        col("v"))), lit(0L)).as("n_docs"),
+      coalesce(sum(when(col("kind") === "fp", lit(1L))), lit(0L))
+        .as("n_unique_texts"),
+      coalesce(sum(when(col("kind") === "scalar" && col("k") === "n_tokens",
+        col("v"))), lit(0L)).as("n_tokens"),
+      coalesce(sum(when(col("kind") === "term", lit(1L))), lit(0L))
+        .as("vocab_size"),
+      coalesce(sum(when(col("kind") === "scalar" && col("k") === "q_micro",
+        col("v"))), lit(0L)).as("q_micro"))
+    // ≤5-row frame: unpartitioned window harmless by construction (the
+    // dataCard topLang precedent)
+    val langW = Window.orderBy(col("v").desc, col("k"))
+    val topLang = st.where(col("kind") === "lang")
+      .withColumn("_rn", row_number().over(langW))
+      .where(col("_rn") === 1)
+      .select(col("k").as("top_lang"), col("v").as("top_lang_n"))
+    flat.crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_unique_texts"),
+        round(lit(1.0) - col("n_unique_texts").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("n_tokens"), col("vocab_size"),
+        col("top_lang"), col("top_lang_n"),
+        round(col("top_lang_n").cast("double") /
+          col("n_docs").cast("double"), 6).as("top_lang_share"),
+        round(col("q_micro").cast("double") / lit(1e6) /
+          col("n_docs").cast("double"), 6).as("mean_quality"))
+  }
+
   /** The Efraimidis–Spirakis rank key shared by both weighted-sample
     * tiers: u = ("ares:"-prefixed 52 md5 bits + 0.5)/2^52 (exact
     * double), key = ⌊1e6·ln(u)/w⌋ — micro-quantization absorbs libm

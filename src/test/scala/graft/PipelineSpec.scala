@@ -385,6 +385,38 @@ class PipelineSpec extends SparkSpec {
     row.getAs[Double]("top_lang_share") shouldBe 0.666667 +- 1e-9
   }
 
+  test("incremental data card: merged slice states render the batch card; merge order-free") {
+    val docs = corpus(
+      "a" -> "the quick brown fox jumps over the lazy dog",
+      "b" -> "the quick brown fox jumps over the lazy dog", // exact dup
+      "c" -> "der hund und die katze und das haus",
+      "d" -> "el la de los y es en")
+    Caching.scoped {
+      val slices = Seq(
+        docs.where(C("doc") === "a"),
+        docs.where(C("doc") === "b" || C("doc") === "c"),
+        docs.where(C("doc") === "d")).map(Pipeline.dataCardState)
+      // two different merge trees → identical state multisets
+      val leftFold = Pipeline.mergeDataCardStates(
+        Pipeline.mergeDataCardStates(slices(0), slices(1)), slices(2))
+      val rightFold = Pipeline.mergeDataCardStates(
+        slices(0), Pipeline.mergeDataCardStates(slices(1), slices(2)))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getString(1), r.getLong(2))
+      leftFold.collect().map(key).sortBy(_.toString).toSeq shouldBe
+        rightFold.collect().map(key).sortBy(_.toString).toSeq
+      // rendered card ≡ the batch card (mean via exact micro sums)
+      val inc = Pipeline.renderDataCard(leftFold).collect().head
+      val batch = Pipeline.dataCard(docs).collect().head
+      Seq("n_docs", "n_unique_texts", "n_tokens", "vocab_size",
+        "top_lang_n").foreach { c =>
+        inc.getAs[Long](c) shouldBe batch.getAs[Long](c) }
+      inc.getAs[String]("top_lang") shouldBe batch.getAs[String]("top_lang")
+      Seq("dup_rate", "top_lang_share", "mean_quality").foreach { c =>
+        inc.getAs[Double](c) shouldBe batch.getAs[Double](c) +- 1e-9 }
+    }
+  }
+
   test("sampleKPerGroup returns exactly k per group, fewer for small groups") {
     val s2 = spark
     import s2.implicits._

@@ -111,6 +111,8 @@ class PlanAuditSpec extends SparkSpec {
                          // design (the q99b recipe at 6 B/vector)
     "q135b_hamming_recall", // the Hamming scan + q15's exact side
     "q139_data_card", // 1-row vocab × 1-row top-lang summary crosses
+    "q166_data_card_incremental", // the same 1-row × ≤5-row card crosses
+                                  // over the merged state
     "q143_search_eval") // q26's centroid broadcast cross + q15's exact
                         // side as the truth set
 
