@@ -2835,6 +2835,12 @@ object SparkEntry {
       Similarity.labelOutliers(tbl(s, dir, "embeddings"), pLo = 0.05)
         .orderBy(col("vec_id"))),
 
+    // EMBEDDING-HEALTH audit: one row of null/NaN/zero-vector counts,
+    // dimensionality envelope, dead dims, and the micro-exact norm
+    // envelope — the similarity tier's q104-style preflight.
+    "q167_embedding_health" -> ((s, dir) =>
+      Similarity.embeddingHealth(tbl(s, dir, "embeddings"))),
+
     // VOCABULARY DIFF change feed: history (doc < 250) vs delta
     // (doc >= 250) term counts with integer-threshold statuses — the
     // term-level explanation behind a q79 drift alarm.
@@ -5949,6 +5955,50 @@ object SparkEntry {
         |       round(top_lang_n::DOUBLE / n_docs::DOUBLE, 6) AS top_lang_share,
         |       mean_quality
         |FROM base, voc, top""".stripMargin,
+
+    // Health-audit mirror: the q136 dim-unnest for dead dims, norms
+    // via list_dot_product + sqrt micro-quantized before min/mean/max.
+    "q167_embedding_health" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (
+        |  SELECT emb,
+        |    (emb IS NULL OR len(emb) = 0) AS bad,
+        |    CASE WHEN emb IS NOT NULL THEN len(emb)::BIGINT END AS dims,
+        |    CASE WHEN emb IS NOT NULL AND len(emb) > 0 THEN
+        |      len(list_filter(emb, x -> isnan(x))) > 0 END AS has_nan
+        |  FROM e),
+        |n AS (
+        |  SELECT *,
+        |    CASE WHEN NOT bad AND NOT has_nan THEN
+        |      len(list_filter(emb, x -> x <> 0)) = 0 END AS zero_vec,
+        |    CASE WHEN NOT bad AND NOT has_nan THEN
+        |      CAST(round(sqrt(list_dot_product(emb, emb)) * 1e6) AS BIGINT)
+        |      END AS norm_micro
+        |  FROM c),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_vecs,
+        |    coalesce(sum(CASE WHEN bad THEN 1 END), 0)::BIGINT AS n_null_or_empty,
+        |    coalesce(sum(CASE WHEN has_nan THEN 1 END), 0)::BIGINT AS n_nan_vecs,
+        |    coalesce(sum(CASE WHEN zero_vec THEN 1 END), 0)::BIGINT AS n_zero_vecs,
+        |    min(dims)::BIGINT AS dims_min,
+        |    max(dims)::BIGINT AS dims_max,
+        |    round(min(norm_micro)::DOUBLE / 1e6, 6) AS min_norm,
+        |    round(max(norm_micro)::DOUBLE / 1e6, 6) AS max_norm,
+        |    round(sum(norm_micro)::DOUBLE / 1e6 / count(norm_micro)::DOUBLE, 6)
+        |      AS mean_norm
+        |  FROM n),
+        |dd AS (
+        |  SELECT coalesce(sum(CASE WHEN m = 0 THEN 1 END), 0)::BIGINT AS dead_dims
+        |  FROM (
+        |    SELECT i - 1 AS dim,
+        |           max(abs(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT))) AS m
+        |    FROM (SELECT emb FROM e WHERE emb IS NOT NULL) t,
+        |         unnest(range(1, len(emb) + 1)) r(i)
+        |    WHERE NOT isnan(emb[i::INTEGER])
+        |    GROUP BY 1))
+        |SELECT n_vecs, n_null_or_empty, n_nan_vecs, n_zero_vecs,
+        |       dims_min, dims_max, dead_dims, min_norm, max_norm, mean_norm
+        |FROM agg, dd""".stripMargin,
 
     // Incremental-card mirror: the q139 chain with the mean computed
     // from round-6 micro-long sums — the slice/merge plumbing is

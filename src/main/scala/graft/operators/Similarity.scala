@@ -964,4 +964,74 @@ object Similarity {
       .agg(
         max_by(col("label"), struct(col("n"), -col("label"))).as("predicted"),
         max(col("n")).as("n_votes"))
+
+  /**
+   * EMBEDDING-HEALTH audit — the similarity tier's preflight (the q104
+   * referential audit's numeric sibling): one row of the failure modes
+   * an encoder or ingest bug writes into an embedding table before any
+   * ANN/dedup/classification consumer trips over them — null/empty
+   * rows, NaN components, all-zero vectors (cosine is undefined:
+   * they silently rank everywhere), ragged dimensionality (dims_min ≠
+   * dims_max breaks every dot product), DEAD dimensions (coordinates
+   * that are 0 across the whole table — wasted index width, a stale
+   * projection or a truncated encoder), and the norm envelope
+   * (min/mean/max — a collapsed or exploding norm distribution is an
+   * encoder-regression signal two-tower training cares about).
+   *
+   * Determinism: counts are exact longs; each norm is the codegen
+   * [[dot]] + sqrt micro-quantized to a long BEFORE min/mean/max (the
+   * q136 recipe), so the envelope is engine-exact; dead-dim detection
+   * compares micro-quantized components to zero — no float tolerance.
+   *
+   * Scale shape: one map-only vector scan collapsing to a 1-row
+   * aggregate, plus the q136 posexplode (vec, dim) exchange whose
+   * output is dims-bounded; the two 1-row frames cross at the end.
+   * NaN-containing vectors are excluded from the norm envelope (their
+   * norm is NaN, counted separately), null/empty from everything but
+   * their own count.
+   *
+   * @param embs (vec_id, embedding, …)
+   * @return one row: n_vecs, n_null_or_empty, n_nan_vecs, n_zero_vecs,
+   *         dims_min, dims_max, dead_dims, min_norm, max_norm,
+   *         mean_norm (round-6)
+   */
+  def embeddingHealth(embs: DataFrame): DataFrame = {
+    val e = col("embedding")
+    val d = asDouble(e)
+    val usable = e.isNotNull && size(e) > 0
+    val hasNan = exists(d, v => isnan(v))
+    val base = embs
+      .select(
+        (e.isNull || size(e) === 0).as("_bad"),
+        when(e.isNotNull, size(e).cast("long")).as("_dims"),
+        when(usable, hasNan).as("_has_nan"),
+        when(usable && !hasNan, !exists(d, v => v =!= 0.0)).as("_zero"),
+        when(usable && !hasNan,
+          round(norm(d) * 1e6).cast("long")).as("_norm_micro"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("_bad"), 1L)), lit(0L)).as("n_null_or_empty"),
+        coalesce(sum(when(col("_has_nan"), 1L)), lit(0L)).as("n_nan_vecs"),
+        coalesce(sum(when(col("_zero"), 1L)), lit(0L)).as("n_zero_vecs"),
+        min(col("_dims")).as("dims_min"),
+        max(col("_dims")).as("dims_max"),
+        round(min(col("_norm_micro")).cast("double") / 1e6, 6).as("min_norm"),
+        round(max(col("_norm_micro")).cast("double") / 1e6, 6).as("max_norm"),
+        round(sum(col("_norm_micro")).cast("double") / 1e6 /
+          count(col("_norm_micro")).cast("double"), 6).as("mean_norm"))
+    // NaN components neither attest nor kill a dim (they're counted via
+    // n_nan_vecs; DuckDB cannot cast NaN to BIGINT at all) — filter them
+    // before quantizing on BOTH engines.
+    val dead = embs.where(e.isNotNull)
+      .select(posexplode(d).as(Seq("dim", "v")))
+      .where(!isnan(col("v")))
+      .groupBy(col("dim"))
+      .agg(max(abs(round(col("v") * 1e6).cast("long"))).as("_m"))
+      .agg(coalesce(sum(when(col("_m") === 0, 1L)), lit(0L)).as("dead_dims"))
+    base.crossJoin(broadcast(dead))
+      .select(col("n_vecs"), col("n_null_or_empty"), col("n_nan_vecs"),
+        col("n_zero_vecs"), col("dims_min"), col("dims_max"),
+        col("dead_dims"), col("min_norm"), col("max_norm"),
+        col("mean_norm"))
+  }
 }

@@ -113,6 +113,7 @@ class PlanAuditSpec extends SparkSpec {
     "q139_data_card", // 1-row vocab × 1-row top-lang summary crosses
     "q166_data_card_incremental", // the same 1-row × ≤5-row card crosses
                                   // over the merged state
+    "q167_embedding_health", // 1-row audit × 1-row dead-dim cross
     "q143_search_eval") // q26's centroid broadcast cross + q15's exact
                         // side as the truth set
 

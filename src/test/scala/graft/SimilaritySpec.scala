@@ -606,4 +606,33 @@ class SimilaritySpec extends SparkSpec {
         "no dynamic partition pruning on the cell-partitioned scan")
     }
   }
+
+  test("embeddingHealth flags null/NaN/zero/dead-dim pathologies and the norm envelope") {
+    val s = spark
+    import s.implicits._
+    // dim 2 is dead (0 in every vector); vec 3 is all-zero; vec 4 has a
+    // NaN; vec 5 is null; vec 6 is empty
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(3f, 4f, 0f),          // norm 5
+      1L -> Seq(0f, 2f, 0f),          // norm 2
+      2L -> Seq(1f, 0f, 0f),          // norm 1
+      3L -> Seq(0f, 0f, 0f),          // zero vector
+      4L -> Seq(Float.NaN, 1f, 0f),   // NaN component
+      6L -> Seq.empty[Float])
+    val df = rows.toDF("vec_id", "embedding")
+      .unionByName(Seq((5L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val r = Similarity.embeddingHealth(df).collect().head
+    r.getAs[Long]("n_vecs") shouldBe 7L
+    r.getAs[Long]("n_null_or_empty") shouldBe 2L
+    r.getAs[Long]("n_nan_vecs") shouldBe 1L
+    r.getAs[Long]("n_zero_vecs") shouldBe 1L
+    r.getAs[Long]("dims_min") shouldBe 0L
+    r.getAs[Long]("dims_max") shouldBe 3L
+    r.getAs[Long]("dead_dims") shouldBe 1L // dim 2 (NaN dim 0 keeps dim 0 alive via vec 0)
+    r.getAs[Double]("min_norm") shouldBe 0.0 +- 1e-9 // the zero vector
+    r.getAs[Double]("max_norm") shouldBe 5.0 +- 1e-9
+    // norms 5, 2, 1, 0 over 4 usable vectors → mean 2
+    r.getAs[Double]("mean_norm") shouldBe 2.0 +- 1e-9
+  }
 }
