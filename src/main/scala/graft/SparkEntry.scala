@@ -2513,6 +2513,15 @@ object SparkEntry {
     "q165_term_burstiness" -> ((s, dir) =>
       graft.operators.Vocab.termBurstiness(docs(s, dir), minDf = 2L, k = 50)),
 
+    // LENGTH–QUALITY correlation per source: Pearson r over exact
+    // integer moments (quality in micro-longs) — "is the quality
+    // score just measuring length?" per feed.
+    "q168_length_quality_corr" -> ((s, dir) =>
+      graft.operators.Pipeline.featureCorrelation(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source")
+        .orderBy(col("source"))),
+
     // Incremental hashed-cosine: delta (docs ≥ 250) probes the
     // HISTORY's (docs < 250) inverted index — never a delta self-join;
     // the q52 split, sparse-cosine semantics.
@@ -3691,6 +3700,44 @@ object SparkEntry {
         |       CASE WHEN n_ngrams > 0 THEN
         |         round(distinct_ngrams * 1.0 / n_ngrams, 6) END AS ngram_ttr
         |FROM a ORDER BY source""".stripMargin,
+
+    // Correlation mirror: the q139 quality chain per doc, quality
+    // micro-lifted, HUGEINT moments per source, one round-6 double.
+    "q168_length_quality_corr" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |xy AS (
+        |  SELECT source, n_tokens AS x,
+        |    CAST(round(round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS y
+        |  FROM m),
+        |agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
+        |         sum(y::HUGEINT * y::HUGEINT) AS qy,
+        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
+        |  FROM xy GROUP BY 1)
+        |SELECT source, n_docs,
+        |       CASE WHEN (n_docs::HUGEINT * qx - sx * sx) > 0
+        |             AND (n_docs::HUGEINT * qy - sy * sy) > 0 THEN
+        |         round((n_docs::HUGEINT * sxy - sx * sy)::DOUBLE /
+        |               (sqrt((n_docs::HUGEINT * qx - sx * sx)::DOUBLE) *
+        |                sqrt((n_docs::HUGEINT * qy - sy * sy)::DOUBLE)), 6)
+        |       END AS r
+        |FROM agg ORDER BY source""".stripMargin,
 
     // Burstiness mirror: the q2 (doc, term) agg lifted to term level,
     // one round-6 division, (burstiness DESC, term) total order.

@@ -1236,6 +1236,58 @@ object Pipeline {
           col("n_docs").cast("double"), 6).as("mean_quality"))
   }
 
+  /**
+   * LENGTH–QUALITY CORRELATION per group — the quality-signal sanity
+   * check ("is my quality score just measuring length?"): Pearson r
+   * between per-doc token count and the round-6 quality score, per
+   * source. A feed where r ≈ 1 means the score adds nothing over a
+   * length floor; a negative r on one feed (long docs scoring WORSE)
+   * is usually boilerplate padding. The q159/q160 exact-moment recipe
+   * lifted to document features: quality lifts to round-6 micro-longs,
+   * moments accumulate as exact DECIMAL(38,0) (Σxy at web scale
+   * overflows int64), and r evaluates once in double, round-6.
+   * Zero-variance groups (all docs the same length, or a constant
+   * score) null out rather than divide by zero.
+   *
+   * Scale shape: one map-only TextStats scan collapsing straight to a
+   * group-cardinality moment aggregate — no second exchange, nothing
+   * collects, no window.
+   *
+   * @param docs (groupCol, line)
+   * @return (groupCol, n_docs, r) — r round-6, null when degenerate
+   */
+  def featureCorrelation(docs: DataFrame, groupCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    docs
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .withColumn("x",
+        size(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+          .cast("long"))
+      .withColumn("y",
+        round(round(TextAnalysis.qualityScoreFromStats(col("_st")), 6) * 1e6)
+          .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(dec(col("x"))).as("_sx"),
+        sum(dec(col("y"))).as("_sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("_qx"),
+        sum(dec(col("y")) * dec(col("y"))).as("_qy"),
+        sum(dec(col("x")) * dec(col("y"))).as("_sxy"))
+      .withColumn("_num",
+        dec(col("n_docs")) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_dx",
+        dec(col("n_docs")) * col("_qx") - col("_sx") * col("_sx"))
+      .withColumn("_dy",
+        dec(col("n_docs")) * col("_qy") - col("_sy") * col("_sy"))
+      .withColumn("r",
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_num").cast("double") /
+            (sqrt(col("_dx").cast("double")) * sqrt(col("_dy").cast("double"))),
+            6)))
+      .select(col(groupCol), col("n_docs"), col("r"))
+  }
+
   /** The Efraimidis–Spirakis rank key shared by both weighted-sample
     * tiers: u = ("ares:"-prefixed 52 md5 bits + 0.5)/2^52 (exact
     * double), key = ⌊1e6·ln(u)/w⌋ — micro-quantization absorbs libm

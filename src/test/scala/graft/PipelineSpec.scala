@@ -417,6 +417,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("featureCorrelation: exact-linear quality gives r=1; zero variance nulls") {
+    // All-distinct, stopword-free docs under 50 tokens make the quality
+    // score EXACTLY linear in token count (q = 0.008·n + 0.4, micro-lift
+    // 8000·n + 400000) → Pearson r is exactly 1. g2 has zero length
+    // variance → null.
+    val docs = corpus(
+      "a" -> "t1 t2 t3",
+      "b" -> "t1 t2 t3 t4 t5",
+      "c" -> "t1 t2 t3 t4 t5 t6 t7",
+      "d" -> "u1 u2",
+      "e" -> "u3 u4")
+      .withColumn("grp",
+        org.apache.spark.sql.functions
+          .when(C("doc").isin("d", "e"), "g2").otherwise("g1"))
+    val got = Pipeline.featureCorrelation(docs, "grp").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    got("g1") shouldBe ((3L, Some(1.0)))
+    got("g2") shouldBe ((2L, None))
+  }
+
   test("sampleKPerGroup returns exactly k per group, fewer for small groups") {
     val s2 = spark
     import s2.implicits._
