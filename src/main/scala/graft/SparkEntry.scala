@@ -2522,6 +2522,15 @@ object SparkEntry {
           "source")
         .orderBy(col("source"))),
 
+    // UNIMAX budget allocation: waterfill 40k training tokens across
+    // languages, no language repeated more than twice — the closed-form
+    // capped-prefix greedy, exact long arithmetic end to end.
+    "q169_unimax_allocation" -> ((s, dir) =>
+      graft.operators.Pipeline.uniMaxAllocation(
+          tbl(s, dir, "documents").select(col("lang"), col("text").as("line")),
+          "lang", budgetTokens = 40000L, maxEpochs = 2)
+        .orderBy(col("lang"))),
+
     // Incremental hashed-cosine: delta (docs ≥ 250) probes the
     // HISTORY's (docs < 250) inverted index — never a delta self-join;
     // the q52 split, sparse-cosine semantics.
@@ -3738,6 +3747,38 @@ object SparkEntry {
         |                sqrt((n_docs::HUGEINT * qy - sy * sy)::DOUBLE)), 6)
         |       END AS r
         |FROM agg ORDER BY source""".stripMargin,
+
+    // UniMax mirror: identical closed-form waterfill — capped prefix in
+    // (cap, lang) order, suffix floors (R+j-1)/u; all BIGINT except the
+    // engine-shared double division under floor and the round-6 epochs.
+    "q169_unimax_allocation" ->
+      """WITH pg AS (
+        |  SELECT lang,
+        |         sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                             x -> x <> '')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1 HAVING n_tokens > 0),
+        |st AS (
+        |  SELECT lang, n_tokens, n_tokens * 2 AS cap,
+        |         row_number() OVER w AS i,
+        |         count(*) OVER () AS L,
+        |         coalesce(sum(n_tokens * 2) OVER (w ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pprev
+        |  FROM pg WINDOW w AS (ORDER BY n_tokens * 2, lang)),
+        |cp AS (
+        |  SELECT *, (cap * (L - i + 1) <= 40000 - pprev) AS capped FROM st),
+        |fin AS (
+        |  SELECT *,
+        |         sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+        |         40000 - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS R,
+        |         L - sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS u
+        |  FROM cp)
+        |SELECT lang, n_tokens, cap,
+        |       CASE WHEN capped THEN cap
+        |            ELSE floor((R + (i - k) - 1) / u)::BIGINT END AS alloc,
+        |       round((CASE WHEN capped THEN cap
+        |              ELSE floor((R + (i - k) - 1) / u)::BIGINT END)::DOUBLE
+        |             / n_tokens::DOUBLE, 6) AS epochs
+        |FROM fin ORDER BY lang""".stripMargin,
 
     // Burstiness mirror: the q2 (doc, term) agg lifted to term level,
     // one round-6 division, (burstiness DESC, term) total order.

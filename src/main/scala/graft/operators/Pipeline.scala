@@ -1484,4 +1484,83 @@ object Pipeline {
         max(col("_nterms")).as("n_terms"),
         sum(col("_c")).as("entropy_unats"))
   }
+
+  /**
+   * UNIMAX token-budget allocation across languages/domains (Chung et
+   * al. 2023, "UniMax: fairer and more effective language sampling" —
+   * the mT5/PaLM-2 mixture recipe): split a training budget as evenly
+   * as possible across groups, except no group may be repeated more
+   * than `maxEpochs` times. The greedy waterfill — visit groups by
+   * ascending capacity, give each min(capacity, even share of what's
+   * left) — is computed here in CLOSED FORM, no loop:
+   *
+   *   - capacity cap_g = n_tokens_g · maxEpochs;
+   *   - the capped set is exactly a PREFIX of the cap-ascending order,
+   *     because f(i) = P_{i-1} + cap_i·(L-i+1) is nondecreasing in i
+   *     (difference (cap_{i+1}-cap_i)(L-i) ≥ 0), so "cap_i fits under
+   *     the even split of what the smaller groups left" flips once;
+   *   - the uncapped suffix (u groups, R = budget − Σ capped caps)
+   *     takes alloc_j = ⌊(R + j − 1)/u⌋ — the exact sequential-greedy
+   *     floors, which sum to R (the last R mod u groups get the +1).
+   *
+   * Every quantity is a LONG — counts, caps, prefix sums, floor
+   * divisions — so the allocation is engine-exact by construction;
+   * the only double is the final round-6 epochs ratio. Budget is
+   * conserved exactly: Σ alloc = min(budget, Σ cap).
+   *
+   * Scale shape: one per-group token aggregate (map-side partial) off
+   * the corpus scan, then three unbounded windows over the
+   * groups-bounded frame (cardinality = #languages, dozens — the one
+   * place a single-partition exchange is harmless, the
+   * [[temperatureMixture]] z_norm precedent). The corpus itself is
+   * scanned once and never re-shuffled.
+   *
+   * @param docs (groupCol, line)
+   * @param budgetTokens total training-token budget to allocate
+   * @param maxEpochs max repetitions of any one group's data
+   * @return per group: n_tokens, cap, alloc, epochs (round-6 double)
+   */
+  def uniMaxAllocation(
+      docs: DataFrame,
+      groupCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val perGroup = docs
+      .withColumn("_ntok",
+        size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_ntok")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
+    // All windows below run on the groups-bounded frame (#languages
+    // rows); (cap, group) is a total order, so every engine sees the
+    // identical prefix.
+    val byCap = Window.orderBy(col("cap"), col(groupCol))
+    val all = Window.partitionBy()
+    val staged = perGroup
+      .withColumn("_i", row_number().over(byCap))
+      .withColumn("_L", count(lit(1)).over(all))
+      .withColumn("_pprev",
+        coalesce(sum(col("cap")).over(byCap.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      // capped ⇔ cap·(groups from here on) fits in the budget the
+      // smaller (all-capped) groups left behind
+      .withColumn("_capped",
+        col("cap") * (col("_L") - col("_i") + lit(1L)) <=
+          lit(budgetTokens) - col("_pprev"))
+    staged
+      .withColumn("_k", sum(when(col("_capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("_R", lit(budgetTokens) -
+        sum(when(col("_capped"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("_u", col("_L") - col("_k"))
+      .withColumn("alloc", when(col("_capped"), col("cap"))
+        .otherwise(floor((col("_R") + (col("_i") - col("_k")) - lit(1L)) /
+          col("_u")).cast("long")))
+      .withColumn("epochs",
+        round(col("alloc").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col(groupCol), col("n_tokens"), col("cap"), col("alloc"),
+        col("epochs"))
+  }
 }

@@ -828,6 +828,51 @@ class PipelineSpec extends SparkSpec {
       Pipeline.preferencePairs(d, "grp", minMargin = 1.0)
   }
 
+  test("uniMaxAllocation: capped prefix + remainder floors, hand-computed") {
+    // token counts 10/11/11/11, maxEpochs=1 ⇒ caps are the counts;
+    // budget 41: lang a capped at 10 (10·4 ≤ 41), suffix splits R=31
+    // as ⌊31/3⌋, ⌊32/3⌋, ⌊33/3⌋ = 10, 10, 11 — Σ = 41 exactly.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d = corpus(
+      "a" -> words(10), "b" -> words(11), "c" -> words(11), "d" -> words(11))
+      .withColumnRenamed("doc", "lang")
+    val got = Pipeline.uniMaxAllocation(d, "lang", budgetTokens = 41L,
+        maxEpochs = 1).orderBy(C("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got shouldBe Array(
+      ("a", 10L, 10L, 10L), ("b", 11L, 11L, 10L),
+      ("c", 11L, 11L, 10L), ("d", 11L, 11L, 11L))
+  }
+
+  test("uniMaxAllocation conserves the budget and matches the local greedy") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val counts = Seq("a" -> 7, "b" -> 23, "c" -> 3, "d" -> 50, "e" -> 13)
+    val d = corpus(counts.map { case (g, n) => g -> words(n) }: _*)
+      .withColumnRenamed("doc", "lang")
+    for (budget <- Seq(5L, 60L, 150L, 1000L); epochs <- Seq(1, 2, 3)) {
+      // independent local replication of the sequential greedy
+      val caps = counts.map { case (g, n) => g -> n.toLong * epochs }
+        .sortBy { case (g, c) => (c, g) }
+      var remaining = budget
+      val expect = caps.zipWithIndex.map { case ((g, c), idx) =>
+        val fair = remaining / (caps.size - idx)
+        val a = math.min(c, fair)
+        remaining -= a
+        g -> a
+      }.toMap
+      val got = Pipeline.uniMaxAllocation(d, "lang", budget, epochs)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      withClue(s"budget=$budget epochs=$epochs:") {
+        got shouldBe expect
+        got.values.sum shouldBe math.min(budget, caps.map(_._2).sum)
+      }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.uniMaxAllocation(d, "lang", 0L, 1)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.uniMaxAllocation(d, "lang", 10L, 0)
+  }
+
   test("klNoveltyAgainst(docs, docs) is klNovelty with zero unseen (identity)") {
     val cor = corpus("a" -> "x x y", "b" -> "x y y", "c" -> "x z")
     val self = graft.operators.Pipeline.klNoveltyAgainst(cor, cor)

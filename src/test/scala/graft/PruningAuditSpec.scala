@@ -131,4 +131,10 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q165_term_burstiness") shouldBe Seq(Set("doc_id", "text"))
     formatted("q165_term_burstiness") should include("TakeOrderedAndProject")
   }
+
+  test("q169 unimax scan reads only lang and text; corpus scanned once") {
+    // The waterfill windows run on the groups-bounded aggregate, never
+    // on corpus rows — exactly one scan of documents feeds it.
+    readSchemas("q169_unimax_allocation") shouldBe Seq(Set("lang", "text"))
+  }
 }
