@@ -2531,6 +2531,13 @@ object SparkEntry {
           "lang", budgetTokens = 40000L, maxEpochs = 2)
         .orderBy(col("lang"))),
 
+    // CUSUM changepoints: two-sided Page statistic over hourly value
+    // sums, the max(0,·) recursion unrolled to prefix-sum − running-min
+    // — sustained small drifts the pointwise q123/q138 z-scores miss.
+    "q170_cusum_changepoints" -> ((s, dir) =>
+      graft.operators.Events.cusumChangepoints(events(s, dir))
+        .orderBy(col("event_type"), col("hour_start"))),
+
     // Incremental hashed-cosine: delta (docs ≥ 250) probes the
     // HISTORY's (docs < 250) inverted index — never a delta self-join;
     // the q52 split, sparse-cosine semantics.
@@ -6559,6 +6566,53 @@ object SparkEntry {
         |       END AS r
         |FROM m
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // CUSUM mirror: identical micro-long cells, exact HUGEINT moments,
+    // σ→(κ,h) floored once, then pure-integer running sum + running
+    // min windows; alarms compare longs.
+    "q170_cusum_changepoints" ->
+      """WITH cells AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |         sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS v_micro
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT *,
+        |         count(*) OVER w AS n,
+        |         sum(v_micro) OVER w AS s,
+        |         sum(v_micro::HUGEINT * v_micro::HUGEINT) OVER w AS q
+        |  FROM cells WINDOW w AS (PARTITION BY event_type)),
+        |par AS (
+        |  SELECT *,
+        |         (n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0) AS ok,
+        |         CASE WHEN n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0
+        |              THEN sqrt((n::HUGEINT * q - s::HUGEINT * s::HUGEINT)::DOUBLE
+        |                        / (n * (n - 1))::DOUBLE) END AS sigma,
+        |         floor(s::DOUBLE / n::DOUBLE)::BIGINT AS mu
+        |  FROM mom),
+        |kh AS (
+        |  SELECT *, floor(sigma * 0.5)::BIGINT AS kappa,
+        |            floor(sigma * 4.0)::BIGINT AS h
+        |  FROM par),
+        |ps AS (
+        |  SELECT *,
+        |         sum(v_micro - mu - kappa) OVER r AS psp,
+        |         sum(mu - v_micro - kappa) OVER r AS psn
+        |  FROM kh WINDOW r AS (PARTITION BY event_type ORDER BY hour_start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (
+        |  SELECT *,
+        |         CASE WHEN ok THEN
+        |           (psp - least(0, min(psp) OVER r))::BIGINT END AS s_pos,
+        |         CASE WHEN ok THEN
+        |           (psn - least(0, min(psn) OVER r))::BIGINT END AS s_neg
+        |  FROM ps WINDOW r AS (PARTITION BY event_type ORDER BY hour_start
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour_start, v_micro, s_pos, s_neg,
+        |       coalesce(s_pos > h OR s_neg > h, FALSE) AS is_alarm,
+        |       CASE WHEN s_pos > h AND s_neg > h THEN 'both'
+        |            WHEN s_pos > h THEN 'up'
+        |            WHEN s_neg > h THEN 'down' END AS side
+        |FROM cs ORDER BY event_type, hour_start""".stripMargin,
 
     "q104_integrity_audit" ->
       """SELECT

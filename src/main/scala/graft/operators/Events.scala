@@ -627,4 +627,87 @@ object Events {
             6)))
       .select(col("type_a"), col("type_b"), col("n_hours"), col("r"))
   }
+
+  /**
+   * CUSUM CHANGEPOINT detection over hourly value series — the
+   * sequential drift detector (Page 1954) that catches what the
+   * pointwise q123/q138 z-scores can't: a SUSTAINED small shift (each
+   * hour individually in-band) accumulates until the cumulative sum
+   * trips. The classic two-sided recursion
+   *
+   *   S⁺_t = max(0, S⁺_{t-1} + x_t − μ − κ)
+   *   S⁻_t = max(0, S⁻_{t-1} + μ − x_t − κ)
+   *
+   * is computed here WITHOUT the recursion: max(0, ·) unrolls to
+   * S_t = PS_t − min(0, min_{j≤t} PS_j) where PS is the plain prefix
+   * sum of deviations — so both statistics are two stock window
+   * functions (running sum + running min) over the hourly frame, a
+   * shape every engine executes identically.
+   *
+   * Determinism: hourly sums are micro longs; μ is the exact-moment
+   * mean floored to a micro long (bias < 1 micro/hour, noise against
+   * h ≈ 4σ); κ and h derive from the exact integer moments' σ via ONE
+   * double sqrt each, floored to micro longs (the klNovelty
+   * floor-once convention) — every PS, min, and S after that point is
+   * exact long arithmetic, and the emitted statistics are integers.
+   * Degenerate series (< 3 hours or zero variance) emit null S and
+   * never alarm.
+   *
+   * Scale shape: the only event-scale exchange is the (type, hour)
+   * cell aggregate (map-side combined); the moments and both CUSUM
+   * windows run per-type over the hours×types dashboard-bounded cell
+   * frame, sharing one sort. Nothing collects.
+   *
+   * @param kappaSigmas slack per step in σ units (tune to half the
+   *                    shift you want to detect; 0.5 is the textbook
+   *                    default)
+   * @param hSigmas decision threshold in σ units (ARL knob)
+   * @return per (event_type, hour_start): v_micro, s_pos, s_neg,
+   *         is_alarm, side ('up'/'down'/'both'/null)
+   */
+  def cusumChangepoints(
+      events: DataFrame,
+      kappaSigmas: Double = 0.5,
+      hSigmas: Double = 4.0): DataFrame = {
+    require(kappaSigmas >= 0, s"kappaSigmas must be >= 0, got $kappaSigmas")
+    require(hSigmas > 0, s"hSigmas must be positive, got $hSigmas")
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("hour_start"))
+    val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = events
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .withColumn("_vm", round(col("value") * 1e6).cast("long"))
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(sum(col("_vm")).as("v_micro"))
+    val withParams = cells
+      .withColumn("_n", count(lit(1)).over(byType))
+      .withColumn("_s", sum(col("v_micro")).over(byType))
+      .withColumn("_q", sum(dec(col("v_micro")) * dec(col("v_micro"))).over(byType))
+      .withColumn("_vnum", dec(col("_n")) * col("_q") - dec(col("_s")) * dec(col("_s")))
+      .withColumn("_ok", col("_n") >= 3 && col("_vnum") > 0)
+      // σ from exact integer moments, then ONE floor each → longs
+      .withColumn("_sigma",
+        when(col("_ok"), sqrt(col("_vnum").cast("double") /
+          (col("_n") * (col("_n") - 1)).cast("double"))))
+      .withColumn("_mu", floor(col("_s").cast("double") / col("_n").cast("double")).cast("long"))
+      .withColumn("_kappa", floor(col("_sigma") * lit(kappaSigmas)).cast("long"))
+      .withColumn("_h", floor(col("_sigma") * lit(hSigmas)).cast("long"))
+    withParams
+      .withColumn("_psp", sum(col("v_micro") - col("_mu") - col("_kappa")).over(run))
+      .withColumn("_psn", sum(col("_mu") - col("v_micro") - col("_kappa")).over(run))
+      .withColumn("s_pos",
+        when(col("_ok"), col("_psp") - least(lit(0L), min(col("_psp")).over(run))))
+      .withColumn("s_neg",
+        when(col("_ok"), col("_psn") - least(lit(0L), min(col("_psn")).over(run))))
+      .withColumn("is_alarm",
+        coalesce(col("s_pos") > col("_h") || col("s_neg") > col("_h"), lit(false)))
+      .withColumn("side",
+        when(col("s_pos") > col("_h") && col("s_neg") > col("_h"), "both")
+          .when(col("s_pos") > col("_h"), "up")
+          .when(col("s_neg") > col("_h"), "down"))
+      .select(col("event_type"), col("hour_start"), col("v_micro"),
+        col("s_pos"), col("s_neg"), col("is_alarm"), col("side"))
+  }
 }

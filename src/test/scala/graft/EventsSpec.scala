@@ -471,4 +471,60 @@ class EventsSpec extends SparkSpec {
     got(("a", "e"))._2 shouldBe None
     got(("d", "e"))._2 shouldBe None
   }
+
+  test("cusumChangepoints matches the literal Page recursion; degenerates never alarm") {
+    // type m: six steady hours then a sustained +3 step — pointwise
+    // each hour is in-band, the cumulative sum is not
+    val vals = Seq(10.0, 11.0, 10.0, 9.0, 10.0, 10.0,
+      13.0, 13.0, 12.0, 13.0, 14.0, 13.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i + 1L, f"2024-01-01 ${i}%02d:30:00", 1L, "m", v)
+    } ++ Seq(
+      (100L, "2024-01-01 00:05:00", 1L, "two", 5.0),
+      (101L, "2024-01-01 01:05:00", 1L, "two", 6.0), // n=2 → degenerate
+      (102L, "2024-01-01 00:05:00", 1L, "flat", 7.0),
+      (103L, "2024-01-01 01:05:00", 1L, "flat", 7.0),
+      (104L, "2024-01-01 02:05:00", 1L, "flat", 7.0)) // zero variance
+    val got = Events.cusumChangepoints(ev(rows: _*), kappaSigmas = 0.5,
+        hSigmas = 2.0).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getBoolean(5), Option(r.getString(6))))).toMap
+
+    // independent local replication: exact moments → σ, μ, κ, h, then
+    // the literal two-sided recursion S = max(0, S + dev)
+    val vm = vals.map(v => math.round(v * 1e6))
+    val n = vm.size
+    val s = vm.map(BigInt(_)).sum
+    val q = vm.map(v => BigInt(v) * BigInt(v)).sum
+    val sigma = math.sqrt((BigInt(n) * q - s * s).toDouble / (n * (n - 1)))
+    val mu = math.floor(s.toDouble / n).toLong
+    val kappa = math.floor(sigma * 0.5).toLong
+    val h = math.floor(sigma * 2.0).toLong
+    var sp = 0L; var sn = 0L
+    vals.indices.foreach { i =>
+      sp = math.max(0L, sp + (vm(i) - mu - kappa))
+      sn = math.max(0L, sn + (mu - vm(i) - kappa))
+      val key = ("m", f"2024-01-01 ${i}%02d:00:00.0")
+      withClue(s"hour $i:") {
+        got(key) shouldBe ((Some(sp), Some(sn),
+          sp > h || sn > h,
+          if (sp > h && sn > h) Some("both")
+          else if (sp > h) Some("up")
+          else if (sn > h) Some("down") else None))
+      }
+    }
+    // the step trips the upper CUSUM late; the early low run, at 2σ,
+    // trips the lower one — both sides exercised
+    got.collect { case (("m", _), (_, _, alarm, side)) if alarm => side }
+      .toSet shouldBe Set(Some("up"), Some("down"))
+    // degenerate series: null statistics, never alarm
+    got(("two", "2024-01-01 00:00:00.0")) shouldBe ((None, None, false, None))
+    got(("flat", "2024-01-01 02:00:00.0")) shouldBe ((None, None, false, None))
+    an[IllegalArgumentException] should be thrownBy
+      Events.cusumChangepoints(ev(rows: _*), kappaSigmas = -0.1)
+    an[IllegalArgumentException] should be thrownBy
+      Events.cusumChangepoints(ev(rows: _*), hSigmas = 0.0)
+  }
 }

@@ -132,6 +132,13 @@ class PruningAuditSpec extends SparkSpec {
     formatted("q165_term_burstiness") should include("TakeOrderedAndProject")
   }
 
+  test("q170 cusum scan reads only ts, event_type, value") {
+    // Both CUSUM windows and the moment window run on the hours×types
+    // cell frame; the event-scale exchange is the cell aggregate only.
+    readSchemas("q170_cusum_changepoints") shouldBe
+      Seq(Set("ts", "event_type", "value"))
+  }
+
   test("q169 unimax scan reads only lang and text; corpus scanned once") {
     // The waterfill windows run on the groups-bounded aggregate, never
     // on corpus rows — exactly one scan of documents feeds it.
