@@ -326,6 +326,48 @@ object SparkEntry {
        |  JOIN lut l ON l.s = cd.s AND l.j = cd.j AND l.q_vec_id <> cd.vec_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB replica of the int8 chain (`Similarity.quantizeInt8` +
+    * `int8SdcTopK` per-vector stats): affine byte codes with the
+    * explicit +0.5-then-floor, Σq / Σq² as BIGINTs, and the SDC score
+    * CTE — the double expressions replay the engine's operation order
+    * verbatim. Ends with `sdc` = (q_vec_id, n_vec_id, cos_sdc),
+    * queries = vec_id < 5. */
+  private def int8Ctes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, list_min(emb) AS mn,
+      |         (list_max(emb) - list_min(emb)) / 255.0 AS sc,
+      |         len(emb)::BIGINT AS d,
+      |         CASE WHEN (list_max(emb) - list_min(emb)) / 255.0 = 0
+      |              THEN list_transform(emb, x -> 0)
+      |              ELSE list_transform(emb, x -> least(greatest(
+      |                floor((x - list_min(emb)) /
+      |                      ((list_max(emb) - list_min(emb)) / 255.0) + 0.5),
+      |                0), 255)::INTEGER)
+      |         END AS q
+      |  FROM e),
+      |st AS (
+      |  SELECT vec_id, mn, sc, d, q,
+      |         list_sum(list_transform(q, x -> x::BIGINT))::BIGINT AS sq,
+      |         list_sum(list_transform(q, x -> (x * x)::BIGINT))::BIGINT AS qq
+      |  FROM qz),
+      |sdc AS (
+      |  SELECT q_vec_id, n_vec_id,
+      |         CASE WHEN nq > 0 AND nn > 0
+      |              THEN round(ip / (sqrt(nq) * sqrt(nn)), 6) END AS cos_sdc
+      |  FROM (
+      |    SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
+      |           a.mn * b.mn * b.d + a.mn * b.sc * b.sq +
+      |             b.mn * a.sc * a.sq + a.sc * b.sc *
+      |             list_sum(list_transform(list_zip(a.q, b.q),
+      |               p -> (p[1] * p[2])::BIGINT))::BIGINT AS ip,
+      |           a.mn * a.mn * a.d + 2.0 * a.mn * a.sc * a.sq +
+      |             a.sc * a.sc * a.qq AS nq,
+      |           b.mn * b.mn * b.d + 2.0 * b.mn * b.sc * b.sq +
+      |             b.sc * b.sc * b.qq AS nn
+      |    FROM (SELECT * FROM st WHERE vec_id < 5) a
+      |    JOIN st b ON a.vec_id <> b.vec_id))""".stripMargin
+
   /** DuckDB replica of `Similarity.signRow`'s hyperplane family: sign_j of
     * hyperplane `h` = +1 iff hex digit (j mod 16) of md5("h:j") ≥ '8'.
     * Returns the dot product of `emb` with hyperplane `hExpr` — both
@@ -2537,6 +2579,33 @@ object SparkEntry {
     "q170_cusum_changepoints" -> ((s, dir) =>
       graft.operators.Events.cusumChangepoints(events(s, dir))
         .orderBy(col("event_type"), col("hour_start"))),
+
+    // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
+    // reads byte codes + per-vector stats only — the 4× memory rung
+    // between PQ (q99) and sign bits (q135).
+    "q171_int8_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.int8SdcTopK(e, e.where(col("vec_id") < 5), kTop = 10)
+        .orderBy(col("q_vec_id"), col("rank"))
+    }),
+
+    // Int8 tier recall contract vs the exact scan (the q99c pattern):
+    // 8-bit cells should be near-lossless — the contract records it.
+    "q171b_int8_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.int8SdcTopK(e, q, kTop = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
 
     // Incremental hashed-cosine: delta (docs ≥ 250) probes the
     // HISTORY's (docs < 250) inverted index — never a delta self-join;
@@ -6613,6 +6682,48 @@ object SparkEntry {
         |            WHEN s_pos > h THEN 'up'
         |            WHEN s_neg > h THEN 'down' END AS side
         |FROM cs ORDER BY event_type, hour_start""".stripMargin,
+
+    // Int8 SDC mirror: byte-code quantization + the expanded-cosine
+    // score CTEs; per-query rank with NULLS LAST + id tie-break.
+    "q171_int8_topk" ->
+      s"""WITH $int8Ctes
+         |SELECT q_vec_id, n_vec_id, cos_sdc, rnk AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |      ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
+         |  FROM sdc)
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rank""".stripMargin,
+
+    // Int8 recall mirror: approx top-10 from the sdc CTE vs the exact
+    // float-cosine top-10 (the q99c construction).
+    "q171b_int8_recall" ->
+      s"""WITH $int8Ctes,
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |        ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
+         |    FROM sdc) WHERE rnk <= 10),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, c2.emb) /
+         |                   (sqrt(list_dot_product(q.emb, q.emb)) *
+         |                    sqrt(list_dot_product(c2.emb, c2.emb))), 6)
+         |               DESC, c2.vec_id) AS rnk
+         |    FROM (SELECT * FROM e WHERE vec_id < 5) q
+         |    JOIN e c2 ON q.vec_id <> c2.vec_id)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
 
     "q104_integrity_audit" ->
       """SELECT

@@ -135,6 +135,75 @@ object Similarity {
       transform(col("q"), qi => col("minv") + qi * col("scale")))
 
   /**
+   * INT8 SYMMETRIC top-k (SDC over [[quantizeInt8]] codes) — the
+   * middle rung of the memory ladder between PQ (32×, q99) and sign
+   * bits (42×, q135): 8-bit cells are 4× smaller than fp32 at
+   * near-exact recall. Both sides quantize, and the approximate
+   * cosine expands ALGEBRAICALLY so the float vectors are never
+   * touched at scoring time:
+   *
+   *   ⟨x̂,ŷ⟩ = mx·my·d + mx·sy·Σqy + my·sx·Σqx + sx·sy·Σqx_iqy_i
+   *   ‖x̂‖²  = mx²·d + 2·mx·sx·Σqx + sx²·Σqx²
+   *
+   * The per-pair work is the Σqx_iqy_i term — an EXACT integer
+   * inner product over byte cells (the SIMD/memory lever at 10⁹
+   * vectors); Σq, Σq² and (min, scale) are per-VECTOR stats computed
+   * once. Every heavy sum is a long; the correction arithmetic is a
+   * fixed-order double expression replayed verbatim by the oracle,
+   * and the score surfaces round-6 with vec_id tie-break. Zero-norm
+   * reconstructions score null and sort last.
+   *
+   * Scale shape: corpus-side stats are map-only; queries broadcast
+   * (the q15/q99 flat-scan shape, the declared swap-in point for the
+   * IVF/LSH pruners when n grows); ranking is one per-query window.
+   * The recall contract is q171b, the q99c pattern.
+   *
+   * @return (q_vec_id, n_vec_id, cos_sdc, rank) rank ≤ kTop
+   */
+  def int8SdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kTop: Int = 10): DataFrame = {
+    require(kTop >= 1, s"kTop must be >= 1, got $kTop")
+    def coded(df: DataFrame, p: String): DataFrame =
+      quantizeInt8(df).select(
+        col("vec_id").as(p + "vec_id"),
+        col("q").as(p + "q"),
+        col("minv").as(p + "min"),
+        col("scale").as(p + "s"),
+        size(col("q")).cast("long").as(p + "d"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long"))
+          .as(p + "sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + (x * x).cast("long"))
+          .as(p + "qq"))
+    def normSq(p: String): Column =
+      col(p + "min") * col(p + "min") * col(p + "d") +
+        lit(2.0) * col(p + "min") * col(p + "s") * col(p + "sum") +
+        col(p + "s") * col(p + "s") * col(p + "qq")
+    val w = Window.partitionBy(col("q_vec_id"))
+      .orderBy(col("cos_sdc").desc_nulls_last, col("n_vec_id"))
+    coded(corpus, "n_")
+      .join(broadcast(coded(queries, "q_")),
+        col("q_vec_id") =!= col("n_vec_id"))
+      .withColumn("_ipq",
+        aggregate(zip_with(col("q_q"), col("n_q"), (a, b) => (a * b).cast("long")),
+          lit(0L), (s, v) => s + v))
+      .withColumn("_ip",
+        col("q_min") * col("n_min") * col("n_d") +
+          col("q_min") * col("n_s") * col("n_sum") +
+          col("n_min") * col("q_s") * col("q_sum") +
+          col("q_s") * col("n_s") * col("_ipq"))
+      .withColumn("_nq", normSq("q_"))
+      .withColumn("_nn", normSq("n_"))
+      .withColumn("cos_sdc",
+        when(col("_nq") > 0 && col("_nn") > 0,
+          round(col("_ip") / (sqrt(col("_nq")) * sqrt(col("_nn"))), 6)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= kTop)
+      .select(col("q_vec_id"), col("n_vec_id"), col("cos_sdc"), col("rank"))
+  }
+
+  /**
    * Sign-matrix random projection (Achlioptas ±1 JL transform) to
    * `outDim` dimensions: projected_p = ⟨emb, r_p⟩ / √outDim with the
    * SAME deterministic hyperplane rows the LSH family uses

@@ -39,6 +39,9 @@ class PlanAuditSpec extends SparkSpec {
                         // design: broadcast query LUTs × code table (the
                         // q15 recipe at m bytes/vector)
     "q99c_pq_recall", // the ADC scan + q15's exact recall denominator
+    "q171_int8_topk", // the same compressed-domain scan at 8-bit cells:
+                      // broadcast quantized queries × byte-code table
+    "q171b_int8_recall", // the int8 scan + q15's exact recall denominator
     "q100_ann_index_append", // q26's centroid broadcast cross (assign +
                              // probe), same as q82
     "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)

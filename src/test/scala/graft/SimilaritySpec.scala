@@ -635,4 +635,48 @@ class SimilaritySpec extends SparkSpec {
     // norms 5, 2, 1, 0 over 4 usable vectors → mean 2
     r.getAs[Double]("mean_norm") shouldBe 2.0 +- 1e-9
   }
+
+  test("int8SdcTopK score equals the locally-expanded quantized cosine") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 40)
+    val got = Similarity.int8SdcTopK(e, e.where(col("vec_id") < 2), kTop = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    got.size shouldBe 10
+    // independent local replication: quantize per vector, expand the
+    // SDC cosine from integer stats — must match the engine round-6
+    val raw = e.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray).toMap
+    def qz(x: Array[Double]): (Double, Double, Array[Long]) = {
+      val mn = x.min; val sc = (x.max - x.min) / 255.0
+      val q = if (sc == 0) x.map(_ => 0L)
+        else x.map(v => math.min(math.max(
+          math.floor((v - mn) / sc + 0.5), 0.0), 255.0).toLong)
+      (mn, sc, q)
+    }
+    def nsq(mn: Double, sc: Double, q: Array[Long]) =
+      mn * mn * q.length + 2.0 * mn * sc * q.sum + sc * sc * q.map(v => v * v).sum
+    for (((qi, ni), (cos, _)) <- got) {
+      val (mq, sq2, qq) = qz(raw(qi)); val (mnv, snv, qn) = qz(raw(ni))
+      val ipq = qq.zip(qn).map { case (a, b) => a * b }.sum
+      val ip = mq * mnv * qn.length + mq * snv * qn.sum +
+        mnv * sq2 * qq.sum + sq2 * snv * ipq
+      val expect = BigDecimal(ip / (math.sqrt(nsq(mq, sq2, qq)) *
+        math.sqrt(nsq(mnv, snv, qn))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cos shouldBe expect
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.int8SdcTopK(e, e, kTop = 0)
+  }
+
+  test("int8SdcTopK: 8-bit cells keep near-exact ranking on the fixture") {
+    // well-separated fixture → the quantized ranking equals the exact one
+    val exact = Similarity.cosineTopK(fixture, fixture.where(col("vec_id") === 0), k = 4)
+      .collect().map(r => (r.getAs[Long]("n_vec_id"), r.getAs[Long]("rank")))
+    val approx = Similarity.int8SdcTopK(fixture, fixture.where(col("vec_id") === 0), kTop = 4)
+      .collect().map(r => (r.getAs[Long]("n_vec_id"), r.getAs[Long]("rank")))
+    approx.toSeq shouldBe exact.toSeq
+  }
 }
