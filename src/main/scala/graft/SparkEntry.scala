@@ -326,6 +326,34 @@ object SparkEntry {
        |  JOIN lut l ON l.s = cd.s AND l.j = cd.j AND l.q_vec_id <> cd.vec_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB replica of the image aHash (`Multimodal.imageAHash`): the
+    * encoder rasterizes text chars as gray pixels (q144's contract), so
+    * the oracle rebuilds every bucket sum/count from ord() and compares
+    * the exact cross-products — ends with `hs` = (doc_id, w, ahash). */
+  private def ahashCtes: String =
+    """img AS (
+      |  SELECT doc_id, length(text)::BIGINT AS w,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> ord(substr(text, i::INTEGER, 1))::BIGINT) AS g
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, unnest(range(0, w)) AS i0, g FROM img),
+      |bk AS (
+      |  SELECT doc_id, w, (i0 * 56) // w AS j,
+      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
+      |         count(*)::BIGINT AS bcnt
+      |  FROM px GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS total FROM bk GROUP BY 1),
+      |hs AS (
+      |  SELECT i.doc_id, i.w,
+      |         coalesce((
+      |           SELECT sum(CASE WHEN b.bsum * b.w >= t.total * b.bcnt
+      |                           THEN (1::BIGINT << b.j::INTEGER)
+      |                           ELSE 0 END)
+      |           FROM bk b JOIN tot t ON b.doc_id = t.doc_id
+      |           WHERE b.doc_id = i.doc_id), 0)::BIGINT AS ahash
+      |  FROM img i)""".stripMargin
+
   /** DuckDB replica of the int8 chain (`Similarity.quantizeInt8` +
     * `int8SdcTopK` per-vector stats): affine byte codes with the
     * explicit +0.5-then-floor, Σq / Σq² as BIGINTs, and the SDC score
@@ -1831,6 +1859,22 @@ object SparkEntry {
           when(col("n_samples") > 0,
             round(col("value_sum").cast("double") / col("n_samples"), 6)))
         .orderBy(col("asset_id"))),
+
+    // Perceptual aHash over DECODED pixels: 56 exact-integer
+    // mean-threshold bits per image — the oracle rebuilds every bit
+    // straight from the text the encoder rasterized.
+    "q172_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir)))
+        .orderBy(col("asset_id"))),
+
+    // Banded Hamming near-dup pairs over the aHashes (7×8-bit bands);
+    // oracle = all-pairs brute force — pigeonhole says banding must
+    // agree exactly at maxDist ≤ 6.
+    "q172b_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDupPairs(
+          Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))),
+          maxDist = 6)
+        .orderBy(col("d1"), col("d2"))),
 
     // ── Event analytics (batch twins of the streaming ops) ──────────────
 
@@ -6682,6 +6726,23 @@ object SparkEntry {
         |            WHEN s_pos > h THEN 'up'
         |            WHEN s_neg > h THEN 'down' END AS side
         |FROM cs ORDER BY event_type, hour_start""".stripMargin,
+
+    // aHash mirror: every bucket bit rebuilt from the text the encoder
+    // rasterized; exact integer cross-products, no division.
+    "q172_image_ahash" ->
+      s"""WITH $ahashCtes
+         |SELECT doc_id AS asset_id, w AS width, 1::BIGINT AS height, ahash
+         |FROM hs ORDER BY asset_id""".stripMargin,
+
+    // Near-dup mirror: ALL-PAIRS brute force — the banded engine must
+    // reproduce it exactly at maxDist ≤ 6 (7-band pigeonhole).
+    "q172b_image_neardup" ->
+      s"""WITH $ahashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine
     // score CTEs; per-query rank with NULLS LAST + id tie-break.

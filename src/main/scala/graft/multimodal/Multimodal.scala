@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -411,5 +411,137 @@ object Multimodal {
     val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
     assets.repartition(parts, col("asset_id"))
+  }
+
+  /** aHash width: 56 bits — 7 clean 8-bit bands, and (unlike the
+    * classic 64) the top bit stays clear of the BIGINT sign on every
+    * engine that has to band, XOR, and popcount it. */
+  val AHashBits = 56
+
+  /**
+   * PERCEPTUAL average hash (aHash) over decoded image pixels — the
+   * content-level image near-dup key the raw-byte md5 can't be (a
+   * re-encoded header or comment byte changes the payload, not the
+   * picture). The flattened pixel sequence buckets into [[AHashBits]]
+   * equal spans (pixel i → bucket ⌊i·56/n⌋, the integer downsample);
+   * bit j is set iff bucket j's mean ≥ the image mean, compared as
+   * the EXACT cross-product `bsum_j·n_px ≥ total·bcnt_j` — no
+   * division, no float, engine-identical by construction (bounds: a
+   * 10⁸-pixel image keeps bsum·n_px < 2.6e18, inside int64). Empty
+   * buckets (images narrower than 56 px) and empty rasters hash 0 on
+   * that bit.
+   *
+   * Scale shape: partition-local decode+fold, one (id, 3-long) row
+   * out per image — the [[decodeMedia]] mapPartitions corner;
+   * compose with [[repartitionForDecode]] for MB payloads.
+   *
+   * @return (asset_id, width, height, ahash) for image assets
+   */
+  def imageAHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("meta.kind") === "image")
+      .select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val b = r.getAs[Array[Byte]](1)
+          val (w, h, gray) = ppmGray(id, b)
+          val nPx = gray.length
+          val sums = new Array[Long](AHashBits)
+          val cnts = new Array[Long](AHashBits)
+          var i = 0
+          while (i < nPx) {
+            val j = (i.toLong * AHashBits / nPx).toInt
+            sums(j) += gray(i); cnts(j) += 1
+            i += 1
+          }
+          val total = sums.sum
+          var hash = 0L
+          var j = 0
+          while (j < AHashBits) {
+            if (cnts(j) > 0 && sums(j) * nPx >= total * cnts(j))
+              hash |= 1L << j
+            j += 1
+          }
+          (id, w, h, hash)
+        }
+      }
+      .toDF("asset_id", "width", "height", "ahash")
+  }
+
+  /** PPM P6 pixel extraction: header walk as [[parsePpm]], gray value =
+    * the first channel byte of each pixel (our encoder writes equal
+    * channels; for true color this is the R plane — documented, cheap,
+    * and stable). */
+  private def ppmGray(id: Long, b: Array[Byte]): (Long, Long, Array[Int]) = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"asset $id: not a PPM payload")
+    var pos = 2
+    def isWs(c: Int) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def nextInt(): Long = {
+      while (pos < b.length && (isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else pos += 1
+      }
+      var v = 0L
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval == 255, s"asset $id: unsupported PPM maxval $maxval")
+    require(w * h <= Int.MaxValue.toLong,
+      s"asset $id: raster too large for a single in-memory decode")
+    pos += 1
+    val n = (w * h).toInt
+    require(b.length - pos >= n.toLong * 3, s"asset $id: truncated PPM raster")
+    val gray = new Array[Int](n)
+    var i = 0
+    while (i < n) { gray(i) = b(pos + 3 * i) & 0xff; i += 1 }
+    (w, h, gray)
+  }
+
+  /**
+   * Banded HAMMING near-dup pairs over [[imageAHash]] fingerprints —
+   * the q14 SimHash shape at 56 bits: 7 bands of 8 bits, candidates
+   * meet only on an equal (band, band_bits) key (pigeonhole: any pair
+   * within hamming ≤ 6 shares at least one untouched band, so banding
+   * loses NOTHING the threshold admits — the oracle is the all-pairs
+   * brute force and must agree exactly), and multi-band duplicates
+   * drop via the first-matching-band filter — decidable per row from
+   * h1^h2, no distinct exchange.
+   *
+   * @param maxDist Hamming threshold, ≤ 6 (the 7-band guarantee)
+   * @return (d1, d2, hamming) with d1 < d2
+   */
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6,
+      s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+    val nBands = 7
+    val bandMask = 255L
+    val banded = hashes.select(col("asset_id"), col("ahash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b.toLong).as("band"),
+          shiftright(col("ahash"), 8 * b).bitwiseAND(lit(bandMask))
+            .as("band_bits"))): _*)).as("bb"))
+      .select(col("asset_id"), col("ahash"),
+        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
+      col("band"), col("band_bits"))
+    val diff = expr("h1 ^ h2")
+    val firstMatchingBand = (0 until nBands)
+      .map(j => (shiftright(diff, 8 * j).bitwiseAND(lit(bandMask)) =!= 0L, j))
+      .foldRight(lit((nBands - 1).toLong): Column) { case ((differs, j), tail) =>
+        when(!differs, lit(j.toLong)).otherwise(tail)
+      }
+    a.join(b, Seq("band", "band_bits"))
+      .where(col("d1") < col("d2") && col("band") === firstMatchingBand)
+      .withColumn("hamming", bit_count(diff).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
   }
 }

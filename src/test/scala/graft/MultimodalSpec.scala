@@ -141,4 +141,75 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.asset_id).toSeq
     a shouldBe b
   }
+
+  /** Local aHash replication: the exact integer bucket/threshold math. */
+  private def localAHash(text: String): Long = {
+    val g = text.map(_.toLong)
+    val n = g.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](56); val cnts = new Array[Long](56)
+    g.zipWithIndex.foreach { case (v, i) =>
+      val j = (i.toLong * 56 / n).toInt; sums(j) += v; cnts(j) += 1
+    }
+    val total = g.sum
+    (0 until 56).map { j =>
+      if (cnts(j) > 0 && sums(j) * n >= total * cnts(j)) 1L << j else 0L
+    }.sum
+  }
+
+  test("imageAHash: gradient image sets exactly the bright-half bits") {
+    // 112 pixels: 56 dark 'a' (97) then 56 bright 'z' (122); mean is
+    // midway, so buckets 0..27 clear and 28..55 set
+    val text = "a" * 56 + "z" * 56
+    val d = corpus("0" -> text) // doc 0 → image
+    val r = Multimodal.imageAHash(Multimodal.encodeAssets(d)).head()
+    r.getAs[Long]("width") shouldBe 112L
+    r.getAs[Long]("height") shouldBe 1L
+    val expected = (28 until 56).map(1L << _).sum
+    r.getAs[Long]("ahash") shouldBe expected
+    r.getAs[Long]("ahash") shouldBe localAHash(text)
+  }
+
+  test("imageAHash matches the local replication on irregular widths") {
+    // widths below, at, and off multiples of 56 exercise empty and
+    // uneven buckets
+    val texts = Seq("kk", "abcxyz", "m" * 55, "quick brown fox " * 9)
+    val d = corpus(texts.zipWithIndex.map { case (t, i) =>
+      (i * 3).toString -> t }: _*) // ids 0,3,6,9 → all images
+    val got = Multimodal.imageAHash(Multimodal.encodeAssets(d)).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("ahash")).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      withClue(s"text '$t':") { got(i * 3L) shouldBe localAHash(t) }
+    }
+  }
+
+  test("imageNearDupPairs equals the local brute force (pigeonhole recall)") {
+    // base text + flips of k chars for k = 0..9: distances from 0 to
+    // past the threshold, including multi-bit flips via the shifted
+    // global mean
+    val base = ('a' to 'z').mkString * 8 // 208 px
+    val variants = (0 to 9).map { k =>
+      val sb = new StringBuilder(base)
+      (0 until k).foreach(f => sb.setCharAt(f * 19 + 3, '~'))
+      sb.toString
+    } :+ base // one exact duplicate of variant 0
+    val d = corpus(variants.zipWithIndex.map { case (t, i) =>
+      (i * 3).toString -> t }: _*)
+    val got = Multimodal.imageNearDupPairs(
+        Multimodal.imageAHash(Multimodal.encodeAssets(d)), maxDist = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hashes = variants.zipWithIndex
+      .map { case (t, i) => i * 3L -> localAHash(t) }
+    val brute = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes if i1 < i2
+      dist = java.lang.Long.bitCount(h1 ^ h2) if dist <= 6
+    } yield (i1, i2) -> dist.toLong).toMap
+    got shouldBe brute
+    // the exact duplicate must surface at distance 0
+    got((0L, 30L)) shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageNearDupPairs(
+        Multimodal.imageAHash(Multimodal.encodeAssets(d)), maxDist = 7)
+  }
 }
