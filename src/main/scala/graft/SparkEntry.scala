@@ -2624,6 +2624,17 @@ object SparkEntry {
       graft.operators.Events.cusumChangepoints(events(s, dir))
         .orderBy(col("event_type"), col("hour_start"))),
 
+    // Frozen-parameter CUSUM: (μ,κ,h) fit on the even-id slice,
+    // odd-id events scored against those constants — the deployment
+    // split (self-fit σ would let drift hide itself).
+    "q170b_cusum_frozen" -> ((s, dir) => {
+      val e = events(s, dir)
+      graft.operators.Events.cusumScoresAgainst(
+          e.where(col("event_id") % 2 === 0),
+          e.where(col("event_id") % 2 === 1))
+        .orderBy(col("event_type"), col("ts"), col("event_id"))
+    }),
+
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
     // between PQ (q99) and sign bits (q135).
@@ -6726,6 +6737,57 @@ object SparkEntry {
         |            WHEN s_pos > h THEN 'up'
         |            WHEN s_neg > h THEN 'down' END AS side
         |FROM cs ORDER BY event_type, hour_start""".stripMargin,
+
+    // Frozen-CUSUM mirror: params from even ids, the same unrolled
+    // windows over odd ids in (ts, event_id) order.
+    "q170b_cusum_frozen" ->
+      """WITH fit AS (
+        |  SELECT event_type,
+        |         count(*) AS n,
+        |         sum(CAST(round(value * 1e6) AS BIGINT)) AS s,
+        |         sum(CAST(round(value * 1e6) AS BIGINT)::HUGEINT *
+        |             CAST(round(value * 1e6) AS BIGINT)::HUGEINT) AS q
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |par AS (
+        |  SELECT event_type,
+        |         (n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0) AS ok,
+        |         CASE WHEN n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0
+        |              THEN sqrt((n::HUGEINT * q - s::HUGEINT * s::HUGEINT)::DOUBLE
+        |                        / (n * (n - 1))::DOUBLE) END AS sigma,
+        |         floor(s::DOUBLE / n::DOUBLE)::BIGINT AS mu
+        |  FROM fit),
+        |kh AS (
+        |  SELECT event_type, ok, mu, floor(sigma * 0.5)::BIGINT AS kappa,
+        |         floor(sigma * 4.0)::BIGINT AS h
+        |  FROM par),
+        |live AS (
+        |  SELECT e.event_type, e.ts, e.event_id,
+        |         CAST(round(e.value * 1e6) AS BIGINT) AS v_micro,
+        |         k.ok, k.mu, k.kappa, k.h
+        |  FROM events e LEFT JOIN kh k ON e.event_type = k.event_type
+        |  WHERE e.event_id % 2 = 1),
+        |ps AS (
+        |  SELECT *,
+        |         sum(v_micro - mu - kappa) OVER r AS psp,
+        |         sum(mu - v_micro - kappa) OVER r AS psn
+        |  FROM live WINDOW r AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (
+        |  SELECT *,
+        |         CASE WHEN ok THEN
+        |           (psp - least(0, min(psp) OVER r))::BIGINT END AS s_pos,
+        |         CASE WHEN ok THEN
+        |           (psn - least(0, min(psn) OVER r))::BIGINT END AS s_neg
+        |  FROM ps WINDOW r AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, ts, event_id, v_micro, s_pos, s_neg,
+        |       coalesce(s_pos > h OR s_neg > h, FALSE) AS is_alarm,
+        |       CASE WHEN s_pos > h AND s_neg > h THEN 'both'
+        |            WHEN s_pos > h THEN 'up'
+        |            WHEN s_neg > h THEN 'down' END AS side
+        |FROM cs ORDER BY event_type, ts, event_id""".stripMargin,
 
     // aHash mirror: every bucket bit rebuilt from the text the encoder
     // rasterized; exact integer cross-products, no division.

@@ -710,4 +710,89 @@ object Events {
       .select(col("event_type"), col("hour_start"), col("v_micro"),
         col("s_pos"), col("s_neg"), col("is_alarm"), col("side"))
   }
+
+  /**
+   * Per-type CUSUM parameters FIT on a reference slice — (μ, κ, h) in
+   * micro longs from the slice's exact value moments, the
+   * [[cusumChangepoints]] math at event level. Output is types-bounded
+   * and feeds [[cusumScoresAgainst]] in-plan or, collected, the
+   * streaming twin's frozen state — the same fit-on-history /
+   * score-live split as the frozen-reference KL scorer.
+   *
+   * @return (event_type, mu, kappa, h, ok) — ok=false (null params)
+   *         for degenerate slices (< 3 events or zero variance)
+   */
+  def cusumParams(
+      fit: DataFrame,
+      kappaSigmas: Double = 0.5,
+      hSigmas: Double = 4.0): DataFrame = {
+    require(kappaSigmas >= 0, s"kappaSigmas must be >= 0, got $kappaSigmas")
+    require(hSigmas > 0, s"hSigmas must be positive, got $hSigmas")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    fit
+      .withColumn("_vm", round(col("value") * 1e6).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"), sum(col("_vm")).as("_s"),
+        sum(dec(col("_vm")) * dec(col("_vm"))).as("_q"))
+      .withColumn("_vnum",
+        dec(col("_n")) * col("_q") - dec(col("_s")) * dec(col("_s")))
+      .withColumn("ok", col("_n") >= 3 && col("_vnum") > 0)
+      .withColumn("_sigma",
+        when(col("ok"), sqrt(col("_vnum").cast("double") /
+          (col("_n") * (col("_n") - 1)).cast("double"))))
+      .withColumn("mu",
+        floor(col("_s").cast("double") / col("_n").cast("double")).cast("long"))
+      .withColumn("kappa", floor(col("_sigma") * lit(kappaSigmas)).cast("long"))
+      .withColumn("h", floor(col("_sigma") * lit(hSigmas)).cast("long"))
+      .select(col("event_type"), col("mu"), col("kappa"), col("h"), col("ok"))
+  }
+
+  /**
+   * FROZEN-PARAMETER CUSUM scoring — the deployment shape of
+   * [[cusumChangepoints]]: (μ, κ, h) fit on a reference slice
+   * ([[cusumParams]]), the live slice scored event-by-event against
+   * those frozen constants, exactly what a monitor does in production
+   * (fitting on the stream being judged would let the drift inflate σ
+   * and hide itself — the q170 unit test's lesson). Same unrolled
+   * recursion, same all-integer statistics; types degenerate in the
+   * fit slice score null and never alarm.
+   *
+   * Scale shape: one types-bounded aggregate on the fit slice,
+   * broadcast onto the live scan, and one (ts, event_id)-ordered
+   * window per type on the live side. The streaming twin
+   * ([[graft.streaming.StreamingOps.cusumStream]]) replays the same
+   * fold from per-type state and must emit byte-equal rows on
+   * in-order replays.
+   *
+   * @return per live event: (event_type, ts, event_id, v_micro,
+   *         s_pos, s_neg, is_alarm, side)
+   */
+  def cusumScoresAgainst(
+      fit: DataFrame,
+      live: DataFrame,
+      kappaSigmas: Double = 0.5,
+      hSigmas: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val params = cusumParams(fit, kappaSigmas, hSigmas)
+    val run = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    live
+      .withColumn("v_micro", round(col("value") * 1e6).cast("long"))
+      .join(broadcast(params), Seq("event_type"), "left_outer")
+      .withColumn("_psp", sum(col("v_micro") - col("mu") - col("kappa")).over(run))
+      .withColumn("_psn", sum(col("mu") - col("v_micro") - col("kappa")).over(run))
+      .withColumn("s_pos",
+        when(col("ok"), col("_psp") - least(lit(0L), min(col("_psp")).over(run))))
+      .withColumn("s_neg",
+        when(col("ok"), col("_psn") - least(lit(0L), min(col("_psn")).over(run))))
+      .withColumn("is_alarm",
+        coalesce(col("s_pos") > col("h") || col("s_neg") > col("h"), lit(false)))
+      .withColumn("side",
+        when(col("s_pos") > col("h") && col("s_neg") > col("h"), "both")
+          .when(col("s_pos") > col("h"), "up")
+          .when(col("s_neg") > col("h"), "down"))
+      .select(col("event_type"), col("ts"), col("event_id"), col("v_micro"),
+        col("s_pos"), col("s_neg"), col("is_alarm"), col("side"))
+  }
 }

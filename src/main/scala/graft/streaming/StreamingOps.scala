@@ -946,6 +946,83 @@ object StreamingOps {
       .withColumn("ewma", round(col("ewma"), 6))
   }
 
+  final case class CusumEvent(
+      event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  final case class CusumTypeParams(mu: Long, kappa: Long, h: Long)
+  // public: Spark's generated encoder code (Janino) must access members
+  final case class CusumState(ts: Long, event_id: Long, sp: Long, sn: Long)
+  final case class CusumOut(
+      event_type: String, ts: java.sql.Timestamp, event_id: Long,
+      v_micro: Long, s_pos: Option[Long], s_neg: Option[Long],
+      is_alarm: Boolean, side: Option[String])
+
+  /**
+   * Streaming two-sided CUSUM — the live twin of
+   * [[graft.operators.Events.cusumScoresAgainst]]: each arriving event
+   * updates its type's (S⁺, S⁻) pair from the LITERAL Page recursion
+   * (state is two longs — the recursion the batch tier unrolls into
+   * windows is the natural streaming fold) and emits its scores and
+   * alarm flag the moment it lands.
+   *
+   * Parameters are FROZEN per type — fit upstream by
+   * [[graft.operators.Events.cusumParams]] and passed as a collected
+   * map (types-bounded, the classifyStream model-literal pattern); a
+   * type absent from the map scores null and never alarms, exactly as
+   * the batch left-join does. v_micro quantizes through the same
+   * HALF_UP the batch Catalyst `round` applies, so on in-order replays
+   * the emitted rows EQUAL the batch tier's (StreamingSpec asserts
+   * equality). Ordering semantics are ewmaStream's: within a
+   * micro-batch rows process in (ts, event_id) order; a cross-batch
+   * out-of-order event would rewrite history — it is DROPPED rather
+   * than corrupting the running sums, and the watermark bounds how
+   * late that can happen.
+   */
+  def cusumStream(
+      events: Dataset[CusumEvent],
+      params: Map[String, CusumTypeParams],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (typ, rows, state: GroupState[CusumState]) =>
+          var st = state.getOption
+            .getOrElse(CusumState(Long.MinValue, Long.MinValue, 0L, 0L))
+          val p = params.get(typ)
+          val out = List.newBuilder[CusumOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val inOrder = t > st.ts || (t == st.ts && e.event_id > st.event_id)
+            if (inOrder) {
+              val vm = BigDecimal(e.value * 1e6)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              p match {
+                case Some(CusumTypeParams(mu, kappa, h)) =>
+                  val sp = math.max(0L, st.sp + (vm - mu - kappa))
+                  val sn = math.max(0L, st.sn + (mu - vm - kappa))
+                  st = CusumState(t, e.event_id, sp, sn)
+                  val side =
+                    if (sp > h && sn > h) Some("both")
+                    else if (sp > h) Some("up")
+                    else if (sn > h) Some("down") else None
+                  out += CusumOut(typ, e.ts, e.event_id, vm,
+                    Some(sp), Some(sn), sp > h || sn > h, side)
+                case None =>
+                  st = CusumState(t, e.event_id, st.sp, st.sn)
+                  out += CusumOut(typ, e.ts, e.event_id, vm,
+                    None, None, is_alarm = false, None)
+              }
+            } // else: cross-batch late arrival — drop, never corrupt S
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /**
    * Streaming MODEL INFERENCE: score every arriving doc against a
    * pre-fit Naive Bayes model ([[graft.operators.Classify.fit]]) — the

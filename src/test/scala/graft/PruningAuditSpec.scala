@@ -139,6 +139,18 @@ class PruningAuditSpec extends SparkSpec {
       Seq(Set("ts", "event_type", "value"))
   }
 
+  test("q170b frozen-cusum scans prune: fit side never reads ts") {
+    // fit slice needs (event_id, event_type, value) only; live adds ts
+    // for the ordered window — neither reads user_id or props
+    readSchemas("q170b_cusum_frozen").toSet shouldBe Set(
+      Set("event_id", "event_type", "value"),
+      Set("event_id", "ts", "event_type", "value"))
+  }
+
+  test("q172 ahash pipeline never reads lang or source") {
+    readSchemas("q172_image_ahash") shouldBe Seq(Set("doc_id", "text"))
+  }
+
   test("q169 unimax scan reads only lang and text; corpus scanned once") {
     // The waterfill windows run on the groups-bounded aggregate, never
     // on corpus rows — exactly one scan of documents feeds it.

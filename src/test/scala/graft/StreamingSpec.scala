@@ -1129,4 +1129,74 @@ class StreamingSpec extends SparkSpec {
       got.foreach { case (k, v) => open(k) shouldBe v }
     } finally q.stop()
   }
+
+  test("cusumStream equals the frozen-parameter batch CUSUM; late rows drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // fit slice: type m steady around 10 (even ids); type zz is absent
+    // from the params map and must score null downstream
+    val fit = Seq.tabulate(8) { i =>
+      (i * 2L, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), 1L, "m",
+        Seq(9.0, 10.0, 11.0, 10.0)(i % 4))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val paramRows = graft.operators.Events.cusumParams(fit, 0.5, 2.0)
+      .where(org.apache.spark.sql.functions.col("ok")).collect()
+    val params = paramRows.map(r => r.getString(0) ->
+      StreamingOps.CusumTypeParams(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    params.keySet shouldBe Set("m")
+
+    // live slice: a sustained upward step on m + a zz row (no params)
+    val live = Seq(
+      ("m", "2024-01-01 10:00:00", 1L, 13.0),
+      ("m", "2024-01-01 11:00:00", 3L, 13.5),
+      ("zz", "2024-01-01 10:30:00", 5L, 4.0),
+      ("m", "2024-01-01 12:00:00", 7L, 14.0),
+      ("m", "2024-01-01 13:00:00", 9L, 13.0))
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("event_type", "ts", "event_id", "value")
+      .as[StreamingOps.CusumEvent]
+    val q = StreamingOps.cusumStream(stream, params)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def add(rows: Seq[(String, String, Long, Double)]): Unit = {
+        input.addData(rows.map { case (t, ts, id, v) =>
+          (t, Timestamp.valueOf(ts), id, v)
+        })
+        q.processAllAvailable()
+      }
+      add(live.take(3))
+      // batch 2: state carries across; one cross-batch LATE m row
+      // (older than the newest stored) must drop silently
+      add(live.drop(3) :+ (("m", "2024-01-01 09:00:00", 99L, 50.0)))
+      val got = spark.table("cusum").collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+            Option(r.get(5)).map(_.asInstanceOf[Long]),
+            r.getAs[Boolean]("is_alarm"), Option(r.getAs[String]("side"))))
+      }.toMap
+      got.keySet shouldBe Set(1L, 3L, 5L, 7L, 9L) // late 99 dropped
+      // EXACT equality with the batch tier on the in-order replay
+      val liveDf = live.map { case (t, ts, id, v) =>
+        (id, Timestamp.valueOf(ts), 1L, t, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Events
+        .cusumScoresAgainst(fit, liveDf, 0.5, 2.0)
+        .collect().map { r =>
+          r.getAs[Long]("event_id") ->
+            ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+              Option(r.get(5)).map(_.asInstanceOf[Long]),
+              r.getAs[Boolean]("is_alarm"), Option(r.getAs[String]("side"))))
+        }.toMap
+      got shouldBe batch
+      // the sustained step must actually alarm somewhere on the stream
+      got.values.map(_._3) should contain(true)
+      // the unparameterized type scores null and never alarms
+      got(5L) shouldBe ((None, None, false, None))
+    } finally q.stop()
+  }
 }
