@@ -1281,6 +1281,35 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), col("cluster"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Leakage-safe K-FOLD: clusters land whole in one of 5 folds —
+    // the cross-validation form of q87's contamination rule.
+    "q173_kfold_split" -> ((s, dir) =>
+      Dedup.kFoldSplit(docs(s, dir), k = 5)
+        .select(col("doc").as("doc_id"), col("cluster"), col("fold"))
+        .orderBy(col("doc_id"))),
+
+    // K-fold contract: zero LSH candidate pairs cross folds, and the
+    // fold sizes (the same audit shape as q87b, per fold).
+    "q173b_kfold_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bands = graft.Caching.persist(
+        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(d))))
+      val fd = Dedup.kFoldSplit(d, k = 5, precomputedBands = Some(bands))
+      val cands = Dedup.lshCandidates(bands)
+      val crossing = cands
+        .join(fd.select(col("doc").as("d1"), col("fold").as("f1")), "d1")
+        .join(fd.select(col("doc").as("d2"), col("fold").as("f2")), "d2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L)).as("crossing"))
+      val sizes = fd.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"))
+      sizes.join(crossing)
+        .withColumn("leak_free", col("crossing") === 0L)
+        .select(col("fold"), col("n_docs"), col("n_pairs"),
+          col("crossing"), col("leak_free"))
+        .orderBy(col("fold"))
+    }),
+
     // Split-leakage CONTRACT: zero LSH candidate pairs cross the
     // train/val boundary (the eval-contamination failure mode measured
     // by arXiv:2107.06499 §5). Non-convergence of the bounded label
@@ -4367,6 +4396,52 @@ object SparkEntry {
          |${minLabelIterSql(3)},
          |${splitAssignCtes()}
          |SELECT doc_id, cluster, split FROM sp ORDER BY doc_id""".stripMargin,
+
+    // K-fold mirror: the q87 label chain with fold = md5 bucket mod 5.
+    "q173_kfold_split" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+         |${minLabelIterSql(3)},
+         |fd AS (
+         |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
+         |         ((${duckMd5Bucket("'fold:' || coalesce(l.lbl, d.doc_id)")})
+         |          % 5)::BIGINT AS fold
+         |  FROM documents d LEFT JOIN l3 l USING (doc_id))
+         |SELECT doc_id, cluster, fold FROM fd ORDER BY doc_id""".stripMargin,
+
+    // K-fold leakage contract mirror: q87b's candidate audit against
+    // the fold assignment, one row per fold.
+    "q173b_kfold_leakage" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+         |${minLabelIterSql(3)},
+         |fd AS (
+         |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
+         |         ((${duckMd5Bucket("'fold:' || coalesce(l.lbl, d.doc_id)")})
+         |          % 5)::BIGINT AS fold
+         |  FROM documents d LEFT JOIN l3 l USING (doc_id)),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |x AS (
+         |  SELECT count(*)::BIGINT AS n_pairs,
+         |         coalesce(sum(CASE WHEN f1.fold <> f2.fold THEN 1 ELSE 0 END),
+         |                  0)::BIGINT AS crossing
+         |  FROM cand JOIN fd f1 ON cand.d1 = f1.doc_id
+         |            JOIN fd f2 ON cand.d2 = f2.doc_id),
+         |fsz AS (SELECT fold, count(*)::BIGINT AS n_docs FROM fd GROUP BY 1)
+         |SELECT fsz.fold, fsz.n_docs, x.n_pairs, x.crossing,
+         |       (x.crossing = 0) AS leak_free
+         |FROM fsz CROSS JOIN x ORDER BY fold""".stripMargin,
 
     "q87b_split_leakage" ->
       s"""WITH $ShingleCtes,

@@ -703,6 +703,47 @@ object Dedup {
   }
 
   /**
+   * LEAKAGE-SAFE K-FOLD assignment — [[leakageSafeSplit]] generalized
+   * from a train/val cut to k cross-validation folds: every doc in a
+   * near-dup cluster lands in the SAME fold (fold = the cluster
+   * label's seed-free `"fold:"` md5 bucket mod k), so no fold's
+   * held-out slice ever contains a near-copy of another fold's
+   * training data — the k-fold form of the arXiv:2107.06499 §5
+   * contamination rule. Singleton docs hash their own id, exactly as
+   * the split tier does.
+   *
+   * Scale shape: identical to [[leakageSafeSplit]] — the cluster
+   * labels are the cost (banded LSH + bounded label propagation); the
+   * fold assignment is one map-side md5 on the label. The q173b
+   * contract counts candidate pairs whose folds disagree (must be 0).
+   *
+   * @param k number of folds, ≥ 2 (fold ids 0..k−1)
+   * @return (doc, cluster, fold)
+   */
+  def kFoldSplit(
+      docs: DataFrame,
+      k: Int = 5,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 3,
+      precomputedBands: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2, 1000], got $k")
+    val labels =
+      minhashClusterLabels(docs, n, numHashes, rowsPerBand, maxIter, precomputedBands)
+    // the same permille bucket family as the split tier ("fold:" salt),
+    // reduced mod k — deterministic, engine-replayable, seed-free
+    val bucket = conv(substring(
+        md5(concat(lit("fold:"), col("cluster").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    docs.select(col("doc"))
+      .join(labels, Seq("doc"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc")))
+      .withColumn("fold", bucket % k.toLong)
+      .select(col("doc"), col("cluster"), col("fold"))
+  }
+
+  /**
    * INCREMENTAL leakage-safe split — assign arriving docs to train/val
    * CONSISTENTLY with an already-split history: a new doc that shares
    * any LSH band bucket with history inherits the split of its smallest

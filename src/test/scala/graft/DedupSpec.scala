@@ -498,6 +498,27 @@ class DedupSpec extends SparkSpec {
     sp("d")._1 shouldBe "d"
   }
 
+  test("kFoldSplit: clusters land whole in one fold, folds replay the hash rule") {
+    val fd = Dedup.kFoldSplit(dupCorpus, k = 5).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    fd.keySet shouldBe Set("a", "b", "c", "d")
+    // a~b share a cluster → the same fold, whatever the hash picks
+    fd("b")._1 shouldBe fd("a")._1
+    fd("b")._2 shouldBe fd("a")._2
+    fd.values.foreach { case (_, f) => f should (be >= 0L and be < 5L) }
+    // the fold is exactly the "fold:" md5 bucket of the label, mod k —
+    // local replication of the engine's seed-free rule
+    def localFold(lbl: String, k: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fold:$lbl".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) % k
+    }
+    fd.foreach { case (_, (lbl, f)) => f shouldBe localFold(lbl, 5) }
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.kFoldSplit(dupCorpus, k = 1)
+  }
+
   test("leakageSafeSplit: shingle-less docs are singleton clusters") {
     val sp = Dedup.leakageSafeSplit(
         corpus("s" -> "a b", "t" -> "x y"), valPerMille = 500)

@@ -88,6 +88,7 @@ class PlanAuditSpec extends SparkSpec {
     "q83_zorder_layout", // 1-row min/max stats broadcast cross
     "q83b_zorder_skipping", // 1-row stats + 1-row box-bounds crosses
     "q87b_split_leakage", // 1-row split-counts × 1-row pair-counts cross
+    "q173b_kfold_leakage", // folds-bounded sizes × 1-row pair-counts cross
     "q88_naive_bayes", // distinct-buckets × C-row class frame — the
                        // dense smoothed conditional table (≤ B·C rows)
     "q88b_nb_confusion", // same model cross
