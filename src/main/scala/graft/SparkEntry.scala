@@ -2646,6 +2646,18 @@ object SparkEntry {
           "lang", budgetTokens = 40000L, maxEpochs = 2)
         .orderBy(col("lang"))),
 
+    // UniMax APPLIED: the waterfill allocation drives deterministic
+    // epoch copies (⌊rate⌋ + md5-fractional) — the mixture pipeline
+    // end to end in one plan.
+    "q169b_unimax_applied" -> ((s, dir) =>
+      graft.operators.Pipeline.uniMaxSample(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang")),
+          "lang", budgetTokens = 40000L, maxEpochs = 2)
+        .select(col("doc").as("doc_id"), col("copy"), col("lang"),
+          col("n_tokens"), col("n_copies"))
+        .orderBy(col("doc_id"), col("copy"))),
+
     // CUSUM changepoints: two-sided Page statistic over hourly value
     // sums, the max(0,·) recursion unrolled to prefix-sum − running-min
     // — sustained small drifts the pointwise q123/q138 z-scores miss.
@@ -6812,6 +6824,51 @@ object SparkEntry {
         |            WHEN s_pos > h THEN 'up'
         |            WHEN s_neg > h THEN 'down' END AS side
         |FROM cs ORDER BY event_type, hour_start""".stripMargin,
+
+    // UniMax-applied mirror: the q169 waterfill chain → per-group rate
+    // → the epochRepetition copy rule, replayed end to end.
+    "q169b_unimax_applied" ->
+      s"""WITH pg AS (
+         |  SELECT lang,
+         |         sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                             x -> x <> '')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY 1 HAVING n_tokens > 0),
+         |st AS (
+         |  SELECT lang, n_tokens, n_tokens * 2 AS cap,
+         |         row_number() OVER w AS i,
+         |         count(*) OVER () AS L,
+         |         coalesce(sum(n_tokens * 2) OVER (w ROWS BETWEEN
+         |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pprev
+         |  FROM pg WINDOW w AS (ORDER BY n_tokens * 2, lang)),
+         |cp AS (
+         |  SELECT *, (cap * (L - i + 1) <= 40000 - pprev) AS capped FROM st),
+         |fin AS (
+         |  SELECT *,
+         |         sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+         |         40000 - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS R,
+         |         L - sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS u
+         |  FROM cp),
+         |rt AS (
+         |  SELECT lang,
+         |         (CASE WHEN capped THEN cap
+         |               ELSE floor((R + (i - k) - 1) / u)::BIGINT END)::DOUBLE
+         |           / n_tokens::DOUBLE AS rate
+         |  FROM fin),
+         |dt AS (
+         |  SELECT doc_id, lang,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                         x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM documents),
+         |ncp AS (
+         |  SELECT d.doc_id, d.lang, d.n_tokens,
+         |         (floor(r.rate)::BIGINT +
+         |          CASE WHEN (${duckMd5Bucket("'rep:' || d.doc_id")})::DOUBLE <
+         |                    (r.rate - floor(r.rate)) * 1e6
+         |               THEN 1 ELSE 0 END) AS n_copies
+         |  FROM dt d JOIN rt r USING (lang))
+         |SELECT doc_id, unnest(range(1, n_copies + 1)) AS copy, lang,
+         |       n_tokens, n_copies
+         |FROM ncp WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin,
 
     // Frozen-CUSUM mirror: params from even ids, the same unrolled
     // windows over odd ids in (ts, event_id) order.

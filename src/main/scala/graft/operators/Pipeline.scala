@@ -1533,13 +1533,26 @@ object Pipeline {
       .groupBy(col(groupCol))
       .agg(sum(col("_ntok")).as("n_tokens"))
       .where(col("n_tokens") > 0)
+    uniMaxAllocFromCounts(perGroup, groupCol, budgetTokens, maxEpochs)
+  }
+
+  /** The closed-form waterfill over an already-aggregated
+    * (groupCol, n_tokens) frame — [[uniMaxAllocation]]'s window block,
+    * exposed so [[uniMaxSample]] can run allocation and expansion off
+    * one token-counting scan. */
+  private def uniMaxAllocFromCounts(
+      perGroup: DataFrame,
+      groupCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int): DataFrame = {
+    val staged0 = perGroup
       .withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
     // All windows below run on the groups-bounded frame (#languages
     // rows); (cap, group) is a total order, so every engine sees the
     // identical prefix.
     val byCap = Window.orderBy(col("cap"), col(groupCol))
     val all = Window.partitionBy()
-    val staged = perGroup
+    val staged = staged0
       .withColumn("_i", row_number().over(byCap))
       .withColumn("_L", count(lit(1)).over(all))
       .withColumn("_pprev",
@@ -1562,5 +1575,58 @@ object Pipeline {
         round(col("alloc").cast("double") / col("n_tokens").cast("double"), 6))
       .select(col(groupCol), col("n_tokens"), col("cap"), col("alloc"),
         col("epochs"))
+  }
+
+  /**
+   * UNIMAX APPLIED — [[uniMaxAllocation]] composed with the
+   * [[epochRepetition]] copy rule, end to end in ONE plan: the
+   * waterfill's per-group allocation becomes a target epoch rate
+   * (alloc/n_tokens, can exceed 1 — small languages REPEAT under
+   * UniMax), and each doc materializes ⌊rate⌋ copies plus one more
+   * when its seed-free `"rep:"` md5 bucket falls under the fractional
+   * remainder — so expected output tokens per group = alloc, no RNG,
+   * engine-exact copy decisions.
+   *
+   * Scale shape: one token-counting scan feeds both the groups-bounded
+   * allocation aggregate (then the waterfill windows on that tiny
+   * frame) and the expansion join-back (broadcast, rate is one double
+   * per group). The only corpus-scale operation beyond the scan is the
+   * `sequence` explode — output-bounded by construction (the budget
+   * caps total emitted tokens).
+   *
+   * @param docs (doc, line, groupCol)
+   * @return (doc, copy, groupCol, n_tokens, n_copies)
+   */
+  def uniMaxSample(
+      docs: DataFrame,
+      groupCol: String,
+      budgetTokens: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    Seq("n_tokens", "rate", "copy", "n_copies", "alloc", "cap").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by uniMaxSample — rename that input column"))
+    val withTok = docs.withColumn("n_tokens",
+      size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+    val perGroup = withTok.groupBy(col(groupCol))
+      .agg(sum(col("n_tokens")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val rates = uniMaxAllocFromCounts(perGroup, groupCol, budgetTokens, maxEpochs)
+      .select(col(groupCol),
+        (col("alloc").cast("double") / col("n_tokens").cast("double")).as("rate"))
+    val repBucket =
+      conv(substring(md5(concat(lit("rep:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+    withTok
+      .join(broadcast(rates), Seq(groupCol))
+      .withColumn("n_copies",
+        floor(col("rate")).cast("long") +
+          when(repBucket.cast("double") <
+            (col("rate") - floor(col("rate"))) * 1e6, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"),
+        col(groupCol), col("n_tokens"), col("n_copies"))
   }
 }

@@ -873,6 +873,44 @@ class PipelineSpec extends SparkSpec {
       Pipeline.uniMaxAllocation(d, "lang", 10L, 0)
   }
 
+  test("uniMaxSample materializes exactly the locally-replayed copy counts") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // lang a: 10 tokens over 2 docs, lang b: 30 tokens over 2 docs;
+    // budget 35, epochs ≤ 3 → greedy: caps (30, 90) sorted... a=30 ≤
+    // budget share? replay locally below instead of hand-solving
+    val rows = Seq(("a1", words(4), "a"), ("a2", words(6), "a"),
+      ("b1", words(10), "b"), ("b2", words(20), "b"))
+    val s = spark
+    import s.implicits._
+    val d = rows.toDF("doc", "line", "g")
+    val got = Pipeline.uniMaxSample(d, "g", budgetTokens = 35L, maxEpochs = 3)
+      .groupBy(C("doc")).agg(org.apache.spark.sql.functions.max(C("n_copies")),
+        org.apache.spark.sql.functions.count(C("copy")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // local replay: greedy allocation → rate → ⌊rate⌋ + md5 fraction
+    val counts = Map("a" -> 10L, "b" -> 30L)
+    val caps = counts.map { case (g, n) => g -> n * 3 }.toSeq.sortBy(x => (x._2, x._1))
+    var rem = 35L
+    val alloc = caps.zipWithIndex.map { case ((g, c), i) =>
+      val a = math.min(c, rem / (caps.size - i)); rem -= a; g -> a
+    }.toMap
+    def bucket(doc: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rep:$doc".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expect = rows.flatMap { case (doc, _, g) =>
+      val rate = alloc(g).toDouble / counts(g).toDouble
+      val n = math.floor(rate).toLong +
+        (if (bucket(doc).toDouble < (rate - math.floor(rate)) * 1e6) 1L else 0L)
+      if (n > 0) Some(doc -> ((n, n))) else None
+    }.toMap
+    got shouldBe expect
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.uniMaxSample(d.withColumn("rate", C("doc")), "g", 1L, 1)
+  }
+
   test("klNoveltyAgainst(docs, docs) is klNovelty with zero unseen (identity)") {
     val cor = corpus("a" -> "x x y", "b" -> "x y y", "c" -> "x z")
     val self = graft.operators.Pipeline.klNoveltyAgainst(cor, cor)
