@@ -2676,6 +2676,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("ts"), col("event_id"))
     }),
 
+    // Incremental image screen: delta images (id ≥ 250) probe the
+    // history band index — never each other (the q52 split, aHash
+    // domain); closest history match per hit.
+    "q172c_image_neardup_incr" -> ((s, dir) => {
+      val ah = graft.Caching.persist(
+        Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))))
+      Multimodal.imageNearDupAgainst(
+          ah.where(col("asset_id") >= 250), ah.where(col("asset_id") < 250))
+        .orderBy(col("asset_id"))
+    }),
+
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
     // between PQ (q99) and sign bits (q135).
@@ -6937,6 +6948,21 @@ object SparkEntry {
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
+
+    // Incremental-screen mirror: brute delta×history over the aHash
+    // CTE, closest match by (hamming, id).
+    "q172c_image_neardup_incr" ->
+      s"""WITH $ahashCtes,
+         |pm AS (
+         |  SELECT d.doc_id AS asset_id, h.doc_id AS match_id,
+         |         bit_count(xor(d.ahash, h.ahash))::BIGINT AS hamming
+         |  FROM hs d JOIN hs h ON d.doc_id >= 250 AND h.doc_id < 250
+         |  WHERE bit_count(xor(d.ahash, h.ahash)) <= 6)
+         |SELECT asset_id, match_id, hamming FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY asset_id
+         |      ORDER BY hamming, match_id) AS rn
+         |  FROM pm)
+         |WHERE rn = 1 ORDER BY asset_id""".stripMargin,
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine
     // score CTEs; per-query rank with NULLS LAST + id tie-break.

@@ -519,29 +519,68 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       s"7-band pigeonhole covers hamming <= 6, got $maxDist")
-    val nBands = 7
-    val bandMask = 255L
-    val banded = hashes.select(col("asset_id"), col("ahash"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b.toLong).as("band"),
-          shiftright(col("ahash"), 8 * b).bitwiseAND(lit(bandMask))
-            .as("band_bits"))): _*)).as("bb"))
-      .select(col("asset_id"), col("ahash"),
-        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    val banded = ahashBands(hashes)
     val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
       col("band"), col("band_bits"))
     val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
       col("band"), col("band_bits"))
-    val diff = expr("h1 ^ h2")
-    val firstMatchingBand = (0 until nBands)
-      .map(j => (shiftright(diff, 8 * j).bitwiseAND(lit(bandMask)) =!= 0L, j))
-      .foldRight(lit((nBands - 1).toLong): Column) { case ((differs, j), tail) =>
-        when(!differs, lit(j.toLong)).otherwise(tail)
-      }
     a.join(b, Seq("band", "band_bits"))
-      .where(col("d1") < col("d2") && col("band") === firstMatchingBand)
-      .withColumn("hamming", bit_count(diff).cast("long"))
+      .where(col("d1") < col("d2") && col("band") === ahashFirstMatchingBand)
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** The 7×8-bit band explosion of an (asset_id, ahash) frame. */
+  private def ahashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("asset_id"), col("ahash"),
+      explode(array((0 until 7).map(b =>
+        struct(lit(b.toLong).as("band"),
+          shiftright(col("ahash"), 8 * b).bitwiseAND(lit(255L))
+            .as("band_bits"))): _*)).as("bb"))
+      .select(col("asset_id"), col("ahash"),
+        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+
+  /** First band where h1 and h2 agree — decidable per row from h1^h2,
+    * so multi-band candidate duplicates drop via a codegen'd filter
+    * instead of a distinct exchange (the simhashPairs idiom). */
+  private def ahashFirstMatchingBand: Column = {
+    val diff = expr("h1 ^ h2")
+    (0 until 7)
+      .map(j => (shiftright(diff, 8 * j).bitwiseAND(lit(255L)) =!= 0L, j))
+      .foldRight(lit(6L): Column) { case ((differs, j), tail) =>
+        when(!differs, lit(j.toLong)).otherwise(tail)
+      }
+  }
+
+  /**
+   * INCREMENTAL image near-dup screen — arriving images probe the
+   * HISTORY's band index and never each other: the daily-ingest
+   * bookend of [[imageNearDupPairs]], same shape as the text tiers'
+   * delta⋈history screens (no delta self-join, history bands build
+   * once). A delta image within `maxDist` of any history image
+   * reports its closest history match (min hamming, id tie-break).
+   *
+   * @return (asset_id, match_id, hamming) — one row per MATCHED delta
+   *         image
+   */
+  def imageNearDupAgainst(
+      deltaHashes: DataFrame,
+      historyHashes: DataFrame,
+      maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6,
+      s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+    val d = ahashBands(deltaHashes).select(col("asset_id"),
+      col("ahash").as("h1"), col("band"), col("band_bits"))
+    val h = ahashBands(historyHashes).select(col("asset_id").as("match_id"),
+      col("ahash").as("h2"), col("band"), col("band_bits"))
+    d.join(h, Seq("band", "band_bits"))
+      .where(col("band") === ahashFirstMatchingBand)
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .groupBy(col("asset_id"))
+      .agg(min(struct(col("hamming"), col("match_id"))).as("_best"))
+      .select(col("asset_id"), col("_best.match_id").as("match_id"),
+        col("_best.hamming").as("hamming"))
   }
 }

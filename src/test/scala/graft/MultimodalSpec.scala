@@ -212,4 +212,38 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.imageNearDupPairs(
         Multimodal.imageAHash(Multimodal.encodeAssets(d)), maxDist = 7)
   }
+
+  test("imageNearDupAgainst: delta probes history only, closest match wins") {
+    val base = ('a' to 'z').mkString * 8
+    def flip(k: Int) = {
+      val sb = new StringBuilder(base)
+      (0 until k).foreach(f => sb.setCharAt(f * 19 + 3, '~'))
+      sb.toString
+    }
+    val histTexts = Seq(0L -> base, 3L -> flip(1), 6L -> flip(2))
+    val deltaTexts = Seq(300L -> base, 303L -> flip(1), 306L -> ("~" * 208),
+      309L -> ("~" * 208)) // 306~309 are a delta-delta pair: must NOT report
+    def hashes(rows: Seq[(Long, String)]) = Multimodal.imageAHash(
+      Multimodal.encodeAssets(corpus(rows.map { case (i, t) =>
+        i.toString -> t }: _*)))
+    val got = Multimodal.imageNearDupAgainst(
+        hashes(deltaTexts), hashes(histTexts)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // local replication: per delta, closest history hash within 6
+    val hh = histTexts.map { case (i, t) => i -> localAHash(t) }
+    val expect = deltaTexts.flatMap { case (di, dt) =>
+      val dh = localAHash(dt)
+      val cands = hh.map { case (hi, h) =>
+        (java.lang.Long.bitCount(dh ^ h).toLong, hi)
+      }.filter(_._1 <= 6)
+      if (cands.isEmpty) None
+      else { val (dist, hi) = cands.min; Some(di -> ((hi, dist))) }
+    }.toMap
+    got shouldBe expect
+    // the delta-delta duplicates never surface (history-only probes)
+    got.keySet.intersect(Set(306L, 309L)).foreach { k =>
+      // if they matched it must be via history, not each other
+      Set(0L, 3L, 6L) should contain(got(k)._1)
+    }
+  }
 }
