@@ -1361,6 +1361,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // Margin CALIBRATION: per (top − runner-up) micro-nat bucket, how
+    // often the NB argmax is right — the reliability curve behind any
+    // score-thresholded routing decision.
+    "q174_nb_calibration" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
+      graft.operators.Classify
+        .marginCalibration(d, "lang", numBuckets = DsirBuckets)
+        .orderBy(col("margin_bin"))
+    }),
+
     // Strategy twin of q88 pinned to the SAME oracle: fit collects the
     // B·C-row model, scoring is ONE stateless codegen'd projection (the
     // stream-inference shape — StreamingOps.classifyStream). Zero hash
@@ -4569,6 +4580,24 @@ object SparkEntry {
          |SELECT lang, cand AS predicted, count(*)::BIGINT AS n
          |FROM pred WHERE rn = 1
          |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    // Calibration mirror: top-2 off the same pred CTE, the identical
+    // double-division floor bin, one round-6 accuracy.
+    "q174_nb_calibration" ->
+      s"""WITH ${nbScoreCtes()},
+         |top2 AS (
+         |  SELECT doc_id, lang,
+         |         max(CASE WHEN rn = 1 THEN cand END) AS pred_c,
+         |         max(CASE WHEN rn = 1 THEN score_micro END) AS s1,
+         |         max(CASE WHEN rn = 2 THEN score_micro END) AS s2
+         |  FROM pred WHERE rn <= 2 GROUP BY 1, 2),
+         |cal AS (
+         |  SELECT least(floor((s1 - s2) / 5000000.0), 9)::BIGINT AS margin_bin,
+         |         CASE WHEN pred_c = lang THEN 1 ELSE 0 END AS ok
+         |  FROM top2 WHERE s2 IS NOT NULL)
+         |SELECT margin_bin, count(*)::BIGINT AS n, sum(ok)::BIGINT AS n_correct,
+         |       round(sum(ok) * 1.0 / count(*), 6) AS accuracy
+         |FROM cal GROUP BY 1 ORDER BY margin_bin""".stripMargin,
 
     // Coverage sample: af carries only (vec_id, cell); the winning
     // cosine re-derives from the FINAL centroid table c2 — the same

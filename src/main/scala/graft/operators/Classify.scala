@@ -52,7 +52,26 @@ object Classify {
   def naiveBayes(
       docs: DataFrame,
       labelCol: String,
-      numBuckets: Int = 1024): DataFrame = {
+      numBuckets: Int = 1024): DataFrame =
+    candidateScores(docs, labelCol, numBuckets)
+      // argmax with ties to the SMALLEST candidate label: min over
+      // (-score, cand) structs — score desc, then label asc —
+      // deterministic for any orderable label type
+      .groupBy(col("doc"), col("label"))
+      .agg(min(struct((-col("score_micro")).as("neg"), col("cand"),
+        col("score_micro"))).as("best"))
+      .select(col("doc"), col("label").as(labelCol),
+        col("best.cand").as("predicted"),
+        col("best.score_micro").as("score_micro"))
+
+  /** The per-(doc, candidate-class) quantized log-posterior frame the
+    * argmax ([[naiveBayes]]) and the margin calibration
+    * ([[marginCalibration]]) both reduce — (doc, label, cand,
+    * score_micro), C rows per scored doc. */
+  private[graft] def candidateScores(
+      docs: DataFrame,
+      labelCol: String,
+      numBuckets: Int): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     Seq("bucket", "cnt", "qcond", "qprior", "predicted", "score_micro")
       .foreach(c => require(!docs.columns.contains(c),
@@ -103,15 +122,55 @@ object Classify {
       .join(broadcast(classes.select(col("label").as("cand"), col("qprior"))),
         Seq("cand"))
       .withColumn("score_micro", col("lik_micro") + col("qprior"))
-      // argmax with ties to the SMALLEST candidate label: min over
-      // (-score, cand) structs — score desc, then label asc —
-      // deterministic for any orderable label type
+  }
+
+  /**
+   * MARGIN CALIBRATION table — "when the model wins by X nats, how
+   * often is it right?": per margin bucket (top score − runner-up, in
+   * exact micro-nat longs, binned at `binMicroNats` and capped at
+   * `maxBin`), the doc count and empirical accuracy. The reliability
+   * curve every score-thresholded routing decision (keep/drop/review
+   * at ingest) should be read against — a model can be 90 % accurate
+   * overall and near-coin-flip in its low-margin band, and this table
+   * is where that shows. Margins are integer by construction (the
+   * micro-nat score convention), so the binning cannot drift between
+   * engines; only the final accuracy ratio is a round-6 double.
+   *
+   * Scale shape: the [[candidateScores]] chain (two corpus passes, the
+   * declared NB shape) + one doc-keyed top-2 window over the C-per-doc
+   * score frame + a bins-bounded aggregate. Single-class corpora have
+   * no runner-up and produce an empty table rather than a lie.
+   *
+   * @return (margin_bin, n, n_correct, accuracy) ordered by bin
+   */
+  def marginCalibration(
+      docs: DataFrame,
+      labelCol: String,
+      numBuckets: Int = 1024,
+      binMicroNats: Long = 5000000L,
+      maxBin: Int = 9): DataFrame = {
+    require(binMicroNats > 0, s"binMicroNats must be positive, got $binMicroNats")
+    require(maxBin >= 0, s"maxBin must be >= 0, got $maxBin")
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score_micro").desc, col("cand"))
+    candidateScores(docs, labelCol, numBuckets)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 2)
       .groupBy(col("doc"), col("label"))
-      .agg(min(struct((-col("score_micro")).as("neg"), col("cand"),
-        col("score_micro"))).as("best"))
-      .select(col("doc"), col("label").as(labelCol),
-        col("best.cand").as("predicted"),
-        col("best.score_micro").as("score_micro"))
+      .agg(
+        max(when(col("_rn") === 1, col("cand"))).as("_pred"),
+        max(when(col("_rn") === 1, col("score_micro"))).as("_s1"),
+        max(when(col("_rn") === 2, col("score_micro"))).as("_s2"))
+      .where(col("_s2").isNotNull)
+      .withColumn("margin_bin",
+        least(floor((col("_s1") - col("_s2")) / lit(binMicroNats.toDouble)),
+          lit(maxBin.toDouble)).cast("long"))
+      .withColumn("_ok",
+        when(col("_pred") === col("label"), 1L).otherwise(0L))
+      .groupBy(col("margin_bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6))
   }
 
   /**

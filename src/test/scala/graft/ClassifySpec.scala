@@ -121,4 +121,40 @@ class ClassifySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Classify.naiveBayes(one.withColumn("bucket", lit(1L)), "source")
   }
+
+  test("marginCalibration matches a local replay of the candidate scores") {
+    val docs = labeled(
+      ("a1", "alpha beta alpha gamma", "news"),
+      ("a2", "beta gamma alpha alpha", "news"),
+      ("b1", "delta epsilon zeta zeta", "code"),
+      ("b2", "zeta delta epsilon delta", "code"),
+      ("c1", "gamma delta", "news")) // mixed-vocab low-margin doc
+    val binW = 2000000L
+    val got = Classify.marginCalibration(docs, "source", numBuckets = 64,
+        binMicroNats = binW, maxBin = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // local replay from the shared candidate-score frame
+    val sc = Classify.candidateScores(docs, "source", 64).collect()
+      .map(r => (r.getAs[String]("doc"), r.getAs[String]("label"),
+        r.getAs[String]("cand"), r.getAs[Long]("score_micro")))
+    val expect = sc.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(t => (-t._4, t._3))
+      if (sorted.size < 2) None
+      else {
+        val bin = math.min(
+          math.floor((sorted(0)._4 - sorted(1)._4).toDouble / binW).toLong, 3L)
+        Some(bin -> (if (sorted(0)._3 == sorted(0)._2) 1L else 0L))
+      }
+    }.groupBy(_._1).map { case (bin, oks) =>
+      val n = oks.size.toLong; val c = oks.map(_._2).sum
+      bin -> ((n, c, BigDecimal(c.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    got shouldBe expect
+    got.values.map(_._1).sum shouldBe 5L // every doc has a runner-up
+    an[IllegalArgumentException] should be thrownBy
+      Classify.marginCalibration(docs, "source", binMicroNats = 0L)
+  }
 }
