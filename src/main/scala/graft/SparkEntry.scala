@@ -2657,6 +2657,19 @@ object SparkEntry {
           "lang", budgetTokens = 40000L, maxEpochs = 2)
         .orderBy(col("lang"))),
 
+    // Growth curve: DAU + cumulative reach via first-seen — the
+    // growing-window COUNT DISTINCT replaced by one per-user min and
+    // a days-bounded running sum.
+    "q175_user_growth" -> ((s, dir) =>
+      graft.operators.Events.userGrowth(events(s, dir))
+        .orderBy(col("day"))),
+
+    // Traffic concentration: top-10-user share per type — the
+    // distribution-shape radar next to q78's θ-threshold hot keys.
+    "q176_top_user_share" -> ((s, dir) =>
+      graft.operators.Events.topUserShare(events(s, dir), k = 10)
+        .orderBy(col("event_type"))),
+
     // UniMax APPLIED: the waterfill allocation drives deterministic
     // epoch copies (⌊rate⌋ + md5-fractional) — the mixture pipeline
     // end to end in one plan.
@@ -6864,6 +6877,45 @@ object SparkEntry {
         |            WHEN s_pos > h THEN 'up'
         |            WHEN s_neg > h THEN 'down' END AS side
         |FROM cs ORDER BY event_type, hour_start""".stripMargin,
+
+    // Concentration mirror: same counts frame, same rank rule.
+    "q176_top_user_share" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cnt DESC, user_id) AS rn,
+        |         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n_events,
+        |         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_users
+        |  FROM c)
+        |SELECT event_type, max(n_events)::BIGINT AS n_events,
+        |       max(n_users)::BIGINT AS n_users,
+        |       sum(cnt)::BIGINT AS topk_events,
+        |       round(sum(cnt)::DOUBLE / max(n_events)::DOUBLE, 6) AS topk_share
+        |FROM r WHERE rn <= 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Growth mirror: the same first-seen construction.
+    "q175_user_growth" ->
+      """WITH pairs AS (
+        |  SELECT date_trunc('day', ts) AS day, user_id,
+        |         count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT day, sum(n)::BIGINT AS n_events,
+        |         count(*)::BIGINT AS n_active_users
+        |  FROM pairs GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM pairs GROUP BY 1),
+        |npd AS (SELECT day, count(*)::BIGINT AS n_new_users FROM fs GROUP BY 1)
+        |SELECT d.day, d.n_events, d.n_active_users,
+        |       coalesce(npd.n_new_users, 0)::BIGINT AS n_new_users,
+        |       sum(coalesce(npd.n_new_users, 0)) OVER (ORDER BY d.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |         AS cum_users
+        |FROM daily d LEFT JOIN npd USING (day)
+        |ORDER BY day""".stripMargin,
 
     // UniMax-applied mirror: the q169 waterfill chain → per-group rate
     // → the epochRepetition copy rule, replayed end to end.

@@ -712,6 +712,83 @@ object Events {
   }
 
   /**
+   * GROWTH CURVE — daily actives + cumulative reach via the FIRST-SEEN
+   * trick: cumulative distinct users through day d equals the count of
+   * users whose first event is ≤ d, so the "distinct over a growing
+   * window" (quadratic re-scan as the window grows, the classic
+   * dashboard scale-killer) becomes one per-user min + a running sum
+   * over the days-bounded daily frame. All counts exact longs.
+   *
+   * Scale shape: one (day, user) partial-agg exchange (dedups events
+   * to active pairs), one user-keyed min for first-seen, then every
+   * window runs on the #days-bounded frame — the harmless
+   * single-partition corner. Nothing re-scans history as the curve
+   * extends.
+   *
+   * @return per day: n_events, n_active_users, n_new_users, cum_users
+   */
+  def userGrowth(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the (day, user) active-pair frame feeds BOTH the daily
+    // rollup and the first-seen derivation — one corpus scan, not two
+    // (the groupTermEntropy precedent; actives-bounded, ≪ events)
+    val pairs = graft.Caching.persist(events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("_n")))
+    val daily = pairs.groupBy(col("day"))
+      .agg(sum(col("_n")).as("n_events"),
+        count(lit(1)).as("n_active_users"))
+    val newPerDay = pairs.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(newPerDay, Seq("day"), "left_outer")
+      .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new_users")).over(run))
+      .select(col("day"), col("n_events"), col("n_active_users"),
+        col("n_new_users"), col("cum_users"))
+  }
+
+  /**
+   * TRAFFIC CONCENTRATION — per event type, how much of the volume the
+   * top-k users account for: the bot/abuse/whale radar next to the
+   * q78 hot-key detector (that one finds individually-heavy keys by a
+   * frequency threshold; this one measures how top-heavy the whole
+   * distribution is, catching "1 % of users are 60 % of signups" even
+   * when no single user crosses θ). Counts exact longs; the share is
+   * one round-6 division.
+   *
+   * Scale shape: one (type, user) partial-agg exchange; the top-k pick
+   * is a per-type window over that counts frame with rank ≤ k (user-id
+   * tie-break), and the totals ride the same frame — types-bounded
+   * output, nothing collects.
+   *
+   * @return per type: n_events, n_users, topk_events, topk_share
+   */
+  def topUserShare(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = counts
+      .withColumn("_rn", row_number().over(
+        byType.orderBy(col("cnt").desc, col("user_id"))))
+      .withColumn("n_events", sum(col("cnt")).over(byType))
+      .withColumn("n_users", count(lit(1)).over(byType))
+    ranked.where(col("_rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_users")).as("n_users"),
+        sum(col("cnt")).as("topk_events"))
+      .withColumn("topk_share",
+        round(col("topk_events").cast("double") / col("n_events").cast("double"), 6))
+  }
+
+  /**
    * Per-type CUSUM parameters FIT on a reference slice — (μ, κ, h) in
    * micro longs from the slice's exact value moments, the
    * [[cusumChangepoints]] math at event level. Output is types-bounded

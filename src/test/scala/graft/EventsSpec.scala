@@ -472,6 +472,44 @@ class EventsSpec extends SparkSpec {
     got(("d", "e"))._2 shouldBe None
   }
 
+  test("userGrowth: first-seen cumulative equals the naive distinct replay") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 11:00:00", 1L),
+      (3L, "2024-01-01 12:00:00", 2L), // day 1: u1, u2 new
+      (4L, "2024-01-02 09:00:00", 1L), // day 2: active 1, no new
+      (5L, "2024-01-03 09:00:00", 3L), (6L, "2024-01-03 10:00:00", 1L))
+    val got = Events.userGrowth(ev(rows.map { case (id, ts, u) =>
+        (id, ts, u, "t", 1.0) }: _*))
+      .collect().map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    got("2024-01-01") shouldBe ((3L, 2L, 2L, 2L))
+    got("2024-01-02") shouldBe ((1L, 1L, 0L, 2L))
+    got("2024-01-03") shouldBe ((2L, 2L, 1L, 3L))
+    // the invariant the first-seen trick must preserve: cum_users(d) =
+    // |distinct users with any event ≤ d| — the naive replay
+    val byDay = rows.groupBy(_._2.take(10)).view.mapValues(_.map(_._3).toSet)
+    val days = byDay.keys.toSeq.sorted
+    days.foreach { d =>
+      val naive = days.filter(_ <= d).flatMap(byDay(_)).toSet.size.toLong
+      got(d)._4 shouldBe naive
+    }
+  }
+
+  test("topUserShare: exact top-k mass, ties to the smaller user id") {
+    val rows = Seq.tabulate(5)(i => (i + 1L, f"2024-01-01 10:0${i}:00", 7L)) ++
+      Seq((10L, "2024-01-01 11:00:00", 8L), (11L, "2024-01-01 11:01:00", 8L),
+        (12L, "2024-01-01 11:02:00", 9L))
+    val got = Events.topUserShare(ev(rows.map { case (id, ts, u) =>
+        (id, ts, u, "t", 1.0) }: _*), k = 2).head()
+    got.getAs[Long]("n_events") shouldBe 8L
+    got.getAs[Long]("n_users") shouldBe 3L
+    got.getAs[Long]("topk_events") shouldBe 7L // u7 (5) + u8 (2)
+    got.getAs[Double]("topk_share") shouldBe 0.875
+    an[IllegalArgumentException] should be thrownBy
+      Events.topUserShare(ev(), k = 0)
+  }
+
   test("cusumChangepoints matches the literal Page recursion; degenerates never alarm") {
     // type m: six steady hours then a sustained +3 step — pointwise
     // each hour is in-band, the cumulative sum is not

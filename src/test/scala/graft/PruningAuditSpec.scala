@@ -151,6 +151,14 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q172_image_ahash") shouldBe Seq(Set("doc_id", "text"))
   }
 
+  test("q175 growth scan reads only ts and user_id") {
+    readSchemas("q175_user_growth") shouldBe Seq(Set("ts", "user_id"))
+  }
+
+  test("q176 concentration scan reads only event_type and user_id") {
+    readSchemas("q176_top_user_share") shouldBe Seq(Set("event_type", "user_id"))
+  }
+
   test("q169 unimax scan reads only lang and text; corpus scanned once") {
     // The waterfill windows run on the groups-bounded aggregate, never
     // on corpus rows — exactly one scan of documents feeds it.
