@@ -768,6 +768,18 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))),
 
+    // FUZZY search: typo'd q6 terms recovered through the SymSpell
+    // deletion-neighborhood join + exact Levenshtein verify — the
+    // vocabulary fans out, the corpus never rescans.
+    "q177_search_fuzzy" -> ((s, dir) =>
+      Search
+        .searchFuzzyTokens(
+          tfidfScores(s, dir).withColumnRenamed("doc_id", "doc"),
+          Seq("sparkk", "streem", "windo"))
+        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"),
+          col("n_terms_matched"))
+        .orderBy(col("doc_id"))),
+
     // O10 — global sort desc of search hits (deterministic tie-break).
     // Conjunctive (AND) search: only docs containing EVERY query term
     // score — the search mode the reference's OR-sum cannot express.
@@ -3245,6 +3257,20 @@ object SparkEntry {
          |WHERE term IN ('spark', 'stream', 'window')
          |GROUP BY doc_id HAVING count(*) = 3
          |ORDER BY doc_id""".stripMargin,
+
+    // Fuzzy mirror: brute vocab×queries Levenshtein (the semantics the
+    // engine's deletion-neighborhood join must reproduce exactly).
+    "q177_search_fuzzy" ->
+      s"""$TfIdfCtes,
+         |qt AS (SELECT unnest(['sparkk', 'streem', 'windo']) AS q_term),
+         |mt AS (
+         |  SELECT DISTINCT q.q_term, v.term
+         |  FROM qt q JOIN (SELECT DISTINCT term FROM scores) v
+         |    ON levenshtein(q.q_term, v.term) <= 1)
+         |SELECT s.doc_id, round(sum(s.tfidf), 6) AS score,
+         |       count(DISTINCT m.q_term)::BIGINT AS n_terms_matched
+         |FROM scores s JOIN mt m USING (term)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
 
     "q68_search_phrase" ->
       """WITH tokl AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -444,4 +444,61 @@ object Search {
           aggregate(sequence(lit(1L), denom), lit(0.0),
             (acc, i) => acc + lit(1.0) / log2(i + 1)), 6).as("ndcg"))
   }
+
+  /** The d=1 deletion neighborhood of a term: the term itself plus
+    * every single-character deletion — SymSpell's candidate key (Garbe
+    * 2012): two terms within edit distance 1 ALWAYS share a
+    * neighborhood entry (equal / deletion / insertion directly;
+    * substitution via the common deletion at the substituted
+    * position), so the candidate join has no false negatives; false
+    * positives (e.g. transposed "ab"/"ba" share "a") are killed by the
+    * exact Levenshtein verify. */
+  private def delNeighborhood(t: Column): Column =
+    array_union(array(t),
+      transform(sequence(lit(0), length(t) - 1), i =>
+        concat(t.substr(lit(1), i),
+          t.substr(i + lit(2), length(t) - i - lit(1)))))
+
+  /**
+   * FUZZY (edit-distance ≤ 1) search — typo-tolerant retrieval without
+   * a vocabulary×query scan: query terms match any vocabulary term
+   * within Levenshtein 1 via the SymSpell deletion-neighborhood join
+   * (vocabulary side fans out ×(len+1) ONCE, candidates meet on an
+   * equal deletion key, the exact distance verifies the survivors),
+   * then the matched (q_term, term) pairs drive the q6 semi-join
+   * scoring — a vocab term matching two query terms contributes per
+   * match, the reference's OR-sum semantics extended to fuzzy hits.
+   *
+   * Scale shape: the neighborhood explosion is vocabulary-bounded
+   * (never corpus-bounded), the query side is a broadcast literal, the
+   * verified match table is queries×candidates tiny and broadcasts
+   * back onto the score frame. The corpus is never rescanned for
+   * fuzziness.
+   *
+   * @return (doc, score, n_terms_matched) — summed tf-idf over fuzzy
+   *         hits + how many distinct query terms matched the doc
+   */
+  def searchFuzzyTokens(scores: DataFrame, tokens: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "query must contain at least one token")
+    val spark = scores.sparkSession
+    import spark.implicits._
+    val qdel = tokens.distinct.toDF("q_term")
+      .select(col("q_term"), explode(delNeighborhood(col("q_term"))).as("del"))
+    val matched = scores.select(col("term")).distinct()
+      .select(col("term"), explode(delNeighborhood(col("term"))).as("del"))
+      .join(broadcast(qdel), Seq("del"))
+      .select(col("q_term"), col("term")).distinct()
+      .where(levenshtein(col("q_term"), col("term")) <= 1)
+    scores
+      .join(broadcast(matched), Seq("term"))
+      .groupBy(col("doc"))
+      .agg(sum(col("tfidf")).as("score"),
+        countDistinct(col("q_term")).as("n_terms_matched"))
+  }
+
+  def searchFuzzy(
+      docs: DataFrame,
+      query: String,
+      numDocs: Option[Long] = None): DataFrame =
+    searchFuzzyTokens(TfIdf.tfidf(docs, numDocs), TfIdf.tokenizeQuery(query))
 }

@@ -288,4 +288,30 @@ class TfIdfSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Search.searchBm25Expanded(cor, "alpha", m = 0)
   }
+
+  test("searchFuzzy: deletion/insertion/substitution hit, transposition doesn't") {
+    val c = corpus(
+      "d1" -> "spark stream window table",
+      "d2" -> "spark spark join",
+      "d3" -> "ab only here")
+    // 'sparkk' (del), 'streem' (subst), 'windo' (ins) each map to one
+    // vocab term, so fuzzy equals the exact search on corrected terms
+    val fuzzy = Search.searchFuzzy(c, "sparkk streem windo")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    val exact = Search.searchTokens(
+        graft.operators.TfIdf.tfidf(c), Seq("spark", "stream", "window"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    fuzzy.view.mapValues(_._1).toMap shouldBe exact
+    fuzzy("d1")._2 shouldBe 3L // all three query terms matched d1
+    fuzzy("d2")._2 shouldBe 1L
+    // 'ba' is edit distance 2 from 'ab' (transposition): the shared
+    // deletion neighborhood {a, b} must NOT produce a match
+    Search.searchFuzzy(c, "ba").count() shouldBe 0L
+    // exact-term queries still match themselves (term ∈ its own dels)
+    Search.searchFuzzy(c, "spark").collect()
+      .map(_.getString(0)).toSet shouldBe Set("d1", "d2")
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchFuzzyTokens(graft.operators.TfIdf.tfidf(c), Seq.empty)
+  }
 }
