@@ -768,6 +768,13 @@ object SparkEntry {
         .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"))),
 
+    // SNIPPETS: the result-page extract — earliest query-term hit and
+    // a ±3-token window, map-only over one tokenized scan.
+    "q178_search_snippets" -> ((s, dir) =>
+      Search.searchSnippets(docs(s, dir), SearchQuery, window = 3)
+        .select(col("doc").as("doc_id"), col("first_pos"), col("snippet"))
+        .orderBy(col("doc_id"))),
+
     // FUZZY search: typo'd q6 terms recovered through the SymSpell
     // deletion-neighborhood join + exact Levenshtein verify — the
     // vocabulary fans out, the corpus never rescans.
@@ -3257,6 +3264,28 @@ object SparkEntry {
          |WHERE term IN ('spark', 'stream', 'window')
          |GROUP BY doc_id HAVING count(*) = 3
          |ORDER BY doc_id""".stripMargin,
+
+    // Snippet mirror: list_position firsts, null-skipping least, the
+    // inclusive-index slice of the same token window.
+    "q178_search_snippets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |           AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks,
+        |         least(nullif(list_position(toks, 'spark'), 0),
+        |               nullif(list_position(toks, 'stream'), 0),
+        |               nullif(list_position(toks, 'window'), 0))::BIGINT
+        |           AS first_pos
+        |  FROM t)
+        |SELECT doc_id, first_pos,
+        |       array_to_string(list_slice(toks,
+        |         greatest(1, first_pos - 3)::INTEGER,
+        |         (greatest(1, first_pos - 3) + 6)::INTEGER), ' ') AS snippet
+        |FROM p WHERE first_pos IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // Fuzzy mirror: brute vocab×queries Levenshtein (the semantics the
     // engine's deletion-neighborhood join must reproduce exactly).

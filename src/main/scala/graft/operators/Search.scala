@@ -501,4 +501,43 @@ object Search {
       query: String,
       numDocs: Option[Long] = None): DataFrame =
     searchFuzzyTokens(TfIdf.tfidf(docs, numDocs), TfIdf.tokenizeQuery(query))
+
+  /**
+   * SNIPPET extraction — the result-page half of search: for every doc
+   * containing any query term, the FIRST match position (1-based,
+   * earliest across query terms) and a ±`window`-token excerpt around
+   * it. Map-only codegen'd column work over one tokenized scan — no
+   * joins, no shuffle beyond the final ordering the caller adds; at
+   * 100 TB this is the same scan the score pass already makes.
+   *
+   * Determinism: `array_position` gives the first occurrence per term;
+   * `least` over those (null-skipping) picks the earliest; the slice
+   * clamps identically on both engines (length-truncating here,
+   * end-clamping in the oracle's inclusive-index form — same tokens).
+   *
+   * @return (doc, first_pos, snippet) for matching docs only
+   */
+  def searchSnippets(
+      docs: DataFrame,
+      query: String,
+      window: Int = 3): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    val tokens = TfIdf.tokenizeQuery(query).distinct
+    require(tokens.nonEmpty, "query must contain at least one token")
+    val toks = filter(split(col("line"), "\\s+"), t => length(t) > 0)
+    val posExprs = tokens.map(t =>
+      when(array_position(col("_toks"), lit(t)) > 0,
+        array_position(col("_toks"), lit(t))))
+    val firstPos =
+      if (posExprs.size == 1) posExprs.head else least(posExprs: _*)
+    docs
+      .withColumn("_toks", toks)
+      .withColumn("first_pos", firstPos)
+      .where(col("first_pos").isNotNull)
+      .withColumn("_start", greatest(lit(1L), col("first_pos") - lit(window.toLong)))
+      .withColumn("snippet",
+        array_join(slice(col("_toks"), col("_start").cast("int"),
+          lit(2 * window + 1)), " "))
+      .select(col("doc"), col("first_pos"), col("snippet"))
+  }
 }

@@ -314,4 +314,27 @@ class TfIdfSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Search.searchFuzzyTokens(graft.operators.TfIdf.tfidf(c), Seq.empty)
   }
+
+  test("searchSnippets: earliest hit across terms, window clamps at edges") {
+    val c = corpus(
+      "s1" -> "a b c spark d e f g",      // hit at 4, full ±3 window
+      "s2" -> "window x y",               // hit at 1: left-clamped
+      "s3" -> "u v stream",               // hit at 3, right-clamped
+      "s4" -> "stream later spark here",  // stream (1) beats spark (3)
+      "s5" -> "nothing relevant")
+    val got = Search.searchSnippets(c, "spark stream window", window = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    got.keySet shouldBe Set("s1", "s2", "s3", "s4")
+    got("s1") shouldBe ((4L, "a b c spark d e f"))
+    got("s2") shouldBe ((1L, "window x y"))
+    got("s3") shouldBe ((3L, "u v stream"))
+    got("s4") shouldBe ((1L, "stream later spark here"))
+    // single-token query exercises the no-least path
+    Search.searchSnippets(c, "spark", window = 1)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap shouldBe
+      Map("s1" -> "c spark d", "s4" -> "later spark here")
+    an[IllegalArgumentException] should be thrownBy
+      Search.searchSnippets(c, "spark", window = -1)
+  }
 }
