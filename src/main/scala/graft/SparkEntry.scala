@@ -2683,6 +2683,18 @@ object SparkEntry {
       graft.operators.Events.userGrowth(events(s, dir))
         .orderBy(col("day"))),
 
+    // Incremental growth: per-slice mergeable states (even/odd ids)
+    // rendered — must equal q175's all-at-once curve (its oracle
+    // verbatim: merge ≡ union by construction).
+    "q175b_growth_incremental" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ops = graft.operators.Events
+      ops.renderGrowth(ops.mergeGrowthStates(
+          ops.userGrowthState(e.where(col("event_id") % 2 === 0)),
+          ops.userGrowthState(e.where(col("event_id") % 2 === 1))))
+        .orderBy(col("day"))
+    }),
+
     // Traffic concentration: top-10-user share per type — the
     // distribution-shape radar next to q78's θ-threshold hot keys.
     "q176_top_user_share" -> ((s, dir) =>
@@ -6952,25 +6964,11 @@ object SparkEntry {
         |FROM r WHERE rn <= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // Growth mirror: the same first-seen construction.
-    "q175_user_growth" ->
-      """WITH pairs AS (
-        |  SELECT date_trunc('day', ts) AS day, user_id,
-        |         count(*)::BIGINT AS n
-        |  FROM events GROUP BY 1, 2),
-        |daily AS (
-        |  SELECT day, sum(n)::BIGINT AS n_events,
-        |         count(*)::BIGINT AS n_active_users
-        |  FROM pairs GROUP BY 1),
-        |fs AS (SELECT user_id, min(day) AS day FROM pairs GROUP BY 1),
-        |npd AS (SELECT day, count(*)::BIGINT AS n_new_users FROM fs GROUP BY 1)
-        |SELECT d.day, d.n_events, d.n_active_users,
-        |       coalesce(npd.n_new_users, 0)::BIGINT AS n_new_users,
-        |       sum(coalesce(npd.n_new_users, 0)) OVER (ORDER BY d.day
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-        |         AS cum_users
-        |FROM daily d LEFT JOIN npd USING (day)
-        |ORDER BY day""".stripMargin,
+    // Growth mirror: the same first-seen construction. q175b (the
+    // merged per-slice states) answers to the IDENTICAL oracle —
+    // merge ≡ union is the contract.
+    "q175_user_growth" -> userGrowthSql,
+    "q175b_growth_incremental" -> userGrowthSql,
 
     // UniMax-applied mirror: the q169 waterfill chain → per-group rate
     // → the epochRepetition copy rule, replayed end to end.
@@ -7617,6 +7615,26 @@ object SparkEntry {
        |                   < 100000
        |              THEN 'val' ELSE 'train' END AS split
        |  FROM $docsRel d LEFT JOIN l3 l USING (doc_id))""".stripMargin
+
+  /** Shared q175/q175b oracle: the first-seen growth curve. */
+  private def userGrowthSql: String =
+    """WITH pairs AS (
+      |  SELECT date_trunc('day', ts) AS day, user_id,
+      |         count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT day, sum(n)::BIGINT AS n_events,
+      |         count(*)::BIGINT AS n_active_users
+      |  FROM pairs GROUP BY 1),
+      |fs AS (SELECT user_id, min(day) AS day FROM pairs GROUP BY 1),
+      |npd AS (SELECT day, count(*)::BIGINT AS n_new_users FROM fs GROUP BY 1)
+      |SELECT d.day, d.n_events, d.n_active_users,
+      |       coalesce(npd.n_new_users, 0)::BIGINT AS n_new_users,
+      |       sum(coalesce(npd.n_new_users, 0)) OVER (ORDER BY d.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |         AS cum_users
+      |FROM daily d LEFT JOIN npd USING (day)
+      |ORDER BY day""".stripMargin
 
   /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
   private def hotKeysSql: String =

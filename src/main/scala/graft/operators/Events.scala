@@ -727,15 +727,33 @@ object Events {
    *
    * @return per day: n_events, n_active_users, n_new_users, cum_users
    */
-  def userGrowth(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // persisted: the (day, user) active-pair frame feeds BOTH the daily
-    // rollup and the first-seen derivation — one corpus scan, not two
-    // (the groupTermEntropy precedent; actives-bounded, ≪ events)
-    val pairs = graft.Caching.persist(events
+  def userGrowth(events: DataFrame): DataFrame =
+    renderGrowth(userGrowthState(events))
+
+  /** The growth curve's MERGEABLE STATE: the (day, user, n_events)
+    * active-pair frame — commutative by construction
+    * (`state(h ∪ d) ≡ merge(state(h), state(d))`, the dataCardState
+    * convention), so the curve refreshes from per-slice states without
+    * re-scanning history. Actives-bounded, ≪ events. */
+  def userGrowthState(events: DataFrame): DataFrame =
+    events
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"), col("user_id"))
-      .agg(count(lit(1)).as("_n")))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Merge two growth states (slices may share (day, user) cells). */
+  def mergeGrowthStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("day"), col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"))
+
+  /** Render the curve from a (day, user, n_events) state — the
+    * [[userGrowth]] rollups: one persisted frame feeds both the daily
+    * aggregate and the first-seen derivation (one pass over the state,
+    * and the state itself was one corpus scan). */
+  def renderGrowth(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.Caching.persist(
+      state.select(col("day"), col("user_id"), col("n_events").as("_n")))
     val daily = pairs.groupBy(col("day"))
       .agg(sum(col("_n")).as("n_events"),
         count(lit(1)).as("n_active_users"))

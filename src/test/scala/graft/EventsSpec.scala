@@ -496,6 +496,29 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("growth-state merges are order-independent and equal the batch curve") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 11:00:00", 2L),
+      (3L, "2024-01-02 09:00:00", 1L), (4L, "2024-01-02 10:00:00", 3L),
+      (5L, "2024-01-03 09:00:00", 2L), (6L, "2024-01-03 10:00:00", 1L))
+    val e = ev(rows.map { case (id, ts, u) => (id, ts, u, "t", 1.0) }: _*)
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("day")).collect().map(r =>
+        (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val batch = curve(Events.userGrowth(e))
+    val slices = Seq(0, 1, 2).map(i =>
+      Events.userGrowthState(e.where(col("event_id") % 3 === i)))
+    val leftFold = curve(Events.renderGrowth(
+      Events.mergeGrowthStates(
+        Events.mergeGrowthStates(slices(0), slices(1)), slices(2))))
+    val rightFold = curve(Events.renderGrowth(
+      Events.mergeGrowthStates(slices(0),
+        Events.mergeGrowthStates(slices(1), slices(2)))))
+    leftFold shouldBe batch
+    rightFold shouldBe batch
+  }
+
   test("topUserShare: exact top-k mass, ties to the smaller user id") {
     val rows = Seq.tabulate(5)(i => (i + 1L, f"2024-01-01 10:0${i}:00", 7L)) ++
       Seq((10L, "2024-01-01 11:00:00", 8L), (11L, "2024-01-01 11:01:00", 8L),

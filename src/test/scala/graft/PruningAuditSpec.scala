@@ -155,6 +155,13 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q175_user_growth") shouldBe Seq(Set("ts", "user_id"))
   }
 
+  test("q175b per-slice growth scans add only the slicing key") {
+    // each slice filters on event_id, so both scans read exactly
+    // (event_id, ts, user_id) — the merge never touches other columns
+    readSchemas("q175b_growth_incremental") shouldBe
+      Seq(Set("event_id", "ts", "user_id"), Set("event_id", "ts", "user_id"))
+  }
+
   test("q176 concentration scan reads only event_type and user_id") {
     readSchemas("q176_top_user_share") shouldBe Seq(Set("event_type", "user_id"))
   }
