@@ -2695,6 +2695,19 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Deletion propagation: retract the user_id%10==0 slice's state
+    // from the full state — the curve must equal one computed on the
+    // surviving events directly (right-to-be-forgotten repair without
+    // re-scanning history).
+    "q175c_growth_retract" -> ((s, dir) => {
+      val e = events(s, dir)
+      val ops = graft.operators.Events
+      ops.renderGrowth(ops.retractGrowthState(
+          ops.userGrowthState(e),
+          ops.userGrowthState(e.where(col("user_id") % 10 === 0))))
+        .orderBy(col("day"))
+    }),
+
     // Traffic concentration: top-10-user share per type — the
     // distribution-shape radar next to q78's θ-threshold hot keys.
     "q176_top_user_share" -> ((s, dir) =>
@@ -6967,8 +6980,11 @@ object SparkEntry {
     // Growth mirror: the same first-seen construction. q175b (the
     // merged per-slice states) answers to the IDENTICAL oracle —
     // merge ≡ union is the contract.
-    "q175_user_growth" -> userGrowthSql,
-    "q175b_growth_incremental" -> userGrowthSql,
+    "q175_user_growth" -> userGrowthSql(),
+    "q175b_growth_incremental" -> userGrowthSql(),
+
+    // Retraction mirror: the surviving-events curve, computed directly.
+    "q175c_growth_retract" -> userGrowthSql("WHERE user_id % 10 <> 0"),
 
     // UniMax-applied mirror: the q169 waterfill chain → per-group rate
     // → the epochRepetition copy rule, replayed end to end.
@@ -7616,12 +7632,13 @@ object SparkEntry {
        |              THEN 'val' ELSE 'train' END AS split
        |  FROM $docsRel d LEFT JOIN l3 l USING (doc_id))""".stripMargin
 
-  /** Shared q175/q175b oracle: the first-seen growth curve. */
-  private def userGrowthSql: String =
-    """WITH pairs AS (
+  /** Shared q175/q175b/q175c oracle: the first-seen growth curve,
+    * optionally over a filtered slice of events. */
+  private def userGrowthSql(where: String = ""): String =
+    s"""WITH pairs AS (
       |  SELECT date_trunc('day', ts) AS day, user_id,
       |         count(*)::BIGINT AS n
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events $where GROUP BY 1, 2),
       |daily AS (
       |  SELECT day, sum(n)::BIGINT AS n_events,
       |         count(*)::BIGINT AS n_active_users

@@ -746,6 +746,19 @@ object Events {
     a.unionByName(b).groupBy(col("day"), col("user_id"))
       .agg(sum(col("n_events")).as("n_events"))
 
+  /** RETRACT a slice from a growth state — the deletion-propagation
+    * (right-to-be-forgotten) path: counts subtract exactly (integers),
+    * and (day, user) cells whose count reaches 0 are dropped so they
+    * stop counting as active. `retract(state(all), state(del)) ≡
+    * state(all ∖ del)` whenever `del ⊆ all` — history is repaired
+    * from the actives-bounded state, never by re-scanning events. */
+  def retractGrowthState(total: DataFrame, retract: DataFrame): DataFrame =
+    total.unionByName(
+        retract.withColumn("n_events", -col("n_events")))
+      .groupBy(col("day"), col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"))
+      .where(col("n_events") > 0)
+
   /** Render the curve from a (day, user, n_events) state — the
     * [[userGrowth]] rollups: one persisted frame feeds both the daily
     * aggregate and the first-seen derivation (one pass over the state,

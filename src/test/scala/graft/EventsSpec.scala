@@ -519,6 +519,26 @@ class EventsSpec extends SparkSpec {
     rightFold shouldBe batch
   }
 
+  test("growth-state retraction equals the curve on surviving events") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (2L, "2024-01-01 11:00:00", 2L),
+      (3L, "2024-01-02 09:00:00", 1L), (4L, "2024-01-02 10:00:00", 3L),
+      (5L, "2024-01-03 09:00:00", 2L), (6L, "2024-01-03 10:00:00", 1L))
+    val e = ev(rows.map { case (id, ts, u) => (id, ts, u, "t", 1.0) }: _*)
+    def curve(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("day")).collect().map(r =>
+        (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val retracted = Events.renderGrowth(Events.retractGrowthState(
+      Events.userGrowthState(e),
+      Events.userGrowthState(e.where(col("user_id") === 1))))
+    curve(retracted) shouldBe curve(
+      Events.userGrowth(e.where(col("user_id") =!= 1)))
+    // retracting everything leaves an empty curve, not zero-count rows
+    Events.renderGrowth(Events.retractGrowthState(
+      Events.userGrowthState(e), Events.userGrowthState(e))).count() shouldBe 0L
+  }
+
   test("topUserShare: exact top-k mass, ties to the smaller user id") {
     val rows = Seq.tabulate(5)(i => (i + 1L, f"2024-01-01 10:0${i}:00", 7L)) ++
       Seq((10L, "2024-01-01 11:00:00", 8L), (11L, "2024-01-01 11:01:00", 8L),

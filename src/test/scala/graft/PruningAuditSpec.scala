@@ -162,6 +162,11 @@ class PruningAuditSpec extends SparkSpec {
       Seq(Set("event_id", "ts", "user_id"), Set("event_id", "ts", "user_id"))
   }
 
+  test("q175c retraction scans read only the slicing key and growth columns") {
+    readSchemas("q175c_growth_retract") shouldBe
+      Seq(Set("ts", "user_id"), Set("ts", "user_id"))
+  }
+
   test("q176 concentration scan reads only event_type and user_id") {
     readSchemas("q176_top_user_share") shouldBe Seq(Set("event_type", "user_id"))
   }
