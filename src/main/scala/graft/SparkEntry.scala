@@ -787,6 +787,22 @@ object SparkEntry {
           col("n_terms_matched"))
         .orderBy(col("doc_id"))),
 
+    // Bloom-pruned join: nation-0 customers' orders — the bloom screen
+    // drops ~24/25 of the fact scan before the shuffle; the inner join
+    // removes false positives, so the oracle is the plain join verbatim
+    // (the q81 answer-invisible contract).
+    "q179_bloom_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = tbl(s, dir, "customer").where(col("c_nationkey") === 0)
+        .select(col("c_custkey"), col("c_name"))
+      graft.operators.HotKeys.bloomJoin(o, "o_custkey", c, "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          expr("CAST(round(o_totalprice * 1000000) AS BIGINT)")
+            .as("price_micros"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // O10 — global sort desc of search hits (deterministic tie-break).
     // Conjunctive (AND) search: only docs containing EVERY query term
     // score — the search mode the reference's OR-sum cannot express.
@@ -3325,6 +3341,14 @@ object SparkEntry {
          |       count(DISTINCT m.q_term)::BIGINT AS n_terms_matched
          |FROM scores s JOIN mt m USING (term)
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bloom-join mirror: the plain join — the sketch must be invisible.
+    "q179_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_name,
+        |       CAST(round(o_totalprice * 1000000) AS BIGINT) AS price_micros
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q68_search_phrase" ->
       """WITH tokl AS (

@@ -140,6 +140,42 @@ object HotKeys {
     cold.unionByName(hotJoined)
   }
 
+  /** Bloom-pruned inner join — answer-invisible join-site filtering
+    * (the q81 contract: the oracle is the plain SQL join verbatim).
+    *
+    * A Bloom sketch of the dim side's key fingerprints rides to the
+    * fact scan as a broadcast literal (~10 bits/key at 1 % fpp — a
+    * 1e9-key dim is a ~1.2 GB filter where its payload columns could
+    * be 100× that), so non-matching fact rows are dropped BEFORE the
+    * shuffle instead of after it. The inner join then removes the
+    * false positives exactly: fpp only costs extra shuffled rows,
+    * never a wrong answer, and a false negative is impossible
+    * (`mightContain` has none). This is the declarative cousin of
+    * Spark's runtime row-level bloom injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) for when the
+    * dim side is an arbitrary derived frame the optimizer won't sketch,
+    * and it composes with any join the planner then picks.
+    *
+    * When the dim is small enough to broadcast whole, the planner's
+    * broadcast-hash join already does better — this operator's window
+    * is a dim too wide to broadcast with payloads but whose KEY set
+    * still fits a sketch.
+    */
+  def bloomJoin(
+      fact: DataFrame,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long = -1L,
+      fpp: Double = 0.01): DataFrame = {
+    val bytes = Dedup.bloomBytesOf(
+      dim.select(xxhash64(col(dimKey)).as("h")), expectedItems, fpp)
+    val pruned = fact.where(
+      org.apache.spark.sql.graft.BloomFunctions
+        .mightContainLong(xxhash64(col(factKey)), bytes))
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
   /** One-scan sketch build over xxhash64(key) (the treeAggregate shape
     * the Bloom screen uses — partial sketches merged pairwise; an empty
     * input yields the empty sketch and a 0 total). Returns (serialized

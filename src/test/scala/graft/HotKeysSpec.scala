@@ -144,6 +144,39 @@ class HotKeysSpec extends SparkSpec {
       rowsOf(facts.join(dim, Seq("k")))
   }
 
+  test("bloomJoin equals the plain join, including orphans on both sides") {
+    val s = spark
+    import s.implicits._
+    val facts = (Seq.fill(20)((1L, "h")) ++
+      Seq((2L, "c"), (99L, "orphan"), (7L, "x"))).toDF("k", "payload")
+    val dim = Seq((1L, "d1"), (2L, "d2"), (50L, "unref")).toDF("dk", "attr")
+    rowsOf(HotKeys.bloomJoin(facts, "k", dim, "dk")) shouldBe
+      rowsOf(facts.join(dim, facts("k") === dim("dk")))
+    // a coarse fpp lets false positives through the screen — the join
+    // must still remove every one of them
+    rowsOf(HotKeys.bloomJoin(facts, "k", dim, "dk", fpp = 0.5)) shouldBe
+      rowsOf(facts.join(dim, facts("k") === dim("dk")))
+  }
+
+  test("bloomJoin screens the fact side before the join in the plan") {
+    val s = spark
+    import s.implicits._
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the screen into a LocalTableScan and hide it from the plan
+    val facts = spark.range(1L, 101L)
+      .select(col("id").as("k"), lit("p").as("payload"))
+    val dim = Seq((1L, "d1")).toDF("dk", "attr")
+    val joined = HotKeys.bloomJoin(facts, "k", dim, "dk")
+    val plan = joined.queryExecution.executedPlan.toString
+    withClue(s"plan:\n$plan\n") {
+      assert(plan.contains("graft_bloom_might_contain"),
+        "no bloom screen found on the fact scan")
+    }
+    // disjoint dim: the screen admits nothing real and the join is empty
+    val none = Seq((999L, "d")).toDF("dk", "attr")
+    HotKeys.bloomJoin(facts, "k", none, "dk").count() shouldBe 0L
+  }
+
   test("skewJoin's hot branch shuffles on (key, salt) once nothing broadcasts") {
     val threshold = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(threshold)

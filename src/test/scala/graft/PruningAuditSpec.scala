@@ -155,6 +155,12 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q175_user_growth") shouldBe Seq(Set("ts", "user_id"))
   }
 
+  test("q179 bloom-join scans read only join keys and selected payloads") {
+    readSchemas("q179_bloom_join").toSet shouldBe Set(
+      Set("o_orderkey", "o_custkey", "o_totalprice"),
+      Set("c_custkey", "c_name", "c_nationkey"))
+  }
+
   test("q175b per-slice growth scans add only the slicing key") {
     // each slice filters on event_id, so both scans read exactly
     // (event_id, ts, user_id) — the merge never touches other columns
