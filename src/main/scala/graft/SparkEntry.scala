@@ -979,6 +979,14 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))),
 
+    // Sorted-neighborhood blocking: candidates = the 8 successors in
+    // (text, doc) order — O(N·w) by construction, no bucket to guard;
+    // the verify is q13's exact-Jaccard join verbatim.
+    "q180_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), window = 8)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))),
+
     // Signature-only Jaccard ESTIMATE for the LSH candidates — the
     // verify stage that reads 16 minima per side instead of re-joining
     // shingle tables (Broder's matching-minima estimator).
@@ -3561,6 +3569,25 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "q12_ngram_jaccard" -> ngramJaccardSql(0.5),
+
+    // SNM mirror: rank-adjacent candidates (row_number over the same
+    // (text, doc_id) total order), then q12's exact-Jaccard verify.
+    "q180_sorted_neighborhood" ->
+      s"""WITH $ShingleCtes,
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) - 1
+         |        AS rn FROM documents),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 8),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c JOIN sh x ON x.doc_id = c.d1
+         |              JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
 
     // Prefix filtering is EXACT (no false negatives given the size
     // filter), so the oracle is q12's brute-force SQL at q121's own

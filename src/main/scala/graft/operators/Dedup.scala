@@ -329,6 +329,51 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood near-dup pairs (SNM) — the SORT-based blocking
+   * alternative to [[minhashNearDups]]' hash banding: order the corpus
+   * by (line, doc), pair every row with its `window` successors in that
+   * order, then run the SAME exact-Jaccard verify. Candidates are
+   * O(N·window) BY CONSTRUCTION — no bucket can blow up, which is the
+   * guarantee LSH needs its hot-bucket guard for; the trade is recall
+   * shape: SNM sees exactly the near-dups that sort near each other
+   * (exact dups and shared-prefix edits always do; a first-token edit
+   * can teleport a doc across the order and is invisible here, where
+   * MinHash still catches it). Run both and union for belt-and-braces
+   * dedup sweeps.
+   *
+   * Scale shape: the global order comes from [[Ranking.withGlobalRank]]
+   * (range-partitioned two-stage rank, never a single-partition
+   * window); neighbor candidates form by an equi-join on the rank
+   * block ⌊rn/window⌋ with the right side replicated to its own and
+   * its predecessor block — pairs at rank distance ≤ window live in
+   * the same or adjacent blocks, so the join is complete and shuffles
+   * ~2 rows per input row. The verify re-joins the shingle table
+   * exactly as q13's pipeline does.
+   */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      window: Int = 8,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = Ranking.withGlobalRank(
+      docs.select(col("doc"), col("line")),
+      Seq(col("line"), col("doc")),
+      rankCol = "rn",
+      errorHint = "re-run sortedNeighborhoodPairs, or checkpoint its input")
+    val w = window.toLong
+    val blk = (col("rn") / w).cast("long")
+    val a = ranked.select(col("doc").as("d1"), col("rn").as("rn1"),
+      blk.as("blk"))
+    val b = ranked.select(col("doc").as("d2"), col("rn").as("rn2"),
+      explode(array(blk, blk - 1)).as("blk"))
+    val cand = a.join(b, "blk")
+      .where((col("rn2") - col("rn1")).between(lit(1L), lit(w)))
+      .select(col("d1"), col("d2"))
+    jaccardFor(cand, shingles(docs, n)).where(col("jaccard") >= threshold)
+  }
+
+  /**
    * Signature-only Jaccard ESTIMATE for LSH candidate pairs — the
    * verify stage that never re-touches shingles: the fraction of
    * matching signature minima is an unbiased Jaccard estimator

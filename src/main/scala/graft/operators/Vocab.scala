@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.Caching
-
 /**
  * Vocabulary construction and token-id encoding — the tokenize-for-
  * training tier of an LLM data pipeline: build a frequency-ranked
@@ -18,11 +16,6 @@ object Vocab {
 
   /** Sentinel id for out-of-vocabulary terms in [[encodeTokens]]. */
   val OovId = -1L
-
-  /** Intra-partition bits of `monotonically_increasing_id` (its layout
-    * is partitionId << 33 | recordNumber — a documented Spark contract). */
-  private val MidPartitionShift = 33
-  private val MidRecordMask = (1L << MidPartitionShift) - 1
 
   /**
    * Frequency-ranked vocabulary: (term, cnt, token_id) with token_id =
@@ -77,51 +70,15 @@ object Vocab {
       .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
 
   /** Rank a (term, cnt) table into the (term, cnt, token_id) vocabulary
-    * (two-stage parallel rank — see [[buildVocab]]'s scale notes). */
+    * (two-stage parallel rank via [[Ranking.withGlobalRank]] — see
+    * [[buildVocab]]'s scale notes). */
   def rankVocab(counts0: DataFrame, minCount: Long = 1L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val counts = counts0.where(col("cnt") >= minCount)
-    // monotonically_increasing_id is nondeterministic-flagged, so
-    // Catalyst will not push this projection below the sort: ids are
-    // assigned in sorted order within each range partition.
-    val sorted = Caching.persist(
-      counts
-        .repartitionByRange(col("cnt").desc, col("term"))
-        .sortWithinPartitions(col("cnt").desc, col("term"))
-        .withColumn("_mid", monotonically_increasing_id()))
-    val partSizes = sorted
-      .groupBy(shiftright(col("_mid"), MidPartitionShift).as("_pid"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets: Map[Long, Long] = {
-      var acc = 0L
-      partSizes.map { case (pid, n) => val o = acc; acc += n; pid -> o }.toMap
-    }
-    val sizes: Map[Long, Long] = partSizes.toMap
-    // RECOMPUTATION GUARD: the offsets are only valid against the
-    // materialization the histogram saw. If the persisted range
-    // exchange is ever re-executed (cache + shuffle loss on a real
-    // cluster), the RangePartitioner re-samples and can redistribute
-    // rows — total row count is preserved, so any redistribution makes
-    // SOME partition exceed its recorded size (or introduces an
-    // unknown pid, where element_at misses). Both trip the per-row
-    // assert below: loud failure, never silently corrupted ids. For
-    // full fault tolerance checkpoint the counts frame first.
-    val pid = shiftright(col("_mid"), MidPartitionShift)
-    val idx = col("_mid").bitwiseAND(lit(MidRecordMask))
-    // unknown pid → size coalesces to -1 so the comparison is FALSE,
-    // not null (assert_true only raises on false)
-    val guard = coalesce(assert_true(
-      idx < coalesce(element_at(typedLit(sizes), pid), lit(-1L)),
-      lit("vocabulary rank invalidated: the ranked partitioning was " +
-        "recomputed after the offset histogram (partition grew or " +
-        "appeared) — re-run buildVocab, or checkpoint its input")),
-      lit(true))
-    sorted
-      .where(guard)
-      .withColumn("token_id", element_at(typedLit(offsets), pid) + idx)
+    Ranking.withGlobalRank(
+        counts0.where(col("cnt") >= minCount),
+        Seq(col("cnt").desc, col("term")),
+        rankCol = "token_id",
+        errorHint = "re-run buildVocab, or checkpoint its input")
       .select(col("term"), col("cnt"), col("token_id"))
   }
 

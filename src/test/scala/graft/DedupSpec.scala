@@ -63,6 +63,28 @@ class DedupSpec extends SparkSpec {
     all(pairs.toSeq.flatMap(p => Seq(p._1, p._2))) should not be "d"
   }
 
+  test("sortedNeighborhoodPairs: sort-adjacent near-dups found, far sorts missed") {
+    // sort order is d < c < a < b (the "over a" / "over the" split);
+    // identical a/b are adjacent even at w=1; c-a is the rank-1
+    // neighbor at jaccard 4/10, so it needs the lower threshold
+    val pairs = Dedup.sortedNeighborhoodPairs(dupCorpus, window = 1, threshold = 0.3)
+      .select("d1", "d2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    pairs shouldBe Set(("a", "b"), ("c", "a"))
+    // widening the window adds the distance-2 (c, b) pair, same verify
+    val w2 = Dedup.sortedNeighborhoodPairs(dupCorpus, window = 2, threshold = 0.3)
+      .select("d1", "d2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    w2 shouldBe Set(("a", "b"), ("c", "a"), ("c", "b"))
+    // the documented blind spot: a FIRST-token edit teleports the doc
+    // across the sort order, so SNM misses what MinHash catches
+    val prefixEdit = corpus(
+      "p1" -> "alpha common tail words shared by both documents here",
+      "p2" -> "zzz common tail words shared by both documents here",
+      "mid" -> "mmm unrelated middle sorts between the two entirely")
+    val snm = Dedup.sortedNeighborhoodPairs(prefixEdit, window = 1, threshold = 0.3)
+      .select("d1", "d2").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    snm should not contain (("p1", "p2"))
+  }
+
   test("minhashNearDupsAgainst matches new docs only against history") {
     // SparkEntry.ChainDocs 1000001↔1000003 were SEEDED to share an LSH
     // band (q28b chain) with Jaccard 28/48 ≈ 0.58 — a deterministic

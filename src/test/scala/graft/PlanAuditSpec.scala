@@ -64,6 +64,7 @@ class PlanAuditSpec extends SparkSpec {
 
     "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
     "q67_search_all", // the same 1-row numDocs cross (tfidf lineage)
+    "q177_search_fuzzy", // the same 1-row numDocs cross (tfidf lineage)
     "q69_search_bm25", // 1-row (N, avgdl) corpus-stats broadcast cross
     "q69b_bm25_window", // same 1-row stats cross, window-df strategy
     "q162_search_expanded", // q69's 1-row stats cross + q39's 1-row
@@ -92,6 +93,7 @@ class PlanAuditSpec extends SparkSpec {
     "q88_naive_bayes", // distinct-buckets × C-row class frame — the
                        // dense smoothed conditional table (≤ B·C rows)
     "q88b_nb_confusion", // same model cross
+    "q174_nb_calibration", // same model cross (q88 lineage)
     "q112_model_quality_filter", // q88's NB model cross on the
                                  // target-vs-raw relabeled corpus
     "q89_coverage_sample", // q54's Lloyd centroid broadcast cross

@@ -155,6 +155,11 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q175_user_growth") shouldBe Seq(Set("ts", "user_id"))
   }
 
+  test("q180 SNM scans read only doc_id and text") {
+    readSchemas("q180_sorted_neighborhood").toSet shouldBe
+      Set(Set("doc_id", "text"))
+  }
+
   test("q179 bloom-join scans read only join keys and selected payloads") {
     readSchemas("q179_bloom_join").toSet shouldBe Set(
       Set("o_orderkey", "o_custkey", "o_totalprice"),
