@@ -2732,6 +2732,13 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Linear multi-touch attribution: purchase value floor-divided
+    // across the user's click/view touches in the prior 7 days —
+    // integer micro credit, remainder unattributed by contract.
+    "q181_attribution_linear" -> ((s, dir) =>
+      graft.operators.Events.linearAttribution(events(s, dir))
+        .orderBy(col("touch_type"))),
+
     // Traffic concentration: top-10-user share per type — the
     // distribution-shape radar next to q78's θ-threshold hot keys.
     "q176_top_user_share" -> ((s, dir) =>
@@ -7036,6 +7043,27 @@ object SparkEntry {
 
     // Retraction mirror: the surviving-events curve, computed directly.
     "q175c_growth_retract" -> userGrowthSql("WHERE user_id % 10 <> 0"),
+
+    // Attribution mirror: the same equi-join + floor-division credit.
+    "q181_attribution_linear" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT c.conv_id, c.value_micros, t.touch_type
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |   AND t.touch_ts < c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |n AS (SELECT conv_id, count(*) AS n_t FROM pairs GROUP BY 1)
+        |SELECT touch_type, count(*)::BIGINT AS n_touches,
+        |       count(DISTINCT p.conv_id)::BIGINT AS n_conversions,
+        |       sum(p.value_micros // n.n_t)::BIGINT AS attributed_micros
+        |FROM pairs p JOIN n USING (conv_id)
+        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     // UniMax-applied mirror: the q169 waterfill chain → per-group rate
     // → the epochRepetition copy rule, replayed end to end.

@@ -820,6 +820,52 @@ object Events {
   }
 
   /**
+   * LINEAR multi-touch attribution — distribute each conversion's value
+   * evenly across the user's touch events in the preceding lookback
+   * window, then roll credit up per touch type (the marketing-science
+   * cousin of q41's funnel: the funnel counts progressions, this prices
+   * them). Credit math is EXACT integers: conversion value lifts to
+   * micro-longs once, each touch takes ⌊value_micros / n_touches⌋ (the
+   * floor-division remainder stays unattributed — a declared contract,
+   * in the reference's own floor-div idf spirit), so sums are
+   * order-independent across partitions.
+   *
+   * Scale shape: conversions ⋈ touches is an EQUI-join on user_id with
+   * the window condition as a post-join filter — per-user pair fan-out
+   * is bounded by per-user activity in the lookback, never corpus².
+   * The per-conversion touch count is a window over conv_id (pair
+   * partitions, bounded); nothing collects.
+   *
+   * @return per touch_type: n_touches, n_conversions, attributed_micros
+   */
+  def linearAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val withN = pairs.withColumn("_n",
+      count(lit(1)).over(Window.partitionBy(col("conv_id"))))
+    withN
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(expr("value_micros div _n")).as("attributed_micros"))
+  }
+
+  /**
    * Per-type CUSUM parameters FIT on a reference slice — (μ, κ, h) in
    * micro longs from the slice's exact value moments, the
    * [[cusumChangepoints]] math at event level. Output is types-bounded

@@ -539,6 +539,28 @@ class EventsSpec extends SparkSpec {
       Events.userGrowthState(e), Events.userGrowthState(e))).count() shouldBe 0L
   }
 
+  test("linearAttribution: floor-division credit within the lookback only") {
+    val e = ev(
+      // user 1: two touches then a 10.000001-value purchase
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-02 09:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-03 12:00:00", 1L, "purchase", 10.000001),
+      // user 2: touch OUTSIDE the 7-day lookback, purchase unattributed
+      (4L, "2024-01-01 08:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-09 09:00:00", 2L, "purchase", 5.0),
+      // user 3: touch AFTER the purchase never counts
+      (6L, "2024-01-05 10:00:00", 3L, "purchase", 7.0),
+      (7L, "2024-01-05 11:00:00", 3L, "view", 0.0))
+    val got = Events.linearAttribution(e)
+      .orderBy(col("touch_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // purchase 3: 10000001 micros over 2 touches -> 5000000 each,
+    // 1 micro remainder unattributed by contract
+    got shouldBe Array(
+      ("click", 1L, 1L, 5000000L),
+      ("view", 1L, 1L, 5000000L))
+  }
+
   test("topUserShare: exact top-k mass, ties to the smaller user id") {
     val rows = Seq.tabulate(5)(i => (i + 1L, f"2024-01-01 10:0${i}:00", 7L)) ++
       Seq((10L, "2024-01-01 11:00:00", 8L), (11L, "2024-01-01 11:01:00", 8L),

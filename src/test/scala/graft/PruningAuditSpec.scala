@@ -173,6 +173,12 @@ class PruningAuditSpec extends SparkSpec {
       Seq(Set("event_id", "ts", "user_id"), Set("event_id", "ts", "user_id"))
   }
 
+  test("q181 attribution scans read only the join/window/value columns") {
+    readSchemas("q181_attribution_linear").toSet shouldBe Set(
+      Set("event_id", "ts", "user_id", "event_type", "value"),
+      Set("ts", "user_id", "event_type"))
+  }
+
   test("q175c retraction scans read only the slicing key and growth columns") {
     readSchemas("q175c_growth_retract") shouldBe
       Seq(Set("ts", "user_id"), Set("ts", "user_id"))
