@@ -3003,6 +3003,12 @@ object SparkEntry {
       graft.operators.Events.typeTransitions(events(s, dir))
         .orderBy(col("from_type"), col("to_type"))),
 
+    // Long-run traffic shares: 20 exact-integer power rounds over the
+    // q125 transition matrix (the q117 floor-div micro recipe).
+    "q182_transition_stationary" -> ((s, dir) =>
+      graft.operators.Events.transitionStationary(events(s, dir), iters = 20)
+        .orderBy(col("event_type"))),
+
     // Incremental n-gram NOVELTY score: per new doc (doc >= 250), the
     // fraction of its distinct 3-grams never seen in history
     // (doc < 250) — the ingest-time freshness signal; shingle-less
@@ -6237,6 +6243,9 @@ object SparkEntry {
         |             sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
         |FROM t ORDER BY from_type, to_type""".stripMargin,
 
+    // Stationary mirror: the same floor-div power rounds, unrolled.
+    "q182_transition_stationary" -> transitionStationarySql(iters = 20),
+
     // Triangle counts: the same pc edge relation as q117; triangles
     // enumerated once in lexicographic canonical form (a<b<c chained
     // joins), members unnested to per-term counts.
@@ -7365,6 +7374,33 @@ object SparkEntry {
        |  SELECT t1, t2 FROM (
        |    SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
        |  WHERE cnt >= $minCount AND t1 <> t2)""".stripMargin
+
+  /** q182 oracle: the engine's exact-integer power rounds over the
+    * transition matrix, unrolled (the [[termPageRankSql]] pattern). */
+  private def transitionStationarySql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""x$i AS (
+         |  SELECT t.to_type AS t, sum((x.x * t.n) // d.n_i)::BIGINT AS x
+         |  FROM x${i - 1} x
+         |  JOIN tr t ON x.t = t.from_type
+         |  JOIN deg d ON d.from_type = t.from_type
+         |  GROUP BY t.to_type)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nx AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |tr AS (
+       |  SELECT from_type, to_type, count(*)::BIGINT AS n
+       |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |deg AS (SELECT from_type, sum(n)::BIGINT AS n_i FROM tr GROUP BY 1),
+       |x0 AS (SELECT DISTINCT event_type AS t, 1000000::BIGINT AS x
+       |       FROM events),
+       |$iterCtes
+       |SELECT t AS event_type, x AS prob_micro FROM x$iters
+       |ORDER BY event_type""".stripMargin
+  }
 
   private def termPageRankSql(window: Int, minCount: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>

@@ -356,6 +356,56 @@ object Events {
   }
 
   /**
+   * STATIONARY DISTRIBUTION of the event-type Markov chain — where the
+   * [[typeTransitions]] matrix sends long-run traffic ("after enough
+   * clicks, what fraction of the stream is errors?"). Fixed-iteration
+   * power method in the q117 PageRank integer recipe: mass starts at
+   * 1e6 micro per observed type and each round moves
+   * ⌊x_i · n_ij / n_i⌋ along every transition — multiply-before-divide
+   * exact longs, so 20 rounds are digit-identical on any engine and
+   * partitioning (floor losses shave mass slightly; relative shares
+   * are the signal). Bound: x·n_ij stays under 2⁶³ while
+   * Σx · max n_ij < 9e18 — with T types Σx ≈ T·1e6, comfortable
+   * through ~1e12 transitions per cell.
+   *
+   * Scale shape: the only corpus-scale work is the one windowed
+   * transition count; the chain itself is T² cells, so the matrix
+   * COLLECTS (the q88 NB-model / hot-keys bounded-collect convention —
+   * bounded by the type-cardinality contract, never by data size) and
+   * the power rounds run driver-local. The distributed per-round
+   * DataFrame loop ([[Graph.termPageRank]]'s shape, right for
+   * vocabulary-scale graphs) is WRONG here: ~2·iters chained
+   * un-materialized rounds over a 25-cell matrix hit a measured
+   * exponential AQE re-planning blowup past ~12 rounds — jobs of
+   * seconds for microseconds of arithmetic.
+   *
+   * @return (event_type, prob_micro) for types with incoming mass
+   */
+  def transitionStationary(events: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    val tr = typeTransitions(events)
+      .select(col("from_type"), col("to_type"), col("n_transitions").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nOut: Map[String, Long] =
+      tr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0))
+    var x: Map[String, Long] = states.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      // ⌊x_i · n_ij / n_i⌋ per edge, summed per destination — all
+      // quantities non-negative, so / is the oracle's floor division
+      x = tr.flatMap { case (from, to, n) =>
+          x.get(from).map(xi => to -> xi * n / nOut(from))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    x.toSeq.toDF("event_type", "prob_micro")
+  }
+
+  /**
    * TOP event PATHS — lightweight sequence mining: the k most common
    * length-`pathLen` consecutive event-type sequences across user
    * streams ("view>view>buy beats view>buy — where does the extra

@@ -539,6 +539,28 @@ class EventsSpec extends SparkSpec {
       Events.userGrowthState(e), Events.userGrowthState(e))).count() shouldBe 0L
   }
 
+  test("transitionStationary matches a local integer-recurrence replication") {
+    // one user stream a a b a b -> transitions a->a:1, a->b:2, b->a:1
+    val types = Seq("a", "a", "b", "a", "b")
+    val e = ev(types.zipWithIndex.map { case (t, i) =>
+      (i + 1L, f"2024-01-01 10:0$i%01d:00", 1L, t, 1.0)
+    }: _*)
+    // local replication of the floor-div power rounds
+    var xa = 1000000L; var xb = 1000000L
+    for (_ <- 1 to 20) {
+      val na = (xa * 1) / 3 + (xb * 1) / 1
+      val nb = (xa * 2) / 3
+      xa = na; xb = nb
+    }
+    val got = Events.transitionStationary(e, iters = 20)
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe Array(("a", xa), ("b", xb))
+    // sanity: the shares sit near the true stationary pi = (3/5, 2/5)
+    val tot = (xa + xb).toDouble
+    (xa / tot) shouldBe 0.6 +- 0.05
+  }
+
   test("linearAttribution: floor-division credit within the lookback only") {
     val e = ev(
       // user 1: two touches then a 10.000001-value purchase

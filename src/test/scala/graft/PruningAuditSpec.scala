@@ -173,6 +173,19 @@ class PruningAuditSpec extends SparkSpec {
       Seq(Set("event_id", "ts", "user_id"), Set("event_id", "ts", "user_id"))
   }
 
+  test("q182's transition-count stage reads only the window columns") {
+    // q182's final frame is the collected-model literal (no scans), so
+    // the pruning contract is asserted on the corpus-scale stage it
+    // collects from
+    val plan = graft.operators.Events
+      .typeTransitions(spark.read.parquet(s"$dir/events.parquet"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != ':')).toSet)
+      .toSeq shouldBe Seq(Set("event_id", "ts", "user_id", "event_type"))
+  }
+
   test("q181 attribution scans read only the join/window/value columns") {
     readSchemas("q181_attribution_linear").toSet shouldBe Set(
       Set("event_id", "ts", "user_id", "event_type", "value"),
