@@ -1519,6 +1519,31 @@ object SparkEntry {
       graft.operators.Pipeline.lengthHistogram(docs(s, dir))
         .orderBy(col("bin"))),
 
+    // Equi-depth deciles: exact percentile boundaries off the
+    // two-stage global rank; bucket identity is ⌊rank·10/N⌋ integers.
+    "q183_length_deciles" -> ((s, dir) =>
+      graft.operators.Pipeline.lengthDeciles(docs(s, dir))
+        .orderBy(col("decile"))),
+
+    // Per-type daily trend: exact-moment OLS slope of daily counts
+    // (the q160 recipe on the events axis).
+    "q184_daily_trend" -> ((s, dir) =>
+      graft.operators.Events.dailyTypeTrend(events(s, dir))
+        .orderBy(col("event_type"))),
+
+    // CDC replay with tombstones: latest writer per user wins; users
+    // whose LAST event is an error are tombstoned out entirely.
+    "q185_cdc_apply" -> ((s, dir) =>
+      graft.operators.Merge.cdcApply(
+          events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros")),
+          Seq("user_id"), Seq("ts", "event_id"),
+          col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("last_type"), col("value_micros"))
+        .orderBy(col("user_id"))),
+
     // Hybrid lexical+dense retrieval fused by reciprocal ranks: the
     // q69 BM25 arm + the q15 cosine arm (query = vec_id 0), both
     // top-100, contributions integer-quantized (1e9 div (60+rank)) so
@@ -4026,6 +4051,60 @@ object SparkEntry {
         |               (n_terms::HUGEINT * qx - sx * sx)::DOUBLE, 6)
         |       END AS slope
         |FROM agg ORDER BY source""".stripMargin,
+
+    // Decile mirror: the same ⌊rank·10/N⌋ integer buckets.
+    "q183_length_deciles" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             t -> t <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS n FROM tk),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rn
+        |  FROM tk)
+        |SELECT (r.rn * 10) // n.n AS decile, count(*)::BIGINT AS n_docs,
+        |       min(n_tokens)::BIGINT AS min_tokens,
+        |       max(n_tokens)::BIGINT AS max_tokens,
+        |       sum(n_tokens)::BIGINT AS tokens_total
+        |FROM r, n GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // Trend mirror: the q160 moment recipe over (epoch-day, count).
+    "q184_daily_trend" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01', day)::BIGINT AS x, y
+        |  FROM d),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
+        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT event_type, n_days,
+        |       CASE WHEN (n_days::HUGEINT * qx - sx * sx) > 0 THEN
+        |         round((n_days::HUGEINT * sxy - sx * sy)::DOUBLE /
+        |               (n_days::HUGEINT * qx - sx * sx)::DOUBLE, 6)
+        |       END AS slope
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // CDC mirror: one flat latest-per-key window, tombstones filtered
+    // after winner selection.
+    "q185_cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type AS last_type, value_micros
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // Diversity mirror: the same tagged two-stage shape — (source, n,
     // gram) counts first, group-level conditional sums second, each

@@ -870,6 +870,43 @@ object Events {
   }
 
   /**
+   * Per-type DAILY TREND — least-squares slope of daily event count
+   * over the day index, the "is this stream growing or dying?" summary
+   * next to [[seasonalBaseline]]'s within-week shape. Exactly the
+   * zipfSlope/q159 moment recipe: integer (x, y) pairs (x = epoch day,
+   * y = daily count), moments accumulated as exact DECIMAL(38,0), one
+   * double division at the end, round-6. Degenerate groups (a single
+   * active day — zero x variance) emit null slope.
+   *
+   * Scale shape: one (type, day) partial-aggregated shuffle, then a
+   * types-bounded moment aggregate. Nothing collects.
+   *
+   * @return (event_type, n_days, slope) — slope in events/day
+   */
+  def dailyTypeTrend(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(dec(col("x"))).as("_sx"),
+        sum(dec(col("y"))).as("_sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("_qx"),
+        sum(dec(col("x")) * dec(col("y"))).as("_sxy"))
+      .withColumn("_num",
+        dec(col("n_days")) * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den",
+        dec(col("n_days")) * col("_qx") - col("_sx") * col("_sx"))
+      .withColumn("slope",
+        when(col("_den") > 0,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6)))
+      .select(col("event_type"), col("n_days"), col("slope"))
+  }
+
+  /**
    * LINEAR multi-touch attribution — distribute each conversion's value
    * evenly across the user's touch events in the preceding lookback
    * window, then roll credit up per touch type (the marketing-science

@@ -104,4 +104,40 @@ object Merge {
           .when(col("_fp_a") =!= col("_fp_b"), "changed")
           .otherwise("unchanged").as("change"))
   }
+
+  /**
+   * CDC APPLY — materialize the current state from a change log with
+   * TOMBSTONES: per key, last-writer-wins under `ordCols`, and a key
+   * whose LATEST entry satisfies `isDelete` is absent from the result
+   * (an older delete superseded by a later write is correctly a no-op
+   * — the filter runs AFTER winner selection, which is the part naive
+   * "filter deletes first, then take latest" implementations get
+   * wrong: they resurrect the pre-delete row).
+   *
+   * [[upsertLatest]] is the two-table (history ⊕ delta) maintenance
+   * step; this is the from-scratch replay of a whole log — the bulk
+   * backfill / disaster-recovery path, and the oracle for upsert
+   * chains (replaying a log in any batch split through upsertLatest
+   * with a tombstone column lands on this result).
+   *
+   * Scale shape: ONE key-hash shuffle + per-key window (log rows per
+   * key are ingest-bounded); no joins, nothing collects.
+   *
+   * CONTRACT: `ordCols` must totally order entries within a key or
+   * the winner is ambiguous.
+   */
+  def cdcApply(
+      log: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[String],
+      isDelete: Column): DataFrame = {
+    require(keyCols.nonEmpty, "cdcApply needs at least one key column")
+    require(ordCols.nonEmpty, "cdcApply needs at least one order column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(c => col(c).desc): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+      .where(!isDelete)
+  }
 }

@@ -650,6 +650,43 @@ object Pipeline {
       .select(col("bin"), col("lo"), col("n_docs"), col("tokens_total"))
 
   /**
+   * EQUI-DEPTH token-length deciles — [[lengthHistogram]]'s fixed
+   * power-of-two bins answer "where does the mass sit?", these answer
+   * "what does the Nth percentile look like?": each bucket holds the
+   * same number of docs, so min/max per bucket ARE the exact decile
+   * boundaries (the packing/truncation sizing view: "p90 length is
+   * 1.8k tokens" reads straight off bucket 8's max).
+   *
+   * Determinism: bucket identity is pure integers — global rank by
+   * (n_tokens, doc) from the two-stage [[Ranking.withGlobalRank]]
+   * (range-partitioned, never a single-partition window), then
+   * decile = ⌊rank · buckets / N⌋ with N via a 1-row count broadcast
+   * cross (the q59 threshold pattern).
+   *
+   * @param docs (doc, line)
+   * @return per decile: n_docs, min_tokens, max_tokens, tokens_total
+   */
+  def lengthDeciles(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val lens = docs
+      .withColumn("n_tokens",
+        size(filter(split(col("line"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .select(col("doc"), col("n_tokens"))
+    val ranked = Ranking.withGlobalRank(
+      lens, Seq(col("n_tokens"), col("doc")), rankCol = "rn",
+      errorHint = "re-run lengthDeciles, or checkpoint its input")
+    val total = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("decile", expr(s"(rn * $buckets) div n"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("tokens_total"))
+  }
+
+  /**
    * Corpus REPORT rollup — the per-(lang, source) health dashboard in
    * one pass: doc counts, token totals, and mean quality per cell,
    * plus per-lang subtotals and the grand total via ROLLUP grouping

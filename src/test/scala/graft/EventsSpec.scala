@@ -539,6 +539,23 @@ class EventsSpec extends SparkSpec {
       Events.userGrowthState(e), Events.userGrowthState(e))).count() shouldBe 0L
   }
 
+  test("dailyTypeTrend: exact unit slope, null for single-day types") {
+    val e = ev(
+      // type a: 1, 2, 3 events on consecutive days -> slope exactly 1
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "a", 1.0),
+      (3L, "2024-01-02 11:00:00", 1L, "a", 1.0),
+      (4L, "2024-01-03 10:00:00", 1L, "a", 1.0),
+      (5L, "2024-01-03 11:00:00", 1L, "a", 1.0),
+      (6L, "2024-01-03 12:00:00", 1L, "a", 1.0),
+      // type b: one active day -> zero x variance -> null slope
+      (7L, "2024-01-01 10:00:00", 1L, "b", 1.0))
+    val got = Events.dailyTypeTrend(e).orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    got shouldBe Array(("a", 3L, 1.0), ("b", 1L, null))
+  }
+
   test("transitionStationary matches a local integer-recurrence replication") {
     // one user stream a a b a b -> transitions a->a:1, a->b:2, b->a:1
     val types = Seq("a", "a", "b", "a", "b")

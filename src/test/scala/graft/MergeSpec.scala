@@ -93,4 +93,24 @@ class MergeSpec extends SparkSpec {
       .where(col("change") =!= "unchanged")
     got.count() shouldBe 0L
   }
+
+  test("cdcApply: latest wins, tombstone drops key, superseded delete is no-op") {
+    val log = st(
+      // user 1: write, delete, WRITE — the later write must survive
+      // (naive filter-deletes-first would also keep the first write)
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "error", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "view", 3.0),
+      // user 2: write then DELETE last — key absent from the state
+      (4L, "2024-01-01 10:00:00", 2L, "click", 4.0),
+      (5L, "2024-01-01 11:00:00", 2L, "error", 0.0),
+      // user 3: same-ts tie broken by event_id
+      (6L, "2024-01-01 10:00:00", 3L, "click", 6.0),
+      (7L, "2024-01-01 10:00:00", 3L, "view", 7.0))
+    val got = Merge.cdcApply(log, Seq("user_id"), Seq("ts", "event_id"),
+        col("event_type") === "error")
+      .select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    got shouldBe Set((1L, 3L, "view"), (3L, 7L, "view"))
+  }
 }

@@ -472,6 +472,21 @@ class PipelineSpec extends SparkSpec {
       3L -> ((8L, 1L, 8L)))
   }
 
+  test("lengthDeciles: equi-depth buckets with exact boundary lengths") {
+    // 10 docs of lengths 1..10, 5 buckets -> 2 docs each, boundaries
+    // (1,2)(3,4)(5,6)(7,8)(9,10)
+    val docs = corpus((1 to 10).map(i =>
+      s"d$i" -> Seq.fill(i)("w").mkString(" ")): _*)
+    val got = Pipeline.lengthDeciles(docs, buckets = 5)
+      .orderBy(C("decile")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got shouldBe (0 until 5).map { b =>
+      val lo = 2 * b + 1L
+      (b.toLong, 2L, lo, lo + 1, 2 * lo + 1)
+    }.toArray
+  }
+
   test("integrityAudit counts dups, orphans, and null/empty text exactly") {
     val s = spark
     import s.implicits._

@@ -70,6 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "q162_search_expanded", // q69's 1-row stats cross + q39's 1-row
                             // total-count crosses (it composes both
                             // lineages)
+    "q183_length_deciles", // 1-row total-count broadcast cross over the
+                           // ranked frame (the q59 threshold pattern)
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross

@@ -186,6 +186,19 @@ class PruningAuditSpec extends SparkSpec {
       .toSeq shouldBe Seq(Set("event_id", "ts", "user_id", "event_type"))
   }
 
+  test("q183 decile scans read only doc_id and text") {
+    readSchemas("q183_length_deciles").toSet shouldBe Set(Set("doc_id", "text"))
+  }
+
+  test("q184 trend scan reads only ts and event_type") {
+    readSchemas("q184_daily_trend") shouldBe Seq(Set("ts", "event_type"))
+  }
+
+  test("q185 cdc scan reads the key, order, op, and payload columns only") {
+    readSchemas("q185_cdc_apply") shouldBe
+      Seq(Set("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
   test("q181 attribution scans read only the join/window/value columns") {
     readSchemas("q181_attribution_linear").toSet shouldBe Set(
       Set("event_id", "ts", "user_id", "event_type", "value"),
