@@ -1544,6 +1544,23 @@ object SparkEntry {
           col("event_type").as("last_type"), col("value_micros"))
         .orderBy(col("user_id"))),
 
+    // SCD Type-2 historization: per-user version chain with half-open
+    // validity intervals cut on ts — q185's point-in-time complement.
+    "q186_scd2_history" -> ((s, dir) =>
+      graft.operators.Merge.scd2Historize(
+          events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+          Seq("user_id"), Seq("ts", "event_id"), "ts")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))),
+
+    // Daily-count autocorrelation at lags 1..7 on the dense day grid:
+    // exact n²-scaled integer moments, one round-6 division.
+    "q187_daily_acf" -> ((s, dir) =>
+      graft.operators.Events.dailyAutocorrelation(events(s, dir), maxLag = 7)
+        .orderBy(col("event_type"), col("lag"))),
+
     // Hybrid lexical+dense retrieval fused by reciprocal ranks: the
     // q69 BM25 arm + the q15 cosine arm (query = vec_id 0), both
     // top-100, contributions integer-quantized (1e9 div (60+rank)) so
@@ -4105,6 +4122,52 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type AS last_type, value_micros
         |FROM r WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    // SCD2 mirror: one lead() per key under the same total order.
+    "q186_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+        |       ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // ACF mirror: the same dense grid, head/tail partial sums, and
+    // n²-scaled integer moments as HUGEINTs.
+    "q187_daily_acf" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '1970-01-01',
+        |                  date_trunc('day', ts))::BIGINT AS x,
+        |         count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1),
+        |g0 AS (SELECT event_type, unnest(range(lo, hi + 1))::BIGINT AS x FROM b),
+        |g AS (SELECT g0.event_type, g0.x, coalesce(d.y, 0)::BIGINT AS y
+        |      FROM g0 LEFT JOIN d USING (event_type, x)),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |             sum(y::HUGEINT) AS sy,
+        |             sum(y::HUGEINT * y::HUGEINT) AS syy
+        |      FROM g GROUP BY 1),
+        |l AS (SELECT unnest(range(1, 8))::BIGINT AS k),
+        |p AS (SELECT a.event_type, l.k,
+        |             sum(a.y::HUGEINT * c.y::HUGEINT) AS sxy,
+        |             sum(a.y::HUGEINT) AS h, sum(c.y::HUGEINT) AS t
+        |      FROM g a, l, g c
+        |      WHERE c.event_type = a.event_type AND c.x = a.x + l.k
+        |      GROUP BY 1, 2)
+        |SELECT p.event_type, p.k AS "lag", m.n_days,
+        |       CASE WHEN (m.n_days::HUGEINT * m.n_days * m.syy
+        |                  - m.n_days * m.sy * m.sy) > 0 THEN
+        |         round((m.n_days::HUGEINT * m.n_days * p.sxy
+        |                - m.n_days * m.sy * (p.h + p.t)
+        |                + (m.n_days - p.k)::HUGEINT * m.sy * m.sy)::DOUBLE
+        |               / (m.n_days::HUGEINT * m.n_days * m.syy
+        |                  - m.n_days * m.sy * m.sy)::DOUBLE, 6)
+        |       END AS acf
+        |FROM p JOIN m USING (event_type)
+        |ORDER BY event_type, "lag"""".stripMargin,
 
     // Diversity mirror: the same tagged two-stage shape — (source, n,
     // gram) counts first, group-level conditional sums second, each

@@ -907,6 +907,82 @@ object Events {
   }
 
   /**
+   * Per-type DAILY AUTOCORRELATION — the sample ACF of the daily event
+   * count at lags 1..`maxLag`, over the DENSE day grid (absent days
+   * count 0 — a gap is a real zero in arrival-rate terms, not missing
+   * data). [[dailyTypeTrend]] answers "growing or dying?"; this
+   * answers "is there memory / weekly rhythm?" — a spike at lag 7 is
+   * the numeric form of [[seasonalBaseline]]'s day-of-week shape, and
+   * a slow decay across all lags flags a trending (non-stationary)
+   * stream whose z-score anomaly bands need detrending first.
+   *
+   * Exactness: the classic estimator r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) /
+   * Σ(y_t−ȳ)², both sides multiplied through by n² so every moment is
+   * exact integer arithmetic in DECIMAL(38,0):
+   *   num·n² = n²·Σy_t·y_{t+k} − n·Sy·(H_k + T_k) + (n−k)·Sy²
+   *   den·n² = n²·Syy − n·Sy²
+   * with H_k/T_k the head/tail partial sums; one double division at
+   * the end, round-6. Constant series (zero variance) emit null.
+   *
+   * Scale shape: events collapse to (type, day) counts in one
+   * partial-aggregated shuffle; everything after runs on the dense
+   * grid — types × days rows, ~5 orders below the event count — so
+   * the lag self-join and the two moment aggregates are noise. No
+   * per-type sequential scan, nothing collects.
+   *
+   * @return (event_type, lag, n_days, acf) for lag = 1..maxLag
+   */
+  def dailyAutocorrelation(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // (type, day) counts: the ONE events scan; tiny thereafter, and
+    // persisted because the grid build reads it twice and the grid
+    // itself feeds three sub-plans (moments, lag heads, lag tails)
+    val daily = graft.Caching.persist(events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .select(col("event_type"), col("x"), col("y")))
+    // dense per-type grid: absent days are y = 0
+    val grid = graft.Caching.persist(daily.groupBy(col("event_type"))
+      .agg(min(col("x")).as("_lo"), max(col("x")).as("_hi"))
+      .select(col("event_type"),
+        explode(sequence(col("_lo"), col("_hi"))).as("x"))
+      .join(daily, Seq("event_type", "x"), "left")
+      .select(col("event_type"), col("x"),
+        coalesce(col("y"), lit(0L)).as("y")))
+    val moments = grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("y"))).as("_sy"),
+        sum(dec(col("y")) * dec(col("y"))).as("_syy"))
+    val lags = grid
+      .crossJoin(broadcast(
+        grid.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))))
+      .withColumn("_x2", col("x") + col("lag"))
+    val pairs = lags.alias("a")
+      .join(grid.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a._x2") === col("b.x"))
+      .groupBy(col("a.event_type").as("event_type"), col("a.lag").as("lag"))
+      .agg(sum(dec(col("a.y")) * dec(col("b.y"))).as("_sxy"),
+        sum(dec(col("a.y"))).as("_h"),
+        sum(dec(col("b.y"))).as("_t"))
+    pairs.join(moments, Seq("event_type"))
+      .withColumn("_n", dec(col("n_days")))
+      .withColumn("_num",
+        col("_n") * col("_n") * col("_sxy") -
+          col("_n") * col("_sy") * (col("_h") + col("_t")) +
+          (col("_n") - dec(col("lag"))) * col("_sy") * col("_sy"))
+      .withColumn("_den",
+        col("_n") * col("_n") * col("_syy") -
+          col("_n") * col("_sy") * col("_sy"))
+      .withColumn("acf",
+        when(col("_den") > 0,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6)))
+      .select(col("event_type"), col("lag"), col("n_days"), col("acf"))
+  }
+
+  /**
    * LINEAR multi-touch attribution — distribute each conversion's value
    * evenly across the user's touch events in the preceding lookback
    * window, then roll credit up per touch type (the marketing-science

@@ -140,4 +140,46 @@ object Merge {
       .drop("_rn")
       .where(!isDelete)
   }
+
+  /**
+   * SCD TYPE-2 HISTORIZATION — turn a change log into a full version
+   * history with validity intervals: per key, each entry is valid from
+   * its own `validCol` until the NEXT entry's (half-open
+   * [valid_from, valid_to)), and the last entry per key is the open
+   * current version (null valid_to, is_current = true). Where
+   * [[cdcApply]] answers "what is the state NOW?", this answers
+   * "what was the state AT time t?" — the point-in-time dimension
+   * table behind as-of joins, audit trails, and training-data
+   * time-travel ("rebuild the corpus exactly as it stood on March 3").
+   *
+   * Determinism: valid_to is the lead of `validCol` under the total
+   * `ordCols` order — pure column motion, no arithmetic.
+   *
+   * Scale shape: identical to [[cdcApply]] — ONE key-hash shuffle +
+   * per-key window (versions per key are ingest-bounded); no joins,
+   * nothing collects. At 100 TB the log partitions by key hash and
+   * each key's version chain is processed entirely inside its
+   * partition.
+   *
+   * CONTRACT: `ordCols` must totally order entries within a key
+   * (lead is ambiguous otherwise), and `validCol` must be
+   * non-decreasing along that order for the intervals to nest
+   * sensibly (true when `validCol` leads `ordCols`, the usual case).
+   *
+   * @param validCol event-time column the intervals are cut on
+   * @return log columns + valid_from, valid_to, is_current
+   */
+  def scd2Historize(
+      log: DataFrame,
+      keyCols: Seq[String],
+      ordCols: Seq[String],
+      validCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2Historize needs at least one key column")
+    require(ordCols.nonEmpty, "scd2Historize needs at least one order column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(col): _*)
+    log.withColumn("valid_from", col(validCol))
+      .withColumn("valid_to", lead(col(validCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

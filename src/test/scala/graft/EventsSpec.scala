@@ -556,6 +556,27 @@ class EventsSpec extends SparkSpec {
     got shouldBe Array(("a", 3L, 1.0), ("b", 1L, null))
   }
 
+  test("dailyAutocorrelation: hand-computed ACF, gap day counts as zero") {
+    var id = 0L
+    def day(d: Int, typ: String, k: Int): Seq[(Long, String, Long, String, Double)] =
+      (1 to k).map { _ => id += 1; (id, f"2024-01-0$d 10:00:00", 1L, typ, 1.0) }
+    val rows =
+      // type a: daily counts 1,2,1,2 -> r1=-0.75, r2=0.5, r3=-0.25
+      day(1, "a", 1) ++ day(2, "a", 2) ++ day(3, "a", 1) ++ day(4, "a", 2) ++
+      // type b: days 1 and 3 only -> dense grid 1,0,1
+      day(1, "b", 1) ++ day(3, "b", 1) ++
+      // type c: constant 1,1 -> zero variance -> null acf
+      day(1, "c", 1) ++ day(2, "c", 1)
+    val got = Events.dailyAutocorrelation(ev(rows: _*), maxLag = 3)
+      .orderBy(col("event_type"), col("lag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    got shouldBe Array(
+      ("a", 1L, 4L, -0.75), ("a", 2L, 4L, 0.5), ("a", 3L, 4L, -0.25),
+      ("b", 1L, 3L, -0.666667), ("b", 2L, 3L, 0.166667),
+      ("c", 1L, 2L, null))
+  }
+
   test("transitionStationary matches a local integer-recurrence replication") {
     // one user stream a a b a b -> transitions a->a:1, a->b:2, b->a:1
     val types = Seq("a", "a", "b", "a", "b")

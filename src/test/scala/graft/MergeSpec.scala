@@ -113,4 +113,23 @@ class MergeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     got shouldBe Set((1L, 3L, "view"), (3L, 7L, "view"))
   }
+
+  test("scd2Historize: chained half-open intervals, open current version") {
+    val log = st(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "view", 2.0),
+      (3L, "2024-01-03 10:00:00", 1L, "click", 3.0),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 4.0))
+    val got = Merge.scd2Historize(log, Seq("user_id"), Seq("ts", "event_id"), "ts")
+      .select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toString,
+        if (r.isNullAt(3)) null else r.getTimestamp(3).toString,
+        r.getBoolean(4))).toSet
+    got shouldBe Set(
+      (1L, 1L, "2024-01-01 10:00:00.0", "2024-01-02 10:00:00.0", false),
+      (1L, 2L, "2024-01-02 10:00:00.0", "2024-01-03 10:00:00.0", false),
+      (1L, 3L, "2024-01-03 10:00:00.0", null, true),
+      (2L, 4L, "2024-01-01 10:00:00.0", null, true))
+  }
 }

@@ -72,6 +72,8 @@ class PlanAuditSpec extends SparkSpec {
                             // lineages)
     "q183_length_deciles", // 1-row total-count broadcast cross over the
                            // ranked frame (the q59 threshold pattern)
+    "q187_daily_acf", // 7-row lag-list broadcast cross over the dense
+                      // (type, day) grid — both sides days-bounded
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross

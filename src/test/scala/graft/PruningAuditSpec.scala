@@ -199,6 +199,15 @@ class PruningAuditSpec extends SparkSpec {
       Seq(Set("event_id", "ts", "user_id", "event_type", "value"))
   }
 
+  test("q186 scd2 scan reads the key, order, and attribute columns only") {
+    readSchemas("q186_scd2_history") shouldBe
+      Seq(Set("event_id", "ts", "user_id", "event_type"))
+  }
+
+  test("q187 acf scan reads only ts and event_type, once") {
+    readSchemas("q187_daily_acf") shouldBe Seq(Set("ts", "event_type"))
+  }
+
   test("q181 attribution scans read only the join/window/value columns") {
     readSchemas("q181_attribution_linear").toSet shouldBe Set(
       Set("event_id", "ts", "user_id", "event_type", "value"),
