@@ -3189,6 +3189,41 @@ object SparkEntry {
     "q167_embedding_health" -> ((s, dir) =>
       Similarity.embeddingHealth(tbl(s, dir, "embeddings"))),
 
+    // Dimension covariance/correlation matrix: exact integer
+    // co-moments of micro-quantized components, map-side (i,j)
+    // fan-out — the d×d frame a PCA/whitening fit consumes.
+    "q188_embedding_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(tbl(s, dir, "embeddings"))
+        .orderBy(col("i"), col("j"))),
+
+    // Matryoshka prefix-dim retrieval: exact cosine over the first 16
+    // of 64 components — the 4× cheaper scan tier.
+    "q189_matryoshka_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(e, e.where(col("vec_id") < 5), k = 10, dims = 16)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+    // Matryoshka recall contract vs the full-dim exact scan (q171b's
+    // shape): measures whether THESE embeddings have the MRL property
+    // before the cheap tier is trusted.
+    "q189b_matryoshka_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e, q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.matryoshkaTopK(e, q, k = 10, dims = 16)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
     // VOCABULARY DIFF change feed: history (doc < 250) vs delta
     // (doc >= 250) term counts with integer-threshold statuses — the
     // term-level explanation behind a q79 drift alarm.
@@ -7385,6 +7420,89 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
          |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
          |ORDER BY q_vec_id""".stripMargin,
+
+    // Covariance mirror: the same micro-quantized components, exact
+    // HUGEINT co-moments n·Σxy − Σx·Σy, diagonal joined back for corr.
+    "q188_embedding_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |x AS (SELECT vec_id, (i - 1)::BIGINT AS i,
+        |             CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT) AS v
+        |      FROM e, unnest(range(1, len(emb) + 1)) r(i)),
+        |p AS (SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n_vecs,
+        |             sum(a.v::HUGEINT) AS sx, sum(b.v::HUGEINT) AS sy,
+        |             sum(a.v::HUGEINT * b.v::HUGEINT) AS sxy
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |      GROUP BY 1, 2),
+        |c AS (SELECT *, n_vecs::HUGEINT * sxy - sx * sy AS com FROM p),
+        |d AS (SELECT i AS dd, com AS vv FROM c WHERE i = j)
+        |SELECT c.i, c.j, c.n_vecs,
+        |       round(c.com::DOUBLE /
+        |             (c.n_vecs::HUGEINT * c.n_vecs)::DOUBLE / 1e12, 6)
+        |         + 0.0 AS cov,
+        |       CASE WHEN di.vv > 0 AND dj.vv > 0 THEN
+        |         round(c.com::DOUBLE /
+        |               (sqrt(di.vv::DOUBLE) * sqrt(dj.vv::DOUBLE)), 6) + 0.0
+        |       END AS corr
+        |FROM c JOIN d di ON di.dd = c.i JOIN d dj ON dj.dd = c.j
+        |ORDER BY i, j""".stripMargin,
+
+    // Matryoshka mirror: q15's cosine recipe on the 16-component
+    // prefix slice.
+    "q189_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
+        |         round(list_dot_product(q.emb, e.emb) /
+        |               (sqrt(list_dot_product(q.emb, q.emb)) *
+        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+        |                               ORDER BY cos DESC, n_vec_id) AS rnk
+        |  FROM scored)
+        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+    // Matryoshka recall mirror: prefix-slice top-10 vs the full-dim
+    // exact top-10 (the q171b construction).
+    "q189b_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |t AS (SELECT vec_id, emb[1:16] AS emb16 FROM e),
+        |approx AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_dot_product(q.emb16, c2.emb16) /
+        |                   (sqrt(list_dot_product(q.emb16, q.emb16)) *
+        |                    sqrt(list_dot_product(c2.emb16, c2.emb16))), 6)
+        |               DESC, c2.vec_id) AS rnk
+        |    FROM (SELECT * FROM t WHERE vec_id < 5) q
+        |    JOIN t c2 ON q.vec_id <> c2.vec_id)
+        |  WHERE rnk <= 10),
+        |exact AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_dot_product(q.emb, c2.emb) /
+        |                   (sqrt(list_dot_product(q.emb, q.emb)) *
+        |                    sqrt(list_dot_product(c2.emb, c2.emb))), 6)
+        |               DESC, c2.vec_id) AS rnk
+        |    FROM (SELECT * FROM e WHERE vec_id < 5) q
+        |    JOIN e c2 ON q.vec_id <> c2.vec_id)
+        |  WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT a.q_vec_id, count(*) AS n_hits
+        |  FROM approx a JOIN exact x
+        |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+        |  GROUP BY 1)
+        |SELECT v.vec_id AS q_vec_id,
+        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+        |ORDER BY q_vec_id""".stripMargin,
 
     "q104_integrity_audit" ->
       """SELECT

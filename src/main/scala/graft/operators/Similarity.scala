@@ -1103,4 +1103,98 @@ object Similarity {
         col("dead_dims"), col("min_norm"), col("max_norm"),
         col("mean_norm"))
   }
+
+  /**
+   * Dimension COVARIANCE / CORRELATION matrix — the second-moment
+   * audit behind [[embeddingHealth]]'s first moments: per dimension
+   * pair (i ≤ j), the population covariance and Pearson correlation of
+   * the embedding components across the corpus. High |corr| off the
+   * diagonal means redundant dimensions (the PCA/whitening signal);
+   * near-zero diagonal variance re-finds dead dims with magnitudes.
+   * This is the exact Gram-style statistic an offline PCA / whitening
+   * fit consumes — the d×d frame IS the input to any eigensolver.
+   *
+   * Determinism: components micro-quantize to longs up front (the
+   * q136 convention), every co-moment is the exact integer
+   * n·Σxy − Σx·Σy in DECIMAL(38,0), and cov/corr are single round-6
+   * divisions at the end. Zero-variance dims emit null corr.
+   *
+   * Scale shape: the (i, j) pair fan-out is MAP-SIDE (posexplode ×
+   * posexplode of the j ≥ i slice — d(d+1)/2 rows per vector) and
+   * collapses to d(d+1)/2 groups by partial aggregation before the one
+   * shuffle, so exchange volume is d²·partitions regardless of corpus
+   * size. The diagonal joins back via a d-row broadcast. Nothing
+   * collects.
+   *
+   * @param embs (vec_id, embedding) — rectangular (equal dims)
+   * @return (i, j, n_vecs, cov, corr) for 0 ≤ i ≤ j < d
+   */
+  def covarianceMatrix(embs: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = asDouble(col("embedding"))
+    val pairs = embs
+      .select(posexplode(d).as(Seq("i", "xi")), d.as("_emb"))
+      .select(col("i"),
+        round(col("xi") * 1e6).cast("long").as("xi"),
+        posexplode(expr("slice(_emb, i + 1, size(_emb) - i)"))
+          .as(Seq("_jr", "xj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("_jr")).cast("long").as("j"),
+        col("xi"), round(col("xj") * 1e6).cast("long").as("xj"))
+    val moments = graft.Caching.persist(pairs
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(dec(col("xi"))).as("_sx"),
+        sum(dec(col("xj"))).as("_sy"),
+        sum(dec(col("xi")) * dec(col("xj"))).as("_sxy"))
+      .withColumn("_com",
+        dec(col("n_vecs")) * col("_sxy") - col("_sx") * col("_sy")))
+    val diag = moments.where(col("i") === col("j"))
+      .select(col("i").as("_d"), col("_com").as("_var"))
+    moments
+      .join(broadcast(diag.withColumnRenamed("_d", "i")
+        .withColumnRenamed("_var", "_vi")), Seq("i"))
+      .join(broadcast(diag.withColumnRenamed("_d", "j")
+        .withColumnRenamed("_var", "_vj")), Seq("j"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        // + 0.0 canonicalizes IEEE −0.0 (a tiny negative co-moment
+        // rounds to it, and engines render it differently)
+        (round(col("_com").cast("double") /
+          (col("n_vecs") * col("n_vecs")).cast("double") / 1e12, 6) + 0.0)
+          .as("cov"),
+        when(col("_vi") > 0 && col("_vj") > 0,
+          round(col("_com").cast("double") /
+            (sqrt(col("_vi").cast("double")) * sqrt(col("_vj").cast("double"))),
+            6) + 0.0).as("corr"))
+  }
+
+  /**
+   * MATRYOSHKA (prefix-dimension) top-k — exact cosine ranking over
+   * only the FIRST `dims` components of every embedding. MRL-trained
+   * encoders (Kusupati et al. 2022) concentrate information in the
+   * vector prefix precisely so retrieval can run at a fraction of the
+   * dimension budget; this is that cheap tier, and its recall against
+   * the full-dimension ranking (the q99c-style contract in the
+   * registry) MEASURES whether a given corpus's embeddings actually
+   * have the Matryoshka property — run it before buying the 4×
+   * scan-cost reduction.
+   *
+   * Scale shape: identical to [[cosineTopK]] (broadcast queries, one
+   * corpus scan, per-query TakeOrdered) — but each dot product reads
+   * `dims` of d components, and at 100 TB the truncated corpus column
+   * is what you'd materialize (d/dims × less I/O off parquet).
+   *
+   * @return (q_vec_id, n_vec_id, cos, rank) — cos over the prefix
+   */
+  def matryoshkaTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        slice(asDouble(col("embedding")), 1, dims).as("embedding"))
+    cosineTopK(trunc(corpus), trunc(queries), k)
+  }
 }

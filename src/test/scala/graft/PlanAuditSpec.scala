@@ -117,6 +117,9 @@ class PlanAuditSpec extends SparkSpec {
                             // augmented cosine) + the 1-row max-norm
                             // broadcast cross
     "q131_knn_classify", // the q15 scan feeding the majority vote
+    "q189_matryoshka_topk", // the q15 broadcast-query scan on the
+                            // 16-component prefix slice
+    "q189b_matryoshka_recall", // the prefix scan + q15's exact side
     "q135_hamming_topk", // compressed-domain brute force by declared
                          // design (the q99b recipe at 6 B/vector)
     "q135b_hamming_recall", // the Hamming scan + q15's exact side

@@ -208,6 +208,15 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q187_daily_acf") shouldBe Seq(Set("ts", "event_type"))
   }
 
+  test("q188 covariance reads one embedding-only scan") {
+    readSchemas("q188_embedding_covariance") shouldBe Seq(Set("embedding"))
+  }
+
+  test("q189 matryoshka query-side scan pushes the vec_id predicate down") {
+    formatted("q189_matryoshka_topk") should
+      include regex "PushedFilters:.*LessThan\\(vec_id,5\\)"
+  }
+
   test("q181 attribution scans read only the join/window/value columns") {
     readSchemas("q181_attribution_linear").toSet shouldBe Set(
       Set("event_id", "ts", "user_id", "event_type", "value"),

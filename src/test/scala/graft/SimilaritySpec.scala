@@ -679,4 +679,35 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("n_vec_id"), r.getAs[Long]("rank")))
     approx.toSeq shouldBe exact.toSeq
   }
+
+  test("covarianceMatrix: hand-computed cov/corr, null corr on constant dims") {
+    // dim0 = (1,2,3), dim1 = 2·dim0 (corr +1), dim2 constant (corr null)
+    val e = vecs(
+      0L -> Seq(1f, 2f, 5f),
+      1L -> Seq(2f, 4f, 5f),
+      2L -> Seq(3f, 6f, 5f))
+    val got = Similarity.covarianceMatrix(e)
+      .orderBy(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    got shouldBe Array(
+      (0L, 0L, 3L, 0.666667, 1.0),
+      (0L, 1L, 3L, 1.333333, 1.0),
+      (0L, 2L, 3L, 0.0, null),
+      (1L, 1L, 3L, 2.666667, 1.0),
+      (1L, 2L, 3L, 0.0, null),
+      (2L, 2L, 3L, 0.0, null))
+  }
+
+  test("matryoshkaTopK ranks by the prefix only, blind to the tail") {
+    val e = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 9f, 9f), // prefix-2 identical to the query
+      2L -> Seq(0.6f, 0.8f, 0f, 0f))
+    val got = Similarity.matryoshkaTopK(e, e.where(col("vec_id") === 0),
+        k = 2, dims = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("n_vec_id"), r.getAs[Double]("cos")))
+    got shouldBe Array((1L, 1.0), (2L, 0.6))
+  }
 }
