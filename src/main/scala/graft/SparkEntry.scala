@@ -3076,6 +3076,20 @@ object SparkEntry {
         .triangleCounts(docs(s, dir), window = 2, minCount = 2)
         .orderBy(col("term"))),
 
+    // Degree histogram of the co-occurrence graph: the Zipf-tail /
+    // hub-mass check that sizes any wedge fan-out — pure integers.
+    "q190_degree_distribution" -> ((s, dir) =>
+      graft.operators.Graph
+        .degreeDistribution(docs(s, dir), window = 2, minCount = 2)
+        .orderBy(col("deg"))),
+
+    // Local clustering coefficient: q127's triangles over the wedge
+    // count per node — clique terms vs context-bridging hubs.
+    "q191_clustering_coeff" -> ((s, dir) =>
+      graft.operators.Graph
+        .clusteringCoefficients(docs(s, dir), window = 2, minCount = 2)
+        .orderBy(col("term"))),
+
     // RENDEZVOUS sharding at n=16: the map-only argmax assignment,
     // replayed hash-for-hash by the oracle.
     "q128_rendezvous_shard" -> ((s, dir) =>
@@ -6435,6 +6449,40 @@ object SparkEntry {
          |m AS (SELECT unnest([a, b, c]) AS term FROM tri)
          |SELECT term, count(*)::BIGINT AS n_triangles FROM m
          |GROUP BY 1 ORDER BY term""".stripMargin,
+
+    // Degree-histogram mirror: the same pc edge relation, degrees via
+    // the two-sided union, one count-per-degree rollup.
+    "q190_degree_distribution" ->
+      s"""WITH ${coocGraphCtes(2, 2)},
+         |deg AS (
+         |  SELECT term, count(*)::BIGINT AS deg FROM (
+         |    SELECT t1 AS term FROM pc UNION ALL SELECT t2 AS term FROM pc)
+         |  GROUP BY 1)
+         |SELECT deg, count(*)::BIGINT AS n_terms FROM deg
+         |GROUP BY 1 ORDER BY deg""".stripMargin,
+
+    // Clustering-coefficient mirror: q127's triangle relation per
+    // term, left-joined to degrees, one round-6 wedge division.
+    "q191_clustering_coeff" ->
+      s"""WITH ${coocGraphCtes(2, 2)},
+         |deg AS (
+         |  SELECT term, count(*)::BIGINT AS deg FROM (
+         |    SELECT t1 AS term FROM pc UNION ALL SELECT t2 AS term FROM pc)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
+         |  FROM pc e1 JOIN pc e2 ON e2.t1 = e1.t2
+         |  JOIN pc e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2),
+         |tc AS (SELECT term, count(*)::BIGINT AS n_triangles
+         |       FROM (SELECT unnest([a, b, c]) AS term FROM tri) GROUP BY 1)
+         |SELECT d.term, d.deg,
+         |       coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+         |       CASE WHEN d.deg >= 2 THEN
+         |         round(2.0 * coalesce(tc.n_triangles, 0) /
+         |               (d.deg * (d.deg - 1)), 6)
+         |       END AS coeff
+         |FROM deg d LEFT JOIN tc USING (term)
+         |ORDER BY term""".stripMargin,
 
     // Weighted-k per group: the q115 key formula ranked within lang.
     "q132_sample_weighted_k_group" ->

@@ -143,25 +143,45 @@ object Graph {
       minCount: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    // canonical undirected edges (t1 < t2, one row per edge)
-    val und = TextAnalysis.cooccurrencePairs(docs, window)
+    val und = coocEdges(docs, window, minCount)
+    val oriented = graft.Caching.persist(
+      orientedEdges(und, termDegrees(und)))
+    perTermTriangles(oriented)
+  }
+
+  /** Canonical undirected co-occurrence edges (t1 < t2, one row per
+    * edge) — the shared graph-construction stage of q117/q127. */
+  private def coocEdges(docs: DataFrame, window: Int, minCount: Int): DataFrame =
+    TextAnalysis.cooccurrencePairs(docs, window)
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount && col("t1") =!= col("t2"))
       .select(col("t1"), col("t2"))
-    val deg = und.select(col("t1").as("term"))
+
+  /** (term, deg) over the undirected edge list. */
+  private def termDegrees(und: DataFrame): DataFrame =
+    und.select(col("t1").as("term"))
       .union(und.select(col("t2").as("term")))
       .groupBy(col("term")).agg(count(lit(1)).as("deg"))
-    // orient low ≺ high under (deg, term); carry dst's degree so the
-    // wedge join can re-apply ≺ without another degree lookup
+
+  /** Degree-ordered orientation: every edge points from its lower to
+    * its higher endpoint under ≺ = (degree, term); dst's degree rides
+    * along so the wedge join re-applies ≺ without a lookup. */
+  private def orientedEdges(und: DataFrame, deg: DataFrame): DataFrame = {
     val lowFirst = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("t1") < col("t2"))
-    val oriented = graft.Caching.persist(und
+    und
       .join(deg.select(col("term").as("t1"), col("deg").as("d1")), "t1")
       .join(deg.select(col("term").as("t2"), col("deg").as("d2")), "t2")
       .select(
         when(lowFirst, col("t1")).otherwise(col("t2")).as("src"),
         when(lowFirst, col("t2")).otherwise(col("t1")).as("dst"),
-        when(lowFirst, col("d2")).otherwise(col("d1")).as("ddeg")))
+        when(lowFirst, col("d2")).otherwise(col("d1")).as("ddeg"))
+  }
+
+  /** (term, n_triangles) from an oriented (and persisted — it feeds
+    * three sub-plans) edge frame: each triangle materializes once as a
+    * wedge closed by an oriented edge, then credits all 3 corners. */
+  private def perTermTriangles(oriented: DataFrame): DataFrame = {
     val wedges = oriented
       .select(col("src"), col("dst").as("y"), col("ddeg").as("dy"))
       .join(oriented.select(col("src"), col("dst").as("z"), col("ddeg").as("dz")),
@@ -175,5 +195,65 @@ object Graph {
       .select(explode(array(col("src"), col("y"), col("z"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /**
+   * DEGREE DISTRIBUTION of the co-occurrence graph — the (degree,
+   * node-count) histogram: the one-glance answer to "is this graph
+   * Zipf-shaped?" (a heavy high-degree tail means stopword-like hubs
+   * the q127 orientation exists to tame) and the sizing input for any
+   * downstream wedge/pair fan-out bound. Integer counts — engine-exact
+   * with no rounding contract at all.
+   *
+   * Scale shape: the pair scan is the only corpus-touching stage;
+   * degrees are one vocabulary-scale agg and the histogram one
+   * degrees-bounded agg. Nothing collects.
+   *
+   * @return (deg, n_terms)
+   */
+  def degreeDistribution(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // persist: the degree union reads the edge frame twice — without
+    // the cache point each branch re-runs the corpus pair scan
+    termDegrees(graft.Caching.persist(coocEdges(docs, window, minCount)))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_terms"))
+  }
+
+  /**
+   * LOCAL CLUSTERING COEFFICIENT per term — triangles ÷ wedges at each
+   * node: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)). High coefficient =
+   * tight topical clique (the node's neighbors also co-occur with each
+   * other); a high-degree term with c ≈ 0 is a context-bridging hub —
+   * the q127 scaladoc's stopword signal, normalized so nodes of
+   * different degree compare. Nodes of degree 1 have no wedge to
+   * close and emit null.
+   *
+   * Determinism: T and deg are exact integers; the coefficient is ONE
+   * round-6 division. Scale shape: [[triangleCounts]]'s oriented
+   * wedge machinery (per-node fan-out capped O(√E) by the
+   * orientation) plus a vocabulary-scale left join attaching T = 0 to
+   * triangle-free nodes.
+   *
+   * @return (term, deg, n_triangles, coeff) for every graph node
+   */
+  def clusteringCoefficients(
+      docs: DataFrame,
+      window: Int = 2,
+      minCount: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val und = graft.Caching.persist(coocEdges(docs, window, minCount))
+    val deg = graft.Caching.persist(termDegrees(und))
+    val oriented = graft.Caching.persist(orientedEdges(und, deg))
+    deg.join(perTermTriangles(oriented), Seq("term"), "left")
+      .select(col("term"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6)).as("coeff"))
   }
 }

@@ -94,6 +94,29 @@ class GraphSpec extends SparkSpec {
       Graph.triangleCounts(g, minCount = 0)
   }
 
+  test("degreeDistribution: star + pair histogram") {
+    // starCorpus graph: c has degree 2; a, b, d, e degree 1
+    val got = Graph.degreeDistribution(starCorpus, window = 2, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 4L, 2L -> 1L)
+  }
+
+  test("clusteringCoefficients: closed triangle 1.0, open wedge 0.0, pendant null") {
+    val g = corpus(
+      "t" -> "a b c", // window 2 → triangle a-b-c
+      "p" -> "a d",   // pendant d; lifts a to degree 3
+      "q" -> "d e")   // chain keeps d at degree 2 with an open wedge
+    val got = Graph.clusteringCoefficients(g, window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    got shouldBe Set(
+      ("a", 3L, 1L, 0.333333), // triangle + pendant: 1 of 3 wedges closed
+      ("b", 2L, 1L, 1.0),
+      ("c", 2L, 1L, 1.0),
+      ("d", 2L, 0L, 0.0),      // a-d-e open wedge
+      ("e", 1L, 0L, null))     // degree 1: no wedge to close
+  }
+
   test("termPageRank leaves no cached state behind under Caching.scoped") {
     // snapshot-diff: earlier unscoped tests legitimately left session
     // cache behind (the legacy caller-owns-cache contract)

@@ -212,6 +212,11 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q188_embedding_covariance") shouldBe Seq(Set("embedding"))
   }
 
+  test("q190/q191 graph scans read only text, once") {
+    readSchemas("q190_degree_distribution") shouldBe Seq(Set("text"))
+    readSchemas("q191_clustering_coeff") shouldBe Seq(Set("text"))
+  }
+
   test("q189 matryoshka query-side scan pushes the vec_id predicate down") {
     formatted("q189_matryoshka_topk") should
       include regex "PushedFilters:.*LessThan\\(vec_id,5\\)"
