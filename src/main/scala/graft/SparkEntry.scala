@@ -1241,6 +1241,18 @@ object SparkEntry {
         .orderBy(col("layout"))
     }),
 
+    // Compaction plan: next-fit-decreasing target-size binning of
+    // files (docs as file metadata) per partition — the OPTIMIZE
+    // rewrite-task list, rolled up per bin.
+    "q192_compaction_plan" -> ((s, dir) =>
+      graft.operators.Layout.compactionPlan(
+          tbl(s, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), "doc_id", "n_chars", targetBytes = 2048L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes_total"))
+        .orderBy(col("source"), col("bin"))),
+
     // ── Deterministic epoch shuffle (Chunking.epochShuffle): seeded md5
     //    permutation → shard → per-shard order → training batches; one
     //    hash exchange, no global sort ────────────────────────────────
@@ -4704,6 +4716,21 @@ object SparkEntry {
     // of truth for engine and oracle.
     "q83_zorder_layout" -> zorderLayoutSql,
     "q83b_zorder_skipping" -> zorderSkippingSql,
+
+    // Compaction mirror: one preceding-rows window sum, floor-divided
+    // into bins, rolled up.
+    "q192_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |         coalesce(sum(n_chars) OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cb
+        |  FROM documents)
+        |SELECT source, (cb // 2048)::BIGINT AS bin,
+        |       count(*)::BIGINT AS n_files,
+        |       sum(n_chars)::BIGINT AS bytes_total
+        |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
 
     // Epoch shuffle: the SQL is generated from the same seed/shard/
     // batch constants as the engine call — one source of truth.

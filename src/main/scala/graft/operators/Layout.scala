@@ -148,4 +148,46 @@ object Layout {
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("zval"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /**
+   * COMPACTION PLAN — the small-files OPTIMIZE step planned as a
+   * deterministic query: within each table partition, files are laid
+   * out largest-first and grouped into target-size bins by their
+   * cumulative preceding mass — bin = ⌊cum_before / targetBytes⌋ —
+   * next-fit-decreasing, the greedy compactors (Delta OPTIMIZE,
+   * Iceberg rewriteDataFiles) actually run. Each bin is one rewrite
+   * task; a bin whose n_files = 1 and bytes ≥ target is already
+   * compact and skipped by the executor.
+   *
+   * Determinism: the order (size DESC, file id) is total, and the bin
+   * id is integer floor division of an exact integer prefix sum — no
+   * ntile, no sampling, engine-exact.
+   *
+   * Scale shape: rows here are FILES (table metadata, ~10⁶ per table
+   * at 100 TB), 5+ orders below data rows — one partition-keyed
+   * window over metadata is noise. The plan never touches data; the
+   * rewrite it drives is the expensive part.
+   *
+   * @param files    one row per file: partition cols + id + size
+   * @param partCols table-partition columns files are grouped under
+   * @return files + bin — the rewrite-task assignment
+   */
+  def compactionPlan(
+      files: DataFrame,
+      partCols: Seq[String],
+      fileCol: String,
+      sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(partCols.nonEmpty, "compactionPlan needs partition columns")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(sizeCol).desc, col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("_cum_before",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"_cum_before div ${targetBytes}L"))
+      .drop("_cum_before")
+  }
 }

@@ -103,4 +103,24 @@ class LayoutSpec extends SparkSpec {
         "cell predicate did not reach the partition filters")
     }
   }
+
+  test("compactionPlan: next-fit-decreasing bins per partition, ties by id") {
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      // partition A, sizes 5,4,3,2,1, target 6:
+      // cum_before 0,5,9,12,14 -> bins 0,0,1,2,2
+      ("A", 1L, 5L), ("A", 2L, 4L), ("A", 3L, 3L), ("A", 4L, 2L), ("A", 5L, 1L),
+      // partition B: equal sizes tie-break by file id; bins restart
+      ("B", 7L, 3L), ("B", 6L, 3L), ("B", 8L, 3L))
+      .toDF("part", "file_id", "bytes")
+    val got = Layout.compactionPlan(files, Seq("part"), "file_id", "bytes",
+        targetBytes = 6L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    got shouldBe Map(
+      ("A", 1L) -> 0L, ("A", 2L) -> 0L, ("A", 3L) -> 1L,
+      ("A", 4L) -> 2L, ("A", 5L) -> 2L,
+      // B: cum_before 0,3,6 over ids 6,7,8 -> bins 0,0,1
+      ("B", 6L) -> 0L, ("B", 7L) -> 0L, ("B", 8L) -> 1L)
+  }
 }

@@ -212,6 +212,11 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q188_embedding_covariance") shouldBe Seq(Set("embedding"))
   }
 
+  test("q192 compaction scan reads only the partition, id, and size columns") {
+    readSchemas("q192_compaction_plan") shouldBe
+      Seq(Set("source", "doc_id", "n_chars"))
+  }
+
   test("q190/q191 graph scans read only text, once") {
     readSchemas("q190_degree_distribution") shouldBe Seq(Set("text"))
     readSchemas("q191_clustering_coeff") shouldBe Seq(Set("text"))
