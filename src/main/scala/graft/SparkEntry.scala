@@ -1928,6 +1928,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Zipf coverage curve: token mass covered by each power-of-two
+    // vocabulary budget — the tokenizer-sizing chart.
+    "q193_coverage_curve" -> ((s, dir) =>
+      graft.operators.Vocab.coverageCurve(docs(s, dir))
+        .orderBy(col("vocab_budget"))),
+
+    // Heaps curve: vocabulary size at each power-of-two doc-id budget
+    // — vocabulary growth against ingest history.
+    "q194_heaps_curve" -> ((s, dir) =>
+      graft.operators.Vocab.heapsCurve(docs(s, dir))
+        .orderBy(col("n_docs"))),
+
     // INCREMENTAL vocabulary (the q40/q52 family): unpruned counts
     // state from the history half merged with the arrivals half, then
     // ranked. Hash-matches the FULL-corpus vocabulary oracle — the
@@ -5473,6 +5485,50 @@ object SparkEntry {
         |       (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT AS token_id
         |FROM counts WHERE cnt >= 2
         |ORDER BY token_id""".stripMargin,
+
+    // Coverage-curve mirror: the same ranked counts, budgets as a
+    // literal power list, one round-6 division.
+    "q193_coverage_curve" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT cnt,
+        |             (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT
+        |               AS token_id
+        |      FROM tc),
+        |t AS (SELECT count(*)::BIGINT AS v, sum(cnt)::BIGINT AS total_tokens
+        |      FROM tc),
+        |k AS (SELECT unnest(list_transform(range(0, 41),
+        |               j -> (1::BIGINT << j::INTEGER))) AS vocab_budget),
+        |x AS (SELECT r.cnt, k.vocab_budget, t.total_tokens
+        |      FROM r, k, t
+        |      WHERE k.vocab_budget > r.token_id
+        |        AND k.vocab_budget < 2 * t.v)
+        |SELECT vocab_budget, count(*)::BIGINT AS n_terms,
+        |       sum(cnt)::BIGINT AS cum_tokens,
+        |       max(total_tokens) AS total_tokens,
+        |       round(sum(cnt)::DOUBLE / max(total_tokens), 6) AS coverage
+        |FROM x GROUP BY 1 ORDER BY vocab_budget""".stripMargin,
+
+    // Heaps mirror: per-term min doc id, thresholded by the same
+    // literal power list capped at the first power > max id.
+    "q194_heaps_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '')) AS term
+        |  FROM documents),
+        |fs AS (SELECT term, min(doc_id)::BIGINT AS first_doc
+        |       FROM tok GROUP BY 1),
+        |b AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+        |k AS (SELECT unnest(list_transform(range(0, 41),
+        |               j -> (1::BIGINT << j::INTEGER))) AS n_docs)
+        |SELECT k.n_docs, count(*)::BIGINT AS vocab_size
+        |FROM fs, k, b
+        |WHERE k.n_docs > fs.first_doc AND k.n_docs < 2 * (b.mx + 1)
+        |GROUP BY 1 ORDER BY n_docs""".stripMargin,
 
     "q51_training_prep" -> prepChainSql("documents"),
 

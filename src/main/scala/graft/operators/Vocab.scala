@@ -390,4 +390,78 @@ object Vocab {
           .when(lit(2L) * col("cnt_b") <= col("cnt_a"), "shrunk")
           .otherwise("stable"))
   }
+
+  /**
+   * ZIPF COVERAGE CURVE — for each power-of-two vocabulary budget V
+   * (1, 2, 4, … up to the first power ≥ |vocab|), the token mass the
+   * top-V terms of [[buildVocab]]'s ranking cover. THE tokenizer-sizing
+   * chart: "32k entries cover 98.6% of tokens" reads straight off it,
+   * and the marginal coverage between consecutive rows prices each
+   * vocabulary doubling. [[zipfSlope]] summarizes the same law as one
+   * exponent; this is the operational curve.
+   *
+   * Determinism: ranks from the two-stage [[Ranking.withGlobalRank]]
+   * (total order (cnt desc, term)); budgets are literal powers of two;
+   * coverage is ONE round-6 division of exact long token sums.
+   *
+   * Scale shape: one term-keyed count shuffle + the rank's range
+   * exchange; the budget fan-out is map-side and ≤ log₂|vocab| rows
+   * per term, collapsing to ≤ 41 groups by partial aggregation. The
+   * vocab size and token total ride a 1-row broadcast cross.
+   *
+   * @return per budget: vocab_budget, n_terms (= min(budget, |vocab|)),
+   *         cum_tokens, total_tokens, coverage
+   */
+  def coverageCurve(docs: DataFrame): DataFrame = {
+    val ranked = rankVocab(termCounts(docs))
+    val totals = ranked.agg(
+      count(lit(1)).as("_v"), sum(col("cnt")).as("total_tokens"))
+    ranked.crossJoin(broadcast(totals))
+      .select(col("cnt"), col("total_tokens"),
+        explode(expr(
+          "filter(transform(sequence(0, 40), k -> shiftleft(1L, k)), " +
+            "v -> v > token_id AND v < 2 * _v)")).as("vocab_budget"))
+      .groupBy(col("vocab_budget"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("cnt")).as("cum_tokens"),
+        max(col("total_tokens")).as("total_tokens"))
+      .withColumn("coverage",
+        round(col("cum_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
+  /**
+   * HEAPS CURVE — vocabulary growth against corpus size: for each
+   * power-of-two document budget N (up to the first power > max doc
+   * id), the number of distinct terms whose FIRST occurrence lies in
+   * a document with id < N. Sublinear growth (Heaps' law V ∝ Nᵝ,
+   * β ≈ 0.5) is the healthy-corpus shape; a curve that keeps rising
+   * linearly means unbounded novel tokens (noise, ids, boilerplate
+   * mutations) — the q126 novelty signal integrated over ingest
+   * history, and the capacity planner for [[termSketches]]-style
+   * vocabulary state.
+   *
+   * CONTRACT: doc ids must be integral and reflect ingest order (the
+   * `documents.doc_id` convention); budgets threshold on the ID VALUE,
+   * so sparse id spaces read as "docs with id < N".
+   *
+   * Scale shape: one term-keyed min-aggregate shuffle (the same
+   * exchange class as [[termCounts]]), then a ≤ 41-row-per-term
+   * map-side budget fan-out collapsing by partial agg; the id bound
+   * rides a 1-row broadcast cross. Nothing collects.
+   *
+   * @param docs (doc, line) with integral doc ids
+   * @return (n_docs, vocab_size) at each power-of-two budget
+   */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val firstSeen = docs
+      .select(col("doc"), explode(toks(col("line"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc")).as("first_doc"))
+    val bounds = docs.agg(max(col("doc")).as("_mx"))
+    firstSeen.crossJoin(broadcast(bounds))
+      .select(explode(expr(
+        "filter(transform(sequence(0, 40), k -> shiftleft(1L, k)), " +
+          "n -> n > first_doc AND n < 2 * (_mx + 1))")).as("n_docs"))
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("vocab_size"))
+  }
 }

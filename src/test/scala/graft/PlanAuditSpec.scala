@@ -74,6 +74,10 @@ class PlanAuditSpec extends SparkSpec {
                            // ranked frame (the q59 threshold pattern)
     "q187_daily_acf", // 7-row lag-list broadcast cross over the dense
                       // (type, day) grid — both sides days-bounded
+    "q193_coverage_curve", // 1-row (V, total-tokens) broadcast cross
+                           // over the ranked vocabulary
+    "q194_heaps_curve", // 1-row max-doc-id broadcast cross over the
+                        // per-term first-seen frame
     "q59_quality_filter", // 1-row quantile-threshold broadcast cross
     "q64_quality_bins", // 1-row quantile-threshold-array broadcast cross
     "q66_events_winsorize", // 1-row clip-band broadcast cross

@@ -217,6 +217,15 @@ class PruningAuditSpec extends SparkSpec {
       Seq(Set("source", "doc_id", "n_chars"))
   }
 
+  test("q193 coverage scan reads only text, once") {
+    readSchemas("q193_coverage_curve") shouldBe Seq(Set("text"))
+  }
+
+  test("q194 heaps scans read only doc_id and text") {
+    readSchemas("q194_heaps_curve").toSet shouldBe
+      Set(Set("doc_id", "text"), Set("doc_id"))
+  }
+
   test("q190/q191 graph scans read only text, once") {
     readSchemas("q190_degree_distribution") shouldBe Seq(Set("text"))
     readSchemas("q191_clustering_coeff") shouldBe Seq(Set("text"))

@@ -195,4 +195,27 @@ class VocabSpec extends SparkSpec {
     Vocab.termBurstiness(d, minDf = 2L, k = 1).collect()
       .map(_.getString(0)).toSeq shouldBe Seq("a")
   }
+
+  test("coverageCurve: power-of-two budgets up to the first power >= |vocab|") {
+    // a×4, b×2, c×1, d×1 → total 8, V=4 → budgets 1, 2, 4
+    val d = corpus("d1" -> "a a a a b b", "d2" -> "c d")
+    val got = Vocab.coverageCurve(d).orderBy(C("vocab_budget")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    got shouldBe Array(
+      (1L, 1L, 4L, 8L, 0.5),
+      (2L, 2L, 6L, 8L, 0.75),
+      (4L, 4L, 8L, 8L, 1.0))
+  }
+
+  test("heapsCurve: vocabulary at each power-of-two doc-id budget") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b"), (1L, "a c"), (2L, "d d"), (3L, "a"))
+      .toDF("doc", "line")
+    val got = Vocab.heapsCurve(d).orderBy(C("n_docs")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // first-seen: a,b@0  c@1  d@2; max id 3 → budgets 1, 2, 4
+    got shouldBe Array((1L, 2L), (2L, 3L), (4L, 4L))
+  }
 }
