@@ -1573,6 +1573,12 @@ object SparkEntry {
       graft.operators.Events.dailyAutocorrelation(events(s, dir), maxLag = 7)
         .orderBy(col("event_type"), col("lag"))),
 
+    // Rolling DAU/WAU/stickiness on the dense day grid — exact
+    // distinct users, window via explicit explode.
+    "q195_active_users" -> ((s, dir) =>
+      graft.operators.Events.rollingActiveUsers(events(s, dir), windowDays = 7)
+        .orderBy(col("day"))),
+
     // Hybrid lexical+dense retrieval fused by reciprocal ranks: the
     // q69 BM25 arm + the q15 cosine arm (query = vec_id 0), both
     // top-100, contributions integer-quantized (1e9 div (60+rank)) so
@@ -4205,6 +4211,30 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // Active-users mirror: distinct (day, user), ×7 window expansion
+    // + distinct, left joins on the dense grid.
+    "q195_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '1970-01-01',
+        |                  date_trunc('day', ts))::BIGINT AS x
+        |  FROM events),
+        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM du),
+        |g AS (SELECT unnest(range(lo, hi + 1))::BIGINT AS x FROM b),
+        |dau AS (SELECT x, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT x, count(*)::BIGINT AS wau FROM (
+        |          SELECT DISTINCT du.user_id, du.x + i AS x
+        |          FROM du, unnest(range(0, 7)) r(i)) w
+        |        GROUP BY 1)
+        |SELECT make_timestamp(g.x * 86400000000) AS day,
+        |       coalesce(dau.dau, 0)::BIGINT AS dau,
+        |       coalesce(wau.wau, 0)::BIGINT AS wau,
+        |       CASE WHEN coalesce(wau.wau, 0) > 0 THEN
+        |         round(coalesce(dau.dau, 0)::DOUBLE / wau.wau, 6)
+        |       END AS stickiness
+        |FROM g LEFT JOIN dau ON g.x = dau.x LEFT JOIN wau ON g.x = wau.x
+        |ORDER BY day""".stripMargin,
 
     // ACF mirror: the same dense grid, head/tail partial sums, and
     // n²-scaled integer moments as HUGEINTs.

@@ -577,6 +577,27 @@ class EventsSpec extends SparkSpec {
       ("c", 1L, 2L, null))
   }
 
+  test("rollingActiveUsers: dense grid, gap-day WAU carry, window truncation") {
+    val e = ev(
+      // day 1: users 1, 2; day 2: user 1 twice (distinct!); day 4: user 3
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 11:00:00", 2L, "a", 1.0),
+      (3L, "2024-01-02 10:00:00", 1L, "a", 1.0),
+      (4L, "2024-01-02 11:00:00", 1L, "b", 1.0),
+      (5L, "2024-01-04 10:00:00", 3L, "a", 1.0))
+    val got = Events.rollingActiveUsers(e, windowDays = 3)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    got shouldBe Array(
+      ("2024-01-01 00:00:00.0", 2L, 2L, 1.0),
+      ("2024-01-02 00:00:00.0", 1L, 2L, 0.5),
+      // day 3: nobody active, but days 1-2 carry into the 3-day window
+      ("2024-01-03 00:00:00.0", 0L, 2L, 0.0),
+      // day 4: user 3 active; user 1's day-2 activity still in window
+      ("2024-01-04 00:00:00.0", 1L, 2L, 0.5))
+  }
+
   test("transitionStationary matches a local integer-recurrence replication") {
     // one user stream a a b a b -> transitions a->a:1, a->b:2, b->a:1
     val types = Seq("a", "a", "b", "a", "b")

@@ -208,6 +208,10 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q187_daily_acf") shouldBe Seq(Set("ts", "event_type"))
   }
 
+  test("q195 active-users scan reads only ts and user_id, once") {
+    readSchemas("q195_active_users") shouldBe Seq(Set("ts", "user_id"))
+  }
+
   test("q188 covariance reads one embedding-only scan") {
     readSchemas("q188_embedding_covariance") shouldBe Seq(Set("embedding"))
   }
