@@ -3240,6 +3240,12 @@ object SparkEntry {
       Similarity.covarianceMatrix(tbl(s, dir, "embeddings"))
         .orderBy(col("i"), col("j"))),
 
+    // Top principal component by exact-integer power iteration over
+    // the floor-quantized covariance — in-plan PCA, nothing collects.
+    "q196_principal_component" -> ((s, dir) =>
+      Similarity.principalComponent(tbl(s, dir, "embeddings"), iters = 20)
+        .orderBy(col("dim"))),
+
     // Matryoshka prefix-dim retrieval: exact cosine over the first 16
     // of 64 components — the 4× cheaper scan tier.
     "q189_matryoshka_topk" -> ((s, dir) => {
@@ -7607,6 +7613,9 @@ object SparkEntry {
         |FROM c JOIN d di ON di.dd = c.i JOIN d dj ON dj.dd = c.j
         |ORDER BY i, j""".stripMargin,
 
+    // PCA mirror: the unrolled exact-integer power iteration.
+    "q196_principal_component" -> pc1Sql(20),
+
     // Matryoshka mirror: q15's cosine recipe on the 16-component
     // prefix slice.
     "q189_matryoshka_topk" ->
@@ -7798,6 +7807,59 @@ object SparkEntry {
 
   /** q182 oracle: the engine's exact-integer power rounds over the
     * transition matrix, unrolled (the [[termPageRankSql]] pattern). */
+  /** q196 oracle: the engine's exact-integer power iteration over the
+    * floor-quantized covariance, unrolled (the [[termPageRankSql]] /
+    * [[transitionStationarySql]] pattern) — matvec in HUGEINT, max-abs
+    * renormalization via sign·(|raw|·1e6 // m) so `//` only ever sees
+    * nonnegative operands (floor ≡ Spark's truncating `div` there). */
+  private def pc1Sql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT cq.j, sum(cq.v * x${k - 1}.x) AS raw
+         |  FROM cq JOIN x${k - 1} ON cq.i = x${k - 1}.j GROUP BY 1),
+         |m$k AS MATERIALIZED (SELECT max(abs(raw)) AS m FROM r$k),
+         |x$k AS MATERIALIZED (
+         |  SELECT j, CASE WHEN m = 0 THEN 0::HUGEINT
+         |    WHEN raw < 0 THEN -((abs(raw) * 1000000) // m)
+         |    ELSE (raw * 1000000) // m END AS x
+         |  FROM r$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |xq AS (SELECT vec_id, (i - 1)::BIGINT AS i,
+       |              CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT) AS v
+       |       FROM e, unnest(range(1, len(emb) + 1)) rr(i)),
+       |p AS (SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n_vecs,
+       |             sum(a.v::HUGEINT) AS sx, sum(b.v::HUGEINT) AS sy,
+       |             sum(a.v::HUGEINT * b.v::HUGEINT) AS sxy
+       |      FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |      GROUP BY 1, 2),
+       |cu AS (SELECT i, j,
+       |              CASE WHEN (n_vecs::HUGEINT * sxy - sx * sy) < 0
+       |                THEN -(abs(n_vecs::HUGEINT * sxy - sx * sy)
+       |                       // (n_vecs::HUGEINT * n_vecs))
+       |                ELSE (n_vecs::HUGEINT * sxy - sx * sy)
+       |                     // (n_vecs::HUGEINT * n_vecs) END AS v
+       |       FROM p),
+       |cq AS MATERIALIZED (SELECT i, j, v FROM cu
+       |       UNION ALL SELECT j AS i, i AS j, v FROM cu WHERE i <> j),
+       |x0 AS MATERIALIZED (SELECT DISTINCT j, 1000000::HUGEINT AS x FROM cq),
+       |$rounds,
+       |xf AS MATERIALIZED (SELECT j, x::HUGEINT AS x FROM x$iters),
+       |fl AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS f
+       |       FROM xf ORDER BY abs(x) DESC, j LIMIT 1),
+       |qn AS (SELECT sum(cq.v::HUGEINT * a.x * b.x) AS num
+       |       FROM cq JOIN xf a ON cq.i = a.j JOIN xf b ON cq.j = b.j),
+       |dn AS (SELECT sum(x * x) AS den FROM xf),
+       |tr AS (SELECT sum(v::HUGEINT) AS t FROM cq WHERE i = j)
+       |SELECT xf.j AS dim,
+       |       round((xf.x * fl.f)::DOUBLE / 1e6, 6) AS loading,
+       |       round(qn.num::DOUBLE / dn.den::DOUBLE / 1e12, 6) AS eigval,
+       |       CASE WHEN tr.t > 0 THEN
+       |         round(qn.num::DOUBLE / (dn.den::DOUBLE * tr.t::DOUBLE), 6)
+       |       END AS explained
+       |FROM xf, fl, qn, dn, tr ORDER BY dim""".stripMargin
+  }
+
   private def transitionStationarySql(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       s"""x$i AS (

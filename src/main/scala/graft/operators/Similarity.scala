@@ -1130,25 +1130,7 @@ object Similarity {
    * @return (i, j, n_vecs, cov, corr) for 0 ≤ i ≤ j < d
    */
   def covarianceMatrix(embs: DataFrame): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val d = asDouble(col("embedding"))
-    val pairs = embs
-      .select(posexplode(d).as(Seq("i", "xi")), d.as("_emb"))
-      .select(col("i"),
-        round(col("xi") * 1e6).cast("long").as("xi"),
-        posexplode(expr("slice(_emb, i + 1, size(_emb) - i)"))
-          .as(Seq("_jr", "xj")))
-      .select(col("i").cast("long").as("i"),
-        (col("i") + col("_jr")).cast("long").as("j"),
-        col("xi"), round(col("xj") * 1e6).cast("long").as("xj"))
-    val moments = graft.Caching.persist(pairs
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(dec(col("xi"))).as("_sx"),
-        sum(dec(col("xj"))).as("_sy"),
-        sum(dec(col("xi")) * dec(col("xj"))).as("_sxy"))
-      .withColumn("_com",
-        dec(col("n_vecs")) * col("_sxy") - col("_sx") * col("_sy")))
+    val moments = coMoments(embs)
     val diag = moments.where(col("i") === col("j"))
       .select(col("i").as("_d"), col("_com").as("_var"))
     moments
@@ -1166,6 +1148,133 @@ object Similarity {
           round(col("_com").cast("double") /
             (sqrt(col("_vi").cast("double")) * sqrt(col("_vj").cast("double"))),
             6) + 0.0).as("corr"))
+  }
+
+  /** Upper-triangle exact co-moments (i ≤ j): per dimension pair, the
+    * DECIMAL(38,0) integer n·Σxy − Σx·Σy over micro-quantized
+    * components, with the (i,j) fan-out map-side (posexplode × the
+    * j ≥ i slice) and the one shuffle carrying d(d+1)/2 groups.
+    * Persisted — [[covarianceMatrix]] reads it twice (matrix +
+    * diagonal) and [[principalComponent]] mirrors it. */
+  private def coMoments(embs: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = asDouble(col("embedding"))
+    val pairs = embs
+      .select(posexplode(d).as(Seq("i", "xi")), d.as("_emb"))
+      .select(col("i"),
+        round(col("xi") * 1e6).cast("long").as("xi"),
+        posexplode(expr("slice(_emb, i + 1, size(_emb) - i)"))
+          .as(Seq("_jr", "xj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("_jr")).cast("long").as("j"),
+        col("xi"), round(col("xj") * 1e6).cast("long").as("xj"))
+    graft.Caching.persist(pairs
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(dec(col("xi"))).as("_sx"),
+        sum(dec(col("xj"))).as("_sy"),
+        sum(dec(col("xi")) * dec(col("xj"))).as("_sxy"))
+      .withColumn("_com",
+        dec(col("n_vecs")) * col("_sxy") - col("_sx") * col("_sy")))
+  }
+
+  /**
+   * TOP PRINCIPAL COMPONENT by power iteration — ENGINE-EXACT PCA:
+   * the dominant eigenvector of the dimension covariance matrix, with
+   * every arithmetic step integral so any engine replays it bit-for-
+   * bit. The "is there one axis that explains the embedding space?"
+   * audit: a dominant PC with high explained variance means the
+   * encoder wastes capacity (or a systematic bias — e.g. sequence
+   * length leaking into every vector); the loadings name the
+   * dimensions carrying it. The fitted direction is also the
+   * whitening/debiasing projector's first column.
+   *
+   * Arithmetic: the covariance enters as cq = sign(com)·(|com| div n²)
+   * (micro² units, so magnitudes stay scale-free and the truncating
+   * division only ever sees nonnegative operands — DuckDB's floor
+   * `//` takes the same quotient); the iterate x starts at 1e6·𝟙 and
+   * each round computes the exact BigInt matvec raw = Cq·x, then
+   * renormalizes to max-abs 1e6 by sign(raw)·((|raw|·1e6) div
+   * max|raw|). A fixed iteration count (default 20 — squares the
+   * eigengap ratio 20 times) replaces convergence detection, the
+   * q117 recipe. Sign is canonicalized by flipping so the largest-
+   * magnitude loading (ties → lowest dim) is positive. The Rayleigh
+   * quotient λ = xᵀCqx / xᵀx and the explained-variance fraction
+   * λ/tr(C) use only exact integer quadratic forms with ONE round-6
+   * division each.
+   *
+   * Scale shape: [[coMoments]]'s one corpus scan + d² partial-agg
+   * shuffle is the only data-scale work; the d×d matrix then collects
+   * to the driver — DIMENSION-bounded, the PQ-codebook / NB-model
+   * convention — and the eigensolve runs there in exact BigInt
+   * arithmetic, identical to the oracle's unrolled HUGEINT recurrence.
+   *
+   * @return one row per dimension: (dim, loading round-6 of the
+   *         max-abs-1e6 iterate, eigval — the Rayleigh quotient in
+   *         cov units, explained — the λ/tr(C) variance fraction,
+   *         round-6)
+   */
+  def principalComponent(embs: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    // The DISTRIBUTED stage: one corpus scan reduced to the d(d+1)/2
+    // exact co-moment rows. The d×d matrix is MODEL-scale (the
+    // PQ-codebook / NB-model bounded-collect convention), so the
+    // eigensolve itself runs on the driver in exact BigInt arithmetic
+    // — an in-plan iteration was measured and rejected: chained
+    // cached-frame rounds hit superlinear CacheManager/planning cost
+    // by round ~8 even at 64 rows, where the driver matvec is
+    // microseconds.
+    val rows = coMoments(embs)
+      .select(col("i"), col("j"), col("n_vecs"), col("_com"))
+      .collect()
+    require(rows.nonEmpty, "principalComponent needs at least one vector")
+    val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    val cq = Array.ofDim[BigInt](d, d)
+    var tr = BigInt(0)
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val n = BigInt(r.getLong(2))
+      val com = BigInt(r.getDecimal(3).toBigInteger)
+      // sign(com)·(|com| / n²): nonnegative-operand truncation, the
+      // same quotient DuckDB's floor `//` takes on |com|
+      val v = com.signum * (com.abs / (n * n))
+      cq(i)(j) = v; cq(j)(i) = v
+      if (i == j) tr += v
+    }
+    val micro = BigInt(1000000)
+    var x = Array.fill(d)(micro)
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(d) { j =>
+        var acc = BigInt(0)
+        var i = 0
+        while (i < d) { acc += cq(i)(j) * x(i); i += 1 }
+        acc
+      }
+      val m = raw.iterator.map(_.abs).max
+      x = raw.map(r => if (m.signum == 0) BigInt(0)
+        else r.signum * (r.abs * micro / m))
+    }
+    // canonical sign: largest-|loading| dim (ties → lowest) positive
+    val jStar = (0 until d).minBy(j => (-x(j).abs, j))
+    val flip = if (x(jStar).signum < 0) BigInt(-1) else BigInt(1)
+    // Rayleigh quotient λ = xᵀCqx / xᵀx and explained = λ/tr — exact
+    // integer quadratic forms, ONE double division each (the same
+    // operation order as the oracle's ::DOUBLE casts)
+    var num = BigInt(0)
+    for (i <- 0 until d; j <- 0 until d) num += cq(i)(j) * x(i) * x(j)
+    val den = x.iterator.map(v => v * v).sum
+    def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue()
+    def r6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val eigval = r6(dbl(num) / dbl(den) / 1e12)
+    val explained: Option[Double] =
+      if (tr.signum > 0) Some(r6(dbl(num) / (dbl(den) * dbl(tr)))) else None
+    val spark = embs.sparkSession
+    import spark.implicits._
+    (0 until d).map { j =>
+      (j.toLong, dbl(x(j) * flip) / 1e6, eigval, explained)
+    }.toDF("dim", "loading", "eigval", "explained")
   }
 
   /**

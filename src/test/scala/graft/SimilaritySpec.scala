@@ -699,6 +699,37 @@ class SimilaritySpec extends SparkSpec {
       (2L, 2L, 3L, 0.0, null))
   }
 
+  test("principalComponent: rank-1 fixture recovers the exact direction") {
+    // vectors (t, 2t, 5): all variance lives along (1, 2, 0) — PC1
+    // loadings (0.5, 1.0, 0.0), λ = 6.25, explained = 1.0
+    val e = vecs(
+      0L -> Seq(1f, 2f, 5f),
+      1L -> Seq(2f, 4f, 5f),
+      2L -> Seq(3f, 6f, 5f),
+      3L -> Seq(4f, 8f, 5f))
+    val got = Similarity.principalComponent(e, iters = 5)
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    got shouldBe Array(
+      (0L, 0.5, 6.25, 1.0),
+      (1L, 1.0, 6.25, 1.0),
+      (2L, 0.0, 6.25, 1.0))
+  }
+
+  test("principalComponent: canonical sign flips a negative dominant loading") {
+    // variance along (1, -2): power iteration lands on ±(0.5, -1);
+    // the flip makes dim 1 (largest |loading|) positive -> (-0.5, 1)
+    val e = vecs(
+      0L -> Seq(1f, -2f),
+      1L -> Seq(2f, -4f),
+      2L -> Seq(3f, -6f),
+      3L -> Seq(4f, -8f))
+    val got = Similarity.principalComponent(e, iters = 5)
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    got shouldBe Array((0L, -0.5), (1L, 1.0))
+  }
+
   test("matryoshkaTopK ranks by the prefix only, blind to the tail") {
     val e = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),
