@@ -1579,6 +1579,17 @@ object SparkEntry {
       graft.operators.Events.rollingActiveUsers(events(s, dir), windowDays = 7)
         .orderBy(col("day"))),
 
+    // Per-user activity Gini: the rank-formula concentration summary,
+    // exact integer moments off the two-stage global rank.
+    "q197_user_gini" -> ((s, dir) =>
+      graft.operators.Events.userGini(events(s, dir))),
+
+    // Inter-arrival gap histogram: power-of-two second bins per type,
+    // per-(user, type) chains only — never a global per-type sort.
+    "q198_gap_histogram" -> ((s, dir) =>
+      graft.operators.Events.gapHistogram(events(s, dir))
+        .orderBy(col("event_type"), col("bin"))),
+
     // Hybrid lexical+dense retrieval fused by reciprocal ranks: the
     // q69 BM25 arm + the q15 cosine arm (query = vec_id 0), both
     // top-100, contributions integer-quantized (1e9 div (60+rank)) so
@@ -4217,6 +4228,39 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // Gini mirror: the same rank formula, one flat row_number.
+    "q197_user_gini" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk
+        |      FROM c),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(cnt)::HUGEINT AS sc,
+        |             sum(rk::HUGEINT * cnt) AS src FROM r)
+        |SELECT n AS n_users, sc::BIGINT AS total_events,
+        |       round((2 * src - (n + 1)::HUGEINT * sc)::DOUBLE /
+        |             (n::HUGEINT * sc)::DOUBLE, 6) AS gini
+        |FROM a""".stripMargin,
+
+    // Gap-histogram mirror: one per-(user, type) lag, the bit-length
+    // bin, shiftleft lo.
+    "q198_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |            (PARTITION BY user_id, event_type
+        |             ORDER BY ts, event_id))) // 1000000 AS gap
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |         CASE WHEN gap = 0 THEN -1::BIGINT
+        |              ELSE length(bin(gap))::BIGINT - 1 END AS bin
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, bin,
+        |       CASE WHEN bin < 0 THEN 0::BIGINT
+        |            ELSE (1::BIGINT << bin::INTEGER) END AS lo,
+        |       count(*)::BIGINT AS n_gaps
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     // Active-users mirror: distinct (day, user), ×7 window expansion
     // + distinct, left joins on the dense grid.

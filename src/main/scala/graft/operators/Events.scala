@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -980,6 +981,77 @@ object Events {
         when(col("_den") > 0,
           round(col("_num").cast("double") / col("_den").cast("double"), 6)))
       .select(col("event_type"), col("lag"), col("n_days"), col("acf"))
+  }
+
+  /**
+   * Per-user activity GINI COEFFICIENT — the one-number concentration
+   * summary next to [[topUserShare]]'s top-k view: 0 = perfectly even
+   * traffic, (n−1)/n = one user generates everything. The bot/abuse
+   * radar and the partitioning-skew forecast (a high-Gini key column
+   * WILL produce straggler partitions — this prices it before the
+   * shuffle does).
+   *
+   * Determinism: the classic rank formula G = (2·Σr·cᵣ − (n+1)·Σc) /
+   * (n·Σc) over counts ranked ASCENDING by (cnt, user_id) — ranks from
+   * the two-stage [[Ranking.withGlobalRank]], moments exact in
+   * DECIMAL(38,0), ONE round-6 division.
+   *
+   * Scale shape: one user-keyed count shuffle, the rank's range
+   * exchange over the users-bounded count frame, one 1-row aggregate.
+   *
+   * @return one row: (n_users, total_events, gini)
+   */
+  def userGini(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cnts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val ranked = Ranking.withGlobalRank(
+      cnts, Seq(col("cnt"), col("user_id")), rankCol = "_rk",
+      errorHint = "re-run userGini, or checkpoint its input")
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("total_events"),
+        sum((dec(col("_rk")) + 1) * dec(col("cnt"))).as("_src"))
+      .select(col("n_users"), col("total_events"),
+        round((lit(2) * col("_src") -
+            (dec(col("n_users")) + 1) * dec(col("total_events")))
+            .cast("double") /
+          (dec(col("n_users")) * dec(col("total_events"))).cast("double"),
+          6).as("gini"))
+  }
+
+  /**
+   * INTER-ARRIVAL GAP histogram — per event type, the distribution of
+   * seconds between a user's consecutive events of that type, in
+   * power-of-two bins (the [[graft.operators.Pipeline.lengthHistogram]]
+   * integer bit-length binning — never float log2). The arrival-rhythm
+   * fingerprint: bot traffic spikes the sub-second bins, engagement
+   * decay fattens the day-plus tail, and a bin that empties
+   * week-over-week is the retention alarm in distribution form.
+   *
+   * Scale shape: one (user, type)-keyed window (per-user streams are
+   * ingest-bounded — never a global per-type sort) + one ≤64-row-per-
+   * type aggregate.
+   *
+   * @return per (event_type, bin): lo (2^bin seconds; bin -1 = 0 s),
+   *         n_gaps
+   */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("_gap",
+        expr("(unix_micros(ts) - unix_micros(_prev)) div 1000000"))
+      .withColumn("bin",
+        when(col("_gap") === 0L, lit(-1L))
+          .otherwise(length(conv(col("_gap"), 10, 2)).cast("long") - 1L))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("lo",
+        when(col("bin") < 0L, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(bin AS int))")))
+      .select(col("event_type"), col("bin"), col("lo"), col("n_gaps"))
   }
 
   /**

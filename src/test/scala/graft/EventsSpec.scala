@@ -577,6 +577,43 @@ class EventsSpec extends SparkSpec {
       ("c", 1L, 2L, null))
   }
 
+  test("userGini: zero on even traffic, hand-computed 0.25 on a skewed pair") {
+    val even = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 11:00:00", 1L, "a", 1.0),
+      (3L, "2024-01-01 10:00:00", 2L, "a", 1.0),
+      (4L, "2024-01-01 11:00:00", 2L, "a", 1.0))
+    val g0 = Events.userGini(even).collect()(0)
+    (g0.getLong(0), g0.getLong(1), g0.getDouble(2)) shouldBe ((2L, 4L, 0.0))
+    // counts (1, 3): G = Σ|xi−xj| / (2n²µ) = 4/16 = 0.25
+    val skew = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 10:00:00", 2L, "a", 1.0),
+      (3L, "2024-01-01 11:00:00", 2L, "a", 1.0),
+      (4L, "2024-01-01 12:00:00", 2L, "a", 1.0))
+    Events.userGini(skew).collect()(0).getDouble(2) shouldBe 0.25
+  }
+
+  test("gapHistogram: power-of-two second bins per type, per-user chains only") {
+    val e = ev(
+      // user 1, type a: gaps 1s (bin 0) and 4s (bin 2)
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 10:00:01", 1L, "a", 1.0),
+      (3L, "2024-01-01 10:00:05", 1L, "a", 1.0),
+      // user 1, type b: same-second double fire -> gap 0 (bin -1)
+      (4L, "2024-01-01 10:00:00", 1L, "b", 1.0),
+      (5L, "2024-01-01 10:00:00", 1L, "b", 1.0),
+      // user 2, type a: single event -> no gap
+      (6L, "2024-01-01 10:00:00", 2L, "a", 1.0))
+    val got = Events.gapHistogram(e).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe Map(
+      ("a", 0L) -> ((1L, 1L)),
+      ("a", 2L) -> ((4L, 1L)),
+      ("b", -1L) -> ((0L, 1L)))
+  }
+
   test("rollingActiveUsers: dense grid, gap-day WAU carry, window truncation") {
     val e = ev(
       // day 1: users 1, 2; day 2: user 1 twice (distinct!); day 4: user 3

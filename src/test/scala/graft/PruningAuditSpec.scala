@@ -212,6 +212,15 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q195_active_users") shouldBe Seq(Set("ts", "user_id"))
   }
 
+  test("q197 gini scan reads only user_id") {
+    readSchemas("q197_user_gini") shouldBe Seq(Set("user_id"))
+  }
+
+  test("q198 gap scan reads only the chain key, order, and type columns") {
+    readSchemas("q198_gap_histogram") shouldBe
+      Seq(Set("event_id", "ts", "user_id", "event_type"))
+  }
+
   test("q188 covariance reads one embedding-only scan") {
     readSchemas("q188_embedding_covariance") shouldBe Seq(Set("embedding"))
   }
