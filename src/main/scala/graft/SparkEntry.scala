@@ -3252,10 +3252,17 @@ object SparkEntry {
         .orderBy(col("i"), col("j"))),
 
     // Top principal component by exact-integer power iteration over
-    // the floor-quantized covariance — in-plan PCA, nothing collects.
+    // the floor-quantized covariance — distributed co-moments, driver
+    // BigInt eigensolve.
     "q196_principal_component" -> ((s, dir) =>
       Similarity.principalComponent(tbl(s, dir, "embeddings"), iters = 20)
         .orderBy(col("dim"))),
+
+    // PC projection: every vector's exact integer dot with the fitted
+    // micro component + cosine alignment — the per-row bias readout.
+    "q199_pc_projection" -> ((s, dir) =>
+      Similarity.pcProjection(tbl(s, dir, "embeddings"), iters = 20)
+        .orderBy(col("vec_id"))),
 
     // Matryoshka prefix-dim retrieval: exact cosine over the first 16
     // of 64 components — the 4× cheaper scan tier.
@@ -7660,6 +7667,9 @@ object SparkEntry {
     // PCA mirror: the unrolled exact-integer power iteration.
     "q196_principal_component" -> pc1Sql(20),
 
+    // Projection mirror: the same fit, per-vector HUGEINT dots.
+    "q199_pc_projection" -> pcProjectionSql(20),
+
     // Matryoshka mirror: q15's cosine recipe on the 16-component
     // prefix slice.
     "q189_matryoshka_topk" ->
@@ -7902,6 +7912,31 @@ object SparkEntry {
        |         round(qn.num::DOUBLE / (dn.den::DOUBLE * tr.t::DOUBLE), 6)
        |       END AS explained
        |FROM xf, fl, qn, dn, tr ORDER BY dim""".stripMargin
+  }
+
+  /** q199 oracle: the q196 fit verbatim, then each vector's exact
+    * integer dot with the sign-flipped micro component. */
+  private def pcProjectionSql(iters: Int): String = {
+    val fit = pc1Sql(iters)
+    val ctes = fit.substring(0, fit.lastIndexOf("SELECT xf.j AS dim")).trim
+    s"""$ctes,
+       |pcv AS (SELECT j, (xf.x * fl.f)::HUGEINT AS xm FROM xf, fl),
+       |pr AS (
+       |  SELECT e.vec_id,
+       |         sum(CAST(round(e.emb[rr2.i::INTEGER] * 1e6) AS BIGINT)::HUGEINT
+       |             * pcv.xm) AS p,
+       |         sum(CAST(round(e.emb[rr2.i::INTEGER] * 1e6) AS BIGINT)::HUGEINT
+       |             * CAST(round(e.emb[rr2.i::INTEGER] * 1e6) AS BIGINT)) AS ne2
+       |  FROM e, unnest(range(1, len(emb) + 1)) rr2(i)
+       |  JOIN pcv ON pcv.j = rr2.i - 1
+       |  GROUP BY 1)
+       |SELECT pr.vec_id,
+       |       round(pr.p::DOUBLE / 1e12, 6) + 0.0 AS proj,
+       |       CASE WHEN pr.ne2 > 0 AND dn.den > 0 THEN
+       |         round(pr.p::DOUBLE /
+       |               (sqrt(pr.ne2::DOUBLE) * sqrt(dn.den::DOUBLE)), 6) + 0.0
+       |       END AS cos
+       |FROM pr, dn ORDER BY vec_id""".stripMargin
   }
 
   private def transitionStationarySql(iters: Int): String = {

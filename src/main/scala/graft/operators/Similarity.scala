@@ -1278,6 +1278,50 @@ object Similarity {
   }
 
   /**
+   * PC PROJECTION — score every vector against the fitted
+   * [[principalComponent]]: the exact integer dot of the
+   * micro-quantized embedding with the sign-flipped micro component,
+   * plus the cosine alignment. THE per-row readout of the PCA audit:
+   * the high-|cos| tail is the set of vectors living on the dominant
+   * axis (the length-bias / systematic-artifact suspects), and
+   * subtracting proj·PC is the debiasing step this scores.
+   *
+   * Determinism: the fit is [[principalComponent]]'s exact recurrence;
+   * the transform is Σ eᵢ_micro · xᵢ_micro per row — exact longs (≤
+   * d·1e12) — with ONE round-6 division for each output. Zero-norm
+   * rows (or a degenerate zero component) emit null cos.
+   *
+   * Scale shape: fit = one co-moment scan + the driver eigensolve;
+   * transform = one MAP-ONLY pass with the d-element component as a
+   * plan literal (zip_with/aggregate, no join, no shuffle). Two
+   * corpus scans total — persist upstream if that matters.
+   *
+   * @return (vec_id, proj — e·x in max-norm-1 units, cos) per vector
+   */
+  def pcProjection(embs: DataFrame, iters: Int = 20): DataFrame = {
+    val pc = principalComponent(embs, iters).orderBy(col("dim")).collect()
+    // loadings are exactly x·flip/1e6 (≤ 6 decimals): micro recovery
+    // via Math.round is exact
+    val xm = pc.map(r => Math.round(r.getDouble(1) * 1e6))
+    val xn2 = xm.map(v => v * v).sum
+    val xArr = typedLit(xm.toSeq)
+    val em = transform(asDouble(col("embedding")),
+      v => round(v * 1e6).cast("long"))
+    embs.select(col("vec_id"), em.as("_em"))
+      .withColumn("_p",
+        aggregate(zip_with(col("_em"), xArr, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("_ne2",
+        aggregate(col("_em"), lit(0L), (acc, v) => acc + v * v))
+      .select(col("vec_id"),
+        (round(col("_p").cast("double") / 1e12, 6) + 0.0).as("proj"),
+        when(col("_ne2") > 0 && lit(xn2) > 0,
+          round(col("_p").cast("double") /
+            (sqrt(col("_ne2").cast("double")) * sqrt(lit(xn2.toDouble))), 6)
+            + 0.0).as("cos"))
+  }
+
+  /**
    * MATRYOSHKA (prefix-dimension) top-k — exact cosine ranking over
    * only the FIRST `dims` components of every embedding. MRL-trained
    * encoders (Kusupati et al. 2022) concentrate information in the

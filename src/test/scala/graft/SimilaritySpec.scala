@@ -730,6 +730,36 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe Array((0L, -0.5), (1L, 1.0))
   }
 
+  test("pcProjection: alignment ±1 on the component's own axis, 0 orthogonal") {
+    // PC1 of the rank-1 fixture is (0.5, 1, 0)-direction (micro
+    // (5e5, 1e6, 0)); score vectors on, against, and orthogonal to it
+    val fit = vecs(
+      0L -> Seq(1f, 2f, 5f),
+      1L -> Seq(2f, 4f, 5f),
+      2L -> Seq(3f, 6f, 5f),
+      3L -> Seq(4f, 8f, 5f))
+    val got = Similarity.pcProjection(fit, iters = 5)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    // proj for (t, 2t, 5) = (0.5t + 2t)·1e12 / 1e12 = 2.5t; cos =
+    // 2.5t / (|e|·|x|) — verify against a local double replication
+    val xm = Array(500000L, 1000000L, 0L)
+    val expected = Array(Array(1.0, 2.0, 5.0), Array(2.0, 4.0, 5.0),
+      Array(3.0, 6.0, 5.0), Array(4.0, 8.0, 5.0)).zipWithIndex.map { case (e, id) =>
+      val em = e.map(v => Math.round(v * 1e6))
+      val p = em.zip(xm).map { case (a, b) => a * b }.sum
+      val ne2 = em.map(v => v * v).sum
+      val xn2 = xm.map(v => v * v).sum
+      def r6(v: Double) = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (id.toLong, r6(p.toDouble / 1e12),
+        r6(p.toDouble / (math.sqrt(ne2.toDouble) * math.sqrt(xn2.toDouble))))
+    }
+    got.map(g => (g._1, g._2, g._3)) shouldBe expected.map(e =>
+      (e._1, e._2, e._3: Any))
+  }
+
   test("matryoshkaTopK ranks by the prefix only, blind to the tail") {
     val e = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),
