@@ -2062,6 +2062,19 @@ object SparkEntry {
       Events.sessionize(events(s, dir), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // Session entry/exit matrix: landing/exit-type counts with bounce
+    // rate — q24's boundaries under the total (ts, event_id) order.
+    "q200_session_entry_exit" -> ((s, dir) =>
+      graft.operators.Events.sessionEntryExit(events(s, dir), gapMinutes = 30)
+        .orderBy(col("entry_type"), col("exit_type"))),
+
+    // Sliding-window chunking with overlap: the RAG variant of q47 —
+    // size-32 windows every 16 tokens, start/coverage by integers.
+    "q201_chunk_sliding" -> ((s, dir) =>
+      graft.operators.Chunking.chunkSliding(docs(s, dir), size = 32, stride = 16)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Exact per-type value quantiles (quantile_cont semantics).
     "q43_events_quantiles" -> ((s, dir) =>
       Events.valueQuantiles(events(s, dir))
@@ -5513,6 +5526,52 @@ object SparkEntry {
         |       round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Entry/exit mirror: the q24 gap rule under the (ts, event_id)
+    // total order, ordered-aggregate first/last per session.
+    "q200_session_entry_exit" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                 > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, seq,
+        |         first(event_type ORDER BY ts, event_id) AS entry_type,
+        |         last(event_type ORDER BY ts, event_id) AS exit_type,
+        |         count(*) AS n
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, count(*)::BIGINT AS n_sessions,
+        |       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+        |       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS bounce_rate
+        |FROM g GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
+
+    // Sliding-chunk mirror: the q47 recipe with stride arithmetic and
+    // the covering last start.
+    "q201_chunk_sliding" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0,
+        |           greatest(0, (len(toks) - 32 + 16 - 1) // 16) + 1)) AS chunk_id
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |       (chunk_id * 16)::BIGINT AS start_token,
+        |       array_to_string(toks[(chunk_id * 16 + 1):(chunk_id * 16 + 32)], ' ')
+        |         AS chunk_text,
+        |       least(len(toks) - chunk_id * 16, 32)::BIGINT AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q47_chunk_docs" ->
       """WITH t AS (

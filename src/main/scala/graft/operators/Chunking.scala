@@ -52,6 +52,53 @@ object Chunking {
           .cast("long").as("n_tokens"))
   }
 
+  /**
+   * SLIDING-WINDOW chunking with OVERLAP — the RAG-retrieval variant
+   * of [[chunkDocs]]: chunks of `size` tokens starting every `stride`
+   * tokens, so consecutive chunks share `size − stride` tokens and no
+   * retrievable span is ever split across a hard boundary (the reason
+   * every embedding-index pipeline chunks with overlap). `stride =
+   * size` degenerates to [[chunkDocs]]' disjoint packing.
+   *
+   * Determinism: chunk starts are the literal arithmetic sequence
+   * 0, stride, 2·stride, …; the LAST start is the smallest multiple
+   * covering the tail — ⌈(n − size) / stride⌉ as the nonneg integer
+   * (n − size + stride − 1) div stride — so every token lands in ≥ 1
+   * chunk and no chunk starts past the text. Pure integer arithmetic,
+   * map-side explode.
+   *
+   * Scale shape: map-only (tokenize → explode ≤ ⌈n/stride⌉ rows per
+   * doc → slice); the ×(size/stride) token duplication is the
+   * DELIBERATE cost of overlap — size it consciously.
+   *
+   * @return (doc, chunk_id, start_token, chunk_text, n_tokens)
+   */
+  def chunkSliding(
+      docs: DataFrame,
+      size: Int = 256,
+      stride: Int = 128): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    docs
+      .select(col("doc"), toks(col("line")).as("_toks"))
+      .where(org.apache.spark.sql.functions.size(col("_toks")) > 0)
+      .select(col("doc"), col("_toks"),
+        org.apache.spark.sql.functions.size(col("_toks")).cast("long").as("_n"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            expr(s"(size(_toks) - $size + $stride - 1) div $stride"))))
+          .as("chunk_id"))
+      .select(col("doc"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_token"),
+        array_join(
+          slice(col("_toks"),
+            (col("chunk_id") * stride + 1).cast("int"), lit(size)),
+          " ").as("chunk_text"),
+        least(col("_n") - col("chunk_id") * stride, lit(size.toLong))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Chunk-count bound for [[chunkKey]]: 2^20 chunks per document
     * (a 67M-token document at maxTokens=64) before the composed key
     * would alias — the per-row assert fails loudly at the bound

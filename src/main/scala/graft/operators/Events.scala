@@ -526,6 +526,52 @@ object Events {
   }
 
   /**
+   * Session ENTRY/EXIT matrix — per (first event type, last event
+   * type) of each [[sessionize]]-style session: session count, bounce
+   * count (single-event sessions), and the bounce rate. The classic
+   * landing/exit-page analysis: "sessions entering on `view` and
+   * dying on `error`" is a funnel leak located in one row, and an
+   * entry type whose bounce rate jumps is a broken entry point.
+   *
+   * Determinism: session boundaries are the exact-micros gap rule
+   * (the q24 convention), but ordered by the TOTAL (ts, event_id)
+   * order — same-timestamp entry/exit picks are deterministic where a
+   * ts-only order would tie — and entry/exit come from min_by/max_by
+   * over that same composite. The rate is ONE round-6 division of
+   * exact counts.
+   *
+   * Scale shape: one user-keyed window pass (per-user streams are
+   * ingest-bounded) + a types²-bounded rollup. Nothing collects.
+   *
+   * @return (entry_type, exit_type, n_sessions, n_bounces, bounce_rate)
+   */
+  def sessionEntryExit(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ord = struct(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_ns",
+        when(col("_prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("_prev")) >
+            gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_seq", sum(col("_ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_seq"))
+      .agg(
+        min_by(col("event_type"), ord).as("entry_type"),
+        max_by(col("event_type"), ord).as("exit_type"),
+        count(lit(1)).as("_n"))
+    sessions.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        coalesce(sum(when(col("_n") === 1L, 1L)), lit(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6))
+  }
+
+  /**
    * Per-user EXPONENTIALLY weighted moving average over the last
    * `nRows` events — the recency-weighted twin of [[userMovingAvg]]:
    * weight (1−α)^k for the value k rows back, normalized over the

@@ -13,6 +13,25 @@ class ChunkingSpec extends SparkSpec {
     got.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(2L, 2L, 1L)
   }
 
+  test("chunkSliding: overlapping windows cover the tail, stride=size is chunkDocs") {
+    // 5 tokens, size 3, stride 2 -> starts 0, 2 (last = ceil((5-3)/2)=1)
+    val got = Chunking.chunkSliding(corpus("d" -> "a b c d e"), size = 3, stride = 2)
+      .orderBy(C("chunk_id")).collect()
+    got.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start_token"),
+      r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens"))).toSeq shouldBe
+      Seq((0L, 0L, "a b c", 3L), (1L, 2L, "c d e", 3L))
+    // short doc -> one window; empty doc -> nothing
+    val short = Chunking.chunkSliding(corpus("e" -> "", "s" -> "x y"),
+      size = 4, stride = 2).collect()
+    short.length shouldBe 1
+    short.head.getAs[String]("chunk_text") shouldBe "x y"
+    // stride = size degenerates to the disjoint packing
+    val disjoint = Chunking.chunkSliding(corpus("d" -> "a b c d e"),
+      size = 2, stride = 2).orderBy(C("chunk_id")).collect()
+      .map(_.getAs[String]("chunk_text")).toSeq
+    disjoint shouldBe Seq("a b", "c d", "e")
+  }
+
   test("chunkDocs emits nothing for empty docs and one chunk for short docs") {
     val got = Chunking.chunkDocs(corpus("e" -> "", "s" -> "x y"), maxTokens = 64)
       .collect()

@@ -577,6 +577,26 @@ class EventsSpec extends SparkSpec {
       ("c", 1L, 2L, null))
   }
 
+  test("sessionEntryExit: entry/exit by total order, bounces, gap split") {
+    val e = ev(
+      // user 1 session A: a -> b -> c (entry a, exit c)
+      (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),
+      (2L, "2024-01-01 10:05:00", 1L, "b", 1.0),
+      (3L, "2024-01-01 10:10:00", 1L, "c", 1.0),
+      // user 1 session B after a 31-min gap: single event -> bounce
+      (4L, "2024-01-01 10:41:00", 1L, "a", 1.0),
+      // user 2: same-ts pair — entry/exit tie-broken by event_id
+      (6L, "2024-01-01 10:00:00", 2L, "x", 1.0),
+      (5L, "2024-01-01 10:00:00", 2L, "y", 1.0))
+    val got = Events.sessionEntryExit(e, gapMinutes = 30).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    got shouldBe Map(
+      ("a", "c") -> ((1L, 0L, 0.0)),
+      ("a", "a") -> ((1L, 1L, 1.0)),
+      ("y", "x") -> ((1L, 0L, 0.0))) // event_id 5 ("y") precedes 6 ("x")
+  }
+
   test("userGini: zero on even traffic, hand-computed 0.25 on a skewed pair") {
     val even = ev(
       (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),

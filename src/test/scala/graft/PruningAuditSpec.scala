@@ -216,6 +216,15 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q197_user_gini") shouldBe Seq(Set("user_id"))
   }
 
+  test("q200 entry/exit scan reads only the session key, order, and type") {
+    readSchemas("q200_session_entry_exit") shouldBe
+      Seq(Set("event_id", "ts", "user_id", "event_type"))
+  }
+
+  test("q201 sliding-chunk scan reads only doc_id and text") {
+    readSchemas("q201_chunk_sliding") shouldBe Seq(Set("doc_id", "text"))
+  }
+
   test("q198 gap scan reads only the chain key, order, and type columns") {
     readSchemas("q198_gap_histogram") shouldBe
       Seq(Set("event_id", "ts", "user_id", "event_type"))
