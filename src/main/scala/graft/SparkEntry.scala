@@ -2620,6 +2620,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Contamination by BENCHMARK item: q145 flipped — per eval doc,
+    // the corpus docs sharing a verbatim 13-gram (self excluded).
+    "q202_contamination_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = conv(substring(
+          md5(concat(lit("bench:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      graft.operators.Dedup
+        .contaminationReport(d, d.where(bkt < 100000L), n = 13)
+        .orderBy(col("bench_doc"))
+    }),
+
+    // Dup-cluster size histogram over the converged components — the
+    // dedup diagnostics chart, pure integers.
+    "q203_dup_cluster_histogram" -> ((s, dir) =>
+      graft.operators.Dedup.dupClusterHistogram(docs(s, dir))
+        .orderBy(col("cluster_size"))),
+
+    // Packing efficiency report: fill rate / overflow grading of the
+    // q48 configuration, one row.
+    "q204_pack_stats" -> ((s, dir) =>
+      graft.operators.Chunking.packStats(docs(s, dir),
+        targetTokens = 256, buckets = 16)),
+
     // All-pairs exact WEIGHTED (tf-weighted unigram) Jaccard ≥ 0.8 —
     // the verification tier. On this corpus's ~31-term shared
     // vocabulary PLAIN unigram Jaccard is degenerate (~every pair ≈ 1);
@@ -3788,6 +3812,82 @@ object SparkEntry {
          |       coalesce(h.n_hits, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Benchmark-side contamination mirror: q145's gram relation, the
+    // join flipped to the bench doc with self-matches excluded.
+    "q202_contamination_report" ->
+      s"""WITH tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     t -> t <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+         |           i -> array_to_string(toks[i:i+12], ' '))) AS shingle
+         |    FROM tokl)),
+         |bd AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE (${duckMd5Bucket("'bench:' || doc_id")}) < 100000),
+         |bg AS (SELECT g.doc_id AS bench_doc, g.shingle
+         |       FROM g JOIN bd USING (doc_id)),
+         |h AS (
+         |  SELECT bg.bench_doc,
+         |         count(DISTINCT g.doc_id) AS n_docs_hit,
+         |         count(*) AS n_gram_hits
+         |  FROM bg JOIN g USING (shingle)
+         |  WHERE g.doc_id <> bg.bench_doc GROUP BY 1)
+         |SELECT bd.doc_id AS bench_doc,
+         |       coalesce(h.n_docs_hit, 0)::BIGINT AS n_docs_hit,
+         |       coalesce(h.n_gram_hits, 0)::BIGINT AS n_gram_hits,
+         |       coalesce(h.n_docs_hit, 0) > 0 AS compromised
+         |FROM bd LEFT JOIN h ON h.bench_doc = bd.doc_id
+         |ORDER BY bench_doc""".stripMargin,
+
+    // Cluster-histogram mirror: the converged-closure reach relation
+    // (self-edges make singletons size-1 clusters), two rollups.
+    "q203_dup_cluster_histogram" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val),
+         |reach(doc_id, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
+         |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT lbl, count(*)::BIGINT AS cluster_size
+         |          FROM cc GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // Pack-stats mirror: the q48 packing rolled up twice.
+    "q204_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> ''))::BIGINT AS n_tokens,
+        |         (doc_id % 16)::BIGINT AS bucket
+        |  FROM documents),
+        |p AS (
+        |  SELECT bucket, n_tokens,
+        |         floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |                 ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) / 256.0)::BIGINT AS pack_id
+        |  FROM t),
+        |g AS (SELECT bucket, pack_id, count(*)::BIGINT AS nd,
+        |             sum(n_tokens)::BIGINT AS tk
+        |      FROM p GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_packs, sum(nd)::BIGINT AS n_docs,
+        |       sum(tk)::BIGINT AS tokens_total,
+        |       min(tk)::BIGINT AS min_tokens, max(tk)::BIGINT AS max_tokens,
+        |       sum(CASE WHEN tk > 256 THEN 1 ELSE 0 END)::BIGINT AS n_overflow,
+        |       round(sum(tk)::DOUBLE / (count(*) * 256), 6) AS fill_rate
+        |FROM g""".stripMargin,
 
     // All-pairs exact weighted Jaccard: Σ min(tf) over shared terms;
     // Σ max = tot1 + tot2 − Σ min (min+max identity).

@@ -99,6 +99,39 @@ object Chunking {
           .cast("long").as("n_tokens"))
   }
 
+  /**
+   * PACKING EFFICIENCY report — one row grading a [[packSequences]]
+   * configuration: pack count, token mass, min/max pack size, the
+   * overflow count (packs blown past `targetTokens` by an oversized
+   * document — the "chunk first" signal), and the FILL RATE
+   * tokens / (packs · target), the fraction of training-batch
+   * capacity actually used. Run it before an epoch: a fill rate of
+   * 0.7 means 30 % of every step is padding.
+   *
+   * Determinism: integer counts off the q48 packing, ONE round-6
+   * division for the rate.
+   *
+   * @return one row: n_packs, n_docs, tokens_total, min_tokens,
+   *         max_tokens, n_overflow, fill_rate
+   */
+  def packStats(
+      docs: DataFrame,
+      targetTokens: Int = 2048,
+      buckets: Int = 64): DataFrame =
+    packSequences(docs, targetTokens, buckets)
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("_nd"), sum(col("n_tokens")).as("_tk"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("_nd")).as("n_docs"),
+        sum(col("_tk")).as("tokens_total"),
+        min(col("_tk")).as("min_tokens"),
+        max(col("_tk")).as("max_tokens"),
+        coalesce(sum(when(col("_tk") > targetTokens, 1L)), lit(0L))
+          .as("n_overflow"),
+        round(sum(col("_tk")).cast("double") /
+          (count(lit(1)) * targetTokens), 6).as("fill_rate"))
+
   /** Chunk-count bound for [[chunkKey]]: 2^20 chunks per document
     * (a 67M-token document at maxTokens=64) before the composed key
     * would alias — the per-row assert fails loudly at the bound

@@ -895,6 +895,71 @@ object Dedup {
   }
 
   /**
+   * Contamination BY BENCHMARK ITEM — [[ngramDecontaminate]] flipped
+   * to the eval set's point of view: per benchmark document, how many
+   * OTHER corpus documents share a verbatim n-gram with it, and how
+   * many (corpus doc, gram) hits in total. The corpus-side screen says
+   * which training docs to drop; THIS says which eval items are
+   * already compromised and must be re-drawn or score-discounted —
+   * the two reports together are the full contamination story.
+   *
+   * Self-matches are excluded (a benchmark drawn from the corpus
+   * trivially matches itself) — hits count docs ≠ the bench doc.
+   *
+   * Scale shape: the benchmark gram set broadcasts (eval sets are
+   * bounded); the corpus is scanned once; the aggregate is
+   * bench-doc-keyed. Hits count DISTINCT (corpus doc, gram) pairs —
+   * [[shingles]] dedups grams within a doc.
+   *
+   * @return per bench doc: n_docs_hit, n_gram_hits, compromised
+   */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val bg = shingles(bench, n)
+      .select(col("doc").as("bench_doc"), col("shingle"))
+    val hits = shingles(corpus, n)
+      .join(broadcast(bg), Seq("shingle"))
+      .where(col("doc") =!= col("bench_doc"))
+      .groupBy(col("bench_doc"))
+      .agg(countDistinct(col("doc")).as("n_docs_hit"),
+        count(lit(1)).as("n_gram_hits"))
+    bench.select(col("doc").as("bench_doc"))
+      .join(hits, Seq("bench_doc"), "left")
+      .select(col("bench_doc"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        (coalesce(col("n_docs_hit"), lit(0L)) > 0).as("compromised"))
+  }
+
+  /**
+   * Duplicate-CLUSTER SIZE histogram — the dedup diagnostics chart
+   * over [[minhashClusterLabelsConverged]]'s true components:
+   * (cluster size → number of clusters). The shape tells you what
+   * kind of duplication you have — a fat size-2 row is mirroring, a
+   * long tail of big clusters is template spam / syndication — and
+   * sizes the dedup win before running it (docs removed =
+   * Σ (size−1)·n_clusters). Singleton clusters (unique docs that
+   * produced bands) are the size-1 row.
+   *
+   * Scale shape: the converged label propagation (banded, never
+   * all-pairs) plus two label-keyed aggregates on the labels frame.
+   *
+   * @return (cluster_size, n_clusters), pure integers
+   */
+  def dupClusterHistogram(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIter: Int = 20): DataFrame =
+    minhashClusterLabelsConverged(docs, n, numHashes, rowsPerBand, maxIter)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /**
    * All-pairs exact n-gram Jaccard ≥ threshold (verification tier — at
    * scale, run only on LSH candidates). Intersections are aggregated
    * straight off the shingle self-join — no materialized pair list, no

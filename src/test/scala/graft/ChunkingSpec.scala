@@ -32,6 +32,19 @@ class ChunkingSpec extends SparkSpec {
     disjoint shouldBe Seq("a b", "c d", "e")
   }
 
+  test("packStats: fill rate, overflow count, and pack extremes by hand") {
+    val s = spark
+    import s.implicits._
+    // token counts 2, 3, 2, 5 in one bucket, target 4 ->
+    // packs (docs 0,1 | tk 5) and (docs 2,3 | tk 7), both overflowing
+    val d = Seq((0L, "a a"), (1L, "b b b"), (2L, "c c"), (3L, "d d d d d"))
+      .toDF("doc", "line")
+    val got = Chunking.packStats(d, targetTokens = 4, buckets = 1).collect()(0)
+    (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getDouble(6)) shouldBe
+      ((2L, 4L, 12L, 5L, 7L, 2L, 1.5))
+  }
+
   test("chunkDocs emits nothing for empty docs and one chunk for short docs") {
     val got = Chunking.chunkDocs(corpus("e" -> "", "s" -> "x y"), maxTokens = 64)
       .collect()

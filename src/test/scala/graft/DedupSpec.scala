@@ -799,4 +799,30 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.exactGroups(cor).where(col("n_dups") >= 2).count()
     exact shouldBe 0L
   }
+
+  test("dupClusterHistogram: exact-dup pair clusters, the rest are singletons") {
+    // a, b share every band (exact dup); on this fixture the near-dup
+    // c happens to share no full band with them (deterministic under
+    // the md5 minhash), so the histogram is one size-2 cluster plus
+    // the c and d singletons
+    val got = Dedup.dupClusterHistogram(dupCorpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(2L -> 1L, 1L -> 2L)
+  }
+
+  test("contaminationReport: per-bench-doc corpus hits, self excluded") {
+    val corpusDf = corpus(
+      "c1" -> "alpha beta gamma delta", // shares "alpha beta gamma" with b1
+      "c2" -> "alpha beta gamma",        // also shares it
+      "c3" -> "totally unrelated words here")
+    val bench = corpus(
+      "b1" -> "alpha beta gamma",
+      "b2" -> "nothing matches this benchmark row")
+    val got = Dedup.contaminationReport(corpusDf, bench, n = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    got shouldBe Map(
+      "b1" -> ((2L, 2L, true)),
+      "b2" -> ((0L, 0L, false)))
+  }
 }
