@@ -1681,6 +1681,14 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Language-ID confusion matrix vs the trusted lang column — the
+    // heuristic detector's eval harness (diagonal share = recall).
+    "q205_langid_confusion" -> ((s, dir) =>
+      graft.functions.TextAnalysis.langIdConfusion(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang")))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     "q18_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir))
         .withColumnRenamed("doc", "doc_id")
@@ -2858,6 +2866,18 @@ object SparkEntry {
     "q181_attribution_linear" -> ((s, dir) =>
       graft.operators.Events.linearAttribution(events(s, dir))
         .orderBy(col("touch_type"))),
+
+    // U-shaped attribution: 40/20/40 position credit on q181's
+    // lookback relation — the attribution sensitivity analysis.
+    "q206_attribution_ushaped" -> ((s, dir) =>
+      graft.operators.Events.uShapedAttribution(events(s, dir))
+        .orderBy(col("touch_type"))),
+
+    // LSH bucket-size histogram at 8 bits: the hot-bucket-guard
+    // empirics for the ANN tier.
+    "q207_lsh_bucket_histogram" -> ((s, dir) =>
+      Similarity.lshBucketHistogram(tbl(s, dir, "embeddings"), bits = 8)
+        .orderBy(col("bucket_size"))),
 
     // Traffic concentration: top-10-user share per type — the
     // distribution-shape radar next to q78's θ-threshold hot keys.
@@ -4857,6 +4877,19 @@ object SparkEntry {
          |  FROM cand JOIN n x ON d1 = x.vec_id JOIN n y ON d2 = y.vec_id)
          |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
 
+    // Bucket-histogram mirror: the q25 bucket expression, two rollups.
+    "q207_lsh_bucket_histogram" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |         list_sum(list_transform(range(0, 8), h ->
+         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket
+         |  FROM e),
+         |s AS (SELECT bucket, count(*)::BIGINT AS bucket_size FROM b GROUP BY 1)
+         |SELECT bucket_size, count(*)::BIGINT AS n_buckets
+         |FROM s GROUP BY 1 ORDER BY bucket_size""".stripMargin,
+
     "q25_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |b AS (
@@ -5468,6 +5501,36 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred,
          |  hits_en, hits_de, hits_es, hits_fr
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Confusion mirror: the q17 prediction joined to the trusted lang,
+    // rolled up, share via a within-true-lang window.
+    "q205_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+         |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |         WHEN hits_es >= hits_fr THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM h),
+         |c AS (
+         |  SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+         |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n_docs,
+         |       round(n_docs::DOUBLE /
+         |             sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
 
     "q18_quality" ->
       """WITH t AS (
@@ -7627,6 +7690,42 @@ object SparkEntry {
         |       sum(p.value_micros // n.n_t)::BIGINT AS attributed_micros
         |FROM pairs p JOIN n USING (conv_id)
         |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
+    // U-shaped mirror: the q181 pair relation + the (ts, event_id)
+    // position window and the same floor-division credit table.
+    "q206_attribution_ushaped" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts,
+        |         event_id AS touch_id
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT c.conv_id, c.value_micros, t.touch_type, t.touch_ts,
+        |         t.touch_id
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |   AND t.touch_ts < c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |w AS (
+        |  SELECT *,
+        |         count(*) OVER (PARTITION BY conv_id) AS n_t,
+        |         row_number() OVER (PARTITION BY conv_id
+        |                            ORDER BY touch_ts, touch_id) AS pos
+        |  FROM pairs),
+        |c2 AS (
+        |  SELECT touch_type, conv_id,
+        |         CASE WHEN n_t = 1 THEN value_micros
+        |              WHEN n_t = 2 THEN value_micros // 2
+        |              WHEN pos = 1 OR pos = n_t THEN (value_micros * 2) // 5
+        |              ELSE (value_micros - 2 * ((value_micros * 2) // 5))
+        |                   // (n_t - 2) END AS credit
+        |  FROM w)
+        |SELECT touch_type, count(*)::BIGINT AS n_touches,
+        |       count(DISTINCT conv_id)::BIGINT AS n_conversions,
+        |       sum(credit)::BIGINT AS attributed_micros
+        |FROM c2 GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     // UniMax-applied mirror: the q169 waterfill chain → per-group rate
     // → the epochRepetition copy rule, replayed end to end.

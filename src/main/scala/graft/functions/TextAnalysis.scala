@@ -62,6 +62,32 @@ object TextAnalysis {
         LangMarkers.map { case (l, _) => col(s"_st.hits_$l").as(s"hits_$l") }: _*)
 
   /**
+   * Language-ID CONFUSION matrix — [[langId]]'s predictions graded
+   * against a trusted label column: per (true lang, predicted lang)
+   * cell, the doc count and the within-true-lang share. The heuristic
+   * detector's eval harness: the diagonal shares ARE its per-language
+   * recall, and a fat "und" column prices the marker lists' coverage
+   * before any per-language pipeline cut trusts them.
+   *
+   * Scale shape: one map-only kernel scan + a langs²-bounded rollup;
+   * the share window runs on that bounded frame.
+   *
+   * @param docs (doc, line, lang) — lang is the trusted label
+   * @return (lang, lang_pred, n_docs, share round-6)
+   */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .withColumn("lang_pred", langPredCol(col("line")))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    cells.withColumn("share",
+      round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))),
+        6))
+  }
+
+  /**
    * Composite quality score from a pre-materialized stats struct: token
    * count, distinct-token ratio, and stopword ratio, each clamped into
    * [0, 1] (stopword ratio pre-rounded to 6, matching the metric column

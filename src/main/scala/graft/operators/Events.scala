@@ -1196,6 +1196,60 @@ object Events {
   }
 
   /**
+   * U-SHAPED (position-based) multi-touch attribution — the
+   * [[linearAttribution]] sibling crediting DISCOVERY and CLOSING:
+   * first and last touch get 40 % each, the middles split the
+   * remaining 20 % evenly (n = 1 → 100 %, n = 2 → 50/50). The model
+   * marketers actually compare against linear — running both on the
+   * same lookback relation is the attribution sensitivity analysis.
+   *
+   * Determinism: positions come from a per-conversion window under
+   * the TOTAL (touch_ts, touch event_id) order; credits are exact
+   * integer micros by floor division — 40 % = (2v) div 5 — with the
+   * q181 convention on remainders (the ≤ 4-micro floor loss per
+   * conversion is dropped, not redistributed).
+   *
+   * Scale shape: q181's conversion⋈touch lookback join + one
+   * conversion-keyed window; the rollup is touch-types-bounded.
+   *
+   * @return per touch_type: n_touches, n_conversions, attributed_micros
+   */
+  def uShapedAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"), col("event_id").as("touch_id"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val byConv = Window.partitionBy(col("conv_id"))
+    val posW = byConv.orderBy(col("touch_ts"), col("touch_id"))
+    val scored = pairs
+      .withColumn("_n", count(lit(1)).over(byConv))
+      .withColumn("_pos", row_number().over(posW))
+      .withColumn("_credit",
+        when(col("_n") === 1, col("value_micros"))
+          .when(col("_n") === 2, expr("value_micros div 2"))
+          .when(col("_pos") === 1 || col("_pos") === col("_n"),
+            expr("(value_micros * 2) div 5"))
+          .otherwise(expr(
+            "(value_micros - 2 * ((value_micros * 2) div 5)) div (_n - 2)")))
+    scored.groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(col("_credit")).as("attributed_micros"))
+  }
+
+  /**
    * Per-type CUSUM parameters FIT on a reference slice — (μ, κ, h) in
    * micro longs from the slice's exact value moments, the
    * [[cusumChangepoints]] math at event level. Output is types-bounded

@@ -275,6 +275,25 @@ object Similarity {
       .withColumn("bucket", lshBucketCol(col("embedding"), bits))
 
   /**
+   * LSH BUCKET-SIZE histogram — the empirical check behind
+   * [[MaxPairBucket]] and [[deriveLshBits]]: (bucket size → number of
+   * buckets) for a hyperplane bucketing of the corpus. A heavy tail
+   * here IS the straggler forecast for every bucket-join in the ANN
+   * tier (candidate volume per bucket is size², so the largest bucket
+   * dominates) — read it before picking `bits`, and compare two bits
+   * settings by running it twice.
+   *
+   * Scale shape: one map-only bucket assignment + two bounded
+   * aggregates (≤ 2^bits buckets). Pure integers.
+   *
+   * @return (bucket_size, n_buckets)
+   */
+  def lshBucketHistogram(corpus: DataFrame, bits: Int = 8): DataFrame =
+    withLshBucket(corpus, bits)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+
+  /**
    * LSH-bucketed near-dup pairs — the scale path for `nearDupPairs`:
    * `tables` independent hyperplane tables of `bits` bits each (table t,
    * bit i uses hyperplane t·bits + i); candidate pairs share at least one

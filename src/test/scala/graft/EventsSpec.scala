@@ -597,6 +597,30 @@ class EventsSpec extends SparkSpec {
       ("y", "x") -> ((1L, 0L, 0.0))) // event_id 5 ("y") precedes 6 ("x")
   }
 
+  test("uShapedAttribution: 40/20/40 credit, n=1 and n=2 degenerate splits") {
+    val e = ev(
+      // user 1: click, view, click, view then purchase(10) — first
+      // click 4e6, last view 4e6, middles 1e6 each
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "click", 0.0),
+      (4L, "2024-01-01 13:00:00", 1L, "view", 0.0),
+      (5L, "2024-01-01 14:00:00", 1L, "purchase", 10.0),
+      // user 2: single view then purchase(3) — all 3e6 to it
+      (6L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (7L, "2024-01-01 11:00:00", 2L, "purchase", 3.0),
+      // user 3: two clicks then purchase(5) — 2.5e6 each
+      (8L, "2024-01-01 10:00:00", 3L, "click", 0.0),
+      (9L, "2024-01-01 11:00:00", 3L, "click", 0.0),
+      (10L, "2024-01-01 12:00:00", 3L, "purchase", 5.0))
+    val got = Events.uShapedAttribution(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got shouldBe Map(
+      "click" -> ((4L, 2L, 10000000L)), // u1: 4e6 + 1e6; u3: 5e6
+      "view" -> ((3L, 2L, 8000000L)))   // u1: 1e6 + 4e6; u2: 3e6
+  }
+
   test("userGini: zero on even traffic, hand-computed 0.25 on a skewed pair") {
     val even = ev(
       (1L, "2024-01-01 10:00:00", 1L, "a", 1.0),

@@ -730,6 +730,17 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe Array((0L, -0.5), (1L, 1.0))
   }
 
+  test("lshBucketHistogram: sizes sum to the corpus, identical vectors co-bucket") {
+    val e = vecs(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f),  // identical to 0 -> same bucket
+      2L -> Seq(-1f, 0f, 0f)) // antipodal -> flipped sign bits
+    val got = Similarity.lshBucketHistogram(e, bits = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.map { case (sz, n) => sz * n }.sum shouldBe 3L
+    got(2L) shouldBe 1L // the identical pair's bucket
+  }
+
   test("pcProjection: alignment ±1 on the component's own axis, 0 orthogonal") {
     // PC1 of the rank-1 fixture is (0.5, 1, 0)-direction (micro
     // (5e5, 1e6, 0)); score vectors on, against, and orthogonal to it

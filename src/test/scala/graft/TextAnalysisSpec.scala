@@ -353,4 +353,22 @@ class TextAnalysisSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.charEntropy(corpus("d" -> "x"), alphabet = Seq('a', 'a'))
   }
+
+  test("langIdConfusion: cells, within-true-lang shares, und column") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("1", "the cat and the dog in a house", "en"), // en -> en
+      ("2", "the fox and the hen of a farm", "en"),  // en -> en
+      ("3", "xyzzy plugh quux", "en"),               // en -> und
+      ("4", "der hund und die katze ist ein tier", "de")) // de -> de
+      .toDF("doc", "line", "lang")
+    val got = TextAnalysis.langIdConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe Map(
+      ("en", "en") -> ((2L, 0.666667)),
+      ("en", "und") -> ((1L, 0.333333)),
+      ("de", "de") -> ((1L, 1.0)))
+  }
 }
