@@ -3321,6 +3321,12 @@ object SparkEntry {
       Similarity.pcProjection(tbl(s, dir, "embeddings"), iters = 20)
         .orderBy(col("vec_id"))),
 
+    // Second principal component by deflated power iteration — PC1 +
+    // PC2 are the 2-D embedding map; ortho_cos measures the deflation.
+    "q208_principal_component2" -> ((s, dir) =>
+      Similarity.principalComponent2(tbl(s, dir, "embeddings"), iters = 20)
+        .orderBy(col("dim"))),
+
     // Matryoshka prefix-dim retrieval: exact cosine over the first 16
     // of 64 components — the 4× cheaper scan tier.
     "q189_matryoshka_topk" -> ((s, dir) => {
@@ -7928,6 +7934,9 @@ object SparkEntry {
     // Projection mirror: the same fit, per-vector HUGEINT dots.
     "q199_pc_projection" -> pcProjectionSql(20),
 
+    // PC2 mirror: the unrolled deflated rounds.
+    "q208_principal_component2" -> pc2Sql(20),
+
     // Matryoshka mirror: q15's cosine recipe on the 16-component
     // prefix slice.
     "q189_matryoshka_topk" ->
@@ -8170,6 +8179,59 @@ object SparkEntry {
        |         round(qn.num::DOUBLE / (dn.den::DOUBLE * tr.t::DOUBLE), 6)
        |       END AS explained
        |FROM xf, fl, qn, dn, tr ORDER BY dim""".stripMargin
+  }
+
+  /** q208 oracle: the q196 fit verbatim, then the DEFLATED power
+    * rounds — each matvec minus the sign-safe integer projection onto
+    * the fitted PC1 — unrolled the same way. */
+  private def pc2Sql(iters: Int): String = {
+    val fit = pc1Sql(iters)
+    val ctes = fit.substring(0, fit.lastIndexOf("SELECT xf.j AS dim")).trim
+    val rounds = (1 to iters).map { k =>
+      s"""z$k AS MATERIALIZED (
+         |  SELECT cq.j, sum(cq.v * y${k - 1}.x) AS raw
+         |  FROM cq JOIN y${k - 1} ON cq.i = y${k - 1}.j GROUP BY 1),
+         |pp$k AS MATERIALIZED (
+         |  SELECT sum(z.raw * u.u) AS p FROM z$k z JOIN uvec u ON u.j = z.j),
+         |w$k AS MATERIALIZED (
+         |  SELECT z.j,
+         |         z.raw - (CASE WHEN pp.p * u.u < 0
+         |                  THEN -((abs(pp.p * u.u)) // dn.den)
+         |                  ELSE (pp.p * u.u) // dn.den END) AS raw
+         |  FROM z$k z, pp$k pp, dn, uvec u WHERE u.j = z.j),
+         |mm$k AS MATERIALIZED (SELECT max(abs(raw)) AS m FROM w$k),
+         |y$k AS MATERIALIZED (
+         |  SELECT j, CASE WHEN m = 0 THEN 0::HUGEINT
+         |    WHEN raw < 0 THEN -((abs(raw) * 1000000) // m)
+         |    ELSE (raw * 1000000) // m END AS x
+         |  FROM w$k, mm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$ctes,
+       |uvec AS MATERIALIZED (SELECT j, (xf.x * fl.f)::HUGEINT AS u
+       |                      FROM xf, fl),
+       |y0 AS MATERIALIZED (SELECT j, 1000000::HUGEINT AS x FROM uvec),
+       |$rounds,
+       |yf AS MATERIALIZED (SELECT j, x::HUGEINT AS x FROM y$iters),
+       |fl2 AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS f
+       |        FROM yf ORDER BY abs(x) DESC, j LIMIT 1),
+       |qn2 AS (SELECT sum(cq.v::HUGEINT * a.x * b.x) AS num
+       |        FROM cq JOIN yf a ON cq.i = a.j JOIN yf b ON cq.j = b.j),
+       |dn2 AS (SELECT sum(x * x) AS den FROM yf),
+       |ot AS (SELECT sum(yf.x * u.u) AS dot FROM yf JOIN uvec u USING (j))
+       |SELECT yf.j AS dim,
+       |       round((yf.x * fl2.f)::DOUBLE / 1e6, 6) AS loading,
+       |       CASE WHEN dn2.den > 0 THEN
+       |         round(qn2.num::DOUBLE / dn2.den::DOUBLE / 1e12, 6)
+       |       END AS eigval,
+       |       CASE WHEN dn2.den > 0 AND tr.t > 0 THEN
+       |         round(qn2.num::DOUBLE / (dn2.den::DOUBLE * tr.t::DOUBLE), 6)
+       |       END AS explained,
+       |       CASE WHEN dn2.den > 0 AND dn.den > 0 THEN
+       |         round(ot.dot::DOUBLE /
+       |               (sqrt(dn2.den::DOUBLE) * sqrt(dn.den::DOUBLE)), 6)
+       |           + 0.0
+       |       END AS ortho_cos
+       |FROM yf, fl2, qn2, dn2, ot, tr, dn ORDER BY dim""".stripMargin
   }
 
   /** q199 oracle: the q196 fit verbatim, then each vector's exact

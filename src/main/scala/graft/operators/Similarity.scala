@@ -1243,49 +1243,10 @@ object Similarity {
     // cached-frame rounds hit superlinear CacheManager/planning cost
     // by round ~8 even at 64 rows, where the driver matvec is
     // microseconds.
-    val rows = coMoments(embs)
-      .select(col("i"), col("j"), col("n_vecs"), col("_com"))
-      .collect()
-    require(rows.nonEmpty, "principalComponent needs at least one vector")
-    val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
-    val cq = Array.ofDim[BigInt](d, d)
-    var tr = BigInt(0)
-    rows.foreach { r =>
-      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
-      val n = BigInt(r.getLong(2))
-      val com = BigInt(r.getDecimal(3).toBigInteger)
-      // sign(com)·(|com| / n²): nonnegative-operand truncation, the
-      // same quotient DuckDB's floor `//` takes on |com|
-      val v = com.signum * (com.abs / (n * n))
-      cq(i)(j) = v; cq(j)(i) = v
-      if (i == j) tr += v
-    }
-    val micro = BigInt(1000000)
-    var x = Array.fill(d)(micro)
-    for (_ <- 1 to iters) {
-      val raw = Array.tabulate(d) { j =>
-        var acc = BigInt(0)
-        var i = 0
-        while (i < d) { acc += cq(i)(j) * x(i); i += 1 }
-        acc
-      }
-      val m = raw.iterator.map(_.abs).max
-      x = raw.map(r => if (m.signum == 0) BigInt(0)
-        else r.signum * (r.abs * micro / m))
-    }
-    // canonical sign: largest-|loading| dim (ties → lowest) positive
-    val jStar = (0 until d).minBy(j => (-x(j).abs, j))
-    val flip = if (x(jStar).signum < 0) BigInt(-1) else BigInt(1)
-    // Rayleigh quotient λ = xᵀCqx / xᵀx and explained = λ/tr — exact
-    // integer quadratic forms, ONE double division each (the same
-    // operation order as the oracle's ::DOUBLE casts)
-    var num = BigInt(0)
-    for (i <- 0 until d; j <- 0 until d) num += cq(i)(j) * x(i) * x(j)
-    val den = x.iterator.map(v => v * v).sum
-    def dbl(b: BigInt): Double = new java.math.BigDecimal(b.bigInteger).doubleValue()
-    def r6(v: Double): Double =
-      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
-        .doubleValue()
+    val (cq, d, tr) = collectCq(embs, "principalComponent")
+    val x = powerIterate(cq, d, iters, deflateAgainst = None)
+    val flip = canonicalFlip(x, d)
+    val (num, den) = rayleigh(cq, x, d)
     val eigval = r6(dbl(num) / dbl(den) / 1e12)
     val explained: Option[Double] =
       if (tr.signum > 0) Some(r6(dbl(num) / (dbl(den) * dbl(tr)))) else None
@@ -1294,6 +1255,140 @@ object Similarity {
     (0 until d).map { j =>
       (j.toLong, dbl(x(j) * flip) / 1e6, eigval, explained)
     }.toDF("dim", "loading", "eigval", "explained")
+  }
+
+  private val Micro = BigInt(1000000)
+
+  private def dbl(b: BigInt): Double =
+    new java.math.BigDecimal(b.bigInteger).doubleValue()
+
+  private def r6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Collect the floor-quantized covariance — sign(com)·(|com| / n²),
+    * nonnegative-operand truncation so DuckDB's floor `//` takes the
+    * same quotient — as a dense d×d BigInt matrix plus its trace.
+    * DIMENSION-bounded (the PQ-codebook / NB-model collect class). */
+  private def collectCq(embs: DataFrame, caller: String): (Array[Array[BigInt]], Int, BigInt) = {
+    val rows = coMoments(embs)
+      .select(col("i"), col("j"), col("n_vecs"), col("_com"))
+      .collect()
+    require(rows.nonEmpty, s"$caller needs at least one vector")
+    val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    val cq = Array.ofDim[BigInt](d, d)
+    var tr = BigInt(0)
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val n = BigInt(r.getLong(2))
+      val com = BigInt(r.getDecimal(3).toBigInteger)
+      val v = com.signum * (com.abs / (n * n))
+      cq(i)(j) = v; cq(j)(i) = v
+      if (i == j) tr += v
+    }
+    (cq, d, tr)
+  }
+
+  /** The exact-integer power recurrence: matvec in BigInt, optional
+    * per-round deflation against a fixed direction u (subtract
+    * sign-safe ⌊(Σraw·u)·u_j / Σu²⌋ — power iteration on the
+    * u-orthogonal complement, up to the documented ±1-ulp floor
+    * wobble), then max-abs-1e6 renormalization. */
+  private def powerIterate(
+      cq: Array[Array[BigInt]],
+      d: Int,
+      iters: Int,
+      deflateAgainst: Option[Array[BigInt]]): Array[BigInt] = {
+    val u2 = deflateAgainst.map(u => u.iterator.map(v => v * v).sum)
+    var x = Array.fill(d)(Micro)
+    for (_ <- 1 to iters) {
+      var raw = Array.tabulate(d) { j =>
+        var acc = BigInt(0)
+        var i = 0
+        while (i < d) { acc += cq(i)(j) * x(i); i += 1 }
+        acc
+      }
+      (deflateAgainst, u2) match {
+        case (Some(u), Some(uu)) if uu.signum > 0 =>
+          var p = BigInt(0)
+          var i = 0
+          while (i < d) { p += raw(i) * u(i); i += 1 }
+          raw = Array.tabulate(d) { j =>
+            val dj = p * u(j)
+            raw(j) - dj.signum * (dj.abs / uu)
+          }
+        case _ =>
+      }
+      val m = raw.iterator.map(_.abs).max
+      x = raw.map(r => if (m.signum == 0) BigInt(0)
+        else r.signum * (r.abs * Micro / m))
+    }
+    x
+  }
+
+  /** Canonical sign: flip so the largest-|loading| dimension (ties →
+    * lowest dim) is positive. */
+  private def canonicalFlip(x: Array[BigInt], d: Int): BigInt = {
+    val jStar = (0 until d).minBy(j => (-x(j).abs, j))
+    if (x(jStar).signum < 0) BigInt(-1) else BigInt(1)
+  }
+
+  /** (xᵀCqx, xᵀx) — the exact integer quadratic forms behind the
+    * Rayleigh quotient. */
+  private def rayleigh(
+      cq: Array[Array[BigInt]],
+      x: Array[BigInt],
+      d: Int): (BigInt, BigInt) = {
+    var num = BigInt(0)
+    for (i <- 0 until d; j <- 0 until d) num += cq(i)(j) * x(i) * x(j)
+    (num, x.iterator.map(v => v * v).sum)
+  }
+
+  /**
+   * SECOND principal component — DEFLATED power iteration: the same
+   * exact-integer recurrence as [[principalComponent]], but each
+   * round's matvec is projected off the fitted PC1 direction
+   * (sign-safe integer ⌊(y·u)·u / u²⌋ subtraction), so the iterate
+   * converges to the dominant direction of the ORTHOGONAL complement.
+   * PC1 + PC2 are the axes of the 2-D embedding map every corpus
+   * visualization plots; the pair of explained-variance fractions
+   * says whether the space is effectively low-rank.
+   *
+   * Exactness caveat, stated honestly: integer flooring makes the
+   * per-round projection orthogonal only to ±1 ulp, so this is the
+   * exact answer of a DETERMINISTIC recurrence that approximates PC2
+   * (both engines replay it bit-for-bit; the oracle unrolls the same
+   * deflated rounds) — the `ortho_cos` column MEASURES the residual
+   * alignment with PC1 (≈ 0 when the deflation held). Degenerate
+   * inputs (zero matrix, or an iterate the deflation annihilates)
+   * emit zero loadings with null eigval.
+   *
+   * @return (dim, loading, eigval, explained, ortho_cos)
+   */
+  def principalComponent2(embs: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    val (cq, d, tr) = collectCq(embs, "principalComponent2")
+    val x1 = powerIterate(cq, d, iters, deflateAgainst = None)
+    val u = x1.map(_ * canonicalFlip(x1, d))
+    val x2 = powerIterate(cq, d, iters, deflateAgainst = Some(u))
+    val flip2 = canonicalFlip(x2, d)
+    val (num, den) = rayleigh(cq, x2, d)
+    val u2 = u.iterator.map(v => v * v).sum
+    var dot = BigInt(0)
+    for (j <- 0 until d) dot += x2(j) * u(j)
+    val eigval: Option[Double] =
+      if (den.signum > 0) Some(r6(dbl(num) / dbl(den) / 1e12)) else None
+    val explained: Option[Double] =
+      if (den.signum > 0 && tr.signum > 0)
+        Some(r6(dbl(num) / (dbl(den) * dbl(tr)))) else None
+    val orthoCos: Option[Double] =
+      if (den.signum > 0 && u2.signum > 0)
+        Some(r6(dbl(dot) / (math.sqrt(dbl(den)) * math.sqrt(dbl(u2))))) else None
+    val spark = embs.sparkSession
+    import spark.implicits._
+    (0 until d).map { j =>
+      (j.toLong, dbl(x2(j) * flip2) / 1e6, eigval, explained, orthoCos)
+    }.toDF("dim", "loading", "eigval", "explained", "ortho_cos")
   }
 
   /**

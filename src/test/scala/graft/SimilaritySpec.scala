@@ -741,6 +741,23 @@ class SimilaritySpec extends SparkSpec {
     got(2L) shouldBe 1L // the identical pair's bucket
   }
 
+  test("principalComponent2: deflation recovers the orthogonal second axis") {
+    // cov = diag(5, 1, 0): PC1 = e0 (λ 5), PC2 = e1 (λ 1, explained 1/6)
+    val e = vecs(
+      0L -> Seq(2f, 1f, 5f),
+      1L -> Seq(4f, -1f, 5f),
+      2L -> Seq(6f, -1f, 5f),
+      3L -> Seq(8f, 1f, 5f))
+    val got = Similarity.principalComponent2(e, iters = 20)
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    got shouldBe Array(
+      (0L, 0.0, 1.0, 0.166667, 0.0),
+      (1L, 1.0, 1.0, 0.166667, 0.0),
+      (2L, 0.0, 1.0, 0.166667, 0.0))
+  }
+
   test("pcProjection: alignment ±1 on the component's own axis, 0 orthogonal") {
     // PC1 of the rank-1 fixture is (0.5, 1, 0)-direction (micro
     // (5e5, 1e6, 0)); score vectors on, against, and orthogonal to it
