@@ -1628,6 +1628,13 @@ object SparkEntry {
           threshold = 0.3, stride = 50, iters = 2)
         .orderBy(col("vec_id"))),
 
+    // Cluster top terms: per k-means cell, the 5 most distinctive
+    // member terms — cnt × the reference's floor idf, exact longs.
+    "q209_cluster_top_terms" -> ((s, dir) =>
+      Clustering.clusterTopTerms(tbl(s, dir, "embeddings"), docs(s, dir),
+          k = 5, stride = 50, iters = 2)
+        .orderBy(col("cell"), col("rk"))),
+
     // Exact duplicated-substring removal (ExactSubstr, Lee et al. 2022):
     // all-but-first occurrences of duplicated 8-token spans removed
     // corpus-wide, text rebuilt from the surviving tokens.
@@ -5324,6 +5331,33 @@ object SparkEntry {
     // seeds, argmax-cosine assignment with ties to the smallest centroid
     // id, per-dim means rounded to 6 decimals) — change ONLY in lockstep
     // with kmeansCtesSql / Clustering.kmeans.
+    // Cluster-label mirror: the q54 assignment chain + token counts,
+    // floor-idf distinctiveness, per-cell top-5 window.
+    "q209_cluster_top_terms" ->
+      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
+         |dj AS (
+         |  SELECT af.cell, d.doc_id, d.text
+         |  FROM documents d JOIN af ON af.vec_id = d.doc_id),
+         |tok AS (
+         |  SELECT cell, doc_id,
+         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |                x -> x <> '')) AS term
+         |  FROM dj),
+         |cc2 AS (SELECT cell, term, count(*)::BIGINT AS cnt
+         |        FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM (
+         |          SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok),
+         |sc AS (
+         |  SELECT cc2.cell, cc2.term,
+         |         (cc2.cnt * (nn.n // dfq.df))::BIGINT AS score
+         |  FROM cc2 JOIN dfq USING (term), nn)
+         |SELECT cell, term, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |            ORDER BY score DESC, term)::BIGINT AS rk
+         |  FROM sc)
+         |WHERE rk <= 5 ORDER BY cell, rk""".stripMargin,
+
     "q54_kmeans" ->
       s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
          |cl AS (

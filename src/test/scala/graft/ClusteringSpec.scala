@@ -173,4 +173,24 @@ class ClusteringSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Clustering.clusterLabels(assign, docs, minCount = 0)
   }
+
+  test("clusterTopTerms: floor-idf distinctive terms per cell, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // vecs 0,1 cluster on e0 (seed 0); 2,3 on e1 (seed 2) at stride 2
+    val e = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f),
+      2L -> Seq(0f, 1f), 3L -> Seq(0.1f, 0.9f))
+    val docs = Seq(
+      (0L, "apple apple common"), (1L, "apple common"),
+      (2L, "banana common"), (3L, "banana banana common"))
+      .toDF("doc", "line")
+    // N=4; df(apple)=2 -> idf 2; df(banana)=2 -> 2; df(common)=4 -> 1
+    // cell 0: apple 3·2=6, common 2·1=2; cell 2: banana 3·2=6, common 2
+    val got = Clustering.clusterTopTerms(e, docs, k = 2, stride = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    got shouldBe Set(
+      (0L, "apple", 6L, 1L), (0L, "common", 2L, 2L),
+      (2L, "banana", 6L, 1L), (2L, "common", 2L, 2L))
+  }
 }

@@ -61,6 +61,8 @@ class PlanAuditSpec extends SparkSpec {
     "q55_semantic_dedup", // embeds q54's k-means as its bucketing stage
     "q118_cluster_labels", // q54's k-means assignment + a 1-row
                            // corpus-token-total broadcast cross
+    "q209_cluster_top_terms", // q54's k-means assignment + a 1-row
+                              // linked-doc-count broadcast cross
 
     "q58_keywords", // the same 1-row numDocs cross (tfidf lineage)
     "q67_search_all", // the same 1-row numDocs cross (tfidf lineage)
