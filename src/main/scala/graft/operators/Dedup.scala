@@ -1099,15 +1099,34 @@ object Dedup {
    * integer-exact (no float hash family to keep in lockstep with the
    * oracle, unlike ICWS).
    *
-   * Scale shape: output rows = total token count — the same size as
-   * the token table the corpus pays anyway, NOT a k× inflation. Input
-   * is a [[termWeights]] frame; the element column is named `shingle`
-   * so the minhash machinery composes verbatim.
+   * Scale shape: output rows = Σ min(tf, tfCap) ≤ total token count —
+   * the same size as the token table the corpus pays anyway, NOT a k×
+   * inflation. The cap is the TRUNCATED weighted Jaccard convention
+   * (weight vectors clipped at tfCap before the reduction): without
+   * it, one adversarial doc — a single term repeated 10⁶× — fans out
+   * 10⁶ rows before any bucket guard can see them, a per-row cliff no
+   * downstream bound repairs. Signatures over capped copies estimate
+   * J_w of the CLIPPED vectors; the production paths verify candidates
+   * with the EXACT uncapped Σmin/Σmax afterwards, so final answers are
+   * unchanged — the cap only bounds (and on hot-tf spam, slightly
+   * perturbs) candidate recall. tfCap must clear the corpus's honest
+   * per-doc tf range (fixture max is 14; natural text stays low —
+   * repetition beyond the cap is the q45-family quality signal, not
+   * similarity evidence). Input is a [[termWeights]] frame; the
+   * element column is named `shingle` so the minhash machinery
+   * composes verbatim.
    */
-  def weightedElems(tf: DataFrame): DataFrame =
+  def weightedElems(tf: DataFrame, tfCap: Long = MaxElemTf): DataFrame = {
+    require(tfCap >= 1, s"tfCap must be >= 1, got $tfCap")
     tf.select(col("doc"),
-      explode(transform(sequence(lit(0L), col("tf") - 1),
+      explode(transform(sequence(lit(0L), least(col("tf"), lit(tfCap)) - 1),
         i => concat(col("term"), lit("#"), i))).as("shingle"))
+  }
+
+  /** Default per-term copy bound for [[weightedElems]] — the truncated
+    * weighted-Jaccard clip. Well above any natural-text per-doc tf
+    * (fixture max 14) while bounding the adversarial hot-tf fan-out. */
+  val MaxElemTf = 64L
 
   /** Default vocabulary bound for the DENSE weighted-Jaccard route: a
     * V-long vector per doc and one map/collect of V terms — the

@@ -1171,30 +1171,28 @@ object Similarity {
 
   /** Upper-triangle exact co-moments (i ≤ j): per dimension pair, the
     * DECIMAL(38,0) integer n·Σxy − Σx·Σy over micro-quantized
-    * components, with the (i,j) fan-out map-side (posexplode × the
-    * j ≥ i slice) and the one shuffle carrying d(d+1)/2 groups.
-    * Persisted — [[covarianceMatrix]] reads it twice (matrix +
-    * diagonal) and [[principalComponent]] mirrors it. */
+    * components. The kernel is the [[org.apache.spark.sql.graft.GramMoments]]
+    * per-partition Gram accumulator — each vector is walked ONCE with a
+    * flat multiply-add into a Long/BigInt triangle array (the old
+    * posexplode × slice-posexplode plan fanned every vector out to
+    * d(d+1)/2 ROWS, a ~2,000× arithmetic-row constant at d = 64), so
+    * the exchange carries one d²-bounded buffer per partition and the
+    * per-vector cost is the arithmetic lower bound. Null/empty vectors
+    * contribute nothing (the old posexplode semantics); ragged dims
+    * fail loudly. Persisted — [[covarianceMatrix]] reads it twice
+    * (matrix + diagonal) and [[principalComponent]] mirrors it. */
   private def coMoments(embs: DataFrame): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val d = asDouble(col("embedding"))
-    val pairs = embs
-      .select(posexplode(d).as(Seq("i", "xi")), d.as("_emb"))
-      .select(col("i"),
-        round(col("xi") * 1e6).cast("long").as("xi"),
-        posexplode(expr("slice(_emb, i + 1, size(_emb) - i)"))
-          .as(Seq("_jr", "xj")))
-      .select(col("i").cast("long").as("i"),
-        (col("i") + col("_jr")).cast("long").as("j"),
-        col("xi"), round(col("xj") * 1e6).cast("long").as("xj"))
-    graft.Caching.persist(pairs
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(dec(col("xi"))).as("_sx"),
-        sum(dec(col("xj"))).as("_sy"),
-        sum(dec(col("xi")) * dec(col("xj"))).as("_sxy"))
-      .withColumn("_com",
-        dec(col("n_vecs")) * col("_sxy") - col("_sx") * col("_sy")))
+    import org.apache.spark.sql.graft.GramFunctions.gramMoments
+    val e = col("embedding")
+    val xq = transform(asDouble(e), x => round(x * lit(1e6)).cast("long"))
+    graft.Caching.persist(embs
+      .where(e.isNotNull && size(e) > 0)
+      .select(gramMoments(xq).as("_g"))
+      .select(explode(col("_g")).as("_r"))
+      .select(col("_r.i").as("i"), col("_r.j").as("j"),
+        col("_r.n_vecs").as("n_vecs"), col("_r._sx").as("_sx"),
+        col("_r._sy").as("_sy"), col("_r._sxy").as("_sxy"),
+        col("_r._com").as("_com")))
   }
 
   /**

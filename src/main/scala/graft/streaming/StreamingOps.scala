@@ -1110,9 +1110,7 @@ object StreamingOps {
    * Streaming KL-NOVELTY screen — the row-local twin of
    * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
    * is scored against the FROZEN reference unigram distribution,
-   * resolved ONCE at plan time into a map literal (the scoreRowLocal
-   * recipe — the collect is bounded by the reference VOCABULARY, the
-   * NB-model kind of state, not data-sized). Stateless: no state
+   * resolved ONCE at plan time into a map literal. Stateless: no state
    * store, no shuffle, no per-batch joins; per-row cost is
    * O(distinct·len) over the token array. Values are EXACT — same
    * micro-nat quantization, same operation order — so StreamingSpec
@@ -1120,13 +1118,37 @@ object StreamingOps {
    * refresh = restart with a re-derived map (the blue/green shape).
    * Unlike the batch tier, EVERY arrival emits a row (a token-less
    * doc scores 0/0/0) — an ingest audit covers everything it saw.
+   *
+   * MODEL BOUND: a raw unigram vocabulary is corpus-shaped (10⁸+ terms
+   * at web scale), so collecting it whole would make the plan literal
+   * — and every task's copy of it — a driver/GC bottleneck. The
+   * collect is therefore HARD-BOUNDED to the `maxModelTerms`
+   * highest-mass terms (ties broken by term — deterministic on both
+   * engines; the retrieval is a TakeOrdered, never a global sort).
+   * Terms pruned from the model are treated exactly like terms the
+   * history never saw — q150's unseen-mass convention: excluded from
+   * the KL sum, counted in `n_unseen` — and the denominator `ctot`
+   * stays the FULL history token total (a 1-row aggregate, no
+   * vocabulary collect), so every kept term's contribution is
+   * IDENTICAL at any bound; only the head/tail split moves. Plan-time
+   * state is O(maxModelTerms) — the NB-model bounded-collect class by
+   * construction, not by hope.
    */
-  def klScreen(docs: DataFrame, historyDocs: DataFrame): DataFrame = {
+  def klScreen(
+      docs: DataFrame,
+      historyDocs: DataFrame,
+      maxModelTerms: Int = 1 << 20): DataFrame = {
     import graft.operators.Dedup
-    val hist = Dedup.termWeights(historyDocs)
+    require(maxModelTerms > 0, s"maxModelTerms must be positive, got $maxModelTerms")
+    val histCtf = Dedup.termWeights(historyDocs)
       .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val ctot = histCtf
+      .agg(coalesce(sum(col("ctf")), lit(0L)).as("t"))
+      .collect()(0).getLong(0).toDouble
+    val hist = histCtf
+      .orderBy(col("ctf").desc, col("term"))
+      .limit(maxModelTerms)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val ctot = hist.map(_._2).sum.toDouble
     val ctfLit = typedLit(hist.toMap)
     val toks = Dedup.tokensCol(col("line"))
     val tot = size(toks).cast("long")

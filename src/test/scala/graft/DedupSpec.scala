@@ -612,6 +612,25 @@ class DedupSpec extends SparkSpec {
       .map(_.head) shouldBe Seq("x#0", "x#1", "x#2", "y#0")
   }
 
+  test("weightedElems clips the per-term fan-out at tfCap (truncated weighted jaccard)") {
+    val s = spark
+    import s.implicits._
+    // an adversarial hot-tf doc: one term repeated 1000× expands to
+    // exactly tfCap copies, not 1000 — the per-row bound no bucket
+    // guard downstream could provide
+    val hot = Seq(("spam", Seq.fill(1000)("x").mkString(" "))).toDF("doc", "line")
+    val tf = Dedup.termWeights(hot)
+    Dedup.weightedElems(tf).count() shouldBe Dedup.MaxElemTf
+    Dedup.weightedElems(tf, tfCap = 7L).count() shouldBe 7L
+    // below the cap, expansion is exact — the reduction semantics the
+    // tier rests on are untouched for natural text
+    val nat = Dedup.termWeights(corpus("a" -> "x x x y"))
+    rowsOf(Dedup.weightedElems(nat).select(col("shingle")))
+      .map(_.head).sorted shouldBe Seq("x#0", "x#1", "x#2", "y#0")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.weightedElems(tf, tfCap = 0L)
+  }
+
   test("weighted jaccard dense and sparse routes agree exactly") {
     val cor = corpus(
       "a" -> "x x x y",

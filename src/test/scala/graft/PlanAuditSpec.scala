@@ -334,6 +334,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q188's co-moment kernel is the Gram aggregate, not a posexplode fan-out") {
+    // The covariance/PCA family's kernel contract: each vector is
+    // walked ONCE by the typed Gram accumulator — the old plan fanned
+    // every vector out to d(d+1)/2 rows (2,080× at d = 64) through
+    // posexplode × slice-posexplode before partial aggregation.
+    // Only q188's plan is lazy through the kernel — the PCA queries
+    // (q196/q199/q208) collect the dimension-bounded co-moments at
+    // construction time for the driver eigensolve, so their final
+    // plans are a LocalTableScan / projection with no aggregate to pin.
+    val plan = SparkEntry.queries("q188_embedding_covariance")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    withClue(s"q188 plan:\n$plan\n") {
+      plan should include ("graft_gram_moments")
+      plan should not include "posexplode"
+    }
+  }
+
   test("q40b's bloom probe is pushed into the parquet scan, not a post-join filter") {
     val plan = SparkEntry.queries("q40b_dedup_bloom")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

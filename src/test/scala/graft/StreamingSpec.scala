@@ -982,6 +982,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("klScreen's bounded model treats pruned tail terms as unseen mass") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // history masses: x=4, y=2, z=1, ctot=7. maxModelTerms=2 keeps
+    // {x:4, y:2} (top mass, term tie-break) and prunes z — which must
+    // then score exactly like a never-seen term (q150's unseen-mass
+    // convention), while kept terms keep their FULL-ctot q values.
+    val hist = Seq(("h", "x x x x y y z")).toDF("doc", "line")
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.klScreen(
+        input.toDF().toDF("doc", "line"), hist, maxModelTerms = 2)
+      .writeStream.format("memory").queryName("klscreen_bounded")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(("a", "x y z z"))
+      q.processAllAvailable()
+      val got = spark.table("klscreen_bounded").collect()
+        .map(r => r.getAs[String]("doc") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unseen"),
+            r.getAs[Long]("kl_unats")))).toMap
+      // the batch twin over the SAME bounded model: history with z's
+      // rows deleted from the vocabulary but its mass still in ctot —
+      // equivalently, klNoveltyAgainst where z is a genuinely-unseen
+      // term and x/y keep q = 4/7 and 2/7. Hand-fold:
+      //   p_x = 1/4, c_x = floor(1e6 · ¼·ln((1/4)/(4/7)))
+      //   p_y = 1/4, c_y = floor(1e6 · ¼·ln((1/4)/(2/7)))
+      //   z: 2 tokens of unseen mass
+      def c(p: Double, q0: Double): Long =
+        math.floor(p * math.log(p / q0) * 1e6).toLong
+      val expectKl = c(0.25, 4.0 / 7.0) + c(0.25, 2.0 / 7.0)
+      got("a") shouldBe ((4L, 2L, expectKl))
+    } finally q.stop()
+  }
+
   test("ewmaStream equals the batch EWMA on in-order replays; late rows drop") {
     val s = spark
     import s.implicits._

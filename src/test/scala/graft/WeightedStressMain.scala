@@ -84,6 +84,20 @@ object WeightedStressMain {
     println(f"BANDED_RECALL: ${nBanded.toDouble / nBrute}%.4f")
     require(nBanded <= nBrute && nBanded >= nGroups - 19,
       s"banded recall off the designed curve: $nBanded of $nBrute")
+
+    // HOT-TF ADVERSARIAL BOUND (the truncated-weighted-Jaccard clip):
+    // one doc with a single term repeated 10⁶× must expand to
+    // MaxElemTf copies, not 10⁶ — the fan-out bound lives AT the
+    // expansion, before any signature or bucket guard runs.
+    val hot = spark.range(1).select(lit("hot").as("doc"),
+      concat_ws(" ", transform(sequence(lit(1), lit(1000000)),
+        _ => lit("x"))).as("line"))
+    t0 = System.nanoTime()
+    val hotRows = Dedup.weightedElems(Dedup.termWeights(hot)).count()
+    val tHot = (System.nanoTime() - t0) / 1e9
+    println(f"HOT_TF_ELEMS (tf=1e6): $hotRows rows in $tHot%.1f s")
+    require(hotRows == Dedup.MaxElemTf,
+      s"hot-tf fan-out not clipped: $hotRows rows")
     spark.stop()
   }
 }
