@@ -54,6 +54,32 @@ object Caching {
     * memory immediately (the new iteration's frame stays registered). */
   def release(df: DataFrame): Unit = df.unpersist(blocking = false)
 
+  /** Is a [[scoped]] block open on this thread? */
+  def hasScope: Boolean = scopes.get().nonEmpty
+
+  /** Loud form of the scoped-only contract: an operator whose cache
+    * lifecycle CANNOT be self-contained (an iterative lineage whose
+    * persists must outlive the method and be released only after the
+    * caller's action) calls this instead of documenting-and-hoping.
+    * Leaking N vocabulary-scale frames per call is a scale bug a
+    * caller will not notice locally; failing at construction is the
+    * API-level assert the contract needs. */
+  def requireScope(op: String): Unit =
+    if (!hasScope) throw new IllegalStateException(
+      s"$op registers iteration caches that only a Caching.scoped block " +
+        "can release — wrap the consuming action in graft.Caching.scoped { ... }")
+
+  /** Register an ALREADY-persisted frame with the innermost open scope
+    * (for operators that must materialize a frame before deciding it
+    * outlives the method). No-op with no scope open. */
+  def adopt(df: DataFrame): DataFrame = {
+    scopes.get() match {
+      case head :: _ => head += df
+      case Nil       =>
+    }
+    df
+  }
+
   /** Run `body` (typically plan construction PLUS the action consuming
     * it) and unpersist every operator-internal frame persisted during
     * it. Returns `body`'s result. */

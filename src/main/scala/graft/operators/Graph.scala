@@ -42,26 +42,40 @@ object Graph {
    * micro units make that ≤ ~1e-5 relative, invisible next to the
    * round-6 contracts elsewhere and irrelevant to ordering.
    *
-   * Scale shape: the edge list (src, dst, deg) is built once,
-   * pre-partitioned by src, and persisted — each of the `iters` rounds
-   * shuffles only the (term, rank) pair frame (16 B values) into that
-   * partitioning, then one (dst)-keyed partial-agg exchange. State is
-   * O(V + E) on executors, per-round cost two exchanges of
-   * vocabulary-scale rows — corpus rows are touched exactly once, in
-   * the pair scan. Iteration count is FIXED (PageRank needs a fixed
-   * point only approximately; 10 damped rounds is the conventional
-   * truncation), so no convergence detection job is needed.
+   * Scale shape — TWO TIERS, auto-selected on the MEASURED edge count
+   * (the q5d radar precedent; both tiers run the identical integer
+   * recurrence, so the selection is answer-invisible by construction):
    *
-   * CACHE LIFECYCLE CONTRACT: run the CONSUMING ACTION inside
-   * [[graft.Caching.scoped]]. The loop registers one lazy cache point
-   * per round (that is what keeps planning linear and the whole chain
-   * a single job), and — because nothing materializes until the
-   * caller's action — no round can be released from inside this
-   * method; the scope is the release point. Outside a scope the
-   * `iters` vocabulary-scale rank frames stay persisted for the
-   * session (the plain `df.persist` contract), which is a leak at
-   * scale. `queries()` and Bench both satisfy this; a new call site
-   * must too.
+   *  - DRIVER tier (E ≤ driverMaxEdges): the pruned co-occurrence
+   *    graph collects and the 10 rounds run as driver Long loops. The
+   *    collect is bounded by the GATE, not by data — past it the
+   *    distributed tier runs — which puts it in the PQ-codebook /
+   *    NB-model bounded-collect class. This exists because the
+   *    distributed loop's cost at small E is pure per-round JOB
+   *    overhead: the sf0.1 graph is 930 edges, yet 10 rounds × 2
+   *    exchanges of it cost ~4.6 s of scheduling for microseconds of
+   *    arithmetic (GraphProfileMain, BASELINE.md round-7).
+   *  - DISTRIBUTED tier (E > driverMaxEdges): the edge list
+   *    (src, dst, deg) is built once, pre-partitioned by src, and
+   *    persisted — each of the `iters` rounds shuffles only the
+   *    (term, rank) pair frame (16 B values) into that partitioning,
+   *    then one (dst)-keyed partial-agg exchange. State is O(V + E)
+   *    on executors, per-round cost two exchanges of vocabulary-scale
+   *    rows — corpus rows are touched exactly once, in the pair scan.
+   *
+   * Iteration count is FIXED (PageRank needs a fixed point only
+   * approximately; 10 damped rounds is the conventional truncation),
+   * so no convergence detection job is needed in either tier.
+   *
+   * CACHE LIFECYCLE CONTRACT: the DISTRIBUTED tier registers one lazy
+   * cache point per round (that is what keeps planning linear and the
+   * whole chain a single job), and — because nothing materializes
+   * until the caller's action — no round can be released from inside
+   * this method; the scope is the release point. That tier therefore
+   * FAILS LOUDLY at construction unless a [[graft.Caching.scoped]]
+   * block is open (the API-level assert, round-7; CachingSpec pins
+   * it). The driver tier is self-contained — its one probe persist is
+   * released before returning — and needs no scope.
    *
    * @return (term, rank_micro) for every node of the graph
    */
@@ -69,11 +83,14 @@ object Graph {
       docs: DataFrame,
       window: Int = 2,
       minCount: Int = 2,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(iters >= 1 && iters <= 100,
       s"iters must be in [1,100], got $iters")
+    require(driverMaxEdges >= 0,
+      s"driverMaxEdges must be >= 0, got $driverMaxEdges")
     val pc = TextAnalysis.cooccurrencePairs(docs, window)
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount && col("t1") =!= col("t2"))
@@ -82,33 +99,80 @@ object Graph {
     val edges = pc.select(col("t1").as("src"), col("t2").as("dst"))
       .union(pc.select(col("t2").as("src"), col("t1").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = graft.Caching.persist(
-      edges.join(deg, Seq("src")).repartition(col("src")))
-    var ranks = graft.Caching.persist(
-      deg.select(col("src").as("term"), lit(1000000L).as("r")))
-    // Fixed iteration count ⇒ no per-round convergence check is needed,
-    // so NOTHING materializes inside the loop: each round's persist
-    // marks the frame for caching and the single consuming action
-    // computes all rounds in ONE job (2·iters chained stages), caches
-    // filling as it goes — still linear lineage (each round reads the
-    // previous round's cache point, never its expanded plan), without
-    // the iters extra count() jobs whose scheduling overhead dominated
-    // the measured wall-clock. Memory holds iters vocabulary-scale rank
-    // frames until the consumer finishes; Caching.scoped releases them
-    // (the converged-dedup tiers keep the materialize-and-release loop
-    // because they READ a per-round change count — PageRank doesn't).
-    for (_ <- 1 to iters) {
-      val next = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("term"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("term"),
-          expr("150000L + (85 * s) div 100").as("r"))
-      ranks = graft.Caching.persist(next)
+    // materialize once to read the tier radar (the edge count); both
+    // tiers consume this frame
+    val edgesDeg = edges.join(deg, Seq("src")).repartition(col("src")).persist()
+    val e = edgesDeg.count()
+    if (e <= driverMaxEdges) {
+      val rows = edgesDeg.select(col("src"), col("dst"), col("deg")).collect()
+      edgesDeg.unpersist(blocking = false)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      if (rows.isEmpty) return Seq.empty[(String, Long)].toDF("term", "rank_micro")
+      val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      def idOf(t: String): Int = idx.getOrElseUpdate(t, idx.size)
+      val srcIds = new Array[Int](rows.length)
+      val dstIds = new Array[Int](rows.length)
+      val degOf = new Array[Long](rows.length)
+      var k = 0
+      while (k < rows.length) {
+        srcIds(k) = idOf(rows(k).getString(0))
+        dstIds(k) = idOf(rows(k).getString(1))
+        degOf(k) = rows(k).getLong(2)
+        k += 1
+      }
+      val v = idx.size
+      var r = Array.fill(v)(1000000L)
+      for (_ <- 1 to iters) {
+        // the EXACT distributed recurrence: Long floor division on
+        // positive operands = Spark's `div`, contributions summed per
+        // dst, then r' = 150000 + (85·s) div 100
+        val s = new Array[Long](v)
+        var i = 0
+        while (i < rows.length) {
+          s(dstIds(i)) += r(srcIds(i)) / degOf(i)
+          i += 1
+        }
+        r = s.map(x => 150000L + 85L * x / 100L)
+      }
+      idx.iterator.map { case (t, i) => (t, r(i)) }.toSeq
+        .toDF("term", "rank_micro")
+    } else {
+      graft.Caching.requireScope("Graph.termPageRank (distributed tier)")
+      graft.Caching.adopt(edgesDeg)
+      var ranks = graft.Caching.persist(
+        deg.select(col("src").as("term"), lit(1000000L).as("r")))
+      // Fixed iteration count ⇒ no per-round convergence check is
+      // needed, so NOTHING materializes inside the loop: each round's
+      // persist marks the frame for caching and the single consuming
+      // action computes all rounds in ONE job (2·iters chained
+      // stages), caches filling as they go — still linear lineage
+      // (each round reads the previous round's cache point, never its
+      // expanded plan), without the iters extra count() jobs whose
+      // scheduling overhead dominated the measured wall-clock. Memory
+      // holds iters vocabulary-scale rank frames until the consumer
+      // finishes; the required Caching scope releases them (the
+      // converged-dedup tiers keep the materialize-and-release loop
+      // because they READ a per-round change count — PageRank doesn't).
+      for (_ <- 1 to iters) {
+        val next = edgesDeg
+          .join(ranks, edgesDeg("src") === ranks("term"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("dst").as("term"),
+            expr("150000L + (85 * s) div 100").as("r"))
+        ranks = graft.Caching.persist(next)
+      }
+      ranks.select(col("term"), col("r").as("rank_micro"))
     }
-    ranks.select(col("term"), col("r").as("rank_micro"))
   }
+
+  /** Edge-count gate for [[termPageRank]]'s driver tier: below it the
+    * 10-round loop is per-round job overhead on a tiny frame and runs
+    * as driver Long arithmetic; above it the distributed loop runs.
+    * The collect this admits is bounded by the gate itself. */
+  val DriverMaxEdges: Long = 1L << 17
 
   /**
    * TRIANGLE participation counts over the same windowed co-occurrence

@@ -54,7 +54,8 @@ class CachingSpec extends SparkSpec {
           verifyViaArrays = true).collect()
         Dedup.editDistancePairs(docs, maxRatio = 0.3).collect()
         graft.operators.Graph.triangleCounts(docs, minCount = 1).collect()
-        graft.operators.Graph.termPageRank(docs, minCount = 1, iters = 3)
+        graft.operators.Graph.termPageRank(docs, minCount = 1, iters = 3,
+          driverMaxEdges = 0L) // force the tier with iteration caches
           .collect()
       }
     } shouldBe empty

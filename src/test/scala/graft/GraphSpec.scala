@@ -119,11 +119,32 @@ class GraphSpec extends SparkSpec {
 
   test("termPageRank leaves no cached state behind under Caching.scoped") {
     // snapshot-diff: earlier unscoped tests legitimately left session
-    // cache behind (the legacy caller-owns-cache contract)
+    // cache behind (the legacy caller-owns-cache contract).
+    // driverMaxEdges = 0 forces the DISTRIBUTED tier — the one with
+    // iteration caches to leak.
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Caching.scoped {
-      Graph.termPageRank(starCorpus, iters = 3).collect()
+      Graph.termPageRank(starCorpus, iters = 3, driverMaxEdges = 0L).collect()
     }
     (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before) shouldBe empty
+  }
+
+  test("termPageRank driver and distributed tiers are bit-identical") {
+    val drv = Graph.termPageRank(starCorpus, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = Caching.scoped {
+      Graph.termPageRank(starCorpus, iters = 10, driverMaxEdges = 0L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    drv shouldBe dist
+  }
+
+  test("termPageRank's distributed tier fails loudly outside Caching.scoped") {
+    // the round-7 API-level cache-contract assert: the tier whose
+    // iteration caches only a scope can release must refuse to
+    // construct a leaking plan
+    val ex = the[IllegalStateException] thrownBy
+      Graph.termPageRank(starCorpus, iters = 3, driverMaxEdges = 0L)
+    ex.getMessage should include ("Caching.scoped")
   }
 }
