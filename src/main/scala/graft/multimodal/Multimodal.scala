@@ -184,6 +184,12 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
+      // the q144 oracle computes value_sum as the UNWRAPPED
+      // 200·(Σord − 110·len); codepoints ≥ 274 would wrap the int16
+      // here and silently diverge — fail loudly instead (the corpus
+      // contract is [a-z ]; anything else is a fixture bug)
+      require(text.charAt(i) < 274,
+        s"encodeWav: codepoint ${text.charAt(i).toInt} overflows int16")
       bb.putShort(((text.charAt(i) - 110) * 200).toShort)
       i += 1
     }
@@ -285,6 +291,11 @@ object Multimodal {
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval == 255, s"asset $id: unsupported PPM maxval $maxval")
+    // bound BEFORE the raster-size multiply: absurd header digits could
+    // overflow w·h·3 to a negative n, turning the truncation require
+    // into a silent pass (2³⁰ each keeps the product < 2⁶²)
+    require(w > 0 && h > 0 && w <= (1L << 30) && h <= (1L << 30),
+      s"asset $id: corrupt PPM dimensions ${w}x$h")
     pos += 1 // the single whitespace after maxval
     val n = w * h * 3
     require(b.length - pos >= n, s"asset $id: truncated PPM raster")
@@ -308,6 +319,12 @@ object Multimodal {
     var nSamples = 0L; var sum = 0L; var sawData = false
     while (pos + 8 <= b.length) {
       val id4 = tag(pos); val size = le32(pos + 4); pos += 8
+      // validate BEFORE processing/advancing: a chunk size ≥ 2³¹ reads
+      // as a negative Int and would walk pos BACKWARDS forever (the
+      // loop guard stays true), and an oversized size would index past
+      // the buffer — both must fail loudly, not hang or throw raw AIOOBE
+      require(size >= 0 && pos + size <= b.length,
+        s"asset $id: corrupt/truncated $id4 chunk (size $size at ${pos - 8})")
       id4 match {
         case "fmt " =>
           require(le16(pos) == 1, s"asset $id: non-PCM WAV")

@@ -124,6 +124,37 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeOne(2L, "P6\n4 1\n255\n__".getBytes("US-ASCII"))
   }
 
+  test("corrupt chunk sizes fail loudly instead of hanging or indexing out") {
+    // a RIFF chunk whose size reads as a NEGATIVE Int (0x80000000) used
+    // to walk pos backwards forever: the 'fails loudly' contract must
+    // catch it before the chunk is processed
+    val neg = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    neg.put("RIFF".getBytes("US-ASCII")).putInt(16)
+    neg.put("WAVE".getBytes("US-ASCII"))
+    neg.put("junk".getBytes("US-ASCII")).putInt(0x80000000)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(3L, neg.array())
+    // an oversized data chunk must require-fail, not raw-AIOOBE
+    val over = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    over.put("RIFF".getBytes("US-ASCII")).putInt(40)
+    over.put("WAVE".getBytes("US-ASCII"))
+    over.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    over.put("data".getBytes("US-ASCII")).putInt(9999)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(4L, over.array())
+    // absurd PPM header digits must fail the dimension bound, not
+    // overflow the raster size into a silent negative-n pass
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(5L,
+        "P6\n99999999999 99999999999\n255\n".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(6L, "P6\n0 4\n255\n".getBytes("US-ASCII"))
+  }
+
   test("decodeMedia is stable across the byte-budget repartition") {
     val docs = corpus("0" -> "abc", "1" -> "ab", "2" -> "abcdefghijklmnop")
     val enc = Multimodal.encodeAssets(docs)
