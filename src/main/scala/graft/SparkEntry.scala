@@ -1635,6 +1635,18 @@ object SparkEntry {
           k = 5, stride = 50, iters = 2)
         .orderBy(col("cell"), col("rk"))),
 
+    // Daily-ingest bookend COMPOSITION: q40b exact screen → q52
+    // near-dup screen → q91 split inherit as ONE lazy plan over shared
+    // shingle/band derivations — the per-delta-doc decision log.
+    "q210_daily_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .dailyIngest(d.where(col("doc") >= 250), d.where(col("doc") < 250))
+        .select(col("doc").as("doc_id"), col("stage"), col("anchor"),
+          col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact duplicated-substring removal (ExactSubstr, Lee et al. 2022):
     // all-but-first occurrences of duplicated 8-token spans removed
     // corpus-wide, text rebuilt from the surviving tokens.
@@ -5357,6 +5369,75 @@ object SparkEntry {
          |            ORDER BY score DESC, term)::BIGINT AS rk
          |  FROM sc)
          |WHERE rk <= 5 ORDER BY cell, rk""".stripMargin,
+
+    // The composed daily-ingest decision log: q40b's NOT IN screen,
+    // q52's banded+verified near-dup (min anchor), q91's split-inherit
+    // CTEs over the kept survivors — the same builders, one statement.
+    "q210_daily_ingest" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id >= 250
+         |    AND md5(text) NOT IN
+         |        (SELECT md5(text) FROM documents WHERE doc_id < 250)),
+         |${shingleCtesFrom("(SELECT * FROM documents WHERE doc_id < 250)")},
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |${shingleCtesSfx("surv", "_n")},
+         |${minhashSigCteSfx("_n")},
+         |bands_n AS (${minhashBandsSqlSfx("_n")}),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS hist_id
+         |  FROM bands_n a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |inter AS (
+         |  SELECT c.doc_id, c.hist_id, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh_n a ON a.doc_id = c.doc_id
+         |  JOIN sh b ON b.doc_id = c.hist_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT it.doc_id, min(it.hist_id) AS nd_anchor
+         |  FROM inter it
+         |  JOIN sz_n x ON it.doc_id = x.doc_id
+         |  JOIN sz y ON it.hist_id = y.doc_id
+         |  WHERE it.i * 1.0 / (x.sz + y.sz - it.i) >= 0.5
+         |  GROUP BY 1),
+         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
+         |${minLabelIterSql(3)},
+         |${splitAssignCtes("(SELECT doc_id FROM documents WHERE doc_id < 250)")},
+         |kept AS (
+         |  SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+         |anc AS (
+         |  SELECT a.doc_id, min(b.doc_id) AS anchor
+         |  FROM bands_n a JOIN kept k ON a.doc_id = k.doc_id
+         |  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val
+         |  GROUP BY 1),
+         |nsp AS (
+         |  SELECT k.doc_id, anc.anchor,
+         |         coalesce(h.split,
+         |           CASE WHEN (${duckMd5Bucket("'split:' || k.doc_id")}) < 100000
+         |                THEN 'val' ELSE 'train' END) AS split
+         |  FROM kept k
+         |  LEFT JOIN anc ON anc.doc_id = k.doc_id
+         |  LEFT JOIN sp h ON h.doc_id = anc.anchor)
+         |SELECT d.doc_id,
+         |       CASE WHEN s.doc_id IS NULL THEN 'dropped_exact'
+         |            WHEN nd.doc_id IS NOT NULL THEN 'dropped_near_dup'
+         |            ELSE 'kept' END AS stage,
+         |       CASE WHEN nd.doc_id IS NOT NULL THEN nd.nd_anchor
+         |            ELSE nsp.anchor END AS anchor,
+         |       nsp.split AS split
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |LEFT JOIN surv s ON s.doc_id = d.doc_id
+         |LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |LEFT JOIN nsp ON nsp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q54_kmeans" ->
       s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},

@@ -441,14 +441,21 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      maxBucketSize: Int = MaxPairBucket): DataFrame = {
+      maxBucketSize: Int = MaxPairBucket,
+      precomputedNewShingles: Option[DataFrame] = None,
+      precomputedHistShingles: Option[DataFrame] = None,
+      precomputedNewBands: Option[DataFrame] = None,
+      precomputedHistBands: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
-    val shNew = graft.Caching.persist(shingles(newDocs, n))
-    val shHist = graft.Caching.persist(shingles(historyDocs, n))
-    val bNew = lshBands(minhashSignatures(shNew, numHashes), numHashes, rowsPerBand)
-    val bHist = graft.Caching.persist(
-      lshBands(minhashSignatures(shHist, numHashes), numHashes, rowsPerBand))
+    val shNew = precomputedNewShingles.getOrElse(
+      graft.Caching.persist(shingles(newDocs, n)))
+    val shHist = precomputedHistShingles.getOrElse(
+      graft.Caching.persist(shingles(historyDocs, n)))
+    val bNew = precomputedNewBands.getOrElse(
+      lshBands(minhashSignatures(shNew, numHashes), numHashes, rowsPerBand))
+    val bHist = precomputedHistBands.getOrElse(graft.Caching.persist(
+      lshBands(minhashSignatures(shHist, numHashes), numHashes, rowsPerBand)))
     val okBuckets = bHist
       .groupBy(col("band"), col("band_val"))
       .agg(count(lit(1)).as("bucket_n"))

@@ -1666,4 +1666,92 @@ object Pipeline {
         explode(sequence(lit(1L), col("n_copies"))).as("copy"),
         col(groupCol), col("n_tokens"), col("n_copies"))
   }
+
+  /**
+   * DAILY-INGEST bookend COMPOSITION — the incremental operators the
+   * tier ships separately (q40b exact screen → q52 near-dup screen →
+   * q91 split inherit), run as ONE lazy plan over a shared shingle /
+   * band derivation: the per-delta-doc DECISION LOG every arriving
+   * document gets exactly one row of.
+   *
+   *  - `dropped_exact`: the doc's md5 text fingerprint already exists
+   *    in history ([[Dedup.exactDedupAgainstBloom]] semantics — Bloom
+   *    pre-screen riding the scan, exact anti-join confirm).
+   *  - `dropped_near_dup`: it survived the exact screen but matches a
+   *    history doc at Jaccard ≥ `nearDupThreshold`
+   *    ([[Dedup.minhashNearDupsAgainst]]); `anchor` = its smallest
+   *    matched history doc.
+   *  - `kept`: admitted; `split` is inherited from the anchor's history
+   *    split (or the own-id permille hash when nothing matched —
+   *    [[Dedup.leakageSafeSplitAgainst]] verbatim), `anchor` = the
+   *    split anchor (null for fresh singletons).
+   *
+   * The point is the SHARED derivation: history shingles/bands build
+   * ONCE and serve the near-dup guard, the candidate join, and the
+   * split anchors; survivor shingles/bands build once and serve the
+   * near-dup verify and (filtered to kept docs) the split probe — the
+   * three stages compose without re-reading either corpus. The ANN
+   * index append (q100) composes the same way on the embeddings side
+   * and the data-card merge (q166) over the kept set; both are
+   * exercised by their own oracle rows.
+   *
+   * Scale shape: delta ⋈ static history everywhere, never a self-join;
+   * the hot-bucket guard bounds history buckets before every candidate
+   * join; all exchanges carry shingle/band/pair rows. When
+   * `historySplits` is None the history split is fitted here from the
+   * same persisted history bands (the self-contained daily job);
+   * production passes the persisted assignment.
+   *
+   * @param newDocs (doc, line) — the arriving delta
+   * @param historyDocs (doc, line) — the static history
+   * @param historySplits optional (doc, split) over history
+   * @return one row per delta doc: (doc, stage, anchor, split)
+   */
+  def dailyIngest(
+      newDocs: DataFrame,
+      historyDocs: DataFrame,
+      historySplits: Option[DataFrame] = None,
+      nearDupThreshold: Double = 0.5,
+      valPerMille: Int = 100,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val hist = graft.Caching.persist(historyDocs.select(col("doc"), col("line")))
+    val survivors = graft.Caching.persist(
+      Dedup.exactDedupAgainstBloom(newDocs.select(col("doc"), col("line")), hist))
+    val shNew = graft.Caching.persist(Dedup.shingles(survivors, n))
+    val shHist = graft.Caching.persist(Dedup.shingles(hist, n))
+    val bNew = graft.Caching.persist(Dedup.lshBands(
+      Dedup.minhashSignatures(shNew, numHashes), numHashes, rowsPerBand))
+    val bHist = graft.Caching.persist(Dedup.lshBands(
+      Dedup.minhashSignatures(shHist, numHashes), numHashes, rowsPerBand))
+    val nd = Dedup.minhashNearDupsAgainst(survivors, hist,
+        n, numHashes, rowsPerBand, nearDupThreshold,
+        precomputedNewShingles = Some(shNew),
+        precomputedHistShingles = Some(shHist),
+        precomputedNewBands = Some(bNew),
+        precomputedHistBands = Some(bHist))
+      .groupBy(col("doc")).agg(min(col("hist_doc")).as("nd_anchor"))
+    val kept = survivors.join(nd, Seq("doc"), "left_anti")
+    val hsp = historySplits.getOrElse(
+      Dedup.leakageSafeSplit(hist, valPerMille, n, numHashes, rowsPerBand,
+        precomputedBands = Some(bHist)).select(col("doc"), col("split")))
+    val sp = Dedup.leakageSafeSplitAgainst(kept, hist, hsp, valPerMille,
+      n, numHashes, rowsPerBand,
+      precomputedNewBands = Some(bNew), // superset of kept: the split's
+                                        // own left join drops the rest
+      precomputedHistBands = Some(bHist))
+    newDocs.select(col("doc"))
+      .join(survivors.select(col("doc"), lit(true).as("_surv")), Seq("doc"), "left")
+      .join(nd, Seq("doc"), "left")
+      .join(sp.select(col("doc"), col("anchor"), col("split")), Seq("doc"), "left")
+      .select(col("doc"),
+        when(col("_surv").isNull, lit("dropped_exact"))
+          .when(col("nd_anchor").isNotNull, lit("dropped_near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("nd_anchor").isNotNull, col("nd_anchor"))
+          .otherwise(when(col("_surv").isNotNull, col("anchor"))).as("anchor"),
+        when(col("_surv").isNotNull && col("nd_anchor").isNull, col("split"))
+          .as("split"))
+  }
 }

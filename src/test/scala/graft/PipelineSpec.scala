@@ -937,4 +937,44 @@ class PipelineSpec extends SparkSpec {
     self.keySet shouldBe own.keySet
     own.foreach { case (d, (n, kl)) => self(d) shouldBe ((n, 0L, kl)) }
   }
+
+  test("dailyIngest: one decision row per delta doc, stages compose the three screens") {
+    val hist = corpus(
+      "h1" -> "the quick brown fox jumps over the lazy dog today",
+      "h2" -> "completely different historical content about spark engines")
+    val hsp = graft.operators.Dedup.leakageSafeSplit(hist, valPerMille = 100)
+      .select(C("doc"), C("split"))
+    val histSplit = hsp.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val delta = corpus(
+      "n1" -> "the quick brown fox jumps over the lazy dog today", // exact dup of h1
+      "n2" -> "the quick brown fox jumps over the lazy dog tonight", // near-dup of h1
+      "n3" -> "entirely novel arrival with its own fresh vocabulary")
+    val got = graft.Caching.scoped {
+      graft.operators.Pipeline.dailyIngest(delta, hist, Some(hsp))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap
+    }
+    got.keySet shouldBe Set("n1", "n2", "n3")
+    got("n1") shouldBe (("dropped_exact", None, None))
+    // n2 shares 8 of its 9 shingles with h1 (J ≈ 0.8 ≥ 0.5): near-dup,
+    // anchored to h1
+    got("n2") shouldBe (("dropped_near_dup", Some("h1"), None))
+    // n3 is kept as a fresh singleton: no anchor, split by the own-id
+    // permille rule — the SAME rule leakageSafeSplitAgainst documents
+    val (st3, an3, sp3) = got("n3")
+    st3 shouldBe "kept"
+    an3 shouldBe None
+    Set("train", "val") should contain (sp3.get)
+    // when historySplits is omitted the operator fits the history split
+    // itself from the shared bands — same decisions
+    val self = graft.Caching.scoped {
+      graft.operators.Pipeline.dailyIngest(delta, hist, None)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap
+    }
+    self shouldBe got
+    histSplit.keySet shouldBe Set("h1", "h2") // the fitted history split covers history
+  }
 }
