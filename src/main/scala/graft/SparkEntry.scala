@@ -1635,6 +1635,33 @@ object SparkEntry {
           k = 5, stride = 50, iters = 2)
         .orderBy(col("cell"), col("rk"))),
 
+    // N-gram overlap F1 over q13's verified near-dup pairs: the
+    // ROUGE-N-shaped MULTISET metric (Σ min counts; f1 via the exact
+    // single-division identity 2·overlap/(tot1+tot2)).
+    "q211_ngram_overlap_f1" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.functions.TextAnalysis
+        .ngramOverlapF1(Dedup.minhashNearDups(d).select(col("d1"), col("d2")),
+          d, n = 2)
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // k-core of the co-occurrence graph: fixed-8-round peel (exact for
+    // any fixture with peel depth <= 8), radar-tiered like q117.
+    "q212_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(docs(s, dir), k = 2)
+        .orderBy(col("term"))),
+
+    // Curriculum schedule: quality-ranked growing epoch pools
+    // (rn·E < e·N integer admission) + the seed-free per-epoch
+    // shuffle key.
+    "q213_curriculum" -> ((s, dir) =>
+      graft.operators.Pipeline.curriculumSchedule(docs(s, dir), epochs = 4)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("epoch"), col("ord"), col("doc_id"))),
+
     // Daily-ingest bookend COMPOSITION: q40b exact screen → q52
     // near-dup screen → q91 split inherit as ONE lazy plan over shared
     // shingle/band derivations — the per-delta-doc decision log.
@@ -5370,6 +5397,94 @@ object SparkEntry {
          |  FROM sc)
          |WHERE rk <= 5 ORDER BY cell, rk""".stripMargin,
 
+    // q13's verified-pair chain + bigram multiset counts; f1 via the
+    // single-division identity — one rounding step per output column.
+    "q211_ngram_overlap_f1" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5),
+         |gtok AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |gc AS (
+         |  SELECT doc_id, gram, count(*)::BIGINT AS c FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(toks)),
+         |                  i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |    FROM gtok WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |gt AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM gc GROUP BY 1),
+         |ov AS (
+         |  SELECT p.d1, p.d2, sum(least(a.c, b.c))::BIGINT AS overlap
+         |  FROM vp p
+         |  JOIN gc a ON a.doc_id = p.d1
+         |  JOIN gc b ON b.doc_id = p.d2 AND b.gram = a.gram
+         |  GROUP BY 1, 2)
+         |SELECT ov.d1, ov.d2, ov.overlap,
+         |       round(ov.overlap * 1.0 / x.tot, 6) AS prec,
+         |       round(ov.overlap * 1.0 / y.tot, 6) AS rec,
+         |       round(2.0 * ov.overlap / (x.tot + y.tot), 6) AS f1
+         |FROM ov JOIN gt x ON ov.d1 = x.doc_id JOIN gt y ON ov.d2 = y.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+
+    // Unrolled 8-round peel over the q117/q39 co-occurrence graph;
+    // MATERIALIZED rounds (each references its predecessor 3×, and
+    // DuckDB CTEs inline by default — exponential re-open otherwise).
+    "q212_kcore" -> kCoreSql(k = 2, window = 2, minCount = 2, rounds = 8),
+
+    // The q18 quality chain ranked (round-6 DESC, doc_id tie-break),
+    // integer pool admission rn·E < e·N, md5 permille shuffle key.
+    "q213_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_tokens,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    round(len(list_filter(toks, x -> x IN (
+         |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+         |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+         |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+         |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+         |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality
+         |  FROM m),
+         |r AS (
+         |  SELECT doc_id, quality,
+         |         (row_number() OVER (ORDER BY quality DESC, doc_id) - 1)::BIGINT AS rn
+         |  FROM q),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM r),
+         |ep AS (SELECT unnest(range(1, 5))::BIGINT AS epoch)
+         |SELECT ep.epoch, r.doc_id, r.quality, r.rn,
+         |       (${duckMd5Bucket("'ep:' || ep.epoch || ':' || r.doc_id")})::BIGINT AS ord
+         |FROM r CROSS JOIN tot CROSS JOIN ep
+         |WHERE r.rn * 4 < ep.epoch * tot.n
+         |ORDER BY epoch, ord, doc_id""".stripMargin,
+
     // The composed daily-ingest decision log: q40b's NOT IN screen,
     // q52's banded+verified near-dup (min anchor), q91's split-inherit
     // CTEs over the kept survivors — the same builders, one statement.
@@ -8419,6 +8534,31 @@ object SparkEntry {
        |$iterCtes
        |SELECT term, r AS rank_micro FROM r$iters
        |ORDER BY rank_micro DESC, term""".stripMargin
+  }
+
+  /** q212 oracle: the unrolled fixed-round k-core peel over the shared
+    * co-occurrence graph CTEs. Every round references its predecessor
+    * three times (degree agg + two endpoint joins), so rounds are
+    * MATERIALIZED — DuckDB inlines CTEs by default and the 8-round
+    * chain would re-open the parquet exponentially otherwise (the q196
+    * oracle's lesson). */
+  private def kCoreSql(k: Int, window: Int, minCount: Int, rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN a$i x ON e.src = x.src
+         |  JOIN a$i y ON e.dst = y.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${coocGraphCtes(window, minCount)},
+       |e0 AS MATERIALIZED (
+       |  SELECT t1 AS src, t2 AS dst FROM pc
+       |  UNION ALL
+       |  SELECT t2 AS src, t1 AS dst FROM pc),
+       |$iter
+       |SELECT src AS term, count(*)::BIGINT AS deg
+       |FROM e$rounds GROUP BY src ORDER BY term""".stripMargin
   }
 
   /** q116 oracle, GENERATED from [[TextAnalysis.EntropyAlphabet]] so

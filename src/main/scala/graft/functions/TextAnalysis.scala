@@ -411,6 +411,61 @@ object TextAnalysis {
   }
 
   /**
+   * N-GRAM OVERLAP F1 for given document pairs — the ROUGE-N-shaped
+   * reference metric over gram MULTISETS: per (d1, d2) pair,
+   * overlap = Σ_g min(c1(g), c2(g)), precision = overlap / |grams(d1)|,
+   * recall = overlap / |grams(d2)|, and F1 via the exact algebraic
+   * identity 2pr/(p+r) = 2·overlap/(tot1+tot2) — ONE division, no
+   * compounding float steps, so the row is engine-exact at round-6 by
+   * construction. The summarization/paraphrase eval harness next to the
+   * set-Jaccard tiers (q12/q146): multiset counts see repetition that
+   * distinct-shingle machinery deliberately ignores.
+   *
+   * Pairs that share no gram are DROPPED (an inner join — the metric is
+   * for candidate pairs, which share by construction; a zero-overlap
+   * pair would emit 0/0/0 noise). Docs shorter than n grams have no
+   * gram rows and likewise drop.
+   *
+   * Scale shape: one (doc, gram) count aggregate over the corpus (the
+   * token-table-sized shuffle the corpus pays anyway), then two
+   * pair-keyed joins bounded by the PAIRS frame — at 100 TB the pairs
+   * come from a banded candidate tier, never all-pairs; this operator
+   * never generates pairs itself.
+   *
+   * @param pairs (d1, d2)
+   * @param docs (doc, line)
+   * @return (d1, d2, overlap, precision, recall, f1) — round-6
+   */
+  def ngramOverlapF1(pairs: DataFrame, docs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"gram size n must be >= 1, got $n")
+    val toks = graft.operators.Dedup.tokensCol(col("line"))
+    val grams = transform(
+      sequence(lit(0), size(col("_toks")) - n),
+      i => array_join(slice(col("_toks"), i + 1, lit(n)), " "))
+    val gc = graft.Caching.persist(docs
+      .select(col("doc"), toks.as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(col("doc"), explode(grams).as("gram"))
+      .groupBy(col("doc"), col("gram")).agg(count(lit(1)).as("c")))
+    val tot = gc.groupBy(col("doc")).agg(sum(col("c")).as("tot"))
+    pairs
+      .join(gc.select(col("doc").as("d1"), col("gram"), col("c").as("c1")), "d1")
+      .join(gc.select(col("doc").as("d2"), col("gram"), col("c").as("c2")),
+        Seq("d2", "gram"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(least(col("c1"), col("c2"))).as("overlap"))
+      .join(tot.select(col("doc").as("d1"), col("tot").as("tot1")), "d1")
+      .join(tot.select(col("doc").as("d2"), col("tot").as("tot2")), "d2")
+      .select(col("d1"), col("d2"), col("overlap"),
+        round(col("overlap").cast("double") / col("tot1").cast("double"), 6)
+          .as("precision"),
+        round(col("overlap").cast("double") / col("tot2").cast("double"), 6)
+          .as("recall"),
+        round(lit(2.0) * col("overlap").cast("double") /
+          (col("tot1") + col("tot2")).cast("double"), 6).as("f1"))
+  }
+
+  /**
    * Document fingerprints: md5 of whitespace-canonicalized text (exact
    * content identity), plus a 64-bit rolling-hash-style fingerprint folded
    * from the first 16 hex digits (cheap join key for dedup at scale).

@@ -215,6 +215,132 @@ object Graph {
 
   /** Canonical undirected co-occurrence edges (t1 < t2, one row per
     * edge) — the shared graph-construction stage of q117/q127. */
+  /**
+   * K-CORE of the term co-occurrence graph — the "dense topical
+   * kernel" extractor: iteratively peel nodes whose CURRENT degree is
+   * below `k` until only nodes with ≥ k surviving neighbors remain.
+   * Stopword hubs survive (high degree); the long tail and weakly
+   * attached bridge terms peel away — the standard graph-density
+   * complement to PageRank's centrality (q117) and the triangle tier's
+   * cliquishness (q127/q191).
+   *
+   * Semantics: a FIXED `rounds` peel (each round removes every node
+   * with degree < k simultaneously), the engine-replayable truncation
+   * convention (q117's fixed iteration count, q182's fixed power
+   * rounds). Truncation can only OVER-include: peeling is monotone, so
+   * nodes removed by round R are never in the true k-core and the
+   * R-round survivor set shrinks to the exact core once R ≥ the
+   * graph's peel depth — GraphSpec pins a depth-2 fixture converging
+   * inside the default. Counts are integers end to end; no rounding
+   * contract at all.
+   *
+   * Scale shape: the same two tiers as [[termPageRank]], radar-gated
+   * on the measured edge count. Driver tier (E ≤ driverMaxEdges):
+   * arrays, with early exit on a fixed point (answer-identical — the
+   * remaining rounds are no-ops by monotonicity). Distributed tier:
+   * per round one degree aggregate + two semi-joins over the
+   * vocabulary-scale edge frame. Lineage discipline differs from the
+   * PageRank loop: a peel round reads its OWN edge frame twice and the
+   * alive frame twice, so lazy cache-chaining still nests the plan
+   * ~4^rounds deep (plan-size blowup, not data blowup — the
+   * star-closure lesson); each round therefore `localCheckpoint`s
+   * eagerly and releases its predecessor, with the same count-based
+   * early exit as the driver tier (peeling only removes, so an equal
+   * edge count IS the fixed point). Self-contained — no Caching scope
+   * needed; only the final round's checkpoint backs the returned frame.
+   *
+   * @return (term, deg) for surviving nodes — deg measured INSIDE the
+   *         surviving subgraph after the final round
+   */
+  def kCore(
+      docs: DataFrame,
+      k: Int,
+      window: Int = 2,
+      minCount: Int = 2,
+      rounds: Int = 8,
+      driverMaxEdges: Long = DriverMaxEdges): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64], got $rounds")
+    require(driverMaxEdges >= 0,
+      s"driverMaxEdges must be >= 0, got $driverMaxEdges")
+    val und = coocEdges(docs, window, minCount)
+    val sym = und.select(col("t1").as("src"), col("t2").as("dst"))
+      .union(und.select(col("t2").as("src"), col("t1").as("dst")))
+      .persist()
+    val e = sym.count()
+    if (e <= driverMaxEdges) {
+      val rows = sym.collect()
+      sym.unpersist(blocking = false)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      if (rows.isEmpty) return Seq.empty[(String, Long)].toDF("term", "deg")
+      val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      def idOf(t: String): Int = idx.getOrElseUpdate(t, idx.size)
+      val srcIds = rows.map(r => idOf(r.getString(0)))
+      val dstIds = rows.map(r => idOf(r.getString(1)))
+      val v = idx.size
+      val alive = Array.fill(v)(true)
+      val deg = new Array[Long](v)
+      var changed = true
+      var round = 0
+      while (round < rounds && changed) {
+        java.util.Arrays.fill(deg, 0L)
+        var i = 0
+        while (i < srcIds.length) {
+          if (alive(srcIds(i)) && alive(dstIds(i))) deg(srcIds(i)) += 1L
+          i += 1
+        }
+        changed = false
+        i = 0
+        while (i < v) {
+          if (alive(i) && deg(i) < k) { alive(i) = false; changed = true }
+          i += 1
+        }
+        round += 1
+      }
+      // final in-core degrees
+      java.util.Arrays.fill(deg, 0L)
+      var i = 0
+      while (i < srcIds.length) {
+        if (alive(srcIds(i)) && alive(dstIds(i))) deg(srcIds(i)) += 1L
+        i += 1
+      }
+      // deg > 0 matches the distributed tier's final groupBy exactly: a
+      // node whose last neighbors died in the final (truncated) round
+      // has no surviving edge rows and is absent there too
+      idx.iterator.collect {
+        case (t, j) if alive(j) && deg(j) > 0 => (t, deg(j))
+      }.toSeq.toDF("term", "deg")
+    } else {
+      import org.apache.spark.sql.graft.CheckpointSupport
+      var edges = sym.localCheckpoint()
+      sym.unpersist(blocking = false)
+      var curCount = e
+      var round = 0
+      var changed = true
+      while (round < rounds && changed) {
+        val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+          .where(col("_d") >= k.toLong).select(col("src"))
+        val next = edges
+          .join(alive, Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        val nextCount = next.count()
+        changed = nextCount != curCount
+        CheckpointSupport.releaseLocalCheckpoint(edges)
+        edges = next
+        curCount = nextCount
+        round += 1
+      }
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("term"), col("deg"))
+    }
+  }
+
   private def coocEdges(docs: DataFrame, window: Int, minCount: Int): DataFrame =
     TextAnalysis.cooccurrencePairs(docs, window)
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cnt"))

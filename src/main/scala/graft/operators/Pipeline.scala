@@ -1668,6 +1668,52 @@ object Pipeline {
   }
 
   /**
+   * CURRICULUM SCHEDULE — easy-to-hard epoch pools (Bengio et al. 2009
+   * "Curriculum Learning"'s staged form): rank the corpus by the q18
+   * quality score (high quality = clean, fluent = "easy" first), then
+   * epoch e of E admits the top ⌈e·N/E⌉ ranks — a growing pool that
+   * reaches the full corpus at the final epoch. Each admitted
+   * (epoch, doc) row carries a deterministic per-epoch shuffle key
+   * (`ord`, the seed-free md5 permille bucket of "ep:e:doc" — the q84
+   * epoch-shuffle family) so consumers get a different, replayable
+   * order every epoch without a global sort.
+   *
+   * Determinism: the rank orders by (round-6 quality DESC, doc) — a
+   * total order over a ROUNDED score, the cross-engine convention —
+   * and pool admission is the exact integer test rn·E < e·N
+   * (equivalent to rn < ⌈e·N/E⌉; no float boundary to disagree on).
+   *
+   * Scale shape: one kernel scan for the score, [[Ranking.withGlobalRank]]
+   * for the rank (range partition + per-partition index — never a
+   * single-task sort), a 1-row count broadcast cross (the q59/q183
+   * threshold pattern), and a ≤ E-per-doc admission fan-out. Output is
+   * Σ_e ⌈eN/E⌉ ≈ N·(E+1)/2 rows — bounded by the epoch count.
+   *
+   * @param docs (doc, line)
+   * @return (epoch 1..E, doc, quality, rn, ord) for admitted pairs
+   */
+  def curriculumSchedule(docs: DataFrame, epochs: Int = 4): DataFrame = {
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs must be in [1,64], got $epochs")
+    val scored = docs.select(col("doc"),
+      graft.functions.TextAnalysis.qualityScoreCol(col("line")).as("quality"))
+    val ranked = Ranking.withGlobalRank(scored,
+      Seq(col("quality").desc, col("doc")), rankCol = "rn",
+      errorHint = "re-run curriculumSchedule, or checkpoint its input")
+    val total = ranked.agg(count(lit(1)).as("_n"))
+    val ord = conv(substring(
+        md5(concat(lit("ep:"), col("epoch").cast("string"),
+          lit(":"), col("doc").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    ranked.crossJoin(broadcast(total))
+      .select(col("doc"), col("quality"), col("rn"), col("_n"),
+        explode(sequence(lit(1L), lit(epochs.toLong))).as("epoch"))
+      .where(col("rn") * lit(epochs.toLong) < col("epoch") * col("_n"))
+      .withColumn("ord", ord)
+      .select(col("epoch"), col("doc"), col("quality"), col("rn"), col("ord"))
+  }
+
+  /**
    * DAILY-INGEST bookend COMPOSITION — the incremental operators the
    * tier ships separately (q40b exact screen → q52 near-dup screen →
    * q91 split inherit), run as ONE lazy plan over a shared shingle /

@@ -139,6 +139,41 @@ class GraphSpec extends SparkSpec {
     drv shouldBe dist
   }
 
+  test("kCore peels pendants transitively; the triangle survives as the 2-core") {
+    // graph: triangle a-b-c plus chain c-d-e. Round 1 peels e (deg 1);
+    // round 2 peels d (its degree fell to 1) — depth-2 peel, so the
+    // fixed 8 rounds converge to exactly the triangle, every node at
+    // in-core degree 2.
+    val c = corpus(
+      "1" -> "a b", "2" -> "a b", "3" -> "b c", "4" -> "b c",
+      "5" -> "a c", "6" -> "a c", "7" -> "c d", "8" -> "c d",
+      "9" -> "d e", "10" -> "d e")
+    val got = Graph.kCore(c, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 2L, "b" -> 2L, "c" -> 2L)
+    // truncation over-includes: ONE round only peels e, leaving d at
+    // its stale membership (deg 1 inside the round-1 survivor graph)
+    val trunc = Graph.kCore(c, k = 2, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trunc.keySet shouldBe Set("a", "b", "c", "d")
+    trunc("d") shouldBe 1L
+    // k above the max degree peels everything
+    Graph.kCore(c, k = 10).count() shouldBe 0L
+  }
+
+  test("kCore driver and distributed tiers are bit-identical") {
+    val c = corpus(
+      "1" -> "a b", "2" -> "a b", "3" -> "b c", "4" -> "b c",
+      "5" -> "a c", "6" -> "a c", "7" -> "c d", "8" -> "c d")
+    val drv = Graph.kCore(c, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the distributed tier checkpoints per round and is self-contained
+    // — no Caching scope required (unlike the PageRank loop)
+    val dist = Graph.kCore(c, k = 2, driverMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    drv shouldBe dist
+  }
+
   test("termPageRank's distributed tier fails loudly outside Caching.scoped") {
     // the round-7 API-level cache-contract assert: the tier whose
     // iteration caches only a scope can release must refuse to

@@ -938,6 +938,34 @@ class PipelineSpec extends SparkSpec {
     own.foreach { case (d, (n, kl)) => self(d) shouldBe ((n, 0L, kl)) }
   }
 
+  test("curriculumSchedule: growing quality-ranked pools with exact ceil sizes") {
+    val docs = corpus((1 to 10).map(i =>
+      // longer docs score higher quality (the n_tokens term), so the
+      // rank is deterministic and known: doc 10 easiest … doc 1 hardest
+      (f"d$i%02d", (1 to i).map(j => s"w$j").mkString(" "))): _*)
+    val got = graft.Caching.scoped {
+      graft.operators.Pipeline.curriculumSchedule(docs, epochs = 3).collect()
+    }
+    val byEpoch = got.groupBy(_.getLong(0))
+    // pool sizes = ceil(e·10/3) = 4, 7, 10
+    byEpoch(1L).length shouldBe 4
+    byEpoch(2L).length shouldBe 7
+    byEpoch(3L).length shouldBe 10
+    // epoch pools NEST (a curriculum grows, never swaps)
+    def pool(e: Long) = byEpoch(e).map(_.getString(1)).toSet
+    pool(1L).subsetOf(pool(2L)) shouldBe true
+    pool(2L).subsetOf(pool(3L)) shouldBe true
+    // rank 0 = the highest-quality doc, present from epoch 1
+    val rank0 = got.filter(_.getLong(3) == 0L).map(_.getString(1)).distinct
+    rank0.length shouldBe 1
+    pool(1L) should contain (rank0.head)
+    // the per-epoch shuffle key differs across epochs for the same doc
+    val d = rank0.head
+    got.filter(r => r.getString(1) == d).map(_.getLong(4)).distinct.length shouldBe 3
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Pipeline.curriculumSchedule(docs, epochs = 0)
+  }
+
   test("dailyIngest: one decision row per delta doc, stages compose the three screens") {
     val hist = corpus(
       "h1" -> "the quick brown fox jumps over the lazy dog today",

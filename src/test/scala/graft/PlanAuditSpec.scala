@@ -74,6 +74,9 @@ class PlanAuditSpec extends SparkSpec {
                             // lineages)
     "q183_length_deciles", // 1-row total-count broadcast cross over the
                            // ranked frame (the q59 threshold pattern)
+    "q213_curriculum", // the same 1-row total-count broadcast cross
+                       // over the quality-ranked frame (epoch admission
+                       // needs N for the exact rn·E < e·N test)
     "q187_daily_acf", // 7-row lag-list broadcast cross over the dense
                       // (type, day) grid — both sides days-bounded
     "q193_coverage_curve", // 1-row (V, total-tokens) broadcast cross

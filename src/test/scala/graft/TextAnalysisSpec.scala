@@ -371,4 +371,29 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", "und") -> ((1L, 0.333333)),
       ("de", "de") -> ((1L, 1.0)))
   }
+
+  test("ngramOverlapF1: multiset bigram overlap, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // a: bigrams {xy, yx, xy} → counts {xy:2, yx:1}, tot 3
+    // b: bigrams {xy, yz}     → counts {xy:1, yz:1}, tot 2
+    // overlap = min(2,1)=1; prec = 1/3, rec = 1/2, f1 = 2/5
+    val cor = corpus("a" -> "x y x y", "b" -> "x y z", "c" -> "q q")
+    val pairs = Seq(("a", "b"), ("a", "c")).toDF("d1", "d2")
+    val got = TextAnalysis.ngramOverlapF1(pairs, cor, n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    got shouldBe Map(("a", "b") -> ((1L, 0.333333, 0.5, 0.4)))
+    // (a, c) shares no gram and drops; 1-token c has no bigram at all
+    got.keySet should not contain (("a", "c"))
+    // identical docs: overlap = tot, all three metrics 1.0
+    val self = TextAnalysis.ngramOverlapF1(
+        Seq(("a", "a2")).toDF("d1", "d2"),
+        corpus("a" -> "x y x y", "a2" -> "x y x y"), n = 2)
+      .collect().head
+    (self.getDouble(3), self.getDouble(4), self.getDouble(5)) shouldBe
+      ((1.0, 1.0, 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.ngramOverlapF1(pairs, cor, n = 0)
+  }
 }
