@@ -1662,6 +1662,12 @@ object SparkEntry {
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("epoch"), col("ord"), col("doc_id"))),
 
+    // Per-user gap regularity (the bot radar): CV of inter-event gaps
+    // as ONE √ of an exact integer ratio — scripted timers → cv ≈ 0.
+    "q215_gap_regularity" -> ((s, dir) =>
+      graft.operators.Events.userGapRegularity(events(s, dir), minEvents = 5)
+        .orderBy(col("user_id"))),
+
     // Daily-ingest bookend COMPOSITION: q40b exact screen → q52
     // near-dup screen → q91 split inherit as ONE lazy plan over shared
     // shingle/band derivations — the per-delta-doc decision log.
@@ -3372,6 +3378,20 @@ object SparkEntry {
     "q208_principal_component2" -> ((s, dir) =>
       Similarity.principalComponent2(tbl(s, dir, "embeddings"), iters = 20)
         .orderBy(col("dim"))),
+
+    // Incremental PCA: per-slice mergeable co-moment states (even/odd
+    // vec_ids) merged, then the SAME driver eigensolve — must equal
+    // q196's all-at-once fit (its oracle verbatim: the additive exact
+    // sums make merge ≡ union by construction).
+    "q214_pca_incremental" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.principalComponentFromState(
+          Similarity.mergeCoMomentStates(
+            Similarity.coMomentState(e.where(col("vec_id") % 2 === 0)),
+            Similarity.coMomentState(e.where(col("vec_id") % 2 === 1))),
+          iters = 20)
+        .orderBy(col("dim"))
+    }),
 
     // Matryoshka prefix-dim retrieval: exact cosine over the first 16
     // of 64 components — the 4× cheaper scan tier.
@@ -5484,6 +5504,28 @@ object SparkEntry {
          |FROM r CROSS JOIN tot CROSS JOIN ep
          |WHERE r.rn * 4 < ep.epoch * tot.n
          |ORDER BY epoch, ord, doc_id""".stripMargin,
+
+    // Gap CV: lag per user (ts, event_id order), HUGEINT moments,
+    // cv = sqrt of the one exact ratio; Σg = 0 → null.
+    "q215_gap_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+        |           AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |         count(gap)::BIGINT AS n_gaps,
+        |         coalesce(sum(gap::HUGEINT), 0) AS s,
+        |         coalesce(sum(gap::HUGEINT * gap), 0) AS q
+        |  FROM g GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT user_id, n_events, n_gaps,
+        |       round(s * 1.0 / n_gaps, 6) AS mean_gap_s,
+        |       CASE WHEN s > 0 THEN
+        |         round(sqrt((n_gaps::HUGEINT * q - s * s) * 1.0 / (s * s)), 6)
+        |       END AS cv
+        |FROM m ORDER BY user_id""".stripMargin,
 
     // The composed daily-ingest decision log: q40b's NOT IN screen,
     // q52's banded+verified near-dup (min anchor), q91's split-inherit
@@ -8166,6 +8208,11 @@ object SparkEntry {
 
     // PC2 mirror: the unrolled deflated rounds.
     "q208_principal_component2" -> pc2Sql(20),
+
+    // Incremental PCA answers to q196's oracle VERBATIM (the q96/q105
+    // shared-oracle contract): merged per-slice exact sums ≡ the
+    // all-at-once co-moments.
+    "q214_pca_incremental" -> pc1Sql(20),
 
     // Matryoshka mirror: q15's cosine recipe on the 16-component
     // prefix slice.

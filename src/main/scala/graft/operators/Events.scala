@@ -1101,6 +1101,57 @@ object Events {
   }
 
   /**
+   * PER-USER GAP REGULARITY — the bot/automation radar next to
+   * [[gapHistogram]]'s corpus-level bins: per user, the coefficient of
+   * variation of inter-event gaps. Human activity is bursty (CV ≈ 1 or
+   * above); scripted traffic fires on a timer (CV → 0); a near-zero CV
+   * over many events is the canonical scheduled-bot fingerprint, and
+   * the downstream cut is a plain filter over this frame.
+   *
+   * Determinism: gaps are whole epoch seconds (integer floor-division
+   * of the µs delta — [[gapHistogram]]'s convention), moments are the
+   * exact integer sums (n, Σg, Σg²) in DECIMAL(38,0), and
+   * cv = √((n·Σg² − (Σg)²) / (Σg)²) — the algebraic collapse of
+   * σ/μ to ONE exact integer ratio under a √ (the one power IEEE 754
+   * requires correctly rounded — the q85 precedent) and one round-6.
+   * All-zero-gap users (Σg = 0: every event in the same second) emit a
+   * null cv — unmeasurable rate, not "perfectly regular".
+   *
+   * Scale shape: one user-partitioned lag window + one user-keyed
+   * partial aggregate — both exchanges carry event-or-user-scale rows;
+   * nothing collects.
+   *
+   * @param minEvents emit only users with at least this many events
+   *        (CV over two gaps is noise)
+   * @return (user_id, n_events, n_gaps, mean_gap_s round-6, cv round-6)
+   */
+  def userGapRegularity(events: DataFrame, minEvents: Int = 5): DataFrame = {
+    require(minEvents >= 2, s"minEvents must be >= 2, got $minEvents")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_gap",
+        expr("(unix_micros(ts) - unix_micros(_prev)) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_gap")).as("n_gaps"),
+        coalesce(sum(dec(col("_gap"))), lit(0).cast("decimal(38,0)")).as("_s"),
+        coalesce(sum(dec(col("_gap")) * dec(col("_gap"))),
+          lit(0).cast("decimal(38,0)")).as("_q"))
+      .where(col("n_events") >= minEvents.toLong)
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        round(col("_s").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("mean_gap_s"),
+        when(col("_s") > 0,
+          round(sqrt(
+            (dec(col("n_gaps")) * col("_q") - col("_s") * col("_s"))
+              .cast("double") / (col("_s") * col("_s")).cast("double")), 6))
+          .as("cv"))
+  }
+
+  /**
    * ROLLING ACTIVE USERS — per day on the dense grid: DAU (distinct
    * users that day), WAU (distinct users over the trailing
    * `windowDays` days), and the DAU/WAU STICKINESS ratio — the

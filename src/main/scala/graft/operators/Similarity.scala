@@ -1242,13 +1242,23 @@ object Similarity {
     // by round ~8 even at 64 rows, where the driver matvec is
     // microseconds.
     val (cq, d, tr) = collectCq(embs, "principalComponent")
+    pc1Rows(embs.sparkSession, cq, d, tr, iters)
+  }
+
+  /** The PC1 eigensolve + rendering shared by [[principalComponent]]
+    * and [[principalComponentFromState]]. */
+  private def pc1Rows(
+      spark: org.apache.spark.sql.SparkSession,
+      cq: Array[Array[BigInt]],
+      d: Int,
+      tr: BigInt,
+      iters: Int): DataFrame = {
     val x = powerIterate(cq, d, iters, deflateAgainst = None)
     val flip = canonicalFlip(x, d)
     val (num, den) = rayleigh(cq, x, d)
     val eigval = r6(dbl(num) / dbl(den) / 1e12)
     val explained: Option[Double] =
       if (tr.signum > 0) Some(r6(dbl(num) / (dbl(den) * dbl(tr)))) else None
-    val spark = embs.sparkSession
     import spark.implicits._
     (0 until d).map { j =>
       (j.toLong, dbl(x(j) * flip) / 1e6, eigval, explained)
@@ -1264,6 +1274,46 @@ object Similarity {
     java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
+  /**
+   * MERGEABLE co-moment STATE — the incremental-PCA form of the Gram
+   * kernel (the q61/q166/q175b mergeable-state convention): per (i ≤ j)
+   * dimension pair the ADDITIVE exact sums (n_vecs, Σx, Σy, Σxy) in
+   * DECIMAL(38,0), WITHOUT the derived co-moment. All four columns sum
+   * across disjoint slices to exactly the whole-corpus values, so
+   * `pcFromState(mergeCoMomentStates(a, b))` equals the all-at-once
+   * [[principalComponent]] bit-for-bit — merge ≡ union by construction,
+   * and q214 pins it against q196's oracle VERBATIM. Persist this
+   * d²-bounded frame as the daily-pipeline state; each delta pays one
+   * corpus scan.
+   */
+  def coMomentState(embs: DataFrame): DataFrame =
+    coMoments(embs)
+      .select(col("i"), col("j"), col("n_vecs"),
+        col("_sx"), col("_sy"), col("_sxy"))
+
+  /** Merge two [[coMomentState]] frames (one partial-agg exchange over
+    * ≤ d² rows) — additive exact sums, any grouping of slices. */
+  def mergeCoMomentStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(col("_sx")).cast("decimal(38,0)").as("_sx"),
+        sum(col("_sy")).cast("decimal(38,0)").as("_sy"),
+        sum(col("_sxy")).cast("decimal(38,0)").as("_sxy"))
+
+  /** [[principalComponent]] over a (possibly merged) [[coMomentState]]
+    * — same driver BigInt eigensolve, the co-moment n·Σxy − Σx·Σy
+    * derived exactly from the state's sums. */
+  def principalComponentFromState(state: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    val (cq, d, tr) = collectCqRows(
+      state.select(col("i"), col("j"), col("n_vecs"),
+        (col("n_vecs").cast("decimal(38,0)") * col("_sxy") -
+          col("_sx") * col("_sy")).as("_com")).collect(),
+      "principalComponentFromState")
+    pc1Rows(state.sparkSession, cq, d, tr, iters)
+  }
+
   /** Collect the floor-quantized covariance — sign(com)·(|com| / n²),
     * nonnegative-operand truncation so DuckDB's floor `//` takes the
     * same quotient — as a dense d×d BigInt matrix plus its trace.
@@ -1272,6 +1322,12 @@ object Similarity {
     val rows = coMoments(embs)
       .select(col("i"), col("j"), col("n_vecs"), col("_com"))
       .collect()
+    collectCqRows(rows, caller)
+  }
+
+  private def collectCqRows(
+      rows: Array[org.apache.spark.sql.Row],
+      caller: String): (Array[Array[BigInt]], Int, BigInt) = {
     require(rows.nonEmpty, s"$caller needs at least one vector")
     val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
     val cq = Array.ofDim[BigInt](d, d)

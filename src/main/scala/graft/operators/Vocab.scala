@@ -464,4 +464,5 @@ object Vocab {
       .groupBy(col("n_docs"))
       .agg(count(lit(1)).as("vocab_size"))
   }
+
 }

@@ -701,6 +701,42 @@ class EventsSpec extends SparkSpec {
     (xa / tot) shouldBe 0.6 +- 0.05
   }
 
+  test("userGapRegularity: timer bot cv 0, bursty human cv > 0, same-second null") {
+    val got = Events.userGapRegularity(ev(
+      // user 1: perfect 10s timer (5 events, 4 equal gaps) → cv = 0
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:00:10", 1L, "a", 0.0),
+      (3L, "2024-01-01 10:00:20", 1L, "a", 0.0),
+      (4L, "2024-01-01 10:00:30", 1L, "a", 0.0),
+      (5L, "2024-01-01 10:00:40", 1L, "a", 0.0),
+      // user 2: gaps 1, 1, 1, 97 — bursty
+      (6L, "2024-01-01 10:00:00", 2L, "a", 0.0),
+      (7L, "2024-01-01 10:00:01", 2L, "a", 0.0),
+      (8L, "2024-01-01 10:00:02", 2L, "a", 0.0),
+      (9L, "2024-01-01 10:00:03", 2L, "a", 0.0),
+      (10L, "2024-01-01 10:01:40", 2L, "a", 0.0),
+      // user 3: all five events in one second → Σg = 0 → null cv
+      (11L, "2024-01-01 10:00:00", 3L, "a", 0.0),
+      (12L, "2024-01-01 10:00:00", 3L, "a", 0.0),
+      (13L, "2024-01-01 10:00:00", 3L, "a", 0.0),
+      (14L, "2024-01-01 10:00:00", 3L, "a", 0.0),
+      (15L, "2024-01-01 10:00:00", 3L, "a", 0.0),
+      // user 4: below minEvents → absent
+      (16L, "2024-01-01 10:00:00", 4L, "a", 0.0),
+      (17L, "2024-01-01 10:00:09", 4L, "a", 0.0)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    got(1L) shouldBe ((5L, 4L, 10.0, 0.0))
+    // user 2: S = 100, Q = 3 + 9409 = 9412; cv = √((4·9412 − 10000)/10000)
+    val cv2 = BigDecimal(math.sqrt((4.0 * 9412 - 10000) / 10000))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(2L) shouldBe ((5L, 4L, 25.0, cv2))
+    got(3L) shouldBe ((5L, 4L, 0.0, null))
+    an[IllegalArgumentException] should be thrownBy
+      Events.userGapRegularity(ev(), minEvents = 1)
+  }
+
   test("linearAttribution: floor-division credit within the lookback only") {
     val e = ev(
       // user 1: two touches then a 10.000001-value purchase

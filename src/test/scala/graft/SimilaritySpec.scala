@@ -716,6 +716,27 @@ class SimilaritySpec extends SparkSpec {
       (2L, 0.0, 6.25, 1.0))
   }
 
+  test("incremental PCA from merged co-moment states equals the all-at-once fit") {
+    val e = vecs(
+      0L -> Seq(1f, 2f, 5f),
+      1L -> Seq(2f, 4f, 5f),
+      2L -> Seq(3f, 6f, 5f),
+      3L -> Seq(4f, 8f, 5f),
+      4L -> Seq(0f, 1f, 7f))
+    val whole = Similarity.principalComponent(e, iters = 7)
+      .orderBy(col("dim")).collect().map(_.toSeq)
+    // three arbitrary disjoint slices, merged pairwise in an arbitrary
+    // order — additive exact sums make any grouping equivalent
+    val s1 = Similarity.coMomentState(e.where(col("vec_id") < 2))
+    val s2 = Similarity.coMomentState(e.where(col("vec_id") === 2))
+    val s3 = Similarity.coMomentState(e.where(col("vec_id") > 2))
+    val merged = Similarity.mergeCoMomentStates(
+      Similarity.mergeCoMomentStates(s3, s1), s2)
+    val inc = Similarity.principalComponentFromState(merged, iters = 7)
+      .orderBy(col("dim")).collect().map(_.toSeq)
+    inc shouldBe whole
+  }
+
   test("principalComponent: canonical sign flips a negative dominant loading") {
     // variance along (1, -2): power iteration lands on ±(0.5, -1);
     // the flip makes dim 1 (largest |loading|) positive -> (-0.5, 1)

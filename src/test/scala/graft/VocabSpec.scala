@@ -218,4 +218,5 @@ class VocabSpec extends SparkSpec {
     // first-seen: a,b@0  c@1  d@2; max id 3 → budgets 1, 2, 4
     got shouldBe Array((1L, 2L), (2L, 3L), (4L, 4L))
   }
+
 }
