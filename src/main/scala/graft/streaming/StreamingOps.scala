@@ -946,6 +946,88 @@ object StreamingOps {
       .withColumn("ewma", round(col("ewma"), 6))
   }
 
+  final case class GapEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  // public: Spark's generated encoder code (Janino) must access members.
+  // q (Σgap²) rides as a decimal STRING — exact at any stream length;
+  // s (Σgap seconds) stays a Long (9.2e18 gap-seconds ≈ 292 Gyr).
+  final case class GapRegState(ts: Long, event_id: Long, n: Long, s: Long, q: String)
+  final case class GapRegOut(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      n_events: Long, n_gaps: Long, s_raw: Double, num_raw: Double,
+      den_raw: Double)
+
+  /**
+   * Streaming per-user GAP REGULARITY — the live twin of
+   * [[graft.operators.Events.userGapRegularity]] (the bot radar): each
+   * arriving event updates its user's exact gap moments (n, Σg, Σg² —
+   * three scalars, Σg² as a BigInt string so the state never
+   * saturates) and, once `minEvents` arrivals are in, emits the
+   * running mean/CV the moment it lands — a timer bot is flaggable
+   * WHILE it hammers, not in tomorrow's batch sweep.
+   *
+   * Parity: gaps are the same floor(µs-delta / 1e6) whole seconds, the
+   * CV is the same single √ of the exact integer ratio
+   * (n·Σg² − (Σg)²)/(Σg)² — both integer operands converted to double
+   * exactly as the batch DECIMAL casts — and rounding happens OUTSIDE
+   * the state function in Catalyst `round`, so on in-order replays the
+   * LAST emitted row per user EQUALS the batch tier over the same
+   * prefix (StreamingSpec asserts equality). Ordering semantics are
+   * ewmaStream's: within a micro-batch rows process in (ts, event_id)
+   * order; a cross-batch out-of-order event would rewrite the gap it
+   * split — DROPPED rather than lied about, watermark-bounded.
+   */
+  def gapRegularityStream(
+      events: Dataset[GapEvent],
+      minEvents: Int = 5,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(minEvents >= 2, s"minEvents must be >= 2, got $minEvents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapRegState, GapRegOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[GapRegState]) =>
+          var cur = state.getOption
+          val out = List.newBuilder[GapRegOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val inOrder = cur.forall(c =>
+              t > c.ts || (t == c.ts && e.event_id > c.event_id))
+            if (inOrder) {
+              val next = cur match {
+                case None => GapRegState(t, e.event_id, 1L, 0L, "0")
+                case Some(c) =>
+                  val gap = Math.floorDiv(t - c.ts, 1000000L)
+                  GapRegState(t, e.event_id, c.n + 1L, c.s + gap,
+                    (BigInt(c.q) + BigInt(gap) * BigInt(gap)).toString)
+              }
+              cur = Some(next)
+              if (next.n >= minEvents) {
+                val nGaps = next.n - 1L
+                val s2 = BigInt(next.s) * BigInt(next.s)
+                val num = BigInt(nGaps) * BigInt(next.q) - s2
+                out += GapRegOut(user, e.ts, e.event_id, next.n, nGaps,
+                  next.s.toDouble, num.doubleValue, s2.doubleValue)
+              }
+            } // else: cross-batch late arrival — drop, never lie
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+      // Catalyst does the arithmetic the batch plan does: one rounded
+      // division for the mean, one rounded √ of the exact ratio
+      .withColumn("mean_gap_s", round(col("s_raw") / col("n_gaps"), 6))
+      .withColumn("cv",
+        when(col("s_raw") > 0,
+          round(sqrt(col("num_raw") / col("den_raw")), 6)))
+      .drop("s_raw", "num_raw", "den_raw")
+  }
+
   final case class CusumEvent(
       event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
   final case class CusumTypeParams(mu: Long, kappa: Long, h: Long)

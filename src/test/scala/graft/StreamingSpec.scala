@@ -1019,6 +1019,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapRegularityStream: last row per user equals the batch tier; late rows drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:10"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:20"), 3L),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:30"), 4L),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:40"), 5L),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 6L),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:01"), 7L),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:02"), 8L),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:03"), 9L),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:40"), 10L))
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingOps.gapRegularityStream(
+        input.toDF().toDF("user_id", "ts", "event_id")
+          .as[graft.streaming.StreamingOps.GapEvent], minEvents = 5)
+      .writeStream.format("memory").queryName("gapreg")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows.take(9): _*)
+      q.processAllAvailable()
+      // a cross-batch LATE arrival for user 2 (older than event 9's ts,
+      // already in state) must drop
+      input.addData((2L, Timestamp.valueOf("2024-01-01 10:00:01"), 99L))
+      input.addData(rows.drop(9): _*)
+      q.processAllAvailable()
+      val got = spark.table("gapreg").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_gaps"),
+            r.getAs[Double]("mean_gap_s"), r.getAs[Double]("cv"))))
+        .toMap
+      // the late event_id 99 emitted nothing
+      got.keySet.map(_._2) should not contain 99L
+      // last emitted row per user equals the batch tier over the prefix
+      val batch = graft.operators.Events.userGapRegularity(
+          rows.map { case (u, t, id) => (u, t, id, "a", 0.0) }
+            .toDF("user_id", "ts", "event_id", "event_type", "value"),
+          minEvents = 5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      got((1L, 5L)) shouldBe batch(1L)
+      got((2L, 10L)) shouldBe batch(2L)
+    } finally q.stop()
+  }
+
   test("ewmaStream equals the batch EWMA on in-order replays; late rows drop") {
     val s = spark
     import s.implicits._
