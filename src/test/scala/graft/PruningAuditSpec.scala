@@ -284,4 +284,18 @@ class PruningAuditSpec extends SparkSpec {
     // on corpus rows — exactly one scan of documents feeds it.
     readSchemas("q169_unimax_allocation") shouldBe Seq(Set("lang", "text"))
   }
+
+  test("q215 gap-regularity scan reads only user_id, ts, event_id — never value/props") {
+    readSchemas("q215_gap_regularity") shouldBe
+      Seq(Set("user_id", "ts", "event_id"))
+  }
+
+  test("q213 curriculum scans read only doc_id and text") {
+    // two scans: the ranked-score fill (Ranking materializes it) reads
+    // (doc_id, text); everything after runs on the ranked frame
+    spark.catalog.clearCache()
+    readSchemas("q213_curriculum").foreach { s =>
+      s shouldBe Set("doc_id", "text")
+    }
+  }
 }
