@@ -69,6 +69,15 @@ object GraftExtensions {
           s"graft_min_sum takes 2 arguments, got ${args.length}")
         MinSum(args.head, args(1))
       }
+    ),
+    (
+      FunctionIdentifier("graft_gram_moments"),
+      new ExpressionInfo(classOf[GramMoments].getName, "graft_gram_moments"),
+      { args =>
+        require(args.length == 1,
+          s"graft_gram_moments takes 1 argument, got ${args.length}")
+        GramMoments(args.head).toAggregateExpression()
+      }
     )
   )
 

@@ -37,4 +37,22 @@ class ExtensionsSpec extends SparkSpec {
       .head().getLong(0)
     r shouldBe 3L // min(3,2) + min(1,2) + min(5,0)
   }
+
+  test("graft_gram_moments aggregates exact co-moments from SQL") {
+    GraftExtensions.register(spark)
+    // vectors (1,2) and (3,4) micro-quantized upstream by the caller;
+    // pair (0,1): n=2, sx=4, sy=6, sxy=1·2+3·4=14, com=2·14−24=4
+    val got = spark.sql(
+      """SELECT r.i, r.j, r.n_vecs, r._com
+        |FROM (SELECT graft_gram_moments(xq) AS g
+        |      FROM VALUES (array(1L, 2L)), (array(3L, 4L)) t(xq))
+        |LATERAL VIEW explode(g) e AS r
+        |ORDER BY r.i, r.j""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDecimal(3).longValueExact()))
+    got shouldBe Array(
+      (0L, 0L, 2L, 2L * 10L - 4L * 4L),   // sxx=1+9=10
+      (0L, 1L, 2L, 2L * 14L - 4L * 6L),
+      (1L, 1L, 2L, 2L * 20L - 6L * 6L))   // syy=4+16=20
+  }
 }
