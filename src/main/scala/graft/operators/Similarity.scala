@@ -1256,9 +1256,16 @@ object Similarity {
     val x = powerIterate(cq, d, iters, deflateAgainst = None)
     val flip = canonicalFlip(x, d)
     val (num, den) = rayleigh(cq, x, d)
-    val eigval = r6(dbl(num) / dbl(den) / 1e12)
+    // den = 0 iff the iterate collapsed to zero — the all-ones start
+    // landed exactly orthogonal to every nonzero eigendirection (a
+    // measure-zero corner real embeddings never hit; EdgeCasesSpec
+    // constructs it). Loadings are honestly zero; the Rayleigh
+    // quotient is 0/0 — emit null rather than NaN.
+    val eigval: Option[Double] =
+      if (den.signum > 0) Some(r6(dbl(num) / dbl(den) / 1e12)) else None
     val explained: Option[Double] =
-      if (tr.signum > 0) Some(r6(dbl(num) / (dbl(den) * dbl(tr)))) else None
+      if (den.signum > 0 && tr.signum > 0)
+        Some(r6(dbl(num) / (dbl(den) * dbl(tr)))) else None
     import spark.implicits._
     (0 until d).map { j =>
       (j.toLong, dbl(x(j) * flip) / 1e6, eigval, explained)

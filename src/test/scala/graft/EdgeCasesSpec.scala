@@ -140,4 +140,39 @@ class EdgeCasesSpec extends SparkSpec {
     val ivs = Seq.empty[(Long, Double, Double)].toDF("iid", "lo", "hi")
     RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi", 1.0).count() shouldBe 0L
   }
+
+  test("round-7 tiers flow empty/degenerate corpora through without exceptions") {
+    val s = spark
+    import s.implicits._
+    // k-core: empty graph and single-doc graph both yield no rows
+    graft.operators.Graph.kCore(emptyDocs, k = 2).count() shouldBe 0L
+    graft.operators.Graph.kCore(oneDoc, k = 2).count() shouldBe 0L
+    // daily ingest: an empty delta emits an empty decision log; an
+    // empty HISTORY keeps everything (no screen can fire)
+    graft.Caching.scoped {
+      graft.operators.Pipeline.dailyIngest(emptyDocs, oneDoc).count() shouldBe 0L
+      val keptAll = graft.operators.Pipeline.dailyIngest(oneDoc, emptyDocs)
+        .collect()
+      keptAll.map(_.getString(1)).toSeq shouldBe Seq("kept")
+    }
+    // curriculum: one doc appears in every epoch, rank 0
+    val cur = graft.Caching.scoped {
+      graft.operators.Pipeline.curriculumSchedule(oneDoc, epochs = 3).collect()
+    }
+    cur.map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+    cur.map(_.getLong(3)).distinct shouldBe Array(0L)
+    // overlap F1: empty pair frame and pairs over too-short docs drop
+    val noPairs = Seq.empty[(String, String)].toDF("d1", "d2")
+    TextAnalysis.ngramOverlapF1(noPairs, oneDoc, n = 2).count() shouldBe 0L
+    // gap regularity: empty events frame yields no rows
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id")
+    graft.operators.Events.userGapRegularity(noEvents).count() shouldBe 0L
+    // incremental PCA state over an empty slice merges as a no-op
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val one = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)).toDF("vec_id", "embedding")
+    val merged = Similarity.mergeCoMomentStates(
+      Similarity.coMomentState(one), Similarity.coMomentState(empty))
+    Similarity.principalComponentFromState(merged).count() shouldBe 2L
+  }
 }
