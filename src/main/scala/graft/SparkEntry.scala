@@ -2925,6 +2925,12 @@ object SparkEntry {
       graft.operators.Events.uShapedAttribution(events(s, dir))
         .orderBy(col("touch_type"))),
 
+    // Time-decay attribution completes the standard trio: half-life
+    // step weights w = 10⁶ div 2^⌊age/24h⌋, exact integral credit.
+    "q216_attribution_decay" -> ((s, dir) =>
+      graft.operators.Events.timeDecayAttribution(events(s, dir))
+        .orderBy(col("touch_type"))),
+
     // LSH bucket-size histogram at 8 bits: the hot-bucket-guard
     // empirics for the ANN tier.
     "q207_lsh_bucket_histogram" -> ((s, dir) =>
@@ -7967,6 +7973,37 @@ object SparkEntry {
         |       count(DISTINCT p.conv_id)::BIGINT AS n_conversions,
         |       sum(p.value_micros // n.n_t)::BIGINT AS attributed_micros
         |FROM pairs p JOIN n USING (conv_id)
+        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
+    // Time-decay mirror: the q181 pair relation + half-life step
+    // weights (integer shift, never pow) and the one integral division
+    // per credit in HUGEINT.
+    "q216_attribution_decay" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |pairs AS (
+        |  SELECT c.conv_id, c.value_micros, t.touch_type,
+        |         (epoch_us(c.conv_ts) - epoch_us(t.touch_ts)) AS age_us
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |   AND t.touch_ts < c.conv_ts
+        |   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |wts AS (
+        |  SELECT conv_id, value_micros, touch_type,
+        |         1000000 // (1::BIGINT << least(age_us // 86400000000, 40))
+        |           AS w
+        |  FROM pairs),
+        |sw AS (
+        |  SELECT *, sum(w) OVER (PARTITION BY conv_id) AS swv FROM wts)
+        |SELECT touch_type, count(*)::BIGINT AS n_touches,
+        |       count(DISTINCT conv_id)::BIGINT AS n_conversions,
+        |       sum((value_micros::HUGEINT * w) // swv)::BIGINT
+        |         AS attributed_micros
+        |FROM sw WHERE swv > 0
         |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     // U-shaped mirror: the q181 pair relation + the (ts, event_id)

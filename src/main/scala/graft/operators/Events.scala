@@ -1247,6 +1247,63 @@ object Events {
   }
 
   /**
+   * TIME-DECAY multi-touch attribution — the third of the standard
+   * model trio ([[linearAttribution]] = equal, [[uShapedAttribution]]
+   * = positional): recency-weighted credit, the model for short
+   * consideration cycles where the touch that happened an hour before
+   * the conversion plainly mattered more than last week's.
+   *
+   * Determinism — the EXACT-INTEGER half-life form: a touch aged `a`
+   * takes weight w = ⌊10⁶ / 2^⌊a / halflife⌋⌋ (whole half-life STEPS,
+   * floor-quantized — never a libm pow; k caps at 40 where w hits 0),
+   * and its credit is ⌊value_micros · w / Σw⌋ over the conversion's
+   * touch window — one integral division over exact integer operands
+   * (DECIMAL product, so value·w cannot wrap), remainder dropped per
+   * the q181 floor-division convention. Conversions whose every touch
+   * decayed to weight 0 attribute nothing (Σw = 0 rows drop).
+   *
+   * Scale shape: q181's conversion ⋈ touch lookback equi-join + one
+   * conversion-keyed window; the rollup is touch-types-bounded.
+   *
+   * @return per touch_type: n_touches, n_conversions, attributed_micros
+   */
+  def timeDecayAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      lookbackDays: Int = 7,
+      halflifeHours: Int = 24): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    require(halflifeHours >= 1, s"halflifeHours must be >= 1, got $halflifeHours")
+    val conv = events.where(col("event_type") === conversionType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val halflifeMicros = 3600000000L * halflifeHours
+    pairs
+      .withColumn("_k", least(
+        expr(s"(unix_micros(conv_ts) - unix_micros(touch_ts)) div ${halflifeMicros}L"),
+        lit(40L)))
+      .withColumn("_w", expr("1000000L div shiftleft(1L, cast(_k AS int))"))
+      .withColumn("_sw",
+        sum(col("_w")).over(Window.partitionBy(col("conv_id"))))
+      .where(col("_sw") > 0)
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(expr(
+          "(CAST(value_micros AS DECIMAL(38,0)) * CAST(_w AS DECIMAL(38,0))) div _sw"))
+          .as("attributed_micros"))
+  }
+
+  /**
    * U-SHAPED (position-based) multi-touch attribution — the
    * [[linearAttribution]] sibling crediting DISCOVERY and CLOSING:
    * first and last touch get 40 % each, the middles split the

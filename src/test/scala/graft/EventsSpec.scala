@@ -737,6 +737,29 @@ class EventsSpec extends SparkSpec {
       Events.userGapRegularity(ev(), minEvents = 1)
   }
 
+  test("timeDecayAttribution: half-life step weights, hand-computed credits") {
+    // conversion value 10.0 (1e7 micros) at 12:00 on Jan 3; touches:
+    //   click  Jan 3 11:00 — age  1h → k=0, w = 1_000_000
+    //   view   Jan 2 10:00 — age 26h → k=1, w =   500_000
+    //   click  Jan 1 10:00 — age 50h → k=2, w =   250_000
+    //   view   Dec 20      — outside the 7-day lookback, ignored
+    // Σw = 1_750_000; credits = ⌊1e7·w/Σw⌋ → 5_714_285 / 2_857_142 /
+    // 1_428_571
+    val got = Events.timeDecayAttribution(ev(
+      (1L, "2024-01-03 11:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (4L, "2023-12-20 10:00:00", 1L, "view", 0.0),
+      (5L, "2024-01-03 12:00:00", 1L, "purchase", 10.0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe Map(
+      "click" -> ((2L, 1L, 5714285L + 1428571L)),
+      "view" -> ((1L, 1L, 2857142L)))
+    an[IllegalArgumentException] should be thrownBy
+      Events.timeDecayAttribution(ev(), halflifeHours = 0)
+  }
+
   test("linearAttribution: floor-division credit within the lookback only") {
     val e = ev(
       // user 1: two touches then a 10.000001-value purchase
