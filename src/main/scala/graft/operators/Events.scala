@@ -1201,6 +1201,63 @@ object Events {
   }
 
   /**
+   * Shared conversion⋈touch lookback relation of the attribution trio
+   * ([[linearAttribution]], [[uShapedAttribution]],
+   * [[timeDecayAttribution]]) — the equi-join on user_id with the
+   * window condition as a post-join filter, GUARDED against hot users:
+   * the [[HotKeys]] count-min radar screens the touch side at
+   * `hotTheta`, and rows of hyperactive users (a bot with 10⁶ touches
+   * and 10³ conversions would otherwise materialize 10⁹ pairs in ONE
+   * task) take [[HotKeys.skewJoin]]'s salted path, spreading each hot
+   * user's pair production over `salts` reducers. Salting replicates
+   * the build side only — the pair multiset is EXACTLY the plain
+   * join's (the q81 answer-invisible contract; the oracle stays the
+   * plain SQL join), and every downstream statistic is an
+   * order-free aggregate or a totally-ordered window over conv_id,
+   * so the answer is unchanged by construction.
+   */
+  private def attributionPairs(
+      events: DataFrame,
+      conversionType: String,
+      touchTypes: Seq[String],
+      lookbackDays: Int,
+      convExtra: Seq[Column],
+      touchExtra: Seq[Column],
+      hotTheta: Double,
+      salts: Int): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val conv = events.where(col("event_type") === conversionType)
+      .select(Seq(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
+        ++ convExtra: _*)
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(Seq(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts")) ++ touchExtra: _*)
+    HotKeys.skewJoin(touch, conv, "user_id", theta = hotTheta, salts = salts)
+      .where(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+  }
+
+  /**
+   * Per-touch-type rollup shared by the attribution trio. The naive
+   * single aggregate (count + countDistinct(conv_id) + sum) forces an
+   * Expand (every pair row duplicated per distinct-aggregate group);
+   * pre-aggregating on (touch_type, conv_id) makes the distinct count
+   * a plain `count(1)` of the pre-aggregate — one extra (tiny,
+   * conversions-bounded) shuffle instead of a pairs-sized Expand.
+   */
+  private def attributionRollup(credited: DataFrame, credit: Column): DataFrame =
+    credited
+      .groupBy(col("touch_type"), col("conv_id"))
+      .agg(count(lit(1)).as("_nt"), sum(credit).as("_cm"))
+      .groupBy(col("touch_type"))
+      .agg(
+        sum(col("_nt")).as("n_touches"),
+        count(lit(1)).as("n_conversions"),
+        sum(col("_cm")).as("attributed_micros"))
+
+  /**
    * LINEAR multi-touch attribution — distribute each conversion's value
    * evenly across the user's touch events in the preceding lookback
    * window, then roll credit up per touch type (the marketing-science
@@ -1211,11 +1268,13 @@ object Events {
    * in the reference's own floor-div idf spirit), so sums are
    * order-independent across partitions.
    *
-   * Scale shape: conversions ⋈ touches is an EQUI-join on user_id with
-   * the window condition as a post-join filter — per-user pair fan-out
-   * is bounded by per-user activity in the lookback, never corpus².
-   * The per-conversion touch count is a window over conv_id (pair
-   * partitions, bounded); nothing collects.
+   * Scale shape: conversions ⋈ touches is [[attributionPairs]]'
+   * hot-user-guarded equi-join on user_id — per-user pair fan-out is
+   * bounded by per-user activity in the lookback, never corpus², and a
+   * single hyperactive user's pairs spread over `salts` tasks instead
+   * of one straggler. The per-conversion touch count is a window over
+   * conv_id (pair partitions, bounded); nothing data-sized collects
+   * (the radar's hot set is ≤ ⌊1/hotTheta⌋ keys by construction).
    *
    * @return per touch_type: n_touches, n_conversions, attributed_micros
    */
@@ -1223,27 +1282,14 @@ object Events {
       events: DataFrame,
       conversionType: String = "purchase",
       touchTypes: Seq[String] = Seq("click", "view"),
-      lookbackDays: Int = 7): DataFrame = {
-    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
-    import org.apache.spark.sql.expressions.Window
-    val conv = events.where(col("event_type") === conversionType)
-      .select(col("event_id").as("conv_id"), col("user_id"),
-        col("ts").as("conv_ts"),
-        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
-    val touch = events.where(col("event_type").isin(touchTypes: _*))
-      .select(col("user_id"), col("event_type").as("touch_type"),
-        col("ts").as("touch_ts"))
-    val pairs = conv.join(touch, Seq("user_id"))
-      .where(col("touch_ts") < col("conv_ts") &&
-        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      lookbackDays: Int = 7,
+      hotTheta: Double = 0.001,
+      salts: Int = 16): DataFrame = {
+    val pairs = attributionPairs(events, conversionType, touchTypes,
+      lookbackDays, Nil, Nil, hotTheta, salts)
     val withN = pairs.withColumn("_n",
       count(lit(1)).over(Window.partitionBy(col("conv_id"))))
-    withN
-      .groupBy(col("touch_type"))
-      .agg(
-        count(lit(1)).as("n_touches"),
-        countDistinct(col("conv_id")).as("n_conversions"),
-        sum(expr("value_micros div _n")).as("attributed_micros"))
+    attributionRollup(withN, expr("value_micros div _n"))
   }
 
   /**
@@ -1262,8 +1308,9 @@ object Events {
    * the q181 floor-division convention. Conversions whose every touch
    * decayed to weight 0 attribute nothing (Σw = 0 rows drop).
    *
-   * Scale shape: q181's conversion ⋈ touch lookback equi-join + one
-   * conversion-keyed window; the rollup is touch-types-bounded.
+   * Scale shape: q181's hot-user-guarded conversion ⋈ touch lookback
+   * equi-join ([[attributionPairs]]) + one conversion-keyed window;
+   * the rollup is touch-types-bounded.
    *
    * @return per touch_type: n_touches, n_conversions, attributed_micros
    */
@@ -1272,21 +1319,14 @@ object Events {
       conversionType: String = "purchase",
       touchTypes: Seq[String] = Seq("click", "view"),
       lookbackDays: Int = 7,
-      halflifeHours: Int = 24): DataFrame = {
-    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+      halflifeHours: Int = 24,
+      hotTheta: Double = 0.001,
+      salts: Int = 16): DataFrame = {
     require(halflifeHours >= 1, s"halflifeHours must be >= 1, got $halflifeHours")
-    val conv = events.where(col("event_type") === conversionType)
-      .select(col("event_id").as("conv_id"), col("user_id"),
-        col("ts").as("conv_ts"),
-        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
-    val touch = events.where(col("event_type").isin(touchTypes: _*))
-      .select(col("user_id"), col("event_type").as("touch_type"),
-        col("ts").as("touch_ts"))
-    val pairs = conv.join(touch, Seq("user_id"))
-      .where(col("touch_ts") < col("conv_ts") &&
-        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val pairs = attributionPairs(events, conversionType, touchTypes,
+      lookbackDays, Nil, Nil, hotTheta, salts)
     val halflifeMicros = 3600000000L * halflifeHours
-    pairs
+    val credited = pairs
       .withColumn("_k", least(
         expr(s"(unix_micros(conv_ts) - unix_micros(touch_ts)) div ${halflifeMicros}L"),
         lit(40L)))
@@ -1294,13 +1334,8 @@ object Events {
       .withColumn("_sw",
         sum(col("_w")).over(Window.partitionBy(col("conv_id"))))
       .where(col("_sw") > 0)
-      .groupBy(col("touch_type"))
-      .agg(
-        count(lit(1)).as("n_touches"),
-        countDistinct(col("conv_id")).as("n_conversions"),
-        sum(expr(
-          "(CAST(value_micros AS DECIMAL(38,0)) * CAST(_w AS DECIMAL(38,0))) div _sw"))
-          .as("attributed_micros"))
+    attributionRollup(credited, expr(
+      "(CAST(value_micros AS DECIMAL(38,0)) * CAST(_w AS DECIMAL(38,0))) div _sw"))
   }
 
   /**
@@ -1317,8 +1352,9 @@ object Events {
    * q181 convention on remainders (the ≤ 4-micro floor loss per
    * conversion is dropped, not redistributed).
    *
-   * Scale shape: q181's conversion⋈touch lookback join + one
-   * conversion-keyed window; the rollup is touch-types-bounded.
+   * Scale shape: q181's hot-user-guarded conversion⋈touch lookback
+   * join ([[attributionPairs]]) + one conversion-keyed window; the
+   * rollup is touch-types-bounded.
    *
    * @return per touch_type: n_touches, n_conversions, attributed_micros
    */
@@ -1326,18 +1362,12 @@ object Events {
       events: DataFrame,
       conversionType: String = "purchase",
       touchTypes: Seq[String] = Seq("click", "view"),
-      lookbackDays: Int = 7): DataFrame = {
-    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
-    val conv = events.where(col("event_type") === conversionType)
-      .select(col("event_id").as("conv_id"), col("user_id"),
-        col("ts").as("conv_ts"),
-        expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
-    val touch = events.where(col("event_type").isin(touchTypes: _*))
-      .select(col("user_id"), col("event_type").as("touch_type"),
-        col("ts").as("touch_ts"), col("event_id").as("touch_id"))
-    val pairs = conv.join(touch, Seq("user_id"))
-      .where(col("touch_ts") < col("conv_ts") &&
-        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      lookbackDays: Int = 7,
+      hotTheta: Double = 0.001,
+      salts: Int = 16): DataFrame = {
+    val pairs = attributionPairs(events, conversionType, touchTypes,
+      lookbackDays, Nil, Seq(col("event_id").as("touch_id")),
+      hotTheta, salts)
     val byConv = Window.partitionBy(col("conv_id"))
     val posW = byConv.orderBy(col("touch_ts"), col("touch_id"))
     val scored = pairs
@@ -1350,11 +1380,7 @@ object Events {
             expr("(value_micros * 2) div 5"))
           .otherwise(expr(
             "(value_micros - 2 * ((value_micros * 2) div 5)) div (_n - 2)")))
-    scored.groupBy(col("touch_type"))
-      .agg(
-        count(lit(1)).as("n_touches"),
-        countDistinct(col("conv_id")).as("n_conversions"),
-        sum(col("_credit")).as("attributed_micros"))
+    attributionRollup(scored, col("_credit"))
   }
 
   /**
