@@ -139,7 +139,7 @@ object SparkEntry {
        |wtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1),
        |shw AS (
        |  SELECT doc_id,
-       |         unnest(list_transform(range(tf),
+       |         unnest(list_transform(range(least(tf, ${Dedup.MaxElemTf})),
        |                i -> term || '#' || i::VARCHAR)) AS shingle
        |  FROM tfw)""".stripMargin
 
@@ -4132,12 +4132,12 @@ object SparkEntry {
          |         WHERE doc_id < 250 GROUP BY 1, 2),
          |shwd AS (
          |  SELECT doc_id,
-         |         unnest(list_transform(range(tf),
+         |         unnest(list_transform(range(least(tf, ${Dedup.MaxElemTf})),
          |                i -> term || '#' || i::VARCHAR)) AS shingle
          |  FROM tfwd),
          |shwh AS (
          |  SELECT doc_id,
-         |         unnest(list_transform(range(tf),
+         |         unnest(list_transform(range(least(tf, ${Dedup.MaxElemTf})),
          |                i -> term || '#' || i::VARCHAR)) AS shingle
          |  FROM tfwh),
          |${minhashSigCteSfx("wd")},
