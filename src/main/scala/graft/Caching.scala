@@ -58,16 +58,32 @@ object Caching {
   def hasScope: Boolean = scopes.get().nonEmpty
 
   /** Loud form of the scoped-only contract: an operator whose cache
-    * lifecycle CANNOT be self-contained (an iterative lineage whose
-    * persists must outlive the method and be released only after the
-    * caller's action) calls this instead of documenting-and-hoping.
-    * Leaking N vocabulary-scale frames per call is a scale bug a
-    * caller will not notice locally; failing at construction is the
-    * API-level assert the contract needs. */
+    * lifecycle CANNOT be self-contained (an iterative lineage, or a
+    * composition registering MULTIPLE corpus-scale persists that must
+    * outlive the method and be released only after the caller's
+    * action) calls this instead of documenting-and-hoping. Leaking N
+    * corpus-scale frames per call is a scale bug a caller will not
+    * notice locally; failing at construction is the API-level assert
+    * the contract needs. Single-persist operators keep the documented
+    * no-scope fallback above (one spillable frame, the pre-existing
+    * `df.persist` contract); every method registering more than one
+    * outliving persist asserts a scope. */
   def requireScope(op: String): Unit =
     if (!hasScope) throw new IllegalStateException(
       s"$op registers iteration caches that only a Caching.scoped block " +
         "can release — wrap the consuming action in graft.Caching.scoped { ... }")
+
+  /** Run `body` with NO scope visible on this thread — the legacy
+    * no-scope contract — restoring the caller's scope stack after.
+    * This is the TEST hook for pinning [[requireScope]] failure modes
+    * from inside a scoped harness (every ScalaTest body runs under a
+    * suite-level scope); production callers have no use for it. */
+  def unscoped[T](body: => T): T = {
+    val saved = scopes.get()
+    scopes.set(Nil)
+    try body
+    finally scopes.set(saved)
+  }
 
   /** Register an ALREADY-persisted frame with the innermost open scope
     * (for operators that must materialize a frame before deciding it

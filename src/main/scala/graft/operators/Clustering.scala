@@ -80,6 +80,11 @@ object Clustering {
   def kmeans(corpus: DataFrame, stride: Int = 50, iters: Int = 2): DataFrame = {
     require(stride > 0, s"stride must be positive, got $stride")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // the normalized-corpus persist + the final centroid frame outlive
+    // the method (iteration centroids release per round); scope required
+    // — transitively covers coverageSample / semanticDedup* /
+    // clusterTopTerms, which all ride this assignment.
+    graft.Caching.requireScope("Clustering.kmeans")
     val e = graft.Caching.persist(normalized(corpus))
     var cents = e.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cent"), col("emb").as("cemb"), col("nrm").as("cnrm"))
@@ -244,6 +249,7 @@ object Clustering {
       keeper: Keeper = Keeper.MinId): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
+    graft.Caching.requireScope("Clustering.semanticDedup")
     val a = graft.Caching.persist(kmeans(corpus, stride, iters))
     val ok = a.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
       .observe(s"graft_semdedup_cell_guard_${obsId.incrementAndGet()}",
@@ -303,6 +309,7 @@ object Clustering {
       stride: Int = 50,
       iters: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    graft.Caching.requireScope("Clustering.clusterTopTerms")
     val assign = kmeans(embs, stride, iters)
     val dj = docs.join(assign, docs("doc") === assign("vec_id"))
       .select(col("cell"), col("doc"), col("line"))

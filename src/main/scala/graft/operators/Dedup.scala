@@ -314,6 +314,10 @@ object Dedup {
    * candidate verify join, sizes); persisting it turns those into one
    * tokenize+shingle pass instead of four. MEMORY_AND_DISK: shingles are
    * ~linear in corpus size, spillable, never driver-collected.
+   *
+   * FAILS LOUDLY at construction unless a [[graft.Caching.scoped]]
+   * block is open: the shingle and band persists are corpus-scale and
+   * outlive the method — only the caller's scope can release them.
    */
   def minhashNearDups(
       docs: DataFrame,
@@ -321,6 +325,7 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    graft.Caching.requireScope("Dedup.minhashNearDups")
     val sh = graft.Caching.persist(shingles(docs, n))
     // bands persists too: the candidate self-join reads it twice
     val bands = graft.Caching.persist(
@@ -448,6 +453,10 @@ object Dedup {
       precomputedHistBands: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
+    // corpus-scale shingle/band persists outlive the method (a caller
+    // passing every precomputed frame registers none, but the scope
+    // requirement stays unconditional — one contract, not four).
+    graft.Caching.requireScope("Dedup.minhashNearDupsAgainst")
     val shNew = precomputedNewShingles.getOrElse(
       graft.Caching.persist(shingles(newDocs, n)))
     val shHist = precomputedHistShingles.getOrElse(
@@ -569,6 +578,10 @@ object Dedup {
     // frame (e.g. the q87b leakage audit: split + candidate pairs) share
     // one persisted derivation instead of paying shingles→signatures→
     // bands twice; the caller owns that frame's lifecycle.
+    // The band + final-label persists outlive the method: scope required
+    // (transitively covers minhashDedupIterative / leakageSafeSplit /
+    // kFoldSplit, whose label caches these are).
+    graft.Caching.requireScope("Dedup.minhashClusterLabels")
     val bands = precomputedBands.getOrElse(graft.Caching.persist(lshBands(
       minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand)))
     var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
@@ -622,6 +635,7 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       maxIter: Int = 20): DataFrame = {
+    graft.Caching.requireScope("Dedup.minhashClusterLabelsConverged")
     val bands = graft.Caching.persist(lshBands(
       minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand))
     var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
@@ -1057,6 +1071,7 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    graft.Caching.requireScope("Dedup.containmentPairsScreened")
     val sh = graft.Caching.persist(shingles(docs, n))
     val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     val shDf = graft.Caching.persist(sh.join(dfs, Seq("shingle")))
@@ -1281,6 +1296,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.8,
       maxVocab: Int = MaxDenseVocab): DataFrame = {
+    graft.Caching.requireScope("Dedup.weightedNearDups")
     val tf = graft.Caching.persist(termWeights(docs))
     val bands = graft.Caching.persist(
       lshBands(minhashSignatures(weightedElems(tf), numHashes), numHashes, rowsPerBand))
@@ -1311,6 +1327,7 @@ object Dedup {
       maxBucketSize: Int = MaxPairBucket): DataFrame = {
     require(threshold > 0 && threshold < 1,
       s"threshold must be in (0,1), got $threshold")
+    graft.Caching.requireScope("Dedup.weightedNearDupsAgainst")
     val tfNew = graft.Caching.persist(termWeights(newDocs))
     val tfHist = graft.Caching.persist(termWeights(historyDocs))
     val bNew = lshBands(
@@ -1509,6 +1526,7 @@ object Dedup {
       maxRatio: Double = 0.2): DataFrame = {
     require(maxRatio > 0 && maxRatio <= 1,
       s"maxRatio must be in (0,1], got $maxRatio")
+    graft.Caching.requireScope("Dedup.editDistancePairs")
     val sh = graft.Caching.persist(shingles(docs, n))
     val bands = graft.Caching.persist(
       lshBands(minhashSignatures(sh)))
@@ -2019,6 +2037,10 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
+    // two feature-table persists (delta + history) outlive the method —
+    // the cold-bucket screen, candidate probe, dot join, and both norm
+    // aggregates all read them; only the caller's scope can release.
+    graft.Caching.requireScope("Dedup.hashedCosineAgainst")
     val fNew = graft.Caching.persist(hashedFeatures(newDocs, dims))
     val fHist = graft.Caching.persist(hashedFeatures(historyDocs, dims))
     val cold = fHist.groupBy(col("bucket"))

@@ -981,6 +981,9 @@ object Events {
    */
   def dailyAutocorrelation(events: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    // the daily-counts + dense-grid persists outlive the method (five
+    // sub-plans read them); scope required
+    graft.Caching.requireScope("Events.dailyAutocorrelation")
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // (type, day) counts: the ONE events scan; tiny thereafter, and
     // persisted because the grid build reads it twice and the grid
@@ -1215,26 +1218,36 @@ object Events {
    * plain SQL join), and every downstream statistic is an
    * order-free aggregate or a totally-ordered window over conv_id,
    * so the answer is unchanged by construction.
+   *
+   * LAZINESS: the radar is EAGER — [[HotKeys.skewJoin]] runs a
+   * count-min treeAggregate plus a bounded hot-key collect over the
+   * touch side AT CONSTRUCTION, before any caller action (the hot set
+   * must be known to pick the plan). `hotTheta` outside (0, 1) opts
+   * out: the plain equi-join is returned with ZERO eager work — for
+   * callers that build plans they may never execute, or whose user
+   * cardinality is known to be flat.
    */
   private def attributionPairs(
       events: DataFrame,
       conversionType: String,
       touchTypes: Seq[String],
       lookbackDays: Int,
-      convExtra: Seq[Column],
       touchExtra: Seq[Column],
       hotTheta: Double,
       salts: Int): DataFrame = {
     require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
     val conv = events.where(col("event_type") === conversionType)
-      .select(Seq(col("event_id").as("conv_id"), col("user_id"),
+      .select(col("event_id").as("conv_id"), col("user_id"),
         col("ts").as("conv_ts"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros"))
-        ++ convExtra: _*)
     val touch = events.where(col("event_type").isin(touchTypes: _*))
       .select(Seq(col("user_id"), col("event_type").as("touch_type"),
         col("ts").as("touch_ts")) ++ touchExtra: _*)
-    HotKeys.skewJoin(touch, conv, "user_id", theta = hotTheta, salts = salts)
+    val joined =
+      if (hotTheta > 0 && hotTheta < 1)
+        HotKeys.skewJoin(touch, conv, "user_id", theta = hotTheta, salts = salts)
+      else touch.join(conv, Seq("user_id"))
+    joined
       .where(col("touch_ts") < col("conv_ts") &&
         col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
   }
@@ -1254,7 +1267,10 @@ object Events {
       .groupBy(col("touch_type"))
       .agg(
         sum(col("_nt")).as("n_touches"),
-        count(lit(1)).as("n_conversions"),
+        // count(conv_id), not count(1): a NULL conv_id group must not
+        // count as a conversion — exact countDistinct(conv_id) (null-
+        // skipping) semantics, matching the oracle's COUNT(DISTINCT)
+        count(col("conv_id")).as("n_conversions"),
         sum(col("_cm")).as("attributed_micros"))
 
   /**
@@ -1276,6 +1292,10 @@ object Events {
    * conv_id (pair partitions, bounded); nothing data-sized collects
    * (the radar's hot set is ≤ ⌊1/hotTheta⌋ keys by construction).
    *
+   * @note the hot-user radar runs EAGERLY at plan construction (two
+   *       bounded scans of the touch slice — see [[attributionPairs]]);
+   *       pass `hotTheta = 0` (or any value outside (0,1)) to skip the
+   *       radar entirely and build the plain lazy equi-join.
    * @return per touch_type: n_touches, n_conversions, attributed_micros
    */
   def linearAttribution(
@@ -1286,7 +1306,7 @@ object Events {
       hotTheta: Double = 0.001,
       salts: Int = 16): DataFrame = {
     val pairs = attributionPairs(events, conversionType, touchTypes,
-      lookbackDays, Nil, Nil, hotTheta, salts)
+      lookbackDays, Nil, hotTheta, salts)
     val withN = pairs.withColumn("_n",
       count(lit(1)).over(Window.partitionBy(col("conv_id"))))
     attributionRollup(withN, expr("value_micros div _n"))
@@ -1312,6 +1332,10 @@ object Events {
    * equi-join ([[attributionPairs]]) + one conversion-keyed window;
    * the rollup is touch-types-bounded.
    *
+   * @note the hot-user radar runs EAGERLY at plan construction (two
+   *       bounded scans of the touch slice — see [[attributionPairs]]);
+   *       pass `hotTheta = 0` (or any value outside (0,1)) to skip the
+   *       radar entirely and build the plain lazy equi-join.
    * @return per touch_type: n_touches, n_conversions, attributed_micros
    */
   def timeDecayAttribution(
@@ -1324,7 +1348,7 @@ object Events {
       salts: Int = 16): DataFrame = {
     require(halflifeHours >= 1, s"halflifeHours must be >= 1, got $halflifeHours")
     val pairs = attributionPairs(events, conversionType, touchTypes,
-      lookbackDays, Nil, Nil, hotTheta, salts)
+      lookbackDays, Nil, hotTheta, salts)
     val halflifeMicros = 3600000000L * halflifeHours
     val credited = pairs
       .withColumn("_k", least(
@@ -1356,6 +1380,10 @@ object Events {
    * join ([[attributionPairs]]) + one conversion-keyed window; the
    * rollup is touch-types-bounded.
    *
+   * @note the hot-user radar runs EAGERLY at plan construction (two
+   *       bounded scans of the touch slice — see [[attributionPairs]]);
+   *       pass `hotTheta = 0` (or any value outside (0,1)) to skip the
+   *       radar entirely and build the plain lazy equi-join.
    * @return per touch_type: n_touches, n_conversions, attributed_micros
    */
   def uShapedAttribution(
@@ -1366,7 +1394,7 @@ object Events {
       hotTheta: Double = 0.001,
       salts: Int = 16): DataFrame = {
     val pairs = attributionPairs(events, conversionType, touchTypes,
-      lookbackDays, Nil, Seq(col("event_id").as("touch_id")),
+      lookbackDays, Seq(col("event_id").as("touch_id")),
       hotTheta, salts)
     val byConv = Window.partitionBy(col("conv_id"))
     val posW = byConv.orderBy(col("touch_ts"), col("touch_id"))

@@ -436,6 +436,8 @@ object Graph {
       minCount: Int = 2): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // three edge/degree-scale persists outlive the method: scope required
+    graft.Caching.requireScope("Graph.clusteringCoefficients")
     val und = graft.Caching.persist(coocEdges(docs, window, minCount))
     val deg = graft.Caching.persist(termDegrees(und))
     val oriented = graft.Caching.persist(orientedEdges(und, deg))

@@ -1237,11 +1237,14 @@ object Pipeline {
    * (kind, k) by the state contract), the language argmax windows over
    * the ≤5-row lang section, and mean quality divides the exact micro
    * sum — `(q_micro / 1e6) / n_docs`, one round-6. Same schema as
-   * [[dataCard]]. The state is persisted ([[graft.Caching]] route —
-   * release via `Caching.scoped`) so its two consumers materialize it
-   * once.
+   * [[dataCard]]. The state is persisted ([[graft.Caching]] route) so
+   * its two consumers materialize it once; the frame is vocabulary-
+   * scale (one row per distinct term/fingerprint) and outlives the
+   * method, so a scope is required — fail loudly rather than pin it
+   * for the session.
    */
   def renderDataCard(state: DataFrame): DataFrame = {
+    graft.Caching.requireScope("Pipeline.renderDataCard")
     val st = graft.Caching.persist(state)
     val flat = st.groupBy().agg(
       coalesce(sum(when(col("kind") === "scalar" && col("k") === "n_docs",
@@ -1762,6 +1765,12 @@ object Pipeline {
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    // SIX corpus-scale persists (history, survivors, both shingle
+    // tables, both band tables) outlive the method — the decision-log
+    // plan reads each several times and only the caller's scope can
+    // release them after its action. A scope-less daily run would
+    // silently pin all six for the session: fail loudly instead.
+    graft.Caching.requireScope("Pipeline.dailyIngest")
     val hist = graft.Caching.persist(historyDocs.select(col("doc"), col("line")))
     val survivors = graft.Caching.persist(
       Dedup.exactDedupAgainstBloom(newDocs.select(col("doc"), col("line")), hist))

@@ -147,6 +147,11 @@ object AttributionStressMain {
       spark.sparkContext.removeSparkListener(listener)
       println(f"$tag  max single-task shuffle-write records = ${maxRec.get()}%,d  (${s}%.1f s)")
     }
+    // restore the two confs mutated for the phase-2 measurement so a
+    // reused/reordered session sees defaults again (radar-task shuffle
+    // writes are negligible vs the 100M-pair join being measured)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", true)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", true)
     spark.stop()
   }
 }

@@ -38,9 +38,11 @@ object ContainmentProperties extends Properties("Containment") {
       val s = spark
       import s.implicits._
       val df = docs.toDF("doc", "line")
-      val fast = Dedup.containmentPairsScreened(df, threshold = t, maxDf = maxDf)
-        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-        .sorted.toList
+      val fast = graft.Caching.scoped {
+        Dedup.containmentPairsScreened(df, threshold = t, maxDf = maxDf)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+          .sorted.toList
+      }
       val brute = Dedup.containmentPairs(df, threshold = t)
         .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
         .sorted.toList

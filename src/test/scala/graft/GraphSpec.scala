@@ -177,9 +177,11 @@ class GraphSpec extends SparkSpec {
   test("termPageRank's distributed tier fails loudly outside Caching.scoped") {
     // the round-7 API-level cache-contract assert: the tier whose
     // iteration caches only a scope can release must refuse to
-    // construct a leaking plan
-    val ex = the[IllegalStateException] thrownBy
+    // construct a leaking plan (Caching.unscoped: every test body now
+    // runs under a suite-level scope, so drop it to pin the failure)
+    val ex = the[IllegalStateException] thrownBy Caching.unscoped {
       Graph.termPageRank(starCorpus, iters = 3, driverMaxEdges = 0L)
+    }
     ex.getMessage should include ("Caching.scoped")
   }
 }

@@ -96,9 +96,10 @@ object PrefixStressMain {
     // only; the brute tier pays the same Σ df² as jaccard, doubled by
     // the missing d1 < d2 symmetry cut.
     var t1 = System.nanoTime()
-    val cs = Dedup.containmentPairsScreened(zipf, threshold = threshold,
-      maxDf = 4L)
-    val nCs = cs.count()
+    val nCs = graft.Caching.scoped {
+      Dedup.containmentPairsScreened(zipf, threshold = threshold,
+        maxDf = 4L).count()
+    }
     val tCs = (System.nanoTime() - t1) / 1e9
     println(f"ZIPF_CONTAIN_SCREENED (tau=$threshold, maxDf=4): $tCs%.1f s, pairs=$nCs")
 

@@ -27,6 +27,15 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
 
+  /** Every test body runs under a [[Caching.scoped]] block — the same
+    * contract Bench/Verify run queries under: multi-persist operators
+    * assert an open scope ([[Caching.requireScope]]), and each test
+    * releases its operator-internal persists on exit instead of
+    * accumulating them across the suite. Tests pinning the NO-scope
+    * behavior itself opt out via [[Caching.unscoped]]. */
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    Caching.scoped { super.withFixture(test) }
+
   /** Corpus DF from (doc, line) pairs. */
   def corpus(rows: (String, String)*): DataFrame = {
     val s = spark

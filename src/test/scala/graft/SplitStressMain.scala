@@ -24,6 +24,9 @@ object SplitStressMain {
         concat(col("text"), lit(" salt10")).as("line"))
     println("HIST: " + hist.count() + " DELTA: " + delta.count())
 
+    // one scope over the whole measurement: leakageSafeSplit's label
+    // caches require it, and every internal persist releases on exit
+    graft.Caching.scoped {
     var t0 = System.nanoTime()
     val hsp = graft.Caching.persist(
       graft.operators.Dedup.leakageSafeSplit(hist, valPerMille = 100))
@@ -59,6 +62,7 @@ object SplitStressMain {
     val nScored = graft.operators.Classify.scoreRowLocal(hist, model).count()
     secs = (System.nanoTime() - t0) / 1e9
     println(f"NB_FIT_10X: $fitSecs%.1f s; NB_SCORE_ROWLOCAL_10X: $secs%.1f s, scored=$nScored")
+    }
     spark.stop()
   }
 }

@@ -57,8 +57,9 @@ object WeightedStressMain {
 
     val threshold = 0.8
     var t0 = System.nanoTime()
-    val banded = Dedup.weightedNearDups(corpus, threshold = threshold)
-    val nBanded = banded.count()
+    val nBanded = graft.Caching.scoped {
+      Dedup.weightedNearDups(corpus, threshold = threshold).count()
+    }
     val tBanded = (System.nanoTime() - t0) / 1e9
     println(f"WEIGHTED_BANDED (tau=$threshold): $tBanded%.1f s, pairs=$nBanded")
 
