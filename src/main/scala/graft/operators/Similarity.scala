@@ -1299,7 +1299,21 @@ object Similarity {
         col("_sx"), col("_sy"), col("_sxy"))
 
   /** Merge two [[coMomentState]] frames (one partial-agg exchange over
-    * ≤ d² rows) — additive exact sums, any grouping of slices. */
+    * ≤ d² rows) — additive exact sums, any grouping of slices.
+    *
+    * OVERFLOW BOUND (loud, not silent): the merged lanes re-sum as SQL
+    * DECIMAL(38,0), whose domain is |v| < 10³⁸. Components micro-
+    * quantize to ×1e6 longs, so a unit-scale corpus contributes ~10¹²
+    * per row to the Σxy lane — the merge headroom is therefore ~10²⁶
+    * unit-scale rows (10³⁸ / 10¹²) per dimension pair, about 10¹⁴ ×
+    * a 100 TB corpus. Past it Spark throws loudly at the merge action
+    * (`ARITHMETIC_OVERFLOW` from the decimal sum, or
+    * `NUMERIC_VALUE_OUT_OF_RANGE` when the overflow surfaces at the
+    * cast — pinned in SimilaritySpec) rather than wrapping or
+    * nulling; states that must
+    * exceed it should be collected and merged through the driver's
+    * BigInt path ([[principalComponentFromState]]'s eigensolve input,
+    * which is unbounded). */
   def mergeCoMomentStates(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy(col("i"), col("j"))

@@ -1421,4 +1421,206 @@ object StreamingOps {
       .where(col("cos") >= threshold)
       .select(col("doc"), col("hist_doc"), col("cos"))
   }
+
+  /**
+   * STREAMING DAILY-INGEST DECISION LOG — the live twin of
+   * [[graft.operators.Pipeline.dailyIngest]]: every arriving document
+   * gets exactly one row of (doc, stage, anchor, split) with the batch
+   * composition's semantics — `dropped_exact` (md5 text fingerprint
+   * already in history), `dropped_near_dup` (exact Jaccard ≥ threshold
+   * against a guard-surviving history band candidate; anchor = the
+   * smallest match), or `kept` (anchor = the smallest bucket-sharing
+   * history doc per [[graft.operators.Dedup.leakageSafeSplitAgainst]],
+   * split inherited from its history split, or the `"split:"` permille
+   * hash of the doc's own id when nothing matched / the anchor has no
+   * recorded split).
+   *
+   * ENTIRELY STATELESS, one row per doc END TO END — no state store,
+   * no watermark, no streaming aggregation. The trick that makes the
+   * batch composition streamable: all three screens probe STATIC
+   * history structures resolved at plan time —
+   *  - the exact screen is a row-local Bloom probe (the
+   *    [[contaminationScreen]] recipe; fingerprints only) + a 1:≤1
+   *    stream-static left join on the distinct history fingerprints
+   *    for the exact confirm (Bloom hits only can match — false
+   *    positives cost nothing but the probe);
+   *  - the near-dup and split screens share ONE static BUCKET INDEX:
+   *    history LSH buckets pre-aggregated to
+   *    (band, band_val) → array⟨(hist_doc, shingles, split)⟩, hot
+   *    buckets (> maxBucketSize members) dropped WHOLE at index build
+   *    (the batch guard's okBuckets semantics). The stream row
+   *    computes its own signature row-locally (the [[nearDupScreen]]
+   *    shape), then probes the index with nBands 1:≤1 left joins —
+   *    never an explode, never a per-doc aggregation: the min-anchor
+   *    and Jaccard verdicts reduce the carried candidate arrays with
+   *    array expressions on the ONE row.
+   *
+   * Batch parity is pinned in StreamingSpec (same fixture through
+   * `Pipeline.dailyIngest` and this screen, row-identical). At scale
+   * the index is |history bands| rows whose bucket arrays are bounded
+   * by `maxBucketSize` — size the bound to what a bucket row may
+   * carry, and persist the index side (it is re-planned per
+   * micro-batch otherwise).
+   *
+   * @param docs streaming (doc, line)
+   * @param historyDocs static (doc, line)
+   * @param historySplits static (doc, split) — the persisted
+   *        [[graft.operators.Dedup.leakageSafeSplit]] assignment
+   * @return streaming (doc, stage, anchor, split)
+   */
+  def ingestScreen(
+      docs: DataFrame,
+      historyDocs: DataFrame,
+      historySplits: DataFrame,
+      nearDupThreshold: Double = 0.5,
+      valPerMille: Int = 100,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      fpp: Double = 1e-4): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(nearDupThreshold > 0 && nearDupThreshold < 1,
+      s"nearDupThreshold must be in (0,1), got $nearDupThreshold")
+    require(valPerMille >= 0 && valPerMille <= 1000,
+      s"valPerMille must be in [0, 1000], got $valPerMille")
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val nBands = numHashes / rowsPerBand
+
+    // ── static exact screen: Bloom bytes (plan-time) + distinct fps ────
+    val bloomBytes = Dedup.bloomBytesOf(
+      historyDocs.select(xxhash64(md5(col("line"))).as("h")).distinct(),
+      -1L, fpp)
+    val hfp = historyDocs.select(md5(col("line")).as("_hfp")).distinct()
+
+    // ── static bucket index: (band, band_val) → candidate array ────────
+    val histBands = Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.shingles(historyDocs, n), numHashes),
+      numHashes, rowsPerBand)
+    val histInfo = historyDocs
+      .select(col("doc"), Dedup.shinglesCol(col("line"), n).as("_hsh"))
+      .join(historySplits.select(col("doc"), col("split").as("_hsp")),
+        Seq("doc"), "left")
+    val index = histBands.join(histInfo, Seq("doc"))
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc").as("hd"), col("_hsh").as("hsh"),
+        col("_hsp").as("hsp"))).as("cands"))
+      // hot-bucket guard: the batch okBuckets contract — oversized
+      // buckets are excluded WHOLE, candidates from them never form
+      .where(size(col("cands")) <= maxBucketSize)
+
+    // ── stream side: row-local fingerprint + signature + band keys ─────
+    def bandVal(b: Int): Column =
+      concat_ws(",",
+        (0 until rowsPerBand).map(i => col(s"m${b * rowsPerBand + i}")): _*)
+    val minCols = (0 until numHashes).map { k =>
+      array_min(transform(col("_bb"), p =>
+        (p.getField("b1") + lit((k + 1).toLong) * p.getField("b2"))
+          % Dedup.MinhashPrime)).as(s"m$k")
+    }
+    val sig = docs
+      .withColumn("_fp", md5(col("line")))
+      .withColumn("_sh", Dedup.shinglesCol(col("line"), n))
+      .withColumn("_bb", transform(col("_sh"), s => {
+        val h = md5(s)
+        struct(
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("b1"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("b2"))
+      }))
+      .select(Seq(col("doc"), col("_fp"), col("_sh")) ++ minCols: _*)
+    val withBands = sig.select(
+      Seq(col("doc"), col("_fp"), col("_sh")) ++
+        // shingle-less docs get NULL band keys (they join nothing —
+        // the batch twin's absent-from-bands semantics)
+        (0 until nBands).map(b =>
+          when(size(col("_sh")) > 0, bandVal(b)).as(s"_bv$b")): _*)
+
+    // ── probes: exact confirm (1:≤1) + nBands bucket lookups (1:≤1) ───
+    val exactProbed = withBands.join(hfp,
+      org.apache.spark.sql.graft.BloomFunctions
+        .mightContainLong(xxhash64(col("_fp")), bloomBytes) &&
+        col("_fp") === col("_hfp"),
+      "left")
+    val probed = (0 until nBands).foldLeft(exactProbed) { (cur, b) =>
+      cur.join(
+        index.where(col("band") === b.toLong)
+          .select(col("band_val").as(s"_ibv$b"), col("cands").as(s"_c$b")),
+        col(s"_bv$b") === col(s"_ibv$b"), "left")
+        .drop(s"_ibv$b")
+    }
+
+    // ── row-local verdicts over the carried candidate arrays ──────────
+    val cands = flatten(array_compact(
+      array((0 until nBands).map(b => col(s"_c$b")): _*)))
+    val jacOk = (c: Column) => {
+      val inter = size(array_intersect(col("_sh"), c.getField("hsh")))
+        .cast("double")
+      inter / (size(col("_sh")) + size(c.getField("hsh")) -
+        size(array_intersect(col("_sh"), c.getField("hsh")))).cast("double") >=
+        nearDupThreshold
+    }
+    val hit = col("_hfp").isNotNull
+    val ndAnchor = array_min(transform(
+      filter(cands, c => jacOk(c)), c => c.getField("hd")))
+    val minCand = element_at(array_sort(transform(cands,
+      c => struct(c.getField("hd").as("hd"), c.getField("hsp").as("hsp")))), 1)
+    val ownBucket = conv(substring(
+        md5(concat(lit("split:"), col("doc").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    val hashSplit =
+      when(ownBucket < valPerMille * 1000L, lit("val")).otherwise(lit("train"))
+    probed
+      .withColumn("_cands", cands)
+      .select(col("doc"),
+        when(hit, lit("dropped_exact"))
+          .when(ndAnchor.isNotNull, lit("dropped_near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(!hit && ndAnchor.isNotNull, ndAnchor)
+          .when(!hit && ndAnchor.isNull && size(col("_cands")) > 0,
+            minCand.getField("hd")).as("anchor"),
+        when(!hit && ndAnchor.isNull,
+          coalesce(
+            when(size(col("_cands")) > 0, minCand.getField("hsp")),
+            hashSplit)).as("split"))
+  }
+
+  /**
+   * STREAMING CO-MOMENT STATE — the live twin of
+   * [[graft.operators.Similarity.coMomentState]] (incremental PCA):
+   * a streaming aggregation whose state IS the Gram kernel's buffer —
+   * `gramMoments` is a TypedImperativeAggregate with an exact
+   * mergeable buffer (the q214 merge ≡ union contract), so Structured
+   * Streaming's state store holds ONE serialized d²-lane buffer and
+   * merges each micro-batch into it. Run in `complete` (or `update`)
+   * output mode; after any prefix of the stream the emitted
+   * (i, j, n_vecs, _sx, _sy, _sxy) rows equal the batch
+   * `coMomentState` over exactly the rows seen so far — bit-for-bit,
+   * the additive-exact-sums contract (pinned in StreamingSpec) — and
+   * [[graft.operators.Similarity.principalComponentFromState]] renders
+   * the live PC1 from them (or from
+   * [[graft.operators.Similarity.mergeCoMomentStates]] with a
+   * persisted history state — the daily-pipeline shape).
+   *
+   * Scale shape: identical to the batch kernel — each vector is walked
+   * once map-side, the exchange carries partial buffers (d² lanes per
+   * PARTITION, not per row), and the stored streaming state is one
+   * buffer row. The [[graft.operators.Similarity.mergeCoMomentStates]]
+   * DECIMAL(38,0) headroom note applies to downstream SQL merges; the
+   * in-kernel lanes are BigInt-backed and unbounded.
+   */
+  def coMomentStream(embs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.GramFunctions.gramMoments
+    val xq = transform(col("embedding").cast("array<double>"),
+      x => round(x * lit(1e6)).cast("long"))
+    embs
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(gramMoments(xq).as("_g"))
+      .select(explode(col("_g")).as("_r"))
+      .select(col("_r.i").as("i"), col("_r.j").as("j"),
+        col("_r.n_vecs").as("n_vecs"), col("_r._sx").as("_sx"),
+        col("_r._sy").as("_sy"), col("_r._sxy").as("_sxy"))
+  }
 }

@@ -737,6 +737,33 @@ class SimilaritySpec extends SparkSpec {
     inc shouldBe whole
   }
 
+  test("mergeCoMomentStates overflows LOUDLY at the DECIMAL(38,0) boundary") {
+    // the documented merge-headroom contract: lanes re-sum as
+    // DECIMAL(38,0) (|v| < 10^38, ~10^26 unit-scale rows of headroom);
+    // past the boundary Spark must throw loudly at the action
+    // (ARITHMETIC_OVERFLOW from the decimal sum — or
+    // NUMERIC_VALUE_OUT_OF_RANGE when the overflow instead surfaces at
+    // the decimal cast) — never wrap, never null
+    def state(lane: String): org.apache.spark.sql.DataFrame =
+      spark.sql(s"""SELECT 0 AS i, 0 AS j, CAST(1 AS BIGINT) AS n_vecs,
+        CAST(0 AS DECIMAL(38,0)) AS _sx, CAST(0 AS DECIMAL(38,0)) AS _sy,
+        CAST('$lane' AS DECIMAL(38,0)) AS _sxy""")
+    // just inside: 4e37 + 4e37 = 8e37 (38 digits) merges exactly
+    val in = "4" + "0" * 37
+    val okRow = graft.operators.Similarity
+      .mergeCoMomentStates(state(in), state(in)).collect().head
+    okRow.getDecimal(okRow.fieldIndex("_sxy")).toBigInteger.toString shouldBe
+      "8" + "0" * 37
+    // just outside: (1e38 - 1) + (1e38 - 1) needs 39 digits -> loud
+    val max = "9" * 38
+    val ex = intercept[Exception] {
+      graft.operators.Similarity
+        .mergeCoMomentStates(state(max), state(max)).collect()
+    }
+    ex.getMessage should fullyMatch regex
+      "(?s).*(ARITHMETIC_OVERFLOW|NUMERIC_VALUE_OUT_OF_RANGE).*"
+  }
+
   test("principalComponent: canonical sign flips a negative dominant loading") {
     // variance along (1, -2): power iteration lands on ±(0.5, -1);
     // the flip makes dim 1 (largest |loading|) positive -> (-0.5, 1)

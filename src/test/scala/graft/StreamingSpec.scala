@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingOps
@@ -1284,6 +1285,94 @@ class StreamingSpec extends SparkSpec {
       got.values.map(_._3) should contain(true)
       // the unparameterized type scores null and never alarms
       got(5L) shouldBe ((None, None, false, None))
+    } finally q.stop()
+  }
+
+  test("streaming ingestScreen: row-identical to Pipeline.dailyIngest at both thresholds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hist = corpus(
+      "h1" -> "the quick brown fox jumps over the lazy dog today",
+      "h2" -> "completely different historical content about spark engines")
+    val hsp = graft.operators.Dedup.leakageSafeSplit(hist, valPerMille = 100)
+      .select(col("doc"), col("split"))
+    val delta = Seq(
+      "n1" -> "the quick brown fox jumps over the lazy dog today", // exact dup of h1
+      "n2" -> "the quick brown fox jumps over the lazy dog tonight", // J~0.8 vs h1
+      "n3" -> "entirely novel arrival with its own fresh vocabulary",
+      "n4" -> "two words") // shingle-less: no bands, hash-rule split
+
+    // threshold 0.5: n2 is a near-dup; threshold 0.9: n2 survives the
+    // near-dup screen but INHERITS h1's split through the shared bucket
+    for (tau <- Seq(0.5, 0.9)) {
+      val batch = graft.operators.Pipeline.dailyIngest(
+          delta.toDF("doc", "line"), hist, Some(hsp), nearDupThreshold = tau)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap
+
+      val input = MemoryStream[(String, String)]
+      val q = StreamingOps.ingestScreen(
+          input.toDF().toDF("doc", "line"), hist, hsp, nearDupThreshold = tau)
+        .writeStream.format("memory").queryName(s"ingest_$tau".replace('.', '_'))
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        input.addData(delta: _*)
+        q.processAllAvailable()
+        val got = StreamingSpec.this.spark
+          .table(s"ingest_$tau".replace('.', '_')).collect()
+          .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+            Option(r.getString(3))))).toMap
+        got shouldBe batch
+      } finally q.stop()
+    }
+    // sanity on the fixture's intent (not just mutual agreement)
+    val b9 = graft.operators.Pipeline.dailyIngest(
+        delta.toDF("doc", "line"), hist, Some(hsp), nearDupThreshold = 0.9)
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2))))).toMap
+    b9("n1")._1 shouldBe "dropped_exact"
+    b9("n2") shouldBe (("kept", Some("h1"))) // split-anchor inherit survives
+  }
+
+  test("streaming coMomentStream: state after any prefix equals the batch state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = Seq(0L -> Seq(1f, 2f, 5f), 1L -> Seq(2f, 4f, 5f),
+      2L -> Seq(3f, 6f, 5f))
+    val batch2 = Seq(3L -> Seq(4f, 8f, 5f), 4L -> Seq(0f, 1f, 7f))
+    def batchState(rows: Seq[(Long, Seq[Float])]) =
+      rowsOf(graft.operators.Similarity.coMomentState(
+        rows.toDF("vec_id", "embedding")))
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.coMomentStream(input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("comoment")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      rowsOf(spark.table("comoment")) shouldBe batchState(batch1)
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // the kernel buffer in the state store merged the second batch:
+      // prefix state ≡ batch state over exactly the rows seen so far
+      rowsOf(spark.table("comoment")) shouldBe batchState(batch1 ++ batch2)
+      // and the live PC1 renders from the streamed state bit-for-bit
+      val live = graft.operators.Similarity
+        .principalComponentFromState(spark.table("comoment"), iters = 7)
+        .orderBy(col("dim")).collect().map(_.toSeq)
+      val whole = graft.operators.Similarity
+        .principalComponent((batch1 ++ batch2).toDF("vec_id", "embedding"),
+          iters = 7)
+        .orderBy(col("dim")).collect().map(_.toSeq)
+      live shouldBe whole
     } finally q.stop()
   }
 }
