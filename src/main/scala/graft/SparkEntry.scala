@@ -354,6 +354,73 @@ object SparkEntry {
       |           WHERE b.doc_id = i.doc_id), 0)::BIGINT AS ahash
       |  FROM img i)""".stripMargin
 
+  /** DuckDB replica of the audio energy-envelope aHash
+    * (`Multimodal.audioAHash`): the 56-bucket exact mean-threshold
+    * rule over |int16 PCM| values rebuilt from the text the encoder
+    * sampled — sample_i = (ord(c_i) − 110)·200, energy = |sample|.
+    * Ends with `hs` = (doc_id, n, ahash) over audio docs
+    * (doc_id % 3 = 1). */
+  private def audioAhashCtes: String =
+    """aud AS (
+      |  SELECT doc_id, length(text)::BIGINT AS n,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> (abs(ord(substr(text, i::INTEGER, 1)) - 110)
+      |                              * 200)::BIGINT) AS g
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sp AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i0, g FROM aud),
+      |bk AS (
+      |  SELECT doc_id, n, (i0 * 56) // n AS j,
+      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
+      |         count(*)::BIGINT AS bcnt
+      |  FROM sp GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS total FROM bk GROUP BY 1),
+      |hs AS (
+      |  SELECT a.doc_id, a.n,
+      |         coalesce((
+      |           SELECT sum(CASE WHEN b.bsum * b.n >= t.total * b.bcnt
+      |                           THEN (1::BIGINT << b.j::INTEGER)
+      |                           ELSE 0 END)
+      |           FROM bk b JOIN tot t ON b.doc_id = t.doc_id
+      |           WHERE b.doc_id = a.doc_id), 0)::BIGINT AS ahash
+      |  FROM aud a)""".stripMargin
+
+  /** DuckDB replica of the keyframe-sampled video aHash
+    * (`Multimodal.videoAHash`, everyNth = 2): every second frame's
+    * 8 luma bytes (chars f·12+1 … f·12+8 of the text the encoder
+    * framed), concatenated and folded through the same 56-bucket
+    * rule. Ends with `hs` = (doc_id, nf, nsf, n, ahash) over video
+    * docs (doc_id % 3 = 2). */
+  private def videoAhashCtes: String =
+    """vid AS (
+      |  SELECT doc_id, (length(text) // 12)::BIGINT AS nf,
+      |         flatten(list_transform(range(0, length(text) // 12, 2),
+      |           f -> list_transform(range(0, 8),
+      |             k -> ord(substr(text, (f * 12 + k + 1)::INTEGER, 1))::BIGINT)))
+      |           AS g
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |vz AS (
+      |  SELECT doc_id, nf, ((nf + 1) // 2)::BIGINT AS nsf,
+      |         len(g)::BIGINT AS n, g
+      |  FROM vid),
+      |sp AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i0, g FROM vz),
+      |bk AS (
+      |  SELECT doc_id, n, (i0 * 56) // n AS j,
+      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
+      |         count(*)::BIGINT AS bcnt
+      |  FROM sp GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS total FROM bk GROUP BY 1),
+      |hs AS (
+      |  SELECT v.doc_id, v.nf, v.nsf, v.n,
+      |         coalesce((
+      |           SELECT sum(CASE WHEN b.bsum * b.n >= t.total * b.bcnt
+      |                           THEN (1::BIGINT << b.j::INTEGER)
+      |                           ELSE 0 END)
+      |           FROM bk b JOIN tot t ON b.doc_id = t.doc_id
+      |           WHERE b.doc_id = v.doc_id), 0)::BIGINT AS ahash
+      |  FROM vz v)""".stripMargin
+
   /** DuckDB replica of the int8 chain (`Similarity.quantizeInt8` +
     * `int8SdcTopK` per-vector stats): affine byte codes with the
     * explicit +0.5-then-floor, Σq / Σq² as BIGINTs, and the SDC score
@@ -2983,6 +3050,36 @@ object SparkEntry {
           ah.where(col("asset_id") >= 250), ah.where(col("asset_id") < 250))
         .orderBy(col("asset_id"))
     }),
+
+    // Audio perceptual hash: the q172 aHash rule over the decoded PCM
+    // ENERGY envelope (|int16|) — the oracle rebuilds every bit from
+    // the text the WAV encoder sampled (the q144/q172 lockstep recipe).
+    "q217_audio_ahash" -> ((s, dir) =>
+      Multimodal.audioAHash(Multimodal.encodeAssets(docs(s, dir)))
+        .orderBy(col("asset_id"))),
+
+    // Banded Hamming near-dups over the audio hashes — the SAME 7×8-bit
+    // pigeonhole machinery as q172b, modality-agnostic by construction;
+    // oracle = all-pairs brute force, exact agreement at maxDist ≤ 6.
+    "q217b_audio_neardup" -> ((s, dir) =>
+      Multimodal.ahashNearDupPairs(
+          Multimodal.audioAHash(Multimodal.encodeAssets(docs(s, dir))),
+          maxDist = 6)
+        .orderBy(col("d1"), col("d2"))),
+
+    // Video perceptual hash: KEYFRAME-sampled aHash — every 2nd frame's
+    // luma plane through the 56-bucket rule; sampling decided inside
+    // the container walk (FRAME markers make raw slicing wrong).
+    "q218_video_ahash" -> ((s, dir) =>
+      Multimodal.videoAHash(Multimodal.encodeAssets(docs(s, dir)), everyNth = 2)
+        .orderBy(col("asset_id"))),
+
+    "q218b_video_neardup" -> ((s, dir) =>
+      Multimodal.ahashNearDupPairs(
+          Multimodal.videoAHash(Multimodal.encodeAssets(docs(s, dir)),
+            everyNth = 2),
+          maxDist = 6)
+        .orderBy(col("d1"), col("d2"))),
 
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
@@ -8169,6 +8266,39 @@ object SparkEntry {
          |      ORDER BY hamming, match_id) AS rn
          |  FROM pm)
          |WHERE rn = 1 ORDER BY asset_id""".stripMargin,
+
+    // Audio aHash mirror: energy-envelope bits rebuilt from the text
+    // the WAV encoder sampled; exact integer cross-products.
+    "q217_audio_ahash" ->
+      s"""WITH $audioAhashCtes
+         |SELECT doc_id AS asset_id, n AS n_samples, ahash
+         |FROM hs ORDER BY asset_id""".stripMargin,
+
+    // Audio near-dup mirror: all-pairs brute force over the same CTEs
+    // — the banded engine must agree exactly (7-band pigeonhole).
+    "q217b_audio_neardup" ->
+      s"""WITH $audioAhashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
+
+    // Video aHash mirror: every-2nd-frame luma bits rebuilt from the
+    // text the Y4M encoder framed.
+    "q218_video_ahash" ->
+      s"""WITH $videoAhashCtes
+         |SELECT doc_id AS asset_id, nf AS n_frames,
+         |       nsf AS n_sampled_frames, ahash
+         |FROM hs ORDER BY asset_id""".stripMargin,
+
+    "q218b_video_neardup" ->
+      s"""WITH $videoAhashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine
     // score CTEs; per-query rank with NULLS LAST + id tie-break.

@@ -464,27 +464,193 @@ object Multimodal {
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
           val (w, h, gray) = ppmGray(id, b)
-          val nPx = gray.length
-          val sums = new Array[Long](AHashBits)
-          val cnts = new Array[Long](AHashBits)
-          var i = 0
-          while (i < nPx) {
-            val j = (i.toLong * AHashBits / nPx).toInt
-            sums(j) += gray(i); cnts(j) += 1
-            i += 1
-          }
-          val total = sums.sum
-          var hash = 0L
-          var j = 0
-          while (j < AHashBits) {
-            if (cnts(j) > 0 && sums(j) * nPx >= total * cnts(j))
-              hash |= 1L << j
-            j += 1
-          }
-          (id, w, h, hash)
+          (id, w, h, ahash56(gray))
         }
       }
       .toDF("asset_id", "width", "height", "ahash")
+  }
+
+  /** The shared 56-bucket exact mean-threshold fold behind
+    * [[imageAHash]]/[[audioAHash]]/[[videoAHash]]: value i → bucket
+    * ⌊i·56/n⌋, bit j set iff bucket j's mean ≥ the overall mean,
+    * compared as the EXACT cross-product `sum_j·n ≥ total·cnt_j` — no
+    * division, no float, engine-identical by construction. Callers
+    * bound the value domain so the cross-product stays inside int64
+    * (values ≤ V need n ≤ √(2⁶³/V): 6·10⁸ at V = 255, 1.6·10⁷ at
+    * V = 32767 — asserted loudly at the audio call site). Empty
+    * buckets and empty inputs hash 0 on their bits. */
+  private def ahash56(values: Array[Int]): Long = {
+    val n = values.length
+    val sums = new Array[Long](AHashBits)
+    val cnts = new Array[Long](AHashBits)
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * AHashBits / n).toInt
+      sums(j) += values(i); cnts(j) += 1
+      i += 1
+    }
+    val total = sums.sum
+    var hash = 0L
+    var j = 0
+    while (j < AHashBits) {
+      if (cnts(j) > 0 && sums(j) * n >= total * cnts(j))
+        hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /**
+   * PERCEPTUAL audio hash — the [[imageAHash]] recipe over the decoded
+   * PCM ENERGY ENVELOPE: the int16 samples' absolute values bucket
+   * into [[AHashBits]] equal time spans, bit j set iff span j's mean
+   * energy ≥ the clip's mean (the exact cross-product rule — see
+   * [[ahash56]]). Loudness-profile fingerprint: byte-level md5 changes
+   * with any container tweak, this only when the ENERGY SHAPE moves —
+   * the content-level near-dup key for audio.
+   *
+   * Scale shape: partition-local WAV walk + fold (the [[decodeMedia]]
+   * mapPartitions corner), one (id, n, hash) row per clip out;
+   * compose with [[repartitionForDecode]] for MB payloads. Int64
+   * bound: |sample| ≤ 32767 needs n ≤ 1.6·10⁷ samples (~33 min at
+   * 8 kHz) for the cross-product — asserted loudly; longer clips
+   * should hash bounded windows.
+   *
+   * @return (asset_id, n_samples, ahash) for audio assets
+   */
+  def audioAHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("meta.kind") === "audio")
+      .select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val samples = wavSamples(id, r.getAs[Array[Byte]](1))
+          require(samples.length <= 16000000,
+            s"asset $id: ${samples.length} samples exceeds the exact " +
+              "cross-product int64 bound (1.6e7) — hash bounded windows")
+          val energy = new Array[Int](samples.length)
+          var i = 0
+          while (i < samples.length) {
+            energy(i) = math.abs(samples(i)); i += 1
+          }
+          (id, samples.length.toLong, ahash56(energy))
+        }
+      }
+      .toDF("asset_id", "n_samples", "ahash")
+  }
+
+  /**
+   * PERCEPTUAL video hash — KEYFRAME-sampled [[imageAHash]]: every
+   * `everyNth` frame's LUMA plane (C420's leading w·h bytes — the
+   * channel perceptual hashing uses; chroma is ignored exactly like
+   * classic pHash pipelines), concatenated in frame order and folded
+   * through the same 56-bucket exact mean-threshold rule. A re-muxed
+   * or chroma-tweaked stream keeps its hash; a different CONTENT
+   * moves it. Frame sampling is the [[frameSample]] decision applied
+   * inside the container walk (the FRAME markers make raw byte
+   * slicing wrong for y4m — position comes from the parse, the
+   * sampling economics are identical).
+   *
+   * Scale shape: partition-local Y4M walk + fold, one row per stream;
+   * sampled luma is w·h·⌈frames/everyNth⌉ values ≤ 255 (int64-safe to
+   * 6·10⁸ sampled pixels). Zero-frame streams hash 0 (empty raster).
+   *
+   * @return (asset_id, n_frames, n_sampled_frames, ahash) for video
+   *         assets
+   */
+  def videoAHash(assets: DataFrame, everyNth: Int = 2): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("meta.kind") === "video")
+      .select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val (nFrames, nSampled, luma) =
+            y4mSampledLuma(id, r.getAs[Array[Byte]](1), everyNth)
+          (id, nFrames, nSampled, ahash56(luma))
+        }
+      }
+      .toDF("asset_id", "n_frames", "n_sampled_frames", "ahash")
+  }
+
+  /** WAV data-chunk samples (int16, sign-extended) — the [[parseWav]]
+    * RIFF walk yielding the raw PCM instead of its (count, sum). */
+  private def wavSamples(id: Long, b: Array[Byte]): Array[Int] = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"asset $id: not a RIFF/WAVE payload")
+    var pos = 12
+    var out: Array[Int] = null
+    while (pos + 8 <= b.length) {
+      val id4 = tag(pos); val size = le32(pos + 4); pos += 8
+      require(size >= 0 && pos + size <= b.length,
+        s"asset $id: corrupt/truncated $id4 chunk (size $size at ${pos - 8})")
+      id4 match {
+        case "fmt " =>
+          require(le16(pos) == 1, s"asset $id: non-PCM WAV")
+          require(le16(pos + 14) == 16,
+            s"asset $id: only PCM16 supported, got ${le16(pos + 14)}")
+        case "data" =>
+          out = new Array[Int](size / 2)
+          var i = 0
+          while (i < size - 1) {
+            out(i / 2) = le16(pos + i).toShort.toInt // sign-extend int16
+            i += 2
+          }
+        case _ => // skip unknown chunk
+      }
+      pos += size + (size & 1)
+    }
+    require(out != null, s"asset $id: missing data chunk")
+    out
+  }
+
+  /** Y4M walk yielding (n_frames, n_sampled, sampled luma bytes) for
+    * frames 0, everyNth, 2·everyNth, … — the [[parseY4m]] structure
+    * with per-frame keep/skip instead of a global (count, sum). */
+  private def y4mSampledLuma(
+      id: Long, b: Array[Byte], everyNth: Int): (Long, Long, Array[Int]) = {
+    var pos = 0
+    while (pos < b.length && b(pos) != '\n') pos += 1
+    val params = new String(b, 0, pos, "US-ASCII").split(' ')
+    require(params.nonEmpty && params(0) == "YUV4MPEG2",
+      s"asset $id: not a y4m payload")
+    pos += 1
+    val w = params.collectFirst { case p if p.startsWith("W") => p.tail.toLong }
+      .getOrElse(throw new IllegalArgumentException(s"asset $id: y4m missing W"))
+    val h = params.collectFirst { case p if p.startsWith("H") => p.tail.toLong }
+      .getOrElse(throw new IllegalArgumentException(s"asset $id: y4m missing H"))
+    require(!params.exists(p => p.startsWith("C") && p != "C420"),
+      s"asset $id: only C420 supported")
+    val lumaLen = (w * h).toInt
+    val frameLen = (w * h * 3 / 2).toInt
+    val luma = new scala.collection.mutable.ArrayBuffer[Int]()
+    var frames = 0L; var sampled = 0L
+    while (pos < b.length) {
+      require(pos + 5 <= b.length &&
+        new String(b, pos, 5, "US-ASCII") == "FRAME",
+        s"asset $id: corrupt y4m frame header at $pos")
+      pos += 5
+      while (pos < b.length && b(pos) != '\n') pos += 1 // frame params
+      pos += 1
+      require(b.length - pos >= frameLen, s"asset $id: truncated y4m frame")
+      if (frames % everyNth == 0) {
+        var i = 0
+        while (i < lumaLen) { luma += (b(pos + i) & 0xff); i += 1 }
+        sampled += 1
+      }
+      pos += frameLen
+      frames += 1
+    }
+    (frames, sampled, luma.toArray)
   }
 
   /** PPM P6 pixel extraction: header walk as [[parsePpm]], gray value =
@@ -533,7 +699,19 @@ object Multimodal {
    * @param maxDist Hamming threshold, ≤ 6 (the 7-band guarantee)
    * @return (d1, d2, hamming) with d1 < d2
    */
-  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+  def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
+    ahashNearDupPairs(hashes, maxDist)
+
+  /**
+   * The modality-agnostic banded-Hamming engine behind
+   * [[imageNearDupPairs]] — any (asset_id, ahash) frame
+   * ([[imageAHash]], [[audioAHash]], [[videoAHash]]) goes through the
+   * same 7×8-bit banding with the same pigeonhole guarantee: every
+   * pair within hamming ≤ 6 shares an untouched band, so the banded
+   * join loses nothing the threshold admits (oracle = all-pairs brute
+   * force, exact agreement).
+   */
+  def ahashNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       s"7-band pigeonhole covers hamming <= 6, got $maxDist")
     val banded = ahashBands(hashes)

@@ -173,9 +173,8 @@ class MultimodalSpec extends SparkSpec {
     a shouldBe b
   }
 
-  /** Local aHash replication: the exact integer bucket/threshold math. */
-  private def localAHash(text: String): Long = {
-    val g = text.map(_.toLong)
+  /** Local 56-bucket exact mean-threshold fold — the ahash56 math. */
+  private def local56(g: Seq[Long]): Long = {
     val n = g.length
     if (n == 0) return 0L
     val sums = new Array[Long](56); val cnts = new Array[Long](56)
@@ -186,6 +185,22 @@ class MultimodalSpec extends SparkSpec {
     (0 until 56).map { j =>
       if (cnts(j) > 0 && sums(j) * n >= total * cnts(j)) 1L << j else 0L
     }.sum
+  }
+
+  /** Local aHash replication: the exact integer bucket/threshold math. */
+  private def localAHash(text: String): Long = local56(text.map(_.toLong))
+
+  /** Local audio energy-envelope hash: |(c − 110)·200| per char. */
+  private def localAudioHash(text: String): Long =
+    local56(text.map(c => math.abs((c - 110).toLong) * 200L))
+
+  /** Local keyframe-sampled video hash: every `everyNth` frame's 8
+    * luma bytes (chars f·12 … f·12+7). */
+  private def localVideoHash(text: String, everyNth: Int): Long = {
+    val nf = text.length / 12
+    val luma = (0 until nf by everyNth)
+      .flatMap(f => (0 until 8).map(k => text.charAt(f * 12 + k).toLong))
+    local56(luma)
   }
 
   test("imageAHash: gradient image sets exactly the bright-half bits") {
@@ -276,5 +291,94 @@ class MultimodalSpec extends SparkSpec {
       // if they matched it must be via history, not each other
       Set(0L, 3L, 6L) should contain(got(k)._1)
     }
+  }
+
+  test("audioAHash matches the local energy-envelope replication") {
+    // ids ≡ 1 (mod 3) → audio; lengths below/at/past 56 samples
+    // exercise empty and uneven buckets
+    val texts = Seq("hum", "low low loud LOUD" /* caps = loud |c-110| */,
+      "m" * 56, "quiet passage then SHOUTING FINALE " * 4)
+    val d = corpus(texts.zipWithIndex.map { case (t, i) =>
+      (i * 3 + 1).toString -> t }: _*)
+    val got = Multimodal.audioAHash(Multimodal.encodeAssets(d)).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("ahash")))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      withClue(s"text '$t':") {
+        got(i * 3L + 1) shouldBe ((t.length.toLong, localAudioHash(t)))
+      }
+    }
+  }
+
+  test("audio near-dups: banded pairs equal the brute force and DO pair") {
+    // q217b is 0 rows on the corpus fixture, so the pigeonhole contract
+    // needs a constructed positive: a base clip + small perturbations
+    // (one char per flip barely moves one bucket's energy) + an exact
+    // duplicate — banded ≡ brute, with pairs actually present
+    val base = "the quiet hum of a steady machine drones on " * 5 // 225 samples
+    val variants = (0 to 4).map { k =>
+      val sb = new StringBuilder(base)
+      (0 until k).foreach(f => sb.setCharAt(f * 41 + 7, 'z'))
+      sb.toString
+    } :+ base
+    val d = corpus(variants.zipWithIndex.map { case (t, i) =>
+      (i * 3 + 1).toString -> t }: _*)
+    val got = Multimodal.ahashNearDupPairs(
+        Multimodal.audioAHash(Multimodal.encodeAssets(d)), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hashes = variants.zipWithIndex
+      .map { case (t, i) => i * 3L + 1 -> localAudioHash(t) }
+    val brute = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes if i1 < i2
+      dist = java.lang.Long.bitCount(h1 ^ h2) if dist <= 6
+    } yield (i1, i2) -> dist.toLong).toMap
+    got shouldBe brute
+    got should not be empty // the contract is exercised, not vacuous
+    got((1L, 16L)) shouldBe 0L // the exact duplicate at distance 0
+  }
+
+  test("videoAHash: keyframe sampling, counts, and zero-frame streams") {
+    // ids ≡ 2 (mod 3) → video; 12 chars per frame
+    val texts = Seq(
+      "x" * 11,            // 0 frames: legal zero-frame stream, hash 0
+      "abcdefghijkl",      // 1 frame
+      ('a' to 'z').mkString * 6) // 13 frames → 7 sampled at everyNth=2
+    val d = corpus(texts.zipWithIndex.map { case (t, i) =>
+      (i * 3 + 2).toString -> t }: _*)
+    val got = Multimodal.videoAHash(Multimodal.encodeAssets(d), everyNth = 2)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_sampled_frames"),
+          r.getAs[Long]("ahash")))).toMap
+    got(2L) shouldBe ((0L, 0L, 0L))
+    got(5L) shouldBe ((1L, 1L, localVideoHash(texts(1), 2)))
+    got(8L) shouldBe ((13L, 7L, localVideoHash(texts(2), 2)))
+    // sampling matters: the full-frame hash differs from the sampled one
+    Multimodal.videoAHash(Multimodal.encodeAssets(d), everyNth = 1)
+      .where(col("asset_id") === 8L).head().getAs[Long]("ahash") shouldBe
+      localVideoHash(texts(2), 1)
+  }
+
+  test("video near-dups: banded pairs equal the brute force") {
+    val base = ('a' to 'z').mkString * 6 // 13 frames
+    val variants = (0 to 3).map { k =>
+      val sb = new StringBuilder(base)
+      (0 until k).foreach(f => sb.setCharAt(f * 29 + 2, '~'))
+      sb.toString
+    } :+ base
+    val d = corpus(variants.zipWithIndex.map { case (t, i) =>
+      (i * 3 + 2).toString -> t }: _*)
+    val got = Multimodal.ahashNearDupPairs(
+        Multimodal.videoAHash(Multimodal.encodeAssets(d), everyNth = 2),
+        maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hashes = variants.zipWithIndex
+      .map { case (t, i) => i * 3L + 2 -> localVideoHash(t, 2) }
+    val brute = (for {
+      (i1, h1) <- hashes; (i2, h2) <- hashes if i1 < i2
+      dist = java.lang.Long.bitCount(h1 ^ h2) if dist <= 6
+    } yield (i1, i2) -> dist.toLong).toMap
+    got shouldBe brute
+    got should not be empty
+    got((2L, 14L)) shouldBe 0L // exact duplicate
   }
 }
