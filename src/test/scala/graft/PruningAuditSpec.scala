@@ -151,6 +151,14 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q172_image_ahash") shouldBe Seq(Set("doc_id", "text"))
   }
 
+  test("q217/q218 audio+video ahash pipelines read only doc_id and text") {
+    readSchemas("q217_audio_ahash") shouldBe Seq(Set("doc_id", "text"))
+    readSchemas("q218_video_ahash") shouldBe Seq(Set("doc_id", "text"))
+    // the banded near-dup tiers add no extra scan columns either
+    readSchemas("q217b_audio_neardup").toSet shouldBe Set(Set("doc_id", "text"))
+    readSchemas("q218b_video_neardup").toSet shouldBe Set(Set("doc_id", "text"))
+  }
+
   test("q175 growth scan reads only ts and user_id") {
     readSchemas("q175_user_growth") shouldBe Seq(Set("ts", "user_id"))
   }
