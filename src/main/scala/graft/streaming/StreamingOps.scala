@@ -1459,13 +1459,18 @@ object StreamingOps {
    * `Pipeline.dailyIngest` and this screen, row-identical). At scale
    * the index is |history bands| rows whose bucket arrays are bounded
    * by `maxBucketSize` — size the bound to what a bucket row may
-   * carry, and persist the index side (it is re-planned per
-   * micro-batch otherwise).
+   * carry, and pass a PERSISTED [[ingestIndex]] via
+   * `precomputedIndex` (otherwise the index re-derives from the raw
+   * history per micro-batch AND per band probe — fine for tests,
+   * wrong for production).
    *
    * @param docs streaming (doc, line)
    * @param historyDocs static (doc, line)
    * @param historySplits static (doc, split) — the persisted
    *        [[graft.operators.Dedup.leakageSafeSplit]] assignment
+   * @param precomputedIndex a persisted [[ingestIndex]] built with the
+   *        SAME (historyDocs, historySplits, n, numHashes, rowsPerBand,
+   *        maxBucketSize) — the caller owns its lifecycle
    * @return streaming (doc, stage, anchor, split)
    */
   def ingestScreen(
@@ -1478,7 +1483,8 @@ object StreamingOps {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
-      fpp: Double = 1e-4): DataFrame = {
+      fpp: Double = 1e-4,
+      precomputedIndex: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Dedup
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
@@ -1497,20 +1503,8 @@ object StreamingOps {
     val hfp = historyDocs.select(md5(col("line")).as("_hfp")).distinct()
 
     // ── static bucket index: (band, band_val) → candidate array ────────
-    val histBands = Dedup.lshBands(
-      Dedup.minhashSignatures(Dedup.shingles(historyDocs, n), numHashes),
-      numHashes, rowsPerBand)
-    val histInfo = historyDocs
-      .select(col("doc"), Dedup.shinglesCol(col("line"), n).as("_hsh"))
-      .join(historySplits.select(col("doc"), col("split").as("_hsp")),
-        Seq("doc"), "left")
-    val index = histBands.join(histInfo, Seq("doc"))
-      .groupBy(col("band"), col("band_val"))
-      .agg(collect_list(struct(col("doc").as("hd"), col("_hsh").as("hsh"),
-        col("_hsp").as("hsp"))).as("cands"))
-      // hot-bucket guard: the batch okBuckets contract — oversized
-      // buckets are excluded WHOLE, candidates from them never form
-      .where(size(col("cands")) <= maxBucketSize)
+    val index = precomputedIndex.getOrElse(ingestIndex(
+      historyDocs, historySplits, n, numHashes, rowsPerBand, maxBucketSize))
 
     // ── stream side: row-local fingerprint + signature + band keys ─────
     def bandVal(b: Int): Column =
@@ -1611,6 +1605,119 @@ object StreamingOps {
    * DECIMAL(38,0) headroom note applies to downstream SQL merges; the
    * in-kernel lanes are BigInt-backed and unbounded.
    */
+  /**
+   * The static BUCKET INDEX behind [[ingestScreen]], exposed so
+   * production callers build it ONCE, persist (or write) it, and pass
+   * it back via `precomputedIndex` — the daily-pipeline state shape
+   * (the q100 frozen-ANN-index convention): history LSH buckets
+   * pre-aggregated to (band, band_val) → array⟨(hd, hsh, hsp)⟩
+   * candidate structs, hot buckets (> maxBucketSize members) dropped
+   * WHOLE at build (the batch okBuckets guard — candidates from them
+   * never form on either engine). Index size is |history bands| rows;
+   * each row carries at most `maxBucketSize` candidate structs.
+   */
+  def ingestIndex(
+      historyDocs: DataFrame,
+      historySplits: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+    import graft.operators.Dedup
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val histBands = Dedup.lshBands(
+      Dedup.minhashSignatures(Dedup.shingles(historyDocs, n), numHashes),
+      numHashes, rowsPerBand)
+    val histInfo = historyDocs
+      .select(col("doc"), Dedup.shinglesCol(col("line"), n).as("_hsh"))
+      .join(historySplits.select(col("doc"), col("split").as("_hsp")),
+        Seq("doc"), "left")
+    histBands.join(histInfo, Seq("doc"))
+      .groupBy(col("band"), col("band_val"))
+      .agg(collect_list(struct(col("doc").as("hd"), col("_hsh").as("hsh"),
+        col("_hsp").as("hsp"))).as("cands"))
+      // hot-bucket guard: the batch okBuckets contract — oversized
+      // buckets are excluded WHOLE, candidates from them never form
+      .where(size(col("cands")) <= maxBucketSize)
+  }
+
+  /**
+   * Streaming MEDIA near-dup screen — the live twin of
+   * [[graft.multimodal.Multimodal.imageNearDupAgainst]] for any aHash
+   * modality: each arriving (asset_id, ahash) row (from the image /
+   * audio / video hashers, which are stateless typed maps and run on
+   * streams as-is) probes a STATIC history hash set through the same
+   * 7×8-bit banding and reports its closest history match (hamming ≤
+   * maxDist, min (hamming, id)).
+   *
+   * Entirely STATELESS append mode: the stream row explodes to its 7
+   * band keys map-side, the stream-static band join meets history on
+   * (band, band_bits), the first-MATCHING-band filter (decidable per
+   * row from h1^h2 — the simhashPairs idiom) drops multi-band
+   * duplicates without a distinct, and the closest-match pick is the
+   * one candidate reduction the batch twin also pays… except a
+   * streaming groupBy would need update mode, so the pick here is
+   * row-local: the history side is pre-aggregated PER BUCKET into a
+   * candidate hash array (the [[ingestIndex]] recipe — bounded by
+   * `maxBucketDocs`), and the min-(hamming, id) reduction runs over
+   * the ≤ 7 carried arrays on the ONE stream row. Delta assets never
+   * meet each other (history-only probes — the batch contract).
+   *
+   * @param hashes streaming (asset_id, ahash) — compose with
+   *        `Multimodal.imageAHash`/`audioAHash`/`videoAHash`
+   * @param historyHashes static (asset_id, ahash)
+   * @return streaming (asset_id, match_id, hamming) — one row per
+   *         MATCHED arrival
+   */
+  def mediaNearDupScreen(
+      hashes: DataFrame,
+      historyHashes: DataFrame,
+      maxDist: Int = 6,
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6,
+      s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+    require(maxBucketDocs > 0,
+      s"maxBucketDocs must be positive, got $maxBucketDocs")
+    def bandBits(h: Column, b: Int): Column =
+      shiftright(h, 8 * b).bitwiseAND(lit(255L))
+    // static per-bucket candidate arrays (hot buckets dropped whole)
+    val idx = historyHashes
+      .select(col("asset_id").as("hid"), col("ahash").as("hh"),
+        explode(array((0 until 7).map(b =>
+          struct(lit(b.toLong).as("band"),
+            bandBits(col("ahash"), b).as("band_bits"))): _*)).as("e"))
+      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
+      .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))
+      .where(size(col("cands")) <= maxBucketDocs)
+    // ≤ 7 stream-static 1:≤1 left joins — one probe per band key
+    val probed = (0 until 7).foldLeft(
+      hashes.select(col("asset_id"), col("ahash"))) { (cur, b) =>
+      cur.join(
+        idx.where(col("band") === b.toLong)
+          .select(col("band_bits").as(s"_ibb$b"), col("cands").as(s"_c$b")),
+        bandBits(col("ahash"), b) === col(s"_ibb$b"), "left")
+        .drop(s"_ibb$b")
+    }
+    // row-local closest match over the carried candidate arrays; a
+    // candidate sharing several bands appears in several arrays — the
+    // min reduction is idempotent, no first-matching-band filter needed
+    val cands = flatten(array_compact(
+      array((0 until 7).map(b => col(s"_c$b")): _*)))
+    val best = array_min(transform(
+      filter(cands, c =>
+        bit_count(col("ahash").bitwiseXOR(c.getField("hh"))) <= maxDist),
+      c => struct(
+        bit_count(col("ahash").bitwiseXOR(c.getField("hh"))).cast("long")
+          .as("hamming"),
+        c.getField("hid").as("match_id"))))
+    probed
+      .withColumn("_best", best)
+      .where(col("_best").isNotNull)
+      .select(col("asset_id"), col("_best.match_id").as("match_id"),
+        col("_best.hamming").as("hamming"))
+  }
+
   def coMomentStream(embs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.GramFunctions.gramMoments
     val xq = transform(col("embedding").cast("array<double>"),

@@ -79,6 +79,53 @@ object IngestStressMain {
     require(stages.getOrElse("kept", 0L) > 1500L,
       s"novel arrivals not kept: $stages")
     println(f"COMPOSED_VS_SEPARATE: ${tSep / tComp}%.2fx")
+
+    // ── streaming twin at the same scale: the PRODUCTION shape ─────────
+    // (persisted prebuilt index, delta replayed in micro-batches) —
+    // measures index build once + per-batch probe cost, and pins the
+    // stage counts against the batch decision log above.
+    t0 = System.nanoTime()
+    val hsp2 = graft.Caching.scoped {
+      val f = Dedup.leakageSafeSplit(hist, valPerMille = 100)
+        .select(col("doc"), col("split")).persist()
+      f.count(); f
+    }
+    val idx = graft.streaming.StreamingOps.ingestIndex(hist, hsp2).persist()
+    // the timing spans the whole history prep: split fit + index
+    // build + materialization (the once-per-day cost the per-batch
+    // probes amortize)
+    println(f"STREAM_PREP_10X: ${idx.count()}%,d bucket rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (split fit + index build)")
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.ingestScreen(
+        input.toDF().toDF("doc", "line"), hist, hsp2,
+        precomputedIndex = Some(idx))
+      .writeStream.format("memory").queryName("ingest_stream_10x")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    val deltaRows = delta.collect().map(r => (r.getLong(0), r.getString(1)))
+    val nBatches = 5
+    deltaRows.grouped((deltaRows.length + nBatches - 1) / nBatches)
+      .zipWithIndex.foreach { case (chunk, i) =>
+        val tb = System.nanoTime()
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+        println(f"STREAM_BATCH_$i%d: ${chunk.length}%,d docs in " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      }
+    val streamStages = spark.table("ingest_stream_10x")
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    println(s"STREAM_STAGES_10X: $streamStages")
+    // the live screen must route every class exactly like the batch log
+    require(streamStages == stages,
+      s"stream decision log diverged from batch: $streamStages vs $stages")
+    hsp2.unpersist(); idx.unpersist()
     spark.stop()
   }
 }

@@ -1336,6 +1336,77 @@ class StreamingSpec extends SparkSpec {
         Option(r.getString(2))))).toMap
     b9("n1")._1 shouldBe "dropped_exact"
     b9("n2") shouldBe (("kept", Some("h1"))) // split-anchor inherit survives
+
+    // the production shape: a PERSISTED prebuilt index yields the
+    // identical stream (the caller owns the index lifecycle)
+    val idx = StreamingOps.ingestIndex(hist, hsp).persist()
+    try {
+      val batch5 = graft.operators.Pipeline.dailyIngest(
+          delta.toDF("doc", "line"), hist, Some(hsp), nearDupThreshold = 0.5)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap
+      val input2 = MemoryStream[(String, String)]
+      val q2 = StreamingOps.ingestScreen(
+          input2.toDF().toDF("doc", "line"), hist, hsp,
+          nearDupThreshold = 0.5, precomputedIndex = Some(idx))
+        .writeStream.format("memory").queryName("ingest_prebuilt")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        input2.addData(delta: _*)
+        q2.processAllAvailable()
+        StreamingSpec.this.spark.table("ingest_prebuilt").collect()
+          .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+            Option(r.getString(3))))).toMap shouldBe batch5
+      } finally q2.stop()
+    } finally idx.unpersist()
+  }
+
+  test("streaming mediaNearDupScreen matches imageNearDupAgainst, any modality") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+
+    // the MultimodalSpec incremental fixture: base + k-char flips
+    val base = ('a' to 'z').mkString * 8
+    def flip(k: Int) = {
+      val sb = new StringBuilder(base)
+      (0 until k).foreach(f => sb.setCharAt(f * 19 + 3, '~'))
+      sb.toString
+    }
+    def corpusDf(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => i.toString -> t }.toDF("doc", "line")
+    val histHashes = Multimodal.imageAHash(Multimodal.encodeAssets(
+      corpusDf(Seq(0L -> base, 3L -> flip(1), 6L -> flip(2)))))
+    val deltaRows = Seq(300L -> base, 303L -> flip(1),
+      306L -> ("~" * 208), 309L -> ("~" * 208)) // delta-delta pair: silent
+    val deltaHashes = Multimodal.imageAHash(Multimodal.encodeAssets(
+      corpusDf(deltaRows)))
+      .select(col("asset_id"), col("ahash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = Multimodal.imageNearDupAgainst(
+        Multimodal.imageAHash(Multimodal.encodeAssets(corpusDf(deltaRows))),
+        histHashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingOps.mediaNearDupScreen(
+        input.toDF().toDF("asset_id", "ahash"), histHashes)
+      .writeStream.format("memory").queryName("media_screen")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(deltaHashes.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = StreamingSpec.this.spark.table("media_screen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got shouldBe batch
+      got should not be empty
+      // delta-delta duplicates never pair with each other (history-only)
+      got.foreach { case (_, m, _) => Set(0L, 3L, 6L) should contain(m) }
+    } finally q.stop()
   }
 
   test("streaming coMomentStream: state after any prefix equals the batch state") {
