@@ -3081,6 +3081,14 @@ object SparkEntry {
           maxDist = 6)
         .orderBy(col("d1"), col("d2"))),
 
+    // Integer image RESIZE: the aHash bucketing as a standalone
+    // floor-mean downsample — the oracle rebuilds each resized pixel
+    // from the text the encoder rasterized (the q172 lockstep recipe).
+    "q219_image_resize" -> ((s, dir) =>
+      Multimodal.imageResize(Multimodal.encodeAssets(docs(s, dir)),
+          targetW = 16)
+        .orderBy(col("asset_id"), col("bucket"))),
+
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
     // between PQ (q99) and sign bits (q135).
@@ -8299,6 +8307,25 @@ object SparkEntry {
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
+
+    // Resize mirror: floor-mean gray per 16-bucket span, rebuilt from
+    // the rasterized text; exact integer division.
+    "q219_image_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id, length(text)::BIGINT AS w,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> ord(substr(text, i::INTEGER, 1))::BIGINT) AS g
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, unnest(range(0, w)) AS i0, g FROM img),
+        |bk AS (
+        |  SELECT doc_id, w, (i0 * 16) // w AS j,
+        |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
+        |         count(*)::BIGINT AS bcnt
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id AS asset_id, w AS width, j AS bucket,
+        |       bsum // bcnt AS px
+        |FROM bk ORDER BY asset_id, bucket""".stripMargin,
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine
     // score CTEs; per-query rank with NULLS LAST + id tie-break.

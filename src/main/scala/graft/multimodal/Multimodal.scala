@@ -653,6 +653,52 @@ object Multimodal {
     (frames, sampled, luma.toArray)
   }
 
+  /**
+   * INTEGER image RESIZE (downsample) — the aHash bucketing promoted
+   * to a standalone transform: the decoded gray raster collapses to
+   * `targetW` equal spans (pixel i → bucket ⌊i·targetW/n⌋) and each
+   * present bucket emits its FLOOR-MEAN gray value ⌊bsum/bcnt⌋ —
+   * exact integer arithmetic end to end, so any engine replays the
+   * resized raster bit-for-bit (the reference's floor-division idf
+   * spirit applied to pixels). This is the thumbnail/feature-grid
+   * stage of a multimodal training pipeline; images NARROWER than
+   * `targetW` emit only the buckets the downsample map reaches
+   * (an upsample would have to invent pixels — out of scope, and the
+   * sparse output makes the limitation visible instead of silent).
+   *
+   * Scale shape: partition-local decode+fold ([[decodeMedia]]'s
+   * mapPartitions corner), ≤ targetW rows out per image; compose with
+   * [[repartitionForDecode]] for MB payloads.
+   *
+   * @return (asset_id, width, bucket, px) for image assets, one row
+   *         per present bucket
+   */
+  def imageResize(assets: DataFrame, targetW: Int = 16): DataFrame = {
+    require(targetW >= 1 && targetW <= 65536,
+      s"targetW must be in [1, 65536], got $targetW")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("meta.kind") === "image")
+      .select(col("asset_id"), col("payload"))
+      .flatMap { r: Row =>
+        val id = r.getLong(0)
+        val (w, _, gray) = ppmGray(id, r.getAs[Array[Byte]](1))
+        val n = gray.length
+        val sums = new Array[Long](targetW)
+        val cnts = new Array[Long](targetW)
+        var i = 0
+        while (i < n) {
+          val j = (i.toLong * targetW / n).toInt
+          sums(j) += gray(i); cnts(j) += 1
+          i += 1
+        }
+        (0 until targetW).collect {
+          case j if cnts(j) > 0 => (id, w, j.toLong, sums(j) / cnts(j))
+        }
+      }
+      .toDF("asset_id", "width", "bucket", "px")
+  }
+
   /** PPM P6 pixel extraction: header walk as [[parsePpm]], gray value =
     * the first channel byte of each pixel (our encoder writes equal
     * channels; for true color this is the R plane — documented, cheap,

@@ -293,6 +293,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageResize: floor-mean downsample, sparse buckets below targetW") {
+    // 32 px resized to 16 buckets: each bucket is the floor-mean of 2
+    // adjacent pixels; 'ab' -> (97+98)/2 = 97 (floor)
+    val text = ('a' to 'z').mkString + "abcdef" // 32 chars
+    val d = corpus("0" -> text)
+    val got = Multimodal.imageResize(Multimodal.encodeAssets(d), targetW = 16)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val expect = (0 until 16).map { j =>
+      val vals = text.slice(j * 2, j * 2 + 2).map(_.toLong)
+      j.toLong -> vals.sum / vals.length
+    }.toMap
+    got shouldBe expect
+    // narrower than targetW: only reached buckets emit (i -> i*16/n map)
+    val narrow = Multimodal.imageResize(
+        Multimodal.encodeAssets(corpus("3" -> "xyz")), targetW = 16)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    narrow.map(_._1).toSet shouldBe Set(0L, 5L, 10L) // ⌊i·16/3⌋ for i=0,1,2
+    narrow.toMap shouldBe Map(0L -> 'x'.toLong, 5L -> 'y'.toLong,
+      10L -> 'z'.toLong)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageResize(Multimodal.encodeAssets(d), targetW = 0)
+  }
+
   test("audioAHash matches the local energy-envelope replication") {
     // ids ≡ 1 (mod 3) → audio; lengths below/at/past 56 samples
     // exercise empty and uneven buckets
