@@ -755,22 +755,64 @@ object Multimodal {
    * same 7×8-bit banding with the same pigeonhole guarantee: every
    * pair within hamming ≤ 6 shares an untouched band, so the banded
    * join loses nothing the threshold admits (oracle = all-pairs brute
-   * force, exact agreement).
+   * force, exact agreement WHENEVER no bucket exceeds the guard —
+   * the same conditional contract as the text tiers' lshCandidates).
+   *
+   * HOT-BUCKET GUARD (the scale boundary this key space forces): a
+   * band value is 8 bits, so the whole banding has only 7×256 = 1 792
+   * bucket keys — at millions of assets EVERY bucket is populated and
+   * the join's candidate volume is Σ bucket² ≈ n²/256 per band, the
+   * quadratic the banding was supposed to avoid. Buckets above
+   * `maxBucketSize` members are therefore excluded WHOLE before the
+   * join (observable via [[ahashSkippedBuckets]], the
+   * lshSkippedBuckets convention); a pair whose every shared band was
+   * skipped is not reported — the declared recall trade on degenerate
+   * hash masses. At the scale where most buckets are legitimately hot,
+   * banding stops being the right index — widen the bands (fewer,
+   * wider blocks guarantee a smaller maxDist) or route hashes through
+   * an exact-rerank candidate tier.
+   *
+   * The hot set is resolved ONCE at construction (an eager bounded
+   * aggregate, the nearDupScreen/skewJoin radar precedent) — the key
+   * space caps it at 1 792 rows BY CONSTRUCTION, so the collect is
+   * driver-safe no matter the input, and the guard stays a codegen'd
+   * literal filter: the zero-exchange first-SURVIVING-band dedup
+   * (a skipped band produced no join row, so the next surviving
+   * matching band claims the pair — batch-guard semantics identical
+   * to the streaming screens').
    */
-  def ahashNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame = {
+  def ahashNearDupPairs(
+      hashes: DataFrame,
+      maxDist: Int = 6,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       s"7-band pigeonhole covers hamming <= 6, got $maxDist")
-    val banded = ahashBands(hashes)
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val hot = ahashHotByBand(hashes, maxBucketSize)
+    val banded = ahashDropHot(ahashBands(hashes), hot)
     val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
       col("band"), col("band_bits"))
     val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
       col("band"), col("band_bits"))
     a.join(b, Seq("band", "band_bits"))
-      .where(col("d1") < col("d2") && col("band") === ahashFirstMatchingBand)
+      .where(col("d1") < col("d2") &&
+        col("band") === ahashFirstSurvivingBand(hot))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** Audit twin of [[ahashNearDupPairs]]' hot-bucket guard: the
+    * (band, band_bits, bucket_n) buckets the join excludes at this
+    * bound — the [[graft.operators.Dedup.lshSkippedBuckets]]
+    * observability contract for the perceptual tier. */
+  def ahashSkippedBuckets(
+      hashes: DataFrame,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame =
+    ahashBands(hashes).groupBy(col("band"), col("band_bits"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
 
   /** The 7×8-bit band explosion of an (asset_id, ahash) frame. */
   private def ahashBands(hashes: DataFrame): DataFrame =
@@ -782,15 +824,52 @@ object Multimodal {
       .select(col("asset_id"), col("ahash"),
         col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
 
-  /** First band where h1 and h2 agree — decidable per row from h1^h2,
-    * so multi-band candidate duplicates drop via a codegen'd filter
-    * instead of a distinct exchange (the simhashPairs idiom). */
-  private def ahashFirstMatchingBand: Column = {
+  /** The ≤ 1 792-key hot-bucket set (band → hot band_bits values),
+    * resolved eagerly — driver-safe BY CONSTRUCTION (7 bands × 256
+    * values bound the collect no matter the input). */
+  private def ahashHotByBand(
+      hashes: DataFrame, maxBucketSize: Int): Map[Long, Seq[Long]] =
+    ahashSkippedBuckets(hashes, maxBucketSize)
+      .select(col("band"), col("band_bits")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  private def ahashIsHot(
+      hot: Map[Long, Seq[Long]], band: Int, bits: Column): Column =
+    hot.get(band.toLong) match {
+      case Some(vals) => bits.isin(vals: _*)
+      case None       => lit(false)
+    }
+
+  /** Drop band rows that fall in a hot bucket — a codegen'd literal
+    * filter, never a join (the hot set is a plan literal). */
+  private def ahashDropHot(
+      banded: DataFrame, hot: Map[Long, Seq[Long]]): DataFrame =
+    if (hot.isEmpty) banded
+    else banded.where(!(0 until 7).map(b =>
+      col("band") === b.toLong && ahashIsHot(hot, b, col("band_bits")))
+      .reduce(_ || _))
+
+  /** First band where h1 and h2 agree AND whose bucket survived the
+    * guard — both decidable per row (h1^h2 + the literal hot set), so
+    * multi-band candidate duplicates drop via a codegen'd filter
+    * instead of a distinct exchange (the simhashPairs idiom); a
+    * skipped band produced no join row and must not claim the pair —
+    * the next surviving matching band's row carries it (the streaming
+    * screens' guard semantics). */
+  private def ahashFirstSurvivingBand(hot: Map[Long, Seq[Long]]): Column = {
     val diff = expr("h1 ^ h2")
     (0 until 7)
-      .map(j => (shiftright(diff, 8 * j).bitwiseAND(lit(255L)) =!= 0L, j))
-      .foldRight(lit(6L): Column) { case ((differs, j), tail) =>
-        when(!differs, lit(j.toLong)).otherwise(tail)
+      .map { j =>
+        val agrees = shiftright(diff, 8 * j).bitwiseAND(lit(255L)) === 0L
+        // both sides share the band value on an agreeing band, so the
+        // h1-side bits stand for the bucket key
+        val survives = !ahashIsHot(hot, j,
+          shiftright(col("h1"), 8 * j).bitwiseAND(lit(255L)))
+        (agrees && survives, j)
+      }
+      .foldRight(lit(null).cast("long"): Column) { case ((claims, j), tail) =>
+        when(claims, lit(j.toLong)).otherwise(tail)
       }
   }
 
@@ -808,15 +887,23 @@ object Multimodal {
   def imageNearDupAgainst(
       deltaHashes: DataFrame,
       historyHashes: DataFrame,
-      maxDist: Int = 6): DataFrame = {
+      maxDist: Int = 6,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    // hot buckets are a HISTORY property here (a hot history bucket
+    // fans out every probing delta row); delta rows keep their bands
+    // and simply miss on the pruned keys
+    val hot = ahashHotByBand(historyHashes, maxBucketSize)
     val d = ahashBands(deltaHashes).select(col("asset_id"),
       col("ahash").as("h1"), col("band"), col("band_bits"))
-    val h = ahashBands(historyHashes).select(col("asset_id").as("match_id"),
-      col("ahash").as("h2"), col("band"), col("band_bits"))
+    val h = ahashDropHot(ahashBands(historyHashes), hot)
+      .select(col("asset_id").as("match_id"),
+        col("ahash").as("h2"), col("band"), col("band_bits"))
     d.join(h, Seq("band", "band_bits"))
-      .where(col("band") === ahashFirstMatchingBand)
+      .where(col("band") === ahashFirstSurvivingBand(hot))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .groupBy(col("asset_id"))

@@ -45,7 +45,13 @@ class DeterminismSpec extends SparkSpec {
     "q134_corpus_checksum",
     "q146_weighted_jaccard",
     "q188_embedding_covariance",
-    "q196_principal_component")
+    "q196_principal_component",
+    // round 9: partition-local container walks must not let the input
+    // split pattern reach the fold (per-asset work is row-local), and
+    // the banded join + literal-filter dedup is exchange-order-free
+    "q217_audio_ahash",
+    "q218b_video_neardup",
+    "q219_image_resize")
 
   test("representative queries are bit-identical at 2 and 32 partitions") {
     representatives.foreach { q =>

@@ -293,6 +293,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ahash hot-bucket guard: degenerate masses skip, cold pairs survive") {
+    // 20 identical images (one degenerate hash mass: every band bucket
+    // holds 20) + one near-dup pair of a DIFFERENT text (its buckets
+    // hold 2) — at maxBucketSize = 10 the mass's pairs vanish while the
+    // cold pair still surfaces; the audit reports exactly the 7 hot
+    // buckets; raising the bound restores the full brute answer
+    val hotText = ('a' to 'z').mkString * 4
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val flip = { val sb = new StringBuilder(base); sb.setCharAt(5, '~'); sb.toString }
+    val rows = (0 until 20).map(i => (i * 3).toString -> hotText) ++
+      Seq("90" -> base, "93" -> flip)
+    val hashes = Multimodal.imageAHash(
+      Multimodal.encodeAssets(corpus(rows: _*)))
+    val guarded = Multimodal.ahashNearDupPairs(hashes, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    guarded shouldBe Set((90L, 93L)) // the cold pair only
+    Multimodal.ahashSkippedBuckets(hashes, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet shouldBe
+      (0L until 7L).map(_ -> 20L).toSet
+    // bound above the mass: full brute answer returns (20-clique + pair)
+    val open = Multimodal.ahashNearDupPairs(hashes, maxBucketSize = 100)
+      .collect()
+    open.length shouldBe 20 * 19 / 2 + 1
+    // incremental screen: a delta copy of the hot mass finds no match
+    // through hot history buckets; a near-dup of the cold doc does
+    val hist = Multimodal.imageAHash(Multimodal.encodeAssets(
+      corpus(((0 until 15).map(i => (i * 3).toString -> hotText) :+
+        ("90" -> base)): _*)))
+    val delta = Multimodal.imageAHash(Multimodal.encodeAssets(
+      corpus("300" -> hotText, "303" -> flip)))
+    val got = Multimodal.imageNearDupAgainst(delta, hist, maxBucketSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(303L -> 90L)
+  }
+
   test("imageResize: floor-mean downsample, sparse buckets below targetW") {
     // 32 px resized to 16 buckets: each bucket is the floor-mean of 2
     // adjacent pixels; 'ab' -> (97+98)/2 = 97 (floor)
