@@ -780,6 +780,14 @@ class EventsSpec extends SparkSpec {
     got shouldBe Array(
       ("click", 1L, 1L, 5000000L),
       ("view", 1L, 1L, 5000000L))
+    // hotTheta outside (0,1) opts out of the eager radar (plain lazy
+    // equi-join) — the guard decision must be answer-invisible
+    for (theta <- Seq(0.0, 1.0)) {
+      Events.linearAttribution(e, hotTheta = theta)
+        .orderBy(col("touch_type")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))) shouldBe got
+    }
   }
 
   test("topUserShare: exact top-k mass, ties to the smaller user id") {
