@@ -1718,6 +1718,96 @@ object StreamingOps {
         col("_best.hamming").as("hamming"))
   }
 
+  /**
+   * STREAMING DATA-CARD STATE — the live sibling of
+   * [[graft.operators.Pipeline.dataCardState]], completing the live
+   * ingest dashboard (decision log [[ingestScreen]] + PCA state
+   * [[coMomentStream]] + this card). The batch state's fp/term
+   * sections are DISTINCT-mass tables — vocabulary-shaped streaming
+   * state, exactly what the klScreen bound exists to forbid — so the
+   * live card holds them as HLL SKETCHES instead (the q110 per-source
+   * machinery): one streaming aggregation grouped by predicted
+   * language (≤ langs rows of state), each row carrying the EXACT
+   * lanes (n_docs, n_tokens, round-6 micro-quality sum — the same
+   * integer recipes as the batch state, engine-exact under any
+   * micro-batch slicing) plus two KB-scale sketches (distinct text
+   * fingerprints, distinct terms). HLL register-merge is invariant
+   * under slicing (the q110b contract), so after ANY stream prefix the
+   * sketch estimates equal a one-pass batch sketch over exactly the
+   * rows seen — pinned in StreamingSpec, estimates vs estimates, not
+   * a tolerance.
+   *
+   * Granularity trick (one aggregation, two masses): docs explode to
+   * token rows via `posexplode_outer` (an empty doc keeps one
+   * null-token row), and a `_first` flag (pos 0 or null) marks exactly
+   * one row per doc — doc-level lanes aggregate over `_first` rows,
+   * token-level lanes over the token rows, in the SAME groupBy. Run in
+   * `update`/`complete` mode; render the card with
+   * [[renderDataCardSketch]].
+   *
+   * @param docs streaming (doc, line)
+   * @return streaming (lang, n_docs, n_tokens, q_micro, text_sketch,
+   *         term_sketch)
+   */
+  def dataCardSketchStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis
+    val toks = filter(split(col("line"), "\\s+"), t => length(t) > 0)
+    docs
+      .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
+      .withColumn("_lang", TextAnalysis.langPredFromStats(col("_st")))
+      .withColumn("_qm", round(round(
+        TextAnalysis.qualityScoreFromStats(col("_st")), 6) * 1e6).cast("long"))
+      .withColumn("_fp", md5(col("line")))
+      .select(col("_lang"), col("_qm"), col("_fp"),
+        posexplode_outer(toks).as(Seq("_pos", "_term")))
+      .withColumn("_first", col("_pos").isNull || col("_pos") === 0)
+      .groupBy(col("_lang").as("lang"))
+      .agg(
+        sum(when(col("_first"), lit(1L)).otherwise(lit(0L))).as("n_docs"),
+        count(col("_term")).as("n_tokens"),
+        coalesce(sum(when(col("_first"), col("_qm"))), lit(0L)).as("q_micro"),
+        hll_sketch_agg(when(col("_first"), col("_fp"))).as("text_sketch"),
+        hll_sketch_agg(col("_term")).as("term_sketch"))
+  }
+
+  /**
+   * Render the one-row LIVE data card from a [[dataCardSketchStream]]
+   * state (collected from the sink, or any batch frame of the same
+   * shape): exact n_docs / n_tokens / mean_quality / top-language
+   * block (the [[graft.operators.Pipeline.renderDataCard]] recipes),
+   * with the distinct-text and vocabulary counts as HLL ESTIMATES —
+   * columns suffixed `_est` so the estimated fields are never mistaken
+   * for the batch card's exact ones.
+   */
+  def renderDataCardSketch(state: DataFrame): DataFrame = {
+    // ≤ langs-row frame: unpartitioned window harmless by construction
+    // (the dataCard topLang precedent)
+    val langW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_docs").desc, col("lang"))
+    val topLang = state
+      .withColumn("_rn", row_number().over(langW))
+      .where(col("_rn") === 1)
+      .select(col("lang").as("top_lang"), col("n_docs").as("top_lang_n"))
+    val flat = state.groupBy().agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(sum(col("q_micro")), lit(0L)).as("q_micro"),
+      round(hll_sketch_estimate(hll_union_agg(col("text_sketch"))))
+        .cast("long").as("n_unique_texts_est"),
+      round(hll_sketch_estimate(hll_union_agg(col("term_sketch"))))
+        .cast("long").as("vocab_size_est"))
+    flat.crossJoin(broadcast(topLang))
+      .select(col("n_docs"), col("n_unique_texts_est"),
+        round(lit(1.0) - col("n_unique_texts_est").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate_est"),
+        col("n_tokens"), col("vocab_size_est"),
+        col("top_lang"), col("top_lang_n"),
+        round(col("top_lang_n").cast("double") /
+          col("n_docs").cast("double"), 6).as("top_lang_share"),
+        round(col("q_micro").cast("double") / lit(1e6) /
+          col("n_docs").cast("double"), 6).as("mean_quality"))
+  }
+
   def coMomentStream(embs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.GramFunctions.gramMoments
     val xq = transform(col("embedding").cast("array<double>"),

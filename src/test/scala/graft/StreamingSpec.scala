@@ -1409,6 +1409,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, md5, explode, filter, split}
+
+    val batch1 = Seq(
+      "d1" -> "the quick brown fox jumps over the lazy dog",
+      "d2" -> "the quick brown fox jumps over the lazy dog", // exact dup
+      "d3" -> "entirely different content with fresh words here")
+    val batch2 = Seq(
+      "d4" -> "the quick brown fox jumps over the lazy dog", // dup again
+      "d5" -> "more novel arrivals carrying new vocabulary tokens")
+
+    // batch expectations over a row set: exact lanes from dataCardState,
+    // sketch estimates from a ONE-PASS batch HLL over the same rows
+    def expect(rows: Seq[(String, String)]) = {
+      val df = rows.toDF("doc", "line")
+      val st = graft.Caching.scoped {
+        graft.operators.Pipeline.dataCardState(df).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      }
+      val scalars = Map(
+        "n_docs" -> st(("scalar", "n_docs")),
+        "n_tokens" -> st(("scalar", "n_tokens")),
+        "q_micro" -> st(("scalar", "q_micro")))
+      val langs = st.collect { case (("lang", k), v) => k -> v }
+      val textEst = df.agg(hll_sketch_estimate(
+        hll_sketch_agg(md5(col("line")))).cast("long")).head().getLong(0)
+      val termEst = df.select(explode(filter(split(col("line"), "\\s+"),
+          t => org.apache.spark.sql.functions.length(t) > 0)).as("t"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("t"))).cast("long"))
+        .head().getLong(0)
+      (scalars, langs, textEst, termEst)
+    }
+
+    def observed(table: String) = {
+      val rows = spark.table(table).collect()
+      val scalars = Map(
+        "n_docs" -> rows.map(_.getAs[Long]("n_docs")).sum,
+        "n_tokens" -> rows.map(_.getAs[Long]("n_tokens")).sum,
+        "q_micro" -> rows.map(_.getAs[Long]("q_micro")).sum)
+      val langs = rows.map(r =>
+        r.getAs[String]("lang") -> r.getAs[Long]("n_docs")).toMap
+      val card = graft.streaming.StreamingOps
+        .renderDataCardSketch(spark.table(table)).head()
+      (scalars, langs, card.getAs[Long]("n_unique_texts_est"),
+        card.getAs[Long]("vocab_size_est"), card)
+    }
+
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingOps
+      .dataCardSketchStream(input.toDF().toDF("doc", "line"))
+      .writeStream.format("memory").queryName("datacard")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val (s1, l1, t1, v1) = expect(batch1)
+      val (os1, ol1, ot1, ov1, _) = observed("datacard")
+      os1 shouldBe s1; ol1 shouldBe l1
+      // HLL register-merge invariance: stream state ≡ one-pass batch
+      ot1 shouldBe t1; ov1 shouldBe v1
+
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val (s2, l2, t2, v2) = expect(batch1 ++ batch2)
+      val (os2, ol2, ot2, ov2, card) = observed("datacard")
+      os2 shouldBe s2; ol2 shouldBe l2
+      ot2 shouldBe t2; ov2 shouldBe v2
+      // the rendered live card: exact fields exact, estimates tiny-
+      // corpus-exact (HLL is error-free far below its register count)
+      card.getAs[Long]("n_docs") shouldBe 5L
+      card.getAs[Long]("n_unique_texts_est") shouldBe 3L
+      card.getAs[Double]("dup_rate_est") shouldBe 0.4
+      val meanQ: Double = math.rint(s2("q_micro").toDouble / 5.0) / 1e6
+      card.getAs[Double]("mean_quality") shouldBe meanQ
+    } finally q.stop()
+  }
+
   test("streaming coMomentStream: state after any prefix equals the batch state") {
     val s = spark
     import s.implicits._
