@@ -333,6 +333,13 @@ object Multimodal {
           bits = le16(pos + 14)
           require(bits == 16, s"asset $id: only PCM16 supported, got $bits")
         case "data" =>
+          // order-strict like [[wavDataChunk]]: fmt must already have
+          // validated PCM16, and a second data chunk is rejected
+          // instead of silently double-counting
+          require(bits == 16,
+            s"asset $id: data chunk before/without fmt — refusing to " +
+              "decode unvalidated samples")
+          require(!sawData, s"asset $id: duplicate data chunk")
           sawData = true
           nSamples = size / 2
           var i = 0
@@ -464,41 +471,67 @@ object Multimodal {
           val id = r.getLong(0)
           val b = r.getAs[Array[Byte]](1)
           val (w, h, gray) = ppmGray(id, b)
+          // the exact cross-product bound, asserted (not assumed): a
+          // raster past 6·10⁸ pixels would silently flip threshold
+          // bits — no real image is 600 MP, so loud is right here
+          require(gray.length <= MaxExactLumaSamples,
+            s"asset $id: ${gray.length} pixels exceed the exact " +
+              "cross-product bound")
           (id, w, h, ahash56(gray))
         }
       }
       .toDF("asset_id", "width", "height", "ahash")
   }
 
-  /** The shared 56-bucket exact mean-threshold fold behind
-    * [[imageAHash]]/[[audioAHash]]/[[videoAHash]]: value i → bucket
-    * ⌊i·56/n⌋, bit j set iff bucket j's mean ≥ the overall mean,
-    * compared as the EXACT cross-product `sum_j·n ≥ total·cnt_j` — no
-    * division, no float, engine-identical by construction. Callers
-    * bound the value domain so the cross-product stays inside int64
-    * (values ≤ V need n ≤ √(2⁶³/V): 6·10⁸ at V = 255, 1.6·10⁷ at
-    * V = 32767 — asserted loudly at the audio call site). Empty
-    * buckets and empty inputs hash 0 on their bits. */
-  private def ahash56(values: Array[Int]): Long = {
-    val n = values.length
-    val sums = new Array[Long](AHashBits)
-    val cnts = new Array[Long](AHashBits)
-    var i = 0
-    while (i < n) {
-      val j = (i.toLong * AHashBits / n).toInt
-      sums(j) += values(i); cnts(j) += 1
-      i += 1
+  /** Exact cross-product bounds for the 56-bucket rule: values ≤ V
+    * need n ≤ √(2⁶³/V) so `sum_j·n` stays inside int64. */
+  private[graft] val MaxExactAudioSamples = 16000000L // V = 32767
+  private[graft] val MaxExactLumaSamples = 600000000L // V = 255
+
+  /** Mutable accumulator behind the 56-bucket exact mean-threshold
+    * fold ([[imageAHash]]/[[audioAHash]]/[[videoAHash]] and the
+    * windowed variants): value i → bucket ⌊i·56/n⌋, bit j set iff
+    * bucket j's mean ≥ the overall mean, compared as the EXACT
+    * cross-product `sum_j·n ≥ total·cnt_j` — no division, no float,
+    * engine-identical by construction. Callers bound the value domain
+    * so the cross-product stays inside int64 (see
+    * [[MaxExactAudioSamples]]/[[MaxExactLumaSamples]]; over-bound
+    * clips route through the windowed floor-mean downsample at the
+    * call sites instead of failing). Empty buckets and empty inputs
+    * hash 0 on their bits. The accessor form exists so callers fold
+    * decoded values STRAIGHT from the payload bytes — no per-clip
+    * sample array (the round-9 shape materialized up to 64 MB per
+    * audio task). */
+  private final class Ahash56Acc(n: Long) {
+    private val sums = new Array[Long](AHashBits)
+    private val cnts = new Array[Long](AHashBits)
+    def add(i: Long, v: Long): Unit = {
+      val j = (i * AHashBits / n).toInt
+      sums(j) += v; cnts(j) += 1
     }
-    val total = sums.sum
-    var hash = 0L
-    var j = 0
-    while (j < AHashBits) {
-      if (cnts(j) > 0 && sums(j) * n >= total * cnts(j))
-        hash |= 1L << j
-      j += 1
+    def hash: Long = {
+      val total = sums.sum
+      var h = 0L
+      var j = 0
+      while (j < AHashBits) {
+        if (cnts(j) > 0 && sums(j) * n >= total * cnts(j))
+          h |= 1L << j
+        j += 1
+      }
+      h
     }
-    hash
   }
+
+  /** Fold `n` values (accessor form) through the 56-bucket rule. */
+  private def ahashFold(n: Long)(valueAt: Long => Long): Long = {
+    val acc = new Ahash56Acc(n)
+    var i = 0L
+    while (i < n) { acc.add(i, valueAt(i)); i += 1 }
+    acc.hash
+  }
+
+  private def ahash56(values: Array[Int]): Long =
+    ahashFold(values.length.toLong)(i => values(i.toInt).toLong)
 
   /**
    * PERCEPTUAL audio hash — the [[imageAHash]] recipe over the decoded
@@ -510,15 +543,24 @@ object Multimodal {
    * the content-level near-dup key for audio.
    *
    * Scale shape: partition-local WAV walk + fold (the [[decodeMedia]]
-   * mapPartitions corner), one (id, n, hash) row per clip out;
-   * compose with [[repartitionForDecode]] for MB payloads. Int64
-   * bound: |sample| ≤ 32767 needs n ≤ 1.6·10⁷ samples (~33 min at
-   * 8 kHz) for the cross-product — asserted loudly; longer clips
-   * should hash bounded windows.
+   * mapPartitions corner), one (id, n, hash) row per clip out, energy
+   * folded STRAIGHT from the payload bytes (no sample array); compose
+   * with [[repartitionForDecode]] for MB payloads. Int64 bound:
+   * |sample| ≤ 32767 keeps the exact cross-product inside int64 to
+   * n = 1.6·10⁷ samples (~33 min at 8 kHz); LONGER clips take the
+   * WINDOWED PATH automatically — energies collapse to the floor-mean
+   * of each `fallbackWindow`-sample span (the [[imageResize]] integer
+   * downsample) and the 56-bucket rule folds the window means, which
+   * stays exact to 1.6·10⁷ windows (≈ 94 days at 8 kHz / 4 096 — the
+   * remaining `require` is an absurdity backstop, not a usable limit).
+   * Short clips are bit-identical to round 9 (the q217 contract);
+   * the long path is pinned against a local replica in MultimodalSpec.
    *
    * @return (asset_id, n_samples, ahash) for audio assets
    */
-  def audioAHash(assets: DataFrame): DataFrame = {
+  def audioAHash(assets: DataFrame, fallbackWindow: Int = 4096): DataFrame = {
+    require(fallbackWindow > 0,
+      s"fallbackWindow must be positive, got $fallbackWindow")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.where(col("meta.kind") === "audio")
@@ -526,19 +568,81 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r: Row =>
           val id = r.getLong(0)
-          val samples = wavSamples(id, r.getAs[Array[Byte]](1))
-          require(samples.length <= 16000000,
-            s"asset $id: ${samples.length} samples exceeds the exact " +
-              "cross-product int64 bound (1.6e7) — hash bounded windows")
-          val energy = new Array[Int](samples.length)
-          var i = 0
-          while (i < samples.length) {
-            energy(i) = math.abs(samples(i)); i += 1
-          }
-          (id, samples.length.toLong, ahash56(energy))
+          val b = r.getAs[Array[Byte]](1)
+          val (off, n) = wavDataChunk(id, b)
+          val hash =
+            if (n <= MaxExactAudioSamples) ahashFold(n)(wavEnergyAt(b, off))
+            else {
+              val nW = (n - 1) / fallbackWindow + 1
+              require(nW <= MaxExactAudioSamples,
+                s"asset $id: $n samples exceed the exact bound even at " +
+                  s"$fallbackWindow-sample window means ($nW windows)")
+              ahashFold(nW) { w =>
+                val lo = w * fallbackWindow
+                val hi = math.min(lo + fallbackWindow, n)
+                var s = 0L; var i = lo
+                while (i < hi) { s += wavEnergyAt(b, off)(i); i += 1 }
+                s / (hi - lo) // floor mean, ≤ 32767
+              }
+            }
+          (id, n, hash)
         }
       }
       .toDF("asset_id", "n_samples", "ahash")
+  }
+
+  /** |int16| PCM energy accessor over the located data chunk. */
+  private def wavEnergyAt(b: Array[Byte], off: Int)(i: Long): Long = {
+    val o = off + 2 * i.toInt
+    math.abs((((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort).toLong)
+  }
+
+  /**
+   * SEGMENT-level audio fingerprints — the long-media near-dup key a
+   * whole-clip hash cannot be: one [[audioAHash]]-rule hash PER
+   * fixed-span window of `windowSamples` PCM samples (window w covers
+   * samples [w·W, min((w+1)·W, n)); the trailing partial window is
+   * hashed too — winnowing's every-position coverage in hash space).
+   * A clip that REUSES a span of another clip (sampled footage, a
+   * quoted jingle) matches on the shared windows even when the whole
+   * clips differ — feed the rows to [[ahashWindowNearDupPairs]] for
+   * the asset-level verdict. Each window's fold is the exact
+   * cross-product rule over ≤ `windowSamples` values, so the int64
+   * bound holds per window BY CONSTRUCTION for any clip length.
+   *
+   * GRID ALIGNMENT: fixed spans match reuse that lands on the same
+   * window offsets (the common same-source case — whole-file copies,
+   * aligned concatenations). Arbitrary-offset reuse needs a second
+   * grid shifted by W/2 (union the rows of two calls over
+   * offset-sliced payloads) or a smaller W — the recall ↔ index-size
+   * dial, stated rather than hidden.
+   *
+   * Scale shape: partition-local walk, ⌈n/W⌉ rows per clip, energies
+   * folded straight from the payload bytes; empty clips emit no rows.
+   *
+   * @return (asset_id, window_id, n_samples, ahash) for audio assets
+   */
+  def audioAHashWindows(
+      assets: DataFrame, windowSamples: Int = 65536): DataFrame = {
+    require(windowSamples > 0 && windowSamples <= MaxExactAudioSamples,
+      s"windowSamples must be in [1, $MaxExactAudioSamples], got $windowSamples")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("meta.kind") === "audio")
+      .select(col("asset_id"), col("payload"))
+      .flatMap { r: Row =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val (off, n) = wavDataChunk(id, b)
+        val nW = if (n == 0) 0L else (n - 1) / windowSamples + 1
+        (0L until nW).map { w =>
+          val lo = w * windowSamples
+          val hi = math.min(lo + windowSamples, n)
+          val hash = ahashFold(hi - lo)(i => wavEnergyAt(b, off)(lo + i))
+          (id, w, hi - lo, hash)
+        }
+      }
+      .toDF("asset_id", "window_id", "n_samples", "ahash")
   }
 
   /**
@@ -553,14 +657,32 @@ object Multimodal {
    * slicing wrong for y4m — position comes from the parse, the
    * sampling economics are identical).
    *
-   * Scale shape: partition-local Y4M walk + fold, one row per stream;
-   * sampled luma is w·h·⌈frames/everyNth⌉ values ≤ 255 (int64-safe to
-   * 6·10⁸ sampled pixels). Zero-frame streams hash 0 (empty raster).
+   * Scale shape: partition-local Y4M walk + fold, one row per stream,
+   * luma folded STRAIGHT from the payload bytes (two cheap walks —
+   * count then fold — instead of materializing the sampled luma, which
+   * at round 9 built a per-task array as large as the sampled stream).
+   * Sampled luma is w·h·⌈frames/everyNth⌋ values ≤ 255: int64-exact to
+   * 6·10⁸ sampled pixels, now ASSERTED by routing — longer streams
+   * take the WINDOWED PATH automatically (each sampled frame collapses
+   * to its floor-mean luma and the 56-bucket rule folds the frame
+   * means — exact to 6·10⁸ sampled FRAMES, ≈ 380 years at 25 fps; the
+   * remaining `require` is an absurdity backstop). Short streams are
+   * bit-identical to round 9 (the q218 contract); the long path is
+   * pinned against a local replica in MultimodalSpec. Zero-frame
+   * streams hash 0 (empty raster).
    *
    * @return (asset_id, n_frames, n_sampled_frames, ahash) for video
    *         assets
    */
-  def videoAHash(assets: DataFrame, everyNth: Int = 2): DataFrame = {
+  def videoAHash(assets: DataFrame, everyNth: Int = 2): DataFrame =
+    videoAHashBounded(assets, everyNth, MaxExactLumaSamples)
+
+  /** [[videoAHash]] with the exact-path bound injectable — the TEST
+    * seam for the windowed fallback (a real over-bound stream is
+    * ≥ 900 MB, too big for a spec; audio's fallback is pinned for
+    * real at 32 MB). Production callers use [[videoAHash]]. */
+  private[graft] def videoAHashBounded(
+      assets: DataFrame, everyNth: Int, exactBound: Long): DataFrame = {
     require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     val spark = assets.sparkSession
     import spark.implicits._
@@ -569,17 +691,111 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r: Row =>
           val id = r.getLong(0)
-          val (nFrames, nSampled, luma) =
-            y4mSampledLuma(id, r.getAs[Array[Byte]](1), everyNth)
-          (id, nFrames, nSampled, ahash56(luma))
+          val b = r.getAs[Array[Byte]](1)
+          val (lumaLen, frameLen, start) = y4mGeometry(id, b)
+          // pass 1: count frames (validates the container end to end)
+          val (nFrames, nSampled) =
+            y4mWalk(id, b, start, frameLen, everyNth)((_, _) => ())
+          val n = nSampled * lumaLen
+          val hash =
+            if (n <= exactBound) {
+              // pass 2: fold every sampled luma byte, global index
+              // s·lumaLen + i → bucket
+              val acc = new Ahash56Acc(n)
+              y4mWalk(id, b, start, frameLen, everyNth) { (s, pos) =>
+                var i = 0
+                while (i < lumaLen) {
+                  acc.add(s * lumaLen + i, (b(pos + i) & 0xff).toLong)
+                  i += 1
+                }
+              }
+              acc.hash
+            } else {
+              require(nSampled <= MaxExactLumaSamples,
+                s"asset $id: $nSampled sampled frames exceed the exact " +
+                  "bound even at frame-mean luma")
+              // pass 2: one floor-mean luma value per sampled frame
+              val acc = new Ahash56Acc(nSampled)
+              y4mWalk(id, b, start, frameLen, everyNth) { (s, pos) =>
+                var sum = 0L; var i = 0
+                while (i < lumaLen) { sum += (b(pos + i) & 0xff); i += 1 }
+                acc.add(s, sum / lumaLen)
+              }
+              acc.hash
+            }
+          (id, nFrames, nSampled, hash)
         }
       }
       .toDF("asset_id", "n_frames", "n_sampled_frames", "ahash")
   }
 
-  /** WAV data-chunk samples (int16, sign-extended) — the [[parseWav]]
-    * RIFF walk yielding the raw PCM instead of its (count, sum). */
-  private def wavSamples(id: Long, b: Array[Byte]): Array[Int] = {
+  /**
+   * SEGMENT-level video fingerprints — the shared-footage near-dup key
+   * a whole-stream hash cannot be ([[audioAHashWindows]]' video twin):
+   * the keyframe-sampled luma stream (every `everyNth` frame, the
+   * [[videoAHash]] stride) groups into segments of `segmentFrames`
+   * consecutive SAMPLED frames, and each segment's concatenated luma
+   * folds through the 56-bucket rule — one (asset_id, segment_id,
+   * ahash) row per segment (trailing partial segment included). A
+   * stream that reuses a SEGMENT of another (sampled clips, recut
+   * footage) matches on the shared segments even when the streams
+   * differ — feed the rows to [[ahashWindowNearDupPairs]]. Per-segment
+   * value count is ≤ segmentFrames·w·h, required ≤ the exact luma
+   * bound at runtime (first frame, once geometry is known) — size
+   * `segmentFrames` so a segment also fits task memory.
+   *
+   * @return (asset_id, segment_id, n_sampled_frames, ahash) for video
+   *         assets; zero-frame streams emit no rows
+   */
+  def videoAHashSegments(
+      assets: DataFrame,
+      segmentFrames: Int = 128,
+      everyNth: Int = 2): DataFrame = {
+    require(segmentFrames > 0, s"segmentFrames must be positive, got $segmentFrames")
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("meta.kind") === "video")
+      .select(col("asset_id"), col("payload"))
+      .flatMap { r: Row =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        val (lumaLen, frameLen, start) = y4mGeometry(id, b)
+        require(segmentFrames.toLong * lumaLen <= MaxExactLumaSamples,
+          s"asset $id: a $segmentFrames-frame segment of $lumaLen-byte " +
+            "luma planes exceeds the exact cross-product bound — lower " +
+            "segmentFrames")
+        // buffer ONE segment's luma (bounded by segmentFrames·lumaLen),
+        // flush to a hash row at each segment boundary
+        val buf = new Array[Byte](segmentFrames * lumaLen)
+        var filled = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        def flush(): Unit = if (filled > 0) {
+          val m = filled
+          val hash = ahashFold(m.toLong)(i => (buf(i.toInt) & 0xff).toLong)
+          out += ((id, out.size.toLong, (m / lumaLen).toLong, hash))
+          filled = 0
+        }
+        y4mWalk(id, b, start, frameLen, everyNth) { (s, pos) =>
+          System.arraycopy(b, pos, buf, filled, lumaLen)
+          filled += lumaLen
+          if ((s + 1) % segmentFrames == 0) flush()
+        }
+        flush() // trailing partial segment continues the id sequence
+        out
+      }
+      .toDF("asset_id", "segment_id", "n_sampled_frames", "ahash")
+  }
+
+  /** Locate + validate the WAV data chunk: (byte offset, n int16
+    * samples) — the [[parseWav]] RIFF walk yielding the PCM's position
+    * instead of its (count, sum), so callers fold samples straight
+    * from the bytes. Validation is ORDER-STRICT: the `fmt ` chunk must
+    * PRECEDE `data` (a payload whose fmt is missing or trails its data
+    * must not decode unvalidated — PCM16 is asserted before a single
+    * sample is read), and a second `data` chunk is rejected instead of
+    * silently replacing the first. */
+  private def wavDataChunk(id: Long, b: Array[Byte]): (Int, Long) = {
     def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def le32(o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
@@ -588,7 +804,9 @@ object Multimodal {
     require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
       s"asset $id: not a RIFF/WAVE payload")
     var pos = 12
-    var out: Array[Int] = null
+    var sawFmt = false
+    var dataOff = -1
+    var nSamples = 0L
     while (pos + 8 <= b.length) {
       val id4 = tag(pos); val size = le32(pos + 4); pos += 8
       require(size >= 0 && pos + size <= b.length,
@@ -598,26 +816,25 @@ object Multimodal {
           require(le16(pos) == 1, s"asset $id: non-PCM WAV")
           require(le16(pos + 14) == 16,
             s"asset $id: only PCM16 supported, got ${le16(pos + 14)}")
+          sawFmt = true
         case "data" =>
-          out = new Array[Int](size / 2)
-          var i = 0
-          while (i < size - 1) {
-            out(i / 2) = le16(pos + i).toShort.toInt // sign-extend int16
-            i += 2
-          }
+          require(sawFmt,
+            s"asset $id: data chunk before/without fmt — refusing to " +
+              "decode unvalidated samples")
+          require(dataOff < 0, s"asset $id: duplicate data chunk")
+          dataOff = pos
+          nSamples = size / 2L
         case _ => // skip unknown chunk
       }
       pos += size + (size & 1)
     }
-    require(out != null, s"asset $id: missing data chunk")
-    out
+    require(dataOff >= 0, s"asset $id: missing data chunk")
+    (dataOff, nSamples)
   }
 
-  /** Y4M walk yielding (n_frames, n_sampled, sampled luma bytes) for
-    * frames 0, everyNth, 2·everyNth, … — the [[parseY4m]] structure
-    * with per-frame keep/skip instead of a global (count, sum). */
-  private def y4mSampledLuma(
-      id: Long, b: Array[Byte], everyNth: Int): (Long, Long, Array[Int]) = {
+  /** Y4M header parse + validation: (lumaLen, frameLen, first frame
+    * position) — the [[parseY4m]] prologue shared by the hashers. */
+  private def y4mGeometry(id: Long, b: Array[Byte]): (Int, Int, Int) = {
     var pos = 0
     while (pos < b.length && b(pos) != '\n') pos += 1
     val params = new String(b, 0, pos, "US-ASCII").split(' ')
@@ -630,9 +847,19 @@ object Multimodal {
       .getOrElse(throw new IllegalArgumentException(s"asset $id: y4m missing H"))
     require(!params.exists(p => p.startsWith("C") && p != "C420"),
       s"asset $id: only C420 supported")
-    val lumaLen = (w * h).toInt
-    val frameLen = (w * h * 3 / 2).toInt
-    val luma = new scala.collection.mutable.ArrayBuffer[Int]()
+    require(w > 0 && h > 0 && w * h * 3 / 2 <= Int.MaxValue.toLong,
+      s"asset $id: corrupt y4m dimensions ${w}x$h")
+    ((w * h).toInt, (w * h * 3 / 2).toInt, pos)
+  }
+
+  /** Y4M frame walk from `start`: visits every `everyNth`-th frame's
+    * payload as `onSampled(sampledIndex, payloadPos)`; returns
+    * (n_frames, n_sampled). Callers fold luma straight from the bytes
+    * — the walk materializes nothing. */
+  private def y4mWalk(
+      id: Long, b: Array[Byte], start: Int, frameLen: Int, everyNth: Int)(
+      onSampled: (Long, Int) => Unit): (Long, Long) = {
+    var pos = start
     var frames = 0L; var sampled = 0L
     while (pos < b.length) {
       require(pos + 5 <= b.length &&
@@ -643,14 +870,13 @@ object Multimodal {
       pos += 1
       require(b.length - pos >= frameLen, s"asset $id: truncated y4m frame")
       if (frames % everyNth == 0) {
-        var i = 0
-        while (i < lumaLen) { luma += (b(pos + i) & 0xff); i += 1 }
+        onSampled(sampled, pos)
         sampled += 1
       }
       pos += frameLen
       frames += 1
     }
-    (frames, sampled, luma.toArray)
+    (frames, sampled)
   }
 
   /**
@@ -748,59 +974,129 @@ object Multimodal {
   def imageNearDupPairs(hashes: DataFrame, maxDist: Int = 6): DataFrame =
     ahashNearDupPairs(hashes, maxDist)
 
+  /** The band layouts the 56-bit hash admits: nBands·bandBits must
+    * tile the hash exactly (so every bit is covered and the pigeonhole
+    * guarantee maxDist ≤ nBands−1 holds), and bandBits ≤ 16 keeps the
+    * hot-bucket key space (nBands·2^bandBits ≤ 65 536) driver-safe BY
+    * CONSTRUCTION. Admissible: 56×1, 28×2, 14×4, 8×7, 7×8, 4×14. */
+  private def requireBandLayout(nBands: Int, bandBits: Int, maxDist: Int): Unit = {
+    require(nBands >= 1 && bandBits >= 1 && nBands * bandBits == AHashBits,
+      s"band layout must tile the $AHashBits-bit hash exactly — " +
+        s"got $nBands bands x $bandBits bits")
+    require(bandBits <= 16,
+      s"bandBits > 16 makes the hot-bucket key space driver-unsafe, got $bandBits")
+    require(maxDist >= 0 && maxDist <= nBands - 1,
+      s"$nBands-band pigeonhole covers hamming <= ${nBands - 1}, got $maxDist")
+  }
+
   /**
    * The modality-agnostic banded-Hamming engine behind
    * [[imageNearDupPairs]] — any (asset_id, ahash) frame
    * ([[imageAHash]], [[audioAHash]], [[videoAHash]]) goes through the
-   * same 7×8-bit banding with the same pigeonhole guarantee: every
-   * pair within hamming ≤ 6 shares an untouched band, so the banded
-   * join loses nothing the threshold admits (oracle = all-pairs brute
+   * same banding with the same pigeonhole guarantee: every pair within
+   * hamming ≤ nBands−1 shares an untouched band, so the banded join
+   * loses nothing the threshold admits (oracle = all-pairs brute
    * force, exact agreement WHENEVER no bucket exceeds the guard —
    * the same conditional contract as the text tiers' lshCandidates).
    *
-   * HOT-BUCKET GUARD (the scale boundary this key space forces): a
-   * band value is 8 bits, so the whole banding has only 7×256 = 1 792
-   * bucket keys — at millions of assets EVERY bucket is populated and
-   * the join's candidate volume is Σ bucket² ≈ n²/256 per band, the
-   * quadratic the banding was supposed to avoid. Buckets above
-   * `maxBucketSize` members are therefore excluded WHOLE before the
-   * join (observable via [[ahashSkippedBuckets]], the
-   * lshSkippedBuckets convention); a pair whose every shared band was
-   * skipped is not reported — the declared recall trade on degenerate
-   * hash masses. At the scale where most buckets are legitimately hot,
-   * banding stops being the right index — widen the bands (fewer,
-   * wider blocks guarantee a smaller maxDist) or route hashes through
-   * an exact-rerank candidate tier.
+   * BAND LAYOUT (parameterized — the escape hatch the default's key
+   * space eventually forces): the default 7×8-bit layout has only
+   * 7×256 = 1 792 bucket keys, so at millions of assets EVERY bucket
+   * is populated and the join's candidate volume grows as Σ bucket² ≈
+   * n²/256 per band — the quadratic the banding was supposed to
+   * avoid. WIDER bands spread the same mass over a bigger key space
+   * at the price of a tighter threshold: 4×14-bit has 65 536 keys and
+   * guarantees maxDist ≤ 3 — at the scale where most 8-bit buckets
+   * are legitimately hot, that is the right trade
+   * ([[requireBandLayout]] lists the admissible layouts). Either way
+   * the key space stays ≤ 65 536, so the guard's eager collect stays
+   * driver-safe BY CONSTRUCTION.
    *
-   * The hot set is resolved ONCE at construction (an eager bounded
-   * aggregate, the nearDupScreen/skewJoin radar precedent) — the key
-   * space caps it at 1 792 rows BY CONSTRUCTION, so the collect is
-   * driver-safe no matter the input, and the guard stays a codegen'd
-   * literal filter: the zero-exchange first-SURVIVING-band dedup
-   * (a skipped band produced no join row, so the next surviving
+   * HOT-BUCKET GUARD: buckets above `maxBucketSize` members are
+   * excluded WHOLE before the join (observable via
+   * [[ahashSkippedBuckets]], the lshSkippedBuckets convention); a
+   * pair whose every shared band was skipped is not reported — the
+   * declared recall trade on degenerate hash masses. The hot set is
+   * resolved ONCE at construction (an eager bounded aggregate, the
+   * nearDupScreen/skewJoin radar precedent) and the guard stays a
+   * codegen'd literal filter: the zero-exchange first-SURVIVING-band
+   * dedup (a skipped band produced no join row, so the next surviving
    * matching band claims the pair — batch-guard semantics identical
    * to the streaming screens').
+   *
+   * The hashes frame is persisted for the call's lifetime
+   * ([[graft.Caching.persist]] — release via `Caching.scoped`, the
+   * repo convention): its lineage is a full media decode, and the hot
+   * collect plus the self-join's two sides would otherwise evaluate
+   * it three times.
    */
   def ahashNearDupPairs(
       hashes: DataFrame,
       maxDist: Int = 6,
-      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 6,
-      s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
-    val hot = ahashHotByBand(hashes, maxBucketSize)
-    val banded = ahashDropHot(ahashBands(hashes), hot)
+    val h = graft.Caching.persist(hashes.select(col("asset_id"), col("ahash")))
+    val hot = ahashHotByBand(h, maxBucketSize, nBands, bandBits)
+    val banded = ahashDropHot(ahashBands(h, nBands, bandBits), hot, nBands)
     val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
       col("band"), col("band_bits"))
     val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
       col("band"), col("band_bits"))
     a.join(b, Seq("band", "band_bits"))
       .where(col("d1") < col("d2") &&
-        col("band") === ahashFirstSurvivingBand(hot))
+        col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /**
+   * ASSET-level near-dup verdicts from WINDOW/SEGMENT fingerprints
+   * ([[audioAHashWindows]] / [[videoAHashSegments]]) — near-dup on a
+   * shared SEGMENT, the long-media production ask (reused footage,
+   * sampled clips) a whole-clip hash cannot see: window rows go
+   * through the SAME banded join + hot-bucket guard as
+   * [[ahashNearDupPairs]] (window identity is irrelevant to the
+   * banding — every window row is a candidate key), pairs are
+   * CROSS-ASSET only (same-asset window pairs never report), and the
+   * qualifying window pairs roll up to one row per asset pair: the
+   * minimum window-pair hamming and the number of qualifying window
+   * pairs. Oracle = brute force over all cross-asset window pairs —
+   * exact agreement whenever no bucket exceeds the guard.
+   *
+   * @param windowHashes (asset_id, …, ahash) — one row per window;
+   *        any extra columns are ignored
+   * @return (d1, d2, min_hamming, n_window_hits) with d1 < d2
+   */
+  def ahashWindowNearDupPairs(
+      windowHashes: DataFrame,
+      maxDist: Int = 6,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    requireBandLayout(nBands, bandBits, maxDist)
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val h = graft.Caching.persist(
+      windowHashes.select(col("asset_id"), col("ahash")))
+    val hot = ahashHotByBand(h, maxBucketSize, nBands, bandBits)
+    val banded = ahashDropHot(ahashBands(h, nBands, bandBits), hot, nBands)
+    val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
+      col("band"), col("band_bits"))
+    val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .where(col("d1") < col("d2") &&
+        col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .groupBy(col("d1"), col("d2"))
+      .agg(min(col("hamming")).as("min_hamming"),
+        count(lit(1)).as("n_window_hits"))
   }
 
   /** Audit twin of [[ahashNearDupPairs]]' hot-bucket guard: the
@@ -809,27 +1105,36 @@ object Multimodal {
     * observability contract for the perceptual tier. */
   def ahashSkippedBuckets(
       hashes: DataFrame,
-      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame =
-    ahashBands(hashes).groupBy(col("band"), col("band_bits"))
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame =
+    ahashBands(hashes, nBands, bandBits).groupBy(col("band"), col("band_bits"))
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucketSize)
 
-  /** The 7×8-bit band explosion of an (asset_id, ahash) frame. */
-  private def ahashBands(hashes: DataFrame): DataFrame =
+  /** The nBands×bandBits band explosion of an (asset_id, ahash) frame
+    * (multiple rows per asset_id are fine — the window tier). */
+  private def ahashBands(
+      hashes: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     hashes.select(col("asset_id"), col("ahash"),
-      explode(array((0 until 7).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b.toLong).as("band"),
-          shiftright(col("ahash"), 8 * b).bitwiseAND(lit(255L))
+          shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
             .as("band_bits"))): _*)).as("bb"))
       .select(col("asset_id"), col("ahash"),
         col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+  }
 
-  /** The ≤ 1 792-key hot-bucket set (band → hot band_bits values),
-    * resolved eagerly — driver-safe BY CONSTRUCTION (7 bands × 256
-    * values bound the collect no matter the input). */
+  /** The hot-bucket set (band → hot band_bits values), resolved
+    * eagerly — driver-safe BY CONSTRUCTION: the key space
+    * nBands·2^bandBits is ≤ 65 536 for every admissible layout
+    * ([[requireBandLayout]]), bounding the collect no matter the
+    * input. */
   private def ahashHotByBand(
-      hashes: DataFrame, maxBucketSize: Int): Map[Long, Seq[Long]] =
-    ahashSkippedBuckets(hashes, maxBucketSize)
+      hashes: DataFrame, maxBucketSize: Int,
+      nBands: Int, bandBits: Int): Map[Long, Seq[Long]] =
+    ahashSkippedBuckets(hashes, maxBucketSize, nBands, bandBits)
       .select(col("band"), col("band_bits")).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
@@ -844,9 +1149,9 @@ object Multimodal {
   /** Drop band rows that fall in a hot bucket — a codegen'd literal
     * filter, never a join (the hot set is a plan literal). */
   private def ahashDropHot(
-      banded: DataFrame, hot: Map[Long, Seq[Long]]): DataFrame =
+      banded: DataFrame, hot: Map[Long, Seq[Long]], nBands: Int): DataFrame =
     if (hot.isEmpty) banded
-    else banded.where(!(0 until 7).map(b =>
+    else banded.where(!(0 until nBands).map(b =>
       col("band") === b.toLong && ahashIsHot(hot, b, col("band_bits")))
       .reduce(_ || _))
 
@@ -857,15 +1162,17 @@ object Multimodal {
     * skipped band produced no join row and must not claim the pair —
     * the next surviving matching band's row carries it (the streaming
     * screens' guard semantics). */
-  private def ahashFirstSurvivingBand(hot: Map[Long, Seq[Long]]): Column = {
+  private def ahashFirstSurvivingBand(
+      hot: Map[Long, Seq[Long]], nBands: Int, bandBits: Int): Column = {
     val diff = expr("h1 ^ h2")
-    (0 until 7)
+    val mask = (1L << bandBits) - 1
+    (0 until nBands)
       .map { j =>
-        val agrees = shiftright(diff, 8 * j).bitwiseAND(lit(255L)) === 0L
+        val agrees = shiftright(diff, bandBits * j).bitwiseAND(lit(mask)) === 0L
         // both sides share the band value on an agreeing band, so the
         // h1-side bits stand for the bucket key
         val survives = !ahashIsHot(hot, j,
-          shiftright(col("h1"), 8 * j).bitwiseAND(lit(255L)))
+          shiftright(col("h1"), bandBits * j).bitwiseAND(lit(mask)))
         (agrees && survives, j)
       }
       .foldRight(lit(null).cast("long"): Column) { case ((claims, j), tail) =>
@@ -881,6 +1188,11 @@ object Multimodal {
    * once). A delta image within `maxDist` of any history image
    * reports its closest history match (min hamming, id tie-break).
    *
+   * The history frame is persisted for the call's lifetime
+   * ([[graft.Caching.persist]] — release via `Caching.scoped`): its
+   * lineage is a full media decode, and the hot collect plus the band
+   * join would otherwise evaluate it twice.
+   *
    * @return (asset_id, match_id, hamming) — one row per MATCHED delta
    *         image
    */
@@ -888,22 +1200,25 @@ object Multimodal {
       deltaHashes: DataFrame,
       historyHashes: DataFrame,
       maxDist: Int = 6,
-      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 6,
-      s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     // hot buckets are a HISTORY property here (a hot history bucket
     // fans out every probing delta row); delta rows keep their bands
     // and simply miss on the pruned keys
-    val hot = ahashHotByBand(historyHashes, maxBucketSize)
-    val d = ahashBands(deltaHashes).select(col("asset_id"),
+    val hist = graft.Caching.persist(
+      historyHashes.select(col("asset_id"), col("ahash")))
+    val hot = ahashHotByBand(hist, maxBucketSize, nBands, bandBits)
+    val d = ahashBands(deltaHashes, nBands, bandBits).select(col("asset_id"),
       col("ahash").as("h1"), col("band"), col("band_bits"))
-    val h = ahashDropHot(ahashBands(historyHashes), hot)
+    val h = ahashDropHot(ahashBands(hist, nBands, bandBits), hot, nBands)
       .select(col("asset_id").as("match_id"),
         col("ahash").as("h2"), col("band"), col("band_bits"))
     d.join(h, Seq("band", "band_bits"))
-      .where(col("band") === ahashFirstSurvivingBand(hot))
+      .where(col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .groupBy(col("asset_id"))

@@ -439,4 +439,263 @@ class MultimodalSpec extends SparkSpec {
     got should not be empty
     got((2L, 14L)) shouldBe 0L // exact duplicate
   }
+
+  // ── windowed/segmented hashing (long media) ──────────────────────────
+
+  /** Local replica of audioAHashWindows: per fixed-span window of W
+    * samples, the 56-bucket rule over that window's energies. */
+  private def localAudioWindows(text: String, w: Int): Seq[(Long, Long, Long)] =
+    text.map(c => math.abs((c - 110).toLong) * 200L)
+      .grouped(w).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.length.toLong, local56(g)) }
+      .toSeq
+
+  test("audioAHashWindows: per-window hashes, trailing partial, empty clip") {
+    val texts = Seq("a" /* 1 window of 1 */,
+      "the quiet hum of a steady machine drones on" * 5 /* 215 → 4 windows */,
+      "" /* empty: NO rows */)
+    val d = corpus(texts.zipWithIndex.map { case (t, i) =>
+      (i * 3 + 1).toString -> t }: _*)
+    val got = Multimodal.audioAHashWindows(
+        Multimodal.encodeAssets(d), windowSamples = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+      localAudioWindows(t, 64).map { case (wId, n, h) =>
+        (i * 3L + 1, wId) -> ((n, h)) }
+    }.toMap
+    got shouldBe expect
+    // 4 windows of 64,64,64,len−192 — the trailing partial is hashed too
+    got((4L, 3L))._1 shouldBe (texts(1).length - 192).toLong
+    got.keySet.map(_._1) shouldBe Set(1L, 4L) // the empty clip emits nothing
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioAHashWindows(Multimodal.encodeAssets(d), 0)
+  }
+
+  /** Local replica of videoAHashSegments: sampled-frame luma grouped
+    * into segments of `segFrames` sampled frames. */
+  private def localVideoSegments(
+      text: String, segFrames: Int, everyNth: Int): Seq[(Long, Long, Long)] = {
+    val nf = text.length / 12
+    (0 until nf by everyNth).map(f =>
+        (0 until 8).map(k => text.charAt(f * 12 + k).toLong))
+      .grouped(segFrames).zipWithIndex
+      .map { case (seg, i) =>
+        (i.toLong, seg.length.toLong, local56(seg.flatten)) }
+      .toSeq
+  }
+
+  test("videoAHashSegments: per-segment hashes, trailing partial, zero-frame") {
+    val texts = Seq(
+      "x" * 11,                    // 0 frames: NO rows
+      ('a' to 'z').mkString * 6,   // 13 frames → 7 sampled → segs 3,3,1
+      ('a' to 'z').mkString * 12)  // 26 frames → 13 sampled → 3,3,3,3,1
+    val d = corpus(texts.zipWithIndex.map { case (t, i) =>
+      (i * 3 + 2).toString -> t }: _*)
+    val got = Multimodal.videoAHashSegments(
+        Multimodal.encodeAssets(d), segmentFrames = 3, everyNth = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+      localVideoSegments(t, 3, 2).map { case (sId, n, h) =>
+        (i * 3L + 2, sId) -> ((n, h)) }
+    }.toMap
+    got shouldBe expect
+    got.keySet.map(_._1) shouldBe Set(5L, 8L)
+    got((5L, 2L))._1 shouldBe 1L // trailing partial segment
+  }
+
+  test("ahashWindowNearDupPairs: asset rollup equals the window brute force") {
+    // two clips sharing a middle SEGMENT (the reused-footage case the
+    // whole-clip hash cannot see), plus an unrelated clip; windows of 64,
+    // prefixes window-ALIGNED (64 and 128 chars) so the shared span fills
+    // identical windows — the grid-alignment contract the scaladoc states
+    val shared = "a shared jingle segment that both clips reuse yes " +
+      "a shared jingle segment that both clips reuse yes "     // 102 chars
+    val a = ("intro of clip a " * 4) + shared + ("outro a " * 8)   // 64 + …
+    val b = ("b opening here! " * 8) + shared + ("its own end " * 6) // 128 + …
+    val c = "completely unrelated audio content with nothing shared " * 4
+    val d = corpus("1" -> a, "4" -> b, "7" -> c)
+    val wh = Multimodal.audioAHashWindows(
+      Multimodal.encodeAssets(d), windowSamples = 64)
+    val got = Multimodal.ahashWindowNearDupPairs(wh, maxDist = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // local brute force over ALL cross-asset window pairs
+    val wins = Seq(1L -> a, 4L -> b, 7L -> c).flatMap { case (id, t) =>
+      localAudioWindows(t, 64).map { case (_, _, h) => (id, h) } }
+    val brutePairs = for {
+      (i1, h1) <- wins; (i2, h2) <- wins if i1 < i2
+      dist = java.lang.Long.bitCount(h1 ^ h2) if dist <= 6
+    } yield (i1, i2) -> dist.toLong
+    val brute = brutePairs.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.map(_._2).min, vs.size.toLong)) }
+    got shouldBe brute
+    got should not be empty // the shared segment DOES pair (1, 4)
+    assert(got.contains((1L, 4L)))
+  }
+
+  test("long audio clips route through the windowed floor-mean fallback") {
+    // a REAL over-bound clip: 16e6 + 1009 samples (32 MB payload) — the
+    // round-9 hard `require` is gone; the hash equals the local replica
+    // of 4096-sample window floor-means through the 56-bucket rule
+    val n = 16000000 + 1009
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort((((i % 26) + 97 - 110) * 200).toShort); i += 1 }
+    val payload = bb.array()
+    val s = spark
+    import s.implicits._
+    val assets = Seq((1L, payload)).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("audio").as("kind"), lit(44L + dataLen).as("n_bytes"),
+          lit("wav").as("codec")).as("meta"))
+    val r = Multimodal.audioAHash(assets).head()
+    r.getAs[Long]("n_samples") shouldBe n.toLong
+    // local replica: window floor-means of |sample| then local56
+    def energyAt(k: Int): Long = math.abs((((k % 26) + 97 - 110) * 200).toLong)
+    val means = (0 until n by 4096).map { lo =>
+      val hi = math.min(lo + 4096, n)
+      (lo until hi).map(energyAt).sum / (hi - lo)
+    }
+    r.getAs[Long]("ahash") shouldBe local56(means)
+  }
+
+  test("over-bound video streams route through the frame-mean fallback") {
+    // via the test seam (a real over-bound stream is >= 900 MB): a tiny
+    // exactBound forces the fallback on a normal fixture, and the hash
+    // equals the local per-sampled-frame floor-mean replica
+    val text = ('a' to 'z').mkString * 12 // 26 frames → 13 sampled
+    val assets = Multimodal.encodeAssets(corpus("2" -> text))
+    val r = Multimodal.videoAHashBounded(assets, everyNth = 2, exactBound = 10)
+      .head()
+    val frameMeans = (0 until 26 by 2).map { f =>
+      (0 until 8).map(k => text.charAt(f * 12 + k).toLong).sum / 8
+    }
+    r.getAs[Long]("ahash") shouldBe local56(frameMeans)
+    r.getAs[Long]("n_sampled_frames") shouldBe 13L
+    // and the exact path (the default) differs — the fallback is a
+    // coarser fingerprint, not a re-labeling
+    Multimodal.videoAHash(assets, everyNth = 2).head()
+      .getAs[Long]("ahash") should not be r.getAs[Long]("ahash")
+  }
+
+  // ── parameterized band layout ────────────────────────────────────────
+
+  /** Brute-force pairs at a threshold over (id, hash) rows. */
+  private def brutePairs(
+      hs: Seq[(Long, Long)], maxDist: Int): Map[(Long, Long), Long] =
+    (for {
+      (i1, h1) <- hs; (i2, h2) <- hs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= maxDist
+    } yield (i1, i2) -> d.toLong).toMap
+
+  test("wide 4x14 band layout un-hots a bucket mass the 7x8 guard drops") {
+    // twelve assets sharing 8-bit bands {0,2,4,6} (values 5A/33/0F/21)
+    // but distinct in every 14-bit band, plus a hamming-3 pair (A=200,
+    // B=201) sharing ONLY those four hot bands: the 7x8 guard must drop
+    // the pair (every shared band hot), the 4x14 layout must find it
+    def lanes(b0: Long, b1: Long, b2: Long, b3: Long, b4: Long, b5: Long,
+        b6: Long): Long =
+      b0 | (b1 << 8) | (b2 << 16) | (b3 << 24) | (b4 << 32) | (b5 << 40) |
+        (b6 << 48)
+    val mass = (1 to 12).map(m =>
+      m.toLong -> lanes(0x5a, m, 0x33, m, 0x0f, m, 0x21))
+    val pairA = 200L -> lanes(0x5a, 20, 0x33, 20, 0x0f, 20, 0x21)
+    val pairB = 201L -> lanes(0x5a, 21, 0x33, 21, 0x0f, 21, 0x21)
+    val all = mass :+ pairA :+ pairB
+    java.lang.Long.bitCount(pairA._2 ^ pairB._2) shouldBe 3 // fixture sanity
+    val s = spark
+    import s.implicits._
+    val hashes = all.toDF("asset_id", "ahash")
+    // 7x8 at bound 10: bands 0,2,4,6 are hot (14 members each)…
+    Multimodal.ahashSkippedBuckets(hashes, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((0L, 0x5aL), (2L, 0x33L), (4L, 0x0fL), (6L, 0x21L))
+    // …and the wide layout has NO hot bucket at the same bound
+    Multimodal.ahashSkippedBuckets(hashes, maxBucketSize = 10,
+      nBands = 4, bandBits = 14).collect() shouldBe empty
+    val brute = brutePairs(all, 3)
+    assert(brute.contains((200L, 201L)))
+    // wide layout: full pigeonhole recall at maxDist <= 3
+    Multimodal.ahashNearDupPairs(hashes, maxDist = 3, maxBucketSize = 10,
+        nBands = 4, bandBits = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap shouldBe brute
+    // default layout at the same bound: the guard drops the pair whose
+    // every shared band is hot — the declared recall trade
+    val narrow = Multimodal.ahashNearDupPairs(hashes, maxDist = 3,
+        maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    narrow should not contain ((200L, 201L))
+    narrow.foreach(p => assert(brute.contains(p))) // no false positives
+  }
+
+  test("band layouts that break the pigeonhole or the key space are rejected") {
+    val s = spark
+    import s.implicits._
+    val hashes = Seq((1L, 7L)).toDF("asset_id", "ahash")
+    an[IllegalArgumentException] should be thrownBy // 5x11 != 56
+      Multimodal.ahashNearDupPairs(hashes, nBands = 5, bandBits = 11)
+    an[IllegalArgumentException] should be thrownBy // 2x28: key space unsafe
+      Multimodal.ahashNearDupPairs(hashes, maxDist = 1, nBands = 2, bandBits = 28)
+    an[IllegalArgumentException] should be thrownBy // maxDist past pigeonhole
+      Multimodal.ahashNearDupPairs(hashes, maxDist = 4, nBands = 4, bandBits = 14)
+  }
+
+  test("WAV validation is order-strict: fmt must precede data, once") {
+    // data BEFORE fmt: must refuse to decode unvalidated samples
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      bb.put("WAVE".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    def fmtChunk: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.array()
+    }
+    def dataChunk: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("data".getBytes("US-ASCII")).putInt(4).putShort(100).putShort(-50)
+      bb.array()
+    }
+    // the RIFF walk in decodeMedia (parseWav) and the hash walk
+    // (wavDataChunk) both reject data-before-fmt and duplicate data
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(1L, wav(dataChunk, fmtChunk))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeOne(2L, wav(fmtChunk, dataChunk, dataChunk))
+    val s = spark
+    import s.implicits._
+    def assetsOf(p: Array[Byte]) = Seq((1L, p)).toDF("asset_id", "payload")
+      .select(col("asset_id"), col("payload"),
+        struct(lit("audio").as("kind"), lit(p.length.toLong).as("n_bytes"),
+          lit("wav").as("codec")).as("meta"))
+    an[Exception] should be thrownBy
+      Multimodal.audioAHash(assetsOf(wav(dataChunk, fmtChunk))).collect()
+    an[Exception] should be thrownBy
+      Multimodal.audioAHash(assetsOf(wav(fmtChunk, dataChunk, dataChunk)))
+        .collect()
+    // the valid layout still decodes
+    Multimodal.decodeOne(3L, wav(fmtChunk, dataChunk)).n_samples shouldBe 2L
+  }
 }
