@@ -421,6 +421,93 @@ object SparkEntry {
       |           WHERE b.doc_id = v.doc_id), 0)::BIGINT AS ahash
       |  FROM vz v)""".stripMargin
 
+  /** DuckDB replica of the WINDOWED audio aHash
+    * (`Multimodal.audioAHashWindows`, windowSamples = 64): the energy
+    * sequence splits into fixed 64-sample spans (trailing partial
+    * included) and each span folds through the 56-bucket rule with
+    * WINDOW-LOCAL positions and length. Ends with `hs` =
+    * (doc_id, w_id, wn, ahash) over audio docs. */
+  private def audioWindowCtes: String =
+    """aud AS (
+      |  SELECT doc_id, length(text)::BIGINT AS n,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> (abs(ord(substr(text, i::INTEGER, 1)) - 110)
+      |                              * 200)::BIGINT) AS g
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sp AS (
+      |  SELECT doc_id, n, unnest(range(0, n)) AS i0, g FROM aud),
+      |wv AS (
+      |  SELECT doc_id, i0 // 64 AS w_id, i0 % 64 AS il,
+      |         least(64, n - (i0 // 64) * 64) AS wn,
+      |         g[(i0 + 1)::INTEGER] AS v
+      |  FROM sp),
+      |bk AS (
+      |  SELECT doc_id, w_id, wn, (il * 56) // wn AS j,
+      |         sum(v)::BIGINT AS bsum, count(*)::BIGINT AS bcnt
+      |  FROM wv GROUP BY 1, 2, 3, 4),
+      |tot AS (
+      |  SELECT doc_id, w_id, sum(bsum)::BIGINT AS total
+      |  FROM bk GROUP BY 1, 2),
+      |hs AS (
+      |  SELECT b.doc_id, b.w_id, b.wn,
+      |         sum(CASE WHEN b.bsum * b.wn >= t.total * b.bcnt
+      |                  THEN (1::BIGINT << b.j::INTEGER) ELSE 0 END)::BIGINT
+      |           AS ahash
+      |  FROM bk b JOIN tot t ON b.doc_id = t.doc_id AND b.w_id = t.w_id
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB replica of the SEGMENTED video aHash
+    * (`Multimodal.videoAHashSegments`, segmentFrames = 4,
+    * everyNth = 2): the sampled luma stream (8 bytes per kept frame)
+    * splits into 32-value segments (4 sampled frames each, trailing
+    * partial included), each folded with SEGMENT-LOCAL positions and
+    * length. Ends with `hs` = (doc_id, seg_id, nsf, ahash) over video
+    * docs with ≥ 1 frame. */
+  private def videoSegmentCtes: String =
+    """vid AS (
+      |  SELECT doc_id,
+      |         flatten(list_transform(range(0, length(text) // 12, 2),
+      |           f -> list_transform(range(0, 8),
+      |             k -> ord(substr(text, (f * 12 + k + 1)::INTEGER, 1))::BIGINT)))
+      |           AS g
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |sp AS (
+      |  SELECT doc_id, len(g)::BIGINT AS n, unnest(range(0, len(g))) AS i0, g
+      |  FROM vid WHERE len(g) > 0),
+      |sg AS (
+      |  SELECT doc_id, i0 // 32 AS seg_id, i0 % 32 AS il,
+      |         least(32, n - (i0 // 32) * 32) AS sn,
+      |         g[(i0 + 1)::INTEGER] AS v
+      |  FROM sp),
+      |bk AS (
+      |  SELECT doc_id, seg_id, sn, (il * 56) // sn AS j,
+      |         sum(v)::BIGINT AS bsum, count(*)::BIGINT AS bcnt
+      |  FROM sg GROUP BY 1, 2, 3, 4),
+      |tot AS (
+      |  SELECT doc_id, seg_id, sum(bsum)::BIGINT AS total
+      |  FROM bk GROUP BY 1, 2),
+      |hs AS (
+      |  SELECT b.doc_id, b.seg_id, (b.sn // 8)::BIGINT AS nsf,
+      |         sum(CASE WHEN b.bsum * b.sn >= t.total * b.bcnt
+      |                  THEN (1::BIGINT << b.j::INTEGER) ELSE 0 END)::BIGINT
+      |           AS ahash
+      |  FROM bk b JOIN tot t ON b.doc_id = t.doc_id AND b.seg_id = t.seg_id
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Brute-force window-pair rollup shared by the q220b/q221b mirrors:
+    * cross-asset window pairs within hamming ≤ 6 grouped to
+    * (d1, d2, min_hamming, n_window_hits) — what the banded engine
+    * must reproduce exactly (pigeonhole + no hot buckets at sf0.01). */
+  private def windowPairRollupSql: String =
+    """pr AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |         bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+      |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6)
+      |SELECT d1, d2, min(hamming)::BIGINT AS min_hamming,
+      |       count(*)::BIGINT AS n_window_hits
+      |FROM pr GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+
   /** DuckDB replica of the int8 chain (`Similarity.quantizeInt8` +
     * `int8SdcTopK` per-vector stats): affine byte codes with the
     * explicit +0.5-then-floor, Σq / Σq² as BIGINTs, and the SDC score
@@ -3088,6 +3175,48 @@ object SparkEntry {
       Multimodal.imageResize(Multimodal.encodeAssets(docs(s, dir)),
           targetW = 16)
         .orderBy(col("asset_id"), col("bucket"))),
+
+    // WINDOWED audio fingerprints: one aHash per fixed 64-sample span
+    // (trailing partial included) — the long-media segment key; every
+    // per-window bit rebuilt by the oracle from the encoder text with
+    // window-LOCAL positions and length.
+    "q220_audio_ahash_windows" -> ((s, dir) =>
+      Multimodal.audioAHashWindows(Multimodal.encodeAssets(docs(s, dir)),
+          windowSamples = 64)
+        .orderBy(col("asset_id"), col("window_id"))),
+
+    // Any-window banded near-dup rolled up to asset pairs — shared-
+    // SEGMENT detection; oracle = brute force over all cross-asset
+    // window pairs, exact agreement (pigeonhole, no hot buckets here).
+    "q220b_audio_window_neardup" -> ((s, dir) =>
+      Multimodal.ahashWindowNearDupPairs(
+          Multimodal.audioAHashWindows(Multimodal.encodeAssets(docs(s, dir)),
+            windowSamples = 64),
+          maxDist = 6)
+        .orderBy(col("d1"), col("d2"))),
+
+    // SEGMENTED video fingerprints: one aHash per 4 consecutive SAMPLED
+    // frames (everyNth = 2), segment-local fold — reused-footage keys.
+    "q221_video_ahash_segments" -> ((s, dir) =>
+      Multimodal.videoAHashSegments(Multimodal.encodeAssets(docs(s, dir)),
+          segmentFrames = 4, everyNth = 2)
+        .orderBy(col("asset_id"), col("segment_id"))),
+
+    "q221b_video_segment_neardup" -> ((s, dir) =>
+      Multimodal.ahashWindowNearDupPairs(
+          Multimodal.videoAHashSegments(Multimodal.encodeAssets(docs(s, dir)),
+            segmentFrames = 4, everyNth = 2),
+          maxDist = 6)
+        .orderBy(col("d1"), col("d2"))),
+
+    // WIDE band layout (4×14-bit, maxDist ≤ 3): the documented escape
+    // hatch for corpora where the 7×8 key space runs hot — shares the
+    // image-hash CTEs, brute-force oracle at the tighter threshold.
+    "q172d_image_neardup_wide" -> ((s, dir) =>
+      Multimodal.ahashNearDupPairs(
+          Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))),
+          maxDist = 3, nBands = 4, bandBits = 14)
+        .orderBy(col("d1"), col("d2"))),
 
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
@@ -8326,6 +8455,41 @@ object SparkEntry {
         |SELECT doc_id AS asset_id, w AS width, j AS bucket,
         |       bsum // bcnt AS px
         |FROM bk ORDER BY asset_id, bucket""".stripMargin,
+
+    // Windowed-audio mirror: per-64-sample-span bits rebuilt with
+    // window-local positions and length from the encoder text.
+    "q220_audio_ahash_windows" ->
+      s"""WITH $audioWindowCtes
+         |SELECT doc_id AS asset_id, w_id AS window_id, wn AS n_samples,
+         |       ahash
+         |FROM hs ORDER BY asset_id, window_id""".stripMargin,
+
+    // Any-window near-dup mirror: brute force over ALL cross-asset
+    // window pairs, rolled up to (min_hamming, n_window_hits).
+    "q220b_audio_window_neardup" ->
+      s"""WITH $audioWindowCtes,
+         |$windowPairRollupSql""".stripMargin,
+
+    // Segmented-video mirror: per-4-sampled-frame bits, segment-local.
+    "q221_video_ahash_segments" ->
+      s"""WITH $videoSegmentCtes
+         |SELECT doc_id AS asset_id, seg_id AS segment_id,
+         |       nsf AS n_sampled_frames, ahash
+         |FROM hs ORDER BY asset_id, segment_id""".stripMargin,
+
+    "q221b_video_segment_neardup" ->
+      s"""WITH $videoSegmentCtes,
+         |$windowPairRollupSql""".stripMargin,
+
+    // Wide-band mirror: the same image-hash CTEs, all-pairs brute
+    // force at the 4-band pigeonhole threshold (hamming ≤ 3).
+    "q172d_image_neardup_wide" ->
+      s"""WITH $ahashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine
     // score CTEs; per-query rank with NULLS LAST + id tie-break.

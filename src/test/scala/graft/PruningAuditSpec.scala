@@ -159,6 +159,17 @@ class PruningAuditSpec extends SparkSpec {
     readSchemas("q218b_video_neardup").toSet shouldBe Set(Set("doc_id", "text"))
   }
 
+  test("q220/q221 windowed-hash pipelines read only doc_id and text") {
+    readSchemas("q220_audio_ahash_windows") shouldBe Seq(Set("doc_id", "text"))
+    readSchemas("q221_video_ahash_segments") shouldBe Seq(Set("doc_id", "text"))
+    readSchemas("q220b_audio_window_neardup").toSet shouldBe
+      Set(Set("doc_id", "text"))
+    readSchemas("q221b_video_segment_neardup").toSet shouldBe
+      Set(Set("doc_id", "text"))
+    readSchemas("q172d_image_neardup_wide").toSet shouldBe
+      Set(Set("doc_id", "text"))
+  }
+
   test("q175 growth scan reads only ts and user_id") {
     readSchemas("q175_user_growth") shouldBe Seq(Set("ts", "user_id"))
   }
