@@ -1459,10 +1459,18 @@ object StreamingOps {
    * `Pipeline.dailyIngest` and this screen, row-identical). At scale
    * the index is |history bands| rows whose bucket arrays are bounded
    * by `maxBucketSize` — size the bound to what a bucket row may
-   * carry, and pass a PERSISTED [[ingestIndex]] via
-   * `precomputedIndex` (otherwise the index re-derives from the raw
-   * history per micro-batch AND per band probe — fine for tests,
-   * wrong for production).
+   * carry.
+   *
+   * THIS OVERLOAD DERIVES THE STATIC STATE FROM RAW HISTORY at every
+   * stream start (the Bloom bytes + fp frame always; the bucket index
+   * too unless `precomputedIndex` is passed) — at 100 TB history that
+   * prep IS the cost (the 10× stress: 49.4 s history prep vs 5.7 s
+   * per batch), so production callers build [[ingestState]] ONCE,
+   * persist it, and start streams with [[ingestScreenFromState]].
+   * Deriving here therefore requires the explicit
+   * `allowDerivedState = true` opt-in (the `requireScope` philosophy:
+   * a scale bug a caller will not notice locally fails loudly at
+   * construction instead of being documented-and-hoped).
    *
    * @param docs streaming (doc, line)
    * @param historyDocs static (doc, line)
@@ -1471,6 +1479,8 @@ object StreamingOps {
    * @param precomputedIndex a persisted [[ingestIndex]] built with the
    *        SAME (historyDocs, historySplits, n, numHashes, rowsPerBand,
    *        maxBucketSize) — the caller owns its lifecycle
+   * @param allowDerivedState explicit opt-in to rebuilding the static
+   *        screens from `historyDocs` (tests, ad-hoc runs)
    * @return streaming (doc, stage, anchor, split)
    */
   def ingestScreen(
@@ -1484,17 +1494,19 @@ object StreamingOps {
       rowsPerBand: Int = 4,
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
       fpp: Double = 1e-4,
-      precomputedIndex: Option[DataFrame] = None): DataFrame = {
+      precomputedIndex: Option[DataFrame] = None,
+      allowDerivedState: Boolean = false): DataFrame = {
     import graft.operators.Dedup
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
-    require(nearDupThreshold > 0 && nearDupThreshold < 1,
-      s"nearDupThreshold must be in (0,1), got $nearDupThreshold")
-    require(valPerMille >= 0 && valPerMille <= 1000,
-      s"valPerMille must be in [0, 1000], got $valPerMille")
+    require(allowDerivedState,
+      "ingestScreen derives the exact-screen Bloom bytes + fp frame " +
+        (if (precomputedIndex.isEmpty) "AND the bucket index " else "") +
+        "from raw historyDocs at every stream start — wrong for " +
+        "production (history prep dwarfs per-batch cost at scale). " +
+        "Build ingestState(...) once, persist it, and start streams " +
+        "with ingestScreenFromState; or pass allowDerivedState = true " +
+        "to accept the rebuild (tests, ad-hoc runs)")
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
-    val nBands = numHashes / rowsPerBand
 
     // ── static exact screen: Bloom bytes (plan-time) + distinct fps ────
     val bloomBytes = Dedup.bloomBytesOf(
@@ -1505,6 +1517,110 @@ object StreamingOps {
     // ── static bucket index: (band, band_val) → candidate array ────────
     val index = precomputedIndex.getOrElse(ingestIndex(
       historyDocs, historySplits, n, numHashes, rowsPerBand, maxBucketSize))
+
+    ingestScreenCore(docs, bloomBytes, hfp, index,
+      nearDupThreshold, valPerMille, n, numHashes, rowsPerBand)
+  }
+
+  /**
+   * The PRODUCTION stream start: every static structure the screen
+   * probes — Bloom bytes, distinct-fp frame, bucket index — loads
+   * from ONE persisted [[ingestState]] artifact; `historyDocs` is
+   * never touched (it does not even appear in the signature). The
+   * single driver-side action is the 1-row Bloom read at plan
+   * construction — bounded by construction (the q100 frozen-state
+   * convention).
+   *
+   * @param docs streaming (doc, line)
+   * @param state a (persisted or parquet-read) [[ingestState]] built
+   *        with the SAME (n, numHashes, rowsPerBand) passed here
+   * @return streaming (doc, stage, anchor, split)
+   */
+  def ingestScreenFromState(
+      docs: DataFrame,
+      state: DataFrame,
+      nearDupThreshold: Double = 0.5,
+      valPerMille: Int = 100,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bloomBytes = state.where(col("section") === "bloom")
+      .select(col("bloom")).head().getAs[Array[Byte]](0)
+    val hfp = state.where(col("section") === "fp")
+      .select(col("fp").as("_hfp"))
+    val index = state.where(col("section") === "index")
+      .select(col("band"), col("band_val"), col("cands"))
+    ingestScreenCore(docs, bloomBytes, hfp, index,
+      nearDupThreshold, valPerMille, n, numHashes, rowsPerBand)
+  }
+
+  /**
+   * The full static state behind [[ingestScreenFromState]], packaged
+   * as ONE writable frame (section-tagged union — one parquet
+   * directory is the whole artifact):
+   *  - `section = "index"`: the [[ingestIndex]] rows
+   *    (band, band_val, cands);
+   *  - `section = "fp"`: the distinct history text fingerprints
+   *    (md5), the exact-confirm side of the Bloom probe;
+   *  - `section = "bloom"`: ONE row carrying the serialized Bloom
+   *    filter bytes over xxhash64(fp).
+   * Build once per history snapshot, write/persist, and start any
+   * number of streams from it — raw history is scanned at BUILD time
+   * only (the 10× stress records build-once vs load-and-serve).
+   */
+  def ingestState(
+      historyDocs: DataFrame,
+      historySplits: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      fpp: Double = 1e-4): DataFrame = {
+    import graft.operators.Dedup
+    val spark = historyDocs.sparkSession
+    val idx = ingestIndex(
+      historyDocs, historySplits, n, numHashes, rowsPerBand, maxBucketSize)
+    val hfp = historyDocs.select(md5(col("line")).as("fp")).distinct()
+    val bloomBytes = Dedup.bloomBytesOf(
+      hfp.select(xxhash64(col("fp")).as("h")), -1L, fpp)
+    def nulls(of: DataFrame, cols: String*): Seq[Column] =
+      cols.map(c => lit(null).cast(of.schema(c).dataType).as(c))
+    val indexRows = idx.select(
+      Seq(lit("index").as("section"), col("band"), col("band_val"),
+        col("cands"), lit(null).cast("string").as("fp"),
+        lit(null).cast("binary").as("bloom")): _*)
+    val fpRows = hfp.select(
+      Seq(lit("fp").as("section")) ++ nulls(idx, "band", "band_val", "cands")
+        ++ Seq(col("fp"), lit(null).cast("binary").as("bloom")): _*)
+    val bloomRow = spark.range(1).select(
+      Seq(lit("bloom").as("section")) ++ nulls(idx, "band", "band_val", "cands")
+        ++ Seq(lit(null).cast("string").as("fp"), lit(bloomBytes).as("bloom")): _*)
+    indexRows.unionByName(fpRows).unionByName(bloomRow)
+  }
+
+  /** The screen body shared by [[ingestScreen]] (derived state) and
+    * [[ingestScreenFromState]] (persisted state): row-local
+    * fingerprint + signature, the Bloom-guarded exact confirm, nBands
+    * 1:≤1 index probes, and the array-expression verdict reduction —
+    * one row per doc end to end, no state store. */
+  private def ingestScreenCore(
+      docs: DataFrame,
+      bloomBytes: Array[Byte],
+      hfp: DataFrame,
+      index: DataFrame,
+      nearDupThreshold: Double,
+      valPerMille: Int,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(nearDupThreshold > 0 && nearDupThreshold < 1,
+      s"nearDupThreshold must be in (0,1), got $nearDupThreshold")
+    require(valPerMille >= 0 && valPerMille <= 1000,
+      s"valPerMille must be in [0, 1000], got $valPerMille")
+    val nBands = numHashes / rowsPerBand
 
     // ── stream side: row-local fingerprint + signature + band keys ─────
     def bandVal(b: Int): Column =
@@ -1582,30 +1698,6 @@ object StreamingOps {
   }
 
   /**
-   * STREAMING CO-MOMENT STATE — the live twin of
-   * [[graft.operators.Similarity.coMomentState]] (incremental PCA):
-   * a streaming aggregation whose state IS the Gram kernel's buffer —
-   * `gramMoments` is a TypedImperativeAggregate with an exact
-   * mergeable buffer (the q214 merge ≡ union contract), so Structured
-   * Streaming's state store holds ONE serialized d²-lane buffer and
-   * merges each micro-batch into it. Run in `complete` (or `update`)
-   * output mode; after any prefix of the stream the emitted
-   * (i, j, n_vecs, _sx, _sy, _sxy) rows equal the batch
-   * `coMomentState` over exactly the rows seen so far — bit-for-bit,
-   * the additive-exact-sums contract (pinned in StreamingSpec) — and
-   * [[graft.operators.Similarity.principalComponentFromState]] renders
-   * the live PC1 from them (or from
-   * [[graft.operators.Similarity.mergeCoMomentStates]] with a
-   * persisted history state — the daily-pipeline shape).
-   *
-   * Scale shape: identical to the batch kernel — each vector is walked
-   * once map-side, the exchange carries partial buffers (d² lanes per
-   * PARTITION, not per row), and the stored streaming state is one
-   * buffer row. The [[graft.operators.Similarity.mergeCoMomentStates]]
-   * DECIMAL(38,0) headroom note applies to downstream SQL merges; the
-   * in-kernel lanes are BigInt-backed and unbounded.
-   */
-  /**
    * The static BUCKET INDEX behind [[ingestScreen]], exposed so
    * production callers build it ONCE, persist (or write) it, and pass
    * it back via `precomputedIndex` — the daily-pipeline state shape
@@ -1667,6 +1759,12 @@ object StreamingOps {
    * @param hashes streaming (asset_id, ahash) — compose with
    *        `Multimodal.imageAHash`/`audioAHash`/`videoAHash`
    * @param historyHashes static (asset_id, ahash)
+   * @param precomputedIndex a persisted [[mediaNearDupIndex]] built
+   *        from the SAME (historyHashes, maxBucketDocs) — without it
+   *        the per-bucket index re-derives (explode + groupBy over
+   *        history) inside each of the 7 stream-static joins on every
+   *        micro-batch; fine for tests, wrong for production (the
+   *        ingestScreen precomputedIndex convention)
    * @return streaming (asset_id, match_id, hamming) — one row per
    *         MATCHED arrival
    */
@@ -1674,7 +1772,8 @@ object StreamingOps {
       hashes: DataFrame,
       historyHashes: DataFrame,
       maxDist: Int = 6,
-      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
+      precomputedIndex: Option[DataFrame] = None): DataFrame = {
     require(maxDist >= 0 && maxDist <= 6,
       s"7-band pigeonhole covers hamming <= 6, got $maxDist")
     require(maxBucketDocs > 0,
@@ -1682,14 +1781,8 @@ object StreamingOps {
     def bandBits(h: Column, b: Int): Column =
       shiftright(h, 8 * b).bitwiseAND(lit(255L))
     // static per-bucket candidate arrays (hot buckets dropped whole)
-    val idx = historyHashes
-      .select(col("asset_id").as("hid"), col("ahash").as("hh"),
-        explode(array((0 until 7).map(b =>
-          struct(lit(b.toLong).as("band"),
-            bandBits(col("ahash"), b).as("band_bits"))): _*)).as("e"))
-      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
-      .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))
-      .where(size(col("cands")) <= maxBucketDocs)
+    val idx = precomputedIndex.getOrElse(
+      mediaNearDupIndex(historyHashes, maxBucketDocs))
     // ≤ 7 stream-static 1:≤1 left joins — one probe per band key
     val probed = (0 until 7).foldLeft(
       hashes.select(col("asset_id"), col("ahash"))) { (cur, b) =>
@@ -1716,6 +1809,29 @@ object StreamingOps {
       .where(col("_best").isNotNull)
       .select(col("asset_id"), col("_best.match_id").as("match_id"),
         col("_best.hamming").as("hamming"))
+  }
+
+  /** The static per-bucket candidate index behind
+    * [[mediaNearDupScreen]], exposed so production callers build it
+    * ONCE per history snapshot, persist (or write) it, and pass it
+    * back via `precomputedIndex` — (band, band_bits) →
+    * array⟨(hid, hh)⟩ with hot buckets (> maxBucketDocs members)
+    * dropped WHOLE at build (the [[ingestIndex]] recipe in hash
+    * space). */
+  def mediaNearDupIndex(
+      historyHashes: DataFrame,
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+    require(maxBucketDocs > 0,
+      s"maxBucketDocs must be positive, got $maxBucketDocs")
+    historyHashes
+      .select(col("asset_id").as("hid"), col("ahash").as("hh"),
+        explode(array((0 until 7).map(b =>
+          struct(lit(b.toLong).as("band"),
+            shiftright(col("ahash"), 8 * b).bitwiseAND(lit(255L))
+              .as("band_bits"))): _*)).as("e"))
+      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
+      .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))
+      .where(size(col("cands")) <= maxBucketDocs)
   }
 
   /**
@@ -1808,6 +1924,30 @@ object StreamingOps {
           col("n_docs").cast("double"), 6).as("mean_quality"))
   }
 
+  /**
+   * STREAMING CO-MOMENT STATE — the live twin of
+   * [[graft.operators.Similarity.coMomentState]] (incremental PCA):
+   * a streaming aggregation whose state IS the Gram kernel's buffer —
+   * `gramMoments` is a TypedImperativeAggregate with an exact
+   * mergeable buffer (the q214 merge ≡ union contract), so Structured
+   * Streaming's state store holds ONE serialized d²-lane buffer and
+   * merges each micro-batch into it. Run in `complete` (or `update`)
+   * output mode; after any prefix of the stream the emitted
+   * (i, j, n_vecs, _sx, _sy, _sxy) rows equal the batch
+   * `coMomentState` over exactly the rows seen so far — bit-for-bit,
+   * the additive-exact-sums contract (pinned in StreamingSpec) — and
+   * [[graft.operators.Similarity.principalComponentFromState]] renders
+   * the live PC1 from them (or from
+   * [[graft.operators.Similarity.mergeCoMomentStates]] with a
+   * persisted history state — the daily-pipeline shape).
+   *
+   * Scale shape: identical to the batch kernel — each vector is walked
+   * once map-side, the exchange carries partial buffers (d² lanes per
+   * PARTITION, not per row), and the stored streaming state is one
+   * buffer row. The [[graft.operators.Similarity.mergeCoMomentStates]]
+   * DECIMAL(38,0) headroom note applies to downstream SQL merges; the
+   * in-kernel lanes are BigInt-backed and unbounded.
+   */
   def coMomentStream(embs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.GramFunctions.gramMoments
     val xq = transform(col("embedding").cast("array<double>"),

@@ -75,7 +75,7 @@ object IngestScreenProperties extends Properties("IngestScreen") {
         val name = s"ingest_prop_${System.nanoTime()}"
         val q = graft.streaming.StreamingOps.ingestScreen(
             input.toDF().toDF("doc", "line"), hist, hsp,
-            nearDupThreshold = tau)
+            nearDupThreshold = tau, allowDerivedState = true)
           .writeStream.format("memory").queryName(name)
           .outputMode(OutputMode.Append())
           .start()

@@ -81,29 +81,36 @@ object IngestStressMain {
     println(f"COMPOSED_VS_SEPARATE: ${tSep / tComp}%.2fx")
 
     // ── streaming twin at the same scale: the PRODUCTION shape ─────────
-    // (persisted prebuilt index, delta replayed in micro-batches) —
-    // measures index build once + per-batch probe cost, and pins the
-    // stage counts against the batch decision log above.
+    // (ONE persisted state artifact — the round-9 49.4 s history-prep
+    // line split into BUILD-ONCE vs LOAD-AND-SERVE: raw history is
+    // scanned only while building/writing the state; the stream start
+    // reads the artifact back and never touches historyDocs) — and
+    // pins the stage counts against the batch decision log above.
     t0 = System.nanoTime()
     val hsp2 = graft.Caching.scoped {
       val f = Dedup.leakageSafeSplit(hist, valPerMille = 100)
         .select(col("doc"), col("split")).persist()
       f.count(); f
     }
-    val idx = graft.streaming.StreamingOps.ingestIndex(hist, hsp2).persist()
-    // the timing spans the whole history prep: split fit + index
-    // build + materialization (the once-per-day cost the per-batch
-    // probes amortize)
-    println(f"STREAM_PREP_10X: ${idx.count()}%,d bucket rows in " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s (split fit + index build)")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ingest_state_10x").toString
+    graft.streaming.StreamingOps.ingestState(hist, hsp2)
+      .write.mode("overwrite").parquet(stateDir)
+    println(f"STATE_BUILD_10X: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      "(split fit + index + fp frame + bloom, written once per snapshot)")
+
+    t0 = System.nanoTime()
+    val state = spark.read.parquet(stateDir).persist()
+    println(f"STATE_LOAD_10X: ${state.count()}%,d state rows in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (load-and-serve — raw " +
+      "history untouched from here on)")
 
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamingOps.ingestScreen(
-        input.toDF().toDF("doc", "line"), hist, hsp2,
-        precomputedIndex = Some(idx))
+    val q = graft.streaming.StreamingOps.ingestScreenFromState(
+        input.toDF().toDF("doc", "line"), state)
       .writeStream.format("memory").queryName("ingest_stream_10x")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .start()
@@ -125,7 +132,7 @@ object IngestStressMain {
     // the live screen must route every class exactly like the batch log
     require(streamStages == stages,
       s"stream decision log diverged from batch: $streamStages vs $stages")
-    hsp2.unpersist(); idx.unpersist()
+    hsp2.unpersist(); state.unpersist()
     spark.stop()
   }
 }

@@ -1315,7 +1315,8 @@ class StreamingSpec extends SparkSpec {
 
       val input = MemoryStream[(String, String)]
       val q = StreamingOps.ingestScreen(
-          input.toDF().toDF("doc", "line"), hist, hsp, nearDupThreshold = tau)
+          input.toDF().toDF("doc", "line"), hist, hsp, nearDupThreshold = tau,
+          allowDerivedState = true)
         .writeStream.format("memory").queryName(s"ingest_$tau".replace('.', '_'))
         .outputMode(OutputMode.Append())
         .start()
@@ -1349,7 +1350,8 @@ class StreamingSpec extends SparkSpec {
       val input2 = MemoryStream[(String, String)]
       val q2 = StreamingOps.ingestScreen(
           input2.toDF().toDF("doc", "line"), hist, hsp,
-          nearDupThreshold = 0.5, precomputedIndex = Some(idx))
+          nearDupThreshold = 0.5, precomputedIndex = Some(idx),
+          allowDerivedState = true)
         .writeStream.format("memory").queryName("ingest_prebuilt")
         .outputMode(OutputMode.Append())
         .start()
@@ -1361,6 +1363,56 @@ class StreamingSpec extends SparkSpec {
             Option(r.getString(3))))).toMap shouldBe batch5
       } finally q2.stop()
     } finally idx.unpersist()
+
+    // the derived-state footgun is LOUD: without the explicit opt-in
+    // (and without a packaged state) construction fails — the
+    // requireScope philosophy applied to stream-start history rebuilds
+    val inputG = MemoryStream[(String, String)]
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.ingestScreen(inputG.toDF().toDF("doc", "line"), hist, hsp)
+  }
+
+  test("ingestScreenFromState: one persisted artifact, history never touched") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hist = corpus(
+      "h1" -> "the quick brown fox jumps over the lazy dog today",
+      "h2" -> "completely different historical content about spark engines")
+    val hsp = graft.operators.Dedup.leakageSafeSplit(hist, valPerMille = 100)
+      .select(col("doc"), col("split"))
+    val delta = Seq(
+      "n1" -> "the quick brown fox jumps over the lazy dog today",
+      "n2" -> "the quick brown fox jumps over the lazy dog tonight",
+      "n3" -> "entirely novel arrival with its own fresh vocabulary",
+      "n4" -> "two words")
+    val batch = graft.operators.Pipeline.dailyIngest(
+        delta.toDF("doc", "line"), hist, Some(hsp), nearDupThreshold = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3))))).toMap
+
+    // build ONCE, write ONE artifact, read it back — the stream start
+    // below sees only the read-back frame (historyDocs cannot be
+    // touched: it is not even an argument)
+    val dir = java.nio.file.Files.createTempDirectory("ingest_state").toString
+    StreamingOps.ingestState(hist, hsp).write.mode("overwrite").parquet(dir)
+    val state = spark.read.parquet(dir)
+
+    val input = MemoryStream[(String, String)]
+    val q = StreamingOps.ingestScreenFromState(
+        input.toDF().toDF("doc", "line"), state, nearDupThreshold = 0.5)
+      .writeStream.format("memory").queryName("ingest_from_state")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(delta: _*)
+      q.processAllAvailable()
+      StreamingSpec.this.spark.table("ingest_from_state").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap shouldBe batch
+    } finally q.stop()
   }
 
   test("streaming mediaNearDupScreen matches imageNearDupAgainst, any modality") {
@@ -1407,6 +1459,26 @@ class StreamingSpec extends SparkSpec {
       // delta-delta duplicates never pair with each other (history-only)
       got.foreach { case (_, m, _) => Set(0L, 3L, 6L) should contain(m) }
     } finally q.stop()
+
+    // production shape: a PERSISTED prebuilt per-bucket index yields the
+    // identical stream (no per-batch explode+groupBy over raw history)
+    val idx = StreamingOps.mediaNearDupIndex(histHashes).persist()
+    try {
+      val input2 = MemoryStream[(Long, Long)]
+      val q2 = StreamingOps.mediaNearDupScreen(
+          input2.toDF().toDF("asset_id", "ahash"), histHashes,
+          precomputedIndex = Some(idx))
+        .writeStream.format("memory").queryName("media_screen_prebuilt")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        input2.addData(deltaHashes.toIndexedSeq: _*)
+        q2.processAllAvailable()
+        StreamingSpec.this.spark.table("media_screen_prebuilt").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet shouldBe batch
+      } finally q2.stop()
+    } finally idx.unpersist()
   }
 
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
