@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
 import graft.operators.{Clustering, Dedup, Events, HotKeys, Layout, Rank, Search, Similarity, TfIdf}
+import graft.entry._
 
 /**
  * Driver contract (see SURVEY.md §7 + builder prompt): one `queries` entry
@@ -26,9297 +27,48 @@ import graft.operators.{Clustering, Dedup, Events, HotKeys, Layout, Rank, Search
  * treats zero-width `\b` differently (it would split every character), so
  * the oracle splits on `\s+` — verified identical on this corpus, whose
  * text is strictly `[a-z ]` (checked across all SFs).
- */
-object SparkEntry {
+ */object SparkEntry {
 
-  /** documents.parquet normalized to the engine's (doc, line) corpus shape;
-    * doc keeps its bigint type (operators are doc-type agnostic). */
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").as("doc"), col("text").as("line"))
-
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** events.parquet loader, robust to the fixture's TIMESTAMP unit.
-    *
-    * The fixture has shipped with both TIMESTAMP(MICROS) (which Spark
-    * reads natively) and TIMESTAMP(NANOS) (which Spark's vectorized
-    * reader rejects at schema inference). Branch on what the footer
-    * actually says instead of assuming a unit: if schema inference
-    * succeeds and `ts` is a native TimestampType, read naturally; only
-    * when inference throws (the NANOS case) fall back to an explicit
-    * LongType schema over the physical int64 and truncate ns → µs —
-    * the same truncation DuckDB applies, so both engines see identical
-    * ts either way. FixtureSpec additionally pins the decoded range
-    * (min ts year ≥ 2000) so a silent fixture regeneration with a new
-    * unit fails the suite loudly rather than corrupting 12 oracles. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val path = s"$dir/events.parquet"
-    val naturalTs =
-      try {
-        spark.read.parquet(path).schema("ts").dataType match {
-          case TimestampType | TimestampNTZType => true // MICROS/MILLIS
-          case _ => false // plain int64: historic nanos encoding
-        }
-      } catch { case _: Exception => false } // NANOS: inference itself throws
-    if (naturalTs)
-      // normalize NTZ → TimestampType (value-preserving under the UTC
-      // session) so every downstream timestamp function sees the same
-      // type whichever annotation the fixture carries
-      spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
-    else {
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      spark.read
-        .schema(schema)
-        .parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
-  }
+  /** Fixed search query for q6/q7 (terms present in the synthetic corpus). */
+  val SearchQuery: String = EntryShared.SearchQuery
 
   /** Test hook: the events loader, exposed so FixtureSpec can pin the
     * decoded-timestamp sanity range against whatever unit the fixture
     * carries (the round-4 silent-regeneration regression). */
   private[graft] def eventsForTest(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    EntryShared.eventsForTest(spark, dir)
 
-  /** Fixed search query for q6/q7 (terms present in the synthetic corpus). */
-  val SearchQuery = "spark stream window"
+  /** Test hook: the q133 chain fixture (specs build MemoryStreams and
+    * delta frames from the same rows the oracle inlines). */
+  private[graft] val ChainDocs: Seq[(Long, String)] = EntryShared.ChainDocs
 
-  /** Tokenized corpus with oracle column names. */
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
-    TfIdf.tokenize(docs(spark, dir)).select(col("doc").as("doc_id"), col("term"))
+  /** Flagship query on sf0.001 -- full search+rank pipeline; rows > 0. */
+  def entry(spark: SparkSession): DataFrame = EntryShared.entry(spark)
 
-  /** Flagship query on sf0.001 — full search+rank pipeline; rows > 0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val d = docs(spark, "/root/testdata/sf0.001")
-    Rank.rank(Search.search(d, SearchQuery))
-  }
-
-  // ---------------------------------------------------------------------
-  // Shared SQL fragments for the oracle (DuckDB dialect).
-  // ---------------------------------------------------------------------
-  private val TokCte =
-    """tok AS (
-      |  SELECT doc_id, term FROM (
-      |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
-      |    FROM documents) WHERE term <> ''
-      |)""".stripMargin
-
-  /** Word-3-gram shingle CTEs (dedup tier) over a given source relation.
-    * Distinct shingles per doc + per-doc shingle counts. */
-  /** Shingle CTE family (tokl/sh/sz), CTE names suffixed so two corpora
-    * (e.g. delta vs history in q52) can coexist in one oracle query. */
-  private def shingleCtesSfx(src: String, sfx: String): String =
-    s"""tokl$sfx AS (
-      |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-      |  FROM $src),
-      |sh$sfx AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id,
-      |           unnest(list_transform(range(1, len(toks) - 1),
-      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-      |    FROM tokl$sfx)),
-      |sz$sfx AS (SELECT doc_id, count(*) AS sz FROM sh$sfx GROUP BY 1)""".stripMargin
-
-  private def shingleCtesFrom(src: String): String = shingleCtesSfx(src, "")
-
-  private val ShingleCtes = shingleCtesFrom("documents")
-
-  /** Weighted-Jaccard tier CTEs: unigram tf vectors (tfw), per-doc
-    * weight totals (wtot), and the `term#i` weighted-element expansion
-    * named `shw` so the minhash CTE family composes via sfx "w" —
-    * DuckDB replica of `Dedup.termWeights`/`weightedElems`. */
-  private val WeightedCtes =
-    s"""$TokCte,
-       |tfw AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |wtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1),
-       |shw AS (
-       |  SELECT doc_id,
-       |         unnest(list_transform(range(least(tf, ${Dedup.MaxElemTf})),
-       |                i -> term || '#' || i::VARCHAR)) AS shingle
-       |  FROM tfw)""".stripMargin
-
-  /** Guarded LSH candidate-pair CTEs (bok/cand) over a `bands` CTE —
-    * the DuckDB replica of `Dedup.lshCandidates`, shared by the
-    * weighted-near-dup oracles. */
-  private val LshCandCtes =
-    s"""bok AS (
-       |  SELECT band, band_val FROM bands GROUP BY 1, 2
-       |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-       |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val)""".stripMargin
-
-  /**
-   * Seeded 3-doc near-dup chain for the q28b transitive-closure
-   * contract, found by searching the MinHash band family directly: doc
-   * 1000003 (the BRIDGE, deliberately the largest id) shares an LSH band
-   * with each of 1000001 and 1000002, which share none with each other.
-   * One-hop `minhashDedup` therefore keeps {1000001, 1000002} (two
-   * survivors of one transitive cluster); the iterated closure keeps
-   * only 1000001. Vocabulary is disjoint from the synthetic corpus so
-   * the chain can't collide with real buckets.
-   */
-  val ChainDocs: Seq[(Long, String)] = Seq(
-    1000001L -> ("zqft zqho zqfs zqeq zqds zqdl zqcn zqit zqjo zqbk zqhn zqjp " +
-      "zqgr zqgn zqen zqfr zqdq zqhr zqat zqbp zqgp zqfn zqcl zqip zqbt zqgm " +
-      "zqhs zqap zqil zqek zqhq zqeo zqiq zqjr zqas zqbl zqdo zqdk zqgs zqem"),
-    1000002L -> ("zqgp zqfn zqcl zqip zqbt zqgm zqhs zqap zqil zqek zqhq zqeo " +
-      "zqiq zqjr zqas zqbl zqdo zqdk zqgs zqem zqao zqan zqjq zqgl zqhp zqel " +
-      "zqin zqgt zqcs zqbs zqep zqco zqgk zqcm zqal zqct zqio zqjk zqdt zqar"),
-    1000003L -> ("zqhn zqjp zqgr zqgn zqen zqfr zqdq zqhr zqat zqbp zqgp zqfn " +
-      "zqcl zqip zqbt zqgm zqhs zqap zqil zqek zqhq zqeo zqiq zqjr zqas zqbl " +
-      "zqdo zqdk zqgs zqem zqao zqan zqjq zqgl zqhp zqel zqin zqgt zqcs zqbs"))
-
-  private def chainValuesSql: String =
-    ChainDocs.map { case (id, text) => s"($id, '$text')" }.mkString(",\n         ")
-
-  /** Unrolled min-label propagation iterations for the q28b oracle —
-    * generated from the same iteration count as the Scala loop, so the
-    * two sides stay in lockstep by construction. */
-  private def minLabelIterSql(iters: Int): String =
-    (1 to iters).map { i =>
-      s"""bm$i AS (
-         |  SELECT band, band_val, min(lbl) AS bm
-         |  FROM bands JOIN l${i - 1} USING (doc_id) GROUP BY 1, 2),
-         |l$i AS (
-         |  SELECT b.doc_id, least(min(p.lbl), min(bm)) AS lbl
-         |  FROM bands b
-         |  JOIN bm$i USING (band, band_val)
-         |  JOIN l${i - 1} p ON b.doc_id = p.doc_id
-         |  GROUP BY b.doc_id)""".stripMargin
-    }.mkString(",\n")
-
-  /** Unrolled Lloyd k-means iterations for the q54/q55 oracles —
-    * generated from the same stride/iteration count as
-    * `Clustering.kmeans`, so the two sides stay in lockstep by
-    * construction: stride-sampled seeds, per-vector argmax-cosine
-    * assignment (ties to the smallest centroid id), element-wise means
-    * rounded to 6 decimals. Ends with `af` = the final assignment
-    * (vec_id, cell) over `n` = the normalized corpus. */
-  private def kmeansCtesSql(stride: Int, iters: Int): String = {
-    def assign(name: String, centCte: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cent AS cell FROM (
-         |    SELECT n.vec_id, c.cent,
-         |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |             list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm)
-         |               DESC, c.cent) AS rn
-         |    FROM n CROSS JOIN $centCte c) WHERE rn = 1)""".stripMargin
-    val base =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
-         |n AS (SELECT vec_id, emb, label,
-         |             sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-         |c0 AS (SELECT vec_id AS cent, emb AS cemb, nrm AS cnrm
-         |       FROM n WHERE vec_id % $stride = 0)""".stripMargin
-    val steps = (1 to iters).map { i =>
-      s"""${assign(s"a$i", s"c${i - 1}")},
-         |c$i AS (
-         |  SELECT cell AS cent, cemb,
-         |         sqrt(list_dot_product(cemb, cemb)) AS cnrm FROM (
-         |    SELECT cell, list(m ORDER BY p) AS cemb FROM (
-         |      SELECT a.cell, p, round(avg(n.emb[p::INTEGER]), 6) AS m
-         |      FROM a$i a JOIN n USING (vec_id),
-         |           unnest(range(1, len(n.emb) + 1)) r(p)
-         |      GROUP BY a.cell, p)
-         |    GROUP BY cell))""".stripMargin
-    }
-    (Seq(base) ++ steps :+ assign("af", s"c$iters")).mkString(",\n")
-  }
-
-  /** DuckDB replica of `Dedup.minhashSignatures`' two-seed family: one md5
-    * per shingle, b1/b2 = the first/second 8 hex digits as 32-bit ints,
-    * m_k = min((b1 + (k+1)·b2) mod P) — generated so the oracle stays in
-    * lockstep with the Scala constants. */
-  private def minhashSigCteSfx(sfx: String, numHashes: Int = 16): String = {
-    def hex8(off: Int): String =
-      "list_sum(list_transform(range(1, 9), i -> " +
-        s"(strpos('0123456789abcdef', substr(h, (i + $off)::INTEGER, 1)) - 1)::BIGINT" +
-        " << ((8 - i)::INTEGER * 4)))"
-    val mins = (0 until numHashes)
-      .map(k => s"min((b1 + ${k + 1} * b2) % ${Dedup.MinhashPrime}) AS m$k")
-      .mkString(",\n         ")
-    s"""sig$sfx AS (
-       |  SELECT doc_id,
-       |         $mins
-       |  FROM (SELECT doc_id, ${hex8(0)} AS b1, ${hex8(8)} AS b2
-       |        FROM (SELECT doc_id, md5(shingle) AS h FROM sh$sfx))
-       |  GROUP BY doc_id)""".stripMargin
-  }
-
-  private val MinhashSigCte: String = minhashSigCteSfx("")
-
-  /** DuckDB replica of `Dedup.lshBands` over the wide signature row: 4
-    * bands of 4 minima, band_val = comma-joined decimal minima. */
-  private def minhashBandsSqlSfx(sfx: String): String =
-    (0 until 4).map { b =>
-      val concat = (0 until 4).map(i => s"m${b * 4 + i}::VARCHAR").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, $concat AS band_val FROM sig$sfx"
-    }.mkString("\n  UNION ALL ")
-
-  private val MinhashBandsSql: String = minhashBandsSqlSfx("")
-
-  /** Matching-minima count between signature rows `s1`/`s2` (the
-    * Broder Jaccard estimator's numerator), over the 16-hash family. */
-  private def sigMatchSql: String = sigMatchSqlRange(0, 16)
-
-  /** Matching-minima count over a half-open hash index range — the
-    * hold-out estimator (q147b) matches only the non-banding minima. */
-  private def sigMatchSqlRange(from: Int, until: Int): String =
-    (from until until).map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END")
-      .mkString(" + ")
-
-  /** DuckDB replica of the PQ chain (`Similarity.pqEncode`): stride-
-    * sampled codebooks, per-subspace rounded-L2 argmin codes — generated
-    * from the SAME constants as the engine, so the two sides cannot
-    * drift. Ends with `codes` = (vec_id, s, j). */
-  private def pqCtes: String = {
-    val m = Similarity.PqM; val sd = Similarity.PqSubDim
-    val k = Similarity.PqK; val st = Similarity.PqStride
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |cb AS (
-       |  SELECT s, (vec_id // $st) AS j,
-       |         list_slice(emb, (s * $sd + 1)::INTEGER, (s * $sd + $sd)::INTEGER) AS c
-       |  FROM e CROSS JOIN range($m) r(s)
-       |  WHERE vec_id % $st = 0 AND vec_id < ${k.toLong * st}),
-       |sub AS (
-       |  SELECT vec_id, s,
-       |         list_slice(emb, (s * $sd + 1)::INTEGER, (s * $sd + $sd)::INTEGER) AS v
-       |  FROM e CROSS JOIN range($m) r(s)),
-       |dist AS (
-       |  SELECT vec_id, sub.s, cb.j,
-       |         round(list_dot_product(v, v) + list_dot_product(c, c)
-       |               - 2 * list_dot_product(v, c), 6) AS l2
-       |  FROM sub JOIN cb ON sub.s = cb.s),
-       |codes AS (
-       |  SELECT vec_id, s, j FROM (
-       |    SELECT vec_id, s, j,
-       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY l2, j) AS rn
-       |    FROM dist) WHERE rn = 1)""".stripMargin
-  }
-
-  /** Per-query ADC lookup table over the codebook (queries vec_id < 5),
-    * on top of [[pqCtes]]. */
-  private def pqLutCte: String = {
-    val sd = Similarity.PqSubDim
-    s"""lut AS (
-       |  SELECT q.vec_id AS q_vec_id, cb.s, cb.j,
-       |         list_dot_product(
-       |           list_slice(q.emb, (cb.s * $sd + 1)::INTEGER,
-       |                      (cb.s * $sd + $sd)::INTEGER), cb.c) AS v
-       |  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cb)""".stripMargin
-  }
-
-  /** ADC scoring CTEs on top of [[pqCtes]]: per-query LUT over the
-    * codebook + the summed table-pick score per (query, vector). */
-  private def pqAdcCtes: String =
-    s"""$pqLutCte,
-       |adc AS (
-       |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
-       |  FROM codes cd
-       |  JOIN lut l ON l.s = cd.s AND l.j = cd.j AND l.q_vec_id <> cd.vec_id
-       |  GROUP BY 1, 2)""".stripMargin
-
-  /** DuckDB replica of the image aHash (`Multimodal.imageAHash`): the
-    * encoder rasterizes text chars as gray pixels (q144's contract), so
-    * the oracle rebuilds every bucket sum/count from ord() and compares
-    * the exact cross-products — ends with `hs` = (doc_id, w, ahash). */
-  private def ahashCtes: String =
-    """img AS (
-      |  SELECT doc_id, length(text)::BIGINT AS w,
-      |         list_transform(range(1, length(text) + 1),
-      |                        i -> ord(substr(text, i::INTEGER, 1))::BIGINT) AS g
-      |  FROM documents WHERE doc_id % 3 = 0),
-      |px AS (
-      |  SELECT doc_id, w, unnest(range(0, w)) AS i0, g FROM img),
-      |bk AS (
-      |  SELECT doc_id, w, (i0 * 56) // w AS j,
-      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
-      |         count(*)::BIGINT AS bcnt
-      |  FROM px GROUP BY 1, 2, 3),
-      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS total FROM bk GROUP BY 1),
-      |hs AS (
-      |  SELECT i.doc_id, i.w,
-      |         coalesce((
-      |           SELECT sum(CASE WHEN b.bsum * b.w >= t.total * b.bcnt
-      |                           THEN (1::BIGINT << b.j::INTEGER)
-      |                           ELSE 0 END)
-      |           FROM bk b JOIN tot t ON b.doc_id = t.doc_id
-      |           WHERE b.doc_id = i.doc_id), 0)::BIGINT AS ahash
-      |  FROM img i)""".stripMargin
-
-  /** DuckDB replica of the audio energy-envelope aHash
-    * (`Multimodal.audioAHash`): the 56-bucket exact mean-threshold
-    * rule over |int16 PCM| values rebuilt from the text the encoder
-    * sampled — sample_i = (ord(c_i) − 110)·200, energy = |sample|.
-    * Ends with `hs` = (doc_id, n, ahash) over audio docs
-    * (doc_id % 3 = 1). */
-  private def audioAhashCtes: String =
-    """aud AS (
-      |  SELECT doc_id, length(text)::BIGINT AS n,
-      |         list_transform(range(1, length(text) + 1),
-      |                        i -> (abs(ord(substr(text, i::INTEGER, 1)) - 110)
-      |                              * 200)::BIGINT) AS g
-      |  FROM documents WHERE doc_id % 3 = 1),
-      |sp AS (
-      |  SELECT doc_id, n, unnest(range(0, n)) AS i0, g FROM aud),
-      |bk AS (
-      |  SELECT doc_id, n, (i0 * 56) // n AS j,
-      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
-      |         count(*)::BIGINT AS bcnt
-      |  FROM sp GROUP BY 1, 2, 3),
-      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS total FROM bk GROUP BY 1),
-      |hs AS (
-      |  SELECT a.doc_id, a.n,
-      |         coalesce((
-      |           SELECT sum(CASE WHEN b.bsum * b.n >= t.total * b.bcnt
-      |                           THEN (1::BIGINT << b.j::INTEGER)
-      |                           ELSE 0 END)
-      |           FROM bk b JOIN tot t ON b.doc_id = t.doc_id
-      |           WHERE b.doc_id = a.doc_id), 0)::BIGINT AS ahash
-      |  FROM aud a)""".stripMargin
-
-  /** DuckDB replica of the keyframe-sampled video aHash
-    * (`Multimodal.videoAHash`, everyNth = 2): every second frame's
-    * 8 luma bytes (chars f·12+1 … f·12+8 of the text the encoder
-    * framed), concatenated and folded through the same 56-bucket
-    * rule. Ends with `hs` = (doc_id, nf, nsf, n, ahash) over video
-    * docs (doc_id % 3 = 2). */
-  private def videoAhashCtes: String =
-    """vid AS (
-      |  SELECT doc_id, (length(text) // 12)::BIGINT AS nf,
-      |         flatten(list_transform(range(0, length(text) // 12, 2),
-      |           f -> list_transform(range(0, 8),
-      |             k -> ord(substr(text, (f * 12 + k + 1)::INTEGER, 1))::BIGINT)))
-      |           AS g
-      |  FROM documents WHERE doc_id % 3 = 2),
-      |vz AS (
-      |  SELECT doc_id, nf, ((nf + 1) // 2)::BIGINT AS nsf,
-      |         len(g)::BIGINT AS n, g
-      |  FROM vid),
-      |sp AS (
-      |  SELECT doc_id, n, unnest(range(0, n)) AS i0, g FROM vz),
-      |bk AS (
-      |  SELECT doc_id, n, (i0 * 56) // n AS j,
-      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
-      |         count(*)::BIGINT AS bcnt
-      |  FROM sp GROUP BY 1, 2, 3),
-      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS total FROM bk GROUP BY 1),
-      |hs AS (
-      |  SELECT v.doc_id, v.nf, v.nsf, v.n,
-      |         coalesce((
-      |           SELECT sum(CASE WHEN b.bsum * b.n >= t.total * b.bcnt
-      |                           THEN (1::BIGINT << b.j::INTEGER)
-      |                           ELSE 0 END)
-      |           FROM bk b JOIN tot t ON b.doc_id = t.doc_id
-      |           WHERE b.doc_id = v.doc_id), 0)::BIGINT AS ahash
-      |  FROM vz v)""".stripMargin
-
-  /** DuckDB replica of the WINDOWED audio aHash
-    * (`Multimodal.audioAHashWindows`, windowSamples = 64): the energy
-    * sequence splits into fixed 64-sample spans (trailing partial
-    * included) and each span folds through the 56-bucket rule with
-    * WINDOW-LOCAL positions and length. Ends with `hs` =
-    * (doc_id, w_id, wn, ahash) over audio docs. */
-  private def audioWindowCtes: String =
-    """aud AS (
-      |  SELECT doc_id, length(text)::BIGINT AS n,
-      |         list_transform(range(1, length(text) + 1),
-      |                        i -> (abs(ord(substr(text, i::INTEGER, 1)) - 110)
-      |                              * 200)::BIGINT) AS g
-      |  FROM documents WHERE doc_id % 3 = 1),
-      |sp AS (
-      |  SELECT doc_id, n, unnest(range(0, n)) AS i0, g FROM aud),
-      |wv AS (
-      |  SELECT doc_id, i0 // 64 AS w_id, i0 % 64 AS il,
-      |         least(64, n - (i0 // 64) * 64) AS wn,
-      |         g[(i0 + 1)::INTEGER] AS v
-      |  FROM sp),
-      |bk AS (
-      |  SELECT doc_id, w_id, wn, (il * 56) // wn AS j,
-      |         sum(v)::BIGINT AS bsum, count(*)::BIGINT AS bcnt
-      |  FROM wv GROUP BY 1, 2, 3, 4),
-      |tot AS (
-      |  SELECT doc_id, w_id, sum(bsum)::BIGINT AS total
-      |  FROM bk GROUP BY 1, 2),
-      |hs AS (
-      |  SELECT b.doc_id, b.w_id, b.wn,
-      |         sum(CASE WHEN b.bsum * b.wn >= t.total * b.bcnt
-      |                  THEN (1::BIGINT << b.j::INTEGER) ELSE 0 END)::BIGINT
-      |           AS ahash
-      |  FROM bk b JOIN tot t ON b.doc_id = t.doc_id AND b.w_id = t.w_id
-      |  GROUP BY 1, 2, 3)""".stripMargin
-
-  /** DuckDB replica of the SEGMENTED video aHash
-    * (`Multimodal.videoAHashSegments`, segmentFrames = 4,
-    * everyNth = 2): the sampled luma stream (8 bytes per kept frame)
-    * splits into 32-value segments (4 sampled frames each, trailing
-    * partial included), each folded with SEGMENT-LOCAL positions and
-    * length. Ends with `hs` = (doc_id, seg_id, nsf, ahash) over video
-    * docs with ≥ 1 frame. */
-  private def videoSegmentCtes: String =
-    """vid AS (
-      |  SELECT doc_id,
-      |         flatten(list_transform(range(0, length(text) // 12, 2),
-      |           f -> list_transform(range(0, 8),
-      |             k -> ord(substr(text, (f * 12 + k + 1)::INTEGER, 1))::BIGINT)))
-      |           AS g
-      |  FROM documents WHERE doc_id % 3 = 2),
-      |sp AS (
-      |  SELECT doc_id, len(g)::BIGINT AS n, unnest(range(0, len(g))) AS i0, g
-      |  FROM vid WHERE len(g) > 0),
-      |sg AS (
-      |  SELECT doc_id, i0 // 32 AS seg_id, i0 % 32 AS il,
-      |         least(32, n - (i0 // 32) * 32) AS sn,
-      |         g[(i0 + 1)::INTEGER] AS v
-      |  FROM sp),
-      |bk AS (
-      |  SELECT doc_id, seg_id, sn, (il * 56) // sn AS j,
-      |         sum(v)::BIGINT AS bsum, count(*)::BIGINT AS bcnt
-      |  FROM sg GROUP BY 1, 2, 3, 4),
-      |tot AS (
-      |  SELECT doc_id, seg_id, sum(bsum)::BIGINT AS total
-      |  FROM bk GROUP BY 1, 2),
-      |hs AS (
-      |  SELECT b.doc_id, b.seg_id, (b.sn // 8)::BIGINT AS nsf,
-      |         sum(CASE WHEN b.bsum * b.sn >= t.total * b.bcnt
-      |                  THEN (1::BIGINT << b.j::INTEGER) ELSE 0 END)::BIGINT
-      |           AS ahash
-      |  FROM bk b JOIN tot t ON b.doc_id = t.doc_id AND b.seg_id = t.seg_id
-      |  GROUP BY 1, 2, 3)""".stripMargin
-
-  /** Brute-force window-pair rollup shared by the q220b/q221b mirrors:
-    * cross-asset window pairs within hamming ≤ 6 grouped to
-    * (d1, d2, min_hamming, n_window_hits) — what the banded engine
-    * must reproduce exactly (pigeonhole + no hot buckets at sf0.01). */
-  private def windowPairRollupSql: String =
-    """pr AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |         bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
-      |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6)
-      |SELECT d1, d2, min(hamming)::BIGINT AS min_hamming,
-      |       count(*)::BIGINT AS n_window_hits
-      |FROM pr GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
-
-  /** DuckDB replica of the int8 chain (`Similarity.quantizeInt8` +
-    * `int8SdcTopK` per-vector stats): affine byte codes with the
-    * explicit +0.5-then-floor, Σq / Σq² as BIGINTs, and the SDC score
-    * CTE — the double expressions replay the engine's operation order
-    * verbatim. Ends with `sdc` = (q_vec_id, n_vec_id, cos_sdc),
-    * queries = vec_id < 5. */
-  private def int8Ctes: String =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |qz AS (
-      |  SELECT vec_id, list_min(emb) AS mn,
-      |         (list_max(emb) - list_min(emb)) / 255.0 AS sc,
-      |         len(emb)::BIGINT AS d,
-      |         CASE WHEN (list_max(emb) - list_min(emb)) / 255.0 = 0
-      |              THEN list_transform(emb, x -> 0)
-      |              ELSE list_transform(emb, x -> least(greatest(
-      |                floor((x - list_min(emb)) /
-      |                      ((list_max(emb) - list_min(emb)) / 255.0) + 0.5),
-      |                0), 255)::INTEGER)
-      |         END AS q
-      |  FROM e),
-      |st AS (
-      |  SELECT vec_id, mn, sc, d, q,
-      |         list_sum(list_transform(q, x -> x::BIGINT))::BIGINT AS sq,
-      |         list_sum(list_transform(q, x -> (x * x)::BIGINT))::BIGINT AS qq
-      |  FROM qz),
-      |sdc AS (
-      |  SELECT q_vec_id, n_vec_id,
-      |         CASE WHEN nq > 0 AND nn > 0
-      |              THEN round(ip / (sqrt(nq) * sqrt(nn)), 6) END AS cos_sdc
-      |  FROM (
-      |    SELECT a.vec_id AS q_vec_id, b.vec_id AS n_vec_id,
-      |           a.mn * b.mn * b.d + a.mn * b.sc * b.sq +
-      |             b.mn * a.sc * a.sq + a.sc * b.sc *
-      |             list_sum(list_transform(list_zip(a.q, b.q),
-      |               p -> (p[1] * p[2])::BIGINT))::BIGINT AS ip,
-      |           a.mn * a.mn * a.d + 2.0 * a.mn * a.sc * a.sq +
-      |             a.sc * a.sc * a.qq AS nq,
-      |           b.mn * b.mn * b.d + 2.0 * b.mn * b.sc * b.sq +
-      |             b.sc * b.sc * b.qq AS nn
-      |    FROM (SELECT * FROM st WHERE vec_id < 5) a
-      |    JOIN st b ON a.vec_id <> b.vec_id))""".stripMargin
-
-  /** DuckDB replica of `Similarity.signRow`'s hyperplane family: sign_j of
-    * hyperplane `h` = +1 iff hex digit (j mod 16) of md5("h:j") ≥ '8'.
-    * Returns the dot product of `emb` with hyperplane `hExpr` — both
-    * engines derive the matrix from the same md5 strings, so bucket bits
-    * agree bit-for-bit. */
-  private def duckSignDot(hExpr: String, embExpr: String): String =
-    s"list_sum(list_transform(range(0, len($embExpr)), j -> " +
-      s"$embExpr[(j + 1)::INTEGER] * " +
-      s"(CASE WHEN substr(md5(($hExpr)::VARCHAR || ':' || j::VARCHAR), " +
-      s"((j % 16) + 1)::INTEGER, 1) >= '8' THEN 1.0 ELSE -1.0 END)))"
-
-  /** `bits`-wide tf-weighted SimHash fingerprint CTE chain (→ `fp`),
-    * mirroring `Dedup.simhash(docs, bits)`. */
-  private def simhashCtes(bits: Int): String =
-    s"""$TokCte,
-       |cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
-       |bits AS (
-       |  SELECT doc_id, p,
-       |         CASE WHEN sum(CASE WHEN substr(md5(term), p::INTEGER, 1) >= '8'
-       |                            THEN c ELSE -c END) > 0
-       |              THEN (1::BIGINT << (p::INTEGER - 1)) ELSE 0 END AS bit
-       |  FROM cnt CROSS JOIN range(1, ${bits + 1}) r(p) GROUP BY doc_id, p),
-       |fp AS (SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY 1)""".stripMargin
-
-  private val SimhashCtes = simhashCtes(16)
-
-  /** q153b/q153d oracle: hashed sparse cosine over the fhs-sampled
-    * docs (q153d's auto dims resolve to the same 64 on this corpus). */
-  private def hashedCosineSampleSql: String =
-    s"""WITH samp AS (
-           |  SELECT doc_id, text FROM documents
-           |  WHERE (${duckMd5Bucket("'fhs:' || doc_id")}) < 200000),
-           |tk AS (
-           |  SELECT doc_id,
-           |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
-           |  FROM samp),
-           |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-           |hf AS (
-           |  SELECT doc_id, tf,
-           |    (list_sum(list_transform(range(1, 9), i ->
-           |        (strpos('0123456789abcdef',
-           |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
-           |          << ((8 - i)::INTEGER * 4))) % 64) AS bucket,
-           |    (1 - 2 * ((strpos('0123456789abcdef',
-           |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
-           |  FROM tf),
-           |hw AS (
-           |  SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
-           |  FROM hf GROUP BY 1, 2 HAVING sum(sign * tf) <> 0),
-           |dots AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         sum(a.weight * b.weight)::BIGINT AS dot
-           |  FROM hw a JOIN hw b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM hw GROUP BY 1)
-           |SELECT doc_a, doc_b,
-           |       round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
-           |FROM dots
-           |JOIN norms na ON na.doc_id = doc_a
-           |JOIN norms nb ON nb.doc_id = doc_b
-           |WHERE round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.85
-           |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** q158/q158b oracle: brute-force directed containment over `src` —
-    * the screened tier must reproduce it verbatim (q158b runs on the
-    * cns-sampled relation; the SQL shape is identical). */
-  private def containmentSqlFrom(src: String): String =
-    s"""WITH ${shingleCtesFrom(src)},
-       |inter AS (
-       |  SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT inner_id, outer_id, round(i * 1.0 / x.sz, 6) AS containment
-       |FROM inter JOIN sz x ON inner_id = x.doc_id
-       |WHERE round(i * 1.0 / x.sz, 6) >= 0.5
-       |ORDER BY inner_id, outer_id""".stripMargin
-
-  private def containmentSql: String = containmentSqlFrom("documents")
-
-  /** q12/q121 oracle: brute-force word-3-gram Jaccard ≥ threshold
-    * pairs — the exact answer both the all-pairs tier (q12, τ=0.5) and
-    * the prefix-filtered tier (q121, τ=0.8 — its intended high-τ
-    * near-dup operating point) must reproduce. */
-  private def ngramJaccardSql(threshold: Double) =
-    s"""WITH $ShingleCtes,
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
-       |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-       |WHERE i * 1.0 / (x.sz + y.sz - i) >= $threshold
-       |ORDER BY d1, d2""".stripMargin
-
-  /** DuckDB mirror of sourceOverlapKmv's 60-bit hash: the first 15 md5
-    * hex digits folded to a BIGINT (the duckMd5Bucket fold, 15 digits,
-    * no modulus). */
-  private def duckMd5Hash60(keyExpr: String): String =
-    s"""list_sum(list_transform(range(1, 16), i ->
-       |        (strpos('0123456789abcdef',
-       |                substr(md5($keyExpr), i::INTEGER, 1)) - 1)::BIGINT
-       |          << ((15 - i)::INTEGER * 4)))""".stripMargin
-
-  /** Distinct per-source term relation (tf) shared by the q122/q124
-    * source-overlap family. */
-  private val SourceTermsCte =
-    """tf AS (
-      |  SELECT DISTINCT source, fp FROM (
-      |    SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS fp
-      |    FROM documents) WHERE fp <> '')""".stripMargin
-
-  /** Exact overlap matrix CTEs over `tf` → relation `exactj`
-    * (s1, s2, n1, n2, inter, jaccard). */
-  private val ExactOverlapCtes =
-    """counts AS (SELECT source, count(*)::BIGINT AS n FROM tf GROUP BY 1),
-      |inter AS (
-      |  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS inter
-      |  FROM tf a JOIN tf b ON a.fp = b.fp AND a.source < b.source
-      |  GROUP BY 1, 2),
-      |exactj AS (
-      |  SELECT c1.source AS s1, c2.source AS s2, c1.n AS n1, c2.n AS n2,
-      |         coalesce(i.inter, 0)::BIGINT AS inter,
-      |         round(coalesce(i.inter, 0) * 1.0 /
-      |               (c1.n + c2.n - coalesce(i.inter, 0)), 6) AS jaccard
-      |  FROM counts c1 JOIN counts c2 ON c1.source < c2.source
-      |  LEFT JOIN inter i ON i.s1 = c1.source AND i.s2 = c2.source)""".stripMargin
-
-  /** KMV sketch chain over `tf` → relation `kmv` (s1, s2, m_size,
-    * n_both, jaccard_est) — the identical construction
-    * Pipeline.sourceOverlapKmv runs (60-bit hashes, per-source k-min,
-    * merged k-min of the union per pair). */
-  private def kmvOverlapCtes(k: Int): String =
-    s"""hsh AS (
-       |  SELECT DISTINCT source, ${duckMd5Hash60("fp")} AS h FROM tf),
-       |sk AS (
-       |  SELECT source, h FROM (
-       |    SELECT source, h,
-       |           row_number() OVER (PARTITION BY source ORDER BY h) AS rk
-       |    FROM hsh) WHERE rk <= $k),
-       |srcs AS (SELECT DISTINCT source FROM sk),
-       |kpairs AS (
-       |  SELECT a.source AS s1, b.source AS s2
-       |  FROM srcs a JOIN srcs b ON a.source < b.source),
-       |sides AS (
-       |  SELECT p.s1, p.s2, q.h, 1 AS ia, 0 AS ib
-       |  FROM kpairs p JOIN sk q ON q.source = p.s1
-       |  UNION ALL
-       |  SELECT p.s1, p.s2, q.h, 0 AS ia, 1 AS ib
-       |  FROM kpairs p JOIN sk q ON q.source = p.s2),
-       |kmerged AS (
-       |  SELECT s1, s2, h, max(ia) AS ia, max(ib) AS ib
-       |  FROM sides GROUP BY 1, 2, 3),
-       |kmv AS (
-       |  SELECT s1, s2, count(*)::BIGINT AS m_size,
-       |         sum(ia * ib)::BIGINT AS n_both,
-       |         round(sum(ia * ib) * 1.0 / count(*), 6) AS jaccard_est
-       |  FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS rk
-       |    FROM kmerged)
-       |  WHERE rk <= $k GROUP BY 1, 2)""".stripMargin
-
-  /** DuckDB mirror of Pipeline's deterministic hash bucket (first 32
-    * md5 bits of the stringified key, mod 1e6) — hex digits folded via
-    * strpos, the q34 convention. */
-  private def duckMd5Bucket(keyExpr: String): String =
-    s"""list_sum(list_transform(range(1, 9), i ->
-       |        (strpos('0123456789abcdef',
-       |                substr(md5(($keyExpr)::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-       |          << ((8 - i)::INTEGER * 4))) % 1000000""".stripMargin
-
-  /** clean (dedup→lang→quality) → chunk → pack oracle chain over a
-    * parameterized source relation — ONE builder keeps q51 (full corpus)
-    * and q77 (Bloom-screened increment) in lockstep by construction. */
-  private def prepChainSql(sourceRel: String): String =
-    s"""WITH keep AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM $sourceRel) WHERE rn = 1),
-        |t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-        |  FROM keep),
-        |h AS (
-        |  SELECT doc_id, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |         WHEN hits_es >= hits_fr THEN 'es'
-        |         ELSE 'fr' END AS lang_pred
-        |  FROM h),
-        |m AS (
-        |  SELECT doc_id, lang_pred,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM l),
-        |q AS (
-        |  SELECT doc_id, lang_pred,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |clean AS (
-        |  SELECT k.doc_id, k.text
-        |  FROM keep k JOIN q ON k.doc_id = q.doc_id
-        |  WHERE q.lang_pred IN ('en', 'es') AND q.quality_score >= 0.55),
-        |ct AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-        |  FROM clean),
-        |ch AS (
-        |  SELECT doc_id, toks,
-        |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
-        |  FROM ct WHERE len(toks) > 0),
-        |chunks AS (
-        |  SELECT (doc_id * 1048576 + chunk_id)::BIGINT AS cid,
-        |         least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
-        |  FROM ch)
-        |SELECT cid, n_tokens, (cid % 16)::BIGINT AS bucket,
-        |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY cid % 16
-        |               ORDER BY cid
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |             / 256.0)::BIGINT AS pack_id
-        |FROM chunks ORDER BY cid""".stripMargin
-
-  private val TfIdfCtes =
-    s"""WITH $TokCte,
-       |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
-       |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
-       |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
-       |scores AS (
-       |  SELECT c.term, c.doc_id,
-       |         round((1 + log10(cnt)) * log10(1 + floor(nd / df)), 6) AS tfidf
-       |  FROM cnt c JOIN dft USING (term) CROSS JOIN n
-       |)""".stripMargin
-
-  /** Okapi BM25 per-doc score CTE chain (k1=1.2, b=0.75, always-positive
-    * idf), ending in `bm(doc_id, score)` for the SearchQuery terms —
-    * shared verbatim by q69, q69b, and q94's lexical arm so the three
-    * stay lockstep by construction. */
-  private val Bm25Ctes =
-    s"""$TokCte,
-       |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, sum(cnt) AS dl FROM cnt GROUP BY 1),
-       |st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
-       |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
-       |sc AS (
-       |  SELECT c.term, c.doc_id,
-       |         round(ln(1 + (nd - df + 0.5) / (df + 0.5))
-       |               * (cnt * 2.2)
-       |               / (cnt + 1.2 * (0.25 + 0.75 * d.dl / avgdl)), 6) AS s
-       |  FROM cnt c JOIN dl d USING (doc_id) JOIN dft USING (term)
-       |  CROSS JOIN st),
-       |bm AS (
-       |  SELECT doc_id, round(sum(s), 6) AS score FROM sc
-       |  WHERE term IN ('spark', 'stream', 'window')
-       |  GROUP BY doc_id)""".stripMargin
-
-  /** Winnowing fingerprint CTEs (k=3 gram, w=4 window — q72/q74): gram
-    * hashes per doc, window minima, distinct (doc, fp) set. Mirrors
-    * `TextAnalysis.winnowFingerprints(k = 3, w = 4)`. */
-  private val WinnowCtes =
-    """WITH tokl AS (
-      |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-      |  FROM documents),
-      |h AS (
-      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
-      |         i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))) AS hs
-      |  FROM tokl WHERE len(toks) >= 3),
-      |wmin AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
-      |         j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fp
-      |  FROM h),
-      |wfp AS (SELECT DISTINCT doc_id, fp FROM wmin)""".stripMargin
-
-  // ---------------------------------------------------------------------
-  // Spark-side TF-IDF with oracle column names / rounding.
-  // ---------------------------------------------------------------------
-  private def tfidfScores(spark: SparkSession, dir: String): DataFrame =
-    TfIdf
-      .tfidf(docs(spark, dir))
-      .select(
-        col("term"),
-        col("doc").as("doc_id"),
-        round(col("tfidf"), 6).as("tfidf")
-      )
-
-  // ListMap: declaration order — cheap pipeline queries first, so session
-  // warmup (JIT, codegen cache) isn't charged to an expensive query.
+  // Per-domain modules (graft.entry.*) hold the actual entries; the
+  // concatenation below is the driver contract's single surface. All
+  // module maps are ListMaps, so declaration order survives ++ -- and
+  // QueriesCore still leads with the cheap q1 family, keeping session
+  // warmup (JIT, codegen cache) off the expensive queries' timings.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    scala.collection.immutable.ListMap(
-    // O1+O2 — scan + tokenize (reference regex; quirk Q1).
-    "q1_tokenize" -> ((s, dir) =>
-      tokens(s, dir).orderBy(col("doc_id"), col("term"))),
-
-    // O3 — hash aggregation keyed (term, doc).
-    "q2_doc_word_count" -> ((s, dir) =>
-      tokens(s, dir)
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("doc_id"), col("term"))),
-
-    // O4 — tf = 1 + log10(count) (quirk Q2).
-    "q3_term_frequency" -> ((s, dir) =>
-      tokens(s, dir)
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("tf", round(lit(1.0) + log10(col("cnt")), 6))
-        .orderBy(col("doc_id"), col("term"))),
-
-    // O6 — document frequency per term.
-    "q4_doc_frequency" -> ((s, dir) =>
-      tokens(s, dir)
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
-        .orderBy(col("term"))),
-
-    // O7 — tf·idf with floor-division idf (quirk Q3) and default
-    // numDocs = corpus size (quirk Q4).
-    "q5_tfidf" -> ((s, dir) =>
-      tfidfScores(s, dir).orderBy(col("term"), col("doc_id"))),
-
-    // O6 alternative strategy: df via window over term (skew-fragile on
-    // hot terms — kept oracle-green; broadcast-join is the default plan).
-    "q5b_tfidf_window" -> ((s, dir) =>
-      TfIdf.tfidf(docs(s, dir), dfViaBroadcast = false)
-        .select(col("term"), col("doc").as("doc_id"),
-          round(col("tfidf"), 6).as("tfidf"))
-        .orderBy(col("term"), col("doc_id"))),
-
-    // O6 third strategy: df via the SALTED shuffle join — the
-    // giant-vocabulary + hot-term corner neither broadcast nor window
-    // covers; same answer, pinned by q5's oracle.
-    "q5c_tfidf_salted" -> ((s, dir) =>
-      TfIdf.tfidf(docs(s, dir), dfSalt = Some(8))
-        .select(col("term"), col("doc").as("doc_id"),
-          round(col("tfidf"), 6).as("tfidf"))
-        .orderBy(col("term"), col("doc_id"))),
-
-    // O6 strategy AUTO-SELECTED by the skew radar (q78's hot-key
-    // detector on the term key): window when nothing is hot, broadcast
-    // when hot terms ride a broadcastable vocabulary, salted beyond
-    // that. Answer pinned to q5's oracle — the choice is invisible.
-    "q5d_tfidf_auto" -> ((s, dir) =>
-      TfIdf.tfidfAuto(docs(s, dir))
-        .select(col("term"), col("doc").as("doc_id"),
-          round(col("tfidf"), 6).as("tfidf"))
-        .orderBy(col("term"), col("doc_id"))),
-
-    // O8+O9 — query-term broadcast semi-join + per-doc sum.
-    "q6_search" -> ((s, dir) =>
-      Search
-        .searchTokens(
-          tfidfScores(s, dir).withColumnRenamed("doc_id", "doc"),
-          TfIdf.tokenizeQuery(SearchQuery).distinct)
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("doc_id"))),
-
-    // SNIPPETS: the result-page extract — earliest query-term hit and
-    // a ±3-token window, map-only over one tokenized scan.
-    "q178_search_snippets" -> ((s, dir) =>
-      Search.searchSnippets(docs(s, dir), SearchQuery, window = 3)
-        .select(col("doc").as("doc_id"), col("first_pos"), col("snippet"))
-        .orderBy(col("doc_id"))),
-
-    // FUZZY search: typo'd q6 terms recovered through the SymSpell
-    // deletion-neighborhood join + exact Levenshtein verify — the
-    // vocabulary fans out, the corpus never rescans.
-    "q177_search_fuzzy" -> ((s, dir) =>
-      Search
-        .searchFuzzyTokens(
-          tfidfScores(s, dir).withColumnRenamed("doc_id", "doc"),
-          Seq("sparkk", "streem", "windo"))
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"),
-          col("n_terms_matched"))
-        .orderBy(col("doc_id"))),
-
-    // Bloom-pruned join: nation-0 customers' orders — the bloom screen
-    // drops ~24/25 of the fact scan before the shuffle; the inner join
-    // removes false positives, so the oracle is the plain join verbatim
-    // (the q81 answer-invisible contract).
-    "q179_bloom_join" -> ((s, dir) => {
-      val o = tbl(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val c = tbl(s, dir, "customer").where(col("c_nationkey") === 0)
-        .select(col("c_custkey"), col("c_name"))
-      graft.operators.HotKeys.bloomJoin(o, "o_custkey", c, "c_custkey")
-        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
-          expr("CAST(round(o_totalprice * 1000000) AS BIGINT)")
-            .as("price_micros"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // O10 — global sort desc of search hits (deterministic tie-break).
-    // Conjunctive (AND) search: only docs containing EVERY query term
-    // score — the search mode the reference's OR-sum cannot express.
-    "q67_search_all" -> ((s, dir) =>
-      Search
-        .searchAllTokens(
-          tfidfScores(s, dir).withColumnRenamed("doc_id", "doc"),
-          TfIdf.tokenizeQuery(SearchQuery))
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("doc_id"))),
-
-    // Phrase search: docs containing the query terms consecutively, in
-    // order, with occurrence counts (n-gram machinery, map-only).
-    "q68_search_phrase" -> ((s, dir) =>
-      Search.searchPhrase(docs(s, dir), "table hash")
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // BM25-ranked search (per-term scores pre-rounded like q6's tfidf,
-    // so the cross-engine sum is of identical addends).
-    "q69_search_bm25" -> ((s, dir) =>
-      Search
-        .searchBm25Tokens(
-          Search.bm25Scores(docs(s, dir))
-            .withColumn("score", round(col("score"), 6)),
-          TfIdf.tokenizeQuery(SearchQuery))
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("doc_id"))),
-
-    // PMI-expanded BM25: each query term recruits its top-2 PMI
-    // neighbors at weight 0.5 — vocabulary-mismatch recall from the
-    // corpus's own association table, zero extra corpus exchanges.
-    "q162_search_expanded" -> ((s, dir) =>
-      Search.searchBm25Expanded(docs(s, dir), SearchQuery, m = 2,
-          expWeight = 0.5)
-        .select(col("doc").as("doc_id"), col("score_u"))
-        .orderBy(col("doc_id"))),
-
-    // Same spec via the window-df strategy — pins the skew-trade-off
-    // twin to the same answer (the q5/q5b convention).
-    "q69b_bm25_window" -> ((s, dir) =>
-      Search
-        .searchBm25Tokens(
-          Search.bm25Scores(docs(s, dir), dfViaBroadcast = false)
-            .withColumn("score", round(col("score"), 6)),
-          TfIdf.tokenizeQuery(SearchQuery))
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("doc_id"))),
-
-    // Proximity search: all query terms within one 8-token window.
-    "q70_search_near" -> ((s, dir) =>
-      Search.searchNear(docs(s, dir), SearchQuery, window = 8)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Materialized-index round trip: build the term-sorted score index,
-    // probe it with a pruned scan — must equal q6 (same oracle SQL).
-    // The build write + probe read both execute here, so the measured
-    // cost is honest build+query; per-term rounding after read-back
-    // mirrors q6's sum-of-rounded-addends (raw doubles round-trip
-    // parquet bit-exactly).
-    "q71_search_indexed" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      Search.buildIndex(docs(s, dir), idx)
-      Search
-        .searchIndexTokens(
-          Search.readIndex(s, idx).withColumn("tfidf", round(col("tfidf"), 6)),
-          TfIdf.tokenizeQuery(SearchQuery))
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "q7_rank" -> ((s, dir) =>
-      Search
-        .searchTokens(
-          tfidfScores(s, dir).withColumnRenamed("doc_id", "doc"),
-          TfIdf.tokenizeQuery(SearchQuery).distinct)
-        .select(col("doc").as("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))),
-
-    // O11 — global sort desc of ALL (term, doc) scores.
-    "q7b_tfidf_rank" -> ((s, dir) =>
-      tfidfScores(s, dir)
-        .orderBy(col("tfidf").desc, col("term"), col("doc_id"))),
-
-    // Relational sanity: join + agg (revenue per nation).
-    "q8_join_agg_revenue" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val o = tbl(s, dir, "orders")
-      val c = tbl(s, dir, "customer")
-      val n = tbl(s, dir, "nation")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
-          .as("revenue"))
-        .orderBy(col("n_name"))
-    }),
-
-    // Window: top-3 orders per customer by total price.
-    "q9_window_top_orders" -> ((s, dir) => {
-      val w = Window
-        .partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      tbl(s, dir, "orders")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-        .orderBy(col("o_custkey"), col("rn"))
-    }),
-
-    // Sort/limit: top-20 line items — TakeOrderedAndProject, no full sort.
-    "q10_top_k" -> ((s, dir) =>
-      tbl(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        .limit(20)),
-
-    // Range join: parts → price bands via bin-bucketed equi-join (no
-    // theta join; PlanAudit enforces).
-    // Interval OVERLAP join: user sessions × 10 fixed 6-hour audit
-    // windows (every 3rd day, 09:00–15:00 UTC) — "which sessions were
-    // live during an audit window". Bin-bucketed equi-join, pair
-    // counted once in the first shared bin; closed intervals so
-    // one-event sessions participate.
-    "q63_interval_overlap" -> ((s, dir) => {
-      val sess = Events.sessionize(events(s, dir))
-        .select(col("user_id"), col("session_seq"),
-          unix_micros(col("session_start")).cast("double").as("s_lo"),
-          unix_micros(col("session_end")).cast("double").as("s_hi"))
-      val dayUs = 86400000000.0
-      val windows = s.range(0, 10).select(col("id").as("window_id"),
-        (lit(1704067200000000.0) + col("id") * (3 * dayUs) + lit(9 * 3600000000.0))
-          .as("w_lo"))
-        .withColumn("w_hi", col("w_lo") + lit(6 * 3600000000.0))
-      graft.operators.RangeJoin
-        .intervalOverlap(sess, windows, "s_lo", "s_hi", "w_lo", "w_hi",
-          binWidth = 6 * 3600000000.0)
-        .select(col("user_id"), col("session_seq"), col("window_id"))
-        .orderBy(col("user_id"), col("session_seq"), col("window_id"))
-    }),
-
-    "q33_range_join_bands" -> ((s, dir) => {
-      val bands = s.range(0, 10).select(col("id").as("band_id"),
-        (lit(900.0) + col("id") * 10.0).as("lo"),
-        (lit(900.0) + (col("id") + 1) * 10.0).as("hi"))
-      graft.operators.RangeJoin
-        .pointInInterval(
-          tbl(s, dir, "part").select(col("p_partkey"), col("p_retailprice")),
-          bands, "p_retailprice", "lo", "hi", binWidth = 5.0)
-        .select(col("p_partkey"), col("band_id"), col("p_retailprice"))
-        .orderBy(col("p_partkey"))
-    }),
-
-    // ── Dedup tier (SURVEY.md §7.4 / builder-prompt extensions) ─────────
-
-    // Exact dedup: md5 fingerprint groups with deterministic keeper.
-    "q11_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(docs(s, dir))
-        .select(col("fp"), col("n_dups"), col("keeper"))
-        .orderBy(col("fp"))),
-
-    // Exact word-3-gram Jaccard near-dup pairs (verification tier).
-    "q12_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))),
-
-    // MinHash(16) + LSH(4×4 bands) candidates, exact-Jaccard verified.
-    "q13_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashNearDups(docs(s, dir))
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))),
-
-    // Sorted-neighborhood blocking: candidates = the 8 successors in
-    // (text, doc) order — O(N·w) by construction, no bucket to guard;
-    // the verify is q13's exact-Jaccard join verbatim.
-    "q180_sorted_neighborhood" -> ((s, dir) =>
-      Dedup.sortedNeighborhoodPairs(docs(s, dir), window = 8)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))),
-
-    // Signature-only Jaccard ESTIMATE for the LSH candidates — the
-    // verify stage that reads 16 minima per side instead of re-joining
-    // shingle tables (Broder's matching-minima estimator).
-    "q102_minhash_estimate" -> ((s, dir) =>
-      Dedup.minhashJaccardEstimates(docs(s, dir))
-        .orderBy(col("d1"), col("d2"))),
-
-    // Estimator-quality CONTRACT: est vs exact Jaccard on the SAME
-    // candidate pairs — mean/max absolute error with asserted bounds
-    // (σ = √(J(1−J)/16) ≈ 0.125 per pair; a broken hash family or a
-    // minima/shingle mismatch blows past them immediately).
-    "q102b_estimate_quality" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val sh = graft.Caching.persist(Dedup.shingles(d, 3))
-      val est = Dedup.minhashJaccardEstimates(d, precomputedShingles = Some(sh))
-      val exact = Dedup.jaccardFor(est.select(col("d1"), col("d2")), sh)
-      est.join(exact, Seq("d1", "d2"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
-          round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
-        .select(col("n_pairs"), col("mean_abs_err"), col("max_abs_err"),
-          (col("mean_abs_err") <= 0.12).as("mean_ok"),
-          (col("max_abs_err") <= 0.5).as("max_ok"))
-    }),
-
-    // Incremental exact dedup: second corpus half anti-joined against
-    // the first half's fingerprints (the daily-increment path).
-    "q40_dedup_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.exactDedupAgainst(
-          d.where(col("doc") >= 250),
-          d.where(col("doc") < 250).select(md5(col("line")).as("fp")))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Same spec through the Bloom pre-screen: rows the history filter
-    // rules out never join; false positives are removed by the exact
-    // confirm anti-join, so the answer is q40's for ANY fpp — which is
-    // exactly what lets one oracle pin both paths.
-    "q40b_dedup_bloom" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.exactDedupAgainstBloom(
-          d.where(col("doc") >= 250),
-          d.where(col("doc") < 250))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Incremental NEAR-dup screen: new arrivals (doc >= 250) whose LSH
-    // bands collide with the history corpus (doc < 250), verified by
-    // exact Jaccard >= 0.5 across the two shingle sets — the daily-
-    // ingest near-dup path (delta ⋈ history bands, never a self-join).
-    "q52_near_dup_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.minhashNearDupsAgainst(
-          d.where(col("doc") >= 250), d.where(col("doc") < 250))
-        .select(col("doc").as("doc_id"), col("hist_doc").as("hist_id"),
-          col("jaccard"))
-        .orderBy(col("doc_id"), col("hist_id"))
-    }),
-
-    // Production near-dup dedup: min-label over LSH buckets, no pair
-    // materialization (survivor list).
-    "q28_minhash_dedup" -> ((s, dir) =>
-      Dedup.minhashDedup(docs(s, dir))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))),
-
-    // Transitive-closure twin: ITERATED min-label (bounded connected
-    // components) over the corpus seeded with the 3-doc chain — the
-    // chain collapses to one survivor where one-hop q28 keeps two.
-    "q28b_minhash_dedup_cc" -> ((s, dir) => {
-      import s.implicits._
-      val seeded = ChainDocs.toDF("doc", "line")
-      Dedup.minhashDedupIterative(docs(s, dir).unionByName(seeded), maxIter = 3)
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Related documents: tf-idf cosine over the df-pruned inverted index
-    // (pairs only from co-occurring rare terms — never an all-pairs join).
-    "q35_related_docs" -> ((s, dir) =>
-      graft.operators.DocSimilarity
-        .relatedDocs(docs(s, dir), maxDfFraction = 0.06, threshold = 0.0)
-        .select(col("d1"), col("d2"), col("cos"))
-        .orderBy(col("d1"), col("d2"))),
-
-    // 16-bit tf-weighted SimHash fingerprints.
-    "q14_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir))
-        .select(col("doc").as("doc_id"), col("simhash"))
-        .orderBy(col("doc_id"))),
-
-    // Banded SimHash near-dup pairs (hamming ≤ 3; equi-join, no crossJoin).
-    "q14b_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Dedup.simhash(docs(s, dir)), maxHamming = 3)
-        .orderBy(col("d1"), col("d2"))),
-
-    // 32-bit SimHash pairs — the scale-realistic fingerprint width (a
-    // 16-bit ball saturates once the corpus dwarfs 2^16).
-    "q38_simhash32_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Dedup.simhash(docs(s, dir), bits = 32),
-          maxHamming = 3, bits = 32)
-        .orderBy(col("d1"), col("d2"))),
-
-    // ── Similarity search tier ──────────────────────────────────────────
-
-    // Brute-force cosine top-10 for query vectors vec_id < 5.
-    "q15_cosine_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.cosineTopK(e, e.where(col("vec_id") < 5), k = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // Embedding near-dup pairs: cosine ≥ 0.4 (exact all-pairs tier —
-    // verification only; q16b is the bucketed production path).
-    "q16_embedding_near_dup" -> ((s, dir) =>
-      Similarity.nearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.4)
-        .orderBy(col("d1"), col("d2"))),
-
-    // LSH-bucketed near-dup pairs (4 tables). bits is PINNED to 4 here
-    // because the DuckDB oracle mirrors a fixed 4-bit hash family — the
-    // static oracle SQL cannot evaluate deriveLshBits at a verify SF it
-    // has never seen, so an AutoBits call would silently diverge from
-    // its mirror the moment a verify corpus passes 1600 rows. Real
-    // callers omit `bits` and get the corpus-sized AutoBits default
-    // (SimilaritySpec covers the auto path and its 10x stress).
-    "q16b_embedding_lsh_near_dup" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"),
-          threshold = 0.4, bits = 4, tables = 4)
-        .orderBy(col("d1"), col("d2"))),
-
-    // ANN: random-hyperplane LSH top-10 (approximate; bucket-restricted).
-    "q25_ann_lsh_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.lshCosineTopK(e, e.where(col("vec_id") < 5), k = 10, bits = 8)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // ANN recall CONTRACT: recall@10 of the hyperplane-LSH top-k against
-    // the exact top-k, per query. q25 pins determinism (the oracle
-    // mirrors the same family); this pins QUALITY — a silently broken
-    // hash family that still matches its own mirror shows up as a recall
-    // collapse here (and SimilaritySpec asserts the pinned floor).
-    // bits=4 so buckets are populated at the verify SF.
-    "q25b_ann_lsh_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.cosineTopK(e, q, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val approx = Similarity.lshCosineTopK(e, q, k = 10, bits = 4)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      q.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // ANN: IVF coarse-quantizer top-10 (deterministic centroids, 2 probes).
-    "q26_ann_ivf_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.ivfCosineTopK(e, e.where(col("vec_id") < 5),
-          k = 10, stride = 100, nProbe = 2)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // ANN recall CONTRACT for the IVF tier — the q25b twin: recall@10 of
-    // ivfCosineTopK against the exact top-k per query. q26 pins the
-    // quantizer's determinism (oracle mirrors the same assign/probe
-    // math); this pins QUALITY — a broken cell assignment that still
-    // matches its own mirror shows up as a recall collapse here.
-    "q26b_ann_ivf_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.cosineTopK(e, q, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val approx = Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      q.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // Materialized ANN (IVF) index: honest build+probe per invocation —
-    // cell-partitioned write, then a query batch whose cell join prunes
-    // the scan via DYNAMIC partition pruning (asserted in
-    // SimilaritySpec). Oracle is q26's SQL verbatim: the roundtrip must
-    // reproduce the direct path bit-for-bit.
-    "q82_ann_indexed" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      val e = tbl(s, dir, "embeddings")
-      Similarity.buildAnnIndex(e, idx, stride = 100)
-      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
-          k = 10, nProbe = 2)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // ── Z-order data layout (Layout.scala): Morton-interleaved
-    //    (user, time) clustering for min/max file skipping ──────────────
-    "q83_zorder_layout" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"),
-        col("user_id").as("x"),
-        expr("unix_micros(ts) div 1000000").as("y"))
-      Layout.withZCells(e, "x", "y")
-        .select(col("event_id"), col("zval"), col("cell"))
-        .orderBy(col("event_id"))
-    }),
-
-    // Skipping contract: per-cell footer boxes for the z-layout vs the
-    // insert-ordered strawman, scan-estimated against one SF-agnostic
-    // box (x in the 25–45 % band, y the middle tercile — bounds derived
-    // from min/max so the same SQL holds at every SF). LayoutSpec
-    // asserts the zorder row scans strictly fewer cells AND rows.
-    "q83b_zorder_skipping" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"),
-        col("user_id").as("x"),
-        expr("unix_micros(ts) div 1000000").as("y"))
-      def fracPoint(mn: Column, mx: Column, num: Int, den: Int): Column =
-        (mn + floor((mx - mn).cast("double") * num / den).cast("long"))
-      val box = e.agg(
-          min(col("x")).as("x_mn"), max(col("x")).as("x_mx"),
-          min(col("y")).as("y_mn"), max(col("y")).as("y_mx"))
-        .select(
-          fracPoint(col("x_mn"), col("x_mx"), 1, 4).as("qx_lo"),
-          fracPoint(col("x_mn"), col("x_mx"), 9, 20).as("qx_hi"),
-          fracPoint(col("y_mn"), col("y_mx"), 1, 3).as("qy_lo"),
-          fracPoint(col("y_mn"), col("y_mx"), 2, 3).as("qy_hi"))
-      def est(stats: DataFrame, tag: String): DataFrame =
-        Layout.scanEstimate(stats.crossJoin(broadcast(box)),
-            col("qx_lo"), col("qx_hi"), col("qy_lo"), col("qy_hi"))
-          .withColumn("layout", lit(tag))
-      est(Layout.cellStats(Layout.withZCells(e, "x", "y"), "x", "y"),
-          "zorder")
-        .unionByName(est(
-          Layout.cellStats(Layout.linearCells(e, "event_id"), "x", "y"),
-          "linear"))
-        .select(col("layout"), col("n_cells"), col("cells_scanned"),
-          col("rows_scanned"))
-        .orderBy(col("layout"))
-    }),
-
-    // Compaction plan: next-fit-decreasing target-size binning of
-    // files (docs as file metadata) per partition — the OPTIMIZE
-    // rewrite-task list, rolled up per bin.
-    "q192_compaction_plan" -> ((s, dir) =>
-      graft.operators.Layout.compactionPlan(
-          tbl(s, dir, "documents")
-            .select(col("source"), col("doc_id"), col("n_chars")),
-          Seq("source"), "doc_id", "n_chars", targetBytes = 2048L)
-        .groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes_total"))
-        .orderBy(col("source"), col("bin"))),
-
-    // ── Deterministic epoch shuffle (Chunking.epochShuffle): seeded md5
-    //    permutation → shard → per-shard order → training batches; one
-    //    hash exchange, no global sort ────────────────────────────────
-    "q84_epoch_shuffle" -> ((s, dir) =>
-      graft.operators.Chunking.epochShuffle(
-          tbl(s, dir, "documents").select(col("doc_id")),
-          keyCol = "doc_id", seed = EpochSeed,
-          numShards = EpochShards, batchSize = EpochBatch)
-        .select(col("doc_id"), col("shard"), col("seq"), col("batch"))
-        .orderBy(col("shard"), col("seq"))),
-
-    // Shuffle-balance contract: the md5 sharding must spread rows
-    // evenly (no hot shard = no straggling data-loader worker). One
-    // summary row; ChunkingSpec asserts the skew bound and that a new
-    // seed permutes order without touching membership.
-    "q84b_epoch_shuffle_balance" -> ((s, dir) =>
-      graft.operators.Chunking.epochShuffle(
-          tbl(s, dir, "documents").select(col("doc_id")),
-          keyCol = "doc_id", seed = EpochSeed,
-          numShards = EpochShards, batchSize = EpochBatch)
-        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_shards"),
-          min(col("n")).as("min_n"), max(col("n")).as("max_n"),
-          round(max(col("n")).cast("double") * EpochShards /
-            sum(col("n")).cast("double"), 6).as("skew"))),
-
-    // Temperature-scaled domain mixture (T = 0.5 via IEEE-exact sqrt):
-    // shares derive in-plan from observed source token mass; per-source
-    // report + the derived keep rate pin the whole sampled set.
-    "q85_temperature_mixture" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
-      graft.operators.Pipeline.temperatureMixture(d, budgetTokens = 15000L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_kept"),
-          round(max(col("rate")), 6).as("keep_rate"))
-        .orderBy(col("source"))
-    }),
-
-    // DSIR importance resampling (arXiv:2302.03169): top-100 docs by
-    // hashed-unigram log-likelihood ratio against the src0 target set.
-    // Scores are exact long micro-nats, so top-k ties are impossible to
-    // get wrong across engines; ranked (score desc, doc_id).
-    "q86_importance_resample" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
-      graft.operators.Pipeline
-        .importanceResample(d, col("source") === "src0", k = 100,
-          numBuckets = DsirBuckets)
-        .select(col("doc").as("doc_id"), col("source"),
-          col("score_micro"), col("n_tokens"))
-        .orderBy(col("score_micro").desc, col("doc_id"))
-    }),
-
-    // DSIR signal CONTRACT: the target set must out-score the rest of
-    // the corpus on its own likelihood-ratio model (the target docs ARE
-    // the target distribution, so the mean inequality is structural,
-    // not data-luck). Compared as exact long cross-products — no float
-    // mean drift can flip the boolean.
-    "q86b_importance_contract" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
-      graft.operators.Pipeline
-        .importanceResample(d, col("source") === "src0", k = 1000000,
-          numBuckets = DsirBuckets)
-        .withColumn("is_tgt", col("source") === "src0")
-        .agg(
-          sum(when(col("is_tgt"), col("score_micro")).otherwise(0L)).as("sum_t"),
-          sum(when(col("is_tgt"), 1L).otherwise(0L)).as("docs_t"),
-          sum(when(!col("is_tgt"), col("score_micro")).otherwise(0L)).as("sum_r"),
-          sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("docs_r"))
-        .select(col("docs_t"), col("docs_r"),
-          (col("sum_t") * col("docs_r") > col("sum_r") * col("docs_t"))
-            .as("target_scores_higher"))
-    }),
-
-    // Leakage-safe train/val split: the split decision hashes the
-    // near-dup CLUSTER label, so near-duplicates never straddle.
-    "q87_leakage_safe_split" -> ((s, dir) =>
-      Dedup.leakageSafeSplit(docs(s, dir), valPerMille = 100)
-        .select(col("doc").as("doc_id"), col("cluster"), col("split"))
-        .orderBy(col("doc_id"))),
-
-    // Leakage-safe K-FOLD: clusters land whole in one of 5 folds —
-    // the cross-validation form of q87's contamination rule.
-    "q173_kfold_split" -> ((s, dir) =>
-      Dedup.kFoldSplit(docs(s, dir), k = 5)
-        .select(col("doc").as("doc_id"), col("cluster"), col("fold"))
-        .orderBy(col("doc_id"))),
-
-    // K-fold contract: zero LSH candidate pairs cross folds, and the
-    // fold sizes (the same audit shape as q87b, per fold).
-    "q173b_kfold_leakage" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val bands = graft.Caching.persist(
-        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(d))))
-      val fd = Dedup.kFoldSplit(d, k = 5, precomputedBands = Some(bands))
-      val cands = Dedup.lshCandidates(bands)
-      val crossing = cands
-        .join(fd.select(col("doc").as("d1"), col("fold").as("f1")), "d1")
-        .join(fd.select(col("doc").as("d2"), col("fold").as("f2")), "d2")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L)).as("crossing"))
-      val sizes = fd.groupBy(col("fold"))
-        .agg(count(lit(1)).as("n_docs"))
-      sizes.join(crossing)
-        .withColumn("leak_free", col("crossing") === 0L)
-        .select(col("fold"), col("n_docs"), col("n_pairs"),
-          col("crossing"), col("leak_free"))
-        .orderBy(col("fold"))
-    }),
-
-    // Split-leakage CONTRACT: zero LSH candidate pairs cross the
-    // train/val boundary (the eval-contamination failure mode measured
-    // by arXiv:2107.06499 §5). Non-convergence of the bounded label
-    // propagation would surface here as crossing > 0.
-    "q87b_split_leakage" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // ONE persisted band derivation feeds both the split's label
-      // propagation and the candidate-pair audit (this was the most
-      // expensive bench row in r4 — the shingle chain ran twice)
-      val bands = graft.Caching.persist(
-        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(d))))
-      val sp = Dedup.leakageSafeSplit(d, valPerMille = 100,
-        precomputedBands = Some(bands))
-      val cands = Dedup.lshCandidates(bands)
-      val crossing = cands
-        .join(sp.select(col("doc").as("d1"), col("split").as("split1")), "d1")
-        .join(sp.select(col("doc").as("d2"), col("split").as("split2")), "d2")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("split1") =!= col("split2"), 1L).otherwise(0L))
-            .as("crossing"))
-      sp.agg(
-          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
-        .crossJoin(crossing)
-        .select(col("n_train"), col("n_val"), col("n_pairs"),
-          col("crossing"), (col("crossing") === 0L).as("leak_free"))
-    }),
-
-    // Distributed Naive Bayes: fit lang-classifier + score every doc in
-    // ONE plan; integer micro-nat scores make the argmax engine-exact.
-    "q88_naive_bayes" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
-      graft.operators.Classify.naiveBayes(d, "lang", numBuckets = DsirBuckets)
-        .select(col("doc").as("doc_id"), col("lang"), col("predicted"),
-          col("score_micro"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // NB confusion matrix — the model-quality dashboard as exact counts
-    // (no threshold to get lucky on; the spec asserts accuracy on a
-    // planted corpus where NB must be perfect).
-    "q88b_nb_confusion" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
-      graft.operators.Classify.naiveBayes(d, "lang", numBuckets = DsirBuckets)
-        .groupBy(col("lang"), col("predicted"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("predicted"))
-    }),
-
-    // Margin CALIBRATION: per (top − runner-up) micro-nat bucket, how
-    // often the NB argmax is right — the reliability curve behind any
-    // score-thresholded routing decision.
-    "q174_nb_calibration" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
-      graft.operators.Classify
-        .marginCalibration(d, "lang", numBuckets = DsirBuckets)
-        .orderBy(col("margin_bin"))
-    }),
-
-    // Strategy twin of q88 pinned to the SAME oracle: fit collects the
-    // B·C-row model, scoring is ONE stateless codegen'd projection (the
-    // stream-inference shape — StreamingOps.classifyStream). Zero hash
-    // exchanges on the scoring plan; scores/argmax identical by
-    // construction (same Spark-quantized model values).
-    "q88c_nb_rowlocal" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
-      val m = graft.operators.Classify.fit(d, "lang", numBuckets = DsirBuckets)
-      graft.operators.Classify.scoreRowLocal(d, m)
-        .select(col("doc").as("doc_id"), col("lang"), col("predicted"),
-          col("score_micro"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Cluster-coverage sample: the member closest to each k-means
-    // centroid — diversity-preserving downsampling (prototype
-    // selection), the converse of SemDeDup's within-cell dropping.
-    "q89_coverage_sample" -> ((s, dir) =>
-      Clustering.coverageSample(tbl(s, dir, "embeddings"),
-          stride = 50, iters = 2, perCell = 1)
-        .select(col("cell"), col("vec_id"), col("ccos"))
-        .orderBy(col("cell"))),
-
-    // Per-source exact-duplication health dashboard.
-    "q90_source_dup_stats" -> ((s, dir) =>
-      graft.operators.Pipeline.sourceDupStats(
-          tbl(s, dir, "documents")
-            .select(col("doc_id").as("doc"), col("text").as("line"),
-              col("source")))
-        .orderBy(col("source"))),
-
-    // Incremental leakage-safe split: the daily-ingest bookend — new
-    // docs inherit their anchor's (smallest matched history doc's)
-    // split; unmatched docs hash their own id via the same rule.
-    "q91_split_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val hist = d.where(col("doc") < 250)
-      val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 100)
-      Dedup.leakageSafeSplitAgainst(d.where(col("doc") >= 250), hist,
-          hsp.select(col("doc"), col("split")), valPerMille = 100)
-        .select(col("doc").as("doc_id"), col("anchor"), col("split"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Incremental-split leak audit: candidate pairs (delta ⋈ history)
-    // whose sides disagree. Nonzero would mean either a bridge doc
-    // (documented semantics) or a broken inherit rule — observable
-    // either way.
-    "q91b_split_incremental_leakage" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val hist = d.where(col("doc") < 250)
-      val delta = d.where(col("doc") >= 250)
-      // ONE persisted band derivation per side serves the history split,
-      // the incremental assignment, AND the crossing audit (r4 paid the
-      // shingle chain twice per side)
-      val bHist = graft.Caching.persist(
-        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(hist))))
-      val bNew = graft.Caching.persist(
-        Dedup.lshBands(Dedup.minhashSignatures(Dedup.shingles(delta))))
-      val hsp = Dedup.leakageSafeSplit(hist, valPerMille = 100,
-        precomputedBands = Some(bHist))
-      val sp = Dedup.leakageSafeSplitAgainst(delta, hist,
-        hsp.select(col("doc"), col("split")), valPerMille = 100,
-        precomputedNewBands = Some(bNew), precomputedHistBands = Some(bHist))
-      val ok = bHist.groupBy(col("band"), col("band_val"))
-        .agg(count(lit(1)).as("bucket_n"))
-        .where(col("bucket_n") <= Dedup.MaxPairBucket)
-        .select(col("band"), col("band_val"))
-      val cand = bNew
-        .join(bHist.join(ok, Seq("band", "band_val"), "left_semi")
-          .select(col("doc").as("hist_doc"), col("band"), col("band_val")),
-          Seq("band", "band_val"))
-        .select(col("doc"), col("hist_doc")).distinct()
-      val crossing = cand
-        .join(sp.select(col("doc"), col("split").as("new_split")), Seq("doc"))
-        .join(hsp.select(col("doc").as("hist_doc"),
-          col("split").as("hist_split")), Seq("hist_doc"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("new_split") =!= col("hist_split"), 1L).otherwise(0L))
-            .as("crossing"))
-      sp.agg(count(lit(1)).as("n_new"),
-          sum(when(col("anchor").isNotNull, 1L).otherwise(0L)).as("n_matched"))
-        .crossJoin(crossing)
-        .select(col("n_new"), col("n_matched"), col("n_pairs"),
-          col("crossing"), (col("crossing") === 0L).as("leak_free"))
-    }),
-
-    // Deterministic k-per-group sample: a balanced 5-docs-per-source
-    // eval slice by md5 rank — count-exact, seed-free, replayable.
-    "q92_sample_per_group" -> ((s, dir) =>
-      graft.operators.Pipeline.sampleKPerGroup(
-          tbl(s, dir, "documents")
-            .select(col("doc_id").as("doc"), col("source")),
-          groupCol = "source", k = 5)
-        .select(col("doc").as("doc_id"), col("source"), col("rk"))
-        .orderBy(col("source"), col("rk"))),
-
-    // Token-length histogram in power-of-two bins — integer bit-length
-    // binning, never float log2.
-    "q93_length_histogram" -> ((s, dir) =>
-      graft.operators.Pipeline.lengthHistogram(docs(s, dir))
-        .orderBy(col("bin"))),
-
-    // Equi-depth deciles: exact percentile boundaries off the
-    // two-stage global rank; bucket identity is ⌊rank·10/N⌋ integers.
-    "q183_length_deciles" -> ((s, dir) =>
-      graft.operators.Pipeline.lengthDeciles(docs(s, dir))
-        .orderBy(col("decile"))),
-
-    // Per-type daily trend: exact-moment OLS slope of daily counts
-    // (the q160 recipe on the events axis).
-    "q184_daily_trend" -> ((s, dir) =>
-      graft.operators.Events.dailyTypeTrend(events(s, dir))
-        .orderBy(col("event_type"))),
-
-    // CDC replay with tombstones: latest writer per user wins; users
-    // whose LAST event is an error are tombstoned out entirely.
-    "q185_cdc_apply" -> ((s, dir) =>
-      graft.operators.Merge.cdcApply(
-          events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"),
-            expr("CAST(round(value * 1000000) AS BIGINT)").as("value_micros")),
-          Seq("user_id"), Seq("ts", "event_id"),
-          col("event_type") === "error")
-        .select(col("user_id"), col("event_id"),
-          col("event_type").as("last_type"), col("value_micros"))
-        .orderBy(col("user_id"))),
-
-    // SCD Type-2 historization: per-user version chain with half-open
-    // validity intervals cut on ts — q185's point-in-time complement.
-    "q186_scd2_history" -> ((s, dir) =>
-      graft.operators.Merge.scd2Historize(
-          events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type")),
-          Seq("user_id"), Seq("ts", "event_id"), "ts")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("valid_from"), col("valid_to"), col("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("event_id"))),
-
-    // Daily-count autocorrelation at lags 1..7 on the dense day grid:
-    // exact n²-scaled integer moments, one round-6 division.
-    "q187_daily_acf" -> ((s, dir) =>
-      graft.operators.Events.dailyAutocorrelation(events(s, dir), maxLag = 7)
-        .orderBy(col("event_type"), col("lag"))),
-
-    // Rolling DAU/WAU/stickiness on the dense day grid — exact
-    // distinct users, window via explicit explode.
-    "q195_active_users" -> ((s, dir) =>
-      graft.operators.Events.rollingActiveUsers(events(s, dir), windowDays = 7)
-        .orderBy(col("day"))),
-
-    // Per-user activity Gini: the rank-formula concentration summary,
-    // exact integer moments off the two-stage global rank.
-    "q197_user_gini" -> ((s, dir) =>
-      graft.operators.Events.userGini(events(s, dir))),
-
-    // Inter-arrival gap histogram: power-of-two second bins per type,
-    // per-(user, type) chains only — never a global per-type sort.
-    "q198_gap_histogram" -> ((s, dir) =>
-      graft.operators.Events.gapHistogram(events(s, dir))
-        .orderBy(col("event_type"), col("bin"))),
-
-    // Hybrid lexical+dense retrieval fused by reciprocal ranks: the
-    // q69 BM25 arm + the q15 cosine arm (query = vec_id 0), both
-    // top-100, contributions integer-quantized (1e9 div (60+rank)) so
-    // the fused score is an exact long sum in both engines.
-    "q94_hybrid_search" -> ((s, dir) =>
-      Search.searchHybrid(
-          docs(s, dir), tbl(s, dir, "embeddings"), SearchQuery, queryVecId = 0L)
-        .select(col("doc").as("doc_id"), col("rrf_micro"), col("n_arms"))
-        .orderBy(col("rrf_micro").desc, col("doc_id"))),
-
-    // Int8 embedding quantization (exploded per-dim for scalar compare).
-    "q42_embedding_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(tbl(s, dir, "embeddings").where(col("vec_id") < 20))
-        .select(col("vec_id"), round(col("minv"), 6).as("minv"),
-          round(col("scale"), 6).as("scale"), posexplode(col("q")))
-        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "qv")
-        .orderBy(col("vec_id"), col("dim"))),
-
-    // Lloyd k-means (2 iterations, stride-50 seeds) summarized per
-    // cluster against the label column. Labels are random relative to
-    // the embeddings, so purity ≈ 0.1 here — the contract pins the
-    // clustering's determinism (oracle unrolls the same iterations).
-    "q54_kmeans" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Clustering.clusterSummary(
-          Clustering.kmeans(e, stride = 50, iters = 2),
-          e.select(col("vec_id"), col("label")))
-        .orderBy(col("cell"))
-    }),
-
-    // SemDeDup: cluster (k-means above), then drop within-cell near-dups
-    // at cosine ≥ 0.3 (one-hop min-id keeper). The pair join never
-    // leaves a cell — clustering IS the bucketing.
-    "q55_semantic_dedup" -> ((s, dir) =>
-      Clustering.semanticDedup(tbl(s, dir, "embeddings"),
-          threshold = 0.3, stride = 50, iters = 2)
-        .orderBy(col("vec_id"))),
-
-    // Cluster top terms: per k-means cell, the 5 most distinctive
-    // member terms — cnt × the reference's floor idf, exact longs.
-    "q209_cluster_top_terms" -> ((s, dir) =>
-      Clustering.clusterTopTerms(tbl(s, dir, "embeddings"), docs(s, dir),
-          k = 5, stride = 50, iters = 2)
-        .orderBy(col("cell"), col("rk"))),
-
-    // N-gram overlap F1 over q13's verified near-dup pairs: the
-    // ROUGE-N-shaped MULTISET metric (Σ min counts; f1 via the exact
-    // single-division identity 2·overlap/(tot1+tot2)).
-    "q211_ngram_overlap_f1" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.functions.TextAnalysis
-        .ngramOverlapF1(Dedup.minhashNearDups(d).select(col("d1"), col("d2")),
-          d, n = 2)
-        .withColumnRenamed("precision", "prec")
-        .withColumnRenamed("recall", "rec")
-        .orderBy(col("d1"), col("d2"))
-    }),
-
-    // k-core of the co-occurrence graph: fixed-8-round peel (exact for
-    // any fixture with peel depth <= 8), radar-tiered like q117.
-    "q212_kcore" -> ((s, dir) =>
-      graft.operators.Graph.kCore(docs(s, dir), k = 2)
-        .orderBy(col("term"))),
-
-    // Curriculum schedule: quality-ranked growing epoch pools
-    // (rn·E < e·N integer admission) + the seed-free per-epoch
-    // shuffle key.
-    "q213_curriculum" -> ((s, dir) =>
-      graft.operators.Pipeline.curriculumSchedule(docs(s, dir), epochs = 4)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("epoch"), col("ord"), col("doc_id"))),
-
-    // Per-user gap regularity (the bot radar): CV of inter-event gaps
-    // as ONE √ of an exact integer ratio — scripted timers → cv ≈ 0.
-    "q215_gap_regularity" -> ((s, dir) =>
-      graft.operators.Events.userGapRegularity(events(s, dir), minEvents = 5)
-        .orderBy(col("user_id"))),
-
-    // Daily-ingest bookend COMPOSITION: q40b exact screen → q52
-    // near-dup screen → q91 split inherit as ONE lazy plan over shared
-    // shingle/band derivations — the per-delta-doc decision log.
-    "q210_daily_ingest" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Pipeline
-        .dailyIngest(d.where(col("doc") >= 250), d.where(col("doc") < 250))
-        .select(col("doc").as("doc_id"), col("stage"), col("anchor"),
-          col("split"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Exact duplicated-substring removal (ExactSubstr, Lee et al. 2022):
-    // all-but-first occurrences of duplicated 8-token spans removed
-    // corpus-wide, text rebuilt from the surviving tokens.
-    "q56_substring_dedup" -> ((s, dir) =>
-      Dedup.substringDedup(docs(s, dir), spanTokens = 8)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Domain-mixture sampling to a 15k-token budget (src0/src1/src2 at
-    // 40/30/20% — other sources dropped); per-source report pins the
-    // whole sampled set. Rates derive in-plan from source token totals.
-    "q57_mixture_sample" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
-      graft.operators.Pipeline.mixtureSample(d,
-          shares = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2),
-          budgetTokens = 15000L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_kept"))
-        .orderBy(col("source"))
-    }),
-
-    // Per-doc keyword extraction: top-5 terms by TF-IDF (reference
-    // operator chain O2–O7 + one per-doc window rank).
-    "q58_keywords" -> ((s, dir) =>
-      TfIdf.keywords(docs(s, dir), k = 5)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"), col("rnk"))),
-
-    // Corpus-relative quality cut: drop the worst quartile by the
-    // corpus's own quality-score distribution (threshold = in-plan
-    // exact percentile, 1-row broadcast).
-    "q59_quality_filter" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .filterByQualityQuantile(docs(s, dir), quantile = 0.25)
-        .select(col("doc").as("doc_id"), col("quality_score"))
-        .orderBy(col("doc_id"))),
-
-    // Curriculum binning: quality quartile 1..4 per doc from the
-    // corpus's own distribution (threshold counting, not ntile — no
-    // single-partition sort, deterministic ties).
-    "q64_quality_bins" -> ((s, dir) =>
-      graft.operators.Pipeline.qualityBins(docs(s, dir), bins = 4)
-        .select(col("doc").as("doc_id"), col("quality_score"), col("bin"))
-        .orderBy(col("doc_id"))),
-
-    // ── Text-analysis tier ──────────────────────────────────────────────
-
-    "q17_lang_id" -> ((s, dir) =>
-      TextAnalysis.langId(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Language-ID confusion matrix vs the trusted lang column — the
-    // heuristic detector's eval harness (diagonal share = recall).
-    "q205_langid_confusion" -> ((s, dir) =>
-      graft.functions.TextAnalysis.langIdConfusion(
-          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-            col("text").as("line"), col("lang")))
-        .orderBy(col("lang"), col("lang_pred"))),
-
-    "q18_quality" -> ((s, dir) =>
-      TextAnalysis.qualityScore(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    "q19_token_stats" -> ((s, dir) =>
-      TextAnalysis.tokenStats(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    "q20_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Winnowing (MOSS) fingerprints: per-doc window-min gram hashes —
-    // edit-robust local signatures (q20's whole-doc hash breaks on any
-    // edit); map-only gen + one (doc, fp) distinct.
-    "q72_winnow_fingerprints" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprints(docs(s, dir), k = 3, w = 4)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"), col("fp"))),
-
-    // Shared-fingerprint near-dup pairs with the hot-fp guard applied
-    // BEFORE the self-join (boilerplate fps excluded, reported by
-    // winnowHotFingerprints).
-    "q74_winnow_pairs" -> ((s, dir) =>
-      TextAnalysis.winnowPairs(docs(s, dir), k = 3, w = 4,
-          minShared = 2, maxDocsPerFp = 50)
-        .orderBy(col("doc_a"), col("doc_b"))),
-
-    // Composed cleaning pipeline: exact dedup → lang allowlist → quality
-    // threshold (one plan: md5-keyed window + map-only filters).
-    "q27_clean_corpus" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
-        .select(col("doc").as("doc_id"), col("lang_pred"), col("quality_score"))
-        .orderBy(col("doc_id"))),
-
-    // Deterministic hash sampling: reproducible ~10% doc split, map-only.
-    "q34_sample_by_hash" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .sampleByHash(docs(s, dir), keyCol = "doc", rate = 0.1)
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))),
-
-    // Importance-weighted sampling: P(keep) ∝ doc length, expected
-    // fraction 0.2 — in-plan avg(w) broadcast + the same md5 bucket.
-    // (Integer weights sum exactly in doubles, so avg(w) — and the
-    // per-row threshold — is bit-identical across engines.)
-    "q73_sample_by_weight" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .sampleByWeight(
-          docs(s, dir).withColumn("w", length(col("line")).cast("double")),
-          weightCol = "w", keyCol = "doc", fraction = 0.2)
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))),
-
-    // Stratified deterministic sampling: per-language rates (training-mix
-    // rebalance), map-only.
-    "q36_sample_stratified" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .sampleStratified(
-          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
-          strataCol = "lang", keyCol = "doc_id",
-          rates = Map("en" -> 0.05, "de" -> 0.5), defaultRate = 0.2)
-        .orderBy(col("doc_id"))),
-
-    // Corpus-wide top-20 word 3-grams by document frequency.
-    "q37_top_ngrams" -> ((s, dir) =>
-      TextAnalysis.topNgrams(docs(s, dir), n = 3, k = 20)),
-
-    // Train-test contamination screen: corpus (doc >= 5) vs a benchmark
-    // slice (doc < 5); benchmark shingles broadcast, one agg shuffle.
-    "q44_contamination" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Pipeline
-        .contaminationCheck(d.where(col("doc") >= 5), d.where(col("doc") < 5))
-        .select(col("doc").as("doc_id"), col("bench_doc").as("bench_id"),
-          col("shared_ngrams"))
-        .orderBy(col("doc_id"), col("bench_id"))
-    }),
-
-    // Repetition quality signal: repeated word-3-gram ratio, map-only.
-    "q45_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionScore(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Bigram LM fluency score: add-one-smoothed mean log-prob per doc
-    // against the corpus's own bigram model (one (w1,w2)-keyed shuffle).
-    "q46_bigram_lm" -> ((s, dir) =>
-      TextAnalysis.bigramLmScore(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Windowed co-occurrence + PMI (positional equi-join, bounded range).
-    "q39_cooccurrence_pmi" -> ((s, dir) =>
-      TextAnalysis.cooccurrencePmi(docs(s, dir), window = 2, minCount = 2)
-        .orderBy(col("t1"), col("t2"))),
-
-    // Context-window chunking: split each doc into <=64-token chunks
-    // (map-only array slicing — no shuffle).
-    "q47_chunk_docs" -> ((s, dir) =>
-      graft.operators.Chunking.chunkDocs(docs(s, dir), maxTokens = 64)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"), col("chunk_id"))),
-
-    // Sequence packing: fixed-capacity training bins by exclusive
-    // prefix-sum of token counts within deterministic doc-id buckets
-    // (one bucket-partitioned window shuffle).
-    "q48_pack_sequences" -> ((s, dir) =>
-      graft.operators.Chunking.packSequences(docs(s, dir),
-          targetTokens = 256, buckets = 16)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Vocabulary build + positional token-id encoding: frequency-ranked
-    // term ids (minCount=2 prunes hapaxes to OOV = -1), broadcast-joined
-    // back onto the positional token stream.
-    "q49_encode_tokens" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val vocab = graft.operators.Vocab.buildVocab(d, minCount = 2)
-      graft.operators.Vocab.encodeTokens(d, vocab)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"), col("pos"))
-    }),
-
-    // END-TO-END training-data prep: clean (dedup → lang → quality) →
-    // chunk to <=64-token windows → pack chunks into 256-token bins.
-    // One md5 dedup shuffle + one bucket-window shuffle; everything
-    // between is map-only. Chunk key = Chunking.chunkKey (doc·2^20 +
-    // chunk_id, assert-guarded) — collision-proof for any document the
-    // bound admits, unlike a doc*100 convention that would silently
-    // alias past 100 chunks.
-    "q51_training_prep" -> ((s, dir) => {
-      val cleaned = graft.operators.Pipeline
-        .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
-        .select(col("doc"), col("line"))
-      val chunks = graft.operators.Chunking.chunkDocs(cleaned, maxTokens = 64)
-        .select(graft.operators.Chunking.chunkKey(col("doc"), col("chunk_id"))
-            .as("doc"),
-          col("chunk_text").as("line"))
-      graft.operators.Chunking
-        .packSequences(chunks, targetTokens = 256, buckets = 16)
-        .withColumnRenamed("doc", "cid")
-        .orderBy(col("cid"))
-    }),
-
-    // The DAILY-INGEST prep bookend: q40b's Bloom screen feeding q51's
-    // clean→chunk→pack chain, one lazy plan after the sketch pre-pass.
-    "q77_incremental_prep" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val screened = Dedup.exactDedupAgainstBloom(
-        d.where(col("doc") >= 250), d.where(col("doc") < 250))
-      val cleaned = graft.operators.Pipeline
-        .cleanCorpus(screened, langs = Seq("en", "es"), minQuality = 0.55)
-        .select(col("doc"), col("line"))
-      val chunks = graft.operators.Chunking.chunkDocs(cleaned, maxTokens = 64)
-        .select(graft.operators.Chunking.chunkKey(col("doc"), col("chunk_id"))
-            .as("doc"),
-          col("chunk_text").as("line"))
-      graft.operators.Chunking
-        .packSequences(chunks, targetTokens = 256, buckets = 16)
-        .withColumnRenamed("doc", "cid")
-        .orderBy(col("cid"))
-    }),
-
-    // Hot-key (θ-heavy-hitter) detection on the event stream's user_id
-    // — the skew radar that feeds salting (q5c) / AQE skew hints /
-    // hot-bucket bounds. Exact tier: one key shuffle + broadcast total.
-    "q78_hot_keys" -> ((s, dir) =>
-      HotKeys.hotKeys(events(s, dir), "user_id", theta = 0.008)),
-
-    // Count-min-screened twin — SAME oracle SQL as q78: the sketch only
-    // over-counts, so the codegen'd estimate filter (which rides the
-    // scan) keeps every true hot key, and the exact confirm agg drops
-    // the false positives — identical answer for any sketch size. What
-    // the screen changes at 100 TB is the confirm shuffle: it sees only
-    // candidate-key rows, while the sketch stays depth×width counters
-    // regardless of key cardinality. Screen effectiveness is pinned by
-    // hotKeyScreenStats in HotKeysSpec.
-    "q78b_hot_keys_sketched" -> ((s, dir) =>
-      HotKeys.hotKeysSketched(events(s, dir), "user_id", theta = 0.008)),
-
-    // Term-distribution drift between the history half and the new
-    // arrivals (the q40/q53 doc split): top Jensen–Shannon divergence
-    // contributors over the smoothed union-vocabulary unigram models.
-    "q79_term_drift" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.termDrift(
-        d.where(col("doc") < 250), d.where(col("doc") >= 250), k = 30)
-    }),
-
-    // Sign-matrix random projection (64 → 16 dims), exploded per-dim
-    // for scalar compare — pins the deterministic md5 sign matrix the
-    // engine shares with the oracle (the LSH signRow family).
-    "q80_random_projection" -> ((s, dir) =>
-      Similarity.randomProject(tbl(s, dir, "embeddings"), outDim = 16)
-        .select(col("vec_id"), posexplode(col("projected")))
-        .select(col("vec_id"), col("pos").cast("long").as("dim"),
-          round(col("col"), 6).as("val"))
-        .orderBy(col("vec_id"), col("dim"))),
-
-    // Projection QUALITY contract (the q25b/q26b recipe, but pinning
-    // the JL guarantee itself): per query, mean and max |cos_orig −
-    // cos_proj| over every corpus pair at outDim=32, with the tolerance
-    // flags the oracle asserts. A recall@k contract would be noise here
-    // — the synthetic embeddings are near-random, so top-k margins are
-    // thinner than any projection's distortion; bounded cosine error is
-    // what JL actually promises.
-    "q80b_projection_distortion" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val proj = Similarity.randomProject(e.select(col("vec_id"),
-          col("emb").as("embedding")), outDim = 32)
-      def cosOf(frame: DataFrame, embc: String, out: String) = {
-        val q = frame.where(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col(embc).as("q_e"))
-        frame.select(col("vec_id").as("n_vec_id"), col(embc).as("n_e"))
-          .join(broadcast(q), col("q_vec_id") =!= col("n_vec_id"))
-          .select(col("q_vec_id"), col("n_vec_id"),
-            Similarity.cosine(col("q_e"), col("n_e")).as(out))
-      }
-      cosOf(e, "emb", "cos_orig")
-        .join(cosOf(proj, "projected", "cos_proj"), Seq("q_vec_id", "n_vec_id"))
-        .groupBy(col("q_vec_id"))
-        .agg(
-          round(avg(abs(col("cos_orig") - col("cos_proj"))), 6).as("mean_err"),
-          round(max(abs(col("cos_orig") - col("cos_proj"))), 6).as("max_err"))
-        .select(col("q_vec_id"), col("mean_err"), col("max_err"),
-          (col("mean_err") <= 0.25).as("mean_ok"),
-          (col("max_err") <= 0.8).as("max_ok"))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // Skew-aware join: events ⋈ per-user first-seen profile, hot users
-    // (the q78 radar, ≤ 1/θ by construction) taking the salted path,
-    // cold users the plain one — the oracle is the PLAIN join, which is
-    // the whole contract: salting must be pure plan surgery, invisible
-    // in the answer. Salted-exchange shape pinned under no-broadcast in
-    // HotKeysSpec (the q5c recipe).
-    "q81_skew_join" -> ((s, dir) => {
-      val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      val prof = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_seen"))
-      HotKeys.skewJoin(e, prof, "user_id", theta = 0.008)
-        .select(col("event_id"), col("user_id"),
-          expr("(unix_micros(ts) - unix_micros(first_seen)) div 1000000")
-            .as("secs_since_first"))
-        .orderBy(col("event_id"))
-    }),
-
-    // Vocabulary coverage / domain-shift: vocab trained on the history
-    // half (doc < 250, minCount=2), per-doc OOV rate measured on new
-    // arrivals (doc >= 250) — broadcast-dict encode + one doc agg.
-    "q53_vocab_coverage" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val vocab = graft.operators.Vocab
-        .buildVocab(d.where(col("doc") < 250), minCount = 2)
-      graft.operators.Vocab.oovRate(d.where(col("doc") >= 250), vocab)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Zipf coverage curve: token mass covered by each power-of-two
-    // vocabulary budget — the tokenizer-sizing chart.
-    "q193_coverage_curve" -> ((s, dir) =>
-      graft.operators.Vocab.coverageCurve(docs(s, dir))
-        .orderBy(col("vocab_budget"))),
-
-    // Heaps curve: vocabulary size at each power-of-two doc-id budget
-    // — vocabulary growth against ingest history.
-    "q194_heaps_curve" -> ((s, dir) =>
-      graft.operators.Vocab.heapsCurve(docs(s, dir))
-        .orderBy(col("n_docs"))),
-
-    // INCREMENTAL vocabulary (the q40/q52 family): unpruned counts
-    // state from the history half merged with the arrivals half, then
-    // ranked. Hash-matches the FULL-corpus vocabulary oracle — the
-    // contract that incremental == batch (which only holds because the
-    // state is unpruned; minCount applies at rank time).
-    "q61_vocab_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val state = graft.operators.Vocab.termCounts(d.where(col("doc") < 250))
-      graft.operators.Vocab
-        .rankVocab(
-          graft.operators.Vocab.mergeTermCounts(state, d.where(col("doc") >= 250)),
-          minCount = 2)
-        .orderBy(col("token_id"))
-    }),
-
-    // PII redaction over customer names+segments: ordered rule fold
-    // (email, IP, digit-run) with sequential per-rule match counts —
-    // map-only regex expressions, no shuffle.
-    "q50_redact" -> ((s, dir) =>
-      TextAnalysis.redact(
-          tbl(s, dir, "customer").select(col("c_custkey"),
-            concat(col("c_name"), lit(" "), col("c_mktsegment")).as("raw")),
-          col("raw"))
-        .select(col("c_custkey"), col("redacted"),
-          col("n_email"), col("n_ip"), col("n_num"))
-        .orderBy(col("c_custkey"))),
-
-    // Canonical text normalization (dedup pre-pass): lowercase →
-    // punctuation→space → whitespace collapse → trim, over mixed-case
-    // punctuated customer text; map-only codegen'd regex.
-    "q65_normalize_text" -> ((s, dir) =>
-      TextAnalysis.normalizeText(
-          tbl(s, dir, "customer").select(col("c_custkey"),
-            concat(col("c_name"), lit(" | "), col("c_mktsegment")).as("raw")),
-          col("raw"))
-        .select(col("c_custkey"), col("norm_text"))
-        .orderBy(col("c_custkey"))),
-
-    // Winsorized per-type value sums: values clipped to the corpus
-    // [p01, p99] band (1-row percentile broadcast), then aggregated.
-    "q66_events_winsorize" -> ((s, dir) =>
-      Events.winsorizeValues(events(s, dir))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value_w")), 6).as("value_w_sum"))
-        .orderBy(col("event_type"))),
-
-    // ── Multimodal plumbing (metadata/schema surface; decode is a stub
-    //    tested in ScalaTest — not SQL-expressible) ───────────────────────
-    "q21_multimodal_meta" -> ((s, dir) =>
-      Multimodal.assetsFromDocuments(docs(s, dir))
-        .select(col("asset_id"), col("meta.kind").as("kind"),
-          col("meta.n_bytes").as("n_bytes"), md5(col("payload")).as("payload_md5"))
-        .orderBy(col("asset_id"))),
-
-    // REAL multimodal decode: genuine PPM/WAV/Y4M containers built
-    // deterministically from the corpus, then parsed back by
-    // magic-sniffing header parsers. The oracle recomputes every
-    // header field and sample sum straight from the text (the
-    // encodings are pure functions of it), so a header-math bug on
-    // either side is a red row.
-    "q144_media_decode" -> ((s, dir) =>
-      Multimodal.decodeMedia(Multimodal.encodeAssets(docs(s, dir)))
-        .toDF()
-        .withColumn("mean_value",
-          when(col("n_samples") > 0,
-            round(col("value_sum").cast("double") / col("n_samples"), 6)))
-        .orderBy(col("asset_id"))),
-
-    // Perceptual aHash over DECODED pixels: 56 exact-integer
-    // mean-threshold bits per image — the oracle rebuilds every bit
-    // straight from the text the encoder rasterized.
-    "q172_image_ahash" -> ((s, dir) =>
-      Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir)))
-        .orderBy(col("asset_id"))),
-
-    // Banded Hamming near-dup pairs over the aHashes (7×8-bit bands);
-    // oracle = all-pairs brute force — pigeonhole says banding must
-    // agree exactly at maxDist ≤ 6.
-    "q172b_image_neardup" -> ((s, dir) =>
-      Multimodal.imageNearDupPairs(
-          Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))),
-          maxDist = 6)
-        .orderBy(col("d1"), col("d2"))),
-
-    // ── Event analytics (batch twins of the streaming ops) ──────────────
-
-    "q22_events_hourly" -> ((s, dir) =>
-      Events.hourlyTypeStats(events(s, dir))
-        .orderBy(col("hour_start"), col("event_type"))),
-
-    // Sliding 1h windows advancing 15 min: each event lands in 4
-    // overlapping windows (map-side expansion, same one-shuffle agg).
-    "q60_events_sliding" -> ((s, dir) =>
-      Events.slidingTypeStats(events(s, dir))
-        .orderBy(col("window_start"), col("event_type"))),
-
-    "q23_events_json" -> ((s, dir) =>
-      Events.propsKeyStats(events(s, dir))
-        .orderBy(col("event_type"))),
-
-    "q24_events_sessions" -> ((s, dir) =>
-      Events.sessionize(events(s, dir), gapMinutes = 30)
-        .orderBy(col("user_id"), col("session_seq"))),
-
-    // Session entry/exit matrix: landing/exit-type counts with bounce
-    // rate — q24's boundaries under the total (ts, event_id) order.
-    "q200_session_entry_exit" -> ((s, dir) =>
-      graft.operators.Events.sessionEntryExit(events(s, dir), gapMinutes = 30)
-        .orderBy(col("entry_type"), col("exit_type"))),
-
-    // Sliding-window chunking with overlap: the RAG variant of q47 —
-    // size-32 windows every 16 tokens, start/coverage by integers.
-    "q201_chunk_sliding" -> ((s, dir) =>
-      graft.operators.Chunking.chunkSliding(docs(s, dir), size = 32, stride = 16)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"), col("chunk_id"))),
-
-    // Exact per-type value quantiles (quantile_cont semantics).
-    "q43_events_quantiles" -> ((s, dir) =>
-      Events.valueQuantiles(events(s, dir))
-        .orderBy(col("event_type"))),
-
-    // Sketch contract for the approx tier (the 100 TB path: mergeable
-    // percentile_approx, map-side partials, bounded memory) — approx
-    // must land within 2 % + 0.1 of exact per percentile; the q31b
-    // recipe applied to quantiles.
-    "q43b_events_quantiles_approx" -> ((s, dir) => {
-      val e = events(s, dir)
-      val ex = Events.valueQuantiles(e)
-      val ap = Events.valueQuantiles(e, exact = false)
-        .select(col("event_type"), col("p50").as("a50"),
-          col("p90").as("a90"), col("p99").as("a99"))
-      def ok(a: String, x: String) =
-        (abs(col(a) - col(x)) <= abs(col(x)) * 0.02 + 0.1).as(s"${x}_ok")
-      ex.join(broadcast(ap), Seq("event_type"))
-        .select(col("event_type"), col("p50"), col("p90"), col("p99"),
-          ok("a50", "p50"), ok("a90", "p90"), ok("a99", "p99"))
-        .orderBy(col("event_type"))
-    }),
-
-    // ROLLUP grouping sets: cell + per-type subtotal + grand total, 1 pass;
-    // grouping() masks make subtotal rows collision-proof vs real values.
-    "q29_events_rollup" -> ((s, dir) =>
-      Events.typeHourRollup(events(s, dir))
-        .orderBy(col("g_type"), col("event_type"), col("g_hour"), col("hour_start"))),
-
-    // ROWS-frame window: per-user moving average of the last 10 events.
-    "q30_events_moving_avg" -> ((s, dir) =>
-      Events.userMovingAvg(events(s, dir), nRows = 10)
-        .orderBy(col("user_id"), col("ts"), col("event_id"))),
-
-    // As-of join: each event ← its user's latest COMPLETED-hour snapshot
-    // (snapshot of hour H becomes available at H+1h); -1 = no snapshot yet.
-    "q32_events_asof_snapshot" -> ((s, dir) => {
-      val e = events(s, dir)
-      val snap = e
-        .groupBy(col("user_id"),
-          (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
-        .agg(round(sum(col("value")), 6).as("hour_sum"))
-      graft.operators.AsOfJoin
-        .asOfJoin(e.select("event_id", "user_id", "ts"), snap,
-          keys = Seq("user_id"), tsCol = "ts", valCol = "hour_sum",
-          as = "asof_hour_sum")
-        .withColumn("asof_hour_sum", coalesce(col("asof_hour_sum"), lit(-1.0)))
-        .orderBy(col("user_id"), col("ts"), col("event_id"))
-    }),
-
-    // As-of with a STALENESS bound: matches older than 30 min null out
-    // (-1 sentinel) — the feature-store "don't join an ancient
-    // snapshot" guard; same one-shuffle union+window plan.
-    "q62_events_asof_tolerance" -> ((s, dir) => {
-      val e = events(s, dir)
-      val snap = e
-        .groupBy(col("user_id"),
-          (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
-        .agg(round(sum(col("value")), 6).as("hour_sum"))
-      graft.operators.AsOfJoin
-        .asOfJoin(e.select("event_id", "user_id", "ts"), snap,
-          keys = Seq("user_id"), tsCol = "ts", valCol = "hour_sum",
-          as = "asof_hour_sum", toleranceMs = Some(30L * 60 * 1000))
-        .withColumn("asof_hour_sum", coalesce(col("asof_hour_sum"), lit(-1.0)))
-        .orderBy(col("user_id"), col("ts"), col("event_id"))
-    }),
-
-    // Funnel / time-to-conversion: each click forward-as-of-joined to the
-    // user's next purchase (−1 = never converts).
-    "q41_events_funnel" -> ((s, dir) => {
-      val e = events(s, dir)
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts")).distinct()
-        .withColumn("p_ts", col("ts"))
-      graft.operators.AsOfJoin
-        .asOfJoin(clicks, purchases, Seq("user_id"), "ts", "p_ts",
-          as = "next_purchase_ts", forward = true)
-        .withColumn("secs_to_purchase",
-          coalesce(
-            expr("(unix_micros(next_purchase_ts) - unix_micros(ts)) div 1000000"),
-            lit(-1L)))
-        .select(col("event_id"), col("user_id"), col("ts"), col("secs_to_purchase"))
-        .orderBy(col("user_id"), col("ts"), col("event_id"))
-    }),
-
-    // Cohort retention triangle over purchase activity.
-    "q76_events_retention" -> ((s, dir) =>
-      Events.cohortRetention(events(s, dir), eventType = "purchase")
-        .orderBy(col("cohort"), col("day_offset"))),
-
-    // Whole-corpus stats (exact multi-distinct; approx variant is the
-    // scale path, tested in TextAnalysisSpec).
-    "q31_corpus_stats" -> ((s, dir) =>
-      TextAnalysis.corpusStats(
-          docs(s, dir).select(col("doc").cast("string").as("doc"), col("line")))
-        .orderBy(col("n_docs"))),
-
-    // HLL sketch contract: the approx tier (corpusStats exact=false,
-    // the named 100 TB path — one pass, bounded memory, no distinct
-    // shuffle) must land within 3·rsd of the exact counts, and the
-    // plain COUNT must be exact. Same recipe as the ANN recall
-    // contracts: quality pinned as a deterministic boolean the oracle
-    // asserts, not just determinism.
-    "q31b_corpus_stats_approx" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc").cast("string").as("doc"), col("line"))
-      val ex = TextAnalysis.corpusStats(d)
-        .select(col("n_docs"), col("n_terms"), col("total_tokens"))
-      val ap = TextAnalysis.corpusStats(d, exact = false)
-        .select(col("n_docs").as("a_docs"), col("n_terms").as("a_terms"),
-          col("total_tokens").as("a_tokens"))
-      def within(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
-          tol: Double): org.apache.spark.sql.Column =
-        abs(a - e) <= e * tol
-      ex.crossJoin(broadcast(ap)) // 1-row × 1-row
-        .select(col("n_docs"), col("n_terms"), col("total_tokens"),
-          within(col("a_docs"), col("n_docs"), 0.06).as("docs_ok"),
-          within(col("a_terms"), col("n_terms"), 0.06).as("terms_ok"),
-          (col("a_tokens") === col("total_tokens")).as("tokens_exact"))
-        .orderBy(col("n_docs"))
-    }),
-
-    // Corpus report rollup: (lang, source) cells + per-lang subtotals +
-    // grand total in one grouping-sets pass over one kernel scan.
-    "q75_corpus_rollup" -> ((s, dir) =>
-      graft.operators.Pipeline.corpusRollup(
-          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-            col("text").as("line"), col("lang"), col("source")))
-        .orderBy(col("g_lang"), col("lang"), col("g_source"), col("source"))),
-
-    // ANN: MULTI-PROBE hyperplane LSH top-10 — each query probes its own
-    // bucket plus every hamming-1 flip (9 buckets at bits=8), recovering
-    // neighbors that landed just across one hyperplane without adding
-    // tables. Oracle mirrors the same probe expansion.
-    "q95_ann_multiprobe" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.lshCosineTopKMultiProbe(e, e.where(col("vec_id") < 5),
-          k = 10, bits = 8)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // Multi-probe recall CONTRACT (the q25b twin at the SAME bits=8 the
-    // production call uses): recall@10 vs the exact top-k. q25 at bits=8
-    // probes 1/256 of the corpus per query; multi-probe makes that
-    // bucket width usable — SimilaritySpec asserts its recall dominates
-    // the single-probe run on the same family.
-    "q95b_ann_multiprobe_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.cosineTopK(e, q, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val approx = Similarity.lshCosineTopKMultiProbe(e, q, k = 10, bits = 8)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      q.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // CONVERGED transitive-closure dedup over corpus + the seeded chain:
-    // min-label propagation to a detected FIXPOINT (not a guessed
-    // iteration bound). The oracle computes TRUE connected components
-    // via a recursive CTE — a stronger contract than q28b's unrolled
-    // iterations: the engine's convergence must equal graph closure.
-    "q96_minhash_dedup_converged" -> ((s, dir) => {
-      import s.implicits._
-      val seeded = ChainDocs.toDF("doc", "line")
-      Dedup.minhashDedupConverged(docs(s, dir).unionByName(seeded))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // The SAME closure by the large/small-star algorithm (Kiveris et
-    // al., SoCC 2014): round count O(log² n) in component SIZE instead
-    // of min-label's O(diameter) — the 100 TB tier for adversarial
-    // chain-shaped dup graphs. Oracle is q96's recursive-CTE SQL
-    // verbatim: both tiers must equal true graph closure.
-    "q105_minhash_dedup_star" -> ((s, dir) => {
-      import s.implicits._
-      val seeded = ChainDocs.toDF("doc", "line")
-      Dedup.minhashDedupStar(docs(s, dir).unionByName(seeded))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // MODEL-BASED QUALITY FILTER (the CCNet/fastText curation recipe,
-    // Wenzek et al. 2020): train the q88 Naive Bayes on a target-vs-raw
-    // label (target = sources src0–src9), keep docs the model scores as
-    // target-like. The integer micro-nat scores make the decision
-    // boundary engine-exact — no float argmax to get lucky on.
-    "q112_model_quality_filter" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"),
-          when(col("source").isin((0 until 10).map(i => s"src$i"): _*),
-            "target").otherwise("raw").as("lang"))
-      graft.operators.Classify.naiveBayes(d, "lang", numBuckets = DsirBuckets)
-        .where(col("predicted") === "target")
-        .select(col("doc").as("doc_id"), col("lang").as("label"),
-          col("score_micro"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // OHLC DOWNSAMPLE: per (event_type, hour) open/high/low/close of
-    // value + count/sum — raw events collapsed to one row per series
-    // per bucket; open/close picked at the total (ts, event_id) order.
-    "q113_events_ohlc" -> ((s, dir) =>
-      graft.operators.Events.downsampleOhlc(events(s, dir))
-        .orderBy(col("event_type"), col("hour_start"))),
-
-    // TWAP downsample: time-weighted hourly mean via exact integer
-    // arithmetic (micro-quantized value, microsecond hold durations,
-    // decimal product sums, floor division) — engine-exact with no
-    // float-sum order sensitivity. The engine's boundary-stitched
-    // plan (per-(type,hour) lead + tiny hour-frame successor) equals
-    // the oracle's flat per-type lead by construction.
-    "q114_events_twap" -> ((s, dir) =>
-      graft.operators.Events.downsampleTwap(events(s, dir))
-        .orderBy(col("event_type"), col("hour_start"))),
-
-    // Cluster labeling: top-5 distinctive terms per q54 k-means cell
-    // by integer-exact lift vs the corpus distribution (decimal
-    // products, floor division) — joins the embedding clustering to
-    // the documents' text on vec_id = doc_id.
-    "q118_cluster_labels" -> ((s, dir) =>
-      Clustering.clusterLabels(
-          Clustering.kmeans(tbl(s, dir, "embeddings"), stride = 50, iters = 2),
-          docs(s, dir), k = 5, minCount = 2)
-        .orderBy(col("cell"), col("rnk"))),
-
-    // PageRank over the q39 term co-occurrence graph — integer-exact
-    // damped recurrence (micro-unit ranks, floor division only), 10
-    // fixed rounds; oracle unrolls the identical recurrence as CTEs.
-    "q117_term_pagerank" -> ((s, dir) =>
-      graft.operators.Graph
-        .termPageRank(docs(s, dir), window = 2, minCount = 2, iters = 10)
-        .orderBy(col("rank_micro").desc, col("term"))),
-
-    // Per-doc character entropy (gibberish/boilerplate screen):
-    // map-only length−replace counts over the shared fixed alphabet,
-    // explicit fixed-order float sum mirrored by the generated oracle.
-    "q116_char_entropy" -> ((s, dir) =>
-      TextAnalysis.charEntropy(docs(s, dir))
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy(col("doc_id"))),
-
-    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis),
-    // exact k=100 by n_chars weight — the seed-free u (52 md5 bits,
-    // exact double centering) and micro-quantized ln(u)/w key make the
-    // selected set engine-exact; TakeOrderedAndProject, no global sort.
-    "q115_sample_weighted_k" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .sampleWeightedK(
-          tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-          weightCol = "n_chars", keyCol = "doc_id", k = 100)
-        .orderBy(col("key_micro").desc, col("doc_id"))),
-
-    // WINNOW-fingerprint contamination screen: q44's split compared in
-    // fingerprint space — benchmark state shrinks by the winnow density
-    // (≈2/(w+1)), the k+w−1 shared-run guarantee still catches any
-    // leaked passage of ≥6 tokens.
-    "q111_contamination_winnow" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Pipeline
-        .contaminationCheckWinnow(d.where(col("doc") >= 5),
-          d.where(col("doc") < 5))
-        .select(col("doc").as("doc_id"), col("bench_doc").as("bench_id"),
-          col("shared_fps"))
-        .orderBy(col("doc_id"), col("bench_id"))
-    }),
-
-    // Per-source DISTINCT-TERM SKETCHES: the bounded-state vocabulary
-    // dashboard — one HLL sketch per ingest feed, estimate pinned
-    // within 6 % of exact per source (the q31b contract recipe; the
-    // estimate itself is not oracle-replayable).
-    "q110_source_vocab_sketch" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-        col("text").as("line"), col("source"))
-      val ex = d.select(col("source"),
-          explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
-            .as("term"))
-        .groupBy(col("source"))
-        .agg(countDistinct(col("term")).cast("long").as("n_terms"))
-      val ap = graft.operators.Vocab.sketchEstimates(
-        graft.operators.Vocab.termSketches(d))
-      ex.join(ap, Seq("source"))
-        .select(col("source"), col("n_terms"),
-          (abs(col("n_terms_est") - col("n_terms")) <=
-            col("n_terms") * 0.06).as("sketch_ok"))
-        .orderBy(col("source"))
-    }),
-
-    // Sketch-merge INVARIANCE (the q61 incremental≡batch contract in
-    // sketch space): union(sketch(even docs), sketch(odd docs)) must
-    // estimate EXACTLY what one sketch of the whole corpus estimates —
-    // HLL registers are per-slot maxima, order- and split-free.
-    "q110b_vocab_sketch_merge" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-        col("text").as("line"), col("source"))
-      val V = graft.operators.Vocab
-      val merged = V.sketchEstimates(V.mergeTermSketches(
-          V.termSketches(d.where(col("doc") % 2 === 0)),
-          V.termSketches(d.where(col("doc") % 2 === 1))))
-        .withColumnRenamed("n_terms_est", "est_merged")
-      val full = V.sketchEstimates(V.termSketches(d))
-        .withColumnRenamed("n_terms_est", "est_full")
-      merged.join(full, Seq("source"))
-        .agg(count(lit(1)).as("n_sources"),
-          (min(when(col("est_merged") === col("est_full"), 1L).otherwise(0L))
-            === 1L).as("all_equal"))
-    }),
-
-    // TOKEN-BUDGET QUALITY FILL: the best ~2000 tokens of the corpus —
-    // coarse keep/cutoff/drop by 1000 fixed quality bins (a tiny-frame
-    // window, never a corpus sort), fine fill inside the one cutoff bin
-    // in "fill:"-hash order via a bucketed prefix sum whose bucket key
-    // is the hash's own prefix (≡ the oracle's flat ordered window).
-    "q109_budget_fill" -> ((s, dir) =>
-      graft.operators.Pipeline.budgetFill(docs(s, dir), budgetTokens = 2000L)
-        .select(col("doc").as("doc_id"), col("n_tokens"), col("quality_score"))
-        .orderBy(col("doc_id"))),
-
-    // EMBEDDING-space DECONTAMINATION: max cosine of every corpus
-    // vector against the broadcast benchmark set (vec_id < 20) + the
-    // tau=0.8 verdict — the semantic twin of q44's n-gram screen,
-    // catching paraphrased eval leakage n-gram overlap misses.
-    "q108_embedding_decontaminate" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.embeddingContamination(
-          e.where(col("vec_id") >= 20), e.where(col("vec_id") < 20),
-          tau = 0.8)
-        .orderBy(col("vec_id"))
-    }),
-
-    // DATA-CONSTRAINED EPOCH REPETITION (Muennighoff et al. 2023): the
-    // oversampling side of mixture — a 300k-token budget exceeds the
-    // three selected sources' tokens at every SF (≈1.4k/14k/140k per
-    // source), so every rate lands above 1 and each doc is emitted
-    // floor(rate) times + a "rep:"-hashed fractional copy; output rows
-    // track the BUDGET (~2.7k at any SF), not the corpus.
-    "q107_epoch_repetition" -> ((s, dir) =>
-      graft.operators.Pipeline.epochRepetition(
-          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-            col("text").as("line"), col("source")),
-          shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
-          budgetTokens = 300000L)
-        .select(col("doc").as("doc_id"), col("copy"), col("source"),
-          col("n_tokens"), col("n_copies"))
-        .orderBy(col("doc_id"), col("copy"))),
-
-    // GOPHER rule battery (Rae et al. 2021): the named heuristic
-    // quality filters as a per-doc metric+verdict table — word bounds,
-    // mean word length, alpha fraction, stopword presence, top-2-gram
-    // character share. Map-only except the two bounded 2-gram shuffles.
-    "q106_gopher_rules" -> ((s, dir) =>
-      graft.functions.TextAnalysis.gopherQualityRules(docs(s, dir))
-        .select(col("doc").as("doc_id"), col("n_words"),
-          col("mean_word_len"), col("frac_alpha_words"),
-          col("n_stop_hits"), col("top2_frac"), col("keep"))
-        .orderBy(col("doc_id"))),
-
-    // Quality-aware keeper: per CONVERGED near-dup cluster keep the
-    // highest-quality member (ties to smallest id) instead of min-id —
-    // the keeper rule that stops dedup from preferring truncated copies.
-    "q97_dedup_best_keeper" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val labels = Dedup.minhashClusterLabelsConverged(d)
-      Dedup.dedupKeepBest(d, labels,
-          graft.functions.TextAnalysis.qualityScoreCol(col("line")))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // CCNet-style perplexity triage: per-LANGUAGE head/middle/tail
-    // thirds by bigram-LM fluency (corpus-own model, per-lang exact
-    // percentile cuts broadcast back).
-    "q98_perplexity_buckets" -> ((s, dir) =>
-      graft.operators.Pipeline.perplexityBuckets(
-          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-            col("text").as("line"), col("lang")))
-        .select(col("doc").as("doc_id"), col("lang"), col("n_bigrams"),
-          col("avg_logp"), col("bucket"))
-        .orderBy(col("doc_id"))),
-
-    // ── PQ / incremental-index tier (round 5) ───────────────────────────
-
-    // Product-quantization codes: 8 subspaces × 4-bit codes per vector
-    // (the 32× embedding-compression lever), exploded per (vec, sub) for
-    // scalar compare. MAP-ONLY — zero hash exchanges, plan-pinned.
-    "q99_pq_codes" -> ((s, dir) =>
-      Similarity.pqEncode(tbl(s, dir, "embeddings"))
-        .select(col("vec_id"), posexplode(col("codes")))
-        .select(col("vec_id"), col("pos").cast("long").as("sub"),
-          col("col").cast("long").as("code"))
-        .orderBy(col("vec_id"), col("sub"))),
-
-    // ADC top-10: asymmetric-distance scan over the code table — each
-    // query's m×k lookup table computed once, every corpus vector scored
-    // by m table picks. The compressed-domain q15.
-    "q99b_pq_adc_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.pqAdcTopK(e, e.where(col("vec_id") < 5), kTop = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // PQ quality CONTRACT (the q25b recipe): recall@10 of the ADC scan
-    // against the exact top-k — a broken codebook that still matches its
-    // own mirror shows up as a recall collapse here.
-    "q99c_pq_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.cosineTopK(e, q, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val approx = Similarity.pqAdcTopK(e, q, kTop = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      q.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // Referential/data-quality AUDIT across the paired corpus tables:
-    // duplicate keys, docs↔embeddings orphans, null/empty text — one
-    // row of exact counts, the pre-training preflight.
-    "q104_integrity_audit" -> ((s, dir) =>
-      graft.operators.Pipeline.integrityAudit(
-        docs(s, dir), tbl(s, dir, "embeddings"))),
-
-    // HARD-NEGATIVE mining (contrastive-training data op): per anchor
-    // the top-10 most-similar vectors BELOW the cos<0.5 near-dup
-    // ceiling — "close but not a positive", the band that sharpens a
-    // retrieval model without the false-negative trap. Exact tier.
-    "q103_hard_negatives" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.hardNegatives(e, e.where(col("vec_id") < 5),
-          k = 10, ceiling = 0.5)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // Production twin: the same ceiling + re-rank over multi-probe LSH
-    // candidates (~(bits+1)/2^bits of the corpus per anchor, never the
-    // full scan).
-    "q103b_hard_negatives_lsh" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.hardNegativesMultiProbe(e, e.where(col("vec_id") < 5),
-          k = 10, ceiling = 0.5, bits = 8)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // IVF-PQ: the two ANN tiers composed (probe nProbe cells, ADC-score
-    // their members from codes) — the billion-scale recipe where the
-    // float vector is touched by neither stage. SimilaritySpec asserts
-    // tier consistency against the flat ADC scan.
-    "q101_ivfpq_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), kTop = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // INCREMENTAL index ingest: build on history (vec_id < 400), append
-    // the delta with the index's FROZEN centroids (no re-cluster, no
-    // history rewrite), then probe the grown index. The oracle is the
-    // direct IVF search over the UNION corpus with the same frozen
-    // centroid set — append must be invisible to queries.
-    "q100_ann_index_append" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_append_" +
-        java.lang.Integer.toHexString(dir.hashCode)
-      val e = tbl(s, dir, "embeddings")
-      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
-      Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
-      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
-          k = 10, nProbe = 2)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // Latest-wins keyed UPSERT (MERGE INTO semantics): the per-(user,
-    // type) state table built from pre-cutoff events, then a delta of
-    // the last days merged in — out-of-order delta rows are no-ops,
-    // absent keys insert. The delta-bounded semi/anti split is provably
-    // invisible: the oracle is ONE flat latest-per-key window over all
-    // events (the q81 plain-SQL pattern).
-    "q119_upsert_latest" -> ((s, dir) => {
-      val e = events(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val cut = lit("2024-01-25 00:00:00").cast("timestamp")
-      val keys = Seq("user_id", "event_type")
-      val ord = Seq("ts", "event_id")
-      val hist = graft.operators.Merge.upsertLatest(
-        e.where(lit(false)), e.where(col("ts") < cut), keys, ord)
-      graft.operators.Merge.upsertLatest(
-          hist, e.where(col("ts") >= cut), keys, ord)
-        .orderBy(col("user_id"), col("event_type"))
-    }),
-
-    // SNAPSHOT DIFF change feed: two corpus snapshots derived from
-    // documents by independent md5 rules (A drops 10 %, B drops a
-    // different 10 % and mutates 5 % by reversal), diffed to row-level
-    // added/removed/changed verdicts — fingerprints join, payloads
-    // never shuffle.
-    "q120_snapshot_diff" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-      def bkt(prefix: String) = conv(substring(
-          md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      val a = d.where(bkt("snapA:") < 900000L)
-        .select(col("doc_id"), col("text"))
-      val b = d.where(bkt("snapB:") < 900000L)
-        .select(col("doc_id"),
-          when(bkt("mut:") < 50000L, reverse(col("text")))
-            .otherwise(col("text")).as("text"))
-      graft.operators.Merge.snapshotDiff(a, b, "doc_id", "text")
-        .where(col("change") =!= "unchanged")
-        .select(col("key").as("doc_id"), col("change"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // N-GRAM benchmark DECONTAMINATION (the GPT-3 13-gram screen):
-    // the "benchmark" is a deterministic 10% md5 slice of the corpus,
-    // so contaminated docs = the slice itself plus every doc sharing a
-    // verbatim 13-gram with it (exact/near dups of slice docs). Bench
-    // n-grams broadcast; the corpus is scanned once.
-    "q145_ngram_decontaminate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val bkt = conv(substring(
-          md5(concat(lit("bench:"), col("doc").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      graft.operators.Dedup
-        .ngramDecontaminate(d, d.where(bkt < 100000L), n = 13)
-        .select(col("doc").as("doc_id"), col("n_hits"), col("contaminated"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Contamination by BENCHMARK item: q145 flipped — per eval doc,
-    // the corpus docs sharing a verbatim 13-gram (self excluded).
-    "q202_contamination_report" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val bkt = conv(substring(
-          md5(concat(lit("bench:"), col("doc").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      graft.operators.Dedup
-        .contaminationReport(d, d.where(bkt < 100000L), n = 13)
-        .orderBy(col("bench_doc"))
-    }),
-
-    // Dup-cluster size histogram over the converged components — the
-    // dedup diagnostics chart, pure integers.
-    "q203_dup_cluster_histogram" -> ((s, dir) =>
-      graft.operators.Dedup.dupClusterHistogram(docs(s, dir))
-        .orderBy(col("cluster_size"))),
-
-    // Packing efficiency report: fill rate / overflow grading of the
-    // q48 configuration, one row.
-    "q204_pack_stats" -> ((s, dir) =>
-      graft.operators.Chunking.packStats(docs(s, dir),
-        targetTokens = 256, buckets = 16)),
-
-    // All-pairs exact WEIGHTED (tf-weighted unigram) Jaccard ≥ 0.8 —
-    // the verification tier. On this corpus's ~31-term shared
-    // vocabulary PLAIN unigram Jaccard is degenerate (~every pair ≈ 1);
-    // Σmin/Σmax over tf vectors discriminates on frequencies.
-    "q146_weighted_jaccard" -> ((s, dir) =>
-      Dedup.weightedJaccardPairs(docs(s, dir), threshold = 0.8)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))),
-
-    // Production weighted near-dup: MinHash+LSH over the term#i
-    // weighted-element expansion (integer-weight reduction of weighted
-    // to plain Jaccard) → guarded candidates → exact Σmin/Σmax verify.
-    // The oracle replicates banding, so recall is pinned, not trusted.
-    "q147_weighted_near_dup" -> ((s, dir) =>
-      Dedup.weightedNearDups(docs(s, dir), threshold = 0.8)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))),
-
-    // Estimator-quality CONTRACT for the weighted tier — the HOLD-OUT
-    // estimator (bands from m0..m15, estimate from the disjoint
-    // m16..m31): on this tier's mid-J candidate mix the q102b recipe
-    // (estimate from the banding minima) fails its own bounds by
-    // selection bias ≈ 0.25·(1−J) (measured 0.153 mean abs err);
-    // hold-out hashes restore E[est] = J and the Broder σ bounds —
-    // a replication-trick bug (wrong element strings, dropped copies)
-    // still blows past them immediately.
-    "q147b_weighted_estimate_quality" -> ((s, dir) => {
-      val tf = graft.Caching.persist(Dedup.termWeights(docs(s, dir)))
-      val est = Dedup.weightedJaccardEstimates(docs(s, dir))
-      val exact = Dedup.weightedJaccardFor(est.select(col("d1"), col("d2")), tf)
-      est.join(exact, Seq("d1", "d2"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
-          round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
-        .select(col("n_pairs"), col("mean_abs_err"), col("max_abs_err"),
-          (col("mean_abs_err") <= 0.12).as("mean_ok"),
-          (col("max_abs_err") <= 0.6).as("max_ok"))
-    }),
-
-    // Per-doc KL divergence from the corpus unigram distribution, in
-    // integer micro-nats (engine-exact: each term contribution
-    // quantized floor(1e6·p·ln(p/q)) before the per-doc sum — the q88
-    // recipe, no float-aggregation-order hazard).
-    "q148_kl_novelty" -> ((s, dir) =>
-      graft.operators.Pipeline.klNovelty(docs(s, dir))
-        .select(col("doc").as("doc_id"), col("n_tokens"), col("kl_unats"))
-        .orderBy(col("doc_id"))),
-
-    // Per-user EWMA over the last 10 events (α = 0.2): the
-    // recency-weighted twin of q30's flat moving average. Weight
-    // literals are generated once and shared with the oracle SQL, so
-    // no libm pow parity dependence.
-    "q149_events_ewma" -> ((s, dir) =>
-      Events.userEwma(events(s, dir), nRows = 10, alpha = 0.2)
-        .orderBy(col("user_id"), col("ts"), col("event_id"))),
-
-    // KL novelty against a FROZEN reference distribution (the
-    // incremental-pipeline form): the md5 half-slice is the reference
-    // release, the other half the arriving delta. Unseen-term mass is
-    // reported, not folded into the sum (on this corpus's full-vocab
-    // slices it is structurally 0 — the unit specs exercise the
-    // unseen path on vocab-disjoint fixtures).
-    "q150_kl_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val bkt = conv(substring(
-          md5(concat(lit("klh:"), col("doc").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      graft.operators.Pipeline
-        .klNoveltyAgainst(d.where(bkt >= 500000L), d.where(bkt < 500000L))
-        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_unseen"),
-          col("kl_unats"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // Incremental weighted near-dup: delta (docs ≥ 250) banded against
-    // HISTORY (docs < 250) on the weighted-element signatures — the
-    // q52 split, weighted semantics; banding replicated in the oracle.
-    "q152_weighted_near_dup_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.weightedNearDupsAgainst(
-          d.where(col("doc") >= 250), d.where(col("doc") < 250))
-        .select(col("doc").as("doc_id"), col("hist_doc").as("hist_id"),
-          round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("doc_id"), col("hist_id"))
-    }),
-
-    // Source × language governance matrix via the PIVOT relational
-    // surface (explicit value list — no extra distinct-values job, and
-    // deterministic column names the oracle mirrors with CASE sums).
-    "q151_lang_source_pivot" -> ((s, dir) => {
-      val langs = Seq("de", "en", "es", "fr", "und")
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
-      val l = TextAnalysis.langId(d.select(col("doc"), col("line")))
-        .select(col("doc"), col("lang_pred"))
-      d.select(col("doc"), col("source")).join(l, "doc")
-        .groupBy(col("source")).pivot("lang_pred", langs).count()
-        .select(col("source") +:
-          langs.map(lg => coalesce(col(lg), lit(0L)).as(s"n_$lg")): _*)
-        .orderBy(col("source"))
-    }),
-
-    // FEATURE-HASHED bag-of-words vectors (hashing trick, 64 dims):
-    // integer signed-sum weights from the md5 bucket+sign, replicated
-    // digit-exact in the oracle — no vocabulary pass at any scale.
-    "q153_hashed_features" -> ((s, dir) =>
-      Dedup.hashedFeatures(docs(s, dir), dims = 64)
-        .select(col("doc").as("doc_id"), col("bucket"), col("weight"))
-        .orderBy(col("doc_id"), col("bucket"))),
-
-    // Sparse cosine near-dups via the inverted-index bucket join over
-    // the hashed vectors, on a ~20 % doc sample (the q16 sampling
-    // convention). The hot-bucket guard is wide open at this SF, so
-    // the oracle is the plain all-pairs bucket join — a pair sharing
-    // no bucket has dot 0 < threshold and drops on both engines.
-    "q153b_hashed_cosine" -> ((s, dir) => {
-      val bkt = conv(substring(
-          md5(concat(lit("fhs:"), col("doc").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      Dedup.hashedCosinePairs(docs(s, dir).where(bkt < 200000L),
-          dims = 64, threshold = 0.85, maxBucketDocs = 1000000L)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
-
-    // AUTO-SIZED hashed cosine (the q5d pattern): dims from the
-    // corpus's own distinct-term count via deriveHashedDims — resolves
-    // to 64 on this sample, so the oracle is q153b's SQL verbatim.
-    "q153d_hashed_cosine_auto" -> ((s, dir) => {
-      val bkt = conv(substring(
-          md5(concat(lit("fhs:"), col("doc").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      Dedup.hashedCosinePairsAuto(docs(s, dir).where(bkt < 200000L),
-          threshold = 0.85, maxBucketDocs = 1000000L)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
-
-    // Per-source ZIPF SLOPE: ln(count) over ln(rank) least squares in
-    // exact integer moments — the lexical-diversity data-card row.
-    "q160_zipf_slope" -> ((s, dir) =>
-      graft.operators.Vocab.zipfSlope(
-          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
-          "source")
-        .orderBy(col("source"))),
-
-    // Per-source N-GRAM DIVERSITY: unigram + trigram type–token
-    // ratios in one tagged-gram pass — the phrase-reuse/boilerplate
-    // data-card row complementing q160's frequency-curve slope.
-    "q164_ngram_diversity" -> ((s, dir) =>
-      graft.operators.Vocab.ngramDiversity(
-          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
-          "source", n = 3)
-        .orderBy(col("source"))),
-
-    // TERM BURSTINESS: Church–Gale cf/df top-k — within-doc repetition
-    // concentration; template/spam markers unigram counts miss.
-    "q165_term_burstiness" -> ((s, dir) =>
-      graft.operators.Vocab.termBurstiness(docs(s, dir), minDf = 2L, k = 50)),
-
-    // LENGTH–QUALITY correlation per source: Pearson r over exact
-    // integer moments (quality in micro-longs) — "is the quality
-    // score just measuring length?" per feed.
-    "q168_length_quality_corr" -> ((s, dir) =>
-      graft.operators.Pipeline.featureCorrelation(
-          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
-          "source")
-        .orderBy(col("source"))),
-
-    // UNIMAX budget allocation: waterfill 40k training tokens across
-    // languages, no language repeated more than twice — the closed-form
-    // capped-prefix greedy, exact long arithmetic end to end.
-    "q169_unimax_allocation" -> ((s, dir) =>
-      graft.operators.Pipeline.uniMaxAllocation(
-          tbl(s, dir, "documents").select(col("lang"), col("text").as("line")),
-          "lang", budgetTokens = 40000L, maxEpochs = 2)
-        .orderBy(col("lang"))),
-
-    // Growth curve: DAU + cumulative reach via first-seen — the
-    // growing-window COUNT DISTINCT replaced by one per-user min and
-    // a days-bounded running sum.
-    "q175_user_growth" -> ((s, dir) =>
-      graft.operators.Events.userGrowth(events(s, dir))
-        .orderBy(col("day"))),
-
-    // Incremental growth: per-slice mergeable states (even/odd ids)
-    // rendered — must equal q175's all-at-once curve (its oracle
-    // verbatim: merge ≡ union by construction).
-    "q175b_growth_incremental" -> ((s, dir) => {
-      val e = events(s, dir)
-      val ops = graft.operators.Events
-      ops.renderGrowth(ops.mergeGrowthStates(
-          ops.userGrowthState(e.where(col("event_id") % 2 === 0)),
-          ops.userGrowthState(e.where(col("event_id") % 2 === 1))))
-        .orderBy(col("day"))
-    }),
-
-    // Deletion propagation: retract the user_id%10==0 slice's state
-    // from the full state — the curve must equal one computed on the
-    // surviving events directly (right-to-be-forgotten repair without
-    // re-scanning history).
-    "q175c_growth_retract" -> ((s, dir) => {
-      val e = events(s, dir)
-      val ops = graft.operators.Events
-      ops.renderGrowth(ops.retractGrowthState(
-          ops.userGrowthState(e),
-          ops.userGrowthState(e.where(col("user_id") % 10 === 0))))
-        .orderBy(col("day"))
-    }),
-
-    // Linear multi-touch attribution: purchase value floor-divided
-    // across the user's click/view touches in the prior 7 days —
-    // integer micro credit, remainder unattributed by contract.
-    "q181_attribution_linear" -> ((s, dir) =>
-      graft.operators.Events.linearAttribution(events(s, dir))
-        .orderBy(col("touch_type"))),
-
-    // U-shaped attribution: 40/20/40 position credit on q181's
-    // lookback relation — the attribution sensitivity analysis.
-    "q206_attribution_ushaped" -> ((s, dir) =>
-      graft.operators.Events.uShapedAttribution(events(s, dir))
-        .orderBy(col("touch_type"))),
-
-    // Time-decay attribution completes the standard trio: half-life
-    // step weights w = 10⁶ div 2^⌊age/24h⌋, exact integral credit.
-    "q216_attribution_decay" -> ((s, dir) =>
-      graft.operators.Events.timeDecayAttribution(events(s, dir))
-        .orderBy(col("touch_type"))),
-
-    // LSH bucket-size histogram at 8 bits: the hot-bucket-guard
-    // empirics for the ANN tier.
-    "q207_lsh_bucket_histogram" -> ((s, dir) =>
-      Similarity.lshBucketHistogram(tbl(s, dir, "embeddings"), bits = 8)
-        .orderBy(col("bucket_size"))),
-
-    // Traffic concentration: top-10-user share per type — the
-    // distribution-shape radar next to q78's θ-threshold hot keys.
-    "q176_top_user_share" -> ((s, dir) =>
-      graft.operators.Events.topUserShare(events(s, dir), k = 10)
-        .orderBy(col("event_type"))),
-
-    // UniMax APPLIED: the waterfill allocation drives deterministic
-    // epoch copies (⌊rate⌋ + md5-fractional) — the mixture pipeline
-    // end to end in one plan.
-    "q169b_unimax_applied" -> ((s, dir) =>
-      graft.operators.Pipeline.uniMaxSample(
-          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
-            col("text").as("line"), col("lang")),
-          "lang", budgetTokens = 40000L, maxEpochs = 2)
-        .select(col("doc").as("doc_id"), col("copy"), col("lang"),
-          col("n_tokens"), col("n_copies"))
-        .orderBy(col("doc_id"), col("copy"))),
-
-    // CUSUM changepoints: two-sided Page statistic over hourly value
-    // sums, the max(0,·) recursion unrolled to prefix-sum − running-min
-    // — sustained small drifts the pointwise q123/q138 z-scores miss.
-    "q170_cusum_changepoints" -> ((s, dir) =>
-      graft.operators.Events.cusumChangepoints(events(s, dir))
-        .orderBy(col("event_type"), col("hour_start"))),
-
-    // Frozen-parameter CUSUM: (μ,κ,h) fit on the even-id slice,
-    // odd-id events scored against those constants — the deployment
-    // split (self-fit σ would let drift hide itself).
-    "q170b_cusum_frozen" -> ((s, dir) => {
-      val e = events(s, dir)
-      graft.operators.Events.cusumScoresAgainst(
-          e.where(col("event_id") % 2 === 0),
-          e.where(col("event_id") % 2 === 1))
-        .orderBy(col("event_type"), col("ts"), col("event_id"))
-    }),
-
-    // Incremental image screen: delta images (id ≥ 250) probe the
-    // history band index — never each other (the q52 split, aHash
-    // domain); closest history match per hit.
-    "q172c_image_neardup_incr" -> ((s, dir) => {
-      val ah = graft.Caching.persist(
-        Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))))
-      Multimodal.imageNearDupAgainst(
-          ah.where(col("asset_id") >= 250), ah.where(col("asset_id") < 250))
-        .orderBy(col("asset_id"))
-    }),
-
-    // Audio perceptual hash: the q172 aHash rule over the decoded PCM
-    // ENERGY envelope (|int16|) — the oracle rebuilds every bit from
-    // the text the WAV encoder sampled (the q144/q172 lockstep recipe).
-    "q217_audio_ahash" -> ((s, dir) =>
-      Multimodal.audioAHash(Multimodal.encodeAssets(docs(s, dir)))
-        .orderBy(col("asset_id"))),
-
-    // Banded Hamming near-dups over the audio hashes — the SAME 7×8-bit
-    // pigeonhole machinery as q172b, modality-agnostic by construction;
-    // oracle = all-pairs brute force, exact agreement at maxDist ≤ 6.
-    "q217b_audio_neardup" -> ((s, dir) =>
-      Multimodal.ahashNearDupPairs(
-          Multimodal.audioAHash(Multimodal.encodeAssets(docs(s, dir))),
-          maxDist = 6)
-        .orderBy(col("d1"), col("d2"))),
-
-    // Video perceptual hash: KEYFRAME-sampled aHash — every 2nd frame's
-    // luma plane through the 56-bucket rule; sampling decided inside
-    // the container walk (FRAME markers make raw slicing wrong).
-    "q218_video_ahash" -> ((s, dir) =>
-      Multimodal.videoAHash(Multimodal.encodeAssets(docs(s, dir)), everyNth = 2)
-        .orderBy(col("asset_id"))),
-
-    "q218b_video_neardup" -> ((s, dir) =>
-      Multimodal.ahashNearDupPairs(
-          Multimodal.videoAHash(Multimodal.encodeAssets(docs(s, dir)),
-            everyNth = 2),
-          maxDist = 6)
-        .orderBy(col("d1"), col("d2"))),
-
-    // Integer image RESIZE: the aHash bucketing as a standalone
-    // floor-mean downsample — the oracle rebuilds each resized pixel
-    // from the text the encoder rasterized (the q172 lockstep recipe).
-    "q219_image_resize" -> ((s, dir) =>
-      Multimodal.imageResize(Multimodal.encodeAssets(docs(s, dir)),
-          targetW = 16)
-        .orderBy(col("asset_id"), col("bucket"))),
-
-    // WINDOWED audio fingerprints: one aHash per fixed 64-sample span
-    // (trailing partial included) — the long-media segment key; every
-    // per-window bit rebuilt by the oracle from the encoder text with
-    // window-LOCAL positions and length.
-    "q220_audio_ahash_windows" -> ((s, dir) =>
-      Multimodal.audioAHashWindows(Multimodal.encodeAssets(docs(s, dir)),
-          windowSamples = 64)
-        .orderBy(col("asset_id"), col("window_id"))),
-
-    // Any-window banded near-dup rolled up to asset pairs — shared-
-    // SEGMENT detection; oracle = brute force over all cross-asset
-    // window pairs, exact agreement (pigeonhole, no hot buckets here).
-    "q220b_audio_window_neardup" -> ((s, dir) =>
-      Multimodal.ahashWindowNearDupPairs(
-          Multimodal.audioAHashWindows(Multimodal.encodeAssets(docs(s, dir)),
-            windowSamples = 64),
-          maxDist = 6)
-        .orderBy(col("d1"), col("d2"))),
-
-    // SEGMENTED video fingerprints: one aHash per 4 consecutive SAMPLED
-    // frames (everyNth = 2), segment-local fold — reused-footage keys.
-    "q221_video_ahash_segments" -> ((s, dir) =>
-      Multimodal.videoAHashSegments(Multimodal.encodeAssets(docs(s, dir)),
-          segmentFrames = 4, everyNth = 2)
-        .orderBy(col("asset_id"), col("segment_id"))),
-
-    "q221b_video_segment_neardup" -> ((s, dir) =>
-      Multimodal.ahashWindowNearDupPairs(
-          Multimodal.videoAHashSegments(Multimodal.encodeAssets(docs(s, dir)),
-            segmentFrames = 4, everyNth = 2),
-          maxDist = 6)
-        .orderBy(col("d1"), col("d2"))),
-
-    // WIDE band layout (4×14-bit, maxDist ≤ 3): the documented escape
-    // hatch for corpora where the 7×8 key space runs hot — shares the
-    // image-hash CTEs, brute-force oracle at the tighter threshold.
-    "q172d_image_neardup_wide" -> ((s, dir) =>
-      Multimodal.ahashNearDupPairs(
-          Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))),
-          maxDist = 3, nBands = 4, bandBits = 14)
-        .orderBy(col("d1"), col("d2"))),
-
-    // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
-    // reads byte codes + per-vector stats only — the 4× memory rung
-    // between PQ (q99) and sign bits (q135).
-    "q171_int8_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.int8SdcTopK(e, e.where(col("vec_id") < 5), kTop = 10)
-        .orderBy(col("q_vec_id"), col("rank"))
-    }),
-
-    // Int8 tier recall contract vs the exact scan (the q99c pattern):
-    // 8-bit cells should be near-lossless — the contract records it.
-    "q171b_int8_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.cosineTopK(e, q, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val approx = Similarity.int8SdcTopK(e, q, kTop = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      q.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // Incremental hashed-cosine: delta (docs ≥ 250) probes the
-    // HISTORY's (docs < 250) inverted index — never a delta self-join;
-    // the q52 split, sparse-cosine semantics.
-    "q153c_hashed_cosine_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.hashedCosineAgainst(
-          d.where(col("doc") >= 250), d.where(col("doc") < 250),
-          dims = 64, threshold = 0.9, maxBucketDocs = 1000000L)
-        .select(col("doc").as("doc_id"), col("hist_doc").as("hist_id"),
-          col("cos"))
-        .orderBy(col("doc_id"), col("hist_id"))
-    }),
-
-    // BAG-OF-WORDS dup groups: md5 of the SORTED token multiset — the
-    // order-insensitive dedup key (shuffled copies of the same words
-    // collapse; exact dedup q11 would miss them).
-    "q154_bow_dedup" -> ((s, dir) =>
-      Dedup.bowGroups(docs(s, dir))
-        .orderBy(col("bow_fp"))),
-
-    // Shingle CONTAINMENT pairs: the asymmetric near-dup relation
-    // (|A∩B|/|A| — quote/wrapper detection); directed, both
-    // directions emitted when both clear τ.
-    "q158_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.5)
-        .select(col("inner_doc").as("inner_id"),
-          col("outer_doc").as("outer_id"), col("containment"))
-        .orderBy(col("inner_id"), col("outer_id"))),
-
-    // DF-screened exact containment: rare-shingle probes + the
-    // hot-mass fallback bound — deterministic recall, oracle = q158's
-    // brute SQL verbatim (ContainmentProperties re-proves equality).
-    // Screened containment on a ~30 % doc sample (the q153b sampling
-    // convention): this row demonstrates EXACTNESS vs the brute SQL on
-    // the same relation; the screen's economics are measured where its
-    // corpus shape exists (PrefixStressMain's Zipf fixture, 10.6×) —
-    // on THIS flat-vocab fixture nearly every doc takes the full
-    // fallback, the same recorded loss as the prefix filter's.
-    "q158b_containment_screened" -> ((s, dir) => {
-      val bkt = conv(substring(
-          md5(concat(lit("cns:"), col("doc").cast("string"))), 1, 8),
-        16, 10).cast("long") % 1000000L
-      Dedup.containmentPairsScreened(docs(s, dir).where(bkt < 300000L),
-          n = 3, threshold = 0.5, maxDf = 10L)
-        .select(col("inner_doc").as("inner_id"),
-          col("outer_doc").as("outer_id"), col("containment"))
-        .orderBy(col("inner_id"), col("outer_id"))
-    }),
-
-    // Incremental BOW dedup: the q40 anti-join on the order-
-    // insensitive fingerprint — delta (docs ≥ 250) vs history.
-    "q154b_bow_dedup_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.bowDedupAgainst(
-          d.where(col("doc") >= 250),
-          Dedup.bowFingerprints(d.where(col("doc") < 250)))
-        .select(col("doc").as("doc_id"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
-    // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
-    "q155_tokenizer_fertility" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
-      val vocab = graft.operators.Vocab
-        .buildVocab(d.select(col("doc"), col("line")), minCount = 2)
-      graft.operators.Vocab.tokenizerFertility(d, vocab, "lang")
-        .orderBy(col("lang"))
-    }),
-
-    // Cross-source duplication matrix: q13's near-dup pairs rolled up
-    // by unordered source pair — the feed-mirroring governance view.
-    "q163_cross_source_dups" -> ((s, dir) =>
-      graft.operators.Pipeline.crossSourceDupMatrix(
-          tbl(s, dir, "documents")
-            .select(col("doc_id").as("doc"), col("text").as("line"),
-              col("source")))
-        .orderBy(col("s1"), col("s2"))),
-
-    // Per-source unigram ENTROPY in micro-nats (the KL family's
-    // diversity baseline): floor-quantized per-term contributions,
-    // integer totals — engine-exact by construction.
-    "q157_source_entropy" -> ((s, dir) =>
-      graft.operators.Pipeline.groupTermEntropy(
-          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
-          "source")
-        .orderBy(col("source"))),
-
-    // PREFERENCE PAIRS per source: (chosen, rejected) = quality
-    // argmax/argmin in micro-units, margin-gated at 0.05 — the DPO
-    // pair constructor over the corpus's own quality signal.
-    "q156_preference_pairs" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
-        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
-      graft.operators.Pipeline.preferencePairs(d, "source", minMargin = 0.05)
-        .select(col("source"), col("n_docs"), col("chosen"), col("rejected"),
-          col("q_chosen_micro"), col("q_rejected_micro"), col("margin_micro"))
-        .orderBy(col("source"))
-    }),
-
-    // PREFIX-FILTERED exact set-similarity join (All-Pairs/PPJoin):
-    // every pair at Jaccard ≥ 0.8 with deterministic recall, from
-    // rare-shingle prefix probes (~20 % of each doc's shingles at
-    // τ=0.8 — the high-τ near-dup operating point the filter is FOR)
-    // instead of the full shingle self-join. Oracle is the q12
-    // brute-force SQL at the same τ: any false negative fails the
-    // hash compare.
-    "q121_jaccard_prefix" -> ((s, dir) =>
-      Dedup.prefixFilterJaccardPairs(docs(s, dir), n = 3, threshold = 0.8)
-        .orderBy(col("d1"), col("d2"))),
-
-    // Pairwise SOURCE-OVERLAP matrix over distinct per-feed vocabulary
-    // — the full S×S governance dashboard including zero-overlap pairs
-    // (the matrix frame is sources², assembled from a tiny inequality
-    // cross; corpus-scale exchanges are all fp- or pair-keyed).
-    "q122_source_overlap" -> ((s, dir) => {
-      val terms = tbl(s, dir, "documents")
-        .select(col("source"),
-          explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .as("fp"))
-      graft.operators.Pipeline.sourceOverlap(terms)
-        .orderBy(col("s1"), col("s2"))
-    }),
-
-    // Per-type HOURLY ANOMALY z-scores from integer window sums only —
-    // (n·h − S) / (h·√((h·Q − S²)/(h·(h−1)))) applied to exact longs in
-    // a fixed expression tree, so engine and oracle agree bit-for-bit
-    // (no stddev-algorithm drift).
-    "q123_events_anomaly" -> ((s, dir) =>
-      graft.operators.Events.hourlyAnomalies(events(s, dir), zThreshold = 2.0)
-        .orderBy(col("event_type"), col("hour_start"))),
-
-    // Robust anomalies: the q123 monitor's median/MAD twin (modified
-    // z-score, 0.6745, threshold 3.5) — 50 %-breakdown estimators that
-    // one spike cannot drag (masking).
-    "q161_events_anomaly_robust" -> ((s, dir) =>
-      graft.operators.Events.hourlyAnomaliesRobust(events(s, dir))
-        .orderBy(col("event_type"), col("hour_start"))),
-
-    // Pairwise metric correlation: Pearson r over hourly micro-sums on
-    // the common hour grid, moments exact in DECIMAL(38,0), one final
-    // round-6 double — the q123 recipe lifted to two series.
-    "q159_type_correlation" -> ((s, dir) =>
-      graft.operators.Events.typeCorrelation(events(s, dir))
-        .orderBy(col("type_a"), col("type_b"))),
-
-    // KMV-sketch source overlap: q122's matrix from O(S·k) sketch
-    // state instead of the full distinct-fp exchange — deterministic
-    // 60-bit md5 hashes, so sketch contents and estimates replay
-    // bit-identically in the oracle.
-    "q124_source_overlap_kmv" -> ((s, dir) => {
-      val terms = tbl(s, dir, "documents")
-        .select(col("source"),
-          explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .as("fp"))
-      graft.operators.Pipeline.sourceOverlapKmv(terms, k = 16)
-        .orderBy(col("s1"), col("s2"))
-    }),
-
-    // KMV estimator-quality CONTRACT (the q102b recipe): |Ĵ − J| over
-    // all 190 source pairs vs the exact q122 matrix, mean/max bounds
-    // asserted in-row (σ ≈ √(J(1−J)/16); k=16 sits below the per-feed vocab so the
-    // sketch genuinely truncates).
-    "q124b_kmv_quality" -> ((s, dir) => {
-      val terms = tbl(s, dir, "documents")
-        .select(col("source"),
-          explode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
-            .as("fp"))
-      val t = graft.Caching.persist(terms)
-      val est = graft.operators.Pipeline.sourceOverlapKmv(t, k = 16)
-        .select(col("s1"), col("s2"), col("jaccard_est"))
-      val exact = graft.operators.Pipeline.sourceOverlap(t)
-        .select(col("s1"), col("s2"), col("jaccard"))
-      est.join(exact, Seq("s1", "s2"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(abs(col("jaccard_est") - col("jaccard"))), 6).as("mean_abs_err"),
-          round(max(abs(col("jaccard_est") - col("jaccard"))), 6).as("max_abs_err"))
-        .select(col("n_pairs"), col("mean_abs_err"), col("max_abs_err"),
-          (col("mean_abs_err") <= 0.05).as("mean_ok"),
-          (col("max_abs_err") <= 0.2).as("max_ok"))
-    }),
-
-    // First-order Markov TRANSITION matrix over user event streams:
-    // one user-keyed successor window + a (from, to) aggregate; the
-    // probability normalizer is a window over the tiny types² frame.
-    "q125_event_transitions" -> ((s, dir) =>
-      graft.operators.Events.typeTransitions(events(s, dir))
-        .orderBy(col("from_type"), col("to_type"))),
-
-    // Long-run traffic shares: 20 exact-integer power rounds over the
-    // q125 transition matrix (the q117 floor-div micro recipe).
-    "q182_transition_stationary" -> ((s, dir) =>
-      graft.operators.Events.transitionStationary(events(s, dir), iters = 20)
-        .orderBy(col("event_type"))),
-
-    // Incremental n-gram NOVELTY score: per new doc (doc >= 250), the
-    // fraction of its distinct 3-grams never seen in history
-    // (doc < 250) — the ingest-time freshness signal; shingle-less
-    // docs emit null novelty.
-    "q126_novelty" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Pipeline
-        .noveltyScore(d.where(col("doc") >= 250), d.where(col("doc") < 250))
-        .select(col("doc").as("doc_id"), col("n_shingles"), col("n_novel"),
-          col("novelty"))
-        .orderBy(col("doc_id"))
-    }),
-
-    // TRIANGLE participation per term over the q117 co-occurrence
-    // graph, via degree-ordered orientation (Suri–Vassilvitskii) —
-    // wedge fan-out capped at O(√E) per node, so the stopword hub
-    // can't become the last reducer; integer counts, no rounding
-    // contract at all. The oracle counts the same triangles from the
-    // lexicographic canonical form — orientation provably can't
-    // change which triangles exist.
-    "q127_term_triangles" -> ((s, dir) =>
-      graft.operators.Graph
-        .triangleCounts(docs(s, dir), window = 2, minCount = 2)
-        .orderBy(col("term"))),
-
-    // Degree histogram of the co-occurrence graph: the Zipf-tail /
-    // hub-mass check that sizes any wedge fan-out — pure integers.
-    "q190_degree_distribution" -> ((s, dir) =>
-      graft.operators.Graph
-        .degreeDistribution(docs(s, dir), window = 2, minCount = 2)
-        .orderBy(col("deg"))),
-
-    // Local clustering coefficient: q127's triangles over the wedge
-    // count per node — clique terms vs context-bridging hubs.
-    "q191_clustering_coeff" -> ((s, dir) =>
-      graft.operators.Graph
-        .clusteringCoefficients(docs(s, dir), window = 2, minCount = 2)
-        .orderBy(col("term"))),
-
-    // RENDEZVOUS sharding at n=16: the map-only argmax assignment,
-    // replayed hash-for-hash by the oracle.
-    "q128_rendezvous_shard" -> ((s, dir) =>
-      graft.operators.Chunking
-        .rendezvousShard(tbl(s, dir, "documents").select(col("doc_id")),
-          "doc_id", numShards = 16)
-        .orderBy(col("doc_id"))),
-
-    // Weighted exact-k PER GROUP: every language contributes its own
-    // 20-row Efraimidis–Spirakis draw by n_chars weight — balanced
-    // AND weighted; the window's rank filter is WindowGroupLimit-
-    // pushed (k-row heaps, never the group).
-    "q132_sample_weighted_k_group" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .sampleWeightedKPerGroup(
-          tbl(s, dir, "documents")
-            .select(col("doc_id"), col("lang"), col("n_chars")),
-          groupCol = "lang", weightCol = "n_chars", keyCol = "doc_id", k = 20)
-        .orderBy(col("lang"), col("rk"))),
-
-    // Top event PATHS (3-step sequence mining): one user window
-    // produces both leads, counts partial-aggregate, top-20 plans
-    // TakeOrderedAndProject.
-    "q133_event_paths" -> ((s, dir) =>
-      graft.operators.Events.topPaths(events(s, dir), pathLen = 3, k = 20)
-        .orderBy(col("n_paths").desc, col("path"))),
-
-    // Per-source order-free CORPUS CHECKSUM: the migration audit that
-    // compares checksums instead of corpora — commutative 60-bit row
-    // hashes summed exactly as DECIMAL(38,0).
-    "q134_corpus_checksum" -> ((s, dir) =>
-      graft.operators.Pipeline
-        .corpusChecksum(tbl(s, dir, "documents"), "source", "doc_id", "text")
-        .orderBy(col("source"))),
-
-    // Exact MAXIMUM-INNER-PRODUCT top-k: the two-tower retrieval
-    // scoring order (dot, not cosine — document norms carry learned
-    // relevance mass). The q15 broadcast-scan shape ranking on the
-    // rounded dot.
-    "q130_mips_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.mipsTopK(e, e.where(col("vec_id") < 5), k = 10)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // MIPS→cosine REDUCTION contract (Bachrach 2014): corpus augmented
-    // with √(M²−‖x‖²), queries with 0 — augmented cosine is a monotone
-    // transform of the dot, so the cosine ANN stack answers MIPS; the
-    // contract asserts per-query rank-set agreement with q130.
-    "q130b_mips_reduction" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val qv = e.where(col("vec_id") < 5)
-      val aug = Similarity.augmentForMips(e)
-      val qa = qv.select(col("vec_id"),
-        concat(col("embedding").cast("array<double>"), array(lit(0.0)))
-          .as("embedding"))
-      val direct = Similarity.mipsTopK(e, qv, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val reduced = Similarity.cosineTopK(aug, qa, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = reduced.join(direct, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      qv.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .withColumn("order_preserved", col("n_hits") === 10L)
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // k-NN classification over the embedding table: majority label of
-    // the 10 exact cosine neighbors, ties to the smallest label — the
-    // zero-training label propagator; swap any ANN tier in at scale.
-    "q131_knn_classify" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.knnClassify(e, e.where(col("vec_id") < 5), k = 10)
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // RANKING EVALUATION harness: the q26 IVF arm graded with
-    // recall@10 / MRR / binary nDCG@10 against the exact cosine
-    // top-10 as truth — the ad-hoc recall contracts generalized into
-    // one reusable metrics operator.
-    "q143_search_eval" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val qv = e.where(col("vec_id") < 5)
-      val results = Similarity.ivfCosineTopK(e, qv, k = 10)
-      val truth = Similarity.cosineTopK(e, qv, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      Search.evalRanking(results, truth, k = 10)
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // TRANSITION gap times: the q125 matrix with the clock attached —
-    // exact floor-div mean + interpolated median per (from, to) pair.
-    "q141_transition_times" -> ((s, dir) =>
-      graft.operators.Events.transitionTimes(events(s, dir))
-        .orderBy(col("from_type"), col("to_type"))),
-
-    // LABEL-OUTLIER screen: each vector's cosine to its own label's
-    // integer-exact centroid, bottom-5% tail flagged per label — the
-    // mislabeled-point detector.
-    "q142_label_outliers" -> ((s, dir) =>
-      Similarity.labelOutliers(tbl(s, dir, "embeddings"), pLo = 0.05)
-        .orderBy(col("vec_id"))),
-
-    // EMBEDDING-HEALTH audit: one row of null/NaN/zero-vector counts,
-    // dimensionality envelope, dead dims, and the micro-exact norm
-    // envelope — the similarity tier's q104-style preflight.
-    "q167_embedding_health" -> ((s, dir) =>
-      Similarity.embeddingHealth(tbl(s, dir, "embeddings"))),
-
-    // Dimension covariance/correlation matrix: exact integer
-    // co-moments of micro-quantized components, map-side (i,j)
-    // fan-out — the d×d frame a PCA/whitening fit consumes.
-    "q188_embedding_covariance" -> ((s, dir) =>
-      Similarity.covarianceMatrix(tbl(s, dir, "embeddings"))
-        .orderBy(col("i"), col("j"))),
-
-    // Top principal component by exact-integer power iteration over
-    // the floor-quantized covariance — distributed co-moments, driver
-    // BigInt eigensolve.
-    "q196_principal_component" -> ((s, dir) =>
-      Similarity.principalComponent(tbl(s, dir, "embeddings"), iters = 20)
-        .orderBy(col("dim"))),
-
-    // PC projection: every vector's exact integer dot with the fitted
-    // micro component + cosine alignment — the per-row bias readout.
-    "q199_pc_projection" -> ((s, dir) =>
-      Similarity.pcProjection(tbl(s, dir, "embeddings"), iters = 20)
-        .orderBy(col("vec_id"))),
-
-    // Second principal component by deflated power iteration — PC1 +
-    // PC2 are the 2-D embedding map; ortho_cos measures the deflation.
-    "q208_principal_component2" -> ((s, dir) =>
-      Similarity.principalComponent2(tbl(s, dir, "embeddings"), iters = 20)
-        .orderBy(col("dim"))),
-
-    // Incremental PCA: per-slice mergeable co-moment states (even/odd
-    // vec_ids) merged, then the SAME driver eigensolve — must equal
-    // q196's all-at-once fit (its oracle verbatim: the additive exact
-    // sums make merge ≡ union by construction).
-    "q214_pca_incremental" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.principalComponentFromState(
-          Similarity.mergeCoMomentStates(
-            Similarity.coMomentState(e.where(col("vec_id") % 2 === 0)),
-            Similarity.coMomentState(e.where(col("vec_id") % 2 === 1))),
-          iters = 20)
-        .orderBy(col("dim"))
-    }),
-
-    // Matryoshka prefix-dim retrieval: exact cosine over the first 16
-    // of 64 components — the 4× cheaper scan tier.
-    "q189_matryoshka_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.matryoshkaTopK(e, e.where(col("vec_id") < 5), k = 10, dims = 16)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // Matryoshka recall contract vs the full-dim exact scan (q171b's
-    // shape): measures whether THESE embeddings have the MRL property
-    // before the cheap tier is trusted.
-    "q189b_matryoshka_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val exact = Similarity.cosineTopK(e, q, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val approx = Similarity.matryoshkaTopK(e, q, k = 10, dims = 16)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      q.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // VOCABULARY DIFF change feed: history (doc < 250) vs delta
-    // (doc >= 250) term counts with integer-threshold statuses — the
-    // term-level explanation behind a q79 drift alarm.
-    "q140_vocab_diff" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Vocab
-        .vocabDiff(d.where(col("doc") < 250), d.where(col("doc") >= 250),
-          minCount = 3)
-        .orderBy(col("term"))
-    }),
-
-    // One-row corpus DATA CARD: counts, dup rate, token mass, vocab,
-    // dominant language + share, mean quality — the release-gate
-    // summary, diffable against the previous snapshot.
-    "q139_data_card" -> ((s, dir) =>
-      graft.operators.Pipeline.dataCard(docs(s, dir))),
-
-    // INCREMENTAL data card: the q139 card rendered from MERGED
-    // per-slice mergeable states (history docs < 250 ∪ delta ≥ 250) —
-    // state(h∪d) ≡ merge(state(h), state(d)) by construction; quality
-    // lifts to micro-longs so the merged mean is engine-exact where
-    // avg-of-doubles would not merge.
-    "q166_data_card_incremental" -> ((s, dir) => {
-      val d = docs(s, dir)
-      graft.operators.Pipeline.renderDataCard(
-        graft.operators.Pipeline.mergeDataCardStates(
-          graft.operators.Pipeline.dataCardState(d.where(col("doc") < 250)),
-          graft.operators.Pipeline.dataCardState(d.where(col("doc") >= 250))))
-    }),
-
-    // EMBEDDING-CENTROID drift per label between corpus halves: the
-    // embedding-space q79 — cosine between each label's two integer-
-    // exact centroids (scale invariance cancels the count division).
-    "q136_centroid_drift" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.centroidDrift(
-          e.where(col("vec_id") < 250), e.where(col("vec_id") >= 250))
-        .orderBy(col("label"))
-    }),
-
-    // SEASONAL baseline ratios: each (type, hour) vs its own
-    // hour-of-day slot mean — n·h_slot/S_slot on exact integers.
-    "q138_seasonal_baseline" -> ((s, dir) =>
-      graft.operators.Events.seasonalBaseline(events(s, dir))
-        .orderBy(col("event_type"), col("hour_start"))),
-
-    // EDIT-DISTANCE verified near-dups: the guarded LSH candidates
-    // re-verified by normalized Levenshtein — the character-level
-    // duplication band word-shingle Jaccard under-scores.
-    "q137_edit_distance_pairs" -> ((s, dir) =>
-      Dedup.editDistancePairs(docs(s, dir), n = 3, maxRatio = 0.3)
-        .orderBy(col("d1"), col("d2"))),
-
-    // BINARY-signature Hamming top-k: 48 sign bits in one long, one
-    // XOR+popcount per candidate — the binary sibling of q99b's ADC
-    // scan, integer-exact end to end.
-    "q135_hamming_topk" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      Similarity.hammingTopK(e, e.where(col("vec_id") < 5), k = 10, bits = 48)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("q_vec_id"), col("rnk"))
-    }),
-
-    // Binary-then-exact pipeline recall CONTRACT: Hamming top-100
-    // candidates re-ranked by true cosine, recall@10 vs the exact q15
-    // ranking — the coarse tier touches floats only for 100 rows per
-    // query.
-    "q135b_hamming_recall" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
-      val qv = e.where(col("vec_id") < 5)
-      val cand = Similarity.hammingTopK(e, qv, k = 100, bits = 48)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val exact = Similarity.cosineTopK(e, qv, k = 10)
-        .select(col("q_vec_id"), col("n_vec_id"))
-      val hits = exact.join(cand, Seq("q_vec_id", "n_vec_id"), "left_semi")
-        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
-      qv.select(col("vec_id").as("q_vec_id"))
-        .join(hits, Seq("q_vec_id"), "left_outer")
-        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
-        .orderBy(col("q_vec_id"))
-    }),
-
-    // PERCENTILE normalization of quality within language: each doc's
-    // score becomes its within-lang percent rank, so one global cut
-    // means the same thing in every language (the q98 per-group-cuts
-    // insight as a continuous rescale). Ties share min-rank — order-
-    // free; singleton groups normalize to 0.
-    "q129_quality_percentile" -> ((s, dir) => {
-      val scored = docs(s, dir)
-        .withColumn("_st", TextAnalysis.textStatsCol(col("line")))
-        .select(col("doc").as("doc_id"),
-          TextAnalysis.langPredFromStats(col("_st")).as("lang_pred"),
-          // rank on the ROUNDED score (the repo's cross-engine rank
-          // convention) so fp noise can't flip tie structure
-          round(TextAnalysis.qualityScoreFromStats(col("_st")), 6)
-            .as("quality_score"))
-      graft.operators.Pipeline
-        .percentileNormalize(scored, "lang_pred", "quality_score")
-        .orderBy(col("doc_id"))
-    }),
-
-    // Resize-STABILITY contract: growing 16 → 17 shards must move
-    // exactly the keys the new shard wins (an HRW identity — checked
-    // as a boolean) and an expected 1/17 ≈ 5.9 % of the corpus
-    // (bounded at 12 %); mod-n resharding would move ~94 %.
-    "q128b_rendezvous_stability" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"))
-      val a = graft.operators.Chunking.rendezvousShard(d, "doc_id", 16)
-        .withColumnRenamed("shard", "s16")
-      val b = graft.operators.Chunking.rendezvousShard(d, "doc_id", 17)
-        .withColumnRenamed("shard", "s17")
-      a.join(b, Seq("doc_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)).as("n_moved"),
-          sum(when(col("s17") === 16L, 1L).otherwise(0L)).as("n_new_shard"))
-        .select(col("n_docs"), col("n_moved"), col("n_new_shard"),
-          (col("n_moved") === col("n_new_shard")).as("identity_ok"),
-          round(col("n_moved").cast("double") / col("n_docs"), 6).as("moved_frac"),
-          (col("n_moved").cast("double") / col("n_docs") <= 0.12).as("churn_ok"))
-    })
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "q1_tokenize" ->
-      s"""WITH $TokCte
-         |SELECT doc_id, term FROM tok ORDER BY doc_id, term""".stripMargin,
-
-    "q2_doc_word_count" ->
-      s"""WITH $TokCte
-         |SELECT doc_id, term, count(*) AS cnt FROM tok
-         |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
-
-    "q3_term_frequency" ->
-      s"""WITH $TokCte
-         |SELECT doc_id, term, count(*) AS cnt,
-         |       round(1 + log10(count(*)), 6) AS tf
-         |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
-
-    "q4_doc_frequency" ->
-      s"""WITH $TokCte
-         |SELECT term, count(DISTINCT doc_id) AS df FROM tok
-         |GROUP BY term ORDER BY term""".stripMargin,
-
-    "q5_tfidf" ->
-      s"""$TfIdfCtes
-         |SELECT term, doc_id, tfidf FROM scores
-         |ORDER BY term, doc_id""".stripMargin,
-
-    // Same spec as q5 — pins the window-strategy plan to the same answer.
-    "q5b_tfidf_window" ->
-      s"""$TfIdfCtes
-         |SELECT term, doc_id, tfidf FROM scores
-         |ORDER BY term, doc_id""".stripMargin,
-
-    // Same spec as q5 — pins the salted-join strategy to the same answer.
-    "q5c_tfidf_salted" ->
-      s"""$TfIdfCtes
-         |SELECT term, doc_id, tfidf FROM scores
-         |ORDER BY term, doc_id""".stripMargin,
-
-    // Same spec as q5 — pins the radar-chosen strategy to the same answer.
-    "q5d_tfidf_auto" ->
-      s"""$TfIdfCtes
-         |SELECT term, doc_id, tfidf FROM scores
-         |ORDER BY term, doc_id""".stripMargin,
-
-    "q6_search" ->
-      s"""$TfIdfCtes
-         |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
-         |WHERE term IN ('spark', 'stream', 'window')
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q67_search_all" ->
-      s"""$TfIdfCtes
-         |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
-         |WHERE term IN ('spark', 'stream', 'window')
-         |GROUP BY doc_id HAVING count(*) = 3
-         |ORDER BY doc_id""".stripMargin,
-
-    // Snippet mirror: list_position firsts, null-skipping least, the
-    // inclusive-index slice of the same token window.
-    "q178_search_snippets" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |           AS toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, toks,
-        |         least(nullif(list_position(toks, 'spark'), 0),
-        |               nullif(list_position(toks, 'stream'), 0),
-        |               nullif(list_position(toks, 'window'), 0))::BIGINT
-        |           AS first_pos
-        |  FROM t)
-        |SELECT doc_id, first_pos,
-        |       array_to_string(list_slice(toks,
-        |         greatest(1, first_pos - 3)::INTEGER,
-        |         (greatest(1, first_pos - 3) + 6)::INTEGER), ' ') AS snippet
-        |FROM p WHERE first_pos IS NOT NULL
-        |ORDER BY doc_id""".stripMargin,
-
-    // Fuzzy mirror: brute vocab×queries Levenshtein (the semantics the
-    // engine's deletion-neighborhood join must reproduce exactly).
-    "q177_search_fuzzy" ->
-      s"""$TfIdfCtes,
-         |qt AS (SELECT unnest(['sparkk', 'streem', 'windo']) AS q_term),
-         |mt AS (
-         |  SELECT DISTINCT q.q_term, v.term
-         |  FROM qt q JOIN (SELECT DISTINCT term FROM scores) v
-         |    ON levenshtein(q.q_term, v.term) <= 1)
-         |SELECT s.doc_id, round(sum(s.tfidf), 6) AS score,
-         |       count(DISTINCT m.q_term)::BIGINT AS n_terms_matched
-         |FROM scores s JOIN mt m USING (term)
-         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
-
-    // Bloom-join mirror: the plain join — the sketch must be invisible.
-    "q179_bloom_join" ->
-      """SELECT o_orderkey, o_custkey, c_name,
-        |       CAST(round(o_totalprice * 1000000) AS BIGINT) AS price_micros
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE c_nationkey = 0
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q68_search_phrase" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(range(1, len(toks)),
-        |                i -> toks[i] || ' ' || toks[i+1])) AS gram
-        |  FROM tokl WHERE len(toks) >= 2)
-        |SELECT doc_id, count(*)::BIGINT AS n_occurrences
-        |FROM g WHERE gram = 'table hash'
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // Okapi BM25, k1=1.2 b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)).
-    "q69b_bm25_window" -> // window-df twin: same spec, same SQL
-      s"""WITH $Bm25Ctes
-         |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
-
-    "q69_search_bm25" ->
-      s"""WITH $Bm25Ctes
-         |SELECT doc_id, score FROM bm ORDER BY doc_id""".stripMargin,
-
-    // Expanded-search mirror: the q39 PMI chain filtered to the query
-    // terms, (pmi DESC, term) top-2 per term, weights unioned onto the
-    // q69 score lineage (the unused `bm` CTE rides along).
-    "q162_search_expanded" ->
-      s"""WITH $Bm25Ctes,
-         |tokl AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-         |  FROM documents),
-         |pos AS (
-         |  SELECT doc_id, p, toks[p::INTEGER] AS term
-         |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
-         |pairs AS (
-         |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
-         |  FROM pos a JOIN pos b
-         |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
-         |tc AS (SELECT term, count(*) AS c FROM pos GROUP BY 1),
-         |nt AS (SELECT count(*) AS n_tok FROM pos),
-         |np AS (SELECT count(*) AS n_pair FROM pairs),
-         |pc AS (SELECT t1, t2, count(*) AS pcnt FROM pairs GROUP BY 1, 2),
-         |pmi AS (
-         |  SELECT t1, t2,
-         |         round(log10((pcnt / n_pair) / ((x.c / n_tok) * (y.c / n_tok))), 6) AS pmi
-         |  FROM pc JOIN tc x ON t1 = x.term JOIN tc y ON t2 = y.term
-         |  CROSS JOIN nt CROSS JOIN np
-         |  WHERE pcnt >= 2),
-         |nb AS (
-         |  SELECT qterm, term, pmi FROM (
-         |    SELECT t1 AS qterm, t2 AS term, pmi FROM pmi
-         |    WHERE t1 IN ('spark', 'stream', 'window')
-         |    UNION ALL
-         |    SELECT t2 AS qterm, t1 AS term, pmi FROM pmi
-         |    WHERE t2 IN ('spark', 'stream', 'window'))
-         |  WHERE term NOT IN ('spark', 'stream', 'window')),
-         |topm AS (
-         |  SELECT DISTINCT term FROM (
-         |    SELECT term,
-         |           row_number() OVER (PARTITION BY qterm
-         |                              ORDER BY pmi DESC, term) AS rk
-         |    FROM nb) WHERE rk <= 2),
-         |wts AS (
-         |  SELECT unnest(['spark', 'stream', 'window']) AS term,
-         |         1000000::BIGINT AS wmicro
-         |  UNION ALL
-         |  SELECT term, 500000::BIGINT AS wmicro FROM topm)
-         |SELECT doc_id,
-         |       sum(CAST(round(s * 1e6) AS BIGINT) * wmicro)::BIGINT AS score_u
-         |FROM sc JOIN wts USING (term)
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin,
-
-    // Hybrid lexical+dense RRF fusion: the q69 BM25 arm (shared CTEs)
-    // and the q15-style cosine arm vs vec_id 0, each top-100 ranked
-    // (score desc, doc asc), fused by integer-quantized reciprocal
-    // ranks — contrib = 1e9 div (60 + rank), so the fused score is a
-    // sum of longs in both engines.
-    "q94_hybrid_search" ->
-      s"""WITH $Bm25Ctes,
-         |bmr AS (
-         |  SELECT doc_id,
-         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-         |  FROM bm),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |qv AS (SELECT * FROM e WHERE vec_id = 0),
-         |cosa AS (
-         |  SELECT e.vec_id AS doc_id,
-         |         round(list_dot_product(qv.emb, e.emb) /
-         |               (sqrt(list_dot_product(qv.emb, qv.emb)) *
-         |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS score
-         |  FROM qv JOIN e ON qv.vec_id <> e.vec_id),
-         |cosr AS (
-         |  SELECT doc_id,
-         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-         |  FROM cosa),
-         |fused AS (
-         |  SELECT doc_id, 1000000000 // (60 + rnk) AS contrib
-         |  FROM bmr WHERE rnk <= 100
-         |  UNION ALL
-         |  SELECT doc_id, 1000000000 // (60 + rnk) AS contrib
-         |  FROM cosr WHERE rnk <= 100)
-         |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro,
-         |       count(*)::BIGINT AS n_arms
-         |FROM fused GROUP BY doc_id
-         |ORDER BY rrf_micro DESC, doc_id""".stripMargin,
-
-    // Index round trip must preserve q6's answer exactly: same SQL.
-    "q71_search_indexed" ->
-      s"""$TfIdfCtes
-         |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
-         |WHERE term IN ('spark', 'stream', 'window')
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // All three query terms inside one 8-token sliding window.
-    "q70_search_near" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(range(1, greatest(len(toks) - 8, 0) + 2),
-        |                i -> list_slice(toks, i, i + 7))) AS win
-        |  FROM tokl WHERE len(toks) >= 3)
-        |SELECT doc_id, count(*)::BIGINT AS n_windows
-        |FROM w
-        |WHERE list_contains(win, 'spark') AND list_contains(win, 'stream')
-        |  AND list_contains(win, 'window')
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "q7_rank" ->
-      s"""$TfIdfCtes
-         |SELECT doc_id, round(sum(tfidf), 6) AS score FROM scores
-         |WHERE term IN ('spark', 'stream', 'window')
-         |GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin,
-
-    "q7b_tfidf_rank" ->
-      s"""$TfIdfCtes
-         |SELECT term, doc_id, tfidf FROM scores
-         |ORDER BY tfidf DESC, term, doc_id""".stripMargin,
-
-    "q8_join_agg_revenue" ->
-      """SELECT n_name,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
-    "q9_window_top_orders" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders)
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-
-    "q10_top_k" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-        |LIMIT 20""".stripMargin,
-
-    // Overlap mirror: the q24 sessionize CTEs feed a plain closed-
-    // interval overlap predicate against the same literal windows.
-    "q63_interval_overlap" ->
-      """WITH x AS (
-        |  SELECT user_id, ts,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, ts,
-        |         CASE WHEN prev_ts IS NULL
-        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, ts,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
-        |  FROM y),
-        |sess AS (
-        |  SELECT user_id, session_seq,
-        |         epoch_us(min(ts)) AS s_lo, epoch_us(max(ts)) AS s_hi
-        |  FROM z GROUP BY 1, 2),
-        |w AS (
-        |  SELECT wid::BIGINT AS window_id,
-        |         1704067200000000 + wid * 259200000000 + 32400000000 AS w_lo,
-        |         1704067200000000 + wid * 259200000000 + 54000000000 AS w_hi
-        |  FROM range(10) r(wid))
-        |SELECT s.user_id, s.session_seq, w.window_id
-        |FROM sess s JOIN w ON s.s_lo <= w.w_hi AND w.w_lo <= s.s_hi
-        |ORDER BY s.user_id, s.session_seq, w.window_id""".stripMargin,
-
-    "q33_range_join_bands" ->
-      """WITH bands AS (
-        |  SELECT band_id, 900.0 + band_id * 10.0 AS lo,
-        |         900.0 + (band_id + 1) * 10.0 AS hi
-        |  FROM range(10) r(band_id))
-        |SELECT p_partkey, band_id, p_retailprice
-        |FROM part JOIN bands
-        |  ON p_retailprice >= lo AND p_retailprice < hi
-        |ORDER BY p_partkey""".stripMargin,
-
-    "q11_dedup_exact" ->
-      """SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-
-    "q12_ngram_jaccard" -> ngramJaccardSql(0.5),
-
-    // SNM mirror: rank-adjacent candidates (row_number over the same
-    // (text, doc_id) total order), then q12's exact-Jaccard verify.
-    "q180_sorted_neighborhood" ->
-      s"""WITH $ShingleCtes,
-         |r AS (SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) - 1
-         |        AS rn FROM documents),
-         |cand AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 8),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c JOIN sh x ON x.doc_id = c.d1
-         |              JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
-         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Prefix filtering is EXACT (no false negatives given the size
-    // filter), so the oracle is q12's brute-force SQL at q121's own
-    // τ — the q5c/q40b/q81 "optimization must be invisible" pattern.
-    "q121_jaccard_prefix" -> ngramJaccardSql(0.8),
-
-    // 13-gram decontamination: benchmark = the md5 10% slice; a doc is
-    // contaminated when it shares any verbatim 13-gram with the slice.
-    "q145_ngram_decontaminate" ->
-      s"""WITH tokl AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'),
-         |                     t -> t <> '') AS toks
-         |  FROM documents),
-         |g AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
-         |           i -> array_to_string(toks[i:i+12], ' '))) AS shingle
-         |    FROM tokl)),
-         |bg AS (
-         |  SELECT DISTINCT shingle FROM g
-         |  WHERE (${duckMd5Bucket("'bench:' || doc_id")}) < 100000),
-         |h AS (
-         |  SELECT g.doc_id, count(*) AS n_hits
-         |  FROM g JOIN bg USING (shingle) GROUP BY 1)
-         |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-         |       coalesce(h.n_hits, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN h USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Benchmark-side contamination mirror: q145's gram relation, the
-    // join flipped to the bench doc with self-matches excluded.
-    "q202_contamination_report" ->
-      s"""WITH tokl AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'),
-         |                     t -> t <> '') AS toks
-         |  FROM documents),
-         |g AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
-         |           i -> array_to_string(toks[i:i+12], ' '))) AS shingle
-         |    FROM tokl)),
-         |bd AS (
-         |  SELECT doc_id FROM documents
-         |  WHERE (${duckMd5Bucket("'bench:' || doc_id")}) < 100000),
-         |bg AS (SELECT g.doc_id AS bench_doc, g.shingle
-         |       FROM g JOIN bd USING (doc_id)),
-         |h AS (
-         |  SELECT bg.bench_doc,
-         |         count(DISTINCT g.doc_id) AS n_docs_hit,
-         |         count(*) AS n_gram_hits
-         |  FROM bg JOIN g USING (shingle)
-         |  WHERE g.doc_id <> bg.bench_doc GROUP BY 1)
-         |SELECT bd.doc_id AS bench_doc,
-         |       coalesce(h.n_docs_hit, 0)::BIGINT AS n_docs_hit,
-         |       coalesce(h.n_gram_hits, 0)::BIGINT AS n_gram_hits,
-         |       coalesce(h.n_docs_hit, 0) > 0 AS compromised
-         |FROM bd LEFT JOIN h ON h.bench_doc = bd.doc_id
-         |ORDER BY bench_doc""".stripMargin,
-
-    // Cluster-histogram mirror: the converged-closure reach relation
-    // (self-edges make singletons size-1 clusters), two rollups.
-    "q203_dup_cluster_histogram" ->
-      s"""WITH RECURSIVE $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val),
-         |reach(doc_id, lbl) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
-         |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
-         |sizes AS (SELECT lbl, count(*)::BIGINT AS cluster_size
-         |          FROM cc GROUP BY 1)
-         |SELECT cluster_size, count(*)::BIGINT AS n_clusters
-         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
-
-    // Pack-stats mirror: the q48 packing rolled up twice.
-    "q204_pack_stats" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         len(list_filter(regexp_split_to_array(text, '\s+'),
-        |             x -> x <> ''))::BIGINT AS n_tokens,
-        |         (doc_id % 16)::BIGINT AS bucket
-        |  FROM documents),
-        |p AS (
-        |  SELECT bucket, n_tokens,
-        |         floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
-        |                 ORDER BY doc_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |               0) / 256.0)::BIGINT AS pack_id
-        |  FROM t),
-        |g AS (SELECT bucket, pack_id, count(*)::BIGINT AS nd,
-        |             sum(n_tokens)::BIGINT AS tk
-        |      FROM p GROUP BY 1, 2)
-        |SELECT count(*)::BIGINT AS n_packs, sum(nd)::BIGINT AS n_docs,
-        |       sum(tk)::BIGINT AS tokens_total,
-        |       min(tk)::BIGINT AS min_tokens, max(tk)::BIGINT AS max_tokens,
-        |       sum(CASE WHEN tk > 256 THEN 1 ELSE 0 END)::BIGINT AS n_overflow,
-        |       round(sum(tk)::DOUBLE / (count(*) * 256), 6) AS fill_rate
-        |FROM g""".stripMargin,
-
-    // All-pairs exact weighted Jaccard: Σ min(tf) over shared terms;
-    // Σ max = tot1 + tot2 − Σ min (min+max identity).
-    "q146_weighted_jaccard" ->
-      s"""WITH $WeightedCtes,
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(least(a.tf, b.tf)) AS smin
-         |  FROM tfw a JOIN tfw b ON a.term = b.term AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(smin * 1.0 / (x.tot + y.tot - smin), 6) AS jaccard
-         |FROM inter JOIN wtot x ON d1 = x.doc_id JOIN wtot y ON d2 = y.doc_id
-         |WHERE smin * 1.0 / (x.tot + y.tot - smin) >= 0.8
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Weighted near-dup: the oracle replicates the banding over the
-    // term#i expansion, so LSH recall is pinned, not trusted.
-    "q147_weighted_near_dup" ->
-      s"""WITH $WeightedCtes,
-         |${minhashSigCteSfx("w")},
-         |bands AS (${minhashBandsSqlSfx("w")}),
-         |$LshCandCtes,
-         |inter AS (
-         |  SELECT c.d1, c.d2, sum(least(a.tf, b.tf)) AS smin
-         |  FROM cand c
-         |  JOIN tfw a ON a.doc_id = c.d1
-         |  JOIN tfw b ON b.doc_id = c.d2 AND b.term = a.term
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(smin * 1.0 / (x.tot + y.tot - smin), 6) AS jaccard
-         |FROM inter JOIN wtot x ON d1 = x.doc_id JOIN wtot y ON d2 = y.doc_id
-         |WHERE smin * 1.0 / (x.tot + y.tot - smin) >= 0.8
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Weighted-estimator contract: HOLD-OUT est (minima 16..31; the
-    // sigw CTE computes 32, bands read only m0..m15) vs exact weighted
-    // Jaccard on the SAME candidates; `jac` stays unrounded like
-    // weightedJaccardFor.
-    "q147b_weighted_estimate_quality" ->
-      s"""WITH $WeightedCtes,
-         |${minhashSigCteSfx("w", numHashes = 32)},
-         |bands AS (${minhashBandsSqlSfx("w")}),
-         |$LshCandCtes,
-         |est AS (
-         |  SELECT c.d1, c.d2, round((${sigMatchSqlRange(16, 32)}) / 16.0, 6) AS est
-         |  FROM cand c
-         |  JOIN sigw s1 ON s1.doc_id = c.d1
-         |  JOIN sigw s2 ON s2.doc_id = c.d2),
-         |inter AS (
-         |  SELECT c.d1, c.d2, sum(least(a.tf, b.tf)) AS smin
-         |  FROM cand c
-         |  JOIN tfw a ON a.doc_id = c.d1
-         |  JOIN tfw b ON b.doc_id = c.d2 AND b.term = a.term
-         |  GROUP BY 1, 2),
-         |joined AS (
-         |  SELECT e.est, smin * 1.0 / (x.tot + y.tot - smin) AS jac
-         |  FROM est e
-         |  JOIN inter USING (d1, d2)
-         |  JOIN wtot x ON e.d1 = x.doc_id JOIN wtot y ON e.d2 = y.doc_id)
-         |SELECT count(*)::BIGINT AS n_pairs,
-         |       round(avg(abs(est - jac)), 6) AS mean_abs_err,
-         |       round(max(abs(est - jac)), 6) AS max_abs_err,
-         |       round(avg(abs(est - jac)), 6) <= 0.12 AS mean_ok,
-         |       round(max(abs(est - jac)), 6) <= 0.6 AS max_ok
-         |FROM joined""".stripMargin,
-
-    // KL from the corpus unigram distribution in micro-nats; the
-    // contribution expression mirrors the engine's operation order
-    // exactly ((p · ln(p/q)) · 1e6, then floor) so the integer sums
-    // agree by construction.
-    "q148_kl_novelty" ->
-      s"""WITH $TokCte,
-         |tfw AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1),
-         |ctf AS (SELECT term, sum(tf) AS ctf FROM tfw GROUP BY 1),
-         |ctot AS (SELECT sum(tf) AS ctot FROM tfw)
-         |SELECT t.doc_id,
-         |       sum(t.tf)::BIGINT AS n_tokens,
-         |       sum(floor((t.tf * 1.0 / d.tot)
-         |                 * ln((t.tf * 1.0 / d.tot) / (c.ctf * 1.0 / ct.ctot))
-         |                 * 1e6)::BIGINT)::BIGINT AS kl_unats
-         |FROM tfw t
-         |JOIN dtot d USING (doc_id)
-         |JOIN ctf c USING (term)
-         |CROSS JOIN ctot ct
-         |GROUP BY 1
-         |ORDER BY 1""".stripMargin,
-
-    // EWMA from the SAME weight/normalizer literals the engine embeds
-    // (Events.ewmaWeights) — shortest-roundtrip decimals parse to
-    // identical doubles, and both engines fold the frame list in
-    // order, so round-6 values agree without libm pow.
-    "q149_events_ewma" -> {
-      val (wts, cum) = Events.ewmaWeights(10, 0.2)
-      val wArr = wts.mkString("[", ", ", "]")
-      val dArr = cum.mkString("[", ", ", "]")
-      s"""SELECT event_id, user_id, ts,
-         |  round(
-         |    list_sum(list_transform(range(len(l)),
-         |             i -> l[(i + 1)::INTEGER] * ($wArr)[(len(l) - i)::INTEGER]))
-         |    / ($dArr)[len(l)::INTEGER], 6) AS ewma
-         |FROM (
-         |  SELECT event_id, user_id, ts,
-         |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
-         |  FROM events)
-         |ORDER BY user_id, ts, event_id""".stripMargin
-    },
-
-    // Frozen-reference KL: md5 half-slice = the reference release;
-    // unseen terms excluded from the sum, counted in n_unseen.
-    "q150_kl_incremental" ->
-      s"""WITH $TokCte,
-         |hd AS (SELECT doc_id FROM documents
-         |       WHERE (${duckMd5Bucket("'klh:' || doc_id")}) < 500000),
-         |nd AS (SELECT doc_id FROM documents
-         |       WHERE (${duckMd5Bucket("'klh:' || doc_id")}) >= 500000),
-         |ctf AS (SELECT term, count(*) AS ctf
-         |        FROM tok JOIN hd USING (doc_id) GROUP BY 1),
-         |ctot AS (SELECT sum(ctf) AS ctot FROM ctf),
-         |tfw AS (SELECT doc_id, term, count(*) AS tf
-         |        FROM tok JOIN nd USING (doc_id) GROUP BY 1, 2),
-         |dtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1)
-         |SELECT t.doc_id,
-         |       sum(t.tf)::BIGINT AS n_tokens,
-         |       sum(CASE WHEN c.ctf IS NULL THEN t.tf ELSE 0 END)::BIGINT
-         |         AS n_unseen,
-         |       sum(CASE WHEN c.ctf IS NULL THEN 0
-         |           ELSE floor((t.tf * 1.0 / d.tot)
-         |                * ln((t.tf * 1.0 / d.tot) / (c.ctf * 1.0 / ct.ctot))
-         |                * 1e6)::BIGINT END)::BIGINT AS kl_unats
-         |FROM tfw t
-         |JOIN dtot d USING (doc_id)
-         |LEFT JOIN ctf c USING (term)
-         |CROSS JOIN ctot ct
-         |GROUP BY 1
-         |ORDER BY 1""".stripMargin,
-
-    // Incremental weighted near-dup: the weighted CTE family per
-    // sub-corpus; the guard bounds HISTORY buckets like the engine.
-    "q152_weighted_near_dup_incremental" ->
-      s"""WITH $TokCte,
-         |tfwd AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |         WHERE doc_id >= 250 GROUP BY 1, 2),
-         |tfwh AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |         WHERE doc_id < 250 GROUP BY 1, 2),
-         |shwd AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(least(tf, ${Dedup.MaxElemTf})),
-         |                i -> term || '#' || i::VARCHAR)) AS shingle
-         |  FROM tfwd),
-         |shwh AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(least(tf, ${Dedup.MaxElemTf})),
-         |                i -> term || '#' || i::VARCHAR)) AS shingle
-         |  FROM tfwh),
-         |${minhashSigCteSfx("wd")},
-         |${minhashSigCteSfx("wh")},
-         |bandsd AS (${minhashBandsSqlSfx("wd")}),
-         |bandsh AS (${minhashBandsSqlSfx("wh")}),
-         |bok AS (
-         |  SELECT band, band_val FROM bandsh GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT d.doc_id AS doc_id, h.doc_id AS hist_id
-         |  FROM bandsd d
-         |  JOIN bandsh h ON d.band = h.band AND d.band_val = h.band_val
-         |  JOIN bok ON h.band = bok.band AND h.band_val = bok.band_val),
-         |wtd AS (SELECT doc_id, sum(tf) AS tot FROM tfwd GROUP BY 1),
-         |wth AS (SELECT doc_id, sum(tf) AS tot FROM tfwh GROUP BY 1),
-         |inter AS (
-         |  SELECT c.doc_id, c.hist_id, sum(least(a.tf, b.tf)) AS smin
-         |  FROM cand c
-         |  JOIN tfwd a ON a.doc_id = c.doc_id
-         |  JOIN tfwh b ON b.doc_id = c.hist_id AND b.term = a.term
-         |  GROUP BY 1, 2)
-         |SELECT doc_id, hist_id,
-         |       round(smin * 1.0 / (x.tot + y.tot - smin), 6) AS jaccard
-         |FROM inter
-         |JOIN wtd x USING (doc_id)
-         |JOIN wth y ON hist_id = y.doc_id
-         |WHERE smin * 1.0 / (x.tot + y.tot - smin) >= 0.8
-         |ORDER BY doc_id, hist_id""".stripMargin,
-
-    // Pivot mirror: the q17 langId CASE, then conditional sums per
-    // language column (the PIVOT expansion written out).
-    "q151_lang_source_pivot" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, source,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id, source,
-         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-         |  FROM t),
-         |lp AS (
-         |  SELECT source,
-         |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-         |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-         |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-         |         WHEN hits_es >= hits_fr THEN 'es'
-         |         ELSE 'fr' END AS lang_pred
-         |  FROM h)
-         |SELECT source,
-         |  sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
-         |  sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
-         |  sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
-         |  sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
-         |  sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_und
-         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Hashing-trick mirror: the duckMd5Bucket fold mod 64 for the
-    // bucket, hex digit 9 parity for the ±1 sign.
-    "q153_hashed_features" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-         |hf AS (
-         |  SELECT doc_id, tf,
-         |    (list_sum(list_transform(range(1, 9), i ->
-         |        (strpos('0123456789abcdef',
-         |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
-         |          << ((8 - i)::INTEGER * 4))) % 64)::BIGINT AS bucket,
-         |    (1 - 2 * ((strpos('0123456789abcdef',
-         |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
-         |  FROM tf)
-         |SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
-         |FROM hf GROUP BY 1, 2
-         |HAVING sum(sign * tf) <> 0
-         |ORDER BY doc_id, bucket""".stripMargin,
-
-    // Sparse-cosine mirror: same hashed vectors on the fhs-sampled
-    // docs, all-pairs join on shared buckets, integer dot over integer
-    // norms, one round-6 at the end. q153d (auto-dims) gets the SAME
-    // SQL verbatim: deriveHashedDims lands on 64 for any vocabulary
-    // <= 32, and the sample's is 31 — the q5d resolving-to-identical
-    // pattern.
-    "q153b_hashed_cosine" -> hashedCosineSampleSql,
-    "q153d_hashed_cosine_auto" -> hashedCosineSampleSql,
-
-    // Incremental sparse-cosine mirror: hashed vectors over the full
-    // corpus, delta×history join on shared buckets (the guard is wide
-    // open at this SF; a cross-side pair sharing no bucket has dot 0).
-    "q153c_hashed_cosine_incremental" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-         |hf AS (
-         |  SELECT doc_id, tf,
-         |    (list_sum(list_transform(range(1, 9), i ->
-         |        (strpos('0123456789abcdef',
-         |                substr(md5('fh:' || term), i::INTEGER, 1)) - 1)::BIGINT
-         |          << ((8 - i)::INTEGER * 4))) % 64)::BIGINT AS bucket,
-         |    (1 - 2 * ((strpos('0123456789abcdef',
-         |                      substr(md5('fh:' || term), 9, 1)) - 1) % 2))::BIGINT AS sign
-         |  FROM tf),
-         |hw AS (
-         |  SELECT doc_id, bucket, sum(sign * tf)::BIGINT AS weight
-         |  FROM hf GROUP BY 1, 2 HAVING sum(sign * tf) <> 0),
-         |dots AS (
-         |  SELECT a.doc_id AS doc_id, b.doc_id AS hist_id,
-         |         sum(a.weight * b.weight)::BIGINT AS dot
-         |  FROM hw a JOIN hw b ON a.bucket = b.bucket
-         |  WHERE a.doc_id >= 250 AND b.doc_id < 250
-         |  GROUP BY 1, 2),
-         |norms AS (SELECT doc_id, sum(weight * weight)::BIGINT AS n2 FROM hw GROUP BY 1)
-         |SELECT d.doc_id, d.hist_id,
-         |       round(d.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
-         |FROM dots d
-         |JOIN norms na ON na.doc_id = d.doc_id
-         |JOIN norms nb ON nb.doc_id = d.hist_id
-         |WHERE round(d.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) >= 0.9
-         |ORDER BY d.doc_id, d.hist_id""".stripMargin,
-
-    // Sorted-token-multiset fingerprint groups: list_sort mirrors
-    // array_sort (binary string order on ASCII tokens).
-    "q154_bow_dedup" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |         md5(array_to_string(list_sort(
-        |           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), ' ')) AS bow_fp
-        |  FROM documents)
-        |SELECT bow_fp, count(*)::BIGINT AS n_dups, min(doc_id) AS keeper
-        |FROM fp GROUP BY 1 ORDER BY bow_fp""".stripMargin,
-
-    // Containment mirror: the q12 shingle join without the d1 < d2
-    // symmetry cut, normalized by the INNER side's shingle count.
-    // q158b (the df-screened operator) gets the SAME SQL verbatim —
-    // the q121/q81 invisible-optimization pattern: any screened-out
-    // true pair fails the hash compare.
-    "q158_containment" -> containmentSql,
-    "q158b_containment_screened" -> containmentSqlFrom(
-      s"""(SELECT doc_id, text FROM documents
-         | WHERE (${duckMd5Bucket("'cns:' || doc_id")}) < 300000)""".stripMargin),
-
-    // Incremental BOW mirror: NOT IN over the history fingerprint set.
-    "q154b_bow_dedup_incremental" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |         md5(array_to_string(list_sort(
-        |           list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), ' ')) AS f
-        |  FROM documents)
-        |SELECT doc_id FROM fp
-        |WHERE doc_id >= 250
-        |  AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Fertility mirror: vocab = terms with corpus count >= 2 (the
-    // buildVocab minCount), OOV = not in that set.
-    "q155_tokenizer_fertility" ->
-      """WITH tk AS (
-        |  SELECT lang, doc_id,
-        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
-        |  FROM documents),
-        |vc AS (
-        |  SELECT term FROM (SELECT term, count(*) AS c FROM tk GROUP BY term)
-        |  WHERE c >= 2)
-        |SELECT lang,
-        |       count(DISTINCT doc_id)::BIGINT AS n_docs,
-        |       count(*)::BIGINT AS n_tokens,
-        |       sum(len(term))::BIGINT AS n_chars,
-        |       sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
-        |       round(sum(len(term)) * 1.0 / count(*), 6) AS chars_per_token,
-        |       round(sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) * 1.0
-        |             / count(*), 6) AS oov_rate
-        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // Cross-source-matrix mirror: the q13 chain verbatim, rolled up by
-    // the unordered (least, greatest) source pair.
-    "q163_cross_source_dups" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |np AS (
-         |  SELECT d1, d2
-         |  FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5)
-         |SELECT least(da.source, db.source) AS s1,
-         |       greatest(da.source, db.source) AS s2,
-         |       count(*)::BIGINT AS n_pairs
-         |FROM np
-         |JOIN documents da ON da.doc_id = np.d1
-         |JOIN documents db ON db.doc_id = np.d2
-         |GROUP BY 1, 2
-         |ORDER BY s1, s2""".stripMargin,
-
-    // Zipf-slope mirror: deterministic (cnt DESC, term) ranks, ln
-    // values micro-quantized before any sum, HUGEINT moments, one
-    // round-6 double.
-    "q160_zipf_slope" ->
-      """WITH tk AS (
-        |  SELECT source,
-        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT source, cnt,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY cnt DESC, term) AS rnk
-        |  FROM tf),
-        |m AS (
-        |  SELECT source,
-        |         CAST(round(ln(rnk::DOUBLE) * 1e6) AS BIGINT) AS x,
-        |         CAST(round(ln(cnt::DOUBLE) * 1e6) AS BIGINT) AS y
-        |  FROM rk),
-        |agg AS (
-        |  SELECT source, count(*)::BIGINT AS n_terms,
-        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
-        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
-        |  FROM m GROUP BY 1)
-        |SELECT source, n_terms,
-        |       CASE WHEN (n_terms::HUGEINT * qx - sx * sx) > 0 THEN
-        |         round((n_terms::HUGEINT * sxy - sx * sy)::DOUBLE /
-        |               (n_terms::HUGEINT * qx - sx * sx)::DOUBLE, 6)
-        |       END AS slope
-        |FROM agg ORDER BY source""".stripMargin,
-
-    // Decile mirror: the same ⌊rank·10/N⌋ integer buckets.
-    "q183_length_deciles" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         len(list_filter(regexp_split_to_array(text, '\s+'),
-        |             t -> t <> ''))::BIGINT AS n_tokens
-        |  FROM documents),
-        |n AS (SELECT count(*)::BIGINT AS n FROM tk),
-        |r AS (
-        |  SELECT doc_id, n_tokens,
-        |         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rn
-        |  FROM tk)
-        |SELECT (r.rn * 10) // n.n AS decile, count(*)::BIGINT AS n_docs,
-        |       min(n_tokens)::BIGINT AS min_tokens,
-        |       max(n_tokens)::BIGINT AS max_tokens,
-        |       sum(n_tokens)::BIGINT AS tokens_total
-        |FROM r, n GROUP BY 1 ORDER BY decile""".stripMargin,
-
-    // Trend mirror: the q160 moment recipe over (epoch-day, count).
-    "q184_daily_trend" ->
-      """WITH d AS (
-        |  SELECT event_type, date_trunc('day', ts) AS day,
-        |         count(*)::BIGINT AS y
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT event_type,
-        |         datediff('day', DATE '1970-01-01', day)::BIGINT AS x, y
-        |  FROM d),
-        |agg AS (
-        |  SELECT event_type, count(*)::BIGINT AS n_days,
-        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
-        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
-        |  FROM m GROUP BY 1)
-        |SELECT event_type, n_days,
-        |       CASE WHEN (n_days::HUGEINT * qx - sx * sx) > 0 THEN
-        |         round((n_days::HUGEINT * sxy - sx * sy)::DOUBLE /
-        |               (n_days::HUGEINT * qx - sx * sx)::DOUBLE, 6)
-        |       END AS slope
-        |FROM agg ORDER BY event_type""".stripMargin,
-
-    // CDC mirror: one flat latest-per-key window, tombstones filtered
-    // after winner selection.
-    "q185_cdc_apply" ->
-      """WITH r AS (
-        |  SELECT user_id, event_id, event_type,
-        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_id, event_type AS last_type, value_micros
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin,
-
-    // SCD2 mirror: one lead() per key under the same total order.
-    "q186_scd2_history" ->
-      """SELECT user_id, event_id, event_type,
-        |       ts AS valid_from,
-        |       lead(ts) OVER w AS valid_to,
-        |       (lead(ts) OVER w IS NULL) AS is_current
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, valid_from, event_id""".stripMargin,
-
-    // Gini mirror: the same rank formula, one flat row_number.
-    "q197_user_gini" ->
-      """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
-        |           FROM events GROUP BY 1),
-        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk
-        |      FROM c),
-        |a AS (SELECT count(*)::BIGINT AS n, sum(cnt)::HUGEINT AS sc,
-        |             sum(rk::HUGEINT * cnt) AS src FROM r)
-        |SELECT n AS n_users, sc::BIGINT AS total_events,
-        |       round((2 * src - (n + 1)::HUGEINT * sc)::DOUBLE /
-        |             (n::HUGEINT * sc)::DOUBLE, 6) AS gini
-        |FROM a""".stripMargin,
-
-    // Gap-histogram mirror: one per-(user, type) lag, the bit-length
-    // bin, shiftleft lo.
-    "q198_gap_histogram" ->
-      """WITH g AS (
-        |  SELECT event_type,
-        |         (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
-        |            (PARTITION BY user_id, event_type
-        |             ORDER BY ts, event_id))) // 1000000 AS gap
-        |  FROM events),
-        |b AS (
-        |  SELECT event_type,
-        |         CASE WHEN gap = 0 THEN -1::BIGINT
-        |              ELSE length(bin(gap))::BIGINT - 1 END AS bin
-        |  FROM g WHERE gap IS NOT NULL)
-        |SELECT event_type, bin,
-        |       CASE WHEN bin < 0 THEN 0::BIGINT
-        |            ELSE (1::BIGINT << bin::INTEGER) END AS lo,
-        |       count(*)::BIGINT AS n_gaps
-        |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
-
-    // Active-users mirror: distinct (day, user), ×7 window expansion
-    // + distinct, left joins on the dense grid.
-    "q195_active_users" ->
-      """WITH du AS (
-        |  SELECT DISTINCT user_id,
-        |         datediff('day', DATE '1970-01-01',
-        |                  date_trunc('day', ts))::BIGINT AS x
-        |  FROM events),
-        |b AS (SELECT min(x) AS lo, max(x) AS hi FROM du),
-        |g AS (SELECT unnest(range(lo, hi + 1))::BIGINT AS x FROM b),
-        |dau AS (SELECT x, count(*)::BIGINT AS dau FROM du GROUP BY 1),
-        |wau AS (SELECT x, count(*)::BIGINT AS wau FROM (
-        |          SELECT DISTINCT du.user_id, du.x + i AS x
-        |          FROM du, unnest(range(0, 7)) r(i)) w
-        |        GROUP BY 1)
-        |SELECT make_timestamp(g.x * 86400000000) AS day,
-        |       coalesce(dau.dau, 0)::BIGINT AS dau,
-        |       coalesce(wau.wau, 0)::BIGINT AS wau,
-        |       CASE WHEN coalesce(wau.wau, 0) > 0 THEN
-        |         round(coalesce(dau.dau, 0)::DOUBLE / wau.wau, 6)
-        |       END AS stickiness
-        |FROM g LEFT JOIN dau ON g.x = dau.x LEFT JOIN wau ON g.x = wau.x
-        |ORDER BY day""".stripMargin,
-
-    // ACF mirror: the same dense grid, head/tail partial sums, and
-    // n²-scaled integer moments as HUGEINTs.
-    "q187_daily_acf" ->
-      """WITH d AS (
-        |  SELECT event_type,
-        |         datediff('day', DATE '1970-01-01',
-        |                  date_trunc('day', ts))::BIGINT AS x,
-        |         count(*)::BIGINT AS y
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT event_type, min(x) AS lo, max(x) AS hi FROM d GROUP BY 1),
-        |g0 AS (SELECT event_type, unnest(range(lo, hi + 1))::BIGINT AS x FROM b),
-        |g AS (SELECT g0.event_type, g0.x, coalesce(d.y, 0)::BIGINT AS y
-        |      FROM g0 LEFT JOIN d USING (event_type, x)),
-        |m AS (SELECT event_type, count(*)::BIGINT AS n_days,
-        |             sum(y::HUGEINT) AS sy,
-        |             sum(y::HUGEINT * y::HUGEINT) AS syy
-        |      FROM g GROUP BY 1),
-        |l AS (SELECT unnest(range(1, 8))::BIGINT AS k),
-        |p AS (SELECT a.event_type, l.k,
-        |             sum(a.y::HUGEINT * c.y::HUGEINT) AS sxy,
-        |             sum(a.y::HUGEINT) AS h, sum(c.y::HUGEINT) AS t
-        |      FROM g a, l, g c
-        |      WHERE c.event_type = a.event_type AND c.x = a.x + l.k
-        |      GROUP BY 1, 2)
-        |SELECT p.event_type, p.k AS "lag", m.n_days,
-        |       CASE WHEN (m.n_days::HUGEINT * m.n_days * m.syy
-        |                  - m.n_days * m.sy * m.sy) > 0 THEN
-        |         round((m.n_days::HUGEINT * m.n_days * p.sxy
-        |                - m.n_days * m.sy * (p.h + p.t)
-        |                + (m.n_days - p.k)::HUGEINT * m.sy * m.sy)::DOUBLE
-        |               / (m.n_days::HUGEINT * m.n_days * m.syy
-        |                  - m.n_days * m.sy * m.sy)::DOUBLE, 6)
-        |       END AS acf
-        |FROM p JOIN m USING (event_type)
-        |ORDER BY event_type, "lag"""".stripMargin,
-
-    // Diversity mirror: the same tagged two-stage shape — (source, n,
-    // gram) counts first, group-level conditional sums second, each
-    // ratio one round-6 division of exact BIGINTs.
-    "q164_ngram_diversity" ->
-      """WITH t AS (
-        |  SELECT source,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT source, 1 AS gn, unnest(toks) AS gram FROM t
-        |  UNION ALL
-        |  SELECT source, 3 AS gn,
-        |         unnest(CASE WHEN len(toks) >= 3 THEN
-        |           list_transform(generate_series(1, len(toks) - 2),
-        |             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-        |           ELSE []::VARCHAR[] END) AS gram
-        |  FROM t),
-        |c AS (SELECT source, gn, gram, count(*)::BIGINT AS cnt
-        |      FROM g GROUP BY 1, 2, 3),
-        |a AS (
-        |  SELECT source,
-        |    coalesce(sum(CASE WHEN gn = 1 THEN cnt END), 0)::BIGINT AS n_tokens,
-        |    coalesce(sum(CASE WHEN gn = 1 THEN 1 END), 0)::BIGINT AS distinct_tokens,
-        |    coalesce(sum(CASE WHEN gn = 3 THEN cnt END), 0)::BIGINT AS n_ngrams,
-        |    coalesce(sum(CASE WHEN gn = 3 THEN 1 END), 0)::BIGINT AS distinct_ngrams
-        |  FROM c GROUP BY 1)
-        |SELECT source, n_tokens, distinct_tokens,
-        |       CASE WHEN n_tokens > 0 THEN
-        |         round(distinct_tokens * 1.0 / n_tokens, 6) END AS ttr,
-        |       n_ngrams, distinct_ngrams,
-        |       CASE WHEN n_ngrams > 0 THEN
-        |         round(distinct_ngrams * 1.0 / n_ngrams, 6) END AS ngram_ttr
-        |FROM a ORDER BY source""".stripMargin,
-
-    // Correlation mirror: the q139 quality chain per doc, quality
-    // micro-lifted, HUGEINT moments per source, one round-6 double.
-    "q168_length_quality_corr" ->
-      """WITH t AS (
-        |  SELECT source,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT source,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM t),
-        |xy AS (
-        |  SELECT source, n_tokens AS x,
-        |    CAST(round(round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS y
-        |  FROM m),
-        |agg AS (
-        |  SELECT source, count(*)::BIGINT AS n_docs,
-        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
-        |         sum(y::HUGEINT * y::HUGEINT) AS qy,
-        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
-        |  FROM xy GROUP BY 1)
-        |SELECT source, n_docs,
-        |       CASE WHEN (n_docs::HUGEINT * qx - sx * sx) > 0
-        |             AND (n_docs::HUGEINT * qy - sy * sy) > 0 THEN
-        |         round((n_docs::HUGEINT * sxy - sx * sy)::DOUBLE /
-        |               (sqrt((n_docs::HUGEINT * qx - sx * sx)::DOUBLE) *
-        |                sqrt((n_docs::HUGEINT * qy - sy * sy)::DOUBLE)), 6)
-        |       END AS r
-        |FROM agg ORDER BY source""".stripMargin,
-
-    // UniMax mirror: identical closed-form waterfill — capped prefix in
-    // (cap, lang) order, suffix floors (R+j-1)/u; all BIGINT except the
-    // engine-shared double division under floor and the round-6 epochs.
-    "q169_unimax_allocation" ->
-      """WITH pg AS (
-        |  SELECT lang,
-        |         sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |                             x -> x <> '')))::BIGINT AS n_tokens
-        |  FROM documents GROUP BY 1 HAVING n_tokens > 0),
-        |st AS (
-        |  SELECT lang, n_tokens, n_tokens * 2 AS cap,
-        |         row_number() OVER w AS i,
-        |         count(*) OVER () AS L,
-        |         coalesce(sum(n_tokens * 2) OVER (w ROWS BETWEEN
-        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pprev
-        |  FROM pg WINDOW w AS (ORDER BY n_tokens * 2, lang)),
-        |cp AS (
-        |  SELECT *, (cap * (L - i + 1) <= 40000 - pprev) AS capped FROM st),
-        |fin AS (
-        |  SELECT *,
-        |         sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
-        |         40000 - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS R,
-        |         L - sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS u
-        |  FROM cp)
-        |SELECT lang, n_tokens, cap,
-        |       CASE WHEN capped THEN cap
-        |            ELSE floor((R + (i - k) - 1) / u)::BIGINT END AS alloc,
-        |       round((CASE WHEN capped THEN cap
-        |              ELSE floor((R + (i - k) - 1) / u)::BIGINT END)::DOUBLE
-        |             / n_tokens::DOUBLE, 6) AS epochs
-        |FROM fin ORDER BY lang""".stripMargin,
-
-    // Burstiness mirror: the q2 (doc, term) agg lifted to term level,
-    // one round-6 division, (burstiness DESC, term) total order.
-    "q165_term_burstiness" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
-        |  FROM documents),
-        |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-        |       FROM tk GROUP BY 1, 2),
-        |t AS (SELECT term, sum(tf)::BIGINT AS cf, count(*)::BIGINT AS df
-        |      FROM dt GROUP BY 1)
-        |SELECT term, cf, df, round(cf * 1.0 / df, 6) AS burstiness
-        |FROM t WHERE df >= 2
-        |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin,
-
-    // Entropy mirror: same per-term floor quantization, ln on the
-    // direct tot/tf quotient (never 1/(tf/tot)).
-    "q157_source_entropy" ->
-      """WITH tk AS (
-        |  SELECT source,
-        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
-        |tot AS (SELECT source, sum(tf)::BIGINT AS tot, count(*)::BIGINT AS n_terms
-        |        FROM tf GROUP BY 1)
-        |SELECT t.source, o.tot AS n_tokens, o.n_terms,
-        |       sum(floor((t.tf * 1.0 / o.tot) * ln(o.tot * 1.0 / t.tf)
-        |                 * 1e6)::BIGINT)::BIGINT AS entropy_unats
-        |FROM tf t JOIN tot o USING (source)
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
-
-    // Preference-pair mirror: the q18 quality chain lifted to micro
-    // longs, argmax/argmin via the two deterministic row_number
-    // orders, margin gate at 50000 micro (0.05).
-    "q156_preference_pairs" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT source, doc_id,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM t),
-        |q AS (
-        |  SELECT source, doc_id,
-        |    CAST(round(round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS qm
-        |  FROM m),
-        |r AS (
-        |  SELECT source, doc_id, qm,
-        |    row_number() OVER (PARTITION BY source ORDER BY qm DESC, doc_id ASC) AS rb,
-        |    row_number() OVER (PARTITION BY source ORDER BY qm ASC, doc_id ASC) AS rw,
-        |    count(*) OVER (PARTITION BY source) AS n_g,
-        |    max(qm) OVER (PARTITION BY source) AS q_hi,
-        |    min(qm) OVER (PARTITION BY source) AS q_lo
-        |  FROM q)
-        |SELECT b.source, b.n_g::BIGINT AS n_docs, b.doc_id AS chosen,
-        |       w.doc_id AS rejected, b.q_hi AS q_chosen_micro,
-        |       w.q_lo AS q_rejected_micro,
-        |       (b.q_hi - w.q_lo)::BIGINT AS margin_micro
-        |FROM (SELECT * FROM r WHERE rb = 1) b
-        |JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
-        |WHERE b.n_g >= 2 AND b.doc_id <> w.doc_id
-        |  AND (b.q_hi - w.q_lo) >= 50000
-        |ORDER BY b.source""".stripMargin,
-
-    "q13_minhash_lsh" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
-         |FROM inter JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5
-         |ORDER BY d1, d2""".stripMargin,
-
-    "q102_minhash_estimate" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val)
-         |SELECT c.d1, c.d2, round(($sigMatchSql) / 16.0, 6) AS est
-         |FROM cand c
-         |JOIN sig s1 ON s1.doc_id = c.d1
-         |JOIN sig s2 ON s2.doc_id = c.d2
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Estimate vs exact on the same pairs; `jac` stays UNROUNDED like
-    // the engine's jaccardFor, the error stats round after aggregation.
-    "q102b_estimate_quality" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |est AS (
-         |  SELECT c.d1, c.d2, round(($sigMatchSql) / 16.0, 6) AS est
-         |  FROM cand c
-         |  JOIN sig s1 ON s1.doc_id = c.d1
-         |  JOIN sig s2 ON s2.doc_id = c.d2),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |joined AS (
-         |  SELECT e.est, i * 1.0 / (x.sz + y.sz - i) AS jac
-         |  FROM est e
-         |  JOIN inter USING (d1, d2)
-         |  JOIN sz x ON e.d1 = x.doc_id JOIN sz y ON e.d2 = y.doc_id)
-         |SELECT count(*)::BIGINT AS n_pairs,
-         |       round(avg(abs(est - jac)), 6) AS mean_abs_err,
-         |       round(max(abs(est - jac)), 6) AS max_abs_err,
-         |       round(avg(abs(est - jac)), 6) <= 0.12 AS mean_ok,
-         |       round(max(abs(est - jac)), 6) <= 0.5 AS max_ok
-         |FROM joined""".stripMargin,
-
-    "q35_related_docs" ->
-      s"""WITH $TokCte,
-         |cnt AS (SELECT term, doc_id, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
-         |dft AS (SELECT term, count(*) AS df FROM cnt GROUP BY 1),
-         |pr AS (
-         |  SELECT c.term, c.doc_id,
-         |         round((1 + log10(cnt)) * log10(1 + floor(nd / df)), 6) AS w
-         |  FROM cnt c JOIN dft USING (term) CROSS JOIN n
-         |  WHERE df <= 0.06 * nd),
-         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM pr GROUP BY 1),
-         |dots AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
-         |  FROM pr a JOIN pr b ON a.term = b.term AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, round(dot / (x.nrm * y.nrm), 6) AS cos
-         |FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
-         |WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.0
-         |ORDER BY d1, d2""".stripMargin,
-
-    "q40_dedup_incremental" ->
-      """SELECT doc_id FROM documents
-        |WHERE doc_id >= 250
-        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Bloom screen changes the plan, never the answer — q40's SQL.
-    "q40b_dedup_bloom" ->
-      """SELECT doc_id FROM documents
-        |WHERE doc_id >= 250
-        |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 250)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q52_near_dup_incremental" ->
-      s"""WITH ${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
-         |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "_h")},
-         |${minhashSigCteSfx("_n")},
-         |${minhashSigCteSfx("_h")},
-         |bands_n AS (${minhashBandsSqlSfx("_n")}),
-         |bands_h AS (${minhashBandsSqlSfx("_h")}),
-         |bok AS (
-         |  SELECT band, band_val FROM bands_h GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS hist_id
-         |  FROM bands_n a JOIN bands_h b
-         |    ON a.band = b.band AND a.band_val = b.band_val
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |inter AS (
-         |  SELECT c.doc_id, c.hist_id, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh_n a ON a.doc_id = c.doc_id
-         |  JOIN sh_h b ON b.doc_id = c.hist_id AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT it.doc_id, it.hist_id,
-         |       round(it.i * 1.0 / (x.sz + y.sz - it.i), 6) AS jaccard
-         |FROM inter it
-         |JOIN sz_n x ON it.doc_id = x.doc_id
-         |JOIN sz_h y ON it.hist_id = y.doc_id
-         |WHERE it.i * 1.0 / (x.sz + y.sz - it.i) >= 0.5
-         |ORDER BY it.doc_id, it.hist_id""".stripMargin,
-
-    "q28_minhash_dedup" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bmin AS (
-         |  SELECT band, band_val, min(doc_id) AS bucket_min
-         |  FROM bands GROUP BY 1, 2),
-         |dropped AS (
-         |  SELECT b.doc_id FROM bands b
-         |  JOIN bmin USING (band, band_val)
-         |  GROUP BY b.doc_id HAVING min(bucket_min) < b.doc_id)
-         |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |ORDER BY doc_id""".stripMargin,
-
-    "q28b_minhash_dedup_cc" ->
-      s"""WITH seeded AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT * FROM (VALUES $chainValuesSql) v(doc_id, text)),
-         |${shingleCtesFrom("seeded")},
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-         |${minLabelIterSql(3)}
-         |SELECT doc_id FROM seeded
-         |WHERE doc_id NOT IN (SELECT doc_id FROM l3 WHERE lbl < doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    "q14_simhash" ->
-      s"""WITH $SimhashCtes
-         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
-
-    // All-pairs hamming ≤ 3 is the oracle spec; the Spark side's 4-band
-    // pigeonhole join must lose nothing at this radius.
-    "q14b_simhash_pairs" ->
-      s"""WITH $SimhashCtes
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY d1, d2""".stripMargin,
-
-    "q38_simhash32_pairs" ->
-      s"""WITH ${simhashCtes(32)}
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY d1, d2""".stripMargin,
-
-    "q15_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
-        |         round(list_dot_product(q.emb, e.emb) /
-        |               (sqrt(list_dot_product(q.emb, q.emb)) *
-        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
-        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                               ORDER BY cos DESC, n_vec_id) AS rnk
-        |  FROM scored)
-        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    "q16_embedding_near_dup" ->
-      """SELECT d1, d2, cos FROM (
-        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
-
-    "q16b_embedding_lsh_near_dup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |tb AS (
-         |  SELECT vec_id, t,
-         |         list_sum(list_transform(range(0, 4), i ->
-         |           CASE WHEN ${duckSignDot("t * 4 + i", "emb")} > 0
-         |                THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END)) AS bucket
-         |  FROM e CROSS JOIN range(4) r(t)),
-         |bok AS (
-         |  SELECT t, bucket FROM tb GROUP BY 1, 2
-         |  HAVING count(*) <= ${Similarity.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-         |  FROM tb a JOIN tb b
-         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  JOIN bok ON a.t = bok.t AND a.bucket = bok.bucket),
-         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
-         |SELECT d1, d2, cos FROM (
-         |  SELECT d1, d2,
-         |         round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) AS cos
-         |  FROM cand JOIN n x ON d1 = x.vec_id JOIN n y ON d2 = y.vec_id)
-         |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
-
-    // Bucket-histogram mirror: the q25 bucket expression, two rollups.
-    "q207_lsh_bucket_histogram" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id,
-         |         list_sum(list_transform(range(0, 8), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket
-         |  FROM e),
-         |s AS (SELECT bucket, count(*)::BIGINT AS bucket_size FROM b GROUP BY 1)
-         |SELECT bucket_size, count(*)::BIGINT AS n_buckets
-         |FROM s GROUP BY 1 ORDER BY bucket_size""".stripMargin,
-
-    "q25_ann_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, emb,
-         |         list_sum(list_transform(range(0, 8), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
-         |         sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |q AS (SELECT * FROM b WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
-         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                               ORDER BY cos DESC, n_vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    "q25b_ann_lsh_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, emb,
-         |         list_sum(list_transform(range(0, 4), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
-         |         sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |q AS (SELECT * FROM b WHERE vec_id < 5),
-         |approx AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
-         |               DESC, c.vec_id) AS rnk
-         |    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
-         |  WHERE rnk <= 10),
-         |exact AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
-         |               DESC, c.vec_id) AS rnk
-         |    FROM q JOIN b c ON q.vec_id <> c.vec_id)
-         |  WHERE rnk <= 10),
-         |hits AS (
-         |  SELECT a.q_vec_id, count(*) AS n_hits
-         |  FROM approx a JOIN exact x
-         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
-         |  GROUP BY 1)
-         |SELECT v.vec_id AS q_vec_id,
-         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-         |ORDER BY q_vec_id""".stripMargin,
-
-    "q26_ann_ivf_topk" -> ivfTopKSql,
-
-    // Materialized-index probe — identical assignment/probe/re-rank
-    // definitions as the direct path, so the index roundtrip must
-    // reproduce q26 exactly (the q71 search-index contract for ANN).
-    "q82_ann_indexed" -> ivfTopKSql,
-
-    // Z-order layout: the SQL is generated from Layout's constants
-    // (bits, cell shift, the unrolled Morton interleave) — one source
-    // of truth for engine and oracle.
-    "q83_zorder_layout" -> zorderLayoutSql,
-    "q83b_zorder_skipping" -> zorderSkippingSql,
-
-    // Compaction mirror: one preceding-rows window sum, floor-divided
-    // into bins, rolled up.
-    "q192_compaction_plan" ->
-      """WITH f AS (
-        |  SELECT source, doc_id, n_chars,
-        |         coalesce(sum(n_chars) OVER (PARTITION BY source
-        |           ORDER BY n_chars DESC, doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |           0) AS cb
-        |  FROM documents)
-        |SELECT source, (cb // 2048)::BIGINT AS bin,
-        |       count(*)::BIGINT AS n_files,
-        |       sum(n_chars)::BIGINT AS bytes_total
-        |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
-
-    // Epoch shuffle: the SQL is generated from the same seed/shard/
-    // batch constants as the engine call — one source of truth.
-    "q84_epoch_shuffle" ->
-      s"""WITH $epochShuffleCtes
-         |SELECT doc_id, shard, seq, (seq - 1) // $EpochBatch AS batch
-         |FROM r ORDER BY shard, seq""".stripMargin,
-
-    "q84b_epoch_shuffle_balance" ->
-      s"""WITH $epochShuffleCtes,
-         |c AS (SELECT shard, count(*)::BIGINT AS n FROM r GROUP BY 1)
-         |SELECT count(*)::BIGINT AS n_shards, min(n)::BIGINT AS min_n,
-         |       max(n)::BIGINT AS max_n,
-         |       round(max(n)::DOUBLE * $EpochShards / sum(n)::DOUBLE, 6) AS skew
-         |FROM c""".stripMargin,
-
-    // Temperature mixture: √-shares from observed token mass; the
-    // integer-scaled weights make the normalizer exact long arithmetic
-    // in both engines (see Pipeline.temperatureMixture).
-    "q85_temperature_mixture" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source,
-         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |             t -> t <> ''))::BIGINT AS n_tokens
-         |  FROM documents),
-         |sa AS (SELECT source, sum(n_tokens) AS src_tokens,
-         |              floor(sqrt(sum(n_tokens)::DOUBLE) * 1000)::BIGINT AS w_src
-         |       FROM tk GROUP BY 1),
-         |z AS (SELECT sum(w_src) AS z_norm FROM sa),
-         |r AS (SELECT source,
-         |        least(1.0, w_src::DOUBLE / z_norm::DOUBLE * 15000.0
-         |                   / src_tokens::DOUBLE) AS rate
-         |      FROM sa CROSS JOIN z),
-         |keep AS (
-         |  SELECT tk.source, tk.n_tokens, r.rate
-         |  FROM tk JOIN r USING (source)
-         |  WHERE (${duckMd5Bucket("tk.doc_id")})::DOUBLE < r.rate * 1e6)
-         |SELECT source, count(*)::BIGINT AS n_docs,
-         |       sum(n_tokens)::BIGINT AS tokens_kept,
-         |       round(max(rate), 6) AS keep_rate
-         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
-
-    // DSIR: every score is a sum of integer micro-nats over the shared
-    // hashed-bucket model — engine and oracle quantize ONCE from the
-    // same exact long ratios, so rank order cannot drift.
-    "q86_importance_resample" ->
-      s"""WITH $dsirScoreCtes
-         |SELECT doc_id, source, score_micro, n_tokens FROM s
-         |ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
-
-    "q86b_importance_contract" ->
-      s"""WITH $dsirScoreCtes
-         |SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT
-         |         AS docs_t,
-         |       sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT
-         |         AS docs_r,
-         |       (sum(CASE WHEN source = 'src0' THEN score_micro ELSE 0 END)
-         |          * sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
-         |        > sum(CASE WHEN source <> 'src0' THEN score_micro ELSE 0 END)
-         |          * sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END))
-         |         AS target_scores_higher
-         |FROM s""".stripMargin,
-
-    // Leakage-safe split: the oracle replays the same bounded min-label
-    // closure the engine runs (shared CTEs with q28b), then hashes the
-    // cluster label through the same md5 permille bucket.
-    "q87_leakage_safe_split" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-         |${minLabelIterSql(3)},
-         |${splitAssignCtes()}
-         |SELECT doc_id, cluster, split FROM sp ORDER BY doc_id""".stripMargin,
-
-    // K-fold mirror: the q87 label chain with fold = md5 bucket mod 5.
-    "q173_kfold_split" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-         |${minLabelIterSql(3)},
-         |fd AS (
-         |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
-         |         ((${duckMd5Bucket("'fold:' || coalesce(l.lbl, d.doc_id)")})
-         |          % 5)::BIGINT AS fold
-         |  FROM documents d LEFT JOIN l3 l USING (doc_id))
-         |SELECT doc_id, cluster, fold FROM fd ORDER BY doc_id""".stripMargin,
-
-    // K-fold leakage contract mirror: q87b's candidate audit against
-    // the fold assignment, one row per fold.
-    "q173b_kfold_leakage" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-         |${minLabelIterSql(3)},
-         |fd AS (
-         |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
-         |         ((${duckMd5Bucket("'fold:' || coalesce(l.lbl, d.doc_id)")})
-         |          % 5)::BIGINT AS fold
-         |  FROM documents d LEFT JOIN l3 l USING (doc_id)),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |x AS (
-         |  SELECT count(*)::BIGINT AS n_pairs,
-         |         coalesce(sum(CASE WHEN f1.fold <> f2.fold THEN 1 ELSE 0 END),
-         |                  0)::BIGINT AS crossing
-         |  FROM cand JOIN fd f1 ON cand.d1 = f1.doc_id
-         |            JOIN fd f2 ON cand.d2 = f2.doc_id),
-         |fsz AS (SELECT fold, count(*)::BIGINT AS n_docs FROM fd GROUP BY 1)
-         |SELECT fsz.fold, fsz.n_docs, x.n_pairs, x.crossing,
-         |       (x.crossing = 0) AS leak_free
-         |FROM fsz CROSS JOIN x ORDER BY fold""".stripMargin,
-
-    "q87b_split_leakage" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-         |${minLabelIterSql(3)},
-         |${splitAssignCtes()},
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |x AS (
-         |  SELECT count(*)::BIGINT AS n_pairs,
-         |         coalesce(sum(CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END),
-         |                  0)::BIGINT AS crossing
-         |  FROM cand JOIN sp s1 ON cand.d1 = s1.doc_id
-         |            JOIN sp s2 ON cand.d2 = s2.doc_id),
-         |c AS (
-         |  SELECT sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
-         |           AS n_train,
-         |         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT
-         |           AS n_val
-         |  FROM sp)
-         |SELECT n_train, n_val, n_pairs, crossing, (crossing = 0) AS leak_free
-         |FROM c CROSS JOIN x""".stripMargin,
-
-    // Incremental split: history's bounded min-label closure + split,
-    // then delta docs inherit the smallest matched anchor's side.
-    "q91_split_incremental" ->
-      s"""WITH $incrementalSplitCtes
-         |SELECT doc_id, anchor, split FROM nsp ORDER BY doc_id""".stripMargin,
-
-    "q91b_split_incremental_leakage" ->
-      s"""WITH $incrementalSplitCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id, b.doc_id AS hist_doc
-         |  FROM bands_n a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |x AS (
-         |  SELECT count(*)::BIGINT AS n_pairs,
-         |         coalesce(sum(CASE WHEN n.split <> h.split THEN 1 ELSE 0 END),
-         |                  0)::BIGINT AS crossing
-         |  FROM cand c JOIN nsp n ON n.doc_id = c.doc_id
-         |              JOIN sp h ON h.doc_id = c.hist_doc),
-         |c2 AS (
-         |  SELECT count(*)::BIGINT AS n_new,
-         |         sum(CASE WHEN anchor IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         |           AS n_matched
-         |  FROM nsp)
-         |SELECT n_new, n_matched, n_pairs, crossing, (crossing = 0) AS leak_free
-         |FROM c2 CROSS JOIN x""".stripMargin,
-
-    // k-per-group sample: the same md5 rank replayed.
-    "q92_sample_per_group" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, source,
-         |         ${duckMd5Hash32("'kpg:' || doc_id")} AS hk
-         |  FROM documents),
-         |r AS (
-         |  SELECT doc_id, source,
-         |         row_number() OVER (PARTITION BY source
-         |                            ORDER BY hk, doc_id)::BIGINT AS rk
-         |  FROM h)
-         |SELECT doc_id, source, rk FROM r WHERE rk <= 5
-         |ORDER BY source, rk""".stripMargin,
-
-    // Length histogram: bin identity via integer bit-length (bin(n)
-    // string length), exactly mirroring Spark's conv(n, 10, 2).
-    "q93_length_histogram" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         len(list_filter(regexp_split_to_array(text, '\s+'),
-        |             t -> t <> ''))::BIGINT AS n
-        |  FROM documents),
-        |b AS (
-        |  SELECT (CASE WHEN n = 0 THEN -1
-        |               ELSE length(bin(n)) - 1 END)::BIGINT AS bin, n
-        |  FROM tk)
-        |SELECT bin,
-        |       (CASE WHEN bin < 0 THEN 0
-        |             ELSE 1::BIGINT << bin::INTEGER END)::BIGINT AS lo,
-        |       count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS tokens_total
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
-
-    // Naive Bayes: every log-prob quantized once to integer micro-nats
-    // from exact long ratios; argmax ties to the smallest label.
-    "q88_naive_bayes" -> nbPredictionsSql,
-
-    // The row-local strategy twin answers to the IDENTICAL oracle text —
-    // one spec, two physical strategies (distributed join+agg vs
-    // collected-model stateless projection).
-    "q88c_nb_rowlocal" -> nbPredictionsSql,
-
-    "q88b_nb_confusion" ->
-      s"""WITH ${nbScoreCtes()}
-         |SELECT lang, cand AS predicted, count(*)::BIGINT AS n
-         |FROM pred WHERE rn = 1
-         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
-
-    // Calibration mirror: top-2 off the same pred CTE, the identical
-    // double-division floor bin, one round-6 accuracy.
-    "q174_nb_calibration" ->
-      s"""WITH ${nbScoreCtes()},
-         |top2 AS (
-         |  SELECT doc_id, lang,
-         |         max(CASE WHEN rn = 1 THEN cand END) AS pred_c,
-         |         max(CASE WHEN rn = 1 THEN score_micro END) AS s1,
-         |         max(CASE WHEN rn = 2 THEN score_micro END) AS s2
-         |  FROM pred WHERE rn <= 2 GROUP BY 1, 2),
-         |cal AS (
-         |  SELECT least(floor((s1 - s2) / 5000000.0), 9)::BIGINT AS margin_bin,
-         |         CASE WHEN pred_c = lang THEN 1 ELSE 0 END AS ok
-         |  FROM top2 WHERE s2 IS NOT NULL)
-         |SELECT margin_bin, count(*)::BIGINT AS n, sum(ok)::BIGINT AS n_correct,
-         |       round(sum(ok) * 1.0 / count(*), 6) AS accuracy
-         |FROM cal GROUP BY 1 ORDER BY margin_bin""".stripMargin,
-
-    // Coverage sample: af carries only (vec_id, cell); the winning
-    // cosine re-derives from the FINAL centroid table c2 — the same
-    // rounded value the engine rides out of its assignment, and the
-    // window orders by the ROUNDED cosine on both sides.
-    "q89_coverage_sample" ->
-      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
-         |sc AS (
-         |  SELECT a.vec_id, a.cell,
-         |         round(list_dot_product(n.emb, c.cemb) / (n.nrm * c.cnrm), 6)
-         |           AS ccos
-         |  FROM af a JOIN n USING (vec_id) JOIN c2 c ON c.cent = a.cell),
-         |r AS (
-         |  SELECT cell, vec_id, ccos,
-         |         row_number() OVER (PARTITION BY cell
-         |                            ORDER BY ccos DESC, vec_id) AS rnk
-         |  FROM sc)
-         |SELECT cell, vec_id, ccos FROM r WHERE rnk <= 1
-         |ORDER BY cell""".stripMargin,
-
-    "q90_source_dup_stats" ->
-      """WITH g AS (
-        |  SELECT source, md5(text) AS fp, count(*)::BIGINT AS n
-        |  FROM documents GROUP BY 1, 2)
-        |SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_unique,
-        |       sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::BIGINT AS n_dup_rows,
-        |       round(1.0 - count(*)::DOUBLE / sum(n)::DOUBLE, 6) AS dup_rate
-        |FROM g GROUP BY source ORDER BY source""".stripMargin,
-
-    "q26b_ann_ivf_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-        |      FROM n WHERE vec_id % 100 = 0),
-        |assign AS (
-        |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
-        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
-        |           row_number() OVER (
-        |             PARTITION BY n.vec_id
-        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-        |               DESC, c.cent_id) AS rn
-        |    FROM n CROSS JOIN c) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
-        |  FROM (
-        |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
-        |           row_number() OVER (
-        |             PARTITION BY n.vec_id
-        |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-        |               DESC, c.cent_id) AS rn
-        |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
-        |approx AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
-        |           row_number() OVER (PARTITION BY p.q_vec_id ORDER BY
-        |             round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6)
-        |               DESC, a.vec_id) AS rnk
-        |    FROM probes p JOIN assign a
-        |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id)
-        |  WHERE rnk <= 10),
-        |exact AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT q.vec_id AS q_vec_id, t.vec_id AS n_vec_id,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             round(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm), 6)
-        |               DESC, t.vec_id) AS rnk
-        |    FROM (SELECT * FROM n WHERE vec_id < 5) q
-        |    JOIN n t ON q.vec_id <> t.vec_id)
-        |  WHERE rnk <= 10),
-        |hits AS (
-        |  SELECT a.q_vec_id, count(*) AS n_hits
-        |  FROM approx a JOIN exact x
-        |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
-        |  GROUP BY 1)
-        |SELECT v.vec_id AS q_vec_id,
-        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-        |ORDER BY q_vec_id""".stripMargin,
-
-    "q42_embedding_quantize" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-        |           FROM embeddings WHERE vec_id < 20),
-        |m AS (SELECT vec_id, emb, list_min(emb) AS mn,
-        |             (list_max(emb) - list_min(emb)) / 255.0 AS sc
-        |      FROM e)
-        |SELECT vec_id, round(mn, 6) AS minv, round(sc, 6) AS scale,
-        |       (p - 1)::INTEGER AS dim,
-        |       CASE WHEN sc = 0 THEN 0
-        |            ELSE least(greatest(
-        |                   floor((emb[p::INTEGER] - mn) / sc + 0.5), 0), 255)
-        |       END::INTEGER AS qv
-        |FROM m, unnest(range(1, len(emb) + 1)) r(p)
-        |ORDER BY vec_id, dim""".stripMargin,
-
-    // Unrolls the same 2 Lloyd iterations as Clustering.kmeans (stride-50
-    // seeds, argmax-cosine assignment with ties to the smallest centroid
-    // id, per-dim means rounded to 6 decimals) — change ONLY in lockstep
-    // with kmeansCtesSql / Clustering.kmeans.
-    // Cluster-label mirror: the q54 assignment chain + token counts,
-    // floor-idf distinctiveness, per-cell top-5 window.
-    "q209_cluster_top_terms" ->
-      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
-         |dj AS (
-         |  SELECT af.cell, d.doc_id, d.text
-         |  FROM documents d JOIN af ON af.vec_id = d.doc_id),
-         |tok AS (
-         |  SELECT cell, doc_id,
-         |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-         |                x -> x <> '')) AS term
-         |  FROM dj),
-         |cc2 AS (SELECT cell, term, count(*)::BIGINT AS cnt
-         |        FROM tok GROUP BY 1, 2),
-         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM (
-         |          SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
-         |nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok),
-         |sc AS (
-         |  SELECT cc2.cell, cc2.term,
-         |         (cc2.cnt * (nn.n // dfq.df))::BIGINT AS score
-         |  FROM cc2 JOIN dfq USING (term), nn)
-         |SELECT cell, term, score, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY cell
-         |            ORDER BY score DESC, term)::BIGINT AS rk
-         |  FROM sc)
-         |WHERE rk <= 5 ORDER BY cell, rk""".stripMargin,
-
-    // q13's verified-pair chain + bigram multiset counts; f1 via the
-    // single-division identity — one rounding step per output column.
-    "q211_ngram_overlap_f1" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |vp AS (
-         |  SELECT d1, d2 FROM inter
-         |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-         |  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5),
-         |gtok AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-         |  FROM documents),
-         |gc AS (
-         |  SELECT doc_id, gram, count(*)::BIGINT AS c FROM (
-         |    SELECT doc_id,
-         |           unnest(list_transform(range(1, len(toks)),
-         |                  i -> toks[i] || ' ' || toks[i+1])) AS gram
-         |    FROM gtok WHERE len(toks) >= 2)
-         |  GROUP BY 1, 2),
-         |gt AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM gc GROUP BY 1),
-         |ov AS (
-         |  SELECT p.d1, p.d2, sum(least(a.c, b.c))::BIGINT AS overlap
-         |  FROM vp p
-         |  JOIN gc a ON a.doc_id = p.d1
-         |  JOIN gc b ON b.doc_id = p.d2 AND b.gram = a.gram
-         |  GROUP BY 1, 2)
-         |SELECT ov.d1, ov.d2, ov.overlap,
-         |       round(ov.overlap * 1.0 / x.tot, 6) AS prec,
-         |       round(ov.overlap * 1.0 / y.tot, 6) AS rec,
-         |       round(2.0 * ov.overlap / (x.tot + y.tot), 6) AS f1
-         |FROM ov JOIN gt x ON ov.d1 = x.doc_id JOIN gt y ON ov.d2 = y.doc_id
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Unrolled 8-round peel over the q117/q39 co-occurrence graph;
-    // MATERIALIZED rounds (each references its predecessor 3×, and
-    // DuckDB CTEs inline by default — exponential re-open otherwise).
-    "q212_kcore" -> kCoreSql(k = 2, window = 2, minCount = 2, rounds = 8),
-
-    // The q18 quality chain ranked (round-6 DESC, doc_id tie-break),
-    // integer pool admission rn·E < e·N, md5 permille shuffle key.
-    "q213_curriculum" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    len(toks)::BIGINT AS n_tokens,
-         |    len(list_distinct(toks))::BIGINT AS n_distinct,
-         |    round(len(list_filter(toks, x -> x IN (
-         |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-         |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-         |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-         |  FROM t),
-         |q AS (
-         |  SELECT doc_id,
-         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-         |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-         |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality
-         |  FROM m),
-         |r AS (
-         |  SELECT doc_id, quality,
-         |         (row_number() OVER (ORDER BY quality DESC, doc_id) - 1)::BIGINT AS rn
-         |  FROM q),
-         |tot AS (SELECT count(*)::BIGINT AS n FROM r),
-         |ep AS (SELECT unnest(range(1, 5))::BIGINT AS epoch)
-         |SELECT ep.epoch, r.doc_id, r.quality, r.rn,
-         |       (${duckMd5Bucket("'ep:' || ep.epoch || ':' || r.doc_id")})::BIGINT AS ord
-         |FROM r CROSS JOIN tot CROSS JOIN ep
-         |WHERE r.rn * 4 < ep.epoch * tot.n
-         |ORDER BY epoch, ord, doc_id""".stripMargin,
-
-    // Gap CV: lag per user (ts, event_id order), HUGEINT moments,
-    // cv = sqrt of the one exact ratio; Σg = 0 → null.
-    "q215_gap_regularity" ->
-      """WITH g AS (
-        |  SELECT user_id,
-        |         (epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
-        |           AS gap
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, count(*)::BIGINT AS n_events,
-        |         count(gap)::BIGINT AS n_gaps,
-        |         coalesce(sum(gap::HUGEINT), 0) AS s,
-        |         coalesce(sum(gap::HUGEINT * gap), 0) AS q
-        |  FROM g GROUP BY 1 HAVING count(*) >= 5)
-        |SELECT user_id, n_events, n_gaps,
-        |       round(s * 1.0 / n_gaps, 6) AS mean_gap_s,
-        |       CASE WHEN s > 0 THEN
-        |         round(sqrt((n_gaps::HUGEINT * q - s * s) * 1.0 / (s * s)), 6)
-        |       END AS cv
-        |FROM m ORDER BY user_id""".stripMargin,
-
-    // The composed daily-ingest decision log: q40b's NOT IN screen,
-    // q52's banded+verified near-dup (min anchor), q91's split-inherit
-    // CTEs over the kept survivors — the same builders, one statement.
-    "q210_daily_ingest" ->
-      s"""WITH surv AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id >= 250
-         |    AND md5(text) NOT IN
-         |        (SELECT md5(text) FROM documents WHERE doc_id < 250)),
-         |${shingleCtesFrom("(SELECT * FROM documents WHERE doc_id < 250)")},
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |${shingleCtesSfx("surv", "_n")},
-         |${minhashSigCteSfx("_n")},
-         |bands_n AS (${minhashBandsSqlSfx("_n")}),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS hist_id
-         |  FROM bands_n a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |inter AS (
-         |  SELECT c.doc_id, c.hist_id, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh_n a ON a.doc_id = c.doc_id
-         |  JOIN sh b ON b.doc_id = c.hist_id AND b.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |nd AS (
-         |  SELECT it.doc_id, min(it.hist_id) AS nd_anchor
-         |  FROM inter it
-         |  JOIN sz_n x ON it.doc_id = x.doc_id
-         |  JOIN sz y ON it.hist_id = y.doc_id
-         |  WHERE it.i * 1.0 / (x.sz + y.sz - it.i) >= 0.5
-         |  GROUP BY 1),
-         |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-         |${minLabelIterSql(3)},
-         |${splitAssignCtes("(SELECT doc_id FROM documents WHERE doc_id < 250)")},
-         |kept AS (
-         |  SELECT doc_id FROM surv
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
-         |anc AS (
-         |  SELECT a.doc_id, min(b.doc_id) AS anchor
-         |  FROM bands_n a JOIN kept k ON a.doc_id = k.doc_id
-         |  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val
-         |  GROUP BY 1),
-         |nsp AS (
-         |  SELECT k.doc_id, anc.anchor,
-         |         coalesce(h.split,
-         |           CASE WHEN (${duckMd5Bucket("'split:' || k.doc_id")}) < 100000
-         |                THEN 'val' ELSE 'train' END) AS split
-         |  FROM kept k
-         |  LEFT JOIN anc ON anc.doc_id = k.doc_id
-         |  LEFT JOIN sp h ON h.doc_id = anc.anchor)
-         |SELECT d.doc_id,
-         |       CASE WHEN s.doc_id IS NULL THEN 'dropped_exact'
-         |            WHEN nd.doc_id IS NOT NULL THEN 'dropped_near_dup'
-         |            ELSE 'kept' END AS stage,
-         |       CASE WHEN nd.doc_id IS NOT NULL THEN nd.nd_anchor
-         |            ELSE nsp.anchor END AS anchor,
-         |       nsp.split AS split
-         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
-         |LEFT JOIN surv s ON s.doc_id = d.doc_id
-         |LEFT JOIN nd ON nd.doc_id = d.doc_id
-         |LEFT JOIN nsp ON nsp.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    "q54_kmeans" ->
-      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
-         |cl AS (
-         |  SELECT a.cell, n.label, count(*) AS cnt
-         |  FROM af a JOIN n USING (vec_id) GROUP BY 1, 2),
-         |mj AS (
-         |  SELECT cell, label AS maj_label, cnt AS maj_n,
-         |         row_number() OVER (PARTITION BY cell
-         |                            ORDER BY cnt DESC, label) AS rn
-         |  FROM cl),
-         |sz AS (SELECT cell, sum(cnt)::BIGINT AS size FROM cl GROUP BY 1)
-         |SELECT s.cell, s.size, m.maj_label,
-         |       round(m.maj_n / s.size, 6) AS purity
-         |FROM sz s JOIN mj m ON s.cell = m.cell AND m.rn = 1
-         |ORDER BY s.cell""".stripMargin,
-
-    // SemDeDup mirror: same clustering CTEs, then the within-cell pair
-    // join with the MaxPairCell guard (cells above 5000 members are
-    // excluded from pairing; their rows all survive) — lockstep with
-    // Clustering.semanticDedup.
-    "q55_semantic_dedup" ->
-      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
-         |cn AS (SELECT cell, count(*) AS cell_n FROM af GROUP BY 1),
-         |ok AS (SELECT cell FROM cn WHERE cell_n <= 5000),
-         |m AS (
-         |  SELECT a.vec_id, a.cell, n.emb, n.nrm
-         |  FROM af a JOIN n USING (vec_id) JOIN ok USING (cell)),
-         |drops AS (
-         |  SELECT DISTINCT m2.vec_id
-         |  FROM m m1 JOIN m m2
-         |    ON m1.cell = m2.cell AND m1.vec_id < m2.vec_id
-         |  WHERE round(list_dot_product(m1.emb, m2.emb)
-         |              / (m1.nrm * m2.nrm), 6) >= 0.3)
-         |SELECT a.vec_id, a.cell
-         |FROM af a LEFT JOIN drops d ON a.vec_id = d.vec_id
-         |WHERE d.vec_id IS NULL
-         |ORDER BY a.vec_id""".stripMargin,
-
-    // ExactSubstr mirror: span occurrences keyed by md5 of the 8-token
-    // span, keep-first per span (row_number), covered positions removed,
-    // text rebuilt — lockstep with Dedup.substringDedup(spanTokens = 8).
-    "q56_substring_dedup" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, (i - 1)::BIGINT AS pos,
-        |         md5(list_aggr(toks[i:i+7], 'string_agg', ' ')) AS span
-        |  FROM tokl, unnest(range(1, len(toks) - 6)) AS t(i)
-        |  WHERE len(toks) >= 8),
-        |rem AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos,
-        |           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
-        |    FROM occ) WHERE rn > 1),
-        |rp AS (
-        |  SELECT DISTINCT doc_id, pos + o.off AS tp
-        |  FROM rem, unnest(range(0, 8)) AS o(off)),
-        |tpos AS (
-        |  SELECT doc_id, (i - 1)::BIGINT AS tp, toks[i] AS term
-        |  FROM tokl, unnest(range(1, len(toks) + 1)) AS t(i)),
-        |kept AS (
-        |  SELECT t.doc_id, t.tp, t.term
-        |  FROM tpos t LEFT JOIN rp ON t.doc_id = rp.doc_id AND t.tp = rp.tp
-        |  WHERE rp.doc_id IS NULL),
-        |agg AS (
-        |  SELECT doc_id, string_agg(term, ' ' ORDER BY tp) AS clean_text,
-        |         count(*)::BIGINT AS n_kept
-        |  FROM kept GROUP BY doc_id)
-        |SELECT l.doc_id, coalesce(a.clean_text, '') AS clean_text,
-        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
-        |       (len(l.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
-        |FROM tokl l LEFT JOIN agg a USING (doc_id)
-        |ORDER BY l.doc_id""".stripMargin,
-
-    // Mixture-sampling mirror: identical rate arithmetic order
-    // ((share * budget) / src_tokens, capped at 1) and the q34 md5
-    // bucket, so the keep set matches bit for bit.
-    "q57_mixture_sample" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source,
-         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |             t -> t <> ''))::BIGINT AS n_tokens
-         |  FROM documents),
-         |sa AS (SELECT source, sum(n_tokens) AS src_tokens FROM tk GROUP BY 1),
-         |keep AS (
-         |  SELECT tk.source, tk.n_tokens
-         |  FROM tk JOIN sa USING (source)
-         |  WHERE (${duckMd5Bucket("tk.doc_id")})::DOUBLE <
-         |        least(1.0, (CASE tk.source WHEN 'src0' THEN 0.4
-         |                    WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2
-         |                    ELSE 0.0 END) * 15000.0 / sa.src_tokens) * 1e6)
-         |SELECT source, count(*)::BIGINT AS n_docs,
-         |       sum(n_tokens)::BIGINT AS tokens_kept
-         |FROM keep GROUP BY source ORDER BY source""".stripMargin,
-
-    "q58_keywords" ->
-      s"""$TfIdfCtes
-         |SELECT doc_id, term, tfidf, rnk FROM (
-         |  SELECT doc_id, term, tfidf,
-         |         row_number() OVER (PARTITION BY doc_id
-         |                            ORDER BY tfidf DESC, term)::BIGINT AS rnk
-         |  FROM scores) WHERE rnk <= 5
-         |ORDER BY doc_id, rnk""".stripMargin,
-
-    // Quality-quantile mirror: same q18 score chain (stopword ratio
-    // rounded BEFORE the composite, both rounded to 6), quantile_cont =
-    // Spark's exact interpolated percentile.
-    "q59_quality_filter" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM t),
-        |q AS (
-        |  SELECT doc_id,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |thr AS (SELECT quantile_cont(quality_score, 0.25) AS t FROM q)
-        |SELECT doc_id, quality_score FROM q CROSS JOIN thr
-        |WHERE quality_score >= thr.t
-        |ORDER BY doc_id""".stripMargin,
-
-    // Curriculum-binning mirror: same score chain, quantile_cont array
-    // thresholds, strict-> threshold counting.
-    "q64_quality_bins" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM t),
-        |q AS (
-        |  SELECT doc_id,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |thr AS (
-        |  SELECT quantile_cont(quality_score, [0.25, 0.5, 0.75]) AS ts FROM q)
-        |SELECT doc_id, quality_score,
-        |       (1 + len(list_filter(thr.ts, t -> quality_score > t)))::BIGINT AS bin
-        |FROM q CROSS JOIN thr
-        |ORDER BY doc_id""".stripMargin,
-
-    "q17_lang_id" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id,
-         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-         |  FROM t)
-         |SELECT doc_id,
-         |  CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-         |       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-         |       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-         |       WHEN hits_es >= hits_fr THEN 'es'
-         |       ELSE 'fr' END AS lang_pred,
-         |  hits_en, hits_de, hits_es, hits_fr
-         |FROM h ORDER BY doc_id""".stripMargin,
-
-    // Confusion mirror: the q17 prediction joined to the trusted lang,
-    // rolled up, share via a within-true-lang window.
-    "q205_langid_confusion" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id,
-         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-         |  FROM t),
-         |p AS (
-         |  SELECT doc_id,
-         |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-         |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-         |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-         |         WHEN hits_es >= hits_fr THEN 'es'
-         |         ELSE 'fr' END AS lang_pred
-         |  FROM h),
-         |c AS (
-         |  SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
-         |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2)
-         |SELECT lang, lang_pred, n_docs,
-         |       round(n_docs::DOUBLE /
-         |             sum(n_docs) OVER (PARTITION BY lang), 6) AS share
-         |FROM c ORDER BY lang, lang_pred""".stripMargin,
-
-    "q18_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(list_sum(list_transform(toks, x -> len(x))) * 1.0 /
-        |          greatest(len(toks), 1), 6) AS mean_tok_len,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM t)
-        |SELECT doc_id, n_tokens, n_distinct, mean_tok_len, stopword_ratio,
-        |  round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |        (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |        least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    "q19_token_stats" ->
-      """SELECT doc_id,
-        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))::BIGINT AS bpe_ish_tokens,
-        |  length(text)::BIGINT AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "q20_fingerprint" ->
-      """WITH c AS (
-        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS canon
-        |  FROM documents)
-        |SELECT doc_id, md5(canon) AS fp_md5,
-        |  list_sum(list_transform(range(1, 16), i ->
-        |    (strpos('0123456789abcdef', substr(md5(canon), i::INTEGER, 1)) - 1)::BIGINT
-        |      << ((15 - i)::INTEGER * 4)))::BIGINT AS fp64
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    "q34_sample_by_hash" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_sum(list_transform(range(1, 9), i ->
-        |        (strpos('0123456789abcdef',
-        |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-        |          << ((8 - i)::INTEGER * 4))) % 1000000 < 100000
-        |ORDER BY doc_id""".stripMargin,
-
-    "q72_winnow_fingerprints" ->
-      s"""$WinnowCtes
-         |SELECT doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
-
-    // Rollup masks + per-doc quality (q18's formula) averaged per cell.
-    "q75_corpus_rollup" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, lang, source,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    round(least(len(toks) / 50.0, 1.0) * 0.4 +
-        |          (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) * 0.4 +
-        |          least(round(len(list_filter(toks, x -> x IN (
-        |            'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |            'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |          ))) * 1.0 / greatest(len(toks), 1), 6) * 4.0, 1.0) * 0.2, 6) AS q
-        |  FROM t)
-        |SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-        |  grouping(lang)::BIGINT AS g_lang, grouping(source)::BIGINT AS g_source,
-        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
-        |  round(avg(q), 6) AS avg_quality
-        |FROM m GROUP BY ROLLUP(lang, source)
-        |ORDER BY g_lang, lang, g_source, source""".stripMargin,
-
-    // Shared-fingerprint pairs, hot fps (> 50 docs) excluded pre-join.
-    "q74_winnow_pairs" ->
-      s"""$WinnowCtes,
-         |ok AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 50),
-         |flt AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN ok USING (fp))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       count(*)::BIGINT AS shared_fps
-         |FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "q73_sample_by_weight" ->
-      """WITH w AS (SELECT doc_id, length(text)::DOUBLE AS w FROM documents),
-        |a AS (SELECT avg(w) AS aw FROM w)
-        |SELECT doc_id FROM w CROSS JOIN a
-        |WHERE list_sum(list_transform(range(1, 9), i ->
-        |        (strpos('0123456789abcdef',
-        |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-        |          << ((8 - i)::INTEGER * 4))) % 1000000
-        |      < 200000 * w / aw
-        |ORDER BY doc_id""".stripMargin,
-
-    "q36_sample_stratified" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE list_sum(list_transform(range(1, 9), i ->
-        |        (strpos('0123456789abcdef',
-        |                substr(md5(doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-        |          << ((8 - i)::INTEGER * 4))) % 1000000
-        |      < (CASE WHEN lang = 'en' THEN 0.05
-        |              WHEN lang = 'de' THEN 0.5
-        |              ELSE 0.2 END) * 1000000
-        |ORDER BY doc_id""".stripMargin,
-
-    "q37_top_ngrams" ->
-      s"""WITH $ShingleCtes
-         |SELECT shingle AS ngram, count(*) AS doc_freq FROM sh
-         |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
-
-    "q44_contamination" ->
-      s"""WITH $ShingleCtes,
-         |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 5),
-         |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 5)
-         |SELECT c.doc_id, bench_id, count(*) AS shared_ngrams
-         |FROM c JOIN b USING (shingle)
-         |GROUP BY 1, 2
-         |HAVING count(*) >= 1
-         |ORDER BY doc_id, bench_id""".stripMargin,
-
-    "q45_repetition" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(toks) >= 3
-        |              THEN list_transform(range(1, len(toks) - 1),
-        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |              ELSE []::VARCHAR[] END AS grams
-        |  FROM tokl)
-        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
-        |       len(list_distinct(grams))::BIGINT AS n_distinct_grams,
-        |       round(CASE WHEN len(grams) = 0 THEN 0
-        |                  ELSE 1 - len(list_distinct(grams)) * 1.0 / len(grams)
-        |             END, 6) AS rep_ratio
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    "q46_bigram_lm" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, toks[p::INTEGER] AS w1, toks[(p + 1)::INTEGER] AS w2
-        |  FROM tokl, unnest(range(1, len(toks))) r(p)),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |uni AS (SELECT unnest(toks) AS w1 FROM tokl),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w1) AS v FROM uni)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
-        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // Entry/exit mirror: the q24 gap rule under the (ts, event_id)
-    // total order, ordered-aggregate first/last per session.
-    "q200_session_entry_exit" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-        |                 > 1800000000 THEN 1 ELSE 0 END AS ns
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s2 AS (
-        |  SELECT *, sum(ns) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
-        |  FROM s),
-        |g AS (
-        |  SELECT user_id, seq,
-        |         first(event_type ORDER BY ts, event_id) AS entry_type,
-        |         last(event_type ORDER BY ts, event_id) AS exit_type,
-        |         count(*) AS n
-        |  FROM s2 GROUP BY 1, 2)
-        |SELECT entry_type, exit_type, count(*)::BIGINT AS n_sessions,
-        |       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
-        |       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
-        |             / count(*), 6) AS bounce_rate
-        |FROM g GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
-
-    // Sliding-chunk mirror: the q47 recipe with stride arithmetic and
-    // the covering last start.
-    "q201_chunk_sliding" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, toks,
-        |         unnest(range(0,
-        |           greatest(0, (len(toks) - 32 + 16 - 1) // 16) + 1)) AS chunk_id
-        |  FROM t WHERE len(toks) > 0)
-        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
-        |       (chunk_id * 16)::BIGINT AS start_token,
-        |       array_to_string(toks[(chunk_id * 16 + 1):(chunk_id * 16 + 32)], ' ')
-        |         AS chunk_text,
-        |       least(len(toks) - chunk_id * 16, 32)::BIGINT AS n_tokens
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "q47_chunk_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, toks,
-        |         unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
-        |  FROM t WHERE len(toks) > 0)
-        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
-        |       array_to_string(toks[(chunk_id * 64 + 1):(chunk_id * 64 + 64)], ' ')
-        |         AS chunk_text,
-        |       least(len(toks) - chunk_id * 64, 64)::BIGINT AS n_tokens
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "q48_pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         len(list_filter(regexp_split_to_array(text, '\s+'),
-        |             x -> x <> ''))::BIGINT AS n_tokens,
-        |         (doc_id % 16)::BIGINT AS bucket
-        |  FROM documents)
-        |SELECT doc_id, n_tokens, bucket,
-        |       floor(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
-        |               ORDER BY doc_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |             / 256.0)::BIGINT AS pack_id
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "q49_encode_tokens" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, (p - 1)::BIGINT AS pos, toks[p::INTEGER] AS term
-        |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
-        |counts AS (SELECT term, count(*) AS cnt FROM pos GROUP BY 1),
-        |vocab AS (
-        |  SELECT term,
-        |         (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT AS token_id
-        |  FROM counts WHERE cnt >= 2)
-        |SELECT p.doc_id, p.pos, p.term,
-        |       coalesce(v.token_id, -1)::BIGINT AS token_id
-        |FROM pos p LEFT JOIN vocab v ON p.term = v.term
-        |ORDER BY doc_id, pos""".stripMargin,
-
-    // Full-corpus vocabulary — the incremental path must equal this.
-    "q61_vocab_incremental" ->
-      """WITH tok AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |         x -> x <> '')) AS term
-        |  FROM documents),
-        |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1)
-        |SELECT term, cnt,
-        |       (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT AS token_id
-        |FROM counts WHERE cnt >= 2
-        |ORDER BY token_id""".stripMargin,
-
-    // Coverage-curve mirror: the same ranked counts, budgets as a
-    // literal power list, one round-6 division.
-    "q193_coverage_curve" ->
-      """WITH tok AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |         x -> x <> '')) AS term
-        |  FROM documents),
-        |tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
-        |r AS (SELECT cnt,
-        |             (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT
-        |               AS token_id
-        |      FROM tc),
-        |t AS (SELECT count(*)::BIGINT AS v, sum(cnt)::BIGINT AS total_tokens
-        |      FROM tc),
-        |k AS (SELECT unnest(list_transform(range(0, 41),
-        |               j -> (1::BIGINT << j::INTEGER))) AS vocab_budget),
-        |x AS (SELECT r.cnt, k.vocab_budget, t.total_tokens
-        |      FROM r, k, t
-        |      WHERE k.vocab_budget > r.token_id
-        |        AND k.vocab_budget < 2 * t.v)
-        |SELECT vocab_budget, count(*)::BIGINT AS n_terms,
-        |       sum(cnt)::BIGINT AS cum_tokens,
-        |       max(total_tokens) AS total_tokens,
-        |       round(sum(cnt)::DOUBLE / max(total_tokens), 6) AS coverage
-        |FROM x GROUP BY 1 ORDER BY vocab_budget""".stripMargin,
-
-    // Heaps mirror: per-term min doc id, thresholded by the same
-    // literal power list capped at the first power > max id.
-    "q194_heaps_curve" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |                x -> x <> '')) AS term
-        |  FROM documents),
-        |fs AS (SELECT term, min(doc_id)::BIGINT AS first_doc
-        |       FROM tok GROUP BY 1),
-        |b AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
-        |k AS (SELECT unnest(list_transform(range(0, 41),
-        |               j -> (1::BIGINT << j::INTEGER))) AS n_docs)
-        |SELECT k.n_docs, count(*)::BIGINT AS vocab_size
-        |FROM fs, k, b
-        |WHERE k.n_docs > fs.first_doc AND k.n_docs < 2 * (b.mx + 1)
-        |GROUP BY 1 ORDER BY n_docs""".stripMargin,
-
-    "q51_training_prep" -> prepChainSql("documents"),
-
-    // Same chain over the Bloom-screened daily increment (q40b's screen
-    // feeding q51's prep): one shared SQL builder keeps the two oracles
-    // in lockstep by construction.
-    "q77_incremental_prep" -> prepChainSql(
-      """(SELECT doc_id, text FROM documents
-        |     WHERE doc_id >= 250
-        |       AND md5(text) NOT IN
-        |           (SELECT md5(text) FROM documents WHERE doc_id < 250))""".stripMargin),
-
-    "q53_vocab_coverage" ->
-      """WITH tokh AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |         x -> x <> '')) AS term
-        |  FROM documents WHERE doc_id < 250),
-        |vocab AS (
-        |  SELECT term FROM (SELECT term, count(*) AS cnt FROM tokh GROUP BY 1)
-        |  WHERE cnt >= 2),
-        |tokn AS (
-        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |         x -> x <> '')) AS term
-        |  FROM documents WHERE doc_id >= 250)
-        |SELECT t.doc_id,
-        |       count(*) AS n_tokens,
-        |       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-        |       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
-        |             / count(*), 6) AS oov_rate
-        |FROM tokn t LEFT JOIN vocab v ON t.term = v.term
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q50_redact" ->
-      """WITH c AS (
-        |  SELECT c_custkey, concat(c_name, ' ', c_mktsegment) AS raw
-        |  FROM customer),
-        |s1 AS (
-        |  SELECT c_custkey,
-        |         len(regexp_extract_all(raw,
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-        |         regexp_replace(raw,
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |           '<EMAIL>', 'g') AS t1
-        |  FROM c),
-        |s2 AS (
-        |  SELECT c_custkey, n_email,
-        |         len(regexp_extract_all(t1,
-        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ip,
-        |         regexp_replace(t1,
-        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
-        |           '<IP>', 'g') AS t2
-        |  FROM s1)
-        |SELECT c_custkey,
-        |       regexp_replace(t2, '[0-9]{2,}', '<NUM>', 'g') AS redacted,
-        |       n_email, n_ip,
-        |       len(regexp_extract_all(t2, '[0-9]{2,}'))::BIGINT AS n_num
-        |FROM s2 ORDER BY c_custkey""".stripMargin,
-
-    "q65_normalize_text" ->
-      """SELECT c_custkey,
-        |       trim(regexp_replace(
-        |         regexp_replace(lower(concat(c_name, ' | ', c_mktsegment)),
-        |           '[^a-z0-9\s]+', ' ', 'g'),
-        |         '\s+', ' ', 'g')) AS norm_text
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    // Winsorize mirror: same rounded quantile_cont band, same clip.
-    "q66_events_winsorize" ->
-      """WITH thr AS (
-        |  SELECT round(quantile_cont(value, 0.01), 6) AS lo,
-        |         round(quantile_cont(value, 0.99), 6) AS hi
-        |  FROM events)
-        |SELECT event_type, count(*)::BIGINT AS n_events,
-        |       round(sum(least(greatest(value, thr.lo), thr.hi)), 6) AS value_w_sum
-        |FROM events CROSS JOIN thr
-        |GROUP BY event_type, thr.lo, thr.hi
-        |ORDER BY event_type""".stripMargin,
-
-    "q39_cooccurrence_pmi" ->
-      """WITH tokl AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, p, toks[p::INTEGER] AS term
-        |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
-        |pairs AS (
-        |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
-        |  FROM pos a JOIN pos b
-        |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
-        |tc AS (SELECT term, count(*) AS c FROM pos GROUP BY 1),
-        |nt AS (SELECT count(*) AS n_tok FROM pos),
-        |np AS (SELECT count(*) AS n_pair FROM pairs),
-        |pc AS (SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
-        |SELECT t1, t2, cnt,
-        |       round(log10((cnt / n_pair) / ((x.c / n_tok) * (y.c / n_tok))), 6) AS pmi
-        |FROM pc JOIN tc x ON t1 = x.term JOIN tc y ON t2 = y.term
-        |CROSS JOIN nt CROSS JOIN np
-        |WHERE cnt >= 2
-        |ORDER BY t1, t2""".stripMargin,
-
-    "q27_clean_corpus" ->
-      """WITH keep AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents) WHERE rn = 1),
-        |t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM keep),
-        |h AS (
-        |  SELECT doc_id, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |         WHEN hits_es >= hits_fr THEN 'es'
-        |         ELSE 'fr' END AS lang_pred
-        |  FROM h),
-        |m AS (
-        |  SELECT doc_id, lang_pred,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM l),
-        |q AS (
-        |  SELECT doc_id, lang_pred,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m)
-        |SELECT doc_id, lang_pred, quality_score FROM q
-        |WHERE lang_pred IN ('en', 'es') AND quality_score >= 0.55
-        |ORDER BY doc_id""".stripMargin,
-
-    "q21_multimodal_meta" ->
-      """SELECT doc_id AS asset_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio'
-        |       ELSE 'video' END AS kind,
-        |  octet_length(encode(text))::BIGINT AS n_bytes,
-        |  md5(text) AS payload_md5
-        |FROM documents ORDER BY asset_id""".stripMargin,
-
-    // Media decode: the PPM/WAV/Y4M encodings are deterministic
-    // functions of the text, so the oracle derives every decoded
-    // header field and sample sum directly — image pixels are the
-    // char codes ×3 channels, audio samples are (c−110)·200, video
-    // frames take the leading ⌊len/12⌋·12 char codes.
-    "q144_media_decode" ->
-      """WITH b AS (
-        |  SELECT doc_id, length(text) AS len,
-        |         coalesce(list_sum(list_transform(
-        |             range(1, length(text) + 1),
-        |             i -> ord(substr(text, i::INTEGER, 1)))), 0) AS sum_ord,
-        |         coalesce(list_sum(list_transform(
-        |             range(1, (length(text) // 12) * 12 + 1),
-        |             i -> ord(substr(text, i::INTEGER, 1)))), 0) AS sum_ord12
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image'
-        |                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CASE doc_id % 3 WHEN 0 THEN len WHEN 2 THEN 4 END AS width,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 2 THEN 2 END AS height,
-        |    CASE doc_id % 3 WHEN 1 THEN 8000 END AS sample_rate,
-        |    CASE doc_id % 3 WHEN 1 THEN 1 END AS channels,
-        |    CASE doc_id % 3 WHEN 0 THEN 1
-        |                    WHEN 2 THEN len // 12 END AS n_frames,
-        |    CASE doc_id % 3 WHEN 0 THEN len * 3
-        |                    WHEN 1 THEN len
-        |                    ELSE (len // 12) * 12 END AS n_samples,
-        |    CASE doc_id % 3 WHEN 0 THEN 3 * sum_ord
-        |                    WHEN 1 THEN 200 * (sum_ord - 110 * len)
-        |                    ELSE sum_ord12 END AS value_sum
-        |  FROM b)
-        |SELECT doc_id AS asset_id, kind,
-        |  width::BIGINT AS width, height::BIGINT AS height,
-        |  sample_rate::BIGINT AS sample_rate, channels::BIGINT AS channels,
-        |  n_frames::BIGINT AS n_frames, n_samples::BIGINT AS n_samples,
-        |  value_sum::BIGINT AS value_sum,
-        |  CASE WHEN n_samples > 0
-        |       THEN round(value_sum * 1.0 / n_samples, 6) END AS mean_value
-        |FROM d ORDER BY asset_id""".stripMargin,
-
-    "q22_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 6) AS value_sum
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
-
-    // Sliding-window mirror: the 4 covering 1h/15min window starts per
-    // event generated by integer µs arithmetic (floor to the slide,
-    // back i slides — same epoch alignment as Spark's window()).
-    "q60_events_sliding" ->
-      """WITH w AS (
-        |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
-        |                        - i * 900000000) AS window_start,
-        |         event_type, value
-        |  FROM events, unnest(range(0, 4)) AS t(i))
-        |SELECT window_start, event_type, count(*)::BIGINT AS n_events,
-        |       round(sum(value), 6) AS value_sum
-        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-
-    "q23_events_json" ->
-      """SELECT event_type, count(*) AS n_events,
-        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
-        |  round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS k_avg
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    "q24_events_sessions" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, value,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN prev_ts IS NULL
-        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, ts, value,
-        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
-        |  FROM y)
-        |SELECT user_id, session_seq, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_events,
-        |  round(sum(value), 6) AS value_sum
-        |FROM z GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
-
-    "q43_events_quantiles" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90,
-        |  round(quantile_cont(value, 0.99), 6) AS p99
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    // Oracle pins the exact side and asserts the contract flags hold;
-    // the t-digest estimates themselves are engine-specific.
-    "q43b_events_quantiles_approx" ->
-      """SELECT event_type,
-        |  round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90,
-        |  round(quantile_cont(value, 0.99), 6) AS p99,
-        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    "q29_events_rollup" ->
-      """SELECT coalesce(event_type, 'ALL') AS event_type,
-        |  coalesce(date_trunc('hour', ts), TIMESTAMP '1970-01-01') AS hour_start,
-        |  grouping(event_type)::BIGINT AS g_type,
-        |  grouping(date_trunc('hour', ts))::BIGINT AS g_hour,
-        |  count(*) AS n_events, round(sum(value), 6) AS value_sum
-        |FROM events
-        |GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
-        |ORDER BY g_type, event_type, g_hour, hour_start""".stripMargin,
-
-    "q30_events_moving_avg" ->
-      """SELECT event_id, user_id, ts,
-        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
-        |    AS moving_avg
-        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
-
-    // Tolerance mirror: DuckDB's native ASOF picks the same closest
-    // match; staleness beyond 30 min nulls to the -1 sentinel.
-    "q62_events_asof_tolerance" ->
-      """WITH snap AS (
-        |  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
-        |         round(sum(value), 6) AS hour_sum
-        |  FROM events GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts,
-        |       coalesce(CASE WHEN e.ts - s.ts <= INTERVAL 30 MINUTE
-        |                     THEN s.hour_sum END, -1) AS asof_hour_sum
-        |FROM events e ASOF LEFT JOIN snap s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
-
-    "q32_events_asof_snapshot" ->
-      """WITH snap AS (
-        |  SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts,
-        |         round(sum(value), 6) AS hour_sum
-        |  FROM events GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts,
-        |       coalesce(s.hour_sum, -1) AS asof_hour_sum
-        |FROM events e ASOF LEFT JOIN snap s
-        |  ON e.user_id = s.user_id AND e.ts >= s.ts
-        |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin,
-
-    "q41_events_funnel" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-        |p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase')
-        |SELECT c.event_id, c.user_id, c.ts,
-        |       coalesce((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000, -1)
-        |         AS secs_to_purchase
-        |FROM clicks c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts <= p.ts
-        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
-
-    // Retention triangle: (user, day) is unique after the GROUP BY, so
-    // count(*) == count(DISTINCT user) — mirrored in the Spark plan.
-    "q76_events_retention" ->
-      """WITH a AS (
-        |  SELECT user_id, date_trunc('day', ts)::DATE AS d FROM events
-        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
-        |SELECT c.cohort, (a.d - c.cohort) AS day_offset,
-        |       count(*)::BIGINT AS n_users
-        |FROM a JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
-
-    "q31_corpus_stats" ->
-      s"""WITH $TokCte
-         |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
-         |       count(DISTINCT term)::BIGINT AS n_terms,
-         |       count(*) AS total_tokens
-         |FROM tok ORDER BY n_docs""".stripMargin,
-
-    // The oracle pins the exact side and asserts the contract flags
-    // hold — the HLL estimate itself is deliberately not in the output
-    // (sketch values are engine-specific; the CONTRACT is portable).
-    "q31b_corpus_stats_approx" ->
-      s"""WITH $TokCte
-         |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
-         |       count(DISTINCT term)::BIGINT AS n_terms,
-         |       count(*) AS total_tokens,
-         |       true AS docs_ok, true AS terms_ok, true AS tokens_exact
-         |FROM tok ORDER BY n_docs""".stripMargin,
-
-    "q78_hot_keys" -> hotKeysSql,
-
-    // Same oracle as q78 — the count-min screen is answer-invariant
-    // (over-count-only sketch + exact confirm), which is the contract.
-    "q78b_hot_keys_sketched" -> hotKeysSql,
-
-    "q79_term_drift" ->
-      """WITH tok AS (
-        |  SELECT doc_id, term FROM (
-        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
-        |    FROM documents) WHERE term <> ''),
-        |a AS (SELECT term, count(*) AS cnt_a FROM tok WHERE doc_id < 250 GROUP BY 1),
-        |b AS (SELECT term, count(*) AS cnt_b FROM tok WHERE doc_id >= 250 GROUP BY 1),
-        |u AS (SELECT coalesce(a.term, b.term) AS term,
-        |             coalesce(cnt_a, 0)::BIGINT AS cnt_a,
-        |             coalesce(cnt_b, 0)::BIGINT AS cnt_b
-        |      FROM a FULL OUTER JOIN b ON a.term = b.term),
-        |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b, count(*) AS v FROM u),
-        |pq AS (SELECT term, cnt_a, cnt_b,
-        |              (cnt_a + 1.0) / (n_a + v) AS p,
-        |              (cnt_b + 1.0) / (n_b + v) AS q
-        |       FROM u CROSS JOIN tot)
-        |SELECT term, cnt_a, cnt_b,
-        |       round(0.5 * p * log2(p / ((p + q) / 2)) +
-        |             0.5 * q * log2(q / ((p + q) / 2)), 9) AS js_contrib
-        |FROM pq
-        |ORDER BY js_contrib DESC, term LIMIT 30""".stripMargin,
-
-    "q80_random_projection" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-         |SELECT vec_id, p::BIGINT AS dim,
-         |       round(${duckSignDot("p", "emb")} / sqrt(16.0), 6) AS val
-         |FROM e CROSS JOIN range(16) r(p)
-         |ORDER BY vec_id, dim""".stripMargin,
-
-    "q80b_projection_distortion" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |pe AS (SELECT vec_id, list_transform(range(0, 32), p ->
-         |         ${duckSignDot("p", "emb")} / sqrt(32.0)) AS emb FROM e),
-         |n  AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-         |pn AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe),
-         |err AS (
-         |  SELECT q.vec_id AS q_vec_id,
-         |         abs(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm)
-         |           - list_dot_product(pq.emb, pc.emb) / (pq.nrm * pc.nrm)) AS e
-         |  FROM (SELECT * FROM n WHERE vec_id < 5) q
-         |  JOIN n c ON q.vec_id <> c.vec_id
-         |  JOIN pn pq ON pq.vec_id = q.vec_id
-         |  JOIN pn pc ON pc.vec_id = c.vec_id)
-         |SELECT q_vec_id, round(avg(e), 6) AS mean_err, round(max(e), 6) AS max_err,
-         |       round(avg(e), 6) <= 0.25 AS mean_ok,
-         |       round(max(e), 6) <= 0.8 AS max_ok
-         |FROM err GROUP BY 1 ORDER BY q_vec_id""".stripMargin,
-
-    // The PLAIN join — q81's engine runs the salted/cold split; equality
-    // to this is the skew-surgery-is-invisible contract.
-    "q81_skew_join" ->
-      """WITH prof AS (SELECT user_id, min(ts) AS first_seen FROM events GROUP BY 1)
-        |SELECT e.event_id, e.user_id,
-        |       ((epoch_us(e.ts) - epoch_us(p.first_seen)) // 1000000)::BIGINT
-        |         AS secs_since_first
-        |FROM events e JOIN prof p ON e.user_id = p.user_id
-        |ORDER BY e.event_id""".stripMargin,
-
-    // Multi-probe LSH (q25's family at bits=8): the probe expansion is
-    // mirrored exactly — each query's bucket list is its own bucket plus
-    // every one-bit XOR flip, then the same bucket equi-join + rounded
-    // cosine re-rank as q25.
-    "q95_ann_multiprobe" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, emb,
-         |         list_sum(list_transform(range(0, 8), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
-         |         sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |q AS (
-         |  SELECT vec_id, emb, nrm, unnest(probes) AS bucket FROM (
-         |    SELECT vec_id, emb, nrm,
-         |           list_prepend(bucket, list_transform(range(0, 8),
-         |             i -> xor(bucket, 1::BIGINT << i::INTEGER))) AS probes
-         |    FROM b WHERE vec_id < 5)),
-         |scored AS (
-         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
-         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                               ORDER BY cos DESC, n_vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    // Multi-probe recall contract at the SAME bits=8 the production call
-    // uses: approx = the probe-expanded run above, exact = the
-    // brute-force top-10, recall = |approx ∩ exact| / 10 per query.
-    "q95b_ann_multiprobe_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, emb,
-         |         list_sum(list_transform(range(0, 8), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
-         |         sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |qb AS (SELECT * FROM b WHERE vec_id < 5),
-         |q AS (
-         |  SELECT vec_id, emb, nrm, unnest(probes) AS bucket FROM (
-         |    SELECT vec_id, emb, nrm,
-         |           list_prepend(bucket, list_transform(range(0, 8),
-         |             i -> xor(bucket, 1::BIGINT << i::INTEGER))) AS probes
-         |    FROM qb)),
-         |approx AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
-         |               DESC, c.vec_id) AS rnk
-         |    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
-         |  WHERE rnk <= 10),
-         |exact AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6)
-         |               DESC, c.vec_id) AS rnk
-         |    FROM qb q JOIN b c ON q.vec_id <> c.vec_id)
-         |  WHERE rnk <= 10),
-         |hits AS (
-         |  SELECT a.q_vec_id, count(*) AS n_hits
-         |  FROM approx a JOIN exact x
-         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
-         |  GROUP BY 1)
-         |SELECT v.vec_id AS q_vec_id,
-         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-         |ORDER BY q_vec_id""".stripMargin,
-
-    // TRUE connected components via a recursive CTE over the band graph
-    // — the stronger contract the converged engine loop must equal:
-    // reach(doc, lbl) closes doc↔bucket adjacency to a fixpoint, each
-    // doc's label is the minimum over its whole component, survivors
-    // are the component minima. (q28b's oracle unrolls 3 bounded
-    // iterations; this one has no iteration bound at all.)
-    "q96_minhash_dedup_converged" -> convergedDedupSql,
-
-    // SAME oracle verbatim for the large/small-star closure: true
-    // connected components don't care which converged algorithm the
-    // engine ran — q105 green proves star ≡ min-label ≡ graph closure.
-    "q105_minhash_dedup_star" -> convergedDedupSql,
-
-    // Model quality filter: the q88 NB score chain over the re-labeled
-    // relation (target = src0–src9), keep rows whose argmax is 'target'.
-    "q112_model_quality_filter" ->
-      s"""WITH ${nbScoreCtes(
-             "(SELECT doc_id, text, CASE WHEN source IN (" +
-               (0 until 10).map(i => s"'src$i'").mkString(",") +
-               ") THEN 'target' ELSE 'raw' END AS lang FROM documents)")}
-         |SELECT doc_id, lang AS label, score_micro
-         |FROM pred WHERE rn = 1 AND cand = 'target'
-         |ORDER BY doc_id""".stripMargin,
-
-    // OHLC: same first/last-by-(ts, event_id) picks via row_number,
-    // min/max/count and the round-6 double sum.
-    "q113_events_ohlc" ->
-      """WITH e AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         ts, event_id, value
-        |  FROM events),
-        |w AS (
-        |  SELECT *,
-        |         row_number() OVER (PARTITION BY event_type, hour_start
-        |                            ORDER BY ts, event_id) AS rn,
-        |         count(*) OVER (PARTITION BY event_type, hour_start) AS cnt
-        |  FROM e)
-        |SELECT event_type, hour_start,
-        |       max(CASE WHEN rn = 1 THEN value END) AS open,
-        |       max(value) AS high,
-        |       min(value) AS low,
-        |       max(CASE WHEN rn = cnt THEN value END) AS close,
-        |       count(*) AS n_events,
-        |       round(sum(value), 6) AS value_sum
-        |FROM w GROUP BY 1, 2
-        |ORDER BY event_type, hour_start""".stripMargin,
-
-    // TWAP: flat per-type lead successor (≡ the engine's stitched
-    // per-hour windows), exact integer micro arithmetic, floor div.
-    // DuckDB's BIGINT sum promotes to HUGEINT, so both sides of the
-    // division are exact; `//` is floor division like the engine's
-    // (num − mod)/den.
-    "q114_events_twap" ->
-      """WITH e AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         epoch_us(ts) AS tus,
-        |         CAST(round(value * 1e6) AS BIGINT) AS vmicro,
-        |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
-        |                                  ORDER BY ts, event_id) AS next_us
-        |  FROM events),
-        |d AS (
-        |  SELECT event_type, hour_start, vmicro, next_us - tus AS dur
-        |  FROM e WHERE next_us IS NOT NULL)
-        |SELECT event_type, hour_start,
-        |       count(*)::BIGINT AS n_obs,
-        |       sum(dur)::BIGINT AS dur_us,
-        |       (sum(vmicro::HUGEINT * dur) // sum(dur))::BIGINT AS twap_micro
-        |FROM d GROUP BY 1, 2
-        |ORDER BY event_type, hour_start""".stripMargin,
-
-    // Char entropy: generated from the shared alphabet (same chars,
-    // same fixed summation order as the engine's expression chain).
-    "q116_char_entropy" -> charEntropySql,
-
-    // Term PageRank: the unrolled integer recurrence (same params as
-    // the engine call: window 2, minCount 2, 10 rounds).
-    "q117_term_pagerank" -> termPageRankSql(window = 2, minCount = 2, iters = 10),
-
-    // Cluster labels: the q54 k-means CTE chain for assignments, then
-    // the identical integer lift (HUGEINT products, `//` floor div).
-    "q118_cluster_labels" ->
-      s"""WITH ${kmeansCtesSql(stride = 50, iters = 2)},
-         |tokd AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-         |  FROM documents),
-         |ct AS (
-         |  SELECT a.cell, t.term, count(*)::BIGINT AS cnt
-         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tokd) t
-         |  JOIN af a ON a.vec_id = t.doc_id
-         |  GROUP BY 1, 2),
-         |celltot AS (SELECT cell, sum(cnt)::BIGINT AS toks_c FROM ct GROUP BY 1),
-         |termtot AS (SELECT term, sum(cnt)::BIGINT AS cnt_t FROM ct GROUP BY 1),
-         |tot AS (SELECT sum(cnt)::BIGINT AS tot_toks FROM ct),
-         |scored AS (
-         |  SELECT ct.cell, ct.term, ct.cnt,
-         |         ((ct.cnt::HUGEINT * tot.tot_toks * 1000000)
-         |            // (celltot.toks_c::HUGEINT * termtot.cnt_t))::BIGINT AS score_micro
-         |  FROM ct
-         |  JOIN celltot USING (cell)
-         |  JOIN termtot USING (term)
-         |  CROSS JOIN tot
-         |  WHERE ct.cnt >= 2)
-         |SELECT cell, term, cnt, score_micro, rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY cell
-         |                               ORDER BY score_micro DESC, term) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5
-         |ORDER BY cell, rnk""".stripMargin,
-
-    // A-Res sample: the same 52-bit md5 u and floor-quantized
-    // ln(u)/w key; top-100 with doc_id tie-break = the engine's set.
-    "q115_sample_weighted_k" ->
-      """WITH u AS (
-        |  SELECT doc_id, n_chars,
-        |         (list_sum(list_transform(range(1, 14), i ->
-        |            (strpos('0123456789abcdef',
-        |               substr(md5('ares:' || doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-        |              << ((13 - i)::INTEGER * 4)))::DOUBLE + 0.5)
-        |           / 4503599627370496.0 AS uu
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-        |SELECT doc_id, n_chars,
-        |       CAST(floor(1e6 * ln(uu) / n_chars) AS BIGINT) AS key_micro
-        |FROM u
-        |ORDER BY key_micro DESC, doc_id
-        |LIMIT 100""".stripMargin,
-
-    // Winnow contamination: the q72 fingerprint CTEs (winnowing is
-    // doc-local, so filtering the full-corpus wfp set ≡ fingerprinting
-    // the subsets), then exactly q44's join-count shape.
-    "q111_contamination_winnow" ->
-      s"""$WinnowCtes,
-         |c AS (SELECT doc_id, fp FROM wfp WHERE doc_id >= 5),
-         |b AS (SELECT doc_id AS bench_id, fp FROM wfp WHERE doc_id < 5)
-         |SELECT c.doc_id, bench_id, count(*) AS shared_fps
-         |FROM c JOIN b USING (fp)
-         |GROUP BY 1, 2
-         |HAVING count(*) >= 1
-         |ORDER BY doc_id, bench_id""".stripMargin,
-
-    // Sketch contracts: exact per-source distinct terms (the checkable
-    // half) + the TRUE flags the engine must reproduce.
-    "q110_source_vocab_sketch" ->
-      """WITH t AS (
-        |  SELECT source,
-        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
-        |                x -> x <> '')) AS term
-        |  FROM documents)
-        |SELECT source, count(DISTINCT term)::BIGINT AS n_terms,
-        |       TRUE AS sketch_ok
-        |FROM t GROUP BY source ORDER BY source""".stripMargin,
-
-    "q110b_vocab_sketch_merge" ->
-      """SELECT count(DISTINCT source)::BIGINT AS n_sources,
-        |       TRUE AS all_equal
-        |FROM documents""".stripMargin,
-
-    // Budget fill: q59's quality chain, the same bin classification
-    // over a descending-bin window, and the cutoff bin's greedy prefix
-    // as ONE flat hash-ordered window (the engine's bucketed prefix sum
-    // equals it because the bucket key is the hash's own prefix).
-    "q109_budget_fill" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM t),
-        |q AS (
-        |  SELECT doc_id, n_tokens,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |b AS (SELECT *, least(floor(quality_score * 1000)::BIGINT, 999) AS bin FROM q),
-        |bs AS (SELECT bin, sum(n_tokens) AS bin_tokens FROM b GROUP BY 1),
-        |ci AS (
-        |  SELECT bin, bin_tokens,
-        |         coalesce(sum(bin_tokens) OVER (ORDER BY bin DESC
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |  FROM bs),
-        |bi AS (
-        |  SELECT bin,
-        |         CASE WHEN cum_before + bin_tokens <= 2000 THEN 'full'
-        |              WHEN cum_before < 2000 THEN 'cutoff'
-        |              ELSE 'drop' END AS kind,
-        |         2000 - cum_before AS remaining
-        |  FROM ci),
-        |cl AS (SELECT b.*, bi.kind, bi.remaining FROM b JOIN bi USING (bin)),
-        |cr AS (
-        |  SELECT *, sum(n_tokens) OVER (ORDER BY hb, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_incl
-        |  FROM (SELECT *, md5('fill:' || doc_id) AS hb FROM cl
-        |        WHERE kind = 'cutoff'))
-        |SELECT doc_id, n_tokens, quality_score FROM cl WHERE kind = 'full'
-        |UNION ALL
-        |SELECT doc_id, n_tokens, quality_score FROM cr WHERE run_incl <= remaining
-        |ORDER BY doc_id""".stripMargin,
-
-    // Embedding decontamination: per-corpus-vector max rounded cosine
-    // against the bench set, same rounding point as the engine.
-    "q108_embedding_decontaminate" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-        |c AS (SELECT * FROM n WHERE vec_id >= 20),
-        |q AS (SELECT * FROM n WHERE vec_id < 20),
-        |sc AS (
-        |  SELECT c.vec_id,
-        |         max(round(list_dot_product(c.emb, q.emb) / (c.nrm * q.nrm), 6))
-        |           AS max_cos
-        |  FROM c CROSS JOIN q GROUP BY 1)
-        |SELECT vec_id, max_cos, max_cos >= 0.8 AS contaminated
-        |FROM sc ORDER BY vec_id""".stripMargin,
-
-    // Epoch repetition: same per-source rate arithmetic as the engine
-    // ((share·budget)/src_tokens, IEEE-ordered), copies replayed via
-    // range(1, n_copies + 1), fractional copy decided by the same
-    // "rep:"-prefixed md5 bucket.
-    "q107_epoch_repetition" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, source,
-         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |             t -> t <> ''))::BIGINT AS n_tokens
-         |  FROM documents),
-         |ps AS (SELECT source, sum(n_tokens) AS src_tokens FROM tk GROUP BY 1),
-         |r AS (
-         |  SELECT tk.doc_id, tk.source, tk.n_tokens,
-         |         (CASE tk.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
-         |                         WHEN 'src2' THEN 0.2 ELSE 0.0 END
-         |          * 300000.0) / ps.src_tokens AS rate
-         |  FROM tk JOIN ps USING (source)),
-         |nc AS (
-         |  SELECT doc_id, source, n_tokens,
-         |         (floor(rate)::BIGINT +
-         |          CASE WHEN (${duckMd5Bucket("'rep:' || doc_id")})::DOUBLE
-         |                    < (rate - floor(rate)) * 1e6
-         |               THEN 1 ELSE 0 END) AS n_copies
-         |  FROM r)
-         |SELECT doc_id, c.copy, source, n_tokens, n_copies
-         |FROM nc, unnest(range(1, n_copies + 1)) c(copy)
-         |WHERE n_copies > 0
-         |ORDER BY doc_id, c.copy""".stripMargin,
-
-    // Gopher rule battery: per-token metrics over the token list, the
-    // top 2-gram via the same count-then-rank the engine's max(struct)
-    // computes (row_number ties to the larger gram = max struct order),
-    // thresholds inlined at the engine's defaults.
-    "q106_gopher_rules" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks)::BIGINT AS n_words,
-        |    round(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) * 1.0
-        |          / greatest(len(toks), 1), 6) AS mean_word_len,
-        |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
-        |          / greatest(len(toks), 1), 6) AS frac_alpha_words,
-        |    len(list_filter(['the','be','to','of','and','that','have','with'],
-        |        s -> list_contains(toks, s)))::BIGINT AS n_stop_hits,
-        |    greatest(length(text), 1) AS n_chars
-        |  FROM t),
-        |bg AS (
-        |  SELECT doc_id, toks[p::INTEGER] || ' ' || toks[(p + 1)::INTEGER] AS gram
-        |  FROM t, unnest(range(1, len(toks))) r(p)),
-        |bc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
-        |top AS (
-        |  SELECT doc_id, cnt, gram FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                                 ORDER BY cnt DESC, gram DESC) AS rn
-        |    FROM bc) WHERE rn = 1),
-        |j AS (
-        |  SELECT m.*,
-        |         round(coalesce(top.cnt * length(top.gram), 0) * 1.0
-        |               / m.n_chars, 6) AS top2_frac
-        |  FROM m LEFT JOIN top USING (doc_id))
-        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
-        |       top2_frac,
-        |       (n_words BETWEEN 50 AND 100000
-        |        AND mean_word_len BETWEEN 3.0 AND 10.0
-        |        AND frac_alpha_words >= 0.8
-        |        AND n_stop_hits >= 2
-        |        AND top2_frac <= 0.2) AS keep
-        |FROM j ORDER BY doc_id""".stripMargin,
-
-    // Quality-aware keeper over the SAME recursive-CTE components as
-    // q96 (corpus only, no seeded chain): per cluster keep the max
-    // q18-quality member, ties to the smallest doc id; docs with no
-    // shingles are singleton clusters of themselves.
-    "q97_dedup_best_keeper" ->
-      s"""WITH RECURSIVE $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val),
-         |reach(doc_id, lbl) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
-         |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
-         |t AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    len(toks)::BIGINT AS n_tokens,
-         |    len(list_distinct(toks))::BIGINT AS n_distinct,
-         |    round(len(list_filter(toks, x -> x IN (
-         |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-         |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-         |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-         |  FROM t),
-         |qs AS (
-         |  SELECT doc_id,
-         |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-         |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-         |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-         |  FROM m),
-         |k AS (
-         |  SELECT d.doc_id,
-         |         row_number() OVER (PARTITION BY coalesce(cc.lbl, d.doc_id)
-         |                            ORDER BY qs.quality_score DESC, d.doc_id) AS rn
-         |  FROM documents d
-         |  LEFT JOIN cc ON cc.doc_id = d.doc_id
-         |  JOIN qs ON qs.doc_id = d.doc_id)
-         |SELECT doc_id FROM k WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // q46's bigram-LM chain + per-language interpolated tertile cuts
-    // (quantile_cont mirrors Spark's exact `percentile`, the q64
-    // precedent); head = most fluent third. Cut literals are printed
-    // from the SAME doubles as the engine (Pipeline.PerplexityCuts).
-    "q98_perplexity_buckets" ->
-      s"""WITH tokl AS (
-         |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, toks[p::INTEGER] AS w1, toks[(p + 1)::INTEGER] AS w2
-         |  FROM tokl, unnest(range(1, len(toks))) r(p)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |uni AS (SELECT unnest(toks) AS w1 FROM tokl),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w1) AS v FROM uni),
-         |sc AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |         round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
-         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-         |  GROUP BY doc_id),
-         |scl AS (
-         |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp
-         |  FROM sc s JOIN documents d USING (doc_id)),
-         |cuts AS (
-         |  SELECT lang,
-         |         quantile_cont(avg_logp,
-         |           [${graft.operators.Pipeline.PerplexityCuts.mkString(", ")}]) AS cs
-         |  FROM scl GROUP BY lang)
-         |SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp,
-         |       CASE WHEN s.avg_logp >= cs[2] THEN 'head'
-         |            WHEN s.avg_logp >= cs[1] THEN 'middle'
-         |            ELSE 'tail' END AS bucket
-         |FROM scl s JOIN cuts USING (lang)
-         |ORDER BY doc_id""".stripMargin,
-
-    "q99_pq_codes" ->
-      s"""WITH $pqCtes
-         |SELECT vec_id, s::BIGINT AS sub, j::BIGINT AS code FROM codes
-         |ORDER BY vec_id, sub""".stripMargin,
-
-    // ADC: per-query m×k inner-product LUT over the codebook, score =
-    // Σ_s lut[s][code_s], rounded after the sum like every score column.
-    "q99b_pq_adc_topk" ->
-      s"""WITH $pqCtes,
-         |$pqAdcCtes
-         |SELECT q_vec_id, n_vec_id, adc, rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                               ORDER BY adc DESC, n_vec_id) AS rnk
-         |  FROM adc)
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    "q99c_pq_recall" ->
-      s"""WITH $pqCtes,
-         |$pqAdcCtes,
-         |approx AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                                 ORDER BY adc DESC, n_vec_id) AS rnk
-         |    FROM adc) WHERE rnk <= 10),
-         |exact AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             round(list_dot_product(q.emb, c2.emb) /
-         |                   (sqrt(list_dot_product(q.emb, q.emb)) *
-         |                    sqrt(list_dot_product(c2.emb, c2.emb))), 6)
-         |               DESC, c2.vec_id) AS rnk
-         |    FROM (SELECT * FROM e WHERE vec_id < 5) q
-         |    JOIN e c2 ON q.vec_id <> c2.vec_id)
-         |  WHERE rnk <= 10),
-         |hits AS (
-         |  SELECT a.q_vec_id, count(*) AS n_hits
-         |  FROM approx a JOIN exact x
-         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
-         |  GROUP BY 1)
-         |SELECT v.vec_id AS q_vec_id,
-         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-         |ORDER BY q_vec_id""".stripMargin,
-
-    // Incremental append contract: the grown index must answer exactly
-    // like the direct IVF search over the union corpus with the FROZEN
-    // pre-append centroid set (seeds bounded to the history slice).
-    "q100_ann_index_append" -> ivfTopKSqlWith("vec_id < 400"),
-
-    // Latest-wins upsert: the engine's delta-bounded semi/anti split
-    // must equal ONE flat latest-per-key window over all events.
-    "q119_upsert_latest" ->
-      """SELECT event_id, ts, user_id, event_type, value FROM (
-        |  SELECT event_id, ts, user_id, event_type, value,
-        |         row_number() OVER (PARTITION BY user_id, event_type
-        |                            ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin,
-
-    // Snapshot diff: both engines derive snapshots A and B from
-    // documents via the same md5 permille rules, then full-outer join
-    // on doc_id comparing payloads.
-    "q120_snapshot_diff" ->
-      s"""WITH a AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE (${duckMd5Bucket("'snapA:' || doc_id")}) < 900000),
-         |b AS (
-         |  SELECT doc_id,
-         |         CASE WHEN (${duckMd5Bucket("'mut:' || doc_id")}) < 50000
-         |              THEN reverse(text) ELSE text END AS text
-         |  FROM documents
-         |  WHERE (${duckMd5Bucket("'snapB:' || doc_id")}) < 900000)
-         |SELECT doc_id, change FROM (
-         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-         |         CASE WHEN a.doc_id IS NULL THEN 'added'
-         |              WHEN b.doc_id IS NULL THEN 'removed'
-         |              WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
-         |              ELSE 'unchanged' END AS change
-         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
-         |WHERE change <> 'unchanged'
-         |ORDER BY doc_id""".stripMargin,
-
-    // Source-overlap matrix over distinct per-feed vocabulary: the
-    // full S×S frame from per-source totals, intersections from the
-    // term self-join, zero-overlap pairs kept at jaccard 0.
-    "q122_source_overlap" ->
-      s"""WITH $SourceTermsCte,
-         |$ExactOverlapCtes
-         |SELECT s1, s2, n1, n2, inter, jaccard FROM exactj
-         |ORDER BY s1, s2""".stripMargin,
-
-    // KMV sketch overlap: the identical sketch construction in SQL —
-    // deterministic hashes make the whole estimate replayable.
-    "q124_source_overlap_kmv" ->
-      s"""WITH $SourceTermsCte,
-         |${kmvOverlapCtes(16)}
-         |SELECT s1, s2, m_size, n_both, jaccard_est FROM kmv
-         |ORDER BY s1, s2""".stripMargin,
-
-    // KMV estimator-quality contract: both chains composed, error
-    // aggregated over all pairs, bounds asserted in-row.
-    "q124b_kmv_quality" ->
-      s"""WITH $SourceTermsCte,
-         |$ExactOverlapCtes,
-         |${kmvOverlapCtes(16)}
-         |SELECT n_pairs, mean_abs_err, max_abs_err,
-         |       mean_abs_err <= 0.05 AS mean_ok,
-         |       max_abs_err <= 0.2 AS max_ok
-         |FROM (
-         |  SELECT count(*)::BIGINT AS n_pairs,
-         |         round(avg(abs(k.jaccard_est - e.jaccard)), 6) AS mean_abs_err,
-         |         round(max(abs(k.jaccard_est - e.jaccard)), 6) AS max_abs_err
-         |  FROM kmv k JOIN exactj e ON k.s1 = e.s1 AND k.s2 = e.s2)""".stripMargin,
-
-    // Markov transition matrix: one successor window per user, pair
-    // counts, row-normalized probability over the tiny matrix frame.
-    "q125_event_transitions" ->
-      """WITH nx AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |t AS (
-        |  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
-        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n_transitions,
-        |       round(n_transitions * 1.0 /
-        |             sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
-        |FROM t ORDER BY from_type, to_type""".stripMargin,
-
-    // Stationary mirror: the same floor-div power rounds, unrolled.
-    "q182_transition_stationary" -> transitionStationarySql(iters = 20),
-
-    // Triangle counts: the same pc edge relation as q117; triangles
-    // enumerated once in lexicographic canonical form (a<b<c chained
-    // joins), members unnested to per-term counts.
-    "q127_term_triangles" ->
-      s"""WITH ${coocGraphCtes(2, 2)},
-         |tri AS (
-         |  SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
-         |  FROM pc e1 JOIN pc e2 ON e2.t1 = e1.t2
-         |  JOIN pc e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2),
-         |m AS (SELECT unnest([a, b, c]) AS term FROM tri)
-         |SELECT term, count(*)::BIGINT AS n_triangles FROM m
-         |GROUP BY 1 ORDER BY term""".stripMargin,
-
-    // Degree-histogram mirror: the same pc edge relation, degrees via
-    // the two-sided union, one count-per-degree rollup.
-    "q190_degree_distribution" ->
-      s"""WITH ${coocGraphCtes(2, 2)},
-         |deg AS (
-         |  SELECT term, count(*)::BIGINT AS deg FROM (
-         |    SELECT t1 AS term FROM pc UNION ALL SELECT t2 AS term FROM pc)
-         |  GROUP BY 1)
-         |SELECT deg, count(*)::BIGINT AS n_terms FROM deg
-         |GROUP BY 1 ORDER BY deg""".stripMargin,
-
-    // Clustering-coefficient mirror: q127's triangle relation per
-    // term, left-joined to degrees, one round-6 wedge division.
-    "q191_clustering_coeff" ->
-      s"""WITH ${coocGraphCtes(2, 2)},
-         |deg AS (
-         |  SELECT term, count(*)::BIGINT AS deg FROM (
-         |    SELECT t1 AS term FROM pc UNION ALL SELECT t2 AS term FROM pc)
-         |  GROUP BY 1),
-         |tri AS (
-         |  SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
-         |  FROM pc e1 JOIN pc e2 ON e2.t1 = e1.t2
-         |  JOIN pc e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2),
-         |tc AS (SELECT term, count(*)::BIGINT AS n_triangles
-         |       FROM (SELECT unnest([a, b, c]) AS term FROM tri) GROUP BY 1)
-         |SELECT d.term, d.deg,
-         |       coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
-         |       CASE WHEN d.deg >= 2 THEN
-         |         round(2.0 * coalesce(tc.n_triangles, 0) /
-         |               (d.deg * (d.deg - 1)), 6)
-         |       END AS coeff
-         |FROM deg d LEFT JOIN tc USING (term)
-         |ORDER BY term""".stripMargin,
-
-    // Weighted-k per group: the q115 key formula ranked within lang.
-    "q132_sample_weighted_k_group" ->
-      """WITH u AS (
-        |  SELECT lang, doc_id, n_chars,
-        |         (list_sum(list_transform(range(1, 14), i ->
-        |            (strpos('0123456789abcdef',
-        |               substr(md5('ares:' || doc_id::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-        |              << ((13 - i)::INTEGER * 4)))::DOUBLE + 0.5)
-        |           / 4503599627370496.0 AS uu
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-        |keyed AS (
-        |  SELECT lang, doc_id, n_chars,
-        |         CAST(floor(1e6 * ln(uu) / n_chars) AS BIGINT) AS key_micro
-        |  FROM u)
-        |SELECT lang, doc_id, n_chars, key_micro, rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY lang
-        |             ORDER BY key_micro DESC, doc_id) AS rk
-        |  FROM keyed) WHERE rk <= 20
-        |ORDER BY lang, rk""".stripMargin,
-
-    // Top event paths: both leads from one window spec, top-20 by
-    // count then path.
-    "q133_event_paths" ->
-      """WITH x AS (
-        |  SELECT event_type,
-        |         lead(event_type, 1) OVER w AS t1,
-        |         lead(event_type, 2) OVER w AS t2
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT event_type || '>' || t1 || '>' || t2 AS path,
-        |       count(*)::BIGINT AS n_paths
-        |FROM x WHERE t2 IS NOT NULL
-        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
-
-    // Corpus checksum: the same commutative row hash summed as
-    // HUGEINT, emitted as VARCHAR digits — the one type every result
-    // surface round-trips losslessly (the value exceeds int64).
-    "q134_corpus_checksum" ->
-      s"""SELECT source, count(*)::BIGINT AS n_rows,
-         |       sum(${duckMd5Hash60("'ck:' || doc_id || ':' || md5(text)")})
-         |         ::DECIMAL(38,0)::VARCHAR AS checksum
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // Search eval: q26's IVF chain as results, the exact ranking over
-    // the same normed frame as truth, the metric arithmetic with a
-    // list-fold idcg.
-    "q143_search_eval" ->
-      s"""WITH ${ivfRankedCtes("TRUE")},
-         |res AS (SELECT q_vec_id, n_vec_id, rnk FROM ranked WHERE rnk <= 10),
-         |truth AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT qq.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
-         |             round(list_dot_product(qq.emb, c.emb) / (qq.nrm * c.nrm), 6)
-         |               DESC, c.vec_id) AS rnk
-         |    FROM n qq JOIN n c ON qq.vec_id < 5 AND qq.vec_id <> c.vec_id)
-         |  WHERE rnk <= 10),
-         |h AS (
-         |  SELECT r.q_vec_id, count(*)::BIGINT AS n_hits,
-         |         min(r.rnk) AS first_rank,
-         |         sum(1.0 / log2(r.rnk + 1)) AS dcg
-         |  FROM res r JOIN truth t
-         |    ON r.q_vec_id = t.q_vec_id AND r.n_vec_id = t.n_vec_id
-         |  GROUP BY 1),
-         |nr AS (SELECT q_vec_id, count(*)::BIGINT AS n_rel FROM truth GROUP BY 1)
-         |SELECT nr.q_vec_id, nr.n_rel,
-         |       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-         |       round(coalesce(h.n_hits, 0) * 1.0 / least(nr.n_rel, 10), 6) AS recall,
-         |       round(coalesce(1.0 / h.first_rank, 0.0), 6) AS mrr,
-         |       round(coalesce(h.dcg, 0.0) /
-         |             list_sum(list_transform(range(1, least(nr.n_rel, 10)::INTEGER + 1),
-         |                                     i -> 1.0 / log2(i + 1))), 6) AS ndcg
-         |FROM nr LEFT JOIN h ON nr.q_vec_id = h.q_vec_id
-         |ORDER BY nr.q_vec_id""".stripMargin,
-
-    // Transition times: same successor window, integer floor-div mean
-    // (DuckDB // on BIGINT), quantile_cont median.
-    "q141_transition_times" ->
-      """WITH nx AS (
-        |  SELECT event_type AS from_type,
-        |         epoch_us(ts) AS tus,
-        |         lead(event_type) OVER w AS to_type,
-        |         lead(epoch_us(ts)) OVER w AS next_tus
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT from_type, to_type,
-        |       count(*)::BIGINT AS n_transitions,
-        |       (sum(next_tus - tus) // count(*))::BIGINT AS mean_gap_us,
-        |       round(quantile_cont(next_tus - tus, 0.5), 6) AS p50_gap_us
-        |FROM nx WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
-
-    // Label outliers: q136's integer centroid sums assembled into
-    // per-label arrays, one cosine per vector, per-label exact
-    // percentile cut.
-    "q142_label_outliers" ->
-      """WITH e AS (
-        |  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS emb
-        |  FROM embeddings),
-        |d AS (
-        |  SELECT label, i - 1 AS dim,
-        |         sum(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT)) AS s
-        |  FROM e, unnest(range(1, len(emb) + 1)) r(i) GROUP BY 1, 2),
-        |c AS (
-        |  SELECT label, list(s::DOUBLE ORDER BY dim) AS cvec
-        |  FROM d GROUP BY 1),
-        |scored AS (
-        |  SELECT e.vec_id, e.label,
-        |         round(list_dot_product(e.emb, c.cvec) /
-        |               (sqrt(list_dot_product(e.emb, e.emb)) *
-        |                sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cos
-        |  FROM e JOIN c USING (label)),
-        |cuts AS (
-        |  SELECT label, round(quantile_cont(cos, 0.05), 6) AS thr
-        |  FROM scored GROUP BY 1)
-        |SELECT s.vec_id, s.label, s.cos, s.cos <= c.thr AS is_outlier
-        |FROM scored s JOIN cuts c USING (label)
-        |ORDER BY s.vec_id""".stripMargin,
-
-    // Vocab diff: per-side HAVING-pruned term counts, full-outer join,
-    // the same integer status thresholds.
-    "q140_vocab_diff" ->
-      """WITH ta AS (
-        |  SELECT term, count(*)::BIGINT AS cnt FROM (
-        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
-        |    FROM documents WHERE doc_id < 250) WHERE term <> ''
-        |  GROUP BY 1 HAVING count(*) >= 3),
-        |tb AS (
-        |  SELECT term, count(*)::BIGINT AS cnt FROM (
-        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
-        |    FROM documents WHERE doc_id >= 250) WHERE term <> ''
-        |  GROUP BY 1 HAVING count(*) >= 3),
-        |j AS (
-        |  SELECT coalesce(a.term, b.term) AS term,
-        |         coalesce(a.cnt, 0)::BIGINT AS cnt_a,
-        |         coalesce(b.cnt, 0)::BIGINT AS cnt_b
-        |  FROM ta a FULL OUTER JOIN tb b ON a.term = b.term)
-        |SELECT term, cnt_a, cnt_b,
-        |       CASE WHEN cnt_a = 0 THEN 'added'
-        |            WHEN cnt_b = 0 THEN 'removed'
-        |            WHEN cnt_b >= 2 * cnt_a THEN 'grown'
-        |            WHEN 2 * cnt_b <= cnt_a THEN 'shrunk'
-        |            ELSE 'stable' END AS status
-        |FROM j ORDER BY term""".stripMargin,
-
-    // Data card: the q129 lang+quality chain reduced to one row, plus
-    // token/vocab/dup aggregates, combined by 1-row crosses.
-    "q139_data_card" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, text, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, text, toks,
-        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |         WHEN hits_es >= hits_fr THEN 'es'
-        |         ELSE 'fr' END AS lang_pred
-        |  FROM h),
-        |m AS (
-        |  SELECT doc_id, text, toks, lang_pred,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM l),
-        |qq AS (
-        |  SELECT doc_id, text, toks, lang_pred, n_tokens,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |base AS (
-        |  SELECT count(*)::BIGINT AS n_docs,
-        |         count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
-        |         sum(n_tokens)::BIGINT AS n_tokens,
-        |         round(avg(quality_score), 6) AS mean_quality
-        |  FROM qq),
-        |voc AS (
-        |  SELECT count(DISTINCT x)::BIGINT AS vocab_size
-        |  FROM (SELECT unnest(toks) AS x FROM t)),
-        |top AS (
-        |  SELECT lang_pred AS top_lang, n AS top_lang_n FROM (
-        |    SELECT lang_pred, count(*)::BIGINT AS n,
-        |           row_number() OVER (ORDER BY count(*) DESC, lang_pred) AS rn
-        |    FROM qq GROUP BY 1) WHERE rn = 1)
-        |SELECT n_docs, n_unique_texts,
-        |       round(1.0 - n_unique_texts::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
-        |       n_tokens, vocab_size, top_lang, top_lang_n,
-        |       round(top_lang_n::DOUBLE / n_docs::DOUBLE, 6) AS top_lang_share,
-        |       mean_quality
-        |FROM base, voc, top""".stripMargin,
-
-    // Health-audit mirror: the q136 dim-unnest for dead dims, norms
-    // via list_dot_product + sqrt micro-quantized before min/mean/max.
-    "q167_embedding_health" ->
-      """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
-        |c AS (
-        |  SELECT emb,
-        |    (emb IS NULL OR len(emb) = 0) AS bad,
-        |    CASE WHEN emb IS NOT NULL THEN len(emb)::BIGINT END AS dims,
-        |    CASE WHEN emb IS NOT NULL AND len(emb) > 0 THEN
-        |      len(list_filter(emb, x -> isnan(x))) > 0 END AS has_nan
-        |  FROM e),
-        |n AS (
-        |  SELECT *,
-        |    CASE WHEN NOT bad AND NOT has_nan THEN
-        |      len(list_filter(emb, x -> x <> 0)) = 0 END AS zero_vec,
-        |    CASE WHEN NOT bad AND NOT has_nan THEN
-        |      CAST(round(sqrt(list_dot_product(emb, emb)) * 1e6) AS BIGINT)
-        |      END AS norm_micro
-        |  FROM c),
-        |agg AS (
-        |  SELECT count(*)::BIGINT AS n_vecs,
-        |    coalesce(sum(CASE WHEN bad THEN 1 END), 0)::BIGINT AS n_null_or_empty,
-        |    coalesce(sum(CASE WHEN has_nan THEN 1 END), 0)::BIGINT AS n_nan_vecs,
-        |    coalesce(sum(CASE WHEN zero_vec THEN 1 END), 0)::BIGINT AS n_zero_vecs,
-        |    min(dims)::BIGINT AS dims_min,
-        |    max(dims)::BIGINT AS dims_max,
-        |    round(min(norm_micro)::DOUBLE / 1e6, 6) AS min_norm,
-        |    round(max(norm_micro)::DOUBLE / 1e6, 6) AS max_norm,
-        |    round(sum(norm_micro)::DOUBLE / 1e6 / count(norm_micro)::DOUBLE, 6)
-        |      AS mean_norm
-        |  FROM n),
-        |dd AS (
-        |  SELECT coalesce(sum(CASE WHEN m = 0 THEN 1 END), 0)::BIGINT AS dead_dims
-        |  FROM (
-        |    SELECT i - 1 AS dim,
-        |           max(abs(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT))) AS m
-        |    FROM (SELECT emb FROM e WHERE emb IS NOT NULL) t,
-        |         unnest(range(1, len(emb) + 1)) r(i)
-        |    WHERE NOT isnan(emb[i::INTEGER])
-        |    GROUP BY 1))
-        |SELECT n_vecs, n_null_or_empty, n_nan_vecs, n_zero_vecs,
-        |       dims_min, dims_max, dead_dims, min_norm, max_norm, mean_norm
-        |FROM agg, dd""".stripMargin,
-
-    // Incremental-card mirror: the q139 chain with the mean computed
-    // from round-6 micro-long sums — the slice/merge plumbing is
-    // answer-invisible, so the oracle is the flat corpus card.
-    "q166_data_card_incremental" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, text, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, text, toks,
-        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |         WHEN hits_es >= hits_fr THEN 'es'
-        |         ELSE 'fr' END AS lang_pred
-        |  FROM h),
-        |m AS (
-        |  SELECT doc_id, text, toks, lang_pred,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM l),
-        |qq AS (
-        |  SELECT doc_id, text, toks, lang_pred, n_tokens,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m),
-        |base AS (
-        |  SELECT count(*)::BIGINT AS n_docs,
-        |         count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
-        |         sum(n_tokens)::BIGINT AS n_tokens,
-        |         sum(CAST(round(quality_score * 1e6) AS BIGINT))::BIGINT AS q_micro
-        |  FROM qq),
-        |voc AS (
-        |  SELECT count(DISTINCT x)::BIGINT AS vocab_size
-        |  FROM (SELECT unnest(toks) AS x FROM t)),
-        |top AS (
-        |  SELECT lang_pred AS top_lang, n AS top_lang_n FROM (
-        |    SELECT lang_pred, count(*)::BIGINT AS n,
-        |           row_number() OVER (ORDER BY count(*) DESC, lang_pred) AS rn
-        |    FROM qq GROUP BY 1) WHERE rn = 1)
-        |SELECT n_docs, n_unique_texts,
-        |       round(1.0 - n_unique_texts::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
-        |       n_tokens, vocab_size, top_lang, top_lang_n,
-        |       round(top_lang_n::DOUBLE / n_docs::DOUBLE, 6) AS top_lang_share,
-        |       round(q_micro::DOUBLE / 1e6 / n_docs::DOUBLE, 6) AS mean_quality
-        |FROM base, voc, top""".stripMargin,
-
-    // Centroid drift: identical micro-quantized integer sums per
-    // (label, dim), exact HUGEINT products, the same fp tree.
-    "q136_centroid_drift" ->
-      """WITH ea AS (
-        |  SELECT label::BIGINT AS label, embedding::DOUBLE[] AS emb
-        |  FROM embeddings WHERE vec_id < 250),
-        |eb AS (
-        |  SELECT label::BIGINT AS label, embedding::DOUBLE[] AS emb
-        |  FROM embeddings WHERE vec_id >= 250),
-        |da AS (
-        |  SELECT label, i - 1 AS dim,
-        |         sum(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT)) AS s_a
-        |  FROM ea, unnest(range(1, len(emb) + 1)) r(i) GROUP BY 1, 2),
-        |db AS (
-        |  SELECT label, i - 1 AS dim,
-        |         sum(CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT)) AS s_b
-        |  FROM eb, unnest(range(1, len(emb) + 1)) r(i) GROUP BY 1, 2),
-        |red AS (
-        |  SELECT label,
-        |         sum(s_a * s_b) AS dot,
-        |         sum(s_a * s_a) AS na2,
-        |         sum(s_b * s_b) AS nb2
-        |  FROM da JOIN db USING (label, dim) GROUP BY 1),
-        |ca AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_a
-        |       FROM embeddings WHERE vec_id < 250 GROUP BY 1),
-        |cb AS (SELECT label::BIGINT AS label, count(*)::BIGINT AS n_b
-        |       FROM embeddings WHERE vec_id >= 250 GROUP BY 1)
-        |SELECT label, n_a, n_b,
-        |       round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
-        |         AS cos
-        |FROM red JOIN ca USING (label) JOIN cb USING (label)
-        |ORDER BY label""".stripMargin,
-
-    // Seasonal baseline: per-type hour counts, hour-of-day slots,
-    // integer ratio n·h/S.
-    "q138_seasonal_baseline" ->
-      """WITH c AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         count(*)::BIGINT AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |h AS (SELECT *, hour(hour_start)::BIGINT AS hod FROM c)
-        |SELECT event_type, hour_start, hod, n_events,
-        |       count(*) OVER w ::BIGINT AS slot_hours,
-        |       sum(n_events) OVER w ::BIGINT AS slot_total,
-        |       round((n_events * (count(*) OVER w))::DOUBLE /
-        |             (sum(n_events) OVER w)::DOUBLE, 6) AS ratio
-        |FROM h
-        |WINDOW w AS (PARTITION BY event_type, hod)
-        |ORDER BY event_type, hour_start""".stripMargin,
-
-    // Edit-distance pairs: q13's guarded candidate chain re-verified
-    // by the same unit-cost levenshtein.
-    "q137_edit_distance_pairs" ->
-      s"""WITH $ShingleCtes,
-         |$MinhashSigCte,
-         |bands AS ($MinhashBandsSql),
-         |bok AS (
-         |  SELECT band, band_val FROM bands GROUP BY 1, 2
-         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
-         |lev AS (
-         |  SELECT c.d1, c.d2,
-         |         levenshtein(x.text, y.text)::BIGINT AS dist,
-         |         round(levenshtein(x.text, y.text) * 1.0 /
-         |               greatest(length(x.text), length(y.text), 1), 6) AS edit_ratio
-         |  FROM cand c
-         |  JOIN documents x ON x.doc_id = c.d1
-         |  JOIN documents y ON y.doc_id = c.d2)
-         |SELECT d1, d2, dist, edit_ratio FROM lev
-         |WHERE edit_ratio <= 0.3
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Hamming top-k over 48 packed sign bits: the q25 bucket formula
-    // widened, XOR + bit_count, ascending rank.
-    "q135_hamming_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id,
-         |         list_sum(list_transform(range(0, 48), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS sig
-         |  FROM e),
-         |q AS (SELECT * FROM b WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |         bit_count(xor(q.sig, c.sig))::BIGINT AS hamming
-         |  FROM q JOIN b c ON q.vec_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                               ORDER BY hamming, n_vec_id) AS rnk
-         |  FROM scored)
-         |SELECT q_vec_id, n_vec_id, hamming, rnk FROM ranked
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    // Binary-then-exact recall: Hamming top-100 ∩ exact cosine top-10.
-    "q135b_hamming_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, emb,
-         |         list_sum(list_transform(range(0, 48), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS sig,
-         |         sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |q AS (SELECT * FROM b WHERE vec_id < 5),
-         |cand AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY bit_count(xor(q.sig, c.sig)), c.vec_id) AS rnk
-         |    FROM q JOIN b c ON q.vec_id <> c.vec_id) WHERE rnk <= 100),
-         |exact AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY round(list_dot_product(q.emb, c.emb) /
-         |                            (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
-         |    FROM q JOIN b c ON q.vec_id <> c.vec_id) WHERE rnk <= 10),
-         |hits AS (
-         |  SELECT x.q_vec_id, count(*)::BIGINT AS n_hits
-         |  FROM exact x JOIN cand c
-         |    ON x.q_vec_id = c.q_vec_id AND x.n_vec_id = c.n_vec_id
-         |  GROUP BY 1)
-         |SELECT v.vec_id AS q_vec_id,
-         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-         |ORDER BY q_vec_id""".stripMargin,
-
-    // Exact MIPS top-k: the q15 scan ranking on the rounded dot.
-    "q130_mips_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
-        |         round(list_dot_product(q.emb, e.emb), 6) AS dot
-        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                               ORDER BY dot DESC, n_vec_id) AS rnk
-        |  FROM scored)
-        |SELECT q_vec_id, n_vec_id, dot, rnk FROM ranked
-        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    // MIPS→cosine reduction contract: both rankings replayed, set
-    // agreement per query.
-    "q130b_mips_reduction" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |dscored AS (
-        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
-        |         round(list_dot_product(q.emb, e.emb), 6) AS dot
-        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
-        |d10 AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                                 ORDER BY dot DESC, n_vec_id) AS rnk
-        |    FROM dscored) WHERE rnk <= 10),
-        |mx AS (SELECT max(sqrt(list_dot_product(emb, emb))) AS m FROM e),
-        |ea AS (
-        |  SELECT vec_id,
-        |         list_append(emb, sqrt(greatest(
-        |           m * m - list_dot_product(emb, emb), 0.0))) AS emb
-        |  FROM e, mx),
-        |qa AS (SELECT vec_id, list_append(emb, 0.0) AS emb FROM q),
-        |ascored AS (
-        |  SELECT qa.vec_id AS q_vec_id, ea.vec_id AS n_vec_id,
-        |         round(list_dot_product(qa.emb, ea.emb) /
-        |               (sqrt(list_dot_product(qa.emb, qa.emb)) *
-        |                sqrt(list_dot_product(ea.emb, ea.emb))), 6) AS cos
-        |  FROM qa JOIN ea ON qa.vec_id <> ea.vec_id),
-        |a10 AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                                 ORDER BY cos DESC, n_vec_id) AS rnk
-        |    FROM ascored) WHERE rnk <= 10),
-        |hits AS (
-        |  SELECT a.q_vec_id, count(*)::BIGINT AS n_hits
-        |  FROM a10 a JOIN d10 d
-        |    ON a.q_vec_id = d.q_vec_id AND a.n_vec_id = d.n_vec_id
-        |  GROUP BY 1)
-        |SELECT v.vec_id AS q_vec_id,
-        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall,
-        |       coalesce(n_hits, 0) = 10 AS order_preserved
-        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-        |ORDER BY q_vec_id""".stripMargin,
-
-    // kNN classification: the q15 ranking joined to labels, majority
-    // vote with ties to the smallest label.
-    "q131_knn_classify" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
-        |         round(list_dot_product(q.emb, e.emb) /
-        |               (sqrt(list_dot_product(q.emb, q.emb)) *
-        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
-        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
-        |top AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                                 ORDER BY cos DESC, n_vec_id) AS rnk
-        |    FROM scored) WHERE rnk <= 10),
-        |votes AS (
-        |  SELECT t.q_vec_id, x.label::BIGINT AS label, count(*)::BIGINT AS n
-        |  FROM top t JOIN embeddings x ON x.vec_id = t.n_vec_id
-        |  GROUP BY 1, 2)
-        |SELECT q_vec_id, label AS predicted, n AS n_votes FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                               ORDER BY n DESC, label) AS rn
-        |  FROM votes) WHERE rn = 1
-        |ORDER BY q_vec_id""".stripMargin,
-
-    // Quality percentile within language: the q17 lang chain + q18
-    // quality chain composed, percent_rank over the ROUNDED score.
-    "q129_quality_percentile" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, toks,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
-        |  FROM t),
-        |l AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
-        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |         WHEN hits_es >= hits_fr THEN 'es'
-        |         ELSE 'fr' END AS lang_pred
-        |  FROM h),
-        |m AS (
-        |  SELECT doc_id, lang_pred,
-        |    len(toks)::BIGINT AS n_tokens,
-        |    len(list_distinct(toks))::BIGINT AS n_distinct,
-        |    round(len(list_filter(toks, x -> x IN (
-        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
-        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
-        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
-        |  FROM l),
-        |q AS (
-        |  SELECT doc_id, lang_pred,
-        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
-        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
-        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
-        |  FROM m)
-        |SELECT doc_id, lang_pred, quality_score,
-        |       round(percent_rank() OVER (PARTITION BY lang_pred
-        |                                  ORDER BY quality_score), 6) AS pct
-        |FROM q ORDER BY doc_id""".stripMargin,
-
-    // Rendezvous shard assignment: per (doc, shard) draws, argmax via
-    // the h DESC, s DESC rank — the exact array_max struct order.
-    "q128_rendezvous_shard" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, s,
-         |         ${duckMd5Hash60("'hrw:' || doc_id || ':' || s")} AS h
-         |  FROM documents, range(16) r(s))
-         |SELECT doc_id, s::BIGINT AS shard FROM (
-         |  SELECT doc_id, s, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM g)
-         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // Stability contract: both assignments replayed, churn equals the
-    // new shard's wins (HRW identity) and stays near 1/17.
-    "q128b_rendezvous_stability" ->
-      s"""WITH g16 AS (
-         |  SELECT doc_id, s,
-         |         ${duckMd5Hash60("'hrw:' || doc_id || ':' || s")} AS h
-         |  FROM documents, range(16) r(s)),
-         |a16 AS (
-         |  SELECT doc_id, s::BIGINT AS s16 FROM (
-         |    SELECT doc_id, s, row_number() OVER (
-         |      PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM g16)
-         |  WHERE rn = 1),
-         |g17 AS (
-         |  SELECT doc_id, s,
-         |         ${duckMd5Hash60("'hrw:' || doc_id || ':' || s")} AS h
-         |  FROM documents, range(17) r(s)),
-         |a17 AS (
-         |  SELECT doc_id, s::BIGINT AS s17 FROM (
-         |    SELECT doc_id, s, row_number() OVER (
-         |      PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM g17)
-         |  WHERE rn = 1),
-         |j AS (
-         |  SELECT count(*)::BIGINT AS n_docs,
-         |         sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)::BIGINT AS n_moved,
-         |         sum(CASE WHEN s17 = 16 THEN 1 ELSE 0 END)::BIGINT AS n_new_shard
-         |  FROM a16 JOIN a17 USING (doc_id))
-         |SELECT n_docs, n_moved, n_new_shard,
-         |       n_moved = n_new_shard AS identity_ok,
-         |       round(n_moved * 1.0 / n_docs, 6) AS moved_frac,
-         |       n_moved * 1.0 / n_docs <= 0.12 AS churn_ok
-         |FROM j""".stripMargin,
-
-    // Incremental novelty: new-side shingles left-joined against the
-    // history's distinct shingle set; shingle-less docs null out.
-    "q126_novelty" ->
-      s"""WITH ${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
-         |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "_h")},
-         |hset AS (SELECT DISTINCT shingle FROM sh_h),
-         |cnt AS (
-         |  SELECT n.doc_id, count(*)::BIGINT AS n_shingles,
-         |         (count(*) - count(h.shingle))::BIGINT AS n_novel
-         |  FROM sh_n n LEFT JOIN hset h ON n.shingle = h.shingle
-         |  GROUP BY 1)
-         |SELECT d.doc_id, coalesce(c.n_shingles, 0)::BIGINT AS n_shingles,
-         |       coalesce(c.n_novel, 0)::BIGINT AS n_novel,
-         |       CASE WHEN coalesce(c.n_shingles, 0) > 0
-         |            THEN round(c.n_novel * 1.0 / c.n_shingles, 6) END AS novelty
-         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
-         |LEFT JOIN cnt c ON d.doc_id = c.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Hourly anomaly z-scores: the identical integer-sum expression
-    // tree — (n·h − S) / (h·√((h·Q − S²)/(h·(h−1)))) — on both sides,
-    // so every float op sees the same exact operands.
-    "q123_events_anomaly" ->
-      """WITH c AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         count(*)::BIGINT AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT event_type, hour_start, n_events,
-        |         count(*) OVER (PARTITION BY event_type) AS h,
-        |         sum(n_events) OVER (PARTITION BY event_type) AS s,
-        |         sum(n_events * n_events) OVER (PARTITION BY event_type) AS q
-        |  FROM c),
-        |z AS (
-        |  SELECT event_type, hour_start, n_events,
-        |         CASE WHEN h >= 3 AND (h * q - s * s) > 0 THEN
-        |           round((n_events * h - s)::DOUBLE /
-        |                 (h::DOUBLE * sqrt((h * q - s * s)::DOUBLE /
-        |                                   (h * (h - 1))::DOUBLE)), 6)
-        |         END AS z
-        |  FROM w)
-        |SELECT event_type, hour_start, n_events, z,
-        |       coalesce(abs(z) > 2.0, false) AS is_anomaly
-        |FROM z
-        |ORDER BY event_type, hour_start""".stripMargin,
-
-    // Robust-anomaly mirror: quantile_cont windows (the interpolated-
-    // percentile twin), identical modified-z expression.
-    "q161_events_anomaly_robust" ->
-      """WITH c AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         count(*)::BIGINT AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT event_type, hour_start, n_events,
-        |         quantile_cont(n_events, 0.5)
-        |           OVER (PARTITION BY event_type) AS med
-        |  FROM c),
-        |m AS (
-        |  SELECT event_type, hour_start, n_events, med,
-        |         quantile_cont(abs(n_events - med), 0.5)
-        |           OVER (PARTITION BY event_type) AS mad
-        |  FROM w),
-        |z AS (
-        |  SELECT event_type, hour_start, n_events,
-        |         CASE WHEN mad > 0 THEN
-        |           round(0.6745 * (n_events - med) / mad, 6)
-        |         END AS z_robust
-        |  FROM m)
-        |SELECT event_type, hour_start, n_events, z_robust,
-        |       coalesce(abs(z_robust) > 3.5, false) AS is_anomaly
-        |FROM z
-        |ORDER BY event_type, hour_start""".stripMargin,
-
-    // Correlation mirror: HUGEINT moments (DuckDB's exact 128-bit
-    // integer — the decimal(38,0) twin), identical double formula.
-    "q159_type_correlation" ->
-      """WITH cells AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS v
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT t.event_type, h.hour_start, coalesce(c.v, 0)::BIGINT AS v
-        |  FROM (SELECT DISTINCT hour_start FROM cells) h
-        |  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
-        |  LEFT JOIN cells c
-        |    ON c.event_type = t.event_type AND c.hour_start = h.hour_start),
-        |m AS (
-        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |         count(*)::BIGINT AS n_hours,
-        |         sum(a.v::HUGEINT) AS sa, sum(b.v::HUGEINT) AS sb,
-        |         sum(a.v::HUGEINT * a.v::HUGEINT) AS qa,
-        |         sum(b.v::HUGEINT * b.v::HUGEINT) AS qb,
-        |         sum(a.v::HUGEINT * b.v::HUGEINT) AS sab
-        |  FROM grid a JOIN grid b
-        |    ON a.hour_start = b.hour_start AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, n_hours,
-        |       CASE WHEN (n_hours::HUGEINT * qa - sa * sa) > 0
-        |             AND (n_hours::HUGEINT * qb - sb * sb) > 0 THEN
-        |         round((n_hours::HUGEINT * sab - sa * sb)::DOUBLE /
-        |               (sqrt((n_hours::HUGEINT * qa - sa * sa)::DOUBLE) *
-        |                sqrt((n_hours::HUGEINT * qb - sb * sb)::DOUBLE)), 6)
-        |       END AS r
-        |FROM m
-        |ORDER BY type_a, type_b""".stripMargin,
-
-    // CUSUM mirror: identical micro-long cells, exact HUGEINT moments,
-    // σ→(κ,h) floored once, then pure-integer running sum + running
-    // min windows; alarms compare longs.
-    "q170_cusum_changepoints" ->
-      """WITH cells AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
-        |         sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS v_micro
-        |  FROM events GROUP BY 1, 2),
-        |mom AS (
-        |  SELECT *,
-        |         count(*) OVER w AS n,
-        |         sum(v_micro) OVER w AS s,
-        |         sum(v_micro::HUGEINT * v_micro::HUGEINT) OVER w AS q
-        |  FROM cells WINDOW w AS (PARTITION BY event_type)),
-        |par AS (
-        |  SELECT *,
-        |         (n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0) AS ok,
-        |         CASE WHEN n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0
-        |              THEN sqrt((n::HUGEINT * q - s::HUGEINT * s::HUGEINT)::DOUBLE
-        |                        / (n * (n - 1))::DOUBLE) END AS sigma,
-        |         floor(s::DOUBLE / n::DOUBLE)::BIGINT AS mu
-        |  FROM mom),
-        |kh AS (
-        |  SELECT *, floor(sigma * 0.5)::BIGINT AS kappa,
-        |            floor(sigma * 4.0)::BIGINT AS h
-        |  FROM par),
-        |ps AS (
-        |  SELECT *,
-        |         sum(v_micro - mu - kappa) OVER r AS psp,
-        |         sum(mu - v_micro - kappa) OVER r AS psn
-        |  FROM kh WINDOW r AS (PARTITION BY event_type ORDER BY hour_start
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |cs AS (
-        |  SELECT *,
-        |         CASE WHEN ok THEN
-        |           (psp - least(0, min(psp) OVER r))::BIGINT END AS s_pos,
-        |         CASE WHEN ok THEN
-        |           (psn - least(0, min(psn) OVER r))::BIGINT END AS s_neg
-        |  FROM ps WINDOW r AS (PARTITION BY event_type ORDER BY hour_start
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_type, hour_start, v_micro, s_pos, s_neg,
-        |       coalesce(s_pos > h OR s_neg > h, FALSE) AS is_alarm,
-        |       CASE WHEN s_pos > h AND s_neg > h THEN 'both'
-        |            WHEN s_pos > h THEN 'up'
-        |            WHEN s_neg > h THEN 'down' END AS side
-        |FROM cs ORDER BY event_type, hour_start""".stripMargin,
-
-    // Concentration mirror: same counts frame, same rank rule.
-    "q176_top_user_share" ->
-      """WITH c AS (
-        |  SELECT event_type, user_id, count(*)::BIGINT AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |r AS (
-        |  SELECT *,
-        |         row_number() OVER (PARTITION BY event_type
-        |                            ORDER BY cnt DESC, user_id) AS rn,
-        |         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n_events,
-        |         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_users
-        |  FROM c)
-        |SELECT event_type, max(n_events)::BIGINT AS n_events,
-        |       max(n_users)::BIGINT AS n_users,
-        |       sum(cnt)::BIGINT AS topk_events,
-        |       round(sum(cnt)::DOUBLE / max(n_events)::DOUBLE, 6) AS topk_share
-        |FROM r WHERE rn <= 10
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // Growth mirror: the same first-seen construction. q175b (the
-    // merged per-slice states) answers to the IDENTICAL oracle —
-    // merge ≡ union is the contract.
-    "q175_user_growth" -> userGrowthSql(),
-    "q175b_growth_incremental" -> userGrowthSql(),
-
-    // Retraction mirror: the surviving-events curve, computed directly.
-    "q175c_growth_retract" -> userGrowthSql("WHERE user_id % 10 <> 0"),
-
-    // Attribution mirror: the same equi-join + floor-division credit.
-    "q181_attribution_linear" ->
-      """WITH conv AS (
-        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
-        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
-        |  FROM events WHERE event_type = 'purchase'),
-        |touch AS (
-        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |pairs AS (
-        |  SELECT c.conv_id, c.value_micros, t.touch_type
-        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
-        |   AND t.touch_ts < c.conv_ts
-        |   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
-        |n AS (SELECT conv_id, count(*) AS n_t FROM pairs GROUP BY 1)
-        |SELECT touch_type, count(*)::BIGINT AS n_touches,
-        |       count(DISTINCT p.conv_id)::BIGINT AS n_conversions,
-        |       sum(p.value_micros // n.n_t)::BIGINT AS attributed_micros
-        |FROM pairs p JOIN n USING (conv_id)
-        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
-
-    // Time-decay mirror: the q181 pair relation + half-life step
-    // weights (integer shift, never pow) and the one integral division
-    // per credit in HUGEINT.
-    "q216_attribution_decay" ->
-      """WITH conv AS (
-        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
-        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
-        |  FROM events WHERE event_type = 'purchase'),
-        |touch AS (
-        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |pairs AS (
-        |  SELECT c.conv_id, c.value_micros, t.touch_type,
-        |         (epoch_us(c.conv_ts) - epoch_us(t.touch_ts)) AS age_us
-        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
-        |   AND t.touch_ts < c.conv_ts
-        |   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
-        |wts AS (
-        |  SELECT conv_id, value_micros, touch_type,
-        |         1000000 // (1::BIGINT << least(age_us // 86400000000, 40))
-        |           AS w
-        |  FROM pairs),
-        |sw AS (
-        |  SELECT *, sum(w) OVER (PARTITION BY conv_id) AS swv FROM wts)
-        |SELECT touch_type, count(*)::BIGINT AS n_touches,
-        |       count(DISTINCT conv_id)::BIGINT AS n_conversions,
-        |       sum((value_micros::HUGEINT * w) // swv)::BIGINT
-        |         AS attributed_micros
-        |FROM sw WHERE swv > 0
-        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
-
-    // U-shaped mirror: the q181 pair relation + the (ts, event_id)
-    // position window and the same floor-division credit table.
-    "q206_attribution_ushaped" ->
-      """WITH conv AS (
-        |  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
-        |         CAST(round(value * 1000000) AS BIGINT) AS value_micros
-        |  FROM events WHERE event_type = 'purchase'),
-        |touch AS (
-        |  SELECT user_id, event_type AS touch_type, ts AS touch_ts,
-        |         event_id AS touch_id
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |pairs AS (
-        |  SELECT c.conv_id, c.value_micros, t.touch_type, t.touch_ts,
-        |         t.touch_id
-        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
-        |   AND t.touch_ts < c.conv_ts
-        |   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
-        |w AS (
-        |  SELECT *,
-        |         count(*) OVER (PARTITION BY conv_id) AS n_t,
-        |         row_number() OVER (PARTITION BY conv_id
-        |                            ORDER BY touch_ts, touch_id) AS pos
-        |  FROM pairs),
-        |c2 AS (
-        |  SELECT touch_type, conv_id,
-        |         CASE WHEN n_t = 1 THEN value_micros
-        |              WHEN n_t = 2 THEN value_micros // 2
-        |              WHEN pos = 1 OR pos = n_t THEN (value_micros * 2) // 5
-        |              ELSE (value_micros - 2 * ((value_micros * 2) // 5))
-        |                   // (n_t - 2) END AS credit
-        |  FROM w)
-        |SELECT touch_type, count(*)::BIGINT AS n_touches,
-        |       count(DISTINCT conv_id)::BIGINT AS n_conversions,
-        |       sum(credit)::BIGINT AS attributed_micros
-        |FROM c2 GROUP BY touch_type ORDER BY touch_type""".stripMargin,
-
-    // UniMax-applied mirror: the q169 waterfill chain → per-group rate
-    // → the epochRepetition copy rule, replayed end to end.
-    "q169b_unimax_applied" ->
-      s"""WITH pg AS (
-         |  SELECT lang,
-         |         sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |                             x -> x <> '')))::BIGINT AS n_tokens
-         |  FROM documents GROUP BY 1 HAVING n_tokens > 0),
-         |st AS (
-         |  SELECT lang, n_tokens, n_tokens * 2 AS cap,
-         |         row_number() OVER w AS i,
-         |         count(*) OVER () AS L,
-         |         coalesce(sum(n_tokens * 2) OVER (w ROWS BETWEEN
-         |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pprev
-         |  FROM pg WINDOW w AS (ORDER BY n_tokens * 2, lang)),
-         |cp AS (
-         |  SELECT *, (cap * (L - i + 1) <= 40000 - pprev) AS capped FROM st),
-         |fin AS (
-         |  SELECT *,
-         |         sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
-         |         40000 - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS R,
-         |         L - sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS u
-         |  FROM cp),
-         |rt AS (
-         |  SELECT lang,
-         |         (CASE WHEN capped THEN cap
-         |               ELSE floor((R + (i - k) - 1) / u)::BIGINT END)::DOUBLE
-         |           / n_tokens::DOUBLE AS rate
-         |  FROM fin),
-         |dt AS (
-         |  SELECT doc_id, lang,
-         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |                         x -> x <> ''))::BIGINT AS n_tokens
-         |  FROM documents),
-         |ncp AS (
-         |  SELECT d.doc_id, d.lang, d.n_tokens,
-         |         (floor(r.rate)::BIGINT +
-         |          CASE WHEN (${duckMd5Bucket("'rep:' || d.doc_id")})::DOUBLE <
-         |                    (r.rate - floor(r.rate)) * 1e6
-         |               THEN 1 ELSE 0 END) AS n_copies
-         |  FROM dt d JOIN rt r USING (lang))
-         |SELECT doc_id, unnest(range(1, n_copies + 1)) AS copy, lang,
-         |       n_tokens, n_copies
-         |FROM ncp WHERE n_copies > 0 ORDER BY doc_id, copy""".stripMargin,
-
-    // Frozen-CUSUM mirror: params from even ids, the same unrolled
-    // windows over odd ids in (ts, event_id) order.
-    "q170b_cusum_frozen" ->
-      """WITH fit AS (
-        |  SELECT event_type,
-        |         count(*) AS n,
-        |         sum(CAST(round(value * 1e6) AS BIGINT)) AS s,
-        |         sum(CAST(round(value * 1e6) AS BIGINT)::HUGEINT *
-        |             CAST(round(value * 1e6) AS BIGINT)::HUGEINT) AS q
-        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
-        |par AS (
-        |  SELECT event_type,
-        |         (n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0) AS ok,
-        |         CASE WHEN n >= 3 AND (n::HUGEINT * q - s::HUGEINT * s::HUGEINT) > 0
-        |              THEN sqrt((n::HUGEINT * q - s::HUGEINT * s::HUGEINT)::DOUBLE
-        |                        / (n * (n - 1))::DOUBLE) END AS sigma,
-        |         floor(s::DOUBLE / n::DOUBLE)::BIGINT AS mu
-        |  FROM fit),
-        |kh AS (
-        |  SELECT event_type, ok, mu, floor(sigma * 0.5)::BIGINT AS kappa,
-        |         floor(sigma * 4.0)::BIGINT AS h
-        |  FROM par),
-        |live AS (
-        |  SELECT e.event_type, e.ts, e.event_id,
-        |         CAST(round(e.value * 1e6) AS BIGINT) AS v_micro,
-        |         k.ok, k.mu, k.kappa, k.h
-        |  FROM events e LEFT JOIN kh k ON e.event_type = k.event_type
-        |  WHERE e.event_id % 2 = 1),
-        |ps AS (
-        |  SELECT *,
-        |         sum(v_micro - mu - kappa) OVER r AS psp,
-        |         sum(mu - v_micro - kappa) OVER r AS psn
-        |  FROM live WINDOW r AS (PARTITION BY event_type
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |cs AS (
-        |  SELECT *,
-        |         CASE WHEN ok THEN
-        |           (psp - least(0, min(psp) OVER r))::BIGINT END AS s_pos,
-        |         CASE WHEN ok THEN
-        |           (psn - least(0, min(psn) OVER r))::BIGINT END AS s_neg
-        |  FROM ps WINDOW r AS (PARTITION BY event_type
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_type, ts, event_id, v_micro, s_pos, s_neg,
-        |       coalesce(s_pos > h OR s_neg > h, FALSE) AS is_alarm,
-        |       CASE WHEN s_pos > h AND s_neg > h THEN 'both'
-        |            WHEN s_pos > h THEN 'up'
-        |            WHEN s_neg > h THEN 'down' END AS side
-        |FROM cs ORDER BY event_type, ts, event_id""".stripMargin,
-
-    // aHash mirror: every bucket bit rebuilt from the text the encoder
-    // rasterized; exact integer cross-products, no division.
-    "q172_image_ahash" ->
-      s"""WITH $ahashCtes
-         |SELECT doc_id AS asset_id, w AS width, 1::BIGINT AS height, ahash
-         |FROM hs ORDER BY asset_id""".stripMargin,
-
-    // Near-dup mirror: ALL-PAIRS brute force — the banded engine must
-    // reproduce it exactly at maxDist ≤ 6 (7-band pigeonhole).
-    "q172b_image_neardup" ->
-      s"""WITH $ahashCtes
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
-         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Incremental-screen mirror: brute delta×history over the aHash
-    // CTE, closest match by (hamming, id).
-    "q172c_image_neardup_incr" ->
-      s"""WITH $ahashCtes,
-         |pm AS (
-         |  SELECT d.doc_id AS asset_id, h.doc_id AS match_id,
-         |         bit_count(xor(d.ahash, h.ahash))::BIGINT AS hamming
-         |  FROM hs d JOIN hs h ON d.doc_id >= 250 AND h.doc_id < 250
-         |  WHERE bit_count(xor(d.ahash, h.ahash)) <= 6)
-         |SELECT asset_id, match_id, hamming FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY asset_id
-         |      ORDER BY hamming, match_id) AS rn
-         |  FROM pm)
-         |WHERE rn = 1 ORDER BY asset_id""".stripMargin,
-
-    // Audio aHash mirror: energy-envelope bits rebuilt from the text
-    // the WAV encoder sampled; exact integer cross-products.
-    "q217_audio_ahash" ->
-      s"""WITH $audioAhashCtes
-         |SELECT doc_id AS asset_id, n AS n_samples, ahash
-         |FROM hs ORDER BY asset_id""".stripMargin,
-
-    // Audio near-dup mirror: all-pairs brute force over the same CTEs
-    // — the banded engine must agree exactly (7-band pigeonhole).
-    "q217b_audio_neardup" ->
-      s"""WITH $audioAhashCtes
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
-         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Video aHash mirror: every-2nd-frame luma bits rebuilt from the
-    // text the Y4M encoder framed.
-    "q218_video_ahash" ->
-      s"""WITH $videoAhashCtes
-         |SELECT doc_id AS asset_id, nf AS n_frames,
-         |       nsf AS n_sampled_frames, ahash
-         |FROM hs ORDER BY asset_id""".stripMargin,
-
-    "q218b_video_neardup" ->
-      s"""WITH $videoAhashCtes
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
-         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Resize mirror: floor-mean gray per 16-bucket span, rebuilt from
-    // the rasterized text; exact integer division.
-    "q219_image_resize" ->
-      """WITH img AS (
-        |  SELECT doc_id, length(text)::BIGINT AS w,
-        |         list_transform(range(1, length(text) + 1),
-        |                        i -> ord(substr(text, i::INTEGER, 1))::BIGINT) AS g
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |px AS (
-        |  SELECT doc_id, w, unnest(range(0, w)) AS i0, g FROM img),
-        |bk AS (
-        |  SELECT doc_id, w, (i0 * 16) // w AS j,
-        |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
-        |         count(*)::BIGINT AS bcnt
-        |  FROM px GROUP BY 1, 2, 3)
-        |SELECT doc_id AS asset_id, w AS width, j AS bucket,
-        |       bsum // bcnt AS px
-        |FROM bk ORDER BY asset_id, bucket""".stripMargin,
-
-    // Windowed-audio mirror: per-64-sample-span bits rebuilt with
-    // window-local positions and length from the encoder text.
-    "q220_audio_ahash_windows" ->
-      s"""WITH $audioWindowCtes
-         |SELECT doc_id AS asset_id, w_id AS window_id, wn AS n_samples,
-         |       ahash
-         |FROM hs ORDER BY asset_id, window_id""".stripMargin,
-
-    // Any-window near-dup mirror: brute force over ALL cross-asset
-    // window pairs, rolled up to (min_hamming, n_window_hits).
-    "q220b_audio_window_neardup" ->
-      s"""WITH $audioWindowCtes,
-         |$windowPairRollupSql""".stripMargin,
-
-    // Segmented-video mirror: per-4-sampled-frame bits, segment-local.
-    "q221_video_ahash_segments" ->
-      s"""WITH $videoSegmentCtes
-         |SELECT doc_id AS asset_id, seg_id AS segment_id,
-         |       nsf AS n_sampled_frames, ahash
-         |FROM hs ORDER BY asset_id, segment_id""".stripMargin,
-
-    "q221b_video_segment_neardup" ->
-      s"""WITH $videoSegmentCtes,
-         |$windowPairRollupSql""".stripMargin,
-
-    // Wide-band mirror: the same image-hash CTEs, all-pairs brute
-    // force at the 4-band pigeonhole threshold (hamming ≤ 3).
-    "q172d_image_neardup_wide" ->
-      s"""WITH $ahashCtes
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
-         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-         |ORDER BY d1, d2""".stripMargin,
-
-    // Int8 SDC mirror: byte-code quantization + the expanded-cosine
-    // score CTEs; per-query rank with NULLS LAST + id tie-break.
-    "q171_int8_topk" ->
-      s"""WITH $int8Ctes
-         |SELECT q_vec_id, n_vec_id, cos_sdc, rnk AS rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |      ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
-         |  FROM sdc)
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rank""".stripMargin,
-
-    // Int8 recall mirror: approx top-10 from the sdc CTE vs the exact
-    // float-cosine top-10 (the q99c construction).
-    "q171b_int8_recall" ->
-      s"""WITH $int8Ctes,
-         |approx AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |        ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
-         |    FROM sdc) WHERE rnk <= 10),
-         |exact AS (
-         |  SELECT q_vec_id, n_vec_id FROM (
-         |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
-         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |             round(list_dot_product(q.emb, c2.emb) /
-         |                   (sqrt(list_dot_product(q.emb, q.emb)) *
-         |                    sqrt(list_dot_product(c2.emb, c2.emb))), 6)
-         |               DESC, c2.vec_id) AS rnk
-         |    FROM (SELECT * FROM e WHERE vec_id < 5) q
-         |    JOIN e c2 ON q.vec_id <> c2.vec_id)
-         |  WHERE rnk <= 10),
-         |hits AS (
-         |  SELECT a.q_vec_id, count(*) AS n_hits
-         |  FROM approx a JOIN exact x
-         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
-         |  GROUP BY 1)
-         |SELECT v.vec_id AS q_vec_id,
-         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-         |ORDER BY q_vec_id""".stripMargin,
-
-    // Covariance mirror: the same micro-quantized components, exact
-    // HUGEINT co-moments n·Σxy − Σx·Σy, diagonal joined back for corr.
-    "q188_embedding_covariance" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |x AS (SELECT vec_id, (i - 1)::BIGINT AS i,
-        |             CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT) AS v
-        |      FROM e, unnest(range(1, len(emb) + 1)) r(i)),
-        |p AS (SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n_vecs,
-        |             sum(a.v::HUGEINT) AS sx, sum(b.v::HUGEINT) AS sy,
-        |             sum(a.v::HUGEINT * b.v::HUGEINT) AS sxy
-        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
-        |      GROUP BY 1, 2),
-        |c AS (SELECT *, n_vecs::HUGEINT * sxy - sx * sy AS com FROM p),
-        |d AS (SELECT i AS dd, com AS vv FROM c WHERE i = j)
-        |SELECT c.i, c.j, c.n_vecs,
-        |       round(c.com::DOUBLE /
-        |             (c.n_vecs::HUGEINT * c.n_vecs)::DOUBLE / 1e12, 6)
-        |         + 0.0 AS cov,
-        |       CASE WHEN di.vv > 0 AND dj.vv > 0 THEN
-        |         round(c.com::DOUBLE /
-        |               (sqrt(di.vv::DOUBLE) * sqrt(dj.vv::DOUBLE)), 6) + 0.0
-        |       END AS corr
-        |FROM c JOIN d di ON di.dd = c.i JOIN d dj ON dj.dd = c.j
-        |ORDER BY i, j""".stripMargin,
-
-    // PCA mirror: the unrolled exact-integer power iteration.
-    "q196_principal_component" -> pc1Sql(20),
-
-    // Projection mirror: the same fit, per-vector HUGEINT dots.
-    "q199_pc_projection" -> pcProjectionSql(20),
-
-    // PC2 mirror: the unrolled deflated rounds.
-    "q208_principal_component2" -> pc2Sql(20),
-
-    // Incremental PCA answers to q196's oracle VERBATIM (the q96/q105
-    // shared-oracle contract): merged per-slice exact sums ≡ the
-    // all-at-once co-moments.
-    "q214_pca_incremental" -> pc1Sql(20),
-
-    // Matryoshka mirror: q15's cosine recipe on the 16-component
-    // prefix slice.
-    "q189_matryoshka_topk" ->
-      """WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS emb
-        |           FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
-        |         round(list_dot_product(q.emb, e.emb) /
-        |               (sqrt(list_dot_product(q.emb, q.emb)) *
-        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
-        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                               ORDER BY cos DESC, n_vec_id) AS rnk
-        |  FROM scored)
-        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    // Matryoshka recall mirror: prefix-slice top-10 vs the full-dim
-    // exact top-10 (the q171b construction).
-    "q189b_matryoshka_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |t AS (SELECT vec_id, emb[1:16] AS emb16 FROM e),
-        |approx AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             round(list_dot_product(q.emb16, c2.emb16) /
-        |                   (sqrt(list_dot_product(q.emb16, q.emb16)) *
-        |                    sqrt(list_dot_product(c2.emb16, c2.emb16))), 6)
-        |               DESC, c2.vec_id) AS rnk
-        |    FROM (SELECT * FROM t WHERE vec_id < 5) q
-        |    JOIN t c2 ON q.vec_id <> c2.vec_id)
-        |  WHERE rnk <= 10),
-        |exact AS (
-        |  SELECT q_vec_id, n_vec_id FROM (
-        |    SELECT q.vec_id AS q_vec_id, c2.vec_id AS n_vec_id,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             round(list_dot_product(q.emb, c2.emb) /
-        |                   (sqrt(list_dot_product(q.emb, q.emb)) *
-        |                    sqrt(list_dot_product(c2.emb, c2.emb))), 6)
-        |               DESC, c2.vec_id) AS rnk
-        |    FROM (SELECT * FROM e WHERE vec_id < 5) q
-        |    JOIN e c2 ON q.vec_id <> c2.vec_id)
-        |  WHERE rnk <= 10),
-        |hits AS (
-        |  SELECT a.q_vec_id, count(*) AS n_hits
-        |  FROM approx a JOIN exact x
-        |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
-        |  GROUP BY 1)
-        |SELECT v.vec_id AS q_vec_id,
-        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
-        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
-        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
-        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
-        |ORDER BY q_vec_id""".stripMargin,
-
-    "q104_integrity_audit" ->
-      """SELECT
-        |  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
-        |  (SELECT count(*) - count(DISTINCT doc_id) FROM documents)::BIGINT
-        |    AS dup_doc_ids,
-        |  (SELECT count(*) FROM documents WHERE text IS NULL)::BIGINT
-        |    AS null_text,
-        |  (SELECT count(*) FROM documents
-        |   WHERE text IS NOT NULL AND length(trim(text)) = 0)::BIGINT
-        |    AS empty_text,
-        |  (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
-        |  (SELECT count(*) - count(DISTINCT vec_id) FROM embeddings)::BIGINT
-        |    AS dup_vec_ids,
-        |  (SELECT count(*) FROM documents d
-        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
-        |    ::BIGINT AS docs_without_vec,
-        |  (SELECT count(*) FROM embeddings e
-        |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
-        |    ::BIGINT AS vecs_without_doc""".stripMargin,
-
-    // q15's exact scan + the hard-negative ceiling before ranking.
-    "q103_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.vec_id AS q_vec_id, e.vec_id AS n_vec_id,
-        |         round(list_dot_product(q.emb, e.emb) /
-        |               (sqrt(list_dot_product(q.emb, q.emb)) *
-        |                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
-        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-        |                               ORDER BY cos DESC, n_vec_id) AS rnk
-        |  FROM scored WHERE cos < 0.5)
-        |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-        |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    // q95's multi-probe candidate set + the same ceiling and re-rank.
-    "q103b_hard_negatives_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, emb,
-         |         list_sum(list_transform(range(0, 8), h ->
-         |           CASE WHEN ${duckSignDot("h", "emb")} > 0
-         |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS bucket,
-         |         sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |q AS (
-         |  SELECT vec_id, emb, nrm, unnest(probes) AS bucket FROM (
-         |    SELECT vec_id, emb, nrm,
-         |           list_prepend(bucket, list_transform(range(0, 8),
-         |             i -> xor(bucket, 1::BIGINT << i::INTEGER))) AS probes
-         |    FROM b WHERE vec_id < 5)),
-         |scored AS (
-         |  SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
-         |         round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 6) AS cos
-         |  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                               ORDER BY cos DESC, n_vec_id) AS rnk
-         |  FROM scored WHERE cos < 0.5)
-         |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
-
-    // IVF-PQ composition: the q26 cell/probe math over the q99 code/LUT
-    // math, scored only inside probed cells.
-    "q101_ivfpq_topk" ->
-      s"""WITH $pqCtes,
-         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-         |      FROM n WHERE vec_id % 100 = 0),
-         |assign AS (
-         |  SELECT vec_id, cent_id AS cell FROM (
-         |    SELECT n.vec_id, c.cent_id,
-         |           row_number() OVER (
-         |             PARTITION BY n.vec_id
-         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-         |               DESC, c.cent_id) AS rn
-         |    FROM n CROSS JOIN c) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
-         |    SELECT n.vec_id, c.cent_id,
-         |           row_number() OVER (
-         |             PARTITION BY n.vec_id
-         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-         |               DESC, c.cent_id) AS rn
-         |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
-         |$pqLutCte,
-         |adcp AS (
-         |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
-         |  FROM codes cd
-         |  JOIN assign a ON a.vec_id = cd.vec_id
-         |  JOIN probes p ON p.cell = a.cell
-         |  JOIN lut l ON l.q_vec_id = p.q_vec_id AND l.s = cd.s AND l.j = cd.j
-         |  WHERE p.q_vec_id <> cd.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT q_vec_id, n_vec_id, adc, rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-         |                               ORDER BY adc DESC, n_vec_id) AS rnk
-         |  FROM adcp)
-         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
-  )
-
-  /** q117 oracle: the SAME integer recurrence as Graph.termPageRank,
-    * unrolled to `iters` chained CTEs (DuckDB recursive CTEs can't
-    * aggregate over the recursive reference, so a generated unroll is
-    * the portable form — the minLabelIterSql precedent). DuckDB's
-    * BIGINT sum promotes to HUGEINT and `//` is floor division, so
-    * every intermediate matches the engine's `div` arithmetic exactly;
-    * the final cast pins the column back to BIGINT. */
-  /** Windowed co-occurrence GRAPH prefix (tokl → pos → pairs → pc):
-    * the canonical t1 < t2 edge relation with cnt ≥ minCount, exactly
-    * Graph.termPageRank's / Graph.triangleCounts' pair scan — shared
-    * so q117 and q127 read the same graph by construction. */
-  private def coocGraphCtes(window: Int, minCount: Int): String =
-    s"""tokl AS (
-       |  SELECT doc_id,
-       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
-       |  FROM documents),
-       |pos AS (
-       |  SELECT doc_id, p, toks[p::INTEGER] AS term
-       |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
-       |pairs AS (
-       |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
-       |  FROM pos a JOIN pos b
-       |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + $window),
-       |pc AS (
-       |  SELECT t1, t2 FROM (
-       |    SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
-       |  WHERE cnt >= $minCount AND t1 <> t2)""".stripMargin
-
-  /** q182 oracle: the engine's exact-integer power rounds over the
-    * transition matrix, unrolled (the [[termPageRankSql]] pattern). */
-  /** q196 oracle: the engine's exact-integer power iteration over the
-    * floor-quantized covariance, unrolled (the [[termPageRankSql]] /
-    * [[transitionStationarySql]] pattern) — matvec in HUGEINT, max-abs
-    * renormalization via sign·(|raw|·1e6 // m) so `//` only ever sees
-    * nonnegative operands (floor ≡ Spark's truncating `div` there). */
-  private def pc1Sql(iters: Int): String = {
-    val rounds = (1 to iters).map { k =>
-      s"""r$k AS MATERIALIZED (
-         |  SELECT cq.j, sum(cq.v * x${k - 1}.x) AS raw
-         |  FROM cq JOIN x${k - 1} ON cq.i = x${k - 1}.j GROUP BY 1),
-         |m$k AS MATERIALIZED (SELECT max(abs(raw)) AS m FROM r$k),
-         |x$k AS MATERIALIZED (
-         |  SELECT j, CASE WHEN m = 0 THEN 0::HUGEINT
-         |    WHEN raw < 0 THEN -((abs(raw) * 1000000) // m)
-         |    ELSE (raw * 1000000) // m END AS x
-         |  FROM r$k, m$k)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |xq AS (SELECT vec_id, (i - 1)::BIGINT AS i,
-       |              CAST(round(emb[i::INTEGER] * 1e6) AS BIGINT) AS v
-       |       FROM e, unnest(range(1, len(emb) + 1)) rr(i)),
-       |p AS (SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n_vecs,
-       |             sum(a.v::HUGEINT) AS sx, sum(b.v::HUGEINT) AS sy,
-       |             sum(a.v::HUGEINT * b.v::HUGEINT) AS sxy
-       |      FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND b.i >= a.i
-       |      GROUP BY 1, 2),
-       |cu AS (SELECT i, j,
-       |              CASE WHEN (n_vecs::HUGEINT * sxy - sx * sy) < 0
-       |                THEN -(abs(n_vecs::HUGEINT * sxy - sx * sy)
-       |                       // (n_vecs::HUGEINT * n_vecs))
-       |                ELSE (n_vecs::HUGEINT * sxy - sx * sy)
-       |                     // (n_vecs::HUGEINT * n_vecs) END AS v
-       |       FROM p),
-       |cq AS MATERIALIZED (SELECT i, j, v FROM cu
-       |       UNION ALL SELECT j AS i, i AS j, v FROM cu WHERE i <> j),
-       |x0 AS MATERIALIZED (SELECT DISTINCT j, 1000000::HUGEINT AS x FROM cq),
-       |$rounds,
-       |xf AS MATERIALIZED (SELECT j, x::HUGEINT AS x FROM x$iters),
-       |fl AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS f
-       |       FROM xf ORDER BY abs(x) DESC, j LIMIT 1),
-       |qn AS (SELECT sum(cq.v::HUGEINT * a.x * b.x) AS num
-       |       FROM cq JOIN xf a ON cq.i = a.j JOIN xf b ON cq.j = b.j),
-       |dn AS (SELECT sum(x * x) AS den FROM xf),
-       |tr AS (SELECT sum(v::HUGEINT) AS t FROM cq WHERE i = j)
-       |SELECT xf.j AS dim,
-       |       round((xf.x * fl.f)::DOUBLE / 1e6, 6) AS loading,
-       |       round(qn.num::DOUBLE / dn.den::DOUBLE / 1e12, 6) AS eigval,
-       |       CASE WHEN tr.t > 0 THEN
-       |         round(qn.num::DOUBLE / (dn.den::DOUBLE * tr.t::DOUBLE), 6)
-       |       END AS explained
-       |FROM xf, fl, qn, dn, tr ORDER BY dim""".stripMargin
-  }
-
-  /** q208 oracle: the q196 fit verbatim, then the DEFLATED power
-    * rounds — each matvec minus the sign-safe integer projection onto
-    * the fitted PC1 — unrolled the same way. */
-  private def pc2Sql(iters: Int): String = {
-    val fit = pc1Sql(iters)
-    val ctes = fit.substring(0, fit.lastIndexOf("SELECT xf.j AS dim")).trim
-    val rounds = (1 to iters).map { k =>
-      s"""z$k AS MATERIALIZED (
-         |  SELECT cq.j, sum(cq.v * y${k - 1}.x) AS raw
-         |  FROM cq JOIN y${k - 1} ON cq.i = y${k - 1}.j GROUP BY 1),
-         |pp$k AS MATERIALIZED (
-         |  SELECT sum(z.raw * u.u) AS p FROM z$k z JOIN uvec u ON u.j = z.j),
-         |w$k AS MATERIALIZED (
-         |  SELECT z.j,
-         |         z.raw - (CASE WHEN pp.p * u.u < 0
-         |                  THEN -((abs(pp.p * u.u)) // dn.den)
-         |                  ELSE (pp.p * u.u) // dn.den END) AS raw
-         |  FROM z$k z, pp$k pp, dn, uvec u WHERE u.j = z.j),
-         |mm$k AS MATERIALIZED (SELECT max(abs(raw)) AS m FROM w$k),
-         |y$k AS MATERIALIZED (
-         |  SELECT j, CASE WHEN m = 0 THEN 0::HUGEINT
-         |    WHEN raw < 0 THEN -((abs(raw) * 1000000) // m)
-         |    ELSE (raw * 1000000) // m END AS x
-         |  FROM w$k, mm$k)""".stripMargin
-    }.mkString(",\n")
-    s"""$ctes,
-       |uvec AS MATERIALIZED (SELECT j, (xf.x * fl.f)::HUGEINT AS u
-       |                      FROM xf, fl),
-       |y0 AS MATERIALIZED (SELECT j, 1000000::HUGEINT AS x FROM uvec),
-       |$rounds,
-       |yf AS MATERIALIZED (SELECT j, x::HUGEINT AS x FROM y$iters),
-       |fl2 AS (SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS f
-       |        FROM yf ORDER BY abs(x) DESC, j LIMIT 1),
-       |qn2 AS (SELECT sum(cq.v::HUGEINT * a.x * b.x) AS num
-       |        FROM cq JOIN yf a ON cq.i = a.j JOIN yf b ON cq.j = b.j),
-       |dn2 AS (SELECT sum(x * x) AS den FROM yf),
-       |ot AS (SELECT sum(yf.x * u.u) AS dot FROM yf JOIN uvec u USING (j))
-       |SELECT yf.j AS dim,
-       |       round((yf.x * fl2.f)::DOUBLE / 1e6, 6) AS loading,
-       |       CASE WHEN dn2.den > 0 THEN
-       |         round(qn2.num::DOUBLE / dn2.den::DOUBLE / 1e12, 6)
-       |       END AS eigval,
-       |       CASE WHEN dn2.den > 0 AND tr.t > 0 THEN
-       |         round(qn2.num::DOUBLE / (dn2.den::DOUBLE * tr.t::DOUBLE), 6)
-       |       END AS explained,
-       |       CASE WHEN dn2.den > 0 AND dn.den > 0 THEN
-       |         round(ot.dot::DOUBLE /
-       |               (sqrt(dn2.den::DOUBLE) * sqrt(dn.den::DOUBLE)), 6)
-       |           + 0.0
-       |       END AS ortho_cos
-       |FROM yf, fl2, qn2, dn2, ot, tr, dn ORDER BY dim""".stripMargin
-  }
-
-  /** q199 oracle: the q196 fit verbatim, then each vector's exact
-    * integer dot with the sign-flipped micro component. */
-  private def pcProjectionSql(iters: Int): String = {
-    val fit = pc1Sql(iters)
-    val ctes = fit.substring(0, fit.lastIndexOf("SELECT xf.j AS dim")).trim
-    s"""$ctes,
-       |pcv AS (SELECT j, (xf.x * fl.f)::HUGEINT AS xm FROM xf, fl),
-       |pr AS (
-       |  SELECT e.vec_id,
-       |         sum(CAST(round(e.emb[rr2.i::INTEGER] * 1e6) AS BIGINT)::HUGEINT
-       |             * pcv.xm) AS p,
-       |         sum(CAST(round(e.emb[rr2.i::INTEGER] * 1e6) AS BIGINT)::HUGEINT
-       |             * CAST(round(e.emb[rr2.i::INTEGER] * 1e6) AS BIGINT)) AS ne2
-       |  FROM e, unnest(range(1, len(emb) + 1)) rr2(i)
-       |  JOIN pcv ON pcv.j = rr2.i - 1
-       |  GROUP BY 1)
-       |SELECT pr.vec_id,
-       |       round(pr.p::DOUBLE / 1e12, 6) + 0.0 AS proj,
-       |       CASE WHEN pr.ne2 > 0 AND dn.den > 0 THEN
-       |         round(pr.p::DOUBLE /
-       |               (sqrt(pr.ne2::DOUBLE) * sqrt(dn.den::DOUBLE)), 6) + 0.0
-       |       END AS cos
-       |FROM pr, dn ORDER BY vec_id""".stripMargin
-  }
-
-  private def transitionStationarySql(iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""x$i AS (
-         |  SELECT t.to_type AS t, sum((x.x * t.n) // d.n_i)::BIGINT AS x
-         |  FROM x${i - 1} x
-         |  JOIN tr t ON x.t = t.from_type
-         |  JOIN deg d ON d.from_type = t.from_type
-         |  GROUP BY t.to_type)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH nx AS (
-       |  SELECT event_type AS from_type,
-       |         lead(event_type) OVER (PARTITION BY user_id
-       |                                ORDER BY ts, event_id) AS to_type
-       |  FROM events),
-       |tr AS (
-       |  SELECT from_type, to_type, count(*)::BIGINT AS n
-       |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
-       |deg AS (SELECT from_type, sum(n)::BIGINT AS n_i FROM tr GROUP BY 1),
-       |x0 AS (SELECT DISTINCT event_type AS t, 1000000::BIGINT AS x
-       |       FROM events),
-       |$iterCtes
-       |SELECT t AS event_type, x AS prob_micro FROM x$iters
-       |ORDER BY event_type""".stripMargin
-  }
-
-  private def termPageRankSql(window: Int, minCount: Int, iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (
-         |  SELECT e.dst AS term,
-         |         (150000 + (85 * sum(r.r // d.deg)) // 100)::BIGINT AS r
-         |  FROM r${i - 1} r
-         |  JOIN edges e ON r.term = e.src
-         |  JOIN deg d ON d.src = e.src
-         |  GROUP BY e.dst)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${coocGraphCtes(window, minCount)},
-       |edges AS (
-       |  SELECT t1 AS src, t2 AS dst FROM pc
-       |  UNION ALL
-       |  SELECT t2 AS src, t1 AS dst FROM pc),
-       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
-       |r0 AS (SELECT src AS term, 1000000::BIGINT AS r FROM deg),
-       |$iterCtes
-       |SELECT term, r AS rank_micro FROM r$iters
-       |ORDER BY rank_micro DESC, term""".stripMargin
-  }
-
-  /** q212 oracle: the unrolled fixed-round k-core peel over the shared
-    * co-occurrence graph CTEs. Every round references its predecessor
-    * three times (degree agg + two endpoint joins), so rounds are
-    * MATERIALIZED — DuckDB inlines CTEs by default and the 8-round
-    * chain would re-open the parquet exponentially otherwise (the q196
-    * oracle's lesson). */
-  private def kCoreSql(k: Int, window: Int, minCount: Int, rounds: Int): String = {
-    val iter = (1 to rounds).map { i =>
-      s"""a$i AS MATERIALIZED (
-         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
-         |e$i AS MATERIALIZED (
-         |  SELECT e.src, e.dst FROM e${i - 1} e
-         |  JOIN a$i x ON e.src = x.src
-         |  JOIN a$i y ON e.dst = y.src)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${coocGraphCtes(window, minCount)},
-       |e0 AS MATERIALIZED (
-       |  SELECT t1 AS src, t2 AS dst FROM pc
-       |  UNION ALL
-       |  SELECT t2 AS src, t1 AS dst FROM pc),
-       |$iter
-       |SELECT src AS term, count(*)::BIGINT AS deg
-       |FROM e$rounds GROUP BY src ORDER BY term""".stripMargin
-  }
-
-  /** q116 oracle, GENERATED from [[TextAnalysis.EntropyAlphabet]] so
-    * both engines count the same characters and — critically — sum the
-    * n·ln(n) terms in the same fixed left-associated order (float-sum
-    * order is part of the round-6 contract). Mirrors the engine's
-    * length−replace counting exactly. */
-  private def charEntropySql: String = {
-    val cnts = TextAnalysis.EntropyAlphabet.map { c =>
-      s"(length(text) - length(replace(text, '$c', '')))"
-    }
-    val n = cnts.mkString("(", " + ", ")")
-    val s = cnts
-      .map(c => s"(CASE WHEN $c > 0 THEN $c * ln($c) ELSE 0.0 END)")
-      .mkString("(", " + ", ")")
-    val nd = cnts
-      .map(c => s"(CASE WHEN $c > 0 THEN 1 ELSE 0 END)")
-      .mkString("(", " + ", ")")
-    s"""SELECT doc_id,
-       |       $n::BIGINT AS n_counted,
-       |       $nd::BIGINT AS n_distinct_chars,
-       |       round(ln($n) - $s / $n, 6) AS entropy_nats
-       |FROM documents
-       |WHERE $n > 0
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Shared q96/q105 oracle: TRUE connected components via a recursive
-    * CTE over the band graph (no iteration bound at all) — the contract
-    * BOTH converged closure tiers must equal: min-label propagation run
-    * to fixpoint (q96) and large/small-star rounds (q105). reach(doc,
-    * lbl) closes doc↔bucket adjacency to a fixpoint, each doc's label is
-    * the minimum over its whole component, survivors the component
-    * minima. Corpus + the seeded diameter chain. */
-  private def convergedDedupSql: String =
-    s"""WITH RECURSIVE seeded AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT * FROM (VALUES $chainValuesSql) v(doc_id, text)),
-       |${shingleCtesFrom("seeded")},
-       |$MinhashSigCte,
-       |bands AS ($MinhashBandsSql),
-       |edges AS (
-       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_val = b.band_val),
-       |reach(doc_id, lbl) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT e2.v, r.lbl FROM reach r JOIN edges e2 ON r.doc_id = e2.u),
-       |cc AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id)
-       |SELECT doc_id FROM seeded
-       |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE lbl < doc_id)
-       |ORDER BY doc_id""".stripMargin
-
-  /** Shared q26/q82/q100 oracle: deterministic IVF top-10, stride 100,
-    * nProbe 2, queries vec_id < 5 — one SQL text for the direct path,
-    * the materialized-index roundtrip, and (with `centPred` bounding the
-    * centroid seeds to the pre-append history) the incremental append. */
-  private def ivfTopKSql: String = ivfTopKSqlWith("TRUE")
-
-  private def ivfTopKSqlWith(centPred: String): String =
-    s"""WITH ${ivfRankedCtes(centPred)}
-      |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
-      |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
-
-  /** The IVF chain up to the per-query `ranked` relation — shared by
-    * the q26/q82/q100 top-k oracles and q143's evaluation harness. */
-  private def ivfRankedCtes(centPred: String): String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-      |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-      |      FROM n WHERE vec_id % 100 = 0 AND ($centPred)),
-      |assign AS (
-      |  SELECT vec_id, emb, nrm, cent_id AS cell FROM (
-      |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
-      |           row_number() OVER (
-      |             PARTITION BY n.vec_id
-      |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-      |               DESC, c.cent_id) AS rn
-      |    FROM n CROSS JOIN c) WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
-      |  FROM (
-      |    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
-      |           row_number() OVER (
-      |             PARTITION BY n.vec_id
-      |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-      |               DESC, c.cent_id) AS rn
-      |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
-      |                               ORDER BY cos DESC, n_vec_id) AS rnk
-      |  FROM (
-      |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
-      |           round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm), 6) AS cos
-      |    FROM probes p JOIN assign a
-      |      ON p.cell = a.cell AND p.q_vec_id <> a.vec_id))""".stripMargin
-
-  /** q83/q83b oracle scaffolding, generated from Layout's constants
-    * (grid bits, cell shift, the interleave unroll) so engine and
-    * oracle cannot drift. */
-  private def zBucketSql(v: String, mn: String, mx: String, nb: Long): String =
-    s"floor(($v - $mn)::DOUBLE * $nb / ($mx - $mn + 1)::DOUBLE)::BIGINT"
-
-  private def zorderLayoutSql: String = {
-    val nb = 1L << Layout.DefaultBits
-    val shift = 2 * Layout.DefaultBits - Layout.DefaultCellBits
-    s"""WITH e AS (SELECT event_id, user_id AS x,
-       |            epoch_us(ts) // 1000000 AS y FROM events),
-       |s AS (SELECT min(x) AS x_mn, max(x) AS x_mx,
-       |             min(y) AS y_mn, max(y) AS y_mx FROM e),
-       |b AS (SELECT event_id,
-       |        ${zBucketSql("x", "x_mn", "x_mx", nb)} AS xb,
-       |        ${zBucketSql("y", "y_mn", "y_mx", nb)} AS yb
-       |      FROM e CROSS JOIN s),
-       |z AS (SELECT event_id,
-       |        ${Layout.zInterleaveSql("xb", "yb", Layout.DefaultBits)} AS zval
-       |      FROM b)
-       |SELECT event_id, zval, zval >> $shift AS cell FROM z
-       |ORDER BY event_id""".stripMargin
-  }
-
-  private def zorderSkippingSql: String = {
-    val nb = 1L << Layout.DefaultBits
-    val nCells = 1L << Layout.DefaultCellBits
-    val shift = 2 * Layout.DefaultBits - Layout.DefaultCellBits
-    val overlap = "x_lo <= qx_hi AND x_hi >= qx_lo" +
-      " AND y_lo <= qy_hi AND y_hi >= qy_lo"
-    s"""WITH e AS (SELECT event_id, user_id AS x,
-       |            epoch_us(ts) // 1000000 AS y FROM events),
-       |s AS (SELECT min(x) AS x_mn, max(x) AS x_mx,
-       |             min(y) AS y_mn, max(y) AS y_mx FROM e),
-       |box AS (SELECT
-       |  x_mn + floor((x_mx - x_mn)::DOUBLE * 1 / 4)::BIGINT AS qx_lo,
-       |  x_mn + floor((x_mx - x_mn)::DOUBLE * 9 / 20)::BIGINT AS qx_hi,
-       |  y_mn + floor((y_mx - y_mn)::DOUBLE * 1 / 3)::BIGINT AS qy_lo,
-       |  y_mn + floor((y_mx - y_mn)::DOUBLE * 2 / 3)::BIGINT AS qy_hi
-       |  FROM s),
-       |b AS (SELECT event_id, x, y,
-       |        ${zBucketSql("x", "x_mn", "x_mx", nb)} AS xb,
-       |        ${zBucketSql("y", "y_mn", "y_mx", nb)} AS yb
-       |      FROM e CROSS JOIN s),
-       |zc AS (SELECT x, y,
-       |        (${Layout.zInterleaveSql("xb", "yb", Layout.DefaultBits)})
-       |          >> $shift AS cell
-       |       FROM b),
-       |lc AS (SELECT x, y,
-       |        ${zBucketSql("event_id", "i_mn", "i_mx", nCells)} AS cell
-       |       FROM e CROSS JOIN (SELECT min(event_id) AS i_mn,
-       |                                 max(event_id) AS i_mx FROM e)),
-       |zs AS (SELECT cell, count(*) AS n_rows,
-       |         min(x) AS x_lo, max(x) AS x_hi,
-       |         min(y) AS y_lo, max(y) AS y_hi FROM zc GROUP BY cell),
-       |ls AS (SELECT cell, count(*) AS n_rows,
-       |         min(x) AS x_lo, max(x) AS x_hi,
-       |         min(y) AS y_lo, max(y) AS y_hi FROM lc GROUP BY cell)
-       |SELECT 'zorder' AS layout, count(*) AS n_cells,
-       |  sum(CASE WHEN $overlap THEN 1 ELSE 0 END)::BIGINT AS cells_scanned,
-       |  sum(CASE WHEN $overlap THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned
-       |FROM zs CROSS JOIN box
-       |UNION ALL
-       |SELECT 'linear' AS layout, count(*) AS n_cells,
-       |  sum(CASE WHEN $overlap THEN 1 ELSE 0 END)::BIGINT AS cells_scanned,
-       |  sum(CASE WHEN $overlap THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned
-       |FROM ls CROSS JOIN box
-       |ORDER BY layout""".stripMargin
-  }
-
-  /** q84/q84b epoch-shuffle constants — interpolated into BOTH the
-    * engine calls and the oracle SQL so the two cannot drift. */
-  private val EpochSeed = 1
-  private val EpochShards = 8
-  private val EpochBatch = 32
-
-  /** The full 32-bit md5 key (duckMd5Bucket WITHOUT the 1e6 modulus) —
-    * the ordering key epochShuffle permutes by. */
-  private def duckMd5Hash32(keyExpr: String): String =
-    // list_sum returns DOUBLE in DuckDB — cast back; 2^32 fits exactly
-    s"""(list_sum(list_transform(range(1, 9), i ->
-       |        (strpos('0123456789abcdef',
-       |                substr(md5(($keyExpr)::VARCHAR), i::INTEGER, 1)) - 1)::BIGINT
-       |          << ((8 - i)::INTEGER * 4))))::BIGINT""".stripMargin
-
-  /** Shared q84/q84b CTEs: seeded hash → shard → within-shard rank. */
-  private def epochShuffleCtes: String =
-    s"""h AS (
-       |  SELECT doc_id,
-       |         ${duckMd5Hash32(s"'$EpochSeed:' || doc_id::VARCHAR")} AS h
-       |  FROM documents),
-       |r AS (SELECT doc_id, h % $EpochShards AS shard,
-       |        row_number() OVER (PARTITION BY h % $EpochShards
-       |                           ORDER BY h, doc_id)::BIGINT AS seq
-       |      FROM h)""".stripMargin
-
-  /** q86/q86b hashed-bucket count — interpolated into BOTH sides. */
-  private val DsirBuckets = 1024
-
-  /** Shared q86/q86b CTEs: tokenize → md5 bucket → smoothed
-    * log-likelihood-ratio model in integer micro-nats → per-doc exact
-    * long scores. Mirrors `Pipeline.importanceResample` constant for
-    * constant. */
-  private def dsirScoreCtes: String =
-    s"""tok AS (
-       |  SELECT doc_id, source,
-       |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-       |                t -> t <> '')) AS token
-       |  FROM documents),
-       |tb AS (
-       |  SELECT doc_id, source,
-       |         (${duckMd5Hash32("token")}) % $DsirBuckets AS bucket
-       |  FROM tok),
-       |m AS (
-       |  SELECT bucket,
-       |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS cnt_t,
-       |         count(*)::BIGINT AS cnt_r
-       |  FROM tb GROUP BY 1),
-       |tot AS (SELECT sum(cnt_t)::BIGINT AS n_t, sum(cnt_r)::BIGINT AS n_r FROM m),
-       |q AS (
-       |  SELECT bucket,
-       |         floor(ln(((cnt_t + 1) * (n_r + $DsirBuckets))::DOUBLE /
-       |                  ((cnt_r + 1) * (n_t + $DsirBuckets))::DOUBLE)
-       |               * 1e6)::BIGINT AS qlr
-       |  FROM m CROSS JOIN tot),
-       |s AS (
-       |  SELECT tb.doc_id, tb.source,
-       |         sum(q.qlr)::BIGINT AS score_micro, count(*)::BIGINT AS n_tokens
-       |  FROM tb JOIN q USING (bucket) GROUP BY 1, 2)""".stripMargin
-
-  /** Shared q88/q88b CTEs — mirrors `Classify.naiveBayes` constant for
-    * constant: hashed buckets, doc-count priors, Laplace conditionals
-    * over the DENSE (bucket × class) table, argmax with ties to the
-    * smallest label. Every quantized value derives from exact long
-    * ratios, so scores are identical long sums in both engines. */
-  private def nbScoreCtes(docsRel: String = "documents"): String =
-    s"""tok AS (
-       |  SELECT doc_id, lang,
-       |         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-       |                t -> t <> '')) AS token
-       |  FROM $docsRel),
-       |tb AS (
-       |  SELECT doc_id, lang,
-       |         (${duckMd5Hash32("token")}) % $DsirBuckets AS bucket
-       |  FROM tok),
-       |cls AS (SELECT lang, count(*)::BIGINT AS docs_c FROM $docsRel GROUP BY 1),
-       |pri AS (
-       |  SELECT lang AS cand,
-       |         floor(ln(docs_c::DOUBLE /
-       |                  (SELECT sum(docs_c) FROM cls)::DOUBLE) * 1e6)::BIGINT
-       |           AS qprior
-       |  FROM cls),
-       |pc AS (SELECT bucket, lang, count(*)::BIGINT AS cnt FROM tb GROUP BY 1, 2),
-       |ct AS (SELECT lang, sum(cnt)::BIGINT AS n_c FROM pc GROUP BY 1),
-       |model AS (
-       |  SELECT b.bucket, ct.lang AS cand,
-       |         floor(ln((coalesce(pc.cnt, 0) + 1)::DOUBLE /
-       |                  (ct.n_c + $DsirBuckets)::DOUBLE) * 1e6)::BIGINT AS qcond
-       |  FROM (SELECT DISTINCT bucket FROM pc) b
-       |  CROSS JOIN ct
-       |  LEFT JOIN pc ON pc.bucket = b.bucket AND pc.lang = ct.lang),
-       |db AS (SELECT doc_id, lang, bucket, count(*)::BIGINT AS cnt
-       |       FROM tb GROUP BY 1, 2, 3),
-       |sc AS (
-       |  SELECT db.doc_id, db.lang, m.cand,
-       |         sum(db.cnt * m.qcond)::BIGINT AS lik
-       |  FROM db JOIN model m USING (bucket) GROUP BY 1, 2, 3),
-       |pred AS (
-       |  SELECT sc.doc_id, sc.lang, sc.cand,
-       |         (sc.lik + p.qprior)::BIGINT AS score_micro,
-       |         row_number() OVER (PARTITION BY sc.doc_id
-       |                            ORDER BY sc.lik + p.qprior DESC, sc.cand)
-       |           AS rn
-       |  FROM sc JOIN pri p ON p.cand = sc.cand)""".stripMargin
-
-  /** Shared q91/q91b CTEs: history (doc_id < 250) shingle/sig/bands
-    * UNSUFFIXED (the label iteration binds to `bands`), delta `_n`;
-    * history split `sp`, guarded anchors, and the delta assignment
-    * `nsp` — mirrors `Dedup.leakageSafeSplitAgainst` exactly. */
-  private def incrementalSplitCtes: String =
-    s"""${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "")},
-       |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
-       |$MinhashSigCte,
-       |${minhashSigCteSfx("_n")},
-       |bands AS ($MinhashBandsSql),
-       |bands_n AS (${minhashBandsSqlSfx("_n")}),
-       |l0 AS (SELECT DISTINCT doc_id, doc_id AS lbl FROM bands),
-       |${minLabelIterSql(3)},
-       |${splitAssignCtes("(SELECT doc_id FROM documents WHERE doc_id < 250)")},
-       |bok AS (
-       |  SELECT band, band_val FROM bands GROUP BY 1, 2
-       |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
-       |anc AS (
-       |  SELECT a.doc_id, min(b.doc_id) AS anchor
-       |  FROM bands_n a JOIN bands b
-       |    ON a.band = b.band AND a.band_val = b.band_val
-       |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val
-       |  GROUP BY 1),
-       |nsp AS (
-       |  SELECT d.doc_id, anc.anchor,
-       |         coalesce(h.split,
-       |           CASE WHEN (${duckMd5Bucket("'split:' || d.doc_id")}) < 100000
-       |                THEN 'val' ELSE 'train' END) AS split
-       |  FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
-       |  LEFT JOIN anc ON anc.doc_id = d.doc_id
-       |  LEFT JOIN sp h ON h.doc_id = anc.anchor)""".stripMargin
-
-  /** q88 AND q88c answer to this one oracle — the strategy-twin
-    * contract: distributed fit+score and collected-model row-local
-    * scoring must produce identical predictions and exact long scores. */
-  private def nbPredictionsSql: String =
-    s"""WITH ${nbScoreCtes()}
-       |SELECT doc_id, lang, cand AS predicted, score_micro
-       |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin
-
-  /** Shared q87/q87b/q91 CTE: cluster label (singletons = own id) →
-    * split via the md5 permille bucket of "split:label" at 100‰
-    * validation, over a parameterized docs relation. */
-  private def splitAssignCtes(docsRel: String = "documents"): String =
-    s"""sp AS (
-       |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
-       |         CASE WHEN (${duckMd5Bucket("'split:' || coalesce(l.lbl, d.doc_id)")})
-       |                   < 100000
-       |              THEN 'val' ELSE 'train' END AS split
-       |  FROM $docsRel d LEFT JOIN l3 l USING (doc_id))""".stripMargin
-
-  /** Shared q175/q175b/q175c oracle: the first-seen growth curve,
-    * optionally over a filtered slice of events. */
-  private def userGrowthSql(where: String = ""): String =
-    s"""WITH pairs AS (
-      |  SELECT date_trunc('day', ts) AS day, user_id,
-      |         count(*)::BIGINT AS n
-      |  FROM events $where GROUP BY 1, 2),
-      |daily AS (
-      |  SELECT day, sum(n)::BIGINT AS n_events,
-      |         count(*)::BIGINT AS n_active_users
-      |  FROM pairs GROUP BY 1),
-      |fs AS (SELECT user_id, min(day) AS day FROM pairs GROUP BY 1),
-      |npd AS (SELECT day, count(*)::BIGINT AS n_new_users FROM fs GROUP BY 1)
-      |SELECT d.day, d.n_events, d.n_active_users,
-      |       coalesce(npd.n_new_users, 0)::BIGINT AS n_new_users,
-      |       sum(coalesce(npd.n_new_users, 0)) OVER (ORDER BY d.day
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-      |         AS cum_users
-      |FROM daily d LEFT JOIN npd USING (day)
-      |ORDER BY day""".stripMargin
-
-  /** Shared q78/q78b oracle: exact θ-heavy keys at θ = 0.008. */
-  private def hotKeysSql: String =
-    """WITH tot AS (SELECT count(*) AS n_rows FROM events)
-      |SELECT user_id, count(*)::BIGINT AS cnt,
-      |       round(count(*) * 1.0 / n_rows, 6) AS freq
-      |FROM events CROSS JOIN tot
-      |GROUP BY user_id, n_rows
-      |HAVING count(*) >= ceil(0.008 * n_rows)
-      |ORDER BY user_id""".stripMargin
+    QueriesCore.queries ++
+    QueriesDedup.queries ++
+    QueriesSimilarity.queries ++
+    QueriesText.queries ++
+    QueriesPipeline.queries ++
+    QueriesEvents.queries ++
+    QueriesGraph.queries ++
+    QueriesInfra.queries ++
+    QueriesMultimodal.queries
+
+  def oracleSql: Map[String, String] =
+    QueriesCore.sql ++
+    QueriesDedup.sql ++
+    QueriesSimilarity.sql ++
+    QueriesText.sql ++
+    QueriesPipeline.sql ++
+    QueriesEvents.sql ++
+    QueriesGraph.sql ++
+    QueriesInfra.sql ++
+    QueriesMultimodal.sql
 }

@@ -1,0 +1,1589 @@
+package graft.entry
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.multimodal.Multimodal
+import graft.operators.{Clustering, Dedup, Events, HotKeys, Layout, Rank, Search, Similarity, TfIdf}
+import graft.entry.EntryShared._
+
+/** Per-domain slice of the driver-contract query/oracle maps:
+  * text analysis - language id, quality, vocabulary, n-gram statistics, winnowing, KL/novelty. Entry text and oracle SQL are byte-identical to the
+  * pre-split SparkEntry (the round-10 module split). */
+private[graft] object QueriesText {
+  val queries: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
+
+    // Token-length histogram in power-of-two bins — integer bit-length
+    // binning, never float log2.
+    "q93_length_histogram" -> ((s, dir) =>
+      graft.operators.Pipeline.lengthHistogram(docs(s, dir))
+        .orderBy(col("bin"))),
+
+
+    // Equi-depth deciles: exact percentile boundaries off the
+    // two-stage global rank; bucket identity is ⌊rank·10/N⌋ integers.
+    "q183_length_deciles" -> ((s, dir) =>
+      graft.operators.Pipeline.lengthDeciles(docs(s, dir))
+        .orderBy(col("decile"))),
+
+
+    // N-gram overlap F1 over q13's verified near-dup pairs: the
+    // ROUGE-N-shaped MULTISET metric (Σ min counts; f1 via the exact
+    // single-division identity 2·overlap/(tot1+tot2)).
+    "q211_ngram_overlap_f1" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.functions.TextAnalysis
+        .ngramOverlapF1(Dedup.minhashNearDups(d).select(col("d1"), col("d2")),
+          d, n = 2)
+        .withColumnRenamed("precision", "prec")
+        .withColumnRenamed("recall", "rec")
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+
+    // Per-doc keyword extraction: top-5 terms by TF-IDF (reference
+    // operator chain O2–O7 + one per-doc window rank).
+    "q58_keywords" -> ((s, dir) =>
+      TfIdf.keywords(docs(s, dir), k = 5)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
+
+
+    // Corpus-relative quality cut: drop the worst quartile by the
+    // corpus's own quality-score distribution (threshold = in-plan
+    // exact percentile, 1-row broadcast).
+    "q59_quality_filter" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .filterByQualityQuantile(docs(s, dir), quantile = 0.25)
+        .select(col("doc").as("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+
+    // Curriculum binning: quality quartile 1..4 per doc from the
+    // corpus's own distribution (threshold counting, not ntile — no
+    // single-partition sort, deterministic ties).
+    "q64_quality_bins" -> ((s, dir) =>
+      graft.operators.Pipeline.qualityBins(docs(s, dir), bins = 4)
+        .select(col("doc").as("doc_id"), col("quality_score"), col("bin"))
+        .orderBy(col("doc_id"))),
+
+
+    // ── Text-analysis tier ──────────────────────────────────────────────
+
+    "q17_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    // Language-ID confusion matrix vs the trusted lang column — the
+    // heuristic detector's eval harness (diagonal share = recall).
+    "q205_langid_confusion" -> ((s, dir) =>
+      graft.functions.TextAnalysis.langIdConfusion(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang")))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+
+    "q18_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    "q19_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    "q20_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    // Winnowing (MOSS) fingerprints: per-doc window-min gram hashes —
+    // edit-robust local signatures (q20's whole-doc hash breaks on any
+    // edit); map-only gen + one (doc, fp) distinct.
+    "q72_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), k = 3, w = 4)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"), col("fp"))),
+
+
+    // Shared-fingerprint near-dup pairs with the hot-fp guard applied
+    // BEFORE the self-join (boilerplate fps excluded, reported by
+    // winnowHotFingerprints).
+    "q74_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(docs(s, dir), k = 3, w = 4,
+          minShared = 2, maxDocsPerFp = 50)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+
+    // Composed cleaning pipeline: exact dedup → lang allowlist → quality
+    // threshold (one plan: md5-keyed window + map-only filters).
+    "q27_clean_corpus" -> ((s, dir) =>
+      graft.operators.Pipeline
+        .cleanCorpus(docs(s, dir), langs = Seq("en", "es"), minQuality = 0.55)
+        .select(col("doc").as("doc_id"), col("lang_pred"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+
+    // Corpus-wide top-20 word 3-grams by document frequency.
+    "q37_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), n = 3, k = 20)),
+
+
+    // Train-test contamination screen: corpus (doc >= 5) vs a benchmark
+    // slice (doc < 5); benchmark shingles broadcast, one agg shuffle.
+    "q44_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .contaminationCheck(d.where(col("doc") >= 5), d.where(col("doc") < 5))
+        .select(col("doc").as("doc_id"), col("bench_doc").as("bench_id"),
+          col("shared_ngrams"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+
+    // Repetition quality signal: repeated word-3-gram ratio, map-only.
+    "q45_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    // Bigram LM fluency score: add-one-smoothed mean log-prob per doc
+    // against the corpus's own bigram model (one (w1,w2)-keyed shuffle).
+    "q46_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    // Windowed co-occurrence + PMI (positional equi-join, bounded range).
+    "q39_cooccurrence_pmi" -> ((s, dir) =>
+      TextAnalysis.cooccurrencePmi(docs(s, dir), window = 2, minCount = 2)
+        .orderBy(col("t1"), col("t2"))),
+
+
+    // Term-distribution drift between the history half and the new
+    // arrivals (the q40/q53 doc split): top Jensen–Shannon divergence
+    // contributors over the smoothed union-vocabulary unigram models.
+    "q79_term_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.termDrift(
+        d.where(col("doc") < 250), d.where(col("doc") >= 250), k = 30)
+    }),
+
+
+    // Vocabulary coverage / domain-shift: vocab trained on the history
+    // half (doc < 250, minCount=2), per-doc OOV rate measured on new
+    // arrivals (doc >= 250) — broadcast-dict encode + one doc agg.
+    "q53_vocab_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = graft.operators.Vocab
+        .buildVocab(d.where(col("doc") < 250), minCount = 2)
+      graft.operators.Vocab.oovRate(d.where(col("doc") >= 250), vocab)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Zipf coverage curve: token mass covered by each power-of-two
+    // vocabulary budget — the tokenizer-sizing chart.
+    "q193_coverage_curve" -> ((s, dir) =>
+      graft.operators.Vocab.coverageCurve(docs(s, dir))
+        .orderBy(col("vocab_budget"))),
+
+
+    // Heaps curve: vocabulary size at each power-of-two doc-id budget
+    // — vocabulary growth against ingest history.
+    "q194_heaps_curve" -> ((s, dir) =>
+      graft.operators.Vocab.heapsCurve(docs(s, dir))
+        .orderBy(col("n_docs"))),
+
+
+    // INCREMENTAL vocabulary (the q40/q52 family): unpruned counts
+    // state from the history half merged with the arrivals half, then
+    // ranked. Hash-matches the FULL-corpus vocabulary oracle — the
+    // contract that incremental == batch (which only holds because the
+    // state is unpruned; minCount applies at rank time).
+    "q61_vocab_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val state = graft.operators.Vocab.termCounts(d.where(col("doc") < 250))
+      graft.operators.Vocab
+        .rankVocab(
+          graft.operators.Vocab.mergeTermCounts(state, d.where(col("doc") >= 250)),
+          minCount = 2)
+        .orderBy(col("token_id"))
+    }),
+
+
+    // PII redaction over customer names+segments: ordered rule fold
+    // (email, IP, digit-run) with sequential per-rule match counts —
+    // map-only regex expressions, no shuffle.
+    "q50_redact" -> ((s, dir) =>
+      TextAnalysis.redact(
+          tbl(s, dir, "customer").select(col("c_custkey"),
+            concat(col("c_name"), lit(" "), col("c_mktsegment")).as("raw")),
+          col("raw"))
+        .select(col("c_custkey"), col("redacted"),
+          col("n_email"), col("n_ip"), col("n_num"))
+        .orderBy(col("c_custkey"))),
+
+
+    // Canonical text normalization (dedup pre-pass): lowercase →
+    // punctuation→space → whitespace collapse → trim, over mixed-case
+    // punctuated customer text; map-only codegen'd regex.
+    "q65_normalize_text" -> ((s, dir) =>
+      TextAnalysis.normalizeText(
+          tbl(s, dir, "customer").select(col("c_custkey"),
+            concat(col("c_name"), lit(" | "), col("c_mktsegment")).as("raw")),
+          col("raw"))
+        .select(col("c_custkey"), col("norm_text"))
+        .orderBy(col("c_custkey"))),
+
+
+    // Whole-corpus stats (exact multi-distinct; approx variant is the
+    // scale path, tested in TextAnalysisSpec).
+    "q31_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(
+          docs(s, dir).select(col("doc").cast("string").as("doc"), col("line")))
+        .orderBy(col("n_docs"))),
+
+
+    // HLL sketch contract: the approx tier (corpusStats exact=false,
+    // the named 100 TB path — one pass, bounded memory, no distinct
+    // shuffle) must land within 3·rsd of the exact counts, and the
+    // plain COUNT must be exact. Same recipe as the ANN recall
+    // contracts: quality pinned as a deterministic boolean the oracle
+    // asserts, not just determinism.
+    "q31b_corpus_stats_approx" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc").cast("string").as("doc"), col("line"))
+      val ex = TextAnalysis.corpusStats(d)
+        .select(col("n_docs"), col("n_terms"), col("total_tokens"))
+      val ap = TextAnalysis.corpusStats(d, exact = false)
+        .select(col("n_docs").as("a_docs"), col("n_terms").as("a_terms"),
+          col("total_tokens").as("a_tokens"))
+      def within(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+          tol: Double): org.apache.spark.sql.Column =
+        abs(a - e) <= e * tol
+      ex.crossJoin(broadcast(ap)) // 1-row × 1-row
+        .select(col("n_docs"), col("n_terms"), col("total_tokens"),
+          within(col("a_docs"), col("n_docs"), 0.06).as("docs_ok"),
+          within(col("a_terms"), col("n_terms"), 0.06).as("terms_ok"),
+          (col("a_tokens") === col("total_tokens")).as("tokens_exact"))
+        .orderBy(col("n_docs"))
+    }),
+
+
+    // Corpus report rollup: (lang, source) cells + per-lang subtotals +
+    // grand total in one grouping-sets pass over one kernel scan.
+    "q75_corpus_rollup" -> ((s, dir) =>
+      graft.operators.Pipeline.corpusRollup(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang"), col("source")))
+        .orderBy(col("g_lang"), col("lang"), col("g_source"), col("source"))),
+
+
+    // Per-doc character entropy (gibberish/boilerplate screen):
+    // map-only length−replace counts over the shared fixed alphabet,
+    // explicit fixed-order float sum mirrored by the generated oracle.
+    "q116_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir))
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("doc_id"))),
+
+
+    // WINNOW-fingerprint contamination screen: q44's split compared in
+    // fingerprint space — benchmark state shrinks by the winnow density
+    // (≈2/(w+1)), the k+w−1 shared-run guarantee still catches any
+    // leaked passage of ≥6 tokens.
+    "q111_contamination_winnow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .contaminationCheckWinnow(d.where(col("doc") >= 5),
+          d.where(col("doc") < 5))
+        .select(col("doc").as("doc_id"), col("bench_doc").as("bench_id"),
+          col("shared_fps"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+
+    // Per-source DISTINCT-TERM SKETCHES: the bounded-state vocabulary
+    // dashboard — one HLL sketch per ingest feed, estimate pinned
+    // within 6 % of exact per source (the q31b contract recipe; the
+    // estimate itself is not oracle-replayable).
+    "q110_source_vocab_sketch" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+        col("text").as("line"), col("source"))
+      val ex = d.select(col("source"),
+          explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
+            .as("term"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("term")).cast("long").as("n_terms"))
+      val ap = graft.operators.Vocab.sketchEstimates(
+        graft.operators.Vocab.termSketches(d))
+      ex.join(ap, Seq("source"))
+        .select(col("source"), col("n_terms"),
+          (abs(col("n_terms_est") - col("n_terms")) <=
+            col("n_terms") * 0.06).as("sketch_ok"))
+        .orderBy(col("source"))
+    }),
+
+
+    // Sketch-merge INVARIANCE (the q61 incremental≡batch contract in
+    // sketch space): union(sketch(even docs), sketch(odd docs)) must
+    // estimate EXACTLY what one sketch of the whole corpus estimates —
+    // HLL registers are per-slot maxima, order- and split-free.
+    "q110b_vocab_sketch_merge" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+        col("text").as("line"), col("source"))
+      val V = graft.operators.Vocab
+      val merged = V.sketchEstimates(V.mergeTermSketches(
+          V.termSketches(d.where(col("doc") % 2 === 0)),
+          V.termSketches(d.where(col("doc") % 2 === 1))))
+        .withColumnRenamed("n_terms_est", "est_merged")
+      val full = V.sketchEstimates(V.termSketches(d))
+        .withColumnRenamed("n_terms_est", "est_full")
+      merged.join(full, Seq("source"))
+        .agg(count(lit(1)).as("n_sources"),
+          (min(when(col("est_merged") === col("est_full"), 1L).otherwise(0L))
+            === 1L).as("all_equal"))
+    }),
+
+
+    // GOPHER rule battery (Rae et al. 2021): the named heuristic
+    // quality filters as a per-doc metric+verdict table — word bounds,
+    // mean word length, alpha fraction, stopword presence, top-2-gram
+    // character share. Map-only except the two bounded 2-gram shuffles.
+    "q106_gopher_rules" -> ((s, dir) =>
+      graft.functions.TextAnalysis.gopherQualityRules(docs(s, dir))
+        .select(col("doc").as("doc_id"), col("n_words"),
+          col("mean_word_len"), col("frac_alpha_words"),
+          col("n_stop_hits"), col("top2_frac"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+
+    // CCNet-style perplexity triage: per-LANGUAGE head/middle/tail
+    // thirds by bigram-LM fluency (corpus-own model, per-lang exact
+    // percentile cuts broadcast back).
+    "q98_perplexity_buckets" -> ((s, dir) =>
+      graft.operators.Pipeline.perplexityBuckets(
+          tbl(s, dir, "documents").select(col("doc_id").as("doc"),
+            col("text").as("line"), col("lang")))
+        .select(col("doc").as("doc_id"), col("lang"), col("n_bigrams"),
+          col("avg_logp"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+
+    // N-GRAM benchmark DECONTAMINATION (the GPT-3 13-gram screen):
+    // the "benchmark" is a deterministic 10% md5 slice of the corpus,
+    // so contaminated docs = the slice itself plus every doc sharing a
+    // verbatim 13-gram with it (exact/near dups of slice docs). Bench
+    // n-grams broadcast; the corpus is scanned once.
+    "q145_ngram_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = conv(substring(
+          md5(concat(lit("bench:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      graft.operators.Dedup
+        .ngramDecontaminate(d, d.where(bkt < 100000L), n = 13)
+        .select(col("doc").as("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Contamination by BENCHMARK item: q145 flipped — per eval doc,
+    // the corpus docs sharing a verbatim 13-gram (self excluded).
+    "q202_contamination_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = conv(substring(
+          md5(concat(lit("bench:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      graft.operators.Dedup
+        .contaminationReport(d, d.where(bkt < 100000L), n = 13)
+        .orderBy(col("bench_doc"))
+    }),
+
+
+    // Per-doc KL divergence from the corpus unigram distribution, in
+    // integer micro-nats (engine-exact: each term contribution
+    // quantized floor(1e6·p·ln(p/q)) before the per-doc sum — the q88
+    // recipe, no float-aggregation-order hazard).
+    "q148_kl_novelty" -> ((s, dir) =>
+      graft.operators.Pipeline.klNovelty(docs(s, dir))
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("kl_unats"))
+        .orderBy(col("doc_id"))),
+
+
+    // KL novelty against a FROZEN reference distribution (the
+    // incremental-pipeline form): the md5 half-slice is the reference
+    // release, the other half the arriving delta. Unseen-term mass is
+    // reported, not folded into the sum (on this corpus's full-vocab
+    // slices it is structurally 0 — the unit specs exercise the
+    // unseen path on vocab-disjoint fixtures).
+    "q150_kl_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bkt = conv(substring(
+          md5(concat(lit("klh:"), col("doc").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L
+      graft.operators.Pipeline
+        .klNoveltyAgainst(d.where(bkt >= 500000L), d.where(bkt < 500000L))
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("n_unseen"),
+          col("kl_unats"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Source × language governance matrix via the PIVOT relational
+    // surface (explicit value list — no extra distinct-values job, and
+    // deterministic column names the oracle mirrors with CASE sums).
+    "q151_lang_source_pivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "und")
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("source"))
+      val l = TextAnalysis.langId(d.select(col("doc"), col("line")))
+        .select(col("doc"), col("lang_pred"))
+      d.select(col("doc"), col("source")).join(l, "doc")
+        .groupBy(col("source")).pivot("lang_pred", langs).count()
+        .select(col("source") +:
+          langs.map(lg => coalesce(col(lg), lit(0L)).as(s"n_$lg")): _*)
+        .orderBy(col("source"))
+    }),
+
+
+    // Per-source ZIPF SLOPE: ln(count) over ln(rank) least squares in
+    // exact integer moments — the lexical-diversity data-card row.
+    "q160_zipf_slope" -> ((s, dir) =>
+      graft.operators.Vocab.zipfSlope(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source")
+        .orderBy(col("source"))),
+
+
+    // Per-source N-GRAM DIVERSITY: unigram + trigram type–token
+    // ratios in one tagged-gram pass — the phrase-reuse/boilerplate
+    // data-card row complementing q160's frequency-curve slope.
+    "q164_ngram_diversity" -> ((s, dir) =>
+      graft.operators.Vocab.ngramDiversity(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source", n = 3)
+        .orderBy(col("source"))),
+
+
+    // TERM BURSTINESS: Church–Gale cf/df top-k — within-doc repetition
+    // concentration; template/spam markers unigram counts miss.
+    "q165_term_burstiness" -> ((s, dir) =>
+      graft.operators.Vocab.termBurstiness(docs(s, dir), minDf = 2L, k = 50)),
+
+
+    // LENGTH–QUALITY correlation per source: Pearson r over exact
+    // integer moments (quality in micro-longs) — "is the quality
+    // score just measuring length?" per feed.
+    "q168_length_quality_corr" -> ((s, dir) =>
+      graft.operators.Pipeline.featureCorrelation(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source")
+        .orderBy(col("source"))),
+
+
+    // TOKENIZER FERTILITY per language: chars-per-token and OOV rate
+    // against the minCount=2 corpus vocabulary (the q49/q53 vocab).
+    "q155_tokenizer_fertility" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id").as("doc"), col("text").as("line"), col("lang"))
+      val vocab = graft.operators.Vocab
+        .buildVocab(d.select(col("doc"), col("line")), minCount = 2)
+      graft.operators.Vocab.tokenizerFertility(d, vocab, "lang")
+        .orderBy(col("lang"))
+    }),
+
+
+    // Per-source unigram ENTROPY in micro-nats (the KL family's
+    // diversity baseline): floor-quantized per-term contributions,
+    // integer totals — engine-exact by construction.
+    "q157_source_entropy" -> ((s, dir) =>
+      graft.operators.Pipeline.groupTermEntropy(
+          tbl(s, dir, "documents").select(col("source"), col("text").as("line")),
+          "source")
+        .orderBy(col("source"))),
+
+
+    // Incremental n-gram NOVELTY score: per new doc (doc >= 250), the
+    // fraction of its distinct 3-grams never seen in history
+    // (doc < 250) — the ingest-time freshness signal; shingle-less
+    // docs emit null novelty.
+    "q126_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Pipeline
+        .noveltyScore(d.where(col("doc") >= 250), d.where(col("doc") < 250))
+        .select(col("doc").as("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // VOCABULARY DIFF change feed: history (doc < 250) vs delta
+    // (doc >= 250) term counts with integer-threshold statuses — the
+    // term-level explanation behind a q79 drift alarm.
+    "q140_vocab_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Vocab
+        .vocabDiff(d.where(col("doc") < 250), d.where(col("doc") >= 250),
+          minCount = 3)
+        .orderBy(col("term"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    // Length histogram: bin identity via integer bit-length (bin(n)
+    // string length), exactly mirroring Spark's conv(n, 10, 2).
+    "q93_length_histogram" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             t -> t <> ''))::BIGINT AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT (CASE WHEN n = 0 THEN -1
+        |               ELSE length(bin(n)) - 1 END)::BIGINT AS bin, n
+        |  FROM tk)
+        |SELECT bin,
+        |       (CASE WHEN bin < 0 THEN 0
+        |             ELSE 1::BIGINT << bin::INTEGER END)::BIGINT AS lo,
+        |       count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS tokens_total
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+
+    // Decile mirror: the same ⌊rank·10/N⌋ integer buckets.
+    "q183_length_deciles" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             t -> t <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS n FROM tk),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rn
+        |  FROM tk)
+        |SELECT (r.rn * 10) // n.n AS decile, count(*)::BIGINT AS n_docs,
+        |       min(n_tokens)::BIGINT AS min_tokens,
+        |       max(n_tokens)::BIGINT AS max_tokens,
+        |       sum(n_tokens)::BIGINT AS tokens_total
+        |FROM r, n GROUP BY 1 ORDER BY decile""".stripMargin,
+
+
+    // q13's verified-pair chain + bigram multiset counts; f1 via the
+    // single-division identity — one rounding step per output column.
+    "q211_ngram_overlap_f1" ->
+      s"""WITH $ShingleCtes,
+         |$MinhashSigCte,
+         |bands AS ($MinhashBandsSql),
+         |bok AS (
+         |  SELECT band, band_val FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${Dedup.MaxPairBucket}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  JOIN bok ON a.band = bok.band AND a.band_val = bok.band_val),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |vp AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         |  WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.5),
+         |gtok AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |gc AS (
+         |  SELECT doc_id, gram, count(*)::BIGINT AS c FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(toks)),
+         |                  i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |    FROM gtok WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2),
+         |gt AS (SELECT doc_id, sum(c)::BIGINT AS tot FROM gc GROUP BY 1),
+         |ov AS (
+         |  SELECT p.d1, p.d2, sum(least(a.c, b.c))::BIGINT AS overlap
+         |  FROM vp p
+         |  JOIN gc a ON a.doc_id = p.d1
+         |  JOIN gc b ON b.doc_id = p.d2 AND b.gram = a.gram
+         |  GROUP BY 1, 2)
+         |SELECT ov.d1, ov.d2, ov.overlap,
+         |       round(ov.overlap * 1.0 / x.tot, 6) AS prec,
+         |       round(ov.overlap * 1.0 / y.tot, 6) AS rec,
+         |       round(2.0 * ov.overlap / (x.tot + y.tot), 6) AS f1
+         |FROM ov JOIN gt x ON ov.d1 = x.doc_id JOIN gt y ON ov.d2 = y.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+
+
+    "q58_keywords" ->
+      s"""$TfIdfCtes
+         |SELECT doc_id, term, tfidf, rnk FROM (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, term)::BIGINT AS rnk
+         |  FROM scores) WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+
+    // Quality-quantile mirror: same q18 score chain (stopword ratio
+    // rounded BEFORE the composite, both rounded to 6), quantile_cont =
+    // Spark's exact interpolated percentile.
+    "q59_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |thr AS (SELECT quantile_cont(quality_score, 0.25) AS t FROM q)
+        |SELECT doc_id, quality_score FROM q CROSS JOIN thr
+        |WHERE quality_score >= thr.t
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // Curriculum-binning mirror: same score chain, quantile_cont array
+    // thresholds, strict-> threshold counting.
+    "q64_quality_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m),
+        |thr AS (
+        |  SELECT quantile_cont(quality_score, [0.25, 0.5, 0.75]) AS ts FROM q)
+        |SELECT doc_id, quality_score,
+        |       (1 + len(list_filter(thr.ts, t -> quality_score > t)))::BIGINT AS bin
+        |FROM q CROSS JOIN thr
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q17_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+         |       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |       WHEN hits_es >= hits_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred,
+         |  hits_en, hits_de, hits_es, hits_fr
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+
+    // Confusion mirror: the q17 prediction joined to the trusted lang,
+    // rolled up, share via a within-true-lang window.
+    "q205_langid_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+         |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |         WHEN hits_es >= hits_fr THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM h),
+         |c AS (
+         |  SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n_docs
+         |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n_docs,
+         |       round(n_docs::DOUBLE /
+         |             sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
+
+
+    "q18_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(list_sum(list_transform(toks, x -> len(x))) * 1.0 /
+        |          greatest(len(toks), 1), 6) AS mean_tok_len,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, mean_tok_len, stopword_ratio,
+        |  round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |        (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |        least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))::BIGINT AS bpe_ish_tokens,
+        |  length(text)::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q20_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, md5(canon) AS fp_md5,
+        |  list_sum(list_transform(range(1, 16), i ->
+        |    (strpos('0123456789abcdef', substr(md5(canon), i::INTEGER, 1)) - 1)::BIGINT
+        |      << ((15 - i)::INTEGER * 4)))::BIGINT AS fp64
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+
+    "q72_winnow_fingerprints" ->
+      s"""$WinnowCtes
+         |SELECT doc_id, fp FROM wfp ORDER BY doc_id, fp""".stripMargin,
+
+
+    // Shared-fingerprint pairs, hot fps (> 50 docs) excluded pre-join.
+    "q74_winnow_pairs" ->
+      s"""$WinnowCtes,
+         |ok AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 50),
+         |flt AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN ok USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*)::BIGINT AS shared_fps
+         |FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+
+    "q27_clean_corpus" ->
+      """WITH keep AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM keep),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+        |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM h),
+        |m AS (
+        |  SELECT doc_id, lang_pred,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM l),
+        |q AS (
+        |  SELECT doc_id, lang_pred,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+        |  FROM m)
+        |SELECT doc_id, lang_pred, quality_score FROM q
+        |WHERE lang_pred IN ('en', 'es') AND quality_score >= 0.55
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q37_top_ngrams" ->
+      s"""WITH $ShingleCtes
+         |SELECT shingle AS ngram, count(*) AS doc_freq FROM sh
+         |GROUP BY 1 ORDER BY doc_freq DESC, ngram LIMIT 20""".stripMargin,
+
+
+    "q44_contamination" ->
+      s"""WITH $ShingleCtes,
+         |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 5),
+         |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 5)
+         |SELECT c.doc_id, bench_id, count(*) AS shared_ngrams
+         |FROM c JOIN b USING (shingle)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 1
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+
+    "q45_repetition" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_transform(range(1, len(toks) - 1),
+        |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |              ELSE []::VARCHAR[] END AS grams
+        |  FROM tokl)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |       len(list_distinct(grams))::BIGINT AS n_distinct_grams,
+        |       round(CASE WHEN len(grams) = 0 THEN 0
+        |                  ELSE 1 - len(list_distinct(grams)) * 1.0 / len(grams)
+        |             END, 6) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+
+    "q46_bigram_lm" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[p::INTEGER] AS w1, toks[(p + 1)::INTEGER] AS w2
+        |  FROM tokl, unnest(range(1, len(toks))) r(p)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT unnest(toks) AS w1 FROM tokl),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w1) AS v FROM uni)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    "q39_cooccurrence_pmi" ->
+      """WITH tokl AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, p, toks[p::INTEGER] AS term
+        |  FROM tokl, unnest(range(1, len(toks) + 1)) r(p)),
+        |pairs AS (
+        |  SELECT least(a.term, b.term) AS t1, greatest(a.term, b.term) AS t2
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+        |tc AS (SELECT term, count(*) AS c FROM pos GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_tok FROM pos),
+        |np AS (SELECT count(*) AS n_pair FROM pairs),
+        |pc AS (SELECT t1, t2, count(*) AS cnt FROM pairs GROUP BY 1, 2)
+        |SELECT t1, t2, cnt,
+        |       round(log10((cnt / n_pair) / ((x.c / n_tok) * (y.c / n_tok))), 6) AS pmi
+        |FROM pc JOIN tc x ON t1 = x.term JOIN tc y ON t2 = y.term
+        |CROSS JOIN nt CROSS JOIN np
+        |WHERE cnt >= 2
+        |ORDER BY t1, t2""".stripMargin,
+
+
+    "q79_term_drift" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |a AS (SELECT term, count(*) AS cnt_a FROM tok WHERE doc_id < 250 GROUP BY 1),
+        |b AS (SELECT term, count(*) AS cnt_b FROM tok WHERE doc_id >= 250 GROUP BY 1),
+        |u AS (SELECT coalesce(a.term, b.term) AS term,
+        |             coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+        |             coalesce(cnt_b, 0)::BIGINT AS cnt_b
+        |      FROM a FULL OUTER JOIN b ON a.term = b.term),
+        |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b, count(*) AS v FROM u),
+        |pq AS (SELECT term, cnt_a, cnt_b,
+        |              (cnt_a + 1.0) / (n_a + v) AS p,
+        |              (cnt_b + 1.0) / (n_b + v) AS q
+        |       FROM u CROSS JOIN tot)
+        |SELECT term, cnt_a, cnt_b,
+        |       round(0.5 * p * log2(p / ((p + q) / 2)) +
+        |             0.5 * q * log2(q / ((p + q) / 2)), 9) AS js_contrib
+        |FROM pq
+        |ORDER BY js_contrib DESC, term LIMIT 30""".stripMargin,
+
+
+    "q53_vocab_coverage" ->
+      """WITH tokh AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id < 250),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, count(*) AS cnt FROM tokh GROUP BY 1)
+        |  WHERE cnt >= 2),
+        |tokn AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT t.doc_id,
+        |       count(*) AS n_tokens,
+        |       sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS oov_rate
+        |FROM tokn t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Coverage-curve mirror: the same ranked counts, budgets as a
+    // literal power list, one round-6 division.
+    "q193_coverage_curve" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT cnt,
+        |             (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT
+        |               AS token_id
+        |      FROM tc),
+        |t AS (SELECT count(*)::BIGINT AS v, sum(cnt)::BIGINT AS total_tokens
+        |      FROM tc),
+        |k AS (SELECT unnest(list_transform(range(0, 41),
+        |               j -> (1::BIGINT << j::INTEGER))) AS vocab_budget),
+        |x AS (SELECT r.cnt, k.vocab_budget, t.total_tokens
+        |      FROM r, k, t
+        |      WHERE k.vocab_budget > r.token_id
+        |        AND k.vocab_budget < 2 * t.v)
+        |SELECT vocab_budget, count(*)::BIGINT AS n_terms,
+        |       sum(cnt)::BIGINT AS cum_tokens,
+        |       max(total_tokens) AS total_tokens,
+        |       round(sum(cnt)::DOUBLE / max(total_tokens), 6) AS coverage
+        |FROM x GROUP BY 1 ORDER BY vocab_budget""".stripMargin,
+
+
+    // Heaps mirror: per-term min doc id, thresholded by the same
+    // literal power list capped at the first power > max id.
+    "q194_heaps_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '')) AS term
+        |  FROM documents),
+        |fs AS (SELECT term, min(doc_id)::BIGINT AS first_doc
+        |       FROM tok GROUP BY 1),
+        |b AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+        |k AS (SELECT unnest(list_transform(range(0, 41),
+        |               j -> (1::BIGINT << j::INTEGER))) AS n_docs)
+        |SELECT k.n_docs, count(*)::BIGINT AS vocab_size
+        |FROM fs, k, b
+        |WHERE k.n_docs > fs.first_doc AND k.n_docs < 2 * (b.mx + 1)
+        |GROUP BY 1 ORDER BY n_docs""".stripMargin,
+
+
+    // Full-corpus vocabulary — the incremental path must equal this.
+    "q61_vocab_incremental" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1)
+        |SELECT term, cnt,
+        |       (row_number() OVER (ORDER BY cnt DESC, term) - 1)::BIGINT AS token_id
+        |FROM counts WHERE cnt >= 2
+        |ORDER BY token_id""".stripMargin,
+
+
+    "q50_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey, concat(c_name, ' ', c_mktsegment) AS raw
+        |  FROM customer),
+        |s1 AS (
+        |  SELECT c_custkey,
+        |         len(regexp_extract_all(raw,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |         regexp_replace(raw,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g') AS t1
+        |  FROM c),
+        |s2 AS (
+        |  SELECT c_custkey, n_email,
+        |         len(regexp_extract_all(t1,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ip,
+        |         regexp_replace(t1,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+        |           '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT c_custkey,
+        |       regexp_replace(t2, '[0-9]{2,}', '<NUM>', 'g') AS redacted,
+        |       n_email, n_ip,
+        |       len(regexp_extract_all(t2, '[0-9]{2,}'))::BIGINT AS n_num
+        |FROM s2 ORDER BY c_custkey""".stripMargin,
+
+
+    "q65_normalize_text" ->
+      """SELECT c_custkey,
+        |       trim(regexp_replace(
+        |         regexp_replace(lower(concat(c_name, ' | ', c_mktsegment)),
+        |           '[^a-z0-9\s]+', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS norm_text
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+
+    "q31_corpus_stats" ->
+      s"""WITH $TokCte
+         |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       count(DISTINCT term)::BIGINT AS n_terms,
+         |       count(*) AS total_tokens
+         |FROM tok ORDER BY n_docs""".stripMargin,
+
+
+    // The oracle pins the exact side and asserts the contract flags
+    // hold — the HLL estimate itself is deliberately not in the output
+    // (sketch values are engine-specific; the CONTRACT is portable).
+    "q31b_corpus_stats_approx" ->
+      s"""WITH $TokCte
+         |SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       count(DISTINCT term)::BIGINT AS n_terms,
+         |       count(*) AS total_tokens,
+         |       true AS docs_ok, true AS terms_ok, true AS tokens_exact
+         |FROM tok ORDER BY n_docs""".stripMargin,
+
+
+    // Rollup masks + per-doc quality (q18's formula) averaged per cell.
+    "q75_corpus_rollup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, source,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    round(least(len(toks) / 50.0, 1.0) * 0.4 +
+        |          (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) * 0.4 +
+        |          least(round(len(list_filter(toks, x -> x IN (
+        |            'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |            'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |          ))) * 1.0 / greatest(len(toks), 1), 6) * 4.0, 1.0) * 0.2, 6) AS q
+        |  FROM t)
+        |SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  grouping(lang)::BIGINT AS g_lang, grouping(source)::BIGINT AS g_source,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |  round(avg(q), 6) AS avg_quality
+        |FROM m GROUP BY ROLLUP(lang, source)
+        |ORDER BY g_lang, lang, g_source, source""".stripMargin,
+
+
+    // Char entropy: generated from the shared alphabet (same chars,
+    // same fixed summation order as the engine's expression chain).
+    "q116_char_entropy" -> charEntropySql,
+
+
+    // Winnow contamination: the q72 fingerprint CTEs (winnowing is
+    // doc-local, so filtering the full-corpus wfp set ≡ fingerprinting
+    // the subsets), then exactly q44's join-count shape.
+    "q111_contamination_winnow" ->
+      s"""$WinnowCtes,
+         |c AS (SELECT doc_id, fp FROM wfp WHERE doc_id >= 5),
+         |b AS (SELECT doc_id AS bench_id, fp FROM wfp WHERE doc_id < 5)
+         |SELECT c.doc_id, bench_id, count(*) AS shared_fps
+         |FROM c JOIN b USING (fp)
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 1
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+
+    // Sketch contracts: exact per-source distinct terms (the checkable
+    // half) + the TRUE flags the engine must reproduce.
+    "q110_source_vocab_sketch" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT source, count(DISTINCT term)::BIGINT AS n_terms,
+        |       TRUE AS sketch_ok
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+
+    "q110b_vocab_sketch_merge" ->
+      """SELECT count(DISTINCT source)::BIGINT AS n_sources,
+        |       TRUE AS all_equal
+        |FROM documents""".stripMargin,
+
+
+    // Gopher rule battery: per-token metrics over the token list, the
+    // top 2-gram via the same count-then-rank the engine's max(struct)
+    // computes (row_number ties to the larger gram = max struct order),
+    // thresholds inlined at the engine's defaults.
+    "q106_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    round(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) * 1.0
+        |          / greatest(len(toks), 1), 6) AS mean_word_len,
+        |    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+        |          / greatest(len(toks), 1), 6) AS frac_alpha_words,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(toks, s)))::BIGINT AS n_stop_hits,
+        |    greatest(length(text), 1) AS n_chars
+        |  FROM t),
+        |bg AS (
+        |  SELECT doc_id, toks[p::INTEGER] || ' ' || toks[(p + 1)::INTEGER] AS gram
+        |  FROM t, unnest(range(1, len(toks))) r(p)),
+        |bc AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, cnt, gram FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY cnt DESC, gram DESC) AS rn
+        |    FROM bc) WHERE rn = 1),
+        |j AS (
+        |  SELECT m.*,
+        |         round(coalesce(top.cnt * length(top.gram), 0) * 1.0
+        |               / m.n_chars, 6) AS top2_frac
+        |  FROM m LEFT JOIN top USING (doc_id))
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+        |       top2_frac,
+        |       (n_words BETWEEN 50 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND frac_alpha_words >= 0.8
+        |        AND n_stop_hits >= 2
+        |        AND top2_frac <= 0.2) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+
+    // q46's bigram-LM chain + per-language interpolated tertile cuts
+    // (quantile_cont mirrors Spark's exact `percentile`, the q64
+    // precedent); head = most fluent third. Cut literals are printed
+    // from the SAME doubles as the engine (Pipeline.PerplexityCuts).
+    "q98_perplexity_buckets" ->
+      s"""WITH tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[p::INTEGER] AS w1, toks[(p + 1)::INTEGER] AS w2
+         |  FROM tokl, unnest(range(1, len(toks))) r(p)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT unnest(toks) AS w1 FROM tokl),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM uni),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         round(avg(log10((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
+         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY doc_id),
+         |scl AS (
+         |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp
+         |  FROM sc s JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |         quantile_cont(avg_logp,
+         |           [${graft.operators.Pipeline.PerplexityCuts.mkString(", ")}]) AS cs
+         |  FROM scl GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp,
+         |       CASE WHEN s.avg_logp >= cs[2] THEN 'head'
+         |            WHEN s.avg_logp >= cs[1] THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM scl s JOIN cuts USING (lang)
+         |ORDER BY doc_id""".stripMargin,
+
+
+    // 13-gram decontamination: benchmark = the md5 10% slice; a doc is
+    // contaminated when it shares any verbatim 13-gram with the slice.
+    "q145_ngram_decontaminate" ->
+      s"""WITH tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     t -> t <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+         |           i -> array_to_string(toks[i:i+12], ' '))) AS shingle
+         |    FROM tokl)),
+         |bg AS (
+         |  SELECT DISTINCT shingle FROM g
+         |  WHERE (${duckMd5Bucket("'bench:' || doc_id")}) < 100000),
+         |h AS (
+         |  SELECT g.doc_id, count(*) AS n_hits
+         |  FROM g JOIN bg USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |       coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+
+    // Benchmark-side contamination mirror: q145's gram relation, the
+    // join flipped to the bench doc with self-matches excluded.
+    "q202_contamination_report" ->
+      s"""WITH tokl AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     t -> t <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+         |           i -> array_to_string(toks[i:i+12], ' '))) AS shingle
+         |    FROM tokl)),
+         |bd AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE (${duckMd5Bucket("'bench:' || doc_id")}) < 100000),
+         |bg AS (SELECT g.doc_id AS bench_doc, g.shingle
+         |       FROM g JOIN bd USING (doc_id)),
+         |h AS (
+         |  SELECT bg.bench_doc,
+         |         count(DISTINCT g.doc_id) AS n_docs_hit,
+         |         count(*) AS n_gram_hits
+         |  FROM bg JOIN g USING (shingle)
+         |  WHERE g.doc_id <> bg.bench_doc GROUP BY 1)
+         |SELECT bd.doc_id AS bench_doc,
+         |       coalesce(h.n_docs_hit, 0)::BIGINT AS n_docs_hit,
+         |       coalesce(h.n_gram_hits, 0)::BIGINT AS n_gram_hits,
+         |       coalesce(h.n_docs_hit, 0) > 0 AS compromised
+         |FROM bd LEFT JOIN h ON h.bench_doc = bd.doc_id
+         |ORDER BY bench_doc""".stripMargin,
+
+
+    // KL from the corpus unigram distribution in micro-nats; the
+    // contribution expression mirrors the engine's operation order
+    // exactly ((p · ln(p/q)) · 1e6, then floor) so the integer sums
+    // agree by construction.
+    "q148_kl_novelty" ->
+      s"""WITH $TokCte,
+         |tfw AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM tfw GROUP BY 1),
+         |ctot AS (SELECT sum(tf) AS ctot FROM tfw)
+         |SELECT t.doc_id,
+         |       sum(t.tf)::BIGINT AS n_tokens,
+         |       sum(floor((t.tf * 1.0 / d.tot)
+         |                 * ln((t.tf * 1.0 / d.tot) / (c.ctf * 1.0 / ct.ctot))
+         |                 * 1e6)::BIGINT)::BIGINT AS kl_unats
+         |FROM tfw t
+         |JOIN dtot d USING (doc_id)
+         |JOIN ctf c USING (term)
+         |CROSS JOIN ctot ct
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+
+    // Frozen-reference KL: md5 half-slice = the reference release;
+    // unseen terms excluded from the sum, counted in n_unseen.
+    "q150_kl_incremental" ->
+      s"""WITH $TokCte,
+         |hd AS (SELECT doc_id FROM documents
+         |       WHERE (${duckMd5Bucket("'klh:' || doc_id")}) < 500000),
+         |nd AS (SELECT doc_id FROM documents
+         |       WHERE (${duckMd5Bucket("'klh:' || doc_id")}) >= 500000),
+         |ctf AS (SELECT term, count(*) AS ctf
+         |        FROM tok JOIN hd USING (doc_id) GROUP BY 1),
+         |ctot AS (SELECT sum(ctf) AS ctot FROM ctf),
+         |tfw AS (SELECT doc_id, term, count(*) AS tf
+         |        FROM tok JOIN nd USING (doc_id) GROUP BY 1, 2),
+         |dtot AS (SELECT doc_id, sum(tf) AS tot FROM tfw GROUP BY 1)
+         |SELECT t.doc_id,
+         |       sum(t.tf)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN c.ctf IS NULL THEN t.tf ELSE 0 END)::BIGINT
+         |         AS n_unseen,
+         |       sum(CASE WHEN c.ctf IS NULL THEN 0
+         |           ELSE floor((t.tf * 1.0 / d.tot)
+         |                * ln((t.tf * 1.0 / d.tot) / (c.ctf * 1.0 / ct.ctot))
+         |                * 1e6)::BIGINT END)::BIGINT AS kl_unats
+         |FROM tfw t
+         |JOIN dtot d USING (doc_id)
+         |LEFT JOIN ctf c USING (term)
+         |CROSS JOIN ctot ct
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+
+    // Pivot mirror: the q17 langId CASE, then conditional sums per
+    // language column (the PIVOT expansion written out).
+    "q151_lang_source_pivot" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))::BIGINT AS hits_en,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu')))::BIGINT AS hits_de,
+         |    len(list_filter(toks, x -> x IN ('el','la','de','los','y','es','en')))::BIGINT AS hits_es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','en','est','un')))::BIGINT AS hits_fr
+         |  FROM t),
+         |lp AS (
+         |  SELECT source,
+         |    CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0 THEN 'und'
+         |         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |         WHEN hits_es >= hits_fr THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM h)
+         |SELECT source,
+         |  sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+         |  sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |  sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+         |  sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+         |  sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END)::BIGINT AS n_und
+         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Zipf-slope mirror: deterministic (cnt DESC, term) ranks, ln
+    // values micro-quantized before any sum, HUGEINT moments, one
+    // round-6 double.
+    "q160_zipf_slope" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tk GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, term) AS rnk
+        |  FROM tf),
+        |m AS (
+        |  SELECT source,
+        |         CAST(round(ln(rnk::DOUBLE) * 1e6) AS BIGINT) AS x,
+        |         CAST(round(ln(cnt::DOUBLE) * 1e6) AS BIGINT) AS y
+        |  FROM rk),
+        |agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_terms,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
+        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT source, n_terms,
+        |       CASE WHEN (n_terms::HUGEINT * qx - sx * sx) > 0 THEN
+        |         round((n_terms::HUGEINT * sxy - sx * sy)::DOUBLE /
+        |               (n_terms::HUGEINT * qx - sx * sx)::DOUBLE, 6)
+        |       END AS slope
+        |FROM agg ORDER BY source""".stripMargin,
+
+
+    // Diversity mirror: the same tagged two-stage shape — (source, n,
+    // gram) counts first, group-level conditional sums second, each
+    // ratio one round-6 division of exact BIGINTs.
+    "q164_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS gn, unnest(toks) AS gram FROM t
+        |  UNION ALL
+        |  SELECT source, 3 AS gn,
+        |         unnest(CASE WHEN len(toks) >= 3 THEN
+        |           list_transform(generate_series(1, len(toks) - 2),
+        |             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |           ELSE []::VARCHAR[] END) AS gram
+        |  FROM t),
+        |c AS (SELECT source, gn, gram, count(*)::BIGINT AS cnt
+        |      FROM g GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT source,
+        |    coalesce(sum(CASE WHEN gn = 1 THEN cnt END), 0)::BIGINT AS n_tokens,
+        |    coalesce(sum(CASE WHEN gn = 1 THEN 1 END), 0)::BIGINT AS distinct_tokens,
+        |    coalesce(sum(CASE WHEN gn = 3 THEN cnt END), 0)::BIGINT AS n_ngrams,
+        |    coalesce(sum(CASE WHEN gn = 3 THEN 1 END), 0)::BIGINT AS distinct_ngrams
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, distinct_tokens,
+        |       CASE WHEN n_tokens > 0 THEN
+        |         round(distinct_tokens * 1.0 / n_tokens, 6) END AS ttr,
+        |       n_ngrams, distinct_ngrams,
+        |       CASE WHEN n_ngrams > 0 THEN
+        |         round(distinct_ngrams * 1.0 / n_ngrams, 6) END AS ngram_ttr
+        |FROM a ORDER BY source""".stripMargin,
+
+
+    // Burstiness mirror: the q2 (doc, term) agg lifted to term level,
+    // one round-6 division, (burstiness DESC, term) total order.
+    "q165_term_burstiness" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM tk GROUP BY 1, 2),
+        |t AS (SELECT term, sum(tf)::BIGINT AS cf, count(*)::BIGINT AS df
+        |      FROM dt GROUP BY 1)
+        |SELECT term, cf, df, round(cf * 1.0 / df, 6) AS burstiness
+        |FROM t WHERE df >= 2
+        |ORDER BY burstiness DESC, term LIMIT 50""".stripMargin,
+
+
+    // Correlation mirror: the q139 quality chain per doc, quality
+    // micro-lifted, HUGEINT moments per source, one round-6 double.
+    "q168_length_quality_corr" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(toks)::BIGINT AS n_tokens,
+        |    len(list_distinct(toks))::BIGINT AS n_distinct,
+        |    round(len(list_filter(toks, x -> x IN (
+        |      'the','a','of','and','to','in','is','der','die','das','und','ist',
+        |      'ein','zu','el','la','de','los','y','es','en','le','les','et','est','un'
+        |    ))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |xy AS (
+        |  SELECT source, n_tokens AS x,
+        |    CAST(round(round(least(n_tokens / 50.0, 1.0) * 0.4 +
+        |          (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4 +
+        |          least(stopword_ratio * 4.0, 1.0) * 0.2, 6) * 1e6) AS BIGINT) AS y
+        |  FROM m),
+        |agg AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * x::HUGEINT) AS qx,
+        |         sum(y::HUGEINT * y::HUGEINT) AS qy,
+        |         sum(x::HUGEINT * y::HUGEINT) AS sxy
+        |  FROM xy GROUP BY 1)
+        |SELECT source, n_docs,
+        |       CASE WHEN (n_docs::HUGEINT * qx - sx * sx) > 0
+        |             AND (n_docs::HUGEINT * qy - sy * sy) > 0 THEN
+        |         round((n_docs::HUGEINT * sxy - sx * sy)::DOUBLE /
+        |               (sqrt((n_docs::HUGEINT * qx - sx * sx)::DOUBLE) *
+        |                sqrt((n_docs::HUGEINT * qy - sy * sy)::DOUBLE)), 6)
+        |       END AS r
+        |FROM agg ORDER BY source""".stripMargin,
+
+
+    // Fertility mirror: vocab = terms with corpus count >= 2 (the
+    // buildVocab minCount), OOV = not in that set.
+    "q155_tokenizer_fertility" ->
+      """WITH tk AS (
+        |  SELECT lang, doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |vc AS (
+        |  SELECT term FROM (SELECT term, count(*) AS c FROM tk GROUP BY term)
+        |  WHERE c >= 2)
+        |SELECT lang,
+        |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       count(*)::BIGINT AS n_tokens,
+        |       sum(len(term))::BIGINT AS n_chars,
+        |       sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+        |       round(sum(len(term)) * 1.0 / count(*), 6) AS chars_per_token,
+        |       round(sum(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) * 1.0
+        |             / count(*), 6) AS oov_rate
+        |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+
+
+    // Entropy mirror: same per-term floor quantization, ln on the
+    // direct tot/tf quotient (never 1/(tf/tot)).
+    "q157_source_entropy" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(tf)::BIGINT AS tot, count(*)::BIGINT AS n_terms
+        |        FROM tf GROUP BY 1)
+        |SELECT t.source, o.tot AS n_tokens, o.n_terms,
+        |       sum(floor((t.tf * 1.0 / o.tot) * ln(o.tot * 1.0 / t.tf)
+        |                 * 1e6)::BIGINT)::BIGINT AS entropy_unats
+        |FROM tf t JOIN tot o USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+
+    // Incremental novelty: new-side shingles left-joined against the
+    // history's distinct shingle set; shingle-less docs null out.
+    "q126_novelty" ->
+      s"""WITH ${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id >= 250)", "_n")},
+         |${shingleCtesSfx("(SELECT * FROM documents WHERE doc_id < 250)", "_h")},
+         |hset AS (SELECT DISTINCT shingle FROM sh_h),
+         |cnt AS (
+         |  SELECT n.doc_id, count(*)::BIGINT AS n_shingles,
+         |         (count(*) - count(h.shingle))::BIGINT AS n_novel
+         |  FROM sh_n n LEFT JOIN hset h ON n.shingle = h.shingle
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(c.n_shingles, 0)::BIGINT AS n_shingles,
+         |       coalesce(c.n_novel, 0)::BIGINT AS n_novel,
+         |       CASE WHEN coalesce(c.n_shingles, 0) > 0
+         |            THEN round(c.n_novel * 1.0 / c.n_shingles, 6) END AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+
+    // Vocab diff: per-side HAVING-pruned term counts, full-outer join,
+    // the same integer status thresholds.
+    "q140_vocab_diff" ->
+      """WITH ta AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+        |    FROM documents WHERE doc_id < 250) WHERE term <> ''
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |tb AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+        |    FROM documents WHERE doc_id >= 250) WHERE term <> ''
+        |  GROUP BY 1 HAVING count(*) >= 3),
+        |j AS (
+        |  SELECT coalesce(a.term, b.term) AS term,
+        |         coalesce(a.cnt, 0)::BIGINT AS cnt_a,
+        |         coalesce(b.cnt, 0)::BIGINT AS cnt_b
+        |  FROM ta a FULL OUTER JOIN tb b ON a.term = b.term)
+        |SELECT term, cnt_a, cnt_b,
+        |       CASE WHEN cnt_a = 0 THEN 'added'
+        |            WHEN cnt_b = 0 THEN 'removed'
+        |            WHEN cnt_b >= 2 * cnt_a THEN 'grown'
+        |            WHEN 2 * cnt_b <= cnt_a THEN 'shrunk'
+        |            ELSE 'stable' END AS status
+        |FROM j ORDER BY term""".stripMargin
+  )
+}

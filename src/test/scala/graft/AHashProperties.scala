@@ -43,6 +43,34 @@ object AHashProperties extends Properties("AHash") {
     }.sum
   }
 
+  property("windowed audio / segmented video hashes equal the local replica") =
+    forAll(Gen.listOfN(2, textGen), Gen.chooseNum(1, 80),
+        Gen.chooseNum(1, 5)) { (texts, w, segF) =>
+      val s = spark
+      import s.implicits._
+      val d = Seq("1" -> texts(0), "2" -> texts(1)).toDF("doc", "line")
+      val assets = Multimodal.encodeAssets(d)
+      val aw = Multimodal.audioAHashWindows(assets, windowSamples = w)
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val awExpect = texts(0).map(c => math.abs((c - 110).toLong) * 200L)
+        .grouped(w).zipWithIndex
+        .map { case (g, i) => i.toLong -> ((g.length.toLong, local56(g))) }
+        .toMap
+      val vs = Multimodal.videoAHashSegments(assets, segmentFrames = segF,
+          everyNth = 2)
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val nf = texts(1).length / 12
+      val vsExpect = (0 until nf by 2)
+        .map(f => (0 until 8).map(k => texts(1).charAt(f * 12 + k).toLong))
+        .grouped(segF).zipWithIndex
+        .map { case (seg, i) =>
+          i.toLong -> ((seg.length.toLong, local56(seg.flatten))) }
+        .toMap
+      aw == awExpect && vs == vsExpect
+    }
+
   property("image/audio/video hashes equal the local 56-bucket replica") =
     forAll(Gen.listOfN(3, textGen)) { texts =>
       val s = spark
