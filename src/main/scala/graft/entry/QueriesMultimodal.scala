@@ -133,6 +133,19 @@ private[graft] object QueriesMultimodal {
           maxDist = 6)
         .orderBy(col("d1"), col("d2"))),
 
+    // INCREMENTAL window screen: delta assets' windows (id ≥ 250)
+    // probe the history window bands (id < 250) — never each other
+    // (the q172c split at window granularity); closest history ASSET
+    // per arrival by (min window-pair hamming, id), hit count carried.
+    "q220c_audio_window_neardup_incr" -> ((s, dir) => {
+      val wh = graft.Caching.persist(Multimodal.audioAHashWindows(
+        Multimodal.encodeAssets(docs(s, dir)), windowSamples = 64))
+      Multimodal.ahashWindowNearDupAgainst(
+          wh.where(col("asset_id") >= 250), wh.where(col("asset_id") < 250),
+          maxDist = 6)
+        .orderBy(col("asset_id"))
+    }),
+
 
     // SEGMENTED video fingerprints: one aHash per 4 consecutive SAMPLED
     // frames (everyNth = 2), segment-local fold — reused-footage keys.
@@ -320,6 +333,26 @@ private[graft] object QueriesMultimodal {
     "q220b_audio_window_neardup" ->
       s"""WITH $audioWindowCtes,
          |$windowPairRollupSql""".stripMargin,
+
+    // Incremental window mirror: brute delta-window × history-window
+    // over the same CTEs, rolled up per (delta, history) asset pair,
+    // closest history asset by (min_hamming, match_id).
+    "q220c_audio_window_neardup_incr" ->
+      s"""WITH $audioWindowCtes,
+         |pm AS (
+         |  SELECT d.doc_id AS asset_id, h.doc_id AS match_id,
+         |         bit_count(xor(d.ahash, h.ahash))::BIGINT AS hamming
+         |  FROM hs d JOIN hs h ON d.doc_id >= 250 AND h.doc_id < 250
+         |  WHERE bit_count(xor(d.ahash, h.ahash)) <= 6),
+         |pg AS (
+         |  SELECT asset_id, match_id, min(hamming)::BIGINT AS min_hamming,
+         |         count(*)::BIGINT AS n_window_hits
+         |  FROM pm GROUP BY 1, 2)
+         |SELECT asset_id, match_id, min_hamming, n_window_hits FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY asset_id
+         |      ORDER BY min_hamming, match_id) AS rn
+         |  FROM pg)
+         |WHERE rn = 1 ORDER BY asset_id""".stripMargin,
 
 
     // Segmented-video mirror: per-4-sampled-frame bits, segment-local.

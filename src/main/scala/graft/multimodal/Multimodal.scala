@@ -1099,6 +1099,58 @@ object Multimodal {
         count(lit(1)).as("n_window_hits"))
   }
 
+  /**
+   * INCREMENTAL window near-dup — arriving assets' windows probe the
+   * HISTORY's window bands and never each other (the
+   * [[imageNearDupAgainst]] bookend for the segment tier): a delta
+   * asset any of whose windows lands within `maxDist` of any history
+   * window reports its closest history asset — min window-pair
+   * hamming, asset-id tie-break — plus how many of its window pairs
+   * hit that asset. Hot buckets are a HISTORY property (a hot history
+   * bucket fans out every probing delta window); the history frame is
+   * persisted for the call's lifetime (hot collect + band join).
+   *
+   * @param deltaWindows   (asset_id, …, ahash) window rows of the
+   *        arrivals ([[audioAHashWindows]]/[[videoAHashSegments]])
+   * @param historyWindows same shape for the history corpus
+   * @return (asset_id, match_id, min_hamming, n_window_hits) — one
+   *         row per MATCHED delta asset
+   */
+  def ahashWindowNearDupAgainst(
+      deltaWindows: DataFrame,
+      historyWindows: DataFrame,
+      maxDist: Int = 6,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    requireBandLayout(nBands, bandBits, maxDist)
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val hist = graft.Caching.persist(
+      historyWindows.select(col("asset_id"), col("ahash")))
+    val hot = ahashHotByBand(hist, maxBucketSize, nBands, bandBits)
+    val d = ahashBands(deltaWindows.select(col("asset_id"), col("ahash")),
+      nBands, bandBits)
+      .select(col("asset_id"), col("ahash").as("h1"),
+        col("band"), col("band_bits"))
+    val h = ahashDropHot(ahashBands(hist, nBands, bandBits), hot, nBands)
+      .select(col("asset_id").as("match_id"),
+        col("ahash").as("h2"), col("band"), col("band_bits"))
+    d.join(h, Seq("band", "band_bits"))
+      .where(col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .groupBy(col("asset_id"), col("match_id"))
+      .agg(min(col("hamming")).as("_mh"), count(lit(1)).as("_hits"))
+      // closest history ASSET per arrival: (min hamming, id) — _hits
+      // rides third in the struct and is never reached (match_id is
+      // unique within the group)
+      .groupBy(col("asset_id"))
+      .agg(min(struct(col("_mh"), col("match_id"), col("_hits"))).as("_b"))
+      .select(col("asset_id"), col("_b.match_id").as("match_id"),
+        col("_b._mh").as("min_hamming"), col("_b._hits").as("n_window_hits"))
+  }
+
   /** Audit twin of [[ahashNearDupPairs]]' hot-bucket guard: the
     * (band, band_bits, bucket_n) buckets the join excludes at this
     * bound — the [[graft.operators.Dedup.lshSkippedBuckets]]

@@ -538,6 +538,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got.contains((1L, 4L)))
   }
 
+  test("ahashWindowNearDupAgainst: delta windows probe history only") {
+    // history = clips a, c; delta = b (shares a window-aligned segment
+    // with a) and two IDENTICAL novel clips (delta-delta: must not pair)
+    val shared = "a shared jingle segment that both clips reuse yes " +
+      "a shared jingle segment that both clips reuse yes "
+    val a = ("intro of clip a " * 4) + shared + ("outro a " * 8)
+    val b = ("b opening here! " * 8) + shared + ("its own end " * 6)
+    val c = "completely unrelated audio content with nothing shared " * 4
+    val novel = "some never seen material entirely its own thing here " * 3
+    def winsOf(rows: (String, String)*) = Multimodal.audioAHashWindows(
+      Multimodal.encodeAssets(corpus(rows: _*)), windowSamples = 64)
+    val got = Multimodal.ahashWindowNearDupAgainst(
+        winsOf("301" -> b, "304" -> novel, "307" -> novel),
+        winsOf("1" -> a, "4" -> c), maxDist = 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // local brute replica: delta windows x history windows only
+    val hWins = Seq(1L -> a, 4L -> c).flatMap { case (id, t) =>
+      localAudioWindows(t, 64).map { case (_, _, h) => (id, h) } }
+    val dWins = Seq(301L -> b, 304L -> novel, 307L -> novel)
+      .flatMap { case (id, t) =>
+        localAudioWindows(t, 64).map { case (_, _, h) => (id, h) } }
+    val expect = dWins.map(_._1).distinct.flatMap { d =>
+      val hits = for {
+        (di, dh) <- dWins if di == d
+        (hi, hh) <- hWins
+        dist = java.lang.Long.bitCount(dh ^ hh) if dist <= 6
+      } yield (hi, dist.toLong)
+      if (hits.isEmpty) None
+      else {
+        val byAsset = hits.groupBy(_._1).map { case (hi, vs) =>
+          (vs.map(_._2).min, hi, vs.size.toLong) }
+        val best = byAsset.minBy(x => (x._1, x._2))
+        Some(d -> ((best._2, best._1, best._3)))
+      }
+    }.toMap
+    got shouldBe expect
+    assert(got.contains(301L) && got(301L)._1 == 1L) // the shared segment
+    // the identical delta-delta pair never reports through each other
+    got.get(304L).foreach { case (m, _, _) => Set(1L, 4L) should contain(m) }
+    got.get(307L).foreach { case (m, _, _) => Set(1L, 4L) should contain(m) }
+  }
+
   test("long audio clips route through the windowed floor-mean fallback") {
     // a REAL over-bound clip: 16e6 + 1009 samples (32 MB payload) — the
     // round-9 hard `require` is gone; the hash equals the local replica

@@ -168,6 +168,8 @@ class PruningAuditSpec extends SparkSpec {
       Set(Set("doc_id", "text"))
     readSchemas("q172d_image_neardup_wide").toSet shouldBe
       Set(Set("doc_id", "text"))
+    readSchemas("q220c_audio_window_neardup_incr").toSet shouldBe
+      Set(Set("doc_id", "text"))
   }
 
   test("q175 growth scan reads only ts and user_id") {
