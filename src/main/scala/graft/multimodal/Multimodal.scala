@@ -979,7 +979,8 @@ object Multimodal {
     * guarantee maxDist ≤ nBands−1 holds), and bandBits ≤ 16 keeps the
     * hot-bucket key space (nBands·2^bandBits ≤ 65 536) driver-safe BY
     * CONSTRUCTION. Admissible: 56×1, 28×2, 14×4, 8×7, 7×8, 4×14. */
-  private def requireBandLayout(nBands: Int, bandBits: Int, maxDist: Int): Unit = {
+  private[graft] def requireBandLayout(
+      nBands: Int, bandBits: Int, maxDist: Int): Unit = {
     require(nBands >= 1 && bandBits >= 1 && nBands * bandBits == AHashBits,
       s"band layout must tile the $AHashBits-bit hash exactly — " +
         s"got $nBands bands x $bandBits bits")

@@ -1740,10 +1740,12 @@ object StreamingOps {
    * modality: each arriving (asset_id, ahash) row (from the image /
    * audio / video hashers, which are stateless typed maps and run on
    * streams as-is) probes a STATIC history hash set through the same
-   * 7×8-bit banding and reports its closest history match (hamming ≤
-   * maxDist, min (hamming, id)).
+   * parameterized banding as the batch tier (default 7×8-bit; wide
+   * layouts like 4×14 for hot-everywhere corpora — the
+   * `requireBandLayout` contract) and reports its closest history
+   * match (hamming ≤ maxDist, min (hamming, id)).
    *
-   * Entirely STATELESS append mode: the stream row explodes to its 7
+   * Entirely STATELESS append mode: the stream row computes its nBands
    * band keys map-side, the stream-static band join meets history on
    * (band, band_bits), the first-MATCHING-band filter (decidable per
    * row from h1^h2 — the simhashPairs idiom) drops multi-band
@@ -1773,30 +1775,32 @@ object StreamingOps {
       historyHashes: DataFrame,
       maxDist: Int = 6,
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
-      precomputedIndex: Option[DataFrame] = None): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 6,
-      s"7-band pigeonhole covers hamming <= 6, got $maxDist")
+      precomputedIndex: Option[DataFrame] = None,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketDocs > 0,
       s"maxBucketDocs must be positive, got $maxBucketDocs")
-    def bandBits(h: Column, b: Int): Column =
-      shiftright(h, 8 * b).bitwiseAND(lit(255L))
+    val mask = (1L << bandBits) - 1
+    def bandVal(h: Column, b: Int): Column =
+      shiftright(h, bandBits * b).bitwiseAND(lit(mask))
     // static per-bucket candidate arrays (hot buckets dropped whole)
     val idx = precomputedIndex.getOrElse(
-      mediaNearDupIndex(historyHashes, maxBucketDocs))
-    // ≤ 7 stream-static 1:≤1 left joins — one probe per band key
-    val probed = (0 until 7).foldLeft(
+      mediaNearDupIndex(historyHashes, maxBucketDocs, nBands, bandBits))
+    // ≤ nBands stream-static 1:≤1 left joins — one probe per band key
+    val probed = (0 until nBands).foldLeft(
       hashes.select(col("asset_id"), col("ahash"))) { (cur, b) =>
       cur.join(
         idx.where(col("band") === b.toLong)
           .select(col("band_bits").as(s"_ibb$b"), col("cands").as(s"_c$b")),
-        bandBits(col("ahash"), b) === col(s"_ibb$b"), "left")
+        bandVal(col("ahash"), b) === col(s"_ibb$b"), "left")
         .drop(s"_ibb$b")
     }
     // row-local closest match over the carried candidate arrays; a
     // candidate sharing several bands appears in several arrays — the
     // min reduction is idempotent, no first-matching-band filter needed
     val cands = flatten(array_compact(
-      array((0 until 7).map(b => col(s"_c$b")): _*)))
+      array((0 until nBands).map(b => col(s"_c$b")): _*)))
     val best = array_min(transform(
       filter(cands, c =>
         bit_count(col("ahash").bitwiseXOR(c.getField("hh"))) <= maxDist),
@@ -1820,14 +1824,18 @@ object StreamingOps {
     * space). */
   def mediaNearDupIndex(
       historyHashes: DataFrame,
-      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, 0)
     require(maxBucketDocs > 0,
       s"maxBucketDocs must be positive, got $maxBucketDocs")
+    val mask = (1L << bandBits) - 1
     historyHashes
       .select(col("asset_id").as("hid"), col("ahash").as("hh"),
-        explode(array((0 until 7).map(b =>
+        explode(array((0 until nBands).map(b =>
           struct(lit(b.toLong).as("band"),
-            shiftright(col("ahash"), 8 * b).bitwiseAND(lit(255L))
+            shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
               .as("band_bits"))): _*)).as("e"))
       .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
       .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))

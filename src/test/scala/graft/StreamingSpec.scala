@@ -1479,6 +1479,28 @@ class StreamingSpec extends SparkSpec {
           .toSet shouldBe batch
       } finally q2.stop()
     } finally idx.unpersist()
+
+    // the WIDE band layout streams too (the batch tier's 4×14 escape
+    // hatch, same pigeonhole contract at maxDist ≤ 3) — parity with the
+    // batch screen at the same layout
+    val batchWide = Multimodal.imageNearDupAgainst(
+        Multimodal.imageAHash(Multimodal.encodeAssets(corpusDf(deltaRows))),
+        histHashes, maxDist = 3, nBands = 4, bandBits = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val input3 = MemoryStream[(Long, Long)]
+    val q3 = StreamingOps.mediaNearDupScreen(
+        input3.toDF().toDF("asset_id", "ahash"), histHashes,
+        maxDist = 3, nBands = 4, bandBits = 14)
+      .writeStream.format("memory").queryName("media_screen_wide")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input3.addData(deltaHashes.toIndexedSeq: _*)
+      q3.processAllAvailable()
+      StreamingSpec.this.spark.table("media_screen_wide").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet shouldBe batchWide
+    } finally q3.stop()
   }
 
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
