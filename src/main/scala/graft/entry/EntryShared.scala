@@ -480,6 +480,43 @@ private[graft] object EntryShared {
       |  FROM bk b JOIN tot t ON b.doc_id = t.doc_id AND b.seg_id = t.seg_id
       |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** DuckDB replica of the OVERLAPPING-window audio aHash
+    * (`Multimodal.audioAHashWindows`, windowSamples = 64,
+    * strideSamples = 32): window w covers samples
+    * [w·32, min(w·32 + 64, n)) — every sample sits in up to two
+    * windows; window-LOCAL positions and length feed the 56-bucket
+    * rule. Ends with `hs` = (doc_id, w_id, wn, ahash). */
+  private[graft] def audioWindowStrideCtes: String =
+    """aud AS (
+      |  SELECT doc_id, length(text)::BIGINT AS n,
+      |         list_transform(range(1, length(text) + 1),
+      |                        i -> (abs(ord(substr(text, i::INTEGER, 1)) - 110)
+      |                              * 200)::BIGINT) AS g
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |wd AS (
+      |  SELECT doc_id, n, unnest(range(0, (n + 31) // 32)) AS w_id, g
+      |  FROM aud),
+      |wv AS (
+      |  SELECT doc_id, w_id,
+      |         least(w_id * 32 + 64, n) - w_id * 32 AS wn,
+      |         unnest(range(w_id * 32, least(w_id * 32 + 64, n))) AS i0, g
+      |  FROM wd),
+      |bk AS (
+      |  SELECT doc_id, w_id, wn, ((i0 - w_id * 32) * 56) // wn AS j,
+      |         sum(g[(i0 + 1)::INTEGER])::BIGINT AS bsum,
+      |         count(*)::BIGINT AS bcnt
+      |  FROM wv GROUP BY 1, 2, 3, 4),
+      |tot AS (
+      |  SELECT doc_id, w_id, sum(bsum)::BIGINT AS total
+      |  FROM bk GROUP BY 1, 2),
+      |hs AS (
+      |  SELECT b.doc_id, b.w_id, b.wn,
+      |         sum(CASE WHEN b.bsum * b.wn >= t.total * b.bcnt
+      |                  THEN (1::BIGINT << b.j::INTEGER) ELSE 0 END)::BIGINT
+      |           AS ahash
+      |  FROM bk b JOIN tot t ON b.doc_id = t.doc_id AND b.w_id = t.w_id
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   /** Brute-force window-pair rollup shared by the q220b/q221b mirrors:
     * cross-asset window pairs within hamming ≤ 6 grouped to
     * (d1, d2, min_hamming, n_window_hits) — what the banded engine

@@ -133,6 +133,15 @@ private[graft] object QueriesMultimodal {
           maxDist = 6)
         .orderBy(col("d1"), col("d2"))),
 
+    // OVERLAPPING windows (stride = W/2, the classic fingerprint
+    // shape): reuse at arbitrary offsets becomes detectable to stride
+    // granularity — every per-window bit rebuilt by the oracle with
+    // the overlapped coverage (each sample in up to two windows).
+    "q220d_audio_ahash_overlap" -> ((s, dir) =>
+      Multimodal.audioAHashWindows(Multimodal.encodeAssets(docs(s, dir)),
+          windowSamples = 64, strideSamples = 32)
+        .orderBy(col("asset_id"), col("window_id"))),
+
     // INCREMENTAL window screen: delta assets' windows (id ≥ 250)
     // probe the history window bands (id < 250) — never each other
     // (the q172c split at window granularity); closest history ASSET
@@ -333,6 +342,13 @@ private[graft] object QueriesMultimodal {
     "q220b_audio_window_neardup" ->
       s"""WITH $audioWindowCtes,
          |$windowPairRollupSql""".stripMargin,
+
+    // Overlapping-window mirror: stride-32 coverage, window-local fold.
+    "q220d_audio_ahash_overlap" ->
+      s"""WITH $audioWindowStrideCtes
+         |SELECT doc_id AS asset_id, w_id AS window_id, wn AS n_samples,
+         |       ahash
+         |FROM hs ORDER BY asset_id, window_id""".stripMargin,
 
     // Incremental window mirror: brute delta-window × history-window
     // over the same CTEs, rolled up per (delta, history) asset pair,

@@ -612,20 +612,31 @@ object Multimodal {
    *
    * GRID ALIGNMENT: fixed spans match reuse that lands on the same
    * window offsets (the common same-source case — whole-file copies,
-   * aligned concatenations). Arbitrary-offset reuse needs a second
-   * grid shifted by W/2 (union the rows of two calls over
-   * offset-sliced payloads) or a smaller W — the recall ↔ index-size
-   * dial, stated rather than hidden.
+   * aligned concatenations). For arbitrary-offset reuse pass
+   * `strideSamples < windowSamples` — OVERLAPPING windows (the
+   * classic audio-fingerprint shape: window w starts at w·stride),
+   * which detects reuse to stride granularity at the price of
+   * W/stride× more index rows — the recall ↔ index-size dial, a
+   * parameter rather than a hidden limitation.
    *
-   * Scale shape: partition-local walk, ⌈n/W⌉ rows per clip, energies
-   * folded straight from the payload bytes; empty clips emit no rows.
+   * Scale shape: partition-local walk, ⌈n/stride⌉ rows per clip,
+   * energies folded straight from the payload bytes; empty clips
+   * emit no rows.
    *
+   * @param strideSamples start-to-start distance between windows;
+   *        0 (the default) means non-overlapping (stride = W)
    * @return (asset_id, window_id, n_samples, ahash) for audio assets
    */
   def audioAHashWindows(
-      assets: DataFrame, windowSamples: Int = 65536): DataFrame = {
+      assets: DataFrame,
+      windowSamples: Int = 65536,
+      strideSamples: Int = 0): DataFrame = {
     require(windowSamples > 0 && windowSamples <= MaxExactAudioSamples,
       s"windowSamples must be in [1, $MaxExactAudioSamples], got $windowSamples")
+    val stride = if (strideSamples == 0) windowSamples else strideSamples
+    require(stride > 0 && stride <= windowSamples,
+      s"strideSamples must be in [1, windowSamples] (or 0 = no overlap), " +
+        s"got $strideSamples")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.where(col("meta.kind") === "audio")
@@ -634,9 +645,9 @@ object Multimodal {
         val id = r.getLong(0)
         val b = r.getAs[Array[Byte]](1)
         val (off, n) = wavDataChunk(id, b)
-        val nW = if (n == 0) 0L else (n - 1) / windowSamples + 1
+        val nW = if (n == 0) 0L else (n - 1) / stride + 1
         (0L until nW).map { w =>
-          val lo = w * windowSamples
+          val lo = w * stride
           val hi = math.min(lo + windowSamples, n)
           val hash = ahashFold(hi - lo)(i => wavEnergyAt(b, off)(lo + i))
           (id, w, hi - lo, hash)

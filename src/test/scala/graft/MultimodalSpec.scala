@@ -538,6 +538,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got.contains((1L, 4L)))
   }
 
+  /** Local replica of the overlapped grid: window w = [w·s, w·s+W). */
+  private def localAudioWindowsStride(
+      text: String, w: Int, s: Int): Seq[(Long, Long, Long)] = {
+    val e = text.map(c => math.abs((c - 110).toLong) * 200L)
+    val nW = if (e.isEmpty) 0 else (e.length - 1) / s + 1
+    (0 until nW).map { wi =>
+      val g = e.slice(wi * s, math.min(wi * s + w, e.length))
+      (wi.toLong, g.length.toLong, local56(g))
+    }
+  }
+
+  test("overlapping windows detect reuse the aligned grid misses") {
+    // engine ≡ replica on the overlapped grid
+    val t = "the quiet hum of a steady machine drones on" * 5 // 215
+    val d1 = corpus("1" -> t)
+    val got = Multimodal.audioAHashWindows(Multimodal.encodeAssets(d1),
+        windowSamples = 64, strideSamples = 32)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe localAudioWindowsStride(t, 64, 32)
+      .map { case (w, n, h) => w -> ((n, h)) }.toMap
+    // a shared segment at a 96-char offset (3 strides, NOT a multiple
+    // of W=64): invisible to the aligned grid, found by the overlap
+    val shared = "a shared jingle segment that both clips reuse yes " +
+      "a shared jingle segment that both clips reuse yes "
+    val a = ("intro of clip a " * 4) + shared + ("outro a " * 8) // 64 + …
+    val b = ("b opens here... " * 6) + shared + ("its own end " * 6) // 96 + …
+    val d = corpus("1" -> a, "4" -> b)
+    def pairsAt(stride: Int) = Multimodal.ahashWindowNearDupPairs(
+        Multimodal.audioAHashWindows(Multimodal.encodeAssets(d),
+          windowSamples = 64, strideSamples = stride),
+        maxDist = 0) // exact window equality: the reused span only
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairsAt(0) shouldBe empty            // aligned grid: offsets differ
+    pairsAt(32) should contain((1L, 4L)) // stride 32: grids meet
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioAHashWindows(Multimodal.encodeAssets(d), 64, 65)
+  }
+
   test("ahashWindowNearDupAgainst: delta windows probe history only") {
     // history = clips a, c; delta = b (shares a window-aligned segment
     // with a) and two IDENTICAL novel clips (delta-delta: must not pair)

@@ -170,6 +170,7 @@ class PruningAuditSpec extends SparkSpec {
       Set(Set("doc_id", "text"))
     readSchemas("q220c_audio_window_neardup_incr").toSet shouldBe
       Set(Set("doc_id", "text"))
+    readSchemas("q220d_audio_ahash_overlap") shouldBe Seq(Set("doc_id", "text"))
   }
 
   test("q175 growth scan reads only ts and user_id") {
