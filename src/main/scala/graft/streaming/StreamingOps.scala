@@ -1525,25 +1525,36 @@ object StreamingOps {
   /**
    * The PRODUCTION stream start: every static structure the screen
    * probes — Bloom bytes, distinct-fp frame, bucket index — loads
-   * from ONE persisted [[ingestState]] artifact; `historyDocs` is
-   * never touched (it does not even appear in the signature). The
-   * single driver-side action is the 1-row Bloom read at plan
-   * construction — bounded by construction (the q100 frozen-state
-   * convention).
+   * from ONE persisted [[ingestState]] artifact, and so do the
+   * DERIVATION PARAMETERS (n, numHashes, rowsPerBand): they are a
+   * property of how the state was built, so the caller cannot
+   * mis-repeat them — a mismatched shingle width or band count would
+   * compute band keys that silently miss every history bucket, the
+   * exact class of quiet wrongness the repo kills loudly. Only the
+   * stream-side SEMANTIC knobs (threshold, split share) remain
+   * arguments. `historyDocs` is never touched (not in the signature).
+   * Driver-side actions: the 1-row Bloom read + the 1-row meta read
+   * at plan construction — bounded by construction (the q100
+   * frozen-state convention).
    *
    * @param docs streaming (doc, line)
-   * @param state a (persisted or parquet-read) [[ingestState]] built
-   *        with the SAME (n, numHashes, rowsPerBand) passed here
+   * @param state a (persisted or parquet-read) [[ingestState]]
    * @return streaming (doc, stage, anchor, split)
    */
   def ingestScreenFromState(
       docs: DataFrame,
       state: DataFrame,
       nearDupThreshold: Double = 0.5,
-      valPerMille: Int = 100,
-      n: Int = 3,
-      numHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      valPerMille: Int = 100): DataFrame = {
+    val metaRows = state.where(col("section") === "meta")
+      .select(col("fp")).collect()
+    require(metaRows.length == 1,
+      s"ingestState artifact must carry exactly one meta row, found " +
+        s"${metaRows.length} — was this frame built by ingestState?")
+    val params = metaRows(0).getString(0).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    val (n, numHashes, rowsPerBand) =
+      (params("n"), params("numHashes"), params("rowsPerBand"))
     val bloomBytes = state.where(col("section") === "bloom")
       .select(col("bloom")).head().getAs[Array[Byte]](0)
     val hfp = state.where(col("section") === "fp")
@@ -1563,7 +1574,11 @@ object StreamingOps {
    *  - `section = "fp"`: the distinct history text fingerprints
    *    (md5), the exact-confirm side of the Bloom probe;
    *  - `section = "bloom"`: ONE row carrying the serialized Bloom
-   *    filter bytes over xxhash64(fp).
+   *    filter bytes over xxhash64(fp);
+   *  - `section = "meta"`: ONE row carrying the derivation parameters
+   *    (n;numHashes;rowsPerBand in the fp column) so
+   *    [[ingestScreenFromState]] reads them FROM the artifact instead
+   *    of trusting the caller to repeat them.
    * Build once per history snapshot, write/persist, and start any
    * number of streams from it — raw history is scanned at BUILD time
    * only (the 10× stress records build-once vs load-and-serve).
@@ -1595,7 +1610,12 @@ object StreamingOps {
     val bloomRow = spark.range(1).select(
       Seq(lit("bloom").as("section")) ++ nulls(idx, "band", "band_val", "cands")
         ++ Seq(lit(null).cast("string").as("fp"), lit(bloomBytes).as("bloom")): _*)
-    indexRows.unionByName(fpRows).unionByName(bloomRow)
+    val metaRow = spark.range(1).select(
+      Seq(lit("meta").as("section")) ++ nulls(idx, "band", "band_val", "cands")
+        ++ Seq(lit(s"n=$n;numHashes=$numHashes;rowsPerBand=$rowsPerBand")
+            .as("fp"),
+          lit(null).cast("binary").as("bloom")): _*)
+    indexRows.unionByName(fpRows).unionByName(bloomRow).unionByName(metaRow)
   }
 
   /** The screen body shared by [[ingestScreen]] (derived state) and

@@ -1413,6 +1413,40 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
           Option(r.getString(3))))).toMap shouldBe batch
     } finally q.stop()
+
+    // derivation params TRAVEL WITH the artifact: a state built at
+    // non-default (numHashes=8, rowsPerBand=2) replays the matching
+    // batch composition with no params repeated at the stream start
+    val batch82 = graft.operators.Pipeline.dailyIngest(
+        delta.toDF("doc", "line"), hist, Some(hsp), nearDupThreshold = 0.5,
+        numHashes = 8, rowsPerBand = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3))))).toMap
+    val dir82 = java.nio.file.Files.createTempDirectory("ingest_state82").toString
+    StreamingOps.ingestState(hist, hsp, numHashes = 8, rowsPerBand = 2)
+      .write.mode("overwrite").parquet(dir82)
+    val input82 = MemoryStream[(String, String)]
+    val q82 = StreamingOps.ingestScreenFromState(
+        input82.toDF().toDF("doc", "line"), spark.read.parquet(dir82),
+        nearDupThreshold = 0.5)
+      .writeStream.format("memory").queryName("ingest_from_state82")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input82.addData(delta: _*)
+      q82.processAllAvailable()
+      StreamingSpec.this.spark.table("ingest_from_state82").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3))))).toMap shouldBe batch82
+    } finally q82.stop()
+
+    // a frame that is NOT an ingestState artifact (no meta row) fails
+    // loudly at construction, not silently with wrong band keys
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.ingestScreenFromState(
+        input.toDF().toDF("doc", "line"),
+        state.where(col("section") =!= "meta"))
   }
 
   test("streaming mediaNearDupScreen matches imageNearDupAgainst, any modality") {
