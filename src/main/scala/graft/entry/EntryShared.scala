@@ -1167,16 +1167,23 @@ private[graft] object EntryShared {
     * centroid seeds to the pre-append history) the incremental append. */
   private[graft] def ivfTopKSql: String = ivfTopKSqlWith("TRUE")
 
-  private[graft] def ivfTopKSqlWith(centPred: String): String =
-    s"""WITH ${ivfRankedCtes(centPred)}
+  private[graft] def ivfTopKSqlWith(
+      centPred: String, corpusPred: String = "TRUE"): String =
+    s"""WITH ${ivfRankedCtes(centPred, corpusPred)}
       |SELECT q_vec_id, n_vec_id, cos, rnk FROM ranked
       |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin
 
   /** The IVF chain up to the per-query `ranked` relation — shared by
-    * the q26/q82/q100 top-k oracles and q143's evaluation harness. */
-  private[graft] def ivfRankedCtes(centPred: String): String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-      |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    * the q26/q82/q100/q222/q223 top-k oracles and q143's evaluation
+    * harness. `centPred` bounds the centroid seeds (the q100 frozen-
+    * quantizer clause); `corpusPred` prunes the CANDIDATE side only
+    * (n.* in scope — the q222 metadata filter / q223 tombstone clause;
+    * probes and centroids always read the unfiltered corpus). */
+  private[graft] def ivfRankedCtes(
+      centPred: String, corpusPred: String = "TRUE"): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |n AS (SELECT vec_id, label, emb,
+      |             sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
       |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
       |      FROM n WHERE vec_id % 100 = 0 AND ($centPred)),
       |assign AS (
@@ -1186,7 +1193,7 @@ private[graft] object EntryShared {
       |             PARTITION BY n.vec_id
       |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
       |               DESC, c.cent_id) AS rn
-      |    FROM n CROSS JOIN c) WHERE rn = 1),
+      |    FROM n CROSS JOIN c WHERE ($corpusPred)) WHERE rn = 1),
       |probes AS (
       |  SELECT vec_id AS q_vec_id, emb AS q_emb, nrm AS q_nrm, cent_id AS cell
       |  FROM (

@@ -328,6 +328,79 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // FILTERED ANN: IVF top-k under a metadata predicate (label = 1,
+    // ~10% selectivity). Probes rank cells in FULL centroid space; only
+    // the candidate side is filtered — the quantizer never rebuilds per
+    // predicate. Oracle = the IVF SQL with the same corpus-side clause.
+    "q222_ann_filtered" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfCosineTopKFiltered(e, e.where(col("vec_id") < 5),
+          col("label") === 1, k = 10, stride = 100, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // Filtered-ANN recall CONTRACT (the q26b twin under the predicate):
+    // recall@10 of the filtered IVF search against the exact top-k over
+    // the filtered slice — records the candidate-pool shrinkage cost at
+    // this corpus's selectivity instead of letting it pass silently.
+    "q222b_ann_filtered_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e.where(col("label") === 1), q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.ivfCosineTopKFiltered(e, q,
+          col("label") === 1, k = 10, stride = 100, nProbe = 2)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
+
+    // INDEX DELETE: build on the full corpus, tombstone vec_id ≡ 2 mod 4
+    // (which deletes centroid 200's SOURCE VECTOR — the frozen-quantizer
+    // semantic is in the gate: the centroid survives, its vector stops
+    // being a candidate), then probe. Oracle = direct IVF over
+    // (corpus ∖ deletes) with the ORIGINAL centroid set.
+    "q223_ann_index_delete" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_delete_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s,
+        e.where(pmod(col("vec_id"), lit(4)) === 2), idx)
+      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // COMPACTION answer-invariance: same build + delete as q223, but the
+    // tombstones are folded into the lists (rewrite + swap + clear)
+    // before the probe — shares q223's oracle verbatim, so a compaction
+    // that loses or resurrects a row hash-mismatches the gate.
+    "q223b_ann_index_compact" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_compact_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s,
+        e.where(pmod(col("vec_id"), lit(4)) === 2), idx)
+      Similarity.compactAnnIndex(s, idx)
+      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
     // between PQ (q99) and sign bits (q135).
@@ -992,6 +1065,51 @@ private[graft] object QueriesSimilarity {
     // like the direct IVF search over the union corpus with the FROZEN
     // pre-append centroid set (seeds bounded to the history slice).
     "q100_ann_index_append" -> ivfTopKSqlWith("vec_id < 400"),
+
+
+    // Filtered ANN: same IVF chain, candidate side restricted to the
+    // predicate (probes/centroids stay unfiltered — the engine's
+    // full-centroid-space contract).
+    "q222_ann_filtered" -> ivfTopKSqlWith("TRUE", "n.label = 1"),
+
+
+    // Filtered recall contract: the q26b harness with both arms under
+    // the predicate — approx = the filtered IVF chain, exact = the
+    // brute-force top-k over the filtered slice.
+    "q222b_ann_filtered_recall" ->
+      s"""WITH ${ivfRankedCtes("TRUE", "n.label = 1")},
+        |approx AS (SELECT q_vec_id, n_vec_id FROM ranked WHERE rnk <= 10),
+        |exact AS (
+        |  SELECT q_vec_id, n_vec_id FROM (
+        |    SELECT q.vec_id AS q_vec_id, t.vec_id AS n_vec_id,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             round(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm), 6)
+        |               DESC, t.vec_id) AS rnk
+        |    FROM (SELECT * FROM n WHERE vec_id < 5) q
+        |    JOIN n t ON q.vec_id <> t.vec_id AND t.label = 1)
+        |  WHERE rnk <= 10),
+        |hits AS (
+        |  SELECT a.q_vec_id, count(*) AS n_hits
+        |  FROM approx a JOIN exact x
+        |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+        |  GROUP BY 1)
+        |SELECT v.vec_id AS q_vec_id,
+        |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+        |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+        |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+        |ORDER BY q_vec_id""".stripMargin,
+
+
+    // Delete contract: direct IVF over (corpus ∖ tombstones) with the
+    // ORIGINAL centroid set — a deleted centroid-source vector stops
+    // being a candidate but its cell survives (frozen quantizer).
+    "q223_ann_index_delete" -> ivfTopKSqlWith("TRUE", "n.vec_id % 4 <> 2"),
+
+
+    // Compaction shares the delete oracle verbatim — folding tombstones
+    // into the lists must be invisible to queries.
+    "q223b_ann_index_compact" -> ivfTopKSqlWith("TRUE", "n.vec_id % 4 <> 2"),
 
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine

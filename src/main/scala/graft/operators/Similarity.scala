@@ -447,6 +447,10 @@ object Similarity {
     ivfAssign(n, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // A rebuild supersedes any pending deletes: the tombstone set names
+    // rows of the PREVIOUS build's lists; carrying it over would delete
+    // unrelated rows that reused the ids.
+    deletePath(corpus.sparkSession, s"$path/tombstones")
   }
 
   /**
@@ -487,10 +491,122 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nProbe: Int = 2): DataFrame = {
-    val assign = spark.read.parquet(s"$path/cells")
+    val raw = spark.read.parquet(s"$path/cells")
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
+    // Deletes are honored at probe time: rows named by the tombstone set
+    // never reach the re-rank (see deleteFromAnnIndex). The anti-join is
+    // broadcast — a tombstone set is |deletes-since-compaction| ids, kept
+    // small by compacting when the deleted fraction grows.
+    val assign =
+      if (pathExists(spark, s"$path/tombstones"))
+        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq("vec_id"), "left_anti")
+      else raw
     val cents = spark.read.parquet(s"$path/centroids")
     ivfRerank(assign, ivfProbes(queries, cents, nProbe), k)
+  }
+
+  /**
+   * DELETE from a [[buildAnnIndex]] layout — the index-maintenance
+   * bookend [[appendAnnIndex]] leaves open (append grows lists in
+   * O(|delta|); this shrinks them in O(|deletes|)): deleted vec_ids are
+   * appended to a TOMBSTONE set beside the lists, and every subsequent
+   * [[searchAnnIndexed]] anti-joins candidates against it before the
+   * re-rank. No cell file is read or rewritten — at 100 TB a delete is
+   * a metadata write, not an O(|corpus|) list rewrite.
+   *
+   * FROZEN-QUANTIZER SEMANTICS (the q100 contract's delete mirror):
+   * deleting a vector removes it as a CANDIDATE but never unseats the
+   * centroid derived from it — cell ids, assignments, and probe order
+   * are build-time constants, so search-after-delete equals the direct
+   * IVF search over (corpus ∖ deletes) with the ORIGINAL centroid set
+   * (q223's oracle). Tombstones accumulate until [[compactAnnIndex]]
+   * folds them into the lists; a [[buildAnnIndex]] rebuild clears them.
+   */
+  def deleteFromAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      deletes: DataFrame,
+      path: String): Unit =
+    deletes.select(col("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /**
+   * COMPACT a tombstoned [[buildAnnIndex]] layout: rewrite the cell
+   * lists without the tombstoned rows and clear the tombstone set —
+   * the explicit O(|corpus|) pass that keeps the probe-time anti-join
+   * small. Run it when |tombstones|/|corpus| crosses a policy bound
+   * (it is a cost decision, so the trigger stays with the caller).
+   * Answer-invariant BY CONSTRUCTION — searches read (lists ∖
+   * tombstones) either way — and pinned by q223b sharing q223's
+   * oracle. The rewrite lands in a staging directory first and swaps
+   * in atomically-per-directory, so a concurrent reader sees the old
+   * lists or the new, never a half-written mix.
+   */
+  def compactAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (!pathExists(spark, s"$path/tombstones")) return
+    val live = spark.read.parquet(s"$path/cells")
+      .join(broadcast(spark.read.parquet(s"$path/tombstones")),
+        Seq("vec_id"), "left_anti")
+    live.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells_compacting")
+    val fs = hadoopFs(spark, path)
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    fs.delete(cells, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells_compacting"), cells)
+    deletePath(spark, s"$path/tombstones")
+  }
+
+  private def hadoopFs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def pathExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    hadoopFs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  private def deletePath(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    hadoopFs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+
+  /**
+   * FILTERED ANN — approximate top-k restricted to corpus vectors
+   * satisfying a metadata predicate (the production "vector search
+   * with a metadata filter" ask: a label, a source, a date range).
+   * The coarse quantizer is the FULL corpus's — the filter changes
+   * per query batch, the index does not — and the predicate prunes
+   * the CANDIDATE side only: probes rank cells in full centroid
+   * space, and cell members failing the filter drop before the exact
+   * re-rank. Assignment is per-row (argmax against the broadcast
+   * centroid set), so filtering before assignment — what this direct
+   * path does — yields the same candidate set as filtering the
+   * materialized lists at probe time, which is where the predicate
+   * lands on a [[buildAnnIndex]] layout (metadata columns live beside
+   * the vector in the cell files; the filter pushes into the
+   * partitioned scan).
+   *
+   * RECALL CAVEAT (the filtered-search trade): a probed cell
+   * contributes only its surviving members, so at selectivity s the
+   * candidate pool shrinks to ~s·nProbe·(n/stride) vectors — when
+   * that dips under k the result UNDERFILLS rather than silently
+   * widening the probe set (deterministic output beats hidden
+   * retries). Widen `nProbe` for rare predicates, or brute-force the
+   * filtered slice when s·n is small enough to scan exactly; q222b
+   * records the achieved recall at this corpus's ~10% selectivity.
+   */
+  def ivfCosineTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      filter: Column,
+      k: Int,
+      stride: Int = 100,
+      nProbe: Int = 2): DataFrame = {
+    val cents = ivfCentroids(normed(corpus), stride)
+    ivfRerank(ivfAssign(normed(corpus.where(filter)), cents),
+      ivfProbes(queries, cents, nProbe), k)
   }
 
   /**

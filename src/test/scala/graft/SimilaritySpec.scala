@@ -310,6 +310,73 @@ class SimilaritySpec extends SparkSpec {
     cells.select("vec_id").distinct().count() shouldBe e.count()
   }
 
+  test("ivfCosineTopKFiltered: only surviving candidates, exact scores, underfill") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val got = Similarity.ivfCosineTopKFiltered(e, q, col("label") === 1,
+      k = 10, stride = 100, nProbe = 2).collect()
+    got.length should be > 0
+    val allowed = e.where(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got.foreach(r => allowed should contain(r.getAs[Long]("n_vec_id")))
+    // scores are the exact cosine — the filter prunes candidates, never
+    // changes arithmetic
+    val exact = Similarity.cosineTopK(e, q, k = Int.MaxValue - 1).collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    got.foreach { r =>
+      exact((r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))) shouldBe
+        r.getAs[Double]("cos") +- 1e-12
+    }
+    // a rare predicate UNDERFILLS (deterministic output, no hidden probe
+    // widening): 3 surviving vectors can fill at most 3 of k=10 slots
+    val rare = Similarity.ivfCosineTopKFiltered(e, q,
+      col("label") === 1 && col("vec_id") < 40, k = 10, stride = 100, nProbe = 2)
+    val perQuery = rare.groupBy("q_vec_id").count().collect()
+    val nRare = e.where(col("label") === 1 && col("vec_id") < 40).count()
+    perQuery.foreach(r => r.getAs[Long]("count") should be <= nRare)
+  }
+
+  test("deleteFromAnnIndex: tombstoned rows stop being candidates, cells survive") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_delete_spec"
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    // vec_id ≡ 2 mod 4 deletes centroid 200's source vector too — the
+    // frozen-quantizer semantic: the CELL survives, the vector does not
+    val dead = pmod(col("vec_id"), lit(4)) === 2
+    Similarity.deleteFromAnnIndex(spark, e.where(dead), idx)
+    val got = Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)
+    val deadIds = e.where(dead).select("vec_id").collect().map(_.getLong(0)).toSet
+    got.collect().foreach(r => deadIds should not contain r.getAs[Long]("n_vec_id"))
+    // search-after-delete ≡ the direct filtered IVF path with the FULL
+    // corpus's centroids (the q223 oracle contract, pinned engine-side)
+    rowsOf(got) shouldBe rowsOf(Similarity.ivfCosineTopKFiltered(
+      e, q, !dead, k = 10, stride = 100, nProbe = 2))
+  }
+
+  test("compactAnnIndex folds tombstones answer-invariantly; rebuild clears them") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec"
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    val before = rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    Similarity.compactAnnIndex(spark, idx)
+    // answers identical, tombstone set gone, lists physically shrunk
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe before
+    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    spark.read.parquet(s"$idx/cells").count() shouldBe
+      e.where(col("vec_id") % 4 =!= 2).count()
+    // a REBUILD supersedes pending deletes: tombstones never leak across
+    // builds into an index that reuses the ids
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 1), idx)
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2))
+  }
+
   test("embedding hot-bucket guard skips degenerate buckets observably") {
     val s = spark
     import s.implicits._
