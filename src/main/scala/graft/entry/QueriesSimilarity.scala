@@ -363,6 +363,22 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // FILTERED probe of the MATERIALIZED index: the build stores label
+    // beside the vectors, the predicate pushes into the cell-file scan
+    // (PushedFilters — pinned in SimilaritySpec). Shares q222's oracle
+    // verbatim: the indexed filtered path must reproduce the direct one.
+    "q222c_ann_filtered_indexed" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_fidx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100, metaCols = Seq("label"))
+      Similarity.searchAnnIndexedFiltered(s, idx, e.where(col("vec_id") < 5),
+          col("label") === 1, k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
     // INDEX DELETE: build on the full corpus, tombstone vec_id ≡ 2 mod 4
     // (which deletes centroid 200's SOURCE VECTOR — the frozen-quantizer
     // semantic is in the gate: the centroid survives, its vector stops
@@ -1099,6 +1115,10 @@ private[graft] object QueriesSimilarity {
         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
         |ORDER BY q_vec_id""".stripMargin,
+
+
+    // Indexed filtered probe reproduces the direct filtered path.
+    "q222c_ann_filtered_indexed" -> ivfTopKSqlWith("TRUE", "n.label = 1"),
 
 
     // Delete contract: direct IVF over (corpus ∖ tombstones) with the

@@ -369,9 +369,11 @@ object Similarity {
    * `nProbe` nearest cells and exact-cosine re-rank only those cells'
    * members, cutting the scan to ~nProbe/k of the corpus.
    */
-  /** (vec_id, emb, nrm) with double-cast embedding and materialized norm. */
-  private def normed(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+  /** (vec_id, emb, nrm[, metaCols…]) with double-cast embedding and
+    * materialized norm. */
+  private def normed(df: DataFrame, metaCols: Seq[String] = Nil): DataFrame =
+    df.select(col("vec_id") +: asDouble(col("embedding")).as("emb") +:
+        metaCols.map(col): _*)
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
 
   /** Deterministic IVF coarse quantizer: every stride-th vector is a
@@ -385,12 +387,16 @@ object Similarity {
     * the ONE assignment definition shared by the direct path and the
     * materialized index, so index probes reproduce `ivfCosineTopK`
     * bit-for-bit. */
-  private def ivfAssign(n: DataFrame, cents: DataFrame): DataFrame =
+  private def ivfAssign(
+      n: DataFrame, cents: DataFrame, metaCols: Seq[String] = Nil): DataFrame = {
+    val aggs = first(col("nrm")).as("nrm") +:
+      max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell") +:
+      metaCols.map(m => first(col(m)).as(m))
     n.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
       .groupBy(col("vec_id"))
-      .agg(first(col("emb")).as("emb"), first(col("nrm")).as("nrm"),
-        max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"))
+      .agg(first(col("emb")).as("emb"), aggs: _*)
+  }
 
   /** Top-nProbe cells per query + the query vector/norm carried along. */
   private def ivfProbes(
@@ -441,10 +447,19 @@ object Similarity {
    * 100 TB the index is built once per ingest and each query batch
    * reads a few lists — the file layout IS the index.
    */
-  def buildAnnIndex(corpus: DataFrame, path: String, stride: Int = 100): Unit = {
-    val n = normed(corpus)
+  /** @param metaCols filterable metadata columns (label, source, …)
+    *        stored BESIDE the vector in the cell files — the layout
+    *        that lets [[searchAnnIndexedFiltered]] push its predicate
+    *        into the partitioned scan instead of joining metadata in
+    *        at probe time. */
+  def buildAnnIndex(
+      corpus: DataFrame,
+      path: String,
+      stride: Int = 100,
+      metaCols: Seq[String] = Nil): Unit = {
+    val n = normed(corpus, metaCols)
     val cents = ivfCentroids(n, stride)
-    ivfAssign(n, cents)
+    ivfAssign(n, cents, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     // A rebuild supersedes any pending deletes: the tombstone set names
@@ -471,7 +486,12 @@ object Similarity {
       delta: DataFrame,
       path: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
-    ivfAssign(normed(delta), cents)
+    // metadata layout is a property of the INDEX, not the call: derive
+    // the stored meta columns from the persisted schema so appends can
+    // never silently drop (or add) columns the build chose
+    val metaCols = spark.read.parquet(s"$path/cells").columns.toSeq
+      .filterNot(Set("vec_id", "emb", "nrm", "cell"))
+    ivfAssign(normed(delta, metaCols), cents, metaCols)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -497,6 +517,39 @@ object Similarity {
     // never reach the re-rank (see deleteFromAnnIndex). The anti-join is
     // broadcast — a tombstone set is |deletes-since-compaction| ids, kept
     // small by compacting when the deleted fraction grows.
+    val assign =
+      if (pathExists(spark, s"$path/tombstones"))
+        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+          Seq("vec_id"), "left_anti")
+      else raw
+    val cents = spark.read.parquet(s"$path/centroids")
+    ivfRerank(assign, ivfProbes(queries, cents, nProbe), k)
+  }
+
+  /**
+   * FILTERED probe of a [[buildAnnIndex]] layout — the materialized
+   * twin of [[ivfCosineTopKFiltered]]: the predicate evaluates over
+   * metadata columns the build stored BESIDE the vectors
+   * (`buildAnnIndex(…, metaCols = Seq("label"))`), so it lands in the
+   * cell-file scan as a pushed parquet filter (PushedFilters — pinned
+   * in SimilaritySpec) instead of a metadata join at probe time. At
+   * 100 TB the probe reads nProbe cell directories AND row-group-skips
+   * within them by the predicate's min/max stats — the two prunings
+   * compose. Same frozen definitions as every other probe path:
+   * results equal the direct filtered search over the same corpus
+   * (q222c shares q222's oracle verbatim). Tombstones are honored
+   * before the re-rank like [[searchAnnIndexed]].
+   */
+  def searchAnnIndexedFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      filter: Column,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val raw = spark.read.parquet(s"$path/cells")
+      .where(filter)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
     val assign =
       if (pathExists(spark, s"$path/tombstones"))
         raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
@@ -584,9 +637,9 @@ object Similarity {
    * centroid set), so filtering before assignment — what this direct
    * path does — yields the same candidate set as filtering the
    * materialized lists at probe time, which is where the predicate
-   * lands on a [[buildAnnIndex]] layout (metadata columns live beside
-   * the vector in the cell files; the filter pushes into the
-   * partitioned scan).
+   * lands on a [[buildAnnIndex]] layout ([[searchAnnIndexedFiltered]]:
+   * metadata columns live beside the vector in the cell files and the
+   * filter pushes into the partitioned scan).
    *
    * RECALL CAVEAT (the filtered-search trade): a probed cell
    * contributes only its surviving members, so at selectivity s the

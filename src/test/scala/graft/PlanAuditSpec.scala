@@ -44,6 +44,16 @@ class PlanAuditSpec extends SparkSpec {
     "q171b_int8_recall", // the int8 scan + q15's exact recall denominator
     "q100_ann_index_append", // q26's centroid broadcast cross (assign +
                              // probe), same as q82
+    "q222_ann_filtered", // q26's centroid broadcast cross over the
+                         // filtered candidate side
+    "q222b_ann_filtered_recall", // filtered IVF + q15's exact side over
+                                 // the filtered slice (the q26b shape)
+    "q222c_ann_filtered_indexed", // q82's probe-side centroid broadcast;
+                                  // the label filter is an equi-scan
+                                  // predicate, not a join
+    "q223_ann_index_delete", // q82's probe-side centroid broadcast (the
+                             // tombstone anti-join is equi on vec_id)
+    "q223b_ann_index_compact", // same probe shape after compaction
     "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin

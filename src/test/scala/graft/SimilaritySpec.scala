@@ -674,6 +674,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("searchAnnIndexedFiltered: equals the direct filtered path, predicate pushed to the scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-index-filtered").toString
+    Similarity.buildAnnIndex(e, path, stride = 100, metaCols = Seq("label"))
+    val indexed = Similarity.searchAnnIndexedFiltered(
+      spark, path, q, col("label") === 1, k = 10, nProbe = 2)
+    rowsOf(indexed) shouldBe rowsOf(Similarity.ivfCosineTopKFiltered(
+      e, q, col("label") === 1, k = 10, stride = 100, nProbe = 2))
+    indexed.count() should be > 0L
+    // the predicate reaches the cell-file scan as a pushed parquet
+    // filter — row groups skip by label min/max, composing with the
+    // DPP cell pruning
+    val plan = indexed.queryExecution.executedPlan.toString
+    withClue(s"plan:\n$plan\n") {
+      assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)"),
+        "label predicate not pushed into the cells scan")
+    }
+    // appends inherit the INDEX's metadata layout (derived from the
+    // persisted schema, never re-specified) and stay batching-invariant
+    // under the filtered probe
+    def grow(deltas: Seq[org.apache.spark.sql.DataFrame]) = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ann-index-filtered-grow").toString
+      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), p,
+        stride = 100, metaCols = Seq("label"))
+      deltas.foreach(d => Similarity.appendAnnIndex(spark, d, p))
+      p
+    }
+    val d1 = e.where(col("vec_id") >= 400 && col("vec_id") < 450)
+    val d2 = e.where(col("vec_id") >= 450)
+    val oneShot = grow(Seq(d1.unionByName(d2)))
+    val batched = grow(Seq(d1, d2))
+    val grownRows = rowsOf(Similarity.searchAnnIndexedFiltered(
+      spark, batched, q, col("label") === 1, k = 10, nProbe = 2))
+    grownRows shouldBe rowsOf(Similarity.searchAnnIndexedFiltered(
+      spark, oneShot, q, col("label") === 1, k = 10, nProbe = 2))
+    grownRows should not be empty
+    spark.read.parquet(s"$batched/cells").columns should contain("label")
+    // appended rows carry real labels, not nulls — the filtered probe
+    // can surface a delta-only vector
+    spark.read.parquet(s"$batched/cells")
+      .where(col("vec_id") >= 400 && col("label").isNull)
+      .count() shouldBe 0L
+  }
+
   test("embeddingHealth flags null/NaN/zero/dead-dim pathologies and the norm envelope") {
     val s = spark
     import s.implicits._
