@@ -1189,6 +1189,53 @@ object StreamingOps {
   }
 
   /**
+   * Streaming EMBEDDING-space decontamination screen — the live twin
+   * of [[graft.operators.Similarity.embeddingContamination]], flagging
+   * paraphrased eval leakage AT INGEST (the n-gram
+   * [[contaminationScreen]] catches verbatim overlap; this catches the
+   * semantic kind): each arriving (vec_id, embedding) row is scored
+   * against every benchmark vector and emits its max benchmark cosine
+   * plus the verdict.
+   *
+   * Stateless and append-safe with NO driver action: the batch tier's
+   * "bench sets are eval-sized, so broadcast" argument bounds a
+   * 1-row static frame equally well — the bench vectors aggregate into
+   * ONE array-of-structs row that a broadcast stream-static join
+   * carries onto every arrival, and the max-cosine reduction is an
+   * array expression on that one row (the mediaNearDupScreen carried-
+   * array recipe, sidestepping the update-mode groupBy the batch
+   * shape would need). Same arithmetic as batch — per-pair round-6
+   * cosine, max after rounding, self-id pairs excluded — so
+   * StreamingSpec pins EQUALITY, not tolerance; like the batch tier,
+   * an arrival with no scoreable bench partner (only its own id)
+   * emits nothing. Bench refresh = restart (the blue/green shape).
+   */
+  def embeddingContaminationScreen(
+      embs: DataFrame,
+      bench: DataFrame,
+      tau: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    def asDouble(c: Column): Column = c.cast("array<double>")
+    val benchRow = bench
+      .select(col("vec_id").as("q_vec_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+      .agg(collect_list(
+        struct(col("q_vec_id"), col("q_emb"), col("q_nrm"))).as("_bench"))
+    val n = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("_emb"))
+      .withColumn("_nrm", sqrt(dotProduct(col("_emb"), col("_emb"))))
+    n.crossJoin(broadcast(benchRow))
+      .withColumn("max_cos", array_max(transform(
+        filter(col("_bench"), b => b.getField("q_vec_id") =!= col("vec_id")),
+        b => round(dotProduct(b.getField("q_emb"), col("_emb")) /
+          (b.getField("q_nrm") * col("_nrm")), 6))))
+      .where(col("max_cos").isNotNull)
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= tau).as("contaminated"))
+  }
+
+  /**
    * Streaming KL-NOVELTY screen — the row-local twin of
    * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
    * is scored against the FROZEN reference unigram distribution,
@@ -1801,12 +1848,26 @@ object StreamingOps {
     graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketDocs > 0,
       s"maxBucketDocs must be positive, got $maxBucketDocs")
-    val mask = (1L << bandBits) - 1
-    def bandVal(h: Column, b: Int): Column =
-      shiftright(h, bandBits * b).bitwiseAND(lit(mask))
     // static per-bucket candidate arrays (hot buckets dropped whole)
     val idx = precomputedIndex.getOrElse(
       mediaNearDupIndex(historyHashes, maxBucketDocs, nBands, bandBits))
+    mediaScreenCore(hashes, idx, maxDist, nBands, bandBits)
+  }
+
+  /** The probe body shared by [[mediaNearDupScreen]] (derived or
+    * passed index) and [[mediaNearDupScreenFromState]] (persisted
+    * artifact): ≤ nBands stream-static 1:≤1 left joins carry the
+    * candidate arrays onto the one stream row, then a row-local
+    * min-(hamming, id) reduction — no state store, no watermark. */
+  private def mediaScreenCore(
+      hashes: DataFrame,
+      idx: DataFrame,
+      maxDist: Int,
+      nBands: Int,
+      bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    def bandVal(h: Column, b: Int): Column =
+      shiftright(h, bandBits * b).bitwiseAND(lit(mask))
     // ≤ nBands stream-static 1:≤1 left joins — one probe per band key
     val probed = (0 until nBands).foldLeft(
       hashes.select(col("asset_id"), col("ahash"))) { (cur, b) =>
@@ -1860,6 +1921,220 @@ object StreamingOps {
       .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
       .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))
       .where(size(col("cands")) <= maxBucketDocs)
+  }
+
+  /**
+   * Streaming WINDOW-level media near-dup screen — the live twin of
+   * [[graft.multimodal.Multimodal.ahashWindowNearDupAgainst]], closing
+   * the long-media gap the whole-asset [[mediaNearDupScreen]] leaves
+   * open (an arriving hour-long clip that reuses thirty seconds of
+   * history footage never matches on its whole-stream hash): each
+   * arriving WINDOW row (from `audioAHashWindows` /
+   * `videoAHashSegments`, stateless typed maps that run on streams
+   * as-is; rename `segment_id` → `window_id` for the video tier)
+   * probes a static per-bucket index of the HISTORY's window hashes
+   * and emits ONE ROW PER QUALIFYING (arriving window × history
+   * window) PAIR — the complete match evidence, computed row-locally.
+   *
+   * Append-mode STATELESS by the same construction as
+   * [[mediaNearDupScreen]]: ≤ nBands stream-static 1:≤1 joins carry
+   * the candidate arrays onto the window row, the hamming filter and
+   * the multi-band dedup (`array_distinct` — a candidate sharing
+   * several bands appears in several carried arrays) are array
+   * expressions on that one row, and the explode emits matched pairs
+   * only. The ASSET-level verdict (q220c's (asset_id, match_id,
+   * min_hamming, n_window_hits) shape) is a plain batch rollup over
+   * the emitted pairs — a streaming groupBy across an asset's windows
+   * would drag in update-mode state for a reduction the sink query
+   * does for free; StreamingSpec pins that composition row-identical
+   * to the batch operator. Hot buckets are a HISTORY property, dropped
+   * WHOLE at index build (the batch guard); delta windows never meet
+   * each other (history-only probes — the batch contract).
+   *
+   * @param windows streaming (asset_id, window_id, ahash) window rows
+   * @param historyWindows static window rows of the same shape
+   * @param precomputedIndex a persisted [[mediaWindowNearDupIndex]]
+   *        built from the SAME (historyWindows, maxBucketDocs,
+   *        nBands, bandBits) — without it the index re-derives inside
+   *        each of the nBands stream-static joins on every
+   *        micro-batch; fine for tests, wrong for production
+   * @return streaming (asset_id, window_id, match_id,
+   *         match_window_id, hamming) — one row per qualifying pair
+   */
+  def mediaWindowNearDupScreen(
+      windows: DataFrame,
+      historyWindows: DataFrame,
+      maxDist: Int = 6,
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
+      precomputedIndex: Option[DataFrame] = None,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, maxDist)
+    require(maxBucketDocs > 0,
+      s"maxBucketDocs must be positive, got $maxBucketDocs")
+    val idx = precomputedIndex.getOrElse(mediaWindowNearDupIndex(
+      historyWindows, maxBucketDocs, nBands, bandBits))
+    mediaWindowScreenCore(windows, idx, maxDist, nBands, bandBits)
+  }
+
+  /** The probe body shared by [[mediaWindowNearDupScreen]] and
+    * [[mediaWindowNearDupScreenFromState]]: per arriving window row,
+    * ≤ nBands 1:≤1 joins + row-local filter/dedup/explode of the
+    * qualifying history-window pairs. */
+  private def mediaWindowScreenCore(
+      windows: DataFrame,
+      idx: DataFrame,
+      maxDist: Int,
+      nBands: Int,
+      bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    def bandVal(h: Column, b: Int): Column =
+      shiftright(h, bandBits * b).bitwiseAND(lit(mask))
+    val probed = (0 until nBands).foldLeft(
+      windows.select(col("asset_id"), col("window_id"), col("ahash"))) {
+      (cur, b) =>
+        cur.join(
+          idx.where(col("band") === b.toLong)
+            .select(col("band_bits").as(s"_ibb$b"), col("cands").as(s"_c$b")),
+          bandVal(col("ahash"), b) === col(s"_ibb$b"), "left")
+          .drop(s"_ibb$b")
+    }
+    val cands = flatten(array_compact(
+      array((0 until nBands).map(b => col(s"_c$b")): _*)))
+    val hits = array_distinct(transform(
+      filter(cands, c =>
+        bit_count(col("ahash").bitwiseXOR(c.getField("hh"))) <= maxDist),
+      c => struct(
+        c.getField("mid").as("match_id"),
+        c.getField("mwid").as("match_window_id"),
+        bit_count(col("ahash").bitwiseXOR(c.getField("hh"))).cast("long")
+          .as("hamming"))))
+    probed
+      .select(col("asset_id"), col("window_id"), explode(hits).as("_h"))
+      .select(col("asset_id"), col("window_id"),
+        col("_h.match_id").as("match_id"),
+        col("_h.match_window_id").as("match_window_id"),
+        col("_h.hamming").as("hamming"))
+  }
+
+  /** The static per-bucket candidate index behind
+    * [[mediaWindowNearDupScreen]] — [[mediaNearDupIndex]] with window
+    * identity carried: (band, band_bits) → array⟨(mid, mwid, hh)⟩,
+    * hot buckets (> maxBucketDocs WINDOW rows — the batch tier counts
+    * window rows too) dropped whole at build. Build once per history
+    * snapshot, persist (or write), pass back via `precomputedIndex`. */
+  def mediaWindowNearDupIndex(
+      historyWindows: DataFrame,
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, 0)
+    require(maxBucketDocs > 0,
+      s"maxBucketDocs must be positive, got $maxBucketDocs")
+    val mask = (1L << bandBits) - 1
+    historyWindows
+      .select(col("asset_id").as("mid"), col("window_id").as("mwid"),
+        col("ahash").as("hh"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"),
+            shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
+              .as("band_bits"))): _*)).as("e"))
+      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
+      .agg(collect_list(struct(col("mid"), col("mwid"), col("hh"))).as("cands"))
+      .where(size(col("cands")) <= maxBucketDocs)
+  }
+
+  /**
+   * The persisted stream-start STATE for the whole-asset media screen —
+   * the [[ingestState]] convention in hash space: ONE parquet-writable
+   * frame carrying the [[mediaNearDupIndex]] rows (`section = "index"`)
+   * plus ONE meta row (`section = "meta"`) with the BAND-LAYOUT
+   * PARAMETERS (nBands;bandBits) the index was built with. Band keys
+   * are a property of how the state was built, so
+   * [[mediaNearDupScreenFromState]] reads them FROM the artifact
+   * instead of trusting the caller to repeat them — a mismatched
+   * layout would compute probe keys that silently miss every bucket,
+   * the exact class of quiet wrongness the repo kills loudly. Build
+   * once per history snapshot, write/persist, start any number of
+   * streams from it; raw history is scanned at build time only.
+   */
+  def mediaScreenState(
+      historyHashes: DataFrame,
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame =
+    screenStateOf(
+      mediaNearDupIndex(historyHashes, maxBucketDocs, nBands, bandBits),
+      nBands, bandBits)
+
+  /** [[mediaScreenState]] for the WINDOW tier: packages
+    * [[mediaWindowNearDupIndex]] rows + the layout meta row; start
+    * streams with [[mediaWindowNearDupScreenFromState]]. */
+  def mediaWindowScreenState(
+      historyWindows: DataFrame,
+      maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): DataFrame =
+    screenStateOf(
+      mediaWindowNearDupIndex(historyWindows, maxBucketDocs, nBands, bandBits),
+      nBands, bandBits)
+
+  /** The PRODUCTION stream start for [[mediaNearDupScreen]]: index AND
+    * band layout load from one persisted [[mediaScreenState]] artifact;
+    * only the stream-side semantic knob (maxDist) remains an argument,
+    * validated against the artifact's layout (the pigeonhole
+    * contract). Driver-side action: the 1-row meta read. */
+  def mediaNearDupScreenFromState(
+      hashes: DataFrame,
+      state: DataFrame,
+      maxDist: Int = 6): DataFrame = {
+    val (idx, nBands, bandBits) = screenStateParams(state)
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, maxDist)
+    mediaScreenCore(hashes, idx, maxDist, nBands, bandBits)
+  }
+
+  /** The PRODUCTION stream start for [[mediaWindowNearDupScreen]] —
+    * [[mediaNearDupScreenFromState]]'s window-tier twin over a
+    * persisted [[mediaWindowScreenState]] artifact. */
+  def mediaWindowNearDupScreenFromState(
+      windows: DataFrame,
+      state: DataFrame,
+      maxDist: Int = 6): DataFrame = {
+    val (idx, nBands, bandBits) = screenStateParams(state)
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, maxDist)
+    mediaWindowScreenCore(windows, idx, maxDist, nBands, bandBits)
+  }
+
+  /** Section-tagged union of index rows + the one layout meta row —
+    * the artifact shape both media-screen states share. */
+  private def screenStateOf(
+      idx: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val spark = idx.sparkSession
+    val indexRows = idx.select(lit("index").as("section"), col("band"),
+      col("band_bits"), col("cands"), lit(null).cast("string").as("meta"))
+    val metaRow = spark.range(1).select(lit("meta").as("section"),
+      lit(null).cast("long").as("band"),
+      lit(null).cast("long").as("band_bits"),
+      lit(null).cast(idx.schema("cands").dataType).as("cands"),
+      lit(s"nBands=$nBands;bandBits=$bandBits").as("meta"))
+    indexRows.unionByName(metaRow)
+  }
+
+  /** Parse a media-screen state artifact: the index rows plus the
+    * derivation parameters from the meta row; a frame without exactly
+    * one meta row fails loudly at construction. */
+  private def screenStateParams(state: DataFrame): (DataFrame, Int, Int) = {
+    val metaRows = state.where(col("section") === "meta")
+      .select(col("meta")).collect()
+    require(metaRows.length == 1,
+      s"media screen state artifact must carry exactly one meta row, " +
+        s"found ${metaRows.length} — was this frame built by " +
+        "mediaScreenState / mediaWindowScreenState?")
+    val params = metaRows(0).getString(0).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    val idx = state.where(col("section") === "index")
+      .select(col("band"), col("band_bits"), col("cands"))
+    (idx, params("nBands"), params("bandBits"))
   }
 
   /**

@@ -1535,6 +1535,182 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet shouldBe batchWide
     } finally q3.stop()
+
+    // PRODUCTION stream start: one persisted mediaScreenState artifact
+    // (parquet roundtrip) carries index + band layout; FromState takes
+    // no layout args and no history, and streams identically
+    val stDir = java.nio.file.Files
+      .createTempDirectory("graft-media-state").toString
+    StreamingOps.mediaScreenState(histHashes)
+      .write.mode("overwrite").parquet(stDir)
+    val state = StreamingSpec.this.spark.read.parquet(stDir)
+    val input4 = MemoryStream[(Long, Long)]
+    val q4 = StreamingOps.mediaNearDupScreenFromState(
+        input4.toDF().toDF("asset_id", "ahash"), state)
+      .writeStream.format("memory").queryName("media_screen_state")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input4.addData(deltaHashes.toIndexedSeq: _*)
+      q4.processAllAvailable()
+      StreamingSpec.this.spark.table("media_screen_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet shouldBe batch
+    } finally q4.stop()
+    // a frame that is NOT a state artifact (no meta row) fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.mediaNearDupScreenFromState(
+        StreamingSpec.this.spark.range(1)
+          .selectExpr("id as asset_id", "id as ahash"),
+        state.where(col("section") =!= "meta"))
+  }
+
+  test("streaming mediaWindowNearDupScreen: pair evidence rolls up to the batch verdict") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+
+    // the MultimodalSpec shared-segment fixture: two clips reusing a
+    // window-aligned span of a history clip, one unrelated
+    val shared = "a shared jingle segment that both clips reuse yes " * 2
+    val histA = ("intro of clip a " * 4) + shared + ("outro a " * 8)
+    val histC = "completely unrelated audio content with nothing shared " * 4
+    def corpusDf(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => i.toString -> t }.toDF("doc", "line")
+    val histWindows = Multimodal.audioAHashWindows(
+      Multimodal.encodeAssets(corpusDf(Seq(1L -> histA, 7L -> histC))),
+      windowSamples = 64)
+    // ids ≡ 1 (mod 3): encodeAssets' audio modality slot
+    val deltaRows = Seq(
+      301L -> (("b opening here! " * 8) + shared + ("its own end " * 6)),
+      304L -> ("fresh arrival with no reused footage at all here " * 3),
+      307L -> histC, // whole-history copy: every window matches
+      310L -> histC) // delta-delta dup of 307: must stay SILENT between them
+    val deltaWindows = Multimodal.audioAHashWindows(
+      Multimodal.encodeAssets(corpusDf(deltaRows)), windowSamples = 64)
+    val batch = Multimodal.ahashWindowNearDupAgainst(deltaWindows, histWindows)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val deltaTuples = deltaWindows
+      .select(col("asset_id"), col("window_id"), col("ahash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toIndexedSeq
+
+    def rollup(rows: Array[(Long, Long, Long, Long, Long)]) =
+      rows.groupBy(r => (r._1, r._3)).map { case ((aid, mid), g) =>
+        (aid, mid, g.map(_._5).min, g.size.toLong)
+      }.groupBy(_._1).map { case (_, verdicts) =>
+        verdicts.minBy(v => (v._3, v._2)) // closest asset: (min hamming, id)
+      }.toSet
+
+    def run(name: String)(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = mk(input.toDF().toDF("asset_id", "window_id", "ahash"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(deltaTuples: _*)
+        q.processAllAvailable()
+        StreamingSpec.this.spark.table(name).collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      } finally q.stop()
+    }
+
+    val got = run("media_window_screen")(
+      StreamingOps.mediaWindowNearDupScreen(_, histWindows))
+    got should not be empty
+    // per-pair evidence: qualifying distance, history-side matches only
+    got.foreach { case (_, _, mid, _, d) =>
+      Set(1L, 7L) should contain(mid); d should be <= 6L
+    }
+    // the delta-delta dup pair (307, 310) never pairs — history-only probes
+    got.map(_._1).toSet should contain allOf (301L, 307L, 310L)
+    // the batch asset verdict is a plain rollup over the emitted pairs
+    rollup(got) shouldBe batch
+    // production shape: a PERSISTED prebuilt index streams identically
+    val idx = StreamingOps.mediaWindowNearDupIndex(histWindows).persist()
+    try run("media_window_screen_prebuilt")(
+      StreamingOps.mediaWindowNearDupScreen(_, histWindows,
+        precomputedIndex = Some(idx))).toSet shouldBe got.toSet
+    finally idx.unpersist()
+
+    // PRODUCTION stream start: the state ARTIFACT round-trips through
+    // parquet and carries its own band layout — FromState takes no
+    // layout args and no history
+    val stDir = java.nio.file.Files
+      .createTempDirectory("graft-media-window-state").toString
+    StreamingOps.mediaWindowScreenState(histWindows)
+      .write.mode("overwrite").parquet(stDir)
+    val state = spark.read.parquet(stDir)
+    run("media_window_screen_state")(
+      StreamingOps.mediaWindowNearDupScreenFromState(_, state))
+      .toSet shouldBe got.toSet
+    // a frame that is NOT a state artifact (no meta row) fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.mediaWindowNearDupScreenFromState(
+        spark.range(1).selectExpr("id as asset_id", "id as window_id",
+          "id as ahash"),
+        state.where(col("section") =!= "meta"))
+    // a maxDist past the artifact layout's pigeonhole bound fails loudly
+    val wideDir = java.nio.file.Files
+      .createTempDirectory("graft-media-window-state-wide").toString
+    StreamingOps.mediaWindowScreenState(histWindows, nBands = 4, bandBits = 14)
+      .write.mode("overwrite").parquet(wideDir)
+    val wideState = spark.read.parquet(wideDir)
+    an[IllegalArgumentException] should be thrownBy
+      StreamingOps.mediaWindowNearDupScreenFromState(
+        spark.range(1).selectExpr("id as asset_id", "id as window_id",
+          "id as ahash"),
+        wideState, maxDist = 6)
+    // …and the wide artifact streams at its admissible distance, parity
+    // with the batch tier at the same layout
+    val batchWide = Multimodal.ahashWindowNearDupAgainst(
+        deltaWindows, histWindows, maxDist = 3, nBands = 4, bandBits = 14)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    rollup(run("media_window_screen_state_wide")(
+      StreamingOps.mediaWindowNearDupScreenFromState(_, wideState,
+        maxDist = 3))) shouldBe batchWide
+  }
+
+  test("streaming embeddingContaminationScreen equals the batch decontamination") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = e.where(col("vec_id") < 3)
+    // the stream includes the bench ids themselves — self-id pairs must
+    // be excluded exactly like the batch join condition does
+    val corpus = e.where(col("vec_id") < 40)
+    val batch = Similarity.embeddingContamination(corpus, bench, tau = 0.2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("max_cos"),
+        r.getAs[Boolean]("contaminated"))).toSet
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.embeddingContaminationScreen(
+        input.toDF().toDF("vec_id", "embedding"), bench, tau = 0.2)
+      .writeStream.format("memory").queryName("emb_contam_screen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = StreamingSpec.this.spark.table("emb_contam_screen").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("max_cos"),
+          r.getAs[Boolean]("contaminated"))).toSet
+      got shouldBe batch // EXACT equality — same round-6 arithmetic
+      got should not be empty
+      // tau sits inside the observed cosine range: both verdicts occur
+      got.count(_._3) should be > 0
+      got.count(!_._3) should be > 0
+    } finally q.stop()
   }
 
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
