@@ -398,6 +398,20 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // INDEX OBSERVABILITY: per-cell list balance + tombstone debt after
+    // the q223 delete — the table a compaction policy reads. Oracle
+    // recomputes the assignment distribution from the shared IVF chain.
+    "q224_ann_index_stats" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_stats_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s,
+        e.where(pmod(col("vec_id"), lit(4)) === 2), idx)
+      Similarity.annIndexStats(s, idx).orderBy(col("cell"))
+    }),
+
+
     // COMPACTION answer-invariance: same build + delete as q223, but the
     // tombstones are folded into the lists (rewrite + swap + clear)
     // before the probe — shares q223's oracle verbatim, so a compaction
@@ -1130,6 +1144,18 @@ private[graft] object QueriesSimilarity {
     // Compaction shares the delete oracle verbatim — folding tombstones
     // into the lists must be invisible to queries.
     "q223b_ann_index_compact" -> ivfTopKSqlWith("TRUE", "n.vec_id % 4 <> 2"),
+
+
+    // Index stats: the assignment distribution recomputed from the
+    // shared IVF chain, tombstone debt = the q223 delete set.
+    "q224_ann_index_stats" ->
+      s"""WITH ${ivfRankedCtes("TRUE")}
+        |SELECT cell, count(*)::BIGINT AS n_vecs,
+        |       sum(CASE WHEN vec_id % 4 = 2 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_tombstoned,
+        |       (count(*) - sum(CASE WHEN vec_id % 4 = 2 THEN 1 ELSE 0 END))
+        |         ::BIGINT AS n_live
+        |FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
 
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine

@@ -591,9 +591,14 @@ object Similarity {
    * (it is a cost decision, so the trigger stays with the caller).
    * Answer-invariant BY CONSTRUCTION — searches read (lists ∖
    * tombstones) either way — and pinned by q223b sharing q223's
-   * oracle. The rewrite lands in a staging directory first and swaps
-   * in atomically-per-directory, so a concurrent reader sees the old
-   * lists or the new, never a half-written mix.
+   * oracle. The rewrite lands in a staging directory first, then two
+   * directory renames swap it in — a reader never sees a HALF-WRITTEN
+   * mix of old and new rows, but a reader racing the swap itself can
+   * catch the instant between the renames and fail its scan (retry;
+   * true snapshot isolation across a rewrite is a table-format
+   * concern, not something two FS renames can provide — run
+   * compaction in the same maintenance window as any other
+   * rewrite-in-place op here, e.g. Merge.compactionPlan execution).
    */
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -606,9 +611,41 @@ object Similarity {
       .parquet(s"$path/cells_compacting")
     val fs = hadoopFs(spark, path)
     val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    fs.delete(cells, true)
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells_old")
+    fs.rename(cells, old)
     fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells_compacting"), cells)
+    fs.delete(old, true)
     deletePath(spark, s"$path/tombstones")
+  }
+
+  /**
+   * Index OBSERVABILITY — the per-cell balance + tombstone-debt table
+   * a [[buildAnnIndex]] operator needs read before deciding anything
+   * (the data-card / `lshBucketHistogram` convention: metrics emitted,
+   * not just a verdict): one row per inverted list with its total,
+   * tombstoned, and live member counts. The two production reads:
+   * LIST SKEW (max/median n_live — probe latency is the hottest
+   * probed cell's scan, so a degenerate quantizer shows up here
+   * before it shows up as a tail) and TOMBSTONE DEBT
+   * (Σ n_tombstoned / Σ n_vecs — the [[compactAnnIndex]] trigger the
+   * caller's policy bound reads). One scan of the cell files (vec_id
+   * + the partition column only — column-pruned), one broadcast
+   * anti-probe of the tombstone set, one cell-keyed aggregation.
+   */
+  def annIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("cell").cast("long"))
+    val tombed =
+      if (pathExists(spark, s"$path/tombstones"))
+        cells.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("vec_id"), lit(1L).as("_t"))), Seq("vec_id"), "left")
+      else cells.withColumn("_t", lit(null).cast("long"))
+    tombed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(col("_t")), lit(0L)).as("n_tombstoned"))
+      .withColumn("n_live", col("n_vecs") - col("n_tombstoned"))
   }
 
   private def hadoopFs(

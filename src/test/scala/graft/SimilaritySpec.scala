@@ -362,12 +362,27 @@ class SimilaritySpec extends SparkSpec {
     Similarity.buildAnnIndex(e, idx, stride = 100)
     Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
     val before = rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    // the observability table reads the debt the policy bound acts on:
+    // totals cover the corpus, tombstone mass = the delete set, live =
+    // the difference — per cell
+    val stats = Similarity.annIndexStats(spark, idx).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_tombstoned"),
+          r.getAs[Long]("n_live")))).toMap
+    stats.values.map(_._1).sum shouldBe e.count()
+    stats.values.map(_._2).sum shouldBe e.where(col("vec_id") % 4 === 2).count()
+    stats.values.foreach { case (n, t, l) => l shouldBe n - t }
     Similarity.compactAnnIndex(spark, idx)
     // answers identical, tombstone set gone, lists physically shrunk
     rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe before
     new java.io.File(s"$idx/tombstones").exists() shouldBe false
     spark.read.parquet(s"$idx/cells").count() shouldBe
       e.where(col("vec_id") % 4 =!= 2).count()
+    // post-compaction stats: debt zero, live totals unchanged
+    val after = Similarity.annIndexStats(spark, idx).collect()
+    after.map(_.getAs[Long]("n_tombstoned")).sum shouldBe 0L
+    after.map(_.getAs[Long]("n_live")).sum shouldBe
+      stats.values.map(_._3).sum
     // a REBUILD supersedes pending deletes: tombstones never leak across
     // builds into an index that reuses the ids
     Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 1), idx)
