@@ -603,17 +603,33 @@ object Similarity {
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells_old")
+    // heal a compaction that crashed BETWEEN the two renames (cells
+    // moved aside, staging never moved in): restore the pre-swap lists
+    // — tombstones are deleted LAST, so they are still present and this
+    // run re-compacts from the restored state
+    if (!fs.exists(cells) && fs.exists(old))
+      require(fs.rename(old, cells),
+        s"could not restore $old to $cells while healing a crashed compaction")
     if (!pathExists(spark, s"$path/tombstones")) return
     val live = spark.read.parquet(s"$path/cells")
       .join(broadcast(spark.read.parquet(s"$path/tombstones")),
         Seq("vec_id"), "left_anti")
     live.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells_compacting")
-    val fs = hadoopFs(spark, path)
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val old = new org.apache.hadoop.fs.Path(s"$path/cells_old")
-    fs.rename(cells, old)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells_compacting"), cells)
+    // every FS mutation is require-checked: Hadoop rename/delete report
+    // failure by RETURN VALUE, and ignoring one here would let the
+    // tombstone delete below run against un-swapped lists — deleted
+    // rows would silently resurrect
+    if (fs.exists(old))
+      require(fs.delete(old, true),
+        s"could not remove stale $old (a previous compaction's leftover)")
+    require(fs.rename(cells, old), s"could not move $cells aside to $old")
+    require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/cells_compacting"), cells),
+      s"could not move compacted lists into $cells")
     fs.delete(old, true)
     deletePath(spark, s"$path/tombstones")
   }

@@ -390,6 +390,19 @@ class SimilaritySpec extends SparkSpec {
     new java.io.File(s"$idx/tombstones").exists() shouldBe false
     rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
       rowsOf(Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2))
+    // crash healing: a compaction that died BETWEEN its two renames
+    // left cells moved aside and tombstones intact — the next
+    // compaction restores, re-compacts, and answers correctly
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    val expected = rowsOf(
+      Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    new java.io.File(s"$idx/cells")
+      .renameTo(new java.io.File(s"$idx/cells_old")) shouldBe true
+    Similarity.compactAnnIndex(spark, idx)
+    new java.io.File(s"$idx/cells_old").exists() shouldBe false
+    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    rowsOf(Similarity.searchAnnIndexed(
+      spark, idx, q, k = 10, nProbe = 2)) shouldBe expected
   }
 
   test("embedding hot-bucket guard skips degenerate buckets observably") {
