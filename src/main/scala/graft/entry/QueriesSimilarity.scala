@@ -398,6 +398,25 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // EMBEDDING-side daily ingest: the vector-store upsert pipeline as
+    // one decision log (exact-dup screen on the array key itself →
+    // decontamination vs the bench slice → keep). Delta = a fresh slice
+    // plus PLANTED copies of history vectors (re-keyed +1000) so the
+    // exact stage has real prey; tau 0.2 sits inside the cosine range
+    // so the contaminated stage fires too.
+    "q225_embedding_ingest" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val hist = e.where(col("vec_id") >= 250)
+      val bench = e.where(col("vec_id") < 5)
+      val delta = e.where(col("vec_id") >= 5 && col("vec_id") < 250)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") >= 400)
+          .select((col("vec_id") - 400 + 1000).as("vec_id"), col("embedding")))
+      Similarity.embeddingIngest(delta, hist, bench, tau = 0.2)
+        .orderBy(col("vec_id"))
+    }),
+
+
     // INDEX OBSERVABILITY: per-cell list balance + tombstone debt after
     // the q223 delete — the table a compaction policy reads. Oracle
     // recomputes the assignment distribution from the shared IVF chain.
@@ -1144,6 +1163,44 @@ private[graft] object QueriesSimilarity {
     // Compaction shares the delete oracle verbatim — folding tombstones
     // into the lists must be invisible to queries.
     "q223b_ann_index_compact" -> ivfTopKSqlWith("TRUE", "n.vec_id % 4 <> 2"),
+
+
+    // Embedding ingest: exact stage = list-equality join vs history,
+    // contamination stage = best bench cosine over exact-screen
+    // survivors ((round-6 cos desc, id) tie-break, >= tau), priority
+    // exact > contaminated > kept, anchors coalesced in that order.
+    "q225_embedding_ingest" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |      FROM e),
+        |delta AS (
+        |  SELECT vec_id, emb, nrm FROM n WHERE vec_id >= 5 AND vec_id < 250
+        |  UNION ALL
+        |  SELECT vec_id - 400 + 1000, emb, nrm FROM n WHERE vec_id >= 400),
+        |hist AS (SELECT * FROM n WHERE vec_id >= 250),
+        |bench AS (SELECT * FROM n WHERE vec_id < 5),
+        |ex AS (SELECT d.vec_id, min(h.vec_id) AS ex_anchor
+        |       FROM delta d JOIN hist h ON d.emb = h.emb GROUP BY 1),
+        |surv AS (SELECT * FROM delta
+        |         WHERE vec_id NOT IN (SELECT vec_id FROM ex)),
+        |ct AS (
+        |  SELECT vec_id, q_vec_id AS ct_anchor FROM (
+        |    SELECT s.vec_id, b.vec_id AS q_vec_id,
+        |           round(list_dot_product(s.emb, b.emb) / (s.nrm * b.nrm), 6)
+        |             AS cos,
+        |           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        |             round(list_dot_product(s.emb, b.emb) / (s.nrm * b.nrm), 6)
+        |               DESC, b.vec_id) AS rn
+        |    FROM surv s JOIN bench b ON b.vec_id <> s.vec_id)
+        |  WHERE rn = 1 AND cos >= 0.2)
+        |SELECT d.vec_id,
+        |       CASE WHEN ex_anchor IS NOT NULL THEN 'dropped_exact'
+        |            WHEN ct_anchor IS NOT NULL THEN 'dropped_contaminated'
+        |            ELSE 'kept' END AS stage,
+        |       coalesce(ex_anchor, ct_anchor) AS anchor
+        |FROM delta d
+        |LEFT JOIN ex USING (vec_id) LEFT JOIN ct USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
 
     // Index stats: the assignment distribution recomputed from the

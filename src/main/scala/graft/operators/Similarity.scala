@@ -874,6 +874,70 @@ object Similarity {
         (col("max_cos") >= tau).as("contaminated"))
   }
 
+  /**
+   * EMBEDDING-side DAILY-INGEST composition —
+   * [[graft.operators.Pipeline.dailyIngest]]'s twin for the vector
+   * table (the vector-store upsert pipeline: exact-dup screen →
+   * decontamination screen → keep): ONE decision-log row per arriving
+   * vector.
+   *
+   *  - `dropped_exact`: the delta vector EQUALS a history vector
+   *    element-wise. The join keys on the double-cast array ITSELF
+   *    (arrays hash and compare exactly in both engines — no
+   *    float-formatting fingerprint to drift); `anchor` = the
+   *    smallest matching history vec_id. At 100 TB key the exchange
+   *    on xxhash64 of the raw vector bytes and confirm on the
+   *    carried array — the Bloom+confirm recipe of the text tier.
+   *  - `dropped_contaminated`: it survived the exact screen but its
+   *    max benchmark cosine reaches `tau`
+   *    ([[embeddingContamination]] semantics — the paraphrased-eval-
+   *    leakage screen); `anchor` = the closest bench vec_id
+   *    ((round-6 cos desc, id) tie-break).
+   *  - `kept`: admitted — compose [[appendAnnIndex]] over the kept
+   *    set for the index side (q100's contract) exactly like the
+   *    text pipeline composes its data-card merge.
+   *
+   * Scale shape: delta ⋈ static history on the array key (never a
+   * self-join); the bench side broadcasts (eval-sized, the q108
+   * argument); contamination is scored for SURVIVORS only; one row
+   * per delta vector BY CONSTRUCTION (left joins off the delta
+   * spine). Live twin: [[graft.streaming.StreamingOps
+   * .embeddingIngestScreen]], parity-pinned in StreamingSpec.
+   *
+   * @param delta   (vec_id, embedding) — the arriving vectors
+   * @param history (vec_id, embedding) — the static corpus
+   * @param bench   (vec_id, embedding) — the benchmark/eval set
+   * @return one row per delta vector: (vec_id, stage, anchor)
+   */
+  def embeddingIngest(
+      delta: DataFrame,
+      history: DataFrame,
+      bench: DataFrame,
+      tau: Double = 0.85): DataFrame = {
+    val d = graft.Caching.persist(normed(delta))
+    val exact = d.select(col("vec_id"), col("emb"))
+      .join(normed(history).select(col("emb"), col("vec_id").as("_h")),
+        Seq("emb"))
+      .groupBy(col("vec_id")).agg(min(col("_h")).as("_ex"))
+    val q = withNorm(bench, "q")
+    val cont = d.join(exact, Seq("vec_id"), "left_anti")
+      .join(broadcast(q), col("q_vec_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6))
+      .where(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("q_vec_id"),
+        struct(col("cos"), -col("q_vec_id"))).as("_ct"))
+    d.select(col("vec_id"))
+      .join(exact, Seq("vec_id"), "left")
+      .join(cont, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("_ex").isNotNull, lit("dropped_exact"))
+          .when(col("_ct").isNotNull, lit("dropped_contaminated"))
+          .otherwise(lit("kept")).as("stage"),
+        coalesce(col("_ex"), col("_ct")).as("anchor"))
+  }
+
   // ── Product quantization (PQ / ADC) ─────────────────────────────────
   //
   // The COMPRESSED-DOMAIN tier (Jégou, Douze, Schmid, "Product

@@ -1236,6 +1236,93 @@ object StreamingOps {
   }
 
   /**
+   * Streaming EMBEDDING-INGEST decision log — the live twin of
+   * [[graft.operators.Similarity.embeddingIngest]] (the vector-store
+   * upsert pipeline: exact-dup screen → decontamination screen →
+   * keep), one row per ARRIVING vector, entirely STATELESS:
+   *
+   *  - exact stage: the arrival's xxhash64 over the double-cast
+   *    vector meets a static index of DISTINCT history vectors in a
+   *    1:≤1 stream-static left join ([[embeddingIngestIndex]] — one
+   *    row per distinct vector, so a million identical history rows
+   *    are ONE index row and there is no hot-bucket concern), and the
+   *    element-wise EQUALITY CONFIRM is a row-local array filter over
+   *    the carried candidates (hash collisions cannot fake a dup);
+   *  - contamination stage: survivors score against the bench set
+   *    carried as ONE broadcast array row (the
+   *    [[embeddingContaminationScreen]] recipe), best match by
+   *    (round-6 cos desc, id) — all row-local array expressions;
+   *  - stage priority exact > contaminated > kept and the coalesced
+   *    anchor mirror the batch log exactly (StreamingSpec pins
+   *    row-identity on a fixture with all three stages populated).
+   *
+   * @param embs streaming (vec_id, embedding)
+   * @param history static (vec_id, embedding)
+   * @param bench static (vec_id, embedding) benchmark/eval set
+   * @param precomputedIndex a persisted [[embeddingIngestIndex]] —
+   *        without it the distinct-vector index re-derives per
+   *        micro-batch join (fine for tests, wrong for production;
+   *        the ingestScreen precomputedIndex convention)
+   * @return streaming (vec_id, stage, anchor) — every arrival emits
+   */
+  def embeddingIngestScreen(
+      embs: DataFrame,
+      history: DataFrame,
+      bench: DataFrame,
+      tau: Double = 0.85,
+      precomputedIndex: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    def asDouble(c: Column): Column = c.cast("array<double>")
+    val idx = precomputedIndex.getOrElse(embeddingIngestIndex(history))
+    val benchRow = bench
+      .select(col("vec_id").as("q_vec_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+      .agg(collect_list(
+        struct(col("q_vec_id"), col("q_emb"), col("q_nrm"))).as("_bench"))
+    val n = embs
+      .select(col("vec_id"), asDouble(col("embedding")).as("_emb"))
+      .withColumn("_nrm", sqrt(dotProduct(col("_emb"), col("_emb"))))
+      .withColumn("_hkey", xxhash64(col("_emb")))
+    val exAnchor = array_min(transform(
+      filter(col("cands"), c => c.getField("hemb") === col("_emb")),
+      c => c.getField("hid")))
+    def cosOf(b: Column): Column = round(
+      dotProduct(b.getField("q_emb"), col("_emb")) /
+        (b.getField("q_nrm") * col("_nrm")), 6)
+    val best = array_max(transform(
+      filter(col("_bench"), b =>
+        b.getField("q_vec_id") =!= col("vec_id") && cosOf(b) >= tau),
+      b => struct(cosOf(b).as("cos"),
+        (-b.getField("q_vec_id")).as("negid"),
+        b.getField("q_vec_id").as("qid"))))
+    n.join(idx.withColumnRenamed("hkey", "_hkey"), Seq("_hkey"), "left")
+      .crossJoin(broadcast(benchRow))
+      .withColumn("_ex", exAnchor)
+      .withColumn("_ct", best.getField("qid"))
+      .select(col("vec_id"),
+        when(col("_ex").isNotNull, lit("dropped_exact"))
+          .when(col("_ct").isNotNull, lit("dropped_contaminated"))
+          .otherwise(lit("kept")).as("stage"),
+        coalesce(col("_ex"), col("_ct")).as("anchor"))
+  }
+
+  /** The static exact-screen index behind [[embeddingIngestScreen]]:
+    * ONE row per xxhash64 key over the DISTINCT history vectors —
+    * (hkey, cands = array⟨(hemb, hid)⟩) where hid is the smallest
+    * vec_id carrying that exact vector (the batch anchor rule) and
+    * hemb rides along for the row-local equality confirm. Distinct
+    * BY CONSTRUCTION: index size = distinct vectors, not corpus
+    * rows. Build once per history snapshot, persist (or write), pass
+    * back via `precomputedIndex`. */
+  def embeddingIngestIndex(history: DataFrame): DataFrame =
+    history
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("hemb"))
+      .groupBy(col("hemb")).agg(min(col("vec_id")).as("hid"))
+      .groupBy(xxhash64(col("hemb")).as("hkey"))
+      .agg(collect_list(struct(col("hemb"), col("hid"))).as("cands"))
+
+  /**
    * Streaming KL-NOVELTY screen — the row-local twin of
    * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
    * is scored against the FROZEN reference unigram distribution,

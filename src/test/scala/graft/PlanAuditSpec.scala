@@ -65,6 +65,9 @@ class PlanAuditSpec extends SparkSpec {
     "q108_embedding_decontaminate", // exact decontamination screen: the
                                     // q15-shaped broadcast of the small
                                     // bench set over one corpus scan
+    "q225_embedding_ingest", // q108's bench broadcast inside the
+                             // contamination stage (the exact stage is
+                             // an equi-join on the array key)
     "q82_ann_indexed", // q26's probe-side centroid broadcast (the
                        // partitioned-scan side joins on cell, equi)
     "q54_kmeans", // Lloyd assignment = n·k broadcast-centroid dot products
