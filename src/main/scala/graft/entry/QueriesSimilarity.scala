@@ -400,10 +400,12 @@ private[graft] object QueriesSimilarity {
 
     // EMBEDDING-side daily ingest: the vector-store upsert pipeline as
     // one decision log (exact-dup screen on the array key itself →
-    // decontamination vs the bench slice → keep). Delta = a fresh slice
-    // plus PLANTED copies of history vectors (re-keyed +1000) so the
-    // exact stage has real prey; tau 0.2 sits inside the cosine range
-    // so the contaminated stage fires too.
+    // LSH near-dup screen vs history → decontamination vs the bench
+    // slice → keep). Delta = a fresh slice plus PLANTED copies of
+    // history vectors (re-keyed +1000) so the exact stage has real
+    // prey; tauNearDup 0.4 and tau 0.2 sit inside the cosine range so
+    // the near-dup and contaminated stages fire too (bits pinned to 4,
+    // the q16b oracle-mirror rule).
     "q225_embedding_ingest" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val hist = e.where(col("vec_id") >= 250)
@@ -412,7 +414,8 @@ private[graft] object QueriesSimilarity {
         .select(col("vec_id"), col("embedding"))
         .unionByName(e.where(col("vec_id") >= 400)
           .select((col("vec_id") - 400 + 1000).as("vec_id"), col("embedding")))
-      Similarity.embeddingIngest(delta, hist, bench, tau = 0.2)
+      Similarity.embeddingIngest(delta, hist, bench,
+          tau = 0.2, tauNearDup = 0.4)
         .orderBy(col("vec_id"))
     }),
 
@@ -1165,12 +1168,15 @@ private[graft] object QueriesSimilarity {
     "q223b_ann_index_compact" -> ivfTopKSqlWith("TRUE", "n.vec_id % 4 <> 2"),
 
 
-    // Embedding ingest: exact stage = list-equality join vs history,
+    // Embedding ingest: exact stage = list-equality join vs history;
+    // near-dup stage = the q16b 4-bit/4-table hyperplane buckets
+    // (delta probes history per (t, bucket), hot history buckets
+    // excluded, exact round-6 cosine >= tauNearDup, min history id);
     // contamination stage = best bench cosine over exact-screen
-    // survivors ((round-6 cos desc, id) tie-break, >= tau), priority
-    // exact > contaminated > kept, anchors coalesced in that order.
+    // survivors ((round-6 cos desc, id) tie-break, >= tau); priority
+    // exact > near_dup > contaminated > kept, anchors coalesced.
     "q225_embedding_ingest" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
         |      FROM e),
         |delta AS (
@@ -1183,6 +1189,31 @@ private[graft] object QueriesSimilarity {
         |       FROM delta d JOIN hist h ON d.emb = h.emb GROUP BY 1),
         |surv AS (SELECT * FROM delta
         |         WHERE vec_id NOT IN (SELECT vec_id FROM ex)),
+        |stb AS (
+        |  SELECT vec_id, emb, nrm, t,
+        |         list_sum(list_transform(range(0, 4), i ->
+        |           CASE WHEN ${duckSignDot("t * 4 + i", "emb")} > 0
+        |                THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END))
+        |           AS bucket
+        |  FROM surv CROSS JOIN range(4) r(t)),
+        |htb AS (
+        |  SELECT vec_id, emb, nrm, t,
+        |         list_sum(list_transform(range(0, 4), i ->
+        |           CASE WHEN ${duckSignDot("t * 4 + i", "emb")} > 0
+        |                THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END))
+        |           AS bucket
+        |  FROM hist CROSS JOIN range(4) r(t)),
+        |hok AS (
+        |  SELECT t, bucket FROM htb GROUP BY 1, 2
+        |  HAVING count(*) <= ${Similarity.MaxPairBucket}),
+        |nd AS (
+        |  SELECT s.vec_id, min(hh.vec_id) AS nd_anchor
+        |  FROM stb s
+        |  JOIN htb hh ON s.t = hh.t AND s.bucket = hh.bucket
+        |  JOIN hok ON hh.t = hok.t AND hh.bucket = hok.bucket
+        |  WHERE round(list_dot_product(s.emb, hh.emb) / (s.nrm * hh.nrm), 6)
+        |          >= 0.4
+        |  GROUP BY 1),
         |ct AS (
         |  SELECT vec_id, q_vec_id AS ct_anchor FROM (
         |    SELECT s.vec_id, b.vec_id AS q_vec_id,
@@ -1195,11 +1226,13 @@ private[graft] object QueriesSimilarity {
         |  WHERE rn = 1 AND cos >= 0.2)
         |SELECT d.vec_id,
         |       CASE WHEN ex_anchor IS NOT NULL THEN 'dropped_exact'
+        |            WHEN nd_anchor IS NOT NULL THEN 'dropped_near_dup'
         |            WHEN ct_anchor IS NOT NULL THEN 'dropped_contaminated'
         |            ELSE 'kept' END AS stage,
-        |       coalesce(ex_anchor, ct_anchor) AS anchor
+        |       coalesce(ex_anchor, nd_anchor, ct_anchor) AS anchor
         |FROM delta d
-        |LEFT JOIN ex USING (vec_id) LEFT JOIN ct USING (vec_id)
+        |LEFT JOIN ex USING (vec_id) LEFT JOIN nd USING (vec_id)
+        |LEFT JOIN ct USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
 

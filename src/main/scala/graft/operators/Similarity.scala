@@ -268,6 +268,15 @@ object Similarity {
       when(dotProduct(emb, typedLit(signRow(h))) > 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Table-t bucket id (hyperplanes t·bits … t·bits+bits−1) — the
+    * [[lshNearDupPairs]] multi-table family, exposed so the streaming
+    * ingest twin computes the SAME bucket keys map-side. */
+  def lshTableBucketCol(emb: Column, t: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(dotProduct(emb, typedLit(signRow(t * bits + i))) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Corpus annotated with its LSH bucket. */
   def withLshBucket(corpus: DataFrame, bits: Int = 8): DataFrame =
     corpus.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
@@ -888,8 +897,19 @@ object Similarity {
    *    smallest matching history vec_id. At 100 TB key the exchange
    *    on xxhash64 of the raw vector bytes and confirm on the
    *    carried array — the Bloom+confirm recipe of the text tier.
-   *  - `dropped_contaminated`: it survived the exact screen but its
-   *    max benchmark cosine reaches `tau`
+   *  - `dropped_near_dup`: it survived the exact screen but an LSH
+   *    candidate from history scores cosine ≥ `tauNearDup` — the
+   *    SemDeDup-style semantic screen, via [[lshNearDupPairs]]'
+   *    multi-table bucketing AGAINST history (delta bucket rows probe
+   *    history bucket rows per (table, bucket), never each other; hot
+   *    HISTORY buckets above `maxBucketSize` drop whole — hot is a
+   *    history property, the against-history convention); `anchor` =
+   *    the smallest matched history vec_id (the dailyIngest anchor
+   *    rule). `bits` is PINNED to 4 by default because the oracle
+   *    mirrors a fixed hyperplane family (the q16b contract) — size
+   *    it with [[deriveLshBits]] in production.
+   *  - `dropped_contaminated`: it survived both screens but its max
+   *    benchmark cosine reaches `tau`
    *    ([[embeddingContamination]] semantics — the paraphrased-eval-
    *    leakage screen); `anchor` = the closest bench vec_id
    *    ((round-6 cos desc, id) tie-break).
@@ -897,12 +917,15 @@ object Similarity {
    *    set for the index side (q100's contract) exactly like the
    *    text pipeline composes its data-card merge.
    *
-   * Scale shape: delta ⋈ static history on the array key (never a
+   * Scale shape: delta ⋈ static history everywhere (never a
    * self-join); the bench side broadcasts (eval-sized, the q108
-   * argument); contamination is scored for SURVIVORS only; one row
-   * per delta vector BY CONSTRUCTION (left joins off the delta
-   * spine). Live twin: [[graft.streaming.StreamingOps
-   * .embeddingIngestScreen]], parity-pinned in StreamingSpec.
+   * argument); the near-dup candidate join shuffles (t, bucket) keys
+   * with hot history buckets excluded before pairing; one row per
+   * delta vector BY CONSTRUCTION (left joins off the delta spine).
+   * Live twin: [[graft.streaming.StreamingOps.embeddingIngestScreen]],
+   * parity-pinned in StreamingSpec. Registers TWO corpus-scale
+   * persists (delta, history) that only the caller's action scope can
+   * release — requireScope, the dailyIngest contract.
    *
    * @param delta   (vec_id, embedding) — the arriving vectors
    * @param history (vec_id, embedding) — the static corpus
@@ -913,14 +936,39 @@ object Similarity {
       delta: DataFrame,
       history: DataFrame,
       bench: DataFrame,
-      tau: Double = 0.85): DataFrame = {
+      tau: Double = 0.85,
+      tauNearDup: Double = 0.9,
+      bits: Int = 4,
+      tables: Int = 4,
+      maxBucketSize: Int = MaxPairBucket): DataFrame = {
+    graft.Caching.requireScope("Similarity.embeddingIngest")
     val d = graft.Caching.persist(normed(delta))
+    val h = graft.Caching.persist(normed(history))
     val exact = d.select(col("vec_id"), col("emb"))
-      .join(normed(history).select(col("emb"), col("vec_id").as("_h")),
-        Seq("emb"))
+      .join(h.select(col("emb"), col("vec_id").as("_h")), Seq("emb"))
       .groupBy(col("vec_id")).agg(min(col("_h")).as("_ex"))
+    val survivors = d.join(exact, Seq("vec_id"), "left_anti")
+    def bucketRows(n: DataFrame): DataFrame = n
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t.toLong).as("t"),
+            lshTableBucketCol(col("emb"), t, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val histB = bucketRows(h)
+    val hok = histB.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") <= maxBucketSize)
+      .select(col("t"), col("bucket"))
+    val nd = bucketRows(survivors)
+      .join(histB.join(hok, Seq("t", "bucket"))
+        .select(col("t"), col("bucket"), col("vec_id").as("_h"),
+          col("emb").as("_hemb"), col("nrm").as("_hnrm")),
+        Seq("t", "bucket"))
+      .where(round(dot(col("emb"), col("_hemb")) /
+        (col("nrm") * col("_hnrm")), 6) >= tauNearDup)
+      .groupBy(col("vec_id")).agg(min(col("_h")).as("_nd"))
     val q = withNorm(bench, "q")
-    val cont = d.join(exact, Seq("vec_id"), "left_anti")
+    val cont = survivors
       .join(broadcast(q), col("q_vec_id") =!= col("vec_id"))
       .withColumn("cos", round(
         dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6))
@@ -930,12 +978,14 @@ object Similarity {
         struct(col("cos"), -col("q_vec_id"))).as("_ct"))
     d.select(col("vec_id"))
       .join(exact, Seq("vec_id"), "left")
+      .join(nd, Seq("vec_id"), "left")
       .join(cont, Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("_ex").isNotNull, lit("dropped_exact"))
+          .when(col("_nd").isNotNull, lit("dropped_near_dup"))
           .when(col("_ct").isNotNull, lit("dropped_contaminated"))
           .otherwise(lit("kept")).as("stage"),
-        coalesce(col("_ex"), col("_ct")).as("anchor"))
+        coalesce(col("_ex"), col("_nd"), col("_ct")).as("anchor"))
   }
 
   // ── Product quantization (PQ / ADC) ─────────────────────────────────

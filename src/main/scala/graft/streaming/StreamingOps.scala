@@ -1248,13 +1248,22 @@ object StreamingOps {
    *    are ONE index row and there is no hot-bucket concern), and the
    *    element-wise EQUALITY CONFIRM is a row-local array filter over
    *    the carried candidates (hash collisions cannot fake a dup);
+   *  - near-dup stage: the arrival's `tables` hyperplane bucket keys
+   *    ([[graft.operators.Similarity.lshTableBucketCol]] — the SAME
+   *    key derivation as the batch tier, computed map-side) meet a
+   *    static per-(table, bucket) candidate index in ≤ `tables` 1:≤1
+   *    left joins ([[embeddingNearDupIndex]] — hot history buckets
+   *    dropped WHOLE at build, the batch guard), and the exact
+   *    round-6 cosine confirm + min-history-id anchor are row-local
+   *    array expressions over the carried candidates;
    *  - contamination stage: survivors score against the bench set
    *    carried as ONE broadcast array row (the
    *    [[embeddingContaminationScreen]] recipe), best match by
    *    (round-6 cos desc, id) — all row-local array expressions;
-   *  - stage priority exact > contaminated > kept and the coalesced
-   *    anchor mirror the batch log exactly (StreamingSpec pins
-   *    row-identity on a fixture with all three stages populated).
+   *  - stage priority exact > near_dup > contaminated > kept and the
+   *    coalesced anchor mirror the batch log exactly (StreamingSpec
+   *    pins row-identity on a fixture with all four stages
+   *    populated).
    *
    * @param embs streaming (vec_id, embedding)
    * @param history static (vec_id, embedding)
@@ -1263,6 +1272,9 @@ object StreamingOps {
    *        without it the distinct-vector index re-derives per
    *        micro-batch join (fine for tests, wrong for production;
    *        the ingestScreen precomputedIndex convention)
+   * @param precomputedNearDupIndex a persisted
+   *        [[embeddingNearDupIndex]] built with the SAME (bits,
+   *        tables, maxBucketSize) — same convention
    * @return streaming (vec_id, stage, anchor) — every arrival emits
    */
   def embeddingIngestScreen(
@@ -1270,10 +1282,18 @@ object StreamingOps {
       history: DataFrame,
       bench: DataFrame,
       tau: Double = 0.85,
-      precomputedIndex: Option[DataFrame] = None): DataFrame = {
+      tauNearDup: Double = 0.9,
+      bits: Int = 4,
+      tables: Int = 4,
+      maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket,
+      precomputedIndex: Option[DataFrame] = None,
+      precomputedNearDupIndex: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import graft.operators.Similarity.lshTableBucketCol
     def asDouble(c: Column): Column = c.cast("array<double>")
     val idx = precomputedIndex.getOrElse(embeddingIngestIndex(history))
+    val ndIdx = precomputedNearDupIndex.getOrElse(
+      embeddingNearDupIndex(history, bits, tables, maxBucketSize))
     val benchRow = bench
       .select(col("vec_id").as("q_vec_id"),
         asDouble(col("embedding")).as("q_emb"))
@@ -1287,6 +1307,25 @@ object StreamingOps {
     val exAnchor = array_min(transform(
       filter(col("cands"), c => c.getField("hemb") === col("_emb")),
       c => c.getField("hid")))
+    // ≤ tables 1:≤1 probes of the near-dup index; candidate arrays ride
+    // the row, the cosine confirm + min-id anchor reduce row-locally
+    val probed = (0 until tables).foldLeft(
+      n.join(idx.withColumnRenamed("hkey", "_hkey"), Seq("_hkey"), "left")) {
+      (cur, t) =>
+        cur.join(
+          ndIdx.where(col("t") === t.toLong)
+            .select(col("bucket").as(s"_nb$t"), col("cands").as(s"_nc$t")),
+          lshTableBucketCol(col("_emb"), t, bits) === col(s"_nb$t"), "left")
+          .drop(s"_nb$t")
+    }
+    def candCos(c: Column): Column = round(
+      dotProduct(c.getField("hemb"), col("_emb")) /
+        (c.getField("hnrm") * col("_nrm")), 6)
+    val ndAnchor = array_min(transform(
+      filter(flatten(array_compact(
+        array((0 until tables).map(t => col(s"_nc$t")): _*))),
+        c => candCos(c) >= tauNearDup),
+      c => c.getField("hid")))
     def cosOf(b: Column): Column = round(
       dotProduct(b.getField("q_emb"), col("_emb")) /
         (b.getField("q_nrm") * col("_nrm")), 6)
@@ -1296,15 +1335,50 @@ object StreamingOps {
       b => struct(cosOf(b).as("cos"),
         (-b.getField("q_vec_id")).as("negid"),
         b.getField("q_vec_id").as("qid"))))
-    n.join(idx.withColumnRenamed("hkey", "_hkey"), Seq("_hkey"), "left")
+    probed
       .crossJoin(broadcast(benchRow))
       .withColumn("_ex", exAnchor)
+      .withColumn("_nd", ndAnchor)
       .withColumn("_ct", best.getField("qid"))
       .select(col("vec_id"),
         when(col("_ex").isNotNull, lit("dropped_exact"))
+          .when(col("_nd").isNotNull, lit("dropped_near_dup"))
           .when(col("_ct").isNotNull, lit("dropped_contaminated"))
           .otherwise(lit("kept")).as("stage"),
-        coalesce(col("_ex"), col("_ct")).as("anchor"))
+        coalesce(col("_ex"), col("_nd"), col("_ct")).as("anchor"))
+  }
+
+  /** The static per-(table, bucket) candidate index behind
+    * [[embeddingIngestScreen]]'s near-dup stage — the
+    * [[mediaNearDupIndex]] recipe over the [[graft.operators
+    * .Similarity.lshNearDupPairs]] multi-table hyperplane family:
+    * (t, bucket) → array⟨(hid, hemb, hnrm)⟩ with hot buckets
+    * (> maxBucketSize members) dropped WHOLE at build (hot is a
+    * history property — the against-history convention). Build once
+    * per history snapshot, persist (or write), pass back via
+    * `precomputedNearDupIndex`. */
+  def embeddingNearDupIndex(
+      history: DataFrame,
+      bits: Int = 4,
+      tables: Int = 4,
+      maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import graft.operators.Similarity.lshTableBucketCol
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    history
+      .select(col("vec_id").as("hid"),
+        col("embedding").cast("array<double>").as("hemb"))
+      .withColumn("hnrm", sqrt(dotProduct(col("hemb"), col("hemb"))))
+      .select(col("hid"), col("hemb"), col("hnrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t.toLong).as("t"),
+            lshTableBucketCol(col("hemb"), t, bits).as("bucket"))): _*))
+          .as("tb"))
+      .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .agg(collect_list(
+        struct(col("hid"), col("hemb"), col("hnrm"))).as("cands"))
+      .where(size(col("cands")) <= maxBucketSize)
   }
 
   /** The static exact-screen index behind [[embeddingIngestScreen]]:

@@ -1720,7 +1720,7 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.Similarity
 
     // the q225 fixture: fresh slice + PLANTED copies of history
-    // vectors, so all three stages are populated
+    // vectors, so all four stages are populated
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val hist = e.where(col("vec_id") >= 250)
     val bench = e.where(col("vec_id") < 5)
@@ -1728,19 +1728,25 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
       .unionByName(e.where(col("vec_id") >= 400)
         .select((col("vec_id") - 400 + 1000).as("vec_id"), col("embedding")))
-    val batch = Similarity.embeddingIngest(delta, hist, bench, tau = 0.2)
-      .collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("stage"),
-        Option(r.getAs[java.lang.Long]("anchor")).map(_.longValue))).toSet
-    batch.map(_._2) shouldBe Set("dropped_exact", "dropped_contaminated", "kept")
+    val batch = graft.Caching.scoped {
+      Similarity.embeddingIngest(delta, hist, bench,
+          tau = 0.2, tauNearDup = 0.4)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("stage"),
+          Option(r.getAs[java.lang.Long]("anchor")).map(_.longValue))).toSet
+    }
+    batch.map(_._2) shouldBe Set("dropped_exact", "dropped_near_dup",
+      "dropped_contaminated", "kept")
     val rows = delta.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
 
-    def run(name: String, idx: Option[org.apache.spark.sql.DataFrame]) = {
+    def run(name: String, idx: Option[org.apache.spark.sql.DataFrame],
+        ndIdx: Option[org.apache.spark.sql.DataFrame]) = {
       val input = MemoryStream[(Long, Seq[Float])]
       val q = StreamingOps.embeddingIngestScreen(
           input.toDF().toDF("vec_id", "embedding"), hist, bench,
-          tau = 0.2, precomputedIndex = idx)
+          tau = 0.2, tauNearDup = 0.4,
+          precomputedIndex = idx, precomputedNearDupIndex = ndIdx)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -1752,11 +1758,13 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
 
-    run("emb_ingest_screen", None) shouldBe batch
-    // production shape: a persisted prebuilt distinct-vector index
+    run("emb_ingest_screen", None, None) shouldBe batch
+    // production shape: persisted prebuilt distinct-vector + near-dup
+    // indexes
     val idx = StreamingOps.embeddingIngestIndex(hist).persist()
-    try run("emb_ingest_screen_prebuilt", Some(idx)) shouldBe batch
-    finally idx.unpersist()
+    val ndIdx = StreamingOps.embeddingNearDupIndex(hist).persist()
+    try run("emb_ingest_screen_prebuilt", Some(idx), Some(ndIdx)) shouldBe batch
+    finally { idx.unpersist(); ndIdx.unpersist() }
   }
 
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
