@@ -181,8 +181,7 @@ private[graft] object QueriesCore {
     // mirrors q6's sum-of-rounded-addends (raw doubles round-trip
     // parquet bit-exactly).
     "q71_search_indexed" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_index_").toString
       Search.buildIndex(docs(s, dir), idx)
       Search
         .searchIndexTokens(

@@ -117,8 +117,7 @@ private[graft] object QueriesSimilarity {
     // SimilaritySpec). Oracle is q26's SQL verbatim: the roundtrip must
     // reproduce the direct path bit-for-bit.
     "q82_ann_indexed" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_index_").toString
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
@@ -316,8 +315,7 @@ private[graft] object QueriesSimilarity {
     // direct IVF search over the UNION corpus with the same frozen
     // centroid set — append must be invisible to queries.
     "q100_ann_index_append" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_append_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_append_").toString
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
       Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
@@ -368,8 +366,7 @@ private[graft] object QueriesSimilarity {
     // (PushedFilters — pinned in SimilaritySpec). Shares q222's oracle
     // verbatim: the indexed filtered path must reproduce the direct one.
     "q222c_ann_filtered_indexed" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_fidx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_fidx_").toString
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100, metaCols = Seq("label"))
       Similarity.searchAnnIndexedFiltered(s, idx, e.where(col("vec_id") < 5),
@@ -385,8 +382,7 @@ private[graft] object QueriesSimilarity {
     // being a candidate), then probe. Oracle = direct IVF over
     // (corpus ∖ deletes) with the ORIGINAL centroid set.
     "q223_ann_index_delete" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_delete_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_delete_").toString
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.deleteFromAnnIndex(s,
@@ -424,8 +420,7 @@ private[graft] object QueriesSimilarity {
     // the q223 delete — the table a compaction policy reads. Oracle
     // recomputes the assignment distribution from the shared IVF chain.
     "q224_ann_index_stats" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_stats_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_stats_").toString
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.deleteFromAnnIndex(s,
@@ -435,17 +430,40 @@ private[graft] object QueriesSimilarity {
 
 
     // COMPACTION answer-invariance: same build + delete as q223, but the
-    // tombstones are folded into the lists (rewrite + swap + clear)
-    // before the probe — shares q223's oracle verbatim, so a compaction
-    // that loses or resurrects a row hash-mismatches the gate.
+    // tombstones are folded into a NEW generation and committed with one
+    // atomic marker (the version-pointer swap) before the probe — shares
+    // q223's oracle verbatim, so a compaction that loses or resurrects a
+    // row hash-mismatches the gate.
     "q223b_ann_index_compact" -> ((s, dir) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ann_compact_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_compact_").toString
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.deleteFromAnnIndex(s,
         e.where(pmod(col("vec_id"), lit(4)) === 2), idx)
       Similarity.compactAnnIndex(s, idx)
+      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // RE-INSERT round trip: delete a quarter of the corpus, FOLD the
+    // deletes (compaction — the supported precondition appendAnnIndex's
+    // re-insert guard enforces loudly), then append the same rows back.
+    // Frozen centroids mean the re-appended rows reclaim their original
+    // cells, so the probe equals the direct IVF over the FULL corpus —
+    // q26's oracle verbatim. Pins the r10-advice fix: delete(id) then
+    // append(id) can never silently lose a live row (without the
+    // compact, the append fails loudly — SimilaritySpec).
+    "q226_ann_reinsert" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_ann_reinsert_").toString
+      val e = tbl(s, dir, "embeddings")
+      val dead = pmod(col("vec_id"), lit(4)) === 2
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s, e.where(dead), idx)
+      Similarity.compactAnnIndex(s, idx)
+      Similarity.appendAnnIndex(s, e.where(dead), idx)
       Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
           k = 10, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
@@ -1166,6 +1184,11 @@ private[graft] object QueriesSimilarity {
     // Compaction shares the delete oracle verbatim — folding tombstones
     // into the lists must be invisible to queries.
     "q223b_ann_index_compact" -> ivfTopKSqlWith("TRUE", "n.vec_id % 4 <> 2"),
+
+    // q226 round-trips delete → compact → re-append: the grown index
+    // holds the FULL corpus again under the original frozen centroids,
+    // so the oracle is the direct IVF search — q26's SQL verbatim.
+    "q226_ann_reinsert" -> ivfTopKSql,
 
 
     // Embedding ingest: exact stage = list-equality join vs history;

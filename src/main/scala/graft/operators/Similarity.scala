@@ -466,15 +466,37 @@ object Similarity {
       path: String,
       stride: Int = 100,
       metaCols: Seq[String] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    // ID-REUSE GUARD: a pending tombstone names a row of the index this
+    // rebuild replaces. A rebuild input that CARRIES one of those ids is
+    // ambiguous — the caller deleted the id and now supplies it again —
+    // and clearing the tombstone set below would silently resurrect the
+    // deleted row under the reused id. Loud beats silent: fold the
+    // pending deletes first (compactAnnIndex) so the rebuild starts from
+    // an empty tombstone set, or wipe the index path if this is an
+    // intentional from-scratch build over a re-keyed corpus.
+    val pendingTombs = resolvedIndex(spark, path)._2
+    if (pathExists(spark, pendingTombs)) {
+      val reused = corpus.select(col("vec_id"))
+        .join(broadcast(spark.read.parquet(pendingTombs).distinct()),
+          Seq("vec_id"), "left_semi").limit(1).collect()
+      require(reused.isEmpty,
+        s"buildAnnIndex: rebuild input reuses pending-tombstoned vec_id " +
+          s"${reused.head.getLong(0)} — clearing tombstones would silently " +
+          "resurrect a deleted row under the reused id; run " +
+          "compactAnnIndex(path) to fold the deletes first, or wipe the " +
+          "index path for an intentional from-scratch rebuild")
+    }
     val n = normed(corpus, metaCols)
     val cents = ivfCentroids(n, stride)
     ivfAssign(n, cents, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    // A rebuild supersedes any pending deletes: the tombstone set names
-    // rows of the PREVIOUS build's lists; carrying it over would delete
-    // unrelated rows that reused the ids.
-    deletePath(corpus.sparkSession, s"$path/tombstones")
+    // the rebuilt lists live at `cells` (generation 0) again: retire
+    // every compacted generation, its commit marker, and its tombstone
+    // set — a (guarded — above) rebuild supersedes any pending deletes
+    clearGenerations(spark, path)
+    deletePath(spark, s"$path/tombstones")
   }
 
   /**
@@ -488,20 +510,43 @@ object Similarity {
    * [[searchAnnIndexed]] over the grown index equals [[ivfCosineTopK]]
    * over the union corpus with the same frozen centroid set — the
    * q100 oracle contract. At 100 TB this is the difference between an
-   * O(|delta|) ingest and an O(|corpus|) rebuild per batch.
+   * O(|delta|) ingest and an O(|corpus|) rebuild per batch. Appends
+   * land in the CURRENT committed generation ([[compactAnnIndex]]'s
+   * version pointer) and REFUSE ids the tombstone set still names —
+   * see the re-insert guard below.
    */
   def appendAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame,
       path: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
+    val (dir, tombsAt) = resolvedIndex(spark, path)
+    // RE-INSERT GUARD (tombstones are id-keyed): an appended row whose
+    // id is currently tombstoned would land in the lists and STILL be
+    // anti-joined away by every probe — a silently invisible live row,
+    // and a later compaction would physically drop it while clearing
+    // the tombstone. Loud beats silent: re-inserting a deleted id needs
+    // the delete folded first (compactAnnIndex) so the tombstone set no
+    // longer names it. The check probes the delta against the
+    // broadcast tombstone set and stops at the first clash.
+    if (pathExists(spark, tombsAt)) {
+      val clash = delta.select(col("vec_id"))
+        .join(broadcast(spark.read.parquet(tombsAt).distinct()),
+          Seq("vec_id"), "left_semi").limit(1).collect()
+      require(clash.isEmpty,
+        s"appendAnnIndex: vec_id ${clash.head.getLong(0)} is " +
+          "pending-tombstoned — a row appended under a tombstoned id is " +
+          "invisible to every search and would be physically dropped by " +
+          "the next compaction; run compactAnnIndex(path) to fold the " +
+          "pending deletes before re-inserting the id")
+    }
     // metadata layout is a property of the INDEX, not the call: derive
     // the stored meta columns from the persisted schema so appends can
     // never silently drop (or add) columns the build chose
-    val metaCols = spark.read.parquet(s"$path/cells").columns.toSeq
+    val metaCols = spark.read.parquet(dir).columns.toSeq
       .filterNot(Set("vec_id", "emb", "nrm", "cell"))
     ivfAssign(normed(delta, metaCols), cents, metaCols)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
   /**
@@ -520,15 +565,16 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nProbe: Int = 2): DataFrame = {
-    val raw = spark.read.parquet(s"$path/cells")
+    val (cellsAt, tombsAt) = resolvedIndex(spark, path)
+    val raw = spark.read.parquet(cellsAt)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
     // Deletes are honored at probe time: rows named by the tombstone set
     // never reach the re-rank (see deleteFromAnnIndex). The anti-join is
     // broadcast — a tombstone set is |deletes-since-compaction| ids, kept
     // small by compacting when the deleted fraction grows.
     val assign =
-      if (pathExists(spark, s"$path/tombstones"))
-        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+      if (pathExists(spark, tombsAt))
+        raw.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
       else raw
     val cents = spark.read.parquet(s"$path/centroids")
@@ -556,12 +602,13 @@ object Similarity {
       filter: Column,
       k: Int,
       nProbe: Int = 2): DataFrame = {
-    val raw = spark.read.parquet(s"$path/cells")
+    val (cellsAt, tombsAt) = resolvedIndex(spark, path)
+    val raw = spark.read.parquet(cellsAt)
       .where(filter)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
     val assign =
-      if (pathExists(spark, s"$path/tombstones"))
-        raw.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+      if (pathExists(spark, tombsAt))
+        raw.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
       else raw
     val cents = spark.read.parquet(s"$path/centroids")
@@ -583,14 +630,16 @@ object Similarity {
    * are build-time constants, so search-after-delete equals the direct
    * IVF search over (corpus ∖ deletes) with the ORIGINAL centroid set
    * (q223's oracle). Tombstones accumulate until [[compactAnnIndex]]
-   * folds them into the lists; a [[buildAnnIndex]] rebuild clears them.
+   * folds them into the lists (the set is GENERATION-SCOPED — it flips
+   * atomically with the lists under the same commit marker); a
+   * [[buildAnnIndex]] rebuild clears them after the id-reuse guard.
    */
   def deleteFromAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
       deletes: DataFrame,
       path: String): Unit =
     deletes.select(col("vec_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(resolvedIndex(spark, path)._2)
 
   /**
    * COMPACT a tombstoned [[buildAnnIndex]] layout: rewrite the cell
@@ -600,48 +649,159 @@ object Similarity {
    * (it is a cost decision, so the trigger stays with the caller).
    * Answer-invariant BY CONSTRUCTION — searches read (lists ∖
    * tombstones) either way — and pinned by q223b sharing q223's
-   * oracle. The rewrite lands in a staging directory first, then two
-   * directory renames swap it in — a reader never sees a HALF-WRITTEN
-   * mix of old and new rows, but a reader racing the swap itself can
-   * catch the instant between the renames and fail its scan (retry;
-   * true snapshot isolation across a rewrite is a table-format
-   * concern, not something two FS renames can provide — run
-   * compaction in the same maintenance window as any other
-   * rewrite-in-place op here, e.g. Merge.compactionPlan execution).
+   * oracle.
+   *
+   * ATOMIC GENERATION SWAP (one level of indirection — the
+   * `Chunking.writeTrainingShards` manifest idea applied to the cell
+   * lists): the compacted lists land in a fresh generation directory
+   * (`cells_v{N}`), and the swap is ONE atomic marker-file creation
+   * (`COMMIT_v{N}`) — every plan constructed after the marker exists
+   * resolves the new generation ([[cellsDir]]), every plan constructed
+   * before it keeps scanning the old one, and at no instant does a
+   * resolver find zero committed generations (the rename-pair race of
+   * the previous layout, closed). The PREVIOUS generation is retained
+   * one compaction cycle so in-flight scans that resolved it finish
+   * (bounded retention, the table-format vacuum analogy); generations
+   * older than that retire here. Crash safety is positional: a crash
+   * before the marker leaves an UNCOMMITTED generation dir the next
+   * compaction removes and redoes; a crash after the marker but before
+   * the tombstone clear just re-folds an already-folded set (a no-op
+   * anti-join). Every FS mutation is require-checked — Hadoop
+   * delete/create report failure by RETURN VALUE.
    */
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val fs = hadoopFs(spark, path)
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val old = new org.apache.hadoop.fs.Path(s"$path/cells_old")
-    // heal a compaction that crashed BETWEEN the two renames (cells
-    // moved aside, staging never moved in): restore the pre-swap lists
-    // — tombstones are deleted LAST, so they are still present and this
-    // run re-compacts from the restored state
-    if (!fs.exists(cells) && fs.exists(old))
-      require(fs.rename(old, cells),
-        s"could not restore $old to $cells while healing a crashed compaction")
-    if (!pathExists(spark, s"$path/tombstones")) return
-    val live = spark.read.parquet(s"$path/cells")
-      .join(broadcast(spark.read.parquet(s"$path/tombstones")),
+    val cur = cellsGeneration(spark, path).getOrElse(0)
+    val next = cur + 1
+    // heal: a generation dir WITHOUT its commit marker is a crashed
+    // compaction's partial write — remove it and redo from the last
+    // committed generation (its tombstone set was never retired, so the
+    // redo sees the full pending-delete set)
+    uncommittedGenerations(spark, path).foreach { g =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_v$g"), true),
+        s"could not remove uncommitted generation $path/cells_v$g " +
+          "(a crashed compaction's partial write)")
+    }
+    if (!pathExists(spark, tombstonesPath(path, cur))) return
+    val live = spark.read.parquet(generationDir(path, cur))
+      .join(broadcast(spark.read.parquet(tombstonesPath(path, cur))),
         Seq("vec_id"), "left_anti")
     live.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells_compacting")
-    // every FS mutation is require-checked: Hadoop rename/delete report
-    // failure by RETURN VALUE, and ignoring one here would let the
-    // tombstone delete below run against un-swapped lists — deleted
-    // rows would silently resurrect
-    if (fs.exists(old))
-      require(fs.delete(old, true),
-        s"could not remove stale $old (a previous compaction's leftover)")
-    require(fs.rename(cells, old), s"could not move $cells aside to $old")
-    require(fs.rename(
-        new org.apache.hadoop.fs.Path(s"$path/cells_compacting"), cells),
-      s"could not move compacted lists into $cells")
-    fs.delete(old, true)
-    deletePath(spark, s"$path/tombstones")
+      .parquet(generationDir(path, next))
+    // THE COMMIT: one atomic file creation flips every future plan to
+    // the new generation — and, because the tombstone set is
+    // GENERATION-SCOPED, to the (empty) folded tombstone set in the
+    // same instant: a reader resolves (cells_v{N}, tombstones_g{N}) as
+    // a pair, so no ordering of a separate tombstone delete can strand
+    // it (a delete racing THIS compaction is still a maintenance-window
+    // concern: a tombstone appended after `live` was computed but
+    // before the marker belongs to the superseded generation and is
+    // lost — serialize deletes against compactions).
+    require(fs.createNewFile(
+        new org.apache.hadoop.fs.Path(s"$path/COMMIT_v$next")),
+      s"could not commit generation $next of $path (marker exists?)")
+    // bounded retention: the immediately-previous generation (lists AND
+    // its folded tombstone set) stays one cycle so in-flight scans that
+    // resolved it finish; everything older retires now (marker first,
+    // then dir, so no marker ever points at a missing dir)
+    (0 until cur).foreach { g =>
+      if (g > 0)
+        require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/COMMIT_v$g"), false),
+          s"could not retire commit marker COMMIT_v$g of $path")
+      require(fs.delete(new org.apache.hadoop.fs.Path(generationDir(path, g)), true),
+        s"could not retire generation ${generationDir(path, g)} of $path")
+      deletePath(spark, tombstonesPath(path, g))
+    }
   }
+
+  /** Committed cell-list generation of an index at `path`: the largest
+    * N with a `COMMIT_v{N}` marker; None for a freshly built index
+    * (lists at `cells`, no compaction yet). */
+  private def cellsGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val fs = hadoopFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) None
+    else {
+      val ns = fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .collect { case CommitMarkerName(n) => n.toInt }
+      if (ns.isEmpty) None else Some(ns.max)
+    }
+  }
+
+  private val CommitMarkerName = "COMMIT_v(\\d+)".r
+
+  /** Lists of generation `g`: the freshly built index is generation 0
+    * at `cells`; each compaction writes the next `cells_v{N}`. */
+  private def generationDir(path: String, g: Int): String =
+    if (g == 0) s"$path/cells" else s"$path/cells_v$g"
+
+  /** Tombstone set of generation `g` — GENERATION-SCOPED so
+    * [[compactAnnIndex]]'s one marker creation atomically flips lists
+    * and tombstones together (generation 0 keeps the plain
+    * `tombstones` name). A fold therefore never deletes a set a
+    * resolved plan still references; folded sets retire with their
+    * generation's lists. */
+  private def tombstonesPath(path: String, g: Int): String =
+    if (g == 0) s"$path/tombstones" else s"$path/tombstones_g$g"
+
+  /** Resolve the CURRENT (cells dir, tombstone path) pair of an index —
+    * the one level of indirection that makes [[compactAnnIndex]]'s swap
+    * atomic: readers resolve the pair at plan time, compactions flip it
+    * with one marker creation. */
+  private def resolvedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, String) = {
+    val g = cellsGeneration(spark, path).getOrElse(0)
+    (generationDir(path, g), tombstonesPath(path, g))
+  }
+
+  private def cellsDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): String = resolvedIndex(spark, path)._1
+
+  /** Generation dirs newer than the committed pointer — crashed
+    * compactions' partial writes (crash before the marker). */
+  private def uncommittedGenerations(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Int] = {
+    val fs = hadoopFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val cur = cellsGeneration(spark, path).getOrElse(0)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case CellsDirName(n) if n.toInt > cur => n.toInt }
+  }
+
+  private val CellsDirName = "cells_v(\\d+)".r
+
+  /** Retire every compacted generation (marker, then dir) — rebuild
+    * housekeeping: [[buildAnnIndex]] writes generation 0 (`cells`)
+    * again, so stale markers must not outlive it. */
+  private def clearGenerations(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) return
+    val names = fs.listStatus(base).toSeq.map(_.getPath.getName)
+    names.collect { case CommitMarkerName(n) => n }.foreach { n =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/COMMIT_v$n"), false),
+        s"could not retire commit marker COMMIT_v$n of $path")
+    }
+    names.collect { case CellsDirName(n) => n }.foreach { n =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_v$n"), true),
+        s"could not retire generation $path/cells_v$n")
+    }
+    names.collect { case TombstonesGName(n) => n }.foreach { n =>
+      deletePath(spark, s"$path/tombstones_g$n")
+    }
+  }
+
+  private val TombstonesGName = "tombstones_g(\\d+)".r
 
   /**
    * Index OBSERVABILITY — the per-cell balance + tombstone-debt table
@@ -660,11 +820,17 @@ object Similarity {
   def annIndexStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
+    val (cellsAt, tombsAt) = resolvedIndex(spark, path)
+    val cells = spark.read.parquet(cellsAt)
       .select(col("vec_id"), col("cell").cast("long"))
+    // the tombstone set is DEDUPED at the read site: deleteFromAnnIndex
+    // appends, so an overlapping or retried delete lands the same
+    // vec_id twice — a left join against the raw files would then
+    // MULTIPLY cell rows and inflate n_vecs and n_tombstoned (the
+    // anti-join read sites are immune; this join is not)
     val tombed =
-      if (pathExists(spark, s"$path/tombstones"))
-        cells.join(broadcast(spark.read.parquet(s"$path/tombstones")
+      if (pathExists(spark, tombsAt))
+        cells.join(broadcast(spark.read.parquet(tombsAt).distinct()
           .select(col("vec_id"), lit(1L).as("_t"))), Seq("vec_id"), "left")
       else cells.withColumn("_t", lit(null).cast("long"))
     tombed.groupBy(col("cell"))

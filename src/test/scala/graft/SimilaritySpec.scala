@@ -340,7 +340,9 @@ class SimilaritySpec extends SparkSpec {
   test("deleteFromAnnIndex: tombstoned rows stop being candidates, cells survive") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_delete_spec"
+    // fresh dir per run: a leftover tombstone set from a previous run
+    // would (correctly) trip the rebuild's id-reuse guard
+    val idx = java.nio.file.Files.createTempDirectory("graft_delete_spec").toString
     Similarity.buildAnnIndex(e, idx, stride = 100)
     // vec_id ≡ 2 mod 4 deletes centroid 200's source vector too — the
     // frozen-quantizer semantic: the CELL survives, the vector does not
@@ -355,10 +357,10 @@ class SimilaritySpec extends SparkSpec {
       e, q, !dead, k = 10, stride = 100, nProbe = 2))
   }
 
-  test("compactAnnIndex folds tombstones answer-invariantly; rebuild clears them") {
+  test("compactAnnIndex folds tombstones answer-invariantly; commit is one atomic version flip") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec"
+    val idx = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
     Similarity.buildAnnIndex(e, idx, stride = 100)
     Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
     val before = rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
@@ -372,37 +374,107 @@ class SimilaritySpec extends SparkSpec {
     stats.values.map(_._1).sum shouldBe e.count()
     stats.values.map(_._2).sum shouldBe e.where(col("vec_id") % 4 === 2).count()
     stats.values.foreach { case (n, t, l) => l shouldBe n - t }
+    // a RETRIED delete appends the same ids again — the stats read
+    // dedupes, so neither totals nor debt inflate (advice r10)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    val retried = Similarity.annIndexStats(spark, idx).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_tombstoned"),
+          r.getAs[Long]("n_live")))).toMap
+    retried shouldBe stats
+    // PROBE ACROSS THE COMPACTION: a plan resolved BEFORE the commit
+    // keeps scanning its own (retained) generation + tombstone set —
+    // the round-10 rename race had no such guarantee
+    val inFlight = Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)
     Similarity.compactAnnIndex(spark, idx)
-    // answers identical, tombstone set gone, lists physically shrunk
+    rowsOf(inFlight) shouldBe before
+    // answers identical post-flip; generation 1 committed and shrunk
     rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe before
-    new java.io.File(s"$idx/tombstones").exists() shouldBe false
-    spark.read.parquet(s"$idx/cells").count() shouldBe
+    new java.io.File(s"$idx/COMMIT_v1").exists() shouldBe true
+    spark.read.parquet(s"$idx/cells_v1").count() shouldBe
       e.where(col("vec_id") % 4 =!= 2).count()
     // post-compaction stats: debt zero, live totals unchanged
     val after = Similarity.annIndexStats(spark, idx).collect()
     after.map(_.getAs[Long]("n_tombstoned")).sum shouldBe 0L
     after.map(_.getAs[Long]("n_live")).sum shouldBe
       stats.values.map(_._3).sum
-    // a REBUILD supersedes pending deletes: tombstones never leak across
-    // builds into an index that reuses the ids
+    // ID-REUSE GUARD: a rebuild whose input carries a pending-tombstoned
+    // id fails loudly instead of silently resurrecting the row
     Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 1), idx)
-    Similarity.buildAnnIndex(e, idx, stride = 100)
+    val reuse = intercept[IllegalArgumentException] {
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+    }
+    reuse.getMessage should include("pending-tombstoned")
+    // a rebuild NOT reusing the id proceeds: generations + markers +
+    // tombstone sets all retire, lists live at generation 0 again
+    val e2 = e.where(col("vec_id") =!= 1)
+    Similarity.buildAnnIndex(e2, idx, stride = 100)
+    new java.io.File(s"$idx/COMMIT_v1").exists() shouldBe false
+    new java.io.File(s"$idx/cells_v1").exists() shouldBe false
     new java.io.File(s"$idx/tombstones").exists() shouldBe false
     rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
-      rowsOf(Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2))
-    // crash healing: a compaction that died BETWEEN its two renames
-    // left cells moved aside and tombstones intact — the next
-    // compaction restores, re-compacts, and answers correctly
-    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+      rowsOf(Similarity.ivfCosineTopK(e2, q, k = 10, stride = 100, nProbe = 2))
+    // crash healing: a compaction that died BEFORE its commit marker
+    // left an UNCOMMITTED generation dir — the next compaction removes
+    // the partial write, re-folds, and answers correctly
+    Similarity.deleteFromAnnIndex(spark, e2.where(col("vec_id") % 4 === 2), idx)
     val expected = rowsOf(
       Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
-    new java.io.File(s"$idx/cells")
-      .renameTo(new java.io.File(s"$idx/cells_old")) shouldBe true
+    val partial = new java.io.File(s"$idx/cells_v1")
+    partial.mkdir() shouldBe true
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$idx/cells_v1/part-junk"), "partial write")
     Similarity.compactAnnIndex(spark, idx)
-    new java.io.File(s"$idx/cells_old").exists() shouldBe false
-    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    new java.io.File(s"$idx/COMMIT_v1").exists() shouldBe true
     rowsOf(Similarity.searchAnnIndexed(
       spark, idx, q, k = 10, nProbe = 2)) shouldBe expected
+    // SECOND compaction retires generation 0 entirely (bounded
+    // retention: current + previous stay, older go)
+    Similarity.deleteFromAnnIndex(spark, e2.where(col("vec_id") === 5), idx)
+    Similarity.compactAnnIndex(spark, idx)
+    new java.io.File(s"$idx/COMMIT_v2").exists() shouldBe true
+    new java.io.File(s"$idx/cells").exists() shouldBe false
+    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    new java.io.File(s"$idx/cells_v1").exists() shouldBe true
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopK(
+        e2.where(col("vec_id") % 4 =!= 2 && col("vec_id") =!= 5),
+        q, k = 10, stride = 100, nProbe = 2))
+  }
+
+  test("appendAnnIndex refuses pending-tombstoned ids; compact-then-append re-inserts") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_reinsert_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    val dead = pmod(col("vec_id"), lit(4)) === 2
+    Similarity.deleteFromAnnIndex(spark, e.where(dead), idx)
+    // delete(id) then append(id) would leave the re-ingested row
+    // invisible to every search (the anti-join removes it) and the next
+    // compaction would physically drop it — the composition fails loudly
+    val clash = intercept[IllegalArgumentException] {
+      Similarity.appendAnnIndex(spark, e.where(dead), idx)
+    }
+    clash.getMessage should include("pending-tombstoned")
+    // the supported composition: fold the deletes, THEN re-insert — the
+    // round-trip restores the full corpus bit-for-bit (frozen centroids,
+    // so re-appended rows reclaim their original cells)
+    Similarity.compactAnnIndex(spark, idx)
+    Similarity.appendAnnIndex(spark, e.where(dead), idx)
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopK(e, q, k = 10, stride = 100, nProbe = 2))
+    // a NON-clashing append with a pending tombstone set passes the
+    // guard: the new id lands in the lists, the tombstoned one stays out
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_reinsert_spec2").toString
+    Similarity.buildAnnIndex(e, idx2, stride = 100)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 7), idx2)
+    Similarity.appendAnnIndex(spark,
+      e.where(col("vec_id") === 8)
+        .select((col("vec_id") + 1001L).as("vec_id"), col("embedding")), idx2)
+    spark.read.parquet(s"$idx2/cells").count() shouldBe e.count() + 1
+    val seen = Similarity.searchAnnIndexed(spark, idx2, q, k = 10, nProbe = 2)
+      .select("n_vec_id").collect().map(_.getLong(0)).toSet
+    seen should not contain 7L
   }
 
   test("embedding hot-bucket guard skips degenerate buckets observably") {

@@ -1765,6 +1765,39 @@ class StreamingSpec extends SparkSpec {
     val ndIdx = StreamingOps.embeddingNearDupIndex(hist).persist()
     try run("emb_ingest_screen_prebuilt", Some(idx), Some(ndIdx)) shouldBe batch
     finally { idx.unpersist(); ndIdx.unpersist() }
+
+    // THE production stream start: one parquet-roundtripped
+    // embeddingIngestState artifact carries both indexes AND the
+    // derivation params (bits/tables) — the FromState signature takes
+    // no history and no band parameters at all
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("emb_ingest_state").toString
+    StreamingOps.embeddingIngestState(hist)
+      .write.mode("overwrite").parquet(stateDir)
+    val state = spark.read.parquet(stateDir)
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingOps.embeddingIngestScreenFromState(
+        input2.toDF().toDF("vec_id", "embedding"), state, bench,
+        tau = 0.2, tauNearDup = 0.4)
+      .writeStream.format("memory").queryName("emb_ingest_from_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input2.addData(rows: _*)
+      q2.processAllAvailable()
+      StreamingSpec.this.spark.table("emb_ingest_from_state").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("stage"),
+          Option(r.getAs[java.lang.Long]("anchor")).map(_.longValue)))
+        .toSet shouldBe batch
+    } finally q2.stop()
+
+    // a frame that is NOT an embeddingIngestState artifact (no meta
+    // row) fails loudly at construction, never silently mis-keys
+    val notState = intercept[IllegalArgumentException] {
+      StreamingOps.embeddingIngestScreenFromState(
+        input2.toDF().toDF("vec_id", "embedding"),
+        state.where(col("section") =!= "meta"), bench)
+    }
+    notState.getMessage should include("exactly one meta row")
   }
 
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
