@@ -752,7 +752,7 @@ object Similarity {
     * the one level of indirection that makes [[compactAnnIndex]]'s swap
     * atomic: readers resolve the pair at plan time, compactions flip it
     * with one marker creation. */
-  private def resolvedIndex(
+  private[graft] def resolvedIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (String, String) = {
     val g = cellsGeneration(spark, path).getOrElse(0)

@@ -1511,6 +1511,163 @@ object StreamingOps {
       .agg(collect_list(struct(col("hemb"), col("hid"))).as("cands"))
 
   /**
+   * Serve-time STATE for streaming ANN queries — a
+   * [[graft.operators.Similarity.buildAnnIndex]] layout repackaged as
+   * the candidate-ARRAY shape every streaming screen probes (the
+   * [[embeddingNearDupIndex]] recipe for IVF cells), so
+   * [[annSearchStream]] stays stateless and row-local:
+   *  - `section = "cells"`: one row per inverted list —
+   *    (cell, cands = array⟨(vec_id, emb, nrm)⟩). The read resolves
+   *    the index's CURRENT committed generation (the compaction
+   *    version pointer), pushes `filter` into the cell-file scan as a
+   *    parquet predicate (the [[graft.operators.Similarity
+   *    .searchAnnIndexedFiltered]] layout argument), and FOLDS the
+   *    pending tombstone set out of the arrays — a snapshot: deletes
+   *    after this build need a rebuilt state, like every FromState
+   *    artifact;
+   *  - `section = "cents"`: ONE row carrying the full centroid table
+   *    as an array — the same executor-memory class as the batch
+   *    probes' `broadcast(cents)`;
+   *  - `section = "meta"`: ONE row recording whether a filter was
+   *    baked in (the loud was-this-built-here check).
+   * A cell's array is ~stride members by construction; a degenerate
+   * quantizer makes hot arrays, which
+   * [[graft.operators.Similarity.annIndexStats]] surfaces BEFORE a
+   * serve state is built (list skew = probe latency either way).
+   *
+   * @param filter predicate over metadata columns stored in the cell
+   *        files at build time — baked into the snapshot (a stream
+   *        start owns its filter; per-query filtering is a different
+   *        op)
+   */
+  def annServeState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      filter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    val (cellsAt, tombsAt) = graft.operators.Similarity.resolvedIndex(spark, path)
+    val rawCells = spark.read.parquet(cellsAt)
+      .where(filter.getOrElse(lit(true)))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
+    val fs = new org.apache.hadoop.fs.Path(tombsAt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
+        rawCells.join(broadcast(spark.read.parquet(tombsAt)),
+          Seq("vec_id"), "left_anti")
+      else rawCells
+    val cellRows = live.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm"))).as("cands"))
+    val centsRow = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(
+        struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
+    val candsT = cellRows.schema("cands").dataType
+    val centsT = centsRow.schema("cents").dataType
+    cellRows.select(
+        lit("cells").as("section"), col("cell"), col("cands"),
+        lit(null).cast(centsT).as("cents"),
+        lit(null).cast("string").as("meta"))
+      .unionByName(centsRow.select(
+        lit("cents").as("section"), lit(null).cast("long").as("cell"),
+        lit(null).cast(candsT).as("cands"), col("cents"),
+        lit(null).cast("string").as("meta")))
+      .unionByName(spark.range(1).select(
+        lit("meta").as("section"), lit(null).cast("long").as("cell"),
+        lit(null).cast(candsT).as("cands"),
+        lit(null).cast(centsT).as("cents"),
+        lit(s"filtered=${if (filter.isDefined) 1 else 0}").as("meta")))
+  }
+
+  /**
+   * STREAMING ANN QUERY SERVING — the vector twin of [[searchStream]]
+   * (the lexical index has had one since round 7; this closes the
+   * bookend): a stream of (vec_id, embedding) query rows scored
+   * against a materialized IVF index via one persisted
+   * [[annServeState]] artifact, entirely STATELESS and row-local:
+   *
+   *  - probe selection: the arriving row ranks the (1-row broadcast)
+   *    centroid array by (cosine desc, cent_id) with a row-local
+   *    `sort_array` and keeps its top `nProbe` cells — the exact
+   *    [[graft.operators.Similarity.ivfCosineTopK]] probe definition
+   *    (same argmax, same tie-break);
+   *  - candidate fetch: ≤ nProbe 1:≤1 left joins against the
+   *    per-cell candidate arrays (tombstones already folded at state
+   *    build) — never an explode before the verdict;
+   *  - re-rank: the round-6 cosine, (cos desc, vec_id) ordering, and
+   *    top-k cut reduce the carried arrays with array expressions on
+   *    the ONE row; `posexplode` then emits (q_vec_id, n_vec_id, cos,
+   *    rank) — ≤ k rows per arrival, rank gaps impossible by
+   *    construction.
+   *
+   * Batch parity is pinned in StreamingSpec: same queries through
+   * [[graft.operators.Similarity.searchAnnIndexed]] and this screen,
+   * row-identical — including after a delete (the state build folds
+   * the tombstone set exactly like the batch probe's anti-join) and
+   * under a metadata filter (parity with `searchAnnIndexedFiltered`).
+   *
+   * @param queries streaming (vec_id, embedding)
+   * @param state a (persisted or parquet-read) [[annServeState]]
+   * @return streaming (q_vec_id, n_vec_id, cos, rank)
+   */
+  def annSearchStream(
+      queries: DataFrame,
+      state: DataFrame,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val metaRows = state.where(col("section") === "meta")
+      .select(col("meta")).collect()
+    require(metaRows.length == 1,
+      s"annServeState artifact must carry exactly one meta row, found " +
+        s"${metaRows.length} — was this frame built by annServeState?")
+    val idx = state.where(col("section") === "cells")
+      .select(col("cell"), col("cands"))
+    val centsRow = state.where(col("section") === "cents").select(col("cents"))
+    val q = queries
+      .select(col("vec_id").as("q_vec_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_nrm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+    // row-local ivfProbes: ascending sort on (−cos, cent_id) ≡ the
+    // batch window's (cos desc, cent_id) — negation is exact for IEEE
+    // doubles, so ties break identically
+    def centCos(c: Column): Column =
+      dotProduct(c.getField("c_emb"), col("q_emb")) /
+        (c.getField("c_nrm") * col("q_nrm"))
+    val probes = slice(sort_array(transform(col("cents"), c =>
+      struct((-centCos(c)).as("negccos"),
+        c.getField("cent_id").as("cell")))), 1, nProbe)
+    val probed = (0 until nProbe).foldLeft(
+      q.crossJoin(broadcast(centsRow)).withColumn("_probes", probes)) {
+      (cur, i) =>
+        cur.join(
+          idx.select(col("cell").as(s"_pc$i"), col("cands").as(s"_cd$i")),
+          when(size(col("_probes")) > i,
+            element_at(col("_probes"), i + 1).getField("cell"))
+            .otherwise(lit(null)) === col(s"_pc$i"),
+          "left")
+          .drop(s"_pc$i")
+    }
+    // row-local ivfRerank: self excluded, round-6 cosine, ascending
+    // (−cos, vec_id) ≡ (cos desc, vec_id), top-k slice
+    def candCos(c: Column): Column = round(
+      dotProduct(c.getField("emb"), col("q_emb")) /
+        (c.getField("nrm") * col("q_nrm")), 6)
+    val allCands = flatten(array_compact(
+      array((0 until nProbe).map(i => col(s"_cd$i")): _*)))
+    val top = slice(sort_array(transform(
+      filter(allCands, c => c.getField("vec_id") =!= col("q_vec_id")),
+      c => struct((-candCos(c)).as("negcos"),
+        c.getField("vec_id").as("n_vec_id"), candCos(c).as("cos")))), 1, k)
+    probed
+      .withColumn("_top", top)
+      .select(col("q_vec_id"), posexplode(col("_top")).as(Seq("_pos", "_c")))
+      .select(col("q_vec_id"), col("_c.n_vec_id").as("n_vec_id"),
+        col("_c.cos").as("cos"), (col("_pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
    * Streaming KL-NOVELTY screen — the row-local twin of
    * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
    * is scored against the FROZEN reference unigram distribution,

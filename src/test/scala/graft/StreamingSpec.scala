@@ -1800,6 +1800,66 @@ class StreamingSpec extends SparkSpec {
     notState.getMessage should include("exactly one meta row")
   }
 
+  test("streaming annSearchStream: row-identical to the indexed batch probe, incl. post-delete and filtered") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ann_serve_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100, metaCols = Seq("label"))
+    val qRows = q.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rank"))).toSet
+    def run(name: String, state: org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingOps.annSearchStream(
+          input.toDF().toDF("vec_id", "embedding"), state, k = 10, nProbe = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(qRows: _*)
+        sq.processAllAvailable()
+        rowsOf(StreamingSpec.this.spark.table(name))
+      } finally sq.stop()
+    }
+    // the artifact convention: state round-trips through parquet
+    def stateAt(filter: Option[org.apache.spark.sql.Column]) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_serve_state").toString
+      StreamingOps.annServeState(spark, idx, filter)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val batch1 = rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    val st1 = stateAt(None)
+    run("ann_stream_plain", st1) shouldBe batch1
+    batch1 should not be empty
+    // POST-DELETE parity: the state build folds the tombstone set
+    // exactly like the batch probe's anti-join
+    Similarity.deleteFromAnnIndex(
+      spark, e.where(col("vec_id") % 4 === 2), idx)
+    val batch2 = rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    batch2 should not be batch1 // the delete moved the answer
+    run("ann_stream_deleted", stateAt(None)) shouldBe batch2
+    // FILTERED parity: predicate baked into the snapshot = the batch
+    // filtered probe over the same layout (tombstones still honored)
+    val batch3 = rowsOf(Similarity.searchAnnIndexedFiltered(
+      spark, idx, q, col("label") === 1, k = 10, nProbe = 2))
+    run("ann_stream_filtered", stateAt(Some(col("label") === 1))) shouldBe batch3
+    batch3 should not be empty
+    // a frame that is NOT an annServeState artifact fails loudly
+    val input = MemoryStream[(Long, Seq[Float])]
+    val notState = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStream(input.toDF().toDF("vec_id", "embedding"),
+        st1.where(col("section") =!= "meta"), k = 10)
+    }
+    notState.getMessage should include("exactly one meta row")
+  }
+
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
     val s = spark
     import s.implicits._
