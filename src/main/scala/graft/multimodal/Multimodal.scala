@@ -1001,6 +1001,130 @@ object Multimodal {
       s"$nBands-band pigeonhole covers hamming <= ${nBands - 1}, got $maxDist")
   }
 
+  // ── Band-layout saturation radar ────────────────────────────────────
+  //
+  // The round-10 media-window stress measured the boundary the default
+  // 7×8 layout hits (BASELINE.md): at ×10 duplication the 1,792-key
+  // space saturates — the hot-bucket guard drops most buckets WHOLE,
+  // the state artifact SHRINKS while the corpus grows, and recall
+  // collapses answer-invariantly (496 → 115 matched arrivals). It
+  // wrote down two rules as prose; this radar is those rules as code
+  // (the deriveLshBits / deriveHashedDims / dfAuto precedent):
+  //  (1) the guard bound must scale with a caller-declared duplication
+  //      factor — [[scaledGuardBound]];
+  //  (2) saturation is observable (state rows shrinking relative to
+  //      corpus rows ⇔ guard-skip mass above a fraction of band rows —
+  //      the same drop, counted from either side) and the layout must
+  //      widen when it trips — [[bandSaturation]] measures it,
+  //      [[BandAuto]] acts on it.
+
+  /** Sentinel `nBands` value for the banded-Hamming operators: measure
+    * saturation and derive the layout from the corpus (the `dfAuto`
+    * convention). The `bandBits` argument is ignored under auto. */
+  val BandAuto: Int = 0
+
+  /** A layout is saturated when the guard would skip more than this
+    * fraction of the corpus's band rows — past it, the banded join is
+    * mostly blind and the verdict set shrinks with the corpus (the
+    * BASELINE.md shrinking-state telltale). */
+  val SaturationFrac: Double = 0.5
+
+  /** Guard bound scaled by a caller-declared duplication factor —
+    * BASELINE.md media-window rule (1): D salted copies pile IDENTICAL
+    * hashes into one bucket, so a bound sized for unique corpora drops
+    * exactly the reuse mass the tier exists to find (at the default
+    * bound the ×10 stress lost ~16 of 250 reuse arrivals; at 10× the
+    * bound it lost none). */
+  def scaledGuardBound(
+      duplication: Int,
+      base: Int = graft.operators.Dedup.MaxPairBucket): Int = {
+    require(duplication >= 1,
+      s"duplication factor must be >= 1, got $duplication")
+    require(base > 0, s"base guard bound must be positive, got $base")
+    val b = base.toLong * duplication
+    if (b > Int.MaxValue) Int.MaxValue else b.toInt
+  }
+
+  /** Fraction of the corpus's band rows the hot-bucket guard skips at
+    * this layout and bound — the saturation signal, measured (one
+    * bounded aggregation over the ≤ 65 536-key bucket space plus a
+    * count; call on a persisted frame). */
+  def bandSaturation(
+      hashes: DataFrame,
+      maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
+      nBands: Int = 7,
+      bandBits: Int = 8): Double = {
+    requireBandLayout(nBands, bandBits, 0)
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
+    val n = hashes.count()
+    if (n == 0L) return 0.0
+    val skipped = ahashSkippedBuckets(hashes, maxBucketSize, nBands, bandBits)
+      .agg(coalesce(sum(col("bucket_n")), lit(0L))).head().getLong(0)
+    skipped.toDouble / (n.toDouble * nBands)
+  }
+
+  /** Every layout the 56-bit hash admits, bandBits ascending. */
+  private val AllBandLayouts: Seq[(Int, Int)] =
+    Seq((56, 1), (28, 2), (14, 4), (8, 7), (7, 8), (4, 14))
+
+  /** The widen ladder for a threshold: layouts whose pigeonhole covers
+    * `maxDist`, from the conventional key space upward — (7,8) → (4,14)
+    * for maxDist ≤ 3, (7,8) alone for 4–6, (8,7) alone for 7, … Narrow
+    * layouts below the conventional one are excluded: they cost more
+    * band rows for a SMALLER key space, the wrong direction under
+    * saturation. */
+  private[graft] def bandLayoutLadder(maxDist: Int): Seq[(Int, Int)] = {
+    val adm = AllBandLayouts.filter { case (nb, _) => nb - 1 >= maxDist }
+    require(adm.nonEmpty,
+      s"no band layout of the $AHashBits-bit hash covers maxDist=$maxDist")
+    val maxBits = adm.map(_._2).max
+    adm.filter(_._2 >= math.min(8, maxBits))
+  }
+
+  /** Resolve [[BandAuto]]: walk the ladder measuring skip mass, keep
+    * the first unsaturated layout; when even the widest admissible
+    * layout saturates, fail LOUDLY naming the next wider layout and
+    * the tighter threshold that would unlock it (never silently serve
+    * a mostly-blind join). */
+  private def resolveBandLayout(
+      hashes: DataFrame, maxDist: Int, maxBucketSize: Int): (Int, Int) = {
+    val ladder = bandLayoutLadder(maxDist)
+    val found = ladder.iterator.map { case (nb, bb) =>
+      (nb, bb, bandSaturation(hashes, maxBucketSize, nb, bb))
+    }.find(_._3 <= SaturationFrac)
+    found match {
+      case Some((nb, bb, _)) => (nb, bb)
+      case None =>
+        val (nb, bb) = ladder.last
+        val wider = AllBandLayouts.find(_._2 > bb)
+        val unlock = wider match {
+          case Some((wnb, wbb)) =>
+            s"the wider ${wnb}x$wbb layout would spread the mass over " +
+              s"${wnb.toLong * (1L << wbb)} keys but its pigeonhole only " +
+              s"covers maxDist <= ${wnb - 1}; "
+          case None => ""
+        }
+        throw new IllegalArgumentException(
+          s"band-layout radar: every layout admissible at maxDist=$maxDist " +
+            s"is SATURATED (guard-skip mass > $SaturationFrac of band rows " +
+            s"at ${nb}x$bb, bound=$maxBucketSize) — the banded join would " +
+            s"be mostly blind and the verdict set would shrink with the " +
+            s"corpus. $unlock" +
+            "raise the bound to the corpus's known duplication " +
+            "(scaledGuardBound) or tighten maxDist")
+    }
+  }
+
+  /** Shared [[BandAuto]] dispatch: explicit layouts validate as before;
+    * auto measures and derives (`hashes` must already be persisted —
+    * the radar runs a count plus one bounded aggregation per rung). */
+  private def resolvedBandLayout(
+      hashes: DataFrame, maxDist: Int, maxBucketSize: Int,
+      nBands: Int, bandBits: Int): (Int, Int) =
+    if (nBands == BandAuto) resolveBandLayout(hashes, maxDist, maxBucketSize)
+    else { requireBandLayout(nBands, bandBits, maxDist); (nBands, bandBits) }
+
   /**
    * The modality-agnostic banded-Hamming engine behind
    * [[imageNearDupPairs]] — any (asset_id, ahash) frame
@@ -1022,7 +1146,10 @@ object Multimodal {
    * are legitimately hot, that is the right trade
    * ([[requireBandLayout]] lists the admissible layouts). Either way
    * the key space stays ≤ 65 536, so the guard's eager collect stays
-   * driver-safe BY CONSTRUCTION.
+   * driver-safe BY CONSTRUCTION. Pass `nBands =` [[BandAuto]] to let
+   * the SATURATION RADAR measure the skip mass and widen (or fail
+   * loudly naming the trade) instead of trusting a hand-picked layout
+   * — the round-10 stress's prose rules as code.
    *
    * HOT-BUCKET GUARD: buckets above `maxBucketSize` members are
    * excluded WHOLE before the join (observable via
@@ -1048,19 +1175,19 @@ object Multimodal {
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8): DataFrame = {
-    requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     val h = graft.Caching.persist(hashes.select(col("asset_id"), col("ahash")))
-    val hot = ahashHotByBand(h, maxBucketSize, nBands, bandBits)
-    val banded = ahashDropHot(ahashBands(h, nBands, bandBits), hot, nBands)
+    val (nb, bb) = resolvedBandLayout(h, maxDist, maxBucketSize, nBands, bandBits)
+    val hot = ahashHotByBand(h, maxBucketSize, nb, bb)
+    val banded = ahashDropHot(ahashBands(h, nb, bb), hot, nb)
     val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
       col("band"), col("band_bits"))
     val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
       col("band"), col("band_bits"))
     a.join(b, Seq("band", "band_bits"))
       .where(col("d1") < col("d2") &&
-        col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
+        col("band") === ahashFirstSurvivingBand(hot, nb, bb))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("d1"), col("d2"), col("hamming"))
@@ -1090,20 +1217,20 @@ object Multimodal {
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8): DataFrame = {
-    requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     val h = graft.Caching.persist(
       windowHashes.select(col("asset_id"), col("ahash")))
-    val hot = ahashHotByBand(h, maxBucketSize, nBands, bandBits)
-    val banded = ahashDropHot(ahashBands(h, nBands, bandBits), hot, nBands)
+    val (nb, bb) = resolvedBandLayout(h, maxDist, maxBucketSize, nBands, bandBits)
+    val hot = ahashHotByBand(h, maxBucketSize, nb, bb)
+    val banded = ahashDropHot(ahashBands(h, nb, bb), hot, nb)
     val a = banded.select(col("asset_id").as("d1"), col("ahash").as("h1"),
       col("band"), col("band_bits"))
     val b = banded.select(col("asset_id").as("d2"), col("ahash").as("h2"),
       col("band"), col("band_bits"))
     a.join(b, Seq("band", "band_bits"))
       .where(col("d1") < col("d2") &&
-        col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
+        col("band") === ahashFirstSurvivingBand(hot, nb, bb))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .groupBy(col("d1"), col("d2"))
@@ -1135,21 +1262,22 @@ object Multimodal {
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8): DataFrame = {
-    requireBandLayout(nBands, bandBits, maxDist)
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     val hist = graft.Caching.persist(
       historyWindows.select(col("asset_id"), col("ahash")))
-    val hot = ahashHotByBand(hist, maxBucketSize, nBands, bandBits)
+    // saturation is a HISTORY property, like the hot set itself
+    val (nb, bb) = resolvedBandLayout(hist, maxDist, maxBucketSize, nBands, bandBits)
+    val hot = ahashHotByBand(hist, maxBucketSize, nb, bb)
     val d = ahashBands(deltaWindows.select(col("asset_id"), col("ahash")),
-      nBands, bandBits)
+      nb, bb)
       .select(col("asset_id"), col("ahash").as("h1"),
         col("band"), col("band_bits"))
-    val h = ahashDropHot(ahashBands(hist, nBands, bandBits), hot, nBands)
+    val h = ahashDropHot(ahashBands(hist, nb, bb), hot, nb)
       .select(col("asset_id").as("match_id"),
         col("ahash").as("h2"), col("band"), col("band_bits"))
     d.join(h, Seq("band", "band_bits"))
-      .where(col("band") === ahashFirstSurvivingBand(hot, nBands, bandBits))
+      .where(col("band") === ahashFirstSurvivingBand(hot, nb, bb))
       .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("long"))
       .where(col("hamming") <= maxDist)
       .groupBy(col("asset_id"), col("match_id"))

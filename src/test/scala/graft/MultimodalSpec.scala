@@ -781,4 +781,60 @@ class MultimodalSpec extends SparkSpec {
     // the valid layout still decodes
     Multimodal.decodeOne(3L, wav(fmtChunk, dataChunk)).n_samples shouldBe 2L
   }
+
+  test("band-layout saturation radar: detects the saturated 7x8 space, widens, recovers the dropped reuse") {
+    val s = spark
+    import s.implicits._
+    // the ×10-duplication stress shape, synthetic: 20 000 distinct
+    // 56-bit hashes × 10 salted copies — every 7×8 bucket holds ~780
+    // rows (20 000/256 distinct values × 10 copies), so at a bound of
+    // 100 every bucket is hot WITH CERTAINTY (a cold bucket needs
+    // ≤ 10 distinct values where the mean is 78), while the 4×14
+    // space (16 384 keys per band) holds ~12 rows per bucket
+    val distinctHashes = (0 until 20000)
+      .map(i => (i.toLong * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1))
+    val hist = distinctHashes.zipWithIndex.flatMap { case (h, i) =>
+      (0 until 10).map(c => (i.toLong * 16 + c, h))
+    }.toDF("asset_id", "ahash")
+    // 250 reuse arrivals: exact copies of history hashes (hamming 0)
+    val delta = distinctHashes.take(250).zipWithIndex
+      .map { case (h, i) => (100000L + i, h) }.toDF("asset_id", "ahash")
+    val bound = Multimodal.scaledGuardBound(10, base = 10) // = 100
+    // the measured signal: skip mass ~1 at 7×8, ~0 at 4×14
+    val hp = graft.Caching.persist(hist)
+    Multimodal.bandSaturation(hp, bound, 7, 8) should be > Multimodal.SaturationFrac
+    Multimodal.bandSaturation(hp, bound, 4, 14) should be < 0.05
+    // explicit 7×8 at this bound: the guard drops EVERY bucket whole —
+    // all reuse arrivals vanish (the round-10 recall collapse)
+    Multimodal.ahashWindowNearDupAgainst(
+      delta, hist, maxDist = 3, maxBucketSize = bound,
+      nBands = 7, bandBits = 8).count() shouldBe 0L
+    // BandAuto: the radar measures the saturation and widens to 4×14 —
+    // every reuse arrival recovered, answer identical to the wide
+    // explicit layout
+    val gotAuto = Multimodal.ahashWindowNearDupAgainst(
+      delta, hist, maxDist = 3, maxBucketSize = bound,
+      nBands = Multimodal.BandAuto).count()
+    gotAuto shouldBe 250L
+    gotAuto shouldBe Multimodal.ahashWindowNearDupAgainst(
+      delta, hist, maxDist = 3, maxBucketSize = bound,
+      nBands = 4, bandBits = 14).count()
+    // maxDist > 3 admits no wider layout: the radar fails LOUDLY naming
+    // the saturation and the trade that would unlock the 4×14 space
+    val sat = intercept[IllegalArgumentException] {
+      Multimodal.ahashWindowNearDupAgainst(
+        delta, hist, maxDist = 6, maxBucketSize = bound,
+        nBands = Multimodal.BandAuto).count()
+    }
+    sat.getMessage should include("SATURATED")
+    sat.getMessage should include("4x14")
+    // the pair tier shares the dispatch: auto recovers the duplicate
+    // families the saturated 7×8 guard dropped entirely
+    Multimodal.ahashNearDupPairs(
+      hist, maxDist = 3, maxBucketSize = bound,
+      nBands = 7, bandBits = 8).count() shouldBe 0L
+    Multimodal.ahashNearDupPairs(
+      hist, maxDist = 3, maxBucketSize = bound,
+      nBands = Multimodal.BandAuto).count() shouldBe 20000L * 10 * 9 / 2
+  }
 }
