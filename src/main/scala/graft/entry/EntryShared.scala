@@ -521,12 +521,16 @@ private[graft] object EntryShared {
     * cross-asset window pairs within hamming ≤ 6 grouped to
     * (d1, d2, min_hamming, n_window_hits) — what the banded engine
     * must reproduce exactly (pigeonhole + no hot buckets at sf0.01). */
-  private[graft] def windowPairRollupSql: String =
-    """pr AS (
+  private[graft] def windowPairRollupSql: String = windowPairRollupSqlAt(6)
+
+  /** The q220b rollup at an explicit Hamming bound (q227 reuses it at
+    * the 4-band pigeonhole threshold 3). */
+  private[graft] def windowPairRollupSqlAt(maxDist: Int): String =
+    s"""pr AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
       |         bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 6)
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxDist)
       |SELECT d1, d2, min(hamming)::BIGINT AS min_hamming,
       |       count(*)::BIGINT AS n_window_hits
       |FROM pr GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin

@@ -179,6 +179,25 @@ private[graft] object QueriesMultimodal {
       Multimodal.ahashNearDupPairs(
           Multimodal.imageAHash(Multimodal.encodeAssets(docs(s, dir))),
           maxDist = 3, nBands = 4, bandBits = 14)
+        .orderBy(col("d1"), col("d2"))),
+
+
+    // SATURATION-RADAR auto layout (BandAuto) on the WINDOW tier (the
+    // aHash family's non-vacuous pair surface — thousands of window
+    // rows): the radar measures the guard-skip mass and keeps the
+    // first unsaturated ladder rung — on this (unsaturated) corpus
+    // that is the conventional 7×8 — and the rollup equals the brute
+    // force at the requested bound, because every layout whose buckets
+    // survive the guard agrees exactly (the pigeonhole contract).
+    // Oracle = q220b's rollup at maxDist 3 — a radar that silently
+    // changed the answer on an unsaturated corpus would hash-mismatch
+    // here; the saturated arm (widen + loud failure) is spec-pinned in
+    // MultimodalSpec.
+    "q227_media_band_auto" -> ((s, dir) =>
+      Multimodal.ahashWindowNearDupPairs(
+          Multimodal.audioAHashWindows(Multimodal.encodeAssets(docs(s, dir)),
+            windowSamples = 64),
+          maxDist = 3, nBands = Multimodal.BandAuto)
         .orderBy(col("d1"), col("d2")))
   )
 
@@ -392,6 +411,13 @@ private[graft] object QueriesMultimodal {
          |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // q227 = q220b's brute-force rollup at the 4-band pigeonhole
+    // threshold (3): the auto-resolved layout must reproduce the exact
+    // pair set (layout answer-invariance under the guard contract).
+    "q227_media_band_auto" ->
+      s"""WITH $audioWindowCtes,
+         |${windowPairRollupSqlAt(3)}""".stripMargin
   )
 }

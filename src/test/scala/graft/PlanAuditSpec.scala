@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q223_ann_index_delete", // q82's probe-side centroid broadcast (the
                              // tombstone anti-join is equi on vec_id)
     "q223b_ann_index_compact", // same probe shape after compaction
+    "q226_ann_reinsert", // same probe shape after delete→compact→append
+                         // (q82's probe-side centroid broadcast)
     "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin
