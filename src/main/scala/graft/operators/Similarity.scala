@@ -705,14 +705,18 @@ object Similarity {
     // bounded retention: the immediately-previous generation (lists AND
     // its folded tombstone set) stays one cycle so in-flight scans that
     // resolved it finish; everything older retires now (marker first,
-    // then dir, so no marker ever points at a missing dir)
+    // then dir, so no marker ever points at a missing dir). Generations
+    // before `cur − 1` were retired by earlier compactions — only paths
+    // that still exist are deleted, and THOSE deletes are require-checked
+    def retire(p: String, recursive: Boolean): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp))
+        require(fs.delete(hp, recursive), s"could not retire $p")
+    }
     (0 until cur).foreach { g =>
-      if (g > 0)
-        require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/COMMIT_v$g"), false),
-          s"could not retire commit marker COMMIT_v$g of $path")
-      require(fs.delete(new org.apache.hadoop.fs.Path(generationDir(path, g)), true),
-        s"could not retire generation ${generationDir(path, g)} of $path")
-      deletePath(spark, tombstonesPath(path, g))
+      if (g > 0) retire(s"$path/COMMIT_v$g", recursive = false)
+      retire(generationDir(path, g), recursive = true)
+      retire(tombstonesPath(path, g), recursive = true)
     }
   }
 

@@ -440,6 +440,18 @@ class SimilaritySpec extends SparkSpec {
       rowsOf(Similarity.ivfCosineTopK(
         e2.where(col("vec_id") % 4 =!= 2 && col("vec_id") =!= 5),
         q, k = 10, stride = 100, nProbe = 2))
+    // THIRD compaction: generation 0 is already retired — retention must
+    // skip absent paths, retire v1, and keep v2 + v3
+    Similarity.deleteFromAnnIndex(spark, e2.where(col("vec_id") === 9), idx)
+    Similarity.compactAnnIndex(spark, idx)
+    new java.io.File(s"$idx/COMMIT_v3").exists() shouldBe true
+    new java.io.File(s"$idx/cells_v1").exists() shouldBe false
+    new java.io.File(s"$idx/cells_v2").exists() shouldBe true
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopK(
+        e2.where(col("vec_id") % 4 =!= 2 && col("vec_id") =!= 5 &&
+          col("vec_id") =!= 9),
+        q, k = 10, stride = 100, nProbe = 2))
   }
 
   test("appendAnnIndex refuses pending-tombstoned ids; compact-then-append re-inserts") {
