@@ -1212,7 +1212,7 @@ object Similarity {
     * argmin-L2 codebook entry (L2 via ‖v‖² + ‖c‖² − 2·v·c with the
     * codegen dot; rounded to 6 so the argmin boundary is engine-portable;
     * ties to the smallest code). */
-  private def pqCodesCol(emb: Column, cb: Array[Array[Array[Double]]], subDim: Int): Column =
+  private[graft] def pqCodesCol(emb: Column, cb: Array[Array[Array[Double]]], subDim: Int): Column =
     array(cb.indices.map { s =>
       val sub = slice(emb, s * subDim + 1, subDim)
       val subNorm = dotProduct(sub, sub)

@@ -1668,6 +1668,159 @@ object StreamingOps {
   }
 
   /**
+   * PQ-COMPRESSED serve state — [[annServeState]]'s memory-tier twin
+   * (the IVF-ADC composition of `ivfPqTopK` as a serving artifact):
+   * each cell's candidate array carries (n_vec_id, codes) — m code
+   * bytes per member instead of the full float vector, the 32× lever
+   * that keeps a 10⁹-vector serve state RAM-resident — and the
+   * deterministic PQ CODEBOOK (m·k·subDim doubles, KB-scale) rides IN
+   * the artifact as its own section, the state-artifact convention: a
+   * stream start cannot pair the codes with a foreign codebook, which
+   * would score garbage silently. Codebook and codes derive from the
+   * index's LIVE rows (current generation, tombstones folded), so the
+   * artifact is a self-consistent snapshot like its float twin.
+   * Sections: `cells` (cell, pq_cands), `cents` (one centroid-array
+   * row), `codebook` (one nested-array row), `meta` (m;subDim;k;
+   * pqStride).
+   */
+  def annServePqState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int = graft.operators.Similarity.PqM,
+      subDim: Int = graft.operators.Similarity.PqSubDim,
+      k: Int = graft.operators.Similarity.PqK,
+      pqStride: Int = graft.operators.Similarity.PqStride): DataFrame = {
+    import graft.operators.Similarity
+    val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
+    val rawCells = spark.read.parquet(cellsAt)
+      .select(col("vec_id"), col("emb"), col("cell").cast("long"))
+    val fs = new org.apache.hadoop.fs.Path(tombsAt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
+        rawCells.join(broadcast(spark.read.parquet(tombsAt)),
+          Seq("vec_id"), "left_anti")
+      else rawCells
+    val cb = Similarity.pqCodebook(
+      live.select(col("vec_id"), col("emb").as("embedding")),
+      m, subDim, k, pqStride)
+    val cellRows = live
+      .select(col("cell"), struct(col("vec_id").as("n_vec_id"),
+        Similarity.pqCodesCol(col("emb"), cb, subDim).as("codes")).as("c"))
+      .groupBy(col("cell")).agg(collect_list(col("c")).as("pq_cands"))
+    val centsRow = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(
+        struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
+    val cbRow = spark.range(1).select(
+      typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq).as("codebook"))
+    val candsT = cellRows.schema("pq_cands").dataType
+    val centsT = centsRow.schema("cents").dataType
+    val cbT = cbRow.schema("codebook").dataType
+    def row(section: String, cell: Column, cands: Column, cents: Column,
+        codebook: Column, meta: Column) =
+      Seq(lit(section).as("section"), cell.as("cell"), cands.as("pq_cands"),
+        cents.as("cents"), codebook.as("codebook"), meta.as("meta"))
+    cellRows.select(row("cells", col("cell"), col("pq_cands"),
+        lit(null).cast(centsT), lit(null).cast(cbT),
+        lit(null).cast("string")): _*)
+      .unionByName(centsRow.select(row("cents", lit(null).cast("long"),
+        lit(null).cast(candsT), col("cents"), lit(null).cast(cbT),
+        lit(null).cast("string")): _*))
+      .unionByName(cbRow.select(row("codebook", lit(null).cast("long"),
+        lit(null).cast(candsT), lit(null).cast(centsT), col("codebook"),
+        lit(null).cast("string")): _*))
+      .unionByName(spark.range(1).select(row("meta", lit(null).cast("long"),
+        lit(null).cast(candsT), lit(null).cast(centsT), lit(null).cast(cbT),
+        lit(s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride")): _*))
+  }
+
+  /**
+   * PQ-compressed streaming ANN serving — [[annSearchStream]] in the
+   * compressed domain (`ivfPqTopK`'s IVF-ADC composition, live): the
+   * arriving query row picks its nProbe cells against the carried
+   * centroid array (the exact batch probe definition), builds its m×k
+   * ADC LOOKUP TABLE row-locally from the artifact's codebook (baked
+   * as plan literals at start — the KB-scale bounded collect of the
+   * pqCodebook convention), and scores every carried candidate by m
+   * `element_at` picks + a fixed-order sum — the float vector is
+   * touched by NEITHER side. Row-identical to `ivfPqTopK` over the
+   * index's live rows (StreamingSpec, incl. a post-delete rebuild).
+   *
+   * @return streaming (q_vec_id, n_vec_id, adc, rank)
+   */
+  def annSearchStreamPq(
+      queries: DataFrame,
+      state: DataFrame,
+      kTop: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    require(kTop > 0, s"kTop must be positive, got $kTop")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val metaRows = state.where(col("section") === "meta")
+      .select(col("meta")).collect()
+    require(metaRows.length == 1,
+      s"annServePqState artifact must carry exactly one meta row, found " +
+        s"${metaRows.length} — was this frame built by annServePqState?")
+    val params = metaRows(0).getString(0).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    val (m, subDim) = (params("m"), params("subDim"))
+    val cbRows = state.where(col("section") === "codebook")
+      .select(col("codebook")).collect()
+    require(cbRows.length == 1,
+      "annServePqState artifact must carry exactly one codebook row")
+    val cb = cbRows(0).getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .map(_.map(_.toArray).toArray).toArray
+    val idx = state.where(col("section") === "cells")
+      .select(col("cell"), col("pq_cands"))
+    val centsRow = state.where(col("section") === "cents").select(col("cents"))
+    val q = queries
+      .select(col("vec_id").as("q_vec_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_nrm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+    def centCos(c: Column): Column =
+      dotProduct(c.getField("c_emb"), col("q_emb")) /
+        (c.getField("c_nrm") * col("q_nrm"))
+    val probes = slice(sort_array(transform(col("cents"), c =>
+      struct((-centCos(c)).as("negccos"),
+        c.getField("cent_id").as("cell")))), 1, nProbe)
+    // the per-query ADC lookup table — the batch `lut` expression
+    // verbatim, evaluated once per arriving row
+    val lut = array((0 until m).map { s =>
+      val qSub = slice(col("q_emb"), s * subDim + 1, subDim)
+      array(cb(s).indices.map(j =>
+        dotProduct(qSub, typedLit(cb(s)(j).toSeq))): _*)
+    }: _*)
+    val probed = (0 until nProbe).foldLeft(
+      q.crossJoin(broadcast(centsRow))
+        .withColumn("_probes", probes).withColumn("_lut", lut)) {
+      (cur, i) =>
+        cur.join(
+          idx.select(col("cell").as(s"_pc$i"), col("pq_cands").as(s"_cd$i")),
+          when(size(col("_probes")) > i,
+            element_at(col("_probes"), i + 1).getField("cell"))
+            .otherwise(lit(null)) === col(s"_pc$i"),
+          "left")
+          .drop(s"_pc$i")
+    }
+    def adcOf(c: Column): Column = round(
+      (0 until m).map { s =>
+        element_at(element_at(col("_lut"), s + 1),
+          element_at(c.getField("codes"), s + 1) + lit(1))
+      }.reduce(_ + _), 6)
+    val allCands = flatten(array_compact(
+      array((0 until nProbe).map(i => col(s"_cd$i")): _*)))
+    val top = slice(sort_array(transform(
+      filter(allCands, c => c.getField("n_vec_id") =!= col("q_vec_id")),
+      c => struct((-adcOf(c)).as("negadc"),
+        c.getField("n_vec_id").as("n_vec_id"), adcOf(c).as("adc")))), 1, kTop)
+    probed
+      .withColumn("_top", top)
+      .select(col("q_vec_id"), posexplode(col("_top")).as(Seq("_pos", "_c")))
+      .select(col("q_vec_id"), col("_c.n_vec_id").as("n_vec_id"),
+        col("_c.adc").as("adc"), (col("_pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
    * Streaming KL-NOVELTY screen — the row-local twin of
    * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
    * is scored against the FROZEN reference unigram distribution,

@@ -1860,6 +1860,63 @@ class StreamingSpec extends SparkSpec {
     notState.getMessage should include("exactly one meta row")
   }
 
+  test("streaming annSearchStreamPq: row-identical to ivfPqTopK, incl. post-delete rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ann_pq_serve_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    val qRows = q.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Long]("rank"))).toSet
+    def run(name: String) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_pq_state").toString
+      StreamingOps.annServePqState(spark, idx)
+        .write.mode("overwrite").parquet(dir)
+      val state = spark.read.parquet(dir)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingOps.annSearchStreamPq(
+          input.toDF().toDF("vec_id", "embedding"), state, kTop = 10, nProbe = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(qRows: _*)
+        sq.processAllAvailable()
+        rowsOf(StreamingSpec.this.spark.table(name))
+      } finally sq.stop()
+    }
+    // the compressed-domain serve reproduces the batch IVF-ADC
+    // composition bit-for-bit (same probes, same codebook, same LUT
+    // arithmetic in the same order)
+    val batch = rowsOf(Similarity.ivfPqTopK(e, q, kTop = 10))
+    run("ann_pq_stream") shouldBe batch
+    batch should not be empty
+    // POST-DELETE rebuild: the dead slice avoids PQ seeds (vec_id ≡ 0
+    // mod 25) so the codebook — and with it every surviving code — is
+    // unchanged; the rebuilt state equals the batch composition over
+    // the live rows with the same quantizers
+    val dead = col("vec_id") % 4 === 2 && col("vec_id") % 25 =!= 0
+    Similarity.deleteFromAnnIndex(spark, e.where(dead), idx)
+    val batch2 = rowsOf(Similarity.ivfPqTopK(e.where(!dead), q, kTop = 10))
+    batch2 should not be batch
+    run("ann_pq_stream_deleted") shouldBe batch2
+    // a frame that is NOT an annServePqState artifact fails loudly
+    val input = MemoryStream[(Long, Seq[Float])]
+    val dir = java.nio.file.Files.createTempDirectory("ann_pq_state2").toString
+    StreamingOps.annServePqState(spark, idx).write.mode("overwrite").parquet(dir)
+    val notState = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStreamPq(input.toDF().toDF("vec_id", "embedding"),
+        spark.read.parquet(dir).where(col("section") =!= "meta"), kTop = 10)
+    }
+    notState.getMessage should include("exactly one meta row")
+  }
+
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
     val s = spark
     import s.implicits._
