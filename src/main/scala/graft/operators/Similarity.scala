@@ -705,15 +705,95 @@ object Similarity {
     // bounded retention: the immediately-previous generation (lists AND
     // its folded tombstone set) stays one cycle so in-flight scans that
     // resolved it finish; everything older retires now (marker first,
-    // then dir, so no marker ever points at a missing dir). Generations
-    // before `cur − 1` were retired by earlier compactions — only paths
-    // that still exist are deleted, and THOSE deletes are require-checked
+    // then dir, so no marker ever points at a missing dir); generations
+    // already retired by earlier cycles are skipped. vacuumAnnIndex
+    // reclaims the retained one early once in-flight scans drain.
+    retireGenerationsBelow(spark, path, cur)
+  }
+
+  /**
+   * GENERATIONS audit — the version-pointer mechanism's observability
+   * read (the [[annIndexStats]] convention for the file layout): one
+   * row per on-disk generation of the index with its commit status,
+   * whether it is the CURRENT resolution target, its file/byte
+   * footprint, and whether a tombstone set rides with it. The two
+   * production reads: VACUUM DEBT (committed non-current rows — the
+   * one generation [[compactAnnIndex]] retains for in-flight scans,
+   * reclaimable early via [[vacuumAnnIndex]] once those drain) and
+   * CRASH LITTER (uncommitted rows — a died compaction's partial
+   * write, removed by the next compaction or vacuum). Driver-side FS
+   * walk, bounded BY CONSTRUCTION: retention keeps ≤ 2 committed
+   * generations plus any crash litter.
+   */
+  def annIndexGenerations(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val fs = hadoopFs(spark, path)
+    val cur = cellsGeneration(spark, path).getOrElse(0)
+    def footprint(p: String): (Long, Long) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) (0L, 0L)
+      else {
+        val s = fs.getContentSummary(hp)
+        (s.getFileCount, s.getLength)
+      }
+    }
+    val base = new org.apache.hadoop.fs.Path(path)
+    val names =
+      if (fs.exists(base)) fs.listStatus(base).toSeq.map(_.getPath.getName)
+      else Nil
+    val gens = (names.collect { case CellsDirName(n) => n.toInt } ++
+      (if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells"))) Seq(0)
+       else Nil)).distinct.sorted
+    val markers = names.collect { case CommitMarkerName(n) => n.toInt }.toSet
+    import spark.implicits._
+    gens.map { g =>
+      val (nf, bytes) = footprint(generationDir(path, g))
+      // generation 0 is the build itself — committed by construction
+      (g.toLong, g == 0 || markers(g), g == cur, nf, bytes,
+        pathExists(spark, tombstonesPath(path, g)))
+    }.toDF("generation", "committed", "current", "n_files", "bytes",
+      "has_tombstones")
+  }
+
+  /**
+   * VACUUM — reclaim every generation below the current one, the
+   * RETAINED previous generation included (plus any uncommitted crash
+   * litter). [[compactAnnIndex]] already retires generations older
+   * than its retention window, so vacuum's one extra power is freeing
+   * the retained generation EARLY — run it only after scans that
+   * resolved plans before the last compaction have drained (the same
+   * drain contract the retention window exists to cover). The current
+   * generation, its tombstone set, and the centroid table are never
+   * touched; every delete is require-checked.
+   */
+  def vacuumAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val cur = cellsGeneration(spark, path).getOrElse(0)
+    uncommittedGenerations(spark, path).foreach { g =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_v$g"), true),
+        s"could not remove uncommitted generation $path/cells_v$g")
+    }
+    retireGenerationsBelow(spark, path, cur)
+  }
+
+  /** Retire every generation below `bound` (marker, lists, tombstone
+    * set) — shared by [[compactAnnIndex]]'s bounded retention and
+    * [[vacuumAnnIndex]]. Generations already retired by earlier cycles
+    * are skipped; deletes of present paths are require-checked. */
+  private def retireGenerationsBelow(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      bound: Int): Unit = {
+    val fs = hadoopFs(spark, path)
     def retire(p: String, recursive: Boolean): Unit = {
       val hp = new org.apache.hadoop.fs.Path(p)
       if (fs.exists(hp))
         require(fs.delete(hp, recursive), s"could not retire $p")
     }
-    (0 until cur).foreach { g =>
+    (0 until bound).foreach { g =>
       if (g > 0) retire(s"$path/COMMIT_v$g", recursive = false)
       retire(generationDir(path, g), recursive = true)
       retire(tombstonesPath(path, g), recursive = true)

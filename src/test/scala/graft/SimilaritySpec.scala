@@ -454,6 +454,51 @@ class SimilaritySpec extends SparkSpec {
         q, k = 10, stride = 100, nProbe = 2))
   }
 
+  test("annIndexGenerations + vacuumAnnIndex: the version pointer is observable and reclaimable") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_vacuum_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    def gens() = Similarity.annIndexGenerations(spark, idx).collect()
+      .map(r => r.getAs[Long]("generation") ->
+        ((r.getAs[Boolean]("committed"), r.getAs[Boolean]("current"),
+          r.getAs[Boolean]("has_tombstones")))).toMap
+    // fresh index: one committed, current generation, no debt
+    gens() shouldBe Map(0L -> ((true, true, false)))
+    // vacuum on a fresh index is a no-op
+    Similarity.vacuumAnnIndex(spark, idx)
+    gens() shouldBe Map(0L -> ((true, true, false)))
+    // delete + compact: generation 1 current, generation 0 retained
+    // WITH its folded tombstone set — the vacuum debt, observable
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    Similarity.compactAnnIndex(spark, idx)
+    val expected = rowsOf(
+      Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    gens() shouldBe Map(
+      0L -> ((true, false, true)), 1L -> ((true, true, false)))
+    // crash litter: an uncommitted partial generation shows up as such
+    new java.io.File(s"$idx/cells_v2").mkdir() shouldBe true
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$idx/cells_v2/part-junk"), "partial")
+    gens() shouldBe Map(0L -> ((true, false, true)),
+      1L -> ((true, true, false)), 2L -> ((false, false, false)))
+    // vacuum reclaims the retained generation AND the litter; the
+    // current generation answers exactly as before
+    Similarity.vacuumAnnIndex(spark, idx)
+    gens() shouldBe Map(1L -> ((true, true, false)))
+    new java.io.File(s"$idx/cells").exists() shouldBe false
+    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    new java.io.File(s"$idx/cells_v2").exists() shouldBe false
+    rowsOf(Similarity.searchAnnIndexed(
+      spark, idx, q, k = 10, nProbe = 2)) shouldBe expected
+    // the lifecycle keeps composing after a vacuum: append + search
+    Similarity.appendAnnIndex(spark,
+      e.where(col("vec_id") === 8)
+        .select((col("vec_id") + 3001L).as("vec_id"), col("embedding")), idx)
+    spark.read.parquet(s"$idx/cells_v1").count() shouldBe
+      e.where(col("vec_id") % 4 =!= 2).count() + 1
+  }
+
   test("appendAnnIndex refuses pending-tombstoned ids; compact-then-append re-inserts") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
