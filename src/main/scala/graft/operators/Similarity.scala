@@ -847,6 +847,12 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       path: String): String = resolvedIndex(spark, path)._1
 
+  /** The committed generation number (0 for a fresh build) — the
+    * snapshot coordinate serve artifacts record. */
+  private[graft] def committedGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = cellsGeneration(spark, path).getOrElse(0)
+
   /** Generation dirs newer than the committed pointer — crashed
     * compactions' partial writes (crash before the marker). */
   private def uncommittedGenerations(

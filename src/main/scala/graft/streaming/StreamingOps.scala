@@ -1575,7 +1575,68 @@ object StreamingOps {
         lit("meta").as("section"), lit(null).cast("long").as("cell"),
         lit(null).cast(candsT).as("cands"),
         lit(null).cast(centsT).as("cents"),
-        lit(s"filtered=${if (filter.isDefined) 1 else 0}").as("meta")))
+        lit(s"filtered=${if (filter.isDefined) 1 else 0};" +
+          serveSnapshotMeta(spark, path)).as("meta")))
+  }
+
+  /** The snapshot coordinates a serve artifact records at build:
+    * the index's committed generation and its DISTINCT pending-delete
+    * count (distinct so a retried delete does not fake drift). */
+  private def serveSnapshotMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    import graft.operators.Similarity
+    val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(tombsAt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val nTombs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
+        spark.read.parquet(tombsAt).distinct().count()
+      else 0L
+    // cell FILE count moves on every append (appends never rewrite,
+    // they add files), so appended-but-unserved rows are drift too
+    val nCellFiles =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(cellsAt)).getFileCount
+    s"generation=${Similarity.committedGeneration(spark, path)};" +
+      s"n_tombstones=$nTombs;n_cell_files=$nCellFiles"
+  }
+
+  /**
+   * FRESHNESS guard for serve artifacts — a serve state is a SNAPSHOT
+   * (tombstones folded, cells frozen at build), so a delete or
+   * compaction landing AFTER the build makes every stream still
+   * serving from it silently wrong (deleted rows keep being returned
+   * — the exact quiet-wrongness class the meta rows exist to kill).
+   * Call at stream start (and on a redeploy cadence): compares the
+   * artifact's recorded (generation, distinct-tombstone-count) against
+   * the index's CURRENT coordinates and fails loudly on drift naming
+   * the fix — rebuild the serve state. Works for [[annServeState]] and
+   * [[annServePqState]] artifacts alike (both record the coordinates).
+   */
+  def requireServeStateCurrent(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      state: DataFrame): Unit = {
+    val metaRows = state.where(col("section") === "meta")
+      .select(col("meta")).collect()
+    require(metaRows.length == 1,
+      s"serve-state artifact must carry exactly one meta row, found " +
+        s"${metaRows.length} — was this frame built by annServeState / " +
+        "annServePqState?")
+    val params = metaRows(0).getString(0).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
+    val keys = Seq("generation", "n_tombstones", "n_cell_files")
+    require(keys.forall(params.contains),
+      "serve-state artifact predates the snapshot-coordinate convention " +
+        "— rebuild it with annServeState / annServePqState")
+    val now = serveSnapshotMeta(spark, path).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
+    require(keys.forall(k => params(k) == now(k)),
+      s"STALE serve state for $path: built at " +
+        keys.map(k => s"$k=${params(k)}").mkString(", ") +
+        s"; index is now at " + keys.map(k => s"$k=${now(k)}").mkString(", ") +
+        " — a stream serving from this artifact returns deleted rows or " +
+        "misses appends/compactions silently; rebuild the serve state " +
+        "from the current index")
   }
 
   /**
@@ -1731,7 +1792,8 @@ object StreamingOps {
         lit(null).cast("string")): _*))
       .unionByName(spark.range(1).select(row("meta", lit(null).cast("long"),
         lit(null).cast(candsT), lit(null).cast(centsT), lit(null).cast(cbT),
-        lit(s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride")): _*))
+        lit(s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
+          serveSnapshotMeta(spark, path))): _*))
   }
 
   /**
@@ -1762,8 +1824,8 @@ object StreamingOps {
       s"annServePqState artifact must carry exactly one meta row, found " +
         s"${metaRows.length} — was this frame built by annServePqState?")
     val params = metaRows(0).getString(0).split(';')
-      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
-    val (m, subDim) = (params("m"), params("subDim"))
+      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
+    val (m, subDim) = (params("m").toInt, params("subDim").toInt)
     val cbRows = state.where(col("section") === "codebook")
       .select(col("codebook")).collect()
     require(cbRows.length == 1,

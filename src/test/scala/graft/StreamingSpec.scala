@@ -1917,6 +1917,53 @@ class StreamingSpec extends SparkSpec {
     notState.getMessage should include("exactly one meta row")
   }
 
+  test("requireServeStateCurrent: stale serve artifacts fail loudly on any drift") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_fresh_spec").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
+    def stateNow() = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_fresh_state").toString
+      StreamingOps.annServeState(spark, idx).write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    // fresh artifact: current
+    val st0 = stateNow()
+    StreamingOps.requireServeStateCurrent(spark, idx, st0)
+    // a DELETE after the build: the artifact still serves the deleted
+    // rows — drift, loud
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 3), idx)
+    val drifted = intercept[IllegalArgumentException] {
+      StreamingOps.requireServeStateCurrent(spark, idx, st0)
+    }
+    drifted.getMessage should include("STALE serve state")
+    // rebuilt artifact: current again
+    val st1 = stateNow()
+    StreamingOps.requireServeStateCurrent(spark, idx, st1)
+    // an APPEND after the build: the artifact misses the new rows
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireServeStateCurrent(spark, idx, st1)
+    }.getMessage should include("STALE serve state")
+    // a COMPACTION after the build: generation moved
+    val st2 = stateNow()
+    StreamingOps.requireServeStateCurrent(spark, idx, st2)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 5), idx)
+    Similarity.compactAnnIndex(spark, idx)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireServeStateCurrent(spark, idx, st2)
+    }.getMessage should include("STALE serve state")
+    // the PQ artifact records the same coordinates
+    val pqDir = java.nio.file.Files.createTempDirectory("ann_fresh_pq").toString
+    StreamingOps.annServePqState(spark, idx).write.mode("overwrite").parquet(pqDir)
+    val pqState = spark.read.parquet(pqDir)
+    StreamingOps.requireServeStateCurrent(spark, idx, pqState)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 7), idx)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireServeStateCurrent(spark, idx, pqState)
+    }.getMessage should include("STALE serve state")
+  }
+
   test("streaming dataCardSketchStream: exact lanes + merge-invariant sketches") {
     val s = spark
     import s.implicits._
