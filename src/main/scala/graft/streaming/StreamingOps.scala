@@ -2709,10 +2709,14 @@ object StreamingOps {
       historyHashes: DataFrame,
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
-      bandBits: Int = 8): DataFrame =
+      bandBits: Int = 8,
+      allowSaturated: Boolean = false): DataFrame = {
+    requireUnsaturatedState(
+      historyHashes, maxBucketDocs, nBands, bandBits, allowSaturated)
     screenStateOf(
       mediaNearDupIndex(historyHashes, maxBucketDocs, nBands, bandBits),
       nBands, bandBits)
+  }
 
   /** [[mediaScreenState]] for the WINDOW tier: packages
     * [[mediaWindowNearDupIndex]] rows + the layout meta row; start
@@ -2721,10 +2725,48 @@ object StreamingOps {
       historyWindows: DataFrame,
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
-      bandBits: Int = 8): DataFrame =
+      bandBits: Int = 8,
+      allowSaturated: Boolean = false): DataFrame = {
+    requireUnsaturatedState(
+      historyWindows, maxBucketDocs, nBands, bandBits, allowSaturated)
     screenStateOf(
       mediaWindowNearDupIndex(historyWindows, maxBucketDocs, nBands, bandBits),
       nBands, bandBits)
+  }
+
+  /** SATURATION guard at the state-BUILD boundary — the round-10
+    * stress's telltale ("state rows shrink while the corpus grows")
+    * caught at the moment it is created instead of noticed later: a
+    * build whose guard-skip mass exceeds
+    * [[graft.multimodal.Multimodal.SaturationFrac]] would package a
+    * mostly-blind index (most buckets dropped whole) and every stream
+    * started from it would silently miss most reuse. Fails loudly
+    * naming the measured mass and the fixes (wider layout via
+    * `Multimodal.bandSaturation`/`deriveBandLayout` reasoning, or a
+    * duplication-scaled bound via `Multimodal.scaledGuardBound`);
+    * `allowSaturated = true` is the explicit opt-in for deliberately
+    * degraded builds (the MediaWindowStressMain measurement arm). */
+  private def requireUnsaturatedState(
+      hashes: DataFrame,
+      maxBucketDocs: Int,
+      nBands: Int,
+      bandBits: Int,
+      allowSaturated: Boolean): Unit = {
+    if (allowSaturated) return
+    val h = graft.Caching.persist(hashes.select(col("asset_id"), col("ahash")))
+    val frac = graft.multimodal.Multimodal.bandSaturation(
+      h, maxBucketDocs, nBands, bandBits)
+    require(frac <= graft.multimodal.Multimodal.SaturationFrac,
+      f"media screen state is SATURATED at ${nBands}x$bandBits " +
+        f"(guard-skip mass $frac%.2f of band rows > " +
+        f"${graft.multimodal.Multimodal.SaturationFrac}, bound " +
+        s"$maxBucketDocs): the packaged index would drop most buckets " +
+        "whole and streams serving from it would silently miss most " +
+        "reuse — widen the band layout (4x14 covers maxDist <= 3), " +
+        "scale the bound to the corpus's duplication " +
+        "(Multimodal.scaledGuardBound), or pass allowSaturated = true " +
+        "for a deliberately degraded build")
+  }
 
   /** The PRODUCTION stream start for [[mediaNearDupScreen]]: index AND
     * band layout load from one persisted [[mediaScreenState]] artifact;

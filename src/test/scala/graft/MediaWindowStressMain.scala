@@ -70,7 +70,9 @@ object MediaWindowStressMain {
       t0 = System.nanoTime()
       val stateDir = java.nio.file.Files
         .createTempDirectory(s"media_window_state_${scale}x").toString
-      StreamingOps.mediaWindowScreenState(histWindows)
+      // allowSaturated: the 10x arm DELIBERATELY builds the saturated
+      // 7x8 state to measure the recall collapse the guard now blocks
+      StreamingOps.mediaWindowScreenState(histWindows, allowSaturated = true)
         .write.mode("overwrite").parquet(stateDir)
       println(f"STATE_BUILD_${scale}X: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 

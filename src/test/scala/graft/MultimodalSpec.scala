@@ -836,5 +836,21 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.ahashNearDupPairs(
       hist, maxDist = 3, maxBucketSize = bound,
       nBands = Multimodal.BandAuto).count() shouldBe 20000L * 10 * 9 / 2
+    // the STATE-BUILD boundary enforces the same rule: packaging a
+    // saturated 7×8 index fails loudly (a stream from it would
+    // silently miss most reuse); the wide layout and the explicit
+    // opt-in both build
+    val histWins = hist.withColumn("window_id", lit(0L))
+    val satBuild = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.mediaWindowScreenState(
+        histWins, maxBucketDocs = bound)
+    }
+    satBuild.getMessage should include("SATURATED")
+    graft.streaming.StreamingOps.mediaWindowScreenState(
+      histWins, maxBucketDocs = bound, nBands = 4, bandBits = 14)
+      .where(col("section") === "meta").count() shouldBe 1L
+    graft.streaming.StreamingOps.mediaWindowScreenState(
+      histWins, maxBucketDocs = bound, allowSaturated = true)
+      .where(col("section") === "meta").count() shouldBe 1L
   }
 }
