@@ -2753,9 +2753,13 @@ object StreamingOps {
       bandBits: Int,
       allowSaturated: Boolean): Unit = {
     if (allowSaturated) return
-    val h = graft.Caching.persist(hashes.select(col("asset_id"), col("ahash")))
-    val frac = graft.multimodal.Multimodal.bandSaturation(
-      h, maxBucketDocs, nBands, bandBits)
+    // self-contained lifecycle: the probe frame is fully consumed here
+    // (count + one bounded aggregation), so it releases before return
+    val h = hashes.select(col("asset_id"), col("ahash")).persist()
+    val frac =
+      try graft.multimodal.Multimodal.bandSaturation(
+        h, maxBucketDocs, nBands, bandBits)
+      finally h.unpersist(blocking = false)
     require(frac <= graft.multimodal.Multimodal.SaturationFrac,
       f"media screen state is SATURATED at ${nBands}x$bandBits " +
         f"(guard-skip mass $frac%.2f of band rows > " +
