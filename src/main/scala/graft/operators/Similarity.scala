@@ -690,6 +690,22 @@ object Similarity {
         Seq("vec_id"), "left_anti")
     live.write.mode("overwrite").partitionBy("cell")
       .parquet(generationDir(path, next))
+    // EMPTY-FOLD GUARD: a zero-row partitioned write leaves a dir with
+    // no data files and no schema footer — committing it would make
+    // every later read CRASH on schema inference instead of failing
+    // loudly here. An index whose every row is tombstoned has nothing
+    // left to serve; wiping and rebuilding is the honest operation.
+    // (One dir listing — the staging write is O(live) anyway.)
+    if (!fs.listStatus(new org.apache.hadoop.fs.Path(generationDir(path, next)))
+        .exists(_.isDirectory)) {
+      require(fs.delete(
+          new org.apache.hadoop.fs.Path(generationDir(path, next)), true),
+        s"could not remove empty staging generation ${generationDir(path, next)}")
+      throw new IllegalArgumentException(
+        s"compactAnnIndex: folding the tombstones would leave ZERO live " +
+          s"rows — the entire index at $path is tombstoned; wipe the index " +
+          "path and rebuild instead of compacting to empty")
+    }
     // THE COMMIT: one atomic file creation flips every future plan to
     // the new generation — and, because the tombstone set is
     // GENERATION-SCOPED, to the (empty) folded tombstone set in the

@@ -499,6 +499,24 @@ class SimilaritySpec extends SparkSpec {
       e.where(col("vec_id") % 4 =!= 2).count() + 1
   }
 
+  test("compactAnnIndex refuses to fold the index away to zero live rows") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 20)
+    val idx = java.nio.file.Files.createTempDirectory("graft_empty_fold").toString
+    Similarity.buildAnnIndex(e, idx, stride = 5)
+    Similarity.deleteFromAnnIndex(spark, e, idx) // everything
+    val emptied = intercept[IllegalArgumentException] {
+      Similarity.compactAnnIndex(spark, idx)
+    }
+    emptied.getMessage should include("ZERO live rows")
+    // nothing committed: the index still resolves generation 0 and the
+    // tombstone set still pends (searches correctly serve nothing)
+    new java.io.File(s"$idx/COMMIT_v1").exists() shouldBe false
+    new java.io.File(s"$idx/cells_v1").exists() shouldBe false
+    Similarity.searchAnnIndexed(spark, idx,
+      e.where(col("vec_id") < 2), k = 5, nProbe = 2).count() shouldBe 0L
+  }
+
   test("appendAnnIndex refuses pending-tombstoned ids; compact-then-append re-inserts") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
