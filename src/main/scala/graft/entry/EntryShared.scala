@@ -25,6 +25,30 @@ private[graft] object EntryShared {
   private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch directory for a per-query ANN index build, removed by a
+    * JVM shutdown hook. Fresh per invocation ON PURPOSE (a reused
+    * deterministic path would carry generations/tombstones across runs
+    * and trip the lifecycle guards), but the returned DataFrame reads
+    * the index LAZILY — the driver executes it after the query lambda
+    * returns — so an eager delete would break the query. The hook
+    * bounds the leak to the life of the run: verify/bench loops stop
+    * accumulating full index copies under java.io.tmpdir across runs. */
+  private[graft] def tempIndexDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import java.nio.file.Files
+        if (Files.exists(dir)) {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      } catch { case _: java.io.IOException => () }
+    }))
+    dir.toString
+  }
+
   /** events.parquet loader, robust to the fixture's TIMESTAMP unit.
     *
     * The fixture has shipped with both TIMESTAMP(MICROS) (which Spark

@@ -181,7 +181,7 @@ private[graft] object QueriesCore {
     // mirrors q6's sum-of-rounded-addends (raw doubles round-trip
     // parquet bit-exactly).
     "q71_search_indexed" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_index_").toString
+      val idx = tempIndexDir("graft_index_")
       Search.buildIndex(docs(s, dir), idx)
       Search
         .searchIndexTokens(

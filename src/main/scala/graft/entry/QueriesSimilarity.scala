@@ -117,7 +117,7 @@ private[graft] object QueriesSimilarity {
     // SimilaritySpec). Oracle is q26's SQL verbatim: the roundtrip must
     // reproduce the direct path bit-for-bit.
     "q82_ann_indexed" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_index_").toString
+      val idx = tempIndexDir("graft_ann_index_")
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
@@ -315,7 +315,7 @@ private[graft] object QueriesSimilarity {
     // direct IVF search over the UNION corpus with the same frozen
     // centroid set — append must be invisible to queries.
     "q100_ann_index_append" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_append_").toString
+      val idx = tempIndexDir("graft_ann_append_")
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
       Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
@@ -366,7 +366,7 @@ private[graft] object QueriesSimilarity {
     // (PushedFilters — pinned in SimilaritySpec). Shares q222's oracle
     // verbatim: the indexed filtered path must reproduce the direct one.
     "q222c_ann_filtered_indexed" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_fidx_").toString
+      val idx = tempIndexDir("graft_ann_fidx_")
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100, metaCols = Seq("label"))
       Similarity.searchAnnIndexedFiltered(s, idx, e.where(col("vec_id") < 5),
@@ -382,7 +382,7 @@ private[graft] object QueriesSimilarity {
     // being a candidate), then probe. Oracle = direct IVF over
     // (corpus ∖ deletes) with the ORIGINAL centroid set.
     "q223_ann_index_delete" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_delete_").toString
+      val idx = tempIndexDir("graft_ann_delete_")
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.deleteFromAnnIndex(s,
@@ -420,7 +420,7 @@ private[graft] object QueriesSimilarity {
     // the q223 delete — the table a compaction policy reads. Oracle
     // recomputes the assignment distribution from the shared IVF chain.
     "q224_ann_index_stats" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_stats_").toString
+      val idx = tempIndexDir("graft_ann_stats_")
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.deleteFromAnnIndex(s,
@@ -435,7 +435,7 @@ private[graft] object QueriesSimilarity {
     // q223's oracle verbatim, so a compaction that loses or resurrects a
     // row hash-mismatches the gate.
     "q223b_ann_index_compact" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_compact_").toString
+      val idx = tempIndexDir("graft_ann_compact_")
       val e = tbl(s, dir, "embeddings")
       Similarity.buildAnnIndex(e, idx, stride = 100)
       Similarity.deleteFromAnnIndex(s,
@@ -457,7 +457,7 @@ private[graft] object QueriesSimilarity {
     // append(id) can never silently lose a live row (without the
     // compact, the append fails loudly — SimilaritySpec).
     "q226_ann_reinsert" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft_ann_reinsert_").toString
+      val idx = tempIndexDir("graft_ann_reinsert_")
       val e = tbl(s, dir, "embeddings")
       val dead = pmod(col("vec_id"), lit(4)) === 2
       Similarity.buildAnnIndex(e, idx, stride = 100)
@@ -468,6 +468,33 @@ private[graft] object QueriesSimilarity {
           k = 10, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // ONE-CALL MAINTENANCE over the q223 scenario: a quarter of the
+    // corpus tombstoned reads debt 0.25 > bound 0.2, so the call folds
+    // (generation 0 → 1) and flags every pre-call serve artifact stale.
+    // Oracle recomputes the report from the corpus counts.
+    "q228_ann_maintenance" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_maint_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s,
+        e.where(pmod(col("vec_id"), lit(4)) === 2), idx)
+      Similarity.maintainAnnIndex(s, idx, maxDebtFrac = 0.2)
+    }),
+
+
+    // The NO-OP arm of the policy bound: ten tombstones on the same
+    // corpus sit far under 0.2, so the call measures, folds nothing,
+    // and leaves the deletes pending (probes still honor them via the
+    // anti-join — q223's contract, not this report's job).
+    "q228b_ann_maintenance_noop" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_maintb_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s, e.where(col("vec_id") < 10), idx)
+      Similarity.maintainAnnIndex(s, idx, maxDebtFrac = 0.2)
     }),
 
 
@@ -1269,6 +1296,37 @@ private[graft] object QueriesSimilarity {
         |       (count(*) - sum(CASE WHEN vec_id % 4 = 2 THEN 1 ELSE 0 END))
         |         ::BIGINT AS n_live
         |FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
+
+
+    // Maintenance report over the q223 delete scenario: debt =
+    // |vec_id ≡ 2 mod 4| / |corpus| ≈ 0.25 > bound 0.2 → the call
+    // folds (generation 0 → 1) and flags pre-call serve states stale.
+    "q228_ann_maintenance" ->
+      """SELECT count(*)::BIGINT AS n_vecs,
+        |       sum(CASE WHEN vec_id % 4 = 2 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_tombstoned,
+        |       round(sum(CASE WHEN vec_id % 4 = 2 THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS debt,
+        |       0.2::DOUBLE AS debt_bound,
+        |       TRUE AS compacted, FALSE AS vacuumed,
+        |       0::BIGINT AS generation_before, 1::BIGINT AS generation_after,
+        |       TRUE AS serve_state_stale
+        |FROM embeddings""".stripMargin,
+
+
+    // The below-bound arm: ten tombstones measure far under 0.2, so
+    // nothing folds and the generation pointer never moves.
+    "q228b_ann_maintenance_noop" ->
+      """SELECT count(*)::BIGINT AS n_vecs,
+        |       sum(CASE WHEN vec_id < 10 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_tombstoned,
+        |       round(sum(CASE WHEN vec_id < 10 THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS debt,
+        |       0.2::DOUBLE AS debt_bound,
+        |       FALSE AS compacted, FALSE AS vacuumed,
+        |       0::BIGINT AS generation_before, 0::BIGINT AS generation_after,
+        |       FALSE AS serve_state_stale
+        |FROM embeddings""".stripMargin,
 
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine

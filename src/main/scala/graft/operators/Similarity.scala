@@ -671,7 +671,19 @@ object Similarity {
    */
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit =
+    compactAnnIndexWithHook(spark, path, () => ())
+
+  /** [[compactAnnIndex]] with a pre-commit seam — invoked after the
+    * staged generation is fully written but BEFORE the marker flips the
+    * version pointer. Exists so the maintenance-race drift check below
+    * is TESTABLE (SimilaritySpec injects a racing delete/append into
+    * the exact window it guards); production callers use the no-op
+    * public form. */
+  private[graft] def compactAnnIndexWithHook(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      preCommitHook: () => Unit): Unit = {
     val fs = hadoopFs(spark, path)
     val cur = cellsGeneration(spark, path).getOrElse(0)
     val next = cur + 1
@@ -684,7 +696,27 @@ object Similarity {
         s"could not remove uncommitted generation $path/cells_v$g " +
           "(a crashed compaction's partial write)")
     }
+    // heal, part two — BEFORE the no-work early return, so EVERY
+    // compaction call converges the layout, not just ones with pending
+    // tombstones: a crash after a previous cycle's marker but before
+    // its retirement strands generations older than the retained one
+    // (lists + markers + folded tombstone sets) on disk indefinitely.
+    // Retention policy unchanged: the immediately-previous generation
+    // (cur − 1) stays one cycle; vacuumAnnIndex reclaims it early.
+    retireGenerationsBelow(spark, path, cur - 1)
     if (!pathExists(spark, tombstonesPath(path, cur))) return
+    // PRE-SNAPSHOT coordinates (the serveSnapshotMeta trick): a delete
+    // or append racing this compaction between the `live` snapshot and
+    // the COMMIT marker lands in the SUPERSEDED generation — the
+    // tombstone would be retired next cycle without ever being folded
+    // (a deleted row silently resurrects) and appended files would
+    // miss the new generation (an appended row silently vanishes).
+    // Capture the superseded generation's distinct-tombstone count and
+    // cell-file count now; re-read after the marker and reconcile.
+    val preTombs = spark.read.parquet(tombstonesPath(path, cur))
+      .distinct().count()
+    val preFiles = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(generationDir(path, cur))).getFileCount
     val live = spark.read.parquet(generationDir(path, cur))
       .join(broadcast(spark.read.parquet(tombstonesPath(path, cur))),
         Seq("vec_id"), "left_anti")
@@ -706,18 +738,48 @@ object Similarity {
           s"rows — the entire index at $path is tombstoned; wipe the index " +
           "path and rebuild instead of compacting to empty")
     }
+    preCommitHook()
     // THE COMMIT: one atomic file creation flips every future plan to
     // the new generation — and, because the tombstone set is
     // GENERATION-SCOPED, to the (empty) folded tombstone set in the
     // same instant: a reader resolves (cells_v{N}, tombstones_g{N}) as
     // a pair, so no ordering of a separate tombstone delete can strand
-    // it (a delete racing THIS compaction is still a maintenance-window
-    // concern: a tombstone appended after `live` was computed but
-    // before the marker belongs to the superseded generation and is
-    // lost — serialize deletes against compactions).
+    // it.
     require(fs.createNewFile(
         new org.apache.hadoop.fs.Path(s"$path/COMMIT_v$next")),
       s"could not commit generation $next of $path (marker exists?)")
+    // POST-COMMIT drift reconciliation against the pre-snapshot
+    // coordinates. Late DELETES (tombstone count moved): carry the
+    // superseded generation's whole tombstone set forward into
+    // tombstones_g{next} — re-folding an already-folded id is an
+    // idempotent anti-join no-op, so the copy costs nothing and the
+    // late tombstone is honored by every probe of the new generation
+    // and physically folded by the next compaction. Runs before the
+    // append check so a doubly-raced call loses neither.
+    val postTombs = spark.read.parquet(tombstonesPath(path, cur))
+      .distinct().count()
+    if (postTombs != preTombs)
+      spark.read.parquet(tombstonesPath(path, cur)).distinct()
+        .write.mode("append").parquet(tombstonesPath(path, next))
+    // Late APPENDS (cell-file count moved): the appended files sit in
+    // the superseded generation only — every probe of the committed
+    // generation misses them. They cannot be folded forward here (the
+    // rows carry no marker distinguishing them from compacted-away
+    // duplicates), so fail LOUDLY naming the recovery: the superseded
+    // generation is retained one cycle, and appendAnnIndex now resolves
+    // the NEW generation, so re-running the append lands the delta
+    // where probes read.
+    val postFiles = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(generationDir(path, cur))).getFileCount
+    if (postFiles != preFiles)
+      throw new IllegalStateException(
+        s"compactAnnIndex($path): an appendAnnIndex raced this compaction " +
+          s"— the superseded generation's cell-file count moved " +
+          s"($preFiles -> $postFiles) after the live snapshot, so the " +
+          s"appended rows are MISSING from committed generation $next; " +
+          "re-run appendAnnIndex for that delta (it now lands in the new " +
+          "generation). The superseded lists are retained one cycle at " +
+          generationDir(path, cur))
     // bounded retention: the immediately-previous generation (lists AND
     // its folded tombstone set) stays one cycle so in-flight scans that
     // resolved it finish; everything older retires now (marker first,
@@ -793,6 +855,64 @@ object Similarity {
         s"could not remove uncommitted generation $path/cells_v$g")
     }
     retireGenerationsBelow(spark, path, cur)
+  }
+
+  /**
+   * ONE-CALL index MAINTENANCE — the ops loop the lifecycle pieces
+   * left as prose until now ("run compaction when |tombstones|/|corpus|
+   * crosses a policy bound" — [[compactAnnIndex]]'s scaladoc), promoted
+   * to an operator the way every other radar in this repo was
+   * (`deriveLshBits`, `dfAuto`, `BandAuto`): MEASURE the tombstone debt
+   * from [[annIndexStats]] (one column-pruned scan of the current lists
+   * + the broadcast anti-probe), COMPACT when debt exceeds
+   * `maxDebtFrac` (which also heals crash litter and converges stale
+   * generations — compaction does both on every call now), and VACUUM
+   * when the caller asserts in-flight scans have drained
+   * (`reclaimRetained = true`; drain is a deployment fact the engine
+   * cannot observe, so it stays a caller assertion — the same contract
+   * as calling [[vacuumAnnIndex]] directly).
+   *
+   * Returns a ONE-ROW REPORT (the data-card convention — metrics
+   * emitted, not just a verdict): totals, measured debt vs the bound,
+   * the actions taken, the generation window crossed, and
+   * `serve_state_stale` — TRUE when a fold moved the snapshot
+   * coordinates, i.e. every [[graft.streaming.StreamingOps
+   * .annServeState]] / `annServePqState` artifact built before this
+   * call must be rebuilt and redeployed (their streams fail loudly via
+   * `requireServeStateCurrent` either way; the flag is the PROACTIVE
+   * signal that closes the stats → compact → vacuum → serve-rebuild
+   * loop). At 100 TB the measure is one metadata-light scan and the
+   * fold runs only when the policy bound says the debt is worth an
+   * O(live) rewrite.
+   */
+  def maintainAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxDebtFrac: Double = 0.2,
+      reclaimRetained: Boolean = false): DataFrame = {
+    require(maxDebtFrac >= 0.0 && maxDebtFrac < 1.0,
+      s"maxDebtFrac must be in [0, 1), got $maxDebtFrac")
+    val genBefore = committedGeneration(spark, path)
+    val agg = annIndexStats(spark, path)
+      .agg(coalesce(sum(col("n_vecs")), lit(0L)).as("v"),
+        coalesce(sum(col("n_tombstoned")), lit(0L)).as("t")).head()
+    val (nVecs, nTomb) = (agg.getLong(0), agg.getLong(1))
+    val overBound = nVecs > 0 && nTomb.toDouble / nVecs > maxDebtFrac
+    if (overBound) compactAnnIndex(spark, path)
+    if (reclaimRetained) vacuumAnnIndex(spark, path)
+    val genAfter = committedGeneration(spark, path)
+    import spark.implicits._
+    Seq((nVecs, nTomb, maxDebtFrac, overBound, reclaimRetained,
+        genBefore.toLong, genAfter.toLong))
+      .toDF("n_vecs", "n_tombstoned", "debt_bound", "compacted", "vacuumed",
+        "generation_before", "generation_after")
+      .withColumn("debt", when(col("n_vecs") === 0, lit(0.0))
+        .otherwise(round(col("n_tombstoned") / col("n_vecs"), 6)))
+      .withColumn("serve_state_stale", col("compacted"))
+      .select(col("n_vecs"), col("n_tombstoned"), col("debt"),
+        col("debt_bound"), col("compacted"), col("vacuumed"),
+        col("generation_before"), col("generation_after"),
+        col("serve_state_stale"))
   }
 
   /** Retire every generation below `bound` (marker, lists, tombstone

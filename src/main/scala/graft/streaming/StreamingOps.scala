@@ -1327,20 +1327,15 @@ object StreamingOps {
       bench: DataFrame,
       tau: Double = 0.85,
       tauNearDup: Double = 0.9): DataFrame = {
-    val metaRows = state.where(col("section") === "meta")
-      .select(col("meta")).collect()
-    require(metaRows.length == 1,
-      s"embeddingIngestState artifact must carry exactly one meta row, " +
-        s"found ${metaRows.length} — was this frame built by " +
-        "embeddingIngestState?")
-    val params = metaRows(0).getString(0).split(';')
-      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    val params = artifactMeta(state, "embeddingIngestState",
+      required = Seq("bits", "tables"))
     val idx = state.where(col("section") === "index")
       .select(col("hkey"), col("cands"))
     val ndIdx = state.where(col("section") === "ndindex")
       .select(col("t"), col("bucket"), col("ndcands").as("cands"))
     embeddingIngestScreenCore(embs, bench, idx, ndIdx,
-      tau, tauNearDup, params("bits"), params("tables"))
+      tau, tauNearDup, metaInt(params, "bits", "embeddingIngestState"),
+      metaInt(params, "tables", "embeddingIngestState"))
   }
 
   /**
@@ -1600,6 +1595,61 @@ object StreamingOps {
       s"n_tombstones=$nTombs;n_cell_files=$nCellFiles"
   }
 
+  /** Collect a state artifact's ONE meta row and parse it into a
+    * validated key→value map — the loud-failure form of the bare
+    * `split('=')` indexing it replaces at every FromState / serve
+    * entry point: a malformed meta row or a MIS-PAIRED artifact (a
+    * float [[annServeState]] handed to [[annSearchStreamPq]], an
+    * [[ingestState]] handed to a media screen) fails with a
+    * `require(...)` naming the builder the entry point expects,
+    * instead of a raw ArrayIndexOutOfBounds / NoSuchElement deep in
+    * plan construction. Driver-side action: the 1-row collect every
+    * caller already paid. */
+  private def artifactMeta(
+      state: DataFrame,
+      builder: String,
+      required: Seq[String],
+      metaCol: String = "meta"): Map[String, String] = {
+    val metaRows = state.where(col("section") === "meta")
+      .select(col(metaCol)).collect()
+    require(metaRows.length == 1,
+      s"$builder artifact must carry exactly one meta row, found " +
+        s"${metaRows.length} — was this frame built by $builder?")
+    val metaStr = if (metaRows(0).isNullAt(0)) null else metaRows(0).getString(0)
+    require(metaStr != null && metaStr.nonEmpty,
+      s"$builder artifact meta row is empty — was this frame built by " +
+        s"$builder?")
+    val tokens = metaStr.split(';')
+    val bad = tokens.filter(t => t.indexOf('=') <= 0)
+    require(bad.isEmpty,
+      s"$builder artifact meta row has malformed entr" +
+        s"${if (bad.length == 1) "y" else "ies"} ${bad.mkString("[", ", ", "]")}" +
+        s" (expected k=v;k=v;…) — was this frame built by $builder?")
+    val params = tokens.map { t =>
+      val i = t.indexOf('=')
+      t.substring(0, i) -> t.substring(i + 1)
+    }.toMap
+    val missing = required.filterNot(params.contains)
+    require(missing.isEmpty,
+      s"$builder artifact meta row is missing ${missing.mkString(", ")} " +
+        s"(found: ${params.keys.toSeq.sorted.mkString(", ")}) — this frame " +
+        s"was built by an OLDER convention or a DIFFERENT builder; " +
+        s"rebuild it with $builder")
+    params
+  }
+
+  /** A meta parameter that must be an integer — validated like
+    * [[artifactMeta]]'s shape checks (a corrupted value fails naming
+    * the artifact, not with a bare NumberFormatException). */
+  private def metaInt(
+      params: Map[String, String], key: String, builder: String): Int =
+    try params(key).toInt
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$builder artifact meta key $key=${params(key)} is not an " +
+          s"integer — was this frame built by $builder?")
+    }
+
   /**
    * FRESHNESS guard for serve artifacts — a serve state is a SNAPSHOT
    * (tombstones folded, cells frozen at build), so a delete or
@@ -1616,18 +1666,9 @@ object StreamingOps {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       state: DataFrame): Unit = {
-    val metaRows = state.where(col("section") === "meta")
-      .select(col("meta")).collect()
-    require(metaRows.length == 1,
-      s"serve-state artifact must carry exactly one meta row, found " +
-        s"${metaRows.length} — was this frame built by annServeState / " +
-        "annServePqState?")
-    val params = metaRows(0).getString(0).split(';')
-      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
     val keys = Seq("generation", "n_tombstones", "n_cell_files")
-    require(keys.forall(params.contains),
-      "serve-state artifact predates the snapshot-coordinate convention " +
-        "— rebuild it with annServeState / annServePqState")
+    val params = artifactMeta(state, "annServeState / annServePqState",
+      required = keys)
     val now = serveSnapshotMeta(spark, path).split(';')
       .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
     require(keys.forall(k => params(k) == now(k)),
@@ -1678,11 +1719,14 @@ object StreamingOps {
     import org.apache.spark.sql.graft.VectorFunctions.dotProduct
     require(k > 0, s"k must be positive, got $k")
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    val metaRows = state.where(col("section") === "meta")
-      .select(col("meta")).collect()
-    require(metaRows.length == 1,
-      s"annServeState artifact must carry exactly one meta row, found " +
-        s"${metaRows.length} — was this frame built by annServeState?")
+    // mis-pair guard before the meta read: a PQ artifact carries
+    // pq_cands (code bytes, no float vectors) — scoring it here would
+    // die on an unresolved column deep in plan construction
+    require(state.columns.contains("cands"),
+      "annSearchStream expects a FLOAT annServeState artifact (cands " +
+        "column); this frame has no cands — an annServePqState artifact " +
+        "(pq_cands) pairs with annSearchStreamPq")
+    artifactMeta(state, "annServeState", required = Seq("filtered"))
     val idx = state.where(col("section") === "cells")
       .select(col("cell"), col("cands"))
     val centsRow = state.where(col("section") === "cents").select(col("cents"))
@@ -1818,14 +1862,17 @@ object StreamingOps {
     import org.apache.spark.sql.graft.VectorFunctions.dotProduct
     require(kTop > 0, s"kTop must be positive, got $kTop")
     require(nProbe > 0, s"nProbe must be positive, got $nProbe")
-    val metaRows = state.where(col("section") === "meta")
-      .select(col("meta")).collect()
-    require(metaRows.length == 1,
-      s"annServePqState artifact must carry exactly one meta row, found " +
-        s"${metaRows.length} — was this frame built by annServePqState?")
-    val params = metaRows(0).getString(0).split(';')
-      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
-    val (m, subDim) = (params("m").toInt, params("subDim").toInt)
+    // mis-pair guard before the meta read: a float artifact carries
+    // cands (full vectors, no codes/codebook) — its meta also lacks the
+    // PQ keys, but the schema check names the mistake most directly
+    require(state.columns.contains("pq_cands"),
+      "annSearchStreamPq expects a PQ annServePqState artifact (pq_cands " +
+        "column); this frame has no pq_cands — a float annServeState " +
+        "artifact (cands) pairs with annSearchStream")
+    val params = artifactMeta(state, "annServePqState",
+      required = Seq("m", "subDim", "k", "pqStride"))
+    val m = metaInt(params, "m", "annServePqState")
+    val subDim = metaInt(params, "subDim", "annServePqState")
     val cbRows = state.where(col("section") === "codebook")
       .select(col("codebook")).collect()
     require(cbRows.length == 1,
@@ -2240,15 +2287,12 @@ object StreamingOps {
       state: DataFrame,
       nearDupThreshold: Double = 0.5,
       valPerMille: Int = 100): DataFrame = {
-    val metaRows = state.where(col("section") === "meta")
-      .select(col("fp")).collect()
-    require(metaRows.length == 1,
-      s"ingestState artifact must carry exactly one meta row, found " +
-        s"${metaRows.length} — was this frame built by ingestState?")
-    val params = metaRows(0).getString(0).split(';')
-      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    val params = artifactMeta(state, "ingestState",
+      required = Seq("n", "numHashes", "rowsPerBand"), metaCol = "fp")
     val (n, numHashes, rowsPerBand) =
-      (params("n"), params("numHashes"), params("rowsPerBand"))
+      (metaInt(params, "n", "ingestState"),
+        metaInt(params, "numHashes", "ingestState"),
+        metaInt(params, "rowsPerBand", "ingestState"))
     val bloomBytes = state.where(col("section") === "bloom")
       .select(col("bloom")).head().getAs[Array[Byte]](0)
     val hfp = state.where(col("section") === "fp")
@@ -2817,17 +2861,12 @@ object StreamingOps {
     * derivation parameters from the meta row; a frame without exactly
     * one meta row fails loudly at construction. */
   private def screenStateParams(state: DataFrame): (DataFrame, Int, Int) = {
-    val metaRows = state.where(col("section") === "meta")
-      .select(col("meta")).collect()
-    require(metaRows.length == 1,
-      s"media screen state artifact must carry exactly one meta row, " +
-        s"found ${metaRows.length} — was this frame built by " +
-        "mediaScreenState / mediaWindowScreenState?")
-    val params = metaRows(0).getString(0).split(';')
-      .map(_.split('=')).map(kv => kv(0) -> kv(1).toInt).toMap
+    val builder = "mediaScreenState / mediaWindowScreenState"
+    val raw = artifactMeta(state, builder,
+      required = Seq("nBands", "bandBits"))
     val idx = state.where(col("section") === "index")
       .select(col("band"), col("band_bits"), col("cands"))
-    (idx, params("nBands"), params("bandBits"))
+    (idx, metaInt(raw, "nBands", builder), metaInt(raw, "bandBits", builder))
   }
 
   /**

@@ -499,6 +499,134 @@ class SimilaritySpec extends SparkSpec {
       e.where(col("vec_id") % 4 =!= 2).count() + 1
   }
 
+  test("compactAnnIndex reconciles a racing delete and fails loudly on a racing append") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    // RACING DELETE: lands after the live fold is staged but before the
+    // commit marker — it belongs to the superseded generation's set,
+    // which the pre-fix code retired next cycle without ever folding
+    // (the deleted row silently resurrected). The drift check carries
+    // the set forward into the new generation's tombstones.
+    val idx = java.nio.file.Files.createTempDirectory("graft_race_del").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    Similarity.compactAnnIndexWithHook(spark, idx, () =>
+      Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 7), idx))
+    val expected = rowsOf(Similarity.ivfCosineTopKFiltered(
+      e, q, col("vec_id") % 4 =!= 2 && col("vec_id") =!= 7,
+      k = 10, stride = 100, nProbe = 2))
+    val got = Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)
+    got.select("n_vec_id").collect().map(_.getLong(0)).toSet should
+      not contain 7L
+    rowsOf(got) shouldBe expected
+    // the carried-forward set folds physically on the NEXT compaction
+    // (re-folding already-folded ids is an idempotent anti-join no-op)
+    Similarity.compactAnnIndex(spark, idx)
+    spark.read.parquet(s"$idx/cells_v2").count() shouldBe
+      e.where(col("vec_id") % 4 =!= 2 && col("vec_id") =!= 7).count()
+    rowsOf(Similarity.searchAnnIndexed(
+      spark, idx, q, k = 10, nProbe = 2)) shouldBe expected
+
+    // RACING APPEND: the delta's files land in the superseded lists
+    // only — probes of the committed generation would silently miss
+    // them, so the drift check fails loudly naming the recovery
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_race_app").toString
+    val delta = e.where(col("vec_id") === 8)
+      .select((col("vec_id") + 2001L).as("vec_id"), col("embedding"))
+    Similarity.buildAnnIndex(e, idx2, stride = 100)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx2)
+    val raced = intercept[IllegalStateException] {
+      Similarity.compactAnnIndexWithHook(spark, idx2, () =>
+        Similarity.appendAnnIndex(spark, delta, idx2))
+    }
+    raced.getMessage should include("raced this compaction")
+    // the commit itself is SOUND (a correct fold of the pre-race
+    // snapshot) and the superseded lists stay for the re-run
+    new java.io.File(s"$idx2/COMMIT_v1").exists() shouldBe true
+    new java.io.File(s"$idx2/cells").exists() shouldBe true
+    // recovery is exactly what the error names: re-run the append — it
+    // now lands in the committed generation
+    Similarity.appendAnnIndex(spark, delta, idx2)
+    val union = e.select(col("vec_id"), col("embedding")).unionByName(delta)
+    rowsOf(Similarity.searchAnnIndexed(spark, idx2, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopKFiltered(
+        union, q, col("vec_id") % 4 =!= 2, k = 10, stride = 100, nProbe = 2))
+  }
+
+  test("compactAnnIndex converges stranded generations even with no pending tombstones") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_strand_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    Similarity.compactAnnIndex(spark, idx)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 5), idx)
+    Similarity.compactAnnIndex(spark, idx)
+    val expected = rowsOf(
+      Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    // recreate the stranded generation-0 layout a crash after COMMIT_v2
+    // but before retirement would have left (lists + tombstone set)
+    new java.io.File(s"$idx/cells").mkdir() shouldBe true
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$idx/cells/part-junk"), "stranded")
+    new java.io.File(s"$idx/tombstones").mkdir() shouldBe true
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$idx/tombstones/part-junk"), "stranded")
+    // NO pending tombstones at the current generation — the pre-fix
+    // early return skipped the heal and stranded the litter forever
+    Similarity.compactAnnIndex(spark, idx)
+    new java.io.File(s"$idx/cells").exists() shouldBe false
+    new java.io.File(s"$idx/tombstones").exists() shouldBe false
+    // retention policy untouched: the immediately-previous generation
+    // stays one cycle, the current one keeps answering identically
+    new java.io.File(s"$idx/cells_v1").exists() shouldBe true
+    new java.io.File(s"$idx/cells_v2").exists() shouldBe true
+    rowsOf(Similarity.searchAnnIndexed(
+      spark, idx, q, k = 10, nProbe = 2)) shouldBe expected
+  }
+
+  test("maintainAnnIndex: measures debt, folds only over the bound, vacuums on drain assertion") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_maint_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    // UNDER the bound: measured, nothing folds, the deletes stay
+    // pending (probes still honor them via the anti-join)
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") < 10), idx)
+    val r1 = Similarity.maintainAnnIndex(spark, idx, maxDebtFrac = 0.2).head()
+    r1.getAs[Long]("n_vecs") shouldBe e.count()
+    r1.getAs[Long]("n_tombstoned") shouldBe 10L
+    r1.getAs[Boolean]("compacted") shouldBe false
+    r1.getAs[Boolean]("serve_state_stale") shouldBe false
+    r1.getAs[Long]("generation_after") shouldBe 0L
+    new java.io.File(s"$idx/tombstones").exists() shouldBe true
+    // OVER the bound: the call folds, the generation pointer flips,
+    // and pre-call serve artifacts are flagged stale
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    val r2 = Similarity.maintainAnnIndex(spark, idx, maxDebtFrac = 0.2).head()
+    r2.getAs[Boolean]("compacted") shouldBe true
+    r2.getAs[Double]("debt") should be > 0.2
+    r2.getAs[Long]("generation_before") shouldBe 0L
+    r2.getAs[Long]("generation_after") shouldBe 1L
+    r2.getAs[Boolean]("serve_state_stale") shouldBe true
+    // answer-invariance of the maintenance fold (q223's contract)
+    val live = !(col("vec_id") < 10 || col("vec_id") % 4 === 2)
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopKFiltered(
+        e, q, live, k = 10, stride = 100, nProbe = 2))
+    // DRAIN asserted: the retained generation reclaims; no fold needed
+    new java.io.File(s"$idx/cells").exists() shouldBe true
+    val r3 = Similarity.maintainAnnIndex(
+      spark, idx, maxDebtFrac = 0.2, reclaimRetained = true).head()
+    r3.getAs[Boolean]("compacted") shouldBe false
+    r3.getAs[Boolean]("vacuumed") shouldBe true
+    r3.getAs[Boolean]("serve_state_stale") shouldBe false
+    new java.io.File(s"$idx/cells").exists() shouldBe false
+    rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2)) shouldBe
+      rowsOf(Similarity.ivfCosineTopKFiltered(
+        e, q, live, k = 10, stride = 100, nProbe = 2))
+  }
+
   test("compactAnnIndex refuses to fold the index away to zero live rows") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("vec_id") < 20)

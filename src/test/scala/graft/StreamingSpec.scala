@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingOps
@@ -1915,6 +1915,70 @@ class StreamingSpec extends SparkSpec {
         spark.read.parquet(dir).where(col("section") =!= "meta"), kTop = 10)
     }
     notState.getMessage should include("exactly one meta row")
+  }
+
+  test("artifact meta validation: mis-paired and malformed artifacts fail loudly by name") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_mispair_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    val floatState = StreamingOps.annServeState(spark, idx)
+    val pqState = StreamingOps.annServePqState(spark, idx)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val qdf = input.toDF().toDF("vec_id", "embedding")
+    // a PQ artifact handed to the float serve: the guard names the
+    // pairing instead of dying on an unresolved cands column
+    val mp1 = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStream(qdf, pqState, k = 10)
+    }
+    mp1.getMessage should include("pairs with annSearchStreamPq")
+    // a float artifact handed to the PQ serve: same, the other way
+    val mp2 = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStreamPq(qdf, floatState, kTop = 10)
+    }
+    mp2.getMessage should include("no pq_cands")
+    // a MANGLED meta row (no k=v shape) fails the shape check with the
+    // builder named — not a raw ArrayIndexOutOfBoundsException
+    val mangled = floatState.where(col("section") =!= "meta").unionByName(
+      floatState.where(col("section") === "meta")
+        .withColumn("meta", lit("garbage-no-equals")))
+    val mf = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStream(qdf, mangled, k = 10)
+    }
+    mf.getMessage should include("malformed")
+    mf.getMessage should include("annServeState")
+    // a meta row missing the artifact's required keys names them — the
+    // wrong-builder / old-convention failure mode
+    val stripped = floatState.where(col("section") =!= "meta").unionByName(
+      floatState.where(col("section") === "meta")
+        .withColumn("meta", lit("foo=1")))
+    val ms = intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStream(qdf, stripped, k = 10)
+    }
+    ms.getMessage should include("missing filtered")
+    // a NON-INTEGER value under an integer key names the key and the
+    // builder — not a raw NumberFormatException
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ingest_badmeta_spec").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("doc"), col("text").as("line"))
+      .where(col("doc") < 50)
+    val splits = docs.select(col("doc"), lit("train").as("split"))
+    StreamingOps.ingestState(docs, splits).write.mode("overwrite").parquet(stateDir)
+    val ingestState = spark.read.parquet(stateDir)
+    val badInt = ingestState.where(col("section") =!= "meta").unionByName(
+      ingestState.where(col("section") === "meta")
+        .withColumn("fp", lit("n=three;numHashes=16;rowsPerBand=4")))
+    val docsInput = MemoryStream[(Long, String)]
+    val nf = intercept[IllegalArgumentException] {
+      StreamingOps.ingestScreenFromState(
+        docsInput.toDF().toDF("doc", "line"), badInt)
+    }
+    nf.getMessage should include("n=three")
+    nf.getMessage should include("ingestState")
   }
 
   test("requireServeStateCurrent: stale serve artifacts fail loudly on any drift") {
