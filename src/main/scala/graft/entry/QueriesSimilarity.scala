@@ -309,6 +309,20 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // FILTERED IVF-ADC: the q222 metadata predicate composed with the
+    // q101 compressed-domain scoring — candidates pruned to label = 1,
+    // centroids AND PQ codebook frozen full-corpus (the two-stage
+    // frozen-quantizer contract). Oracle = the q101 ADC chain with the
+    // candidate clause.
+    "q229_ivfpq_filtered" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopKFiltered(e, e.where(col("vec_id") < 5),
+          col("label") === 1, kTop = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
     // INCREMENTAL index ingest: build on history (vec_id < 400), append
     // the delta with the index's FROZEN centroids (no re-cluster, no
     // history rewrite), then probe the grown index. The oracle is the
@@ -1134,6 +1148,49 @@ private[graft] object QueriesSimilarity {
          |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
          |               DESC, c.cent_id) AS rn
          |    FROM n CROSS JOIN c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
+         |    SELECT n.vec_id, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+         |               DESC, c.cent_id) AS rn
+         |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
+         |$pqLutCte,
+         |adcp AS (
+         |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
+         |  FROM codes cd
+         |  JOIN assign a ON a.vec_id = cd.vec_id
+         |  JOIN probes p ON p.cell = a.cell
+         |  JOIN lut l ON l.q_vec_id = p.q_vec_id AND l.s = cd.s AND l.j = cd.j
+         |  WHERE p.q_vec_id <> cd.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q_vec_id, n_vec_id, adc, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                               ORDER BY adc DESC, n_vec_id) AS rnk
+         |  FROM adcp)
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Filtered IVF-ADC mirror: the q101 chain with the candidate side
+    // restricted to label = 1 (probes, centroids, codebook, codes all
+    // stay unfiltered — the two-stage frozen-quantizer contract).
+    "q229_ivfpq_filtered" ->
+      s"""WITH $pqCtes,
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |n AS (SELECT e.vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+         |             label
+         |      FROM e JOIN lbl ON e.vec_id = lbl.vec_id),
+         |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+         |      FROM n WHERE vec_id % 100 = 0),
+         |assign AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT n.vec_id, c.cent_id,
+         |           row_number() OVER (
+         |             PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+         |               DESC, c.cent_id) AS rn
+         |    FROM n CROSS JOIN c WHERE n.label = 1) WHERE rn = 1),
          |probes AS (
          |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
          |    SELECT n.vec_id, c.cent_id,

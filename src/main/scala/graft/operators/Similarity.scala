@@ -1529,11 +1529,52 @@ object Similarity {
       m: Int = PqM,
       subDim: Int = PqSubDim,
       k: Int = PqK,
-      pqStride: Int = PqStride): DataFrame = {
+      pqStride: Int = PqStride): DataFrame =
+    ivfPqTopKImpl(corpus, queries, None, kTop, stride, nProbe,
+      m, subDim, k, pqStride)
+
+  /**
+   * FILTERED IVF-ADC top-k — [[ivfCosineTopKFiltered]]'s compressed-
+   * domain twin, closing the composition q222 + q101 left open (the
+   * 32×-memory tier and the metadata-filter production ask could not
+   * compose): the predicate prunes the CANDIDATE side only, while the
+   * coarse quantizer (centroids) and the PQ codebook stay FROZEN
+   * full-corpus artifacts — the q222 contract ("the quantizer never
+   * rebuilds per predicate") extended to the second quantization
+   * stage, so codes and probe order are filter-independent and two
+   * predicates over the same corpus share every quantizer artifact.
+   * Oracle: the q101 ADC chain with the candidate clause (q229).
+   */
+  def ivfPqTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      filter: Column,
+      kTop: Int = 10,
+      stride: Int = 100,
+      nProbe: Int = 2,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      pqStride: Int = PqStride): DataFrame =
+    ivfPqTopKImpl(corpus, queries, Some(filter), kTop, stride, nProbe,
+      m, subDim, k, pqStride)
+
+  private def ivfPqTopKImpl(
+      corpus: DataFrame,
+      queries: DataFrame,
+      filter: Option[Column],
+      kTop: Int,
+      stride: Int,
+      nProbe: Int,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      pqStride: Int): DataFrame = {
     val cb = pqCodebook(corpus, m, subDim, k, pqStride)
     val n = normed(corpus)
     val cents = ivfCentroids(n, stride)
-    val coded = ivfAssign(n, cents)
+    val cand = filter.map(f => normed(corpus.where(f))).getOrElse(n)
+    val coded = ivfAssign(cand, cents)
       .select(col("vec_id").as("n_vec_id"), col("cell"),
         pqCodesCol(col("emb"), cb, subDim).as("codes"))
     val lut = array((0 until m).map { s =>

@@ -1785,8 +1785,20 @@ object StreamingOps {
    * index's LIVE rows (current generation, tombstones folded), so the
    * artifact is a self-consistent snapshot like its float twin.
    * Sections: `cells` (cell, pq_cands), `cents` (one centroid-array
-   * row), `codebook` (one nested-array row), `meta` (m;subDim;k;
-   * pqStride).
+   * row), `codebook` (one nested-array row), `meta` (filtered;m;
+   * subDim;k;pqStride + the snapshot coordinates).
+   *
+   * @param filter predicate over metadata columns stored in the cell
+   *        files at build time — baked into the snapshot like the
+   *        float twin's, pushed into the cell-file scan, and pruning
+   *        the CANDIDATE arrays only: the coarse centroids and the PQ
+   *        codebook stay FROZEN full-live-corpus artifacts (the q222
+   *        "quantizer never rebuilds per predicate" contract extended
+   *        to the second quantization stage — [[graft.operators
+   *        .Similarity.ivfPqTopKFiltered]] is the batch twin, parity
+   *        pinned in StreamingSpec). At 10⁹ vectors this is the
+   *        composition the 32×-memory tier needs to serve a
+   *        metadata-scoped stream.
    */
   def annServePqState(
       spark: org.apache.spark.sql.SparkSession,
@@ -1794,22 +1806,32 @@ object StreamingOps {
       m: Int = graft.operators.Similarity.PqM,
       subDim: Int = graft.operators.Similarity.PqSubDim,
       k: Int = graft.operators.Similarity.PqK,
-      pqStride: Int = graft.operators.Similarity.PqStride): DataFrame = {
+      pqStride: Int = graft.operators.Similarity.PqStride,
+      filter: Option[Column] = None): DataFrame = {
     import graft.operators.Similarity
     val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
-    val rawCells = spark.read.parquet(cellsAt)
-      .select(col("vec_id"), col("emb"), col("cell").cast("long"))
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val live =
+    // live rows of the snapshot; the predicate (when present) applies
+    // to the raw scan so it pushes into the cell files as a parquet
+    // filter over the stored metadata columns
+    def liveRows(pred: Option[Column]): DataFrame = {
+      val scan = spark.read.parquet(cellsAt)
+      val cells = pred.map(scan.where).getOrElse(scan)
+        .select(col("vec_id"), col("emb"), col("cell").cast("long"))
       if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
-        rawCells.join(broadcast(spark.read.parquet(tombsAt)),
+        cells.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
-      else rawCells
+      else cells
+    }
+    // FROZEN second-stage quantizer: the codebook reads the UNFILTERED
+    // live rows, so codes are filter-independent — two predicates over
+    // the same index share every quantizer artifact, and parity with
+    // the batch ivfPqTopKFiltered holds code-for-code
     val cb = Similarity.pqCodebook(
-      live.select(col("vec_id"), col("emb").as("embedding")),
+      liveRows(None).select(col("vec_id"), col("emb").as("embedding")),
       m, subDim, k, pqStride)
-    val cellRows = live
+    val cellRows = liveRows(filter)
       .select(col("cell"), struct(col("vec_id").as("n_vec_id"),
         Similarity.pqCodesCol(col("emb"), cb, subDim).as("codes")).as("c"))
       .groupBy(col("cell")).agg(collect_list(col("c")).as("pq_cands"))
@@ -1836,7 +1858,8 @@ object StreamingOps {
         lit(null).cast("string")): _*))
       .unionByName(spark.range(1).select(row("meta", lit(null).cast("long"),
         lit(null).cast(candsT), lit(null).cast(centsT), lit(null).cast(cbT),
-        lit(s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
+        lit(s"filtered=${if (filter.isDefined) 1 else 0};" +
+          s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
           serveSnapshotMeta(spark, path))): _*))
   }
 

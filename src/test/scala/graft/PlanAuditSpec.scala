@@ -57,6 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "q226_ann_reinsert", // same probe shape after delete→compact→append
                          // (q82's probe-side centroid broadcast)
     "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)
+    "q229_ivfpq_filtered", // q101's centroid broadcast cross; the label
+                           // predicate is a scan filter, not a join
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin
     "q104_integrity_audit", // 1-row report-combining crosses only

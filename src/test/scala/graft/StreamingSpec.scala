@@ -1869,15 +1869,16 @@ class StreamingSpec extends SparkSpec {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
     val idx = java.nio.file.Files.createTempDirectory("ann_pq_serve_spec").toString
-    Similarity.buildAnnIndex(e, idx, stride = 100)
+    Similarity.buildAnnIndex(e, idx, stride = 100, metaCols = Seq("label"))
     val qRows = q.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
     def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
         r.getAs[Double]("adc"), r.getAs[Long]("rank"))).toSet
-    def run(name: String) = {
+    def run(name: String,
+        filter: Option[org.apache.spark.sql.Column] = None) = {
       val dir = java.nio.file.Files.createTempDirectory("ann_pq_state").toString
-      StreamingOps.annServePqState(spark, idx)
+      StreamingOps.annServePqState(spark, idx, filter = filter)
         .write.mode("overwrite").parquet(dir)
       val state = spark.read.parquet(dir)
       val input = MemoryStream[(Long, Seq[Float])]
@@ -1897,6 +1898,15 @@ class StreamingSpec extends SparkSpec {
     val batch = rowsOf(Similarity.ivfPqTopK(e, q, kTop = 10))
     run("ann_pq_stream") shouldBe batch
     batch should not be empty
+    // FILTERED parity: metadata predicate baked into the snapshot =
+    // the batch filtered IVF-ADC over the same corpus — candidates
+    // pruned, centroids AND codebook frozen full-corpus, so the two
+    // tiers (32× memory + metadata filter) compose code-for-code
+    val batchF = rowsOf(Similarity.ivfPqTopKFiltered(
+      e, q, col("label") === 1, kTop = 10))
+    run("ann_pq_stream_filtered", Some(col("label") === 1)) shouldBe batchF
+    batchF should not be batch // the predicate moved the answer
+    batchF should not be empty
     // POST-DELETE rebuild: the dead slice avoids PQ seeds (vec_id ≡ 0
     // mod 25) so the codebook — and with it every surviving code — is
     // unchanged; the rebuilt state equals the batch composition over
