@@ -1118,8 +1118,11 @@ object Multimodal {
 
   /** Shared [[BandAuto]] dispatch: explicit layouts validate as before;
     * auto measures and derives (`hashes` must already be persisted —
-    * the radar runs a count plus one bounded aggregation per rung). */
-  private def resolvedBandLayout(
+    * the radar runs a count plus one bounded aggregation per rung).
+    * `private[graft]`: the streaming state builders run the same
+    * dispatch at their build boundary (the FromState starts then read
+    * the resolved layout from the artifact's meta row). */
+  private[graft] def resolvedBandLayout(
       hashes: DataFrame, maxDist: Int, maxBucketSize: Int,
       nBands: Int, bandBits: Int): (Int, Int) =
     if (nBands == BandAuto) resolveBandLayout(hashes, maxDist, maxBucketSize)

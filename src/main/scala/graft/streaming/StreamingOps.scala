@@ -1362,7 +1362,6 @@ object StreamingOps {
       bits: Int = 4,
       tables: Int = 4,
       maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket): DataFrame = {
-    val spark = history.sparkSession
     val idx = embeddingIngestIndex(history)
     val ndIdx = embeddingNearDupIndex(history, bits, tables, maxBucketSize)
     val exCandsT = idx.schema("cands").dataType
@@ -1377,12 +1376,17 @@ object StreamingOps {
       lit(null).cast(exCandsT).as("cands"),
       col("t"), col("bucket"), col("cands").as("ndcands"),
       lit(null).cast("string").as("meta"))
-    val metaRow = spark.range(1).select(
-      lit("meta").as("section"), lit(null).cast("long").as("hkey"),
-      lit(null).cast(exCandsT).as("cands"),
-      lit(null).cast("long").as("t"), lit(null).cast("long").as("bucket"),
-      lit(null).cast(ndCandsT).as("ndcands"),
-      lit(s"bits=$bits;tables=$tables;maxBucketSize=$maxBucketSize").as("meta"))
+    // the meta row also records the history snapshot's content identity
+    // (requireScreenStateHistoryCurrent's comparison base) — a lazy
+    // aggregate over history, paid at the artifact's materialization
+    val metaRow = historyMetaTailRow(history, Seq("vec_id"), "embedding")
+      .select(
+        lit("meta").as("section"), lit(null).cast("long").as("hkey"),
+        lit(null).cast(exCandsT).as("cands"),
+        lit(null).cast("long").as("t"), lit(null).cast("long").as("bucket"),
+        lit(null).cast(ndCandsT).as("ndcands"),
+        concat(lit(s"bits=$bits;tables=$tables;" +
+          s"maxBucketSize=$maxBucketSize;"), col("_tail")).as("meta"))
     indexRows.unionByName(ndRows).unionByName(metaRow)
   }
 
@@ -1524,7 +1528,11 @@ object StreamingOps {
    *    as an array — the same executor-memory class as the batch
    *    probes' `broadcast(cents)`;
    *  - `section = "meta"`: ONE row recording whether a filter was
-   *    baked in (the loud was-this-built-here check).
+   *    baked in (the loud was-this-built-here check);
+   *  - `section = "files"`: one row per data file of the generation the
+   *    snapshot read (relative path in the meta column) — the base
+   *    [[refreshAnnServeState]] diffs against, so an append's new files
+   *    can be patched in WITHOUT re-reading the whole index.
    * A cell's array is ~stride members by construction; a degenerate
    * quantizer makes hot arrays, which
    * [[graft.operators.Similarity.annIndexStats]] surfaces BEFORE a
@@ -1539,7 +1547,6 @@ object StreamingOps {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       filter: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
     val (cellsAt, tombsAt) = graft.operators.Similarity.resolvedIndex(spark, path)
     val rawCells = spark.read.parquet(cellsAt)
       .where(filter.getOrElse(lit(true)))
@@ -1556,6 +1563,22 @@ object StreamingOps {
     val centsRow = spark.read.parquet(s"$path/centroids")
       .agg(collect_list(
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
+    serveStateAssembly(spark, cellRows, centsRow,
+      s"filtered=${if (filter.isDefined) 1 else 0};" +
+        serveSnapshotMeta(spark, path),
+      listDataFiles(spark, cellsAt))
+  }
+
+  /** Assemble the float serve artifact from its parts — shared by
+    * [[annServeState]] (full build) and [[refreshAnnServeState]]
+    * (delta patch), so the two paths cannot drift in shape. */
+  private def serveStateAssembly(
+      spark: org.apache.spark.sql.SparkSession,
+      cellRows: DataFrame,
+      centsRow: DataFrame,
+      metaStr: String,
+      files: Seq[String]): DataFrame = {
+    import spark.implicits._
     val candsT = cellRows.schema("cands").dataType
     val centsT = centsRow.schema("cents").dataType
     cellRows.select(
@@ -1570,8 +1593,32 @@ object StreamingOps {
         lit("meta").as("section"), lit(null).cast("long").as("cell"),
         lit(null).cast(candsT).as("cands"),
         lit(null).cast(centsT).as("cents"),
-        lit(s"filtered=${if (filter.isDefined) 1 else 0};" +
-          serveSnapshotMeta(spark, path)).as("meta")))
+        lit(metaStr).as("meta")))
+      .unionByName(files.toDF("_f").select(
+        lit("files").as("section"), lit(null).cast("long").as("cell"),
+        lit(null).cast(candsT).as("cands"),
+        lit(null).cast(centsT).as("cents"),
+        col("_f").as("meta")))
+  }
+
+  /** Relative paths of the DATA files under an index generation dir —
+    * hidden/marker entries (`_SUCCESS`, dotfiles) excluded. Driver-side
+    * FS walk, metadata-scale by construction (the same listing every
+    * parquet read of the directory already performs on the driver). */
+  private def listDataFiles(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(base, true)
+    val baseUri = fs.makeQualified(base).toUri
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += baseUri.relativize(f.getPath.toUri).getPath
+    }
+    out.toSeq.sorted
   }
 
   /** The snapshot coordinates a serve artifact records at build:
@@ -1650,6 +1697,81 @@ object StreamingOps {
           s"integer — was this frame built by $builder?")
     }
 
+  /** ONE-ROW order-free content identity of a history snapshot —
+    * [[graft.operators.Pipeline.corpusChecksum]]'s commutative 60-bit
+    * row-hash fold, single-group, emitted as `"<n_rows>:<sum>"`: any
+    * partitioning / ordering / retry of the same content produces the
+    * same string; one changed byte, one lost row, or one duplicate
+    * moves it. Exact: summed as DECIMAL(38,0), good to ~10^19 rows. */
+  private def historyChecksumRow(
+      df: DataFrame, keyCols: Seq[String], payloadCol: String): DataFrame = {
+    val key = concat_ws(",", keyCols.map(c => col(c).cast("string")): _*)
+    val rowHash = conv(substring(md5(concat(
+        lit("ck:"), key, lit(":"), md5(col(payloadCol).cast("string")))),
+      1, 15), 16, 10).cast("long").cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("_n"),
+        coalesce(sum(rowHash), lit(0).cast("decimal(38,0)")).as("_s"))
+      .select(concat(col("_n").cast("string"), lit(":"),
+        col("_s").cast("string")).as("_ck"))
+  }
+
+  /** The meta-string tail every history-derived screen state records
+    * at build: the column spec the checksum read plus the checksum
+    * itself — SELF-DESCRIBING, so [[requireScreenStateHistoryCurrent]]
+    * recomputes over the caller's frame without being told the
+    * artifact's shape. Returned as a 1-row frame (the checksum is a
+    * lazy aggregate over history — the artifact's one materialization
+    * pays it, builders stay plan constructors). */
+  private def historyMetaTailRow(
+      history: DataFrame, keyCols: Seq[String], payloadCol: String): DataFrame =
+    historyChecksumRow(history, keyCols, payloadCol)
+      .select(concat(
+        lit(s"historyKey=${keyCols.mkString(",")};" +
+          s"historyPayload=$payloadCol;historyChecksum="),
+        col("_ck")).as("_tail"))
+
+  /**
+   * HISTORY-FRESHNESS guard for screen-state artifacts —
+   * [[requireServeStateCurrent]] generalized to the four
+   * history-derived screens ([[ingestState]], [[embeddingIngestState]],
+   * [[mediaScreenState]], [[mediaWindowScreenState]]): a screen state
+   * is a SNAPSHOT of its history corpus, so rebuilding or extending
+   * the history after the build makes every stream still serving from
+   * the old artifact silently miss the new history (or keep matching
+   * rows the history no longer holds) — the same quiet-staleness
+   * class the serve-state coordinates kill for the ANN tier, which
+   * for these artifacts has no index directory to read coordinates
+   * from. The identity is therefore CONTENT: the artifact records an
+   * order-free checksum of the history at build
+   * ([[graft.operators.Pipeline.corpusChecksum]]'s fold — the q134
+   * "same snapshot?" primitive), and this guard recomputes it over
+   * the caller's CURRENT history frame and fails loudly on drift,
+   * naming the fix. Call at stream start and on the redeploy cadence;
+   * partitioning/ordering of the history frame is irrelevant by
+   * construction. Cost: one scan of the history projection — the
+   * price of never serving a stale screen silently.
+   */
+  def requireScreenStateHistoryCurrent(
+      state: DataFrame, history: DataFrame): Unit = {
+    val builder = "ingestState / embeddingIngestState / mediaScreenState" +
+      " / mediaWindowScreenState"
+    val metaCol = if (state.columns.contains("meta")) "meta" else "fp"
+    val params = artifactMeta(state, builder,
+      required = Seq("historyKey", "historyPayload", "historyChecksum"),
+      metaCol = metaCol)
+    val keyCols = params("historyKey").split(',').toSeq
+    val now = historyChecksumRow(history, keyCols, params("historyPayload"))
+      .head().getString(0)
+    require(params("historyChecksum") == now,
+      s"STALE screen state: built over history snapshot " +
+        s"${params("historyChecksum")} (rows:checksum over " +
+        s"key=${params("historyKey")}, payload=${params("historyPayload")}), " +
+        s"but the supplied history reads $now — a stream serving from " +
+        "this artifact silently misses history added since the build " +
+        "(or keeps matching rows it no longer holds); rebuild the state " +
+        "from the current history and restart from the new artifact")
+  }
+
   /**
    * FRESHNESS guard for serve artifacts — a serve state is a SNAPSHOT
    * (tombstones folded, cells frozen at build), so a delete or
@@ -1678,6 +1800,105 @@ object StreamingOps {
         " — a stream serving from this artifact returns deleted rows or " +
         "misses appends/compactions silently; rebuild the serve state " +
         "from the current index")
+  }
+
+  /**
+   * O(delta) REFRESH of a float serve artifact after [[graft.operators
+   * .Similarity.appendAnnIndex]] — the incremental bookend the serve
+   * tier was missing: append is delta-proportional, but rebuilding the
+   * serve state re-read and re-grouped EVERY cell file. This patch
+   * instead diffs the index's current data files against the file set
+   * the artifact recorded at build (`section = "files"`), reads ONLY
+   * the new files (the appended rows — `basePath` keeps the cell
+   * partition column), and concatenates their per-cell candidate
+   * arrays onto the existing rows via a broadcast full-outer join on
+   * cell — untouched cells stream through unshuffled. Cost:
+   * O(artifact + delta), never O(index re-scan + re-group).
+   *
+   * STRICTLY append-only by loud guards (everything else needs
+   * [[annServeState]]):
+   *  - a FILTERED artifact refuses (the predicate Column is not
+   *    serializable into the artifact, so the patch cannot re-apply it
+   *    to the new rows);
+   *  - a generation or tombstone drift refuses (a compaction re-keys
+   *    the file universe; a delete must fold OUT of the arrays, not
+   *    concat in);
+   *  - an artifact from before the files-section convention refuses.
+   * The returned frame is a CURRENT artifact (fresh snapshot
+   * coordinates + file list) — [[requireServeStateCurrent]] passes on
+   * it, and [[annSearchStream]] over it is row-identical to a
+   * from-scratch [[annServeState]] (StreamingSpec pins both).
+   */
+  def refreshAnnServeState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      state: DataFrame): DataFrame = {
+    import graft.operators.Similarity
+    val params = artifactMeta(state, "annServeState",
+      required = Seq("filtered", "generation", "n_tombstones", "n_cell_files"))
+    require(params("filtered") == "0",
+      "refreshAnnServeState: this artifact baked a metadata filter into " +
+        "its snapshot — the predicate cannot be re-applied to appended " +
+        "rows from the artifact alone; rebuild with " +
+        "annServeState(path, filter)")
+    val now = serveSnapshotMeta(spark, path).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
+    require(params("generation") == now("generation") &&
+        params("n_tombstones") == now("n_tombstones"),
+      s"refreshAnnServeState: the index moved past appends — artifact " +
+        s"built at generation=${params("generation")}, " +
+        s"n_tombstones=${params("n_tombstones")}; index is now at " +
+        s"generation=${now("generation")}, " +
+        s"n_tombstones=${now("n_tombstones")} — a delete or compaction " +
+        "cannot be patched in (tombstones fold OUT of the arrays); " +
+        "rebuild with annServeState")
+    val recorded = state.where(col("section") === "files")
+      .select(col("meta")).collect().map(_.getString(0)).toSet
+    require(recorded.nonEmpty,
+      "refreshAnnServeState: this artifact predates the files-section " +
+        "convention (no section = \"files\" rows) — rebuild it once with " +
+        "annServeState to enable incremental refresh")
+    val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
+    val current = listDataFiles(spark, cellsAt)
+    val vanished = recorded -- current.toSet
+    require(vanished.isEmpty,
+      s"refreshAnnServeState: ${vanished.size} file(s) the artifact read " +
+        s"are GONE from $cellsAt (e.g. ${vanished.head}) despite an " +
+        "unchanged generation — the layout was mutated outside the " +
+        "lifecycle operators; rebuild with annServeState")
+    val newFiles = current.filterNot(recorded)
+    val oldCells = state.where(col("section") === "cells")
+      .select(col("cell"), col("cands"))
+    val centsRow = state.where(col("section") === "cents").select(col("cents"))
+    val metaStr = "filtered=0;" + serveSnapshotMeta(spark, path)
+    if (newFiles.isEmpty)
+      return serveStateAssembly(spark, oldCells, centsRow, metaStr, current)
+    val fresh = spark.read.option("basePath", cellsAt)
+      .parquet(newFiles.map(f => s"$cellsAt/$f"): _*)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
+    // appendAnnIndex refuses tombstoned ids and the coordinates above
+    // pin the set unchanged, so new rows are clean by construction; the
+    // anti-join is defense in depth at O(delta) cost
+    val fs = new org.apache.hadoop.fs.Path(tombsAt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val freshLive =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
+        fresh.join(broadcast(spark.read.parquet(tombsAt)),
+          Seq("vec_id"), "left_anti")
+      else fresh
+    val deltaCells = freshLive.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
+        .as("_dcands"))
+    // broadcast the delta side: untouched cell rows pass through the
+    // join unshuffled; a cell whose first-ever member arrives in the
+    // delta (a previously-empty inverted list) enters via full_outer
+    val merged = oldCells
+      .join(broadcast(deltaCells), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        when(col("cands").isNull, col("_dcands"))
+          .when(col("_dcands").isNull, col("cands"))
+          .otherwise(concat(col("cands"), col("_dcands"))).as("cands"))
+    serveStateAssembly(spark, merged, centsRow, metaStr, current)
   }
 
   /**
@@ -2371,10 +2592,14 @@ object StreamingOps {
     val bloomRow = spark.range(1).select(
       Seq(lit("bloom").as("section")) ++ nulls(idx, "band", "band_val", "cands")
         ++ Seq(lit(null).cast("string").as("fp"), lit(bloomBytes).as("bloom")): _*)
-    val metaRow = spark.range(1).select(
+    // meta also records the history snapshot's content identity
+    // (requireScreenStateHistoryCurrent) — a lazy aggregate over
+    // history, paid at the artifact's one materialization
+    val metaRow = historyMetaTailRow(historyDocs, Seq("doc"), "line").select(
       Seq(lit("meta").as("section")) ++ nulls(idx, "band", "band_val", "cands")
-        ++ Seq(lit(s"n=$n;numHashes=$numHashes;rowsPerBand=$rowsPerBand")
-            .as("fp"),
+        ++ Seq(concat(
+            lit(s"n=$n;numHashes=$numHashes;rowsPerBand=$rowsPerBand;"),
+            col("_tail")).as("fp"),
           lit(null).cast("binary").as("bloom")): _*)
     indexRows.unionByName(fpRows).unionByName(bloomRow).unionByName(metaRow)
   }
@@ -2772,34 +2997,80 @@ object StreamingOps {
    * once per history snapshot, write/persist, start any number of
    * streams from it; raw history is scanned at build time only.
    */
+  /** @param nBands pass [[graft.multimodal.Multimodal.BandAuto]] to
+    *        let the saturation radar pick the layout AT STATE BUILD
+    *        (the batch tier's ladder walk, promoted to this boundary):
+    *        the chosen (nBands, bandBits) persists in the meta row the
+    *        FromState start already reads, so streams inherit it
+    *        without the caller repeating anything. Under auto the
+    *        ladder is bounded by `maxDist` (pigeonhole admissibility)
+    *        and `allowSaturated` is moot — the radar fails loudly when
+    *        every admissible rung saturates.
+    * @param maxDist under [[graft.multimodal.Multimodal.BandAuto]]
+    *        only: the largest hamming threshold streams will ask of
+    *        this state (the FromState start re-validates its own
+    *        maxDist against the persisted layout either way). */
   def mediaScreenState(
       historyHashes: DataFrame,
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8,
-      allowSaturated: Boolean = false): DataFrame = {
-    requireUnsaturatedState(
-      historyHashes, maxBucketDocs, nBands, bandBits, allowSaturated)
-    screenStateOf(
-      mediaNearDupIndex(historyHashes, maxBucketDocs, nBands, bandBits),
-      nBands, bandBits)
+      allowSaturated: Boolean = false,
+      maxDist: Int = 6): DataFrame = {
+    // ONE persisted projection feeds the saturation probe / auto radar
+    // AND the (lazy) index + checksum build — the artifact's
+    // materialization reads the cache, so raw history is scanned once
+    // per build, not once per consumer (single-persist operator: the
+    // documented no-scope Caching fallback; under Caching.scoped the
+    // frame releases with the caller's action)
+    val h = graft.Caching.persist(
+      historyHashes.select(col("asset_id"), col("ahash")))
+    val (nb, bb) = resolvedScreenLayout(
+      h, maxDist, maxBucketDocs, nBands, bandBits, allowSaturated)
+    screenStateOf(mediaNearDupIndex(h, maxBucketDocs, nb, bb), nb, bb,
+      h, Seq("asset_id"), "ahash")
   }
 
   /** [[mediaScreenState]] for the WINDOW tier: packages
     * [[mediaWindowNearDupIndex]] rows + the layout meta row; start
-    * streams with [[mediaWindowNearDupScreenFromState]]. */
+    * streams with [[mediaWindowNearDupScreenFromState]]. Same
+    * [[graft.multimodal.Multimodal.BandAuto]] / single-persist /
+    * history-checksum contract as the whole-asset tier. */
   def mediaWindowScreenState(
       historyWindows: DataFrame,
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8,
-      allowSaturated: Boolean = false): DataFrame = {
-    requireUnsaturatedState(
-      historyWindows, maxBucketDocs, nBands, bandBits, allowSaturated)
-    screenStateOf(
-      mediaWindowNearDupIndex(historyWindows, maxBucketDocs, nBands, bandBits),
-      nBands, bandBits)
+      allowSaturated: Boolean = false,
+      maxDist: Int = 6): DataFrame = {
+    val h = graft.Caching.persist(historyWindows
+      .select(col("asset_id"), col("window_id"), col("ahash")))
+    val (nb, bb) = resolvedScreenLayout(
+      h, maxDist, maxBucketDocs, nBands, bandBits, allowSaturated)
+    screenStateOf(mediaWindowNearDupIndex(h, maxBucketDocs, nb, bb), nb, bb,
+      h, Seq("asset_id", "window_id"), "ahash")
   }
+
+  /** Layout dispatch at the state-build boundary: explicit layouts run
+    * the saturation guard below (unless opted out); [[graft.multimodal
+    * .Multimodal.BandAuto]] walks the batch tier's ladder over the
+    * (already-persisted) history and returns the first unsaturated
+    * admissible layout, failing loudly when none exists. */
+  private def resolvedScreenLayout(
+      hashes: DataFrame,
+      maxDist: Int,
+      maxBucketDocs: Int,
+      nBands: Int,
+      bandBits: Int,
+      allowSaturated: Boolean): (Int, Int) =
+    if (nBands == graft.multimodal.Multimodal.BandAuto)
+      graft.multimodal.Multimodal.resolvedBandLayout(
+        hashes, maxDist, maxBucketDocs, nBands, bandBits)
+    else {
+      requireUnsaturatedState(hashes, maxBucketDocs, nBands, bandBits,
+        allowSaturated)
+      (nBands, bandBits)
+    }
 
   /** SATURATION guard at the state-BUILD boundary — the round-10
     * stress's telltale ("state rows shrink while the corpus grows")
@@ -2820,13 +3091,11 @@ object StreamingOps {
       bandBits: Int,
       allowSaturated: Boolean): Unit = {
     if (allowSaturated) return
-    // self-contained lifecycle: the probe frame is fully consumed here
-    // (count + one bounded aggregation), so it releases before return
-    val h = hashes.select(col("asset_id"), col("ahash")).persist()
-    val frac =
-      try graft.multimodal.Multimodal.bandSaturation(
-        h, maxBucketDocs, nBands, bandBits)
-      finally h.unpersist(blocking = false)
+    // `hashes` arrives ALREADY persisted by the state builder (the one
+    // frame that also feeds the index + checksum build), so the probe
+    // here materializes the cache instead of adding a second raw scan
+    val frac = graft.multimodal.Multimodal.bandSaturation(
+      hashes, maxBucketDocs, nBands, bandBits)
     require(frac <= graft.multimodal.Multimodal.SaturationFrac,
       f"media screen state is SATURATED at ${nBands}x$bandBits " +
         f"(guard-skip mass $frac%.2f of band rows > " +
@@ -2866,17 +3135,22 @@ object StreamingOps {
   }
 
   /** Section-tagged union of index rows + the one layout meta row —
-    * the artifact shape both media-screen states share. */
+    * the artifact shape both media-screen states share. The meta row
+    * also records the history snapshot's content identity
+    * ([[requireScreenStateHistoryCurrent]]) — a lazy aggregate over
+    * history, paid at the artifact's one materialization. */
   private def screenStateOf(
-      idx: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
-    val spark = idx.sparkSession
+      idx: DataFrame, nBands: Int, bandBits: Int,
+      history: DataFrame, keyCols: Seq[String], payloadCol: String): DataFrame = {
     val indexRows = idx.select(lit("index").as("section"), col("band"),
       col("band_bits"), col("cands"), lit(null).cast("string").as("meta"))
-    val metaRow = spark.range(1).select(lit("meta").as("section"),
-      lit(null).cast("long").as("band"),
-      lit(null).cast("long").as("band_bits"),
-      lit(null).cast(idx.schema("cands").dataType).as("cands"),
-      lit(s"nBands=$nBands;bandBits=$bandBits").as("meta"))
+    val metaRow = historyMetaTailRow(history, keyCols, payloadCol)
+      .select(lit("meta").as("section"),
+        lit(null).cast("long").as("band"),
+        lit(null).cast("long").as("band_bits"),
+        lit(null).cast(idx.schema("cands").dataType).as("cands"),
+        concat(lit(s"nBands=$nBands;bandBits=$bandBits;"), col("_tail"))
+          .as("meta"))
     indexRows.unionByName(metaRow)
   }
 

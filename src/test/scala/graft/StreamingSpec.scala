@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingOps
@@ -1860,6 +1860,82 @@ class StreamingSpec extends SparkSpec {
     notState.getMessage should include("exactly one meta row")
   }
 
+  test("refreshAnnServeState: O(delta) patch equals a full rebuild; non-append drift refuses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ann_refresh_spec").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
+    def roundtrip(df: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_refresh_st").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val st0 = roundtrip(StreamingOps.annServeState(spark, idx))
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    // the unrefreshed artifact is stale (appends moved the file count)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireServeStateCurrent(spark, idx, st0)
+    }.getMessage should include("STALE serve state")
+    // the patch reads only the appended files and comes out CURRENT
+    val refreshed = roundtrip(StreamingOps.refreshAnnServeState(spark, idx, st0))
+    StreamingOps.requireServeStateCurrent(spark, idx, refreshed)
+    // the appended rows are genuinely in the arrays, not just re-stamped
+    refreshed.where(col("section") === "cells")
+      .select(org.apache.spark.sql.functions.explode(col("cands")).as("c"))
+      .where(col("c.vec_id") >= 400).count() shouldBe
+      e.where(col("vec_id") >= 400).count()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rank"))).toSet
+    val qRows = q.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def runServe(name: String, state: org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingOps.annSearchStream(
+          input.toDF().toDF("vec_id", "embedding"), state, k = 10, nProbe = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(qRows: _*)
+        sq.processAllAvailable()
+        rowsOf(StreamingSpec.this.spark.table(name))
+      } finally sq.stop()
+    }
+    // serves row-identical to the batch probe over the grown index AND
+    // to a from-scratch rebuild of the serve state
+    val batch = rowsOf(Similarity.searchAnnIndexed(spark, idx, q, k = 10, nProbe = 2))
+    runServe("ann_refresh_serve", refreshed) shouldBe batch
+    runServe("ann_refresh_fresh",
+      roundtrip(StreamingOps.annServeState(spark, idx))) shouldBe batch
+    // a no-op refresh (nothing appended since) is still current and
+    // serves identically
+    runServe("ann_refresh_noop",
+      roundtrip(StreamingOps.refreshAnnServeState(spark, idx, refreshed))) shouldBe batch
+    // an artifact from before the files-section convention refuses
+    intercept[IllegalArgumentException] {
+      StreamingOps.refreshAnnServeState(spark, idx,
+        refreshed.where(col("section") =!= "files"))
+    }.getMessage should include("files-section")
+    // a DELETE after the artifact's build refuses — tombstones fold OUT
+    // of the arrays, a concat patch cannot express that
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") === 7), idx)
+    intercept[IllegalArgumentException] {
+      StreamingOps.refreshAnnServeState(spark, idx, refreshed)
+    }.getMessage should include("moved past appends")
+    // a FILTERED artifact refuses — the predicate cannot be re-applied
+    // to appended rows from the artifact alone
+    val idx2 = java.nio.file.Files.createTempDirectory("ann_refresh_f").toString
+    Similarity.buildAnnIndex(e, idx2, stride = 100, metaCols = Seq("label"))
+    val stF = StreamingOps.annServeState(spark, idx2, Some(col("label") === 1))
+    intercept[IllegalArgumentException] {
+      StreamingOps.refreshAnnServeState(spark, idx2, stF)
+    }.getMessage should include("filter")
+  }
+
   test("streaming annSearchStreamPq: row-identical to ivfPqTopK, incl. post-delete rebuild") {
     val s = spark
     import s.implicits._
@@ -1989,6 +2065,144 @@ class StreamingSpec extends SparkSpec {
     }
     nf.getMessage should include("n=three")
     nf.getMessage should include("ingestState")
+  }
+
+  test("requireScreenStateHistoryCurrent: screen states pin their history snapshot by content") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ── text tier (ingestState; meta rides in the fp column) ─────────
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("doc"), col("text").as("line"))
+    val hist = docs.where(col("doc") < 50)
+    val splits = hist.select(col("doc"), lit("train").as("split"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ingest_fresh_spec").toString
+    StreamingOps.ingestState(hist, splits).write.mode("overwrite").parquet(stateDir)
+    val state = spark.read.parquet(stateDir)
+    // same CONTENT, different order/partitioning: current (the
+    // checksum is order-free by construction)
+    StreamingOps.requireScreenStateHistoryCurrent(
+      state, hist.orderBy(col("doc").desc).repartition(7))
+    // grown history: stale, loud
+    val grown = intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(
+        state, docs.where(col("doc") < 60))
+    }
+    grown.getMessage should include("STALE screen state")
+    // one changed byte moves it too
+    val mutated = hist.withColumn("line",
+      when(col("doc") === 1, lit("changed")).otherwise(col("line")))
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(state, mutated)
+    }.getMessage should include("STALE screen state")
+    // an artifact from BEFORE the checksum convention names the rebuild
+    val old = state.where(col("section") =!= "meta").unionByName(
+      state.where(col("section") === "meta")
+        .withColumn("fp", lit("n=3;numHashes=16;rowsPerBand=4")))
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(old, hist)
+    }.getMessage should include("rebuild")
+    // ...and the enriched meta row still starts streams (parsers take
+    // the keys they need) — construction-time check only
+    val docsInput = MemoryStream[(Long, String)]
+    StreamingOps.ingestScreenFromState(
+      docsInput.toDF().toDF("doc", "line"), state)
+    // ── media tiers (meta column) ─────────────────────────────────────
+    val hashes = (0L until 40L)
+      .map(i => (i, (i * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)))
+      .toDF("asset_id", "ahash")
+    val st2 = StreamingOps.mediaScreenState(hashes)
+    StreamingOps.requireScreenStateHistoryCurrent(st2, hashes.repartition(5))
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(st2,
+        hashes.unionByName(Seq((99L, 42L)).toDF("asset_id", "ahash")))
+    }.getMessage should include("STALE screen state")
+    val wins = (0L until 40L)
+      .map(i => (i / 4, i % 4, (i * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)))
+      .toDF("asset_id", "window_id", "ahash")
+    val st3 = StreamingOps.mediaWindowScreenState(wins)
+    StreamingOps.requireScreenStateHistoryCurrent(st3, wins.repartition(3))
+    intercept[IllegalArgumentException] {
+      // same rows, one window re-keyed: the composite key moves it
+      StreamingOps.requireScreenStateHistoryCurrent(st3,
+        wins.withColumn("window_id",
+          when(col("asset_id") === 0 && col("window_id") === 1, lit(9L))
+            .otherwise(col("window_id"))))
+    }.getMessage should include("STALE screen state")
+    // ── embedding tier ───────────────────────────────────────────────
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ehist = e.where(col("vec_id") >= 250).select("vec_id", "embedding")
+    val st4 = StreamingOps.embeddingIngestState(ehist)
+    StreamingOps.requireScreenStateHistoryCurrent(st4, ehist.repartition(9))
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(st4,
+        e.select("vec_id", "embedding"))
+    }.getMessage should include("STALE screen state")
+  }
+
+  test("media screen states resolve BandAuto at build and persist the chosen layout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // 600 well-spread 56-bit hashes: at bound 2 the 7×8 layout's
+    // 256-value band space saturates (~2.3 expected per bucket), the
+    // 4×14 layout's 16,384-value space does not — the exact boundary
+    // the round-10 stress measured, shrunk to unit size
+    val hashes = (0L until 600L)
+      .map(i => (i, (i * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)))
+      .toDF("asset_id", "ahash")
+    // explicit default layout on this corpus fails the build loudly
+    intercept[IllegalArgumentException] {
+      StreamingOps.mediaScreenState(hashes, maxBucketDocs = 2)
+    }.getMessage should include("SATURATED")
+    // BandAuto walks the ladder and persists the resolved layout in
+    // the meta row the FromState start reads
+    val st = StreamingOps.mediaScreenState(hashes, maxBucketDocs = 2,
+      nBands = Multimodal.BandAuto, maxDist = 3)
+    val meta = st.where(col("section") === "meta")
+      .select(col("meta")).head().getString(0)
+    meta should include("nBands=4;bandBits=14")
+    // streams started from the artifact inherit the layout and match
+    // exactly what the explicit-layout screen finds
+    val arrivals = hashes.where(col("asset_id") < 5)
+      .select((col("asset_id") + 1000L).as("asset_id"), col("ahash"))
+    val arrivalRows = arrivals.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    def runScreen(name: String, state: org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, Long)]
+      val sq = StreamingOps.mediaNearDupScreenFromState(
+          input.toDF().toDF("asset_id", "ahash"), state, maxDist = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(arrivalRows: _*)
+        sq.processAllAvailable()
+        StreamingSpec.this.spark.table(name).collect()
+          .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("match_id"),
+            r.getAs[Long]("hamming"))).toSet
+      } finally sq.stop()
+    }
+    val got = runScreen("media_auto_screen", st)
+    got.map(_._1) shouldBe (1000L until 1005L).toSet // exact copies match
+    got shouldBe runScreen("media_explicit_screen",
+      StreamingOps.mediaScreenState(hashes, maxBucketDocs = 2,
+        nBands = 4, bandBits = 14))
+    // a threshold no admissible layout can satisfy unsaturated fails
+    // loudly at build instead of packaging a mostly-blind index
+    intercept[IllegalArgumentException] {
+      StreamingOps.mediaScreenState(hashes, maxBucketDocs = 2,
+        nBands = Multimodal.BandAuto, maxDist = 6)
+    }.getMessage should include("SATURATED")
+    // the window tier shares the dispatch
+    val wins = (0L until 600L)
+      .map(i => (i / 4, i % 4, (i * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)))
+      .toDF("asset_id", "window_id", "ahash")
+    val stw = StreamingOps.mediaWindowScreenState(wins, maxBucketDocs = 2,
+      nBands = Multimodal.BandAuto, maxDist = 3)
+    stw.where(col("section") === "meta").select(col("meta"))
+      .head().getString(0) should include("nBands=4;bandBits=14")
   }
 
   test("requireServeStateCurrent: stale serve artifacts fail loudly on any drift") {
