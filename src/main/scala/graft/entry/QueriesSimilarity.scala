@@ -323,6 +323,29 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // Filtered-ADC recall CONTRACT (the q222b harness in the
+    // compressed domain): recall@10 of the filtered IVF-ADC tier
+    // against the exact float top-k over the filtered slice — records
+    // what quantization + cell pruning cost under the predicate
+    // instead of letting it pass silently.
+    "q229b_ivfpq_filtered_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e.where(col("label") === 1), q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val approx = Similarity.ivfPqTopKFiltered(e, q,
+          col("label") === 1, kTop = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
+
     // INCREMENTAL index ingest: build on history (vec_id < 400), append
     // the delta with the index's FROZEN centroids (no re-cluster, no
     // history rewrite), then probe the grown index. The oracle is the
@@ -721,6 +744,45 @@ private[graft] object QueriesSimilarity {
         .orderBy(col("q_vec_id"))
     })
   )
+
+  /** The filtered IVF-ADC chain shared by q229/q229b: the q101 CTEs
+    * with the candidate side restricted to label = 1 (probes,
+    * centroids, codebook, codes all unfiltered — the two-stage
+    * frozen-quantizer contract). Ends with `adcp` = (q_vec_id,
+    * n_vec_id, adc). */
+  private def ivfPqFilteredCtes: String =
+    s"""$pqCtes,
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |n AS (SELECT e.vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+       |             label
+       |      FROM e JOIN lbl ON e.vec_id = lbl.vec_id),
+       |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+       |      FROM n WHERE vec_id % 100 = 0),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT n.vec_id, c.cent_id,
+       |           row_number() OVER (
+       |             PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+       |               DESC, c.cent_id) AS rn
+       |    FROM n CROSS JOIN c WHERE n.label = 1) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
+       |    SELECT n.vec_id, c.cent_id,
+       |           row_number() OVER (
+       |             PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
+       |               DESC, c.cent_id) AS rn
+       |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
+       |$pqLutCte,
+       |adcp AS (
+       |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
+       |  FROM codes cd
+       |  JOIN assign a ON a.vec_id = cd.vec_id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN lut l ON l.q_vec_id = p.q_vec_id AND l.s = cd.s AND l.j = cd.j
+       |  WHERE p.q_vec_id <> cd.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   val sql: Map[String, String] = Map(
 
@@ -1176,43 +1238,44 @@ private[graft] object QueriesSimilarity {
     // restricted to label = 1 (probes, centroids, codebook, codes all
     // stay unfiltered — the two-stage frozen-quantizer contract).
     "q229_ivfpq_filtered" ->
-      s"""WITH $pqCtes,
-         |lbl AS (SELECT vec_id, label FROM embeddings),
-         |n AS (SELECT e.vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-         |             label
-         |      FROM e JOIN lbl ON e.vec_id = lbl.vec_id),
-         |c AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-         |      FROM n WHERE vec_id % 100 = 0),
-         |assign AS (
-         |  SELECT vec_id, cent_id AS cell FROM (
-         |    SELECT n.vec_id, c.cent_id,
-         |           row_number() OVER (
-         |             PARTITION BY n.vec_id
-         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-         |               DESC, c.cent_id) AS rn
-         |    FROM n CROSS JOIN c WHERE n.label = 1) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
-         |    SELECT n.vec_id, c.cent_id,
-         |           row_number() OVER (
-         |             PARTITION BY n.vec_id
-         |             ORDER BY list_dot_product(n.emb, c.c_emb) / (n.nrm * c.c_nrm)
-         |               DESC, c.cent_id) AS rn
-         |    FROM n CROSS JOIN c WHERE n.vec_id < 5) WHERE rn <= 2),
-         |$pqLutCte,
-         |adcp AS (
-         |  SELECT l.q_vec_id, cd.vec_id AS n_vec_id, round(sum(l.v), 6) AS adc
-         |  FROM codes cd
-         |  JOIN assign a ON a.vec_id = cd.vec_id
-         |  JOIN probes p ON p.cell = a.cell
-         |  JOIN lut l ON l.q_vec_id = p.q_vec_id AND l.s = cd.s AND l.j = cd.j
-         |  WHERE p.q_vec_id <> cd.vec_id
-         |  GROUP BY 1, 2)
+      s"""WITH $ivfPqFilteredCtes
          |SELECT q_vec_id, n_vec_id, adc, rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
          |                               ORDER BY adc DESC, n_vec_id) AS rnk
          |  FROM adcp)
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Filtered-ADC recall mirror: the q222b harness with the approx arm
+    // in the compressed domain and the exact arm the float top-k over
+    // the filtered slice.
+    "q229b_ivfpq_filtered_recall" ->
+      s"""WITH $ivfPqFilteredCtes,
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |                                 ORDER BY adc DESC, n_vec_id) AS rnk
+         |    FROM adcp) WHERE rnk <= 10),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, t.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, t.emb) / (q.nrm * t.nrm), 6)
+         |               DESC, t.vec_id) AS rnk
+         |    FROM (SELECT * FROM n WHERE vec_id < 5) q
+         |    JOIN n t ON q.vec_id <> t.vec_id AND t.label = 1)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
 
 
     // Incremental append contract: the grown index must answer exactly

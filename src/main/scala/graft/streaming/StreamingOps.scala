@@ -1834,6 +1834,14 @@ object StreamingOps {
       path: String,
       state: DataFrame): DataFrame = {
     import graft.operators.Similarity
+    // float artifacts only: a PQ artifact cannot be patched — appended
+    // rows can land NEW codebook seeds (the vec_id seed rule), so its
+    // codes are not append-stable; rebuild with annServePqState
+    require(state.columns.contains("cands"),
+      "refreshAnnServeState patches FLOAT annServeState artifacts; this " +
+        "frame has no cands column — a PQ artifact's codes are not " +
+        "append-stable (appends can add codebook seeds); rebuild with " +
+        "annServePqState")
     val params = artifactMeta(state, "annServeState",
       required = Seq("filtered", "generation", "n_tombstones", "n_cell_files"))
     require(params("filtered") == "0",

@@ -59,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     "q101_ivfpq_topk", // the same centroid broadcast cross (IVF stage)
     "q229_ivfpq_filtered", // q101's centroid broadcast cross; the label
                            // predicate is a scan filter, not a join
+    "q229b_ivfpq_filtered_recall", // the filtered ADC tier + q15's exact
+                                   // side over the filtered slice (the
+                                   // q222b shape)
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin
     "q104_integrity_audit", // 1-row report-combining crosses only
