@@ -1362,8 +1362,35 @@ object StreamingOps {
       bits: Int = 4,
       tables: Int = 4,
       maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket): DataFrame = {
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
     val idx = embeddingIngestIndex(history)
-    val ndIdx = embeddingNearDupIndex(history, bits, tables, maxBucketSize)
+    val buckets = embeddingNdBuckets(history, bits, tables)
+    // the meta row also records the history snapshot's content identity
+    // (requireScreenStateHistoryCurrent's comparison base) — a lazy
+    // aggregate over history, paid at the artifact's materialization
+    val metaRow = historyMetaTailRow(history, Seq("vec_id"), "embedding")
+      .select(concat(lit(s"bits=$bits;tables=$tables;" +
+        s"maxBucketSize=$maxBucketSize;"), col("_tail")).as("_meta"))
+    embeddingIngestStateAssembly(history.sparkSession, idx,
+      buckets.where(size(col("cands")) <= maxBucketSize),
+      buckets.where(size(col("cands")) > maxBucketSize)
+        .select(col("t"), col("bucket")),
+      metaRow)
+  }
+
+  /** Assemble the embedding-ingest artifact from its parts — shared by
+    * [[embeddingIngestState]] (full build) and
+    * [[extendEmbeddingIngestState]] (delta fold). The `nddropped`
+    * section records the near-dup buckets the hot guard excluded WHOLE
+    * — invisible to the screen, load-bearing for the extension (the
+    * [[ingestState]] dropped-keys rationale). */
+  private def embeddingIngestStateAssembly(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: DataFrame,
+      ndIdx: DataFrame,
+      ndDropped: DataFrame,
+      metaRow: DataFrame): DataFrame = {
     val exCandsT = idx.schema("cands").dataType
     val ndCandsT = ndIdx.schema("cands").dataType
     val indexRows = idx.select(
@@ -1376,18 +1403,100 @@ object StreamingOps {
       lit(null).cast(exCandsT).as("cands"),
       col("t"), col("bucket"), col("cands").as("ndcands"),
       lit(null).cast("string").as("meta"))
-    // the meta row also records the history snapshot's content identity
-    // (requireScreenStateHistoryCurrent's comparison base) — a lazy
-    // aggregate over history, paid at the artifact's materialization
-    val metaRow = historyMetaTailRow(history, Seq("vec_id"), "embedding")
-      .select(
-        lit("meta").as("section"), lit(null).cast("long").as("hkey"),
-        lit(null).cast(exCandsT).as("cands"),
-        lit(null).cast("long").as("t"), lit(null).cast("long").as("bucket"),
-        lit(null).cast(ndCandsT).as("ndcands"),
-        concat(lit(s"bits=$bits;tables=$tables;" +
-          s"maxBucketSize=$maxBucketSize;"), col("_tail")).as("meta"))
-    indexRows.unionByName(ndRows).unionByName(metaRow)
+    val ndDroppedRows = ndDropped.select(
+      lit("nddropped").as("section"), lit(null).cast("long").as("hkey"),
+      lit(null).cast(exCandsT).as("cands"),
+      col("t"), col("bucket"), lit(null).cast(ndCandsT).as("ndcands"),
+      lit(null).cast("string").as("meta"))
+    val meta = metaRow.select(
+      lit("meta").as("section"), lit(null).cast("long").as("hkey"),
+      lit(null).cast(exCandsT).as("cands"),
+      lit(null).cast("long").as("t"), lit(null).cast("long").as("bucket"),
+      lit(null).cast(ndCandsT).as("ndcands"),
+      col("_meta").as("meta"))
+    indexRows.unionByName(ndRows).unionByName(ndDroppedRows)
+      .unionByName(meta)
+  }
+
+  /**
+   * O(delta) EXTENSION of an [[embeddingIngestState]] artifact — the
+   * [[extendIngestState]] law in vector space, with one extra merge
+   * rule the exact-dup screen forces: the exact index keeps ONE entry
+   * per DISTINCT vector carrying the SMALLEST vec_id that has it (the
+   * batch anchor rule), so merging per hkey is not a bare concat — the
+   * fold re-reduces per distinct hemb to min(old anchor, delta anchor)
+   * ROW-LOCALLY (hkey buckets are hash buckets of distinct vectors —
+   * tiny by construction, so the per-bucket O(k²) reduction is noise).
+   * The near-dup index merges like the media tiers: delta buckets
+   * concat on (t, bucket), the hot guard re-applies on MERGED sizes,
+   * buckets in the artifact's `nddropped` section stay dropped, and
+   * the history checksum composes by sum. Exactly equivalent to
+   * `embeddingIngestState(history ∪ delta)` (StreamingSpec pins
+   * artifact content and screen-output identity); the disjoint-delta
+   * contract applies verbatim. Cost: O(delta hashing + touched
+   * buckets), never O(history re-hash).
+   */
+  def extendEmbeddingIngestState(
+      state: DataFrame, deltaEmbs: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val builder = "embeddingIngestState"
+    val params = artifactMeta(state, builder,
+      required = Seq("bits", "tables", "maxBucketSize",
+        "historyKey", "historyPayload", "historyChecksum"))
+    val bits = metaInt(params, "bits", builder)
+    val tables = metaInt(params, "tables", builder)
+    val maxBucketSize = metaInt(params, "maxBucketSize", builder)
+    // exact index: per-hkey merge preserving min-id-per-distinct-vector
+    val deltaIdx = embeddingIngestIndex(deltaEmbs)
+    val oldIdx = state.where(col("section") === "index")
+      .select(col("hkey"), col("cands"))
+    def mergeExact(m: Column): Column =
+      transform(array_distinct(transform(m, c => c.getField("hemb"))), h =>
+        struct(h.as("hemb"),
+          array_min(transform(filter(m, c => c.getField("hemb") === h),
+            c => c.getField("hid"))).as("hid")))
+    val mergedIdx = oldIdx
+      .join(broadcast(deltaIdx.withColumnRenamed("cands", "_dc")),
+        Seq("hkey"), "full_outer")
+      .select(col("hkey"),
+        when(col("cands").isNull, col("_dc"))
+          .when(col("_dc").isNull, col("cands"))
+          .otherwise(mergeExact(concat(col("cands"), col("_dc"))))
+          .as("cands"))
+    // near-dup index: the media-tier fold on (t, bucket)
+    val deltaNd = embeddingNdBuckets(deltaEmbs, bits, tables)
+    val oldNd = state.where(col("section") === "ndindex")
+      .select(col("t"), col("bucket"), col("ndcands").as("cands"))
+    val oldNdDropped = state.where(col("section") === "nddropped")
+      .select(col("t"), col("bucket"))
+    val mergedNd = oldNd
+      .join(broadcast(deltaNd.withColumnRenamed("cands", "_dc")),
+        Seq("t", "bucket"), "full_outer")
+      .join(broadcast(oldNdDropped.withColumn("_wasDropped", lit(true))),
+        Seq("t", "bucket"), "left_outer")
+      .select(col("t"), col("bucket"),
+        when(col("cands").isNull, col("_dc"))
+          .when(col("_dc").isNull, col("cands"))
+          .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
+        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
+    val Array(nOld, sOld) = params("historyChecksum").split(':')
+    val Array(nDelta, sDelta) =
+      historyChecksumRow(deltaEmbs, Seq("vec_id"), "embedding")
+        .head().getString(0).split(':')
+    val metaRow = spark.range(1).select(
+      lit(s"bits=$bits;tables=$tables;maxBucketSize=$maxBucketSize;" +
+        s"historyKey=${params("historyKey")};" +
+        s"historyPayload=${params("historyPayload")};" +
+        s"historyChecksum=${nOld.toLong + nDelta.toLong}:" +
+        s"${(BigInt(sOld) + BigInt(sDelta)).toString}").as("_meta"))
+    embeddingIngestStateAssembly(spark, mergedIdx,
+      mergedNd.where(!col("_wasDropped") &&
+          size(col("cands")) <= maxBucketSize)
+        .select(col("t"), col("bucket"), col("cands")),
+      mergedNd.where(col("_wasDropped") ||
+          size(col("cands")) > maxBucketSize)
+        .select(col("t"), col("bucket")),
+      metaRow)
   }
 
   /** The screen body shared by [[embeddingIngestScreen]] (derived or
@@ -1475,10 +1584,21 @@ object StreamingOps {
       bits: Int = 4,
       tables: Int = 4,
       maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket): DataFrame = {
-    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
-    import graft.operators.Similarity.lshTableBucketCol
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
+    embeddingNdBuckets(history, bits, tables)
+      .where(size(col("cands")) <= maxBucketSize)
+  }
+
+  /** [[embeddingNearDupIndex]] WITHOUT the hot-bucket guard — the raw
+    * (t, bucket) → candidate-array aggregation the state builder
+    * splits into kept + dropped and [[extendEmbeddingIngestState]]
+    * builds its delta buckets through (hot is decided on MERGED
+    * sizes, never on delta sizes). */
+  private def embeddingNdBuckets(
+      history: DataFrame, bits: Int, tables: Int): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import graft.operators.Similarity.lshTableBucketCol
     history
       .select(col("vec_id").as("hid"),
         col("embedding").cast("array<double>").as("hemb"))
@@ -1491,7 +1611,6 @@ object StreamingOps {
       .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       .agg(collect_list(
         struct(col("hid"), col("hemb"), col("hnrm"))).as("cands"))
-      .where(size(col("cands")) <= maxBucketSize)
   }
 
   /** The static exact-screen index behind [[embeddingIngestScreen]]:
@@ -2565,13 +2684,24 @@ object StreamingOps {
    *    (md5), the exact-confirm side of the Bloom probe;
    *  - `section = "bloom"`: ONE row carrying the serialized Bloom
    *    filter bytes over xxhash64(fp);
+   *  - `section = "dropped"`: the (band, band_val) KEYS of buckets the
+   *    hot-bucket guard excluded WHOLE — bounded (≤ band rows /
+   *    maxBucketSize keys) and invisible to the screen, but load-
+   *    bearing for [[extendIngestState]]: without them an extension
+   *    could not tell "no history members" from "hot mass dropped at
+   *    build" and would resurrect a guarded bucket from its delta
+   *    members alone;
    *  - `section = "meta"`: ONE row carrying the derivation parameters
-   *    (n;numHashes;rowsPerBand in the fp column) so
-   *    [[ingestScreenFromState]] reads them FROM the artifact instead
-   *    of trusting the caller to repeat them.
+   *    (n;numHashes;rowsPerBand;maxBucketSize;fpp in the fp column) so
+   *    [[ingestScreenFromState]] and [[extendIngestState]] read them
+   *    FROM the artifact instead of trusting the caller to repeat
+   *    them, plus the history snapshot's content checksum
+   *    ([[requireScreenStateHistoryCurrent]]).
    * Build once per history snapshot, write/persist, and start any
    * number of streams from it — raw history is scanned at BUILD time
-   * only (the 10× stress records build-once vs load-and-serve).
+   * only (the 10× stress records build-once vs load-and-serve); when
+   * the history GROWS, [[extendIngestState]] folds the delta in at
+   * O(delta shingling + fp set) instead of a full rebuild.
    */
   def ingestState(
       historyDocs: DataFrame,
@@ -2582,34 +2712,156 @@ object StreamingOps {
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
       fpp: Double = 1e-4): DataFrame = {
     import graft.operators.Dedup
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive, got $maxBucketSize")
     val spark = historyDocs.sparkSession
-    val idx = ingestIndex(
-      historyDocs, historySplits, n, numHashes, rowsPerBand, maxBucketSize)
+    val buckets = ingestBuckets(
+      historyDocs, historySplits, n, numHashes, rowsPerBand)
+    val idx = buckets.where(size(col("cands")) <= maxBucketSize)
+    val dropped = buckets.where(size(col("cands")) > maxBucketSize)
+      .select(col("band"), col("band_val"))
     val hfp = historyDocs.select(md5(col("line")).as("fp")).distinct()
     val bloomBytes = Dedup.bloomBytesOf(
       hfp.select(xxhash64(col("fp")).as("h")), -1L, fpp)
-    def nulls(of: DataFrame, cols: String*): Seq[Column] =
-      cols.map(c => lit(null).cast(of.schema(c).dataType).as(c))
+    // meta also records the history snapshot's content identity
+    // (requireScreenStateHistoryCurrent) — a lazy aggregate over
+    // history, paid at the artifact's one materialization
+    val metaRow = historyMetaTailRow(historyDocs, Seq("doc"), "line")
+      .select(concat(
+        lit(s"n=$n;numHashes=$numHashes;rowsPerBand=$rowsPerBand;" +
+          s"maxBucketSize=$maxBucketSize;fpp=$fpp;"),
+        col("_tail")).as("_meta"))
+    ingestStateAssembly(spark, idx, dropped, hfp, bloomBytes, metaRow)
+  }
+
+  /** Assemble the ingest-screen artifact from its parts — shared by
+    * [[ingestState]] (full build) and [[extendIngestState]] (delta
+    * fold), so the two paths cannot drift in shape. `metaRow` is a
+    * 1-row frame with the full meta string in `_meta`. */
+  private def ingestStateAssembly(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: DataFrame,
+      dropped: DataFrame,
+      hfp: DataFrame,
+      bloomBytes: Array[Byte],
+      metaRow: DataFrame): DataFrame = {
+    def nulls(cols: String*): Seq[Column] =
+      cols.map(c => lit(null).cast(idx.schema(c).dataType).as(c))
     val indexRows = idx.select(
       Seq(lit("index").as("section"), col("band"), col("band_val"),
         col("cands"), lit(null).cast("string").as("fp"),
         lit(null).cast("binary").as("bloom")): _*)
+    val droppedRows = dropped.select(
+      Seq(lit("dropped").as("section"), col("band"), col("band_val"),
+        lit(null).cast(idx.schema("cands").dataType).as("cands"),
+        lit(null).cast("string").as("fp"),
+        lit(null).cast("binary").as("bloom")): _*)
     val fpRows = hfp.select(
-      Seq(lit("fp").as("section")) ++ nulls(idx, "band", "band_val", "cands")
+      Seq(lit("fp").as("section")) ++ nulls("band", "band_val", "cands")
         ++ Seq(col("fp"), lit(null).cast("binary").as("bloom")): _*)
     val bloomRow = spark.range(1).select(
-      Seq(lit("bloom").as("section")) ++ nulls(idx, "band", "band_val", "cands")
+      Seq(lit("bloom").as("section")) ++ nulls("band", "band_val", "cands")
         ++ Seq(lit(null).cast("string").as("fp"), lit(bloomBytes).as("bloom")): _*)
-    // meta also records the history snapshot's content identity
-    // (requireScreenStateHistoryCurrent) — a lazy aggregate over
-    // history, paid at the artifact's one materialization
-    val metaRow = historyMetaTailRow(historyDocs, Seq("doc"), "line").select(
-      Seq(lit("meta").as("section")) ++ nulls(idx, "band", "band_val", "cands")
-        ++ Seq(concat(
-            lit(s"n=$n;numHashes=$numHashes;rowsPerBand=$rowsPerBand;"),
-            col("_tail")).as("fp"),
-          lit(null).cast("binary").as("bloom")): _*)
-    indexRows.unionByName(fpRows).unionByName(bloomRow).unionByName(metaRow)
+    val meta = metaRow.select(
+      Seq(lit("meta").as("section")) ++ nulls("band", "band_val", "cands")
+        ++ Seq(col("_meta").as("fp"), lit(null).cast("binary").as("bloom")): _*)
+    indexRows.unionByName(droppedRows).unionByName(fpRows)
+      .unionByName(bloomRow).unionByName(meta)
+  }
+
+  /**
+   * O(delta) EXTENSION of an [[ingestState]] artifact — the productive
+   * response to the freshness guard: when the history corpus GROWS,
+   * [[requireScreenStateHistoryCurrent]] (correctly) rejects the old
+   * artifact, and until now the only fix was a full rebuild — paying
+   * the shingling + minhash + banding of ALL history again for a
+   * delta-sized change. This folds the delta in instead, EXACTLY
+   * EQUIVALENT BY CONSTRUCTION to `ingestState(history ∪ delta)`
+   * (StreamingSpec pins artifact content and screen-output identity):
+   *
+   *  - bucket index: the delta's UNGUARDED buckets concat onto the
+   *    artifact's arrays via a broadcast full-outer join on
+   *    (band, band_val) — untouched buckets stream through unshuffled
+   *    (the [[refreshAnnServeState]] shape) — and the hot-bucket guard
+   *    re-applies on MERGED sizes: a kept bucket pushed past the bound
+   *    drops whole, and a bucket in the artifact's `dropped` section
+   *    STAYS dropped whatever the delta adds (sizes only grow; without
+   *    the recorded keys the hidden hot mass would resurrect);
+   *  - fp set: union-distinct of the artifact's fps and the delta's —
+   *    a single-column shuffle, no history text re-hash;
+   *  - Bloom bytes: re-derived from the merged fp set (same fpp from
+   *    the meta row) — bits depend only on the inserted SET, so this
+   *    equals the fresh build's filter byte-for-byte;
+   *  - history checksum: the fold is COMMUTATIVE, so the new identity
+   *    is literally old + delta (row counts and hash sums add) — no
+   *    history scan at all.
+   *
+   * CONTRACT: `deltaDocs` must be strictly NEW rows (disjoint from the
+   * rows the artifact was built over). A re-sent row double-counts in
+   * the checksum, so the extended artifact's identity diverges from
+   * the true union and [[requireScreenStateHistoryCurrent]] fails
+   * against the real corpus — the guard catching the misuse is the
+   * designed behavior. Only rows the guard pins are scanned: cost is
+   * O(delta shingling + merged fp set), never O(history re-shingle).
+   */
+  def extendIngestState(
+      state: DataFrame,
+      deltaDocs: DataFrame,
+      deltaSplits: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val spark = state.sparkSession
+    val params = artifactMeta(state, "ingestState",
+      required = Seq("n", "numHashes", "rowsPerBand", "maxBucketSize",
+        "fpp", "historyKey", "historyPayload", "historyChecksum"),
+      metaCol = "fp")
+    val n = metaInt(params, "n", "ingestState")
+    val numHashes = metaInt(params, "numHashes", "ingestState")
+    val rowsPerBand = metaInt(params, "rowsPerBand", "ingestState")
+    val maxBucketSize = metaInt(params, "maxBucketSize", "ingestState")
+    val fpp = params("fpp").toDouble
+    // the delta's buckets, UNGUARDED — hot is a property of the MERGED
+    // history, decided below on merged sizes
+    val deltaBuckets = ingestBuckets(
+      deltaDocs, deltaSplits, n, numHashes, rowsPerBand)
+    val oldIdx = state.where(col("section") === "index")
+      .select(col("band"), col("band_val"), col("cands"))
+    val oldDropped = state.where(col("section") === "dropped")
+      .select(col("band"), col("band_val"))
+    val merged = oldIdx
+      .join(broadcast(deltaBuckets.withColumnRenamed("cands", "_dc")),
+        Seq("band", "band_val"), "full_outer")
+      .join(broadcast(oldDropped.withColumn("_wasDropped", lit(true))),
+        Seq("band", "band_val"), "left_outer")
+      .select(col("band"), col("band_val"),
+        when(col("cands").isNull, col("_dc"))
+          .when(col("_dc").isNull, col("cands"))
+          .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
+        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
+    val kept = merged
+      .where(!col("_wasDropped") && size(col("cands")) <= maxBucketSize)
+      .select(col("band"), col("band_val"), col("cands"))
+    val droppedNow = merged
+      .where(col("_wasDropped") || size(col("cands")) > maxBucketSize)
+      .select(col("band"), col("band_val"))
+    val fps = state.where(col("section") === "fp").select(col("fp"))
+      .unionByName(deltaDocs.select(md5(col("line")).as("fp")))
+      .distinct()
+    val bloomBytes = Dedup.bloomBytesOf(
+      fps.select(xxhash64(col("fp")).as("h")), -1L, fpp)
+    // commutative checksum composition: identity(h ∪ d) = identity(h)
+    // + identity(d) — two bounded numbers, no history scan
+    val Array(nOld, sOld) = params("historyChecksum").split(':')
+    val Array(nDelta, sDelta) = historyChecksumRow(deltaDocs, Seq("doc"), "line")
+      .head().getString(0).split(':')
+    val newCk = s"${nOld.toLong + nDelta.toLong}:" +
+      s"${(BigInt(sOld) + BigInt(sDelta)).toString}"
+    val metaRow = spark.range(1).select(
+      lit(s"n=$n;numHashes=$numHashes;rowsPerBand=$rowsPerBand;" +
+        s"maxBucketSize=$maxBucketSize;fpp=${params("fpp")};" +
+        s"historyKey=${params("historyKey")};" +
+        s"historyPayload=${params("historyPayload")};" +
+        s"historyChecksum=$newCk").as("_meta"))
+    ingestStateAssembly(spark, kept, droppedNow, fps, bloomBytes, metaRow)
   }
 
   /** The screen body shared by [[ingestScreen]] (derived state) and
@@ -2729,9 +2981,27 @@ object StreamingOps {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket): DataFrame = {
-    import graft.operators.Dedup
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
+    // hot-bucket guard: the batch okBuckets contract — oversized
+    // buckets are excluded WHOLE, candidates from them never form
+    ingestBuckets(historyDocs, historySplits, n, numHashes, rowsPerBand)
+      .where(size(col("cands")) <= maxBucketSize)
+  }
+
+  /** [[ingestIndex]] WITHOUT the hot-bucket guard — the raw
+    * (band, band_val) → candidate-array aggregation. [[ingestState]]
+    * splits it into kept + dropped (the keys [[extendIngestState]]
+    * needs), and the extension builds its DELTA buckets through it
+    * (hot is a property of the MERGED history, decided on merged
+    * sizes, never on delta sizes). */
+  private def ingestBuckets(
+      historyDocs: DataFrame,
+      historySplits: DataFrame,
+      n: Int,
+      numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    import graft.operators.Dedup
     val histBands = Dedup.lshBands(
       Dedup.minhashSignatures(Dedup.shingles(historyDocs, n), numHashes),
       numHashes, rowsPerBand)
@@ -2743,9 +3013,6 @@ object StreamingOps {
       .groupBy(col("band"), col("band_val"))
       .agg(collect_list(struct(col("doc").as("hd"), col("_hsh").as("hsh"),
         col("_hsp").as("hsp"))).as("cands"))
-      // hot-bucket guard: the batch okBuckets contract — oversized
-      // buckets are excluded WHOLE, candidates from them never form
-      .where(size(col("cands")) <= maxBucketSize)
   }
 
   /**
@@ -2855,18 +3122,9 @@ object StreamingOps {
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8): DataFrame = {
-    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, 0)
     require(maxBucketDocs > 0,
       s"maxBucketDocs must be positive, got $maxBucketDocs")
-    val mask = (1L << bandBits) - 1
-    historyHashes
-      .select(col("asset_id").as("hid"), col("ahash").as("hh"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b.toLong).as("band"),
-            shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
-              .as("band_bits"))): _*)).as("e"))
-      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
-      .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))
+    mediaBuckets(historyHashes, nBands, bandBits)
       .where(size(col("cands")) <= maxBucketDocs)
   }
 
@@ -2975,19 +3233,9 @@ object StreamingOps {
       maxBucketDocs: Int = graft.operators.Dedup.MaxPairBucket,
       nBands: Int = 7,
       bandBits: Int = 8): DataFrame = {
-    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, 0)
     require(maxBucketDocs > 0,
       s"maxBucketDocs must be positive, got $maxBucketDocs")
-    val mask = (1L << bandBits) - 1
-    historyWindows
-      .select(col("asset_id").as("mid"), col("window_id").as("mwid"),
-        col("ahash").as("hh"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b.toLong).as("band"),
-            shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
-              .as("band_bits"))): _*)).as("e"))
-      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
-      .agg(collect_list(struct(col("mid"), col("mwid"), col("hh"))).as("cands"))
+    mediaWindowBuckets(historyWindows, nBands, bandBits)
       .where(size(col("cands")) <= maxBucketDocs)
   }
 
@@ -3035,8 +3283,16 @@ object StreamingOps {
       historyHashes.select(col("asset_id"), col("ahash")))
     val (nb, bb) = resolvedScreenLayout(
       h, maxDist, maxBucketDocs, nBands, bandBits, allowSaturated)
-    screenStateOf(mediaNearDupIndex(h, maxBucketDocs, nb, bb), nb, bb,
-      h, Seq("asset_id"), "ahash")
+    val buckets = mediaBuckets(h, nb, bb)
+    val metaRow = historyMetaTailRow(h, Seq("asset_id"), "ahash")
+      .select(concat(
+        lit(s"nBands=$nb;bandBits=$bb;maxBucketDocs=$maxBucketDocs;"),
+        col("_tail")).as("_meta"))
+    screenStateOf(
+      buckets.where(size(col("cands")) <= maxBucketDocs),
+      buckets.where(size(col("cands")) > maxBucketDocs)
+        .select(col("band"), col("band_bits")),
+      metaRow)
   }
 
   /** [[mediaScreenState]] for the WINDOW tier: packages
@@ -3055,8 +3311,99 @@ object StreamingOps {
       .select(col("asset_id"), col("window_id"), col("ahash")))
     val (nb, bb) = resolvedScreenLayout(
       h, maxDist, maxBucketDocs, nBands, bandBits, allowSaturated)
-    screenStateOf(mediaWindowNearDupIndex(h, maxBucketDocs, nb, bb), nb, bb,
-      h, Seq("asset_id", "window_id"), "ahash")
+    val buckets = mediaWindowBuckets(h, nb, bb)
+    val metaRow = historyMetaTailRow(h, Seq("asset_id", "window_id"), "ahash")
+      .select(concat(
+        lit(s"nBands=$nb;bandBits=$bb;maxBucketDocs=$maxBucketDocs;"),
+        col("_tail")).as("_meta"))
+    screenStateOf(
+      buckets.where(size(col("cands")) <= maxBucketDocs),
+      buckets.where(size(col("cands")) > maxBucketDocs)
+        .select(col("band"), col("band_bits")),
+      metaRow)
+  }
+
+  /**
+   * O(delta) EXTENSION of a [[mediaScreenState]] artifact — the
+   * [[extendIngestState]] law in hash space: when the history hash
+   * corpus grows, fold the delta's band buckets onto the artifact's
+   * arrays instead of re-hashing and re-banding all history. Exactly
+   * equivalent to `mediaScreenState(history ∪ delta)` at the
+   * artifact's OWN layout (the meta row's nBands/bandBits — a BandAuto
+   * choice made at build time stays frozen: re-running the radar is a
+   * REBUILD decision, and a delta that saturates the frozen layout
+   * surfaces through the guard re-applying on merged sizes): kept
+   * buckets pushed past `maxBucketDocs` drop whole, buckets in the
+   * artifact's `dropped` section stay dropped, and the history
+   * checksum composes by sum (the [[extendIngestState]] disjoint-delta
+   * contract applies verbatim).
+   */
+  def extendMediaScreenState(
+      state: DataFrame, deltaHashes: DataFrame): DataFrame =
+    extendMediaScreenStateCore(state, "mediaScreenState",
+      (nb, bb) => mediaBuckets(
+        deltaHashes.select(col("asset_id"), col("ahash")), nb, bb),
+      historyChecksumRow(deltaHashes, Seq("asset_id"), "ahash"))
+
+  /** [[extendMediaScreenState]] for the WINDOW tier — same law over
+    * (asset_id, window_id, ahash) window rows. */
+  def extendMediaWindowScreenState(
+      state: DataFrame, deltaWindows: DataFrame): DataFrame =
+    extendMediaScreenStateCore(state, "mediaWindowScreenState",
+      (nb, bb) => mediaWindowBuckets(
+        deltaWindows.select(col("asset_id"), col("window_id"), col("ahash")),
+        nb, bb),
+      historyChecksumRow(deltaWindows, Seq("asset_id", "window_id"), "ahash"))
+
+  /** The shared delta fold behind both media-tier extensions: merge
+    * the delta's UNGUARDED buckets onto the artifact's arrays via a
+    * broadcast full-outer join on (band, band_bits), re-apply the hot
+    * guard on MERGED sizes with dropped-stays-dropped, and compose the
+    * history checksum by sum. */
+  private def extendMediaScreenStateCore(
+      state: DataFrame,
+      builder: String,
+      deltaBucketsAt: (Int, Int) => DataFrame,
+      deltaChecksumRow: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    val params = artifactMeta(state, builder,
+      required = Seq("nBands", "bandBits", "maxBucketDocs",
+        "historyKey", "historyPayload", "historyChecksum"))
+    val nb = metaInt(params, "nBands", builder)
+    val bb = metaInt(params, "bandBits", builder)
+    val maxBucketDocs = metaInt(params, "maxBucketDocs", builder)
+    val deltaBuckets = deltaBucketsAt(nb, bb)
+    val oldIdx = state.where(col("section") === "index")
+      .select(col("band"), col("band_bits"), col("cands"))
+    val oldDropped = state.where(col("section") === "dropped")
+      .select(col("band"), col("band_bits"))
+    val merged = oldIdx
+      .join(broadcast(deltaBuckets.withColumnRenamed("cands", "_dc")),
+        Seq("band", "band_bits"), "full_outer")
+      .join(broadcast(oldDropped.withColumn("_wasDropped", lit(true))),
+        Seq("band", "band_bits"), "left_outer")
+      .select(col("band"), col("band_bits"),
+        when(col("cands").isNull, col("_dc"))
+          .when(col("_dc").isNull, col("cands"))
+          .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
+        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
+    val Array(nOld, sOld) = params("historyChecksum").split(':')
+    val Array(nDelta, sDelta) =
+      deltaChecksumRow.head().getString(0).split(':')
+    val metaRow = spark.range(1).select(
+      lit(s"nBands=$nb;bandBits=$bb;maxBucketDocs=$maxBucketDocs;" +
+        s"historyKey=${params("historyKey")};" +
+        s"historyPayload=${params("historyPayload")};" +
+        s"historyChecksum=${nOld.toLong + nDelta.toLong}:" +
+        s"${(BigInt(sOld) + BigInt(sDelta)).toString}").as("_meta"))
+    screenStateOf(
+      merged.where(!col("_wasDropped") &&
+          size(col("cands")) <= maxBucketDocs)
+        .select(col("band"), col("band_bits"), col("cands")),
+      merged.where(col("_wasDropped") ||
+          size(col("cands")) > maxBucketDocs)
+        .select(col("band"), col("band_bits")),
+      metaRow)
   }
 
   /** Layout dispatch at the state-build boundary: explicit layouts run
@@ -3142,24 +3489,61 @@ object StreamingOps {
     mediaWindowScreenCore(windows, idx, maxDist, nBands, bandBits)
   }
 
-  /** Section-tagged union of index rows + the one layout meta row —
-    * the artifact shape both media-screen states share. The meta row
-    * also records the history snapshot's content identity
-    * ([[requireScreenStateHistoryCurrent]]) — a lazy aggregate over
-    * history, paid at the artifact's one materialization. */
+  /** Section-tagged union of index rows, hot-dropped bucket keys, and
+    * the one meta row (layout + hot bound + history checksum in
+    * `_meta`) — the artifact shape both media-screen states share,
+    * assembled identically by the full builds and the delta
+    * extensions so the two paths cannot drift. */
   private def screenStateOf(
-      idx: DataFrame, nBands: Int, bandBits: Int,
-      history: DataFrame, keyCols: Seq[String], payloadCol: String): DataFrame = {
+      idx: DataFrame, dropped: DataFrame, metaRow: DataFrame): DataFrame = {
+    val candsT = idx.schema("cands").dataType
     val indexRows = idx.select(lit("index").as("section"), col("band"),
       col("band_bits"), col("cands"), lit(null).cast("string").as("meta"))
-    val metaRow = historyMetaTailRow(history, keyCols, payloadCol)
-      .select(lit("meta").as("section"),
-        lit(null).cast("long").as("band"),
-        lit(null).cast("long").as("band_bits"),
-        lit(null).cast(idx.schema("cands").dataType).as("cands"),
-        concat(lit(s"nBands=$nBands;bandBits=$bandBits;"), col("_tail"))
-          .as("meta"))
-    indexRows.unionByName(metaRow)
+    val droppedRows = dropped.select(lit("dropped").as("section"),
+      col("band"), col("band_bits"), lit(null).cast(candsT).as("cands"),
+      lit(null).cast("string").as("meta"))
+    val meta = metaRow.select(lit("meta").as("section"),
+      lit(null).cast("long").as("band"),
+      lit(null).cast("long").as("band_bits"),
+      lit(null).cast(candsT).as("cands"),
+      col("_meta").as("meta"))
+    indexRows.unionByName(droppedRows).unionByName(meta)
+  }
+
+  /** [[mediaNearDupIndex]] WITHOUT the hot-bucket guard — the raw
+    * (band, band_bits) → candidate-array aggregation the state
+    * builders split into kept + dropped and the extensions build
+    * their delta buckets through (hot is decided on MERGED sizes). */
+  private def mediaBuckets(
+      historyHashes: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, 0)
+    val mask = (1L << bandBits) - 1
+    historyHashes
+      .select(col("asset_id").as("hid"), col("ahash").as("hh"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"),
+            shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
+              .as("band_bits"))): _*)).as("e"))
+      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
+      .agg(collect_list(struct(col("hid"), col("hh"))).as("cands"))
+  }
+
+  /** [[mediaWindowNearDupIndex]] WITHOUT the hot-bucket guard — the
+    * window-tier twin of [[mediaBuckets]] with window identity
+    * carried. */
+  private def mediaWindowBuckets(
+      historyWindows: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    graft.multimodal.Multimodal.requireBandLayout(nBands, bandBits, 0)
+    val mask = (1L << bandBits) - 1
+    historyWindows
+      .select(col("asset_id").as("mid"), col("window_id").as("mwid"),
+        col("ahash").as("hh"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b.toLong).as("band"),
+            shiftright(col("ahash"), bandBits * b).bitwiseAND(lit(mask))
+              .as("band_bits"))): _*)).as("e"))
+      .groupBy(col("e.band").as("band"), col("e.band_bits").as("band_bits"))
+      .agg(collect_list(struct(col("mid"), col("mwid"), col("hh"))).as("cands"))
   }
 
   /** Parse a media-screen state artifact: the index rows plus the

@@ -2141,6 +2141,321 @@ class StreamingSpec extends SparkSpec {
     }.getMessage should include("STALE screen state")
   }
 
+  test("extendIngestState: the delta fold is exactly equivalent to a rebuild on the union") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def splitsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc"),
+        when(col("doc") % 10 === 0, lit("val")).otherwise(lit("train"))
+          .as("split"))
+    // canonical view of an artifact: meta string, bloom bytes, fp set,
+    // per-bucket sorted candidate lists, dropped-key set — every
+    // section, order-free
+    def canon(st: org.apache.spark.sql.DataFrame) = {
+      val meta = st.where(col("section") === "meta")
+        .select(col("fp")).head().getString(0)
+      val bloom = st.where(col("section") === "bloom")
+        .select(col("bloom")).head().getAs[Array[Byte]](0).toSeq
+      val fps = st.where(col("section") === "fp")
+        .select(col("fp")).collect().map(_.getString(0)).toSet
+      val idx = st.where(col("section") === "index")
+        .select(col("band"), col("band_val"),
+          org.apache.spark.sql.functions.explode(col("cands")).as("c"))
+        .select(col("band"), col("band_val"), col("c.hd"), col("c.hsh"),
+          col("c.hsp"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getSeq[String](3).toList,
+            Option(r.getString(4)))))
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+      val dropped = st.where(col("section") === "dropped")
+        .select(col("band"), col("band_val")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      (meta, bloom, fps, idx, dropped)
+    }
+    def assertCanonEqual(
+        a: (String, Seq[Byte], Set[String],
+          Map[(Long, String), Seq[(Long, List[String], Option[String])]],
+          Set[(Long, String)]),
+        b: (String, Seq[Byte], Set[String],
+          Map[(Long, String), Seq[(Long, List[String], Option[String])]],
+          Set[(Long, String)])): Unit = {
+      withClue("meta:") { a._1 shouldBe b._1 }
+      withClue("bloom:") { a._2 shouldBe b._2 }
+      withClue("fps:") { a._3 shouldBe b._3 }
+      withClue("dropped:") { a._5 shouldBe b._5 }
+      withClue("index keys:") { a._4.keySet shouldBe b._4.keySet }
+      for (k <- a._4.keySet)
+        withClue(s"index bucket $k:") { a._4(k) shouldBe b._4(k) }
+    }
+    // ── real-corpus equivalence (parquet-roundtripped artifact) ──────
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("doc"), col("text").as("line"))
+    val h1 = docs.where(col("doc") < 40)
+    val h2 = docs.where(col("doc") >= 40 && col("doc") < 60)
+    val union = docs.where(col("doc") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("ingest_ext_spec").toString
+    StreamingOps.ingestState(h1, splitsOf(h1)).write.mode("overwrite").parquet(dir)
+    val extended = StreamingOps.extendIngestState(
+      spark.read.parquet(dir), h2, splitsOf(h2))
+    val fresh = StreamingOps.ingestState(union, splitsOf(union))
+    assertCanonEqual(canon(extended), canon(fresh))
+    // the freshness guard blesses the extension against the TRUE union
+    // and still rejects the superseded snapshot
+    StreamingOps.requireScreenStateHistoryCurrent(extended, union)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(extended, h1)
+    }.getMessage should include("STALE screen state")
+    // screen-output identity through both artifacts, with arrivals that
+    // genuinely hit the DELTA history (exact copies of h2 lines)
+    val arrivals = h2.where(col("doc") < 45)
+      .select((col("doc") + 9000L).as("doc"), col("line"))
+      .unionByName(Seq((9900L, "wholly novel arrival text")).toDF("doc", "line"))
+    val arrivalRows = arrivals.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    def runScreen(name: String, st: org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, String)]
+      val sq = StreamingOps.ingestScreenFromState(
+          input.toDF().toDF("doc", "line"), st)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(arrivalRows: _*)
+        sq.processAllAvailable()
+        StreamingSpec.this.spark.table(name).collect()
+          .map(r => (r.getAs[Long]("doc"), r.getAs[String]("stage"),
+            Option(r.getAs[java.lang.Long]("anchor")).map(_.longValue),
+            r.getAs[String]("split"))).toSet
+      } finally sq.stop()
+    }
+    val gotExt = runScreen("ingest_ext_screen", extended)
+    gotExt shouldBe runScreen("ingest_fresh_screen", fresh)
+    // the h2 copies are caught — only through the folded-in delta
+    gotExt.count(_._2 == "dropped_exact") shouldBe 5
+    // ── hot-bucket law under extension (crafted corpus, bound 2) ─────
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    def mk(ids: Seq[Long], text: String) = ids.map(i => (i, text)).toDF("doc", "line")
+    // textA hot at BUILD (3 > 2, dropped whole); textB kept (2)
+    val ch1 = mk(Seq(1L, 2L, 3L), tA).unionByName(mk(Seq(4L, 5L), tB))
+    // delta: textA delta-visible size 1 (a naive extension would
+    // resurrect the guarded bucket); textB crosses the bound on MERGE
+    val cd = mk(Seq(10L), tA).unionByName(mk(Seq(11L), tB))
+    val cUnion = ch1.unionByName(cd)
+    val cState = StreamingOps.ingestState(ch1, splitsOf(ch1), maxBucketSize = 2)
+    val cExt = StreamingOps.extendIngestState(cState, cd, splitsOf(cd))
+    val cFresh = StreamingOps.ingestState(cUnion, splitsOf(cUnion), maxBucketSize = 2)
+    assertCanonEqual(canon(cExt), canon(cFresh))
+    // both texts' buckets are dropped in the extension: textA stayed
+    // dropped despite the small delta, textB dropped on the merge
+    cExt.where(col("section") === "index").count() shouldBe 0L
+    cExt.where(col("section") === "dropped").count() should be >= 8L
+    // an artifact from before the dropped/maxBucketSize convention
+    // refuses to extend, naming the rebuild
+    val legacy = cState.where(col("section") =!= "meta").unionByName(
+      cState.where(col("section") === "meta")
+        .withColumn("fp", lit("n=3;numHashes=16;rowsPerBand=4")))
+    intercept[IllegalArgumentException] {
+      StreamingOps.extendIngestState(legacy, cd, splitsOf(cd))
+    }.getMessage should include("rebuild")
+  }
+
+  test("extendMediaScreenState (asset + window tiers): delta fold ≡ union rebuild") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def hashOf(i: Long) = (i * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)
+    def canon(st: org.apache.spark.sql.DataFrame) = {
+      val meta = st.where(col("section") === "meta")
+        .select(col("meta")).head().getString(0)
+      val idx = st.where(col("section") === "index")
+        .select(col("band"), col("band_bits"),
+          org.apache.spark.sql.functions.explode(col("cands")).as("c"))
+        .select(col("band"), col("band_bits"), col("c.hid"), col("c.hh"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val dropped = st.where(col("section") === "dropped")
+        .select(col("band"), col("band_bits")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (meta, idx, dropped)
+    }
+    // ── asset tier: real-ish spread hashes, parquet-roundtripped ─────
+    val h1 = (0L until 400L).map(i => (i, hashOf(i))).toDF("asset_id", "ahash")
+    val d = (400L until 600L).map(i => (i, hashOf(i))).toDF("asset_id", "ahash")
+    val union = (0L until 600L).map(i => (i, hashOf(i))).toDF("asset_id", "ahash")
+    val dir = java.nio.file.Files.createTempDirectory("media_ext_spec").toString
+    StreamingOps.mediaScreenState(h1).write.mode("overwrite").parquet(dir)
+    val ext = StreamingOps.extendMediaScreenState(spark.read.parquet(dir), d)
+    val fresh = StreamingOps.mediaScreenState(union)
+    canon(ext) shouldBe canon(fresh)
+    StreamingOps.requireScreenStateHistoryCurrent(ext, union)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(ext, h1)
+    }.getMessage should include("STALE screen state")
+    // arrivals that hit the DELTA history screen identically through
+    // the extension and the fresh rebuild
+    val arrivals = (450L until 455L).map(i => (i + 9000L, hashOf(i)))
+    def runScreen(name: String, st: org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, Long)]
+      val sq = StreamingOps.mediaNearDupScreenFromState(
+          input.toDF().toDF("asset_id", "ahash"), st, maxDist = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(arrivals: _*)
+        sq.processAllAvailable()
+        StreamingSpec.this.spark.table(name).collect()
+          .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("match_id"),
+            r.getAs[Long]("hamming"))).toSet
+      } finally sq.stop()
+    }
+    val gotExt = runScreen("media_ext_screen", ext)
+    gotExt shouldBe runScreen("media_ext_fresh", fresh)
+    gotExt.map(_._2) shouldBe (450L until 455L).toSet // delta matched
+    // ── hot-bucket law at bound 2 (the ingest-tier crafted corpus) ───
+    val hotH1 = (Seq((1L, 7L), (2L, 7L), (3L, 7L)) ++ Seq((4L, 9L), (5L, 9L)))
+      .map { case (i, h) => (i, hashOf(h)) }.toDF("asset_id", "ahash")
+    val hotD = Seq((10L, hashOf(7L)), (11L, hashOf(9L))).toDF("asset_id", "ahash")
+    val hotU = hotH1.unionByName(hotD)
+    val hotSt = StreamingOps.mediaScreenState(hotH1, maxBucketDocs = 2,
+      allowSaturated = true)
+    val hotExt = StreamingOps.extendMediaScreenState(hotSt, hotD)
+    val hotFresh = StreamingOps.mediaScreenState(hotU, maxBucketDocs = 2,
+      allowSaturated = true)
+    canon(hotExt) shouldBe canon(hotFresh)
+    hotExt.where(col("section") === "index").count() shouldBe 0L
+    // ── window tier shares the law ───────────────────────────────────
+    def winsOf(r: Range) =
+      r.map(i => (i.toLong / 4, i.toLong % 4, hashOf(i.toLong)))
+        .toDF("asset_id", "window_id", "ahash")
+    def canonW(st: org.apache.spark.sql.DataFrame) = {
+      val meta = st.where(col("section") === "meta")
+        .select(col("meta")).head().getString(0)
+      val idx = st.where(col("section") === "index")
+        .select(col("band"), col("band_bits"),
+          org.apache.spark.sql.functions.explode(col("cands")).as("c"))
+        .select(col("band"), col("band_bits"), col("c.mid"), col("c.mwid"),
+          col("c.hh"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      (meta, idx)
+    }
+    val wExt = StreamingOps.extendMediaWindowScreenState(
+      StreamingOps.mediaWindowScreenState(winsOf(0 until 400)),
+      winsOf(400 until 600))
+    canonW(wExt) shouldBe canonW(
+      StreamingOps.mediaWindowScreenState(winsOf(0 until 600)))
+    StreamingOps.requireScreenStateHistoryCurrent(wExt, winsOf(0 until 600))
+  }
+
+  test("extendEmbeddingIngestState: delta fold ≡ union rebuild, incl. the exact-anchor min law") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def canon(st: org.apache.spark.sql.DataFrame) = {
+      val meta = st.where(col("section") === "meta")
+        .select(col("meta")).head().getString(0)
+      val exact = st.where(col("section") === "index")
+        .select(col("hkey"),
+          org.apache.spark.sql.functions.explode(col("cands")).as("c"))
+        .select(col("hkey"), col("c.hemb"), col("c.hid"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getSeq[Double](1).toList, r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nd = st.where(col("section") === "ndindex")
+        .select(col("t"), col("bucket"),
+          org.apache.spark.sql.functions.explode(col("ndcands")).as("c"))
+        .select(col("t"), col("bucket"), col("c.hid"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val ndDropped = st.where(col("section") === "nddropped")
+        .select(col("t"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (meta, exact, nd, ndDropped)
+    }
+    // history 250..400; delta = 400.. plus a RE-KEYED copy of history
+    // vec 300 under the SMALLER id 50 — the merged exact anchor for
+    // that vector must drop from 300 to 50 (the min law)
+    val h1 = e.where(col("vec_id") >= 250 && col("vec_id") < 400)
+    val d = e.where(col("vec_id") >= 400).unionByName(
+      e.where(col("vec_id") === 300)
+        .select(lit(50L).as("vec_id"), col("embedding")))
+    val union = h1.unionByName(d)
+    val dir = java.nio.file.Files.createTempDirectory("emb_ext_spec").toString
+    StreamingOps.embeddingIngestState(h1).write.mode("overwrite").parquet(dir)
+    val ext = StreamingOps.extendEmbeddingIngestState(spark.read.parquet(dir), d)
+    val fresh = StreamingOps.embeddingIngestState(union)
+    canon(ext) shouldBe canon(fresh)
+    // the min law, asserted directly: vec 300's vector anchors at 50
+    val anchors = ext.where(col("section") === "index")
+      .select(org.apache.spark.sql.functions.explode(col("cands")).as("c"))
+      .select(col("c.hid")).collect().map(_.getLong(0)).toSet
+    anchors should contain(50L)
+    anchors should not contain 300L
+    StreamingOps.requireScreenStateHistoryCurrent(ext, union)
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireScreenStateHistoryCurrent(ext, h1)
+    }.getMessage should include("STALE screen state")
+    // screen-output identity, arrivals planting every stage
+    val bench = e.where(col("vec_id") < 5)
+    val arrivals = e.where(col("vec_id") >= 100 && col("vec_id") < 150)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(e.where(col("vec_id") >= 420 && col("vec_id") < 425)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")))
+    val arrivalRows = arrivals.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def runScreen(name: String, st: org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingOps.embeddingIngestScreenFromState(
+          input.toDF().toDF("vec_id", "embedding"), st, bench,
+          tau = 0.2, tauNearDup = 0.4)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(arrivalRows: _*)
+        sq.processAllAvailable()
+        StreamingSpec.this.spark.table(name).collect()
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("stage"),
+            Option(r.getAs[java.lang.Long]("anchor")).map(_.longValue))).toSet
+      } finally sq.stop()
+    }
+    val gotExt = runScreen("emb_ext_screen", ext)
+    gotExt shouldBe runScreen("emb_ext_fresh", fresh)
+    // the re-keyed delta copies are caught as exact dups — only
+    // possible through the folded-in delta history
+    gotExt.count { case (id, st2, _) => id >= 5000L && st2 == "dropped_exact" } shouldBe 5
+    // hot nd-bucket law at bound 2: three copies of one vector hot at
+    // build, a fourth arrives in the delta — stays dropped; a two-copy
+    // vector crosses the bound on merge — drops whole
+    val vA = Seq(1f, 2f, 3f, 4f)
+    val vB = Seq(-4f, 3f, -2f, 1f)
+    def mk(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val ch1 = mk(Seq((1L, vA), (2L, vA), (3L, vA), (4L, vB), (5L, vB)))
+    val cd = mk(Seq((10L, vA), (11L, vB)))
+    val cExt = StreamingOps.extendEmbeddingIngestState(
+      StreamingOps.embeddingIngestState(ch1, maxBucketSize = 2), cd)
+    val cFresh = StreamingOps.embeddingIngestState(
+      ch1.unionByName(cd), maxBucketSize = 2)
+    canon(cExt) shouldBe canon(cFresh)
+    cExt.where(col("section") === "ndindex").count() shouldBe 0L
+    // pre-convention artifacts refuse, naming the rebuild
+    val st0 = StreamingOps.embeddingIngestState(ch1)
+    val legacy = st0.where(col("section") =!= "meta").unionByName(
+      st0.where(col("section") === "meta")
+        .withColumn("meta", lit("bits=4;tables=4")))
+    intercept[IllegalArgumentException] {
+      StreamingOps.extendEmbeddingIngestState(legacy, cd)
+    }.getMessage should include("rebuild")
+  }
+
   test("media screen states resolve BandAuto at build and persist the chosen layout") {
     val s = spark
     import s.implicits._
