@@ -1361,11 +1361,22 @@ object StreamingOps {
       history: DataFrame,
       bits: Int = 4,
       tables: Int = 4,
-      maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket): DataFrame = {
+      maxBucketSize: Int = graft.operators.Similarity.MaxPairBucket,
+      allowSaturated: Boolean = false): DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     val idx = embeddingIngestIndex(history)
-    val buckets = embeddingNdBuckets(history, bits, tables)
+    // ONE persisted bucket aggregation feeds the saturation radar and
+    // the kept/dropped split (the tables×2^bits key space is TINY — 64
+    // buckets at the defaults — so duplication saturates it far sooner
+    // than the media tiers' 1,792 keys; the radar is not optional here)
+    val buckets = graft.Caching.persist(
+      embeddingNdBuckets(history, bits, tables))
+    requireUnsaturatedScreenBuckets(buckets, maxBucketSize, allowSaturated,
+      "embeddingIngestState",
+      "raise bits (deriveLshBits sizes the bucket space to the corpus) " +
+        "or scale the bound to the corpus's duplication " +
+        "(Multimodal.scaledGuardBound)")
     // the meta row also records the history snapshot's content identity
     // (requireScreenStateHistoryCurrent's comparison base) — a lazy
     // aggregate over history, paid at the artifact's materialization
@@ -1437,7 +1448,8 @@ object StreamingOps {
    * buckets), never O(history re-hash).
    */
   def extendEmbeddingIngestState(
-      state: DataFrame, deltaEmbs: DataFrame): DataFrame = {
+      state: DataFrame, deltaEmbs: DataFrame,
+      allowSaturated: Boolean = false): DataFrame = {
     val spark = state.sparkSession
     val builder = "embeddingIngestState"
     val params = artifactMeta(state, builder,
@@ -1469,7 +1481,7 @@ object StreamingOps {
       .select(col("t"), col("bucket"), col("ndcands").as("cands"))
     val oldNdDropped = state.where(col("section") === "nddropped")
       .select(col("t"), col("bucket"))
-    val mergedNd = oldNd
+    val mergedNd = graft.Caching.persist(oldNd
       .join(broadcast(deltaNd.withColumnRenamed("cands", "_dc")),
         Seq("t", "bucket"), "full_outer")
       .join(broadcast(oldNdDropped.withColumn("_wasDropped", lit(true))),
@@ -1478,7 +1490,12 @@ object StreamingOps {
         when(col("cands").isNull, col("_dc"))
           .when(col("_dc").isNull, col("cands"))
           .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
-        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
+        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped")))
+    requireUnsaturatedScreenBuckets(
+      mergedNd.where(!col("_wasDropped")), maxBucketSize, allowSaturated,
+      "extendEmbeddingIngestState",
+      "raise bits at the next full rebuild (deriveLshBits) or scale the " +
+        "bound to the corpus's duplication (Multimodal.scaledGuardBound)")
     val Array(nOld, sOld) = params("historyChecksum").split(':')
     val Array(nDelta, sDelta) =
       historyChecksumRow(deltaEmbs, Seq("vec_id"), "embedding")
@@ -1493,9 +1510,12 @@ object StreamingOps {
       mergedNd.where(!col("_wasDropped") &&
           size(col("cands")) <= maxBucketSize)
         .select(col("t"), col("bucket"), col("cands")),
-      mergedNd.where(col("_wasDropped") ||
-          size(col("cands")) > maxBucketSize)
-        .select(col("t"), col("bucket")),
+      // visible-over-bound ∪ EVERY previously-dropped key — an old
+      // dropped bucket with no delta members has no merged row, and
+      // losing its key would let a later extension resurrect it
+      mergedNd.where(size(col("cands")) > maxBucketSize)
+        .select(col("t"), col("bucket"))
+        .unionByName(oldNdDropped).distinct(),
       metaRow)
   }
 
@@ -2710,13 +2730,22 @@ object StreamingOps {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = graft.operators.Dedup.MaxPairBucket,
-      fpp: Double = 1e-4): DataFrame = {
+      fpp: Double = 1e-4,
+      allowSaturated: Boolean = false): DataFrame = {
     import graft.operators.Dedup
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive, got $maxBucketSize")
     val spark = historyDocs.sparkSession
-    val buckets = ingestBuckets(
-      historyDocs, historySplits, n, numHashes, rowsPerBand)
+    // ONE persisted bucket aggregation feeds the saturation radar and
+    // the (lazy) kept/dropped split — the shingle+minhash+band pass
+    // over history runs once per build (the media-tier single-persist
+    // convention; under Caching.scoped it releases with the action)
+    val buckets = graft.Caching.persist(ingestBuckets(
+      historyDocs, historySplits, n, numHashes, rowsPerBand))
+    requireUnsaturatedScreenBuckets(buckets, maxBucketSize, allowSaturated,
+      "ingestState",
+      "scale the bound to the corpus's duplication " +
+        "(Multimodal.scaledGuardBound) or exact-dedup history first")
     val idx = buckets.where(size(col("cands")) <= maxBucketSize)
     val dropped = buckets.where(size(col("cands")) > maxBucketSize)
       .select(col("band"), col("band_val"))
@@ -2732,6 +2761,40 @@ object StreamingOps {
           s"maxBucketSize=$maxBucketSize;fpp=$fpp;"),
         col("_tail")).as("_meta"))
     ingestStateAssembly(spark, idx, dropped, hfp, bloomBytes, metaRow)
+  }
+
+  /** SATURATION guard at the text/embedding state-build boundary —
+    * [[mediaScreenState]]'s `requireUnsaturatedState` generalized to
+    * any unguarded bucket aggregation: when the hot-bucket guard would
+    * drop more than [[graft.multimodal.Multimodal.SaturationFrac]] of
+    * the corpus's bucket-member rows, the packaged index is mostly
+    * blind and every stream serving from it silently misses most
+    * near-dup reuse — fail loudly at the moment the artifact is
+    * created, naming the measured mass and the fix. On extensions the
+    * radar reads VISIBLE mass only (buckets dropped at an earlier
+    * build hide their true size — an UNDER-estimate, so a trip here is
+    * definitive saturation; the build-time radar is authoritative). */
+  private def requireUnsaturatedScreenBuckets(
+      buckets: DataFrame,
+      maxBucketSize: Int,
+      allowSaturated: Boolean,
+      builder: String,
+      fix: String): Unit = {
+    if (allowSaturated) return
+    val r = buckets.agg(
+      coalesce(sum(size(col("cands"))), lit(0L)).as("t"),
+      coalesce(sum(when(size(col("cands")) > maxBucketSize,
+        size(col("cands"))).otherwise(lit(0L))), lit(0L)).as("s")).head()
+    val (total, skipped) = (r.getLong(0), r.getLong(1))
+    val frac = if (total == 0L) 0.0 else skipped.toDouble / total
+    require(frac <= graft.multimodal.Multimodal.SaturationFrac,
+      f"$builder is SATURATED (the hot-bucket guard would drop " +
+        f"$frac%.2f of bucket-member rows > " +
+        f"${graft.multimodal.Multimodal.SaturationFrac}, bound " +
+        s"$maxBucketSize): the packaged index would exclude most buckets " +
+        "whole and streams serving from it would silently miss most " +
+        s"near-dup reuse — $fix, or pass allowSaturated = true for a " +
+        "deliberately degraded build")
   }
 
   /** Assemble the ingest-screen artifact from its parts — shared by
@@ -2807,7 +2870,8 @@ object StreamingOps {
   def extendIngestState(
       state: DataFrame,
       deltaDocs: DataFrame,
-      deltaSplits: DataFrame): DataFrame = {
+      deltaSplits: DataFrame,
+      allowSaturated: Boolean = false): DataFrame = {
     import graft.operators.Dedup
     val spark = state.sparkSession
     val params = artifactMeta(state, "ingestState",
@@ -2837,12 +2901,24 @@ object StreamingOps {
           .when(col("_dc").isNull, col("cands"))
           .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
         coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
-    val kept = merged
+    val mergedP = graft.Caching.persist(merged)
+    requireUnsaturatedScreenBuckets(
+      mergedP.where(!col("_wasDropped")), maxBucketSize, allowSaturated,
+      "extendIngestState",
+      "scale the bound to the corpus's duplication " +
+        "(Multimodal.scaledGuardBound) or exact-dedup the delta first")
+    val kept = mergedP
       .where(!col("_wasDropped") && size(col("cands")) <= maxBucketSize)
       .select(col("band"), col("band_val"), col("cands"))
-    val droppedNow = merged
-      .where(col("_wasDropped") || size(col("cands")) > maxBucketSize)
+    // the new dropped set is (visible buckets over the bound) ∪ (every
+    // key the artifact already dropped) — the union, NOT the merged
+    // frame's _wasDropped rows alone: an old-dropped bucket with no
+    // delta members has no merged row at all, and losing its key would
+    // let a LATER extension resurrect its hidden hot mass
+    val droppedNow = mergedP
+      .where(size(col("cands")) > maxBucketSize)
       .select(col("band"), col("band_val"))
+      .unionByName(oldDropped).distinct()
     val fps = state.where(col("section") === "fp").select(col("fp"))
       .unionByName(deltaDocs.select(md5(col("line")).as("fp")))
       .distinct()
@@ -3339,21 +3415,25 @@ object StreamingOps {
    * contract applies verbatim).
    */
   def extendMediaScreenState(
-      state: DataFrame, deltaHashes: DataFrame): DataFrame =
+      state: DataFrame, deltaHashes: DataFrame,
+      allowSaturated: Boolean = false): DataFrame =
     extendMediaScreenStateCore(state, "mediaScreenState",
       (nb, bb) => mediaBuckets(
         deltaHashes.select(col("asset_id"), col("ahash")), nb, bb),
-      historyChecksumRow(deltaHashes, Seq("asset_id"), "ahash"))
+      historyChecksumRow(deltaHashes, Seq("asset_id"), "ahash"),
+      allowSaturated)
 
   /** [[extendMediaScreenState]] for the WINDOW tier — same law over
     * (asset_id, window_id, ahash) window rows. */
   def extendMediaWindowScreenState(
-      state: DataFrame, deltaWindows: DataFrame): DataFrame =
+      state: DataFrame, deltaWindows: DataFrame,
+      allowSaturated: Boolean = false): DataFrame =
     extendMediaScreenStateCore(state, "mediaWindowScreenState",
       (nb, bb) => mediaWindowBuckets(
         deltaWindows.select(col("asset_id"), col("window_id"), col("ahash")),
         nb, bb),
-      historyChecksumRow(deltaWindows, Seq("asset_id", "window_id"), "ahash"))
+      historyChecksumRow(deltaWindows, Seq("asset_id", "window_id"), "ahash"),
+      allowSaturated)
 
   /** The shared delta fold behind both media-tier extensions: merge
     * the delta's UNGUARDED buckets onto the artifact's arrays via a
@@ -3364,7 +3444,8 @@ object StreamingOps {
       state: DataFrame,
       builder: String,
       deltaBucketsAt: (Int, Int) => DataFrame,
-      deltaChecksumRow: DataFrame): DataFrame = {
+      deltaChecksumRow: DataFrame,
+      allowSaturated: Boolean): DataFrame = {
     val spark = state.sparkSession
     val params = artifactMeta(state, builder,
       required = Seq("nBands", "bandBits", "maxBucketDocs",
@@ -3377,7 +3458,7 @@ object StreamingOps {
       .select(col("band"), col("band_bits"), col("cands"))
     val oldDropped = state.where(col("section") === "dropped")
       .select(col("band"), col("band_bits"))
-    val merged = oldIdx
+    val merged = graft.Caching.persist(oldIdx
       .join(broadcast(deltaBuckets.withColumnRenamed("cands", "_dc")),
         Seq("band", "band_bits"), "full_outer")
       .join(broadcast(oldDropped.withColumn("_wasDropped", lit(true))),
@@ -3386,7 +3467,13 @@ object StreamingOps {
         when(col("cands").isNull, col("_dc"))
           .when(col("_dc").isNull, col("cands"))
           .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
-        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
+        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped")))
+    requireUnsaturatedScreenBuckets(
+      merged.where(!col("_wasDropped")), maxBucketDocs, allowSaturated,
+      s"extend${builder.capitalize}",
+      "widen the band layout at the next full rebuild (BandAuto) or " +
+        "scale the bound to the corpus's duplication " +
+        "(Multimodal.scaledGuardBound)")
     val Array(nOld, sOld) = params("historyChecksum").split(':')
     val Array(nDelta, sDelta) =
       deltaChecksumRow.head().getString(0).split(':')
@@ -3400,9 +3487,12 @@ object StreamingOps {
       merged.where(!col("_wasDropped") &&
           size(col("cands")) <= maxBucketDocs)
         .select(col("band"), col("band_bits"), col("cands")),
-      merged.where(col("_wasDropped") ||
-          size(col("cands")) > maxBucketDocs)
-        .select(col("band"), col("band_bits")),
+      // visible-over-bound ∪ EVERY previously-dropped key — an old
+      // dropped bucket with no delta members has no merged row, and
+      // losing its key would let a later extension resurrect it
+      merged.where(size(col("cands")) > maxBucketDocs)
+        .select(col("band"), col("band_bits"))
+        .unionByName(oldDropped).distinct(),
       metaRow)
   }
 

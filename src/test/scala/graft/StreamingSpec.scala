@@ -2244,14 +2244,33 @@ class StreamingSpec extends SparkSpec {
     // resurrect the guarded bucket); textB crosses the bound on MERGE
     val cd = mk(Seq(10L), tA).unionByName(mk(Seq(11L), tB))
     val cUnion = ch1.unionByName(cd)
-    val cState = StreamingOps.ingestState(ch1, splitsOf(ch1), maxBucketSize = 2)
-    val cExt = StreamingOps.extendIngestState(cState, cd, splitsOf(cd))
-    val cFresh = StreamingOps.ingestState(cUnion, splitsOf(cUnion), maxBucketSize = 2)
+    // the crafted corpus is DELIBERATELY saturated at bound 2 — the
+    // build radar (round 12) fails loudly without the explicit opt-in
+    intercept[IllegalArgumentException] {
+      StreamingOps.ingestState(ch1, splitsOf(ch1), maxBucketSize = 2)
+    }.getMessage should include("SATURATED")
+    val cState = StreamingOps.ingestState(ch1, splitsOf(ch1),
+      maxBucketSize = 2, allowSaturated = true)
+    val cExt = StreamingOps.extendIngestState(cState, cd, splitsOf(cd),
+      allowSaturated = true)
+    val cFresh = StreamingOps.ingestState(cUnion, splitsOf(cUnion),
+      maxBucketSize = 2, allowSaturated = true)
     assertCanonEqual(canon(cExt), canon(cFresh))
     // both texts' buckets are dropped in the extension: textA stayed
     // dropped despite the small delta, textB dropped on the merge
     cExt.where(col("section") === "index").count() shouldBe 0L
     cExt.where(col("section") === "dropped").count() should be >= 8L
+    // a SECOND extension whose delta never touches the hot buckets
+    // keeps every dropped key (an old-dropped bucket with no delta
+    // members has no merged row — its key must survive the fold)
+    val cd2 = mk(Seq(20L), "totally unrelated fresh text here")
+    val cExt2 = StreamingOps.extendIngestState(cExt, cd2, splitsOf(cd2),
+      allowSaturated = true)
+    val cFresh2 = StreamingOps.ingestState(
+      cUnion.unionByName(cd2), splitsOf(cUnion.unionByName(cd2)),
+      maxBucketSize = 2, allowSaturated = true)
+    assertCanonEqual(canon(cExt2), canon(cFresh2))
+    cExt2.where(col("section") === "dropped").count() should be >= 8L
     // an artifact from before the dropped/maxBucketSize convention
     // refuses to extend, naming the rebuild
     val legacy = cState.where(col("section") =!= "meta").unionByName(
@@ -2322,11 +2341,23 @@ class StreamingSpec extends SparkSpec {
     val hotU = hotH1.unionByName(hotD)
     val hotSt = StreamingOps.mediaScreenState(hotH1, maxBucketDocs = 2,
       allowSaturated = true)
-    val hotExt = StreamingOps.extendMediaScreenState(hotSt, hotD)
+    // the extension's radar reads the merged visible mass — saturated
+    // here by construction, so it needs the same opt-in as the build
+    intercept[IllegalArgumentException] {
+      StreamingOps.extendMediaScreenState(hotSt, hotD)
+    }.getMessage should include("SATURATED")
+    val hotExt = StreamingOps.extendMediaScreenState(hotSt, hotD,
+      allowSaturated = true)
     val hotFresh = StreamingOps.mediaScreenState(hotU, maxBucketDocs = 2,
       allowSaturated = true)
     canon(hotExt) shouldBe canon(hotFresh)
     hotExt.where(col("section") === "index").count() shouldBe 0L
+    // dropped keys survive a delta that never touches the hot buckets
+    val hotD2 = Seq((20L, hashOf(12345L))).toDF("asset_id", "ahash")
+    val hotExt2 = StreamingOps.extendMediaScreenState(hotExt, hotD2,
+      allowSaturated = true)
+    canon(hotExt2) shouldBe canon(StreamingOps.mediaScreenState(
+      hotU.unionByName(hotD2), maxBucketDocs = 2, allowSaturated = true))
     // ── window tier shares the law ───────────────────────────────────
     def winsOf(r: Range) =
       r.map(i => (i.toLong / 4, i.toLong % 4, hashOf(i.toLong)))
@@ -2440,12 +2471,26 @@ class StreamingSpec extends SparkSpec {
     def mk(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
     val ch1 = mk(Seq((1L, vA), (2L, vA), (3L, vA), (4L, vB), (5L, vB)))
     val cd = mk(Seq((10L, vA), (11L, vB)))
+    // the crafted corpus saturates the 64-bucket default space at
+    // bound 2 — the round-12 radar fails the build loudly first
+    intercept[IllegalArgumentException] {
+      StreamingOps.embeddingIngestState(ch1, maxBucketSize = 2)
+    }.getMessage should include("SATURATED")
     val cExt = StreamingOps.extendEmbeddingIngestState(
-      StreamingOps.embeddingIngestState(ch1, maxBucketSize = 2), cd)
+      StreamingOps.embeddingIngestState(ch1, maxBucketSize = 2,
+        allowSaturated = true),
+      cd, allowSaturated = true)
     val cFresh = StreamingOps.embeddingIngestState(
-      ch1.unionByName(cd), maxBucketSize = 2)
+      ch1.unionByName(cd), maxBucketSize = 2, allowSaturated = true)
     canon(cExt) shouldBe canon(cFresh)
     cExt.where(col("section") === "ndindex").count() shouldBe 0L
+    // dropped keys survive a delta that never touches the hot buckets
+    val vC = Seq(0.5f, -0.5f, 0.25f, -0.25f)
+    val cExt2 = StreamingOps.extendEmbeddingIngestState(
+      cExt, mk(Seq((30L, vC))), allowSaturated = true)
+    canon(cExt2) shouldBe canon(StreamingOps.embeddingIngestState(
+      ch1.unionByName(cd).unionByName(mk(Seq((30L, vC)))),
+      maxBucketSize = 2, allowSaturated = true))
     // pre-convention artifacts refuse, naming the rebuild
     val st0 = StreamingOps.embeddingIngestState(ch1)
     val legacy = st0.where(col("section") =!= "meta").unionByName(
