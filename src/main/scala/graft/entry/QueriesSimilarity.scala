@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 import graft.multimodal.Multimodal
 import graft.operators.{Clustering, Dedup, Events, HotKeys, Layout, Rank, Search, Similarity, TfIdf}
+import graft.streaming.StreamingOps
 import graft.entry.EntryShared._
 
 /** Per-domain slice of the driver-contract query/oracle maps:
@@ -535,6 +536,121 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // ADC+REFINE recall contract (the r12 verdict's #3): the filtered
+    // IVF-ADC tier's recall@10 (q229b's 0.3–0.5 floor) NEXT TO the
+    // refined tier's at the SAME probe budget — the ADC top-50 (5×k)
+    // re-ranked by true cosine from the probed cells. Both recalls
+    // against the exact float top-10 over the filtered slice; the
+    // refined column existing to sit strictly above the adc one is
+    // asserted in SimilaritySpec, the oracle pins the numbers.
+    "q229c_ivfpq_refined_recall" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.cosineTopK(e.where(col("label") === 1), q, k = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      def hitsOf(approx: DataFrame, name: String): DataFrame =
+        approx.select(col("q_vec_id"), col("n_vec_id"))
+          .join(exact, Seq("q_vec_id", "n_vec_id"), "left_semi")
+          .groupBy(col("q_vec_id")).agg(count(lit(1)).as(name))
+      val adc = Similarity.ivfPqTopKFiltered(e, q, col("label") === 1,
+        kTop = 10)
+      val refined = Similarity.ivfPqTopKFilteredRefined(e, q,
+        col("label") === 1, kTop = 10, refineFactor = 5)
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hitsOf(adc, "_ha"), Seq("q_vec_id"), "left_outer")
+        .join(hitsOf(refined, "_hr"), Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"),
+          round(coalesce(col("_ha"), lit(0L)) / lit(10.0), 6).as("recall_adc"),
+          round(coalesce(col("_hr"), lit(0L)) / lit(10.0), 6)
+            .as("recall_refined"))
+        .orderBy(col("q_vec_id"))
+    }),
+
+
+    // HAMMING serve tier (the 42× rung, r12 verdict #1): build the
+    // index, package the binary serve state (sign bits per live row,
+    // cells + centroids + snapshot coordinates), probe it with the
+    // row-local serving screen at nProbe = 2. Oracle = the IVF
+    // cell-pruning CTEs composed with q135's sign-bit hamming chain.
+    "q230_hamming_serve" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_hamm_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      val st = StreamingOps.annServeHammingState(s, idx, bits = 48)
+      StreamingOps.annSearchStreamHamming(e.where(col("vec_id") < 5), st,
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // Hamming-serve recall CONTRACT: what the cell pruning costs the
+    // binary tier — recall@10 of the probed-cell serve against the
+    // FLAT hammingTopK over the same corpus (quantization cost is
+    // q135b's contract; this isolates the pruning term, so the two
+    // compose).
+    "q230b_hamming_serve_recall" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_hammb_")
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      val st = StreamingOps.annServeHammingState(s, idx, bits = 48)
+      val approx = StreamingOps.annSearchStreamHamming(q, st,
+          k = 10, nProbe = 2)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val flat = Similarity.hammingTopK(e, q, k = 10, bits = 48)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(flat, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
+
+    // INT8-SDC serve tier (the 4× rung): byte codes + correction stats
+    // per live row packaged per cell; the serving screen quantizes the
+    // query row-locally with the SHARED int8Coded expressions and
+    // replays the q171 score tree. Oracle = q171's SDC CTEs restricted
+    // to the probed cells.
+    "q231_int8_serve" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_int8_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      val st = StreamingOps.annServeInt8State(s, idx)
+      StreamingOps.annSearchStreamInt8(e.where(col("vec_id") < 5), st,
+          kTop = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // Int8-serve recall CONTRACT: the pruning term for the 4× rung —
+    // recall@10 of the probed-cell serve against the FLAT int8SdcTopK
+    // (quantization cost is q171b's contract).
+    "q231b_int8_serve_recall" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_int8b_")
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      val st = StreamingOps.annServeInt8State(s, idx)
+      val approx = StreamingOps.annSearchStreamInt8(q, st,
+          kTop = 10, nProbe = 2)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val flat = Similarity.int8SdcTopK(e, q, kTop = 10)
+        .select(col("q_vec_id"), col("n_vec_id"))
+      val hits = approx.join(flat, Seq("q_vec_id", "n_vec_id"), "left_semi")
+        .groupBy(col("q_vec_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("q_vec_id"))
+        .join(hits, Seq("q_vec_id"), "left_outer")
+        .select(col("q_vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits") / lit(10.0), 6))
+        .orderBy(col("q_vec_id"))
+    }),
+
+
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
     // between PQ (q99) and sign bits (q135).
@@ -783,6 +899,42 @@ private[graft] object QueriesSimilarity {
        |  JOIN lut l ON l.q_vec_id = p.q_vec_id AND l.s = cd.s AND l.j = cd.j
        |  WHERE p.q_vec_id <> cd.vec_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The IVF cell machinery as CTEs over an existing `e` —
+    * (unfiltered) assign + the vec_id < 5 probes at nProbe = 2, the
+    * q26 definitions verbatim; shared by the serve-tier oracles
+    * (q230/q231 families). */
+  private def ivfCellCtes: String =
+    """n2 AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+      |       FROM e),
+      |c2 AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
+      |       FROM n2 WHERE vec_id % 100 = 0),
+      |assign AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT n2.vec_id, c2.cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY n2.vec_id
+      |             ORDER BY list_dot_product(n2.emb, c2.c_emb) /
+      |               (n2.nrm * c2.c_nrm) DESC, c2.cent_id) AS rn
+      |    FROM n2 CROSS JOIN c2) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
+      |    SELECT n2.vec_id, c2.cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY n2.vec_id
+      |             ORDER BY list_dot_product(n2.emb, c2.c_emb) /
+      |               (n2.nrm * c2.c_nrm) DESC, c2.cent_id) AS rn
+      |    FROM n2 CROSS JOIN c2 WHERE n2.vec_id < 5) WHERE rn <= 2)""".stripMargin
+
+  /** q135's 48-bit sign-signature CTE over an existing `e` — ends
+    * with `sig` = (vec_id, sg). */
+  private def hammingSigCte: String =
+    s"""sig AS (
+       |  SELECT vec_id,
+       |         list_sum(list_transform(range(0, 48), h ->
+       |           CASE WHEN ${duckSignDot("h", "emb")} > 0
+       |                THEN (1::BIGINT << h::INTEGER) ELSE 0::BIGINT END)) AS sg
+       |  FROM e)""".stripMargin
 
   val sql: Map[String, String] = Map(
 
@@ -1447,6 +1599,172 @@ private[graft] object QueriesSimilarity {
         |       0::BIGINT AS generation_before, 0::BIGINT AS generation_after,
         |       FALSE AS serve_state_stale
         |FROM embeddings""".stripMargin,
+
+
+    // ADC + refine recall contract: both recall columns replayed from
+    // the shared filtered IVF-ADC chain — the ADC top-10 and the
+    // ADC-top-50 re-ranked by true cosine, each hit-counted against
+    // the exact float top-10 over the filtered slice.
+    "q229c_ivfpq_refined_recall" ->
+      s"""WITH $ivfPqFilteredCtes,
+         |a10 AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |        ORDER BY adc DESC, n_vec_id) AS rnk
+         |    FROM adcp) WHERE rnk <= 10),
+         |r50 AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |        ORDER BY adc DESC, n_vec_id) AS rnk
+         |    FROM adcp) WHERE rnk <= 50),
+         |ref AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT r.q_vec_id, r.n_vec_id,
+         |           row_number() OVER (PARTITION BY r.q_vec_id ORDER BY
+         |             round(list_dot_product(qn.emb, cn.emb) /
+         |                   (qn.nrm * cn.nrm), 6) DESC, r.n_vec_id) AS rnk
+         |    FROM r50 r
+         |    JOIN n qn ON qn.vec_id = r.q_vec_id
+         |    JOIN n cn ON cn.vec_id = r.n_vec_id)
+         |  WHERE rnk <= 10),
+         |exact AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, x.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |             round(list_dot_product(q.emb, x.emb) /
+         |                   (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rnk
+         |    FROM (SELECT * FROM n WHERE vec_id < 5) q
+         |    JOIN (SELECT * FROM n WHERE label = 1) x
+         |      ON q.vec_id <> x.vec_id)
+         |  WHERE rnk <= 10),
+         |ha AS (
+         |  SELECT a.q_vec_id, count(*) AS nh
+         |  FROM a10 a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1),
+         |hr AS (
+         |  SELECT a.q_vec_id, count(*) AS nh
+         |  FROM ref a JOIN exact x
+         |    ON a.q_vec_id = x.q_vec_id AND a.n_vec_id = x.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       round(coalesce(ha.nh, 0) / 10.0, 6) AS recall_adc,
+         |       round(coalesce(hr.nh, 0) / 10.0, 6) AS recall_refined
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN ha ON v.vec_id = ha.q_vec_id
+         |LEFT JOIN hr ON v.vec_id = hr.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
+
+
+    // Hamming serve: the IVF cell pruning composed with q135's
+    // sign-bit hamming — candidates from the two probed cells only,
+    // XOR + bit_count, ascending rank with id tie-break.
+    "q230_hamming_serve" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |$ivfCellCtes,
+         |$hammingSigCte,
+         |scored AS (
+         |  SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+         |         bit_count(xor(qs.sg, cs.sg))::BIGINT AS hamming
+         |  FROM probes p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_vec_id
+         |  JOIN sig qs ON qs.vec_id = p.q_vec_id
+         |  JOIN sig cs ON cs.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |      ORDER BY hamming, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, hamming, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Hamming-serve recall: the probed-cell top-10 vs the flat q135
+    // ranking — the pruning term in isolation.
+    "q230b_hamming_serve_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |$ivfCellCtes,
+         |$hammingSigCte,
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY p.q_vec_id
+         |             ORDER BY bit_count(xor(qs.sg, cs.sg)), a.vec_id) AS rnk
+         |    FROM probes p
+         |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_vec_id
+         |    JOIN sig qs ON qs.vec_id = p.q_vec_id
+         |    JOIN sig cs ON cs.vec_id = a.vec_id)
+         |  WHERE rnk <= 10),
+         |flat AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q.vec_id AS q_vec_id, c.vec_id AS n_vec_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY bit_count(xor(q.sg, c.sg)), c.vec_id) AS rnk
+         |    FROM (SELECT * FROM sig WHERE vec_id < 5) q
+         |    JOIN sig c ON q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN flat f
+         |    ON a.q_vec_id = f.q_vec_id AND a.n_vec_id = f.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
+
+
+    // Int8 serve: q171's SDC chain restricted to the probed cells —
+    // same score tree, same NULLS LAST + id ordering.
+    "q231_int8_serve" ->
+      s"""WITH $int8Ctes,
+         |$ivfCellCtes,
+         |scored AS (
+         |  SELECT s.q_vec_id, s.n_vec_id, s.cos_sdc
+         |  FROM sdc s
+         |  JOIN assign a ON a.vec_id = s.n_vec_id
+         |  JOIN probes p ON p.cell = a.cell AND p.q_vec_id = s.q_vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |      ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, cos_sdc, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Int8-serve recall: probed-cell SDC top-10 vs the flat q171
+    // ranking.
+    "q231b_int8_serve_recall" ->
+      s"""WITH $int8Ctes,
+         |$ivfCellCtes,
+         |approx AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT s.q_vec_id, s.n_vec_id,
+         |           row_number() OVER (PARTITION BY s.q_vec_id
+         |             ORDER BY s.cos_sdc DESC NULLS LAST, s.n_vec_id) AS rnk
+         |    FROM sdc s
+         |    JOIN assign a ON a.vec_id = s.n_vec_id
+         |    JOIN probes p ON p.cell = a.cell AND p.q_vec_id = s.q_vec_id)
+         |  WHERE rnk <= 10),
+         |flat AS (
+         |  SELECT q_vec_id, n_vec_id FROM (
+         |    SELECT q_vec_id, n_vec_id,
+         |           row_number() OVER (PARTITION BY q_vec_id
+         |             ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
+         |    FROM sdc)
+         |  WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT a.q_vec_id, count(*) AS n_hits
+         |  FROM approx a JOIN flat f
+         |    ON a.q_vec_id = f.q_vec_id AND a.n_vec_id = f.n_vec_id
+         |  GROUP BY 1)
+         |SELECT v.vec_id AS q_vec_id,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |       round(coalesce(n_hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id < 5) v
+         |LEFT JOIN hits ON v.vec_id = hits.q_vec_id
+         |ORDER BY q_vec_id""".stripMargin,
 
 
     // Int8 SDC mirror: byte-code quantization + the expanded-cosine

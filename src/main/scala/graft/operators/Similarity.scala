@@ -119,8 +119,14 @@ object Similarity {
    * expressions — map-only, deterministic, engine-portable (explicit
    * +0.5-then-floor instead of engine-specific rounding modes).
    */
-  def quantizeInt8(corpus: DataFrame): DataFrame =
-    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+  def quantizeInt8(corpus: DataFrame): DataFrame = int8Quantized(corpus, Nil)
+
+  /** [[quantizeInt8]] with pass-through columns carried beside the
+    * codes (the serve-state builder needs `cell`) — the SAME affine
+    * expressions, one definition. */
+  private def int8Quantized(corpus: DataFrame, carry: Seq[String]): DataFrame =
+    corpus.select(col("vec_id") +: asDouble(col("embedding")).as("emb") +:
+        carry.map(col): _*)
       .withColumn("minv", array_min(col("emb")))
       .withColumn("scale", (array_max(col("emb")) - col("minv")) / lit(255.0))
       .withColumn("q",
@@ -128,6 +134,25 @@ object Similarity {
           .otherwise(transform(col("emb"), x =>
             least(greatest(floor((x - col("minv")) / col("scale") + lit(0.5)),
               lit(0.0)), lit(255.0)).cast("int"))))
+
+  /** The per-vector int8 candidate stats [[int8SdcTopK]] scores from —
+    * codes plus (min, scale, d, Σq, Σq²) under a `p`-prefixed naming —
+    * shared with the serve-state builder and the streaming serve twin
+    * so the three paths quantize identically by construction. Pure
+    * column expressions: runs on batch and streaming frames alike. */
+  private[graft] def int8Coded(
+      df: DataFrame, p: String, carry: Seq[String] = Nil): DataFrame =
+    int8Quantized(df, carry).select(
+      Seq(
+        col("vec_id").as(p + "vec_id"),
+        col("q").as(p + "q"),
+        col("minv").as(p + "min"),
+        col("scale").as(p + "s"),
+        size(col("q")).cast("long").as(p + "d"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long"))
+          .as(p + "sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + (x * x).cast("long"))
+          .as(p + "qq")) ++ carry.map(col): _*)
 
   /** Reconstruction of a quantized vector: x̂_i = min + q_i·scale. */
   def dequantizeInt8(quantized: DataFrame): DataFrame =
@@ -165,17 +190,7 @@ object Similarity {
       queries: DataFrame,
       kTop: Int = 10): DataFrame = {
     require(kTop >= 1, s"kTop must be >= 1, got $kTop")
-    def coded(df: DataFrame, p: String): DataFrame =
-      quantizeInt8(df).select(
-        col("vec_id").as(p + "vec_id"),
-        col("q").as(p + "q"),
-        col("minv").as(p + "min"),
-        col("scale").as(p + "s"),
-        size(col("q")).cast("long").as(p + "d"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long"))
-          .as(p + "sum"),
-        aggregate(col("q"), lit(0L), (a, x) => a + (x * x).cast("long"))
-          .as(p + "qq"))
+    def coded(df: DataFrame, p: String): DataFrame = int8Coded(df, p)
     def normSq(p: String): Column =
       col(p + "min") * col(p + "min") * col(p + "d") +
         lit(2.0) * col(p + "min") * col(p + "s") * col(p + "sum") +
@@ -519,34 +534,139 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame,
       path: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
     val (dir, tombsAt) = resolvedIndex(spark, path)
-    // RE-INSERT GUARD (tombstones are id-keyed): an appended row whose
-    // id is currently tombstoned would land in the lists and STILL be
-    // anti-joined away by every probe — a silently invisible live row,
-    // and a later compaction would physically drop it while clearing
-    // the tombstone. Loud beats silent: re-inserting a deleted id needs
-    // the delete folded first (compactAnnIndex) so the tombstone set no
-    // longer names it. The check probes the delta against the
-    // broadcast tombstone set and stops at the first clash.
-    if (pathExists(spark, tombsAt)) {
-      val clash = delta.select(col("vec_id"))
-        .join(broadcast(spark.read.parquet(tombsAt).distinct()),
-          Seq("vec_id"), "left_semi").limit(1).collect()
-      require(clash.isEmpty,
-        s"appendAnnIndex: vec_id ${clash.head.getLong(0)} is " +
-          "pending-tombstoned — a row appended under a tombstoned id is " +
-          "invisible to every search and would be physically dropped by " +
-          "the next compaction; run compactAnnIndex(path) to fold the " +
-          "pending deletes before re-inserting the id")
-    }
-    // metadata layout is a property of the INDEX, not the call: derive
-    // the stored meta columns from the persisted schema so appends can
-    // never silently drop (or add) columns the build chose
+    requireNoTombstoneClash(spark, delta, tombsAt, "appendAnnIndex")
+    assignedDelta(spark, delta, path, dir)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** RE-INSERT GUARD (tombstones are id-keyed): an appended row whose
+    * id is currently tombstoned would land in the lists and STILL be
+    * anti-joined away by every probe — a silently invisible live row,
+    * and a later compaction would physically drop it while clearing
+    * the tombstone. Loud beats silent: re-inserting a deleted id needs
+    * the delete folded first (compactAnnIndex) so the tombstone set no
+    * longer names it. The check probes the delta against the
+    * broadcast tombstone set and stops at the first clash. */
+  private def requireNoTombstoneClash(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      tombsAt: String,
+      op: String): Unit = {
+    if (!pathExists(spark, tombsAt)) return
+    val clash = delta.select(col("vec_id"))
+      .join(broadcast(spark.read.parquet(tombsAt).distinct()),
+        Seq("vec_id"), "left_semi").limit(1).collect()
+    require(clash.isEmpty,
+      s"$op: vec_id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
+        "pending-tombstoned — a row appended under a tombstoned id is " +
+        "invisible to every search and would be physically dropped by " +
+        "the next compaction; run compactAnnIndex(path) to fold the " +
+        "pending deletes before re-inserting the id")
+  }
+
+  /** The delta's cell assignments under the index's FROZEN centroids
+    * and PERSISTED metadata layout — shared by [[appendAnnIndex]] and
+    * [[appendAnnIndexIdempotent]]. Metadata layout is a property of
+    * the INDEX, not the call: the stored meta columns derive from the
+    * persisted schema so appends can never silently drop (or add)
+    * columns the build chose. */
+  private def assignedDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String,
+      dir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
     val metaCols = spark.read.parquet(dir).columns.toSeq
       .filterNot(Set("vec_id", "emb", "nrm", "cell"))
     ivfAssign(normed(delta, metaCols), cents, metaCols)
-      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /**
+   * IDEMPOTENT, batch-keyed [[appendAnnIndex]] — the sink-side append
+   * for at-least-once runtimes (Structured Streaming's `foreachBatch`
+   * replays a failed batch with the SAME id and rows, and a crashed
+   * append may have landed any prefix of its files). Replay safety is
+   * STRUCTURAL, not marker-trust:
+   *
+   *  1. an `applied` marker short-circuits a replay of a batch that
+   *     fully committed (the common case — no work re-done);
+   *  2. without the marker, every cell file whose name carries this
+   *     batch's key prefix is REMOVED first (a crashed attempt's
+   *     partial landing — names are deterministic, so the sweep finds
+   *     exactly its own litter);
+   *  3. the delta is staged to a batch-scoped `_`-prefixed directory
+   *     (invisible to every parquet reader; `overwrite` makes the
+   *     stage itself idempotent), then each staged file is RENAMED
+   *     into its cell directory under the batch-key prefix — per-file
+   *     atomic moves, no partial file is ever visible;
+   *  4. the marker is created LAST; a crash anywhere re-runs safely.
+   *
+   * A compaction racing this append moves the committed generation;
+   * the final generation check fails LOUDLY naming the recovery
+   * (re-run the batch — it lands in the new generation), the
+   * compaction-side mirror of [[compactAnnIndexWithHook]]'s
+   * cell-file-count guard. Cost: O(delta) plus one cell-dir listing —
+   * the same metadata class as the parquet commit protocol itself.
+   */
+  def appendAnnIndexIdempotent(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String,
+      batchKey: String): Unit = {
+    require(batchKey.nonEmpty && batchKey.matches("[A-Za-z0-9][A-Za-z0-9_-]*"),
+      s"batchKey must be a non-hidden file-name-safe token, got '$batchKey'")
+    val fs = hadoopFs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_ingest_applied/$batchKey")
+    if (fs.exists(marker)) return
+    val genBefore = committedGeneration(spark, path)
+    val (dir, tombsAt) = resolvedIndex(spark, path)
+    // sweep a crashed attempt's partial landing: exactly the files
+    // this batch's prefix names, nothing else
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith(s"${batchKey}_"))
+        require(fs.delete(f.getPath, false),
+          s"could not remove crashed-append litter ${f.getPath}")
+    }
+    requireNoTombstoneClash(spark, delta, tombsAt, "appendAnnIndexIdempotent")
+    val staging = s"$path/_ingest_staging_$batchKey"
+    assignedDelta(spark, delta, path, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // per-file atomic renames under the batch-key prefix
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    fs.listStatus(stagingPath).filter(_.isDirectory).foreach { cellDir =>
+      val destDir = new org.apache.hadoop.fs.Path(dir, cellDir.getPath.getName)
+      if (!fs.exists(destDir))
+        require(fs.mkdirs(destDir), s"could not create cell dir $destDir")
+      fs.listStatus(cellDir.getPath)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .foreach { f =>
+          val dest = new org.apache.hadoop.fs.Path(destDir,
+            s"${batchKey}_${f.getPath.getName}")
+          require(fs.rename(f.getPath, dest),
+            s"could not move staged append file ${f.getPath} to $dest")
+        }
+    }
+    require(fs.delete(stagingPath, true),
+      s"could not remove append staging dir $staging")
+    val genAfter = committedGeneration(spark, path)
+    if (genAfter != genBefore)
+      throw new IllegalStateException(
+        s"appendAnnIndexIdempotent($path, $batchKey): a compaction raced " +
+          s"this append (generation $genBefore -> $genAfter) — the batch's " +
+          "files landed in the superseded generation, which probes no " +
+          "longer read; re-run the batch (it is replay-safe and will land " +
+          "in the new generation)")
+    if (!fs.exists(marker.getParent))
+      require(fs.mkdirs(marker.getParent),
+        s"could not create marker dir ${marker.getParent}")
+    require(fs.createNewFile(marker),
+      s"could not create applied marker $marker")
   }
 
   /**
@@ -711,10 +831,15 @@ object Similarity {
     // tombstone would be retired next cycle without ever being folded
     // (a deleted row silently resurrects) and appended files would
     // miss the new generation (an appended row silently vanishes).
-    // Capture the superseded generation's distinct-tombstone count and
-    // cell-file count now; re-read after the marker and reconcile.
-    val preTombs = spark.read.parquet(tombstonesPath(path, cur))
-      .distinct().count()
+    // Capture the superseded generation's tombstone FILE LIST (so the
+    // post-commit diff can read exactly the late files and carry only
+    // the late ids) and its cell-file count now; re-read after the
+    // marker and reconcile. NOTE the reconciliation below NARROWS the
+    // race window to [post-read, retirement] but does not close it —
+    // a delete/append whose parquet write lands after the post-commit
+    // re-reads is still lost; maintenance ops that need a hard
+    // guarantee must serialize deletes/appends against compactions.
+    val preTombFiles = listParquetFiles(fs, tombstonesPath(path, cur))
     val preFiles = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(generationDir(path, cur))).getFileCount
     val live = spark.read.parquet(generationDir(path, cur))
@@ -749,18 +874,28 @@ object Similarity {
         new org.apache.hadoop.fs.Path(s"$path/COMMIT_v$next")),
       s"could not commit generation $next of $path (marker exists?)")
     // POST-COMMIT drift reconciliation against the pre-snapshot
-    // coordinates. Late DELETES (tombstone count moved): carry the
-    // superseded generation's whole tombstone set forward into
-    // tombstones_g{next} — re-folding an already-folded id is an
-    // idempotent anti-join no-op, so the copy costs nothing and the
-    // late tombstone is honored by every probe of the new generation
-    // and physically folded by the next compaction. Runs before the
-    // append check so a doubly-raced call loses neither.
-    val postTombs = spark.read.parquet(tombstonesPath(path, cur))
-      .distinct().count()
-    if (postTombs != preTombs)
-      spark.read.parquet(tombstonesPath(path, cur)).distinct()
-        .write.mode("append").parquet(tombstonesPath(path, next))
+    // coordinates. Late DELETES (new tombstone files appeared): carry
+    // ONLY the late ids forward into tombstones_g{next} — the late
+    // files anti-joined against the folded (pre-snapshot) set, NOT the
+    // whole superseded set: copying already-folded ids would make
+    // appendAnnIndex's re-insert guard and buildAnnIndex's reuse guard
+    // refuse ids that were legitimately deleted-and-folded (the q226
+    // delete→compact→re-insert contract) and would perturb the
+    // n_tombstones serve coordinate for ids no probe needs to fold.
+    // Runs before the append check so a doubly-raced call loses
+    // neither. File-list diff, so a racing duplicate delete of an
+    // already-folded id correctly carries nothing.
+    val postTombFiles = listParquetFiles(fs, tombstonesPath(path, cur))
+    val lateTombFiles = postTombFiles.filterNot(preTombFiles.toSet)
+    if (lateTombFiles.nonEmpty) {
+      val late = spark.read.parquet(lateTombFiles: _*).distinct()
+      val carried =
+        if (preTombFiles.isEmpty) late
+        else late.join(
+          broadcast(spark.read.parquet(preTombFiles: _*).distinct()),
+          Seq("vec_id"), "left_anti")
+      carried.write.mode("append").parquet(tombstonesPath(path, next))
+    }
     // Late APPENDS (cell-file count moved): the appended files sit in
     // the superseded generation only — every probe of the committed
     // generation misses them. They cannot be folded forward here (the
@@ -1063,6 +1198,25 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         coalesce(sum(col("_t")), lit(0L)).as("n_tombstoned"))
       .withColumn("n_live", col("n_vecs") - col("n_tombstoned"))
+  }
+
+  /** Absolute paths of the data files under `dir` (empty when the dir
+    * does not exist), hidden/marker entries excluded — the explicit
+    * snapshot [[compactAnnIndexWithHook]]'s late-delete reconciliation
+    * diffs, so the post-commit pass reads exactly the late files. */
+  private def listParquetFiles(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        out += f.getPath.toString
+    }
+    out.toSeq.sorted
   }
 
   private def hadoopFs(
@@ -1569,33 +1723,108 @@ object Similarity {
       m: Int,
       subDim: Int,
       k: Int,
-      pqStride: Int): DataFrame = {
+      pqStride: Int,
+      refineFactor: Int = 0): DataFrame = {
     val cb = pqCodebook(corpus, m, subDim, k, pqStride)
     val n = normed(corpus)
     val cents = ivfCentroids(n, stride)
     val cand = filter.map(f => normed(corpus.where(f))).getOrElse(n)
-    val coded = ivfAssign(cand, cents)
-      .select(col("vec_id").as("n_vec_id"), col("cell"),
-        pqCodesCol(col("emb"), cb, subDim).as("codes"))
+    // the refine stage re-ranks against float vectors FROM THE PROBED
+    // CELLS, so the candidate side carries (emb, nrm) alongside the
+    // codes — still only nProbe/k_cells of the corpus crosses the
+    // probe join, and the pure-ADC path (refineFactor = 0) prunes the
+    // floats from the scan via column pruning
+    val assign = ivfAssign(cand, cents)
+    val coded = assign
+      .select(Seq(col("vec_id").as("n_vec_id"), col("cell"),
+        pqCodesCol(col("emb"), cb, subDim).as("codes")) ++
+          (if (refineFactor > 0) Seq(col("emb"), col("nrm")) else Nil): _*)
     val lut = array((0 until m).map { s =>
       val qSub = slice(col("q_emb"), s * subDim + 1, subDim)
       array(cb(s).indices.map(j => dotProduct(qSub, typedLit(cb(s)(j).toSeq))): _*)
     }: _*)
     val probes = ivfProbes(queries, cents, nProbe)
       .withColumn("lut", lut)
-      .select(col("q_vec_id"), col("cell"), col("lut"))
+      .select(Seq(col("q_vec_id"), col("cell"), col("lut")) ++
+        (if (refineFactor > 0) Seq(col("q_emb"), col("q_nrm")) else Nil): _*)
     val adc = (0 until m).map { s =>
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + lit(1))
     }.reduce(_ + _)
     val w = Window.partitionBy(col("q_vec_id"))
       .orderBy(col("adc").desc, col("n_vec_id"))
-    coded.join(broadcast(probes), Seq("cell"))
+    val scored = coded.join(broadcast(probes), Seq("cell"))
       .where(col("q_vec_id") =!= col("n_vec_id"))
       .withColumn("adc", round(adc, 6))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= kTop)
-      .select(col("q_vec_id"), col("n_vec_id"), col("adc"), col("rank"))
+    if (refineFactor <= 0)
+      scored.where(col("rank") <= kTop)
+        .select(col("q_vec_id"), col("n_vec_id"), col("adc"), col("rank"))
+    else {
+      // ADC+REFINE (IVF-ADC-R, Jégou et al. TPAMI 2011 §V): keep the
+      // ADC top-R (R = refineFactor·kTop), then re-rank those R rows
+      // by TRUE cosine — floats are touched for R rows per query, so
+      // the lift over pure ADC costs R exact dot products, not a scan
+      val wr = Window.partitionBy(col("q_vec_id"))
+        .orderBy(col("cos").desc, col("n_vec_id"))
+      scored.where(col("rank") <= refineFactor.toLong * kTop)
+        .withColumn("cos", round(
+          dot(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 6))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= kTop)
+        .select(col("q_vec_id"), col("n_vec_id"), col("cos"), col("rank"))
+    }
+  }
+
+  /**
+   * ADC+REFINE IVF-PQ top-k — the standard recall lift over
+   * [[ivfPqTopK]] (IVF-ADC-R): the compressed-domain scan keeps its
+   * top R = `refineFactor`·kTop per query, and ONLY those R rows are
+   * re-ranked by exact float cosine (vectors read from the probed
+   * cells — never a corpus scan). Same probe budget as the pure-ADC
+   * tier; the recall lift is pinned by the q229c contract rather than
+   * trusted. Returns (q_vec_id, n_vec_id, cos, rank) — the refined
+   * score is the TRUE cosine, so downstream thresholds mean what they
+   * say.
+   */
+  def ivfPqTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kTop: Int = 10,
+      refineFactor: Int = 5,
+      stride: Int = 100,
+      nProbe: Int = 2,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      pqStride: Int = PqStride): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    ivfPqTopKImpl(corpus, queries, None, kTop, stride, nProbe,
+      m, subDim, k, pqStride, refineFactor)
+  }
+
+  /** [[ivfPqTopKRefined]] under a metadata predicate — the predicate
+    * prunes the candidate side BEFORE the ADC scan and therefore
+    * before the refine (quantizers stay frozen full-corpus, the
+    * two-stage q229 contract); the refine then lifts the filtered
+    * tier's recall (q229b measured 0.3–0.5 at ~10% selectivity — the
+    * honest floor this operator exists to raise; q229c records the
+    * lift). */
+  def ivfPqTopKFilteredRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      filter: Column,
+      kTop: Int = 10,
+      refineFactor: Int = 5,
+      stride: Int = 100,
+      nProbe: Int = 2,
+      m: Int = PqM,
+      subDim: Int = PqSubDim,
+      k: Int = PqK,
+      pqStride: Int = PqStride): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    ivfPqTopKImpl(corpus, queries, Some(filter), kTop, stride, nProbe,
+      m, subDim, k, pqStride, refineFactor)
   }
 
   /**

@@ -1446,6 +1446,14 @@ object StreamingOps {
    * artifact content and screen-output identity); the disjoint-delta
    * contract applies verbatim. Cost: O(delta hashing + touched
    * buckets), never O(history re-hash).
+   *
+   * SMALL-DELTA ASSUMPTION: the fold BROADCASTS the delta-side buckets
+   * and index (untouched artifact rows stream through unshuffled —
+   * the point of the O(delta) shape), so a delta must fit the
+   * broadcast/driver-memory budget. A backfill-sized delta belongs in
+   * a full rebuild (`embeddingIngestState(history ∪ delta)`), whose
+   * shuffle plan is built for corpus-scale input; every `extend*`
+   * operator in this file shares the contract.
    */
   def extendEmbeddingIngestState(
       state: DataFrame, deltaEmbs: DataFrame,
@@ -1687,7 +1695,16 @@ object StreamingOps {
       path: String,
       filter: Option[Column] = None): DataFrame = {
     val (cellsAt, tombsAt) = graft.operators.Similarity.resolvedIndex(spark, path)
-    val rawCells = spark.read.parquet(cellsAt)
+    // capture the file list FIRST and read the cells from that explicit
+    // list: a concurrent append landing between a directory-scoped read
+    // and the listing would record files in the artifact's files
+    // section that the arrays never read — a later refresh would then
+    // permanently omit those rows while the freshness guard passes.
+    // With the capture-first order the files section exactly matches
+    // what the arrays contain (a racing append reads as DRIFT, the
+    // loud outcome).
+    val files = listDataFiles(spark, cellsAt)
+    val rawCells = readCellFiles(spark, cellsAt, files)
       .where(filter.getOrElse(lit(true)))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
@@ -1704,38 +1721,53 @@ object StreamingOps {
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
     serveStateAssembly(spark, cellRows, centsRow,
       s"filtered=${if (filter.isDefined) 1 else 0};" +
-        serveSnapshotMeta(spark, path),
-      listDataFiles(spark, cellsAt))
+        serveSnapshotMeta(spark, path, Some(files)),
+      files)
   }
 
-  /** Assemble the float serve artifact from its parts — shared by
-    * [[annServeState]] (full build) and [[refreshAnnServeState]]
-    * (delta patch), so the two paths cannot drift in shape. */
+  /** Read index rows from an EXPLICIT relative-path file list (the
+    * capture-first discipline every serve build and refresh shares);
+    * `basePath` keeps the `cell` partition column. */
+  private def readCellFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      cellsAt: String,
+      files: Seq[String]): DataFrame =
+    spark.read.option("basePath", cellsAt)
+      .parquet(files.map(f => s"$cellsAt/$f"): _*)
+
+  /** Assemble a serve artifact from its parts — shared by the full
+    * builds ([[annServeState]] / [[annServeHammingState]] /
+    * [[annServeInt8State]]) and [[refreshAnnServeState]] (delta
+    * patch), so the two paths cannot drift in shape. `candsName` is
+    * the tier's candidate-column name — DISTINCT per tier (`cands` /
+    * `h_cands` / `i_cands` / `pq_cands`) so a mis-paired artifact
+    * fails the serve entry point's schema guard by name. */
   private def serveStateAssembly(
       spark: org.apache.spark.sql.SparkSession,
       cellRows: DataFrame,
       centsRow: DataFrame,
       metaStr: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String],
+      candsName: String = "cands"): DataFrame = {
     import spark.implicits._
-    val candsT = cellRows.schema("cands").dataType
+    val candsT = cellRows.schema(candsName).dataType
     val centsT = centsRow.schema("cents").dataType
     cellRows.select(
-        lit("cells").as("section"), col("cell"), col("cands"),
+        lit("cells").as("section"), col("cell"), col(candsName),
         lit(null).cast(centsT).as("cents"),
         lit(null).cast("string").as("meta"))
       .unionByName(centsRow.select(
         lit("cents").as("section"), lit(null).cast("long").as("cell"),
-        lit(null).cast(candsT).as("cands"), col("cents"),
+        lit(null).cast(candsT).as(candsName), col("cents"),
         lit(null).cast("string").as("meta")))
       .unionByName(spark.range(1).select(
         lit("meta").as("section"), lit(null).cast("long").as("cell"),
-        lit(null).cast(candsT).as("cands"),
+        lit(null).cast(candsT).as(candsName),
         lit(null).cast(centsT).as("cents"),
         lit(metaStr).as("meta")))
       .unionByName(files.toDF("_f").select(
         lit("files").as("section"), lit(null).cast("long").as("cell"),
-        lit(null).cast(candsT).as("cands"),
+        lit(null).cast(candsT).as(candsName),
         lit(null).cast(centsT).as("cents"),
         col("_f").as("meta")))
   }
@@ -1762,9 +1794,21 @@ object StreamingOps {
 
   /** The snapshot coordinates a serve artifact records at build:
     * the index's committed generation and its DISTINCT pending-delete
-    * count (distinct so a retried delete does not fake drift). */
+    * count (distinct so a retried delete does not fake drift).
+    *
+    * @param cellFiles the DATA-file list the builder already captured
+    *        (and will read its cell arrays from) — pass it so the
+    *        recorded `n_cell_files` counts exactly the files the
+    *        arrays contain: a concurrent append landing between the
+    *        capture and a second FS walk would otherwise stamp a
+    *        count the arrays never read, and both the freshness guard
+    *        AND a later refresh would silently trust it. The "now"
+    *        side ([[requireServeStateCurrent]]) omits it and lists
+    *        fresh — the same data-file measure, current state. */
   private def serveSnapshotMeta(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cellFiles: Option[Seq[String]] = None): String = {
     import graft.operators.Similarity
     val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
@@ -1773,10 +1817,11 @@ object StreamingOps {
       if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
         spark.read.parquet(tombsAt).distinct().count()
       else 0L
-    // cell FILE count moves on every append (appends never rewrite,
-    // they add files), so appended-but-unserved rows are drift too
-    val nCellFiles =
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(cellsAt)).getFileCount
+    // cell DATA-file count moves on every append (appends never
+    // rewrite, they add files), so appended-but-unserved rows are
+    // drift too; counted over the same hidden-excluded listing the
+    // files section records, so the two can never disagree
+    val nCellFiles = cellFiles.getOrElse(listDataFiles(spark, cellsAt)).size
     s"generation=${Similarity.committedGeneration(spark, path)};" +
       s"n_tombstones=$nTombs;n_cell_files=$nCellFiles"
   }
@@ -1834,6 +1879,18 @@ object StreamingOps {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"$builder artifact meta key $key=${params(key)} is not an " +
           s"integer — was this frame built by $builder?")
+    }
+
+  /** [[metaInt]] for double-valued meta parameters — a corrupted
+    * value fails naming the artifact and key, not with a bare
+    * NumberFormatException. */
+  private def metaDouble(
+      params: Map[String, String], key: String, builder: String): Double =
+    try params(key).toDouble
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$builder artifact meta key $key=${params(key)} is not a " +
+          s"number — was this frame built by $builder?")
     }
 
   /** ONE-ROW order-free content identity of a history snapshot —
@@ -1920,15 +1977,18 @@ object StreamingOps {
    * Call at stream start (and on a redeploy cadence): compares the
    * artifact's recorded (generation, distinct-tombstone-count) against
    * the index's CURRENT coordinates and fails loudly on drift naming
-   * the fix — rebuild the serve state. Works for [[annServeState]] and
-   * [[annServePqState]] artifacts alike (both record the coordinates).
+   * the fix — rebuild the serve state. Works for every serve tier —
+   * [[annServeState]], [[annServePqState]], [[annServeHammingState]],
+   * [[annServeInt8State]] — all four record the coordinates.
    */
   def requireServeStateCurrent(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       state: DataFrame): Unit = {
     val keys = Seq("generation", "n_tombstones", "n_cell_files")
-    val params = artifactMeta(state, "annServeState / annServePqState",
+    val params = artifactMeta(state,
+      "annServeState / annServePqState / annServeHammingState / " +
+        "annServeInt8State",
       required = keys)
     val now = serveSnapshotMeta(spark, path).split(';')
       .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
@@ -1941,53 +2001,79 @@ object StreamingOps {
         "from the current index")
   }
 
+  /** Serve-tier dispatch by candidate-column schema: (tier, builder,
+    * candsName). Every serve artifact names its tier through a
+    * DISTINCT candidate column, so the lifecycle operators
+    * ([[refreshAnnServeState]], [[maintainAnnIndexServing]]) resolve
+    * the builder from the frame itself instead of trusting a caller
+    * tag. */
+  private def serveTierOf(state: DataFrame): (String, String, String) = {
+    val cols = state.columns.toSet
+    if (cols("pq_cands")) ("pq", "annServePqState", "pq_cands")
+    else if (cols("h_cands")) ("hamming", "annServeHammingState", "h_cands")
+    else if (cols("i_cands")) ("int8", "annServeInt8State", "i_cands")
+    else if (cols("cands")) ("float", "annServeState", "cands")
+    else throw new IllegalArgumentException(
+      "not a serve artifact: the frame carries none of cands / pq_cands " +
+        "/ h_cands / i_cands — was it built by annServeState / " +
+        "annServePqState / annServeHammingState / annServeInt8State?")
+  }
+
   /**
-   * O(delta) REFRESH of a float serve artifact after [[graft.operators
-   * .Similarity.appendAnnIndex]] — the incremental bookend the serve
-   * tier was missing: append is delta-proportional, but rebuilding the
-   * serve state re-read and re-grouped EVERY cell file. This patch
-   * instead diffs the index's current data files against the file set
-   * the artifact recorded at build (`section = "files"`), reads ONLY
-   * the new files (the appended rows — `basePath` keeps the cell
-   * partition column), and concatenates their per-cell candidate
-   * arrays onto the existing rows via a broadcast full-outer join on
-   * cell — untouched cells stream through unshuffled. Cost:
-   * O(artifact + delta), never O(index re-scan + re-group).
+   * O(delta) REFRESH of a serve artifact after [[graft.operators
+   * .Similarity.appendAnnIndex]] — the incremental bookend of the
+   * serve tier: append is delta-proportional, but rebuilding a serve
+   * state re-read and re-grouped EVERY cell file. This patch instead
+   * diffs the index's current data files against the file set the
+   * artifact recorded at build (`section = "files"`), reads ONLY the
+   * new files (the appended rows — `basePath` keeps the cell
+   * partition column), encodes them in the ARTIFACT'S OWN tier —
+   * resolved from the frame itself ([[serveTierOf]]): float vectors
+   * verbatim, PQ codes through the artifact's FROZEN codebook section
+   * (the q229 frozen-quantizer contract: appends never re-derive the
+   * second-stage quantizer), Hamming sign bits at the meta row's
+   * `bits`, int8 stats via the shared `int8Coded` expressions — and
+   * concatenates the delta's per-cell candidate arrays onto the
+   * existing rows via a broadcast full-outer join on cell: untouched
+   * cells stream through unshuffled. Cost: O(artifact + delta), never
+   * O(index re-scan + re-group).
    *
-   * STRICTLY append-only by loud guards (everything else needs
-   * [[annServeState]]):
+   * STRICTLY append-only by loud guards (everything else needs a full
+   * rebuild with the artifact's builder):
    *  - a FILTERED artifact refuses (the predicate Column is not
    *    serializable into the artifact, so the patch cannot re-apply it
    *    to the new rows);
    *  - a generation or tombstone drift refuses (a compaction re-keys
    *    the file universe; a delete must fold OUT of the arrays, not
    *    concat in);
+   *  - a PQ delta carrying a row at a CODEBOOK SEED position refuses —
+   *    a from-scratch rebuild over the grown index would derive a
+   *    different codebook, so the frozen-codebook patch would diverge
+   *    from the rebuild contract;
    *  - an artifact from before the files-section convention refuses.
    * The returned frame is a CURRENT artifact (fresh snapshot
    * coordinates + file list) — [[requireServeStateCurrent]] passes on
-   * it, and [[annSearchStream]] over it is row-identical to a
-   * from-scratch [[annServeState]] (StreamingSpec pins both).
+   * it, and the tier's serving screen over it is row-identical to a
+   * from-scratch build (StreamingSpec pins float and PQ end-to-end).
    */
   def refreshAnnServeState(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       state: DataFrame): DataFrame = {
     import graft.operators.Similarity
-    // float artifacts only: a PQ artifact cannot be patched — appended
-    // rows can land NEW codebook seeds (the vec_id seed rule), so its
-    // codes are not append-stable; rebuild with annServePqState
-    require(state.columns.contains("cands"),
-      "refreshAnnServeState patches FLOAT annServeState artifacts; this " +
-        "frame has no cands column — a PQ artifact's codes are not " +
-        "append-stable (appends can add codebook seeds); rebuild with " +
-        "annServePqState")
-    val params = artifactMeta(state, "annServeState",
-      required = Seq("filtered", "generation", "n_tombstones", "n_cell_files"))
-    require(params("filtered") == "0",
+    val (tier, builder, candsName) = serveTierOf(state)
+    val tierKeys = tier match {
+      case "pq" => Seq("filtered", "m", "subDim", "k", "pqStride")
+      case "hamming" => Seq("bits")
+      case "float" => Seq("filtered")
+      case _ => Nil
+    }
+    val params = artifactMeta(state, builder,
+      required = tierKeys ++ Seq("generation", "n_tombstones", "n_cell_files"))
+    require(params.getOrElse("filtered", "0") == "0",
       "refreshAnnServeState: this artifact baked a metadata filter into " +
         "its snapshot — the predicate cannot be re-applied to appended " +
-        "rows from the artifact alone; rebuild with " +
-        "annServeState(path, filter)")
+        s"rows from the artifact alone; rebuild with $builder(path, filter)")
     val now = serveSnapshotMeta(spark, path).split(';')
       .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
     require(params("generation") == now("generation") &&
@@ -1998,13 +2084,13 @@ object StreamingOps {
         s"generation=${now("generation")}, " +
         s"n_tombstones=${now("n_tombstones")} — a delete or compaction " +
         "cannot be patched in (tombstones fold OUT of the arrays); " +
-        "rebuild with annServeState")
+        s"rebuild with $builder")
     val recorded = state.where(col("section") === "files")
       .select(col("meta")).collect().map(_.getString(0)).toSet
     require(recorded.nonEmpty,
       "refreshAnnServeState: this artifact predates the files-section " +
-        "convention (no section = \"files\" rows) — rebuild it once with " +
-        "annServeState to enable incremental refresh")
+        s"convention (no section = \"files\" rows) — rebuild it once with " +
+        s"$builder to enable incremental refresh")
     val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
     val current = listDataFiles(spark, cellsAt)
     val vanished = recorded -- current.toSet
@@ -2012,17 +2098,37 @@ object StreamingOps {
       s"refreshAnnServeState: ${vanished.size} file(s) the artifact read " +
         s"are GONE from $cellsAt (e.g. ${vanished.head}) despite an " +
         "unchanged generation — the layout was mutated outside the " +
-        "lifecycle operators; rebuild with annServeState")
+        s"lifecycle operators; rebuild with $builder")
     val newFiles = current.filterNot(recorded)
     val oldCells = state.where(col("section") === "cells")
-      .select(col("cell"), col("cands"))
+      .select(col("cell"), col(candsName))
     val centsRow = state.where(col("section") === "cents").select(col("cents"))
-    val metaStr = "filtered=0;" + serveSnapshotMeta(spark, path)
-    if (newFiles.isEmpty)
-      return serveStateAssembly(spark, oldCells, centsRow, metaStr, current)
-    val fresh = spark.read.option("basePath", cellsAt)
-      .parquet(newFiles.map(f => s"$cellsAt/$f"): _*)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
+    // the PQ codebook travels IN the artifact — the frozen quantizer
+    // the delta rows are encoded with (KB-scale bounded collect)
+    lazy val cb: Array[Array[Array[Double]]] = {
+      val cbRows = state.where(col("section") === "codebook")
+        .select(col("codebook")).collect()
+      require(cbRows.length == 1,
+        "annServePqState artifact must carry exactly one codebook row")
+      cbRows(0).getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+        .map(_.map(_.toArray).toArray).toArray
+    }
+    val metaPrefix = tier match {
+      case "pq" => s"filtered=0;m=${params("m")};subDim=${params("subDim")};" +
+        s"k=${params("k")};pqStride=${params("pqStride")};"
+      case "hamming" => s"bits=${params("bits")};"
+      case "float" => "filtered=0;"
+      case _ => ""
+    }
+    val metaStr = metaPrefix + serveSnapshotMeta(spark, path, Some(current))
+    def assembled(cells: DataFrame): DataFrame = tier match {
+      case "pq" => pqServeAssembly(spark, cells, centsRow, cb, metaStr, current)
+      case _ => serveStateAssembly(spark, cells, centsRow, metaStr, current,
+        candsName = candsName)
+    }
+    if (newFiles.isEmpty) return assembled(oldCells)
+    val fresh = readCellFiles(spark, cellsAt, newFiles)
+      .withColumn("cell", col("cell").cast("long"))
     // appendAnnIndex refuses tombstoned ids and the coordinates above
     // pin the set unchanged, so new rows are clean by construction; the
     // anti-join is defense in depth at O(delta) cost
@@ -2033,20 +2139,164 @@ object StreamingOps {
         fresh.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
       else fresh
-    val deltaCells = freshLive.groupBy(col("cell"))
-      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
-        .as("_dcands"))
+    // tier-specific delta encoding — each matches its builder's
+    // candidate struct field-for-field (the assembly shares the code,
+    // so a drift would fail the unionByName, not ship)
+    val deltaCells = (tier match {
+      case "float" => freshLive.select(col("cell"),
+        struct(col("vec_id"), col("emb"), col("nrm")).as("_c"))
+      case "pq" =>
+        val k = metaInt(params, "k", builder)
+        val pqStride = metaInt(params, "pqStride", builder)
+        val subDim = metaInt(params, "subDim", builder)
+        val seedClash = freshLive
+          .where(pmod(col("vec_id"), lit(pqStride)) === 0 &&
+            col("vec_id") < k.toLong * pqStride)
+          .select(col("vec_id")).limit(1).collect()
+        require(seedClash.isEmpty,
+          s"refreshAnnServeState: appended vec_id " +
+            s"${seedClash.headOption.map(_.getLong(0)).getOrElse(-1L)} sits " +
+            s"at a PQ codebook seed position (vec_id ≡ 0 mod $pqStride, " +
+            s"< ${k.toLong * pqStride}) — a from-scratch annServePqState " +
+            "over the grown index would derive a DIFFERENT codebook, so " +
+            "patching with the artifact's frozen codebook would diverge " +
+            "from the rebuild contract; rebuild with annServePqState")
+        freshLive.select(col("cell"),
+          struct(col("vec_id").as("n_vec_id"),
+            Similarity.pqCodesCol(col("emb"), cb, subDim).as("codes")).as("_c"))
+      case "hamming" =>
+        val bits = metaInt(params, "bits", builder)
+        freshLive.select(col("cell"),
+          struct(col("vec_id").as("n_vec_id"),
+            Similarity.lshBucketCol(col("emb"), bits).as("sig")).as("_c"))
+      case _ => Similarity.int8Coded(
+          freshLive.select(col("vec_id"), col("emb").as("embedding"),
+            col("cell")), "n_", carry = Seq("cell"))
+        .select(col("cell"), struct(
+          col("n_vec_id"), col("n_q").as("q"), col("n_min").as("minv"),
+          col("n_s").as("scale"), col("n_d").as("d"), col("n_sum").as("sum"),
+          col("n_qq").as("qq")).as("_c"))
+    }).groupBy(col("cell")).agg(collect_list(col("_c")).as("_dcands"))
     // broadcast the delta side: untouched cell rows pass through the
     // join unshuffled; a cell whose first-ever member arrives in the
     // delta (a previously-empty inverted list) enters via full_outer
     val merged = oldCells
       .join(broadcast(deltaCells), Seq("cell"), "full_outer")
       .select(col("cell"),
-        when(col("cands").isNull, col("_dcands"))
-          .when(col("_dcands").isNull, col("cands"))
-          .otherwise(concat(col("cands"), col("_dcands"))).as("cands"))
-    serveStateAssembly(spark, merged, centsRow, metaStr, current)
+        when(col(candsName).isNull, col("_dcands"))
+          .when(col("_dcands").isNull, col(candsName))
+          .otherwise(concat(col(candsName), col("_dcands"))).as(candsName))
+    assembled(merged)
   }
+
+  /**
+   * ONE-CALL maintenance WITH serve-artifact repair — the composition
+   * [[graft.operators.Similarity.maintainAnnIndex]]'s
+   * `serve_state_stale` flag left as caller prose: run the measure →
+   * compact → vacuum loop, then bring the SUPPLIED serve artifact back
+   * to CURRENT by whichever repair its drift class admits —
+   *  - coordinates unchanged → `none` (the artifact passes through);
+   *  - append-only drift (same generation, same tombstones, more cell
+   *    files) → `refreshed`, the O(delta) [[refreshAnnServeState]];
+   *  - anything else (a delete landed, or this very call compacted) →
+   *    `rebuilt`, a from-scratch build with the artifact's OWN builder
+   *    and parameters (tier and m/subDim/k/pqStride/bits all resolve
+   *    from the frame — the caller repeats nothing).
+   * A FILTERED artifact refuses upfront: its predicate is not
+   * serializable, so no automatic repair can reproduce it — rebuild it
+   * manually with the original filter.
+   *
+   * Returns (report, artifact): the report is [[graft.operators
+   * .Similarity.maintainAnnIndex]]'s row plus a `serve_action` column
+   * (`none` / `refreshed` / `rebuilt`); the artifact ALWAYS passes
+   * [[requireServeStateCurrent]] on return (SimilaritySpec pins all
+   * three drift classes). q228/q228b keep the base report's oracle —
+   * this wrapper adds a column, it never changes the index decisions.
+   */
+  def maintainAnnIndexServing(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      serveState: DataFrame,
+      maxDebtFrac: Double = 0.2,
+      reclaimRetained: Boolean = false): (DataFrame, DataFrame) = {
+    import graft.operators.Similarity
+    val (tier, builder, _) = serveTierOf(serveState)
+    val tierKeys = tier match {
+      case "pq" => Seq("filtered", "m", "subDim", "k", "pqStride")
+      case "hamming" => Seq("bits")
+      case "float" => Seq("filtered")
+      case _ => Nil
+    }
+    val params = artifactMeta(serveState, builder,
+      required = tierKeys ++ Seq("generation", "n_tombstones", "n_cell_files"))
+    require(params.getOrElse("filtered", "0") == "0",
+      "maintainAnnIndexServing: this artifact baked a metadata filter " +
+        "into its snapshot — the predicate is not serializable, so no " +
+        "automatic repair can reproduce it; maintain the index with " +
+        s"maintainAnnIndex and rebuild the artifact manually with " +
+        s"$builder(path, filter)")
+    val report = Similarity.maintainAnnIndex(
+      spark, path, maxDebtFrac, reclaimRetained)
+    val now = serveSnapshotMeta(spark, path).split(';')
+      .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
+    val coordKeys = Seq("generation", "n_tombstones", "n_cell_files")
+    val (action, artifact) =
+      if (coordKeys.forall(k => params(k) == now(k))) ("none", serveState)
+      else if (params("generation") == now("generation") &&
+          params("n_tombstones") == now("n_tombstones"))
+        ("refreshed", refreshAnnServeState(spark, path, serveState))
+      else ("rebuilt", tier match {
+        case "pq" => annServePqState(spark, path,
+          m = metaInt(params, "m", builder),
+          subDim = metaInt(params, "subDim", builder),
+          k = metaInt(params, "k", builder),
+          pqStride = metaInt(params, "pqStride", builder))
+        case "hamming" => annServeHammingState(spark, path,
+          bits = metaInt(params, "bits", builder))
+        case "int8" => annServeInt8State(spark, path)
+        case _ => annServeState(spark, path)
+      })
+    (report.withColumn("serve_action", lit(action)), artifact)
+  }
+
+  /**
+   * STREAMING → INDEX ingestion — the sink that closes the
+   * live-corpus→searchable loop the ingest screens left open: the
+   * embedding-ingest screen emits `kept` arrivals, and until now
+   * nothing landed them in the ANN index. A `foreachBatch` sink over
+   * [[graft.operators.Similarity.appendAnnIndexIdempotent]]: each
+   * micro-batch's (vec_id, embedding) rows are assigned with the
+   * index's FROZEN centroids and appended under a batch-id key, so a
+   * replayed batch (foreachBatch is at-least-once) lands each vector
+   * EXACTLY ONCE — marker short-circuit on clean replays, a
+   * batch-key-prefixed file sweep on crashed ones (the
+   * [[exactlyOnceParquetSink]] idempotence recipe, applied to an
+   * APPEND-shaped layout where dynamic partition overwrite would
+   * clobber other batches' rows in the same cell). Racing compactions
+   * fail loudly naming the re-run recovery; probes see a batch's
+   * vectors after its append commits (StreamingSpec pins replay
+   * checksum-identity and post-commit visibility).
+   *
+   * Serve artifacts do NOT auto-refresh here — appends move the
+   * index's file coordinate, and the serving side repairs on its own
+   * cadence via [[maintainAnnIndexServing]] / [[refreshAnnServeState]]
+   * (a per-micro-batch artifact rebuild would turn an O(delta) append
+   * into an O(artifact) rewrite per batch).
+   *
+   * @param vectors streaming (vec_id, embedding) — e.g. the `kept`
+   *        rows of [[embeddingIngestScreen]]
+   */
+  def annIndexIngestSink(
+      vectors: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Similarity.appendAnnIndexIdempotent(
+          batch.sparkSession, batch.toDF().select(col("vec_id"), col("embedding")),
+          path, s"b$id"))
+      .start()
 
   /**
    * STREAMING ANN QUERY SERVING — the vector twin of [[searchStream]]
@@ -2154,7 +2404,9 @@ object StreamingOps {
    * artifact is a self-consistent snapshot like its float twin.
    * Sections: `cells` (cell, pq_cands), `cents` (one centroid-array
    * row), `codebook` (one nested-array row), `meta` (filtered;m;
-   * subDim;k;pqStride + the snapshot coordinates).
+   * subDim;k;pqStride + the snapshot coordinates), `files` (the data
+   * files the code arrays were read from — the
+   * [[refreshAnnServeState]] diff base, like the float twin).
    *
    * @param filter predicate over metadata columns stored in the cell
    *        files at build time — baked into the snapshot like the
@@ -2180,11 +2432,14 @@ object StreamingOps {
     val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // capture-first (the annServeState discipline): the files section
+    // must record exactly the files the code arrays were read from
+    val files = listDataFiles(spark, cellsAt)
     // live rows of the snapshot; the predicate (when present) applies
     // to the raw scan so it pushes into the cell files as a parquet
     // filter over the stored metadata columns
     def liveRows(pred: Option[Column]): DataFrame = {
-      val scan = spark.read.parquet(cellsAt)
+      val scan = readCellFiles(spark, cellsAt, files)
       val cells = pred.map(scan.where).getOrElse(scan)
         .select(col("vec_id"), col("emb"), col("cell").cast("long"))
       if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
@@ -2206,6 +2461,25 @@ object StreamingOps {
     val centsRow = spark.read.parquet(s"$path/centroids")
       .agg(collect_list(
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
+    pqServeAssembly(spark, cellRows, centsRow, cb,
+      s"filtered=${if (filter.isDefined) 1 else 0};" +
+        s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
+        serveSnapshotMeta(spark, path, Some(files)),
+      files)
+  }
+
+  /** Assemble the PQ serve artifact from its parts — shared by
+    * [[annServePqState]] (full build) and [[refreshAnnServeState]]
+    * (delta patch), so the two paths cannot drift in shape. Sections:
+    * cells / cents / codebook / meta / files. */
+  private def pqServeAssembly(
+      spark: org.apache.spark.sql.SparkSession,
+      cellRows: DataFrame,
+      centsRow: DataFrame,
+      cb: Array[Array[Array[Double]]],
+      metaStr: String,
+      files: Seq[String]): DataFrame = {
+    import spark.implicits._
     val cbRow = spark.range(1).select(
       typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq).as("codebook"))
     val candsT = cellRows.schema("pq_cands").dataType
@@ -2226,9 +2500,10 @@ object StreamingOps {
         lit(null).cast("string")): _*))
       .unionByName(spark.range(1).select(row("meta", lit(null).cast("long"),
         lit(null).cast(candsT), lit(null).cast(centsT), lit(null).cast(cbT),
-        lit(s"filtered=${if (filter.isDefined) 1 else 0};" +
-          s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
-          serveSnapshotMeta(spark, path))): _*))
+        lit(metaStr)): _*))
+      .unionByName(files.toDF("_f").select(row("files",
+        lit(null).cast("long"), lit(null).cast(candsT),
+        lit(null).cast(centsT), lit(null).cast(cbT), col("_f")): _*))
   }
 
   /**
@@ -2321,12 +2596,277 @@ object StreamingOps {
   }
 
   /**
+   * BINARY-HAMMING serve state — the 42× rung of the serve-memory
+   * ladder ([[annServeState]] holds floats, [[annServePqState]] m code
+   * bytes, this ONE packed long per member): each cell's candidate
+   * array carries (n_vec_id, sig) with sig = the index row's
+   * [[graft.operators.Similarity.binarySignatures]] sign bits, derived
+   * from the LIVE rows of the current generation (tombstones folded,
+   * capture-first file list — the float twin's snapshot discipline
+   * verbatim). Sections: `cells` (cell, h_cands), `cents` (one
+   * centroid-array row — probes still rank cells in FLOAT space, the
+   * coarse quantizer is not compressed), `meta` (bits + snapshot
+   * coordinates), `files` (the [[refreshAnnServeState]] diff base).
+   * The serving screen is [[annSearchStreamHamming]]; with nProbe
+   * covering every cell it reproduces the flat
+   * [[graft.operators.Similarity.hammingTopK]] row-for-row
+   * (StreamingSpec), and the q230 oracle pins the probed-cell tier.
+   */
+  def annServeHammingState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      bits: Int = 48): DataFrame = {
+    import graft.operators.Similarity
+    require(bits >= 8 && bits <= 62,
+      s"bits must be in [8, 62] (packed into one signed long), got $bits")
+    val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
+    val files = listDataFiles(spark, cellsAt)
+    val raw = readCellFiles(spark, cellsAt, files)
+      .select(col("vec_id"), col("emb"), col("cell").cast("long"))
+    val fs = new org.apache.hadoop.fs.Path(tombsAt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
+        raw.join(broadcast(spark.read.parquet(tombsAt)),
+          Seq("vec_id"), "left_anti")
+      else raw
+    val cellRows = live
+      .select(col("cell"), struct(col("vec_id").as("n_vec_id"),
+        Similarity.lshBucketCol(col("emb"), bits).as("sig")).as("c"))
+      .groupBy(col("cell")).agg(collect_list(col("c")).as("h_cands"))
+    val centsRow = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(
+        struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
+    serveStateAssembly(spark, cellRows, centsRow,
+      s"bits=$bits;" + serveSnapshotMeta(spark, path, Some(files)),
+      files, candsName = "h_cands")
+  }
+
+  /**
+   * Streaming HAMMING ANN serving — [[annSearchStream]] in the binary
+   * domain: the arriving query row picks its nProbe cells against the
+   * carried float centroid array (the exact batch probe definition),
+   * derives its OWN sign signature row-locally (the same md5
+   * hyperplane family as the artifact's — `bits` rides in the meta
+   * row, so the two sides can never disagree on width), and scores
+   * every carried candidate with one XOR + popcount — ranked
+   * (hamming asc, n_vec_id), the [[graft.operators.Similarity
+   * .hammingTopK]] ordering. Integer-exact: no rounding contract on
+   * the distance. With nProbe covering every cell the result is
+   * row-identical to the flat `hammingTopK` over the index's live
+   * rows (StreamingSpec pins it, incl. post-delete).
+   *
+   * @return streaming (q_vec_id, n_vec_id, hamming, rank)
+   */
+  def annSearchStreamHamming(
+      queries: DataFrame,
+      state: DataFrame,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import graft.operators.Similarity
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(state.columns.contains("h_cands"),
+      "annSearchStreamHamming expects a HAMMING annServeHammingState " +
+        "artifact (h_cands column); this frame has no h_cands — float " +
+        "(cands), PQ (pq_cands) and int8 (i_cands) artifacts pair with " +
+        "annSearchStream / annSearchStreamPq / annSearchStreamInt8")
+    val params = artifactMeta(state, "annServeHammingState",
+      required = Seq("bits"))
+    val bits = metaInt(params, "bits", "annServeHammingState")
+    val idx = state.where(col("section") === "cells")
+      .select(col("cell"), col("h_cands"))
+    val centsRow = state.where(col("section") === "cents").select(col("cents"))
+    val q = queries
+      .select(col("vec_id").as("q_vec_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_nrm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+      .withColumn("q_sig", Similarity.lshBucketCol(col("q_emb"), bits))
+    def centCos(c: Column): Column =
+      dotProduct(c.getField("c_emb"), col("q_emb")) /
+        (c.getField("c_nrm") * col("q_nrm"))
+    val probes = slice(sort_array(transform(col("cents"), c =>
+      struct((-centCos(c)).as("negccos"),
+        c.getField("cent_id").as("cell")))), 1, nProbe)
+    val probed = (0 until nProbe).foldLeft(
+      q.crossJoin(broadcast(centsRow)).withColumn("_probes", probes)) {
+      (cur, i) =>
+        cur.join(
+          idx.select(col("cell").as(s"_pc$i"), col("h_cands").as(s"_cd$i")),
+          when(size(col("_probes")) > i,
+            element_at(col("_probes"), i + 1).getField("cell"))
+            .otherwise(lit(null)) === col(s"_pc$i"),
+          "left")
+          .drop(s"_pc$i")
+    }
+    val allCands = flatten(array_compact(
+      array((0 until nProbe).map(i => col(s"_cd$i")): _*)))
+    // natural ascending struct order ≡ the batch window's
+    // (hamming asc, n_vec_id) — both fields sort ascending
+    val top = slice(sort_array(transform(
+      filter(allCands, c => c.getField("n_vec_id") =!= col("q_vec_id")),
+      c => struct(
+        bit_count(col("q_sig").bitwiseXOR(c.getField("sig"))).cast("long")
+          .as("hamming"),
+        c.getField("n_vec_id").as("n_vec_id")))), 1, k)
+    probed
+      .withColumn("_top", top)
+      .select(col("q_vec_id"), posexplode(col("_top")).as(Seq("_pos", "_c")))
+      .select(col("q_vec_id"), col("_c.n_vec_id").as("n_vec_id"),
+        col("_c.hamming").as("hamming"),
+        (col("_pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
+   * INT8-SDC serve state — the 4× rung of the serve-memory ladder:
+   * each cell's candidate array carries the [[graft.operators
+   * .Similarity.int8SdcTopK]] candidate stats (byte codes + the five
+   * per-vector correction terms) instead of the float vector, derived
+   * from the LIVE rows of the current generation via the SHARED
+   * `int8Coded` expressions — the serve tier and the batch operator
+   * quantize identically by construction. Sections: `cells`
+   * (cell, i_cands), `cents`, `meta` (snapshot coordinates), `files`.
+   * Serving screen: [[annSearchStreamInt8]]; with nProbe covering
+   * every cell it reproduces the flat `int8SdcTopK` row-for-row
+   * (StreamingSpec), and the q231 oracle pins the probed-cell tier.
+   */
+  def annServeInt8State(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import graft.operators.Similarity
+    val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
+    val files = listDataFiles(spark, cellsAt)
+    val raw = readCellFiles(spark, cellsAt, files)
+      .select(col("vec_id"), col("emb").as("embedding"), col("cell").cast("long"))
+    val fs = new org.apache.hadoop.fs.Path(tombsAt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
+        raw.join(broadcast(spark.read.parquet(tombsAt)),
+          Seq("vec_id"), "left_anti")
+      else raw
+    val cellRows = Similarity.int8Coded(live, "n_", carry = Seq("cell"))
+      .select(col("cell"), struct(
+        col("n_vec_id"), col("n_q").as("q"), col("n_min").as("minv"),
+        col("n_s").as("scale"), col("n_d").as("d"), col("n_sum").as("sum"),
+        col("n_qq").as("qq")).as("c"))
+      .groupBy(col("cell")).agg(collect_list(col("c")).as("i_cands"))
+    val centsRow = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(
+        struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
+    serveStateAssembly(spark, cellRows, centsRow,
+      serveSnapshotMeta(spark, path, Some(files)),
+      files, candsName = "i_cands")
+  }
+
+  /**
+   * Streaming INT8-SDC ANN serving — [[annSearchStream]] in the
+   * quantized domain: the arriving query row quantizes ITSELF with the
+   * shared `int8Coded` expressions (stateless column ops — per-vector
+   * affine codes depend on nothing but the row), picks its nProbe
+   * cells against the carried float centroids, and scores every
+   * carried candidate with the [[graft.operators.Similarity
+   * .int8SdcTopK]] algebraic expansion REPLAYED VERBATIM (the exact
+   * integer inner product over byte cells + the fixed-order double
+   * correction), ranked (cos_sdc desc NULLS LAST, n_vec_id). With
+   * nProbe covering every cell the result is row-identical to the
+   * flat `int8SdcTopK` over the index's live rows (StreamingSpec,
+   * incl. post-delete).
+   *
+   * @return streaming (q_vec_id, n_vec_id, cos_sdc, rank)
+   */
+  def annSearchStreamInt8(
+      queries: DataFrame,
+      state: DataFrame,
+      kTop: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions.dotProduct
+    import graft.operators.Similarity
+    require(kTop > 0, s"kTop must be positive, got $kTop")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    require(state.columns.contains("i_cands"),
+      "annSearchStreamInt8 expects an INT8 annServeInt8State artifact " +
+        "(i_cands column); this frame has no i_cands — float (cands), " +
+        "PQ (pq_cands) and hamming (h_cands) artifacts pair with " +
+        "annSearchStream / annSearchStreamPq / annSearchStreamHamming")
+    artifactMeta(state, "annServeInt8State",
+      required = Seq("generation", "n_tombstones", "n_cell_files"))
+    val idx = state.where(col("section") === "cells")
+      .select(col("cell"), col("i_cands"))
+    val centsRow = state.where(col("section") === "cents").select(col("cents"))
+    val q = Similarity.int8Coded(
+        queries.select(col("vec_id"), col("embedding")), "q_",
+        carry = Seq("embedding"))
+      .withColumn("q_emb", col("embedding").cast("array<double>"))
+      .withColumn("q_nrm", sqrt(dotProduct(col("q_emb"), col("q_emb"))))
+      .drop("embedding")
+    def centCos(c: Column): Column =
+      dotProduct(c.getField("c_emb"), col("q_emb")) /
+        (c.getField("c_nrm") * col("q_nrm"))
+    val probes = slice(sort_array(transform(col("cents"), c =>
+      struct((-centCos(c)).as("negccos"),
+        c.getField("cent_id").as("cell")))), 1, nProbe)
+    val probed = (0 until nProbe).foldLeft(
+      q.crossJoin(broadcast(centsRow)).withColumn("_probes", probes)) {
+      (cur, i) =>
+        cur.join(
+          idx.select(col("cell").as(s"_pc$i"), col("i_cands").as(s"_cd$i")),
+          when(size(col("_probes")) > i,
+            element_at(col("_probes"), i + 1).getField("cell"))
+            .otherwise(lit(null)) === col(s"_pc$i"),
+          "left")
+          .drop(s"_pc$i")
+    }
+    // the int8SdcTopK score tree verbatim: exact long inner product,
+    // then the fixed-order double corrections (q-side stats from the
+    // shared int8Coded, candidate stats from the carried struct)
+    def sdcOf(c: Column): Column = {
+      val ipq = aggregate(
+        zip_with(col("q_q"), c.getField("q"), (a, b) => (a * b).cast("long")),
+        lit(0L), (s, v) => s + v)
+      val ip = col("q_min") * c.getField("minv") * c.getField("d") +
+        col("q_min") * c.getField("scale") * c.getField("sum") +
+        c.getField("minv") * col("q_s") * col("q_sum") +
+        col("q_s") * c.getField("scale") * ipq
+      val nq = col("q_min") * col("q_min") * col("q_d") +
+        lit(2.0) * col("q_min") * col("q_s") * col("q_sum") +
+        col("q_s") * col("q_s") * col("q_qq")
+      val nn = c.getField("minv") * c.getField("minv") * c.getField("d") +
+        lit(2.0) * c.getField("minv") * c.getField("scale") *
+          c.getField("sum") +
+        c.getField("scale") * c.getField("scale") * c.getField("qq")
+      when(nq > 0 && nn > 0, round(ip / (sqrt(nq) * sqrt(nn)), 6))
+    }
+    val allCands = flatten(array_compact(
+      array((0 until nProbe).map(i => col(s"_cd$i")): _*)))
+    // ascending (coalesced −cos_sdc, n_vec_id) ≡ the batch window's
+    // (cos_sdc DESC NULLS LAST, n_vec_id): a null score (zero-norm
+    // reconstruction) coalesces to +∞ and sorts last, exactly the
+    // batch nulls-last rule
+    val top = slice(sort_array(transform(
+      filter(allCands, c => c.getField("n_vec_id") =!= col("q_vec_id")),
+      c => struct(
+        coalesce(-sdcOf(c), lit(Double.MaxValue)).as("negsdc"),
+        c.getField("n_vec_id").as("n_vec_id"),
+        sdcOf(c).as("cos_sdc")))), 1, kTop)
+    probed
+      .withColumn("_top", top)
+      .select(col("q_vec_id"), posexplode(col("_top")).as(Seq("_pos", "_c")))
+      .select(col("q_vec_id"), col("_c.n_vec_id").as("n_vec_id"),
+        col("_c.cos_sdc").as("cos_sdc"),
+        (col("_pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
    * Streaming KL-NOVELTY screen — the row-local twin of
    * [[graft.operators.Pipeline.klNoveltyAgainst]]: each arriving doc
    * is scored against the FROZEN reference unigram distribution,
-   * resolved ONCE at plan time into a map literal. Stateless: no state
-   * store, no shuffle, no per-batch joins; per-row cost is
-   * O(distinct·len) over the token array. Values are EXACT — same
+   * carried as a ONE-ROW broadcast model frame (derived once, at the
+   * stream's plan construction). Stateless: no state store, no
+   * stream-side shuffle — the model join is a broadcast stream-static
+   * cross of one row; per-row cost is O(distinct·len) over the token
+   * array. Values are EXACT — same
    * micro-nat quantization, same operation order — so StreamingSpec
    * pins equality with the batch tier, not a tolerance. Reference
    * refresh = restart with a re-derived map (the blue/green shape).
@@ -2334,19 +2874,25 @@ object StreamingOps {
    * doc scores 0/0/0) — an ingest audit covers everything it saw.
    *
    * MODEL BOUND: a raw unigram vocabulary is corpus-shaped (10⁸+ terms
-   * at web scale), so collecting it whole would make the plan literal
-   * — and every task's copy of it — a driver/GC bottleneck. The
-   * collect is therefore HARD-BOUNDED to the `maxModelTerms`
-   * highest-mass terms (ties broken by term — deterministic on both
-   * engines; the retrieval is a TakeOrdered, never a global sort).
-   * Terms pruned from the model are treated exactly like terms the
-   * history never saw — q150's unseen-mass convention: excluded from
-   * the KL sum, counted in `n_unseen` — and the denominator `ctot`
-   * stays the FULL history token total (a 1-row aggregate, no
-   * vocabulary collect), so every kept term's contribution is
-   * IDENTICAL at any bound; only the head/tail split moves. Plan-time
-   * state is O(maxModelTerms) — the NB-model bounded-collect class by
-   * construction, not by hope.
+   * at web scale), so carrying it whole would make the reference model
+   * a memory bottleneck. The model is therefore HARD-BOUNDED to the
+   * `maxModelTerms` highest-mass terms (ties broken by term —
+   * deterministic on both engines; the retrieval is a TakeOrdered,
+   * never a global sort). Terms pruned from the model are treated
+   * exactly like terms the history never saw — q150's unseen-mass
+   * convention: excluded from the KL sum, counted in `n_unseen` — and
+   * the denominator `ctot` stays the FULL history token total (a
+   * 1-row aggregate, no vocabulary materialization), so every kept
+   * term's contribution is IDENTICAL at any bound; only the head/tail
+   * split moves.
+   *
+   * MODEL SHAPE: the bounded (term → count) head rides as a MAP column
+   * in a ONE-ROW model frame joined in as a broadcast stream-static
+   * cross (the annSearchStream cents-row recipe) — never collected to
+   * the driver, never baked as a plan literal: a 2^20-entry `typedLit`
+   * map would ship a MB-scale expression tree in every task's plan
+   * copy, where the broadcast form ships it once per executor through
+   * the block manager.
    */
   def klScreen(
       docs: DataFrame,
@@ -2356,14 +2902,16 @@ object StreamingOps {
     require(maxModelTerms > 0, s"maxModelTerms must be positive, got $maxModelTerms")
     val histCtf = Dedup.termWeights(historyDocs)
       .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-    val ctot = histCtf
-      .agg(coalesce(sum(col("ctf")), lit(0L)).as("t"))
-      .collect()(0).getLong(0).toDouble
-    val hist = histCtf
+    // the one-row model: the FULL token total beside the bounded
+    // highest-mass head as a map column (collect_list over ≤
+    // maxModelTerms rows of a TakeOrdered — executor-side, bounded)
+    val modelRow = histCtf
       .orderBy(col("ctf").desc, col("term"))
       .limit(maxModelTerms)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val ctfLit = typedLit(hist.toMap)
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("ctf")))).as("_ctf"))
+      .crossJoin(histCtf.agg(
+        coalesce(sum(col("ctf")), lit(0L)).cast("double").as("_ctot")))
     val toks = Dedup.tokensCol(col("line"))
     val tot = size(toks).cast("long")
     def tfOf(t: Column): Column =
@@ -2371,23 +2919,24 @@ object StreamingOps {
     def contrib(t: Column): Column = {
       val tf = tfOf(t)
       val p = tf.cast("double") / tot.cast("double")
-      val q = element_at(ctfLit, t).cast("double") / lit(ctot)
+      val q = element_at(col("_ctf"), t).cast("double") / col("_ctot")
       floor(p * log(p / q) * lit(1e6)).cast("long")
     }
     val folded = aggregate(
       array_distinct(toks),
       struct(lit(0L).as("kl"), lit(0L).as("unseen")),
       (acc, t) => struct(
-        (acc("kl") + when(element_at(ctfLit, t).isNotNull, contrib(t))
+        (acc("kl") + when(element_at(col("_ctf"), t).isNotNull, contrib(t))
           .otherwise(lit(0L))).as("kl"),
-        (acc("unseen") + when(element_at(ctfLit, t).isNull, tfOf(t))
+        (acc("unseen") + when(element_at(col("_ctf"), t).isNull, tfOf(t))
           .otherwise(lit(0L))).as("unseen")))
     docs
+      .crossJoin(broadcast(modelRow))
       .withColumn("_f", folded)
       .withColumn("n_tokens", tot)
       .withColumn("n_unseen", col("_f.unseen"))
       .withColumn("kl_unats", col("_f.kl"))
-      .drop("_f")
+      .drop("_f", "_ctf", "_ctot")
   }
 
   /**
@@ -2866,6 +3415,13 @@ object StreamingOps {
    * against the real corpus — the guard catching the misuse is the
    * designed behavior. Only rows the guard pins are scanned: cost is
    * O(delta shingling + merged fp set), never O(history re-shingle).
+   *
+   * SMALL-DELTA ASSUMPTION: the delta's buckets are BROADCAST into the
+   * fold (that is what lets untouched artifact rows pass unshuffled),
+   * so a delta must fit the broadcast/driver-memory budget — a
+   * backfill-sized delta belongs in a full rebuild, whose shuffle plan
+   * is built for corpus-scale input. Shared by every `extend*`
+   * operator in this file.
    */
   def extendIngestState(
       state: DataFrame,
@@ -2882,7 +3438,7 @@ object StreamingOps {
     val numHashes = metaInt(params, "numHashes", "ingestState")
     val rowsPerBand = metaInt(params, "rowsPerBand", "ingestState")
     val maxBucketSize = metaInt(params, "maxBucketSize", "ingestState")
-    val fpp = params("fpp").toDouble
+    val fpp = metaDouble(params, "fpp", "ingestState")
     // the delta's buckets, UNGUARDED — hot is a property of the MERGED
     // history, decided below on merged sizes
     val deltaBuckets = ingestBuckets(
@@ -3412,7 +3968,8 @@ object StreamingOps {
    * buckets pushed past `maxBucketDocs` drop whole, buckets in the
    * artifact's `dropped` section stay dropped, and the history
    * checksum composes by sum (the [[extendIngestState]] disjoint-delta
-   * contract applies verbatim).
+   * AND small-delta-broadcast contracts apply verbatim — a
+   * backfill-sized delta belongs in a full rebuild).
    */
   def extendMediaScreenState(
       state: DataFrame, deltaHashes: DataFrame,

@@ -166,4 +166,133 @@ object ExtendStateProperties extends Properties("ExtendState") {
         ok
       }
     }
+
+  // ── media tiers (whole-asset + window) ────────────────────────────
+  // small hash pool ⇒ dense band-key collisions: the hot guard, the
+  // dropped-key retention, and the merged-size re-decision all fire;
+  // the ≤65,536-value band-key space is exactly where the merge law's
+  // corner cases (old-dropped bucket with no delta members, kept
+  // bucket pushed past the bound) concentrate.
+  private val hashPool: Seq[Long] = Seq(
+    0x0123456789abcdefL, 0x0123456789abcd00L, // differ in one band
+    -0x123456789abcdefL, 0x00000000000000ffL, 0x7fffffffffffffffL)
+
+  private val ahashGen: Gen[Long] = Gen.frequency(
+    3 -> Gen.oneOf(hashPool),
+    1 -> Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  // admissible explicit layouts (nBands·bandBits must tile the 56-bit
+  // hash exactly — the requireBandLayout contract)
+  private val layoutGen: Gen[(Int, Int)] =
+    Gen.oneOf((7, 8), (4, 14), (8, 7), (14, 4), (2, 28))
+
+  private case class MediaFx(
+      hist: List[(Long, Long)], delta: List[(Long, Long)],
+      bound: Int, nBands: Int, bandBits: Int)
+
+  private val mediaFxGen: Gen[MediaFx] = for {
+    nh <- Gen.chooseNum(2, 6)
+    histHashes <- Gen.listOfN(nh, ahashGen)
+    nd <- Gen.chooseNum(1, 5)
+    deltaHashes <- Gen.listOfN(nd, ahashGen)
+    bound <- Gen.chooseNum(1, 3)
+    layout <- layoutGen
+  } yield MediaFx(
+    histHashes.zipWithIndex.map { case (h, i) => (100L + i, h) },
+    deltaHashes.zipWithIndex.map { case (h, i) => (i.toLong, h) },
+    bound, layout._1, layout._2)
+
+  private def mediaCanon(st: DataFrame) = {
+    val meta = st.where(col("section") === "meta")
+      .select(col("meta")).head().getString(0)
+    val idx = st.where(col("section") === "index")
+      .select(col("band"), col("band_bits"), explode(col("cands")).as("c"))
+      .select(col("band"), col("band_bits"), col("c.hid"), col("c.hh"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val dropped = st.where(col("section") === "dropped")
+      .select(col("band"), col("band_bits")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (meta, idx, dropped)
+  }
+
+  property("extendMediaScreenState(state(h), d) ≡ mediaScreenState(h ∪ d), any layout/bound") =
+    forAll(mediaFxGen) { fx =>
+      val s = spark
+      import s.implicits._
+      graft.Caching.scoped {
+        val hist = fx.hist.toDF("asset_id", "ahash")
+        val delta = fx.delta.toDF("asset_id", "ahash")
+        val union = hist.unionByName(delta)
+        val ext = StreamingOps.extendMediaScreenState(
+          StreamingOps.mediaScreenState(hist, maxBucketDocs = fx.bound,
+            nBands = fx.nBands, bandBits = fx.bandBits,
+            allowSaturated = true),
+          delta, allowSaturated = true)
+        val fresh = StreamingOps.mediaScreenState(union,
+          maxBucketDocs = fx.bound, nBands = fx.nBands,
+          bandBits = fx.bandBits, allowSaturated = true)
+        val ok = mediaCanon(ext) == mediaCanon(fresh)
+        if (!ok) println(s"MISMATCH on $fx")
+        ok
+      }
+    }
+
+  private case class WindowFx(
+      hist: List[(Long, Long, Long)], delta: List[(Long, Long, Long)],
+      bound: Int, nBands: Int, bandBits: Int)
+
+  private val windowFxGen: Gen[WindowFx] = for {
+    nh <- Gen.chooseNum(2, 6)
+    histRows <- Gen.listOfN(nh, for {
+      w <- Gen.chooseNum(0, 2); h <- ahashGen } yield (w.toLong, h))
+    nd <- Gen.chooseNum(1, 5)
+    deltaRows <- Gen.listOfN(nd, for {
+      w <- Gen.chooseNum(0, 2); h <- ahashGen } yield (w.toLong, h))
+    bound <- Gen.chooseNum(1, 3)
+    layout <- layoutGen
+  } yield WindowFx(
+    histRows.zipWithIndex.map { case ((w, h), i) => (100L + i, w, h) },
+    deltaRows.zipWithIndex.map { case ((w, h), i) => (i.toLong, w, h) },
+    bound, layout._1, layout._2)
+
+  private def windowCanon(st: DataFrame) = {
+    val meta = st.where(col("section") === "meta")
+      .select(col("meta")).head().getString(0)
+    val idx = st.where(col("section") === "index")
+      .select(col("band"), col("band_bits"), explode(col("cands")).as("c"))
+      .select(col("band"), col("band_bits"), col("c.mid"), col("c.mwid"),
+        col("c.hh"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val dropped = st.where(col("section") === "dropped")
+      .select(col("band"), col("band_bits")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (meta, idx, dropped)
+  }
+
+  property("extendMediaWindowScreenState(state(h), d) ≡ mediaWindowScreenState(h ∪ d)") =
+    forAll(windowFxGen) { fx =>
+      val s = spark
+      import s.implicits._
+      graft.Caching.scoped {
+        val hist = fx.hist.toDF("asset_id", "window_id", "ahash")
+        val delta = fx.delta.toDF("asset_id", "window_id", "ahash")
+        val union = hist.unionByName(delta)
+        val ext = StreamingOps.extendMediaWindowScreenState(
+          StreamingOps.mediaWindowScreenState(hist, maxBucketDocs = fx.bound,
+            nBands = fx.nBands, bandBits = fx.bandBits,
+            allowSaturated = true),
+          delta, allowSaturated = true)
+        val fresh = StreamingOps.mediaWindowScreenState(union,
+          maxBucketDocs = fx.bound, nBands = fx.nBands,
+          bandBits = fx.bandBits, allowSaturated = true)
+        val ok = windowCanon(ext) == windowCanon(fresh)
+        if (!ok) println(s"MISMATCH on $fx")
+        ok
+      }
+    }
 }

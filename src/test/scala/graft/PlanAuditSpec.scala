@@ -62,6 +62,20 @@ class PlanAuditSpec extends SparkSpec {
     "q229b_ivfpq_filtered_recall", // the filtered ADC tier + q15's exact
                                    // side over the filtered slice (the
                                    // q222b shape)
+    "q229c_ivfpq_refined_recall", // both filtered ADC arms (centroid
+                                  // broadcast cross) + q15's exact side
+                                  // over the filtered slice
+    "q230_hamming_serve", // the serve screen's 1-row cents-array
+                          // broadcast cross (the annSearchStream shape)
+                          // + q82's build-side centroid broadcast
+    "q230b_hamming_serve_recall", // the serve cross + q135's flat
+                                  // hamming scan (broadcast queries) as
+                                  // the recall denominator
+    "q231_int8_serve", // the serve screen's 1-row cents-array broadcast
+                       // cross + q82's build-side centroid broadcast
+    "q231b_int8_serve_recall", // the serve cross + q171's flat SDC scan
+                               // (broadcast quantized queries) as the
+                               // recall denominator
     "q103_hard_negatives", // exact tier = q15's declared full scan with
                            // the near-dup ceiling; q103b is the LSH twin
     "q104_integrity_audit", // 1-row report-combining crosses only

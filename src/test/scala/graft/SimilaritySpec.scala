@@ -287,6 +287,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKRefined: true-cosine scores, refine pool from the ADC tier, recall never below pure ADC") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val pred = col("label") === 1
+    // refined scores ARE the exact cosine (downstream thresholds mean
+    // what they say)
+    val exact = Similarity.cosineTopK(e, q, k = Int.MaxValue - 1).collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    val refined = Similarity.ivfPqTopKFilteredRefined(e, q, pred,
+      kTop = 10, refineFactor = 5).collect()
+    refined.length should be > 0
+    refined.foreach { r =>
+      exact((r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))) shouldBe
+        r.getAs[Double]("cos") +- 1e-12
+    }
+    // the refine pool is the ADC top-R: every refined hit appears in
+    // the ADC tier's top-50 for its query
+    val adc50 = Similarity.ivfPqTopKFiltered(e, q, pred, kTop = 50).collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))).toSet
+    refined.foreach { r =>
+      adc50 should contain(
+        (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")))
+    }
+    // recall@10 vs the exact filtered top-10: refined ≥ pure ADC per
+    // query (the re-rank can only promote true neighbors the codes
+    // mis-ordered), and the q229c oracle records the measured lift
+    val truth = Similarity.cosineTopK(e.where(pred), q, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")))
+      .groupBy(_._1).view
+      .mapValues(_.count(truth.contains)).toMap.withDefaultValue(0)
+    val rAdc = recallOf(
+      Similarity.ivfPqTopKFiltered(e, q, pred, kTop = 10).collect())
+    val rRef = recallOf(refined)
+    (0L until 5L).foreach { qid =>
+      rRef(qid) should be >= rAdc(qid)
+    }
+    // the unfiltered refined arm holds the same containment contract
+    val adcU = Similarity.ivfPqTopK(e, q, kTop = 50).collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"))).toSet
+    Similarity.ivfPqTopKRefined(e, q, kTop = 10, refineFactor = 5).collect()
+      .foreach { r =>
+        adcU should contain(
+          (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id")))
+      }
+  }
+
   test("appendAnnIndex: batched appends equal one append and cover the union") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val hist = e.where(col("vec_id") < 400)

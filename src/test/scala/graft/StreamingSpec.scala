@@ -2730,4 +2730,266 @@ class StreamingSpec extends SparkSpec {
       live shouldBe whole
     } finally q.stop()
   }
+
+  // ── round-13: the hamming / int8 serve rungs ──────────────────────
+
+  test("streaming annSearchStreamHamming: row-identical to hammingTopK over live rows, incl. post-delete") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ann_hamm_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    // with nProbe covering EVERY cell the probed set is the whole live
+    // corpus, so the serve result must equal the FLAT batch scan
+    val nCells = spark.read.parquet(s"$idx/centroids").count().toInt
+    val qRows = q.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def rowsOfH(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("rank"))).toSet
+    def run(name: String) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_hamm_state").toString
+      StreamingOps.annServeHammingState(spark, idx, bits = 48)
+        .write.mode("overwrite").parquet(dir)
+      val state = spark.read.parquet(dir)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingOps.annSearchStreamHamming(
+          input.toDF().toDF("vec_id", "embedding"), state,
+          k = 10, nProbe = nCells)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(qRows: _*)
+        sq.processAllAvailable()
+        rowsOfH(StreamingSpec.this.spark.table(name))
+      } finally sq.stop()
+    }
+    val batch1 = rowsOfH(Similarity.hammingTopK(e, q, k = 10, bits = 48))
+    run("hamm_stream_plain") shouldBe batch1
+    batch1 should not be empty
+    // post-delete: the state build folds the tombstones like every tier
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    val batch2 = rowsOfH(Similarity.hammingTopK(
+      e.where(col("vec_id") % 4 =!= 2), q, k = 10, bits = 48))
+    batch2 should not be batch1
+    run("hamm_stream_deleted") shouldBe batch2
+    // mis-pair guard: a float artifact names the pairing loudly
+    val floatState = StreamingOps.annServeState(spark, idx)
+    val input = MemoryStream[(Long, Seq[Float])]
+    intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStreamHamming(
+        input.toDF().toDF("vec_id", "embedding"), floatState, k = 10)
+    }.getMessage should include("no h_cands")
+  }
+
+  test("streaming annSearchStreamInt8: row-identical to int8SdcTopK over live rows, incl. post-delete") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ann_int8_spec").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    val nCells = spark.read.parquet(s"$idx/centroids").count().toInt
+    val qRows = q.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def rowsOfI(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
+        Option(r.getAs[java.lang.Double]("cos_sdc")).map(_.toDouble),
+        r.getAs[Long]("rank"))).toSet
+    def run(name: String) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_int8_state").toString
+      StreamingOps.annServeInt8State(spark, idx)
+        .write.mode("overwrite").parquet(dir)
+      val state = spark.read.parquet(dir)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingOps.annSearchStreamInt8(
+          input.toDF().toDF("vec_id", "embedding"), state,
+          kTop = 10, nProbe = nCells)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(qRows: _*)
+        sq.processAllAvailable()
+        rowsOfI(StreamingSpec.this.spark.table(name))
+      } finally sq.stop()
+    }
+    val batch1 = rowsOfI(Similarity.int8SdcTopK(e, q, kTop = 10))
+    run("int8_stream_plain") shouldBe batch1
+    batch1 should not be empty
+    Similarity.deleteFromAnnIndex(spark, e.where(col("vec_id") % 4 === 2), idx)
+    val batch2 = rowsOfI(Similarity.int8SdcTopK(
+      e.where(col("vec_id") % 4 =!= 2), q, kTop = 10))
+    batch2 should not be batch1
+    run("int8_stream_deleted") shouldBe batch2
+    // mis-pair guard both ways: hamming artifact into the int8 serve
+    val hammState = StreamingOps.annServeHammingState(spark, idx)
+    val input = MemoryStream[(Long, Seq[Float])]
+    intercept[IllegalArgumentException] {
+      StreamingOps.annSearchStreamInt8(
+        input.toDF().toDF("vec_id", "embedding"), hammState, kTop = 10)
+    }.getMessage should include("no i_cands")
+  }
+
+  test("refreshAnnServeState: PQ / hamming / int8 patches equal full rebuilds; PQ seed clash refuses") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_refresh_tiers").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
+    def roundtrip(df: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_rt_st").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val pq0 = roundtrip(StreamingOps.annServePqState(spark, idx))
+    val hm0 = roundtrip(StreamingOps.annServeHammingState(spark, idx))
+    val i80 = roundtrip(StreamingOps.annServeInt8State(spark, idx))
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    // canonical content of a serve artifact: per-cell candidate sets
+    // (rows as plain Seqs — Array equality is referential), meta, files
+    def canon(st: org.apache.spark.sql.DataFrame, candsCol: String) = {
+      val cells = st.where(col("section") === "cells")
+        .select(col("cell"),
+          org.apache.spark.sql.functions.explode(col(candsCol)).as("c"))
+        .select(col("cell"),
+          org.apache.spark.sql.functions.to_json(col("c")).as("j"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      val meta = st.where(col("section") === "meta")
+        .select(col("meta")).head().getString(0)
+      val files = st.where(col("section") === "files")
+        .select(col("meta")).collect().map(_.getString(0)).toSet
+      (cells, meta, files)
+    }
+    for ((st0, candsCol, fresh) <- Seq(
+        (pq0, "pq_cands",
+          () => StreamingOps.annServePqState(spark, idx)),
+        (hm0, "h_cands",
+          () => StreamingOps.annServeHammingState(spark, idx, bits = 48)),
+        (i80, "i_cands",
+          () => StreamingOps.annServeInt8State(spark, idx)))) {
+      val refreshed = roundtrip(StreamingOps.refreshAnnServeState(spark, idx, st0))
+      StreamingOps.requireServeStateCurrent(spark, idx, refreshed)
+      canon(refreshed, candsCol) shouldBe canon(roundtrip(fresh()), candsCol)
+    }
+    // PQ seed-position clash: a delta row at vec_id ≡ 0 (mod pqStride)
+    // under the seed ceiling would change a rebuild's codebook — the
+    // frozen-codebook patch refuses by name
+    val pq1 = roundtrip(StreamingOps.annServePqState(spark, idx))
+    Similarity.appendAnnIndex(spark,
+      Seq((25L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding"), idx)
+    intercept[IllegalArgumentException] {
+      StreamingOps.refreshAnnServeState(spark, idx, pq1)
+    }.getMessage should include("seed position")
+  }
+
+  test("maintainAnnIndexServing: the artifact comes out CURRENT in all three drift classes") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    // class NONE: coordinates unchanged — artifact passes through
+    val idx1 = java.nio.file.Files.createTempDirectory("maint_serve1").toString
+    Similarity.buildAnnIndex(e, idx1, stride = 100)
+    val st1 = StreamingOps.annServeState(spark, idx1)
+    val (rep1, art1) = StreamingOps.maintainAnnIndexServing(spark, idx1, st1)
+    rep1.select("serve_action").head().getString(0) shouldBe "none"
+    StreamingOps.requireServeStateCurrent(spark, idx1, art1)
+
+    // class REFRESHED: append-only drift — the O(delta) patch repairs
+    val idx2 = java.nio.file.Files.createTempDirectory("maint_serve2").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx2, stride = 100)
+    val st2 = StreamingOps.annServeState(spark, idx2)
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx2)
+    val (rep2, art2) = StreamingOps.maintainAnnIndexServing(spark, idx2, st2)
+    rep2.select("serve_action").head().getString(0) shouldBe "refreshed"
+    StreamingOps.requireServeStateCurrent(spark, idx2, art2)
+
+    // class REBUILT: this very maintain call compacts (debt over the
+    // bound), so only a from-scratch build can repair — parameters
+    // resolve from the artifact (PQ tier to exercise the meta path)
+    val idx3 = java.nio.file.Files.createTempDirectory("maint_serve3").toString
+    Similarity.buildAnnIndex(e, idx3, stride = 100)
+    val st3 = StreamingOps.annServePqState(spark, idx3)
+    Similarity.deleteFromAnnIndex(spark,
+      e.where(col("vec_id") % 4 === 2 && col("vec_id") % 25 =!= 0), idx3)
+    val (rep3, art3) = StreamingOps.maintainAnnIndexServing(
+      spark, idx3, st3, maxDebtFrac = 0.2)
+    rep3.select("compacted").head().getBoolean(0) shouldBe true
+    rep3.select("serve_action").head().getString(0) shouldBe "rebuilt"
+    StreamingOps.requireServeStateCurrent(spark, idx3, art3)
+    art3.columns should contain("pq_cands") // rebuilt in ITS OWN tier
+
+    // a FILTERED artifact refuses upfront, naming the manual fix
+    val idx4 = java.nio.file.Files.createTempDirectory("maint_serve4").toString
+    Similarity.buildAnnIndex(e, idx4, stride = 100, metaCols = Seq("label"))
+    val stF = StreamingOps.annServeState(spark, idx4, Some(col("label") === 1))
+    intercept[IllegalArgumentException] {
+      StreamingOps.maintainAnnIndexServing(spark, idx4, stF)
+    }.getMessage should include("not serializable")
+  }
+
+  test("annIndexIngestSink: replayed batches land each vector exactly once; probes see arrivals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_ingest_sink").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
+    val delta = e.where(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select(col("vec_id"), col("embedding"))
+    def indexRows() = spark.read
+      .parquet(graft.operators.Similarity.resolvedIndex(spark, idx)._1)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // first application lands the rows
+    Similarity.appendAnnIndexIdempotent(spark, delta, idx, "b7")
+    val once = indexRows()
+    once.map(_._1).toSet should contain(400L)
+    // clean replay (marker short-circuit): nothing changes
+    Similarity.appendAnnIndexIdempotent(spark, delta, idx, "b7")
+    indexRows() shouldBe once
+    // crashed replay (marker gone, files landed): the batch-key sweep
+    // removes the prior landing before re-appending — still exactly once
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_ingest_applied/b7"), false)
+    Similarity.appendAnnIndexIdempotent(spark, delta, idx, "b7")
+    indexRows() shouldBe once
+    // the streaming composition: kept arrivals land via foreachBatch
+    // and probes see them after the batch commits
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_sink_ckpt").toString
+    val sq = StreamingOps.annIndexIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      val arrivals = e.where(col("vec_id") >= 450)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+      input.addData(arrivals: _*)
+      sq.processAllAvailable()
+      val grown = indexRows()
+      grown.map(_._1).toSet should contain allElementsOf arrivals.map(_._1)
+      // and the grown index equals a plain-append twin, row for row
+      val idx2 = java.nio.file.Files.createTempDirectory("ann_ingest_twin").toString
+      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx2, stride = 100)
+      Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400)
+        .select(col("vec_id"), col("embedding")), idx2)
+      val twin = spark.read
+        .parquet(graft.operators.Similarity.resolvedIndex(spark, idx2)._1)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      grown shouldBe twin
+    } finally sq.stop()
+  }
 }
