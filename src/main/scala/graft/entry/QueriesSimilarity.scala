@@ -651,6 +651,87 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // FILTERED-SERVE REFRESH, float tier (the predicate-serialization
+    // contract end-to-end): build the index over the first 400 vectors
+    // with label stored beside them, bake a FILTERED serve state
+    // (label = 1 — the predicate's Catalyst SQL rendering travels in
+    // the meta row), append the rest, O(delta)-refresh, probe with the
+    // serving screen. Oracle = direct filtered IVF with FROZEN centroid
+    // seeds: refresh ≡ rebuild ≡ direct, one SQL text pins all three.
+    "q232_filtered_serve_refresh" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_fsref_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx,
+        stride = 100, metaCols = Seq("label"))
+      val st = StreamingOps.annServeState(s, idx, Some(col("label") === 1))
+      Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
+      val refreshed = StreamingOps.refreshAnnServeState(s, idx, st)
+      StreamingOps.annSearchStream(e.where(col("vec_id") < 5), refreshed,
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // FILTERED hamming serve + refresh (the 42× rung under a metadata
+    // predicate): sign-bit candidate arrays hold label = 1 rows only,
+    // the appended delta passes through the artifact's own decoded
+    // predicate. Oracle = the q230 chain with the candidate clause and
+    // frozen centroid seeds.
+    "q233_hamming_filtered_serve" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_hfref_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx,
+        stride = 100, metaCols = Seq("label"))
+      val st = StreamingOps.annServeHammingState(s, idx, bits = 48,
+        filter = Some(col("label") === 1))
+      Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
+      val refreshed = StreamingOps.refreshAnnServeState(s, idx, st)
+      StreamingOps.annSearchStreamHamming(e.where(col("vec_id") < 5),
+          refreshed, k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // FILTERED int8 serve + refresh (the 4× rung under the same
+    // predicate): quantized candidate stats for label = 1 rows only,
+    // delta re-quantized with the SHARED int8Coded expressions at
+    // refresh. Oracle = the q231 SDC chain with the candidate clause
+    // and frozen centroid seeds.
+    "q234_int8_filtered_serve" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_ifref_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx,
+        stride = 100, metaCols = Seq("label"))
+      val st = StreamingOps.annServeInt8State(s, idx,
+        filter = Some(col("label") === 1))
+      Similarity.appendAnnIndex(s, e.where(col("vec_id") >= 400), idx)
+      val refreshed = StreamingOps.refreshAnnServeState(s, idx, st)
+      StreamingOps.annSearchStreamInt8(e.where(col("vec_id") < 5),
+          refreshed, kTop = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
+    // SERVE-ARTIFACT STATS (the pre-deploy radar): one row over the
+    // packaged artifact's own sections — tier, predicate population,
+    // list-skew signal, snapshot coordinates. Oracle recomputes the
+    // per-cell counts from the filtered IVF assignment. n_cell_files
+    // is a physical layout detail DuckDB cannot see — projected out.
+    "q235_serve_state_stats" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_sstat_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100, metaCols = Seq("label"))
+      val st = StreamingOps.annServeState(s, idx, Some(col("label") === 1))
+      StreamingOps.serveStateStats(st)
+        .select(col("tier"), col("filtered"), col("n_cells"),
+          col("n_members"), col("max_cell"), col("avg_cell"),
+          col("generation"), col("n_tombstones"))
+    }),
+
+
     // INT8 SDC top-k: both sides quantized, cosine expanded so scoring
     // reads byte codes + per-vector stats only — the 4× memory rung
     // between PQ (q99) and sign bits (q135).
@@ -900,15 +981,23 @@ private[graft] object QueriesSimilarity {
        |  WHERE p.q_vec_id <> cd.vec_id
        |  GROUP BY 1, 2)""".stripMargin
 
-  /** The IVF cell machinery as CTEs over an existing `e` —
-    * (unfiltered) assign + the vec_id < 5 probes at nProbe = 2, the
-    * q26 definitions verbatim; shared by the serve-tier oracles
-    * (q230/q231 families). */
-  private def ivfCellCtes: String =
-    """n2 AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-      |       FROM e),
+  /** The IVF cell machinery as CTEs over an existing source relation —
+    * assign + the vec_id < 5 probes at nProbe = 2, the q26 definitions
+    * verbatim; shared by the serve-tier oracles (q230/q231 families
+    * and their filtered/refreshed q233/q234 twins). `src` must carry
+    * (vec_id, emb [, metadata…]); `candPred` prunes the CANDIDATE side
+    * only (n2.* in scope — probes and centroids always read the
+    * unfiltered corpus, the frozen-quantizer contract); `centPred`
+    * bounds the centroid seeds to the pre-append history (the q100
+    * frozen-centroid clause for refresh lifecycles). */
+  private def ivfCellCtes(
+      src: String = "e",
+      candPred: String = "TRUE",
+      centPred: String = "TRUE"): String =
+    s"""n2 AS (SELECT *, sqrt(list_dot_product(emb, emb)) AS nrm
+      |       FROM $src),
       |c2 AS (SELECT vec_id AS cent_id, emb AS c_emb, nrm AS c_nrm
-      |       FROM n2 WHERE vec_id % 100 = 0),
+      |       FROM n2 WHERE vec_id % 100 = 0 AND ($centPred)),
       |assign AS (
       |  SELECT vec_id, cent_id AS cell FROM (
       |    SELECT n2.vec_id, c2.cent_id,
@@ -916,7 +1005,7 @@ private[graft] object QueriesSimilarity {
       |             PARTITION BY n2.vec_id
       |             ORDER BY list_dot_product(n2.emb, c2.c_emb) /
       |               (n2.nrm * c2.c_nrm) DESC, c2.cent_id) AS rn
-      |    FROM n2 CROSS JOIN c2) WHERE rn = 1),
+      |    FROM n2 CROSS JOIN c2 WHERE ($candPred)) WHERE rn = 1),
       |probes AS (
       |  SELECT vec_id AS q_vec_id, cent_id AS cell FROM (
       |    SELECT n2.vec_id, c2.cent_id,
@@ -1661,7 +1750,7 @@ private[graft] object QueriesSimilarity {
     // XOR + bit_count, ascending rank with id tie-break.
     "q230_hamming_serve" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |$ivfCellCtes,
+         |${ivfCellCtes()},
          |$hammingSigCte,
          |scored AS (
          |  SELECT p.q_vec_id, a.vec_id AS n_vec_id,
@@ -1682,7 +1771,7 @@ private[graft] object QueriesSimilarity {
     // ranking — the pruning term in isolation.
     "q230b_hamming_serve_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |$ivfCellCtes,
+         |${ivfCellCtes()},
          |$hammingSigCte,
          |approx AS (
          |  SELECT q_vec_id, n_vec_id FROM (
@@ -1719,7 +1808,7 @@ private[graft] object QueriesSimilarity {
     // same score tree, same NULLS LAST + id ordering.
     "q231_int8_serve" ->
       s"""WITH $int8Ctes,
-         |$ivfCellCtes,
+         |${ivfCellCtes()},
          |scored AS (
          |  SELECT s.q_vec_id, s.n_vec_id, s.cos_sdc
          |  FROM sdc s
@@ -1733,11 +1822,77 @@ private[graft] object QueriesSimilarity {
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
 
 
+    // Filtered-serve refresh, float tier: direct filtered IVF with the
+    // centroid seeds frozen to the pre-append history — the refresh ≡
+    // rebuild ≡ direct contract in one SQL text (q100's centPred clause
+    // composed with q222's candidate clause).
+    "q232_filtered_serve_refresh" ->
+      ivfTopKSqlWith("vec_id < 400", "n.label = 1"),
+
+
+    // Filtered hamming serve + refresh: the q230 chain with the
+    // candidate side restricted to label = 1 and the centroid seeds
+    // frozen to the pre-append history.
+    "q233_hamming_filtered_serve" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+         |           FROM embeddings),
+         |${ivfCellCtes("e", "n2.label = 1", "vec_id < 400")},
+         |$hammingSigCte,
+         |scored AS (
+         |  SELECT p.q_vec_id, a.vec_id AS n_vec_id,
+         |         bit_count(xor(qs.sg, cs.sg))::BIGINT AS hamming
+         |  FROM probes p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.q_vec_id
+         |  JOIN sig qs ON qs.vec_id = p.q_vec_id
+         |  JOIN sig cs ON cs.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |      ORDER BY hamming, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, hamming, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Filtered int8 serve + refresh: the q231 SDC chain with the
+    // candidate clause and frozen centroid seeds.
+    "q234_int8_filtered_serve" ->
+      s"""WITH $int8Ctes,
+         |el AS (SELECT e.vec_id, l.label, e.emb
+         |       FROM e JOIN (SELECT vec_id, label FROM embeddings) l
+         |         ON e.vec_id = l.vec_id),
+         |${ivfCellCtes("el", "n2.label = 1", "vec_id < 400")},
+         |scored AS (
+         |  SELECT s.q_vec_id, s.n_vec_id, s.cos_sdc
+         |  FROM sdc s
+         |  JOIN assign a ON a.vec_id = s.n_vec_id
+         |  JOIN probes p ON p.cell = a.cell AND p.q_vec_id = s.q_vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_vec_id
+         |      ORDER BY cos_sdc DESC NULLS LAST, n_vec_id) AS rnk
+         |  FROM scored)
+         |SELECT q_vec_id, n_vec_id, cos_sdc, rnk FROM ranked
+         |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Serve-artifact stats: per-cell member counts of the filtered IVF
+    // assignment, folded to the one observability row.
+    "q235_serve_state_stats" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+         |           FROM embeddings),
+         |${ivfCellCtes("e", "n2.label = 1")},
+         |pc AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
+         |SELECT 'float' AS tier, TRUE AS filtered,
+         |       count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_members,
+         |       max(n)::BIGINT AS max_cell, round(avg(n), 6) AS avg_cell,
+         |       0::BIGINT AS generation, 0::BIGINT AS n_tombstones
+         |FROM pc""".stripMargin,
+
+
     // Int8-serve recall: probed-cell SDC top-10 vs the flat q171
     // ranking.
     "q231b_int8_serve_recall" ->
       s"""WITH $int8Ctes,
-         |$ivfCellCtes,
+         |${ivfCellCtes()},
          |approx AS (
          |  SELECT q_vec_id, n_vec_id FROM (
          |    SELECT s.q_vec_id, s.n_vec_id,

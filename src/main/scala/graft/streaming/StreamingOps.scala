@@ -1475,30 +1475,23 @@ object StreamingOps {
         struct(h.as("hemb"),
           array_min(transform(filter(m, c => c.getField("hemb") === h),
             c => c.getField("hid"))).as("hid")))
-    val mergedIdx = oldIdx
-      .join(broadcast(deltaIdx.withColumnRenamed("cands", "_dc")),
-        Seq("hkey"), "full_outer")
-      .select(col("hkey"),
-        when(col("cands").isNull, col("_dc"))
-          .when(col("_dc").isNull, col("cands"))
-          .otherwise(mergeExact(concat(col("cands"), col("_dc"))))
-          .as("cands"))
+    val mergedIdx = broadcastFullOuterMerge(oldIdx,
+      deltaIdx.withColumnRenamed("cands", "_dc"), Seq("hkey"),
+      "cands", "_dc", (a, d) => mergeExact(concat(a, d)))
     // near-dup index: the media-tier fold on (t, bucket)
     val deltaNd = embeddingNdBuckets(deltaEmbs, bits, tables)
     val oldNd = state.where(col("section") === "ndindex")
       .select(col("t"), col("bucket"), col("ndcands").as("cands"))
     val oldNdDropped = state.where(col("section") === "nddropped")
       .select(col("t"), col("bucket"))
-    val mergedNd = graft.Caching.persist(oldNd
-      .join(broadcast(deltaNd.withColumnRenamed("cands", "_dc")),
-        Seq("t", "bucket"), "full_outer")
-      .join(broadcast(oldNdDropped.withColumn("_wasDropped", lit(true))),
-        Seq("t", "bucket"), "left_outer")
-      .select(col("t"), col("bucket"),
-        when(col("cands").isNull, col("_dc"))
-          .when(col("_dc").isNull, col("cands"))
-          .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
-        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped")))
+    val mergedNd = graft.Caching.persist(
+      broadcastFullOuterMerge(oldNd,
+          deltaNd.withColumnRenamed("cands", "_dc"), Seq("t", "bucket"),
+          "cands", "_dc", concat(_, _))
+        .join(broadcast(oldNdDropped.withColumn("_wasDropped", lit(true))),
+          Seq("t", "bucket"), "left_outer")
+        .select(col("t"), col("bucket"), col("cands"),
+          coalesce(col("_wasDropped"), lit(false)).as("_wasDropped")))
     requireUnsaturatedScreenBuckets(
       mergedNd.where(!col("_wasDropped")), maxBucketSize, allowSaturated,
       "extendEmbeddingIngestState",
@@ -1704,8 +1697,10 @@ object StreamingOps {
     // what the arrays contain (a racing append reads as DRIFT, the
     // loud outcome).
     val files = listDataFiles(spark, cellsAt)
-    val rawCells = readCellFiles(spark, cellsAt, files)
-      .where(filter.getOrElse(lit(true)))
+    val scan = readCellFiles(spark, cellsAt, files)
+    val (pred, filterMeta) = serializedFilter(scan, filter, "annServeState")
+    val rawCells = scan
+      .where(pred.getOrElse(lit(true)))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell").cast("long"))
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1720,10 +1715,110 @@ object StreamingOps {
       .agg(collect_list(
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
     serveStateAssembly(spark, cellRows, centsRow,
-      s"filtered=${if (filter.isDefined) 1 else 0};" +
-        serveSnapshotMeta(spark, path, Some(files)),
+      filterMeta + serveSnapshotMeta(spark, path, Some(files)),
       files)
   }
+
+  /**
+   * Serialize a serve-tier metadata predicate into the artifact's meta
+   * row — the mechanism that makes FILTERED serve artifacts
+   * refreshable and maintainable instead of refused: Catalyst renders
+   * every declarative column expression to ANSI SQL (`Expression.sql`),
+   * which parses back through `expr(...)`, so the predicate CAN travel
+   * with the snapshot. Contract (all failures loud, at build time):
+   *  - the predicate must be DETERMINISTIC (a `rand()`-dependent bake
+   *    could never be re-applied to appended rows consistently);
+   *  - the SQL rendering must round-trip: the parsed-back predicate is
+   *    analyzed against the same scan and its canonicalized plan must
+   *    equal the original's — a rendering that drifts (an unregistered
+   *    UDF, a closure-captured value with no literal form) refuses
+   *    naming the predicate, it never bakes something it cannot prove;
+   *  - the build then applies the PARSED predicate, so the stored
+   *    string and the baked snapshot are the same object by
+   *    construction — `filtered=2;filterSql=<base64 of the SQL>` (the
+   *    base64 alphabet cannot collide with the `k=v;` meta framing).
+   * `filtered=1` artifacts (pre-serialization builds) still exist in
+   * the wild; [[refreshAnnServeState]] / [[maintainAnnIndexServing]]
+   * keep refusing those with a rebuild hint.
+   *
+   * @return (the validated predicate to apply, the meta fragment)
+   */
+  private def serializedFilter(
+      scan: DataFrame,
+      filter: Option[Column],
+      builder: String): (Option[Column], String) = filter match {
+    case None => (None, "filtered=0;")
+    case Some(f) =>
+      val origPlan =
+        try scan.where(f).queryExecution.analyzed
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$builder: the metadata filter does not analyze against " +
+                s"the index's stored columns (${e.getMessage}) — only " +
+                "predicates over the metaCols the index build persisted " +
+                "can be baked into a serve artifact", e)
+        }
+      val cond = origPlan.collectFirst {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          flt.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"$builder: analyzed filter plan carries no Filter node"))
+      require(cond.deterministic,
+        s"$builder: the metadata filter must be deterministic — a " +
+          "non-deterministic predicate baked into a snapshot could " +
+          "never be re-applied to appended rows at refresh")
+      val sql =
+        try cond.sql
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$builder: the metadata filter has no SQL rendering " +
+              s"(${e.getMessage}) — only declarative column expressions " +
+              "over the stored metadata columns serialize into the " +
+              "artifact; rewrite the predicate without UDFs/closures", e)
+        }
+      val parsed = expr(sql)
+      val parsedPlan =
+        try scan.where(parsed).queryExecution.analyzed
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$builder: the metadata filter's SQL rendering '$sql' " +
+                s"does not re-analyze against the index's stored " +
+                s"columns (${e.getMessage}) — rewrite the predicate as " +
+                "a plain column expression (no UDFs/closures)", e)
+        }
+      require(origPlan.canonicalized == parsedPlan.canonicalized,
+        s"$builder: the metadata filter's SQL rendering '$sql' does " +
+          "not round-trip to the same predicate — it cannot be baked " +
+          "into the artifact without risking silent drift at refresh; " +
+          "rewrite it as a plain column expression")
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (Some(parsed), s"filtered=2;filterSql=$b64;")
+  }
+
+  /** Decode the predicate a `filtered=2` serve artifact carries —
+    * the [[serializedFilter]] inverse; absence fails naming the
+    * builder (a `filtered=2` meta without `filterSql` is a corrupted
+    * or hand-edited artifact). */
+  private def decodedFilter(
+      params: Map[String, String], builder: String): Column = {
+    require(params.contains("filterSql"),
+      s"$builder artifact declares filtered=2 but carries no filterSql " +
+        s"meta key — the artifact is corrupted; rebuild with $builder")
+    expr(new String(
+      java.util.Base64.getDecoder.decode(params("filterSql")),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The `filtered=…` meta fragment a refresh/rebuild carries forward
+    * from an existing artifact's params — `filtered=2;filterSql=…;`
+    * when a serialized predicate rides along, else `filtered=0;`. */
+  private def filterMetaOf(params: Map[String, String]): String =
+    if (params.getOrElse("filtered", "0") == "2")
+      s"filtered=2;filterSql=${params("filterSql")};"
+    else "filtered=0;"
 
   /** Read index rows from an EXPLICIT relative-path file list (the
     * capture-first discipline every serve build and refresh shares);
@@ -1790,6 +1885,49 @@ object StreamingOps {
         out += baseUri.relativize(f.getPath.toUri).getPath
     }
     out.toSeq.sorted
+  }
+
+  /** FULL-OUTER concat-merge of a SMALL delta's keyed arrays into a
+    * LARGE keyed frame with the large side streaming through a real
+    * BroadcastHashJoin. Spark supports NO broadcast full-outer join —
+    * a `broadcast(...)` hint on one is silently dropped and the plan
+    * degrades to a shuffle of BOTH sides, the exact O(history) cost
+    * the extend* / refresh operators exist to avoid. The equivalent
+    * is composed from three broadcast-able pieces:
+    *  1. `big ⟕ broadcast(delta)` patches keys the artifact already
+    *     holds (BroadcastHashJoin LeftOuter, build right — the big
+    *     side never moves);
+    *  2. `big.keys ⋉ broadcast(delta.keys)` finds which delta keys
+    *     matched — a column-pruned second pass over the big side's
+    *     KEY columns only, still shuffle-free (BroadcastHashJoin
+    *     LeftSemi), output ≤ |delta| rows;
+    *  3. `delta ▷ broadcast(matched)` appends first-ever keys
+    *     (BroadcastHashJoin LeftAnti, build right).
+    * Row-for-row ≡ `big ⟗ delta` + the null-coalescing merge. The
+    * small-delta broadcast contract is the extend* scaladocs'; the
+    * big side is read twice (full pass + key pass), so artifacts
+    * should be parquet-backed per the artifact convention — both
+    * passes are then pruned scans, not plan re-executions.
+    *
+    * @param merge combines the two sides where a key exists in both
+    */
+  private def broadcastFullOuterMerge(
+      big: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      deltaCol: String,
+      merge: (Column, Column) => Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val patched = big.join(broadcast(delta), keys, "left_outer")
+      .select(keyCols :+
+        when(col(deltaCol).isNull, col(valueCol))
+          .otherwise(merge(col(valueCol), col(deltaCol))).as(valueCol): _*)
+    val matched = big.select(keyCols: _*)
+      .join(broadcast(delta.select(keyCols: _*)), keys, "left_semi")
+    val fresh = delta.join(broadcast(matched), keys, "left_anti")
+      .select(keyCols :+ col(deltaCol).as(valueCol): _*)
+    patched.unionByName(fresh)
   }
 
   /** The snapshot coordinates a serve artifact records at build:
@@ -2001,6 +2139,42 @@ object StreamingOps {
         "from the current index")
   }
 
+  /**
+   * ONE-ROW observability for a serve artifact — the pre-deploy radar
+   * the serve tier was missing (the `annIndexStats` convention,
+   * applied to the packaged artifact instead of the index dirs): the
+   * tier resolves from the frame itself ([[serveTierOf]]), and the
+   * row reads the artifact's OWN sections — no index directory
+   * needed, so a parquet-shipped artifact is inspectable wherever it
+   * lands. Columns: `tier`, `filtered` (was a predicate baked in),
+   * `n_cells` (inverted lists with ≥1 member), `n_members` (total
+   * candidates — for a filtered artifact this is the PREDICATE
+   * population, the number a capacity plan actually needs),
+   * `max_cell` / `avg_cell` (list skew = probe latency — the same
+   * signal `annIndexStats` surfaces before a build), and the snapshot
+   * coordinates (`generation`, `n_tombstones`, `n_cell_files`) the
+   * freshness guard compares. Cost: one pass over the cells section.
+   */
+  def serveStateStats(state: DataFrame): DataFrame = {
+    val (tier, builder, candsName) = serveTierOf(state)
+    val params = artifactMeta(state, builder,
+      required = Seq("generation", "n_tombstones", "n_cell_files"))
+    state.where(col("section") === "cells")
+      .select(size(col(candsName)).as("_n"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("_n")), lit(0)).cast("long").as("n_members"),
+        coalesce(max(col("_n")), lit(0)).cast("long").as("max_cell"),
+        coalesce(round(avg(col("_n")), 6), lit(0.0)).as("avg_cell"))
+      .select(
+        lit(tier).as("tier"),
+        lit(params.getOrElse("filtered", "0") != "0").as("filtered"),
+        col("n_cells"), col("n_members"), col("max_cell"), col("avg_cell"),
+        lit(params("generation")).cast("long").as("generation"),
+        lit(params("n_tombstones")).cast("long").as("n_tombstones"),
+        lit(params("n_cell_files")).cast("long").as("n_cell_files"))
+  }
+
   /** Serve-tier dispatch by candidate-column schema: (tier, builder,
     * candsName). Every serve artifact names its tier through a
     * DISTINCT candidate column, so the lifecycle operators
@@ -2040,9 +2214,11 @@ object StreamingOps {
    *
    * STRICTLY append-only by loud guards (everything else needs a full
    * rebuild with the artifact's builder):
-   *  - a FILTERED artifact refuses (the predicate Column is not
-   *    serializable into the artifact, so the patch cannot re-apply it
-   *    to the new rows);
+   *  - a FILTERED artifact built since the predicate-serialization
+   *    convention (`filtered=2`) refreshes fine — the delta rows pass
+   *    through the artifact's own decoded predicate
+   *    ([[serializedFilter]]) before encoding; a pre-convention opaque
+   *    one (`filtered=1`) refuses with a one-time-rebuild hint;
    *  - a generation or tombstone drift refuses (a compaction re-keys
    *    the file universe; a delete must fold OUT of the arrays, not
    *    concat in);
@@ -2064,16 +2240,23 @@ object StreamingOps {
     val (tier, builder, candsName) = serveTierOf(state)
     val tierKeys = tier match {
       case "pq" => Seq("filtered", "m", "subDim", "k", "pqStride")
-      case "hamming" => Seq("bits")
-      case "float" => Seq("filtered")
-      case _ => Nil
+      case "hamming" => Seq("bits", "filtered")
+      case _ => Seq("filtered")
     }
     val params = artifactMeta(state, builder,
       required = tierKeys ++ Seq("generation", "n_tombstones", "n_cell_files"))
-    require(params.getOrElse("filtered", "0") == "0",
-      "refreshAnnServeState: this artifact baked a metadata filter into " +
-        "its snapshot — the predicate cannot be re-applied to appended " +
-        s"rows from the artifact alone; rebuild with $builder(path, filter)")
+    require(params("filtered") != "1",
+      "refreshAnnServeState: this artifact baked an OPAQUE metadata " +
+        "filter (built before the predicate-serialization convention) — " +
+        "the predicate cannot be recovered from the artifact alone; " +
+        s"rebuild ONCE with the current $builder(path, filter) and " +
+        "refreshes will work from then on (the predicate now travels " +
+        "in the meta row)")
+    // a filtered=2 artifact carries its own predicate — decode it so
+    // the delta rows pass through the exact expression the build baked
+    val servePred: Option[Column] =
+      if (params("filtered") == "2") Some(decodedFilter(params, builder))
+      else None
     val now = serveSnapshotMeta(spark, path).split(';')
       .map(_.split('=')).map(kv => kv(0) -> kv(1)).toMap
     require(params("generation") == now("generation") &&
@@ -2114,11 +2297,11 @@ object StreamingOps {
         .map(_.map(_.toArray).toArray).toArray
     }
     val metaPrefix = tier match {
-      case "pq" => s"filtered=0;m=${params("m")};subDim=${params("subDim")};" +
+      case "pq" => filterMetaOf(params) +
+        s"m=${params("m")};subDim=${params("subDim")};" +
         s"k=${params("k")};pqStride=${params("pqStride")};"
-      case "hamming" => s"bits=${params("bits")};"
-      case "float" => "filtered=0;"
-      case _ => ""
+      case "hamming" => s"bits=${params("bits")};" + filterMetaOf(params)
+      case _ => filterMetaOf(params)
     }
     val metaStr = metaPrefix + serveSnapshotMeta(spark, path, Some(current))
     def assembled(cells: DataFrame): DataFrame = tier match {
@@ -2139,11 +2322,16 @@ object StreamingOps {
         fresh.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
       else fresh
+    // the artifact's own predicate prunes the delta exactly as the
+    // build pruned the base scan; the PQ seed-clash check below stays
+    // UNFILTERED on purpose — the rebuild contract's codebook reads
+    // unfiltered live rows, so seed positions are filter-independent
+    val freshKept = servePred.map(freshLive.where).getOrElse(freshLive)
     // tier-specific delta encoding — each matches its builder's
     // candidate struct field-for-field (the assembly shares the code,
     // so a drift would fail the unionByName, not ship)
     val deltaCells = (tier match {
-      case "float" => freshLive.select(col("cell"),
+      case "float" => freshKept.select(col("cell"),
         struct(col("vec_id"), col("emb"), col("nrm")).as("_c"))
       case "pq" =>
         val k = metaInt(params, "k", builder)
@@ -2161,16 +2349,16 @@ object StreamingOps {
             "over the grown index would derive a DIFFERENT codebook, so " +
             "patching with the artifact's frozen codebook would diverge " +
             "from the rebuild contract; rebuild with annServePqState")
-        freshLive.select(col("cell"),
+        freshKept.select(col("cell"),
           struct(col("vec_id").as("n_vec_id"),
             Similarity.pqCodesCol(col("emb"), cb, subDim).as("codes")).as("_c"))
       case "hamming" =>
         val bits = metaInt(params, "bits", builder)
-        freshLive.select(col("cell"),
+        freshKept.select(col("cell"),
           struct(col("vec_id").as("n_vec_id"),
             Similarity.lshBucketCol(col("emb"), bits).as("sig")).as("_c"))
       case _ => Similarity.int8Coded(
-          freshLive.select(col("vec_id"), col("emb").as("embedding"),
+          freshKept.select(col("vec_id"), col("emb").as("embedding"),
             col("cell")), "n_", carry = Seq("cell"))
         .select(col("cell"), struct(
           col("n_vec_id"), col("n_q").as("q"), col("n_min").as("minv"),
@@ -2179,13 +2367,10 @@ object StreamingOps {
     }).groupBy(col("cell")).agg(collect_list(col("_c")).as("_dcands"))
     // broadcast the delta side: untouched cell rows pass through the
     // join unshuffled; a cell whose first-ever member arrives in the
-    // delta (a previously-empty inverted list) enters via full_outer
-    val merged = oldCells
-      .join(broadcast(deltaCells), Seq("cell"), "full_outer")
-      .select(col("cell"),
-        when(col(candsName).isNull, col("_dcands"))
-          .when(col("_dcands").isNull, col(candsName))
-          .otherwise(concat(col(candsName), col("_dcands"))).as(candsName))
+    // delta (a previously-empty inverted list) enters via the
+    // anti-join leg of [[broadcastFullOuterMerge]]
+    val merged = broadcastFullOuterMerge(oldCells, deltaCells, Seq("cell"),
+      candsName, "_dcands", concat(_, _))
     assembled(merged)
   }
 
@@ -2202,9 +2387,11 @@ object StreamingOps {
    *    `rebuilt`, a from-scratch build with the artifact's OWN builder
    *    and parameters (tier and m/subDim/k/pqStride/bits all resolve
    *    from the frame — the caller repeats nothing).
-   * A FILTERED artifact refuses upfront: its predicate is not
-   * serializable, so no automatic repair can reproduce it — rebuild it
-   * manually with the original filter.
+   * A FILTERED artifact built since the predicate-serialization
+   * convention (`filtered=2`) repairs like any other — the baked
+   * predicate decodes from the meta row and both arms re-apply it; a
+   * pre-convention opaque one (`filtered=1`) refuses upfront with a
+   * one-time-rebuild hint.
    *
    * Returns (report, artifact): the report is [[graft.operators
    * .Similarity.maintainAnnIndex]]'s row plus a `serve_action` column
@@ -2223,18 +2410,24 @@ object StreamingOps {
     val (tier, builder, _) = serveTierOf(serveState)
     val tierKeys = tier match {
       case "pq" => Seq("filtered", "m", "subDim", "k", "pqStride")
-      case "hamming" => Seq("bits")
-      case "float" => Seq("filtered")
-      case _ => Nil
+      case "hamming" => Seq("bits", "filtered")
+      case _ => Seq("filtered")
     }
     val params = artifactMeta(serveState, builder,
       required = tierKeys ++ Seq("generation", "n_tombstones", "n_cell_files"))
-    require(params.getOrElse("filtered", "0") == "0",
-      "maintainAnnIndexServing: this artifact baked a metadata filter " +
-        "into its snapshot — the predicate is not serializable, so no " +
-        "automatic repair can reproduce it; maintain the index with " +
-        s"maintainAnnIndex and rebuild the artifact manually with " +
-        s"$builder(path, filter)")
+    require(params("filtered") != "1",
+      "maintainAnnIndexServing: this artifact baked an OPAQUE metadata " +
+        "filter (built before the predicate-serialization convention) — " +
+        "no automatic repair can reproduce it; maintain the index with " +
+        s"maintainAnnIndex and rebuild ONCE with the current " +
+        s"$builder(path, filter) — repairs will work from then on (the " +
+        "predicate now travels in the meta row)")
+    // a filtered=2 artifact's predicate rides the meta row — the
+    // rebuild arm re-applies it, so a filtered serve state is repaired
+    // with the SAME baked predicate the original build validated
+    val servePred: Option[Column] =
+      if (params("filtered") == "2") Some(decodedFilter(params, builder))
+      else None
     val report = Similarity.maintainAnnIndex(
       spark, path, maxDebtFrac, reclaimRetained)
     val now = serveSnapshotMeta(spark, path).split(';')
@@ -2250,11 +2443,12 @@ object StreamingOps {
           m = metaInt(params, "m", builder),
           subDim = metaInt(params, "subDim", builder),
           k = metaInt(params, "k", builder),
-          pqStride = metaInt(params, "pqStride", builder))
+          pqStride = metaInt(params, "pqStride", builder),
+          filter = servePred)
         case "hamming" => annServeHammingState(spark, path,
-          bits = metaInt(params, "bits", builder))
-        case "int8" => annServeInt8State(spark, path)
-        case _ => annServeState(spark, path)
+          bits = metaInt(params, "bits", builder), filter = servePred)
+        case "int8" => annServeInt8State(spark, path, filter = servePred)
+        case _ => annServeState(spark, path, filter = servePred)
       })
     (report.withColumn("serve_action", lit(action)), artifact)
   }
@@ -2435,12 +2629,13 @@ object StreamingOps {
     // capture-first (the annServeState discipline): the files section
     // must record exactly the files the code arrays were read from
     val files = listDataFiles(spark, cellsAt)
+    val scan = readCellFiles(spark, cellsAt, files)
+    val (pred, filterMeta) = serializedFilter(scan, filter, "annServePqState")
     // live rows of the snapshot; the predicate (when present) applies
     // to the raw scan so it pushes into the cell files as a parquet
     // filter over the stored metadata columns
-    def liveRows(pred: Option[Column]): DataFrame = {
-      val scan = readCellFiles(spark, cellsAt, files)
-      val cells = pred.map(scan.where).getOrElse(scan)
+    def liveRows(p: Option[Column]): DataFrame = {
+      val cells = p.map(scan.where).getOrElse(scan)
         .select(col("vec_id"), col("emb"), col("cell").cast("long"))
       if (fs.exists(new org.apache.hadoop.fs.Path(tombsAt)))
         cells.join(broadcast(spark.read.parquet(tombsAt)),
@@ -2454,7 +2649,7 @@ object StreamingOps {
     val cb = Similarity.pqCodebook(
       liveRows(None).select(col("vec_id"), col("emb").as("embedding")),
       m, subDim, k, pqStride)
-    val cellRows = liveRows(filter)
+    val cellRows = liveRows(pred)
       .select(col("cell"), struct(col("vec_id").as("n_vec_id"),
         Similarity.pqCodesCol(col("emb"), cb, subDim).as("codes")).as("c"))
       .groupBy(col("cell")).agg(collect_list(col("c")).as("pq_cands"))
@@ -2462,8 +2657,7 @@ object StreamingOps {
       .agg(collect_list(
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
     pqServeAssembly(spark, cellRows, centsRow, cb,
-      s"filtered=${if (filter.isDefined) 1 else 0};" +
-        s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
+      filterMeta + s"m=$m;subDim=$subDim;k=$k;pqStride=$pqStride;" +
         serveSnapshotMeta(spark, path, Some(files)),
       files)
   }
@@ -2615,13 +2809,18 @@ object StreamingOps {
   def annServeHammingState(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      bits: Int = 48): DataFrame = {
+      bits: Int = 48,
+      filter: Option[Column] = None): DataFrame = {
     import graft.operators.Similarity
     require(bits >= 8 && bits <= 62,
       s"bits must be in [8, 62] (packed into one signed long), got $bits")
     val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
     val files = listDataFiles(spark, cellsAt)
-    val raw = readCellFiles(spark, cellsAt, files)
+    val scan = readCellFiles(spark, cellsAt, files)
+    val (pred, filterMeta) =
+      serializedFilter(scan, filter, "annServeHammingState")
+    val raw = scan
+      .where(pred.getOrElse(lit(true)))
       .select(col("vec_id"), col("emb"), col("cell").cast("long"))
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2638,7 +2837,7 @@ object StreamingOps {
       .agg(collect_list(
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
     serveStateAssembly(spark, cellRows, centsRow,
-      s"bits=$bits;" + serveSnapshotMeta(spark, path, Some(files)),
+      s"bits=$bits;" + filterMeta + serveSnapshotMeta(spark, path, Some(files)),
       files, candsName = "h_cands")
   }
 
@@ -2733,11 +2932,15 @@ object StreamingOps {
    */
   def annServeInt8State(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String,
+      filter: Option[Column] = None): DataFrame = {
     import graft.operators.Similarity
     val (cellsAt, tombsAt) = Similarity.resolvedIndex(spark, path)
     val files = listDataFiles(spark, cellsAt)
-    val raw = readCellFiles(spark, cellsAt, files)
+    val scan = readCellFiles(spark, cellsAt, files)
+    val (pred, filterMeta) = serializedFilter(scan, filter, "annServeInt8State")
+    val raw = scan
+      .where(pred.getOrElse(lit(true)))
       .select(col("vec_id"), col("emb").as("embedding"), col("cell").cast("long"))
     val fs = new org.apache.hadoop.fs.Path(tombsAt)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2756,7 +2959,7 @@ object StreamingOps {
       .agg(collect_list(
         struct(col("cent_id"), col("c_emb"), col("c_nrm"))).as("cents"))
     serveStateAssembly(spark, cellRows, centsRow,
-      serveSnapshotMeta(spark, path, Some(files)),
+      filterMeta + serveSnapshotMeta(spark, path, Some(files)),
       files, candsName = "i_cands")
   }
 
@@ -3447,15 +3650,12 @@ object StreamingOps {
       .select(col("band"), col("band_val"), col("cands"))
     val oldDropped = state.where(col("section") === "dropped")
       .select(col("band"), col("band_val"))
-    val merged = oldIdx
-      .join(broadcast(deltaBuckets.withColumnRenamed("cands", "_dc")),
-        Seq("band", "band_val"), "full_outer")
+    val merged = broadcastFullOuterMerge(oldIdx,
+        deltaBuckets.withColumnRenamed("cands", "_dc"),
+        Seq("band", "band_val"), "cands", "_dc", concat(_, _))
       .join(broadcast(oldDropped.withColumn("_wasDropped", lit(true))),
         Seq("band", "band_val"), "left_outer")
-      .select(col("band"), col("band_val"),
-        when(col("cands").isNull, col("_dc"))
-          .when(col("_dc").isNull, col("cands"))
-          .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
+      .select(col("band"), col("band_val"), col("cands"),
         coalesce(col("_wasDropped"), lit(false)).as("_wasDropped"))
     val mergedP = graft.Caching.persist(merged)
     requireUnsaturatedScreenBuckets(
@@ -4015,16 +4215,14 @@ object StreamingOps {
       .select(col("band"), col("band_bits"), col("cands"))
     val oldDropped = state.where(col("section") === "dropped")
       .select(col("band"), col("band_bits"))
-    val merged = graft.Caching.persist(oldIdx
-      .join(broadcast(deltaBuckets.withColumnRenamed("cands", "_dc")),
-        Seq("band", "band_bits"), "full_outer")
-      .join(broadcast(oldDropped.withColumn("_wasDropped", lit(true))),
-        Seq("band", "band_bits"), "left_outer")
-      .select(col("band"), col("band_bits"),
-        when(col("cands").isNull, col("_dc"))
-          .when(col("_dc").isNull, col("cands"))
-          .otherwise(concat(col("cands"), col("_dc"))).as("cands"),
-        coalesce(col("_wasDropped"), lit(false)).as("_wasDropped")))
+    val merged = graft.Caching.persist(
+      broadcastFullOuterMerge(oldIdx,
+          deltaBuckets.withColumnRenamed("cands", "_dc"),
+          Seq("band", "band_bits"), "cands", "_dc", concat(_, _))
+        .join(broadcast(oldDropped.withColumn("_wasDropped", lit(true))),
+          Seq("band", "band_bits"), "left_outer")
+        .select(col("band"), col("band_bits"), col("cands"),
+          coalesce(col("_wasDropped"), lit(false)).as("_wasDropped")))
     requireUnsaturatedScreenBuckets(
       merged.where(!col("_wasDropped")), maxBucketDocs, allowSaturated,
       s"extend${builder.capitalize}",

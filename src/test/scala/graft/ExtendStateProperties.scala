@@ -182,9 +182,10 @@ object ExtendStateProperties extends Properties("ExtendState") {
     1 -> Gen.chooseNum(Long.MinValue, Long.MaxValue))
 
   // admissible explicit layouts (nBands·bandBits must tile the 56-bit
-  // hash exactly — the requireBandLayout contract)
+  // hash exactly AND keep bandBits ≤ 16 — the requireBandLayout
+  // contract; (2, 28) would trip the driver-safety cap by design)
   private val layoutGen: Gen[(Int, Int)] =
-    Gen.oneOf((7, 8), (4, 14), (8, 7), (14, 4), (2, 28))
+    Gen.oneOf((7, 8), (4, 14), (8, 7), (14, 4), (28, 2))
 
   private case class MediaFx(
       hist: List[(Long, Long)], delta: List[(Long, Long)],

@@ -74,6 +74,13 @@ class PlanAuditSpec extends SparkSpec {
     "q231_int8_serve", // the serve screen's 1-row cents-array broadcast
                        // cross + q82's build-side centroid broadcast
     "q231b_int8_serve_recall", // the serve cross + q171's flat SDC scan
+    "q232_filtered_serve_refresh", // the float serve screen's 1-row
+                                   // cents-array broadcast cross + q82's
+                                   // build-side centroid broadcast
+    "q233_hamming_filtered_serve", // the q230 serve cross under the
+                                   // serialized predicate
+    "q234_int8_filtered_serve", // the q231 serve cross under the
+                                // serialized predicate
                                // (broadcast quantized queries) as the
                                // recall denominator
     "q103_hard_negatives", // exact tier = q15's declared full scan with

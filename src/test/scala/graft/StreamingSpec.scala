@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, rand, regexp_replace, udf, when}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamingOps
@@ -1926,14 +1926,19 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingOps.refreshAnnServeState(spark, idx, refreshed)
     }.getMessage should include("moved past appends")
-    // a FILTERED artifact refuses — the predicate cannot be re-applied
-    // to appended rows from the artifact alone
+    // a FILTERED artifact refreshes — the serialized predicate decodes
+    // from the meta row and re-applies to the delta (the four-tier
+    // parity is pinned in the "serialized serve filters" case; here:
+    // the no-drift refresh passes the freshness guard and keeps the
+    // predicate fragment in its meta row)
     val idx2 = java.nio.file.Files.createTempDirectory("ann_refresh_f").toString
     Similarity.buildAnnIndex(e, idx2, stride = 100, metaCols = Seq("label"))
     val stF = StreamingOps.annServeState(spark, idx2, Some(col("label") === 1))
-    intercept[IllegalArgumentException] {
-      StreamingOps.refreshAnnServeState(spark, idx2, stF)
-    }.getMessage should include("filter")
+    val refreshedF = StreamingOps.refreshAnnServeState(spark, idx2, stF)
+    StreamingOps.requireServeStateCurrent(spark, idx2, refreshedF)
+    refreshedF.where(col("section") === "meta")
+      .select(col("meta")).head().getString(0) should
+      include("filtered=2;filterSql=")
   }
 
   test("streaming annSearchStreamPq: row-identical to ivfPqTopK, incl. post-delete rebuild") {
@@ -2929,13 +2934,192 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.requireServeStateCurrent(spark, idx3, art3)
     art3.columns should contain("pq_cands") // rebuilt in ITS OWN tier
 
-    // a FILTERED artifact refuses upfront, naming the manual fix
+    // a FILTERED artifact repairs automatically — the serialized
+    // predicate decodes from the meta row and rides the refresh
     val idx4 = java.nio.file.Files.createTempDirectory("maint_serve4").toString
-    Similarity.buildAnnIndex(e, idx4, stride = 100, metaCols = Seq("label"))
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx4,
+      stride = 100, metaCols = Seq("label"))
     val stF = StreamingOps.annServeState(spark, idx4, Some(col("label") === 1))
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx4)
+    val (rep4, art4) = StreamingOps.maintainAnnIndexServing(spark, idx4, stF)
+    rep4.select("serve_action").head().getString(0) shouldBe "refreshed"
+    StreamingOps.requireServeStateCurrent(spark, idx4, art4)
+
+    // … but a LEGACY opaque-filter artifact (filtered=1, pre-
+    // serialization convention) still refuses with the rebuild hint
+    val legacy = art4.withColumn("meta",
+      regexp_replace(col("meta"), "filtered=2;filterSql=[^;]*;", "filtered=1;"))
     intercept[IllegalArgumentException] {
-      StreamingOps.maintainAnnIndexServing(spark, idx4, stF)
-    }.getMessage should include("not serializable")
+      StreamingOps.maintainAnnIndexServing(spark, idx4, legacy)
+    }.getMessage should include("OPAQUE")
+  }
+
+  test("serveStateStats: tier/population/skew/coordinates read from the artifact alone, across the lifecycle") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_sstats").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx,
+      stride = 100, metaCols = Seq("label"))
+    def statsOf(st: org.apache.spark.sql.DataFrame) =
+      StreamingOps.serveStateStats(st).head()
+    // unfiltered float: every base row is a member
+    val r0 = statsOf(StreamingOps.annServeState(spark, idx))
+    r0.getAs[String]("tier") shouldBe "float"
+    r0.getAs[Boolean]("filtered") shouldBe false
+    r0.getAs[Long]("n_members") shouldBe 400L
+    r0.getAs[Long]("generation") shouldBe 0L
+    // filtered: the predicate population, not the corpus
+    val nLbl = e.where(col("vec_id") < 400 && col("label") === 1).count()
+    val stF = StreamingOps.annServeState(spark, idx, Some(col("label") === 1))
+    statsOf(stF).getAs[Long]("n_members") shouldBe nLbl
+    statsOf(stF).getAs[Boolean]("filtered") shouldBe true
+    // after an append + refresh the members grow by the FILTERED delta
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    val nLblDelta = e.where(col("vec_id") >= 400 && col("label") === 1).count()
+    val rF = statsOf(StreamingOps.refreshAnnServeState(spark, idx, stF))
+    rF.getAs[Long]("n_members") shouldBe nLbl + nLblDelta
+    // the other tiers report their own names from the frame alone
+    statsOf(StreamingOps.annServeHammingState(spark, idx))
+      .getAs[String]("tier") shouldBe "hamming"
+    statsOf(StreamingOps.annServeInt8State(spark, idx))
+      .getAs[String]("tier") shouldBe "int8"
+    statsOf(StreamingOps.annServePqState(spark, idx))
+      .getAs[String]("tier") shouldBe "pq"
+    // not a serve artifact → the serveTierOf guard names the builders
+    intercept[IllegalArgumentException] {
+      StreamingOps.serveStateStats(e)
+    }.getMessage should include("not a serve artifact")
+  }
+
+  test("extend/refresh merges never shuffle the artifact side: no sort-merge or shuffled-hash join in the plan") {
+    // Spark silently DROPS a broadcast hint on a full-outer join, so
+    // the old `big ⟗ broadcast(delta)` folds degraded to a shuffle of
+    // the whole artifact — the exact O(history) cost the O(delta)
+    // operators claim to avoid. broadcastFullOuterMerge replaces the
+    // shape; this pins its plan so a refactor cannot quietly regress.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_plan_merge").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx, stride = 100)
+    def roundtrip(df: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_plan_rt").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val st = roundtrip(StreamingOps.annServeState(spark, idx))
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    val plan = StreamingOps.refreshAnnServeState(spark, idx, st)
+      .queryExecution.executedPlan.toString
+    withClue(plan.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        .mkString("\n")) {
+      plan should not include "SortMergeJoin"
+      plan should not include "ShuffledHashJoin"
+    }
+  }
+
+  test("serialized serve filters: filtered artifacts refresh on all four tiers; build guards stay loud") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ann_ffilter").toString
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx,
+      stride = 100, metaCols = Seq("label"))
+    val pred = col("label") === 1
+    def roundtrip(df: org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_ff_rt").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val fl0 = roundtrip(StreamingOps.annServeState(spark, idx, Some(pred)))
+    val pq0 = roundtrip(StreamingOps.annServePqState(spark, idx,
+      filter = Some(pred)))
+    val hm0 = roundtrip(StreamingOps.annServeHammingState(spark, idx,
+      bits = 48, filter = Some(pred)))
+    val i80 = roundtrip(StreamingOps.annServeInt8State(spark, idx,
+      filter = Some(pred)))
+    // the delta (vec_id ≥ 400) sits past the PQ seed ceiling
+    // (PqK · PqStride = 400), so the frozen-codebook patch and a
+    // from-scratch rebuild derive the SAME codebook — parity is exact
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    def canon(st: org.apache.spark.sql.DataFrame, candsCol: String) = {
+      val cells = st.where(col("section") === "cells")
+        .select(col("cell"),
+          org.apache.spark.sql.functions.explode(col(candsCol)).as("c"))
+        .select(col("cell"),
+          org.apache.spark.sql.functions.to_json(col("c")).as("j"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      val meta = st.where(col("section") === "meta")
+        .select(col("meta")).head().getString(0)
+      val files = st.where(col("section") === "files")
+        .select(col("meta")).collect().map(_.getString(0)).toSet
+      (cells, meta, files)
+    }
+    for ((st0, candsCol, fresh) <- Seq(
+        (fl0, "cands",
+          () => StreamingOps.annServeState(spark, idx, Some(pred))),
+        (pq0, "pq_cands",
+          () => StreamingOps.annServePqState(spark, idx, filter = Some(pred))),
+        (hm0, "h_cands",
+          () => StreamingOps.annServeHammingState(spark, idx, bits = 48,
+            filter = Some(pred))),
+        (i80, "i_cands",
+          () => StreamingOps.annServeInt8State(spark, idx,
+            filter = Some(pred))))) {
+      val refreshed =
+        roundtrip(StreamingOps.refreshAnnServeState(spark, idx, st0))
+      StreamingOps.requireServeStateCurrent(spark, idx, refreshed)
+      canon(refreshed, candsCol) shouldBe canon(roundtrip(fresh()), candsCol)
+    }
+    // end-to-end: the float screen over the REFRESHED filtered artifact
+    // is row-identical to the batch filtered probe over the GROWN index
+    val q = e.where(col("vec_id") < 5)
+    val qRows = q.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toIndexedSeq
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_vec_id"), r.getAs[Long]("n_vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Long]("rank"))).toSet
+    val refreshedFl = StreamingOps.refreshAnnServeState(spark, idx, fl0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val sq = StreamingOps.annSearchStream(
+        input.toDF().toDF("vec_id", "embedding"), refreshedFl,
+        k = 10, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_ffilter_stream")
+      .outputMode(OutputMode.Append()).start()
+    val got = try {
+      input.addData(qRows: _*)
+      sq.processAllAvailable()
+      rowsOf(spark.table("ann_ffilter_stream"))
+    } finally sq.stop()
+    val batch = rowsOf(Similarity.searchAnnIndexedFiltered(
+      spark, idx, q, pred, k = 10, nProbe = 2))
+    got shouldBe batch
+    batch should not be empty
+    // legacy opaque artifact (filtered=1): refresh refuses by name
+    val legacy = fl0.withColumn("meta",
+      regexp_replace(col("meta"), "filtered=2;filterSql=[^;]*;", "filtered=1;"))
+    intercept[IllegalArgumentException] {
+      StreamingOps.refreshAnnServeState(spark, idx, legacy)
+    }.getMessage should include("OPAQUE")
+    // a NON-DETERMINISTIC predicate can never be re-applied
+    // consistently — refused at build, before anything is baked
+    intercept[IllegalArgumentException] {
+      StreamingOps.annServeState(spark, idx, Some(rand() > 0.5))
+    }.getMessage should include("deterministic")
+    // a predicate whose SQL rendering cannot re-analyze against the
+    // stored columns (an unregistered Scala closure) refuses at build
+    val closurePred = udf((l: Int) => l == 1)
+    intercept[IllegalArgumentException] {
+      StreamingOps.annServeState(spark, idx, Some(closurePred(col("label"))))
+    }.getMessage should (include("does not re-analyze") or
+      include("no SQL rendering") or include("does not round-trip"))
   }
 
   test("annIndexIngestSink: replayed batches land each vector exactly once; probes see arrivals") {
