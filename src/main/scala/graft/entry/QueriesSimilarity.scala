@@ -715,6 +715,27 @@ private[graft] object QueriesSimilarity {
     }),
 
 
+    // QUANTIZER RETRAIN: build on the full corpus, tombstone vec_id ≡ 2
+    // (mod 4) — killing centroid 200's SOURCE VECTOR — then RETRAIN:
+    // fresh centroids from the live rows (200 is no longer a seed),
+    // every live row re-assigned, tombstones folded, lists + quantizer
+    // committed by ONE atomic marker. Oracle = direct IVF over the live
+    // rows with the LIVE seed set — retrain ≡ a fresh build on the live
+    // corpus, the frozen-quantizer contract's explicit release valve.
+    "q236_ann_retrain" -> ((s, dir) => {
+      val idx = tempIndexDir("graft_ann_retrain_")
+      val e = tbl(s, dir, "embeddings")
+      Similarity.buildAnnIndex(e, idx, stride = 100)
+      Similarity.deleteFromAnnIndex(s,
+        e.where(pmod(col("vec_id"), lit(4)) === 2), idx)
+      Similarity.retrainAnnIndex(s, idx, stride = 100)
+      Similarity.searchAnnIndexed(s, idx, e.where(col("vec_id") < 5),
+          k = 10, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_vec_id"), col("rnk"))
+    }),
+
+
     // SERVE-ARTIFACT STATS (the pre-deploy radar): one row over the
     // packaged artifact's own sections — tier, predicate population,
     // list-skew signal, snapshot coordinates. Oracle recomputes the
@@ -1872,6 +1893,12 @@ private[graft] object QueriesSimilarity {
          |  FROM scored)
          |SELECT q_vec_id, n_vec_id, cos_sdc, rnk FROM ranked
          |WHERE rnk <= 10 ORDER BY q_vec_id, rnk""".stripMargin,
+
+
+    // Quantizer retrain: direct IVF over the live rows with the live
+    // seed set — centroids AND candidates both read corpus ∖ deletes.
+    "q236_ann_retrain" ->
+      ivfTopKSqlWith("vec_id % 4 <> 2", "n.vec_id % 4 <> 2"),
 
 
     // Serve-artifact stats: per-cell member counts of the filtered IVF

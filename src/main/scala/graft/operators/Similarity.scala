@@ -504,7 +504,13 @@ object Similarity {
     }
     val n = normed(corpus, metaCols)
     val cents = ivfCentroids(n, stride)
+    // repartition BY CELL before the partitioned write: without it every
+    // shuffle task writes a sliver into every cell directory (tasks ×
+    // cells small files — 15k files for a 90k-row index, measured), and
+    // every later scan/serve-build pays the footer storm; with it each
+    // inverted list is ONE file — the locality the probe reads
     ivfAssign(n, cents, metaCols)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     // the rebuilt lists live at `cells` (generation 0) again: retire
@@ -537,6 +543,7 @@ object Similarity {
     val (dir, tombsAt) = resolvedIndex(spark, path)
     requireNoTombstoneClash(spark, delta, tombsAt, "appendAnnIndex")
     assignedDelta(spark, delta, path, dir)
+      .repartition(col("cell")) // one file per touched cell, not tasks×cells
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
@@ -576,7 +583,7 @@ object Similarity {
       delta: DataFrame,
       path: String,
       dir: String): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(resolvedCentroids(spark, path))
     val metaCols = spark.read.parquet(dir).columns.toSeq
       .filterNot(Set("vec_id", "emb", "nrm", "cell"))
     ivfAssign(normed(delta, metaCols), cents, metaCols)
@@ -635,6 +642,7 @@ object Similarity {
     requireNoTombstoneClash(spark, delta, tombsAt, "appendAnnIndexIdempotent")
     val staging = s"$path/_ingest_staging_$batchKey"
     assignedDelta(spark, delta, path, dir)
+      .repartition(col("cell")) // one file per touched cell, not tasks×cells
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
     // per-file atomic renames under the batch-key prefix
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
@@ -697,7 +705,7 @@ object Similarity {
         raw.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
       else raw
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(resolvedCentroids(spark, path))
     ivfRerank(assign, ivfProbes(queries, cents, nProbe), k)
   }
 
@@ -731,7 +739,7 @@ object Similarity {
         raw.join(broadcast(spark.read.parquet(tombsAt)),
           Seq("vec_id"), "left_anti")
       else raw
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(resolvedCentroids(spark, path))
     ivfRerank(assign, ivfProbes(queries, cents, nProbe), k)
   }
 
@@ -803,18 +811,89 @@ object Similarity {
   private[graft] def compactAnnIndexWithHook(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      preCommitHook: () => Unit): Unit = {
+      preCommitHook: () => Unit): Unit =
+    swapGeneration(spark, path, "compactAnnIndex",
+      requireTombstones = true, preCommitHook,
+      stage = (live, next) =>
+        live.repartition(col("cell")) // one file per cell, not tasks×cells
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(generationDir(path, next)))
+
+  /**
+   * RE-TRAIN the coarse quantizer — the lifecycle step every other
+   * operator froze by contract: [[appendAnnIndex]] never re-derives
+   * centroids (the q100 frozen-quantizer semantics), so a corpus that
+   * grows far past its build develops hot cells ([[annIndexStats]]'s
+   * list-skew read — probe latency IS the hottest probed list). This
+   * is the explicit O(live) response: derive FRESH centroids from the
+   * current live rows (the same deterministic every-stride-th-vector
+   * rule as [[buildAnnIndex]] — retrain ≡ a fresh build on the live
+   * rows, the q236 oracle contract), re-assign every live row, and
+   * commit lists + quantizer with the compaction machinery's ONE
+   * atomic marker: the new `centroids_v{N}` binds to generation N, and
+   * every reader resolves the pair ([[resolvedCentroids]]) so plans
+   * constructed before the marker keep the quantizer their cells were
+   * assigned with. Pending tombstones fold as a side effect (the live
+   * snapshot is lists ∖ tombstones); metadata columns ride through
+   * unchanged, so filtered probes keep working. Serve artifacts built
+   * before the retrain drift by generation — `requireServeStateCurrent`
+   * fails loudly and `maintainAnnIndexServing` rebuilds them with the
+   * new quantizer. Like compaction, the trigger is a COST decision
+   * that stays with the caller (watch max/median `n_live` skew in
+   * [[annIndexStats]]); racing deletes/appends reconcile exactly as in
+   * [[compactAnnIndex]] — same narrowed window, same loud append
+   * failure naming the re-run recovery.
+   */
+  def retrainAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      stride: Int = 100): Unit = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    swapGeneration(spark, path, "retrainAnnIndex",
+      requireTombstones = false, () => (),
+      stage = (live, next) => {
+        val metaCols = live.columns.toSeq
+          .filterNot(Set("vec_id", "emb", "nrm", "cell"))
+        val n = live.select(col("vec_id") +: col("emb") +: col("nrm") +:
+          metaCols.map(col): _*)
+        val cents = ivfCentroids(n, stride)
+        ivfAssign(n, cents, metaCols)
+          .repartition(col("cell")) // one file per cell, not tasks×cells
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(generationDir(path, next))
+        // the quantizer commits WITH its generation: written before the
+        // marker, resolved only once the marker names generation `next`
+        cents.write.mode("overwrite").parquet(centroidsPath(path, next))
+      })
+  }
+
+  /** The shared ATOMIC GENERATION SWAP — heal, snapshot, stage, commit,
+    * reconcile, retire — extracted from the compaction so
+    * [[retrainAnnIndex]] rides the exact same crash/race machinery
+    * instead of a divergent copy. `stage(live, next)` writes
+    * `generationDir(path, next)` (plus any version-bound extras, e.g.
+    * the retrain's centroids); everything around it is invariant. */
+  private def swapGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      op: String,
+      requireTombstones: Boolean,
+      preCommitHook: () => Unit,
+      stage: (DataFrame, Int) => Unit): Unit = {
     val fs = hadoopFs(spark, path)
     val cur = cellsGeneration(spark, path).getOrElse(0)
     val next = cur + 1
     // heal: a generation dir WITHOUT its commit marker is a crashed
-    // compaction's partial write — remove it and redo from the last
-    // committed generation (its tombstone set was never retired, so the
-    // redo sees the full pending-delete set)
+    // swap's partial write — remove it (and any quantizer version it
+    // staged: left behind, a later swap reusing the number would bind
+    // the stale quantizer to freshly assigned lists) and redo from the
+    // last committed generation (its tombstone set was never retired,
+    // so the redo sees the full pending-delete set)
     uncommittedGenerations(spark, path).foreach { g =>
       require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_v$g"), true),
         s"could not remove uncommitted generation $path/cells_v$g " +
-          "(a crashed compaction's partial write)")
+          "(a crashed compaction/retrain's partial write)")
+      deletePath(spark, s"$path/centroids_v$g")
     }
     // heal, part two — BEFORE the no-work early return, so EVERY
     // compaction call converges the layout, not just ones with pending
@@ -824,7 +903,8 @@ object Similarity {
     // Retention policy unchanged: the immediately-previous generation
     // (cur − 1) stays one cycle; vacuumAnnIndex reclaims it early.
     retireGenerationsBelow(spark, path, cur - 1)
-    if (!pathExists(spark, tombstonesPath(path, cur))) return
+    if (requireTombstones && !pathExists(spark, tombstonesPath(path, cur)))
+      return
     // PRE-SNAPSHOT coordinates (the serveSnapshotMeta trick): a delete
     // or append racing this compaction between the `live` snapshot and
     // the COMMIT marker lands in the SUPERSEDED generation — the
@@ -842,11 +922,13 @@ object Similarity {
     val preTombFiles = listParquetFiles(fs, tombstonesPath(path, cur))
     val preFiles = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(generationDir(path, cur))).getFileCount
-    val live = spark.read.parquet(generationDir(path, cur))
-      .join(broadcast(spark.read.parquet(tombstonesPath(path, cur))),
-        Seq("vec_id"), "left_anti")
-    live.write.mode("overwrite").partitionBy("cell")
-      .parquet(generationDir(path, next))
+    val raw = spark.read.parquet(generationDir(path, cur))
+    val live =
+      if (pathExists(spark, tombstonesPath(path, cur)))
+        raw.join(broadcast(spark.read.parquet(tombstonesPath(path, cur))),
+          Seq("vec_id"), "left_anti")
+      else raw
+    stage(live, next)
     // EMPTY-FOLD GUARD: a zero-row partitioned write leaves a dir with
     // no data files and no schema footer — committing it would make
     // every later read CRASH on schema inference instead of failing
@@ -858,8 +940,9 @@ object Similarity {
       require(fs.delete(
           new org.apache.hadoop.fs.Path(generationDir(path, next)), true),
         s"could not remove empty staging generation ${generationDir(path, next)}")
+      deletePath(spark, s"$path/centroids_v$next")
       throw new IllegalArgumentException(
-        s"compactAnnIndex: folding the tombstones would leave ZERO live " +
+        s"$op: folding the tombstones would leave ZERO live " +
           s"rows — the entire index at $path is tombstoned; wipe the index " +
           "path and rebuild instead of compacting to empty")
     }
@@ -908,7 +991,7 @@ object Similarity {
       new org.apache.hadoop.fs.Path(generationDir(path, cur))).getFileCount
     if (postFiles != preFiles)
       throw new IllegalStateException(
-        s"compactAnnIndex($path): an appendAnnIndex raced this compaction " +
+        s"$op($path): an appendAnnIndex raced this generation swap " +
           s"— the superseded generation's cell-file count moved " +
           s"($preFiles -> $postFiles) after the live snapshot, so the " +
           s"appended rows are MISSING from committed generation $next; " +
@@ -976,8 +1059,14 @@ object Similarity {
    * than its retention window, so vacuum's one extra power is freeing
    * the retained generation EARLY — run it only after scans that
    * resolved plans before the last compaction have drained (the same
-   * drain contract the retention window exists to cover). The current
-   * generation, its tombstone set, and the centroid table are never
+   * drain contract the retention window exists to cover).
+   * Quantizer versions a [[retrainAnnIndex]] superseded (no
+   * generation a reader can still resolve uses them) are reclaimed
+   * here too, under the same drain contract as the retained lists —
+   * a retained pre-retrain generation still resolves its OWN centroids
+   * until this call, so vacuum only removes versions strictly below
+   * the one the CURRENT generation resolves. The current
+   * generation, its tombstone set, and its resolved centroids are never
    * touched; every delete is require-checked.
    */
   def vacuumAnnIndex(
@@ -988,8 +1077,19 @@ object Similarity {
     uncommittedGenerations(spark, path).foreach { g =>
       require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_v$g"), true),
         s"could not remove uncommitted generation $path/cells_v$g")
+      // a crashed retrain's partial quantizer dies with its generation —
+      // left behind, a LATER swap reusing the number would silently
+      // bind the stale quantizer to freshly assigned lists
+      deletePath(spark, s"$path/centroids_v$g")
     }
     retireGenerationsBelow(spark, path, cur)
+    // quantizer versions superseded for EVERY generation a reader can
+    // still resolve (≤ the version the retained generation uses) are
+    // reclaimable here — same drain contract as the retained lists
+    val keep = (centroidVersions(spark, path).filter(_ <= cur) :+ 0).max
+    centroidVersions(spark, path).filter(_ < keep).foreach { v =>
+      deletePath(spark, s"$path/centroids_v$v")
+    }
   }
 
   /**
@@ -1103,6 +1203,41 @@ object Similarity {
   private def tombstonesPath(path: String, g: Int): String =
     if (g == 0) s"$path/tombstones" else s"$path/tombstones_g$g"
 
+  /** Centroid table of quantizer VERSION `v` — version 0 is the build's
+    * plain `centroids`; each [[retrainAnnIndex]] writes the next
+    * `centroids_v{N}` bound to the generation it re-assigns, so the
+    * marker that commits the generation atomically commits its
+    * quantizer too. Compactions never bump the version: a generation's
+    * centroids are the LARGEST version at or below it. */
+  private def centroidsPath(path: String, v: Int): String =
+    if (v == 0) s"$path/centroids" else s"$path/centroids_v$v"
+
+  private val CentroidsDirName = "centroids_v(\\d+)".r
+
+  /** Centroid versions present on disk (excluding the base table). */
+  private def centroidVersions(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Int] = {
+    val fs = hadoopFs(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case CentroidsDirName(n) => n.toInt }
+  }
+
+  /** Resolve the centroid table the CURRENT generation was assigned
+    * with: the largest `centroids_v{v}` with v ≤ the committed
+    * generation, else the base `centroids`. Every reader of the
+    * quantizer (probes, appends, serve builds) resolves through here,
+    * so a [[retrainAnnIndex]] flips lists AND quantizer with the one
+    * commit marker — readers of a pre-retrain plan keep the centroids
+    * their cells were assigned with. */
+  private[graft] def resolvedCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val cur = cellsGeneration(spark, path).getOrElse(0)
+    val vs = centroidVersions(spark, path).filter(_ <= cur)
+    if (vs.isEmpty) centroidsPath(path, 0) else centroidsPath(path, vs.max)
+  }
+
   /** Resolve the CURRENT (cells dir, tombstone path) pair of an index —
     * the one level of indirection that makes [[compactAnnIndex]]'s swap
     * atomic: readers resolve the pair at plan time, compactions flip it
@@ -1159,6 +1294,11 @@ object Similarity {
     }
     names.collect { case TombstonesGName(n) => n }.foreach { n =>
       deletePath(spark, s"$path/tombstones_g$n")
+    }
+    // retrained quantizer versions die with their generations — the
+    // rebuild wrote a fresh base `centroids` that must win resolution
+    names.collect { case CentroidsDirName(n) => n }.foreach { n =>
+      deletePath(spark, s"$path/centroids_v$n")
     }
   }
 

@@ -41,13 +41,15 @@ object AnnLifecycleProperties extends Properties("AnnLifecycle") {
   private case object Compact extends Op
   private case object Vacuum extends Op
   private case object Maintain extends Op // round 12: the one-call loop
+  private case object Retrain extends Op  // round 13: quantizer refresh
 
   private val opGen: Gen[Op] = Gen.frequency(
     4 -> Gen.someOf(0L until 40L).map(ids => Delete(ids.take(4).toSeq)),
     3 -> Gen.someOf(20L until 40L).map(ids => Append(ids.take(3).toSeq)),
     2 -> Gen.const(Compact),
     1 -> Gen.const(Vacuum),
-    2 -> Gen.const(Maintain))
+    2 -> Gen.const(Maintain),
+    2 -> Gen.const(Retrain))
 
   private def vecOf(id: Long): Seq[Float] =
     Seq(1f + id, 2f - id, (id % 7).toFloat, 0.5f * id)
@@ -123,6 +125,23 @@ object AnnLifecycleProperties extends Properties("AnnLifecycle") {
             Similarity.compactAnnIndex(spark, idx)
             present = present -- tombSet
             tombSet = Set.empty
+          case Retrain =>
+            // same id-set model as Compact (tombstones fold, live ids
+            // unchanged); the quantizer re-derives from live seeds
+            // (ids ≡ 0 mod stride), so a live set with NO seed rows
+            // must throw the empty-fold guard and change nothing
+            val live = present -- tombSet
+            val hasSeeds = live.exists(_ % 5 == 0)
+            if (live.isEmpty || !hasSeeds) {
+              val thrown =
+                try { Similarity.retrainAnnIndex(spark, idx, 5); false }
+                catch { case _: IllegalArgumentException => true }
+              ok = ok && thrown
+            } else {
+              Similarity.retrainAnnIndex(spark, idx, stride = 5)
+              present = live
+              tombSet = Set.empty
+            }
           case Vacuum =>
             Similarity.vacuumAnnIndex(spark, idx)
             val gens = Similarity.annIndexGenerations(spark, idx).collect()
@@ -209,6 +228,10 @@ object AnnLifecycleProperties extends Properties("AnnLifecycle") {
           }
         case Compact if (present -- tombSet).nonEmpty =>
           Similarity.compactAnnIndex(spark, idx)
+          present = present -- tombSet
+          tombSet = Set.empty
+        case Retrain if (present -- tombSet).exists(_ % 5 == 0) =>
+          Similarity.retrainAnnIndex(spark, idx, stride = 5)
           present = present -- tombSet
           tombSet = Set.empty
         case Vacuum =>

@@ -81,6 +81,8 @@ class PlanAuditSpec extends SparkSpec {
                                    // serialized predicate
     "q234_int8_filtered_serve", // the q231 serve cross under the
                                 // serialized predicate
+    "q236_ann_retrain", // q82's probe-side centroid broadcast over the
+                        // retrained quantizer
                                // (broadcast quantized queries) as the
                                // recall denominator
     "q103_hard_negatives", // exact tier = q15's declared full scan with

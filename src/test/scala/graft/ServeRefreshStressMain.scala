@@ -41,15 +41,17 @@ object ServeRefreshStressMain {
       java.nio.file.Files.createTempDirectory(prefix).toString
 
     val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    // ids: base = vec_id*64 + copy(0..44): keeps the stride-100 seeds
-    // and the PQ seed positions (< 400) inside the base; delta =
-    // 409_600 + vec_id*64 + copy(45..49): past every seed ceiling
+    // ids: base = vec_id*50 + copy(0..44) — yields EXACTLY the 16 PQ
+    // codebook seeds {0,25,…,375} (ids ≡ 0 mod 25 below k·pqStride =
+    // 400) plus the stride-100 coarse seeds; delta = 500000 + vec_id*50
+    // + copy(45..49) — copies 45..49 are ≢ 0 (mod 25), so no delta row
+    // sits at a seed position and the frozen-codebook patch is exact
     val base = e.crossJoin(spark.range(45).toDF("copy"))
-      .select((col("vec_id") * 64 + col("copy")).as("vec_id"),
+      .select((col("vec_id") * 50 + col("copy")).as("vec_id"),
         col("embedding"), col("label"))
       .persist()
     val delta = e.crossJoin(spark.range(45, 50).toDF("copy"))
-      .select((lit(409600L) + col("vec_id") * 64 + col("copy")).as("vec_id"),
+      .select((lit(500000L) + col("vec_id") * 50 + col("copy")).as("vec_id"),
         col("embedding"), col("label"))
       .persist()
     println(s"base=${base.count()} delta=${delta.count()}")
@@ -69,8 +71,8 @@ object ServeRefreshStressMain {
 
     for (tier <- Seq("float", "pq", "hamming", "int8")) {
       val idx = tmp(s"serve_stress_${tier}_")
-      Similarity.buildAnnIndex(base, idx, stride = 100,
-        metaCols = Seq("label"))
+      Similarity.buildAnnIndex(
+        base.select(col("vec_id"), col("embedding")), idx, stride = 100)
       def build() = tier match {
         case "pq" => StreamingOps.annServePqState(spark, idx)
         case "hamming" => StreamingOps.annServeHammingState(spark, idx)

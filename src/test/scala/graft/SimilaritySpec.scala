@@ -588,7 +588,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.compactAnnIndexWithHook(spark, idx2, () =>
         Similarity.appendAnnIndex(spark, delta, idx2))
     }
-    raced.getMessage should include("raced this compaction")
+    raced.getMessage should include("raced this generation swap")
     // the commit itself is SOUND (a correct fold of the pre-race
     // snapshot) and the superseded lists stay for the re-run
     new java.io.File(s"$idx2/COMMIT_v1").exists() shouldBe true
@@ -692,6 +692,83 @@ class SimilaritySpec extends SparkSpec {
     new java.io.File(s"$idx/cells_v1").exists() shouldBe false
     Similarity.searchAnnIndexed(spark, idx,
       e.where(col("vec_id") < 2), k = 5, nProbe = 2).count() shouldBe 0L
+  }
+
+  test("retrainAnnIndex: fresh quantizer from live rows equals a fresh build; metadata rides through") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_retrain_a").toString
+    // grow the index far past its build: the frozen quantizer never saw
+    // the appended rows' seed positions (400 is a seed id of the FULL
+    // corpus but not of the partial build)
+    Similarity.buildAnnIndex(e.where(col("vec_id") < 400), idx,
+      stride = 100, metaCols = Seq("label"))
+    Similarity.appendAnnIndex(spark, e.where(col("vec_id") >= 400), idx)
+    Similarity.retrainAnnIndex(spark, idx, stride = 100)
+    // retrain ≡ a fresh build over the same (live) rows — same seed
+    // rule, same assignment, same probes
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_retrain_a2").toString
+    Similarity.buildAnnIndex(e, idx2, stride = 100, metaCols = Seq("label"))
+    def rows(p: String) = Similarity.searchAnnIndexed(spark, p, q,
+      k = 10, nProbe = 2).collect().map(_.toSeq).toSet
+    rows(idx) shouldBe rows(idx2)
+    rows(idx) should not be empty
+    // metadata columns rode through the re-assignment: filtered probes
+    // still push the predicate into the retrained layout
+    def frows(p: String) = Similarity.searchAnnIndexedFiltered(spark, p, q,
+      col("label") === 1, k = 10, nProbe = 2).collect().map(_.toSeq).toSet
+    frows(idx) shouldBe frows(idx2)
+    // appends AFTER the retrain assign with the NEW quantizer: the
+    // grown index still equals the fresh-build twin grown the same way
+    val extra = e.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"),
+        col("label"))
+    Similarity.appendAnnIndex(spark, extra, idx)
+    Similarity.appendAnnIndex(spark, extra, idx2)
+    rows(idx) shouldBe rows(idx2)
+  }
+
+  test("retrainAnnIndex folds tombstones, drifts serve artifacts, and versions the quantizer reclaimably") {
+    import graft.streaming.StreamingOps
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_retrain_b").toString
+    Similarity.buildAnnIndex(e, idx, stride = 100)
+    val st0 = StreamingOps.annServeState(spark, idx)
+    Similarity.deleteFromAnnIndex(spark,
+      e.where(col("vec_id") % 4 === 2), idx)
+    Similarity.retrainAnnIndex(spark, idx, stride = 100)
+    // tombstones folded as a side effect: a previously-deleted id
+    // re-appends without an explicit compact (the q226 law)
+    Similarity.appendAnnIndex(spark,
+      e.where(col("vec_id") === 2).select("vec_id", "embedding"), idx)
+    // a pre-retrain serve artifact drifts by generation — loud
+    intercept[IllegalArgumentException] {
+      StreamingOps.requireServeStateCurrent(spark, idx, st0)
+    }.getMessage should include("STALE")
+    // … and repairs through the one-call maintenance: rebuilt with the
+    // NEW quantizer, CURRENT on return
+    val (rep, art) = StreamingOps.maintainAnnIndexServing(spark, idx, st0)
+    rep.select("serve_action").head().getString(0) shouldBe "rebuilt"
+    StreamingOps.requireServeStateCurrent(spark, idx, art)
+    // quantizer versions: a second retrain supersedes centroids_v1;
+    // vacuum reclaims it (drain contract) and keeps the current one
+    Similarity.retrainAnnIndex(spark, idx, stride = 100)
+    new java.io.File(s"$idx/centroids_v1").exists() shouldBe true
+    new java.io.File(s"$idx/centroids_v2").exists() shouldBe true
+    Similarity.vacuumAnnIndex(spark, idx)
+    new java.io.File(s"$idx/centroids_v1").exists() shouldBe false
+    new java.io.File(s"$idx/centroids_v2").exists() shouldBe true
+    Similarity.searchAnnIndexed(spark, idx, e.where(col("vec_id") < 2),
+      k = 5, nProbe = 2).count() should be > 0L
+    // crash healing: an uncommitted generation's partial quantizer dies
+    // with its lists on the next swap's heal pass
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/cells_v3"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/centroids_v3"))
+    Similarity.compactAnnIndex(spark, idx) // heals, then no-work return
+    new java.io.File(s"$idx/cells_v3").exists() shouldBe false
+    new java.io.File(s"$idx/centroids_v3").exists() shouldBe false
   }
 
   test("appendAnnIndex refuses pending-tombstoned ids; compact-then-append re-inserts") {
