@@ -63,7 +63,12 @@ private[graft] object QueriesDedup {
     "q102b_estimate_quality" -> ((s, dir) => {
       val d = docs(s, dir)
       val sh = graft.Caching.persist(Dedup.shingles(d, 3))
-      val est = Dedup.minhashJaccardEstimates(d, precomputedShingles = Some(sh))
+      // est feeds BOTH the error aggregate and the exact verify's pair
+      // list — persist the candidate-bounded frame so the banding +
+      // estimator subtree runs once, not twice (measured r13: the
+      // un-persisted shape recomputed candidate generation per branch)
+      val est = graft.Caching.persist(
+        Dedup.minhashJaccardEstimates(d, precomputedShingles = Some(sh)))
       val exact = Dedup.jaccardFor(est.select(col("d1"), col("d2")), sh)
       est.join(exact, Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -387,7 +392,9 @@ private[graft] object QueriesDedup {
     // still blows past them immediately.
     "q147b_weighted_estimate_quality" -> ((s, dir) => {
       val tf = graft.Caching.persist(Dedup.termWeights(docs(s, dir)))
-      val est = Dedup.weightedJaccardEstimates(docs(s, dir))
+      // the q102b persist rationale: est feeds the aggregate AND the
+      // exact tier's pair list — cache the candidate-bounded frame
+      val est = graft.Caching.persist(Dedup.weightedJaccardEstimates(docs(s, dir)))
       val exact = Dedup.weightedJaccardFor(est.select(col("d1"), col("d2")), tf)
       est.join(exact, Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -114,11 +114,29 @@ private[graft] object QueriesEvents {
       val ap = Events.valueQuantiles(e, exact = false)
         .select(col("event_type"), col("p50").as("a50"),
           col("p90").as("a90"), col("p99").as("a99"))
-      def ok(a: String, x: String) =
-        (abs(col(a) - col(x)) <= abs(col(x)) * 0.02 + 0.1).as(s"${x}_ok")
+      // The approx tier is graded against the DISCRETE exact quantile —
+      // the definition percentile_approx actually implements (it returns
+      // an order statistic; its documented guarantee is a RANK bound).
+      // Grading it against the INTERPOLATED exact (the report columns,
+      // which stay cont/oracle-pinned) made the contract wrong at small
+      // n, where the p99 interpolation gap (|disc − cont|, e.g. 56.6 for
+      // sf0.001's view type) dwarfs any sketch error and the flags went
+      // false with a PERFECT sketch — an inherited r12 latent failure
+      // surfaced by the first sf0.001 verify this round. At n ≤ accuracy
+      // approx ≡ disc exactly; past it the rank-error bound keeps
+      // |approx − disc| inside the same 2 % + 0.1 envelope (measured
+      // sf0.1: ≤ 0.52 vs bound ≥ 4.3).
+      val disc = e.groupBy(col("event_type")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("d50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("d90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("d99"))
+      def ok(a: String, d: String, x: String) =
+        (abs(col(a) - col(d)) <= abs(col(d)) * 0.02 + 0.1).as(s"${x}_ok")
       ex.join(broadcast(ap), Seq("event_type"))
+        .join(broadcast(disc), Seq("event_type"))
         .select(col("event_type"), col("p50"), col("p90"), col("p99"),
-          ok("a50", "p50"), ok("a90", "p90"), ok("a99", "p99"))
+          ok("a50", "d50", "p50"), ok("a90", "d90", "p90"),
+          ok("a99", "d99", "p99"))
         .orderBy(col("event_type"))
     }),
 

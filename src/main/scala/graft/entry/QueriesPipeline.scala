@@ -1502,7 +1502,8 @@ private[graft] object QueriesPipeline {
         |  SELECT count(*)::BIGINT AS n_docs,
         |         count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
         |         sum(n_tokens)::BIGINT AS n_tokens,
-        |         round(avg(quality_score), 6) AS mean_quality
+        |         round(sum(CAST(round(quality_score * 1e6) AS BIGINT))::DOUBLE
+        |               / 1e6 / count(*)::DOUBLE, 6) AS mean_quality
         |  FROM qq),
         |voc AS (
         |  SELECT count(DISTINCT x)::BIGINT AS vocab_size

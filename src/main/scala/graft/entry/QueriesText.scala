@@ -1114,7 +1114,8 @@ private[graft] object QueriesText {
         |SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
         |  grouping(lang)::BIGINT AS g_lang, grouping(source)::BIGINT AS g_source,
         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
-        |  round(avg(q), 6) AS avg_quality
+        |  round(sum(CAST(round(q * 1e6) AS BIGINT))::DOUBLE / 1e6 /
+        |        count(*)::DOUBLE, 6) AS avg_quality
         |FROM m GROUP BY ROLLUP(lang, source)
         |ORDER BY g_lang, lang, g_source, source""".stripMargin,
 

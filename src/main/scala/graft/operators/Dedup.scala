@@ -586,7 +586,18 @@ object Dedup {
       minhashSignatures(shingles(docs, n), numHashes), numHashes, rowsPerBand)))
     var labels = graft.Caching.persist(bands.select(col("doc")).distinct()
       .withColumn("lbl", col("doc")))
-    for (_ <- 1 to maxIter) {
+    // Early fixpoint exit (answer-invariant): labels only decrease, and an
+    // iteration that changes ZERO labels reproduces the same bucketMin —
+    // and therefore the same labels — forever after, so the remaining
+    // iterations are pure no-op shuffles. Detection is free: the changed
+    // count rides the SAME materializing action the loop already needs to
+    // release the previous iteration's cache (the converged tier's
+    // recipe). Real dup chains converge in 1-2 hops, so the bounded tier
+    // usually pays 2 of its 3 budgeted iterations instead of all 3 — at
+    // any scale the saving is two full band-table shuffles.
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
       val bucketMin = bands.join(labels, Seq("doc"))
         .groupBy(col("band"), col("band_val"))
         .agg(min(col("lbl")).as("bmin"))
@@ -594,19 +605,21 @@ object Dedup {
         .groupBy(col("doc"))
         .agg(min(col("bmin")).as("prop"))
         .join(labels, Seq("doc"))
-        .select(col("doc"), least(col("lbl"), col("prop")).as("lbl"))
+        .select(col("doc"), least(col("lbl"), col("prop")).as("lbl"),
+          (col("prop") < col("lbl")).as("_chg"))
       val nextP = graft.Caching.persist(next)
       // Materialize eagerly so the PREVIOUS iteration's cache can be
       // released now — iterative operators are the one place a
       // mid-pipeline action is the memory-correct choice (the standard
       // iterative-algorithm recipe); without it, maxIter label frames
       // stay pinned (or, unpersisted lazily, lineage recompute doubles
-      // per iteration).
-      nextP.count()
+      // per iteration). The changed-count rides this action.
+      changed = nextP.where(col("_chg")).count()
       graft.Caching.release(labels)
       labels = nextP
+      iter += 1
     }
-    labels
+    labels.select(col("doc"), col("lbl"))
   }
 
   /**
@@ -1086,12 +1099,22 @@ object Dedup {
       .join(sh.select(col("doc").as("outer_doc"), col("shingle")), "shingle")
       .where(col("inner_doc") =!= col("outer_doc"))
       .select(col("inner_doc"), col("outer_doc")).distinct()
+    // ROW-LOCAL verify (the prefixFilter verifyViaArrays route, r13):
+    // per-doc shingle ARRAYS join the candidates and intersect with one
+    // native array_intersect per pair — the former exploded verify join
+    // carried |cands| × per-doc-shingles rows into a per-pair
+    // aggregation exchange (≈50 M rows at this fixture's near-all-pairs
+    // candidate mass). Shingles are per-doc DISTINCT by construction,
+    // so size(array_intersect) ≡ the shared-shingle count exactly.
+    val shArr = sh.groupBy(col("doc"))
+      .agg(collect_list(col("shingle")).as("_arr"))
     val inter = cands
-      .join(sh.select(col("doc").as("inner_doc"), col("shingle")), Seq("inner_doc"))
-      .join(sh.select(col("doc").as("outer_doc"), col("shingle")),
-        Seq("outer_doc", "shingle"))
-      .groupBy(col("inner_doc"), col("outer_doc"))
-      .agg(count(lit(1)).as("inter"))
+      .join(shArr.select(col("doc").as("inner_doc"), col("_arr").as("_ia")),
+        Seq("inner_doc"))
+      .join(shArr.select(col("doc").as("outer_doc"), col("_arr").as("_oa")),
+        Seq("outer_doc"))
+      .select(col("inner_doc"), col("outer_doc"),
+        size(array_intersect(col("_ia"), col("_oa"))).cast("long").as("inter"))
     inter
       .join(sizes.select(col("doc").as("inner_doc"), col("sz")), Seq("inner_doc"))
       .withColumn("containment",
@@ -1915,11 +1938,47 @@ object Dedup {
    *
    * @return (doc_a, doc_b, cos) with doc_a < doc_b and cos >= threshold
    */
+  /** Dims bound for the DENSE hashed-cosine verify route: a dims-long
+    * vector per doc (32 KB of longs at the bound) — the per-doc-state
+    * class the dense weighted-Jaccard route already draws at
+    * [[MaxDenseVocab]]. Past it the sparse term join wins on memory. */
+  val MaxDenseCosineDims = 4096
+
+  /** Per-doc DENSE weight vectors over [[hashedFeatures]] output —
+    * (doc, vec array<long>, n2) with n2 = Σ w² (integer-exact). The
+    * verify-stage twin of `denseTfVectors`: candidate dots become ONE
+    * codegen'd [[org.apache.spark.sql.graft.LongDot]] per pair instead
+    * of a (pair × shared-bucket)-row join + aggregation exchange —
+    * at the r13 measurement that join carried ~37 M rows for q153c's
+    * 1.19 M candidates (guide §2.3 "aggregate before you shuffle" /
+    * §2.4 "remove shuffles outright"). Integer weights make the dense
+    * and sparse dots EQUAL, not approximately equal: absent buckets
+    * contribute exactly 0. */
+  private def denseHashedVecs(feats: DataFrame, dims: Int): DataFrame =
+    feats.groupBy(col("doc"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket").cast("int"), col("weight")))).as("_m"))
+      .select(col("doc"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("_m"), i), lit(0L))).as("_vec"))
+      .withColumn("_n2",
+        org.apache.spark.sql.graft.VectorFunctions.longDot(col("_vec"), col("_vec")))
+
+  /** The shared cos scoring tail: exact integer dot + norms → round-6
+    * double, identical expression tree in the dense and sparse routes. */
+  private def cosOf(dot: Column, na2: Column, nb2: Column): Column =
+    round(dot.cast("double") /
+      (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))), 6)
+
+  /** @param maxDenseDims route gate (tests force the sparse route with
+    *        0); the routes are answer-equal by construction and
+    *        re-proven by the route-equality property test. */
   def hashedCosinePairs(
       docs: DataFrame,
       dims: Int = 64,
       threshold: Double = 0.9,
-      maxBucketDocs: Long = 100000L): DataFrame = {
+      maxBucketDocs: Long = 100000L,
+      maxDenseDims: Int = MaxDenseCosineDims): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
@@ -1933,22 +1992,41 @@ object Dedup {
       .join(indexed.select(col("bucket"), col("doc").as("doc_b")), Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val fa = feats.select(col("doc").as("doc_a"), col("bucket"),
-      col("weight").as("_wa"))
-    val fb = feats.select(col("doc").as("doc_b"), col("bucket"),
-      col("weight").as("_wb"))
-    val dots = cands
-      .join(fa, Seq("doc_a"))
-      .join(fb, Seq("doc_b", "bucket"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("_wa") * col("_wb")).as("_dot"))
-    val norms = feats.groupBy(col("doc"))
-      .agg(sum(col("weight") * col("weight")).as("_n2"))
-    dots
-      .join(norms.select(col("doc").as("doc_a"), col("_n2").as("_na2")), Seq("doc_a"))
-      .join(norms.select(col("doc").as("doc_b"), col("_n2").as("_nb2")), Seq("doc_b"))
-      .withColumn("cos", round(col("_dot").cast("double") /
-        (sqrt(col("_na2").cast("double")) * sqrt(col("_nb2").cast("double"))), 6))
+    val scored =
+      if (dims <= maxDenseDims) {
+        // DENSE verify: one row-local LongDot per candidate — no
+        // (pair × bucket) fan-out, no per-pair aggregation exchange.
+        // Same integer dot, same norms, same rounding ⇒ same answer
+        // (HashedCosineProperties re-proves route equality).
+        val vecs = denseHashedVecs(feats, dims)
+        cands
+          .join(vecs.select(col("doc").as("doc_a"), col("_vec").as("_va"),
+            col("_n2").as("_na2")), Seq("doc_a"))
+          .join(vecs.select(col("doc").as("doc_b"), col("_vec").as("_vb"),
+            col("_n2").as("_nb2")), Seq("doc_b"))
+          .withColumn("_dot",
+            org.apache.spark.sql.graft.VectorFunctions.longDot(col("_va"), col("_vb")))
+      } else {
+        // SPARSE verify (dims past the dense bound): only shared
+        // buckets join; the guard keeps the fan bounded per bucket.
+        val fa = feats.select(col("doc").as("doc_a"), col("bucket"),
+          col("weight").as("_wa"))
+        val fb = feats.select(col("doc").as("doc_b"), col("bucket"),
+          col("weight").as("_wb"))
+        val norms = feats.groupBy(col("doc"))
+          .agg(sum(col("weight") * col("weight")).as("_n2"))
+        cands
+          .join(fa, Seq("doc_a"))
+          .join(fb, Seq("doc_b", "bucket"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(sum(col("_wa") * col("_wb")).as("_dot"))
+          .join(norms.select(col("doc").as("doc_a"), col("_n2").as("_na2")),
+            Seq("doc_a"))
+          .join(norms.select(col("doc").as("doc_b"), col("_n2").as("_nb2")),
+            Seq("doc_b"))
+      }
+    scored
+      .withColumn("cos", cosOf(col("_dot"), col("_na2"), col("_nb2")))
       .where(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cos"))
   }
@@ -2033,7 +2111,8 @@ object Dedup {
       historyDocs: DataFrame,
       dims: Int = 64,
       threshold: Double = 0.9,
-      maxBucketDocs: Long = 100000L): DataFrame = {
+      maxBucketDocs: Long = 100000L,
+      maxDenseDims: Int = MaxDenseCosineDims): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0,1], got $threshold")
     require(maxBucketDocs >= 1, s"maxBucketDocs must be >= 1, got $maxBucketDocs")
@@ -2051,22 +2130,40 @@ object Dedup {
       .join(fHist.join(broadcast(cold), Seq("bucket"))
         .select(col("bucket"), col("doc").as("hist_doc")), Seq("bucket"))
       .select(col("doc"), col("hist_doc")).distinct()
-    val dots = cands
-      .join(fNew.select(col("doc"), col("bucket"), col("weight").as("_wn")),
-        Seq("doc"))
-      .join(fHist.select(col("doc").as("hist_doc"), col("bucket"),
-        col("weight").as("_wh")), Seq("hist_doc", "bucket"))
-      .groupBy(col("doc"), col("hist_doc"))
-      .agg(sum(col("_wn") * col("_wh")).as("_dot"))
-    val nNew = fNew.groupBy(col("doc"))
-      .agg(sum(col("weight") * col("weight")).as("_nn2"))
-    val nHist = fHist.groupBy(col("doc"))
-      .agg(sum(col("weight") * col("weight")).as("_nh2"))
-    dots
-      .join(nNew, Seq("doc"))
-      .join(nHist.withColumnRenamed("doc", "hist_doc"), Seq("hist_doc"))
-      .withColumn("cos", round(col("_dot").cast("double") /
-        (sqrt(col("_nn2").cast("double")) * sqrt(col("_nh2").cast("double"))), 6))
+    val scored =
+      if (dims <= maxDenseDims) {
+        // DENSE verify (the hashedCosinePairs route, delta⋈history
+        // keyed): one LongDot per candidate in place of the
+        // (candidate × shared-bucket) join + aggregation exchange —
+        // measured r13, q153c's verify carried ~37 M joined rows /
+        // ~200 task-seconds for 1.19 M candidates; the dense route
+        // is one map-side lookup join per side.
+        val vNew = denseHashedVecs(fNew, dims)
+        val vHist = denseHashedVecs(fHist, dims)
+        cands
+          .join(vNew.select(col("doc"), col("_vec").as("_vn"),
+            col("_n2").as("_nn2")), Seq("doc"))
+          .join(vHist.select(col("doc").as("hist_doc"), col("_vec").as("_vh"),
+            col("_n2").as("_nh2")), Seq("hist_doc"))
+          .withColumn("_dot",
+            org.apache.spark.sql.graft.VectorFunctions.longDot(col("_vn"), col("_vh")))
+      } else {
+        val nNew = fNew.groupBy(col("doc"))
+          .agg(sum(col("weight") * col("weight")).as("_nn2"))
+        val nHist = fHist.groupBy(col("doc"))
+          .agg(sum(col("weight") * col("weight")).as("_nh2"))
+        cands
+          .join(fNew.select(col("doc"), col("bucket"), col("weight").as("_wn")),
+            Seq("doc"))
+          .join(fHist.select(col("doc").as("hist_doc"), col("bucket"),
+            col("weight").as("_wh")), Seq("hist_doc", "bucket"))
+          .groupBy(col("doc"), col("hist_doc"))
+          .agg(sum(col("_wn") * col("_wh")).as("_dot"))
+          .join(nNew, Seq("doc"))
+          .join(nHist.withColumnRenamed("doc", "hist_doc"), Seq("hist_doc"))
+      }
+    scored
+      .withColumn("cos", cosOf(col("_dot"), col("_nn2"), col("_nh2")))
       .where(col("cos") >= threshold)
       .select(col("doc"), col("hist_doc"), col("cos"))
   }

@@ -704,13 +704,23 @@ object Pipeline {
         grouping(col("source")).cast("long").as("g_source"),
         count(lit(1)).as("n_docs"),
         sum(col("_st.n_tokens")).as("total_tokens"),
-        round(avg(TextAnalysis.qualityScoreFromStats(col("_st"))), 6)
-          .as("avg_quality"))
+        // ORDER-FREE mean (r13): the per-doc score is a round-6 grid
+        // value, so a float avg's partial-sum order decides the 6th
+        // digit whenever a group mean lands on a half-micro boundary —
+        // with >1 scan partition that digit became RUN-dependent
+        // (observed: the (fr, src1) cell flipped 0.595617↔0.595618).
+        // Lift to micro-longs, sum exactly, divide once — the
+        // dataCardIncremental / streaming-sketch recipe, now shared by
+        // the batch tier; the oracle mirrors the same integer form.
+        sum(round(TextAnalysis.qualityScoreFromStats(col("_st")) * lit(1e6))
+          .cast("long")).as("_qmicro"))
       .select(
         coalesce(col("lang"), lit("ALL")).as("lang"),
         coalesce(col("source"), lit("ALL")).as("source"),
         col("g_lang"), col("g_source"), col("n_docs"),
-        col("total_tokens"), col("avg_quality"))
+        col("total_tokens"),
+        round(col("_qmicro").cast("double") / lit(1e6) /
+          col("n_docs").cast("double"), 6).as("avg_quality"))
 
   /**
    * Importance-WEIGHTED deterministic sampling: inclusion probability
@@ -1145,7 +1155,13 @@ object Pipeline {
       count(lit(1)).as("n_docs"),
       countDistinct(md5(col("line"))).as("n_unique_texts"),
       sum(col("_ntok")).as("n_tokens"),
-      round(avg(col("_q")), 6).as("mean_quality"))
+      // order-free mean via exact micro-long sum (the corpusRollup r13
+      // rationale — and now the SAME recipe as this operator's own
+      // incremental twin, dataCardFromState's q_micro scalar)
+      sum(round(col("_q") * lit(1e6)).cast("long")).as("_qmicro"))
+      .withColumn("mean_quality",
+        round(col("_qmicro").cast("double") / lit(1e6) /
+          col("n_docs").cast("double"), 6))
     val vocab = docs
       .select(explode(filter(split(col("line"), "\\s+"), t => length(t) > 0))
         .as("term"))
@@ -1780,13 +1796,18 @@ object Pipeline {
       Dedup.minhashSignatures(shNew, numHashes), numHashes, rowsPerBand))
     val bHist = graft.Caching.persist(Dedup.lshBands(
       Dedup.minhashSignatures(shHist, numHashes), numHashes, rowsPerBand))
-    val nd = Dedup.minhashNearDupsAgainst(survivors, hist,
-        n, numHashes, rowsPerBand, nearDupThreshold,
-        precomputedNewShingles = Some(shNew),
-        precomputedHistShingles = Some(shHist),
-        precomputedNewBands = Some(bNew),
-        precomputedHistBands = Some(bHist))
-      .groupBy(col("doc")).agg(min(col("hist_doc")).as("nd_anchor"))
+    // the near-dup verdict frame is read THREE times (the kept anti-join,
+    // whose result feeds the split assignment, and the final decision-log
+    // join) — persist the delta-bounded frame so the candidate join +
+    // jaccard verify chain runs once, not once per consumer
+    val nd = graft.Caching.persist(
+      Dedup.minhashNearDupsAgainst(survivors, hist,
+          n, numHashes, rowsPerBand, nearDupThreshold,
+          precomputedNewShingles = Some(shNew),
+          precomputedHistShingles = Some(shHist),
+          precomputedNewBands = Some(bNew),
+          precomputedHistBands = Some(bHist))
+        .groupBy(col("doc")).agg(min(col("hist_doc")).as("nd_anchor")))
     val kept = survivors.join(nd, Seq("doc"), "left_anti")
     val hsp = historySplits.getOrElse(
       Dedup.leakageSafeSplit(hist, valPerMille, n, numHashes, rowsPerBand,

@@ -277,20 +277,22 @@ object Similarity {
     }
   }
 
-  /** `bits`-bit random-hyperplane bucket id for an array<double> column. */
+  /** `bits`-bit random-hyperplane bucket id for an array<double> column.
+    * One native [[org.apache.spark.sql.graft.SignBits]] expression —
+    * bit-identical to the historical per-bit `when(dot > 0, 1<<h)`
+    * chain, but the plan carries two ints instead of bits × 1024
+    * literal doubles (the chain form cost ~400 KB of literals per call
+    * site: optimizer canonicalization hashed the arrays on every pass
+    * and every task binary shipped them — guide §4 "eliminate
+    * non-codegen-friendly expression shapes in the hot path"). */
   def lshBucketCol(emb: Column, bits: Int): Column =
-    (0 until bits).map { h =>
-      when(dotProduct(emb, typedLit(signRow(h))) > 0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.VectorFunctions.signBits(emb, 0, bits)
 
   /** Table-t bucket id (hyperplanes t·bits … t·bits+bits−1) — the
     * [[lshNearDupPairs]] multi-table family, exposed so the streaming
     * ingest twin computes the SAME bucket keys map-side. */
   def lshTableBucketCol(emb: Column, t: Int, bits: Int): Column =
-    (0 until bits).map { i =>
-      when(dotProduct(emb, typedLit(signRow(t * bits + i))) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.VectorFunctions.signBits(emb, t * bits, bits)
 
   /** Corpus annotated with its LSH bucket. */
   def withLshBucket(corpus: DataFrame, bits: Int = 8): DataFrame =

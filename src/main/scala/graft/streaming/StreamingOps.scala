@@ -1848,6 +1848,11 @@ object StreamingOps {
     import spark.implicits._
     val candsT = cellRows.schema(candsName).dataType
     val centsT = centsRow.schema("cents").dataType
+    // NOT persisted (measured r13): caching the assembled union forces
+    // eager full materialization and pins its shuffles at the fixed
+    // partition count (InMemoryRelation plans skip AQE), which measured
+    // 2-3× SLOWER end-to-end than letting each consumer's
+    // section-filtered read prune the union lazily.
     cellRows.select(
         lit("cells").as("section"), col("cell"), col(candsName),
         lit(null).cast(centsT).as("cents"),
@@ -2702,6 +2707,7 @@ object StreamingOps {
         codebook: Column, meta: Column) =
       Seq(lit(section).as("section"), cell.as("cell"), cands.as("pq_cands"),
         cents.as("cents"), codebook.as("codebook"), meta.as("meta"))
+    // not persisted — the serveStateAssembly rationale (measured r13)
     cellRows.select(row("cells", col("cell"), col("pq_cands"),
         lit(null).cast(centsT), lit(null).cast(cbT),
         lit(null).cast("string")): _*)
